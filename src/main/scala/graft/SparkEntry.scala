@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The operator catalog lives in graft.queries.*; this object just flattens
+  * it into the (queries, oracleSql) shape the driver consumes. */
 object SparkEntry {
+
+  private def groups: Seq[QueryGroup] = Seq(Relational)
+
+  private lazy val catalog: Seq[QueryDef] = groups.flatMap(_.queries)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_e1_pivot")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.spark).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,76 @@
+package graft.prep
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Frequency-rank categorical encoding (SURVEY.md §2 C5/D1/D2/F1/F2/H6/H7).
+ *
+ * Fit: per categorical column, rank distinct values 1..cardinality by
+ * descending frequency with a deterministic value tiebreak
+ * (reference: spark/preprocess.py:247-251; tiebreak at :247). Values beyond
+ * `maxCardinality` are pruned (reference cap MAX_CAT_CARDINALITY=30000,
+ * spark/preprocess.py:20,268-271).
+ *
+ * Apply: broadcast left join, null -> 0 = UNK (reference:
+ * spark/preprocess.py:282-288). The reference's second, collect+pandas_udf
+ * strategy (:293-351) is deliberately collapsed into this one join-based
+ * path: at <=30k values the broadcast hash join always wins in the JVM and
+ * keeps the hot path UDF-free (SURVEY §4.1).
+ *
+ * Scale note: the global-window rank runs on the already-aggregated
+ * (value, count) side, never the event side — the single-task window the
+ * reference runs (spark/preprocess.py:247) is fine only because its input is
+ * tiny; we keep that invariant explicit by aggregating first and capping.
+ */
+final case class CategoricalEncoding(column: String, mapping: DataFrame) {
+  /** vocab size for model embedding tables = distinct + 1 for UNK
+    * (reference: get_num_activities, spark/preprocess.py:33-34). */
+  def vocabSize(implicit spark: SparkSession): Long = mapping.count() + 1
+}
+
+object Encoding {
+
+  /** Fit one column's (value, rank) map; rank 1 = most frequent. */
+  def fit(df: DataFrame, column: String, maxCardinality: Int = 30000): CategoricalEncoding = {
+    val freq = df.select(col(column)).na.drop()
+      .groupBy(col(column)).agg(count(lit(1)).as("cnt"))
+    // Unpartitioned window is safe here: input is the small aggregate.
+    val w = Window.orderBy(col("cnt").desc, col(column).asc)
+    val ranked = freq.withColumn("code", row_number().over(w))
+      .filter(col("code") <= lit(maxCardinality))
+      .select(col(column), col("code"))
+    CategoricalEncoding(column, ranked)
+  }
+
+  /**
+   * F1/H6 apply: value -> code, unseen/pruned/null -> 0 (UNK).
+   * Emits `outCol` (default: replaces the source column name).
+   */
+  def apply(df: DataFrame, enc: CategoricalEncoding, outCol: String = null): DataFrame = {
+    val out = Option(outCol).getOrElse(enc.column)
+    val joined = df.join(broadcast(enc.mapping), Seq(enc.column), "left")
+    val coded = joined.withColumn("__code", coalesce(col("code"), lit(0))).drop("code")
+    if (out == enc.column) coded.drop(enc.column).withColumnRenamed("__code", out)
+    else coded.withColumnRenamed("__code", out)
+  }
+
+  /**
+   * H7 decode (inverse): code -> value via the reversed map; code 0 (UNK) or
+   * unknown codes -> literal "UNK". Reference: spark/preprocess.py:355-370.
+   */
+  def decode(df: DataFrame, enc: CategoricalEncoding, codeCol: String,
+      outCol: String): DataFrame = {
+    val rev = enc.mapping.select(col("code").as(codeCol), col(enc.column).as(outCol))
+    df.join(broadcast(rev), Seq(codeCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("UNK")))
+  }
+
+  /**
+   * F2 cardinality-cap prune: left-semi join keeping only rows whose value
+   * survived the cap. Reference: spark/preprocess.py:268-271.
+   */
+  def pruneToVocabulary(df: DataFrame, enc: CategoricalEncoding): DataFrame =
+    df.join(broadcast(enc.mapping.select(enc.column)), Seq(enc.column), "left_semi")
+}

@@ -1,0 +1,82 @@
+package graft.prep
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence-construction window operators (SURVEY.md §2.B/§2.C).
+ *
+ * All pure DataFrame ops: one shuffle keyed on the entity id serves ranks,
+ * pivot and the profile join downstream. Zero UDFs; everything stays inside
+ * whole-stage codegen.
+ */
+object Windows {
+
+  /**
+   * B1 active-window filter: keep events with
+   * `predictionDate - historyDays < activityDate < predictionDate`.
+   * Reference: spark/preprocess.py:577-581 (seconds arithmetic on
+   * unix_timestamp). Narrow op; Catalyst pushes it into the parquet scan.
+   */
+  def activeWindowFilter(df: DataFrame, activityDate: String,
+      predictionDate: Column, historyDays: Int): DataFrame = {
+    val start = predictionDate - expr(s"INTERVAL $historyDays DAYS")
+    df.filter(col(activityDate) < predictionDate && col(activityDate) > start)
+  }
+
+  /**
+   * C1 get_rank: per-entity sequence length and descending/ascending event
+   * ranks. Reference: spark/preprocess.py:531-539.
+   *
+   * `tiebreak` makes ordering total when two events share a timestamp
+   * (required for deterministic hash-matched output; the reference relies on
+   * undefined tie order).
+   *
+   * Identity: rank_asc + rank_desc == seq_len + 1.
+   */
+  def ranks(df: DataFrame, tgtId: Seq[String], activityDate: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val part = tgtId.map(col)
+    val ordered = Window.partitionBy(part: _*)
+      .orderBy((col(activityDate).desc +: tiebreak.map(col(_).desc)): _*)
+    val unordered = Window.partitionBy(part: _*)
+    df.withColumn("seq_len", count(lit(1)).over(unordered))
+      .withColumn("rank_desc", row_number().over(ordered))
+      .withColumn("rank_asc", col("seq_len") - col("rank_desc") + 1)
+  }
+
+  /**
+   * B3 latest-n filter: keep the newest n events per entity.
+   * Reference: spark/preprocess.py:411-412. Must run BEFORE pivot so row
+   * width stays bounded regardless of entity skew (a 10^6-event entity
+   * contributes n rows, not 10^6).
+   */
+  def latestN(ranked: DataFrame, n: Int): DataFrame =
+    ranked.filter(col("rank_desc") <= lit(n))
+
+  /**
+   * C2 pad-shift: `rank = rank_asc + shift` where `shift = n - seq_len`,
+   * applied iff left-padding is requested or the sequence overflows n.
+   * Right-aligns short sequences under left padding. Reference semantics
+   * spelled out in the comment at spark/preprocess.py:414-429.
+   * Pure column arithmetic — no shuffle.
+   */
+  def padShift(ranked: DataFrame, n: Int, leftPad: Boolean): DataFrame = {
+    val shift = lit(n) - col("seq_len")
+    val applies = if (leftPad) lit(true) else col("seq_len") >= lit(n)
+    ranked.withColumn("rank",
+      when(applies, col("rank_asc") + shift).otherwise(col("rank_asc")))
+  }
+
+  /**
+   * C3 inter-event intervals: `datediff(date, lag(date) over entity-window)`.
+   * Reference: spark/preprocess.py:438-444.
+   */
+  def interEventGapDays(df: DataFrame, tgtId: Seq[String], activityDate: String,
+      out: String, tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(tgtId.map(col): _*)
+      .orderBy((col(activityDate).asc +: tiebreak.map(col(_).asc)): _*)
+    df.withColumn(out, datediff(col(activityDate), lag(col(activityDate), 1).over(w)))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.prep.{Encoding, Normalize, Pivot, Windows}
+import Catalog.{HistoryDays, PredTs}
+
+/**
+ * Core relational operator scenarios (SURVEY.md §2 groups B/C/D/E/F/H), each
+ * with a DuckDB oracle. Conventions shared with the oracles:
+ *  - money-like double sums are computed in integer cents
+ *    (`sum(round(x*100)::bigint)`) so they hash-match exactly;
+ *  - derived doubles that depend on mean/stddev are rounded to 6 dp on both
+ *    sides (engines differ in partial-aggregation order at ~1e-12);
+ *  - ranks/counts are cast to bigint to match DuckDB's window/agg types;
+ *  - every window order carries an `event_id` tiebreak for total ordering.
+ */
+object Relational extends QueryGroup {
+
+  private val predCol = to_timestamp(lit(PredTs))
+
+  def queries: Seq[QueryDef] = Seq(
+
+    QueryDef("q1_agg",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_c"),
+          count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // B1 active-window filter (spark/preprocess.py:577-581)
+    QueryDef("q_b1_window_filter",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Windows.activeWindowFilter(ev, "ts", predCol, HistoryDays)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      },
+      Some(s"""SELECT event_id, user_id, event_type, value FROM events
+              |WHERE ts < TIMESTAMP '$PredTs'
+              |  AND ts > TIMESTAMP '$PredTs' - INTERVAL 21 DAY""".stripMargin)),
+
+    // C1 get_rank (spark/preprocess.py:531-539)
+    QueryDef("q_c1_rank",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Windows.ranks(ev, Seq("user_id"), "ts", tiebreak = Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("seq_len"),
+            col("rank_desc").cast("long").as("rank_desc"),
+            col("rank_asc").cast("long").as("rank_asc"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER (PARTITION BY user_id) AS seq_len,
+             |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rank_desc,
+             |  COUNT(*) OVER (PARTITION BY user_id)
+             |    - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) + 1 AS rank_asc
+             |FROM events""".stripMargin)),
+
+    // C3 inter-event gap (spark/preprocess.py:438-444)
+    QueryDef("q_c3_intervals",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Windows.interEventGapDays(ev, Seq("user_id"), "ts", "gap_days",
+            tiebreak = Seq("event_id"))
+          .select(col("event_id"), col("gap_days").cast("long").as("gap_days"))
+      },
+      Some("""SELECT event_id,
+             |  date_diff('day', CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DATE),
+             |            CAST(ts AS DATE)) AS gap_days
+             |FROM events""".stripMargin)),
+
+    // C5/D2 frequency rank with deterministic tiebreak (spark/preprocess.py:247-250)
+    QueryDef("q_c5_freq_rank",
+      (s, dir) => {
+        val enc = Encoding.fit(Tables.load(s, dir, "events"), "event_type")
+        enc.mapping.select(col("event_type"), col("code").cast("long").as("rnk"))
+      },
+      Some("""SELECT event_type, ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS rnk
+             |FROM (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type)""".stripMargin)),
+
+    // D2 value frequencies
+    QueryDef("q_d2_freq",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
+      Some("SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type")),
+
+    // D1 distinct counts driving encoding strategy (spark/preprocess.py:261)
+    QueryDef("q_d1_distinct",
+      (s, dir) => Tables.load(s, dir, "events").agg(
+        countDistinct(col("event_type")).as("n_event_type"),
+        countDistinct(col("user_id")).as("n_user_id")),
+      Some("""SELECT COUNT(DISTINCT event_type) AS n_event_type,
+             |       COUNT(DISTINCT user_id) AS n_user_id FROM events""".stripMargin)),
+
+    // F1/H6 encoding apply via broadcast join (spark/preprocess.py:282-288)
+    QueryDef("q_f1_encode_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val enc = Encoding.fit(ev, "event_type")
+        Encoding.apply(ev, enc, "etype_code")
+          .select(col("event_id"), col("etype_code").cast("long").as("etype_code"))
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS code
+             |  FROM (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type))
+             |SELECT e.event_id, CAST(COALESCE(m.code, 0) AS BIGINT) AS etype_code
+             |FROM events e LEFT JOIN m USING(event_type)""".stripMargin)),
+
+    // F2 semi-join prune to top-k vocabulary (spark/preprocess.py:268-271)
+    QueryDef("q_f2_semi_prune",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val enc = Encoding.fit(ev, "event_type", maxCardinality = 3)
+        Encoding.pruneToVocabulary(ev, enc).select(col("event_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type FROM (
+             |    SELECT event_type, ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS code
+             |    FROM (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type))
+             |  WHERE code <= 3)
+             |SELECT event_id FROM events WHERE event_type IN (SELECT event_type FROM m)""".stripMargin)),
+
+    // E1 pivot long->wide, latest n=5, right padding (spark/preprocess.py:394-435)
+    QueryDef("q_e1_pivot",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val ranked = Windows.padShift(
+          Windows.latestN(
+            Windows.ranks(ev, Seq("user_id"), "ts", tiebreak = Seq("event_id")), 5),
+          n = 5, leftPad = false)
+        Pivot.toWide(ranked, Seq("user_id"), Seq("event_type", "value"), 5)
+      },
+      Some {
+        val conds = (1 to 5).flatMap(t => Seq(
+          s"MAX(CASE WHEN rnk = $t THEN event_type END) AS event_type_$t",
+          s"MAX(CASE WHEN rnk = $t THEN value END) AS value_$t")).mkString(",\n  ")
+        s"""WITH ranked AS (
+           |  SELECT user_id, event_type, value,
+           |    COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+           |  FROM events),
+           |shifted AS (
+           |  SELECT user_id, event_type, value,
+           |    CASE WHEN cnt >= 5 THEN (cnt - rd + 1) + 5 - cnt ELSE cnt - rd + 1 END AS rnk
+           |  FROM ranked WHERE rd <= 5)
+           |SELECT user_id,
+           |  $conds
+           |FROM shifted GROUP BY user_id""".stripMargin
+      }),
+
+    // F3 features-profile inner join co-keyed on the entity (spark/preprocess.py:606-608)
+    QueryDef("q_f3_profile_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cust = Tables.load(s, dir, "customer")
+        val feats = ev.groupBy(col("user_id")).agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("val_cents"))
+        feats.join(cust, feats("user_id") === cust("c_custkey"), "inner")
+          .select(col("user_id"), col("n_events"), col("val_cents"),
+            col("c_mktsegment"), col("c_acctbal"))
+      },
+      Some("""WITH f AS (
+             |  SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS val_cents
+             |  FROM events GROUP BY user_id)
+             |SELECT f.user_id, f.n_events, f.val_cents, c.c_mktsegment, c.c_acctbal
+             |FROM f JOIN customer c ON f.user_id = c.c_custkey""".stripMargin)),
+
+    // H2 min-max + z-score normalization as pure column arithmetic
+    QueryDef("q_h2_normalize",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val summary = Normalize.fit(li, Seq("l_quantity", "l_extendedprice"))
+        li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          summary.minMax("l_quantity").as("qty_mm"),
+          round(summary.zScore("l_extendedprice"), 6).as("price_z"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  (l_quantity - MIN(l_quantity) OVER ()) /
+             |    (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()) AS qty_mm,
+             |  ROUND((l_extendedprice - AVG(l_extendedprice) OVER ()) /
+             |    STDDEV_SAMP(l_extendedprice) OVER (), 6) AS price_z
+             |FROM lineitem""".stripMargin))
+  )
+}
