@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.prep.{Encoding, Windows}
+import graft.stats.Planners
+import Catalog.{HistoryDays, LabelDays, PredTs}
+
+/**
+ * Remaining relational + analytics operator scenarios
+ * (SURVEY.md §2 B4/B5/D4/D6/D7/D8/D10/D11/G2/H3/H4/H5/H6/H7/J9/J10).
+ */
+object Analytics extends QueryGroup {
+
+  private val predCol = to_timestamp(lit(PredTs))
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // B4 profile projection + dedup (spark/preprocess.py:606)
+    QueryDef("q_b4_profile",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"))
+        .dropDuplicates(),
+      Some("""SELECT DISTINCT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             |  c_mktsegment FROM customer""".stripMargin)),
+
+    // B5 outlier removal: keep rows within 3 sigma (segmentation/pandas.py:147-155)
+    QueryDef("q_b5_outlier",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val stats = li.agg(avg(col("l_extendedprice")).as("mu"),
+          stddev_samp(col("l_extendedprice")).as("sd"))
+        li.crossJoin(broadcast(stats))
+          .filter(abs(col("l_extendedprice") - col("mu")) <= col("sd") * 3)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+             |FROM lineitem
+             |WHERE abs(l_extendedprice - (SELECT AVG(l_extendedprice) FROM lineitem))
+             |   <= 3 * (SELECT STDDEV_SAMP(l_extendedprice) FROM lineitem)""".stripMargin)),
+
+    // D4 global max as scalar aggregate (spark/preprocess.py:411,476,499)
+    QueryDef("q_d4_max",
+      (s, dir) => Tables.load(s, dir, "events")
+        .agg(unix_millis(max(col("ts"))).as("max_ts_ms"),
+             unix_millis(min(col("ts"))).as("min_ts_ms")),
+      Some("""SELECT epoch_ms(MAX(ts)) AS max_ts_ms, epoch_ms(MIN(ts)) AS min_ts_ms
+             |FROM events""".stripMargin)),
+
+    // D6 percentile of per-entity counts -> seq_len (spark/preprocess.py:485-490)
+    QueryDef("q_d6_quantile",
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        counts.agg(
+          round(expr("percentile(cnt, 0.25)"), 6).as("p25"),
+          round(expr("percentile(cnt, 0.5)"), 6).as("p50"),
+          round(expr("percentile(cnt, 0.75)"), 6).as("p75"))
+      },
+      Some("""WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+             |SELECT ROUND(quantile_cont(cnt, 0.25), 6) AS p25,
+             |       ROUND(quantile_cont(cnt, 0.5), 6) AS p50,
+             |       ROUND(quantile_cont(cnt, 0.75), 6) AS p75
+             |FROM c""".stripMargin)),
+
+    // D7 lookback buckets: events-per-active-entity per window (spark/preprocess.py:493-528)
+    QueryDef("q_d7_lookback",
+      (s, dir) => Planners.lookbackBuckets(Tables.load(s, dir, "events"),
+          "user_id", "ts", predCol, bucketDays = 7)
+        .withColumn("ratio", round(col("n_events").cast("double") / col("n_entities"), 6)),
+      Some(s"""SELECT CAST(FLOOR(date_diff('day', CAST(ts AS DATE),
+              |         DATE '2024-02-01') / 7) AS BIGINT) AS bucket,
+              |  COUNT(DISTINCT user_id) AS n_entities, COUNT(*) AS n_events,
+              |  ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT user_id), 6) AS ratio
+              |FROM events
+              |WHERE FLOOR(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') / 7) >= 0
+              |GROUP BY 1""".stripMargin)),
+
+    // D8 label pivot: per-entity multi-hot of activities in the label window
+    // (preprocess.py:145-149: pivot_table(size) + clip_upper(1))
+    QueryDef("q_d8_label_pivot",
+      (s, dir) => {
+        val labelStart = predCol - expr(s"INTERVAL $LabelDays DAYS")
+        val ev = Tables.load(s, dir, "events").filter(col("ts") >= labelStart && col("ts") < predCol)
+        val pivoted = ev.groupBy(col("user_id"))
+          .pivot("event_type", eventTypes).agg(count(lit(1)))
+          .na.fill(0L, eventTypes)
+        eventTypes.foldLeft(pivoted) { (df, t) =>
+          df.withColumn(s"lbl_$t", least(col(t), lit(1L))).drop(t)
+        }
+      },
+      Some {
+        val conds = eventTypes.map(t =>
+          s"LEAST(COUNT(*) FILTER (WHERE event_type = '$t'), 1) AS lbl_$t").mkString(",\n  ")
+        s"""SELECT user_id, $conds
+           |FROM events
+           |WHERE ts >= TIMESTAMP '$PredTs' - INTERVAL $LabelDays DAY
+           |  AND ts < TIMESTAMP '$PredTs'
+           |GROUP BY user_id""".stripMargin
+      }),
+
+    // D10 per-segment profiling means + relative importance (segmentation/pandas.py:229-256)
+    QueryDef("q_d10_cluster_profile",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val seg = cust.groupBy(col("c_mktsegment"))
+          .agg(avg(col("c_acctbal")).as("seg_avg"), count(lit(1)).as("n"))
+        val glob = cust.agg(avg(col("c_acctbal")).as("glob_avg"))
+        seg.crossJoin(broadcast(glob))
+          .select(col("c_mktsegment"), round(col("seg_avg"), 6).as("avg_bal"), col("n"),
+            round(col("seg_avg") / col("glob_avg") - 1, 6).as("rel_imp"))
+      },
+      Some("""SELECT c_mktsegment, ROUND(AVG(c_acctbal), 6) AS avg_bal, COUNT(*) AS n,
+             |  ROUND(AVG(c_acctbal) / (SELECT AVG(c_acctbal) FROM customer) - 1, 6) AS rel_imp
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    // D11 quantile scoring via ntile (segmentation/pandas.py:26-54 pd.qcut)
+    QueryDef("q_d11_ntile",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+          ntile(4).over(Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc))
+            .cast("long").as("quartile")),
+      Some("""SELECT c_custkey,
+             |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+             |FROM customer""".stripMargin)),
+
+    // G2 sliding-window cutoffs (spark/preprocess.py:468-482)
+    QueryDef("q_g2_sliding_cutoffs",
+      (s, dir) => Planners.slidingCutoffs(Tables.load(s, dir, "events"), "ts",
+        nWindows = 4, strideDays = 7),
+      Some("""SELECT i AS idx,
+             |  strftime(((SELECT CAST(MAX(ts) AS DATE) FROM events)
+             |    - CAST(i*7 AS INTEGER)), '%Y-%m-%d') AS cutoff
+             |FROM generate_series(0, 3) t(i)""".stripMargin)),
+
+    // H3 NaN fill with 0 (spark/preprocess.py:150-156)
+    QueryDef("q_h3_fill",
+      (s, dir) => Tables.load(s, dir, "events")
+        .withColumn("v_capped", when(col("value") > 150, lit(null)).otherwise(col("value")))
+        .na.fill(0.0, Seq("v_capped"))
+        .select(col("event_id"), col("v_capped")),
+      Some("""SELECT event_id,
+             |  COALESCE(CASE WHEN value > 150 THEN NULL ELSE value END, 0.0) AS v_capped
+             |FROM events""".stripMargin)),
+
+    // H4 date-NaN fill with the window start (fill_date_nans_sp, spark/preprocess.py:88-135)
+    QueryDef("q_h4_date_fill",
+      (s, dir) => {
+        val start = predCol - expr(s"INTERVAL $HistoryDays DAYS")
+        val ranked = Windows.ranks(Tables.load(s, dir, "events"),
+          Seq("user_id"), "ts", tiebreak = Seq("event_id"))
+        ranked
+          .withColumn("ts_maybe", when(col("rank_desc") > 3, lit(null)).otherwise(col("ts")))
+          .select(col("event_id"),
+            datediff(coalesce(col("ts_maybe"), start), start.cast("date"))
+              .cast("long").as("days_from_start"))
+      },
+      Some(s"""WITH r AS (
+              |  SELECT event_id, ts,
+              |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+              |  FROM events)
+              |SELECT event_id,
+              |  date_diff('day', CAST(TIMESTAMP '$PredTs' - INTERVAL $HistoryDays DAY AS DATE),
+              |    CAST(COALESCE(CASE WHEN rd > 3 THEN NULL ELSE ts END,
+              |         TIMESTAMP '$PredTs' - INTERVAL $HistoryDays DAY) AS DATE)) AS days_from_start
+              |FROM r""".stripMargin)),
+
+    // H5 date featurization: interval mode + absolute (unix seconds) mode
+    // (spark/preprocess.py:586-591)
+    QueryDef("q_h5_date_interval",
+      (s, dir) => Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          datediff(predCol, col("ts")).cast("long").as("days_to_pred"),
+          unix_seconds(col("ts")).as("ts_unix")),
+      Some(s"""SELECT event_id,
+              |  date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') AS days_to_pred,
+              |  epoch_ms(ts) // 1000 AS ts_unix
+              |FROM events""".stripMargin)),
+
+    // H6+H7 encode -> decode round trip; unseen values land on "UNK"
+    // (spark/preprocess.py:344-351,355-370)
+    QueryDef("q_h6_h7_roundtrip",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val enc = Encoding.fit(ev, "event_type")
+        val coded = Encoding.apply(ev, enc, "etype_code")
+        Encoding.decode(coded, enc, "etype_code", "etype_decoded")
+          .select(col("event_id"), col("etype_code").cast("long").as("etype_code"),
+            col("etype_decoded"))
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type, ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS code
+             |  FROM (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type))
+             |SELECT e.event_id, CAST(COALESCE(m.code, 0) AS BIGINT) AS etype_code,
+             |  COALESCE(m2.event_type, 'UNK') AS etype_decoded
+             |FROM events e
+             |LEFT JOIN m USING(event_type)
+             |LEFT JOIN m m2 ON COALESCE(m.code, 0) = m2.code""".stripMargin)),
+
+    // J9 confusion matrix via groupBy(label, pred).count (metrics.py:31-49)
+    QueryDef("q_j9_confusion",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .select((col("c_acctbal") > 5000).cast("long").as("label"),
+          (col("c_custkey") % 2 === 0).cast("long").as("pred"))
+        .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(c_acctbal > 5000 AS BIGINT) AS label,
+             |  CAST(c_custkey % 2 = 0 AS BIGINT) AS pred, COUNT(*) AS n
+             |FROM customer GROUP BY 1, 2""".stripMargin)),
+
+    // J10 top-k scores (metrics.py:10-20 argsort top-k)
+    QueryDef("q_j10_topk",
+      (s, dir) => Tables.load(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(10)
+        .select(col("c_custkey"), col("c_acctbal")),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin))
+  )
+}
