@@ -8,7 +8,7 @@ import graft.queries._
   * it into the (queries, oracleSql) shape the driver consumes. */
 object SparkEntry {
 
-  private def groups: Seq[QueryGroup] = Seq(Relational, Analytics)
+  private def groups: Seq[QueryGroup] = Seq(Relational, Analytics, LlmOps)
 
   private lazy val catalog: Seq[QueryDef] = groups.flatMap(_.queries)
 

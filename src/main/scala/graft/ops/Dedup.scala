@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for LLM training-data pipelines (SURVEY.md §7.5):
+ * exact, n-gram Jaccard, MinHash+LSH. SimHash lives in [[Text.simhash16]],
+ * embedding-cosine near-dup in [[Vectors.cosineDupPairs]].
+ *
+ * Scale design: every variant avoids the quadratic all-pairs comparison.
+ * Candidate pairs come from an equi-join on a shared key (normalized text,
+ * shingle, or LSH band signature) so Spark executes them as shuffled hash
+ * joins keyed on that unit — the standard web-scale dedup shape
+ * (one shuffle per stage, no broadcast of the corpus, no cartesian).
+ */
+object Dedup {
+
+  /** Normalized text for exact dedup: lowercase + whitespace collapse. */
+  private def normText(c: String) =
+    regexp_replace(trim(lower(col(c))), "\\s+", " ")
+
+  /**
+   * Exact dedup groups: hash-groupBy on normalized text; keeps the minimum
+   * id as the canonical representative. At scale, group on the md5 of the
+   * text (shuffles 16 bytes per doc, not the document body).
+   */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(normText(textCol)).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct word n-gram shingles per document (one row per shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val sh = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array())
+    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /**
+   * N-gram Jaccard near-duplicate pairs: candidate pairs share >= 1 shingle
+   * (equi-join on the shingle), then J = |A∩B| / (|A|+|B|-|A∩B|) >= tau.
+   * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+   */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, tau: Double): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /**
+   * MinHash signatures: k independent hash functions h_i(s) = md5(i':'s);
+   * the signature component i is the lexicographic minimum over the doc's
+   * shingles. md5-as-string keeps the min portable across engines.
+   * Returns one row per (doc, i) — the long form that the band join consumes
+   * directly (no array materialization).
+   */
+  def minhashLong(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    sh.crossJoin(broadcast(sh.sparkSession.range(1, k + 1).select(col("id").as("hi"))))
+      .select(col(idCol), col("hi"),
+        md5(concat(col("hi"), lit(":"), col("shingle"))).as("h"))
+      .groupBy(col(idCol), col("hi"))
+      .agg(min(col("h")).as("mh"))
+
+  /**
+   * MinHash-LSH near-duplicate pairs: k minhashes in `bands` bands of
+   * k/bands rows; docs colliding on any full band signature become
+   * candidates (equi-join on (band, signature)); candidates are then
+   * verified with exact shingle Jaccard >= tau.
+   *
+   * At 100 TB this is the canonical shape: the only wide operations are
+   * hash-aggregates keyed by doc and an equi-join keyed by band signature;
+   * band collision lists longer than `maxBucket` are dropped as degenerate
+   * (boilerplate clusters), bounding join fan-out under skew.
+   */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int, tau: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sh = shingles(df, textCol, idCol, n).cache()
+    val mh = minhashLong(sh, idCol, k)
+      .withColumn("band", ((col("hi") - 1) / rows).cast("int"))
+    val bandSig = mh.groupBy(col(idCol), col("band"))
+      // hi is unique within the group: concat in hi order via sorted structs
+      .agg(concat_ws("|", array_sort(collect_list(struct(col("hi"), col("mh"))))
+        .getField("mh")).as("sig"))
+    val bucketed = bandSig.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("sig"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val l = bucketed.select(col("band"), col("sig"), col(idCol).as("doc_a"))
+    val r = bucketed.select(col("band"), col("sig"), col(idCol).as("doc_b"))
+    val candidates = l.join(r, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // verify candidates with exact Jaccard on the cached shingle sets
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    candidates.join(inter, Seq("doc_a", "doc_b"), "inner")
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

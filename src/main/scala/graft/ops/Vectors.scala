@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (SURVEY.md §7.5):
+ * brute-force cosine top-k (exact baseline), sign-LSH bucketing (the scale
+ * path), and cosine near-duplicate pairs.
+ *
+ * Embeddings are `array<float>`; all arithmetic is promoted to double via
+ * codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDFs,
+ * no MLlib Vector conversion on the hot path.
+ */
+object Vectors {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k cosine neighbors of each query vector against the corpus.
+   * Brute force = one join + per-query window rank; the correctness
+   * baseline any ANN variant is measured against. At scale the corpus side
+   * stays partitioned; only the (small) query set is broadcast.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "qid", cId: String = "cid", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId), col(vecCol).as("qe"))
+    val c = corpus.select(col(cId), col(vecCol).as("ce"))
+    val scored = broadcast(q).crossJoin(c)
+      .select(col(qId), col(cId), round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /**
+   * Sign-LSH bucket id from `nPlanes` coordinate-difference hyperplanes:
+   * bit p = [v(p) > v(p + offset)]. A valid (if simple) LSH family for
+   * cosine on centered vectors; the point here is the scale shape: bucket
+   * assignment is a narrow projection, and ANN search becomes an equi-join
+   * on `bucket` instead of a cross join — the IVF/LSH "coarse quantizer"
+   * pattern.
+   */
+  def signBucket(vec: Column, nPlanes: Int = 8, offset: Int = 32): Column =
+    (1 to nPlanes).map { p =>
+      when(element_at(vec, p) > element_at(vec, p + offset), lit(1L << (p - 1)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: top-k within the query's LSH bucket only. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "qid", cId: String = "cid", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId), col(vecCol).as("qe"),
+      signBucket(col(vecCol)).as("bucket"))
+    val c = corpus.select(col(cId), col(vecCol).as("ce"),
+      signBucket(col(vecCol)).as("bucket"))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .select(col(qId), col(cId), round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau).
+   * All-pairs within LSH buckets — same candidate-bounding idea as
+   * [[Dedup.minhashLshPairs]]; exact within-bucket verification.
+   */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, bucketed: Boolean = true): DataFrame = {
+    val withB =
+      if (bucketed) df.select(col(idCol), col(vecCol), signBucket(col(vecCol)).as("bucket"))
+      else df.select(col(idCol), col(vecCol), lit(0L).as("bucket"))
+    val a = withB.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = withB.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, Multimodal, Text, Vectors}
+
+/**
+ * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
+ * text analysis, dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+ * embedding-cosine), similarity search (brute force + LSH), and the
+ * multimodal decode plumbing.
+ */
+object LlmOps extends QueryGroup {
+
+  /** Shared oracle CTE: distinct word 3-gram shingles per document. */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+      |idx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS i FROM toks),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Shared oracle fragment: double-precision cosine between two DOUBLE[]. */
+  private def cosSql(a: String, b: String) =
+    s"ROUND(list_inner_product($a,$b) / (sqrt(list_inner_product($a,$a)) * sqrt(list_inner_product($b,$b))), 6)"
+
+  private val bucketSql = (v: String) =>
+    (1 to 8).map(p => s"(CASE WHEN $v[$p] > $v[${p + 32}] THEN ${1L << (p - 1)} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // --- text analysis ---------------------------------------------------
+
+    QueryDef("q_text_tokens",
+      (s, dir) => Text.tokenStats(Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents)
+             |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+             |  ROUND(list_aggregate(list_transform(ts, x -> length(x)), 'sum') * 1.0 / len(ts), 6) AS avg_token_len
+             |FROM t""".stripMargin)),
+
+    QueryDef("q_text_quality",
+      (s, dir) => Text.qualityScore(Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some {
+        val stoplist = Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents)
+           |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+           |  ROUND(len(list_filter(ts, x -> list_contains($stoplist, x))) * 1.0 / len(ts), 6) AS stop_ratio,
+           |  ROUND(len(list_distinct(ts)) * 1.0 / len(ts), 6) AS distinct_ratio
+           |FROM t""".stripMargin
+      }),
+
+    QueryDef("q_text_langid",
+      (s, dir) => Text.languageId(Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some {
+        val en = Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val es = Seq("el", "la", "de", "y", "que", "en").map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+           |sc AS (SELECT doc_id,
+           |  ROUND(len(list_filter(ts, x -> list_contains($en, x))) * 1.0 / len(ts), 6) AS s_en,
+           |  ROUND(len(list_filter(ts, x -> list_contains($es, x))) * 1.0 / len(ts), 6) AS s_es
+           |FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN greatest(s_en, s_es) >= 0.05
+           |       THEN (CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END)
+           |       ELSE 'und' END AS lang_guess,
+           |  greatest(s_en, s_es) AS lang_score
+           |FROM sc""".stripMargin
+      }),
+
+    QueryDef("q_text_fingerprint",
+      (s, dir) => Text.fingerprint(Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
+             |FROM documents""".stripMargin)),
+
+    QueryDef("q_text_simhash",
+      (s, dir) => Text.simhash16(Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some {
+        val votes = (0 until 16).map { j =>
+          val nib = s"nib${j / 4 + 1}"
+          s"SUM(CASE WHEN ($nib >> ${3 - j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v_$j"
+        }.mkString(",\n  ")
+        val sig = (0 until 16)
+          .map(j => s"(CASE WHEN v_$j > 0 THEN ${1L << (15 - j)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok FROM documents),
+           |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+           |n AS (SELECT doc_id,
+           |  strpos('0123456789abcdef', substr(h,1,1)) - 1 AS nib1,
+           |  strpos('0123456789abcdef', substr(h,2,1)) - 1 AS nib2,
+           |  strpos('0123456789abcdef', substr(h,3,1)) - 1 AS nib3,
+           |  strpos('0123456789abcdef', substr(h,4,1)) - 1 AS nib4
+           |FROM h),
+           |v AS (SELECT doc_id, $votes FROM n GROUP BY doc_id)
+           |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM v""".stripMargin
+      }),
+
+    // --- dedup -----------------------------------------------------------
+
+    QueryDef("q_dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    QueryDef("q_dedup_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, tau = 0.4),
+      Some(s"""WITH $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |j AS (SELECT doc_a, doc_b,
+              |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+              |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
+
+    QueryDef("q_dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, k = 16, bands = 4, tau = 0.4),
+      Some(s"""WITH $shinglesCte,
+              |mh AS (SELECT doc_id, hi, MIN(md5(CAST(hi AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh CROSS JOIN generate_series(1, 16) g(hi) GROUP BY doc_id, hi),
+              |bs AS (SELECT doc_id, (hi - 1) // 4 AS band, string_agg(mh, '|' ORDER BY hi) AS sig
+              |  FROM mh GROUP BY doc_id, (hi - 1) // 4),
+              |bk AS (SELECT doc_id, band, sig,
+              |    COUNT(*) OVER (PARTITION BY band, sig) AS bucket_n FROM bs),
+              |bf AS (SELECT * FROM bk WHERE bucket_n <= 1000),
+              |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              |  FROM bf l JOIN bf r USING(band, sig) WHERE l.doc_id < r.doc_id),
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |j AS (SELECT c.doc_a, c.doc_b,
+              |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+              |  FROM cand c JOIN inter USING(doc_a, doc_b)
+              |  JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b)
+              |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
+
+    QueryDef("q_dedup_embed_cosine",
+      (s, dir) => Vectors.cosineDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.3, bucketed = false),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin)),
+
+    // --- similarity search ----------------------------------------------
+
+    QueryDef("q_ann_brute",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Vectors.bruteForceTopK(
+          e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding")),
+          e.filter(col("vec_id") >= 5).select(col("vec_id").as("cid"), col("embedding")),
+          k = 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 5),
+              |sc AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q CROSS JOIN c),
+              |r AS (SELECT qid, cid, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
+              |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
+    QueryDef("q_ann_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Vectors.lshTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
+          k = 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+              |    ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+              |    ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id >= 20),
+              |sc AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q JOIN c USING(bucket)),
+              |r AS (SELECT qid, cid, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
+              |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // F5 embeddings joined back to an entity profile (segmentation/pandas.py:382-408)
+    QueryDef("q_f5_embed_profile",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val cust = Tables.load(s, dir, "customer")
+        e.join(cust, e("vec_id") === cust("c_custkey"), "inner")
+          .select(col("vec_id"), col("label").cast("long").as("label"), col("c_mktsegment"))
+      },
+      Some("""SELECT vec_id, CAST(label AS BIGINT) AS label, c_mktsegment
+             |FROM embeddings e JOIN customer c ON e.vec_id = c.c_custkey""".stripMargin)),
+
+    // --- multimodal plumbing --------------------------------------------
+
+    QueryDef("q_multimodal_meta",
+      (s, dir) => Multimodal.decodeMetadata(s,
+        Multimodal.withBinaryPayload(Tables.load(s, dir, "documents"), "text"), "doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+             |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
+             |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+             |FROM documents""".stripMargin))
+  )
+}
