@@ -8,13 +8,13 @@ import graft.queries._
   * it into the (queries, oracleSql) shape the driver consumes. */
 object SparkEntry {
 
-  private def groups: Seq[QueryGroup] = Seq(Relational, Analytics, LlmOps)
+  private def groups: Seq[QueryGroup] = Seq(Relational, Analytics, LlmOps, PipelineQ)
 
   private lazy val catalog: Seq[QueryDef] = groups.flatMap(_.queries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_e1_pivot")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
