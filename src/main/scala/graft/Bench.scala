@@ -1,24 +1,56 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR
+ * (default sf0.1) and prints ONE JSON line with per-query seconds.
+ *
+ * Methodology: results are materialized through the `noop` sink (full row
+ * production, no output cost — a bare count() would let Spark prune every
+ * column and time only the scan); one untimed warm-up of the whole suite
+ * (JIT + parquet footer cache), then per-query best-of-2.
+ */
 object Bench {
+
+  /** Headline subset: the flagship pipeline + one representative per
+    * operator family (agg, window, pivot, normalize, dedup x3, ANN, text,
+    * multimodal). The rest of the catalog is correctness-gated in Verify. */
+  val headline: Seq[String] = Seq(
+    "q_pipeline_e2e", "q1_agg", "q_c1_rank", "q_e1_pivot", "q_h2_normalize",
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_lsh",
+    "q_text_simhash", "q_text_quality", "q_ann_brute", "q_ann_lsh",
+    "q_multimodal_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val qs = headline.filter(SparkEntry.queries.contains)
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    qs.foreach(n => try runOnce(n) catch { case _: Throwable => () }) // warm-up
+    val results = qs.map { n =>
+      val t = try math.min(runOnce(n), runOnce(n)) catch { case _: Throwable => -1.0 }
+      n -> t
+    }
+    val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

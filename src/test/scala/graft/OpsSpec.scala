@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Text, Vectors}
+
+/** Invariant specs for the LLM-pipeline operators on tiny inline data. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "completely different content with nothing shared here at all"),
+    (4L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups exact duplicates only") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    val dupGroup = g.find(_.getLong(2) == 2)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L) // keep min id
+    assert(g.length == 4) // 5 docs, one pair merged
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs at same tau") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 16, 4, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 4L))) // identical docs always collide
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val sh = Text.simhash16(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) <= 6)
+  }
+
+  test("cosine: self-similarity 1, brute-force top-k ranks by similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0).select($"vec_id".as("qid"), $"embedding")
+    val c = vecs.filter($"vec_id" =!= 0).select($"vec_id".as("cid"), $"embedding")
+    val top = Vectors.bruteForceTopK(q, c, 3).orderBy("rnk")
+      .select("cid").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("multimodal decode stub: deterministic metadata from payload bytes") {
+    val meta = Multimodal.decodeMetadata(spark,
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id")
+    val m = meta.filter($"doc_id" === 5).head()
+    assert(m.getLong(1) == "short text".getBytes("UTF-8").length)
+    assert(m.getLong(2) == 64 + 10 % 512 && m.getLong(4) == 10 % 30 + 1)
+    assert(meta.count() == 5)
+  }
+
+  test("text quality + langid produce bounded scores") {
+    val q = Text.qualityScore(docs, "text", "doc_id").collect()
+    assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+    val l = Text.languageId(docs, "text", "doc_id").collect()
+    assert(l.forall(r => Set("en", "es", "und").contains(r.getString(1))))
+  }
+}

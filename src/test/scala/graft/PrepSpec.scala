@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.prep.{Encoding, Normalize, Windows}
+
+/** Unit specs for the prep operators: rank identities, pad-shift algebra
+  * (the comment-spec at reference spark/preprocess.py:414-424), encoding
+  * UNK-closure, normalization round trips, no-variance guard. */
+class PrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsOf(counts: Map[Int, Int]) = {
+    val rows = for {
+      (u, n) <- counts.toSeq; i <- 1 to n
+    } yield (u, i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00"))
+    rows.toDF("user_id", "event_id", "ts")
+  }
+
+  test("C1 rank identity: rank_asc + rank_desc == seq_len + 1") {
+    val df = Windows.ranks(eventsOf(Map(1 -> 5, 2 -> 1, 3 -> 8)),
+      Seq("user_id"), "ts", Seq("event_id"))
+    assert(df.filter(col("rank_asc") + col("rank_desc") =!= col("seq_len") + 1).count() == 0)
+  }
+
+  test("C2 pad-shift algebra over seq_len x leftPad grid") {
+    val n = 5
+    for (s <- 1 to 8; leftPad <- Seq(true, false)) {
+      val ranked = Windows.padShift(
+        Windows.latestN(Windows.ranks(eventsOf(Map(1 -> s)), Seq("user_id"), "ts",
+          Seq("event_id")), n), n, leftPad)
+      val ranks = ranked.select(col("rank").cast("int")).as[Int].collect().sorted
+      val kept = math.min(s, n)
+      // kept rows occupy a contiguous rank block; right-aligned iff
+      // left-padding or truncated, else starting at 1
+      val expectStart = if (leftPad || s >= n) n - kept + 1 else 1
+      assert(ranks.toSeq == (expectStart until expectStart + kept),
+        s"s=$s leftPad=$leftPad got ${ranks.toSeq}")
+    }
+  }
+
+  test("encoding: frequency order, determinism, UNK closure, cap") {
+    val df = Seq.fill(5)("b").map(Tuple1(_)) ++ Seq.fill(3)("a").map(Tuple1(_)) ++
+      Seq.fill(3)("c").map(Tuple1(_)) ++ Seq(Tuple1(null: String))
+    val data = df.toDF("v")
+    val enc = Encoding.fit(data, "v")
+    val m = enc.mapping.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("b" -> 1, "a" -> 2, "c" -> 3)) // freq desc, value tiebreak, null dropped
+    // unseen value -> 0 at apply
+    val applied = Encoding.apply(Seq("b", "zz", null).toDF("v"), enc, "code")
+      .select("code").as[Int].collect().toSeq
+    assert(applied.sorted == Seq(0, 0, 1))
+    // cap prunes beyond top-k
+    val capped = Encoding.fit(data, "v", maxCardinality = 2)
+    assert(capped.mapping.count() == 2)
+    // decode: 0 and unknown codes -> UNK
+    val dec = Encoding.decode(Seq(1, 0, 99).toDF("code"), enc, "code", "v")
+      .orderBy("code").select("v").as[String].collect().toSeq
+    assert(dec == Seq("UNK", "b", "UNK"))
+  }
+
+  test("normalization: minmax/zscore round trips; no-variance guard") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, 7.0)).toDF("x", "flat")
+    val s = Normalize.fit(df, Seq("x", "flat"))
+    val mm = df.select(s.minMax("x").as("v")).as[Double].collect().sorted
+    assert(mm.head == 0.0 && mm.last == 1.0)
+    // round trip
+    val rt = df.select(abs(col("x") -
+      (s.minMax("x") * lit(s.stats("x").max - s.stats("x").min) + lit(s.stats("x").min)))
+      .as("d")).as[Double].collect()
+    assert(rt.forall(_ < 1e-12))
+    // no-variance column passes through unchanged
+    val flat = df.select(s.minMax("flat").as("v")).as[Double].collect()
+    assert(flat.forall(_ == 7.0))
+  }
+}
