@@ -8,7 +8,8 @@ import graft.queries._
   * it into the (queries, oracleSql) shape the driver consumes. */
 object SparkEntry {
 
-  private def groups: Seq[QueryGroup] = Seq(Relational, Analytics, LlmOps, PipelineQ)
+  private def groups: Seq[QueryGroup] =
+    Seq(Relational, Analytics, LlmOps, PipelineQ, MlOps)
 
   private lazy val catalog: Seq[QueryDef] = groups.flatMap(_.queries)
 

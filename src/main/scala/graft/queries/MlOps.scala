@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.analyze.Segmentation
+import graft.core.{ColumnRoles, Tables}
+import graft.ml.CasprScorer
+import graft.nn.TransformerConfig
+import graft.prep.{CasprFeaturizer, FeaturizerConfig}
+import graft.train.{LinearAutoencoder, TrainConfig}
+import Catalog.{HistoryDays, PredTs}
+
+/**
+ * Model-side surfaces (SURVEY.md §2.I/J/K). Not SQL-expressible, so these
+ * carry no DuckDB oracle (driver records rows-only checks); invariants are
+ * covered in MlSpec instead.
+ */
+object MlOps extends QueryGroup {
+
+  private val seqLen = 5
+
+  /** Shared: featurize events at sfDir (same fixture as q_pipeline_e2e,
+    * without the profile join). */
+  private def featurized(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables.load(s, dir, "events")
+    val input = ev.withColumn("pred_date", to_timestamp(lit(PredTs)))
+    val roles = ColumnRoles(
+      tgtId = Seq("user_id"), activityDate = "ts", predictionDate = "pred_date",
+      catCols = Seq("event_type"), contCols = Seq("value"),
+      seqCols = Seq("event_type", "value", "ts"), nonSeqCols = Nil,
+      dateCols = Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = seqLen, historyDays = HistoryDays,
+      tiebreak = Seq("event_id"))
+    val model = CasprFeaturizer.fit(input, cfg)
+    (model, model.transform(input))
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // J6 scoring: featurize -> deterministic transformer encoder -> embeddings
+    QueryDef("q_score_embeddings",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = Map("event_type" ->
+          (model.encodings("event_type").mapping.count() + 1))
+        CasprScorer.forWide(TransformerConfig(dModel = 16, heads = 2, layers = 2, pf = 8),
+            "user_id", vocab, seqLen,
+            seqCat = Seq("event_type"), seqCont = Seq("value", "ts_days"))
+          .transform(wide)
+      },
+      None),
+
+    // J1/J2/J5 training loop: per-epoch mean loss from the distributed
+    // broadcast + treeAggregate harness (loss must decrease; see MlSpec)
+    QueryDef("q_train_ae_loss",
+      (s, dir) => {
+        val (_, wide) = featurized(s, dir)
+        val cols = for (c <- Seq("value", "ts_days"); t <- 1 to seqLen) yield s"${c}_$t"
+        val res = LinearAutoencoder.fit(wide, cols,
+          TrainConfig(nHidden = 4, lr = 1e-2, maxEpochs = 10, warmupEpochs = 2))
+        import s.implicits._
+        res.losses.zipWithIndex.map { case (l, e) => (e, l) }.toDF("epoch", "loss")
+      },
+      None),
+
+    // K1/K2 segmentation: silhouette-selected KMeans on the embeddings table
+    QueryDef("q_segment_kmeans",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val (_, _, assigned) = Segmentation.cluster(emb, "embedding", ks = Seq(3, 4, 5))
+        assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      },
+      None),
+
+    // I16 churn head: LR on the embedding column predicting the label
+    QueryDef("q_churn_auc",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .withColumn("is_class0", (col("label") === 0).cast("double"))
+        val (auc, _) = Segmentation.churnHead(emb, "embedding", "is_class0")
+        import s.implicits._
+        Seq(auc).toDF("auc")
+      },
+      None)
+  )
+}
