@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Streaming ingestion of the event log (SURVEY.md §2.L / §7.5 extension —
+ * the reference is batch-only; its "sliding windows" are batch cutoff
+ * augmentation). Structured Streaming gives the same long-form table
+ * incrementally:
+ *
+ *  - windowed aggregation with a watermark = bounded state, late events
+ *    beyond the watermark dropped deterministically;
+ *  - per-entity latest-N sequence state via mapGroupsWithState — the
+ *    incremental twin of the batch rank+pivot (C1+E1): the state holds at
+ *    most N (ts, cat, cont) triples per entity, so state size is
+ *    O(entities x N), independent of stream length.
+ *
+ * At scale this runs with the same shuffle key (entity id) as the batch
+ * pipeline; checkpointed state is RocksDB-backed on a real cluster.
+ */
+object EventStream {
+
+  /** Raw parquet schema of the events table (ts as nanos-long; see
+    * graft.core.Tables on Spark 4 vs TIMESTAMP(NANOS)). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream the event log from a directory of parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window per-type counts with a watermark bounding state. */
+  def windowedTypeCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  final case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
+  final case class SeqState(events: List[(Long, String, Double)])
+  final case class UserSeq(user_id: Long, seq_len: Int,
+      types: Seq[String], values: Seq[Double])
+
+  /**
+   * Incremental latest-N sequence per entity: the streaming equivalent of
+   * ranks+latestN+pivot. Emits the refreshed sequence on every update.
+   */
+  def latestNSequences(spark: SparkSession, events: DataFrame, n: Int): Dataset[UserSeq] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SeqState, UserSeq](GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SeqState]) =>
+          val prev = state.getOption.getOrElse(SeqState(Nil)).events
+          val merged = (prev ++ evs.map(e => (e.ts_us, e.event_type, e.value)))
+            .sortBy(-_._1).take(n) // newest first, bounded state
+          state.update(SeqState(merged))
+          UserSeq(userId, merged.size, merged.map(_._2), merged.map(_._3))
+      }
+  }
+}
