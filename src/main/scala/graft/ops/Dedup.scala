@@ -66,15 +66,16 @@ object Dedup {
    * MinHash signatures: k independent hash functions h_i(s) = md5(i':'s);
    * the signature component i is the lexicographic minimum over the doc's
    * shingles. md5-as-string keeps the min portable across engines.
-   * Returns one row per (doc, i) — the long form that the band join consumes
-   * directly (no array materialization).
+   *
+   * All k minimums are computed as k aggregates in ONE hash-aggregate pass
+   * over the exploded shingles (wide row per doc) — no k-way row blowup, no
+   * extra shuffle: the dominant cost is k md5 calls per shingle, map-side.
    */
-  def minhashLong(sh: DataFrame, idCol: String, k: Int): DataFrame =
-    sh.crossJoin(broadcast(sh.sparkSession.range(1, k + 1).select(col("id").as("hi"))))
-      .select(col(idCol), col("hi"),
-        md5(concat(col("hi"), lit(":"), col("shingle"))).as("h"))
-      .groupBy(col(idCol), col("hi"))
-      .agg(min(col("h")).as("mh"))
+  def minhashSigs(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (1 to k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /**
    * MinHash-LSH near-duplicate pairs: k minhashes in `bands` bands of
@@ -93,12 +94,15 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sh = shingles(df, textCol, idCol, n).cache()
-    val mh = minhashLong(sh, idCol, k)
-      .withColumn("band", ((col("hi") - 1) / rows).cast("int"))
-    val bandSig = mh.groupBy(col(idCol), col("band"))
-      // hi is unique within the group: concat in hi order via sorted structs
-      .agg(concat_ws("|", array_sort(collect_list(struct(col("hi"), col("mh"))))
-        .getField("mh")).as("sig"))
+    val sigs = minhashSigs(sh, idCol, k)
+    // stack the per-doc wide signature into (doc, band, sig) rows
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows + 1 to (b + 1) * rows).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
+    }
+    val bandSig = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val bucketed = bandSig.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("sig"))))

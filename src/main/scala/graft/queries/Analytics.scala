@@ -42,6 +42,39 @@ object Analytics extends QueryGroup {
              |WHERE abs(l_extendedprice - (SELECT AVG(l_extendedprice) FROM lineitem))
              |   <= 3 * (SELECT STDDEV_SAMP(l_extendedprice) FROM lineitem)""".stripMargin)),
 
+    // D3 collect_set distinct value lists (spark/preprocess.py:331-332);
+    // sorted + joined so output is deterministic and hashable
+    QueryDef("q_d3_collect_set",
+      (s, dir) => Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types")),
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // H10 sparsity probe: top-decile share + distinct ratio
+    // (segmentation/pandas.py:14-23)
+    QueryDef("q_h10_sparsity",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.orderBy(col("value").desc, col("event_id").asc)
+        ev.withColumn("decile", ntile(10).over(w))
+          .agg(
+            round(countDistinct(col("value")).cast("double") / count(lit(1)), 6)
+              .as("distinct_ratio"),
+            round(sum(when(col("decile") === 1, round(col("value") * 100).cast("long"))
+                .otherwise(0L)).cast("double") /
+              sum(round(col("value") * 100).cast("long")), 6).as("top_decile_share"))
+      },
+      Some("""WITH d AS (
+             |  SELECT value, NTILE(10) OVER (ORDER BY value DESC, event_id) AS decile
+             |  FROM events)
+             |SELECT
+             |  ROUND(COUNT(DISTINCT value) * 1.0 / COUNT(*), 6) AS distinct_ratio,
+             |  ROUND(SUM(CASE WHEN decile = 1 THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) * 1.0
+             |    / SUM(CAST(ROUND(value*100) AS BIGINT)), 6) AS top_decile_share
+             |FROM d""".stripMargin)),
+
     // D4 global max as scalar aggregate (spark/preprocess.py:411,476,499)
     QueryDef("q_d4_max",
       (s, dir) => Tables.load(s, dir, "events")
