@@ -79,11 +79,19 @@ object Tables {
    * as a long and truncate ns -> us. The conf is runtime-settable, so this
    * works under any caller-provided session, including the driver's.
    */
+  /** Raw nanos twin kept alongside the converted `ts` so time predicates can
+    * reach the parquet scan (see Windows.activeWindowFilter). Pruned for free
+    * when unused. */
+  val RawTsCol = "__ts_raw_ns"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")))
+      .map { _ =>
+        df.withColumn(RawTsCol, org.apache.spark.sql.functions.col("ts"))
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      }
       .getOrElse(df)
   }
 }

@@ -22,7 +22,21 @@ object Windows {
   def activeWindowFilter(df: DataFrame, activityDate: String,
       predictionDate: Column, historyDays: Int): DataFrame = {
     val start = predictionDate - expr(s"INTERVAL $historyDays DAYS")
-    df.filter(col(activityDate) < predictionDate && col(activityDate) > start)
+    val semantic = col(activityDate) < predictionDate && col(activityDate) > start
+    // When the date column was derived from a raw nanos long (Tables.load),
+    // the derived predicate cannot reach the parquet scan. Add a slightly
+    // looser, IMPLIED predicate on the raw column: it constant-folds to long
+    // bounds that push down to row-group stats, and the exact semantic
+    // filter still applies on top. Bounds account for the ns->us floor:
+    //   ts_us < pred  =>  raw_ns <  us(pred)*1000 + 1000
+    //   ts_us > start =>  raw_ns >  us(start)*1000
+    val pushable =
+      if (activityDate == "ts" && df.columns.contains(graft.core.Tables.RawTsCol)) {
+        val raw = col(graft.core.Tables.RawTsCol)
+        raw < unix_micros(predictionDate) * 1000L + 1000L &&
+          raw > unix_micros(start) * 1000L
+      } else lit(true)
+    df.filter(pushable && semantic)
   }
 
   /**
