@@ -55,6 +55,46 @@ final case class CasprScorerModel(
   }
 }
 
+/**
+ * LSTM-architecture scorer (the reference's second encoder; arch switch at
+ * caspr/utils/spark/score.py:53-61 — transformer emits flattened enc_src,
+ * LSTM emits the attention-fused hidden state). Same mapPartitions +
+ * broadcast-weights execution shape as the transformer scorer.
+ */
+final case class LstmScorerModel(
+    weights: graft.nn.LstmEncoderWeights,
+    idCol: String,
+    seqCatCols: Seq[Seq[String]],
+    seqContCols: Seq[Seq[String]]) {
+
+  def transform(wide: DataFrame): DataFrame = {
+    val spark = wide.sparkSession
+    val bc = spark.sparkContext.broadcast(weights)
+    val t = seqCatCols.headOption.map(_.size)
+      .orElse(seqContCols.headOption.map(_.size)).getOrElse(0)
+    val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
+    val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
+    val idIdx = wide.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      wide.schema(idIdx),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    wide.mapPartitions { rows =>
+      val w = bc.value
+      rows.map { row =>
+        val catCodes = Array.tabulate(t, catIdx.size) { (ts, c) =>
+          val v = row.get(catIdx(c)(ts))
+          if (v == null) 0 else v.asInstanceOf[Number].intValue()
+        }
+        val cont = Array.tabulate(t, contIdx.size) { (ts, c) =>
+          val v = row.get(contIdx(c)(ts))
+          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+        }
+        Row(row.get(idIdx), w.forward(catCodes, cont))
+      }
+    }(Encoders.row(outSchema))
+  }
+}
+
 object CasprScorer {
 
   /** Build a deterministic-weight scorer for a featurizer wide output. */

@@ -1,0 +1,99 @@
+package graft.nn
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum}
+import breeze.numerics.{exp, sigmoid, tanh}
+
+/**
+ * LSTM encoder path (SURVEY.md §2.I11/I12/I4): the reference's second
+ * architecture — cat embeddings ++ cont -> LSTM -> Bahdanau additive
+ * attention context ++ final hidden -> ReLU(Linear) = embedding
+ * (reference unified_encoder.py:25-282, attention select :186-192, fuse
+ * :194-202; multi_layer_lstm.py:7-63; BahdanauAttention
+ * attention_mechanisms.py:102-123).
+ */
+final case class LstmCell(
+    wi: DenseMatrix[Double], ui: DenseMatrix[Double], bi: DenseVector[Double],
+    wf: DenseMatrix[Double], uf: DenseMatrix[Double], bf: DenseVector[Double],
+    wg: DenseMatrix[Double], ug: DenseMatrix[Double], bg: DenseVector[Double],
+    wo: DenseMatrix[Double], uo: DenseMatrix[Double], bo: DenseVector[Double]) {
+
+  /** One step: (x_t, h_{t-1}, c_{t-1}) -> (h_t, c_t). */
+  def step(x: DenseVector[Double], h: DenseVector[Double], c: DenseVector[Double])
+      : (DenseVector[Double], DenseVector[Double]) = {
+    val i = sigmoid(wi.t * x + ui.t * h + bi)
+    val f = sigmoid(wf.t * x + uf.t * h + bf)
+    val g = tanh(wg.t * x + ug.t * h + bg)
+    val o = sigmoid(wo.t * x + uo.t * h + bo)
+    val cNew = (f *:* c) + (i *:* g)
+    val hNew = o *:* tanh(cNew)
+    (hNew, cNew)
+  }
+}
+
+final case class LstmEncoderWeights(
+    hidden: Int,
+    catEmbeddings: Seq[DenseMatrix[Double]],
+    cell: LstmCell,
+    attnW1: DenseMatrix[Double], attnB1: DenseVector[Double], // hidden -> attnDim
+    attnV: DenseVector[Double],                               // attnDim
+    fuse: Linear) {                                           // 2*hidden -> outDim
+
+  private def embeddingDims = catEmbeddings.map(_.cols)
+
+  /** Forward one entity: per-timestep cat codes + cont -> embedding. */
+  def forward(catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Float] = {
+    val t = catCodes.length
+    val nCont = if (t > 0) cont(0).length else 0
+    val embTotal = embeddingDims.sum
+    var h = DenseVector.zeros[Double](hidden)
+    var c = DenseVector.zeros[Double](hidden)
+    val outputs = DenseMatrix.zeros[Double](t, hidden)
+    for (i <- 0 until t) {
+      val x = DenseVector.zeros[Double](embTotal + nCont)
+      var off = 0
+      for (cc <- catCodes(i).indices) {
+        val table = catEmbeddings(cc)
+        val code = math.min(math.max(catCodes(i)(cc), 0), table.rows - 1)
+        x(off until off + table.cols) := table(code, ::).t
+        off += table.cols
+      }
+      for (j <- 0 until nCont) x(embTotal + j) = cont(i)(j)
+      val (hn, cn) = cell.step(x, h, c)
+      h = hn; c = cn
+      outputs(i, ::) := h.t
+    }
+    // Bahdanau: score_t = v . tanh(W1 h_t + b1); context = softmax(score) . H
+    val scores = DenseVector.tabulate(t) { i =>
+      sum(attnV *:* tanh(attnW1.t * outputs(i, ::).t + attnB1))
+    }
+    val mx = breeze.linalg.max(scores)
+    val e = exp(scores - mx)
+    val a = e / sum(e)
+    val context = DenseVector.zeros[Double](hidden)
+    for (i <- 0 until t) context :+= outputs(i, ::).t * a(i)
+    // fuse: ReLU(Linear(context ++ h_n))
+    val fused = DenseVector.vertcat(context, h)
+    val out = (fuse.w.t * fused) + fuse.b
+    out.map(v => math.max(v, 0.0).toFloat).toArray
+  }
+}
+
+object LstmEncoderWeights {
+  def init(hidden: Int, outDim: Int, vocabSizes: Seq[Long], nCont: Int,
+      attnDim: Int = 16, seed: Long = 42L): LstmEncoderWeights = {
+    val rng = new scala.util.Random(seed)
+    val embs = vocabSizes.map(v => Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
+    val in = embs.map(_.cols).sum + nCont
+    def m(r: Int, cc: Int) = Layers.xavier(rng, r, cc)
+    def vz(n: Int) = DenseVector.zeros[Double](n)
+    val cell = LstmCell(
+      m(in, hidden), m(hidden, hidden), vz(hidden),
+      m(in, hidden), m(hidden, hidden), DenseVector.ones[Double](hidden), // forget bias 1
+      m(in, hidden), m(hidden, hidden), vz(hidden),
+      m(in, hidden), m(hidden, hidden), vz(hidden))
+    LstmEncoderWeights(hidden, embs, cell,
+      m(hidden, attnDim), vz(attnDim),
+      DenseVector.tabulate(attnDim)(_ => rng.nextDouble() * 0.2 - 0.1),
+      Layers.linear(rng, 2 * hidden, outDim))
+  }
+}

@@ -42,6 +42,45 @@ object Analytics extends QueryGroup {
              |WHERE abs(l_extendedprice - (SELECT AVG(l_extendedprice) FROM lineitem))
              |   <= 3 * (SELECT STDDEV_SAMP(l_extendedprice) FROM lineitem)""".stripMargin)),
 
+    // B2 window filter with grace period (preprocess.py:90-92):
+    // keep ts in [cutoff - grace - history, cutoff - grace], inclusive
+    QueryDef("q_b2_grace_filter",
+      (s, dir) => {
+        val cut = to_timestamp(lit(PredTs))
+        val hi = cut - expr("INTERVAL 3 DAYS")
+        val lo = hi - expr("INTERVAL 14 DAYS")
+        Tables.load(s, dir, "events")
+          .filter(col("ts").between(lo, hi))
+          .select(col("event_id"), col("user_id"))
+      },
+      Some(s"""SELECT event_id, user_id FROM events
+              |WHERE ts BETWEEN TIMESTAMP '$PredTs' - INTERVAL 17 DAY
+              |             AND TIMESTAMP '$PredTs' - INTERVAL 3 DAY""".stripMargin)),
+
+    // G2+F4 sliding-window training set: per-cutoff features inner-joined
+    // with clipped labels, unioned across cutoffs (preprocess.py:133-162)
+    QueryDef("q_f4_sliding_union",
+      (s, dir) => graft.prep.SlidingWindows.trainingSet(
+        Tables.load(s, dir, "events"), "user_id", "ts",
+        cutoffs = Seq("2024-01-22 00:00:00", "2024-01-29 00:00:00"),
+        historyDays = 7, labelDays = 3, labelEvent = "purchase"),
+      Some {
+        def one(c: String) =
+          s"""SELECT f.user_id, f.n_events, f.val_cents, l.label, '$c' AS cutoff
+             |FROM (
+             |  SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS val_cents
+             |  FROM events
+             |  WHERE ts < TIMESTAMP '$c' AND ts > TIMESTAMP '$c' - INTERVAL 7 DAY
+             |  GROUP BY user_id) f
+             |JOIN (
+             |  SELECT user_id, LEAST(COUNT(*), 1) AS label FROM events
+             |  WHERE ts >= TIMESTAMP '$c' AND ts < TIMESTAMP '$c' + INTERVAL 3 DAY
+             |    AND event_type = 'purchase'
+             |  GROUP BY user_id) l USING(user_id)""".stripMargin
+        one("2024-01-22 00:00:00") + "\nUNION ALL\n" + one("2024-01-29 00:00:00")
+      }),
+
     // D3 collect_set distinct value lists (spark/preprocess.py:331-332);
     // sorted + joined so output is deterministic and hashable
     QueryDef("q_d3_collect_set",

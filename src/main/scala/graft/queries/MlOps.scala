@@ -49,6 +49,20 @@ object MlOps extends QueryGroup {
       },
       None),
 
+    // J6 LSTM-architecture scoring (arch switch, spark/score.py:53-61)
+    QueryDef("q_score_embeddings_lstm",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = model.encodings("event_type").mapping.count() + 1
+        val w = graft.nn.LstmEncoderWeights.init(hidden = 16, outDim = 16,
+          vocabSizes = Seq(vocab), nCont = 2)
+        graft.ml.LstmScorerModel(w, "user_id",
+          Seq((1 to seqLen).map(t => s"event_type_$t")),
+          Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")))
+          .transform(wide)
+      },
+      None),
+
     // J1/J2/J5 training loop: per-epoch mean loss from the distributed
     // broadcast + treeAggregate harness (loss must decrease; see MlSpec)
     QueryDef("q_train_ae_loss",
