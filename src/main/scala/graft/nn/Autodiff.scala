@@ -1,0 +1,393 @@
+package graft.nn
+
+import breeze.linalg.{*, DenseMatrix, DenseVector, max, sum}
+import breeze.numerics.{exp, tanh}
+
+/**
+ * Manual forward/backward for the transformer autoencoder pretraining
+ * objective (SURVEY.md §2.I6/I8/I9/I10):
+ *
+ *   seq cat embeddings ++ seq cont -> linear_seq -> *sqrt(d) -> +pos
+ *   -> L x (self-MHA + tanh-FFN, post-LN residuals) -> enc (T x d)
+ *   -> per-cat softmax-CE heads + cont MSE head reconstructing the inputs.
+ *
+ * Divergence from the reference, declared: the teacher-forced decoder
+ * (transformer.py:234-306, model_wrapper.py:217-281) is replaced by direct
+ * reconstruction heads on the encoder output (the reference's OutputLayer,
+ * model_wrapper.py:319-360, applied without the decoder pass). Combined
+ * with graft.train.Noise this is a denoising autoencoder; the serving
+ * embedding (flattened enc) is identical in shape and provenance.
+ *
+ * All parameters live in ONE flat Array[Double]; matrices are zero-copy
+ * Breeze views into it. Gradients accumulate into a same-layout flat array,
+ * which makes the Spark treeAggregate harness (graft.train) trivial and
+ * allocation-free per example.
+ */
+final case class ParamSpec(name: String, rows: Int, cols: Int) { def size: Int = rows * cols }
+
+final class ParamLayout(val specs: Seq[ParamSpec]) extends Serializable {
+  val offsets: Map[String, (Int, ParamSpec)] = {
+    var off = 0
+    specs.map { s => val e = (s.name, (off, s)); off += s.size; e }.toMap
+  }
+  val totalSize: Int = specs.map(_.size).sum
+  /** Zero-copy matrix view (row-major packing via transposed storage). */
+  def mat(name: String, a: Array[Double]): DenseMatrix[Double] = {
+    val (off, s) = offsets(name)
+    new DenseMatrix(s.rows, s.cols, a, off, s.rows, isTranspose = false)
+  }
+  def vec(name: String, a: Array[Double]): DenseVector[Double] = {
+    val (off, s) = offsets(name)
+    new DenseVector(a, off, 1, s.size)
+  }
+}
+
+final case class AeConfig(
+    dModel: Int, heads: Int, layers: Int, pf: Int, seqLen: Int,
+    vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L) {
+  require(dModel % heads == 0)
+  def headDim: Int = dModel / heads
+  def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
+  def inDim: Int = embDims.sum + nCont
+
+  def layout: ParamLayout = {
+    val specs = Seq.newBuilder[ParamSpec]
+    vocabSizes.zip(embDims).zipWithIndex.foreach { case ((v, d), i) =>
+      specs += ParamSpec(s"emb$i", v + 1, d)
+    }
+    specs += ParamSpec("linSeq_w", inDim, dModel)
+    specs += ParamSpec("linSeq_b", 1, dModel)
+    specs += ParamSpec("pos", seqLen, dModel)
+    for (l <- 0 until layers) {
+      for (n <- Seq("wq", "wk", "wv", "wo")) {
+        specs += ParamSpec(s"l${l}_${n}_w", dModel, dModel)
+        specs += ParamSpec(s"l${l}_${n}_b", 1, dModel)
+      }
+      specs += ParamSpec(s"l${l}_ff1_w", dModel, pf)
+      specs += ParamSpec(s"l${l}_ff1_b", 1, pf)
+      specs += ParamSpec(s"l${l}_ff2_w", pf, dModel)
+      specs += ParamSpec(s"l${l}_ff2_b", 1, dModel)
+      for (n <- Seq("ln1_g", "ln1_b", "ln2_g", "ln2_b"))
+        specs += ParamSpec(s"l${l}_$n", 1, dModel)
+    }
+    vocabSizes.zipWithIndex.foreach { case (v, i) =>
+      specs += ParamSpec(s"headCat${i}_w", dModel, v + 1)
+      specs += ParamSpec(s"headCat${i}_b", 1, v + 1)
+    }
+    specs += ParamSpec("headCont_w", dModel, math.max(nCont, 1))
+    specs += ParamSpec("headCont_b", 1, math.max(nCont, 1))
+    new ParamLayout(specs.result())
+  }
+
+  def initParams(): Array[Double] = {
+    val lay = layout
+    val rng = new scala.util.Random(seed)
+    val a = new Array[Double](lay.totalSize)
+    lay.specs.foreach { s =>
+      val (off, _) = lay.offsets(s.name)
+      if (s.name.contains("_b") && !s.name.contains("ln")) () // zero biases
+      else if (s.name.contains("ln1_g") || s.name.contains("ln2_g"))
+        for (i <- 0 until s.size) a(off + i) = 1.0
+      else if (s.name.contains("ln1_b") || s.name.contains("ln2_b")) ()
+      else {
+        val limit = math.sqrt(6.0 / (s.rows + s.cols))
+        for (i <- 0 until s.size) a(off + i) = (rng.nextDouble() * 2 - 1) * limit
+      }
+    }
+    a
+  }
+}
+
+object TransformerAE {
+
+  private val LnEps = 1e-5
+
+  /** LayerNorm forward returning (out, xhat, invstd) caches. */
+  private def lnFwd(x: DenseMatrix[Double], g: DenseVector[Double], b: DenseVector[Double])
+      : (DenseMatrix[Double], DenseMatrix[Double], Array[Double]) = {
+    val out = DenseMatrix.zeros[Double](x.rows, x.cols)
+    val xhat = DenseMatrix.zeros[Double](x.rows, x.cols)
+    val inv = new Array[Double](x.rows)
+    for (i <- 0 until x.rows) {
+      val row = x(i, ::).t
+      val mu = sum(row) / row.length
+      val c = row - mu
+      val istd = 1.0 / math.sqrt(sum(c *:* c) / row.length + LnEps)
+      inv(i) = istd
+      xhat(i, ::) := (c * istd).t
+      out(i, ::) := ((c * istd) *:* g + b).t
+    }
+    (out, xhat, inv)
+  }
+
+  /** LayerNorm backward: returns dX; accumulates dG, dB. */
+  private def lnBwd(dOut: DenseMatrix[Double], xhat: DenseMatrix[Double],
+      inv: Array[Double], g: DenseVector[Double],
+      dG: DenseVector[Double], dB: DenseVector[Double]): DenseMatrix[Double] = {
+    val n = xhat.cols.toDouble
+    val dX = DenseMatrix.zeros[Double](xhat.rows, xhat.cols)
+    for (i <- 0 until xhat.rows) {
+      val dy = dOut(i, ::).t
+      val xh = xhat(i, ::).t
+      dG :+= dy *:* xh
+      dB :+= dy
+      val dxhat = dy *:* g
+      val s1 = sum(dxhat)
+      val s2 = sum(dxhat *:* xh)
+      dX(i, ::) := ((dxhat - (xh * (s2 / n)) - (s1 / n)) * inv(i)).t
+    }
+    dX
+  }
+
+  private def softmaxRows(m: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val out = m.copy
+    for (i <- 0 until m.rows) {
+      val row = out(i, ::).t
+      val e = exp(row - max(row))
+      out(i, ::) := (e / sum(e)).t
+    }
+    out
+  }
+
+  final case class StepResult(loss: Double)
+
+  /**
+   * Forward + backward for ONE example; accumulates into `grad` and returns
+   * the example's loss. `catCodes`: T x nCat (targets = inputs);
+   * `cont`: T x nCont.
+   */
+  def lossAndGrad(cfg: AeConfig, lay: ParamLayout, p: Array[Double],
+      grad: Array[Double], catCodes: Array[Array[Int]],
+      cont: Array[Array[Double]]): Double = {
+    val t = cfg.seqLen
+    val d = cfg.dModel
+    val nCat = cfg.vocabSizes.size
+    val scale = math.sqrt(d.toDouble)
+
+    // ---- forward -------------------------------------------------------
+    val embDims = cfg.embDims
+    val x0 = DenseMatrix.zeros[Double](t, cfg.inDim)
+    for (i <- 0 until t) {
+      var off = 0
+      for (c <- 0 until nCat) {
+        val table = lay.mat(s"emb$c", p)
+        val code = math.min(math.max(catCodes(i)(c), 0), table.rows - 1)
+        x0(i, off until off + embDims(c)) := table(code, ::)
+        off += embDims(c)
+      }
+      for (c <- 0 until cfg.nCont) x0(i, embDims.sum + c) = cont(i)(c)
+    }
+    val wSeq = lay.mat("linSeq_w", p); val bSeq = lay.vec("linSeq_b", p)
+    val h0 = {
+      val m = x0 * wSeq
+      m(*, ::) :+= bSeq
+      m :*= scale
+      m += lay.mat("pos", p)
+      m
+    }
+    // per-layer caches
+    final case class LayerCache(x: DenseMatrix[Double], q: DenseMatrix[Double],
+        k: DenseMatrix[Double], v: DenseMatrix[Double],
+        attn: Array[DenseMatrix[Double]], ctx: DenseMatrix[Double],
+        res1Pre: DenseMatrix[Double], res1: DenseMatrix[Double],
+        ln1Xhat: DenseMatrix[Double], ln1Inv: Array[Double],
+        ffPre: DenseMatrix[Double], ffAct: DenseMatrix[Double],
+        res2Pre: DenseMatrix[Double],
+        ln2Xhat: DenseMatrix[Double], ln2Inv: Array[Double],
+        out: DenseMatrix[Double])
+    val caches = new Array[LayerCache](cfg.layers)
+    var h = h0
+    for (l <- 0 until cfg.layers) {
+      def m(n: String) = lay.mat(s"l${l}_${n}_w", p)
+      def b(n: String) = lay.vec(s"l${l}_${n}_b", p)
+      val q = h * m("wq"); q(*, ::) :+= b("wq")
+      val k = h * m("wk"); k(*, ::) :+= b("wk")
+      val v = h * m("wv"); v(*, ::) :+= b("wv")
+      val hd = cfg.headDim
+      val ctx = DenseMatrix.zeros[Double](t, d)
+      val attns = new Array[DenseMatrix[Double]](cfg.heads)
+      for (hh <- 0 until cfg.heads) {
+        val sl = hh * hd until (hh + 1) * hd
+        val scores = (q(::, sl) * k(::, sl).t) / math.sqrt(hd.toDouble)
+        val a = softmaxRows(scores)
+        attns(hh) = a
+        ctx(::, sl) := a * v(::, sl)
+      }
+      val attnOut = ctx * m("wo"); attnOut(*, ::) :+= b("wo")
+      val res1Pre = h + attnOut
+      val (res1, ln1Xhat, ln1Inv) =
+        lnFwd(res1Pre, lay.vec(s"l${l}_ln1_g", p), lay.vec(s"l${l}_ln1_b", p))
+      val ffPre = res1 * m("ff1"); ffPre(*, ::) :+= b("ff1")
+      val ffAct = tanh(ffPre)
+      val ff = ffAct * m("ff2"); ff(*, ::) :+= b("ff2")
+      val res2Pre = res1 + ff
+      val (out, ln2Xhat, ln2Inv) =
+        lnFwd(res2Pre, lay.vec(s"l${l}_ln2_g", p), lay.vec(s"l${l}_ln2_b", p))
+      caches(l) = LayerCache(h, q, k, v, attns, ctx, res1Pre, res1, ln1Xhat,
+        ln1Inv, ffPre, ffAct, res2Pre, ln2Xhat, ln2Inv, out)
+      h = out
+    }
+    val enc = h
+
+    // heads + loss
+    var loss = 0.0
+    val dEnc = DenseMatrix.zeros[Double](t, d)
+    for (c <- 0 until nCat) {
+      val w = lay.mat(s"headCat${c}_w", p); val b = lay.vec(s"headCat${c}_b", p)
+      val logits = enc * w; logits(*, ::) :+= b
+      val probs = softmaxRows(logits)
+      val dLogits = probs.copy
+      for (i <- 0 until t) {
+        val y = math.min(math.max(catCodes(i)(c), 0), w.cols - 1)
+        loss += -math.log(math.max(probs(i, y), 1e-12))
+        dLogits(i, y) -= 1.0
+      }
+      dLogits :/= t.toDouble
+      // grads
+      val dW = lay.mat(s"headCat${c}_w", grad)
+      val dB = lay.vec(s"headCat${c}_b", grad)
+      dW :+= enc.t * dLogits
+      for (i <- 0 until t) dB :+= dLogits(i, ::).t
+      dEnc :+= dLogits * w.t
+    }
+    // normalize CE by T happened via dLogits; fix loss normalization:
+    loss = loss / t
+    if (cfg.nCont > 0) {
+      val w = lay.mat("headCont_w", p); val b = lay.vec("headCont_b", p)
+      val pred = enc * w; pred(*, ::) :+= b
+      val err = DenseMatrix.tabulate(t, cfg.nCont)((i, j) => pred(i, j) - cont(i)(j))
+      loss += sum(err *:* err) / (2.0 * t)
+      val dPred = err / t.toDouble
+      lay.mat("headCont_w", grad) :+= enc.t * dPred
+      val dB = lay.vec("headCont_b", grad)
+      for (i <- 0 until t) dB :+= dPred(i, ::).t
+      dEnc :+= dPred * w.t
+    }
+
+    // ---- backward through layers --------------------------------------
+    var dH = dEnc
+    for (l <- (cfg.layers - 1) to 0 by -1) {
+      val cch = caches(l)
+      def m(n: String) = lay.mat(s"l${l}_${n}_w", p)
+      def gm(n: String) = lay.mat(s"l${l}_${n}_w", grad)
+      def gb(n: String) = lay.vec(s"l${l}_${n}_b", grad)
+      // ln2
+      val dRes2Pre = lnBwd(dH, cch.ln2Xhat, cch.ln2Inv,
+        lay.vec(s"l${l}_ln2_g", p),
+        lay.vec(s"l${l}_ln2_g", grad), lay.vec(s"l${l}_ln2_b", grad))
+      // res2Pre = res1 + ff2(tanh(ff1(res1)))
+      val dFf = dRes2Pre
+      gm("ff2") :+= cch.ffAct.t * dFf
+      for (i <- 0 until t) gb("ff2") :+= dFf(i, ::).t
+      val dFfAct = dFf * m("ff2").t
+      val dFfPre = dFfAct *:* (1.0 - (cch.ffAct *:* cch.ffAct))
+      gm("ff1") :+= cch.res1.t * dFfPre
+      for (i <- 0 until t) gb("ff1") :+= dFfPre(i, ::).t
+      val dRes1 = dRes2Pre + (dFfPre * m("ff1").t)
+      // ln1
+      val dRes1Pre = lnBwd(dRes1, cch.ln1Xhat, cch.ln1Inv,
+        lay.vec(s"l${l}_ln1_g", p),
+        lay.vec(s"l${l}_ln1_g", grad), lay.vec(s"l${l}_ln1_b", grad))
+      // res1Pre = x + wo(ctx)
+      val dAttnOut = dRes1Pre
+      gm("wo") :+= cch.ctx.t * dAttnOut
+      for (i <- 0 until t) gb("wo") :+= dAttnOut(i, ::).t
+      val dCtx = dAttnOut * m("wo").t
+      val hd = cfg.headDim
+      val dQ = DenseMatrix.zeros[Double](t, d)
+      val dK = DenseMatrix.zeros[Double](t, d)
+      val dV = DenseMatrix.zeros[Double](t, d)
+      for (hh <- 0 until cfg.heads) {
+        val sl = hh * hd until (hh + 1) * hd
+        val a = cch.attn(hh)
+        val dCtxH = dCtx(::, sl)
+        val dA = dCtxH * cch.v(::, sl).t
+        dV(::, sl) :+= a.t * dCtxH
+        // softmax backward per row
+        val dScores = DenseMatrix.zeros[Double](t, t)
+        for (i <- 0 until t) {
+          val ai = a(i, ::).t
+          val dai = dA(i, ::).t
+          val dot = sum(ai *:* dai)
+          dScores(i, ::) := ((dai - dot) *:* ai).t
+        }
+        dScores :/= math.sqrt(hd.toDouble)
+        dQ(::, sl) :+= dScores * cch.k(::, sl)
+        dK(::, sl) :+= dScores.t * cch.q(::, sl)
+      }
+      gm("wq") :+= cch.x.t * dQ
+      gm("wk") :+= cch.x.t * dK
+      gm("wv") :+= cch.x.t * dV
+      for (i <- 0 until t) {
+        gb("wq") :+= dQ(i, ::).t; gb("wk") :+= dK(i, ::).t; gb("wv") :+= dV(i, ::).t
+      }
+      dH = dRes1Pre + (dQ * m("wq").t) + (dK * m("wk").t) + (dV * m("wv").t)
+    }
+    // h0 = (x0 W + b) * scale + pos
+    lay.mat("pos", grad) :+= dH
+    val dPre = dH * scale
+    lay.mat("linSeq_w", grad) :+= x0.t * dPre
+    val dBSeq = lay.vec("linSeq_b", grad)
+    for (i <- 0 until t) dBSeq :+= dPre(i, ::).t
+    val dX0 = dPre * wSeq.t
+    for (i <- 0 until t) {
+      var off = 0
+      for (c <- 0 until nCat) {
+        val tableG = lay.mat(s"emb$c", grad)
+        val code = math.min(math.max(catCodes(i)(c), 0), tableG.rows - 1)
+        tableG(code, ::) :+= dX0(i, off until off + embDims(c))
+        off += embDims(c)
+      }
+    }
+    loss
+  }
+
+  /** Inference: flattened encoder output (same as EncoderWeights.forward
+    * but over the flat-param model). */
+  def embed(cfg: AeConfig, lay: ParamLayout, p: Array[Double],
+      catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Float] = {
+    val t = cfg.seqLen; val d = cfg.dModel
+    val embDims = cfg.embDims
+    val x0 = DenseMatrix.zeros[Double](t, cfg.inDim)
+    for (i <- 0 until t) {
+      var off = 0
+      for (c <- cfg.vocabSizes.indices) {
+        val table = lay.mat(s"emb$c", p)
+        val code = math.min(math.max(catCodes(i)(c), 0), table.rows - 1)
+        x0(i, off until off + embDims(c)) := table(code, ::)
+        off += embDims(c)
+      }
+      for (c <- 0 until cfg.nCont) x0(i, embDims.sum + c) = cont(i)(c)
+    }
+    var h = x0 * lay.mat("linSeq_w", p)
+    h(*, ::) :+= lay.vec("linSeq_b", p)
+    h :*= math.sqrt(d.toDouble)
+    h += lay.mat("pos", p)
+    for (l <- 0 until cfg.layers) {
+      def m(n: String) = lay.mat(s"l${l}_${n}_w", p)
+      def b(n: String) = lay.vec(s"l${l}_${n}_b", p)
+      val q = h * m("wq"); q(*, ::) :+= b("wq")
+      val k = h * m("wk"); k(*, ::) :+= b("wk")
+      val v = h * m("wv"); v(*, ::) :+= b("wv")
+      val hd = cfg.headDim
+      val ctx = DenseMatrix.zeros[Double](t, d)
+      for (hh <- 0 until cfg.heads) {
+        val sl = hh * hd until (hh + 1) * hd
+        val a = softmaxRows((q(::, sl) * k(::, sl).t) / math.sqrt(hd.toDouble))
+        ctx(::, sl) := a * v(::, sl)
+      }
+      val attnOut = ctx * m("wo"); attnOut(*, ::) :+= b("wo")
+      val (res1, _, _) = lnFwd(h + attnOut,
+        lay.vec(s"l${l}_ln1_g", p), lay.vec(s"l${l}_ln1_b", p))
+      val ffPre = res1 * m("ff1"); ffPre(*, ::) :+= b("ff1")
+      val ff = tanh(ffPre) * m("ff2"); ff(*, ::) :+= b("ff2")
+      val (out, _, _) = lnFwd(res1 + ff,
+        lay.vec(s"l${l}_ln2_g", p), lay.vec(s"l${l}_ln2_b", p))
+      h = out
+    }
+    val out = new Array[Float](t * d)
+    var idx = 0
+    for (i <- 0 until t; j <- 0 until d) { out(idx) = h(i, j).toFloat; idx += 1 }
+    out
+  }
+}

@@ -76,6 +76,22 @@ object MlOps extends QueryGroup {
       },
       None),
 
+    // Full CASPR lifecycle: featurize -> pretrain transformer AE (3 epochs,
+    // distributed treeAggregate grads) -> score with trained weights
+    QueryDef("q_train_transformer",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
+        val catCols = Seq((1 to seqLen).map(t => s"event_type_$t"))
+        val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
+        val res = graft.train.TransformerTrainer.fit(wide, cfg, catCols, contCols,
+          graft.train.TrainConfig(lr = 1e-2, maxEpochs = 3, warmupEpochs = 1))
+        graft.train.TransformerTrainer.transform(wide, res, "user_id", catCols, contCols)
+      },
+      None),
+
     // K1/K2 segmentation: silhouette-selected KMeans on the embeddings table
     QueryDef("q_segment_kmeans",
       (s, dir) => {

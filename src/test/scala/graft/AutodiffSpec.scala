@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.nn.{AeConfig, TransformerAE}
+
+/** Gradient check: analytic backward vs central finite differences on a
+  * tiny config (SURVEY.md §7.4 hard part #1 mitigation). No Spark. */
+class AutodiffSpec extends AnyFunSuite {
+
+  private val cfg = AeConfig(dModel = 4, heads = 2, layers = 2, pf = 3,
+    seqLen = 3, vocabSizes = Seq(4), nCont = 2, seed = 11L)
+  private val lay = cfg.layout
+  private val cat = Array(Array(1), Array(3), Array(2))
+  private val cont = Array(Array(0.3, -0.1), Array(0.8, 0.2), Array(-0.5, 0.4))
+
+  test("analytic gradient matches finite differences on every parameter block") {
+    val p = cfg.initParams()
+    val grad = new Array[Double](lay.totalSize)
+    val loss0 = TransformerAE.lossAndGrad(cfg, lay, p, grad, cat, cont)
+    assert(!loss0.isNaN && loss0 > 0)
+
+    val eps = 1e-6
+    val rng = new scala.util.Random(3)
+    // probe a sample of indices from EVERY parameter block
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    lay.specs.foreach { s =>
+      val (off, _) = lay.offsets(s.name)
+      val picks = Seq.fill(math.min(4, s.size))(off + rng.nextInt(s.size)).distinct
+      picks.foreach { idx =>
+        val orig = p(idx)
+        p(idx) = orig + eps
+        val lp = TransformerAE.lossAndGrad(cfg, lay, p,
+          new Array[Double](lay.totalSize), cat, cont)
+        p(idx) = orig - eps
+        val lm = TransformerAE.lossAndGrad(cfg, lay, p,
+          new Array[Double](lay.totalSize), cat, cont)
+        p(idx) = orig
+        val numeric = (lp - lm) / (2 * eps)
+        val analytic = grad(idx)
+        // wk bias has exactly-zero true gradient (softmax is invariant to a
+        // per-row constant); near-zero pairs are FD noise, not mismatches
+        val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
+        val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
+        val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
+        if (rel > 1e-4)
+          failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
+      }
+    }
+    assert(failures.isEmpty, s"gradient mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("a few SGD steps on one example reduce the loss") {
+    val p = cfg.initParams()
+    var last = Double.MaxValue
+    var first = 0.0
+    for (it <- 0 until 30) {
+      val g = new Array[Double](lay.totalSize)
+      val l = TransformerAE.lossAndGrad(cfg, lay, p, g, cat, cont)
+      if (it == 0) first = l
+      last = l
+      for (i <- p.indices) p(i) -= 0.05 * g(i)
+    }
+    assert(last < first * 0.5, s"loss $first -> $last did not halve")
+  }
+
+  test("embed is consistent with the training forward (finite, deterministic)") {
+    val p = cfg.initParams()
+    val e1 = TransformerAE.embed(cfg, lay, p, cat, cont)
+    assert(e1.length == cfg.seqLen * cfg.dModel)
+    assert(e1.sameElements(TransformerAE.embed(cfg, lay, p, cat, cont)))
+    assert(e1.forall(v => !v.isNaN && !v.isInfinite))
+  }
+}

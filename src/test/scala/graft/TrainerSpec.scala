@@ -1,0 +1,24 @@
+package graft
+
+import graft.nn.AeConfig
+import graft.train.{TrainConfig, TransformerTrainer}
+
+/** Distributed transformer-AE training on the real featurized fixture. */
+class TrainerSpec extends SparkSpec {
+
+  test("BENCH-4 train-smoke: loss decreases over epochs on sf0.001") {
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2)
+    val res = TransformerTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 1e-2, maxEpochs = 5, warmupEpochs = 1))
+    assert(res.losses.size == 5)
+    assert(res.losses.last < res.losses.head,
+      s"losses not decreasing: ${res.losses}")
+    val scored = TransformerTrainer.transform(wide, res, "user_id", catCols, contCols)
+    assert(scored.count() == wide.count())
+    assert(scored.select("embedding").head().getSeq[Float](0).size == 5 * 8)
+  }
+}
