@@ -155,10 +155,17 @@ object TransformerAE {
    * Forward + backward for ONE example; accumulates into `grad` and returns
    * the example's loss. `catCodes`: T x nCat (targets = inputs);
    * `cont`: T x nCont.
+   *
+   * When `encSeed` is non-null the reconstruction heads are skipped and the
+   * backward starts from that encoder-space gradient instead (returns 0);
+   * used by Explain.integratedGradients. When `contGradOut` (T x nCont) is
+   * non-null, the gradient w.r.t. the continuous inputs is written there.
    */
   def lossAndGrad(cfg: AeConfig, lay: ParamLayout, p: Array[Double],
       grad: Array[Double], catCodes: Array[Array[Int]],
-      cont: Array[Array[Double]]): Double = {
+      cont: Array[Array[Double]],
+      encSeed: DenseMatrix[Double] = null,
+      contGradOut: Array[Array[Double]] = null): Double = {
     val t = cfg.seqLen
     val d = cfg.dModel
     val nCat = cfg.vocabSizes.size
@@ -231,8 +238,8 @@ object TransformerAE {
 
     // heads + loss
     var loss = 0.0
-    val dEnc = DenseMatrix.zeros[Double](t, d)
-    for (c <- 0 until nCat) {
+    val dEnc = if (encSeed != null) encSeed.copy else DenseMatrix.zeros[Double](t, d)
+    for (c <- 0 until nCat if encSeed == null) {
       val w = lay.mat(s"headCat${c}_w", p); val b = lay.vec(s"headCat${c}_b", p)
       val logits = enc * w; logits(*, ::) :+= b
       val probs = softmaxRows(logits)
@@ -252,7 +259,7 @@ object TransformerAE {
     }
     // normalize CE by T happened via dLogits; fix loss normalization:
     loss = loss / t
-    if (cfg.nCont > 0) {
+    if (cfg.nCont > 0 && encSeed == null) {
       val w = lay.mat("headCont_w", p); val b = lay.vec("headCont_b", p)
       val pred = enc * w; pred(*, ::) :+= b
       val err = DenseMatrix.tabulate(t, cfg.nCont)((i, j) => pred(i, j) - cont(i)(j))
@@ -338,6 +345,8 @@ object TransformerAE {
         tableG(code, ::) :+= dX0(i, off until off + embDims(c))
         off += embDims(c)
       }
+      if (contGradOut != null)
+        for (c <- 0 until cfg.nCont) contGradOut(i)(c) = dX0(i, embDims.sum + c)
     }
     loss
   }
@@ -345,7 +354,13 @@ object TransformerAE {
   /** Inference: flattened encoder output (same as EncoderWeights.forward
     * but over the flat-param model). */
   def embed(cfg: AeConfig, lay: ParamLayout, p: Array[Double],
-      catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Float] = {
+      catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Float] =
+    embedDouble(cfg, lay, p, catCodes, cont).map(_.toFloat)
+
+  /** Double-precision embed (numerics tests need it — float output would
+    * drown finite differences in quantization). */
+  def embedDouble(cfg: AeConfig, lay: ParamLayout, p: Array[Double],
+      catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Double] = {
     val t = cfg.seqLen; val d = cfg.dModel
     val embDims = cfg.embDims
     val x0 = DenseMatrix.zeros[Double](t, cfg.inDim)
@@ -385,9 +400,9 @@ object TransformerAE {
         lay.vec(s"l${l}_ln2_g", p), lay.vec(s"l${l}_ln2_b", p))
       h = out
     }
-    val out = new Array[Float](t * d)
+    val out = new Array[Double](t * d)
     var idx = 0
-    for (i <- 0 until t; j <- 0 until d) { out(idx) = h(i, j).toFloat; idx += 1 }
+    for (i <- 0 until t; j <- 0 until d) { out(idx) = h(i, j); idx += 1 }
     out
   }
 }

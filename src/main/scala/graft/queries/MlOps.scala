@@ -101,6 +101,22 @@ object MlOps extends QueryGroup {
       },
       None),
 
+    // K4 explainability: integrated-gradients attributions of the cont
+    // sequence features toward embedding dim 0 (completeness-tested)
+    QueryDef("q_explain_ig",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
+        graft.analyze.Explainer.integratedGradients(wide, cfg, cfg.initParams(),
+          "user_id",
+          Seq((1 to seqLen).map(t => s"event_type_$t")),
+          Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")),
+          targetDim = 0)
+      },
+      None),
+
     // I16 churn head: LR on the embedding column predicting the label
     QueryDef("q_churn_auc",
       (s, dir) => {
