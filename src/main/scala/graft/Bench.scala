@@ -20,7 +20,7 @@ object Bench {
     "q_pipeline_e2e", "q1_agg", "q_c1_rank", "q_e1_pivot", "q_h2_normalize",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_lsh",
     "q_text_simhash", "q_text_quality", "q_ann_brute", "q_ann_lsh",
-    "q_multimodal_meta")
+    "q_multimodal_meta", "q_score_embeddings", "q_train_transformer")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -117,6 +117,15 @@ object MlOps extends QueryGroup {
       },
       None),
 
+    // I17 DEC: KMeans-initialized centroids refined by KL(P||Q) descent
+    QueryDef("q_dec_segment",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val res = graft.analyze.Dec.refine(emb, "embedding", k = 4, iterations = 5)
+        graft.analyze.Dec.assign(emb, "embedding", "vec_id", res.centroids)
+      },
+      None),
+
     // I16 churn head: LR on the embedding column predicting the label
     QueryDef("q_churn_auc",
       (s, dir) => {
