@@ -56,8 +56,10 @@ final case class NormalizationSummary(stats: Map[String, ColumnSummary]) {
 
 object Normalize {
 
-  /** Fit min/max/mean/stddev for all columns in a single aggregation pass. */
+  /** Fit min/max/mean/stddev for all columns in a single aggregation pass.
+    * Zero columns (cat-only role sets) is a valid configuration. */
   def fit(df: DataFrame, cols: Seq[String]): NormalizationSummary = {
+    if (cols.isEmpty) return NormalizationSummary(Map.empty)
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"),

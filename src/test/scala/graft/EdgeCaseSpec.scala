@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.ColumnRoles
+import graft.prep.{CasprFeaturizer, FeaturizerConfig}
+
+/** FIXTURES.md §3 edge cases: empty role kinds, single-event entities,
+  * empty windows, all-null date behavior. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: Seq[(Long, String, String, Double)]) =
+    rows.map { case (u, ts, et, v) =>
+      (u, java.sql.Timestamp.valueOf(ts), et, v)
+    }.toDF("user_id", "ts", "event_type", "value")
+      .withColumn("pred_date", to_timestamp(lit("2024-02-01 00:00:00")))
+      .withColumn("event_id", monotonically_increasing_id())
+
+  private val base = Seq(
+    (1L, "2024-01-20 10:00:00", "a", 1.0),
+    (1L, "2024-01-21 10:00:00", "b", 2.0),
+    (2L, "2024-01-25 10:00:00", "a", 3.0))
+
+  test("roles with zero seq cat columns (cont-only sequences)") {
+    val roles = ColumnRoles(Seq("user_id"), "ts", "pred_date",
+      Nil, Seq("value"), Seq("value", "ts"), Nil, Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = 3, historyDays = 21,
+      tiebreak = Seq("event_id"))
+    val wide = CasprFeaturizer.fit(mkEvents(base), cfg).transform(mkEvents(base))
+    assert(wide.count() == 2)
+    assert(wide.columns.toSet ==
+      Set("user_id") ++ (1 to 3).flatMap(t => Seq(s"value_$t", s"ts_days_$t")))
+  }
+
+  test("roles with zero cont columns (cat-only sequences)") {
+    val roles = ColumnRoles(Seq("user_id"), "ts", "pred_date",
+      Seq("event_type"), Nil, Seq("event_type"), Nil, Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = 2, historyDays = 21,
+      tiebreak = Seq("event_id"))
+    val wide = CasprFeaturizer.fit(mkEvents(base), cfg).transform(mkEvents(base))
+    assert(wide.count() == 2)
+    // user 2 has one event: slot 2 imputed to UNK=0
+    val u2 = wide.filter($"user_id" === 2).head()
+    assert(u2.getLong(wide.columns.indexOf("event_type_2")) == 0L)
+  }
+
+  test("single-event entity right-pads; empty window yields empty output") {
+    val roles = ColumnRoles(Seq("user_id"), "ts", "pred_date",
+      Seq("event_type"), Seq("value"), Seq("event_type", "value"), Nil, Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = 3, historyDays = 21,
+      tiebreak = Seq("event_id"))
+    val model = CasprFeaturizer.fit(mkEvents(base), cfg)
+    val wide = model.transform(mkEvents(base))
+    val u2 = wide.filter($"user_id" === 2).head()
+    assert(u2.getLong(wide.columns.indexOf("event_type_1")) > 0)
+    assert(u2.getLong(wide.columns.indexOf("event_type_2")) == 0) // padded
+    // events entirely outside the window -> no entities
+    val stale = mkEvents(Seq((9L, "2023-06-01 00:00:00", "a", 1.0)))
+    assert(model.transform(stale).count() == 0)
+  }
+
+  test("unseen categories at apply time map to UNK=0 end to end") {
+    val roles = ColumnRoles(Seq("user_id"), "ts", "pred_date",
+      Seq("event_type"), Seq("value"), Seq("event_type", "value"), Nil, Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = 2, historyDays = 21,
+      tiebreak = Seq("event_id"))
+    val model = CasprFeaturizer.fit(mkEvents(base), cfg)
+    val novel = mkEvents(Seq((7L, "2024-01-26 12:00:00", "NEVER_SEEN", 1.0)))
+    val wide = model.transform(novel)
+    assert(wide.head().getLong(wide.columns.indexOf("event_type_1")) == 0L)
+  }
+}
