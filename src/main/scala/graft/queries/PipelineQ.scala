@@ -15,6 +15,62 @@ object PipelineQ extends QueryGroup {
   val SeqLen = 5
 
   def queries: Seq[QueryDef] = Seq(
+
+    // Same pipeline, other config axes: LEFT padding + Z-SCORE + ABSOLUTE
+    // (unix seconds) date mode, no profile join. Derived z-values rounded to
+    // 6 dp on both sides (engine mean/stddev differ at ~1e-12).
+    QueryDef("q_pipeline_e2e_leftpad_z",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val input = ev.withColumn("pred_date", to_timestamp(lit(PredTs)))
+        val roles = ColumnRoles(
+          tgtId = Seq("user_id"), activityDate = "ts", predictionDate = "pred_date",
+          catCols = Seq("event_type"), contCols = Seq("value"),
+          seqCols = Seq("event_type", "value", "ts"), nonSeqCols = Nil,
+          dateCols = Seq("ts"))
+        val cfg = FeaturizerConfig(roles, seqLen = SeqLen, historyDays = HistoryDays,
+          leftPad = true, normMode = "z_score", dateMode = "absolute",
+          tiebreak = Seq("event_id"))
+        val wide = CasprFeaturizer.fit(input, cfg).transform(input)
+        val rounded = wide.columns.filter(c => c.startsWith("value_") || c.startsWith("ts_days_"))
+          .foldLeft(wide)((d, c) => d.withColumn(c, round(col(c), 6)))
+        rounded
+      },
+      Some {
+        val pivotCols = (1 to SeqLen).map { t =>
+          s"""  CAST(COALESCE(MAX(CASE WHEN rnk = $t THEN code END), 0) AS BIGINT) AS event_type_$t,
+             |  ROUND(COALESCE(MAX(CASE WHEN rnk = $t THEN vnorm END), 0.0), 6) AS value_$t,
+             |  ROUND(COALESCE(MAX(CASE WHEN rnk = $t THEN dnorm END), 0.0), 6) AS ts_days_$t""".stripMargin
+        }.mkString(",\n")
+        s"""WITH f AS (
+           |  SELECT * FROM events
+           |  WHERE ts < TIMESTAMP '$PredTs'
+           |    AND ts > TIMESTAMP '$PredTs' - INTERVAL $HistoryDays DAY),
+           |enc AS (
+           |  SELECT event_type, ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS code
+           |  FROM (SELECT event_type, COUNT(*) AS cnt FROM f GROUP BY event_type)),
+           |stats AS (
+           |  SELECT AVG(value) AS vmu, STDDEV_SAMP(value) AS vsd,
+           |    AVG(epoch_ms(ts) // 1000) AS dmu,
+           |    STDDEV_SAMP(epoch_ms(ts) // 1000) AS dsd
+           |  FROM f),
+           |r AS (
+           |  SELECT f.*, COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+           |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+           |  FROM f),
+           |k AS (
+           |  SELECT user_id, event_type, value, ts,
+           |    (cnt - rd + 1) + $SeqLen - cnt AS rnk
+           |  FROM r WHERE rd <= $SeqLen),
+           |feat AS (
+           |  SELECT k.user_id, rnk, COALESCE(enc.code, 0) AS code,
+           |    (value - vmu) / vsd AS vnorm,
+           |    ((epoch_ms(ts) // 1000) - dmu) / dsd AS dnorm
+           |  FROM k LEFT JOIN enc USING(event_type) CROSS JOIN stats)
+           |SELECT user_id,
+           |$pivotCols
+           |FROM feat GROUP BY user_id""".stripMargin
+      }),
     QueryDef("q_pipeline_e2e",
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
