@@ -97,3 +97,47 @@ object LstmEncoderWeights {
       Layers.linear(rng, 2 * hidden, outDim))
   }
 }
+
+/**
+ * I2 DenseBnDropout block at inference (reference dense_bn_dropout.py:7-56:
+ * [Linear -> ReLU -> BatchNorm1d -> Dropout] x k). Inference-mode BatchNorm
+ * is the affine y = gamma*(x-mean)/sqrt(var+eps)+beta with running stats;
+ * dropout is identity at inference.
+ */
+final case class DenseBnBlock(lin: Linear, gamma: DenseVector[Double],
+    beta: DenseVector[Double], runMean: DenseVector[Double],
+    runVar: DenseVector[Double], eps: Double = 1e-5) {
+
+  def forward(x: DenseVector[Double]): DenseVector[Double] = {
+    val h = (lin.w.t * x) + lin.b
+    val relu = h.map(v => math.max(v, 0.0))
+    ((relu - runMean) /:/ breeze.numerics.sqrt(runVar + eps)) *:* gamma + beta
+  }
+}
+
+/**
+ * I5 MHA-over-LSTM-outputs wrapper with residual + layernorm + SUM-over-time
+ * pooling (reference attention_mechanisms.py:83-99).
+ */
+final case class MhaSumPool(wq: Linear, wk: Linear, wv: Linear, wo: Linear,
+    lnG: DenseVector[Double], lnB: DenseVector[Double], heads: Int) {
+
+  /** outputs: (T x h) LSTM outputs -> pooled (h) vector. */
+  def forward(outputs: DenseMatrix[Double]): DenseVector[Double] = {
+    val d = outputs.cols
+    val hd = d / heads
+    val q = wq(outputs); val k = wk(outputs); val v = wv(outputs)
+    val ctx = DenseMatrix.zeros[Double](outputs.rows, d)
+    for (h <- 0 until heads) {
+      val sl = h * hd until (h + 1) * hd
+      val a = Layers.softmaxRows((q(::, sl) * k(::, sl).t) / math.sqrt(hd.toDouble))
+      ctx(::, sl) := a * v(::, sl)
+    }
+    val res = outputs + wo(ctx)
+    val normed = Layers.layerNorm(res, lnG, lnB)
+    // sum over time
+    val pooled = DenseVector.zeros[Double](d)
+    for (i <- 0 until normed.rows) pooled :+= normed(i, ::).t
+    pooled
+  }
+}

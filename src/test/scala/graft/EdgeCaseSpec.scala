@@ -69,4 +69,26 @@ class EdgeCaseSpec extends SparkSpec {
     val wide = model.transform(novel)
     assert(wide.head().getLong(wide.columns.indexOf("event_type_1")) == 0L)
   }
+
+  test("composite entity key: ranks and pivot group on both columns") {
+    val df = Seq(
+      (1L, "x", "2024-01-20 10:00:00", "a", 1.0),
+      (1L, "x", "2024-01-21 10:00:00", "b", 2.0),
+      (1L, "y", "2024-01-22 10:00:00", "a", 3.0))
+      .map { case (u, r, ts, et, v) =>
+        (u, r, java.sql.Timestamp.valueOf(ts), et, v)
+      }.toDF("user_id", "region", "ts", "event_type", "value")
+      .withColumn("pred_date", to_timestamp(lit("2024-02-01 00:00:00")))
+      .withColumn("event_id", monotonically_increasing_id())
+    val roles = ColumnRoles(Seq("user_id", "region"), "ts", "pred_date",
+      Seq("event_type"), Seq("value"), Seq("event_type", "value"), Nil, Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = 2, historyDays = 21,
+      tiebreak = Seq("event_id"))
+    val wide = CasprFeaturizer.fit(df, cfg).transform(df)
+    assert(wide.count() == 2) // (1,x) and (1,y)
+    val xRow = wide.filter($"region" === "x").head()
+    assert(xRow.getLong(wide.columns.indexOf("event_type_2")) > 0) // 2 events
+    val yRow = wide.filter($"region" === "y").head()
+    assert(yRow.getLong(wide.columns.indexOf("event_type_2")) == 0) // padded
+  }
 }

@@ -53,4 +53,31 @@ class NoiseSpec extends SparkSpec {
     assert(e1.forall(v => v >= 0 && !v.isNaN && !v.isInfinite))
     assert(!e1.sameElements(w.forward(Array(Array(4), Array(2), Array(3)), cont)))
   }
+
+  test("I2 DenseBnBlock: inference BN is the expected affine of ReLU(linear)") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    import graft.nn.{DenseBnBlock, Linear}
+    val lin = Linear(DenseMatrix((1.0, 0.0), (0.0, -1.0)), DenseVector(0.0, 0.5))
+    val blk = DenseBnBlock(lin, gamma = DenseVector(2.0, 2.0),
+      beta = DenseVector(1.0, 1.0), runMean = DenseVector(0.0, 0.0),
+      runVar = DenseVector(1.0 - 1e-5, 1.0 - 1e-5))
+    // x=(3,4): h=(3, -3.5), relu=(3, 0), bn = 2*relu + 1 = (7, 1)
+    val y = blk.forward(DenseVector(3.0, 4.0))
+    assert(math.abs(y(0) - 7.0) < 1e-9 && math.abs(y(1) - 1.0) < 1e-9)
+  }
+
+  test("I5 MhaSumPool: pooled vector is finite and time-order sensitive") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    import graft.nn.{Layers, MhaSumPool}
+    val rng = new scala.util.Random(9)
+    def lin(n: Int) = Layers.linear(rng, n, n)
+    val pool = MhaSumPool(lin(4), lin(4), lin(4), lin(4),
+      DenseVector.ones[Double](4), DenseVector.zeros[Double](4), heads = 2)
+    val h1 = DenseMatrix((0.1, 0.2, 0.3, 0.4), (0.5, 0.6, 0.7, 0.8), (0.9, 1.0, 1.1, 1.2))
+    val p1 = pool.forward(h1)
+    assert(p1.toArray.forall(v => !v.isNaN && !v.isInfinite))
+    // swapped rows change attention context -> different pooled vector
+    val h2 = DenseMatrix((0.9, 1.0, 1.1, 1.2), (0.5, 0.6, 0.7, 0.8), (0.1, 0.2, 0.3, 0.4))
+    assert(!p1.toArray.sameElements(pool.forward(h2).toArray))
+  }
 }
