@@ -72,6 +72,46 @@ object Vectors {
   }
 
   /**
+   * IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
+   * `nCells` cells; each query searches only its `nProbe` nearest cells.
+   * The standard inverted-file index shape (FAISS IVF-Flat): cell
+   * assignment is a narrow pass, search is an equi-join on cell id, and
+   * recall/cost trades off via nProbe without changing the plan shape.
+   * Centroids are k x d — broadcast-sized at any corpus scale.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int,
+      nProbe: Int = 2, qId: String = "qid", cId: String = "cid",
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors => MlVectors}
+    val toVec = udf((a: Seq[Float]) => MlVectors.dense(a.map(_.toDouble).toArray))
+    val corpusFeats = corpus.withColumn("features", toVec(col(vecCol)))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell").fit(corpusFeats)
+    val centers = km.clusterCenters.map(_.toArray)
+    val c = km.transform(corpusFeats)
+      .select(col(cId), col(vecCol).as("ce"), col("cell"))
+    // query -> its nProbe nearest cells, via a small literal centroid table
+    val bc = queries.sparkSession.sparkContext.broadcast(centers)
+    val probeCells = udf { (v: Seq[Float]) =>
+      val x = v.map(_.toDouble).toArray
+      bc.value.zipWithIndex.map { case (ctr, i) =>
+        var s = 0.0; var j = 0
+        while (j < x.length) { val d = x(j) - ctr(j); s += d * d; j += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val q = queries.select(col(qId), col(vecCol).as("qe"),
+      explode(probeCells(col(vecCol))).as("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .select(col(qId), col(cId), round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau).
    * All-pairs within LSH buckets — same candidate-bounding idea as
    * [[Dedup.minhashLshPairs]]; exact within-bucket verification.

@@ -178,6 +178,18 @@ object LlmOps extends QueryGroup {
               |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
               |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // IVF ANN: KMeans coarse quantizer + nProbe cell search (rows-only;
+    // recall-vs-brute-force is spec-checked in OpsSpec)
+    QueryDef("q_ann_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Vectors.ivfTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
+          k = 3, nCells = 8, nProbe = 3)
+      },
+      None),
+
     // F5 embeddings joined back to an entity profile (segmentation/pandas.py:382-408)
     QueryDef("q_f5_embed_profile",
       (s, dir) => {

@@ -73,4 +73,18 @@ class OpsSpec extends SparkSpec {
     val l = Text.languageId(docs, "text", "doc_id").collect()
     assert(l.forall(r => Set("en", "es", "und").contains(r.getString(1))))
   }
+
+  test("IVF ANN: high recall vs brute force on the real embeddings") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val c = e.filter($"vec_id" >= 10).select($"vec_id".as("cid"), $"embedding")
+    val exact = Vectors.bruteForceTopK(q, c, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Vectors.ivfTopK(q, c, 3, nCells = 6, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // random embeddings:
+    // cells carry little structure, but probing 4/6 cells must recover most
+    assert(ivf.groupBy(_._1).forall(_._2.size <= 3))
+  }
 }
