@@ -11,12 +11,15 @@ import breeze.numerics.{exp, tanh}
  *   -> L x (self-MHA + tanh-FFN, post-LN residuals) -> enc (T x d)
  *   -> per-cat softmax-CE heads + cont MSE head reconstructing the inputs.
  *
- * Divergence from the reference, declared: the teacher-forced decoder
- * (transformer.py:234-306, model_wrapper.py:217-281) is replaced by direct
- * reconstruction heads on the encoder output (the reference's OutputLayer,
- * model_wrapper.py:319-360, applied without the decoder pass). Combined
- * with graft.train.Noise this is a denoising autoencoder; the serving
- * embedding (flattened enc) is identical in shape and provenance.
+ * With `decoderLayers > 0` the objective is the reference's teacher-forced
+ * seq2seq (transformer.py:234-306, model_wrapper.py:217-281): trg =
+ * [0; x0[:-1]], decoder layers of causal self-attention + cross-attention
+ * to the encoder + FFN (post-LN residuals), positional embedding shared
+ * with the encoder (factory.py:84), reconstruction heads on the decoder
+ * output (OutputLayer, model_wrapper.py:319-360). With `decoderLayers = 0`
+ * the heads apply directly to the encoder output — the denoising-AE
+ * variant (combine with graft.train.Noise). The serving embedding is the
+ * flattened ENCODER output in both modes.
  *
  * All parameters live in ONE flat Array[Double]; matrices are zero-copy
  * Breeze views into it. Gradients accumulate into a same-layout flat array,
@@ -44,7 +47,8 @@ final class ParamLayout(val specs: Seq[ParamSpec]) extends Serializable {
 
 final case class AeConfig(
     dModel: Int, heads: Int, layers: Int, pf: Int, seqLen: Int,
-    vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L) {
+    vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
+    decoderLayers: Int = 0) {
   require(dModel % heads == 0)
   def headDim: Int = dModel / heads
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
@@ -70,6 +74,21 @@ final case class AeConfig(
       for (n <- Seq("ln1_g", "ln1_b", "ln2_g", "ln2_b"))
         specs += ParamSpec(s"l${l}_$n", 1, dModel)
     }
+    // decoder layers (I7): causal self-attn (s*), cross-attn to encoder
+    // (c*), FFN; three post-LN residual norms. Positional embedding is
+    // shared with the encoder (factory.py:84).
+    for (l <- 0 until decoderLayers) {
+      for (n <- Seq("swq", "swk", "swv", "swo", "cwq", "cwk", "cwv", "cwo")) {
+        specs += ParamSpec(s"d${l}_${n}_w", dModel, dModel)
+        specs += ParamSpec(s"d${l}_${n}_b", 1, dModel)
+      }
+      specs += ParamSpec(s"d${l}_ff1_w", dModel, pf)
+      specs += ParamSpec(s"d${l}_ff1_b", 1, pf)
+      specs += ParamSpec(s"d${l}_ff2_w", pf, dModel)
+      specs += ParamSpec(s"d${l}_ff2_b", 1, dModel)
+      for (n <- Seq("ln1_g", "ln1_b", "ln2_g", "ln2_b", "ln3_g", "ln3_b"))
+        specs += ParamSpec(s"d${l}_$n", 1, dModel)
+    }
     vocabSizes.zipWithIndex.foreach { case (v, i) =>
       specs += ParamSpec(s"headCat${i}_w", dModel, v + 1)
       specs += ParamSpec(s"headCat${i}_b", 1, v + 1)
@@ -86,9 +105,9 @@ final case class AeConfig(
     lay.specs.foreach { s =>
       val (off, _) = lay.offsets(s.name)
       if (s.name.contains("_b") && !s.name.contains("ln")) () // zero biases
-      else if (s.name.contains("ln1_g") || s.name.contains("ln2_g"))
+      else if (s.name.matches(".*ln[123]_g"))
         for (i <- 0 until s.size) a(off + i) = 1.0
-      else if (s.name.contains("ln1_b") || s.name.contains("ln2_b")) ()
+      else if (s.name.matches(".*ln[123]_b")) ()
       else {
         val limit = math.sqrt(6.0 / (s.rows + s.cols))
         for (i <- 0 until s.size) a(off + i) = (rng.nextDouble() * 2 - 1) * limit
@@ -236,39 +255,234 @@ object TransformerAE {
     }
     val enc = h
 
-    // heads + loss
+    // heads: CE per cat + cont MSE on `x` (enc, or decoder output);
+    // returns (loss, dX)
+    def applyHeads(x: DenseMatrix[Double]): (Double, DenseMatrix[Double]) = {
+      var hl = 0.0
+      val dX = DenseMatrix.zeros[Double](t, d)
+      for (c <- 0 until nCat) {
+        val w = lay.mat(s"headCat${c}_w", p); val b = lay.vec(s"headCat${c}_b", p)
+        val logits = x * w; logits(*, ::) :+= b
+        val probs = softmaxRows(logits)
+        val dLogits = probs.copy
+        for (i <- 0 until t) {
+          val y = math.min(math.max(catCodes(i)(c), 0), w.cols - 1)
+          hl += -math.log(math.max(probs(i, y), 1e-12))
+          dLogits(i, y) -= 1.0
+        }
+        dLogits :/= t.toDouble
+        lay.mat(s"headCat${c}_w", grad) :+= x.t * dLogits
+        val dB = lay.vec(s"headCat${c}_b", grad)
+        for (i <- 0 until t) dB :+= dLogits(i, ::).t
+        dX :+= dLogits * w.t
+      }
+      hl = hl / t
+      if (cfg.nCont > 0) {
+        val w = lay.mat("headCont_w", p); val b = lay.vec("headCont_b", p)
+        val pred = x * w; pred(*, ::) :+= b
+        val err = DenseMatrix.tabulate(t, cfg.nCont)((i, j) => pred(i, j) - cont(i)(j))
+        hl += sum(err *:* err) / (2.0 * t)
+        val dPred = err / t.toDouble
+        lay.mat("headCont_w", grad) :+= x.t * dPred
+        val dB = lay.vec("headCont_b", grad)
+        for (i <- 0 until t) dB :+= dPred(i, ::).t
+        dX :+= dPred * w.t
+      }
+      (hl, dX)
+    }
+
     var loss = 0.0
     val dEnc = if (encSeed != null) encSeed.copy else DenseMatrix.zeros[Double](t, d)
-    for (c <- 0 until nCat if encSeed == null) {
-      val w = lay.mat(s"headCat${c}_w", p); val b = lay.vec(s"headCat${c}_b", p)
-      val logits = enc * w; logits(*, ::) :+= b
-      val probs = softmaxRows(logits)
-      val dLogits = probs.copy
-      for (i <- 0 until t) {
-        val y = math.min(math.max(catCodes(i)(c), 0), w.cols - 1)
-        loss += -math.log(math.max(probs(i, y), 1e-12))
-        dLogits(i, y) -= 1.0
+
+    if (encSeed == null && cfg.decoderLayers == 0) {
+      val (hl, dX) = applyHeads(enc)
+      loss += hl
+      dEnc :+= dX
+    } else if (encSeed == null) {
+      // ---- teacher-forced decoder (I7/I9): trg = [0; x0[:-1]] -----------
+      val trgX0 = DenseMatrix.zeros[Double](t, cfg.inDim)
+      for (i <- 1 until t) trgX0(i, ::) := x0(i - 1, ::)
+      val g0 = {
+        val m = trgX0 * wSeq
+        m(*, ::) :+= bSeq
+        m :*= scale
+        m += lay.mat("pos", p)
+        m
       }
-      dLogits :/= t.toDouble
-      // grads
-      val dW = lay.mat(s"headCat${c}_w", grad)
-      val dB = lay.vec(s"headCat${c}_b", grad)
-      dW :+= enc.t * dLogits
-      for (i <- 0 until t) dB :+= dLogits(i, ::).t
-      dEnc :+= dLogits * w.t
-    }
-    // normalize CE by T happened via dLogits; fix loss normalization:
-    loss = loss / t
-    if (cfg.nCont > 0 && encSeed == null) {
-      val w = lay.mat("headCont_w", p); val b = lay.vec("headCont_b", p)
-      val pred = enc * w; pred(*, ::) :+= b
-      val err = DenseMatrix.tabulate(t, cfg.nCont)((i, j) => pred(i, j) - cont(i)(j))
-      loss += sum(err *:* err) / (2.0 * t)
-      val dPred = err / t.toDouble
-      lay.mat("headCont_w", grad) :+= enc.t * dPred
-      val dB = lay.vec("headCont_b", grad)
-      for (i <- 0 until t) dB :+= dPred(i, ::).t
-      dEnc :+= dPred * w.t
+      final case class DecCache(x: DenseMatrix[Double],
+          sq: DenseMatrix[Double], sk: DenseMatrix[Double], sv: DenseMatrix[Double],
+          sAttn: Array[DenseMatrix[Double]], sCtx: DenseMatrix[Double],
+          r1Pre: DenseMatrix[Double], r1: DenseMatrix[Double],
+          ln1Xhat: DenseMatrix[Double], ln1Inv: Array[Double],
+          cq: DenseMatrix[Double], ck: DenseMatrix[Double], cv: DenseMatrix[Double],
+          cAttn: Array[DenseMatrix[Double]], cCtx: DenseMatrix[Double],
+          r2Pre: DenseMatrix[Double], r2: DenseMatrix[Double],
+          ln2Xhat: DenseMatrix[Double], ln2Inv: Array[Double],
+          ffPre: DenseMatrix[Double], ffAct: DenseMatrix[Double],
+          r3Pre: DenseMatrix[Double],
+          ln3Xhat: DenseMatrix[Double], ln3Inv: Array[Double])
+      val dcaches = new Array[DecCache](cfg.decoderLayers)
+      val hd = cfg.headDim
+      var g = g0
+      for (l <- 0 until cfg.decoderLayers) {
+        def m(n: String) = lay.mat(s"d${l}_${n}_w", p)
+        def b(n: String) = lay.vec(s"d${l}_${n}_b", p)
+        // causal self-attention
+        val sq = g * m("swq"); sq(*, ::) :+= b("swq")
+        val sk = g * m("swk"); sk(*, ::) :+= b("swk")
+        val sv = g * m("swv"); sv(*, ::) :+= b("swv")
+        val sCtx = DenseMatrix.zeros[Double](t, d)
+        val sAttns = new Array[DenseMatrix[Double]](cfg.heads)
+        for (hh <- 0 until cfg.heads) {
+          val sl = hh * hd until (hh + 1) * hd
+          val scores = (sq(::, sl) * sk(::, sl).t) / math.sqrt(hd.toDouble)
+          for (i <- 0 until t; j <- i + 1 until t) scores(i, j) = -1e30 // tril mask
+          val a = softmaxRows(scores)
+          sAttns(hh) = a
+          sCtx(::, sl) := a * sv(::, sl)
+        }
+        val sOut = sCtx * m("swo"); sOut(*, ::) :+= b("swo")
+        val r1Pre = g + sOut
+        val (r1, ln1Xhat, ln1Inv) =
+          lnFwd(r1Pre, lay.vec(s"d${l}_ln1_g", p), lay.vec(s"d${l}_ln1_b", p))
+        // cross-attention to the encoder output
+        val cq = r1 * m("cwq"); cq(*, ::) :+= b("cwq")
+        val ck = enc * m("cwk"); ck(*, ::) :+= b("cwk")
+        val cv = enc * m("cwv"); cv(*, ::) :+= b("cwv")
+        val cCtx = DenseMatrix.zeros[Double](t, d)
+        val cAttns = new Array[DenseMatrix[Double]](cfg.heads)
+        for (hh <- 0 until cfg.heads) {
+          val sl = hh * hd until (hh + 1) * hd
+          val a = softmaxRows((cq(::, sl) * ck(::, sl).t) / math.sqrt(hd.toDouble))
+          cAttns(hh) = a
+          cCtx(::, sl) := a * cv(::, sl)
+        }
+        val cOut = cCtx * m("cwo"); cOut(*, ::) :+= b("cwo")
+        val r2Pre = r1 + cOut
+        val (r2, ln2Xhat, ln2Inv) =
+          lnFwd(r2Pre, lay.vec(s"d${l}_ln2_g", p), lay.vec(s"d${l}_ln2_b", p))
+        val ffPre = r2 * m("ff1"); ffPre(*, ::) :+= b("ff1")
+        val ffAct = tanh(ffPre)
+        val ff = ffAct * m("ff2"); ff(*, ::) :+= b("ff2")
+        val r3Pre = r2 + ff
+        val (out, ln3Xhat, ln3Inv) =
+          lnFwd(r3Pre, lay.vec(s"d${l}_ln3_g", p), lay.vec(s"d${l}_ln3_b", p))
+        dcaches(l) = DecCache(g, sq, sk, sv, sAttns, sCtx, r1Pre, r1, ln1Xhat,
+          ln1Inv, cq, ck, cv, cAttns, cCtx, r2Pre, r2, ln2Xhat, ln2Inv,
+          ffPre, ffAct, r3Pre, ln3Xhat, ln3Inv)
+        g = out
+      }
+      val (hl, dDecOut) = applyHeads(g)
+      loss += hl
+      // decoder backward
+      var dG = dDecOut
+      for (l <- (cfg.decoderLayers - 1) to 0 by -1) {
+        val cch = dcaches(l)
+        def m(n: String) = lay.mat(s"d${l}_${n}_w", p)
+        def gm(n: String) = lay.mat(s"d${l}_${n}_w", grad)
+        def gb(n: String) = lay.vec(s"d${l}_${n}_b", grad)
+        val dR3Pre = lnBwd(dG, cch.ln3Xhat, cch.ln3Inv,
+          lay.vec(s"d${l}_ln3_g", p),
+          lay.vec(s"d${l}_ln3_g", grad), lay.vec(s"d${l}_ln3_b", grad))
+        val dFf = dR3Pre
+        gm("ff2") :+= cch.ffAct.t * dFf
+        for (i <- 0 until t) gb("ff2") :+= dFf(i, ::).t
+        val dFfAct = dFf * m("ff2").t
+        val dFfPre = dFfAct *:* (1.0 - (cch.ffAct *:* cch.ffAct))
+        gm("ff1") :+= cch.r2.t * dFfPre
+        for (i <- 0 until t) gb("ff1") :+= dFfPre(i, ::).t
+        val dR2 = dR3Pre + (dFfPre * m("ff1").t)
+        val dR2Pre = lnBwd(dR2, cch.ln2Xhat, cch.ln2Inv,
+          lay.vec(s"d${l}_ln2_g", p),
+          lay.vec(s"d${l}_ln2_g", grad), lay.vec(s"d${l}_ln2_b", grad))
+        // cross-attn backward: r2Pre = r1 + cwo(cCtx)
+        val dCOut = dR2Pre
+        gm("cwo") :+= cch.cCtx.t * dCOut
+        for (i <- 0 until t) gb("cwo") :+= dCOut(i, ::).t
+        val dCCtx = dCOut * m("cwo").t
+        val dCq = DenseMatrix.zeros[Double](t, d)
+        val dCk = DenseMatrix.zeros[Double](t, d)
+        val dCv = DenseMatrix.zeros[Double](t, d)
+        for (hh <- 0 until cfg.heads) {
+          val sl = hh * hd until (hh + 1) * hd
+          val a = cch.cAttn(hh)
+          val dCtxH = dCCtx(::, sl)
+          val dA = dCtxH * cch.cv(::, sl).t
+          dCv(::, sl) :+= a.t * dCtxH
+          val dScores = DenseMatrix.zeros[Double](t, t)
+          for (i <- 0 until t) {
+            val ai = a(i, ::).t
+            val dai = dA(i, ::).t
+            val dot = sum(ai *:* dai)
+            dScores(i, ::) := ((dai - dot) *:* ai).t
+          }
+          dScores :/= math.sqrt(hd.toDouble)
+          dCq(::, sl) :+= dScores * cch.ck(::, sl)
+          dCk(::, sl) :+= dScores.t * cch.cq(::, sl)
+        }
+        gm("cwq") :+= cch.r1.t * dCq
+        gm("cwk") :+= enc.t * dCk
+        gm("cwv") :+= enc.t * dCv
+        for (i <- 0 until t) {
+          gb("cwq") :+= dCq(i, ::).t; gb("cwk") :+= dCk(i, ::).t
+          gb("cwv") :+= dCv(i, ::).t
+        }
+        dEnc :+= (dCk * m("cwk").t) + (dCv * m("cwv").t)
+        val dR1 = dR2Pre + (dCq * m("cwq").t)
+        val dR1Pre = lnBwd(dR1, cch.ln1Xhat, cch.ln1Inv,
+          lay.vec(s"d${l}_ln1_g", p),
+          lay.vec(s"d${l}_ln1_g", grad), lay.vec(s"d${l}_ln1_b", grad))
+        // causal self-attn backward: r1Pre = x + swo(sCtx)
+        val dSOut = dR1Pre
+        gm("swo") :+= cch.sCtx.t * dSOut
+        for (i <- 0 until t) gb("swo") :+= dSOut(i, ::).t
+        val dSCtx = dSOut * m("swo").t
+        val dSq = DenseMatrix.zeros[Double](t, d)
+        val dSk = DenseMatrix.zeros[Double](t, d)
+        val dSv = DenseMatrix.zeros[Double](t, d)
+        for (hh <- 0 until cfg.heads) {
+          val sl = hh * hd until (hh + 1) * hd
+          val a = cch.sAttn(hh)
+          val dCtxH = dSCtx(::, sl)
+          val dA = dCtxH * cch.sv(::, sl).t
+          dSv(::, sl) :+= a.t * dCtxH
+          val dScores = DenseMatrix.zeros[Double](t, t)
+          for (i <- 0 until t) {
+            val ai = a(i, ::).t
+            val dai = dA(i, ::).t
+            val dot = sum(ai *:* dai)
+            dScores(i, ::) := ((dai - dot) *:* ai).t
+          }
+          dScores :/= math.sqrt(hd.toDouble)
+          dSq(::, sl) :+= dScores * cch.sk(::, sl)
+          dSk(::, sl) :+= dScores.t * cch.sq(::, sl)
+        }
+        gm("swq") :+= cch.x.t * dSq
+        gm("swk") :+= cch.x.t * dSk
+        gm("swv") :+= cch.x.t * dSv
+        for (i <- 0 until t) {
+          gb("swq") :+= dSq(i, ::).t; gb("swk") :+= dSk(i, ::).t
+          gb("swv") :+= dSv(i, ::).t
+        }
+        dG = dR1Pre + (dSq * m("swq").t) + (dSk * m("swk").t) + (dSv * m("swv").t)
+      }
+      // decoder input backward through the shared projection: g0 =
+      // (trgX0 W + b) * scale + pos; embedding grads scatter SHIFTED
+      lay.mat("pos", grad) :+= dG
+      val dPreT = dG * scale
+      lay.mat("linSeq_w", grad) :+= trgX0.t * dPreT
+      val dBSeqT = lay.vec("linSeq_b", grad)
+      for (i <- 0 until t) dBSeqT :+= dPreT(i, ::).t
+      val dTrgX0 = dPreT * wSeq.t
+      for (i <- 1 until t) {
+        var off = 0
+        for (c <- 0 until nCat) {
+          val tableG = lay.mat(s"emb$c", grad)
+          val code = math.min(math.max(catCodes(i - 1)(c), 0), tableG.rows - 1)
+          tableG(code, ::) :+= dTrgX0(i, off until off + embDims(c))
+          off += embDims(c)
+        }
+      }
     }
 
     // ---- backward through layers --------------------------------------

@@ -83,7 +83,8 @@ object MlOps extends QueryGroup {
         val (model, wide) = featurized(s, dir)
         val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
         val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
-          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
+          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2,
+          decoderLayers = 1) // teacher-forced seq2seq pretraining (I7/I9)
         val catCols = Seq((1 to seqLen).map(t => s"event_type_$t"))
         val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
         val res = graft.train.TransformerTrainer.fit(wide, cfg, catCols, contCols,

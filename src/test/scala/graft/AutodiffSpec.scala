@@ -70,4 +70,48 @@ class AutodiffSpec extends AnyFunSuite {
     assert(e1.sameElements(TransformerAE.embed(cfg, lay, p, cat, cont)))
     assert(e1.forall(v => !v.isNaN && !v.isInfinite))
   }
+
+  test("decoder path: gradients match finite differences; loss trains down") {
+    val dcfg = cfg.copy(decoderLayers = 1, seed = 23L)
+    val dlay = dcfg.layout
+    val p = dcfg.initParams()
+    val grad = new Array[Double](dlay.totalSize)
+    val loss0 = TransformerAE.lossAndGrad(dcfg, dlay, p, grad, cat, cont)
+    assert(!loss0.isNaN && loss0 > 0)
+    val eps = 1e-6
+    val rng = new scala.util.Random(7)
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    dlay.specs.foreach { s =>
+      val (off, _) = dlay.offsets(s.name)
+      val picks = Seq.fill(math.min(3, s.size))(off + rng.nextInt(s.size)).distinct
+      picks.foreach { idx =>
+        val orig = p(idx)
+        p(idx) = orig + eps
+        val lp = TransformerAE.lossAndGrad(dcfg, dlay, p,
+          new Array[Double](dlay.totalSize), cat, cont)
+        p(idx) = orig - eps
+        val lm = TransformerAE.lossAndGrad(dcfg, dlay, p,
+          new Array[Double](dlay.totalSize), cat, cont)
+        p(idx) = orig
+        val numeric = (lp - lm) / (2 * eps)
+        val analytic = grad(idx)
+        val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
+        val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
+        val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
+        if (rel > 1e-4)
+          failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
+      }
+    }
+    assert(failures.isEmpty, s"decoder gradient mismatches:\n${failures.mkString("\n")}")
+    // SGD sanity
+    var last = Double.MaxValue; var first = 0.0
+    for (it <- 0 until 30) {
+      val g = new Array[Double](dlay.totalSize)
+      val l = TransformerAE.lossAndGrad(dcfg, dlay, p, g, cat, cont)
+      if (it == 0) first = l
+      last = l
+      for (i <- p.indices) p(i) -= 0.05 * g(i)
+    }
+    assert(last < first * 0.7, s"decoder loss $first -> $last")
+  }
 }
