@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.nn.{LstmAE, LstmAeConfig}
+
+/** Gradient check for the LSTM training path (BPTT + attention backward). */
+class LstmAutodiffSpec extends AnyFunSuite {
+
+  private val cfg = LstmAeConfig(hidden = 5, outDim = 4, attnDim = 3,
+    seqLen = 3, vocabSizes = Seq(4), nCont = 2, seed = 17L)
+  private val lay = cfg.layout
+  private val cat = Array(Array(1), Array(3), Array(2))
+  private val cont = Array(Array(0.3, -0.1), Array(0.8, 0.2), Array(-0.5, 0.4))
+
+  test("BPTT gradients match finite differences on every parameter block") {
+    val p = cfg.initParams()
+    val grad = new Array[Double](lay.totalSize)
+    val (loss0, emb) = LstmAE.lossGradEmbed(cfg, lay, p, grad, cat, cont)
+    assert(!loss0.isNaN && loss0 > 0 && emb.length == 4)
+
+    val eps = 1e-6
+    val rng = new scala.util.Random(5)
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    lay.specs.foreach { s =>
+      val (off, _) = lay.offsets(s.name)
+      val picks = Seq.fill(math.min(4, s.size))(off + rng.nextInt(s.size)).distinct
+      picks.foreach { idx =>
+        val orig = p(idx)
+        p(idx) = orig + eps
+        val lp = LstmAE.lossGradEmbed(cfg, lay, p, null, cat, cont)._1
+        p(idx) = orig - eps
+        val lm = LstmAE.lossGradEmbed(cfg, lay, p, null, cat, cont)._1
+        p(idx) = orig
+        val numeric = (lp - lm) / (2 * eps)
+        val analytic = grad(idx)
+        val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
+        val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
+        val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
+        if (rel > 1e-4)
+          failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
+      }
+    }
+    assert(failures.isEmpty, s"mismatches:\n${failures.mkString("\n")}")
+  }
+
+  test("SGD on one example reduces the loss substantially") {
+    val p = cfg.initParams()
+    var first = 0.0; var last = Double.MaxValue
+    for (it <- 0 until 200) {
+      val g = new Array[Double](lay.totalSize)
+      val l = LstmAE.lossGradEmbed(cfg, lay, p, g, cat, cont)._1
+      if (it == 0) first = l
+      last = l
+      for (i <- p.indices) p(i) -= 0.1 * g(i)
+    }
+    assert(last < first * 0.5, s"loss $first -> $last")
+  }
+}

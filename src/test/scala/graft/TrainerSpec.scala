@@ -21,4 +21,18 @@ class TrainerSpec extends SparkSpec {
     assert(scored.count() == wide.count())
     assert(scored.select("embedding").head().getSeq[Float](0).size == 5 * 8)
   }
+
+  test("LSTM trainer: distributed loss decreases and trained scoring works") {
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = graft.nn.LstmAeConfig(hidden = 8, outDim = 8, attnDim = 4,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2)
+    val res = graft.train.LstmTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 1e-2, maxEpochs = 5, warmupEpochs = 1))
+    assert(res.losses.last < res.losses.head, s"losses: ${res.losses}")
+    val scored = graft.train.LstmTrainer.transform(wide, res, "user_id", catCols, contCols)
+    assert(scored.count() == wide.count())
+    assert(scored.select("embedding").head().getSeq[Float](0).size == 8)
+  }
 }
