@@ -109,13 +109,21 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
     val l = bucketed.select(col("band"), col("sig"), col(idCol).as("doc_a"))
     val r = bucketed.select(col("band"), col("sig"), col(idCol).as("doc_b"))
+    // candidates are tiny (bounded by bands x maxBucket^2); persist so the
+    // semi-join below doesn't recompute the whole band subtree
     val candidates = l.join(r, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    // verify candidates with exact Jaccard on the cached shingle sets
+      .select(col("doc_a"), col("doc_b")).distinct().cache()
+    // verify candidates with exact Jaccard — restrict the shingle self-join
+    // to documents that appear in some candidate pair first (the candidate
+    // set is tiny relative to the corpus, so this skips almost all of the
+    // shared-shingle pair blowup; output is identical)
+    val candDocs = candidates.select(col("doc_a").as(idCol))
+      .union(candidates.select(col("doc_b").as(idCol))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val a = shc.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = shc.select(col(idCol).as("doc_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     candidates.join(inter, Seq("doc_a", "doc_b"), "inner")
