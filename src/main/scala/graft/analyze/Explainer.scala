@@ -7,48 +7,56 @@ import graft.nn.{AeConfig, TransformerAE}
 
 /**
  * K4 explainability: Integrated Gradients over the transformer encoder
- * (reference CASPRExplainer, explain/CASPRExplainer.py:25-395 — captum
+ * (reference CASPRExplainer, utils/explain/CASPRExplainer.py:25-395 — captum
  * IntegratedGradients with interpretable-embedding indirection).
  *
- * Round-1 scope: attributions for the CONTINUOUS sequence features toward a
- * chosen embedding output dimension. IG = (x - x0) * mean_k grad(x0 +
- * k/m (x - x0)); the gradient comes from the gradient-checked backward
- * (Autodiff) seeded with a one-hot in encoder space. Baseline x0 = zero
- * cont features with the observed cat codes (the reference's zero-tensor
- * baseline, CASPRExplainer.py:194-239). Per-cat-col attribution (summing
- * embedding-dim grads, :138-158) lands with embedding-space interpolation
- * in a later round.
+ * Semantics mirrored from the reference:
+ *  - categorical variables are attributed IN EMBEDDING SPACE: the embedding
+ *    lookup is bypassed and the embedding vectors themselves are interpolated
+ *    toward the zero baseline (configure_interpretable_embedding_layer,
+ *    CASPRExplainer.py:106-122), then each variable's attribution is the SUM
+ *    over its embedding dims (_aggregate_cat_attributions_util, :138-158);
+ *  - continuous features interpolate directly; the baseline is the zero
+ *    tensor for both (:194-239);
+ *  - IG = (x - x0) *:* mean_k grad(x0 + a_k (x - x0)) with the midpoint rule
+ *    (a_k = (k-1/2)/m; O(1/m) error at ReLU kinks, so default steps is 32).
  *
- * Distributed shape: per-row mapPartitions with broadcast params — m+1
- * forwards+backwards per row, embarrassingly parallel.
+ * Output: one DOUBLE column per (feature, timestep) named `attr_<wideCol>`,
+ * e.g. attr_event_type_1 — scalar columns, so downstream comparators can
+ * sort/hash them. The completeness axiom (sum of all attributions ~
+ * f(x) - f(0)) is verified in ExplainerSpec.
+ *
+ * Distributed shape: per-row mapPartitions with broadcast params — m
+ * forwards+backwards per row, embarrassingly parallel, constant memory.
  */
 object Explainer {
 
-  /**
-   * Adds `attributions: array<double>` (length T*nCont, row-major) for the
-   * given flattened output dimension `targetDim` of the (T x d) encoder
-   * output.
-   */
   def integratedGradients(wide: DataFrame, cfg: AeConfig, params: Array[Double],
       idCol: String, seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
-      targetDim: Int, steps: Int = 8): DataFrame = {
+      targetDim: Int, steps: Int = 32): DataFrame = {
     val spark = wide.sparkSession
     val lay = cfg.layout
     val bc = spark.sparkContext.broadcast(params)
     val t = cfg.seqLen
+    val nCat = seqCatCols.size
     val nCont = seqContCols.size
+    val embDims = cfg.embDims
+    val embSum = embDims.sum
     val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
     val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
     val idIdx = wide.schema.fieldIndex(idCol)
-    val outSchema = StructType(Seq(wide.schema(idIdx),
-      StructField("attributions", ArrayType(DoubleType, containsNull = false))))
+    // output order: per cat col its T wide names, then per cont col its T
+    val outNames: Seq[String] =
+      seqCatCols.flatten.map(n => s"attr_$n") ++ seqContCols.flatten.map(n => s"attr_$n")
+    val outSchema = StructType(
+      wide.schema(idIdx) +: outNames.map(StructField(_, DoubleType, nullable = false)))
 
     wide.mapPartitions { rows =>
       val p = bc.value
-      val seed = DenseMatrix.zeros[Double](t, cfg.dModel)
+      val seed = DenseMatrix.zeros[Double](cfg.tEff, cfg.dModel)
       seed(targetDim / cfg.dModel, targetDim % cfg.dModel) = 1.0
       rows.map { row =>
-        val cat = Array.tabulate(t, catIdx.size) { (ts, c) =>
+        val cat = Array.tabulate(t, nCat) { (ts, c) =>
           val v = row.get(catIdx(c)(ts))
           if (v == null) 0 else v.asInstanceOf[Number].intValue()
         }
@@ -56,24 +64,51 @@ object Explainer {
           val v = row.get(contIdx(c)(ts))
           if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
         }
-        val acc = Array.ofDim[Double](t, nCont)
+        // the row's full-strength embedding vectors (the IG endpoint)
+        val embX = DenseMatrix.zeros[Double](t, embSum)
+        for (i <- 0 until t) {
+          var off = 0
+          for (c <- 0 until nCat) {
+            val table = lay.mat(s"emb$c", p)
+            val code = math.min(math.max(cat(i)(c), 0), table.rows - 1)
+            embX(i, off until off + embDims(c)) := table(code, ::)
+            off += embDims(c)
+          }
+        }
+        val accCont = Array.ofDim[Double](t, nCont)
+        val accEmb = DenseMatrix.zeros[Double](t, embSum)
         val scratch = new Array[Double](lay.totalSize)
-        val gradOut = Array.ofDim[Double](t, nCont)
+        val gradCont = Array.ofDim[Double](t, nCont)
+        val gradEmb = DenseMatrix.zeros[Double](t, embSum)
         for (k <- 1 to steps) {
-          val alpha = (k - 0.5) / steps // midpoint rule: O(1/steps^2) error
+          val alpha = (k - 0.5) / steps
           val xi = Array.tabulate(t, nCont)((i, j) => x(i)(j) * alpha)
+          val embI = embX * alpha
           java.util.Arrays.fill(scratch, 0.0)
           TransformerAE.lossAndGrad(cfg, lay, p, scratch, cat, xi,
-            encSeed = seed, contGradOut = gradOut)
-          for (i <- 0 until t; j <- 0 until nCont) acc(i)(j) += gradOut(i)(j)
+            encSeed = seed, contGradOut = gradCont,
+            seqEmbInput = embI, seqEmbGradOut = gradEmb)
+          for (i <- 0 until t; j <- 0 until nCont) accCont(i)(j) += gradCont(i)(j)
+          accEmb :+= gradEmb
         }
-        val attr = new Array[Double](t * nCont)
-        var idx = 0
-        for (i <- 0 until t; j <- 0 until nCont) {
-          attr(idx) = x(i)(j) * acc(i)(j) / steps
-          idx += 1
+        // cat attribution: sum over the variable's embedding dims
+        // (_aggregate_cat_attributions_util); cont: straight product
+        val out = new Array[Any](1 + nCat * t + nCont * t)
+        out(0) = row.get(idIdx)
+        var idx = 1
+        var off = 0
+        for (c <- 0 until nCat) {
+          for (i <- 0 until t) {
+            var s = 0.0
+            for (j <- off until off + embDims(c)) s += embX(i, j) * accEmb(i, j) / steps
+            out(idx) = s; idx += 1
+          }
+          off += embDims(c)
         }
-        Row(row.get(idIdx), attr)
+        for (c <- 0 until nCont; i <- 0 until t) {
+          out(idx) = x(i)(c) * accCont(i)(c) / steps; idx += 1
+        }
+        Row.fromSeq(out.toIndexedSeq)
       }
     }(Encoders.row(outSchema))
   }

@@ -21,9 +21,12 @@ final case class CasprScorerModel(
     weights: EncoderWeights,
     idCol: String,
     seqCatCols: Seq[Seq[String]],  // per cat feature: its T wide columns
-    seqContCols: Seq[Seq[String]]) {
+    seqContCols: Seq[Seq[String]],
+    nonSeqCatCols: Seq[String] = Nil,  // pre-encoded int codes, one per ns cat
+    nonSeqContCols: Seq[String] = Nil) {
 
-  /** Adds an `embedding: array<float>` column of length (T * dModel). */
+  /** Adds an `embedding: array<float>` column of length (T' * dModel),
+    * T' = T+1 when non-seq features feed the extra timestep (I8). */
   def transform(wide: DataFrame): DataFrame = {
     val spark = wide.sparkSession
     val bc = spark.sparkContext.broadcast(weights)
@@ -32,6 +35,8 @@ final case class CasprScorerModel(
 
     val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
     val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
+    val nsCatIdx = nonSeqCatCols.map(wide.schema.fieldIndex)
+    val nsContIdx = nonSeqContCols.map(wide.schema.fieldIndex)
     val idIdx = wide.schema.fieldIndex(idCol)
 
     val outSchema = StructType(Seq(
@@ -49,7 +54,15 @@ final case class CasprScorerModel(
           val v = row.get(contIdx(c)(ts))
           if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
         }
-        Row(row.get(idIdx), w.forward(catCodes, cont))
+        val nsCat = Array.tabulate(nsCatIdx.size) { c =>
+          val v = row.get(nsCatIdx(c))
+          if (v == null) 0 else v.asInstanceOf[Number].intValue()
+        }
+        val nsCont = Array.tabulate(nsContIdx.size) { c =>
+          val v = row.get(nsContIdx(c))
+          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+        }
+        Row(row.get(idIdx), w.forward(catCodes, cont, nsCat, nsCont))
       }
     }(Encoders.row(outSchema))
   }
@@ -97,13 +110,18 @@ final case class LstmScorerModel(
 
 object CasprScorer {
 
-  /** Build a deterministic-weight scorer for a featurizer wide output. */
+  /** Build a deterministic-weight scorer for a featurizer wide output.
+    * `nonSeqCat` columns must already be int codes (Encoding.apply);
+    * non-seq features enter as the appended extra timestep (I8). */
   def forWide(cfg: TransformerConfig, idCol: String,
       vocabSizes: Map[String, Long], seqLen: Int,
-      seqCat: Seq[String], seqCont: Seq[String]): CasprScorerModel = {
-    val weights = EncoderWeights.init(cfg, seqCat.map(vocabSizes), seqCont.size)
+      seqCat: Seq[String], seqCont: Seq[String],
+      nonSeqCat: Seq[String] = Nil, nonSeqCont: Seq[String] = Nil): CasprScorerModel = {
+    val weights = EncoderWeights.init(cfg, seqCat.map(vocabSizes), seqCont.size,
+      nonSeqCat.map(vocabSizes), nonSeqCont.size)
     CasprScorerModel(cfg, weights, idCol,
       seqCat.map(c => (1 to seqLen).map(t => s"${c}_$t")),
-      seqCont.map(c => (1 to seqLen).map(t => s"${c}_$t")))
+      seqCont.map(c => (1 to seqLen).map(t => s"${c}_$t")),
+      nonSeqCat, nonSeqCont)
   }
 }

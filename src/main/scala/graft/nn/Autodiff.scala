@@ -1,30 +1,38 @@
 package graft.nn
 
 import breeze.linalg.{*, DenseMatrix, DenseVector, max, sum}
-import breeze.numerics.{exp, tanh}
+import breeze.numerics.exp
 
 /**
  * Manual forward/backward for the transformer autoencoder pretraining
- * objective (SURVEY.md §2.I6/I8/I9/I10):
+ * objective (SURVEY.md §2.I6/I7/I8/I9/I10):
  *
- *   seq cat embeddings ++ seq cont -> linear_seq -> *sqrt(d) -> +pos
- *   -> L x (self-MHA + tanh-FFN, post-LN residuals) -> enc (T x d)
- *   -> per-cat softmax-CE heads + cont MSE head reconstructing the inputs.
+ *   seq cat embeddings ++ seq cont -> linear_seq        \
+ *   non-seq cat emb ++ non-seq cont -> linear_non_seq   -> src (T' x d)
+ *   (non-seq appended as ONE extra timestep, T' = T+1;
+ *    unified_transformer_encoder.py:93-96, factory.py:43)
+ *   -> *sqrt(d) -> +pos -> L x (self-MHA + ReLU-FFN, post-LN residuals)
+ *   -> enc (T' x d)
+ *   -> reconstruction heads: per-seq-cat softmax-CE + seq-cont MSE on the
+ *      seq timesteps, per-non-seq-cat CE + non-seq-cont MSE on the LAST
+ *      timestep (OutputLayer split, model_wrapper.py:340-360).
+ *
+ * The FFN activation is ReLU as in the reference (transformer.py:158);
+ * backward uses the subgradient 0 at 0.
  *
  * With `decoderLayers > 0` the objective is the reference's teacher-forced
- * seq2seq (transformer.py:234-306, model_wrapper.py:217-281): trg =
- * [0; x0[:-1]], decoder layers of causal self-attention + cross-attention
- * to the encoder + FFN (post-LN residuals), positional embedding shared
- * with the encoder (factory.py:84), reconstruction heads on the decoder
- * output (OutputLayer, model_wrapper.py:319-360). With `decoderLayers = 0`
- * the heads apply directly to the encoder output — the denoising-AE
- * variant (combine with graft.train.Noise). The serving embedding is the
- * flattened ENCODER output in both modes.
+ * seq2seq (transformer.py:234-306, model_wrapper.py:217-246): trg =
+ * [0; src[:-1]] shifted in PROJECTED space (model_wrapper.py:227), decoder
+ * layers of causal self-attention + cross-attention to the encoder + FFN
+ * (post-LN residuals), positional embedding shared with the encoder
+ * (factory.py:84), reconstruction heads on the decoder output. With
+ * `decoderLayers = 0` the heads apply directly to the encoder output — the
+ * denoising-AE variant (combine with graft.train.Noise). The serving
+ * embedding is the flattened ENCODER output in both modes.
  *
  * All parameters live in ONE flat Array[Double]; matrices are zero-copy
  * Breeze views into it. Gradients accumulate into a same-layout flat array,
- * which makes the Spark treeAggregate harness (graft.train) trivial and
- * allocation-free per example.
+ * which makes the Spark treeAggregate harness (graft.train) trivial.
  */
 final case class ParamSpec(name: String, rows: Int, cols: Int) { def size: Int = rows * cols }
 
@@ -48,20 +56,33 @@ final class ParamLayout(val specs: Seq[ParamSpec]) extends Serializable {
 final case class AeConfig(
     dModel: Int, heads: Int, layers: Int, pf: Int, seqLen: Int,
     vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
-    decoderLayers: Int = 0) {
+    decoderLayers: Int = 0,
+    nonSeqVocabSizes: Seq[Int] = Nil, nNonSeqCont: Int = 0) {
   require(dModel % heads == 0)
   def headDim: Int = dModel / heads
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
   def inDim: Int = embDims.sum + nCont
+  def nsEmbDims: Seq[Int] = nonSeqVocabSizes.map(v => Dims.embeddingDim(v.toLong))
+  def nsInDim: Int = nsEmbDims.sum + nNonSeqCont
+  /** Non-seq features present -> one extra timestep (factory.py:43). */
+  def hasNonSeq: Boolean = nonSeqVocabSizes.nonEmpty || nNonSeqCont > 0
+  def tEff: Int = seqLen + (if (hasNonSeq) 1 else 0)
 
   def layout: ParamLayout = {
     val specs = Seq.newBuilder[ParamSpec]
     vocabSizes.zip(embDims).zipWithIndex.foreach { case ((v, d), i) =>
       specs += ParamSpec(s"emb$i", v + 1, d)
     }
+    nonSeqVocabSizes.zip(nsEmbDims).zipWithIndex.foreach { case ((v, d), i) =>
+      specs += ParamSpec(s"nsEmb$i", v + 1, d)
+    }
     specs += ParamSpec("linSeq_w", inDim, dModel)
     specs += ParamSpec("linSeq_b", 1, dModel)
-    specs += ParamSpec("pos", seqLen, dModel)
+    if (hasNonSeq) {
+      specs += ParamSpec("linNonSeq_w", nsInDim, dModel)
+      specs += ParamSpec("linNonSeq_b", 1, dModel)
+    }
+    specs += ParamSpec("pos", tEff, dModel)
     for (l <- 0 until layers) {
       for (n <- Seq("wq", "wk", "wv", "wo")) {
         specs += ParamSpec(s"l${l}_${n}_w", dModel, dModel)
@@ -95,6 +116,16 @@ final case class AeConfig(
     }
     specs += ParamSpec("headCont_w", dModel, math.max(nCont, 1))
     specs += ParamSpec("headCont_b", 1, math.max(nCont, 1))
+    // OutputLayer non-seq heads (model_wrapper.py:340-346): one prediction
+    // from the last timestep per non-seq cat col + one non-seq cont head.
+    nonSeqVocabSizes.zipWithIndex.foreach { case (v, i) =>
+      specs += ParamSpec(s"headNsCat${i}_w", dModel, v + 1)
+      specs += ParamSpec(s"headNsCat${i}_b", 1, v + 1)
+    }
+    if (nNonSeqCont > 0) {
+      specs += ParamSpec("headNsCont_w", dModel, nNonSeqCont)
+      specs += ParamSpec("headNsCont_b", 1, nNonSeqCont)
+    }
     new ParamLayout(specs.result())
   }
 
@@ -120,6 +151,18 @@ final case class AeConfig(
 object TransformerAE {
 
   private val LnEps = 1e-5
+
+  /** ReLU forward (transformer.py:158). */
+  private def relu(m: DenseMatrix[Double]): DenseMatrix[Double] =
+    m.map(v => if (v > 0) v else 0.0)
+
+  /** ReLU backward: dPre = dAct where pre > 0 (subgradient 0 at 0). */
+  private def reluBwd(dAct: DenseMatrix[Double], act: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val out = dAct.copy
+    for (i <- 0 until out.rows; j <- 0 until out.cols)
+      if (act(i, j) <= 0) out(i, j) = 0.0
+    out
+  }
 
   /** LayerNorm forward returning (out, xhat, invstd) caches. */
   private def lnFwd(x: DenseMatrix[Double], g: DenseVector[Double], b: DenseVector[Double])
@@ -168,26 +211,36 @@ object TransformerAE {
     out
   }
 
-  final case class StepResult(loss: Double)
-
   /**
    * Forward + backward for ONE example; accumulates into `grad` and returns
    * the example's loss. `catCodes`: T x nCat (targets = inputs);
-   * `cont`: T x nCont.
+   * `cont`: T x nCont; `nsCat`/`nsCont`: the non-seq features (required
+   * non-null iff cfg.hasNonSeq).
    *
    * When `encSeed` is non-null the reconstruction heads are skipped and the
    * backward starts from that encoder-space gradient instead (returns 0);
-   * used by Explain.integratedGradients. When `contGradOut` (T x nCont) is
-   * non-null, the gradient w.r.t. the continuous inputs is written there.
+   * used by Explainer.integratedGradients. When `contGradOut` (T x nCont)
+   * is non-null, the gradient w.r.t. the continuous inputs is written there.
+   * When `seqEmbInput` (T x sum(embDims)) is non-null it REPLACES the
+   * embedding-table lookup for the seq cat features (IG interpolates in
+   * embedding space, CASPRExplainer.py:138-158), and the gradient w.r.t.
+   * those embedding inputs is written to `seqEmbGradOut` (same shape)
+   * instead of being scattered into the tables.
    */
   def lossAndGrad(cfg: AeConfig, lay: ParamLayout, p: Array[Double],
       grad: Array[Double], catCodes: Array[Array[Int]],
       cont: Array[Array[Double]],
       encSeed: DenseMatrix[Double] = null,
-      contGradOut: Array[Array[Double]] = null): Double = {
+      contGradOut: Array[Array[Double]] = null,
+      nsCat: Array[Int] = null,
+      nsCont: Array[Double] = null,
+      seqEmbInput: DenseMatrix[Double] = null,
+      seqEmbGradOut: DenseMatrix[Double] = null): Double = {
     val t = cfg.seqLen
+    val tE = cfg.tEff
     val d = cfg.dModel
     val nCat = cfg.vocabSizes.size
+    val nNsCat = cfg.nonSeqVocabSizes.size
     val scale = math.sqrt(d.toDouble)
 
     // ---- forward -------------------------------------------------------
@@ -196,17 +249,51 @@ object TransformerAE {
     for (i <- 0 until t) {
       var off = 0
       for (c <- 0 until nCat) {
-        val table = lay.mat(s"emb$c", p)
-        val code = math.min(math.max(catCodes(i)(c), 0), table.rows - 1)
-        x0(i, off until off + embDims(c)) := table(code, ::)
+        if (seqEmbInput != null)
+          x0(i, off until off + embDims(c)) := seqEmbInput(i, off until off + embDims(c))
+        else {
+          val table = lay.mat(s"emb$c", p)
+          val code = math.min(math.max(catCodes(i)(c), 0), table.rows - 1)
+          x0(i, off until off + embDims(c)) := table(code, ::)
+        }
         off += embDims(c)
       }
       for (c <- 0 until cfg.nCont) x0(i, embDims.sum + c) = cont(i)(c)
     }
     val wSeq = lay.mat("linSeq_w", p); val bSeq = lay.vec("linSeq_b", p)
-    val h0 = {
+
+    // non-seq input row (cat emb ++ cont), unified_transformer_encoder.py:91-96
+    val nsEmbDims = cfg.nsEmbDims
+    val nsx0: DenseVector[Double] =
+      if (!cfg.hasNonSeq) null
+      else {
+        val v = DenseVector.zeros[Double](cfg.nsInDim)
+        var off = 0
+        for (c <- 0 until nNsCat) {
+          val table = lay.mat(s"nsEmb$c", p)
+          val code = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), table.rows - 1)
+          v(off until off + nsEmbDims(c)) := table(code, ::).t
+          off += nsEmbDims(c)
+        }
+        for (c <- 0 until cfg.nNonSeqCont)
+          v(nsEmbDims.sum + c) = if (nsCont != null) nsCont(c) else 0.0
+        v
+      }
+
+    // projected src (pre scale/pos): seq rows through linear_seq, non-seq
+    // row through linear_non_seq appended last
+    val srcProj = DenseMatrix.zeros[Double](tE, d)
+    locally {
       val m = x0 * wSeq
       m(*, ::) :+= bSeq
+      srcProj(0 until t, ::) := m
+      if (cfg.hasNonSeq) {
+        val wNs = lay.mat("linNonSeq_w", p); val bNs = lay.vec("linNonSeq_b", p)
+        srcProj(t, ::) := ((wNs.t * nsx0) + bNs).t
+      }
+    }
+    val h0 = {
+      val m = srcProj.copy
       m :*= scale
       m += lay.mat("pos", p)
       m
@@ -230,7 +317,7 @@ object TransformerAE {
       val k = h * m("wk"); k(*, ::) :+= b("wk")
       val v = h * m("wv"); v(*, ::) :+= b("wv")
       val hd = cfg.headDim
-      val ctx = DenseMatrix.zeros[Double](t, d)
+      val ctx = DenseMatrix.zeros[Double](tE, d)
       val attns = new Array[DenseMatrix[Double]](cfg.heads)
       for (hh <- 0 until cfg.heads) {
         val sl = hh * hd until (hh + 1) * hd
@@ -244,7 +331,7 @@ object TransformerAE {
       val (res1, ln1Xhat, ln1Inv) =
         lnFwd(res1Pre, lay.vec(s"l${l}_ln1_g", p), lay.vec(s"l${l}_ln1_b", p))
       val ffPre = res1 * m("ff1"); ffPre(*, ::) :+= b("ff1")
-      val ffAct = tanh(ffPre)
+      val ffAct = relu(ffPre)
       val ff = ffAct * m("ff2"); ff(*, ::) :+= b("ff2")
       val res2Pre = res1 + ff
       val (out, ln2Xhat, ln2Inv) =
@@ -255,14 +342,16 @@ object TransformerAE {
     }
     val enc = h
 
-    // heads: CE per cat + cont MSE on `x` (enc, or decoder output);
-    // returns (loss, dX)
+    // heads on `x` (enc, or decoder output; tE rows): seq CE/MSE on the seq
+    // timesteps, non-seq CE/MSE on the LAST timestep (OutputLayer split,
+    // model_wrapper.py:349-360); returns (loss, dX)
     def applyHeads(x: DenseMatrix[Double]): (Double, DenseMatrix[Double]) = {
       var hl = 0.0
-      val dX = DenseMatrix.zeros[Double](t, d)
+      val dX = DenseMatrix.zeros[Double](tE, d)
+      val xSeq = x(0 until t, ::)
       for (c <- 0 until nCat) {
         val w = lay.mat(s"headCat${c}_w", p); val b = lay.vec(s"headCat${c}_b", p)
-        val logits = x * w; logits(*, ::) :+= b
+        val logits = xSeq * w; logits(*, ::) :+= b
         val probs = softmaxRows(logits)
         val dLogits = probs.copy
         for (i <- 0 until t) {
@@ -271,40 +360,70 @@ object TransformerAE {
           dLogits(i, y) -= 1.0
         }
         dLogits :/= t.toDouble
-        lay.mat(s"headCat${c}_w", grad) :+= x.t * dLogits
+        lay.mat(s"headCat${c}_w", grad) :+= xSeq.t * dLogits
         val dB = lay.vec(s"headCat${c}_b", grad)
         for (i <- 0 until t) dB :+= dLogits(i, ::).t
-        dX :+= dLogits * w.t
+        dX(0 until t, ::) :+= dLogits * w.t
       }
       hl = hl / t
       if (cfg.nCont > 0) {
         val w = lay.mat("headCont_w", p); val b = lay.vec("headCont_b", p)
-        val pred = x * w; pred(*, ::) :+= b
+        val pred = xSeq * w; pred(*, ::) :+= b
         val err = DenseMatrix.tabulate(t, cfg.nCont)((i, j) => pred(i, j) - cont(i)(j))
         hl += sum(err *:* err) / (2.0 * t)
         val dPred = err / t.toDouble
-        lay.mat("headCont_w", grad) :+= x.t * dPred
+        lay.mat("headCont_w", grad) :+= xSeq.t * dPred
         val dB = lay.vec("headCont_b", grad)
         for (i <- 0 until t) dB :+= dPred(i, ::).t
-        dX :+= dPred * w.t
+        dX(0 until t, ::) :+= dPred * w.t
+      }
+      if (cfg.hasNonSeq) {
+        val xNs = x(tE - 1, ::).t // one prediction from the appended timestep
+        for (c <- 0 until nNsCat) {
+          val w = lay.mat(s"headNsCat${c}_w", p); val b = lay.vec(s"headNsCat${c}_b", p)
+          val logits = (w.t * xNs) + b
+          val mx = max(logits)
+          val e = exp(logits - mx)
+          val probs = e / sum(e)
+          val y = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), w.cols - 1)
+          hl += -math.log(math.max(probs(y), 1e-12))
+          val dLogits = probs.copy
+          dLogits(y) -= 1.0
+          lay.mat(s"headNsCat${c}_w", grad) :+= xNs * dLogits.t
+          lay.vec(s"headNsCat${c}_b", grad) :+= dLogits
+          dX(tE - 1, ::) :+= (w * dLogits).t
+        }
+        if (cfg.nNonSeqCont > 0) {
+          val w = lay.mat("headNsCont_w", p); val b = lay.vec("headNsCont_b", p)
+          val pred = (w.t * xNs) + b
+          val err = DenseVector.tabulate(cfg.nNonSeqCont)(j =>
+            pred(j) - (if (nsCont != null) nsCont(j) else 0.0))
+          hl += sum(err *:* err) / 2.0
+          lay.mat("headNsCont_w", grad) :+= xNs * err.t
+          lay.vec("headNsCont_b", grad) :+= err
+          dX(tE - 1, ::) :+= (w * err).t
+        }
       }
       (hl, dX)
     }
 
     var loss = 0.0
-    val dEnc = if (encSeed != null) encSeed.copy else DenseMatrix.zeros[Double](t, d)
+    val dEnc = if (encSeed != null) encSeed.copy else DenseMatrix.zeros[Double](tE, d)
+    // gradient w.r.t. the pre-scale projected src, accumulated from the
+    // encoder path and (in decoder mode) the shifted trg path
+    val dSrcProj = DenseMatrix.zeros[Double](tE, d)
 
     if (encSeed == null && cfg.decoderLayers == 0) {
       val (hl, dX) = applyHeads(enc)
       loss += hl
       dEnc :+= dX
     } else if (encSeed == null) {
-      // ---- teacher-forced decoder (I7/I9): trg = [0; x0[:-1]] -----------
-      val trgX0 = DenseMatrix.zeros[Double](t, cfg.inDim)
-      for (i <- 1 until t) trgX0(i, ::) := x0(i - 1, ::)
+      // ---- teacher-forced decoder (I7/I9): trg = [0; src[:-1]] shifted in
+      // projected space (model_wrapper.py:227) --------------------------
+      val trgProj = DenseMatrix.zeros[Double](tE, d)
+      for (i <- 1 until tE) trgProj(i, ::) := srcProj(i - 1, ::)
       val g0 = {
-        val m = trgX0 * wSeq
-        m(*, ::) :+= bSeq
+        val m = trgProj.copy
         m :*= scale
         m += lay.mat("pos", p)
         m
@@ -331,12 +450,12 @@ object TransformerAE {
         val sq = g * m("swq"); sq(*, ::) :+= b("swq")
         val sk = g * m("swk"); sk(*, ::) :+= b("swk")
         val sv = g * m("swv"); sv(*, ::) :+= b("swv")
-        val sCtx = DenseMatrix.zeros[Double](t, d)
+        val sCtx = DenseMatrix.zeros[Double](tE, d)
         val sAttns = new Array[DenseMatrix[Double]](cfg.heads)
         for (hh <- 0 until cfg.heads) {
           val sl = hh * hd until (hh + 1) * hd
           val scores = (sq(::, sl) * sk(::, sl).t) / math.sqrt(hd.toDouble)
-          for (i <- 0 until t; j <- i + 1 until t) scores(i, j) = -1e30 // tril mask
+          for (i <- 0 until tE; j <- i + 1 until tE) scores(i, j) = -1e30 // tril mask
           val a = softmaxRows(scores)
           sAttns(hh) = a
           sCtx(::, sl) := a * sv(::, sl)
@@ -349,7 +468,7 @@ object TransformerAE {
         val cq = r1 * m("cwq"); cq(*, ::) :+= b("cwq")
         val ck = enc * m("cwk"); ck(*, ::) :+= b("cwk")
         val cv = enc * m("cwv"); cv(*, ::) :+= b("cwv")
-        val cCtx = DenseMatrix.zeros[Double](t, d)
+        val cCtx = DenseMatrix.zeros[Double](tE, d)
         val cAttns = new Array[DenseMatrix[Double]](cfg.heads)
         for (hh <- 0 until cfg.heads) {
           val sl = hh * hd until (hh + 1) * hd
@@ -362,7 +481,7 @@ object TransformerAE {
         val (r2, ln2Xhat, ln2Inv) =
           lnFwd(r2Pre, lay.vec(s"d${l}_ln2_g", p), lay.vec(s"d${l}_ln2_b", p))
         val ffPre = r2 * m("ff1"); ffPre(*, ::) :+= b("ff1")
-        val ffAct = tanh(ffPre)
+        val ffAct = relu(ffPre)
         val ff = ffAct * m("ff2"); ff(*, ::) :+= b("ff2")
         val r3Pre = r2 + ff
         val (out, ln3Xhat, ln3Inv) =
@@ -386,11 +505,11 @@ object TransformerAE {
           lay.vec(s"d${l}_ln3_g", grad), lay.vec(s"d${l}_ln3_b", grad))
         val dFf = dR3Pre
         gm("ff2") :+= cch.ffAct.t * dFf
-        for (i <- 0 until t) gb("ff2") :+= dFf(i, ::).t
+        for (i <- 0 until tE) gb("ff2") :+= dFf(i, ::).t
         val dFfAct = dFf * m("ff2").t
-        val dFfPre = dFfAct *:* (1.0 - (cch.ffAct *:* cch.ffAct))
+        val dFfPre = reluBwd(dFfAct, cch.ffAct)
         gm("ff1") :+= cch.r2.t * dFfPre
-        for (i <- 0 until t) gb("ff1") :+= dFfPre(i, ::).t
+        for (i <- 0 until tE) gb("ff1") :+= dFfPre(i, ::).t
         val dR2 = dR3Pre + (dFfPre * m("ff1").t)
         val dR2Pre = lnBwd(dR2, cch.ln2Xhat, cch.ln2Inv,
           lay.vec(s"d${l}_ln2_g", p),
@@ -398,19 +517,19 @@ object TransformerAE {
         // cross-attn backward: r2Pre = r1 + cwo(cCtx)
         val dCOut = dR2Pre
         gm("cwo") :+= cch.cCtx.t * dCOut
-        for (i <- 0 until t) gb("cwo") :+= dCOut(i, ::).t
+        for (i <- 0 until tE) gb("cwo") :+= dCOut(i, ::).t
         val dCCtx = dCOut * m("cwo").t
-        val dCq = DenseMatrix.zeros[Double](t, d)
-        val dCk = DenseMatrix.zeros[Double](t, d)
-        val dCv = DenseMatrix.zeros[Double](t, d)
+        val dCq = DenseMatrix.zeros[Double](tE, d)
+        val dCk = DenseMatrix.zeros[Double](tE, d)
+        val dCv = DenseMatrix.zeros[Double](tE, d)
         for (hh <- 0 until cfg.heads) {
           val sl = hh * hd until (hh + 1) * hd
           val a = cch.cAttn(hh)
           val dCtxH = dCCtx(::, sl)
           val dA = dCtxH * cch.cv(::, sl).t
           dCv(::, sl) :+= a.t * dCtxH
-          val dScores = DenseMatrix.zeros[Double](t, t)
-          for (i <- 0 until t) {
+          val dScores = DenseMatrix.zeros[Double](tE, tE)
+          for (i <- 0 until tE) {
             val ai = a(i, ::).t
             val dai = dA(i, ::).t
             val dot = sum(ai *:* dai)
@@ -423,7 +542,7 @@ object TransformerAE {
         gm("cwq") :+= cch.r1.t * dCq
         gm("cwk") :+= enc.t * dCk
         gm("cwv") :+= enc.t * dCv
-        for (i <- 0 until t) {
+        for (i <- 0 until tE) {
           gb("cwq") :+= dCq(i, ::).t; gb("cwk") :+= dCk(i, ::).t
           gb("cwv") :+= dCv(i, ::).t
         }
@@ -435,19 +554,19 @@ object TransformerAE {
         // causal self-attn backward: r1Pre = x + swo(sCtx)
         val dSOut = dR1Pre
         gm("swo") :+= cch.sCtx.t * dSOut
-        for (i <- 0 until t) gb("swo") :+= dSOut(i, ::).t
+        for (i <- 0 until tE) gb("swo") :+= dSOut(i, ::).t
         val dSCtx = dSOut * m("swo").t
-        val dSq = DenseMatrix.zeros[Double](t, d)
-        val dSk = DenseMatrix.zeros[Double](t, d)
-        val dSv = DenseMatrix.zeros[Double](t, d)
+        val dSq = DenseMatrix.zeros[Double](tE, d)
+        val dSk = DenseMatrix.zeros[Double](tE, d)
+        val dSv = DenseMatrix.zeros[Double](tE, d)
         for (hh <- 0 until cfg.heads) {
           val sl = hh * hd until (hh + 1) * hd
           val a = cch.sAttn(hh)
           val dCtxH = dSCtx(::, sl)
           val dA = dCtxH * cch.sv(::, sl).t
           dSv(::, sl) :+= a.t * dCtxH
-          val dScores = DenseMatrix.zeros[Double](t, t)
-          for (i <- 0 until t) {
+          val dScores = DenseMatrix.zeros[Double](tE, tE)
+          for (i <- 0 until tE) {
             val ai = a(i, ::).t
             val dai = dA(i, ::).t
             val dot = sum(ai *:* dai)
@@ -460,32 +579,20 @@ object TransformerAE {
         gm("swq") :+= cch.x.t * dSq
         gm("swk") :+= cch.x.t * dSk
         gm("swv") :+= cch.x.t * dSv
-        for (i <- 0 until t) {
+        for (i <- 0 until tE) {
           gb("swq") :+= dSq(i, ::).t; gb("swk") :+= dSk(i, ::).t
           gb("swv") :+= dSv(i, ::).t
         }
         dG = dR1Pre + (dSq * m("swq").t) + (dSk * m("swk").t) + (dSv * m("swv").t)
       }
-      // decoder input backward through the shared projection: g0 =
-      // (trgX0 W + b) * scale + pos; embedding grads scatter SHIFTED
+      // g0 = trgProj * scale + pos; trg row 0 is the constant zero vector,
+      // rows 1.. shift back onto srcProj rows 0..
       lay.mat("pos", grad) :+= dG
-      val dPreT = dG * scale
-      lay.mat("linSeq_w", grad) :+= trgX0.t * dPreT
-      val dBSeqT = lay.vec("linSeq_b", grad)
-      for (i <- 0 until t) dBSeqT :+= dPreT(i, ::).t
-      val dTrgX0 = dPreT * wSeq.t
-      for (i <- 1 until t) {
-        var off = 0
-        for (c <- 0 until nCat) {
-          val tableG = lay.mat(s"emb$c", grad)
-          val code = math.min(math.max(catCodes(i - 1)(c), 0), tableG.rows - 1)
-          tableG(code, ::) :+= dTrgX0(i, off until off + embDims(c))
-          off += embDims(c)
-        }
-      }
+      val dTrgProj = dG * scale
+      for (i <- 1 until tE) dSrcProj(i - 1, ::) :+= dTrgProj(i, ::)
     }
 
-    // ---- backward through layers --------------------------------------
+    // ---- backward through encoder layers ------------------------------
     var dH = dEnc
     for (l <- (cfg.layers - 1) to 0 by -1) {
       val cch = caches(l)
@@ -496,14 +603,14 @@ object TransformerAE {
       val dRes2Pre = lnBwd(dH, cch.ln2Xhat, cch.ln2Inv,
         lay.vec(s"l${l}_ln2_g", p),
         lay.vec(s"l${l}_ln2_g", grad), lay.vec(s"l${l}_ln2_b", grad))
-      // res2Pre = res1 + ff2(tanh(ff1(res1)))
+      // res2Pre = res1 + ff2(relu(ff1(res1)))
       val dFf = dRes2Pre
       gm("ff2") :+= cch.ffAct.t * dFf
-      for (i <- 0 until t) gb("ff2") :+= dFf(i, ::).t
+      for (i <- 0 until tE) gb("ff2") :+= dFf(i, ::).t
       val dFfAct = dFf * m("ff2").t
-      val dFfPre = dFfAct *:* (1.0 - (cch.ffAct *:* cch.ffAct))
+      val dFfPre = reluBwd(dFfAct, cch.ffAct)
       gm("ff1") :+= cch.res1.t * dFfPre
-      for (i <- 0 until t) gb("ff1") :+= dFfPre(i, ::).t
+      for (i <- 0 until tE) gb("ff1") :+= dFfPre(i, ::).t
       val dRes1 = dRes2Pre + (dFfPre * m("ff1").t)
       // ln1
       val dRes1Pre = lnBwd(dRes1, cch.ln1Xhat, cch.ln1Inv,
@@ -512,12 +619,12 @@ object TransformerAE {
       // res1Pre = x + wo(ctx)
       val dAttnOut = dRes1Pre
       gm("wo") :+= cch.ctx.t * dAttnOut
-      for (i <- 0 until t) gb("wo") :+= dAttnOut(i, ::).t
+      for (i <- 0 until tE) gb("wo") :+= dAttnOut(i, ::).t
       val dCtx = dAttnOut * m("wo").t
       val hd = cfg.headDim
-      val dQ = DenseMatrix.zeros[Double](t, d)
-      val dK = DenseMatrix.zeros[Double](t, d)
-      val dV = DenseMatrix.zeros[Double](t, d)
+      val dQ = DenseMatrix.zeros[Double](tE, d)
+      val dK = DenseMatrix.zeros[Double](tE, d)
+      val dV = DenseMatrix.zeros[Double](tE, d)
       for (hh <- 0 until cfg.heads) {
         val sl = hh * hd until (hh + 1) * hd
         val a = cch.attn(hh)
@@ -525,8 +632,8 @@ object TransformerAE {
         val dA = dCtxH * cch.v(::, sl).t
         dV(::, sl) :+= a.t * dCtxH
         // softmax backward per row
-        val dScores = DenseMatrix.zeros[Double](t, t)
-        for (i <- 0 until t) {
+        val dScores = DenseMatrix.zeros[Double](tE, tE)
+        for (i <- 0 until tE) {
           val ai = a(i, ::).t
           val dai = dA(i, ::).t
           val dot = sum(ai *:* dai)
@@ -539,43 +646,66 @@ object TransformerAE {
       gm("wq") :+= cch.x.t * dQ
       gm("wk") :+= cch.x.t * dK
       gm("wv") :+= cch.x.t * dV
-      for (i <- 0 until t) {
+      for (i <- 0 until tE) {
         gb("wq") :+= dQ(i, ::).t; gb("wk") :+= dK(i, ::).t; gb("wv") :+= dV(i, ::).t
       }
       dH = dRes1Pre + (dQ * m("wq").t) + (dK * m("wk").t) + (dV * m("wv").t)
     }
-    // h0 = (x0 W + b) * scale + pos
+    // h0 = srcProj * scale + pos
     lay.mat("pos", grad) :+= dH
-    val dPre = dH * scale
-    lay.mat("linSeq_w", grad) :+= x0.t * dPre
+    dSrcProj :+= dH * scale
+
+    // ---- projection backward ------------------------------------------
+    val dSeqProj = dSrcProj(0 until t, ::)
+    lay.mat("linSeq_w", grad) :+= x0.t * dSeqProj
     val dBSeq = lay.vec("linSeq_b", grad)
-    for (i <- 0 until t) dBSeq :+= dPre(i, ::).t
-    val dX0 = dPre * wSeq.t
+    for (i <- 0 until t) dBSeq :+= dSeqProj(i, ::).t
+    val dX0 = dSeqProj * wSeq.t
     for (i <- 0 until t) {
       var off = 0
       for (c <- 0 until nCat) {
-        val tableG = lay.mat(s"emb$c", grad)
-        val code = math.min(math.max(catCodes(i)(c), 0), tableG.rows - 1)
-        tableG(code, ::) :+= dX0(i, off until off + embDims(c))
+        if (seqEmbGradOut != null)
+          seqEmbGradOut(i, off until off + embDims(c)) := dX0(i, off until off + embDims(c))
+        else if (seqEmbInput == null) {
+          val tableG = lay.mat(s"emb$c", grad)
+          val code = math.min(math.max(catCodes(i)(c), 0), tableG.rows - 1)
+          tableG(code, ::) :+= dX0(i, off until off + embDims(c))
+        }
         off += embDims(c)
       }
       if (contGradOut != null)
         for (c <- 0 until cfg.nCont) contGradOut(i)(c) = dX0(i, embDims.sum + c)
     }
+    if (cfg.hasNonSeq) {
+      val dNs = dSrcProj(tE - 1, ::).t
+      val wNs = lay.mat("linNonSeq_w", p)
+      lay.mat("linNonSeq_w", grad) :+= nsx0 * dNs.t
+      lay.vec("linNonSeq_b", grad) :+= dNs
+      val dNsX0 = wNs * dNs
+      var off = 0
+      for (c <- 0 until nNsCat) {
+        val tableG = lay.mat(s"nsEmb$c", grad)
+        val code = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), tableG.rows - 1)
+        tableG(code, ::) :+= dNsX0(off until off + nsEmbDims(c)).t
+        off += nsEmbDims(c)
+      }
+    }
     loss
   }
 
-  /** Inference: flattened encoder output (same as EncoderWeights.forward
-    * but over the flat-param model). */
+  /** Inference: flattened encoder output over tEff timesteps (same as
+    * EncoderWeights.forward but over the flat-param model). */
   def embed(cfg: AeConfig, lay: ParamLayout, p: Array[Double],
-      catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Float] =
-    embedDouble(cfg, lay, p, catCodes, cont).map(_.toFloat)
+      catCodes: Array[Array[Int]], cont: Array[Array[Double]],
+      nsCat: Array[Int] = null, nsCont: Array[Double] = null): Array[Float] =
+    embedDouble(cfg, lay, p, catCodes, cont, nsCat, nsCont).map(_.toFloat)
 
   /** Double-precision embed (numerics tests need it — float output would
     * drown finite differences in quantization). */
   def embedDouble(cfg: AeConfig, lay: ParamLayout, p: Array[Double],
-      catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Double] = {
-    val t = cfg.seqLen; val d = cfg.dModel
+      catCodes: Array[Array[Int]], cont: Array[Array[Double]],
+      nsCat: Array[Int] = null, nsCont: Array[Double] = null): Array[Double] = {
+    val t = cfg.seqLen; val tE = cfg.tEff; val d = cfg.dModel
     val embDims = cfg.embDims
     val x0 = DenseMatrix.zeros[Double](t, cfg.inDim)
     for (i <- 0 until t) {
@@ -588,8 +718,26 @@ object TransformerAE {
       }
       for (c <- 0 until cfg.nCont) x0(i, embDims.sum + c) = cont(i)(c)
     }
-    var h = x0 * lay.mat("linSeq_w", p)
-    h(*, ::) :+= lay.vec("linSeq_b", p)
+    var h = DenseMatrix.zeros[Double](tE, d)
+    locally {
+      val m = x0 * lay.mat("linSeq_w", p)
+      m(*, ::) :+= lay.vec("linSeq_b", p)
+      h(0 until t, ::) := m
+      if (cfg.hasNonSeq) {
+        val nsEmbDims = cfg.nsEmbDims
+        val v = DenseVector.zeros[Double](cfg.nsInDim)
+        var off = 0
+        for (c <- cfg.nonSeqVocabSizes.indices) {
+          val table = lay.mat(s"nsEmb$c", p)
+          val code = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), table.rows - 1)
+          v(off until off + nsEmbDims(c)) := table(code, ::).t
+          off += nsEmbDims(c)
+        }
+        for (c <- 0 until cfg.nNonSeqCont)
+          v(nsEmbDims.sum + c) = if (nsCont != null) nsCont(c) else 0.0
+        h(t, ::) := ((lay.mat("linNonSeq_w", p).t * v) + lay.vec("linNonSeq_b", p)).t
+      }
+    }
     h :*= math.sqrt(d.toDouble)
     h += lay.mat("pos", p)
     for (l <- 0 until cfg.layers) {
@@ -599,7 +747,7 @@ object TransformerAE {
       val k = h * m("wk"); k(*, ::) :+= b("wk")
       val v = h * m("wv"); v(*, ::) :+= b("wv")
       val hd = cfg.headDim
-      val ctx = DenseMatrix.zeros[Double](t, d)
+      val ctx = DenseMatrix.zeros[Double](tE, d)
       for (hh <- 0 until cfg.heads) {
         val sl = hh * hd until (hh + 1) * hd
         val a = softmaxRows((q(::, sl) * k(::, sl).t) / math.sqrt(hd.toDouble))
@@ -609,14 +757,14 @@ object TransformerAE {
       val (res1, _, _) = lnFwd(h + attnOut,
         lay.vec(s"l${l}_ln1_g", p), lay.vec(s"l${l}_ln1_b", p))
       val ffPre = res1 * m("ff1"); ffPre(*, ::) :+= b("ff1")
-      val ff = tanh(ffPre) * m("ff2"); ff(*, ::) :+= b("ff2")
+      val ff = relu(ffPre) * m("ff2"); ff(*, ::) :+= b("ff2")
       val (out, _, _) = lnFwd(res1 + ff,
         lay.vec(s"l${l}_ln2_g", p), lay.vec(s"l${l}_ln2_b", p))
       h = out
     }
-    val out = new Array[Double](t * d)
+    val out = new Array[Double](tE * d)
     var idx = 0
-    for (i <- 0 until t; j <- 0 until d) { out(idx) = h(i, j); idx += 1 }
+    for (i <- 0 until tE; j <- 0 until d) { out(idx) = h(i, j); idx += 1 }
     out
   }
 }

@@ -1,7 +1,7 @@
 package graft.nn
 
 import breeze.linalg.{*, argmax, DenseMatrix, DenseVector, max, sum}
-import breeze.numerics.{exp, sqrt => bsqrt, tanh}
+import breeze.numerics.{exp, sqrt => bsqrt}
 
 /**
  * Transformer-encoder numerics (SURVEY.md §2.I) in Breeze, mirroring the
@@ -68,6 +68,10 @@ object Layers {
     out
   }
 
+  /** ReLU (the reference FFN activation, transformer.py:158). */
+  def relu(m: DenseMatrix[Double]): DenseMatrix[Double] =
+    m.map(v => if (v > 0) v else 0.0)
+
   /** Row-wise LayerNorm with learned gain/bias. */
   def layerNorm(x: DenseMatrix[Double], g: DenseVector[Double],
       b: DenseVector[Double], eps: Double = 1e-5): DenseMatrix[Double] = {
@@ -104,7 +108,7 @@ final case class EncoderLayer(
     }
     val attnOut = wo(ctx)
     val res1 = Layers.layerNorm(x + attnOut, ln1g, ln1b)
-    val ff = ff2(tanh(ff1(res1))) // reference FFN uses an activation between fcs
+    val ff = ff2(Layers.relu(ff1(res1))) // ReLU FFN (transformer.py:158)
     Layers.layerNorm(res1 + ff, ln2g, ln2b)
   }
 }
@@ -112,20 +116,28 @@ final case class EncoderLayer(
 /** Full weight set for the unified transformer encoder. */
 final case class EncoderWeights(
     cfg: TransformerConfig,
-    catEmbeddings: Seq[DenseMatrix[Double]], // per cat col: (vocab+1) x dim
+    catEmbeddings: Seq[DenseMatrix[Double]], // per seq cat col: (vocab+1) x dim
     linearSeq: Linear,                       // (sum emb dims + nCont) -> d
     posEmbedding: DenseMatrix[Double],       // maxLen x d
-    layersW: Seq[EncoderLayer]) {
+    layersW: Seq[EncoderLayer],
+    nonSeqEmbeddings: Seq[DenseMatrix[Double]] = Nil, // per non-seq cat col
+    linearNonSeq: Option[Linear] = None) {   // (sum ns emb dims + nNsCont) -> d
 
   def embeddingDims: Seq[Int] = catEmbeddings.map(_.cols)
   def inputDim: Int = embeddingDims.sum + (linearSeq.w.rows - embeddingDims.sum)
+  def hasNonSeq: Boolean = linearNonSeq.nonEmpty
 
   /**
    * Forward one entity: catCodes (T x nCat, 0=UNK valid index), cont
-   * (T x nCont) -> flattened (T*d) embedding.
+   * (T x nCont), plus optional non-seq features projected through
+   * linear_non_seq and appended as one extra timestep
+   * (unified_transformer_encoder.py:93-96) -> flattened (T' * d) embedding,
+   * T' = T (+1 with non-seq).
    */
-  def forward(catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Float] = {
+  def forward(catCodes: Array[Array[Int]], cont: Array[Array[Double]],
+      nsCat: Array[Int] = null, nsCont: Array[Double] = null): Array[Float] = {
     val t = catCodes.length
+    val tE = t + (if (hasNonSeq) 1 else 0)
     val nCat = if (t > 0) catCodes(0).length else 0
     val nCont = if (t > 0) cont(0).length else 0
     val embTotal = embeddingDims.sum
@@ -140,25 +152,47 @@ final case class EncoderWeights(
       }
       for (c <- 0 until nCont) x0(i, embTotal + c) = cont(i)(c)
     }
-    var h = linearSeq(x0) * math.sqrt(cfg.dModel.toDouble)
-    h = h + posEmbedding(0 until t, ::)
+    var h = DenseMatrix.zeros[Double](tE, cfg.dModel)
+    h(0 until t, ::) := linearSeq(x0)
+    linearNonSeq.foreach { lin =>
+      val nsEmbTotal = nonSeqEmbeddings.map(_.cols).sum
+      val nsIn = DenseVector.zeros[Double](lin.w.rows)
+      var off = 0
+      for (c <- nonSeqEmbeddings.indices) {
+        val table = nonSeqEmbeddings(c)
+        val code = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), table.rows - 1)
+        nsIn(off until off + table.cols) := table(code, ::).t
+        off += table.cols
+      }
+      if (nsCont != null)
+        for (c <- nsCont.indices) nsIn(nsEmbTotal + c) = nsCont(c)
+      h(t, ::) := ((lin.w.t * nsIn) + lin.b).t
+    }
+    h = (h * math.sqrt(cfg.dModel.toDouble)) + posEmbedding(0 until tE, ::)
     for (layer <- layersW) h = layer.forward(h, cfg)
-    val out = new Array[Float](t * cfg.dModel)
+    val out = new Array[Float](tE * cfg.dModel)
     var idx = 0
-    for (i <- 0 until t; j <- 0 until cfg.dModel) { out(idx) = h(i, j).toFloat; idx += 1 }
+    for (i <- 0 until tE; j <- 0 until cfg.dModel) { out(idx) = h(i, j).toFloat; idx += 1 }
     out
   }
 }
 
 object EncoderWeights {
 
-  /** Deterministic init from vocab sizes and the cont-feature count. */
-  def init(cfg: TransformerConfig, vocabSizes: Seq[Long], nCont: Int): EncoderWeights = {
+  /** Deterministic init from vocab sizes and the cont-feature count; pass
+    * non-seq vocab sizes / cont count to enable the extra-timestep branch. */
+  def init(cfg: TransformerConfig, vocabSizes: Seq[Long], nCont: Int,
+      nonSeqVocabSizes: Seq[Long] = Nil, nNonSeqCont: Int = 0): EncoderWeights = {
     val rng = new scala.util.Random(cfg.seed)
     val embs = vocabSizes.map(v =>
       Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
     val inDim = embs.map(_.cols).sum + nCont
     val linearSeq = Layers.linear(rng, inDim, cfg.dModel)
+    val nsEmbs = nonSeqVocabSizes.map(v =>
+      Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
+    val nsInDim = nsEmbs.map(_.cols).sum + nNonSeqCont
+    val linearNonSeq =
+      if (nsInDim > 0) Some(Layers.linear(rng, nsInDim, cfg.dModel)) else None
     val pos = Layers.xavier(rng, cfg.maxLen, cfg.dModel)
     val layers = Seq.fill(cfg.layers) {
       EncoderLayer(
@@ -171,6 +205,6 @@ object EncoderWeights {
         DenseVector.ones[Double](cfg.dModel), DenseVector.zeros[Double](cfg.dModel),
         DenseVector.ones[Double](cfg.dModel), DenseVector.zeros[Double](cfg.dModel))
     }
-    EncoderWeights(cfg, embs, linearSeq, pos, layers)
+    EncoderWeights(cfg, embs, linearSeq, pos, layers, nsEmbs, linearNonSeq)
   }
 }

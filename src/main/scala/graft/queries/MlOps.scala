@@ -1,18 +1,21 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.analyze.Segmentation
 import graft.core.{ColumnRoles, Tables}
 import graft.ml.CasprScorer
 import graft.nn.TransformerConfig
-import graft.prep.{CasprFeaturizer, FeaturizerConfig}
+import graft.prep.{CasprFeaturizer, Encoding, FeaturizerConfig}
 import graft.train.{LinearAutoencoder, TrainConfig}
 import Catalog.{HistoryDays, PredTs}
 
 /**
  * Model-side surfaces (SURVEY.md §2.I/J/K). Not SQL-expressible, so these
  * carry no DuckDB oracle (driver records rows-only checks); invariants are
- * covered in MlSpec instead.
+ * covered in MlSpec instead. Embedding outputs are projected to
+ * deterministic SCALAR columns (norm + leading dims) so row-level
+ * comparators can sort them — raw array columns crash pandas sorting.
  */
 object MlOps extends QueryGroup {
 
@@ -34,18 +37,60 @@ object MlOps extends QueryGroup {
     (model, model.transform(input))
   }
 
+  /** Driver-checkable projection of an (id, embedding) frame: L2 norm +
+    * first 4 dims as rounded scalars. */
+  private def embedScalars(df: DataFrame): DataFrame = {
+    val id = df.columns.head
+    df.select(
+      col(id),
+      round(sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("emb_norm"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("emb_d0"),
+      round(element_at(col("embedding"), 2).cast("double"), 6).as("emb_d1"),
+      round(element_at(col("embedding"), 3).cast("double"), 6).as("emb_d2"),
+      round(element_at(col("embedding"), 4).cast("double"), 6).as("emb_d3"))
+  }
+
   def queries: Seq[QueryDef] = Seq(
 
-    // J6 scoring: featurize -> deterministic transformer encoder -> embeddings
+    // J6 scoring: featurize (with the customer profile as NON-SEQ inputs,
+    // I8 extra timestep) -> deterministic transformer encoder -> embeddings
     QueryDef("q_score_embeddings",
       (s, dir) => {
-        val (model, wide) = featurized(s, dir)
-        val vocab = Map("event_type" ->
-          (model.encodings("event_type").mapping.count() + 1))
-        CasprScorer.forWide(TransformerConfig(dModel = 16, heads = 2, layers = 2, pf = 8),
-            "user_id", vocab, seqLen,
-            seqCat = Seq("event_type"), seqCont = Seq("value", "ts_days"))
-          .transform(wide)
+        val ev = Tables.load(s, dir, "events")
+        val cust = Tables.load(s, dir, "customer")
+        val input = ev
+          .join(cust.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+            ev("user_id") === col("c_custkey"), "inner").drop("c_custkey")
+          .withColumn("pred_date", to_timestamp(lit(PredTs)))
+        val roles = ColumnRoles(
+          tgtId = Seq("user_id"), activityDate = "ts", predictionDate = "pred_date",
+          catCols = Seq("event_type"), contCols = Seq("value"),
+          seqCols = Seq("event_type", "value", "ts"),
+          nonSeqCols = Seq("c_acctbal", "c_mktsegment"),
+          dateCols = Seq("ts"))
+        val cfg = FeaturizerConfig(roles, seqLen = seqLen, historyDays = HistoryDays,
+          tiebreak = Seq("event_id"))
+        val model = CasprFeaturizer.fit(input, cfg)
+        val wide = model.transform(input)
+        // non-seq prep: encode the cat; min-max the cont (scalar-stats
+        // broadcast, same pattern as the reference's non-seq scalers)
+        val segEnc = Encoding.fit(wide, "c_mktsegment")
+        val mm = wide.agg(min("c_acctbal").as("__mn"), max("c_acctbal").as("__mx"))
+        val wideEnc = Encoding.apply(wide, segEnc)
+          .crossJoin(broadcast(mm))
+          .withColumn("c_acctbal",
+            (col("c_acctbal") - col("__mn")) / (col("__mx") - col("__mn")))
+          .drop("__mn", "__mx")
+        val vocab = Map(
+          "event_type" -> (model.encodings("event_type").mapping.count() + 1),
+          "c_mktsegment" -> (segEnc.mapping.count() + 1))
+        embedScalars(
+          CasprScorer.forWide(TransformerConfig(dModel = 16, heads = 2, layers = 2, pf = 8),
+              "user_id", vocab, seqLen,
+              seqCat = Seq("event_type"), seqCont = Seq("value", "ts_days"),
+              nonSeqCat = Seq("c_mktsegment"), nonSeqCont = Seq("c_acctbal"))
+            .transform(wideEnc))
       },
       None),
 
@@ -56,10 +101,10 @@ object MlOps extends QueryGroup {
         val vocab = model.encodings("event_type").mapping.count() + 1
         val w = graft.nn.LstmEncoderWeights.init(hidden = 16, outDim = 16,
           vocabSizes = Seq(vocab), nCont = 2)
-        graft.ml.LstmScorerModel(w, "user_id",
+        embedScalars(graft.ml.LstmScorerModel(w, "user_id",
           Seq((1 to seqLen).map(t => s"event_type_$t")),
           Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")))
-          .transform(wide)
+          .transform(wide))
       },
       None),
 
@@ -77,7 +122,8 @@ object MlOps extends QueryGroup {
       None),
 
     // Full CASPR lifecycle: featurize -> pretrain transformer AE (3 epochs,
-    // distributed treeAggregate grads) -> score with trained weights
+    // mini-batched distributed treeAggregate grads, reference batch-step
+    // training spark/large/train.py:35) -> score with trained weights
     QueryDef("q_train_transformer",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
@@ -88,8 +134,12 @@ object MlOps extends QueryGroup {
         val catCols = Seq((1 to seqLen).map(t => s"event_type_$t"))
         val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
         val res = graft.train.TransformerTrainer.fit(wide, cfg, catCols, contCols,
-          graft.train.TrainConfig(lr = 1e-2, maxEpochs = 3, warmupEpochs = 1))
-        graft.train.TransformerTrainer.transform(wide, res, "user_id", catCols, contCols)
+          graft.train.TrainConfig(lr = 1e-2, maxEpochs = 3, warmupEpochs = 1),
+          batchSize = 1024)
+        embedScalars(
+          graft.train.TransformerTrainer.transform(wide, res, "user_id", catCols, contCols))
+          .withColumn("final_loss", round(lit(res.losses.last), 6))
+          .withColumn("epochs", lit(res.stoppedAt.toLong))
       },
       None),
 
@@ -102,19 +152,22 @@ object MlOps extends QueryGroup {
       },
       None),
 
-    // K4 explainability: integrated-gradients attributions of the cont
-    // sequence features toward embedding dim 0 (completeness-tested)
+    // K4 explainability: integrated-gradients attributions of the cat
+    // (embedding-space interpolation) and cont sequence features toward
+    // embedding dim 0 (completeness-tested); per-(feature, t) scalar columns
     QueryDef("q_explain_ig",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
         val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
         val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
-        graft.analyze.Explainer.integratedGradients(wide, cfg, cfg.initParams(),
-          "user_id",
+        val attrs = graft.analyze.Explainer.integratedGradients(wide, cfg,
+          cfg.initParams(), "user_id",
           Seq((1 to seqLen).map(t => s"event_type_$t")),
           Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")),
           targetDim = 0)
+        attrs.columns.filter(_.startsWith("attr_"))
+          .foldLeft(attrs)((d, c) => d.withColumn(c, round(col(c), 6)))
       },
       None),
 

@@ -1,7 +1,6 @@
 package graft.train
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.nn.{AeConfig, TransformerAE}
 
@@ -12,17 +11,31 @@ import graft.nn.{AeConfig, TransformerAE}
  * J1/J2/J4/J5 (train.py:133-193, spark/large/train.py:112-261) with Spark
  * primitives: broadcast = param sync, treeAggregate = allreduce, driver =
  * rank-0 optimizer/scheduler/early-stop.
+ *
+ * Like the reference (which steps on 32k-row batches, spark/large/
+ * train.py:35), each epoch samples a mini-batch of ~`batchSize` examples
+ * from the cached example RDD (deterministic per-epoch seed) instead of
+ * sweeping the full corpus per optimizer step — sampling is a narrow op
+ * against the cache, so the per-epoch cost is proportional to the batch,
+ * not the corpus.
  */
 object TransformerTrainer {
 
   final case class Result(cfg: AeConfig, params: Array[Double],
       losses: Seq[Double], stoppedAt: Int)
 
-  /** Extract (T x nCat codes, T x nCont doubles) examples from wide rows. */
+  private type Example =
+    (Array[Array[Int]], Array[Array[Double]], Array[Int], Array[Double])
+
+  /** Extract (T x nCat codes, T x nCont doubles, ns codes, ns doubles)
+    * examples from wide rows. */
   private def examples(wide: DataFrame, seqCatCols: Seq[Seq[String]],
-      seqContCols: Seq[Seq[String]]) = {
+      seqContCols: Seq[Seq[String]],
+      nonSeqCatCols: Seq[String], nonSeqContCols: Seq[String]) = {
     val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
     val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
+    val nsCatIdx = nonSeqCatCols.map(wide.schema.fieldIndex)
+    val nsContIdx = nonSeqContCols.map(wide.schema.fieldIndex)
     val t = seqCatCols.headOption.map(_.size)
       .orElse(seqContCols.headOption.map(_.size)).getOrElse(0)
     wide.rdd.map { row =>
@@ -34,17 +47,33 @@ object TransformerTrainer {
         val v = row.get(contIdx(c)(ts))
         if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
       }
-      (cat, cont)
+      val nsCat = Array.tabulate(nsCatIdx.size) { c =>
+        val v = row.get(nsCatIdx(c))
+        if (v == null) 0 else v.asInstanceOf[Number].intValue()
+      }
+      val nsCont = Array.tabulate(nsContIdx.size) { c =>
+        val v = row.get(nsContIdx(c))
+        if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+      }
+      (cat, cont, nsCat, nsCont): Example
     }
   }
 
   def fit(wide: DataFrame, cfg: AeConfig,
       seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
-      train: TrainConfig): Result = {
+      train: TrainConfig,
+      nonSeqCatCols: Seq[String] = Nil, nonSeqContCols: Seq[String] = Nil,
+      batchSize: Int = 4096): Result = {
     val spark = wide.sparkSession
     val lay = cfg.layout
-    val data = examples(wide, seqCatCols, seqContCols)
+    val data = examples(wide, seqCatCols, seqContCols, nonSeqCatCols, nonSeqContCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = data.count()
+    // oversample slightly so the expected batch lands at batchSize even
+    // after Bernoulli variance; fraction 1 = full-batch (small corpora)
+    val fraction =
+      if (batchSize <= 0 || total <= batchSize) 1.0
+      else math.min(1.0, batchSize * 1.05 / total)
 
     val params = cfg.initParams()
     val n = lay.totalSize
@@ -56,10 +85,14 @@ object TransformerTrainer {
     var stopped = false
     while (epoch < train.maxEpochs && !stopped) {
       val bc = spark.sparkContext.broadcast(params)
+      val batch =
+        if (fraction >= 1.0) data
+        else data.sample(withReplacement = false, fraction, train.seed + epoch)
       val zero = new Array[Double](n + 2)
-      val acc = data.treeAggregate(zero)(
+      val acc = batch.treeAggregate(zero)(
         seqOp = (a, ex) => {
-          val loss = TransformerAE.lossAndGrad(cfg, lay, bc.value, a, ex._1, ex._2)
+          val loss = TransformerAE.lossAndGrad(cfg, lay, bc.value, a, ex._1, ex._2,
+            nsCat = ex._3, nsCont = ex._4)
           a(n) += loss; a(n + 1) += 1.0; a
         },
         combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
@@ -77,14 +110,18 @@ object TransformerTrainer {
     Result(cfg, params, losses.toSeq, epoch)
   }
 
-  /** Score with trained weights: embedding = flattened encoder output. */
+  /** Score with trained weights: embedding = flattened encoder output over
+    * tEff timesteps (+1 with non-seq features, I8). */
   def transform(wide: DataFrame, res: Result, idCol: String,
-      seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]]): DataFrame = {
+      seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
+      nonSeqCatCols: Seq[String] = Nil, nonSeqContCols: Seq[String] = Nil): DataFrame = {
     val spark = wide.sparkSession
     val lay = res.cfg.layout
     val bc = spark.sparkContext.broadcast(res.params)
     val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
     val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
+    val nsCatIdx = nonSeqCatCols.map(wide.schema.fieldIndex)
+    val nsContIdx = nonSeqContCols.map(wide.schema.fieldIndex)
     val t = res.cfg.seqLen
     val idIdx = wide.schema.fieldIndex(idCol)
     val outSchema = StructType(Seq(wide.schema(idIdx),
@@ -100,7 +137,16 @@ object TransformerTrainer {
           val v = row.get(contIdx(c)(ts))
           if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
         }
-        Row(row.get(idIdx), TransformerAE.embed(res.cfg, lay, p, cat, cont))
+        val nsCat = Array.tabulate(nsCatIdx.size) { c =>
+          val v = row.get(nsCatIdx(c))
+          if (v == null) 0 else v.asInstanceOf[Number].intValue()
+        }
+        val nsCont = Array.tabulate(nsContIdx.size) { c =>
+          val v = row.get(nsContIdx(c))
+          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+        }
+        Row(row.get(idIdx),
+          TransformerAE.embed(res.cfg, lay, p, cat, cont, nsCat, nsCont))
       }
     }(Encoders.row(outSchema))
   }

@@ -71,6 +71,53 @@ class AutodiffSpec extends AnyFunSuite {
     assert(e1.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("non-seq branch (I8): extra timestep changes the embedding; gradients match FD") {
+    val nscfg = cfg.copy(nonSeqVocabSizes = Seq(3), nNonSeqCont = 2, seed = 31L,
+      decoderLayers = 1)
+    val nslay = nscfg.layout
+    assert(nscfg.tEff == cfg.seqLen + 1)
+    val p = nscfg.initParams()
+    val nsCat = Array(2)
+    val nsCont = Array(0.7, -0.2)
+    // embedding responds to non-seq inputs
+    val e1 = TransformerAE.embedDouble(nscfg, nslay, p, cat, cont, nsCat, nsCont)
+    val e2 = TransformerAE.embedDouble(nscfg, nslay, p, cat, cont, Array(1), nsCont)
+    val e3 = TransformerAE.embedDouble(nscfg, nslay, p, cat, cont, nsCat, Array(0.1, 0.9))
+    assert(e1.length == nscfg.tEff * nscfg.dModel)
+    assert(!e1.sameElements(e2), "changing the non-seq cat code must change the embedding")
+    assert(!e1.sameElements(e3), "changing the non-seq cont input must change the embedding")
+    // gradient check over every block incl. nsEmb/linNonSeq/headNs*
+    val grad = new Array[Double](nslay.totalSize)
+    val loss0 = TransformerAE.lossAndGrad(nscfg, nslay, p, grad, cat, cont,
+      nsCat = nsCat, nsCont = nsCont)
+    assert(!loss0.isNaN && loss0 > 0)
+    val eps = 1e-6
+    val rng = new scala.util.Random(13)
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    nslay.specs.foreach { s =>
+      val (off, _) = nslay.offsets(s.name)
+      val picks = Seq.fill(math.min(3, s.size))(off + rng.nextInt(s.size)).distinct
+      picks.foreach { idx =>
+        val orig = p(idx)
+        p(idx) = orig + eps
+        val lp = TransformerAE.lossAndGrad(nscfg, nslay, p,
+          new Array[Double](nslay.totalSize), cat, cont, nsCat = nsCat, nsCont = nsCont)
+        p(idx) = orig - eps
+        val lm = TransformerAE.lossAndGrad(nscfg, nslay, p,
+          new Array[Double](nslay.totalSize), cat, cont, nsCat = nsCat, nsCont = nsCont)
+        p(idx) = orig
+        val numeric = (lp - lm) / (2 * eps)
+        val analytic = grad(idx)
+        val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
+        val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
+        val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
+        if (rel > 1e-4)
+          failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
+      }
+    }
+    assert(failures.isEmpty, s"non-seq gradient mismatches:\n${failures.mkString("\n")}")
+  }
+
   test("decoder path: gradients match finite differences; loss trains down") {
     val dcfg = cfg.copy(decoderLayers = 1, seed = 23L)
     val dlay = dcfg.layout

@@ -43,14 +43,17 @@ class MlSpec extends SparkSpec {
     assert(emb.select("ae_embedding").head().getSeq[Float](0).size == 3)
   }
 
-  test("scoring query emits one embedding per entity") {
+  test("scoring query emits one embedding row per entity, scalar projections") {
     val out = SparkEntry.queries("q_score_embeddings")(spark, sf)
     val n = out.count()
     val users = graft.core.Tables.load(spark, sf, "events")
       .filter(col("ts") > to_timestamp(lit("2024-01-11 00:00:00")))
       .select("user_id").distinct().count()
-    assert(n == users)
-    assert(out.select("embedding").head().getSeq[Float](0).size == 5 * 16)
+    assert(n == users) // inner customer join: every user_id is a custkey
+    // array payloads are projected to sortable scalars for the driver
+    assert(out.columns.toSet == Set("user_id", "emb_norm", "emb_d0", "emb_d1", "emb_d2", "emb_d3"))
+    val row = out.orderBy("user_id").head()
+    assert(row.getDouble(out.columns.indexOf("emb_norm")) > 0.0)
   }
 
   test("training query: per-epoch losses decrease overall") {
