@@ -10,17 +10,24 @@ import org.apache.spark.sql.SparkSession
  * production, no output cost — a bare count() would let Spark prune every
  * column and time only the scan); one untimed warm-up of the whole suite
  * (JIT + parquet footer cache), then per-query best-of-2.
+ *
+ * Failures are NOT swallowed: a crashing query is reported in a "failed"
+ * list, its name + error go to stderr, and the process exits nonzero — a
+ * regression must never masquerade as a speedup by dropping out of the
+ * total.
  */
 object Bench {
 
   /** Headline subset: the flagship pipeline + one representative per
     * operator family (agg, window, pivot, normalize, dedup x3, ANN, text,
-    * multimodal). The rest of the catalog is correctness-gated in Verify. */
+    * multimodal, scoring, training x2). The rest of the catalog is
+    * correctness-gated in Verify. */
   val headline: Seq[String] = Seq(
     "q_pipeline_e2e", "q1_agg", "q_c1_rank", "q_e1_pivot", "q_h2_normalize",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_lsh",
     "q_text_simhash", "q_text_quality", "q_ann_brute", "q_ann_lsh",
-    "q_multimodal_meta", "q_score_embeddings", "q_train_transformer")
+    "q_multimodal_meta", "q_score_embeddings", "q_train_transformer",
+    "q_train_lstm_ae")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,14 +50,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    qs.foreach(n => try runOnce(n) catch { case _: Throwable => () }) // warm-up
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    qs.foreach { n => // warm-up (failures surface in the timed pass)
+      try runOnce(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+      }
+    }
     val results = qs.map { n =>
-      val t = try math.min(runOnce(n), runOnce(n)) catch { case _: Throwable => -1.0 }
+      val t =
+        try math.min(runOnce(n), runOnce(n))
+        catch { case e: Throwable =>
+          failed += n
+          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+          -1.0
+        }
       n -> t
     }
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -99,10 +99,15 @@ object LstmEncoderWeights {
 }
 
 /**
- * I2 DenseBnDropout block at inference (reference dense_bn_dropout.py:7-56:
- * [Linear -> ReLU -> BatchNorm1d -> Dropout] x k). Inference-mode BatchNorm
- * is the affine y = gamma*(x-mean)/sqrt(var+eps)+beta with running stats;
- * dropout is identity at inference.
+ * I2 DenseBnDropout block (reference dense_bn_dropout.py:7-56:
+ * [Linear -> ReLU -> BatchNorm1d -> Dropout] x k).
+ *
+ * Inference: the affine y = gamma*(x-mean)/sqrt(var+eps)+beta with RUNNING
+ * stats; dropout is identity. Training (`forwardTrain`): normalize with the
+ * BATCH stats and update the running stats in place with torch's
+ * BatchNorm1d momentum rule — biased variance normalizes the batch,
+ * UNBIASED variance feeds the running estimate (nn.BatchNorm1d defaults,
+ * momentum 0.1).
  */
 final case class DenseBnBlock(lin: Linear, gamma: DenseVector[Double],
     beta: DenseVector[Double], runMean: DenseVector[Double],
@@ -112,6 +117,26 @@ final case class DenseBnBlock(lin: Linear, gamma: DenseVector[Double],
     val h = (lin.w.t * x) + lin.b
     val relu = h.map(v => math.max(v, 0.0))
     ((relu - runMean) /:/ breeze.numerics.sqrt(runVar + eps)) *:* gamma + beta
+  }
+
+  /** Training-mode batch forward (rows = examples). Mutates runMean/runVar. */
+  def forwardTrain(xs: DenseMatrix[Double], momentum: Double = 0.1): DenseMatrix[Double] = {
+    val n = xs.rows
+    require(n > 1, "training-mode BatchNorm needs batch size > 1")
+    val h = lin(xs).map(v => math.max(v, 0.0)) // Linear -> ReLU
+    val d = h.cols
+    val mu = DenseVector.tabulate(d)(j => (0 until n).map(h(_, j)).sum / n)
+    val varB = DenseVector.tabulate(d) { j =>
+      (0 until n).map(i => math.pow(h(i, j) - mu(j), 2)).sum / n
+    }
+    val varU = varB * (n.toDouble / (n - 1))
+    runMean := (runMean * (1 - momentum)) + (mu * momentum)
+    runVar := (runVar * (1 - momentum)) + (varU * momentum)
+    val out = DenseMatrix.zeros[Double](n, d)
+    for (i <- 0 until n)
+      out(i, ::) := ((((h(i, ::).t - mu) /:/ breeze.numerics.sqrt(varB + eps))
+        *:* gamma) + beta).t
+    out
   }
 }
 

@@ -9,17 +9,36 @@ import breeze.numerics.{exp, sigmoid, tanh}
  * [[TransformerAE]], so the same broadcast+treeAggregate harness trains
  * either architecture.
  *
- * Objective (mirrors the pre-decoder transformer objective): per-timestep
- * reconstruction heads on the LSTM outputs (CE per cat col + MSE cont),
- * plus an MSE head on the pooled (Bahdanau context ++ h_n -> fuse)
- * embedding reconstructing the mean cont features — the latter gives the
- * attention/fuse parameters a gradient path. Serving embedding = the pooled
- * vector (reference unified_encoder.py:194-202 fuse; spark/score.py:60-61).
+ * Objectives, selected by `decoder`:
+ *  - "none": per-timestep reconstruction heads on the LSTM outputs (CE per
+ *    cat col + MSE cont) plus an MSE head on the pooled (Bahdanau context
+ *    ++ h_n -> fuse) embedding — the denoising objective used pre-round-2.
+ *  - "teacher" (I15, AutoencoderTeacherTraining, model_wrapper.py:158-214):
+ *    a one-layer LSTM decoder (I13, lstm_decoder.py:8-57) is initialized
+ *    with hidden = (fused embedding, c_T) — the reference's unified encoder
+ *    returns exactly that pair (unified_encoder.py:271) — and fed the
+ *    SHIFTED ground-truth inputs ([0; x_{0..T-2}], :183-188); per-step heads
+ *    out_cont = ReLU(linear(tanh(h))) and per-cat logits reconstruct step i.
+ *  - "auto" (I14, LSTMAutoencoder, model_wrapper.py:28-120): same decoder,
+ *    but step i's input is the PREVIOUS PREDICTION — argmax cat codes
+ *    re-embedded through the encoder's embedding tables ++ out_cont
+ *    (:74-86). Gradients flow through the out_cont input chain and the
+ *    re-embedded predicted codes' table rows (argmax itself is constant).
+ *
+ * In decoder modes the hidden-state init makes attention/fuse trainable
+ * through the decoder (h0 = fused embedding), so the pooled head is
+ * dropped; outDim must equal hidden. Serving embedding = the fused vector
+ * in every mode (spark/score.py:60-61).
  */
 final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
-    seqLen: Int, vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L) {
+    seqLen: Int, vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
+    decoder: String = "none") {
+  require(Seq("none", "teacher", "auto").contains(decoder))
+  require(decoder == "none" || outDim == hidden,
+    "decoder hidden init = fused embedding (unified_encoder.py:271) needs outDim == hidden")
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
   def inDim: Int = embDims.sum + nCont
+  def hasDecoder: Boolean = decoder != "none"
 
   def layout: ParamLayout = {
     val specs = Seq.newBuilder[ParamSpec]
@@ -36,14 +55,29 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     specs += ParamSpec("av", 1, attnDim)
     specs += ParamSpec("fuse_w", 2 * hidden, outDim)
     specs += ParamSpec("fuse_b", 1, outDim)
-    vocabSizes.zipWithIndex.foreach { case (v, i) =>
-      specs += ParamSpec(s"headCat${i}_w", hidden, v + 1)
-      specs += ParamSpec(s"headCat${i}_b", 1, v + 1)
+    if (hasDecoder) {
+      // I13 decoder cell + heads (lstm_decoder.py:27-33)
+      for (g <- Seq("i", "f", "g", "o")) {
+        specs += ParamSpec(s"dw$g", inDim, hidden)
+        specs += ParamSpec(s"du$g", hidden, hidden)
+        specs += ParamSpec(s"db$g", 1, hidden)
+      }
+      specs += ParamSpec("decCont_w", hidden, math.max(nCont, 1))
+      specs += ParamSpec("decCont_b", 1, math.max(nCont, 1))
+      vocabSizes.zipWithIndex.foreach { case (v, i) =>
+        specs += ParamSpec(s"decCat${i}_w", hidden, v + 1)
+        specs += ParamSpec(s"decCat${i}_b", 1, v + 1)
+      }
+    } else {
+      vocabSizes.zipWithIndex.foreach { case (v, i) =>
+        specs += ParamSpec(s"headCat${i}_w", hidden, v + 1)
+        specs += ParamSpec(s"headCat${i}_b", 1, v + 1)
+      }
+      specs += ParamSpec("headCont_w", hidden, math.max(nCont, 1))
+      specs += ParamSpec("headCont_b", 1, math.max(nCont, 1))
+      specs += ParamSpec("headPool_w", outDim, math.max(nCont, 1))
+      specs += ParamSpec("headPool_b", 1, math.max(nCont, 1))
     }
-    specs += ParamSpec("headCont_w", hidden, math.max(nCont, 1))
-    specs += ParamSpec("headCont_b", 1, math.max(nCont, 1))
-    specs += ParamSpec("headPool_w", outDim, math.max(nCont, 1))
-    specs += ParamSpec("headPool_b", 1, math.max(nCont, 1))
     new ParamLayout(specs.result())
   }
 
@@ -53,8 +87,9 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     val a = new Array[Double](lay.totalSize)
     lay.specs.foreach { s =>
       val (off, _) = lay.offsets(s.name)
-      if (s.name == "bf") for (i <- 0 until s.size) a(off + i) = 1.0 // forget bias
-      else if (s.name.startsWith("b") || s.name.endsWith("_b") || s.name == "ab1") ()
+      if (s.name == "bf" || s.name == "dbf")
+        for (i <- 0 until s.size) a(off + i) = 1.0 // forget bias
+      else if (s.name.matches("d?b[igo]") || s.name.endsWith("_b") || s.name == "ab1") ()
       else {
         val limit = math.sqrt(6.0 / (s.rows + s.cols))
         for (i <- 0 until s.size) a(off + i) = (rng.nextDouble() * 2 - 1) * limit
@@ -132,7 +167,141 @@ object LstmAE {
     var loss = 0.0
     val dOut = DenseMatrix.zeros[Double](t, h)
     var dEmb = DenseVector.zeros[Double](cfg.outDim)
+    var dcSeed = DenseVector.zeros[Double](h) // decoder dC_0 -> encoder c_T
     val doGrad = grad != null
+
+    if (cfg.hasDecoder) {
+      // ---- I13/I14/I15 decoder: hidden init (fused embedding, c_T),
+      // per-step heads out_cont = ReLU(lin(tanh(h))) + cat logits ---------
+      val dhs = DenseMatrix.zeros[Double](t + 1, h)
+      val dcs = DenseMatrix.zeros[Double](t + 1, h)
+      dhs(0, ::) := embedding.t
+      dcs(0, ::) := cs(t, ::)
+      val dIn = DenseMatrix.zeros[Double](t, cfg.inDim)
+      val dIg = DenseMatrix.zeros[Double](t, h); val dFg = DenseMatrix.zeros[Double](t, h)
+      val dGg = DenseMatrix.zeros[Double](t, h); val dOg = DenseMatrix.zeros[Double](t, h)
+      val dVec = DenseMatrix.zeros[Double](t, h) // tanh(h_i), lstm_decoder.py:47
+      val outCPre = DenseMatrix.zeros[Double](t, math.max(cfg.nCont, 1))
+      val outC = DenseMatrix.zeros[Double](t, math.max(cfg.nCont, 1))
+      val predCodes = Array.ofDim[Int](t, math.max(nCat, 1))
+      val probsCache = Array.ofDim[DenseVector[Double]](t, math.max(nCat, 1))
+      for (i <- 0 until t) {
+        val x = DenseVector.zeros[Double](cfg.inDim)
+        if (i > 0) {
+          // teacher: shifted ground truth (model_wrapper.py:183-188);
+          // auto: previous prediction re-embedded (model_wrapper.py:74-86)
+          var off = 0
+          for (c <- 0 until nCat) {
+            val table = lay.mat(s"emb$c", p)
+            val code0 = if (cfg.decoder == "teacher") catCodes(i - 1)(c) else predCodes(i - 1)(c)
+            val code = math.min(math.max(code0, 0), table.rows - 1)
+            x(off until off + embDims(c)) := table(code, ::).t
+            off += embDims(c)
+          }
+          for (c <- 0 until cfg.nCont)
+            x(embDims.sum + c) =
+              if (cfg.decoder == "teacher") cont(i - 1)(c) else outC(i - 1, c)
+        }
+        dIn(i, ::) := x.t
+        val hp = dhs(i, ::).t
+        val iv = sigmoid(W("dwi").t * x + W("dui").t * hp + V("dbi"))
+        val fv = sigmoid(W("dwf").t * x + W("duf").t * hp + V("dbf"))
+        val gv = tanh(W("dwg").t * x + W("dug").t * hp + V("dbg"))
+        val ov = sigmoid(W("dwo").t * x + W("duo").t * hp + V("dbo"))
+        val cv = (fv *:* dcs(i, ::).t) + (iv *:* gv)
+        dIg(i, ::) := iv.t; dFg(i, ::) := fv.t; dGg(i, ::) := gv.t; dOg(i, ::) := ov.t
+        dcs(i + 1, ::) := cv.t
+        dhs(i + 1, ::) := (ov *:* tanh(cv)).t
+        val d = tanh(dhs(i + 1, ::).t)
+        dVec(i, ::) := d.t
+        for (c <- 0 until nCat) {
+          val w = W(s"decCat${c}_w"); val b = V(s"decCat${c}_b")
+          val logits = (w.t * d) + b
+          val lmx = breeze.linalg.max(logits)
+          val e = exp(logits - lmx)
+          val probs = e / sum(e)
+          probsCache(i)(c) = probs
+          predCodes(i)(c) = breeze.linalg.argmax(logits)
+          val y = math.min(math.max(catCodes(i)(c), 0), w.cols - 1)
+          loss += -math.log(math.max(probs(y), 1e-12)) / t
+        }
+        if (cfg.nCont > 0) {
+          val pre = (W("decCont_w").t * d) + V("decCont_b")
+          outCPre(i, ::) := pre.t
+          val oc = pre.map(v => math.max(v, 0.0)) // out_cont = relu(lin(d))
+          outC(i, ::) := oc.t
+          val err = oc - DenseVector.tabulate(cfg.nCont)(j => cont(i)(j))
+          loss += sum(err *:* err) / (2.0 * t)
+        }
+      }
+      if (!doGrad) return (loss, embedding.toArray)
+      // ---- decoder backward (reverse BPTT, input-chain routing) --------
+      var ddhNext = DenseVector.zeros[Double](h)
+      var ddcNext = DenseVector.zeros[Double](h)
+      val dOutCExtra = DenseMatrix.zeros[Double](t, math.max(cfg.nCont, 1))
+      for (i <- (t - 1) to 0 by -1) {
+        val d = dVec(i, ::).t
+        val dD = DenseVector.zeros[Double](h)
+        for (c <- 0 until nCat) {
+          val w = W(s"decCat${c}_w")
+          val y = math.min(math.max(catCodes(i)(c), 0), w.cols - 1)
+          val dLogits = probsCache(i)(c).copy
+          dLogits(y) -= 1.0
+          dLogits :/= t.toDouble
+          lay.mat(s"decCat${c}_w", grad) :+= d * dLogits.t
+          lay.vec(s"decCat${c}_b", grad) :+= dLogits
+          dD :+= w * dLogits
+        }
+        if (cfg.nCont > 0) {
+          val err = DenseVector.tabulate(cfg.nCont)(j => outC(i, j) - cont(i)(j))
+          val dOc = (err / t.toDouble) + dOutCExtra(i, ::).t
+          val dPre = DenseVector.tabulate(cfg.nCont)(j =>
+            if (outCPre(i, j) > 0) dOc(j) else 0.0)
+          lay.mat("decCont_w", grad) :+= d * dPre.t
+          lay.vec("decCont_b", grad) :+= dPre
+          dD :+= W("decCont_w") * dPre
+        }
+        val dh = (dD *:* (1.0 - (d *:* d))) + ddhNext
+        val cv = dcs(i + 1, ::).t
+        val tc = tanh(cv)
+        val ov = dOg(i, ::).t; val iv = dIg(i, ::).t
+        val fv = dFg(i, ::).t; val gv = dGg(i, ::).t
+        val dO = dh *:* tc *:* ov *:* (1.0 - ov)
+        val dC = (dh *:* ov *:* (1.0 - (tc *:* tc))) + ddcNext
+        val dF = dC *:* dcs(i, ::).t *:* fv *:* (1.0 - fv)
+        val dI = dC *:* gv *:* iv *:* (1.0 - iv)
+        val dG = dC *:* iv *:* (1.0 - (gv *:* gv))
+        val x = dIn(i, ::).t
+        val hp = dhs(i, ::).t
+        for ((gate, dGate) <- Seq(("i", dI), ("f", dF), ("g", dG), ("o", dO))) {
+          lay.mat(s"dw$gate", grad) :+= x * dGate.t
+          lay.mat(s"du$gate", grad) :+= hp * dGate.t
+          lay.vec(s"db$gate", grad) :+= dGate
+        }
+        val dX = W("dwi") * dI + W("dwf") * dF + W("dwg") * dG + W("dwo") * dO
+        ddhNext = W("dui") * dI + W("duf") * dF + W("dug") * dG + W("duo") * dO
+        ddcNext = dC *:* fv
+        if (i > 0) {
+          // route input grad to its producers: embedding-table rows (the
+          // looked-up — teacher truth / auto argmax — codes) and, in auto
+          // mode, the previous step's out_cont through its ReLU
+          var off = 0
+          for (c <- 0 until nCat) {
+            val tableG = lay.mat(s"emb$c", grad)
+            val code0 = if (cfg.decoder == "teacher") catCodes(i - 1)(c) else predCodes(i - 1)(c)
+            val code = math.min(math.max(code0, 0), tableG.rows - 1)
+            tableG(code, ::) :+= dX(off until off + embDims(c)).t
+            off += embDims(c)
+          }
+          if (cfg.decoder == "auto")
+            for (c <- 0 until cfg.nCont)
+              dOutCExtra(i - 1, c) += dX(embDims.sum + c)
+        }
+      }
+      // seeds into the encoder: h_0 = fused embedding, c_0 = encoder c_T
+      dEmb :+= ddhNext
+      dcSeed = ddcNext
+    } else {
     for (c <- 0 until nCat) {
       val w = W(s"headCat${c}_w"); val b = V(s"headCat${c}_b")
       for (i <- 0 until t) {
@@ -176,6 +345,7 @@ object LstmAE {
         dEmb :+= wp * errP
       }
     }
+    }
     if (!doGrad) return (loss, embedding.toArray)
 
     // ---- backward: fuse + attention -----------------------------------
@@ -206,7 +376,7 @@ object LstmAE {
     // ---- BPTT ----------------------------------------------------------
     val dX0 = DenseMatrix.zeros[Double](t, cfg.inDim)
     var dhNext = DenseVector.zeros[Double](h)
-    var dcNext = DenseVector.zeros[Double](h)
+    var dcNext = dcSeed // decoder c_0 = encoder c_T (zero without decoder)
     for (i <- (t - 1) to 0 by -1) {
       val dh = dOut(i, ::).t + dhNext
       val cv = cs(i + 1, ::).t

@@ -49,10 +49,17 @@ object Vectors {
    * assignment is a narrow projection, and ANN search becomes an equi-join
    * on `bucket` instead of a cross join — the IVF/LSH "coarse quantizer"
    * pattern.
+   *
+   * Minimum dimension for full discrimination is nPlanes + offset (40 with
+   * defaults); shorter vectors are still safe — out-of-range planes
+   * contribute a 0 bit instead of throwing under ANSI mode (the outer
+   * size() guard short-circuits the element_at).
    */
   def signBucket(vec: Column, nPlanes: Int = 8, offset: Int = 32): Column =
     (1 to nPlanes).map { p =>
-      when(element_at(vec, p) > element_at(vec, p + offset), lit(1L << (p - 1)))
+      when(size(vec) >= lit(p + offset),
+        when(element_at(vec, p) > element_at(vec, p + offset), lit(1L << (p - 1)))
+          .otherwise(lit(0L)))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -81,7 +81,9 @@ final case class CasprFeaturizerModel(
 
     val wide = Pivot.toWide(ranked, r.tgtId, cfg.seqFeatures, seqLen)
 
-    // impute (H3/H4): cat -> 0; cont -> 0.0; date -> normalized window start
+    // impute (H3/H4): cat -> 0; cont -> 0.0; date -> window start normalized
+    // under the CONFIGURED mode (a min-max fill in a z-scored column would
+    // silently inject an off-scale constant)
     val catWide = for (c <- r.seqCat; t <- 1 to seqLen) yield s"${c}_$t"
     val contWide = for (c <- r.seqCols.filter(r.contCols.contains); t <- 1 to seqLen) yield s"${c}_$t"
     val dateFill: Map[String, Double] = (for {
@@ -90,7 +92,7 @@ final case class CasprFeaturizerModel(
       val feat = cfg.dateFeature(c)
       val raw = if (dateMode == "interval") historyDays.toDouble
                 else Double.NaN // absolute mode fill handled as 0 below
-      s"${feat}_$t" -> (if (raw.isNaN) 0.0 else summary.minMaxOf(feat, raw))
+      s"${feat}_$t" -> (if (raw.isNaN) 0.0 else summary.normalizedOf(feat, raw, normMode))
     }).toMap
     val imputed = wide
       .na.fill(0L, catWide)

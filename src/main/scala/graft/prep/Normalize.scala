@@ -52,6 +52,20 @@ final case class NormalizationSummary(stats: Map[String, ColumnSummary]) {
     val s = stats(c)
     if (s.max == s.min) raw else (raw - s.min) / (s.max - s.min)
   }
+
+  /** Z-score analog of [[minMaxOf]]: what a raw constant maps to under the
+    * fitted z-scale (H4 date fill when normMode = z_score). */
+  def zScoreOf(c: String, raw: Double): Double = {
+    val s = stats(c)
+    if (s.stddev == 0.0 || s.stddev.isNaN) raw else (raw - s.mean) / s.stddev
+  }
+
+  /** Dispatch [[minMaxOf]]/[[zScoreOf]] on the configured mode. */
+  def normalizedOf(c: String, raw: Double, mode: String): Double = mode match {
+    case "min_max" => minMaxOf(c, raw)
+    case "z_score" => zScoreOf(c, raw)
+    case other     => throw new IllegalArgumentException(s"unknown mode $other")
+  }
 }
 
 object Normalize {

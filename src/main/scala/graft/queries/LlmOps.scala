@@ -144,6 +144,17 @@ object LlmOps extends QueryGroup {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin)),
 
+    // Scale path of the cosine dedup: candidate pairs only WITHIN sign-LSH
+    // buckets (equi-join on bucket replaces the all-pairs cross join)
+    QueryDef("q_dedup_embed_cosine_lsh",
+      (s, dir) => Vectors.cosineDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.3, bucketed = true),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+              |    ${bucketSql("embedding")} AS bucket FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
+              |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin)),
+
     // --- similarity search ----------------------------------------------
 
     QueryDef("q_ann_brute",

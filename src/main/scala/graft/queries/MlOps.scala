@@ -143,6 +143,27 @@ object MlOps extends QueryGroup {
       },
       None),
 
+    // I13-I15 LSTM autoencoder lifecycle: featurize -> teacher-forced LSTM
+    // seq2seq pretraining (decoder hidden = (fused embedding, c_T)) ->
+    // score with the trained fused embedding
+    QueryDef("q_train_lstm_ae",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val cfg = graft.nn.LstmAeConfig(hidden = 12, outDim = 12, attnDim = 8,
+          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2, decoder = "teacher")
+        val catCols = Seq((1 to seqLen).map(t => s"event_type_$t"))
+        val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
+        val res = graft.train.LstmTrainer.fit(wide, cfg, catCols, contCols,
+          graft.train.TrainConfig(lr = 1e-2, maxEpochs = 3, warmupEpochs = 1),
+          batchSize = 1024)
+        embedScalars(
+          graft.train.LstmTrainer.transform(wide, res, "user_id", catCols, contCols))
+          .withColumn("final_loss", round(lit(res.losses.last), 6))
+          .withColumn("epochs", lit(res.stoppedAt.toLong))
+      },
+      None),
+
     // K1/K2 segmentation: silhouette-selected KMeans on the embeddings table
     QueryDef("q_segment_kmeans",
       (s, dir) => {

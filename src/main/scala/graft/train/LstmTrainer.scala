@@ -35,11 +35,15 @@ object LstmTrainer {
 
   def fit(wide: DataFrame, cfg: LstmAeConfig,
       seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
-      train: TrainConfig): Result = {
+      train: TrainConfig, batchSize: Int = 4096): Result = {
     val spark = wide.sparkSession
     val lay = cfg.layout
     val data = examples(wide, seqCatCols, seqContCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = data.count()
+    val fraction =
+      if (batchSize <= 0 || total <= batchSize) 1.0
+      else math.min(1.0, batchSize * 1.05 / total)
     val params = cfg.initParams()
     val n = lay.totalSize
     val adam = new Adam(n)
@@ -50,8 +54,11 @@ object LstmTrainer {
     var stopped = false
     while (epoch < train.maxEpochs && !stopped) {
       val bc = spark.sparkContext.broadcast(params)
+      val batch =
+        if (fraction >= 1.0) data
+        else data.sample(withReplacement = false, fraction, train.seed + epoch)
       val zero = new Array[Double](n + 2)
-      val acc = data.treeAggregate(zero)(
+      val acc = batch.treeAggregate(zero)(
         seqOp = (a, ex) => {
           val (loss, _) = LstmAE.lossGradEmbed(cfg, lay, bc.value, a, ex._1, ex._2)
           a(n) += loss; a(n + 1) += 1.0; a

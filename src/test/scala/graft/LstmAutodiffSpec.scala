@@ -43,6 +43,64 @@ class LstmAutodiffSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"mismatches:\n${failures.mkString("\n")}")
   }
 
+  private def fdCheck(c: LstmAeConfig, picksPerBlock: Int = 3): Seq[String] = {
+    val l = c.layout
+    val p = c.initParams()
+    val grad = new Array[Double](l.totalSize)
+    val (loss0, emb) = LstmAE.lossGradEmbed(c, l, p, grad, cat, cont)
+    assert(!loss0.isNaN && loss0 > 0 && emb.length == c.outDim)
+    val eps = 1e-6
+    val rng = new scala.util.Random(9)
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    l.specs.foreach { s =>
+      val (off, _) = l.offsets(s.name)
+      val picks = Seq.fill(math.min(picksPerBlock, s.size))(off + rng.nextInt(s.size)).distinct
+      picks.foreach { idx =>
+        val orig = p(idx)
+        p(idx) = orig + eps
+        val lp = LstmAE.lossGradEmbed(c, l, p, null, cat, cont)._1
+        p(idx) = orig - eps
+        val lm = LstmAE.lossGradEmbed(c, l, p, null, cat, cont)._1
+        p(idx) = orig
+        val numeric = (lp - lm) / (2 * eps)
+        val analytic = grad(idx)
+        val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
+        val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
+        val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
+        if (rel > 1e-4)
+          failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
+      }
+    }
+    failures.toSeq
+  }
+
+  test("I15 teacher-forced decoder: BPTT gradients match finite differences") {
+    val f = fdCheck(cfg.copy(outDim = 5, decoder = "teacher", seed = 27L))
+    assert(f.isEmpty, s"teacher-decoder mismatches:\n${f.mkString("\n")}")
+  }
+
+  test("I14 autoregressive decoder: gradients match FD; argmax path constant") {
+    val f = fdCheck(cfg.copy(outDim = 5, decoder = "auto", seed = 29L))
+    assert(f.isEmpty, s"auto-decoder mismatches:\n${f.mkString("\n")}")
+  }
+
+  test("I14/I15 decoders: SGD reduces the reconstruction loss") {
+    for (mode <- Seq("teacher", "auto")) {
+      val c = cfg.copy(outDim = 5, decoder = mode, seed = 33L)
+      val l = c.layout
+      val p = c.initParams()
+      var first = 0.0; var last = Double.MaxValue
+      for (it <- 0 until 400) {
+        val g = new Array[Double](l.totalSize)
+        val lo = LstmAE.lossGradEmbed(c, l, p, g, cat, cont)._1
+        if (it == 0) first = lo
+        last = lo
+        for (i <- p.indices) p(i) -= 0.05 * g(i)
+      }
+      assert(last < first * 0.7, s"$mode: loss $first -> $last")
+    }
+  }
+
   test("SGD on one example reduces the loss substantially") {
     val p = cfg.initParams()
     var first = 0.0; var last = Double.MaxValue

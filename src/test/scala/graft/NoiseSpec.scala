@@ -66,6 +66,37 @@ class NoiseSpec extends SparkSpec {
     assert(math.abs(y(0) - 7.0) < 1e-9 && math.abs(y(1) - 1.0) < 1e-9)
   }
 
+  test("I2 training-mode BN: batch stats normalize, running stats follow torch momentum") {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    import graft.nn.{DenseBnBlock, Linear}
+    // identity linear so h = relu(x) = x for the positive hand example
+    val lin = Linear(DenseMatrix.eye[Double](2), DenseVector(0.0, 0.0))
+    val blk = DenseBnBlock(lin, gamma = DenseVector(1.0, 2.0),
+      beta = DenseVector(0.0, 1.0), runMean = DenseVector(0.0, 0.0),
+      runVar = DenseVector(1.0, 1.0))
+    // batch 1: rows (1,2),(3,6). col0: mu=2 varB=1 varU=2; col1: mu=4 varB=4 varU=8
+    val y1 = blk.forwardTrain(DenseMatrix((1.0, 2.0), (3.0, 6.0)))
+    val e = 1e-5
+    assert(math.abs(y1(0, 0) - (1 - 2) / math.sqrt(1 + e)) < 1e-9)
+    assert(math.abs(y1(1, 0) - (3 - 2) / math.sqrt(1 + e)) < 1e-9)
+    assert(math.abs(y1(0, 1) - (2.0 * (2 - 4) / math.sqrt(4 + e) + 1)) < 1e-9)
+    assert(math.abs(y1(1, 1) - (2.0 * (6 - 4) / math.sqrt(4 + e) + 1)) < 1e-9)
+    // running stats after batch 1 (momentum 0.1, unbiased var):
+    // mean = 0.9*0 + 0.1*(2,4) = (0.2, 0.4); var = 0.9*1 + 0.1*(2,8)
+    assert(math.abs(blk.runMean(0) - 0.2) < 1e-12 && math.abs(blk.runMean(1) - 0.4) < 1e-12)
+    assert(math.abs(blk.runVar(0) - 1.1) < 1e-12 && math.abs(blk.runVar(1) - 1.7) < 1e-12)
+    // batch 2 accumulates on top: mean = 0.9*(0.2,0.4) + 0.1*batchMu
+    blk.forwardTrain(DenseMatrix((0.0, 0.0), (4.0, 2.0)))
+    assert(math.abs(blk.runMean(0) - (0.9 * 0.2 + 0.1 * 2.0)) < 1e-12)
+    assert(math.abs(blk.runMean(1) - (0.9 * 0.4 + 0.1 * 1.0)) < 1e-12)
+    assert(math.abs(blk.runVar(0) - (0.9 * 1.1 + 0.1 * 8.0)) < 1e-12)
+    assert(math.abs(blk.runVar(1) - (0.9 * 1.7 + 0.1 * 2.0)) < 1e-12)
+    // eval-mode forward now uses the accumulated running stats
+    val yEval = blk.forward(DenseVector(1.0, 1.0))
+    val exp0 = (1.0 - blk.runMean(0)) / math.sqrt(blk.runVar(0) + e)
+    assert(math.abs(yEval(0) - exp0) < 1e-12)
+  }
+
   test("I5 MhaSumPool: pooled vector is finite and time-order sensitive") {
     import breeze.linalg.{DenseMatrix, DenseVector}
     import graft.nn.{Layers, MhaSumPool}
