@@ -49,39 +49,32 @@ object Dedup {
    * The df cap is the skew guard this variant was missing relative to
    * [[minhashLshPairs]]'s `maxBucket`: a boilerplate shingle ("terms of
    * service") with df=d contributes d^2/2 join rows — at corpus scale one
-   * hot shingle melts the stage. Capping df bounds the self-join fan-out at
-   * maxShingleDf^2 per shingle; only pairs whose ENTIRE overlap is
-   * ultra-common boilerplate are missed, and the Jaccard values that are
-   * emitted stay exact because verification re-counts over the full sets.
+   * hot shingle melts the stage. Shingles above the cap are dropped from
+   * the shingle universe entirely (sets, intersections, sizes) — the same
+   * approximation family as maxBucket's bucket drop, equivalent to
+   * stop-shingle removal; Jaccard is exact over the capped universe. With
+   * the cap not binding (the default at moderate scale) the result is
+   * identical to uncapped exact Jaccard.
    *
-   * Caches the shingle table for reuse across the candidate and
-   * verification stages; in a long-lived session, call
-   * `spark.catalog.clearCache()` between dedup invocations (blocks are
-   * otherwise reclaimed by LRU eviction).
+   * Plan shape: one groupBy(shingle) for the df whitelist, re-joined on the
+   * same shingle partitioning the self-join needs, so the cap costs one
+   * aggregate, not an extra pass over the pair blowup. Caches the shingle
+   * table; in a long-lived session call `spark.catalog.clearCache()`
+   * between dedup invocations (blocks are otherwise LRU-evicted).
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    // df-capped candidate generation (the window shuffles by shingle, the
-    // same partitioning the equi-join needs, so the exchange is reused)
-    val capped = sh.withColumn("df_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shingle"))))
+    val all = shingles(df, textCol, idCol, n)
+    val keep = all.groupBy(col("shingle")).agg(count(lit(1)).as("df_n"))
       .filter(col("df_n") <= maxShingleDf)
-    val a = capped.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = capped.select(col(idCol).as("doc_b"), col("shingle"))
-    val candidates = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct().cache()
-    // exact verification over the candidates' full shingle sets
-    val candDocs = candidates.select(col("doc_a").as(idCol))
-      .union(candidates.select(col("doc_b").as(idCol))).distinct()
-    val shc = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
-    val va = shc.select(col(idCol).as("doc_a"), col("shingle"))
-    val vb = shc.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = va.join(vb, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .select(col("shingle"))
+    val sh = all.join(keep, Seq("shingle")).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    candidates.join(inter, Seq("doc_a", "doc_b"), "inner")
+    inter
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
       .withColumn("jaccard",

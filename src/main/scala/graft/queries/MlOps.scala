@@ -72,7 +72,11 @@ object MlOps extends QueryGroup {
         val cfg = FeaturizerConfig(roles, seqLen = seqLen, historyDays = HistoryDays,
           tiebreak = Seq("event_id"))
         val model = CasprFeaturizer.fit(input, cfg)
+        // cache: the non-seq prep (encoding fit, min-max agg, apply join)
+        // and the scorer each scan the wide output — without the cache the
+        // whole featurizer pipeline re-executes per consumer
         val wide = model.transform(input)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // non-seq prep: encode the cat; min-max the cont (scalar-stats
         // broadcast, same pattern as the reference's non-seq scalers)
         val segEnc = Encoding.fit(wide, "c_mktsegment")
