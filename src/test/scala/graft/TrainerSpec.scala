@@ -22,6 +22,40 @@ class TrainerSpec extends SparkSpec {
     assert(scored.select("embedding").head().getSeq[Float](0).size == 5 * 8)
   }
 
+  test("non-seq branch trains distributed: extra timestep + ns heads (I8)") {
+    import org.apache.spark.sql.functions._
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+      .withColumn("acct_n", col("c_acctbal") / lit(10000.0)) // tame the MSE scale
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2,
+      nonSeqVocabSizes = Seq(2), nNonSeqCont = 1) // churn as the ns cat
+    val res = TransformerTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 1e-2, maxEpochs = 4, warmupEpochs = 1),
+      nonSeqCatCols = Seq("churn"), nonSeqContCols = Seq("acct_n"))
+    assert(res.losses.last < res.losses.head, s"losses: ${res.losses}")
+    val scored = TransformerTrainer.transform(wide, res, "user_id", catCols, contCols,
+      nonSeqCatCols = Seq("churn"), nonSeqContCols = Seq("acct_n"))
+    assert(scored.count() == wide.count())
+    // T+1 timesteps in the serving embedding
+    assert(scored.select("embedding").head().getSeq[Float](0).size == 6 * 8)
+  }
+
+  test("teacher-forced LSTM AE trains distributed (I13/I15)") {
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = graft.nn.LstmAeConfig(hidden = 8, outDim = 8, attnDim = 4,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2, decoder = "teacher")
+    val res = graft.train.LstmTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 1e-2, maxEpochs = 4, warmupEpochs = 1))
+    assert(res.losses.last < res.losses.head, s"losses: ${res.losses}")
+    val scored = graft.train.LstmTrainer.transform(wide, res, "user_id", catCols, contCols)
+    assert(scored.count() == wide.count())
+    assert(scored.select("embedding").head().getSeq[Float](0).size == 8)
+  }
+
   test("LSTM trainer: distributed loss decreases and trained scoring works") {
     val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
     val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
