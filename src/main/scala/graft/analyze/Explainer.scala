@@ -42,28 +42,20 @@ object Explainer {
     val nCont = seqContCols.size
     val embDims = cfg.embDims
     val embSum = embDims.sum
-    val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
-    val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
-    val idIdx = wide.schema.fieldIndex(idCol)
+    val proj = graft.ml.Ingress.project(wide, idCol, seqCatCols, seqContCols)
     // output order: per cat col its T wide names, then per cont col its T
     val outNames: Seq[String] =
       seqCatCols.flatten.map(n => s"attr_$n") ++ seqContCols.flatten.map(n => s"attr_$n")
     val outSchema = StructType(
-      wide.schema(idIdx) +: outNames.map(StructField(_, DoubleType, nullable = false)))
+      proj.schema(0) +: outNames.map(StructField(_, DoubleType, nullable = false)))
 
-    wide.mapPartitions { rows =>
+    proj.mapPartitions { rows =>
       val p = bc.value
       val seed = DenseMatrix.zeros[Double](cfg.tEff, cfg.dModel)
       seed(targetDim / cfg.dModel, targetDim % cfg.dModel) = 1.0
       rows.map { row =>
-        val cat = Array.tabulate(t, nCat) { (ts, c) =>
-          val v = row.get(catIdx(c)(ts))
-          if (v == null) 0 else v.asInstanceOf[Number].intValue()
-        }
-        val x = Array.tabulate(t, nCont) { (ts, c) =>
-          val v = row.get(contIdx(c)(ts))
-          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-        }
+        val cat = graft.ml.Ingress.seqCatOf(row, t, nCat)
+        val x = graft.ml.Ingress.seqContOf(row, t, nCat, nCont)
         // the row's full-strength embedding vectors (the IG endpoint)
         val embX = DenseMatrix.zeros[Double](t, embSum)
         for (i <- 0 until t) {
@@ -94,7 +86,7 @@ object Explainer {
         // cat attribution: sum over the variable's embedding dims
         // (_aggregate_cat_attributions_util); cont: straight product
         val out = new Array[Any](1 + nCat * t + nCont * t)
-        out(0) = row.get(idIdx)
+        out(0) = row.get(0)
         var idx = 1
         var off = 0
         for (c <- 0 until nCat) {

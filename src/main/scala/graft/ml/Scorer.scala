@@ -14,7 +14,9 @@ import graft.nn.{EncoderWeights, TransformerConfig}
  * broadcast weights: pure JVM, no serialization hop, parallelism = input
  * partitions, constant memory per task. On a 1000-executor cluster the
  * weights broadcast once per executor (~a few MB at d=64) and scoring is
- * embarrassingly parallel.
+ * embarrassingly parallel. Ingress is the codegen-narrowed positional
+ * projection ([[Ingress]]) — no unused columns deserialized, primitive
+ * getters per cell.
  */
 final case class CasprScorerModel(
     cfg: TransformerConfig,
@@ -32,37 +34,23 @@ final case class CasprScorerModel(
     val bc = spark.sparkContext.broadcast(weights)
     val t = seqCatCols.headOption.map(_.size)
       .orElse(seqContCols.headOption.map(_.size)).getOrElse(0)
+    val nCat = seqCatCols.size; val nCont = seqContCols.size
+    val nNsCat = nonSeqCatCols.size; val nNsCont = nonSeqContCols.size
 
-    val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
-    val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
-    val nsCatIdx = nonSeqCatCols.map(wide.schema.fieldIndex)
-    val nsContIdx = nonSeqContCols.map(wide.schema.fieldIndex)
-    val idIdx = wide.schema.fieldIndex(idCol)
-
+    val proj = Ingress.project(wide, idCol, seqCatCols, seqContCols,
+      nonSeqCatCols, nonSeqContCols)
     val outSchema = StructType(Seq(
-      wide.schema(idIdx),
+      proj.schema(0),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
-    wide.mapPartitions { rows =>
+    proj.mapPartitions { rows =>
       val w = bc.value
       rows.map { row =>
-        val catCodes = Array.tabulate(t, catIdx.size) { (ts, c) =>
-          val v = row.get(catIdx(c)(ts))
-          if (v == null) 0 else v.asInstanceOf[Number].intValue()
-        }
-        val cont = Array.tabulate(t, contIdx.size) { (ts, c) =>
-          val v = row.get(contIdx(c)(ts))
-          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-        }
-        val nsCat = Array.tabulate(nsCatIdx.size) { c =>
-          val v = row.get(nsCatIdx(c))
-          if (v == null) 0 else v.asInstanceOf[Number].intValue()
-        }
-        val nsCont = Array.tabulate(nsContIdx.size) { c =>
-          val v = row.get(nsContIdx(c))
-          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-        }
-        Row(row.get(idIdx), w.forward(catCodes, cont, nsCat, nsCont))
+        Row(row.get(0), w.forward(
+          Ingress.seqCatOf(row, t, nCat),
+          Ingress.seqContOf(row, t, nCat, nCont),
+          Ingress.nsCatOf(row, t, nCat, nCont, nNsCat),
+          Ingress.nsContOf(row, t, nCat, nCont, nNsCat, nNsCont)))
       }
     }(Encoders.row(outSchema))
   }
@@ -85,24 +73,17 @@ final case class LstmScorerModel(
     val bc = spark.sparkContext.broadcast(weights)
     val t = seqCatCols.headOption.map(_.size)
       .orElse(seqContCols.headOption.map(_.size)).getOrElse(0)
-    val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
-    val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
-    val idIdx = wide.schema.fieldIndex(idCol)
+    val nCat = seqCatCols.size; val nCont = seqContCols.size
+    val proj = Ingress.project(wide, idCol, seqCatCols, seqContCols)
     val outSchema = StructType(Seq(
-      wide.schema(idIdx),
+      proj.schema(0),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
-    wide.mapPartitions { rows =>
+    proj.mapPartitions { rows =>
       val w = bc.value
       rows.map { row =>
-        val catCodes = Array.tabulate(t, catIdx.size) { (ts, c) =>
-          val v = row.get(catIdx(c)(ts))
-          if (v == null) 0 else v.asInstanceOf[Number].intValue()
-        }
-        val cont = Array.tabulate(t, contIdx.size) { (ts, c) =>
-          val v = row.get(contIdx(c)(ts))
-          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-        }
-        Row(row.get(idIdx), w.forward(catCodes, cont))
+        Row(row.get(0), w.forward(
+          Ingress.seqCatOf(row, t, nCat),
+          Ingress.seqContOf(row, t, nCat, nCont)))
       }
     }(Encoders.row(outSchema))
   }

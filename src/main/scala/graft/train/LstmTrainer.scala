@@ -16,21 +16,14 @@ object LstmTrainer {
 
   private def examples(wide: DataFrame, seqCatCols: Seq[Seq[String]],
       seqContCols: Seq[Seq[String]]) = {
-    val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
-    val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
     val t = seqCatCols.headOption.map(_.size)
       .orElse(seqContCols.headOption.map(_.size)).getOrElse(0)
-    wide.rdd.map { row =>
-      val cat = Array.tabulate(t, catIdx.size) { (ts, c) =>
-        val v = row.get(catIdx(c)(ts))
-        if (v == null) 0 else v.asInstanceOf[Number].intValue()
+    val nCat = seqCatCols.size; val nCont = seqContCols.size
+    graft.ml.Ingress.project(wide, wide.columns.head, seqCatCols, seqContCols)
+      .rdd.map { row =>
+        (graft.ml.Ingress.seqCatOf(row, t, nCat),
+         graft.ml.Ingress.seqContOf(row, t, nCat, nCont))
       }
-      val cont = Array.tabulate(t, contIdx.size) { (ts, c) =>
-        val v = row.get(contIdx(c)(ts))
-        if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-      }
-      (cat, cont)
-    }
   }
 
   def fit(wide: DataFrame, cfg: LstmAeConfig,
@@ -84,25 +77,18 @@ object LstmTrainer {
     val spark = wide.sparkSession
     val lay = res.cfg.layout
     val bc = spark.sparkContext.broadcast(res.params)
-    val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
-    val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
     val t = res.cfg.seqLen
-    val idIdx = wide.schema.fieldIndex(idCol)
-    val outSchema = StructType(Seq(wide.schema(idIdx),
+    val nCat = seqCatCols.size; val nCont = seqContCols.size
+    val proj = graft.ml.Ingress.project(wide, idCol, seqCatCols, seqContCols)
+    val outSchema = StructType(Seq(proj.schema(0),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
-    wide.mapPartitions { rows =>
+    proj.mapPartitions { rows =>
       val p = bc.value
       rows.map { row =>
-        val cat = Array.tabulate(t, catIdx.size) { (ts, c) =>
-          val v = row.get(catIdx(c)(ts))
-          if (v == null) 0 else v.asInstanceOf[Number].intValue()
-        }
-        val cont = Array.tabulate(t, contIdx.size) { (ts, c) =>
-          val v = row.get(contIdx(c)(ts))
-          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-        }
-        val (_, emb) = LstmAE.lossGradEmbed(res.cfg, lay, p, null, cat, cont)
-        Row(row.get(idIdx), emb.map(_.toFloat))
+        val (_, emb) = LstmAE.lossGradEmbed(res.cfg, lay, p, null,
+          graft.ml.Ingress.seqCatOf(row, t, nCat),
+          graft.ml.Ingress.seqContOf(row, t, nCat, nCont))
+        Row(row.get(0), emb.map(_.toFloat))
       }
     }(Encoders.row(outSchema))
   }

@@ -28,35 +28,24 @@ object TransformerTrainer {
     (Array[Array[Int]], Array[Array[Double]], Array[Int], Array[Double])
 
   /** Extract (T x nCat codes, T x nCont doubles, ns codes, ns doubles)
-    * examples from wide rows. */
+    * examples via the narrowed positional projection (graft.ml.Ingress) —
+    * casts/null-fills run in codegen, extraction is primitive getters. */
   private def examples(wide: DataFrame, seqCatCols: Seq[Seq[String]],
       seqContCols: Seq[Seq[String]],
       nonSeqCatCols: Seq[String], nonSeqContCols: Seq[String]) = {
-    val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
-    val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
-    val nsCatIdx = nonSeqCatCols.map(wide.schema.fieldIndex)
-    val nsContIdx = nonSeqContCols.map(wide.schema.fieldIndex)
     val t = seqCatCols.headOption.map(_.size)
       .orElse(seqContCols.headOption.map(_.size)).getOrElse(0)
-    wide.rdd.map { row =>
-      val cat = Array.tabulate(t, catIdx.size) { (ts, c) =>
-        val v = row.get(catIdx(c)(ts))
-        if (v == null) 0 else v.asInstanceOf[Number].intValue()
+    val nCat = seqCatCols.size; val nCont = seqContCols.size
+    val nNsCat = nonSeqCatCols.size; val nNsCont = nonSeqContCols.size
+    val idCol = wide.columns.head // any column works as the ingress anchor
+    graft.ml.Ingress.project(wide, idCol, seqCatCols, seqContCols,
+        nonSeqCatCols, nonSeqContCols)
+      .rdd.map { row =>
+        (graft.ml.Ingress.seqCatOf(row, t, nCat),
+         graft.ml.Ingress.seqContOf(row, t, nCat, nCont),
+         graft.ml.Ingress.nsCatOf(row, t, nCat, nCont, nNsCat),
+         graft.ml.Ingress.nsContOf(row, t, nCat, nCont, nNsCat, nNsCont)): Example
       }
-      val cont = Array.tabulate(t, contIdx.size) { (ts, c) =>
-        val v = row.get(contIdx(c)(ts))
-        if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-      }
-      val nsCat = Array.tabulate(nsCatIdx.size) { c =>
-        val v = row.get(nsCatIdx(c))
-        if (v == null) 0 else v.asInstanceOf[Number].intValue()
-      }
-      val nsCont = Array.tabulate(nsContIdx.size) { c =>
-        val v = row.get(nsContIdx(c))
-        if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-      }
-      (cat, cont, nsCat, nsCont): Example
-    }
   }
 
   def fit(wide: DataFrame, cfg: AeConfig,
@@ -118,35 +107,21 @@ object TransformerTrainer {
     val spark = wide.sparkSession
     val lay = res.cfg.layout
     val bc = spark.sparkContext.broadcast(res.params)
-    val catIdx = seqCatCols.map(_.map(wide.schema.fieldIndex))
-    val contIdx = seqContCols.map(_.map(wide.schema.fieldIndex))
-    val nsCatIdx = nonSeqCatCols.map(wide.schema.fieldIndex)
-    val nsContIdx = nonSeqContCols.map(wide.schema.fieldIndex)
     val t = res.cfg.seqLen
-    val idIdx = wide.schema.fieldIndex(idCol)
-    val outSchema = StructType(Seq(wide.schema(idIdx),
+    val nCat = seqCatCols.size; val nCont = seqContCols.size
+    val nNsCat = nonSeqCatCols.size; val nNsCont = nonSeqContCols.size
+    val proj = graft.ml.Ingress.project(wide, idCol, seqCatCols, seqContCols,
+      nonSeqCatCols, nonSeqContCols)
+    val outSchema = StructType(Seq(proj.schema(0),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
-    wide.mapPartitions { rows =>
+    proj.mapPartitions { rows =>
       val p = bc.value
       rows.map { row =>
-        val cat = Array.tabulate(t, catIdx.size) { (ts, c) =>
-          val v = row.get(catIdx(c)(ts))
-          if (v == null) 0 else v.asInstanceOf[Number].intValue()
-        }
-        val cont = Array.tabulate(t, contIdx.size) { (ts, c) =>
-          val v = row.get(contIdx(c)(ts))
-          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-        }
-        val nsCat = Array.tabulate(nsCatIdx.size) { c =>
-          val v = row.get(nsCatIdx(c))
-          if (v == null) 0 else v.asInstanceOf[Number].intValue()
-        }
-        val nsCont = Array.tabulate(nsContIdx.size) { c =>
-          val v = row.get(nsContIdx(c))
-          if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-        }
-        Row(row.get(idIdx),
-          TransformerAE.embed(res.cfg, lay, p, cat, cont, nsCat, nsCont))
+        Row(row.get(0), TransformerAE.embed(res.cfg, lay, p,
+          graft.ml.Ingress.seqCatOf(row, t, nCat),
+          graft.ml.Ingress.seqContOf(row, t, nCat, nCont),
+          graft.ml.Ingress.nsCatOf(row, t, nCat, nCont, nNsCat),
+          graft.ml.Ingress.nsContOf(row, t, nCat, nCont, nNsCat, nNsCont)))
       }
     }(Encoders.row(outSchema))
   }
