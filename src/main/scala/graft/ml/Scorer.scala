@@ -66,7 +66,9 @@ final case class LstmScorerModel(
     weights: graft.nn.LstmEncoderWeights,
     idCol: String,
     seqCatCols: Seq[Seq[String]],
-    seqContCols: Seq[Seq[String]]) {
+    seqContCols: Seq[Seq[String]],
+    nonSeqCatCols: Seq[String] = Nil,  // pre-encoded int codes
+    nonSeqContCols: Seq[String] = Nil) {
 
   def transform(wide: DataFrame): DataFrame = {
     val spark = wide.sparkSession
@@ -74,7 +76,9 @@ final case class LstmScorerModel(
     val t = seqCatCols.headOption.map(_.size)
       .orElse(seqContCols.headOption.map(_.size)).getOrElse(0)
     val nCat = seqCatCols.size; val nCont = seqContCols.size
-    val proj = Ingress.project(wide, idCol, seqCatCols, seqContCols)
+    val nNsCat = nonSeqCatCols.size; val nNsCont = nonSeqContCols.size
+    val proj = Ingress.project(wide, idCol, seqCatCols, seqContCols,
+      nonSeqCatCols, nonSeqContCols)
     val outSchema = StructType(Seq(
       proj.schema(0),
       StructField("embedding", ArrayType(FloatType, containsNull = false))))
@@ -83,7 +87,9 @@ final case class LstmScorerModel(
       rows.map { row =>
         Row(row.get(0), w.forward(
           Ingress.seqCatOf(row, t, nCat),
-          Ingress.seqContOf(row, t, nCat, nCont)))
+          Ingress.seqContOf(row, t, nCat, nCont),
+          Ingress.nsCatOf(row, t, nCat, nCont, nNsCat),
+          Ingress.nsContOf(row, t, nCat, nCont, nNsCat, nNsCont)))
       }
     }(Encoders.row(outSchema))
   }

@@ -36,12 +36,24 @@ final case class LstmEncoderWeights(
     cell: LstmCell,
     attnW1: DenseMatrix[Double], attnB1: DenseVector[Double], // hidden -> attnDim
     attnV: DenseVector[Double],                               // attnDim
-    fuse: Linear) {                                           // 2*hidden -> outDim
+    fuse: Linear,            // (nsFinal + nNsCont + 2*hidden) -> outDim
+    nonSeqEmbeddings: Seq[DenseMatrix[Double]] = Nil,
+    nsMlp: Option[DenseBnBlock] = None) { // ns emb -> nsFinal (emb_lin_layer_non_seq)
 
   private def embeddingDims = catEmbeddings.map(_.cols)
 
-  /** Forward one entity: per-timestep cat codes + cont -> embedding. */
-  def forward(catCodes: Array[Array[Int]], cont: Array[Array[Double]]): Array[Float] = {
+  /**
+   * Forward one entity: per-timestep cat codes + cont -> embedding.
+   *
+   * Non-seq features follow the reference's LSTM mechanism — NOT the
+   * transformer's extra timestep: non-seq cat embeddings run through the
+   * DenseBnDropout MLP (emb_lin_layer_non_seq, unified_encoder.py:142-146)
+   * and the result ++ non-seq cont is CONCATENATED in front of the
+   * (context ++ h_n) fuse input (fin_input, unified_encoder.py:257-262)
+   * before output_layer + ReLU (:266).
+   */
+  def forward(catCodes: Array[Array[Int]], cont: Array[Array[Double]],
+      nsCat: Array[Int] = null, nsCont: Array[Double] = null): Array[Float] = {
     val t = catCodes.length
     val nCont = if (t > 0) cont(0).length else 0
     val embTotal = embeddingDims.sum
@@ -71,8 +83,28 @@ final case class LstmEncoderWeights(
     val a = e / sum(e)
     val context = DenseVector.zeros[Double](hidden)
     for (i <- 0 until t) context :+= outputs(i, ::).t * a(i)
-    // fuse: ReLU(Linear(context ++ h_n))
-    val fused = DenseVector.vertcat(context, h)
+    // non-seq branch: MLP(ns cat embeddings) ++ ns cont, prepended
+    val nsPart: DenseVector[Double] = nsMlp match {
+      case Some(mlp) =>
+        val nsEmbTotal = nonSeqEmbeddings.map(_.cols).sum
+        val nsIn = DenseVector.zeros[Double](nsEmbTotal)
+        var off = 0
+        for (cc <- nonSeqEmbeddings.indices) {
+          val table = nonSeqEmbeddings(cc)
+          val code = math.min(math.max(if (nsCat != null) nsCat(cc) else 0, 0), table.rows - 1)
+          nsIn(off until off + table.cols) := table(code, ::).t
+          off += table.cols
+        }
+        val mlpOut = mlp.forward(nsIn)
+        val nsContV =
+          if (nsCont == null) DenseVector.zeros[Double](0)
+          else DenseVector(nsCont)
+        DenseVector.vertcat(mlpOut, nsContV)
+      case None =>
+        if (nsCont == null) DenseVector.zeros[Double](0) else DenseVector(nsCont)
+    }
+    // fuse: ReLU(Linear(nsPart ++ context ++ h_n))
+    val fused = DenseVector.vertcat(nsPart, context, h)
     val out = (fuse.w.t * fused) + fuse.b
     out.map(v => math.max(v, 0.0).toFloat).toArray
   }
@@ -80,7 +112,9 @@ final case class LstmEncoderWeights(
 
 object LstmEncoderWeights {
   def init(hidden: Int, outDim: Int, vocabSizes: Seq[Long], nCont: Int,
-      attnDim: Int = 16, seed: Long = 42L): LstmEncoderWeights = {
+      attnDim: Int = 16, seed: Long = 42L,
+      nonSeqVocabSizes: Seq[Long] = Nil, nNonSeqCont: Int = 0,
+      nsMlpDim: Int = 16): LstmEncoderWeights = {
     val rng = new scala.util.Random(seed)
     val embs = vocabSizes.map(v => Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
     val in = embs.map(_.cols).sum + nCont
@@ -91,10 +125,20 @@ object LstmEncoderWeights {
       m(in, hidden), m(hidden, hidden), DenseVector.ones[Double](hidden), // forget bias 1
       m(in, hidden), m(hidden, hidden), vz(hidden),
       m(in, hidden), m(hidden, hidden), vz(hidden))
+    val nsEmbs = nonSeqVocabSizes.map(v =>
+      Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
+    val nsMlp =
+      if (nsEmbs.isEmpty) None
+      else Some(DenseBnBlock(
+        Layers.linear(rng, nsEmbs.map(_.cols).sum, nsMlpDim),
+        gamma = DenseVector.ones[Double](nsMlpDim), beta = vz(nsMlpDim),
+        runMean = vz(nsMlpDim), runVar = DenseVector.ones[Double](nsMlpDim)))
+    val nsFinal = nsMlp.map(_.gamma.length).getOrElse(0)
     LstmEncoderWeights(hidden, embs, cell,
       m(hidden, attnDim), vz(attnDim),
       DenseVector.tabulate(attnDim)(_ => rng.nextDouble() * 0.2 - 0.1),
-      Layers.linear(rng, 2 * hidden, outDim))
+      Layers.linear(rng, nsFinal + nNonSeqCont + 2 * hidden, outDim),
+      nsEmbs, nsMlp)
   }
 }
 

@@ -37,6 +37,44 @@ object MlOps extends QueryGroup {
     (model, model.transform(input))
   }
 
+  /** Featurize with the customer profile as non-seq columns, then prep the
+    * non-seq inputs for a scorer: c_mktsegment encoded to int codes,
+    * c_acctbal min-max scaled (scalar-stats broadcast — the reference's
+    * non-seq scaler pattern). Returns (prepped wide, vocab sizes). The wide
+    * output is cached: the encoding fit, the min-max agg, the apply join,
+    * and the scorer each scan it, and without the cache the full featurizer
+    * pipeline re-executes per consumer. */
+  private def profileFeaturized(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables.load(s, dir, "events")
+    val cust = Tables.load(s, dir, "customer")
+    val input = ev
+      .join(cust.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+        ev("user_id") === col("c_custkey"), "inner").drop("c_custkey")
+      .withColumn("pred_date", to_timestamp(lit(PredTs)))
+    val roles = ColumnRoles(
+      tgtId = Seq("user_id"), activityDate = "ts", predictionDate = "pred_date",
+      catCols = Seq("event_type"), contCols = Seq("value"),
+      seqCols = Seq("event_type", "value", "ts"),
+      nonSeqCols = Seq("c_acctbal", "c_mktsegment"),
+      dateCols = Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = seqLen, historyDays = HistoryDays,
+      tiebreak = Seq("event_id"))
+    val model = CasprFeaturizer.fit(input, cfg)
+    val wide = model.transform(input)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segEnc = Encoding.fit(wide, "c_mktsegment")
+    val mm = wide.agg(min("c_acctbal").as("__mn"), max("c_acctbal").as("__mx"))
+    val wideEnc = Encoding.apply(wide, segEnc)
+      .crossJoin(broadcast(mm))
+      .withColumn("c_acctbal",
+        (col("c_acctbal") - col("__mn")) / (col("__mx") - col("__mn")))
+      .drop("__mn", "__mx")
+    val vocab = Map(
+      "event_type" -> (model.encodings("event_type").mapping.count() + 1),
+      "c_mktsegment" -> (segEnc.mapping.count() + 1))
+    (wideEnc, vocab)
+  }
+
   /** Driver-checkable projection of an (id, embedding) frame: L2 norm +
     * first 4 dims as rounded scalars. */
   private def embedScalars(df: DataFrame): DataFrame = {
@@ -57,38 +95,7 @@ object MlOps extends QueryGroup {
     // I8 extra timestep) -> deterministic transformer encoder -> embeddings
     QueryDef("q_score_embeddings",
       (s, dir) => {
-        val ev = Tables.load(s, dir, "events")
-        val cust = Tables.load(s, dir, "customer")
-        val input = ev
-          .join(cust.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
-            ev("user_id") === col("c_custkey"), "inner").drop("c_custkey")
-          .withColumn("pred_date", to_timestamp(lit(PredTs)))
-        val roles = ColumnRoles(
-          tgtId = Seq("user_id"), activityDate = "ts", predictionDate = "pred_date",
-          catCols = Seq("event_type"), contCols = Seq("value"),
-          seqCols = Seq("event_type", "value", "ts"),
-          nonSeqCols = Seq("c_acctbal", "c_mktsegment"),
-          dateCols = Seq("ts"))
-        val cfg = FeaturizerConfig(roles, seqLen = seqLen, historyDays = HistoryDays,
-          tiebreak = Seq("event_id"))
-        val model = CasprFeaturizer.fit(input, cfg)
-        // cache: the non-seq prep (encoding fit, min-max agg, apply join)
-        // and the scorer each scan the wide output — without the cache the
-        // whole featurizer pipeline re-executes per consumer
-        val wide = model.transform(input)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // non-seq prep: encode the cat; min-max the cont (scalar-stats
-        // broadcast, same pattern as the reference's non-seq scalers)
-        val segEnc = Encoding.fit(wide, "c_mktsegment")
-        val mm = wide.agg(min("c_acctbal").as("__mn"), max("c_acctbal").as("__mx"))
-        val wideEnc = Encoding.apply(wide, segEnc)
-          .crossJoin(broadcast(mm))
-          .withColumn("c_acctbal",
-            (col("c_acctbal") - col("__mn")) / (col("__mx") - col("__mn")))
-          .drop("__mn", "__mx")
-        val vocab = Map(
-          "event_type" -> (model.encodings("event_type").mapping.count() + 1),
-          "c_mktsegment" -> (segEnc.mapping.count() + 1))
+        val (wideEnc, vocab) = profileFeaturized(s, dir)
         embedScalars(
           CasprScorer.forWide(TransformerConfig(dModel = 16, heads = 2, layers = 2, pf = 8),
               "user_id", vocab, seqLen,
@@ -98,17 +105,21 @@ object MlOps extends QueryGroup {
       },
       None),
 
-    // J6 LSTM-architecture scoring (arch switch, spark/score.py:53-61)
+    // J6 LSTM-architecture scoring (arch switch, spark/score.py:53-61);
+    // non-seq enters via the LSTM mechanism — DenseBnDropout MLP over the
+    // ns cat embeddings concatenated into the fuse input
+    // (unified_encoder.py:142-146, 257-266), not an extra timestep
     QueryDef("q_score_embeddings_lstm",
       (s, dir) => {
-        val (model, wide) = featurized(s, dir)
-        val vocab = model.encodings("event_type").mapping.count() + 1
+        val (wideEnc, vocab) = profileFeaturized(s, dir)
         val w = graft.nn.LstmEncoderWeights.init(hidden = 16, outDim = 16,
-          vocabSizes = Seq(vocab), nCont = 2)
+          vocabSizes = Seq(vocab("event_type")), nCont = 2,
+          nonSeqVocabSizes = Seq(vocab("c_mktsegment")), nNonSeqCont = 1)
         embedScalars(graft.ml.LstmScorerModel(w, "user_id",
           Seq((1 to seqLen).map(t => s"event_type_$t")),
-          Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")))
-          .transform(wide))
+          Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")),
+          nonSeqCatCols = Seq("c_mktsegment"), nonSeqContCols = Seq("c_acctbal"))
+          .transform(wideEnc))
       },
       None),
 

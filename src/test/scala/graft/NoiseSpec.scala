@@ -54,6 +54,20 @@ class NoiseSpec extends SparkSpec {
     assert(!e1.sameElements(w.forward(Array(Array(4), Array(2), Array(3)), cont)))
   }
 
+  test("LSTM non-seq fuse path: MLP'd ns embeddings + ns cont change the embedding") {
+    val w = LstmEncoderWeights.init(hidden = 8, outDim = 6, vocabSizes = Seq(5), nCont = 2,
+      nonSeqVocabSizes = Seq(4), nNonSeqCont = 1, nsMlpDim = 3)
+    val cat = Array(Array(1), Array(2), Array(3))
+    val cont = Array(Array(0.1, 0.5), Array(0.2, 0.4), Array(0.3, 0.3))
+    val e1 = w.forward(cat, cont, Array(2), Array(0.7))
+    assert(e1.length == 6 && e1.forall(v => v >= 0 && !v.isNaN))
+    assert(e1.sameElements(w.forward(cat, cont, Array(2), Array(0.7))))
+    assert(!e1.sameElements(w.forward(cat, cont, Array(1), Array(0.7))),
+      "changing the ns cat code must change the embedding")
+    assert(!e1.sameElements(w.forward(cat, cont, Array(2), Array(0.1))),
+      "changing the ns cont value must change the embedding")
+  }
+
   test("I2 DenseBnBlock: inference BN is the expected affine of ReLU(linear)") {
     import breeze.linalg.{DenseMatrix, DenseVector}
     import graft.nn.{DenseBnBlock, Linear}
