@@ -9,7 +9,12 @@ import org.apache.spark.sql.SparkSession
  * Methodology: results are materialized through the `noop` sink (full row
  * production, no output cost — a bare count() would let Spark prune every
  * column and time only the scan); one untimed warm-up of the whole suite
- * (JIT + parquet footer cache), then per-query best-of-2.
+ * (JIT + parquet footer cache), then TWO full timed passes with the
+ * per-query minimum. The passes are interleaved across the suite (pass 1
+ * of everything, then pass 2) so a transient stall — GC, another JVM
+ * shutting down — cannot hit both samples of the same query, and the
+ * SQL cache is cleared between passes so blocks leaked by one query never
+ * tax the queries after it.
  *
  * Failures are NOT swallowed: a crashing query is reported in a "failed"
  * list, its name + error go to stderr, and the process exits nonzero — a
@@ -51,22 +56,26 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    qs.foreach { n => // warm-up (failures surface in the timed pass)
+    qs.foreach { n => // warm-up (failures surface in the timed passes)
       try runOnce(n)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
       }
     }
-    val results = qs.map { n =>
-      val t =
-        try math.min(runOnce(n), runOnce(n))
-        catch { case e: Throwable =>
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (pass <- 1 to 2) {
+      spark.sqlContext.clearCache()
+      qs.foreach { n =>
+        try {
+          val t = runOnce(n)
+          best(n) = math.min(best.getOrElse(n, Double.MaxValue), t)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $n FAILED (pass $pass): ${e.getMessage}")
           failed += n
-          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
-          -1.0
         }
-      n -> t
+      }
     }
+    val results = qs.map(n => n -> best.getOrElse(n, -1.0))
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")

@@ -36,6 +36,7 @@ final case class LstmEncoderWeights(
     cell: LstmCell,
     attnW1: DenseMatrix[Double], attnB1: DenseVector[Double], // hidden -> attnDim
     attnV: DenseVector[Double],                               // attnDim
+    lstmToDense: Linear,     // h_T projection (multi_layer_lstm.py:34-36)
     fuse: Linear,            // (nsFinal + nNsCont + 2*hidden) -> outDim
     nonSeqEmbeddings: Seq[DenseMatrix[Double]] = Nil,
     nsMlp: Option[DenseBnBlock] = None) { // ns emb -> nsFinal (emb_lin_layer_non_seq)
@@ -49,8 +50,9 @@ final case class LstmEncoderWeights(
    * transformer's extra timestep: non-seq cat embeddings run through the
    * DenseBnDropout MLP (emb_lin_layer_non_seq, unified_encoder.py:142-146)
    * and the result ++ non-seq cont is CONCATENATED in front of the
-   * (context ++ h_n) fuse input (fin_input, unified_encoder.py:257-262)
-   * before output_layer + ReLU (:266).
+   * [lstm_to_dense(h_T), context] fuse input (fin_input,
+   * unified_encoder.py:257-262; the h_T projection is
+   * multi_layer_lstm.py:34-36,55-63) before output_layer + ReLU (:266).
    */
   def forward(catCodes: Array[Array[Int]], cont: Array[Array[Double]],
       nsCat: Array[Int] = null, nsCont: Array[Double] = null): Array[Float] = {
@@ -103,8 +105,9 @@ final case class LstmEncoderWeights(
       case None =>
         if (nsCont == null) DenseVector.zeros[Double](0) else DenseVector(nsCont)
     }
-    // fuse: ReLU(Linear(nsPart ++ context ++ h_n))
-    val fused = DenseVector.vertcat(nsPart, context, h)
+    // fuse: ReLU(Linear(nsPart ++ lstm_to_dense(h_T) ++ context))
+    val hProj = (lstmToDense.w.t * h) + lstmToDense.b
+    val fused = DenseVector.vertcat(nsPart, hProj, context)
     val out = (fuse.w.t * fused) + fuse.b
     out.map(v => math.max(v, 0.0).toFloat).toArray
   }
@@ -137,6 +140,7 @@ object LstmEncoderWeights {
     LstmEncoderWeights(hidden, embs, cell,
       m(hidden, attnDim), vz(attnDim),
       DenseVector.tabulate(attnDim)(_ => rng.nextDouble() * 0.2 - 0.1),
+      Layers.linear(rng, hidden, hidden),
       Layers.linear(rng, nsFinal + nNonSeqCont + 2 * hidden, outDim),
       nsEmbs, nsMlp)
   }

@@ -11,8 +11,9 @@ import breeze.numerics.{exp, sigmoid, tanh}
  *
  * Objectives, selected by `decoder`:
  *  - "none": per-timestep reconstruction heads on the LSTM outputs (CE per
- *    cat col + MSE cont) plus an MSE head on the pooled (Bahdanau context
- *    ++ h_n -> fuse) embedding — the denoising objective used pre-round-2.
+ *    cat col + MSE cont) plus an MSE head on the pooled ([lstm_to_dense
+ *    (h_T), context] -> fuse) embedding — the denoising objective used
+ *    pre-round-2.
  *  - "teacher" (I15, AutoencoderTeacherTraining, model_wrapper.py:158-214):
  *    a one-layer LSTM decoder (I13, lstm_decoder.py:8-57) is initialized
  *    with hidden = (fused embedding, c_T) — the reference's unified encoder
@@ -53,6 +54,10 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     specs += ParamSpec("aw1", hidden, attnDim)
     specs += ParamSpec("ab1", 1, attnDim)
     specs += ParamSpec("av", 1, attnDim)
+    // lin_layer_lstm_to_dense (multi_layer_lstm.py:34-36,55-60): h_T is
+    // projected before the fuse concat [proj(h_T), context]
+    specs += ParamSpec("l2d_w", hidden, hidden)
+    specs += ParamSpec("l2d_b", 1, hidden)
     specs += ParamSpec("fuse_w", 2 * hidden, outDim)
     specs += ParamSpec("fuse_b", 1, outDim)
     if (hasDecoder) {
@@ -159,7 +164,10 @@ object LstmAE {
     val context = DenseVector.zeros[Double](h)
     for (i <- 0 until t) context :+= outputs(i, ::).t * attn(i)
     val hN = hs(t, ::).t
-    val fused = DenseVector.vertcat(context, hN)
+    // fin_input order matches the reference: [lstm_to_dense(h_T), context]
+    // (unified_encoder.py:257-262, multi_layer_lstm.py:55-63)
+    val hProj = (W("l2d_w").t * hN) + V("l2d_b")
+    val fused = DenseVector.vertcat(hProj, context)
     val eLin = (W("fuse_w").t * fused) + V("fuse_b")
     val embedding = eLin.map(v => math.max(v, 0.0)) // ReLU
 
@@ -353,8 +361,11 @@ object LstmAE {
     lay.mat("fuse_w", grad) :+= fused * dELin.t
     lay.vec("fuse_b", grad) :+= dELin
     val dFused = W("fuse_w") * dELin
-    val dContext = dFused(0 until h)
-    val dHN = dFused(h until 2 * h).copy
+    val dHProj = dFused(0 until h)
+    val dContext = dFused(h until 2 * h)
+    lay.mat("l2d_w", grad) :+= hN * dHProj.t
+    lay.vec("l2d_b", grad) :+= dHProj
+    val dHN = W("l2d_w") * dHProj
     // context = sum a_i out_i
     val dAttn = DenseVector.tabulate(t)(i => sum(dContext *:* outputs(i, ::).t))
     for (i <- 0 until t) dOut(i, ::) :+= (dContext * attn(i)).t

@@ -43,7 +43,14 @@ object MlOps extends QueryGroup {
     * non-seq scaler pattern). Returns (prepped wide, vocab sizes). The wide
     * output is cached: the encoding fit, the min-max agg, the apply join,
     * and the scorer each scan it, and without the cache the full featurizer
-    * pipeline re-executes per consumer. */
+    * pipeline re-executes per consumer. Each call REPLACES (unpersists) the
+    * previous call's cache via the one-slot registry below, so repeated
+    * invocations (both score queries, bench warm-up + timed passes) never
+    * accumulate cached copies in the block manager; the result is still
+    * recomputed per call — timings stay honest. */
+  private val lastWide =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def profileFeaturized(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val ev = Tables.load(s, dir, "events")
     val cust = Tables.load(s, dir, "customer")
@@ -60,14 +67,23 @@ object MlOps extends QueryGroup {
     val cfg = FeaturizerConfig(roles, seqLen = seqLen, historyDays = HistoryDays,
       tiebreak = Seq("event_id"))
     val model = CasprFeaturizer.fit(input, cfg)
+    // unpersist BEFORE persisting the replacement: the new plan is often
+    // identical, and CacheManager would dedup the persist onto the old
+    // entry — which the later unpersist would then remove
+    val prev = lastWide.getAndSet(null)
+    if (prev != null) prev.unpersist(blocking = false)
     val wide = model.transform(input)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastWide.set(wide)
     val segEnc = Encoding.fit(wide, "c_mktsegment")
     val mm = wide.agg(min("c_acctbal").as("__mn"), max("c_acctbal").as("__mx"))
     val wideEnc = Encoding.apply(wide, segEnc)
       .crossJoin(broadcast(mm))
+      // constant-column guard (mirrors NormalizationSummary.minMaxOf):
+      // max==min would divide to NaN and read as a silent 0-fill downstream
       .withColumn("c_acctbal",
-        (col("c_acctbal") - col("__mn")) / (col("__mx") - col("__mn")))
+        when(col("__mx") === col("__mn"), lit(0.0))
+          .otherwise((col("c_acctbal") - col("__mn")) / (col("__mx") - col("__mn"))))
       .drop("__mn", "__mx")
     val vocab = Map(
       "event_type" -> (model.encodings("event_type").mapping.count() + 1),
@@ -148,9 +164,12 @@ object MlOps extends QueryGroup {
           decoderLayers = 1) // teacher-forced seq2seq pretraining (I7/I9)
         val catCols = Seq((1 to seqLen).map(t => s"event_type_$t"))
         val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
+        // smoke-budget epochs: 1024 examples / 1 step per epoch (monitored
+        // loss comes from EpochLoop's fixed holdout); fit() defaults cover
+        // the full corpus reference-style
         val res = graft.train.TransformerTrainer.fit(wide, cfg, catCols, contCols,
           graft.train.TrainConfig(lr = 1e-2, maxEpochs = 3, warmupEpochs = 1),
-          batchSize = 1024)
+          batchSize = 1024, examplesPerEpoch = Some(1024))
         embedScalars(
           graft.train.TransformerTrainer.transform(wide, res, "user_id", catCols, contCols))
           .withColumn("final_loss", round(lit(res.losses.last), 6))
@@ -171,7 +190,7 @@ object MlOps extends QueryGroup {
         val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
         val res = graft.train.LstmTrainer.fit(wide, cfg, catCols, contCols,
           graft.train.TrainConfig(lr = 1e-2, maxEpochs = 3, warmupEpochs = 1),
-          batchSize = 1024)
+          batchSize = 1024, examplesPerEpoch = Some(1024))
         embedScalars(
           graft.train.LstmTrainer.transform(wide, res, "user_id", catCols, contCols))
           .withColumn("final_loss", round(lit(res.losses.last), 6))

@@ -74,79 +74,57 @@ final case class TrainResult(weights: AeWeights, losses: Seq[Double], stoppedAt:
 
 object LinearAutoencoder {
 
-  /** Fit on the numeric columns of `df`. Nulls are treated as 0. */
-  def fit(df: DataFrame, cols: Seq[String], cfg: TrainConfig): TrainResult = {
-    val spark = df.sparkSession
+  /** Fit on the numeric columns of `df` via the shared [[EpochLoop]]
+    * harness (reference-style multi-step epochs; see [[TransformerTrainer]]
+    * for the `examplesPerEpoch` budget semantics). Nulls are treated as 0. */
+  def fit(df: DataFrame, cols: Seq[String], cfg: TrainConfig,
+      batchSize: Int = 4096, examplesPerEpoch: Option[Int] = None): TrainResult = {
     val nIn = cols.size
+    val nHidden = cfg.nHidden
     val data = df.select(cols.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
       .rdd.map(r => Array.tabulate(nIn)(r.getDouble))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val w = AeWeights.init(nIn, cfg.nHidden, cfg.seed)
-    val nParams = w.params.length
-    val adam = new Adam(nParams)
-    val sched = new LrSchedule(cfg.lr, cfg.warmupEpochs)
-    val stopper = new EarlyStopping(cfg.patience, cfg.delta)
-    val losses = scala.collection.mutable.ArrayBuffer[Double]()
-    var epoch = 0
-    var stopped = false
-
-    while (epoch < cfg.maxEpochs && !stopped) {
-      val bc = spark.sparkContext.broadcast(w)
-      // (gradSum ++ lossSum ++ n) accumulated in one treeAggregate pass
-      val zero = new Array[Double](nParams + 2)
-      val acc = data.treeAggregate(zero)(
-        seqOp = (a, x) => {
-          val wt = bc.value
-          val h = wt.encode(x)
-          val xh = wt.decode(h)
-          val e = new Array[Double](nIn)
-          var loss = 0.0
-          var i = 0
-          while (i < nIn) { e(i) = xh(i) - x(i); loss += e(i) * e(i); i += 1 }
-          // dL/dW2 = h e^T ; dL/db2 = e ; dh = W2 e ; dL/dW1 = x dh^T ; dL/db1 = dh
-          val dh = new Array[Double](wt.nHidden)
-          var j = 0
-          while (j < wt.nHidden) {
-            var s = 0.0; i = 0
-            while (i < nIn) { s += wt.w2(j, i) * e(i); i += 1 }
-            dh(j) = s; j += 1
-          }
-          i = 0
-          while (i < nIn) {
-            j = 0
-            while (j < wt.nHidden) { a(i * wt.nHidden + j) += x(i) * dh(j); j += 1 }
-            i += 1
-          }
+    val w = AeWeights.init(nIn, nHidden, cfg.seed)
+    val res = EpochLoop.run(data, w.params, cfg, batchSize, examplesPerEpoch,
+      (p, a, x: Array[Double]) => {
+        val wt = AeWeights(nIn, nHidden, p)
+        val h = wt.encode(x)
+        val xh = wt.decode(h)
+        val e = new Array[Double](nIn)
+        var loss = 0.0
+        var i = 0
+        while (i < nIn) { e(i) = xh(i) - x(i); loss += e(i) * e(i); i += 1 }
+        // dL/dW2 = h e^T ; dL/db2 = e ; dh = W2 e ; dL/dW1 = x dh^T ; dL/db1 = dh
+        val dh = new Array[Double](nHidden)
+        var j = 0
+        while (j < nHidden) {
+          var s = 0.0; i = 0
+          while (i < nIn) { s += wt.w2(j, i) * e(i); i += 1 }
+          dh(j) = s; j += 1
+        }
+        i = 0
+        while (i < nIn) {
           j = 0
-          while (j < wt.nHidden) { a(nIn * wt.nHidden + j) += dh(j); j += 1 }
-          val w2off = nIn * wt.nHidden + wt.nHidden
-          j = 0
-          while (j < wt.nHidden) {
-            i = 0
-            while (i < nIn) { a(w2off + j * nIn + i) += h(j) * e(i); i += 1 }
-            j += 1
-          }
-          val b2off = w2off + wt.nHidden * nIn
+          while (j < nHidden) { a(i * nHidden + j) += x(i) * dh(j); j += 1 }
+          i += 1
+        }
+        j = 0
+        while (j < nHidden) { a(nIn * nHidden + j) += dh(j); j += 1 }
+        val w2off = nIn * nHidden + nHidden
+        j = 0
+        while (j < nHidden) {
           i = 0
-          while (i < nIn) { a(b2off + i) += e(i); i += 1 }
-          a(nParams) += 0.5 * loss
-          a(nParams + 1) += 1.0
-          a
-        },
-        combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-      bc.destroy()
-      val n = math.max(acc(nParams + 1), 1.0)
-      val loss = acc(nParams) / n
-      val grad = Array.tabulate(nParams)(i => acc(i) / n)
-      adam.step(w.params, grad, sched.lr(epoch))
-      sched.observe(loss)
-      losses += loss
-      stopped = stopper.observe(epoch, loss)
-      epoch += 1
-    }
+          while (i < nIn) { a(w2off + j * nIn + i) += h(j) * e(i); i += 1 }
+          j += 1
+        }
+        val b2off = w2off + nHidden * nIn
+        i = 0
+        while (i < nIn) { a(b2off + i) += e(i); i += 1 }
+        0.5 * loss
+      })
     data.unpersist()
-    TrainResult(w, losses.toSeq, epoch)
+    TrainResult(w, res.losses, res.stoppedAt)
   }
 
   /** Attach the hidden representation as `ae_embedding: array<float>`. */

@@ -6,8 +6,9 @@ import graft.nn.{LstmAE, LstmAeConfig}
 
 /**
  * Distributed LSTM-encoder training (SURVEY.md §2.I11/I12): the same
- * broadcast-params + treeAggregate harness as [[TransformerTrainer]], over
- * the BPTT-gradient-checked [[LstmAE]].
+ * [[EpochLoop]] harness as [[TransformerTrainer]] (reference-style
+ * multi-step epochs; see its scaladoc for the `examplesPerEpoch` budget
+ * semantics), over the BPTT-gradient-checked [[LstmAE]].
  */
 object LstmTrainer {
 
@@ -28,47 +29,17 @@ object LstmTrainer {
 
   def fit(wide: DataFrame, cfg: LstmAeConfig,
       seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
-      train: TrainConfig, batchSize: Int = 4096): Result = {
-    val spark = wide.sparkSession
+      train: TrainConfig, batchSize: Int = 4096,
+      examplesPerEpoch: Option[Int] = None): Result = {
     val lay = cfg.layout
     val data = examples(wide, seqCatCols, seqContCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = data.count()
-    val fraction =
-      if (batchSize <= 0 || total <= batchSize) 1.0
-      else math.min(1.0, batchSize * 1.05 / total)
     val params = cfg.initParams()
-    val n = lay.totalSize
-    val adam = new Adam(n)
-    val sched = new LrSchedule(train.lr, train.warmupEpochs)
-    val stopper = new EarlyStopping(train.patience, train.delta)
-    val losses = scala.collection.mutable.ArrayBuffer[Double]()
-    var epoch = 0
-    var stopped = false
-    while (epoch < train.maxEpochs && !stopped) {
-      val bc = spark.sparkContext.broadcast(params)
-      val batch =
-        if (fraction >= 1.0) data
-        else data.sample(withReplacement = false, fraction, train.seed + epoch)
-      val zero = new Array[Double](n + 2)
-      val acc = batch.treeAggregate(zero)(
-        seqOp = (a, ex) => {
-          val (loss, _) = LstmAE.lossGradEmbed(cfg, lay, bc.value, a, ex._1, ex._2)
-          a(n) += loss; a(n + 1) += 1.0; a
-        },
-        combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-      bc.destroy()
-      val cnt = math.max(acc(n + 1), 1.0)
-      val loss = acc(n) / cnt
-      val grad = Array.tabulate(n)(i => acc(i) / cnt)
-      adam.step(params, grad, sched.lr(epoch))
-      sched.observe(loss)
-      losses += loss
-      stopped = stopper.observe(epoch, loss)
-      epoch += 1
-    }
+    val res = EpochLoop.run(data, params, train, batchSize, examplesPerEpoch,
+      (p, a, ex: (Array[Array[Int]], Array[Array[Double]])) =>
+        LstmAE.lossGradEmbed(cfg, lay, p, a, ex._1, ex._2)._1)
     data.unpersist()
-    Result(cfg, params, losses.toSeq, epoch)
+    Result(cfg, params, res.losses, res.stoppedAt)
   }
 
   /** Score with trained weights: pooled attention-fused embedding. */

@@ -5,19 +5,19 @@ import org.apache.spark.sql.types._
 import graft.nn.{AeConfig, TransformerAE}
 
 /**
- * Distributed transformer-autoencoder pretraining (SURVEY.md §3.2): the same
- * broadcast-params + treeAggregate-gradients harness as LinearAutoencoder,
- * driving the gradient-checked TransformerAE backward. Reference lifecycle
- * J1/J2/J4/J5 (train.py:133-193, spark/large/train.py:112-261) with Spark
- * primitives: broadcast = param sync, treeAggregate = allreduce, driver =
- * rank-0 optimizer/scheduler/early-stop.
+ * Distributed transformer-autoencoder pretraining (SURVEY.md §3.2),
+ * driving the gradient-checked TransformerAE backward through the shared
+ * [[EpochLoop]] harness. Reference lifecycle J1/J2/J4/J5 (train.py:133-193,
+ * spark/large/train.py:112-261).
  *
- * Like the reference (which steps on 32k-row batches, spark/large/
- * train.py:35), each epoch samples a mini-batch of ~`batchSize` examples
- * from the cached example RDD (deterministic per-epoch seed) instead of
- * sweeping the full corpus per optimizer step — sampling is a narrow op
- * against the cache, so the per-epoch cost is proportional to the batch,
- * not the corpus.
+ * Epoch semantics (see EpochLoop): by default each epoch covers the FULL
+ * corpus in ceil(n/batchSize) optimizer steps on disjoint ~batchSize random
+ * slices — the reference's steps_per_epoch batching (spark/large/
+ * train.py:35). `examplesPerEpoch` caps the per-epoch sample for smoke/
+ * bench budgets (that is less optimization per epoch than the reference;
+ * the monitored loss then comes from a fixed held-out sample). Per-epoch
+ * gradient COMPUTE is proportional to the examples touched; each slice
+ * sweep still scans the cached corpus partitions to select its members.
  */
 object TransformerTrainer {
 
@@ -52,51 +52,17 @@ object TransformerTrainer {
       seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
       train: TrainConfig,
       nonSeqCatCols: Seq[String] = Nil, nonSeqContCols: Seq[String] = Nil,
-      batchSize: Int = 4096): Result = {
-    val spark = wide.sparkSession
+      batchSize: Int = 4096,
+      examplesPerEpoch: Option[Int] = None): Result = {
     val lay = cfg.layout
     val data = examples(wide, seqCatCols, seqContCols, nonSeqCatCols, nonSeqContCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = data.count()
-    // oversample slightly so the expected batch lands at batchSize even
-    // after Bernoulli variance; fraction 1 = full-batch (small corpora)
-    val fraction =
-      if (batchSize <= 0 || total <= batchSize) 1.0
-      else math.min(1.0, batchSize * 1.05 / total)
-
     val params = cfg.initParams()
-    val n = lay.totalSize
-    val adam = new Adam(n)
-    val sched = new LrSchedule(train.lr, train.warmupEpochs)
-    val stopper = new EarlyStopping(train.patience, train.delta)
-    val losses = scala.collection.mutable.ArrayBuffer[Double]()
-    var epoch = 0
-    var stopped = false
-    while (epoch < train.maxEpochs && !stopped) {
-      val bc = spark.sparkContext.broadcast(params)
-      val batch =
-        if (fraction >= 1.0) data
-        else data.sample(withReplacement = false, fraction, train.seed + epoch)
-      val zero = new Array[Double](n + 2)
-      val acc = batch.treeAggregate(zero)(
-        seqOp = (a, ex) => {
-          val loss = TransformerAE.lossAndGrad(cfg, lay, bc.value, a, ex._1, ex._2,
-            nsCat = ex._3, nsCont = ex._4)
-          a(n) += loss; a(n + 1) += 1.0; a
-        },
-        combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-      bc.destroy()
-      val cnt = math.max(acc(n + 1), 1.0)
-      val loss = acc(n) / cnt
-      val grad = Array.tabulate(n)(i => acc(i) / cnt)
-      adam.step(params, grad, sched.lr(epoch))
-      sched.observe(loss)
-      losses += loss
-      stopped = stopper.observe(epoch, loss)
-      epoch += 1
-    }
+    val res = EpochLoop.run(data, params, train, batchSize, examplesPerEpoch,
+      (p, a, ex: Example) => TransformerAE.lossAndGrad(cfg, lay, p, a,
+        ex._1, ex._2, nsCat = ex._3, nsCont = ex._4))
     data.unpersist()
-    Result(cfg, params, losses.toSeq, epoch)
+    Result(cfg, params, res.losses, res.stoppedAt)
   }
 
   /** Score with trained weights: embedding = flattened encoder output over
