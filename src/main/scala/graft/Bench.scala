@@ -29,7 +29,7 @@ object Bench {
     * correctness-gated in Verify. */
   val headline: Seq[String] = Seq(
     "q_pipeline_e2e", "q1_agg", "q_c1_rank", "q_e1_pivot", "q_h2_normalize",
-    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_lsh",
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_fast",
     "q_text_simhash", "q_text_quality", "q_ann_brute", "q_ann_lsh",
     "q_multimodal_meta", "q_score_embeddings", "q_train_transformer",
     "q_train_lstm_ae")
@@ -75,7 +75,10 @@ object Bench {
         }
       }
     }
-    val results = qs.map(n => n -> best.getOrElse(n, -1.0))
+    // a query that failed in EITHER pass reports -1.0 and never contributes
+    // to the total — a flaky query must not inflate the headline with a
+    // single-sample time while also flagging failure
+    val results = qs.map(n => n -> (if (failed(n)) -1.0 else best.getOrElse(n, -1.0)))
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")

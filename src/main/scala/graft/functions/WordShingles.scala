@@ -1,0 +1,85 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `word_shingles(text, n)`: the DISTINCT word n-grams of `text`, lowercased
+ * and whitespace-split, as one array — semantically identical to
+ * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+ * slice(split(lower(text), "\\s+"), i, n))))` but evaluated as ONE
+ * imperative pass per document inside whole-stage codegen.
+ *
+ * Why a custom Catalyst expression: the higher-order-function formulation
+ * interprets the lambda body per shingle (slice allocates a sub-array,
+ * concat_ws re-walks it, every call through the interpreted eval path) —
+ * measured ~400 µs/doc on 300-char docs, which made shingling dominate the
+ * dedup cold path. This expression costs one regex split plus one
+ * StringBuilder walk per document (~µs), keeps the scan narrow (no shuffle,
+ * unlike a posexplode+lead window rewrite), and the shingle universe it
+ * emits is bit-identical to the DuckDB oracle's
+ * `regexp_split_to_array(lower(text), '\s+')` 3-gram CTE.
+ */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+
+  // identical to Spark's split(str, "\\s+") (Pattern.split with limit -1)
+  private val Ws = Pattern.compile("\\s+")
+
+  /** One-pass shingling; called from both interpreted eval and codegen. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = Ws.split(text.toLowerCase.toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: distinct word n-gram shingles of `text`. */
+  def wordShingles(text: Column, n: Int): Column =
+    CatalystBridge.column(WordShingles(CatalystBridge.expression(text), n))
+}

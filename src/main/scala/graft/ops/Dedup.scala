@@ -30,15 +30,16 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct word n-gram shingles per document (one row per shingle). */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val sh = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array())
-    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
-  }
+  /**
+   * Distinct word n-gram shingles per document (one row per shingle).
+   * Built by the codegen'd [[graft.functions.WordShingles]] expression —
+   * one imperative pass per document instead of an interpreted
+   * higher-order-function lambda per shingle (~100× cheaper map-side),
+   * same narrow no-shuffle scan shape.
+   */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.WordShingles.wordShingles(col(textCol), n)).as("shingle"))
 
   /**
    * N-gram Jaccard near-duplicate pairs: candidate pairs share >= 1 shingle
@@ -56,19 +57,23 @@ object Dedup {
    * the cap not binding (the default at moderate scale) the result is
    * identical to uncapped exact Jaccard.
    *
-   * Plan shape: one groupBy(shingle) for the df whitelist, re-joined on the
-   * same shingle partitioning the self-join needs, so the cap costs one
-   * aggregate, not an extra pass over the pair blowup. Caches the shingle
-   * table; in a long-lived session call `spark.catalog.clearCache()`
-   * between dedup invocations (blocks are otherwise LRU-evicted).
+   * Plan shape: the df cap is a `count(*) OVER (PARTITION BY shingle)`
+   * window on the exploded table — ONE tokenize+explode pass over the
+   * corpus, shuffled on the same shingle key the self-join needs (the old
+   * groupBy-whitelist + re-join shape tokenized the corpus twice cold).
+   * Caches the capped shingle table; in a long-lived session call
+   * `spark.catalog.clearCache()` between dedup invocations (blocks are
+   * otherwise LRU-evicted).
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
     val all = shingles(df, textCol, idCol, n)
-    val keep = all.groupBy(col("shingle")).agg(count(lit(1)).as("df_n"))
+    val sh = all
+      .withColumn("df_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
       .filter(col("df_n") <= maxShingleDf)
-      .select(col("shingle"))
-    val sh = all.join(keep, Seq("shingle")).cache()
+      .drop("df_n")
+      .cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
@@ -99,6 +104,21 @@ object Dedup {
   }
 
   /**
+   * Production-path MinHash signatures: h_i(s) = xxhash64(i, s), min over
+   * LONGS. Map-side cost is one 64-bit xxhash per (shingle, i) instead of
+   * an md5 digest + hex string, and the aggregate state is k longs, not k
+   * strings — roughly an order of magnitude cheaper per shingle. The md5
+   * family ([[minhashSigs]]) is kept as the engine-portable oracle fixture;
+   * DedupSpec ties the two variants with an output-agreement check (both
+   * verify candidates with exact Jaccard, so disagreement = recall only).
+   */
+  def minhashSigsFast(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (1 to k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * MinHash-LSH near-duplicate pairs: k minhashes in `bands` bands of
    * k/bands rows; docs colliding on any full band signature become
    * candidates (equi-join on (band, signature)); candidates are then
@@ -112,18 +132,28 @@ object Dedup {
    * Caches the shingle and candidate tables for reuse across stages; in a
    * long-lived session, call `spark.catalog.clearCache()` between dedup
    * invocations (blocks are otherwise reclaimed by LRU eviction).
+   *
+   * `fastHash = true` switches to the numeric xxhash64 family
+   * ([[minhashSigsFast]]) and folds each band's row-hashes into one 64-bit
+   * band key — the production path. A 64-bit band-key collision only ever
+   * ADDS a candidate pair, and every candidate is verified with exact
+   * Jaccard before emission, so correctness is unaffected; only the hash
+   * family (and thus which true pairs the bands happen to surface) differs.
    */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, tau: Double,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sh = shingles(df, textCol, idCol, n).cache()
-    val sigs = minhashSigs(sh, idCol, k)
+    val sigs = if (fastHash) minhashSigsFast(sh, idCol, k)
+               else minhashSigs(sh, idCol, k)
     // stack the per-doc wide signature into (doc, band, sig) rows
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows + 1 to (b + 1) * rows).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"), concat_ws("|", cols: _*).as("sig"))
+      val sig = if (fastHash) xxhash64(cols: _*).cast("string")
+                else concat_ws("|", cols: _*)
+      struct(lit(b).as("band"), sig.as("sig"))
     }
     val bandSig = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))

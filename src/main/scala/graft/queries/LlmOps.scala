@@ -136,6 +136,14 @@ object LlmOps extends QueryGroup {
               |  JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b)
               |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
 
+    // Production-path minhash: xxhash64 signature family + 64-bit band keys
+    // (rows-only: DuckDB has no xxhash64, so the md5 variant above stays the
+    // oracle fixture; DedupSpec ties the two with an agreement check)
+    QueryDef("q_dedup_minhash_fast",
+      (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, k = 16, bands = 4, tau = 0.4, fastHash = true),
+      None),
+
     QueryDef("q_dedup_embed_cosine",
       (s, dir) => Vectors.cosineDupPairs(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", tau = 0.3, bucketed = false),

@@ -38,6 +38,25 @@ class OpsSpec extends SparkSpec {
     assert(lsh.contains((1L, 4L))) // identical docs always collide
   }
 
+  test("fast (xxhash64) minhash agrees with the md5 oracle family") {
+    // both variants verify candidates with exact Jaccard, so outputs are
+    // subsets of the exact pairs; the hash family only affects which true
+    // pairs the bands surface. On real sf data the two must agree closely.
+    val real = graft.core.Tables.load(spark, sf, "documents")
+    val md5p = Dedup.minhashLshPairs(real, "text", "doc_id", 3, 16, 4, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = Dedup.minhashLshPairs(real, "text", "doc_id", 3, 16, 4, 0.4,
+        fastHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(real, "text", "doc_id", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.subsetOf(exact))
+    val denom = math.max(md5p.size, 1)
+    val agree = fast.intersect(md5p).size.toDouble / denom
+    assert(agree >= 0.8, s"fast/md5 minhash agreement too low: $agree " +
+      s"(fast=${fast.size}, md5=${md5p.size})")
+  }
+
   test("simhash: identical docs equal; near-dups within small hamming distance") {
     val sh = Text.simhash16(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
