@@ -242,6 +242,10 @@ object TransformerAE {
     val nCat = cfg.vocabSizes.size
     val nNsCat = cfg.nonSeqVocabSizes.size
     val scale = math.sqrt(d.toDouble)
+    // grad == null => forward-only (loss evaluation, e.g. the EpochLoop
+    // monitoring probe): head-gradient writes are skipped and the function
+    // returns right after the loss, before any backward section
+    val doGrad = grad != null
 
     // ---- forward -------------------------------------------------------
     val embDims = cfg.embDims
@@ -360,10 +364,12 @@ object TransformerAE {
           dLogits(i, y) -= 1.0
         }
         dLogits :/= t.toDouble
-        lay.mat(s"headCat${c}_w", grad) :+= xSeq.t * dLogits
-        val dB = lay.vec(s"headCat${c}_b", grad)
-        for (i <- 0 until t) dB :+= dLogits(i, ::).t
-        dX(0 until t, ::) :+= dLogits * w.t
+        if (doGrad) {
+          lay.mat(s"headCat${c}_w", grad) :+= xSeq.t * dLogits
+          val dB = lay.vec(s"headCat${c}_b", grad)
+          for (i <- 0 until t) dB :+= dLogits(i, ::).t
+          dX(0 until t, ::) :+= dLogits * w.t
+        }
       }
       hl = hl / t
       if (cfg.nCont > 0) {
@@ -371,11 +377,13 @@ object TransformerAE {
         val pred = xSeq * w; pred(*, ::) :+= b
         val err = DenseMatrix.tabulate(t, cfg.nCont)((i, j) => pred(i, j) - cont(i)(j))
         hl += sum(err *:* err) / (2.0 * t)
-        val dPred = err / t.toDouble
-        lay.mat("headCont_w", grad) :+= xSeq.t * dPred
-        val dB = lay.vec("headCont_b", grad)
-        for (i <- 0 until t) dB :+= dPred(i, ::).t
-        dX(0 until t, ::) :+= dPred * w.t
+        if (doGrad) {
+          val dPred = err / t.toDouble
+          lay.mat("headCont_w", grad) :+= xSeq.t * dPred
+          val dB = lay.vec("headCont_b", grad)
+          for (i <- 0 until t) dB :+= dPred(i, ::).t
+          dX(0 until t, ::) :+= dPred * w.t
+        }
       }
       if (cfg.hasNonSeq) {
         val xNs = x(tE - 1, ::).t // one prediction from the appended timestep
@@ -387,11 +395,13 @@ object TransformerAE {
           val probs = e / sum(e)
           val y = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), w.cols - 1)
           hl += -math.log(math.max(probs(y), 1e-12))
-          val dLogits = probs.copy
-          dLogits(y) -= 1.0
-          lay.mat(s"headNsCat${c}_w", grad) :+= xNs * dLogits.t
-          lay.vec(s"headNsCat${c}_b", grad) :+= dLogits
-          dX(tE - 1, ::) :+= (w * dLogits).t
+          if (doGrad) {
+            val dLogits = probs.copy
+            dLogits(y) -= 1.0
+            lay.mat(s"headNsCat${c}_w", grad) :+= xNs * dLogits.t
+            lay.vec(s"headNsCat${c}_b", grad) :+= dLogits
+            dX(tE - 1, ::) :+= (w * dLogits).t
+          }
         }
         if (cfg.nNonSeqCont > 0) {
           val w = lay.mat("headNsCont_w", p); val b = lay.vec("headNsCont_b", p)
@@ -399,9 +409,11 @@ object TransformerAE {
           val err = DenseVector.tabulate(cfg.nNonSeqCont)(j =>
             pred(j) - (if (nsCont != null) nsCont(j) else 0.0))
           hl += sum(err *:* err) / 2.0
-          lay.mat("headNsCont_w", grad) :+= xNs * err.t
-          lay.vec("headNsCont_b", grad) :+= err
-          dX(tE - 1, ::) :+= (w * err).t
+          if (doGrad) {
+            lay.mat("headNsCont_w", grad) :+= xNs * err.t
+            lay.vec("headNsCont_b", grad) :+= err
+            dX(tE - 1, ::) :+= (w * err).t
+          }
         }
       }
       (hl, dX)
@@ -416,6 +428,7 @@ object TransformerAE {
     if (encSeed == null && cfg.decoderLayers == 0) {
       val (hl, dX) = applyHeads(enc)
       loss += hl
+      if (!doGrad) return loss
       dEnc :+= dX
     } else if (encSeed == null) {
       // ---- teacher-forced decoder (I7/I9): trg = [0; src[:-1]] shifted in
@@ -493,6 +506,7 @@ object TransformerAE {
       }
       val (hl, dDecOut) = applyHeads(g)
       loss += hl
+      if (!doGrad) return loss
       // decoder backward
       var dG = dDecOut
       for (l <- (cfg.decoderLayers - 1) to 0 by -1) {

@@ -107,10 +107,15 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
 object LstmAE {
 
   /** Forward one example; when `grad` is non-null also runs the backward and
-    * accumulates parameter gradients. Returns (loss, pooledEmbedding). */
+    * accumulates parameter gradients. `grad == null` evaluates the loss
+    * forward-only; `embedOnly = true` additionally skips the decoder/head
+    * forward and returns (0, embedding) straight after the encoder — the
+    * serving path, where the decoder loss is pure overhead.
+    * Returns (loss, pooledEmbedding). */
   def lossGradEmbed(cfg: LstmAeConfig, lay: ParamLayout, p: Array[Double],
       grad: Array[Double], catCodes: Array[Array[Int]],
-      cont: Array[Array[Double]]): (Double, Array[Double]) = {
+      cont: Array[Array[Double]],
+      embedOnly: Boolean = false): (Double, Array[Double]) = {
     val t = cfg.seqLen
     val h = cfg.hidden
     val nCat = cfg.vocabSizes.size
@@ -170,6 +175,7 @@ object LstmAE {
     val fused = DenseVector.vertcat(hProj, context)
     val eLin = (W("fuse_w").t * fused) + V("fuse_b")
     val embedding = eLin.map(v => math.max(v, 0.0)) // ReLU
+    if (embedOnly) return (0.0, embedding.toArray)
 
     // ---- heads + loss --------------------------------------------------
     var loss = 0.0

@@ -1,6 +1,9 @@
 package graft.train
 
-import org.apache.spark.rdd.RDD
+import scala.reflect.ClassTag
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -15,21 +18,36 @@ import org.apache.spark.storage.StorageLevel
  *
  * Epoch semantics follow the reference (run_epoch, utils/train.py:133-193;
  * 32k-row batch steps, spark/large/train.py:35): one epoch = ceil(n /
- * batchSize) optimizer steps, each on a disjoint random ~batchSize slice
- * (RDD.randomSplit over the cached examples), together covering the whole
- * epoch sample. By default the epoch sample IS the corpus — full reference
- * parity. `examplesPerEpoch` caps how many examples an epoch touches
- * (smoke-test / bench budgets); that is LESS optimization than a full
- * reference epoch and callers opting in accept the difference.
+ * batchSize) optimizer steps, each on a disjoint random ~batchSize slice,
+ * together covering the whole epoch sample. By default the epoch sample IS
+ * the corpus — full reference parity. `examplesPerEpoch` caps how many
+ * examples an epoch touches (smoke-test / bench budgets); that is LESS
+ * optimization than a full reference epoch and callers opting in accept
+ * the difference. `batchSize <= 0` means one full-batch step per epoch.
+ *
+ * Step slicing costs ONE pass per epoch: examples are assigned a random
+ * step key map-side and shuffled into nSteps partitions (partition i =
+ * step i), then each optimizer step reads exactly its partition via
+ * partition pruning — the shuffle map stage runs once and is reused by
+ * every step's job (Spark skips completed map stages). The per-epoch cost
+ * is O(corpus + shuffle(corpus)), NOT the O(nSteps x corpus) that per-step
+ * `randomSplit` selection scans would pay — the same each-shard-read-once
+ * behavior as the reference's Petastorm sharding (spark/large/
+ * train.py:152-157). Slice sizes are Binomial(n, 1/nSteps) ~ batchSize,
+ * like randomSplit's.
  *
  * Monitored (early-stop / plateau / reported) loss: with full coverage it
  * is the epoch's mean training loss, exactly what the reference monitors.
  * With a subsampled epoch that mean is computed on a different random
  * subset each epoch, so patience would fire (or miss) on sampling noise —
- * instead the loss is evaluated on a FIXED held-out sample (seeded once,
- * ~half a batch, gradient part of the sweep discarded) so epochs compare
- * like with like. An empty slice (possible at tiny fractions) contributes
- * no optimizer step rather than a spurious loss-0 "best epoch".
+ * instead the loss is evaluated on a FIXED PROBE sample (seeded once,
+ * ~half a batch, forward-only via `lossOnly`). The probe is drawn from the
+ * same pool the epoch samples train on, so it is a like-with-like epoch
+ * comparator, NOT a generalization holdout (examples are arbitrary user
+ * types — array fields make equality-based exclusion ill-defined, and the
+ * reference monitors training loss anyway). An empty slice (possible at
+ * tiny fractions) contributes no optimizer step rather than a spurious
+ * loss-0 "best epoch".
  */
 object EpochLoop {
 
@@ -42,10 +60,14 @@ object EpochLoop {
    * @param lossGrad (params, acc, example) => loss; must ACCUMULATE
    *                 dLoss/dParam into acc[0, params.length) and return the
    *                 example's loss. Must be serializable.
+   * @param lossOnly forward-only loss evaluation used for the monitoring
+   *                 probe (no gradient work); defaults to `lossGrad` with a
+   *                 discarded scratch accumulator when absent.
    */
-  def run[E](data: RDD[E], params: Array[Double], train: TrainConfig,
+  def run[E: ClassTag](data: RDD[E], params: Array[Double], train: TrainConfig,
       batchSize: Int, examplesPerEpoch: Option[Int],
-      lossGrad: (Array[Double], Array[Double], E) => Double): RunResult = {
+      lossGrad: (Array[Double], Array[Double], E) => Double,
+      lossOnly: Option[(Array[Double], E) => Double] = None): RunResult = {
     val sc = data.context
     val n = params.length
     val total = data.count()
@@ -67,10 +89,26 @@ object EpochLoop {
       acc
     }
 
-    val holdout =
+    /** Forward-only mean-loss evaluation: (lossSum, count). */
+    def evalLoss(rdd: RDD[E], p: Array[Double]): (Double, Double) =
+      lossOnly match {
+        case Some(f) =>
+          val bc = sc.broadcast(p)
+          val (ls, cnt) = rdd.treeAggregate((0.0, 0.0))(
+            seqOp = (a, ex) => (a._1 + f(bc.value, ex), a._2 + 1.0),
+            combOp = (a, b) => (a._1 + b._1, a._2 + b._2))
+          bc.destroy()
+          (ls, cnt)
+        case None =>
+          val acc = sweep(rdd, p) // gradients discarded
+          (acc(n), acc(n + 1))
+      }
+
+    val probe =
       if (frac >= 1.0) None
       else {
-        val want = math.max(64.0, math.min(batchSize / 2.0, 512.0))
+        val want = math.max(64.0, math.min(
+          (if (batchSize > 0) batchSize else 1024) / 2.0, 512.0))
         Some(data.sample(withReplacement = false,
             math.min(1.0, want / total), train.seed - 1)
           .persist(StorageLevel.MEMORY_AND_DISK))
@@ -86,13 +124,13 @@ object EpochLoop {
       val epochData =
         if (frac >= 1.0) data
         else data.sample(withReplacement = false, frac, train.seed + epoch)
-      val nSteps = math.max(1, math.ceil(frac * total / batchSize).toInt)
-      val slices =
-        if (nSteps == 1) Array(epochData)
-        else epochData.randomSplit(Array.fill(nSteps)(1.0), train.seed ^ (epoch + 1))
+      val nSteps =
+        if (batchSize <= 0) 1 // explicit full-batch mode (and no div-by-0)
+        else math.max(1, math.ceil(frac * total / batchSize).toInt)
       var lossSum = 0.0
       var cntSum = 0.0
-      for (slice <- slices) {
+
+      def step(slice: RDD[E]): Unit = {
         val acc = sweep(slice, params)
         val cnt = acc(n + 1)
         if (cnt > 0) { // empty-slice guard: skip the step, record no loss
@@ -101,11 +139,29 @@ object EpochLoop {
           lossSum += acc(n); cntSum += cnt
         }
       }
+
+      if (nSteps == 1) step(epochData)
+      else {
+        // one shuffle assigns each example a random step; partition i IS
+        // step i (HashPartitioner on a key in [0, nSteps) is the identity),
+        // and each step's job prunes to its own partition — map outputs are
+        // computed once and reused by every subsequent step (skipped stages)
+        val epochSeed = train.seed ^ ((epoch + 1) * 0x9E3779B97F4A7C15L)
+        val keyed = epochData
+          .mapPartitionsWithIndex { (pi, it) =>
+            val rng = new java.util.Random(epochSeed + pi)
+            it.map(e => (rng.nextInt(nSteps), e))
+          }
+          .partitionBy(new HashPartitioner(nSteps))
+        for (s <- 0 until nSteps)
+          step(PartitionPruningRDD.create(keyed, _ == s).map(_._2))
+      }
+
       val trainLoss = if (cntSum > 0) lossSum / cntSum else Double.PositiveInfinity
-      val monitored = holdout match {
+      val monitored = probe match {
         case Some(h) =>
-          val acc = sweep(h, params) // gradients discarded, loss only
-          if (acc(n + 1) > 0) acc(n) / acc(n + 1) else trainLoss
+          val (ls, cnt) = evalLoss(h, params)
+          if (cnt > 0) ls / cnt else trainLoss
         case None => trainLoss
       }
       sched.observe(monitored)
@@ -113,7 +169,7 @@ object EpochLoop {
       stopped = stopper.observe(epoch, monitored)
       epoch += 1
     }
-    holdout.foreach(_.unpersist(blocking = false))
+    probe.foreach(_.unpersist(blocking = false))
     RunResult(losses.toSeq, epoch)
   }
 }

@@ -122,7 +122,15 @@ object LinearAutoencoder {
         i = 0
         while (i < nIn) { a(b2off + i) += e(i); i += 1 }
         0.5 * loss
-      })
+      },
+      lossOnly = Some((p: Array[Double], x: Array[Double]) => {
+        val wt = AeWeights(nIn, nHidden, p)
+        val xh = wt.decode(wt.encode(x))
+        var loss = 0.0
+        var i = 0
+        while (i < nIn) { val e = xh(i) - x(i); loss += e * e; i += 1 }
+        0.5 * loss
+      }))
     data.unpersist()
     TrainResult(w, res.losses, res.stoppedAt)
   }

@@ -37,7 +37,9 @@ object LstmTrainer {
     val params = cfg.initParams()
     val res = EpochLoop.run(data, params, train, batchSize, examplesPerEpoch,
       (p, a, ex: (Array[Array[Int]], Array[Array[Double]])) =>
-        LstmAE.lossGradEmbed(cfg, lay, p, a, ex._1, ex._2)._1)
+        LstmAE.lossGradEmbed(cfg, lay, p, a, ex._1, ex._2)._1,
+      lossOnly = Some((p: Array[Double], ex: (Array[Array[Int]], Array[Array[Double]])) =>
+        LstmAE.lossGradEmbed(cfg, lay, p, null, ex._1, ex._2)._1))
     data.unpersist()
     Result(cfg, params, res.losses, res.stoppedAt)
   }
@@ -58,7 +60,7 @@ object LstmTrainer {
       rows.map { row =>
         val (_, emb) = LstmAE.lossGradEmbed(res.cfg, lay, p, null,
           graft.ml.Ingress.seqCatOf(row, t, nCat),
-          graft.ml.Ingress.seqContOf(row, t, nCat, nCont))
+          graft.ml.Ingress.seqContOf(row, t, nCat, nCont), embedOnly = true)
         Row(row.get(0), emb.map(_.toFloat))
       }
     }(Encoders.row(outSchema))

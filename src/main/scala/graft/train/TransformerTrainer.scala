@@ -15,9 +15,9 @@ import graft.nn.{AeConfig, TransformerAE}
  * slices — the reference's steps_per_epoch batching (spark/large/
  * train.py:35). `examplesPerEpoch` caps the per-epoch sample for smoke/
  * bench budgets (that is less optimization per epoch than the reference;
- * the monitored loss then comes from a fixed held-out sample). Per-epoch
- * gradient COMPUTE is proportional to the examples touched; each slice
- * sweep still scans the cached corpus partitions to select its members.
+ * the monitored loss then comes from a fixed forward-only probe sample).
+ * Per-epoch cost is one pass over the epoch sample plus one shuffle into
+ * step slices — each example is read and trained on exactly once per epoch.
  */
 object TransformerTrainer {
 
@@ -60,7 +60,10 @@ object TransformerTrainer {
     val params = cfg.initParams()
     val res = EpochLoop.run(data, params, train, batchSize, examplesPerEpoch,
       (p, a, ex: Example) => TransformerAE.lossAndGrad(cfg, lay, p, a,
-        ex._1, ex._2, nsCat = ex._3, nsCont = ex._4))
+        ex._1, ex._2, nsCat = ex._3, nsCont = ex._4),
+      lossOnly = Some((p: Array[Double], ex: Example) =>
+        TransformerAE.lossAndGrad(cfg, lay, p, null, ex._1, ex._2,
+          nsCat = ex._3, nsCont = ex._4)))
     data.unpersist()
     Result(cfg, params, res.losses, res.stoppedAt)
   }

@@ -69,4 +69,35 @@ class TrainerSpec extends SparkSpec {
     assert(scored.count() == wide.count())
     assert(scored.select("embedding").head().getSeq[Float](0).size == 8)
   }
+
+  test("EpochLoop multi-step epochs read each example once per epoch") {
+    // the source RDD is deliberately UNcached and counts every element read:
+    // with per-step randomSplit selection scans an epoch would cost
+    // O(nSteps x corpus) reads; the shuffle-sliced loop must stay O(corpus)
+    val sc = spark.sparkContext
+    val n = 2000
+    val reads = sc.longAccumulator("sourceReads")
+    val data = sc.parallelize(1 to n, 8).map { x => reads.add(1); x.toDouble }
+    val params = Array(0.0)
+    val res = graft.train.EpochLoop.run[Double](data, params,
+      TrainConfig(lr = 1e-2, maxEpochs = 1), batchSize = 400, // -> 5 steps
+      examplesPerEpoch = None,
+      (p, a, x) => { val e = p(0) - x; a(0) += e; 0.5 * e * e })
+    assert(res.losses.size == 1 && res.losses.head.isFinite)
+    // count() pass + one epoch map-side pass = 2n; randomSplit would be 6n
+    assert(reads.value <= 3L * n,
+      s"epoch read amplification: ${reads.value} reads for $n examples")
+  }
+
+  test("EpochLoop batchSize <= 0 runs one full-batch step per epoch") {
+    val sc = spark.sparkContext
+    val data = sc.parallelize(Seq.fill(64)(1.0), 4)
+    val params = Array(0.0)
+    val res = graft.train.EpochLoop.run[Double](data, params,
+      TrainConfig(lr = 1e-1, maxEpochs = 3), batchSize = 0,
+      examplesPerEpoch = None,
+      (p, a, x) => { val e = p(0) - x; a(0) += e; 0.5 * e * e })
+    assert(res.losses.size == 3)
+    assert(res.losses.last < res.losses.head) // full-batch steps still learn
+  }
 }
