@@ -33,11 +33,11 @@ final case class LstmCell(
 final case class LstmEncoderWeights(
     hidden: Int,
     catEmbeddings: Seq[DenseMatrix[Double]],
-    cell: LstmCell,
-    attnW1: DenseMatrix[Double], attnB1: DenseVector[Double], // hidden -> attnDim
+    cells: Seq[Seq[LstmCell]], // layers x directions (multi_layer_lstm.py:28-30)
+    attnW1: DenseMatrix[Double], attnB1: DenseVector[Double], // D*hidden -> attnDim
     attnV: DenseVector[Double],                               // attnDim
-    lstmToDense: Linear,     // h_T projection (multi_layer_lstm.py:34-36)
-    fuse: Linear,            // (nsFinal + nNsCont + 2*hidden) -> outDim
+    lstmToDense: Linear,     // [h_T fwd; h_T bwd] projection (multi_layer_lstm.py:34-36)
+    fuse: Linear,            // (nsFinal + nNsCont + hidden + D*hidden) -> outDim
     nonSeqEmbeddings: Seq[DenseMatrix[Double]] = Nil,
     nsMlp: Option[DenseBnBlock] = None) { // ns emb -> nsFinal (emb_lin_layer_non_seq)
 
@@ -53,37 +53,56 @@ final case class LstmEncoderWeights(
    * [lstm_to_dense(h_T), context] fuse input (fin_input,
    * unified_encoder.py:257-262; the h_T projection is
    * multi_layer_lstm.py:34-36,55-63) before output_layer + ReLU (:266).
+   *
+   * Stacked/bidirectional stacks follow nn.LSTM: layer l reads layer l-1's
+   * per-timestep output ([h_fwd_t ; h_bwd_t] when bidir, width D*hidden);
+   * attention runs over the TOP layer's outputs and lstm_to_dense projects
+   * the concatenated final states of the top layer (multi_layer_lstm.py:55-63).
    */
   def forward(catCodes: Array[Array[Int]], cont: Array[Array[Double]],
       nsCat: Array[Int] = null, nsCont: Array[Double] = null): Array[Float] = {
     val t = catCodes.length
     val nCont = if (t > 0) cont(0).length else 0
     val embTotal = embeddingDims.sum
-    var h = DenseVector.zeros[Double](hidden)
-    var c = DenseVector.zeros[Double](hidden)
-    val outputs = DenseMatrix.zeros[Double](t, hidden)
+    val dirs = cells.head.size
+    val oW = dirs * hidden
+    // embed the input sequence once
+    var layerIn = DenseMatrix.zeros[Double](t, embTotal + nCont)
     for (i <- 0 until t) {
-      val x = DenseVector.zeros[Double](embTotal + nCont)
       var off = 0
       for (cc <- catCodes(i).indices) {
         val table = catEmbeddings(cc)
         val code = math.min(math.max(catCodes(i)(cc), 0), table.rows - 1)
-        x(off until off + table.cols) := table(code, ::).t
+        layerIn(i, off until off + table.cols) := table(code, ::)
         off += table.cols
       }
-      for (j <- 0 until nCont) x(embTotal + j) = cont(i)(j)
-      val (hn, cn) = cell.step(x, h, c)
-      h = hn; c = cn
-      outputs(i, ::) := h.t
+      for (j <- 0 until nCont) layerIn(i, embTotal + j) = cont(i)(j)
     }
-    // Bahdanau: score_t = v . tanh(W1 h_t + b1); context = softmax(score) . H
+    var finals: Seq[DenseVector[Double]] = Nil // top-layer h_T per direction
+    for (layer <- cells) {
+      val outM = DenseMatrix.zeros[Double](t, oW)
+      finals = layer.zipWithIndex.map { case (cell, d) =>
+        var h = DenseVector.zeros[Double](hidden)
+        var c = DenseVector.zeros[Double](hidden)
+        for (s <- 0 until t) {
+          val i = if (d == 0) s else t - 1 - s
+          val (hn, cn) = cell.step(layerIn(i, ::).t, h, c)
+          h = hn; c = cn
+          outM(i, d * hidden until (d + 1) * hidden) := h.t
+        }
+        h
+      }
+      layerIn = outM
+    }
+    val outputs = layerIn // t x D*hidden (top layer)
+    // Bahdanau: score_t = v . tanh(W1 out_t + b1); context = softmax(score) . H
     val scores = DenseVector.tabulate(t) { i =>
       sum(attnV *:* tanh(attnW1.t * outputs(i, ::).t + attnB1))
     }
     val mx = breeze.linalg.max(scores)
     val e = exp(scores - mx)
     val a = e / sum(e)
-    val context = DenseVector.zeros[Double](hidden)
+    val context = DenseVector.zeros[Double](oW)
     for (i <- 0 until t) context :+= outputs(i, ::).t * a(i)
     // non-seq branch: MLP(ns cat embeddings) ++ ns cont, prepended
     val nsPart: DenseVector[Double] = nsMlp match {
@@ -105,8 +124,9 @@ final case class LstmEncoderWeights(
       case None =>
         if (nsCont == null) DenseVector.zeros[Double](0) else DenseVector(nsCont)
     }
-    // fuse: ReLU(Linear(nsPart ++ lstm_to_dense(h_T) ++ context))
-    val hProj = (lstmToDense.w.t * h) + lstmToDense.b
+    // fuse: ReLU(Linear(nsPart ++ lstm_to_dense([h_T fwd; h_T bwd]) ++ context))
+    val hNcat = DenseVector.vertcat(finals: _*)
+    val hProj = (lstmToDense.w.t * hNcat) + lstmToDense.b
     val fused = DenseVector.vertcat(nsPart, hProj, context)
     val out = (fuse.w.t * fused) + fuse.b
     out.map(v => math.max(v, 0.0).toFloat).toArray
@@ -117,17 +137,23 @@ object LstmEncoderWeights {
   def init(hidden: Int, outDim: Int, vocabSizes: Seq[Long], nCont: Int,
       attnDim: Int = 16, seed: Long = 42L,
       nonSeqVocabSizes: Seq[Long] = Nil, nNonSeqCont: Int = 0,
-      nsMlpDim: Int = 16): LstmEncoderWeights = {
+      nsMlpDim: Int = 16, numLayers: Int = 1,
+      bidirectional: Boolean = false): LstmEncoderWeights = {
     val rng = new scala.util.Random(seed)
     val embs = vocabSizes.map(v => Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
     val in = embs.map(_.cols).sum + nCont
+    val dirs = if (bidirectional) 2 else 1
     def m(r: Int, cc: Int) = Layers.xavier(rng, r, cc)
     def vz(n: Int) = DenseVector.zeros[Double](n)
-    val cell = LstmCell(
-      m(in, hidden), m(hidden, hidden), vz(hidden),
-      m(in, hidden), m(hidden, hidden), DenseVector.ones[Double](hidden), // forget bias 1
-      m(in, hidden), m(hidden, hidden), vz(hidden),
-      m(in, hidden), m(hidden, hidden), vz(hidden))
+    def mkCell(inDim: Int) = LstmCell(
+      m(inDim, hidden), m(hidden, hidden), vz(hidden),
+      m(inDim, hidden), m(hidden, hidden), DenseVector.ones[Double](hidden), // forget bias 1
+      m(inDim, hidden), m(hidden, hidden), vz(hidden),
+      m(inDim, hidden), m(hidden, hidden), vz(hidden))
+    val cells = (0 until numLayers).map { l =>
+      val lin = if (l == 0) in else dirs * hidden
+      (0 until dirs).map(_ => mkCell(lin))
+    }
     val nsEmbs = nonSeqVocabSizes.map(v =>
       Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
     val nsMlp =
@@ -137,11 +163,11 @@ object LstmEncoderWeights {
         gamma = DenseVector.ones[Double](nsMlpDim), beta = vz(nsMlpDim),
         runMean = vz(nsMlpDim), runVar = DenseVector.ones[Double](nsMlpDim)))
     val nsFinal = nsMlp.map(_.gamma.length).getOrElse(0)
-    LstmEncoderWeights(hidden, embs, cell,
-      m(hidden, attnDim), vz(attnDim),
+    LstmEncoderWeights(hidden, embs, cells,
+      m(dirs * hidden, attnDim), vz(attnDim),
       DenseVector.tabulate(attnDim)(_ => rng.nextDouble() * 0.2 - 0.1),
-      Layers.linear(rng, hidden, hidden),
-      Layers.linear(rng, nsFinal + nNonSeqCont + 2 * hidden, outDim),
+      Layers.linear(rng, dirs * hidden, hidden),
+      Layers.linear(rng, nsFinal + nNonSeqCont + hidden + dirs * hidden, outDim),
       nsEmbs, nsMlp)
   }
 }

@@ -33,32 +33,52 @@ import breeze.numerics.{exp, sigmoid, tanh}
  */
 final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     seqLen: Int, vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
-    decoder: String = "none") {
+    decoder: String = "none",
+    numLayers: Int = 1, bidirectional: Boolean = false) {
   require(Seq("none", "teacher", "auto").contains(decoder))
   require(decoder == "none" || outDim == hidden,
     "decoder hidden init = fused embedding (unified_encoder.py:271) needs outDim == hidden")
+  require(numLayers >= 1)
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
   def inDim: Int = embDims.sum + nCont
   def hasDecoder: Boolean = decoder != "none"
+  /** nn.LSTM num_directions (multi_layer_lstm.py:30). */
+  def dirs: Int = if (bidirectional) 2 else 1
+  /** Width of the per-timestep layer output: [h_fwd ; h_bwd] when bidir. */
+  def outWidth: Int = dirs * hidden
+
+  /** Cell parameter-name suffix; layer-0 forward keeps the legacy bare
+    * names so single-layer unidirectional layouts are unchanged. */
+  def cellSuffix(layer: Int, reverse: Boolean): String =
+    if (layer == 0 && !reverse) "" else s"_l$layer${if (reverse) "r" else ""}"
 
   def layout: ParamLayout = {
     val specs = Seq.newBuilder[ParamSpec]
     vocabSizes.zip(embDims).zipWithIndex.foreach { case ((v, d), i) =>
       specs += ParamSpec(s"emb$i", v + 1, d)
     }
-    for (g <- Seq("i", "f", "g", "o")) {
-      specs += ParamSpec(s"w$g", inDim, hidden)
-      specs += ParamSpec(s"u$g", hidden, hidden)
-      specs += ParamSpec(s"b$g", 1, hidden)
+    // stacked (+bidirectional) cells (multi_layer_lstm.py:28-30): layer 0
+    // reads the embedded input, layer l>0 reads the D*h-wide layer output
+    for (l <- 0 until numLayers; d <- 0 until dirs) {
+      val suf = cellSuffix(l, d == 1)
+      val lin = if (l == 0) inDim else outWidth
+      for (g <- Seq("i", "f", "g", "o")) {
+        specs += ParamSpec(s"w$g$suf", lin, hidden)
+        specs += ParamSpec(s"u$g$suf", hidden, hidden)
+        specs += ParamSpec(s"b$g$suf", 1, hidden)
+      }
     }
-    specs += ParamSpec("aw1", hidden, attnDim)
+    // attention reads the top layer's D*h-wide outputs
+    // (BahdanauAttention(hidden, num_directions), attention_mechanisms.py:102-110)
+    specs += ParamSpec("aw1", outWidth, attnDim)
     specs += ParamSpec("ab1", 1, attnDim)
     specs += ParamSpec("av", 1, attnDim)
-    // lin_layer_lstm_to_dense (multi_layer_lstm.py:34-36,55-60): h_T is
-    // projected before the fuse concat [proj(h_T), context]
-    specs += ParamSpec("l2d_w", hidden, hidden)
+    // lin_layer_lstm_to_dense (multi_layer_lstm.py:34-36,55-60): [h_T fwd ;
+    // h_T bwd] of the LAST layer is projected D*h -> h before the fuse
+    // concat [proj(h_T), context]
+    specs += ParamSpec("l2d_w", outWidth, hidden)
     specs += ParamSpec("l2d_b", 1, hidden)
-    specs += ParamSpec("fuse_w", 2 * hidden, outDim)
+    specs += ParamSpec("fuse_w", hidden + outWidth, outDim)
     specs += ParamSpec("fuse_b", 1, outDim)
     if (hasDecoder) {
       // I13 decoder cell + heads (lstm_decoder.py:27-33)
@@ -75,10 +95,10 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
       }
     } else {
       vocabSizes.zipWithIndex.foreach { case (v, i) =>
-        specs += ParamSpec(s"headCat${i}_w", hidden, v + 1)
+        specs += ParamSpec(s"headCat${i}_w", outWidth, v + 1)
         specs += ParamSpec(s"headCat${i}_b", 1, v + 1)
       }
-      specs += ParamSpec("headCont_w", hidden, math.max(nCont, 1))
+      specs += ParamSpec("headCont_w", outWidth, math.max(nCont, 1))
       specs += ParamSpec("headCont_b", 1, math.max(nCont, 1))
       specs += ParamSpec("headPool_w", outDim, math.max(nCont, 1))
       specs += ParamSpec("headPool_b", 1, math.max(nCont, 1))
@@ -86,18 +106,22 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     new ParamLayout(specs.result())
   }
 
+  private val GateBias = "(d?)b([ifgo])(_l\\d+r?)?".r
+
   def initParams(): Array[Double] = {
     val lay = layout
     val rng = new scala.util.Random(seed)
     val a = new Array[Double](lay.totalSize)
     lay.specs.foreach { s =>
       val (off, _) = lay.offsets(s.name)
-      if (s.name == "bf" || s.name == "dbf")
-        for (i <- 0 until s.size) a(off + i) = 1.0 // forget bias
-      else if (s.name.matches("d?b[igo]") || s.name.endsWith("_b") || s.name == "ab1") ()
-      else {
-        val limit = math.sqrt(6.0 / (s.rows + s.cols))
-        for (i <- 0 until s.size) a(off + i) = (rng.nextDouble() * 2 - 1) * limit
+      s.name match {
+        case GateBias(_, "f", _) =>
+          for (i <- 0 until s.size) a(off + i) = 1.0 // forget bias
+        case GateBias(_, _, _) => () // other gate biases zero
+        case n if n.endsWith("_b") || n == "ab1" => ()
+        case _ =>
+          val limit = math.sqrt(6.0 / (s.rows + s.cols))
+          for (i <- 0 until s.size) a(off + i) = (rng.nextDouble() * 2 - 1) * limit
       }
     }
     a
@@ -138,40 +162,63 @@ object LstmAE {
     def V(n: String) = lay.vec(n, p)
 
     // ---- LSTM forward with caches -------------------------------------
-    val hs = DenseMatrix.zeros[Double](t + 1, h) // h_0 .. h_T (row 0 = zeros)
-    val cs = DenseMatrix.zeros[Double](t + 1, h)
-    val ig = DenseMatrix.zeros[Double](t, h)
-    val fg = DenseMatrix.zeros[Double](t, h)
-    val gg = DenseMatrix.zeros[Double](t, h)
-    val og = DenseMatrix.zeros[Double](t, h)
-    for (i <- 0 until t) {
-      val x = x0(i, ::).t
-      val hp = hs(i, ::).t
-      val iv = sigmoid(W("wi").t * x + W("ui").t * hp + V("bi"))
-      val fv = sigmoid(W("wf").t * x + W("uf").t * hp + V("bf"))
-      val gv = tanh(W("wg").t * x + W("ug").t * hp + V("bg"))
-      val ov = sigmoid(W("wo").t * x + W("uo").t * hp + V("bo"))
-      val cv = (fv *:* cs(i, ::).t) + (iv *:* gv)
-      ig(i, ::) := iv.t; fg(i, ::) := fv.t; gg(i, ::) := gv.t; og(i, ::) := ov.t
-      cs(i + 1, ::) := cv.t
-      hs(i + 1, ::) := (ov *:* tanh(cv)).t
+    // Stacked (+bidirectional) cells, nn.LSTM semantics (multi_layer_
+    // lstm.py:28-30): layer l reads layer l-1's per-timestep output
+    // (width D*h when bidir: [h_fwd_t ; h_bwd_t]); caches are stored in
+    // PROCESSING order s (the reverse direction processes i = t-1-s).
+    val L = cfg.numLayers
+    val D = cfg.dirs
+    val oW = cfg.outWidth
+    val layerIn = new Array[DenseMatrix[Double]](L + 1)
+    layerIn(0) = x0
+    val caches = Array.ofDim[CellCache](L, D)
+    for (l <- 0 until L) {
+      val inM = layerIn(l)
+      val outM = DenseMatrix.zeros[Double](t, oW)
+      for (d <- 0 until D) {
+        val suf = cfg.cellSuffix(l, d == 1)
+        val hs = DenseMatrix.zeros[Double](t + 1, h) // state 0 .. T (row 0 = zeros)
+        val cs = DenseMatrix.zeros[Double](t + 1, h)
+        val ig = DenseMatrix.zeros[Double](t, h)
+        val fg = DenseMatrix.zeros[Double](t, h)
+        val gg = DenseMatrix.zeros[Double](t, h)
+        val og = DenseMatrix.zeros[Double](t, h)
+        for (s <- 0 until t) {
+          val i = if (d == 0) s else t - 1 - s
+          val x = inM(i, ::).t
+          val hp = hs(s, ::).t
+          val iv = sigmoid(W(s"wi$suf").t * x + W(s"ui$suf").t * hp + V(s"bi$suf"))
+          val fv = sigmoid(W(s"wf$suf").t * x + W(s"uf$suf").t * hp + V(s"bf$suf"))
+          val gv = tanh(W(s"wg$suf").t * x + W(s"ug$suf").t * hp + V(s"bg$suf"))
+          val ov = sigmoid(W(s"wo$suf").t * x + W(s"uo$suf").t * hp + V(s"bo$suf"))
+          val cv = (fv *:* cs(s, ::).t) + (iv *:* gv)
+          ig(s, ::) := iv.t; fg(s, ::) := fv.t; gg(s, ::) := gv.t; og(s, ::) := ov.t
+          cs(s + 1, ::) := cv.t
+          val hv = ov *:* tanh(cv)
+          hs(s + 1, ::) := hv.t
+          outM(i, d * h until (d + 1) * h) := hv.t
+        }
+        caches(l)(d) = CellCache(hs, cs, ig, fg, gg, og)
+      }
+      layerIn(l + 1) = outM
     }
-    val outputs = hs(1 to t, ::) // T x h
+    val outputs = layerIn(L) // T x D*h (top layer)
 
     // ---- Bahdanau attention + fuse ------------------------------------
-    val pre = DenseMatrix.zeros[Double](t, cfg.attnDim) // W1^T h_t + b1
+    val pre = DenseMatrix.zeros[Double](t, cfg.attnDim) // W1^T out_t + b1
     for (i <- 0 until t) pre(i, ::) := (W("aw1").t * outputs(i, ::).t + V("ab1")).t
     val preT = tanh(pre)
     val scores = DenseVector.tabulate(t)(i => sum(V("av") *:* preT(i, ::).t))
     val mx = breeze.linalg.max(scores)
     val ex = exp(scores - mx)
     val attn = ex / sum(ex)
-    val context = DenseVector.zeros[Double](h)
+    val context = DenseVector.zeros[Double](oW)
     for (i <- 0 until t) context :+= outputs(i, ::).t * attn(i)
-    val hN = hs(t, ::).t
+    // final states of the LAST layer, fwd then bwd (multi_layer_lstm.py:55-58)
+    val hNcat = DenseVector.vertcat((0 until D).map(d => caches(L - 1)(d).hs(t, ::).t): _*)
     // fin_input order matches the reference: [lstm_to_dense(h_T), context]
     // (unified_encoder.py:257-262, multi_layer_lstm.py:55-63)
-    val hProj = (W("l2d_w").t * hN) + V("l2d_b")
+    val hProj = (W("l2d_w").t * hNcat) + V("l2d_b")
     val fused = DenseVector.vertcat(hProj, context)
     val eLin = (W("fuse_w").t * fused) + V("fuse_b")
     val embedding = eLin.map(v => math.max(v, 0.0)) // ReLU
@@ -179,7 +226,7 @@ object LstmAE {
 
     // ---- heads + loss --------------------------------------------------
     var loss = 0.0
-    val dOut = DenseMatrix.zeros[Double](t, h)
+    val dOut = DenseMatrix.zeros[Double](t, oW)
     var dEmb = DenseVector.zeros[Double](cfg.outDim)
     var dcSeed = DenseVector.zeros[Double](h) // decoder dC_0 -> encoder c_T
     val doGrad = grad != null
@@ -190,7 +237,7 @@ object LstmAE {
       val dhs = DenseMatrix.zeros[Double](t + 1, h)
       val dcs = DenseMatrix.zeros[Double](t + 1, h)
       dhs(0, ::) := embedding.t
-      dcs(0, ::) := cs(t, ::)
+      dcs(0, ::) := caches(L - 1)(0).cs(t, ::) // c_T of the top fwd cell
       val dIn = DenseMatrix.zeros[Double](t, cfg.inDim)
       val dIg = DenseMatrix.zeros[Double](t, h); val dFg = DenseMatrix.zeros[Double](t, h)
       val dGg = DenseMatrix.zeros[Double](t, h); val dOg = DenseMatrix.zeros[Double](t, h)
@@ -368,10 +415,12 @@ object LstmAE {
     lay.vec("fuse_b", grad) :+= dELin
     val dFused = W("fuse_w") * dELin
     val dHProj = dFused(0 until h)
-    val dContext = dFused(h until 2 * h)
-    lay.mat("l2d_w", grad) :+= hN * dHProj.t
+    val dContext = dFused(h until h + oW)
+    lay.mat("l2d_w", grad) :+= hNcat * dHProj.t
     lay.vec("l2d_b", grad) :+= dHProj
-    val dHN = W("l2d_w") * dHProj
+    // grad of the concatenated final states [h_T fwd ; h_T bwd]; seeds each
+    // direction's BPTT at its last processing step
+    val dHNcat = W("l2d_w") * dHProj
     // context = sum a_i out_i
     val dAttn = DenseVector.tabulate(t)(i => sum(dContext *:* outputs(i, ::).t))
     for (i <- 0 until t) dOut(i, ::) :+= (dContext * attn(i)).t
@@ -387,45 +436,65 @@ object LstmAE {
       lay.vec("ab1", grad) :+= dPre
       dOut(i, ::) :+= (W("aw1") * dPre).t
     }
-    // h_N also feeds fuse directly
-    dOut(t - 1, ::) :+= dHN.t
 
-    // ---- BPTT ----------------------------------------------------------
-    val dX0 = DenseMatrix.zeros[Double](t, cfg.inDim)
-    var dhNext = DenseVector.zeros[Double](h)
-    var dcNext = dcSeed // decoder c_0 = encoder c_T (zero without decoder)
-    for (i <- (t - 1) to 0 by -1) {
-      val dh = dOut(i, ::).t + dhNext
-      val cv = cs(i + 1, ::).t
-      val tc = tanh(cv)
-      val ov = og(i, ::).t; val iv = ig(i, ::).t
-      val fv = fg(i, ::).t; val gv = gg(i, ::).t
-      val dO = dh *:* tc *:* ov *:* (1.0 - ov)
-      val dC = (dh *:* ov *:* (1.0 - (tc *:* tc))) + dcNext
-      val dF = dC *:* cs(i, ::).t *:* fv *:* (1.0 - fv)
-      val dI = dC *:* gv *:* iv *:* (1.0 - iv)
-      val dG = dC *:* iv *:* (1.0 - (gv *:* gv))
-      val x = x0(i, ::).t
-      val hp = hs(i, ::).t
-      for ((gate, dGate) <- Seq(("i", dI), ("f", dF), ("g", dG), ("o", dO))) {
-        lay.mat(s"w$gate", grad) :+= x * dGate.t
-        lay.mat(s"u$gate", grad) :+= hp * dGate.t
-        lay.vec(s"b$gate", grad) :+= dGate
+    // ---- BPTT: top layer down, each direction in reverse processing
+    // order; a layer's input grads become the layer below's output grads --
+    var dOutLayer = dOut
+    for (l <- (L - 1) to 0 by -1) {
+      val inM = layerIn(l)
+      val inW = if (l == 0) cfg.inDim else oW
+      val dIn = DenseMatrix.zeros[Double](t, inW)
+      for (d <- 0 until D) {
+        val suf = cfg.cellSuffix(l, d == 1)
+        val cc = caches(l)(d)
+        var dhNext =
+          if (l == L - 1) dHNcat(d * h until (d + 1) * h).copy
+          else DenseVector.zeros[Double](h)
+        var dcNext = // decoder c_0 = encoder top-fwd c_T (zero otherwise)
+          if (l == L - 1 && d == 0) dcSeed else DenseVector.zeros[Double](h)
+        for (s <- (t - 1) to 0 by -1) {
+          val i = if (d == 0) s else t - 1 - s
+          val dhv = dOutLayer(i, d * h until (d + 1) * h).t + dhNext
+          val cv = cc.cs(s + 1, ::).t
+          val tc = tanh(cv)
+          val ov = cc.og(s, ::).t; val iv = cc.ig(s, ::).t
+          val fv = cc.fg(s, ::).t; val gv = cc.gg(s, ::).t
+          val dO = dhv *:* tc *:* ov *:* (1.0 - ov)
+          val dC = (dhv *:* ov *:* (1.0 - (tc *:* tc))) + dcNext
+          val dF = dC *:* cc.cs(s, ::).t *:* fv *:* (1.0 - fv)
+          val dI = dC *:* gv *:* iv *:* (1.0 - iv)
+          val dG = dC *:* iv *:* (1.0 - (gv *:* gv))
+          val x = inM(i, ::).t
+          val hp = cc.hs(s, ::).t
+          for ((gate, dGate) <- Seq(("i", dI), ("f", dF), ("g", dG), ("o", dO))) {
+            lay.mat(s"w$gate$suf", grad) :+= x * dGate.t
+            lay.mat(s"u$gate$suf", grad) :+= hp * dGate.t
+            lay.vec(s"b$gate$suf", grad) :+= dGate
+          }
+          dIn(i, ::) :+= (W(s"wi$suf") * dI + W(s"wf$suf") * dF +
+            W(s"wg$suf") * dG + W(s"wo$suf") * dO).t
+          dhNext = W(s"ui$suf") * dI + W(s"uf$suf") * dF +
+            W(s"ug$suf") * dG + W(s"uo$suf") * dO
+          dcNext = dC *:* fv
+        }
       }
-      dX0(i, ::) := (W("wi") * dI + W("wf") * dF + W("wg") * dG + W("wo") * dO).t
-      dhNext = W("ui") * dI + W("uf") * dF + W("ug") * dG + W("uo") * dO
-      dcNext = dC *:* fv
+      dOutLayer = dIn
     }
-    // embeddings scatter
+    // embeddings scatter (dOutLayer is now t x inDim)
     for (i <- 0 until t) {
       var off = 0
       for (c <- 0 until nCat) {
         val tableG = lay.mat(s"emb$c", grad)
         val code = math.min(math.max(catCodes(i)(c), 0), tableG.rows - 1)
-        tableG(code, ::) :+= dX0(i, off until off + embDims(c))
+        tableG(code, ::) :+= dOutLayer(i, off until off + embDims(c))
         off += embDims(c)
       }
     }
     (loss, embedding.toArray)
   }
+
+  /** Per-(layer, direction) forward caches in processing order. */
+  private final case class CellCache(hs: DenseMatrix[Double], cs: DenseMatrix[Double],
+      ig: DenseMatrix[Double], fg: DenseMatrix[Double],
+      gg: DenseMatrix[Double], og: DenseMatrix[Double])
 }

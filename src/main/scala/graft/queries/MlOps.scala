@@ -130,7 +130,8 @@ object MlOps extends QueryGroup {
         val (wideEnc, vocab) = profileFeaturized(s, dir)
         val w = graft.nn.LstmEncoderWeights.init(hidden = 16, outDim = 16,
           vocabSizes = Seq(vocab("event_type")), nCont = 2,
-          nonSeqVocabSizes = Seq(vocab("c_mktsegment")), nNonSeqCont = 1)
+          nonSeqVocabSizes = Seq(vocab("c_mktsegment")), nNonSeqCont = 1,
+          numLayers = 2, bidirectional = true) // I12 stack exercised end-to-end
         embedScalars(graft.ml.LstmScorerModel(w, "user_id",
           Seq((1 to seqLen).map(t => s"event_type_$t")),
           Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")),

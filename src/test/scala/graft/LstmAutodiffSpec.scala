@@ -67,11 +67,34 @@ class LstmAutodiffSpec extends AnyFunSuite {
         val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
         val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
         val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
-        if (rel > 1e-4)
+        // abs floor: FD cancellation noise at eps=1e-6 dominates gradients
+        // this small on deep chains; such a disagreement is not a bug signal
+        if (rel > 1e-4 && math.abs(numeric - analytic) > 1e-9)
           failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
       }
     }
     failures.toSeq
+  }
+
+  test("I12 multi-layer + bidirectional grid: FD gradients match") {
+    // every (layers, bidir) combination beyond the default, including with
+    // a decoder riding on the top fwd cell's c_T
+    for ((nl, bd) <- Seq((2, false), (1, true), (2, true), (3, true))) {
+      val f = fdCheck(cfg.copy(numLayers = nl, bidirectional = bd, seed = 41L + nl))
+      assert(f.isEmpty, s"layers=$nl bidir=$bd mismatches:\n${f.mkString("\n")}")
+    }
+    val fDec = fdCheck(cfg.copy(outDim = 5, decoder = "teacher",
+      numLayers = 2, bidirectional = true, seed = 47L))
+    assert(fDec.isEmpty, s"decoder layers=2 bidir mismatches:\n${fDec.mkString("\n")}")
+  }
+
+  test("I12 bidirectional embedding differs from unidirectional (uses both ends)") {
+    val uni = cfg.copy(seed = 51L)
+    val bid = cfg.copy(bidirectional = true, seed = 51L)
+    val eUni = LstmAE.lossGradEmbed(uni, uni.layout, uni.initParams(), null, cat, cont)._2
+    val eBid = LstmAE.lossGradEmbed(bid, bid.layout, bid.initParams(), null, cat, cont)._2
+    assert(eUni.length == cfg.outDim && eBid.length == cfg.outDim)
+    assert(eUni.toSeq != eBid.toSeq)
   }
 
   test("I15 teacher-forced decoder: BPTT gradients match finite differences") {
