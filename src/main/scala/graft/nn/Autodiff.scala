@@ -57,7 +57,9 @@ final case class AeConfig(
     dModel: Int, heads: Int, layers: Int, pf: Int, seqLen: Int,
     vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
     decoderLayers: Int = 0,
-    nonSeqVocabSizes: Seq[Int] = Nil, nNonSeqCont: Int = 0) {
+    nonSeqVocabSizes: Seq[Int] = Nil, nNonSeqCont: Int = 0,
+    dropout: Double = 0.0) { // training-time inverted dropout (factory.py:75-78)
+  require(dropout >= 0.0 && dropout < 1.0)
   require(dModel % heads == 0)
   def headDim: Int = dModel / heads
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
@@ -235,7 +237,8 @@ object TransformerAE {
       nsCat: Array[Int] = null,
       nsCont: Array[Double] = null,
       seqEmbInput: DenseMatrix[Double] = null,
-      seqEmbGradOut: DenseMatrix[Double] = null): Double = {
+      seqEmbGradOut: DenseMatrix[Double] = null,
+      dropSeed: Long = 0L): Double = {
     val t = cfg.seqLen
     val tE = cfg.tEff
     val d = cfg.dModel
@@ -246,6 +249,21 @@ object TransformerAE {
     // monitoring probe): head-gradient writes are skipped and the function
     // returns right after the loss, before any backward section
     val doGrad = grad != null
+
+    // ---- training-time inverted dropout (reference transformer.py:47,55,
+    // 122,158 + embedding dropouts, factory.py:75-78). Masks are drawn from
+    // a dropSeed-seeded RNG in a FIXED order, so the same (example,
+    // dropSeed) pair sees identical masks across calls — this keeps
+    // finite-difference checks exact at dropout > 0 and the backward masks
+    // identical to the forward's. Serving (embed) never applies dropout.
+    val pDrop = cfg.dropout
+    val dropRng = if (pDrop > 0) new java.util.Random(dropSeed) else null
+    def dropMask(r: Int, c: Int): DenseMatrix[Double] =
+      if (pDrop <= 0) null
+      else DenseMatrix.tabulate(r, c)((_, _) =>
+        if (dropRng.nextDouble() < pDrop) 0.0 else 1.0 / (1.0 - pDrop))
+    def masked(mm: DenseMatrix[Double], mask: DenseMatrix[Double]): DenseMatrix[Double] =
+      if (mask == null) mm else mm *:* mask
 
     // ---- forward -------------------------------------------------------
     val embDims = cfg.embDims
@@ -264,6 +282,10 @@ object TransformerAE {
       }
       for (c <- 0 until cfg.nCont) x0(i, embDims.sum + c) = cont(i)(c)
     }
+    // EMBEDDING_DROPOUT_SEQUENTIAL (factory.py:77): x0 is stored DROPPED so
+    // the projection forward/backward consume the dropped activations
+    val embMask = dropMask(t, cfg.inDim)
+    if (embMask != null) x0 :*= embMask
     val wSeq = lay.mat("linSeq_w", p); val bSeq = lay.vec("linSeq_b", p)
 
     // non-seq input row (cat emb ++ cont), unified_transformer_encoder.py:91-96
@@ -283,6 +305,12 @@ object TransformerAE {
           v(nsEmbDims.sum + c) = if (nsCont != null) nsCont(c) else 0.0
         v
       }
+    // EMBEDDING_DROPOUT_NON_SEQUENTIAL (factory.py:78)
+    val nsMask: DenseVector[Double] =
+      if (pDrop <= 0 || nsx0 == null) null
+      else DenseVector.tabulate(cfg.nsInDim)(_ =>
+        if (dropRng.nextDouble() < pDrop) 0.0 else 1.0 / (1.0 - pDrop))
+    if (nsMask != null) nsx0 :*= nsMask
 
     // projected src (pre scale/pos): seq rows through linear_seq, non-seq
     // row through linear_non_seq appended last
@@ -296,11 +324,13 @@ object TransformerAE {
         srcProj(t, ::) := ((wNs.t * nsx0) + bNs).t
       }
     }
+    // src = dropout(src * scale + pos) (transformer.py:122)
+    val inMask = dropMask(tE, d)
     val h0 = {
       val m = srcProj.copy
       m :*= scale
       m += lay.mat("pos", p)
-      m
+      masked(m, inMask)
     }
     // per-layer caches
     final case class LayerCache(x: DenseMatrix[Double], q: DenseMatrix[Double],
@@ -313,6 +343,9 @@ object TransformerAE {
         ln2Xhat: DenseMatrix[Double], ln2Inv: Array[Double],
         out: DenseMatrix[Double])
     val caches = new Array[LayerCache](cfg.layers)
+    val encAttnMask = new Array[DenseMatrix[Double]](cfg.layers)
+    val encFfInMask = new Array[DenseMatrix[Double]](cfg.layers)
+    val encFfMask = new Array[DenseMatrix[Double]](cfg.layers)
     var h = h0
     for (l <- 0 until cfg.layers) {
       def m(n: String) = lay.mat(s"l${l}_${n}_w", p)
@@ -331,13 +364,19 @@ object TransformerAE {
         ctx(::, sl) := a * v(::, sl)
       }
       val attnOut = ctx * m("wo"); attnOut(*, ::) :+= b("wo")
-      val res1Pre = h + attnOut
+      encAttnMask(l) = dropMask(tE, d)
+      // src = ln(src + dropout(attn)) (transformer.py:46-47)
+      val res1Pre = h + masked(attnOut, encAttnMask(l))
       val (res1, ln1Xhat, ln1Inv) =
         lnFwd(res1Pre, lay.vec(s"l${l}_ln1_g", p), lay.vec(s"l${l}_ln1_b", p))
       val ffPre = res1 * m("ff1"); ffPre(*, ::) :+= b("ff1")
-      val ffAct = relu(ffPre)
+      encFfInMask(l) = dropMask(tE, cfg.pf)
+      // x = dropout(relu(fc1(x))) (transformer.py:158); cached DROPPED
+      val ffAct = masked(relu(ffPre), encFfInMask(l))
       val ff = ffAct * m("ff2"); ff(*, ::) :+= b("ff2")
-      val res2Pre = res1 + ff
+      encFfMask(l) = dropMask(tE, d)
+      // src = ln(src + dropout(ff)) (transformer.py:54-55)
+      val res2Pre = res1 + masked(ff, encFfMask(l))
       val (out, ln2Xhat, ln2Inv) =
         lnFwd(res2Pre, lay.vec(s"l${l}_ln2_g", p), lay.vec(s"l${l}_ln2_b", p))
       caches(l) = LayerCache(h, q, k, v, attns, ctx, res1Pre, res1, ln1Xhat,
@@ -435,11 +474,13 @@ object TransformerAE {
       // projected space (model_wrapper.py:227) --------------------------
       val trgProj = DenseMatrix.zeros[Double](tE, d)
       for (i <- 1 until tE) trgProj(i, ::) := srcProj(i - 1, ::)
+      // trg = dropout(trg * scale + pos), mirroring the encoder input
+      val trgMask = dropMask(tE, d)
       val g0 = {
         val m = trgProj.copy
         m :*= scale
         m += lay.mat("pos", p)
-        m
+        masked(m, trgMask)
       }
       final case class DecCache(x: DenseMatrix[Double],
           sq: DenseMatrix[Double], sk: DenseMatrix[Double], sv: DenseMatrix[Double],
@@ -454,6 +495,10 @@ object TransformerAE {
           r3Pre: DenseMatrix[Double],
           ln3Xhat: DenseMatrix[Double], ln3Inv: Array[Double])
       val dcaches = new Array[DecCache](cfg.decoderLayers)
+      val decSelfMask = new Array[DenseMatrix[Double]](cfg.decoderLayers)
+      val decCrossMask = new Array[DenseMatrix[Double]](cfg.decoderLayers)
+      val decFfInMask = new Array[DenseMatrix[Double]](cfg.decoderLayers)
+      val decFfMask = new Array[DenseMatrix[Double]](cfg.decoderLayers)
       val hd = cfg.headDim
       var g = g0
       for (l <- 0 until cfg.decoderLayers) {
@@ -474,7 +519,8 @@ object TransformerAE {
           sCtx(::, sl) := a * sv(::, sl)
         }
         val sOut = sCtx * m("swo"); sOut(*, ::) :+= b("swo")
-        val r1Pre = g + sOut
+        decSelfMask(l) = dropMask(tE, d)
+        val r1Pre = g + masked(sOut, decSelfMask(l))
         val (r1, ln1Xhat, ln1Inv) =
           lnFwd(r1Pre, lay.vec(s"d${l}_ln1_g", p), lay.vec(s"d${l}_ln1_b", p))
         // cross-attention to the encoder output
@@ -490,13 +536,16 @@ object TransformerAE {
           cCtx(::, sl) := a * cv(::, sl)
         }
         val cOut = cCtx * m("cwo"); cOut(*, ::) :+= b("cwo")
-        val r2Pre = r1 + cOut
+        decCrossMask(l) = dropMask(tE, d)
+        val r2Pre = r1 + masked(cOut, decCrossMask(l))
         val (r2, ln2Xhat, ln2Inv) =
           lnFwd(r2Pre, lay.vec(s"d${l}_ln2_g", p), lay.vec(s"d${l}_ln2_b", p))
         val ffPre = r2 * m("ff1"); ffPre(*, ::) :+= b("ff1")
-        val ffAct = relu(ffPre)
+        decFfInMask(l) = dropMask(tE, cfg.pf)
+        val ffAct = masked(relu(ffPre), decFfInMask(l)) // cached DROPPED
         val ff = ffAct * m("ff2"); ff(*, ::) :+= b("ff2")
-        val r3Pre = r2 + ff
+        decFfMask(l) = dropMask(tE, d)
+        val r3Pre = r2 + masked(ff, decFfMask(l))
         val (out, ln3Xhat, ln3Inv) =
           lnFwd(r3Pre, lay.vec(s"d${l}_ln3_g", p), lay.vec(s"d${l}_ln3_b", p))
         dcaches(l) = DecCache(g, sq, sk, sv, sAttns, sCtx, r1Pre, r1, ln1Xhat,
@@ -517,19 +566,19 @@ object TransformerAE {
         val dR3Pre = lnBwd(dG, cch.ln3Xhat, cch.ln3Inv,
           lay.vec(s"d${l}_ln3_g", p),
           lay.vec(s"d${l}_ln3_g", grad), lay.vec(s"d${l}_ln3_b", grad))
-        val dFf = dR3Pre
+        val dFf = masked(dR3Pre, decFfMask(l))
         gm("ff2") :+= cch.ffAct.t * dFf
         for (i <- 0 until tE) gb("ff2") :+= dFf(i, ::).t
         val dFfAct = dFf * m("ff2").t
-        val dFfPre = reluBwd(dFfAct, cch.ffAct)
+        val dFfPre = reluBwd(masked(dFfAct, decFfInMask(l)), cch.ffPre)
         gm("ff1") :+= cch.r2.t * dFfPre
         for (i <- 0 until tE) gb("ff1") :+= dFfPre(i, ::).t
         val dR2 = dR3Pre + (dFfPre * m("ff1").t)
         val dR2Pre = lnBwd(dR2, cch.ln2Xhat, cch.ln2Inv,
           lay.vec(s"d${l}_ln2_g", p),
           lay.vec(s"d${l}_ln2_g", grad), lay.vec(s"d${l}_ln2_b", grad))
-        // cross-attn backward: r2Pre = r1 + cwo(cCtx)
-        val dCOut = dR2Pre
+        // cross-attn backward: r2Pre = r1 + drop(cwo(cCtx))
+        val dCOut = masked(dR2Pre, decCrossMask(l))
         gm("cwo") :+= cch.cCtx.t * dCOut
         for (i <- 0 until tE) gb("cwo") :+= dCOut(i, ::).t
         val dCCtx = dCOut * m("cwo").t
@@ -565,8 +614,8 @@ object TransformerAE {
         val dR1Pre = lnBwd(dR1, cch.ln1Xhat, cch.ln1Inv,
           lay.vec(s"d${l}_ln1_g", p),
           lay.vec(s"d${l}_ln1_g", grad), lay.vec(s"d${l}_ln1_b", grad))
-        // causal self-attn backward: r1Pre = x + swo(sCtx)
-        val dSOut = dR1Pre
+        // causal self-attn backward: r1Pre = x + drop(swo(sCtx))
+        val dSOut = masked(dR1Pre, decSelfMask(l))
         gm("swo") :+= cch.sCtx.t * dSOut
         for (i <- 0 until tE) gb("swo") :+= dSOut(i, ::).t
         val dSCtx = dSOut * m("swo").t
@@ -599,10 +648,11 @@ object TransformerAE {
         }
         dG = dR1Pre + (dSq * m("swq").t) + (dSk * m("swk").t) + (dSv * m("swv").t)
       }
-      // g0 = trgProj * scale + pos; trg row 0 is the constant zero vector,
-      // rows 1.. shift back onto srcProj rows 0..
-      lay.mat("pos", grad) :+= dG
-      val dTrgProj = dG * scale
+      // g0 = drop(trgProj * scale + pos); trg row 0 is the constant zero
+      // vector, rows 1.. shift back onto srcProj rows 0..
+      val dG0 = masked(dG, trgMask)
+      lay.mat("pos", grad) :+= dG0
+      val dTrgProj = dG0 * scale
       for (i <- 1 until tE) dSrcProj(i - 1, ::) :+= dTrgProj(i, ::)
     }
 
@@ -617,12 +667,12 @@ object TransformerAE {
       val dRes2Pre = lnBwd(dH, cch.ln2Xhat, cch.ln2Inv,
         lay.vec(s"l${l}_ln2_g", p),
         lay.vec(s"l${l}_ln2_g", grad), lay.vec(s"l${l}_ln2_b", grad))
-      // res2Pre = res1 + ff2(relu(ff1(res1)))
-      val dFf = dRes2Pre
+      // res2Pre = res1 + drop(ff2(drop(relu(ff1(res1)))))
+      val dFf = masked(dRes2Pre, encFfMask(l))
       gm("ff2") :+= cch.ffAct.t * dFf
       for (i <- 0 until tE) gb("ff2") :+= dFf(i, ::).t
       val dFfAct = dFf * m("ff2").t
-      val dFfPre = reluBwd(dFfAct, cch.ffAct)
+      val dFfPre = reluBwd(masked(dFfAct, encFfInMask(l)), cch.ffPre)
       gm("ff1") :+= cch.res1.t * dFfPre
       for (i <- 0 until tE) gb("ff1") :+= dFfPre(i, ::).t
       val dRes1 = dRes2Pre + (dFfPre * m("ff1").t)
@@ -630,8 +680,8 @@ object TransformerAE {
       val dRes1Pre = lnBwd(dRes1, cch.ln1Xhat, cch.ln1Inv,
         lay.vec(s"l${l}_ln1_g", p),
         lay.vec(s"l${l}_ln1_g", grad), lay.vec(s"l${l}_ln1_b", grad))
-      // res1Pre = x + wo(ctx)
-      val dAttnOut = dRes1Pre
+      // res1Pre = x + drop(wo(ctx))
+      val dAttnOut = masked(dRes1Pre, encAttnMask(l))
       gm("wo") :+= cch.ctx.t * dAttnOut
       for (i <- 0 until tE) gb("wo") :+= dAttnOut(i, ::).t
       val dCtx = dAttnOut * m("wo").t
@@ -665,16 +715,18 @@ object TransformerAE {
       }
       dH = dRes1Pre + (dQ * m("wq").t) + (dK * m("wk").t) + (dV * m("wv").t)
     }
-    // h0 = srcProj * scale + pos
-    lay.mat("pos", grad) :+= dH
-    dSrcProj :+= dH * scale
+    // h0 = drop(srcProj * scale + pos)
+    val dH0 = masked(dH, inMask)
+    lay.mat("pos", grad) :+= dH0
+    dSrcProj :+= dH0 * scale
 
     // ---- projection backward ------------------------------------------
     val dSeqProj = dSrcProj(0 until t, ::)
     lay.mat("linSeq_w", grad) :+= x0.t * dSeqProj
     val dBSeq = lay.vec("linSeq_b", grad)
     for (i <- 0 until t) dBSeq :+= dSeqProj(i, ::).t
-    val dX0 = dSeqProj * wSeq.t
+    // x0 was stored dropped; route grads back through the embedding mask
+    val dX0 = masked(dSeqProj * wSeq.t, embMask)
     for (i <- 0 until t) {
       var off = 0
       for (c <- 0 until nCat) {
@@ -696,6 +748,7 @@ object TransformerAE {
       lay.mat("linNonSeq_w", grad) :+= nsx0 * dNs.t
       lay.vec("linNonSeq_b", grad) :+= dNs
       val dNsX0 = wNs * dNs
+      if (nsMask != null) dNsX0 :*= nsMask
       var off = 0
       for (c <- 0 until nNsCat) {
         val tableG = lay.mat(s"nsEmb$c", grad)

@@ -34,11 +34,13 @@ import breeze.numerics.{exp, sigmoid, tanh}
 final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     seqLen: Int, vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
     decoder: String = "none",
-    numLayers: Int = 1, bidirectional: Boolean = false) {
+    numLayers: Int = 1, bidirectional: Boolean = false,
+    dropout: Double = 0.0) { // inter-layer, nn.LSTM semantics (active iff numLayers > 1)
   require(Seq("none", "teacher", "auto").contains(decoder))
   require(decoder == "none" || outDim == hidden,
     "decoder hidden init = fused embedding (unified_encoder.py:271) needs outDim == hidden")
   require(numLayers >= 1)
+  require(dropout >= 0.0 && dropout < 1.0)
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
   def inDim: Int = embDims.sum + nCont
   def hasDecoder: Boolean = decoder != "none"
@@ -139,11 +141,25 @@ object LstmAE {
   def lossGradEmbed(cfg: LstmAeConfig, lay: ParamLayout, p: Array[Double],
       grad: Array[Double], catCodes: Array[Array[Int]],
       cont: Array[Array[Double]],
-      embedOnly: Boolean = false): (Double, Array[Double]) = {
+      embedOnly: Boolean = false,
+      dropSeed: Long = 0L): (Double, Array[Double]) = {
     val t = cfg.seqLen
     val h = cfg.hidden
     val nCat = cfg.vocabSizes.size
     val embDims = cfg.embDims
+    // inter-layer inverted dropout (nn.LSTM dropout, multi_layer_lstm.py:28-29:
+    // applied between stacked layers only, never after the top layer, never
+    // at serving). Masks are drawn from a dropSeed-seeded RNG in layer order
+    // so the backward reuses exactly the forward's masks; embedOnly = the
+    // serving path = identity.
+    val pDrop = if (embedOnly) 0.0 else cfg.dropout
+    val dropRng = if (pDrop > 0) new java.util.Random(dropSeed) else null
+    def dropMask(r: Int, c: Int): DenseMatrix[Double] =
+      if (pDrop <= 0) null
+      else DenseMatrix.tabulate(r, c)((_, _) =>
+        if (dropRng.nextDouble() < pDrop) 0.0 else 1.0 / (1.0 - pDrop))
+    def masked(mm: DenseMatrix[Double], mask: DenseMatrix[Double]): DenseMatrix[Double] =
+      if (mask == null) mm else mm *:* mask
 
     // ---- embed inputs --------------------------------------------------
     val x0 = DenseMatrix.zeros[Double](t, cfg.inDim)
@@ -172,6 +188,9 @@ object LstmAE {
     val layerIn = new Array[DenseMatrix[Double]](L + 1)
     layerIn(0) = x0
     val caches = Array.ofDim[CellCache](L, D)
+    // mask l sits between layer l and l+1 (nn.LSTM applies no dropout
+    // after the top layer); layerIn stores the MASKED activations
+    val betweenMask = new Array[DenseMatrix[Double]](math.max(L - 1, 0))
     for (l <- 0 until L) {
       val inM = layerIn(l)
       val outM = DenseMatrix.zeros[Double](t, oW)
@@ -200,7 +219,9 @@ object LstmAE {
         }
         caches(l)(d) = CellCache(hs, cs, ig, fg, gg, og)
       }
-      layerIn(l + 1) = outM
+      layerIn(l + 1) =
+        if (l < L - 1) { betweenMask(l) = dropMask(t, oW); masked(outM, betweenMask(l)) }
+        else outM
     }
     val outputs = layerIn(L) // T x D*h (top layer)
 
@@ -478,7 +499,8 @@ object LstmAE {
           dcNext = dC *:* fv
         }
       }
-      dOutLayer = dIn
+      // layer l consumed the MASKED output of layer l-1: route through mask
+      dOutLayer = if (l > 0) masked(dIn, betweenMask(l - 1)) else dIn
     }
     // embeddings scatter (dOutLayer is now t x inDim)
     for (i <- 0 until t) {

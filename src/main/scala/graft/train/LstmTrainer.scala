@@ -35,11 +35,22 @@ object LstmTrainer {
     val data = examples(wide, seqCatCols, seqContCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val params = cfg.initParams()
+    // per-example dropout seed (see TransformerTrainer.fit); probe
+    // evaluates with dropout off (inference behavior)
+    val lossGradFn = {
+      var calls = 0L
+      (p: Array[Double], a: Array[Double], ex: (Array[Array[Int]], Array[Array[Double]])) => {
+        calls += 1
+        val ds = train.seed ^ (calls * 0x9E3779B97F4A7C15L) ^
+          java.util.Arrays.deepHashCode(ex._1.asInstanceOf[Array[AnyRef]])
+        LstmAE.lossGradEmbed(cfg, lay, p, a, ex._1, ex._2, dropSeed = ds)._1
+      }
+    }
+    val cfgEval = cfg.copy(dropout = 0.0)
     val res = EpochLoop.run(data, params, train, batchSize, examplesPerEpoch,
-      (p, a, ex: (Array[Array[Int]], Array[Array[Double]])) =>
-        LstmAE.lossGradEmbed(cfg, lay, p, a, ex._1, ex._2)._1,
+      lossGradFn,
       lossOnly = Some((p: Array[Double], ex: (Array[Array[Int]], Array[Array[Double]])) =>
-        LstmAE.lossGradEmbed(cfg, lay, p, null, ex._1, ex._2)._1))
+        LstmAE.lossGradEmbed(cfgEval, lay, p, null, ex._1, ex._2)._1))
     data.unpersist()
     Result(cfg, params, res.losses, res.stoppedAt)
   }

@@ -58,11 +58,26 @@ object TransformerTrainer {
     val data = examples(wide, seqCatCols, seqContCols, nonSeqCatCols, nonSeqContCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val params = cfg.initParams()
+    // per-example dropout seed: content hash x call counter x train seed —
+    // deterministic for a given partition order, varies across epochs (the
+    // epoch shuffle re-slices, changing each example's call position)
+    val lossGradFn = {
+      var calls = 0L
+      (p: Array[Double], a: Array[Double], ex: Example) => {
+        calls += 1
+        val ds = train.seed ^ (calls * 0x9E3779B97F4A7C15L) ^
+          java.util.Arrays.deepHashCode(ex._1.asInstanceOf[Array[AnyRef]])
+        TransformerAE.lossAndGrad(cfg, lay, p, a,
+          ex._1, ex._2, nsCat = ex._3, nsCont = ex._4, dropSeed = ds)
+      }
+    }
+    // the monitoring probe evaluates WITHOUT dropout (inference behavior,
+    // keeps the early-stop signal noise-free); layout is dropout-independent
+    val cfgEval = cfg.copy(dropout = 0.0)
     val res = EpochLoop.run(data, params, train, batchSize, examplesPerEpoch,
-      (p, a, ex: Example) => TransformerAE.lossAndGrad(cfg, lay, p, a,
-        ex._1, ex._2, nsCat = ex._3, nsCont = ex._4),
+      lossGradFn,
       lossOnly = Some((p: Array[Double], ex: Example) =>
-        TransformerAE.lossAndGrad(cfg, lay, p, null, ex._1, ex._2,
+        TransformerAE.lossAndGrad(cfgEval, lay, p, null, ex._1, ex._2,
           nsCat = ex._3, nsCont = ex._4)))
     data.unpersist()
     Result(cfg, params, res.losses, res.stoppedAt)

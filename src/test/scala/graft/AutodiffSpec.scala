@@ -49,6 +49,71 @@ class AutodiffSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"gradient mismatches:\n${failures.mkString("\n")}")
   }
 
+  test("dropout=0.1: FD gradients still match (fixed dropSeed = fixed masks)") {
+    // a fixed dropSeed draws identical masks in every call, so finite
+    // differences are exact at dropout > 0 — proving the backward applies
+    // the SAME masks the forward drew (encoder + decoder + embeddings)
+    for (c <- Seq(cfg.copy(dropout = 0.1),
+                  cfg.copy(dropout = 0.1, decoderLayers = 1, seed = 13L),
+                  cfg.copy(dropout = 0.1, nonSeqVocabSizes = Seq(3),
+                           nNonSeqCont = 1, seed = 15L))) {
+      val l = c.layout
+      val p = c.initParams()
+      val grad = new Array[Double](l.totalSize)
+      val nsCatV = if (c.hasNonSeq) Array(1) else null
+      val nsContV = if (c.hasNonSeq) Array(0.4) else null
+      val loss0 = TransformerAE.lossAndGrad(c, l, p, grad, cat, cont,
+        nsCat = nsCatV, nsCont = nsContV, dropSeed = 99L)
+      assert(!loss0.isNaN && loss0 > 0)
+      val eps = 1e-6
+      val rng = new scala.util.Random(7)
+      val failures = scala.collection.mutable.ArrayBuffer[String]()
+      l.specs.foreach { s =>
+        val (off, _) = l.offsets(s.name)
+        val picks = Seq.fill(math.min(3, s.size))(off + rng.nextInt(s.size)).distinct
+        picks.foreach { idx =>
+          val orig = p(idx)
+          p(idx) = orig + eps
+          val lp = TransformerAE.lossAndGrad(c, l, p, new Array[Double](l.totalSize),
+            cat, cont, nsCat = nsCatV, nsCont = nsContV, dropSeed = 99L)
+          p(idx) = orig - eps
+          val lm = TransformerAE.lossAndGrad(c, l, p, new Array[Double](l.totalSize),
+            cat, cont, nsCat = nsCatV, nsCont = nsContV, dropSeed = 99L)
+          p(idx) = orig
+          val numeric = (lp - lm) / (2 * eps)
+          val analytic = grad(idx)
+          val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
+          val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
+          val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
+          if (rel > 1e-4 && math.abs(numeric - analytic) > 1e-9)
+            failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
+        }
+      }
+      assert(failures.isEmpty,
+        s"dropout FD mismatches (dec=${c.decoderLayers}, ns=${c.hasNonSeq}):\n${failures.mkString("\n")}")
+    }
+  }
+
+  test("dropout=0.1: SGD reduces the loss; serving embed ignores dropout") {
+    val c = cfg.copy(dropout = 0.1, seed = 21L)
+    val l = c.layout
+    val p = c.initParams()
+    var first = 0.0; var last = Double.MaxValue
+    for (it <- 0 until 150) {
+      val g = new Array[Double](l.totalSize)
+      val lo = TransformerAE.lossAndGrad(c, l, p, g, cat, cont,
+        dropSeed = 1000L + it) // fresh mask per step, like torch
+      if (it == 0) first = lo
+      last = lo
+      for (i <- p.indices) p(i) -= 0.05 * g(i)
+    }
+    assert(last < first, s"dropout training did not reduce loss: $first -> $last")
+    // embed is mask-free: identical with and without dropout in the config
+    val e1 = TransformerAE.embedDouble(c, l, p, cat, cont)
+    val e2 = TransformerAE.embedDouble(c.copy(dropout = 0.0), l, p, cat, cont)
+    assert(e1.toSeq == e2.toSeq)
+  }
+
   test("a few SGD steps on one example reduce the loss") {
     val p = cfg.initParams()
     var last = Double.MaxValue

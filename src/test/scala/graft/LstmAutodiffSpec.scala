@@ -88,6 +88,46 @@ class LstmAutodiffSpec extends AnyFunSuite {
     assert(fDec.isEmpty, s"decoder layers=2 bidir mismatches:\n${fDec.mkString("\n")}")
   }
 
+  test("inter-layer dropout: FD gradients match at dropout=0.2 (fixed masks)") {
+    // fixed dropSeed = identical masks every call, so FD is exact; proves
+    // the BPTT routes grads through the same inter-layer masks the forward
+    // drew. Also: serving (embedOnly) is mask-free.
+    val c = cfg.copy(numLayers = 2, bidirectional = true, dropout = 0.2, seed = 61L)
+    val l = c.layout
+    val p = c.initParams()
+    val grad = new Array[Double](l.totalSize)
+    val (loss0, _) = LstmAE.lossGradEmbed(c, l, p, grad, cat, cont, dropSeed = 7L)
+    assert(!loss0.isNaN && loss0 > 0)
+    val eps = 1e-6
+    val rng = new scala.util.Random(13)
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    l.specs.foreach { s =>
+      val (off, _) = l.offsets(s.name)
+      val picks = Seq.fill(math.min(3, s.size))(off + rng.nextInt(s.size)).distinct
+      picks.foreach { idx =>
+        val orig = p(idx)
+        p(idx) = orig + eps
+        val lp = LstmAE.lossGradEmbed(c, l, p, null, cat, cont, dropSeed = 7L)._1
+        p(idx) = orig - eps
+        val lm = LstmAE.lossGradEmbed(c, l, p, null, cat, cont, dropSeed = 7L)._1
+        p(idx) = orig
+        val numeric = (lp - lm) / (2 * eps)
+        val analytic = grad(idx)
+        val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
+        val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
+        val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
+        if (rel > 1e-4 && math.abs(numeric - analytic) > 1e-9)
+          failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
+      }
+    }
+    assert(failures.isEmpty, s"dropout FD mismatches:\n${failures.mkString("\n")}")
+    // serving ignores dropout: embedOnly output matches the dropout-free config
+    val e1 = LstmAE.lossGradEmbed(c, l, p, null, cat, cont, embedOnly = true)._2
+    val e2 = LstmAE.lossGradEmbed(c.copy(dropout = 0.0), l, p, null, cat, cont,
+      embedOnly = true)._2
+    assert(e1.toSeq == e2.toSeq)
+  }
+
   test("I12 bidirectional embedding differs from unidirectional (uses both ends)") {
     val uni = cfg.copy(seed = 51L)
     val bid = cfg.copy(bidirectional = true, seed = 51L)

@@ -70,6 +70,17 @@ class TrainerSpec extends SparkSpec {
     assert(scored.select("embedding").head().getSeq[Float](0).size == 8)
   }
 
+  test("dropout=0.1 distributed training still reduces the monitored loss") {
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2, dropout = 0.1)
+    val res = TransformerTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 1e-2, maxEpochs = 4, warmupEpochs = 1))
+    assert(res.losses.last < res.losses.head, s"losses: ${res.losses}")
+  }
+
   test("EpochLoop multi-step epochs read each example once per epoch") {
     // the source RDD is deliberately UNcached and counts every element read:
     // with per-step randomSplit selection scans an epoch would cost
