@@ -30,6 +30,53 @@ final case class LstmCell(
   }
 }
 
+/**
+ * I11 optional ConvAggregation gate (convolutional_aggregation.py:28-50;
+ * wired at unified_encoder.py:163-179,246-247): the (T x F) embedded input
+ * sequence is treated as a single-channel image, reduced by
+ * tanh(Conv2d(1->1, kernel, stride)) + MaxPool2d(pool), and the reduced
+ * (T' x F') grid becomes the LSTM's input sequence. Default-off in the
+ * reference; serving-parity forward (training of the kernel is out of
+ * scope, matching the gate's default-off status).
+ */
+final case class ConvAgg(kernel: DenseMatrix[Double], bias: Double,
+    strideT: Int = 2, strideF: Int = 2, poolT: Int = 2, poolF: Int = 2) {
+
+  /** Output (rows, cols) for an input of shape (t, f); both must be >= 1. */
+  def outShape(t: Int, f: Int): (Int, Int) =
+    (((t - kernel.rows) / strideT + 1) / poolT,
+     ((f - kernel.cols) / strideF + 1) / poolF)
+
+  def forward(x: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val kT = kernel.rows; val kF = kernel.cols
+    val cT = (x.rows - kT) / strideT + 1
+    val cF = (x.cols - kF) / strideF + 1
+    require(cT >= poolT && cF >= poolF,
+      s"conv output ${cT}x$cF smaller than pool ${poolT}x$poolF")
+    val conv = DenseMatrix.tabulate(cT, cF) { (i, j) =>
+      var s = bias
+      var a = 0
+      while (a < kT) {
+        var b = 0
+        while (b < kF) { s += kernel(a, b) * x(i * strideT + a, j * strideF + b); b += 1 }
+        a += 1
+      }
+      math.tanh(s)
+    }
+    // MaxPool2d default: stride = pool size, floor division on the shape
+    DenseMatrix.tabulate(cT / poolT, cF / poolF) { (i, j) =>
+      var m = Double.NegativeInfinity
+      var a = 0
+      while (a < poolT) {
+        var b = 0
+        while (b < poolF) { m = math.max(m, conv(i * poolT + a, j * poolF + b)); b += 1 }
+        a += 1
+      }
+      m
+    }
+  }
+}
+
 final case class LstmEncoderWeights(
     hidden: Int,
     catEmbeddings: Seq[DenseMatrix[Double]],
@@ -39,7 +86,8 @@ final case class LstmEncoderWeights(
     lstmToDense: Linear,     // [h_T fwd; h_T bwd] projection (multi_layer_lstm.py:34-36)
     fuse: Linear,            // (nsFinal + nNsCont + hidden + D*hidden) -> outDim
     nonSeqEmbeddings: Seq[DenseMatrix[Double]] = Nil,
-    nsMlp: Option[DenseBnBlock] = None) { // ns emb -> nsFinal (emb_lin_layer_non_seq)
+    nsMlp: Option[DenseBnBlock] = None, // ns emb -> nsFinal (emb_lin_layer_non_seq)
+    convAgg: Option[ConvAgg] = None) {  // I11 gate (use_conv_agg)
 
   private def embeddingDims = catEmbeddings.map(_.cols)
 
@@ -78,14 +126,18 @@ final case class LstmEncoderWeights(
       }
       for (j <- 0 until nCont) layerIn(i, embTotal + j) = cont(i)(j)
     }
+    // I11 gate: reduce the (T x F) input image before the LSTM
+    // (unified_encoder.py:246-247)
+    convAgg.foreach(ca => layerIn = ca.forward(layerIn))
+    val tSeq = layerIn.rows // = t unless conv-aggregated
     var finals: Seq[DenseVector[Double]] = Nil // top-layer h_T per direction
     for (layer <- cells) {
-      val outM = DenseMatrix.zeros[Double](t, oW)
+      val outM = DenseMatrix.zeros[Double](tSeq, oW)
       finals = layer.zipWithIndex.map { case (cell, d) =>
         var h = DenseVector.zeros[Double](hidden)
         var c = DenseVector.zeros[Double](hidden)
-        for (s <- 0 until t) {
-          val i = if (d == 0) s else t - 1 - s
+        for (s <- 0 until tSeq) {
+          val i = if (d == 0) s else tSeq - 1 - s
           val (hn, cn) = cell.step(layerIn(i, ::).t, h, c)
           h = hn; c = cn
           outM(i, d * hidden until (d + 1) * hidden) := h.t
@@ -94,16 +146,16 @@ final case class LstmEncoderWeights(
       }
       layerIn = outM
     }
-    val outputs = layerIn // t x D*hidden (top layer)
+    val outputs = layerIn // tSeq x D*hidden (top layer)
     // Bahdanau: score_t = v . tanh(W1 out_t + b1); context = softmax(score) . H
-    val scores = DenseVector.tabulate(t) { i =>
+    val scores = DenseVector.tabulate(tSeq) { i =>
       sum(attnV *:* tanh(attnW1.t * outputs(i, ::).t + attnB1))
     }
     val mx = breeze.linalg.max(scores)
     val e = exp(scores - mx)
     val a = e / sum(e)
     val context = DenseVector.zeros[Double](oW)
-    for (i <- 0 until t) context :+= outputs(i, ::).t * a(i)
+    for (i <- 0 until tSeq) context :+= outputs(i, ::).t * a(i)
     // non-seq branch: MLP(ns cat embeddings) ++ ns cont, prepended
     val nsPart: DenseVector[Double] = nsMlp match {
       case Some(mlp) =>
@@ -138,10 +190,22 @@ object LstmEncoderWeights {
       attnDim: Int = 16, seed: Long = 42L,
       nonSeqVocabSizes: Seq[Long] = Nil, nNonSeqCont: Int = 0,
       nsMlpDim: Int = 16, numLayers: Int = 1,
-      bidirectional: Boolean = false): LstmEncoderWeights = {
+      bidirectional: Boolean = false,
+      useConvAgg: Boolean = false, // I11 gate; reference defaults (3,3)/(2,2)/(2,2)
+      convKernel: (Int, Int) = (3, 3), convStride: (Int, Int) = (2, 2),
+      convPool: (Int, Int) = (2, 2)): LstmEncoderWeights = {
     val rng = new scala.util.Random(seed)
     val embs = vocabSizes.map(v => Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
-    val in = embs.map(_.cols).sum + nCont
+    val rawIn = embs.map(_.cols).sum + nCont
+    val conv =
+      if (!useConvAgg) None
+      else Some(ConvAgg(Layers.xavier(rng, convKernel._1, convKernel._2), bias = 0.0,
+        strideT = convStride._1, strideF = convStride._2,
+        poolT = convPool._1, poolF = convPool._2))
+    // with the gate on, the LSTM reads the conv-reduced feature width
+    val in = conv.map(c => ((rawIn - c.kernel.cols) / c.strideF + 1) / c.poolF)
+      .getOrElse(rawIn)
+    require(in >= 1, s"conv aggregation reduces feature width to $in")
     val dirs = if (bidirectional) 2 else 1
     def m(r: Int, cc: Int) = Layers.xavier(rng, r, cc)
     def vz(n: Int) = DenseVector.zeros[Double](n)
@@ -168,7 +232,7 @@ object LstmEncoderWeights {
       DenseVector.tabulate(attnDim)(_ => rng.nextDouble() * 0.2 - 0.1),
       Layers.linear(rng, dirs * hidden, hidden),
       Layers.linear(rng, nsFinal + nNonSeqCont + hidden + dirs * hidden, outDim),
-      nsEmbs, nsMlp)
+      nsEmbs, nsMlp, conv)
   }
 }
 
