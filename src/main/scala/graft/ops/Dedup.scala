@@ -89,6 +89,62 @@ object Dedup {
   }
 
   /**
+   * Resolve near-duplicate PAIRS into groups: connected components over
+   * the pair graph, each doc labeled with the MINIMUM doc id of its
+   * component (the canonical representative — the standard keep-one rule).
+   *
+   * Algorithm: iterative min-label propagation. Labels start as each doc's
+   * own id; every round each doc takes the min of its own label and its
+   * neighbors' labels; converges in <= (component diameter) rounds, i.e.
+   * O(log n) rounds for the near-clique components dedup produces. Each
+   * round is one equi-join + one hash-agg keyed on doc id — the same
+   * shuffle shape as the rest of the dedup pipeline, no driver-side graph.
+   * Near-dup graphs are overwhelmingly tiny cliques (diameter 1-2), so the
+   * loop almost always exits after 2-3 rounds; `maxIter` bounds degenerate
+   * chains. Pair inputs are tiny relative to the corpus (they are the
+   * near-dup subset), so per-round cost is bounded by the pair count.
+   */
+  def dedupGroups(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbr = edges.join(labels, edges("dst") === labels("doc"))
+        .select(edges("src").as("doc"), col("lbl"))
+      val next = labels.union(nbr)
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl")).cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") < col("old")).limit(1).count() > 0
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = !changed
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("doc").as("doc_id"), col("lbl").as("canonical_id"))
+  }
+
+  /**
+   * Corpus shingle profiling: the top-k shingles by document frequency
+   * (ties broken lexicographically). The operational companion of
+   * `maxShingleDf` — at corpus scale this is how the stop-shingle
+   * boilerplate list ("terms of service", nav chrome) gets chosen. One
+   * explode + one hash-agg + a k-row ordered limit (TakeOrdered, no full
+   * sort shuffle).
+   */
+  def topShingles(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int): DataFrame =
+    shingles(df, textCol, idCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df_n"))
+      .orderBy(col("df_n").desc, col("shingle"))
+      .limit(k)
+
+  /**
    * MinHash signatures: k independent hash functions h_i(s) = md5(i':'s);
    * the signature component i is the lexicographic minimum over the doc's
    * shingles. md5-as-string keeps the min portable across engines.

@@ -78,6 +78,24 @@ object Text {
   }
 
   /**
+   * Repetition score: 1 - distinct/total word n-grams — the C4/RefinedWeb
+   * "repeated n-gram" quality signal (high ratio = boilerplate loops,
+   * keyboard mash, template spam). Distinct shingles come from the
+   * codegen'd [[graft.functions.WordShingles]] expression; the whole thing
+   * is one narrow projection, no shuffle.
+   */
+  def repetitionScore(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val total = greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
+    val dist = size(graft.functions.WordShingles.wordShingles(col(textCol), n))
+    df.select(col(idCol),
+      total.cast("long").as("n_shingles"),
+      dist.cast("long").as("n_distinct_shingles"),
+      round(when(total > 0, lit(1.0) - dist.cast("double") / total)
+        .otherwise(lit(0.0)), 6).as("rep_ratio"))
+  }
+
+  /**
    * Document fingerprint: md5 over the sorted distinct token set — a
    * canonical-form hash robust to word order, the cheap cousin of shingle
    * fingerprinting for exact-ish dedup.

@@ -136,6 +136,47 @@ object LlmOps extends QueryGroup {
               |  JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b)
               |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
 
+    // Pair -> group resolution: connected components over the near-dup pair
+    // graph, canonical id = component minimum (iterative min-label
+    // propagation; the oracle closes the same graph with a recursive CTE)
+    QueryDef("q_dedup_groups",
+      (s, dir) => Dedup.dedupGroups(
+        Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, tau = 0.4)),
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |pairs AS (SELECT doc_a, doc_b
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+              |  WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.4),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |cc AS (
+              |  SELECT DISTINCT a AS doc, a AS lbl FROM e
+              |  UNION
+              |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc)
+              |SELECT doc AS doc_id, MIN(lbl) AS canonical_id FROM cc GROUP BY doc""".stripMargin)),
+
+    // Corpus boilerplate profiling: top-k shingles by document frequency
+    QueryDef("q_text_top_shingles",
+      (s, dir) => Dedup.topShingles(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, k = 20),
+      Some(s"""WITH $shinglesCte,
+              |df AS (SELECT shingle, COUNT(*) AS df_n FROM sh GROUP BY shingle)
+              |SELECT shingle, df_n FROM df ORDER BY df_n DESC, shingle LIMIT 20""".stripMargin)),
+
+    // Repeated-ngram quality signal (C4-style)
+    QueryDef("q_text_repetition",
+      (s, dir) => Text.repetitionScore(Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some(s"""WITH $shinglesCte,
+              |tot AS (SELECT doc_id, greatest(len(ts) - 2, 0) AS total FROM toks)
+              |SELECT t.doc_id, CAST(t.total AS BIGINT) AS n_shingles,
+              |  CAST(COALESCE(sz.sz, 0) AS BIGINT) AS n_distinct_shingles,
+              |  CAST(CASE WHEN t.total > 0
+              |       THEN ROUND(1.0 - COALESCE(sz.sz, 0) * 1.0 / t.total, 6)
+              |       ELSE 0.0 END AS DOUBLE) AS rep_ratio
+              |FROM tot t LEFT JOIN sz ON sz.doc_id = t.doc_id""".stripMargin)),
+
     // Production-path minhash: xxhash64 signature family + 64-bit band keys
     // (rows-only: DuckDB has no xxhash64, so the md5 variant above stays the
     // oracle fixture; DedupSpec ties the two with an agreement check)

@@ -38,6 +38,38 @@ class OpsSpec extends SparkSpec {
     assert(lsh.contains((1L, 4L))) // identical docs always collide
   }
 
+  test("dedup groups: connected components resolve to the component minimum") {
+    // pair graph: {1,2,4} via shared text, plus a manual chain 7-8-9
+    // (7-8, 8-9 but never 7-9) to prove transitivity, and 5-6 isolated
+    val pairs = Seq((1L, 2L), (1L, 4L), (2L, 4L), (7L, 8L), (8L, 9L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val g = Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("top shingles: ranked by document frequency with lexicographic ties") {
+    val top = Dedup.topShingles(docs, "text", "doc_id", n = 3, k = 3).collect()
+    // docs 1, 2, 4 share the "the quick brown fox jumps over the lazy"
+    // prefix, so its shingles all have df 3; lexicographic tiebreak puts
+    // "brown fox jumps" first
+    assert(top.head.getString(0) == "brown fox jumps" && top.head.getLong(1) == 3L)
+    assert(top.forall(_.getLong(1) == 3L))
+    assert(top.map(_.getString(0)).toSeq == top.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("repetition score: repeated shingles raise the ratio, distinct text scores 0") {
+    val rep = Text.repetitionScore(Seq(
+      (1L, "a b c a b c a b c"),      // "a b c" repeated: high rep
+      (2L, "one two three four five") // all distinct: rep 0
+    ).toDF("doc_id", "text"), "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getDouble(3) > 0.5)
+    assert(rep(2L).getDouble(3) == 0.0)
+    assert(rep(2L).getLong(1) == 3L && rep(2L).getLong(2) == 3L)
+  }
+
   test("fast (xxhash64) minhash agrees with the md5 oracle family") {
     // both variants verify candidates with exact Jaccard, so outputs are
     // subsets of the exact pairs; the hash family only affects which true
