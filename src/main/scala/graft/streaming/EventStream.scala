@@ -49,6 +49,49 @@ object EventStream {
   final case class UserSeq(user_id: Long, seq_len: Int,
       types: Seq[String], values: Seq[Double])
 
+  final case class Doc(doc_id: Long, content_hash: String)
+  final case class DedupState(keepId: Long, nSeen: Long)
+  final case class DedupDecision(doc_id: Long, content_hash: String,
+      keep: Boolean, keep_id: Long)
+
+  /**
+   * Streaming exact dedup: the incremental twin of [[graft.ops.Dedup
+   * .exactGroups]]. Keyed by md5(normalized text) — the same 16-byte
+   * content key the batch operator shuffles — with flatMapGroupsWithState
+   * holding one (keepId, count) pair per distinct content hash. The FIRST
+   * arrival of a hash is emitted keep=true (it becomes the canonical doc of
+   * its group); every later duplicate emits keep=false pointing at the
+   * canonical id. State is O(distinct contents), the minimum any exact
+   * streaming dedup must hold; on a real cluster it lives in the RocksDB
+   * state store behind the same content-hash shuffle key.
+   *
+   * Batch/stream parity caveat (spec-checked): batch keeps min(doc_id) per
+   * group; the stream keeps the FIRST-SEEN doc_id — identical whenever
+   * arrival order follows doc_id (the file-stream fixture), divergent under
+   * reordering, which is inherent to single-pass dedup.
+   */
+  def streamingExactDedup(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String): Dataset[DedupDecision] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("content_hash"))
+      .as[Doc]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[DedupState, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, ds: Iterator[Doc], state: GroupState[DedupState]) =>
+          var st = state.getOption.getOrElse(DedupState(-1L, 0L))
+          val out = ds.map { d =>
+            val first = st.nSeen == 0L
+            if (first) st = DedupState(d.doc_id, 1L)
+            else st = st.copy(nSeen = st.nSeen + 1L)
+            DedupDecision(d.doc_id, hash, keep = first, keep_id = st.keepId)
+          }.toList // materialize before state.update (iterator is lazy)
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /**
    * Incremental latest-N sequence per entity: the streaming equivalent of
    * ranks+latestN+pivot. Emits the refreshed sequence on every update.

@@ -29,6 +29,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup matches the batch groups on the documents stream") {
+    val dir = Files.createTempDirectory("graft_docs_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    val dec = EventStream.streamingExactDedup(spark, docsStream, "text", "doc_id")
+    val q = dec.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM dedup_stream").collect()
+      val batch = graft.ops.Dedup.exactGroups(
+        graft.core.Tables.load(spark, sf, "documents"), "text", "doc_id").collect()
+      // every doc decided exactly once; kept count = number of batch groups
+      assert(rows.length == batch.map(_.getLong(2)).sum)
+      assert(rows.count(_.getBoolean(2)) == batch.length)
+      // per content hash, all members point at ONE canonical id that is a
+      // member of that hash's group
+      val byHash = rows.groupBy(_.getString(1))
+      assert(byHash.forall { case (_, rs) => rs.map(_.getLong(3)).distinct.length == 1 })
+      val batchGroups = batch.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byHash.keySet == batchGroups.keySet)
+    } finally q.stop()
+  }
+
   test("stateful latest-N sequences: bounded per-entity state, newest first") {
     val events = EventStream.readEvents(spark, streamDir)
     val seqs = EventStream.latestNSequences(spark, events, n = 5)
