@@ -87,7 +87,9 @@ final case class LstmEncoderWeights(
     fuse: Linear,            // (nsFinal + nNsCont + hidden + D*hidden) -> outDim
     nonSeqEmbeddings: Seq[DenseMatrix[Double]] = Nil,
     nsMlp: Option[DenseBnBlock] = None, // ns emb -> nsFinal (emb_lin_layer_non_seq)
-    convAgg: Option[ConvAgg] = None) {  // I11 gate (use_conv_agg)
+    convAgg: Option[ConvAgg] = None,    // I11 gate (use_conv_agg)
+    mha: Option[MhaSumPool] = None) {   // I5: attention_heads > 1 selects MHA
+                                        // over Bahdanau (unified_encoder.py:186-192)
 
   private def embeddingDims = catEmbeddings.map(_.cols)
 
@@ -147,15 +149,22 @@ final case class LstmEncoderWeights(
       layerIn = outM
     }
     val outputs = layerIn // tSeq x D*hidden (top layer)
-    // Bahdanau: score_t = v . tanh(W1 out_t + b1); context = softmax(score) . H
-    val scores = DenseVector.tabulate(tSeq) { i =>
-      sum(attnV *:* tanh(attnW1.t * outputs(i, ::).t + attnB1))
+    // attention select (unified_encoder.py:186-192): heads == 1 -> Bahdanau
+    // weighted context; heads > 1 -> I5 MHA wrapper with sum-over-time pool
+    val context = mha match {
+      case Some(pool) => pool.forward(outputs)
+      case None =>
+        // Bahdanau: score_t = v . tanh(W1 out_t + b1); context = softmax . H
+        val scores = DenseVector.tabulate(tSeq) { i =>
+          sum(attnV *:* tanh(attnW1.t * outputs(i, ::).t + attnB1))
+        }
+        val mx = breeze.linalg.max(scores)
+        val e = exp(scores - mx)
+        val a = e / sum(e)
+        val ctx = DenseVector.zeros[Double](oW)
+        for (i <- 0 until tSeq) ctx :+= outputs(i, ::).t * a(i)
+        ctx
     }
-    val mx = breeze.linalg.max(scores)
-    val e = exp(scores - mx)
-    val a = e / sum(e)
-    val context = DenseVector.zeros[Double](oW)
-    for (i <- 0 until tSeq) context :+= outputs(i, ::).t * a(i)
     // non-seq branch: MLP(ns cat embeddings) ++ ns cont, prepended
     val nsPart: DenseVector[Double] = nsMlp match {
       case Some(mlp) =>
@@ -193,7 +202,8 @@ object LstmEncoderWeights {
       bidirectional: Boolean = false,
       useConvAgg: Boolean = false, // I11 gate; reference defaults (3,3)/(2,2)/(2,2)
       convKernel: (Int, Int) = (3, 3), convStride: (Int, Int) = (2, 2),
-      convPool: (Int, Int) = (2, 2)): LstmEncoderWeights = {
+      convPool: (Int, Int) = (2, 2),
+      attnHeads: Int = 1): LstmEncoderWeights = { // > 1 -> I5 MHA path
     val rng = new scala.util.Random(seed)
     val embs = vocabSizes.map(v => Layers.xavier(rng, (v + 1).toInt, Dims.embeddingDim(v)))
     val rawIn = embs.map(_.cols).sum + nCont
@@ -232,7 +242,16 @@ object LstmEncoderWeights {
       DenseVector.tabulate(attnDim)(_ => rng.nextDouble() * 0.2 - 0.1),
       Layers.linear(rng, dirs * hidden, hidden),
       Layers.linear(rng, nsFinal + nNonSeqCont + hidden + dirs * hidden, outDim),
-      nsEmbs, nsMlp, conv)
+      nsEmbs, nsMlp, conv,
+      mha = if (attnHeads <= 1) None else {
+        val dM = dirs * hidden
+        require(dM % attnHeads == 0, "attention heads must divide D*hidden")
+        Some(MhaSumPool(
+          Layers.linear(rng, dM, dM), Layers.linear(rng, dM, dM),
+          Layers.linear(rng, dM, dM), Layers.linear(rng, dM, dM),
+          lnG = DenseVector.ones[Double](dM), lnB = DenseVector.zeros[Double](dM),
+          heads = attnHeads))
+      })
   }
 }
 

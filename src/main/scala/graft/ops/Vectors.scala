@@ -63,13 +63,31 @@ object Vectors {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Bucketed ANN: top-k within the query's LSH bucket only. */
+  /**
+   * Bucketed ANN: top-k within the query's LSH bucket — plus, with
+   * `nProbe > 1`, the nProbe-1 adjacent buckets at Hamming distance 1
+   * (classic multi-probe LSH: the most likely buckets for a near-miss are
+   * those differing in exactly one hyperplane bit). Probing explodes only
+   * the QUERY side (nProbe rows per query, still broadcast-sized); the
+   * corpus stays one row per vector and the search remains an equi-join on
+   * `bucket`. Recall rises with nProbe with no change to the plan shape.
+   */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      qId: String = "qid", cId: String = "cid", vecCol: String = "embedding"): DataFrame = {
+      qId: String = "qid", cId: String = "cid", vecCol: String = "embedding",
+      nProbe: Int = 1, nPlanes: Int = 8): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nPlanes + 1,
+      s"nProbe must be in [1, nPlanes + 1 = ${nPlanes + 1}]")
+    val base = signBucket(col(vecCol), nPlanes)
+    val probes = array((0 until nProbe).map { i =>
+      if (i == 0) base else base.bitwiseXOR(lit(1L << (i - 1)))
+    }: _*)
     val q = queries.select(col(qId), col(vecCol).as("qe"),
-      signBucket(col(vecCol)).as("bucket"))
+      explode(probes).as("bucket"))
     val c = corpus.select(col(cId), col(vecCol).as("ce"),
-      signBucket(col(vecCol)).as("bucket"))
+      signBucket(col(vecCol), nPlanes).as("bucket"))
+    // no dedup needed: a corpus vector lives in exactly one bucket and the
+    // probe buckets of a query are pairwise distinct, so each (query,
+    // candidate) pair surfaces at most once
     val scored = broadcast(q).join(c, Seq("bucket"))
       .select(col(qId), col(cId), round(cosine(col("qe"), col("ce")), 6).as("cos"))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)

@@ -238,6 +238,19 @@ object LlmOps extends QueryGroup {
               |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
               |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // Multi-probe LSH: query side explodes to the nProbe Hamming-1-adjacent
+    // buckets; corpus stays one row per vector (rows-only; recall-dominance
+    // over single-probe is spec-checked in OpsSpec)
+    QueryDef("q_ann_lsh_multiprobe",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Vectors.lshTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
+          k = 3, nProbe = 4)
+      },
+      None),
+
     // IVF ANN: KMeans coarse quantizer + nProbe cell search (rows-only;
     // recall-vs-brute-force is spec-checked in OpsSpec)
     QueryDef("q_ann_ivf",

@@ -125,4 +125,22 @@ class NoiseSpec extends SparkSpec {
     val h2 = DenseMatrix((0.9, 1.0, 1.1, 1.2), (0.5, 0.6, 0.7, 0.8), (0.1, 0.2, 0.3, 0.4))
     assert(!p1.toArray.sameElements(pool.forward(h2).toArray))
   }
+
+  test("I5 wiring: attnHeads > 1 routes the encoder context through MHA") {
+    import graft.nn.LstmEncoderWeights
+    val t = 5
+    val cat = Array.fill(t)(Array(1))
+    val cont = Array.tabulate(t)(i => Array(i / 10.0, 1.0 - i / 10.0))
+    // same seed: identical embeddings/cells/fuse; only the context path
+    // differs, so differing outputs prove the MHA branch is exercised
+    val bah = LstmEncoderWeights.init(hidden = 8, outDim = 6,
+      vocabSizes = Seq(5), nCont = 2, seed = 3L)
+    val mha = LstmEncoderWeights.init(hidden = 8, outDim = 6,
+      vocabSizes = Seq(5), nCont = 2, seed = 3L, attnHeads = 4)
+    assert(mha.mha.isDefined && bah.mha.isEmpty)
+    val eB = bah.forward(cat, cont)
+    val eM = mha.forward(cat, cont)
+    assert(eM.length == 6 && eM.forall(v => !v.isNaN && !v.isInfinite))
+    assert(!eB.sameElements(eM))
+  }
 }

@@ -125,6 +125,25 @@ class OpsSpec extends SparkSpec {
     assert(l.forall(r => Set("en", "es", "und").contains(r.getString(1))))
   }
 
+  test("multi-probe LSH: recall vs brute force dominates single-probe") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding")
+    val c = e.filter($"vec_id" >= 20).select($"vec_id".as("cid"), $"embedding")
+    val exact = Vectors.bruteForceTopK(q, c, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int) = {
+      val got = Vectors.lshTopK(q, c, 3, nProbe = nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r4 = recall(4)
+    assert(r4 >= r1, s"multi-probe recall $r4 below single-probe $r1")
+    assert(r4 > 0.0)
+    // probing never returns more than k per query
+    val mp = Vectors.lshTopK(q, c, 3, nProbe = 4).collect()
+    assert(mp.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+  }
+
   test("IVF ANN: high recall vs brute force on the real embeddings") {
     val e = graft.core.Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
