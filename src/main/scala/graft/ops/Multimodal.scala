@@ -61,4 +61,61 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** One sampled frame: (doc, frame index within the media, payload slice
+    * standing in for decoded pixels, fixed-dim feature vector). */
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte],
+      features: Array[Float])
+
+  /**
+   * STUB frame extractor: slices `frameLen` bytes at a deterministic
+   * per-frame offset — the stand-in for "decode frame i and resize to the
+   * model's input size". A real build replaces ONLY this function.
+   */
+  def frameStub(payload: Array[Byte], frameIdx: Long, frameLen: Int): Array[Byte] = {
+    if (payload.isEmpty) return Array.emptyByteArray
+    val off = ((frameIdx * 2654435761L) % payload.length).toInt.abs
+    Array.tabulate(math.min(frameLen, payload.length))(i =>
+      payload((off + i) % payload.length))
+  }
+
+  /**
+   * STUB feature extractor: `dim` byte-histogram-ish floats from the frame
+   * bytes — the stand-in for an image-encoder forward. Deterministic.
+   */
+  def featureStub(frame: Array[Byte], dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    var i = 0
+    while (i < frame.length) { f(i % dim) += (frame(i) & 0xFF) / 255.0f; i += 1 }
+    f
+  }
+
+  /**
+   * Frame sampling + per-frame featurization: for each media payload, emit
+   * every `stride`-th frame (capped at `maxFrames`) with its stub-decoded
+   * bytes and feature vector. The 1->N row explosion happens INSIDE the
+   * typed mapPartitions (an iterator flatMap — frames stream out without
+   * materializing a per-doc list), which is the production shape for video:
+   * input rows are media files, output rows are frames, and downstream
+   * stages (dedup on frame features, ANN over frame embeddings) operate on
+   * the frame table. Parallelism = input splits; memory = one frame batch.
+   */
+  def sampleFrames(spark: SparkSession, withPayload: DataFrame, idCol: String,
+      stride: Int = 2, maxFrames: Int = 8, frameLen: Int = 64,
+      featDim: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1 && maxFrames >= 1)
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (_, _, nFrames) = decodeStub(payload)
+          (0L until nFrames by stride.toLong).take(maxFrames).iterator.map { fi =>
+            val bytes = frameStub(payload, fi, frameLen)
+            Frame(id, fi, bytes, featureStub(bytes, featDim))
+          }
+        }
+      }
+      .toDF()
+  }
 }

@@ -276,6 +276,21 @@ object LlmOps extends QueryGroup {
 
     // --- multimodal plumbing --------------------------------------------
 
+    // Frame sampling: media rows -> frame rows inside one typed
+    // mapPartitions (stub codec, real 1->N batch shape); scalar projection
+    // keeps the rows-only output sortable
+    QueryDef("q_multimodal_frames",
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(s,
+          Multimodal.withBinaryPayload(Tables.load(s, dir, "documents"), "text"),
+          "doc_id")
+        frames.select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_byte_len"),
+          round(sqrt(aggregate(col("features"), lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("feat_norm"))
+      },
+      None),
+
     QueryDef("q_multimodal_meta",
       (s, dir) => Multimodal.decodeMetadata(s,
         Multimodal.withBinaryPayload(Tables.load(s, dir, "documents"), "text"), "doc_id"),

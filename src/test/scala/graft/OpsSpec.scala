@@ -118,6 +118,27 @@ class OpsSpec extends SparkSpec {
     assert(meta.count() == 5)
   }
 
+  test("multimodal frame sampling: deterministic counts and feature shape") {
+    val withPayload = Multimodal.withBinaryPayload(docs, "text")
+    val frames = Multimodal.sampleFrames(spark, withPayload, "doc_id",
+      stride = 2, maxFrames = 3, frameLen = 16, featDim = 4).collect()
+    // per doc: min(ceil(nFrames/stride), maxFrames) rows, nFrames = len%30+1
+    val expected = docs.collect().map { r =>
+      val n = r.getString(1).getBytes("UTF-8").length % 30 + 1
+      r.getLong(0) -> math.min((n + 1) / 2, 3)
+    }.toMap
+    val got = frames.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(got == expected, s"got $got want $expected")
+    assert(frames.forall(_.getSeq[Float](3).size == 4))
+    assert(frames.forall(r => r.getAs[Array[Byte]](2).length <= 16))
+    // deterministic: a second run produces identical feature norms
+    val again = Multimodal.sampleFrames(spark, withPayload, "doc_id",
+      stride = 2, maxFrames = 3, frameLen = 16, featDim = 4).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](3).sum)).toSet
+    assert(key(frames) == key(again))
+  }
+
   test("text quality + langid produce bounded scores") {
     val q = Text.qualityScore(docs, "text", "doc_id").collect()
     assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
