@@ -21,6 +21,33 @@ class EdgeCaseSpec extends SparkSpec {
     (1L, "2024-01-21 10:00:00", "b", 2.0),
     (2L, "2024-01-25 10:00:00", "a", 3.0))
 
+  test("dedup/text edge cases: empty pair graph, short and empty docs") {
+    import spark.implicits._
+    // empty pair input -> empty groups, no iteration blow-up
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.ops.Dedup.dedupGroups(noPairs).count() == 0)
+    // docs shorter than n produce no shingles but still score
+    val tiny = Seq((1L, "two words"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.shingles(tiny, "text", "doc_id", 3).count() == 1) // only doc 3
+    val rep = graft.ops.Text.repetitionScore(tiny, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getLong(1) == 0 && rep(1L).getDouble(3) == 0.0)
+    assert(rep(2L).getLong(1) == 0 && rep(2L).getDouble(3) == 0.0)
+    assert(rep(3L).getLong(1) == 1 && rep(3L).getLong(2) == 1)
+  }
+
+  test("multi-probe LSH with nProbe=1 equals the single-bucket search") {
+    import spark.implicits._
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val c = e.filter($"vec_id" >= 10).select($"vec_id".as("cid"), $"embedding")
+    val one = graft.ops.Vectors.lshTopK(q, c, 3, nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dflt = graft.ops.Vectors.lshTopK(q, c, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one == dflt)
+  }
+
   test("roles with zero seq cat columns (cont-only sequences)") {
     val roles = ColumnRoles(Seq("user_id"), "ts", "pred_date",
       Nil, Seq("value"), Seq("value", "ts"), Nil, Seq("ts"))
