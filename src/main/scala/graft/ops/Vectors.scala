@@ -15,14 +15,20 @@ import org.apache.spark.sql.functions._
  */
 object Vectors {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision (HOF formulation;
+    * kept as the readable reference — the hot path uses [[cosine]]). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the codegen'd [[graft.functions.VecCosine]] expression:
+    * one imperative pass per pair instead of three interpreted HOF folds,
+    * same left-to-right accumulation order (bit-identical to the HOF
+    * version and the DuckDB oracle). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecCosine.vecCosine(a, b)
 
   /**
    * Exact top-k cosine neighbors of each query vector against the corpus.
