@@ -38,6 +38,30 @@ class OpsSpec extends SparkSpec {
     assert(lsh.contains((1L, 4L))) // identical docs always collide
   }
 
+  test("word_shingles equals the HOF formulation on the real corpus") {
+    // the codegen'd expression must emit exactly the shingle universe of
+    // array_distinct(transform(sequence(...), slice+concat_ws)) — the
+    // formulation the DuckDB oracles mirror
+    val real = graft.core.Tables.load(spark, sf, "documents")
+    def hofShingles(n: Int) = {
+      val toks = graft.ops.Text.tokens(col("text"))
+      when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array())
+    }
+    for (n <- Seq(2, 3, 5)) {
+      val fast = real.select(col("doc_id"),
+          explode(graft.functions.WordShingles.wordShingles(col("text"), n)).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val hof = real.select(col("doc_id"),
+          explode(array_distinct(hofShingles(n))).as("sh"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(fast == hof, s"n=$n: universes differ " +
+        s"(fast-only=${(fast -- hof).take(3)}, hof-only=${(hof -- fast).take(3)})")
+    }
+  }
+
   test("dedup groups: connected components resolve to the component minimum") {
     // pair graph: {1,2,4} via shared text, plus a manual chain 7-8-9
     // (7-8, 8-9 but never 7-9) to prove transitivity, and 5-6 isolated

@@ -70,6 +70,21 @@ class TrainerSpec extends SparkSpec {
     assert(scored.select("embedding").head().getSeq[Float](0).size == 8)
   }
 
+  test("I12 2-layer bidirectional LSTM trains distributed") {
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = graft.nn.LstmAeConfig(hidden = 8, outDim = 8, attnDim = 4,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2,
+      numLayers = 2, bidirectional = true, dropout = 0.1)
+    val res = graft.train.LstmTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 1e-2, maxEpochs = 4, warmupEpochs = 1))
+    assert(res.losses.last < res.losses.head, s"losses: ${res.losses}")
+    val scored = graft.train.LstmTrainer.transform(wide, res, "user_id", catCols, contCols)
+    assert(scored.count() == wide.count())
+    assert(scored.select("embedding").head().getSeq[Float](0).size == 8)
+  }
+
   test("dropout=0.1 distributed training still reduces the monitored loss") {
     val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
     val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
