@@ -143,20 +143,113 @@ object Vectors {
   }
 
   /**
+   * Deterministic coordinate pairs (i, j) for the banded sign-LSH plane
+   * family: plane bit = [v(i) > v(j)]. Drawn by a 64-bit LCG (constants
+   * from Knuth MMIX) with unordered-duplicate rejection, so every plane
+   * across every band is a distinct hyperplane. Pure function of
+   * (nBands, nPlanes, dim, seed) — the DuckDB oracle SQL is generated from
+   * the SAME call, so the two sides can never drift.
+   *
+   * Returned indices are 0-based; add 1 for `element_at` / SQL lists.
+   */
+  def planePairs(nBands: Int, nPlanes: Int, dim: Int,
+      seed: Long = 42L): Seq[Seq[(Int, Int)]] = {
+    require(dim >= 2, "dim must be >= 2")
+    require(nBands * nPlanes <= dim * (dim - 1) / 2,
+      s"cannot draw ${nBands * nPlanes} distinct plane pairs from dim=$dim")
+    var state = seed
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 33
+    }
+    val seen = scala.collection.mutable.Set.empty[(Int, Int)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (out.size < nBands * nPlanes) {
+      val i = (next() % dim).toInt
+      val j = (next() % dim).toInt
+      if (i != j) {
+        val key = (math.min(i, j), math.max(i, j))
+        if (!seen.contains(key)) { seen += key; out += ((i, j)) }
+      }
+    }
+    out.toSeq.grouped(nPlanes).toSeq
+  }
+
+  /** Bucket id of one band: nPlanes sign bits packed into a long. Vectors
+    * shorter than a plane's max index contribute a 0 bit (guarded, no ANSI
+    * element_at throw) — same convention as [[signBucket]]. */
+  def bandBucket(vec: Column, pairs: Seq[(Int, Int)]): Column =
+    pairs.zipWithIndex.map { case ((i, j), p) =>
+      when(size(vec) >= lit(math.max(i, j) + 1),
+        when(element_at(vec, i + 1) > element_at(vec, j + 1), lit(1L << p))
+          .otherwise(lit(0L)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Banded sign-LSH bucket assignment: one (id, band, bucket) row per
+   * (vector, band), with bucket groups larger than `maxBucket` dropped — the
+   * same OR-construction + fan-out guard as [[Dedup.minhashLshPairs]]. The
+   * cap is a `count(*) OVER (PARTITION BY band, bucket)` window on the
+   * exploded table, shuffled on the same (band, bucket) key the candidate
+   * self-join needs, so the guard costs no extra shuffle.
+   */
+  def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
+      nBands: Int, nPlanes: Int, dim: Int, maxBucket: Int,
+      seed: Long = 42L): DataFrame = {
+    val bandCols = planePairs(nBands, nPlanes, dim, seed).zipWithIndex.map {
+      case (prs, b) =>
+        struct(lit(b).as("band"), bandBucket(col(vecCol), prs).as("bucket"))
+    }
+    df.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau).
-   * All-pairs within LSH buckets — same candidate-bounding idea as
-   * [[Dedup.minhashLshPairs]]; exact within-bucket verification.
+   *
+   * Scale path (`bucketed = true`): candidates collide on ANY of `nBands`
+   * independent sign-LSH bands of `nPlanes` hyperplanes each (bands×rows
+   * OR-structure — the [[Dedup.minhashLshPairs]] pattern), with per-band
+   * bucket groups capped at `maxBucket` to bound join fan-out under skew;
+   * candidates are then verified with exact cosine. Per-band pruning is
+   * 2^nPlanes; recall for a pair at cosine c is 1 - (1 - p^nPlanes)^nBands
+   * with p = 1 - acos(c)/π, so the band budget is a direct recall/cost
+   * dial: the defaults (20×4) hold recall >= 0.95 down to tau = 0.3 on the
+   * test corpora, while high-tau production dedup (tau >= 0.8, p >= 0.87)
+   * can afford nPlanes = 8 for 256-way pruning per band.
+   *
+   * `dim` is the embedding dimensionality the plane family is drawn from
+   * (shorter vectors degrade gracefully via the guarded bits).
    */
   def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      tau: Double, bucketed: Boolean = true): DataFrame = {
-    val withB =
-      if (bucketed) df.select(col(idCol), col(vecCol), signBucket(col(vecCol)).as("bucket"))
-      else df.select(col(idCol), col(vecCol), lit(0L).as("bucket"))
-    val a = withB.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = withB.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
-      .filter(col("cos") >= tau)
+      tau: Double, bucketed: Boolean = true,
+      nBands: Int = 20, nPlanes: Int = 4, maxBucket: Int = 1000,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    if (!bucketed) {
+      val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= tau)
+    } else {
+      val bb = bandedBuckets(df, idCol, vecCol, nBands, nPlanes, dim, maxBucket, seed)
+      val l = bb.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      val r = bb.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+      val cand = l.join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("va"), col("vb")), 6).as("cos"))
+        .filter(col("cos") >= tau)
+    }
   }
 }

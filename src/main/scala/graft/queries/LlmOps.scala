@@ -193,16 +193,35 @@ object LlmOps extends QueryGroup {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin)),
 
-    // Scale path of the cosine dedup: candidate pairs only WITHIN sign-LSH
-    // buckets (equi-join on bucket replaces the all-pairs cross join)
+    // Scale path of the cosine dedup: candidate pairs collide on ANY of 20
+    // sign-LSH bands of 4 planes each (bands×rows OR-structure, per-band
+    // bucket cap) and are verified with exact cosine. The oracle's band
+    // bucket expressions are generated from the SAME Vectors.planePairs
+    // call the Spark side uses, so the two can never drift.
     QueryDef("q_dedup_embed_cosine_lsh",
       (s, dir) => Vectors.cosineDupPairs(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", tau = 0.3, bucketed = true),
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-              |    ${bucketSql("embedding")} AS bucket FROM embeddings)
-              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS cos
-              |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-              |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin)),
+      Some {
+        val bandSelects = Vectors.planePairs(nBands = 20, nPlanes = 4, dim = 64)
+          .zipWithIndex.map { case (prs, b) =>
+            val bucket = prs.zipWithIndex
+              .map { case ((i, j), p) =>
+                s"(CASE WHEN v[${i + 1}] > v[${j + 1}] THEN ${1L << p} ELSE 0 END)" }
+              .mkString("(", " + ", ")")
+            s"SELECT vec_id, $b AS band, $bucket AS bucket FROM e"
+          }.mkString("\n  UNION ALL ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |bb AS (
+           |  $bandSelects),
+           |bk AS (SELECT vec_id, band, bucket,
+           |    COUNT(*) OVER (PARTITION BY band, bucket) AS bucket_n FROM bb),
+           |bf AS (SELECT vec_id, band, bucket FROM bk WHERE bucket_n <= 1000),
+           |cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+           |  FROM bf l JOIN bf r USING(band, bucket) WHERE l.vec_id < r.vec_id)
+           |SELECT c.id_a, c.id_b, ${cosSql("a.v", "b.v")} AS cos
+           |FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+           |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin
+      }),
 
     // --- similarity search ----------------------------------------------
 

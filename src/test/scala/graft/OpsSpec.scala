@@ -189,6 +189,44 @@ class OpsSpec extends SparkSpec {
     assert(mp.groupBy(_.getLong(0)).forall(_._2.length <= 3))
   }
 
+  test("banded cosine LSH: subset of exact pairs with recall >= 0.9") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val exact = Vectors.cosineDupPairs(e, "vec_id", "embedding", tau = 0.3,
+        bucketed = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Vectors.cosineDupPairs(e, "vec_id", "embedding", tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact path rejects")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded LSH recall $recall below 0.9 " +
+      s"(lsh=${lsh.size}, exact=${exact.size})")
+  }
+
+  test("banded cosine LSH: bucket cap bounds per-band fan-out") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val cap = 20
+    val bb = Vectors.bandedBuckets(e, "vec_id", "embedding",
+      nBands = 20, nPlanes = 4, dim = 64, maxBucket = cap)
+    val maxGroup = bb.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxGroup <= cap, s"bucket group of $maxGroup exceeds cap $cap")
+    // the cap actually bites on this corpus (uncapped max bucket > cap),
+    // and capped output is still a subset of the uncapped assignment
+    val uncapped = Vectors.bandedBuckets(e, "vec_id", "embedding",
+      nBands = 20, nPlanes = 4, dim = 64, maxBucket = Int.MaxValue)
+    val uncappedMax = uncapped.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(uncappedMax > cap, "fixture too small for the cap to bind")
+    assert(bb.count() < uncapped.count())
+    // plane family is deterministic: same (nBands, nPlanes, dim, seed) ⇒
+    // identical pairs, distinct planes across all bands
+    val fams = Vectors.planePairs(20, 4, 64)
+    assert(fams == Vectors.planePairs(20, 4, 64))
+    val flat = fams.flatten.map { case (i, j) => (math.min(i, j), math.max(i, j)) }
+    assert(flat.distinct.size == flat.size)
+    assert(flat.forall { case (i, j) => i >= 0 && j < 64 && i != j })
+  }
+
   test("IVF ANN: high recall vs brute force on the real embeddings") {
     val e = graft.core.Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
