@@ -25,25 +25,65 @@ import breeze.numerics.{exp, sigmoid, tanh}
  *    re-embedded through the encoder's embedding tables ++ out_cont
  *    (:74-86). Gradients flow through the out_cont input chain and the
  *    re-embedded predicted codes' table rows (argmax itself is constant).
+ *    With non-seq features present, "auto" also decodes them from the
+ *    fused embedding (mlp_non_seq_cont / mlp_non_seq_cat_list heads on hn,
+ *    model_wrapper.py:55-58; losses :114-118).
+ *  - "churn" (I16 fine-tune mode, ChurnModel, model_wrapper.py:123-155):
+ *    a sigmoid head on the fused embedding, BCE against `label`, gradients
+ *    flowing end-to-end through the UNFROZEN encoder (:284-316 is the
+ *    transformer twin). The frozen-encoder variant stays
+ *    [[graft.analyze.Segmentation.churnHead]].
  *
  * In decoder modes the hidden-state init makes attention/fuse trainable
  * through the decoder (h0 = fused embedding), so the pooled head is
  * dropped; outDim must equal hidden. Serving embedding = the fused vector
  * in every mode (spark/score.py:60-61).
+ *
+ * Non-seq features (I11, unified_encoder.py:142-146, 221-227, 262-263):
+ * ns cat embeddings -> DenseBnDropout MLP; the MLP output ++ ns cont is
+ * CONCATENATED in front of [lstm_to_dense(h_T), context] before the fuse
+ * linear. The BatchNorm inside the MLP normalizes with its RUNNING
+ * statistics (init mean 0 / var 1) in this per-example gradient scheme —
+ * batch statistics are undefined at batch size 1 under treeAggregate —
+ * with gamma/beta trained; the serving twin ([[DenseBnBlock.forward]])
+ * applies the same running-stats affine, so trained and scored paths
+ * agree by construction.
+ *
+ * Bahdanau attention follows attention_mechanisms.py:102-110 exactly by
+ * default: fc_encoder = Linear(D*h -> h, bias=False) and attnHidden =
+ * Linear(h -> 1) WITH its scalar bias (the bias is softmax-shift-invariant
+ * so its gradient is identically zero, but it exists for parameter-count
+ * parity — see [[graft.analyze.Capacity]]). `attnDim = 0` selects the
+ * faithful score width (= hidden); a positive attnDim plus
+ * `attnInputBias = true` opts into the generalized form kept from earlier
+ * rounds.
  */
 final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     seqLen: Int, vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
     decoder: String = "none",
     numLayers: Int = 1, bidirectional: Boolean = false,
-    dropout: Double = 0.0) { // inter-layer, nn.LSTM semantics (active iff numLayers > 1)
-  require(Seq("none", "teacher", "auto").contains(decoder))
-  require(decoder == "none" || outDim == hidden,
+    dropout: Double = 0.0, // inter-layer, nn.LSTM semantics (active iff numLayers > 1)
+    attnInputBias: Boolean = false, // generalized Bahdanau (adds ab1)
+    nonSeqVocabSizes: Seq[Int] = Nil, nNonSeqCont: Int = 0,
+    nsMlpDim: Int = 16) { // emb_lin_layer_sizes_non_seq[-1]
+  require(Seq("none", "teacher", "auto", "churn").contains(decoder))
+  require(!hasDecoder || outDim == hidden,
     "decoder hidden init = fused embedding (unified_encoder.py:271) needs outDim == hidden")
   require(numLayers >= 1)
   require(dropout >= 0.0 && dropout < 1.0)
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
   def inDim: Int = embDims.sum + nCont
-  def hasDecoder: Boolean = decoder != "none"
+  def hasDecoder: Boolean = decoder == "teacher" || decoder == "auto"
+  /** Bahdanau score width; 0 = reference-faithful (= hidden,
+    * attention_mechanisms.py:109). */
+  def attnW: Int = if (attnDim <= 0) hidden else attnDim
+  def nsEmbDims: Seq[Int] = nonSeqVocabSizes.map(v => Dims.embeddingDim(v.toLong))
+  /** emb_lin_layer_non_seq exists iff there are ns cat embeddings
+    * (unified_encoder.py:142-146). */
+  def hasNsMlp: Boolean = nonSeqVocabSizes.nonEmpty
+  /** Width of the ns slice prepended to the fuse input. */
+  def nsFinal: Int = if (hasNsMlp) nsMlpDim else 0
+  def nsWidth: Int = nsFinal + nNonSeqCont
   /** nn.LSTM num_directions (multi_layer_lstm.py:30). */
   def dirs: Int = if (bidirectional) 2 else 1
   /** Width of the per-timestep layer output: [h_fwd ; h_bwd] when bidir. */
