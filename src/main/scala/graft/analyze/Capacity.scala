@@ -27,6 +27,45 @@ object Capacity {
       maxLen.toLong * d +
       layers.toLong * encoderLayerParams(d, pf)
   }
+
+  /** One nn.LSTM cell: 4 gates x (W: in x h, U: h x h, b: h). */
+  def lstmCellParams(in: Int, h: Int): Long =
+    4L * (in.toLong * h + h.toLong * h + h)
+
+  /**
+   * Full LSTM-architecture unified encoder (matches
+   * [[graft.nn.LstmAeConfig.layout]]'s encoder blocks and
+   * [[graft.nn.LstmEncoderWeights.init]]): embeddings + stacked
+   * (+bidirectional) cells + reference-faithful Bahdanau
+   * (attention_mechanisms.py:108-110: fc_encoder D*h -> h bias-FREE,
+   * attnHidden h -> 1 WITH bias) + lstm_to_dense + ns branch + fuse.
+   * The reference's estimate_parameters.py covers only the transformer
+   * arch; this extends its linear/embedding conventions to the LSTM one.
+   */
+  def lstmEncoderParams(vocabSizes: Seq[Long], nCont: Int,
+      hidden: Int, outDim: Int,
+      numLayers: Int = 1, bidirectional: Boolean = false,
+      nonSeqVocabSizes: Seq[Long] = Nil, nNonSeqCont: Int = 0,
+      nsMlpDim: Int = 16): Long = {
+    val d = if (bidirectional) 2 else 1
+    val inDim = vocabSizes.map(v => Dims.embeddingDim(v)).sum + nCont
+    val cells = (0 until numLayers).map { l =>
+      val in = if (l == 0) inDim else d * hidden
+      d.toLong * lstmCellParams(in, hidden)
+    }.sum
+    val attention = d.toLong * hidden * hidden + // fc_encoder, no bias
+      linearParams(hidden, 1)                    // attnHidden h -> 1 + bias
+    val nsEmbDim = nonSeqVocabSizes.map(v => Dims.embeddingDim(v)).sum
+    val ns =
+      if (nonSeqVocabSizes.isEmpty) 0L
+      else embeddingParams(nonSeqVocabSizes) +
+        linearParams(nsEmbDim, nsMlpDim) + 2L * nsMlpDim // BN gamma/beta
+    val nsFinal = if (nonSeqVocabSizes.isEmpty) 0 else nsMlpDim
+    embeddingParams(vocabSizes) + cells + attention +
+      linearParams(d * hidden, hidden) + // lstm_to_dense
+      ns +
+      linearParams(nsFinal + nNonSeqCont + hidden + d * hidden, outDim) // fuse
+  }
 }
 
 /**

@@ -81,7 +81,13 @@ final case class LstmEncoderWeights(
     hidden: Int,
     catEmbeddings: Seq[DenseMatrix[Double]],
     cells: Seq[Seq[LstmCell]], // layers x directions (multi_layer_lstm.py:28-30)
-    attnW1: DenseMatrix[Double], attnB1: DenseVector[Double], // D*hidden -> attnDim
+    // Bahdanau fc_encoder: D*hidden -> attnDim, bias-free in the faithful
+    // form (attention_mechanisms.py:108: nn.Linear(..., bias=False));
+    // attnB1 = Some(...) opts into the generalized input-bias form kept
+    // from earlier rounds. attnHidden's scalar bias is softmax-shift-
+    // invariant, so the serving forward omits it (it exists only for
+    // parameter counting — see graft.analyze.Capacity).
+    attnW1: DenseMatrix[Double], attnB1: Option[DenseVector[Double]],
     attnV: DenseVector[Double],                               // attnDim
     lstmToDense: Linear,     // [h_T fwd; h_T bwd] projection (multi_layer_lstm.py:34-36)
     fuse: Linear,            // (nsFinal + nNsCont + hidden + D*hidden) -> outDim
@@ -154,9 +160,11 @@ final case class LstmEncoderWeights(
     val context = mha match {
       case Some(pool) => pool.forward(outputs)
       case None =>
-        // Bahdanau: score_t = v . tanh(W1 out_t + b1); context = softmax . H
+        // Bahdanau: score_t = v . tanh(W1 out_t [+ b1]); context = softmax . H
         val scores = DenseVector.tabulate(tSeq) { i =>
-          sum(attnV *:* tanh(attnW1.t * outputs(i, ::).t + attnB1))
+          val pre = attnW1.t * outputs(i, ::).t
+          attnB1.foreach(pre :+= _)
+          sum(attnV *:* tanh(pre))
         }
         val mx = breeze.linalg.max(scores)
         val e = exp(scores - mx)
@@ -196,7 +204,9 @@ final case class LstmEncoderWeights(
 
 object LstmEncoderWeights {
   def init(hidden: Int, outDim: Int, vocabSizes: Seq[Long], nCont: Int,
-      attnDim: Int = 16, seed: Long = 42L,
+      attnDim: Int = 0, // 0 = reference-faithful width (= hidden)
+      attnInputBias: Boolean = false, // generalized form (adds b1)
+      seed: Long = 42L,
       nonSeqVocabSizes: Seq[Long] = Nil, nNonSeqCont: Int = 0,
       nsMlpDim: Int = 16, numLayers: Int = 1,
       bidirectional: Boolean = false,
@@ -237,9 +247,11 @@ object LstmEncoderWeights {
         gamma = DenseVector.ones[Double](nsMlpDim), beta = vz(nsMlpDim),
         runMean = vz(nsMlpDim), runVar = DenseVector.ones[Double](nsMlpDim)))
     val nsFinal = nsMlp.map(_.gamma.length).getOrElse(0)
+    val aW = if (attnDim <= 0) hidden else attnDim // faithful: attnDim = hidden
     LstmEncoderWeights(hidden, embs, cells,
-      m(dirs * hidden, attnDim), vz(attnDim),
-      DenseVector.tabulate(attnDim)(_ => rng.nextDouble() * 0.2 - 0.1),
+      m(dirs * hidden, aW),
+      if (attnInputBias) Some(vz(aW)) else None,
+      DenseVector.tabulate(aW)(_ => rng.nextDouble() * 0.2 - 0.1),
       Layers.linear(rng, dirs * hidden, hidden),
       Layers.linear(rng, nsFinal + nNonSeqCont + hidden + dirs * hidden, outDim),
       nsEmbs, nsMlp, conv,

@@ -84,6 +84,8 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
   /** Width of the ns slice prepended to the fuse input. */
   def nsFinal: Int = if (hasNsMlp) nsMlpDim else 0
   def nsWidth: Int = nsFinal + nNonSeqCont
+  /** I16 fine-tune mode: BCE sigmoid head, no reconstruction decoder. */
+  def hasChurn: Boolean = decoder == "churn"
   /** nn.LSTM num_directions (multi_layer_lstm.py:30). */
   def dirs: Int = if (bidirectional) 2 else 1
   /** Width of the per-timestep layer output: [h_fwd ; h_bwd] when bidir. */
@@ -110,19 +112,41 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
         specs += ParamSpec(s"b$g$suf", 1, hidden)
       }
     }
-    // attention reads the top layer's D*h-wide outputs
-    // (BahdanauAttention(hidden, num_directions), attention_mechanisms.py:102-110)
-    specs += ParamSpec("aw1", outWidth, attnDim)
-    specs += ParamSpec("ab1", 1, attnDim)
-    specs += ParamSpec("av", 1, attnDim)
+    // attention reads the top layer's D*h-wide outputs. Faithful widths
+    // (BahdanauAttention, attention_mechanisms.py:108-110): fc_encoder =
+    // Linear(D*h -> attnW, bias only when attnInputBias) and attnHidden =
+    // Linear(attnW -> 1) WITH its scalar bias `avb` (softmax-shift-invariant
+    // but counted, for parameter parity)
+    specs += ParamSpec("aw1", outWidth, attnW)
+    if (attnInputBias) specs += ParamSpec("ab1", 1, attnW)
+    specs += ParamSpec("av", 1, attnW)
+    specs += ParamSpec("avb", 1, 1)
     // lin_layer_lstm_to_dense (multi_layer_lstm.py:34-36,55-60): [h_T fwd ;
     // h_T bwd] of the LAST layer is projected D*h -> h before the fuse
     // concat [proj(h_T), context]
     specs += ParamSpec("l2d_w", outWidth, hidden)
     specs += ParamSpec("l2d_b", 1, hidden)
-    specs += ParamSpec("fuse_w", hidden + outWidth, outDim)
+    // non-seq branch (unified_encoder.py:142-146,257-266): ns cat embedding
+    // tables -> one DenseBnDropout layer (Linear+ReLU+BN affine, running
+    // stats frozen at 0/1 in this per-example scheme, gamma/beta trained);
+    // its output ++ ns cont is PREPENDED to the fuse input
+    nonSeqVocabSizes.zip(nsEmbDims).zipWithIndex.foreach { case ((v, d), i) =>
+      specs += ParamSpec(s"nsemb$i", v + 1, d)
+    }
+    if (hasNsMlp) {
+      specs += ParamSpec("ns_w", nsEmbDims.sum, nsMlpDim)
+      specs += ParamSpec("ns_b", 1, nsMlpDim)
+      specs += ParamSpec("ns_g", 1, nsMlpDim)
+      specs += ParamSpec("ns_beta", 1, nsMlpDim)
+    }
+    specs += ParamSpec("fuse_w", nsWidth + hidden + outWidth, outDim)
     specs += ParamSpec("fuse_b", 1, outDim)
-    if (hasDecoder) {
+    if (hasChurn) {
+      // I16 ChurnModel head (model_wrapper.py:125-133): mlp on the fused
+      // embedding; BCE-with-logits against `label`, encoder unfrozen
+      specs += ParamSpec("churn_w", outDim, 1)
+      specs += ParamSpec("churn_b", 1, 1)
+    } else if (hasDecoder) {
       // I13 decoder cell + heads (lstm_decoder.py:27-33)
       for (g <- Seq("i", "f", "g", "o")) {
         specs += ParamSpec(s"dw$g", inDim, hidden)
@@ -134,6 +158,19 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
       vocabSizes.zipWithIndex.foreach { case (v, i) =>
         specs += ParamSpec(s"decCat${i}_w", hidden, v + 1)
         specs += ParamSpec(s"decCat${i}_b", 1, v + 1)
+      }
+      if (decoder == "auto") {
+        // auto mode also decodes the non-seq features from the fused
+        // embedding (mlp_non_seq_cont / mlp_non_seq_cat_list on hn,
+        // model_wrapper.py:55-58)
+        if (nNonSeqCont > 0) {
+          specs += ParamSpec("nsDecCont_w", outDim, nNonSeqCont)
+          specs += ParamSpec("nsDecCont_b", 1, nNonSeqCont)
+        }
+        nonSeqVocabSizes.zipWithIndex.foreach { case (v, i) =>
+          specs += ParamSpec(s"nsDecCat${i}_w", outDim, v + 1)
+          specs += ParamSpec(s"nsDecCat${i}_b", 1, v + 1)
+        }
       }
     } else {
       vocabSizes.zipWithIndex.foreach { case (v, i) =>
@@ -160,7 +197,9 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
         case GateBias(_, "f", _) =>
           for (i <- 0 until s.size) a(off + i) = 1.0 // forget bias
         case GateBias(_, _, _) => () // other gate biases zero
-        case n if n.endsWith("_b") || n == "ab1" => ()
+        case "ns_g" =>
+          for (i <- 0 until s.size) a(off + i) = 1.0 // BatchNorm gamma
+        case n if n.endsWith("_b") || n == "ab1" || n == "avb" || n == "ns_beta" => ()
         case _ =>
           val limit = math.sqrt(6.0 / (s.rows + s.cols))
           for (i <- 0 until s.size) a(off + i) = (rng.nextDouble() * 2 - 1) * limit
@@ -181,6 +220,8 @@ object LstmAE {
   def lossGradEmbed(cfg: LstmAeConfig, lay: ParamLayout, p: Array[Double],
       grad: Array[Double], catCodes: Array[Array[Int]],
       cont: Array[Array[Double]],
+      nsCat: Array[Int] = null, nsCont: Array[Double] = null,
+      label: Double = 0.0,
       embedOnly: Boolean = false,
       dropSeed: Long = 0L): (Double, Array[Double]) = {
     val t = cfg.seqLen
@@ -266,10 +307,18 @@ object LstmAE {
     val outputs = layerIn(L) // T x D*h (top layer)
 
     // ---- Bahdanau attention + fuse ------------------------------------
-    val pre = DenseMatrix.zeros[Double](t, cfg.attnDim) // W1^T out_t + b1
-    for (i <- 0 until t) pre(i, ::) := (W("aw1").t * outputs(i, ::).t + V("ab1")).t
+    // faithful widths (attention_mechanisms.py:108-110): W1 is D*h -> attnW
+    // with the input bias only in the opt-in generalized form; the score
+    // linear keeps its scalar bias avb (softmax-shift-invariant)
+    val pre = DenseMatrix.zeros[Double](t, cfg.attnW)
+    for (i <- 0 until t) {
+      val v = W("aw1").t * outputs(i, ::).t
+      if (cfg.attnInputBias) v :+= V("ab1")
+      pre(i, ::) := v.t
+    }
     val preT = tanh(pre)
-    val scores = DenseVector.tabulate(t)(i => sum(V("av") *:* preT(i, ::).t))
+    val avb = V("avb")(0)
+    val scores = DenseVector.tabulate(t)(i => sum(V("av") *:* preT(i, ::).t) + avb)
     val mx = breeze.linalg.max(scores)
     val ex = exp(scores - mx)
     val attn = ex / sum(ex)
@@ -277,10 +326,33 @@ object LstmAE {
     for (i <- 0 until t) context :+= outputs(i, ::).t * attn(i)
     // final states of the LAST layer, fwd then bwd (multi_layer_lstm.py:55-58)
     val hNcat = DenseVector.vertcat((0 until D).map(d => caches(L - 1)(d).hs(t, ::).t): _*)
-    // fin_input order matches the reference: [lstm_to_dense(h_T), context]
+    // ---- non-seq branch (unified_encoder.py:142-146,262-263) ----------
+    // ns cat embeddings -> Linear+ReLU+BN affine (running stats 0/1, see
+    // class doc) ; [mlp(ns), ns cont] is PREPENDED to the fuse input
+    val nsEmbDims = cfg.nsEmbDims
+    val bnScale = 1.0 / math.sqrt(1.0 + 1e-5) // (x-0)/sqrt(1+eps)
+    var nsIn: DenseVector[Double] = null
+    var nsHPre: DenseVector[Double] = null
+    val nsPart = DenseVector.zeros[Double](cfg.nsWidth)
+    if (cfg.hasNsMlp) {
+      nsIn = DenseVector.zeros[Double](nsEmbDims.sum)
+      var off = 0
+      for (c <- cfg.nonSeqVocabSizes.indices) {
+        val table = lay.mat(s"nsemb$c", p)
+        val code = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), table.rows - 1)
+        nsIn(off until off + nsEmbDims(c)) := table(code, ::).t
+        off += nsEmbDims(c)
+      }
+      nsHPre = (W("ns_w").t * nsIn) + V("ns_b")
+      val hNorm = nsHPre.map(v => math.max(v, 0.0) * bnScale)
+      nsPart(0 until cfg.nsFinal) := (hNorm *:* V("ns_g")) + V("ns_beta")
+    }
+    for (c <- 0 until cfg.nNonSeqCont)
+      nsPart(cfg.nsFinal + c) = if (nsCont != null) nsCont(c) else 0.0
+    // fin_input order matches the reference: [ns, lstm_to_dense(h_T), context]
     // (unified_encoder.py:257-262, multi_layer_lstm.py:55-63)
     val hProj = (W("l2d_w").t * hNcat) + V("l2d_b")
-    val fused = DenseVector.vertcat(hProj, context)
+    val fused = DenseVector.vertcat(nsPart, hProj, context)
     val eLin = (W("fuse_w").t * fused) + V("fuse_b")
     val embedding = eLin.map(v => math.max(v, 0.0)) // ReLU
     if (embedOnly) return (0.0, embedding.toArray)
@@ -356,6 +428,38 @@ object LstmAE {
           loss += sum(err *:* err) / (2.0 * t)
         }
       }
+      // auto mode: decode the non-seq features from the fused embedding
+      // (model_wrapper.py:55-58; losses :114-118) — MSE on ns cont, CE per
+      // ns cat; gradients feed dEmb alongside the decoder's h_0 seed
+      if (cfg.decoder == "auto") {
+        if (cfg.nNonSeqCont > 0) {
+          val predNs = (W("nsDecCont_w").t * embedding) + V("nsDecCont_b")
+          val errNs = predNs - DenseVector.tabulate(cfg.nNonSeqCont)(j =>
+            if (nsCont != null) nsCont(j) else 0.0)
+          loss += sum(errNs *:* errNs) / 2.0
+          if (doGrad) {
+            lay.mat("nsDecCont_w", grad) :+= embedding * errNs.t
+            lay.vec("nsDecCont_b", grad) :+= errNs
+            dEmb :+= W("nsDecCont_w") * errNs
+          }
+        }
+        for (c <- cfg.nonSeqVocabSizes.indices) {
+          val w = W(s"nsDecCat${c}_w"); val b = V(s"nsDecCat${c}_b")
+          val logits = (w.t * embedding) + b
+          val lmx = breeze.linalg.max(logits)
+          val e = exp(logits - lmx)
+          val probs = e / sum(e)
+          val y = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), w.cols - 1)
+          loss += -math.log(math.max(probs(y), 1e-12))
+          if (doGrad) {
+            val dLogits = probs.copy
+            dLogits(y) -= 1.0
+            lay.mat(s"nsDecCat${c}_w", grad) :+= embedding * dLogits.t
+            lay.vec(s"nsDecCat${c}_b", grad) :+= dLogits
+            dEmb :+= w * dLogits
+          }
+        }
+      }
       if (!doGrad) return (loss, embedding.toArray)
       // ---- decoder backward (reverse BPTT, input-chain routing) --------
       var ddhNext = DenseVector.zeros[Double](h)
@@ -423,6 +527,20 @@ object LstmAE {
       // seeds into the encoder: h_0 = fused embedding, c_0 = encoder c_T
       dEmb :+= ddhNext
       dcSeed = ddcNext
+    } else if (cfg.hasChurn) {
+      // ---- I16 churn fine-tune: BCE-with-logits sigmoid head on the
+      // fused embedding, gradients through the UNFROZEN encoder
+      // (ChurnModel.run, model_wrapper.py:140-155) ---------------------
+      val wc = W("churn_w")(::, 0)
+      val z = sum(wc *:* embedding) + V("churn_b")(0)
+      // numerically stable: max(z,0) - z*y + log(1 + exp(-|z|))
+      loss += math.max(z, 0.0) - z * label + math.log1p(math.exp(-math.abs(z)))
+      if (doGrad) {
+        val dZ = sigmoid(z) - label
+        lay.mat("churn_w", grad)(::, 0) :+= embedding * dZ
+        lay.vec("churn_b", grad)(0) += dZ
+        dEmb :+= wc * dZ
+      }
     } else {
     for (c <- 0 until nCat) {
       val w = W(s"headCat${c}_w"); val b = V(s"headCat${c}_b")
@@ -470,13 +588,34 @@ object LstmAE {
     }
     if (!doGrad) return (loss, embedding.toArray)
 
-    // ---- backward: fuse + attention -----------------------------------
+    // ---- backward: fuse + non-seq + attention -------------------------
     val dELin = dEmb *:* eLin.map(v => if (v > 0) 1.0 else 0.0) // ReLU'
     lay.mat("fuse_w", grad) :+= fused * dELin.t
     lay.vec("fuse_b", grad) :+= dELin
     val dFused = W("fuse_w") * dELin
-    val dHProj = dFused(0 until h)
-    val dContext = dFused(h until h + oW)
+    val nsW = cfg.nsWidth
+    val dHProj = dFused(nsW until nsW + h)
+    val dContext = dFused(nsW + h until nsW + h + oW)
+    if (cfg.hasNsMlp) {
+      // through the BN affine (gamma * hNorm + beta), the frozen-stat
+      // normalize, ReLU, the ns linear, and the ns embedding-table rows
+      val dBn = dFused(0 until cfg.nsFinal)
+      val hNorm = nsHPre.map(v => math.max(v, 0.0) * bnScale)
+      lay.vec("ns_g", grad) :+= dBn *:* hNorm
+      lay.vec("ns_beta", grad) :+= dBn
+      val dHPre = DenseVector.tabulate(cfg.nsFinal)(j =>
+        if (nsHPre(j) > 0) dBn(j) * V("ns_g")(j) * bnScale else 0.0)
+      lay.mat("ns_w", grad) :+= nsIn * dHPre.t
+      lay.vec("ns_b", grad) :+= dHPre
+      val dNsIn = W("ns_w") * dHPre
+      var off = 0
+      for (c <- cfg.nonSeqVocabSizes.indices) {
+        val tableG = lay.mat(s"nsemb$c", grad)
+        val code = math.min(math.max(if (nsCat != null) nsCat(c) else 0, 0), tableG.rows - 1)
+        tableG(code, ::) :+= dNsIn(off until off + nsEmbDims(c)).t
+        off += nsEmbDims(c)
+      }
+    }
     lay.mat("l2d_w", grad) :+= hNcat * dHProj.t
     lay.vec("l2d_b", grad) :+= dHProj
     // grad of the concatenated final states [h_T fwd ; h_T bwd]; seeds each
@@ -488,13 +627,15 @@ object LstmAE {
     // softmax backward
     val dotA = sum(attn *:* dAttn)
     val dScores = (dAttn - dotA) *:* attn
-    // scores_i = av . tanh(pre_i)
+    // scores_i = av . tanh(pre_i) + avb (the avb grad is sum dScores = 0
+    // by softmax shift invariance; accumulated anyway for truthfulness)
+    lay.vec("avb", grad)(0) += sum(dScores)
     for (i <- 0 until t) {
       val dPreT = V("av") * dScores(i)
       lay.vec("av", grad) :+= preT(i, ::).t * dScores(i)
       val dPre = dPreT *:* (1.0 - (preT(i, ::).t *:* preT(i, ::).t))
       lay.mat("aw1", grad) :+= outputs(i, ::).t * dPre.t
-      lay.vec("ab1", grad) :+= dPre
+      if (cfg.attnInputBias) lay.vec("ab1", grad) :+= dPre
       dOut(i, ::) :+= (W("aw1") * dPre).t
     }
 

@@ -245,6 +245,65 @@ object MlOps extends QueryGroup {
         import s.implicits._
         Seq(auc).toDF("auc")
       },
+      None),
+
+    // I16 fine-tune mode (ChurnModel, model_wrapper.py:123-155): BCE trained
+    // end-to-end through the UNFROZEN LSTM encoder (ns branch included),
+    // reported next to the frozen-head baseline — an LR on the same
+    // (untrained) encoder's embeddings over the SAME fixture and label
+    QueryDef("q_churn_finetune",
+      (s, dir) => {
+        val (wideEnc, vocab) = profileFeaturized(s, dir)
+        // recency-churn label: last in-window event more than 2 days before
+        // the cutoff (present in BOTH classes at every test SF — the
+        // q_pipeline_e2e LabelDays rule degenerates to all-active at sf0.001)
+        val pred = to_timestamp(lit(PredTs))
+        val recency = Tables.load(s, dir, "events")
+          .filter(col("ts") < pred && col("ts") > pred - expr(s"INTERVAL $HistoryDays DAYS"))
+          .groupBy(col("user_id"))
+          .agg(max(col("ts")).as("last_ts"))
+          .select(col("user_id"),
+            (col("last_ts") < pred - expr("INTERVAL 2 DAYS")).cast("double").as("churn"))
+        val wideL = wideEnc.join(recency, Seq("user_id"), "left")
+          .withColumn("churn", coalesce(col("churn"), lit(1.0)))
+        val catCols = Seq((1 to seqLen).map(t => s"event_type_$t"))
+        val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
+        val cfg = graft.nn.LstmAeConfig(hidden = 12, outDim = 12,
+          attnDim = 0, // reference-faithful Bahdanau widths
+          seqLen = seqLen, vocabSizes = Seq(vocab("event_type").toInt), nCont = 2,
+          decoder = "churn",
+          nonSeqVocabSizes = Seq(vocab("c_mktsegment").toInt), nNonSeqCont = 1)
+        // small batches => enough SGD steps on the 150-row sf0.01 fixture
+        // (batch size is a fixture knob, not the 100-TB setting)
+        val res = graft.train.LstmTrainer.fit(wideL, cfg, catCols, contCols,
+          graft.train.TrainConfig(lr = 3e-2, maxEpochs = 10, warmupEpochs = 2),
+          nonSeqCatCols = Seq("c_mktsegment"), nonSeqContCols = Seq("c_acctbal"),
+          labelCol = Some("churn"), batchSize = 32)
+        val labels = wideL.select(col("user_id"), col("churn"))
+        val scored = graft.train.LstmTrainer.transformChurn(wideL, res, "user_id",
+          catCols, contCols, Seq("c_mktsegment"), Seq("c_acctbal"))
+          .join(labels, Seq("user_id"))
+        val aucFt = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+          .setRawPredictionCol("churn_prob").setLabelCol("churn")
+          .setMetricName("areaUnderROC").evaluate(scored)
+        // frozen baseline: LR head on the untrained encoder's embeddings,
+        // fit AND evaluated on the full set (in-sample — favors the
+        // baseline; a tiny-SF split could also strand the minority class)
+        val emb0 = graft.train.LstmTrainer.transform(wideL,
+          graft.train.LstmTrainer.Result(cfg, cfg.initParams(), Nil, 0), "user_id",
+          catCols, contCols, Seq("c_mktsegment"), Seq("c_acctbal"))
+          .join(labels, Seq("user_id"))
+        val feats = Segmentation.withFeatures(emb0, "embedding")
+          .withColumn("label", col("churn"))
+        val lrModel = new org.apache.spark.ml.classification.LogisticRegression()
+          .setMaxIter(25).setRegParam(0.01).fit(feats)
+        val aucFrozen = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+          .setMetricName("areaUnderROC").evaluate(lrModel.transform(feats))
+        import s.implicits._
+        Seq((math.round(aucFt * 1e4) / 1e4, math.round(aucFrozen * 1e4) / 1e4,
+          math.round(res.losses.last * 1e4) / 1e4, res.stoppedAt.toLong))
+          .toDF("auc_finetune", "auc_frozen", "final_loss", "epochs")
+      },
       None)
   )
 }

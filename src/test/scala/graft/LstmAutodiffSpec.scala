@@ -43,11 +43,14 @@ class LstmAutodiffSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"mismatches:\n${failures.mkString("\n")}")
   }
 
-  private def fdCheck(c: LstmAeConfig, picksPerBlock: Int = 3): Seq[String] = {
+  private def fdCheck(c: LstmAeConfig, picksPerBlock: Int = 3,
+      nsCat: Array[Int] = null, nsCont: Array[Double] = null,
+      label: Double = 0.0): Seq[String] = {
     val l = c.layout
     val p = c.initParams()
     val grad = new Array[Double](l.totalSize)
-    val (loss0, emb) = LstmAE.lossGradEmbed(c, l, p, grad, cat, cont)
+    val (loss0, emb) = LstmAE.lossGradEmbed(c, l, p, grad, cat, cont,
+      nsCat, nsCont, label)
     assert(!loss0.isNaN && loss0 > 0 && emb.length == c.outDim)
     val eps = 1e-6
     val rng = new scala.util.Random(9)
@@ -58,9 +61,9 @@ class LstmAutodiffSpec extends AnyFunSuite {
       picks.foreach { idx =>
         val orig = p(idx)
         p(idx) = orig + eps
-        val lp = LstmAE.lossGradEmbed(c, l, p, null, cat, cont)._1
+        val lp = LstmAE.lossGradEmbed(c, l, p, null, cat, cont, nsCat, nsCont, label)._1
         p(idx) = orig - eps
-        val lm = LstmAE.lossGradEmbed(c, l, p, null, cat, cont)._1
+        val lm = LstmAE.lossGradEmbed(c, l, p, null, cat, cont, nsCat, nsCont, label)._1
         p(idx) = orig
         val numeric = (lp - lm) / (2 * eps)
         val analytic = grad(idx)
@@ -199,6 +202,112 @@ class LstmAutodiffSpec extends AnyFunSuite {
         for (i <- p.indices) p(i) -= 0.05 * g(i)
       }
       assert(last < first * 0.7, s"$mode: loss $first -> $last")
+    }
+  }
+
+  private val nsCatFix = Array(2, 0)
+  private val nsContFix = Array(0.4, -0.7)
+
+  test("I11 non-seq fuse branch: FD gradients flow through ns MLP + embeddings") {
+    // the round-7 ADVICE gap: configured ns features must TRAIN, not just
+    // serve — every ns block (nsemb*, ns_w/b/g/beta) and the widened fuse
+    // must match finite differences
+    val c = cfg.copy(nonSeqVocabSizes = Seq(3, 4), nNonSeqCont = 2, nsMlpDim = 4,
+      seed = 71L)
+    assert(c.layout.specs.exists(_.name == "ns_w"))
+    assert(c.layout.specs.exists(_.name == "nsemb1"))
+    val f = fdCheck(c, nsCat = nsCatFix, nsCont = nsContFix)
+    assert(f.isEmpty, s"ns-branch mismatches:\n${f.mkString("\n")}")
+    // ns inputs actually reach the embedding (not silently dropped)
+    val l = c.layout; val p = c.initParams()
+    val e1 = LstmAE.lossGradEmbed(c, l, p, null, cat, cont,
+      nsCatFix, nsContFix, embedOnly = true)._2
+    val e2 = LstmAE.lossGradEmbed(c, l, p, null, cat, cont,
+      Array(1, 3), Array(-0.2, 0.9), embedOnly = true)._2
+    assert(e1.toSeq != e2.toSeq, "ns inputs must influence the embedding")
+  }
+
+  test("I11 non-seq branch composes with the teacher decoder (FD)") {
+    val c = cfg.copy(outDim = 5, decoder = "teacher",
+      nonSeqVocabSizes = Seq(3), nNonSeqCont = 1, nsMlpDim = 4, seed = 73L)
+    val f = fdCheck(c, nsCat = Array(1), nsCont = Array(0.6))
+    assert(f.isEmpty, s"ns+teacher mismatches:\n${f.mkString("\n")}")
+  }
+
+  test("I14 auto decoder decodes ns features from the embedding (FD)") {
+    // model_wrapper.py:55-58,114-118: mlp_non_seq_cont / mlp_non_seq_cat_list
+    val c = cfg.copy(outDim = 5, decoder = "auto",
+      nonSeqVocabSizes = Seq(3), nNonSeqCont = 2, nsMlpDim = 4, seed = 79L)
+    assert(c.layout.specs.exists(_.name == "nsDecCont_w"))
+    assert(c.layout.specs.exists(_.name == "nsDecCat0_w"))
+    val f = fdCheck(c, nsCat = Array(2), nsCont = Array(0.3, -0.4))
+    assert(f.isEmpty, s"auto+ns-decode mismatches:\n${f.mkString("\n")}")
+  }
+
+  test("I16 churn decoder: BCE head FD-checked, both labels, encoder unfrozen") {
+    for (y <- Seq(0.0, 1.0)) {
+      val c = cfg.copy(decoder = "churn", seed = 83L)
+      assert(c.layout.specs.exists(_.name == "churn_w"))
+      // no reconstruction heads in churn mode
+      assert(!c.layout.specs.exists(_.name.startsWith("headCat")))
+      val f = fdCheck(c, label = y)
+      assert(f.isEmpty, s"churn label=$y mismatches:\n${f.mkString("\n")}")
+    }
+    // gradients reach the encoder (unfrozen fine-tune, model_wrapper.py:140-155)
+    val c = cfg.copy(decoder = "churn", seed = 83L)
+    val l = c.layout; val p = c.initParams()
+    val g = new Array[Double](l.totalSize)
+    LstmAE.lossGradEmbed(c, l, p, g, cat, cont, label = 1.0)
+    val (off, _) = l.offsets("wi")
+    assert((0 until 5 * 5).exists(i => math.abs(g(off + i)) > 1e-12),
+      "churn gradients must flow into the LSTM cells")
+  }
+
+  test("I16 churn SGD drives the BCE loss toward the label") {
+    val c = cfg.copy(decoder = "churn", seed = 89L)
+    val l = c.layout
+    val p = c.initParams()
+    var first = 0.0; var last = Double.MaxValue
+    for (it <- 0 until 200) {
+      val g = new Array[Double](l.totalSize)
+      val lo = LstmAE.lossGradEmbed(c, l, p, g, cat, cont, label = 1.0)._1
+      if (it == 0) first = lo
+      last = lo
+      for (i <- p.indices) p(i) -= 0.1 * g(i)
+    }
+    assert(last < first * 0.5 && last < 0.2, s"churn loss $first -> $last")
+  }
+
+  test("I4 Bahdanau fidelity: attnDim=0 gives the faithful widths; FD green") {
+    val c = cfg.copy(attnDim = 0, seed = 91L) // faithful: score width = hidden
+    val l = c.layout
+    assert(l.specs.find(_.name == "aw1").get.cols == c.hidden)
+    assert(!l.specs.exists(_.name == "ab1"), "no input bias in faithful mode")
+    assert(l.specs.exists(_.name == "avb"), "attnHidden keeps its scalar bias")
+    val f = fdCheck(c)
+    assert(f.isEmpty, s"faithful-Bahdanau mismatches:\n${f.mkString("\n")}")
+    // generalized opt-in form still works (input bias + free width)
+    val cg = cfg.copy(attnInputBias = true, seed = 93L)
+    assert(cg.layout.specs.exists(_.name == "ab1"))
+    val fg = fdCheck(cg)
+    assert(fg.isEmpty, s"generalized-Bahdanau mismatches:\n${fg.mkString("\n")}")
+  }
+
+  test("J11 Capacity.lstmEncoderParams matches the faithful layout") {
+    val encoderBlock = (n: String) => !(n.startsWith("headC") ||
+      n.startsWith("headP") || n.startsWith("dec") || n.startsWith("nsDec") ||
+      n.startsWith("churn") || n.startsWith("dw") || n.startsWith("du") ||
+      n.startsWith("db"))
+    for ((nl, bd, nsv, nsc) <- Seq(
+        (1, false, Seq(3L, 4L), 2), (2, true, Nil: Seq[Long], 0), (2, false, Seq(5L), 1))) {
+      val c = cfg.copy(attnDim = 0, numLayers = nl, bidirectional = bd,
+        nonSeqVocabSizes = nsv.map(_.toInt), nNonSeqCont = nsc, nsMlpDim = 4)
+      val got = c.layout.specs.filter(s => encoderBlock(s.name)).map(_.size.toLong).sum
+      val want = graft.analyze.Capacity.lstmEncoderParams(
+        c.vocabSizes.map(_.toLong), c.nCont, c.hidden, c.outDim,
+        numLayers = nl, bidirectional = bd,
+        nonSeqVocabSizes = nsv, nNonSeqCont = nsc, nsMlpDim = 4)
+      assert(got == want, s"layers=$nl bidir=$bd: layout=$got formula=$want")
     }
   }
 

@@ -85,6 +85,61 @@ class TrainerSpec extends SparkSpec {
     assert(scored.select("embedding").head().getSeq[Float](0).size == 8)
   }
 
+  test("I11 LSTM non-seq fuse branch trains distributed (ns MLP + embeddings)") {
+    import org.apache.spark.sql.functions._
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+      .withColumn("acct_n", col("c_acctbal") / lit(10000.0))
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = graft.nn.LstmAeConfig(hidden = 8, outDim = 8, attnDim = 4,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2,
+      nonSeqVocabSizes = Seq(2), nNonSeqCont = 1) // churn as the ns cat
+    val res = graft.train.LstmTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 1e-2, maxEpochs = 4, warmupEpochs = 1),
+      nonSeqCatCols = Seq("churn"), nonSeqContCols = Seq("acct_n"))
+    assert(res.losses.last < res.losses.head, s"losses: ${res.losses}")
+    // ns params actually moved (the round-7 gap: silently-untrained fuse)
+    val lay = cfg.layout
+    val init = cfg.initParams()
+    val (nsOff, _) = lay.offsets("ns_w")
+    val nsSpec = lay.specs.find(_.name == "ns_w").get
+    assert((0 until nsSpec.size).exists(i =>
+      math.abs(res.params(nsOff + i) - init(nsOff + i)) > 1e-9),
+      "ns MLP weights did not train")
+    val scored = graft.train.LstmTrainer.transform(wide, res, "user_id",
+      catCols, contCols, Seq("churn"), Seq("acct_n"))
+    assert(scored.count() == wide.count())
+    assert(scored.select("embedding").head().getSeq[Float](0).size == 8)
+  }
+
+  test("I16 churn fine-tune trains distributed: BCE loss decreases, probs vary") {
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = graft.nn.LstmAeConfig(hidden = 8, outDim = 8, attnDim = 0,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2, decoder = "churn")
+    val res = graft.train.LstmTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 2e-2, maxEpochs = 4, warmupEpochs = 1),
+      labelCol = Some("churn"))
+    assert(res.losses.last < res.losses.head, s"losses: ${res.losses}")
+    val scored = graft.train.LstmTrainer.transformChurn(wide, res, "user_id",
+      catCols, contCols)
+    val probs = scored.select("churn_prob").collect().map(_.getDouble(0))
+    assert(probs.length == wide.count())
+    assert(probs.forall(p => p > 0.0 && p < 1.0))
+    assert(probs.distinct.length > 1, "churn head must discriminate")
+    // labelCol is rejected outside churn mode, and required inside it
+    intercept[IllegalArgumentException] {
+      graft.train.LstmTrainer.fit(wide, cfg.copy(decoder = "none"),
+        catCols, contCols, TrainConfig(lr = 1e-2, maxEpochs = 1),
+        labelCol = Some("churn"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.train.LstmTrainer.fit(wide, cfg, catCols, contCols,
+        TrainConfig(lr = 1e-2, maxEpochs = 1))
+    }
+  }
+
   test("dropout=0.1 distributed training still reduces the monitored loss") {
     val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
     val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
