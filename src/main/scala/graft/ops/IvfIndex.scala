@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Persistable IVF-Flat index (SURVEY.md §7.5 scale path): the KMeans coarse
+ * quantizer runs ONCE at `fit`, and every subsequent [[IvfIndex.topK]] is a
+ * pure equi-join on the cell id — no re-clustering per query batch (the
+ * FAISS fit/search split; [[Vectors.ivfTopK]] keeps the one-shot
+ * convenience shape and delegates here).
+ *
+ * Artifacts are plain parquet under one directory (the
+ * [[graft.ml.Persist]] convention):
+ *   centroids/   (cell, centroid array<double>) — k x d, broadcast-sized
+ *   corpus/      (id, vec, cell) partitioned BY CELL, so a probed query
+ *                join can dynamic-partition-prune to the nProbe cells it
+ *                actually touches instead of scanning the full corpus
+ */
+final case class IvfIndex(centroids: Array[Array[Double]],
+    assigned: DataFrame, cId: String, vecCol: String) {
+
+  /** Top-k cosine neighbors of each query among its `nProbe` nearest
+    * cells. Only the (small) query side is broadcast and exploded; the
+    * corpus stays one row per vector, equi-joined on `cell`. */
+  def topK(queries: DataFrame, k: Int, nProbe: Int = 2,
+      qId: String = "qid"): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val probeCells = udf { (v: Seq[Float]) =>
+      val x = v.map(_.toDouble).toArray
+      bc.value.zipWithIndex.map { case (ctr, i) =>
+        var s = 0.0; var j = 0
+        while (j < x.length) { val d = x(j) - ctr(j); s += d * d; j += 1 }
+        (s, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val q = queries.select(col(qId), col(vecCol).as("qe"),
+      explode(probeCells(col(vecCol))).as("cell"))
+    val c = assigned.select(col(cId), col(vecCol).as("ce"), col("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .select(col(qId), col(cId),
+        round(Vectors.cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Write centroids + cell-partitioned corpus; see class doc. */
+  def save(dir: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+}
+
+object IvfIndex {
+
+  /** One KMeans job over the corpus -> (centroids, cell-assigned corpus).
+    * The assigned frame is persisted by the caller (or [[IvfIndex.save]]d)
+    * for repeated query workloads. */
+  def fit(corpus: DataFrame, nCells: Int, cId: String = "cid",
+      vecCol: String = "embedding", seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors => MlVectors}
+    val toVec = udf((a: Seq[Float]) => MlVectors.dense(a.map(_.toDouble).toArray))
+    val corpusFeats = corpus.withColumn("features", toVec(col(vecCol)))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cell").fit(corpusFeats)
+    IvfIndex(km.clusterCenters.map(_.toArray),
+      km.transform(corpusFeats).select(col(cId), col(vecCol), col("cell")),
+      cId, vecCol)
+  }
+
+  def load(spark: SparkSession, dir: String, cId: String = "cid",
+      vecCol: String = "embedding"): IvfIndex = {
+    val ctr = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    IvfIndex(ctr, spark.read.parquet(s"$dir/corpus"), cId, vecCol)
+  }
+}

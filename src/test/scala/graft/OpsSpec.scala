@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Text, Vectors}
+import graft.ops.{Dedup, IvfIndex, Multimodal, Text, Vectors}
 
 /** Invariant specs for the LLM-pipeline operators on tiny inline data. */
 class OpsSpec extends SparkSpec {
@@ -239,5 +239,98 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall") // random embeddings:
     // cells carry little structure, but probing 4/6 cells must recover most
     assert(ivf.groupBy(_._1).forall(_._2.size <= 3))
+  }
+
+  test("shingleDfCap: profiled p99.9 cap drops boilerplate, keeps dedup signal") {
+    // 500 docs of unique filler + one shared boilerplate sentence, plus a
+    // genuine near-dup pair: the ~6 boilerplate shingles (df ~ 500) are
+    // 0.01% of the ~48k-shingle universe — far above p99.9 (df 1), beyond
+    // even the approxQuantile rank-error band — so the profiled cap
+    // (floored at minCap=100) removes exactly them
+    val rng = new scala.util.Random(7)
+    def filler() = Seq.fill(96)("w" + rng.nextInt(1000000)).mkString(" ")
+    val boiler = "all rights reserved terms of service apply here"
+    val base = (1 to 500).map(i => (i.toLong, s"${filler()} $boiler"))
+    val nearDup = Seq(
+      (900L, s"the quick brown fox jumps over the lazy dog tonight $boiler"),
+      (901L, s"the quick brown fox jumps over the lazy cat tonight $boiler"))
+    val corpus = (base ++ nearDup).toDF("doc_id", "text")
+    val cap = Dedup.shingleDfCap(corpus, "text", "doc_id", n = 3)
+    assert(cap == 100, s"expected the minCap floor (p99.9 of dfs ~ 1), got $cap")
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.3, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((900L, 901L)),
+      s"boilerplate-only pairs must be capped away, near-dup kept: $pairs")
+    // without the cap the boilerplate shingles alone join all 502 docs
+    // pairwise (~126k candidate rows) — the profiled cap is what bounds it
+    val capped = Dedup.shingles(corpus, "text", "doc_id", 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df_n"))
+      .filter(col("df_n") > cap).count()
+    assert(capped >= 5, "the boilerplate shingles must exceed the cap")
+  }
+
+  test("tokenStats avg_token_len: codegen'd derivation equals the HOF fold") {
+    val real = graft.core.Tables.load(spark, sf, "documents")
+    val fast = Text.tokenStats(real, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val t = Text.tokens(col("text"))
+    val hof = real.select(col("doc_id"),
+        size(t).cast("long"),
+        size(array_distinct(t)).cast("long"),
+        round(aggregate(transform(t, x => length(x)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(t), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fast == hof)
+  }
+
+  test("IvfIndex: fit once / query many — no KMeans job per query batch") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val c = e.filter($"vec_id" >= 10).select($"vec_id".as("cid"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    // count only THIS thread's jobs via an exclusive job group (the
+    // SparkContext is shared across suites; a global job count races)
+    val tracker = spark.sparkContext.statusTracker
+    def jobsDuring[A](group: String)(f: => A): (A, Int) = {
+      spark.sparkContext.setJobGroup(group, group)
+      val a = try f finally spark.sparkContext.clearJobGroup()
+      (a, tracker.getJobIdsForGroup(group).length)
+    }
+    val (idx, fitJobs) = jobsDuring("ivf-fit")(IvfIndex.fit(c.cache(), nCells = 6))
+    idx.assigned.cache().count() // materialize the inverted file once
+    val (r1, q1Jobs) = jobsDuring("ivf-q1")(rows(idx.topK(q, 3, nProbe = 4)))
+    val (r2, q2Jobs) = jobsDuring("ivf-q2")(rows(idx.topK(q, 3, nProbe = 4)))
+    // identical results, and each query batch is join-only — far fewer
+    // scheduler jobs than the KMeans fit (which iterates); a refit per
+    // batch would put fit's job count inside each query group
+    assert(r1 == r2)
+    assert(r1.nonEmpty)
+    assert(q1Jobs == q2Jobs, s"query batches should cost the same ($q1Jobs vs $q2Jobs)")
+    assert(q1Jobs < fitJobs,
+      s"query batches ($q1Jobs, $q2Jobs jobs) should be cheaper than fit ($fitJobs)")
+    // one-shot wrapper agrees with the fit/query split (same seed)
+    val oneShot = rows(Vectors.ivfTopK(q, c, 3, nCells = 6, nProbe = 4))
+    assert(oneShot == r1)
+    idx.assigned.unpersist(); c.unpersist()
+  }
+
+  test("IvfIndex save/load round-trip: identical topK, cell-partitioned corpus") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val c = e.filter($"vec_id" >= 10).select($"vec_id".as("cid"), $"embedding")
+    val idx = IvfIndex.fit(c, nCells = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    idx.save(dir)
+    // the inverted file is partitioned by cell on disk (DPP-prunable)
+    val cellDirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == 5, s"expected 5 cell partitions, got ${cellDirs.length}")
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(loaded.topK(q, 3, nProbe = 3)) == rows(idx.topK(q, 3, nProbe = 3)))
   }
 }
