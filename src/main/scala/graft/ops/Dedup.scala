@@ -55,7 +55,9 @@ object Dedup {
    * approximation family as maxBucket's bucket drop, equivalent to
    * stop-shingle removal; Jaccard is exact over the capped universe. With
    * the cap not binding (the default at moderate scale) the result is
-   * identical to uncapped exact Jaccard.
+   * identical to uncapped exact Jaccard. Choose the cap from the corpus
+   * itself with [[shingleDfCap]] (p99.9 of the shingle df distribution)
+   * rather than guessing.
    *
    * Plan shape: the df cap is a `count(*) OVER (PARTITION BY shingle)`
    * window on the exploded table — ONE tokenize+explode pass over the
@@ -143,6 +145,35 @@ object Dedup {
       .groupBy(col("shingle")).agg(count(lit(1)).as("df_n"))
       .orderBy(col("df_n").desc, col("shingle"))
       .limit(k)
+
+  /**
+   * Profile-driven `maxShingleDf` (replaces guessing the 10000 default):
+   * the `quantile`-th (default 99.9th) percentile of the corpus shingle
+   * document-frequency distribution, floored at `minCap`. Rationale:
+   * genuine near-duplicate shingles live in the body of the df
+   * distribution, while boilerplate ("terms of service", nav chrome) sits
+   * in the extreme tail — orders of magnitude above p99.9 of a web-scale
+   * shingle universe — so capping at the profiled tail drops exactly the
+   * join-melting shingles [[ngramJaccardPairs]]'s scaladoc describes while
+   * leaving the dedup signal intact. The floor keeps small corpora (where
+   * the quantile collapses to single digits) from capping away legitimate
+   * shared shingles.
+   *
+   * Cost: the same explode + df hash-agg [[topShingles]] pays, plus one
+   * Greenwald-Khanna `approxQuantile` over the df column — a scalar out,
+   * no collect of the distribution. `relativeError` defaults to 1e-4
+   * (sketch size O(1/eps), still tiny): probing within 1e-3 of the target
+   * quantile needs rank error well under 1e-3 * N, or the estimate can
+   * land on the boilerplate plateau it is trying to cut.
+   */
+  def shingleDfCap(df: DataFrame, textCol: String, idCol: String, n: Int,
+      quantile: Double = 0.999, minCap: Int = 100,
+      relativeError: Double = 1e-4): Int = {
+    val dfn = shingles(df, textCol, idCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).cast("double").as("df_n"))
+    val q = dfn.stat.approxQuantile("df_n", Array(quantile), relativeError).head
+    math.max(q.ceil.toInt, minCap)
+  }
 
   /**
    * MinHash signatures: k independent hash functions h_i(s) = md5(i':'s);

@@ -28,11 +28,17 @@ object Text {
    */
   def tokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = tokens(col(textCol))
+    // token-length sum == chars left after deleting every \s+ run from the
+    // lowercased text (identical by construction: the tokens ARE those
+    // runs' complements, and a leading empty token contributes length 0).
+    // One codegen'd regexp pass instead of the interpreted
+    // aggregate(transform(...)) HOF fold that ran the lambda interpreter
+    // per token (~µs/element — the finding that motivated WordShingles).
+    val tokenLenSum = length(regexp_replace(lower(col(textCol)), "\\s+", ""))
     df.select(col(idCol),
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_distinct"),
-      round(aggregate(transform(t, x => length(x)), lit(0),
-        (acc, x) => acc + x).cast("double") / size(t), 6).as("avg_token_len"))
+      round(tokenLenSum.cast("double") / size(t), 6).as("avg_token_len"))
   }
 
   /**

@@ -32,6 +32,22 @@ final case class CategoricalEncoding(column: String, mapping: DataFrame) {
 
 object Encoding {
 
+  /**
+   * D1 cardinality probe driving the encoding-strategy choice (reference
+   * spark/preprocess.py:261,319; estimate_parameters.py:8). Exact by
+   * default; `approximate = true` is the SCALE.md 100-TB mode — one
+   * HyperLogLog++ sketch pass (`approx_count_distinct`, default 2% rsd)
+   * instead of the distinct shuffle. The probe only GATES against the
+   * `maxCardinality` cap, so the sketch's relative error cannot flip the
+   * decision except within rsd of the cap itself — callers that sit on the
+   * boundary should keep exact mode.
+   */
+  def cardinality(df: DataFrame, column: String, approximate: Boolean = false,
+      rsd: Double = 0.02): Long =
+    if (approximate)
+      df.agg(approx_count_distinct(col(column), rsd)).head().getLong(0)
+    else df.select(col(column)).na.drop().distinct().count()
+
   /** Fit one column's (value, rank) map; rank 1 = most frequent. */
   def fit(df: DataFrame, column: String, maxCardinality: Int = 30000): CategoricalEncoding = {
     val freq = df.select(col(column)).na.drop()

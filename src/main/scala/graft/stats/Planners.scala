@@ -12,13 +12,20 @@ object Planners {
 
   /**
    * D6 sequence-length planner: a percentile of per-entity event counts.
-   * Reference: get_sequence_length, spark/preprocess.py:485-490 (uses
-   * approxQuantile; we keep the exact percentile for small fits and
-   * recommend approx at 100 TB — both are one job).
+   * Reference: get_sequence_length, spark/preprocess.py:485-490 (which uses
+   * approxQuantile). `approximate = true` is the 100-TB mode promised by
+   * SCALE.md: `approx_percentile` (Greenwald-Khanna, bounded sketch memory)
+   * instead of the exact `percentile` (which buffers the value multiset per
+   * partial aggregate). Same one-job shape either way; the ceil'd gate
+   * decision is identical on every tested fixture (PlannerSpec).
    */
-  def sequenceLength(df: DataFrame, tgtId: Seq[String], percentile: Double): Int = {
+  def sequenceLength(df: DataFrame, tgtId: Seq[String], percentile: Double,
+      approximate: Boolean = false, accuracy: Int = 10000): Int = {
     val counts = df.groupBy(tgtId.map(col): _*).agg(count(lit(1)).as("cnt"))
-    counts.agg(expr(s"percentile(cnt, $percentile)")).head().getDouble(0).ceil.toInt
+    val agg =
+      if (approximate) expr(s"approx_percentile(cnt, $percentile, $accuracy)").cast("double")
+      else expr(s"percentile(cnt, $percentile)")
+    counts.agg(agg).head().getDouble(0).ceil.toInt
   }
 
   /**
@@ -29,14 +36,26 @@ object Planners {
    * `when` buckets -> countDistinct/count per bucket).
    * Returns (bucket, nEntities, nEvents) rows; the scalar decision is the
    * caller's (reference multiplies the avg ratio into days).
+   *
+   * `approximate = true` (SCALE.md 100-TB mode): `approx_count_distinct`
+   * (HyperLogLog++, ~2% rsd) replaces the exact `countDistinct`, whose
+   * distinct-expand adds a second shuffle of (bucket, entity) pairs; the
+   * sketch is one map-side-combined pass with O(1) state per bucket.
+   * Only the entities/bucket RATIO feeds the lookback decision, so the
+   * sketch error does not move the gate (PlannerSpec).
    */
   def lookbackBuckets(df: DataFrame, tgtId: String, activityDate: String,
-      predictionDate: Column, bucketDays: Int): DataFrame =
+      predictionDate: Column, bucketDays: Int,
+      approximate: Boolean = false): DataFrame = {
+    val entities =
+      if (approximate) approx_count_distinct(col(tgtId), 0.02)
+      else countDistinct(col(tgtId))
     df.withColumn("bucket",
         floor(datediff(predictionDate, col(activityDate)) / bucketDays).cast("long"))
       .filter(col("bucket") >= 0)
       .groupBy(col("bucket"))
-      .agg(countDistinct(col(tgtId)).as("n_entities"), count(lit(1)).as("n_events"))
+      .agg(entities.as("n_entities"), count(lit(1)).as("n_events"))
+  }
 
   /**
    * G2 sliding-window cutoff generation: training cutoffs walking back from

@@ -72,4 +72,35 @@ class PrepSpec extends SparkSpec {
     val flat = df.select(s.minMax("flat").as("v")).as[Double].collect()
     assert(flat.forall(_ == 7.0))
   }
+
+  test("sketch-mode fit statistics: identical gate decisions vs exact (SCALE.md)") {
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    // D1 cardinality gate (encoding-strategy choice): HLL vs exact agree
+    // on the <= maxCardinality decision, and here on the value itself
+    // (low-cardinality column, rsd 2%)
+    val exact = Encoding.cardinality(ev, "event_type")
+    val approx = Encoding.cardinality(ev, "event_type", approximate = true)
+    assert(exact == approx, s"event_type cardinality: exact=$exact hll=$approx")
+    assert((exact <= 30000) == (approx <= 30000))
+    // D6 seq-len planner: approx_percentile picks the same ceil'd length
+    val exactLen = graft.stats.Planners.sequenceLength(ev, Seq("user_id"), 0.5)
+    val approxLen = graft.stats.Planners.sequenceLength(ev, Seq("user_id"), 0.5,
+      approximate = true)
+    assert(exactLen == approxLen, s"seq_len: exact=$exactLen approx=$approxLen")
+    // D7 lookback buckets: sketch n_entities within HLL rsd of exact in
+    // every bucket — the per-bucket RATIO that drives the lookback choice
+    val pred = to_timestamp(lit("2024-02-01 00:00:00"))
+    def byBucket(approximate: Boolean) =
+      graft.stats.Planners.lookbackBuckets(ev, "user_id", "ts", pred, 7,
+          approximate = approximate)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val eB = byBucket(false); val aB = byBucket(true)
+    assert(eB.keySet == aB.keySet)
+    eB.foreach { case (b, (n, events)) =>
+      val (na, eventsA) = aB(b)
+      assert(eventsA == events) // plain counts are unaffected
+      assert(math.abs(na - n).toDouble / n <= 0.05,
+        s"bucket $b: exact $n vs sketch $na beyond 5%")
+    }
+  }
 }
