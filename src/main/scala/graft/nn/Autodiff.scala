@@ -58,9 +58,14 @@ final case class AeConfig(
     vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
     decoderLayers: Int = 0,
     nonSeqVocabSizes: Seq[Int] = Nil, nNonSeqCont: Int = 0,
-    dropout: Double = 0.0) { // training-time inverted dropout (factory.py:75-78)
+    dropout: Double = 0.0, // training-time inverted dropout (factory.py:75-78)
+    churn: Boolean = false) { // I16 TransformerChurnModel fine-tune
   require(dropout >= 0.0 && dropout < 1.0)
   require(dModel % heads == 0)
+  // TransformerChurnModel runs the unified ENCODER + a head on its
+  // flattened output (model_wrapper.py:284-299) — no seq2seq decoder
+  require(!churn || decoderLayers == 0,
+    "churn fine-tune uses the encoder only (model_wrapper.py:296-298)")
   def headDim: Int = dModel / heads
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
   def inDim: Int = embDims.sum + nCont
@@ -112,21 +117,29 @@ final case class AeConfig(
       for (n <- Seq("ln1_g", "ln1_b", "ln2_g", "ln2_b", "ln3_g", "ln3_b"))
         specs += ParamSpec(s"d${l}_$n", 1, dModel)
     }
-    vocabSizes.zipWithIndex.foreach { case (v, i) =>
-      specs += ParamSpec(s"headCat${i}_w", dModel, v + 1)
-      specs += ParamSpec(s"headCat${i}_b", 1, v + 1)
-    }
-    specs += ParamSpec("headCont_w", dModel, math.max(nCont, 1))
-    specs += ParamSpec("headCont_b", 1, math.max(nCont, 1))
-    // OutputLayer non-seq heads (model_wrapper.py:340-346): one prediction
-    // from the last timestep per non-seq cat col + one non-seq cont head.
-    nonSeqVocabSizes.zipWithIndex.foreach { case (v, i) =>
-      specs += ParamSpec(s"headNsCat${i}_w", dModel, v + 1)
-      specs += ParamSpec(s"headNsCat${i}_b", 1, v + 1)
-    }
-    if (nNonSeqCont > 0) {
-      specs += ParamSpec("headNsCont_w", dModel, nNonSeqCont)
-      specs += ParamSpec("headNsCont_b", 1, nNonSeqCont)
+    if (churn) {
+      // I16 TransformerChurnModel head (model_wrapper.py:296-299): the
+      // flattened (tEff x d) encoder output -> one BCE logit; encoder
+      // unfrozen. Replaces the reconstruction heads.
+      specs += ParamSpec("churn_w", tEff * dModel, 1)
+      specs += ParamSpec("churn_b", 1, 1)
+    } else {
+      vocabSizes.zipWithIndex.foreach { case (v, i) =>
+        specs += ParamSpec(s"headCat${i}_w", dModel, v + 1)
+        specs += ParamSpec(s"headCat${i}_b", 1, v + 1)
+      }
+      specs += ParamSpec("headCont_w", dModel, math.max(nCont, 1))
+      specs += ParamSpec("headCont_b", 1, math.max(nCont, 1))
+      // OutputLayer non-seq heads (model_wrapper.py:340-346): one prediction
+      // from the last timestep per non-seq cat col + one non-seq cont head.
+      nonSeqVocabSizes.zipWithIndex.foreach { case (v, i) =>
+        specs += ParamSpec(s"headNsCat${i}_w", dModel, v + 1)
+        specs += ParamSpec(s"headNsCat${i}_b", 1, v + 1)
+      }
+      if (nNonSeqCont > 0) {
+        specs += ParamSpec("headNsCont_w", dModel, nNonSeqCont)
+        specs += ParamSpec("headNsCont_b", 1, nNonSeqCont)
+      }
     }
     new ParamLayout(specs.result())
   }
@@ -238,6 +251,7 @@ object TransformerAE {
       nsCont: Array[Double] = null,
       seqEmbInput: DenseMatrix[Double] = null,
       seqEmbGradOut: DenseMatrix[Double] = null,
+      label: Double = 0.0, // churn-mode BCE target (I16)
       dropSeed: Long = 0L): Double = {
     val t = cfg.seqLen
     val tE = cfg.tEff
@@ -464,7 +478,24 @@ object TransformerAE {
     // encoder path and (in decoder mode) the shifted trg path
     val dSrcProj = DenseMatrix.zeros[Double](tE, d)
 
-    if (encSeed == null && cfg.decoderLayers == 0) {
+    if (encSeed == null && cfg.decoderLayers == 0 && cfg.churn) {
+      // ---- I16 TransformerChurnModel (model_wrapper.py:296-316): BCE
+      // logit on the row-major-flattened encoder output, gradients through
+      // the UNFROZEN encoder ------------------------------------------
+      val wc = lay.mat("churn_w", p)(::, 0)
+      var z = lay.vec("churn_b", p)(0)
+      for (i <- 0 until tE; j <- 0 until d) z += enc(i, j) * wc(i * d + j)
+      // numerically stable BCE-with-logits
+      loss += math.max(z, 0.0) - z * label + math.log1p(math.exp(-math.abs(z)))
+      if (!doGrad) return loss
+      val dZ = 1.0 / (1.0 + math.exp(-z)) - label
+      val gw = lay.mat("churn_w", grad)(::, 0)
+      for (i <- 0 until tE; j <- 0 until d) {
+        gw(i * d + j) += enc(i, j) * dZ
+        dEnc(i, j) += wc(i * d + j) * dZ
+      }
+      lay.vec("churn_b", grad)(0) += dZ
+    } else if (encSeed == null && cfg.decoderLayers == 0) {
       val (hl, dX) = applyHeads(enc)
       loss += hl
       if (!doGrad) return loss

@@ -25,26 +25,35 @@ object TransformerTrainer {
       losses: Seq[Double], stoppedAt: Int)
 
   private type Example =
-    (Array[Array[Int]], Array[Array[Double]], Array[Int], Array[Double])
+    (Array[Array[Int]], Array[Array[Double]], Array[Int], Array[Double], Double)
 
-  /** Extract (T x nCat codes, T x nCont doubles, ns codes, ns doubles)
-    * examples via the narrowed positional projection (graft.ml.Ingress) —
-    * casts/null-fills run in codegen, extraction is primitive getters. */
+  /** Extract (T x nCat codes, T x nCont doubles, ns codes, ns doubles,
+    * label) examples via the narrowed positional projection
+    * (graft.ml.Ingress) — casts/null-fills run in codegen, extraction is
+    * primitive getters. The label (churn mode only) rides the projection
+    * as one extra ns-cont double. */
   private def examples(wide: DataFrame, seqCatCols: Seq[Seq[String]],
       seqContCols: Seq[Seq[String]],
-      nonSeqCatCols: Seq[String], nonSeqContCols: Seq[String]) = {
+      nonSeqCatCols: Seq[String], nonSeqContCols: Seq[String],
+      labelCol: Option[String] = None) = {
     val t = seqCatCols.headOption.map(_.size)
       .orElse(seqContCols.headOption.map(_.size)).getOrElse(0)
     val nCat = seqCatCols.size; val nCont = seqContCols.size
-    val nNsCat = nonSeqCatCols.size; val nNsCont = nonSeqContCols.size
+    val nNsCat = nonSeqCatCols.size
+    val nsContAll = nonSeqContCols ++ labelCol.toSeq
+    val nAll = nsContAll.size
+    val hasLabel = labelCol.isDefined
     val idCol = wide.columns.head // any column works as the ingress anchor
     graft.ml.Ingress.project(wide, idCol, seqCatCols, seqContCols,
-        nonSeqCatCols, nonSeqContCols)
+        nonSeqCatCols, nsContAll)
       .rdd.map { row =>
+        val nsAll = graft.ml.Ingress.nsContOf(row, t, nCat, nCont, nNsCat, nAll)
+        val (nsCont, label) =
+          if (hasLabel) (nsAll.dropRight(1), nsAll.last) else (nsAll, 0.0)
         (graft.ml.Ingress.seqCatOf(row, t, nCat),
          graft.ml.Ingress.seqContOf(row, t, nCat, nCont),
          graft.ml.Ingress.nsCatOf(row, t, nCat, nCont, nNsCat),
-         graft.ml.Ingress.nsContOf(row, t, nCat, nCont, nNsCat, nNsCont)): Example
+         nsCont, label): Example
       }
   }
 
@@ -52,10 +61,16 @@ object TransformerTrainer {
       seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
       train: TrainConfig,
       nonSeqCatCols: Seq[String] = Nil, nonSeqContCols: Seq[String] = Nil,
+      labelCol: Option[String] = None,
       batchSize: Int = 4096,
       examplesPerEpoch: Option[Int] = None): Result = {
+    require(labelCol.isEmpty || cfg.churn,
+      "labelCol only feeds the churn objective (churn = true)")
+    require(!cfg.churn || labelCol.nonEmpty,
+      "churn = true trains BCE against labelCol — pass one")
     val lay = cfg.layout
-    val data = examples(wide, seqCatCols, seqContCols, nonSeqCatCols, nonSeqContCols)
+    val data = examples(wide, seqCatCols, seqContCols, nonSeqCatCols,
+        nonSeqContCols, labelCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val params = cfg.initParams()
     // per-example dropout seed: content hash x call counter x train seed —
@@ -68,7 +83,8 @@ object TransformerTrainer {
         val ds = train.seed ^ (calls * 0x9E3779B97F4A7C15L) ^
           java.util.Arrays.deepHashCode(ex._1.asInstanceOf[Array[AnyRef]])
         TransformerAE.lossAndGrad(cfg, lay, p, a,
-          ex._1, ex._2, nsCat = ex._3, nsCont = ex._4, dropSeed = ds)
+          ex._1, ex._2, nsCat = ex._3, nsCont = ex._4, label = ex._5,
+          dropSeed = ds)
       }
     }
     // the monitoring probe evaluates WITHOUT dropout (inference behavior,
@@ -78,9 +94,46 @@ object TransformerTrainer {
       lossGradFn,
       lossOnly = Some((p: Array[Double], ex: Example) =>
         TransformerAE.lossAndGrad(cfgEval, lay, p, null, ex._1, ex._2,
-          nsCat = ex._3, nsCont = ex._4)))
+          nsCat = ex._3, nsCont = ex._4, label = ex._5)))
     data.unpersist()
     Result(cfg, params, res.losses, res.stoppedAt)
+  }
+
+  /** I16 churn scoring: sigmoid of the trained head over the flattened
+    * encoder output, alongside nothing else — probabilities per entity. */
+  def transformChurn(wide: DataFrame, res: Result, idCol: String,
+      seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
+      nonSeqCatCols: Seq[String] = Nil,
+      nonSeqContCols: Seq[String] = Nil): DataFrame = {
+    require(res.cfg.churn, "transformChurn needs a churn-trained Result")
+    val spark = wide.sparkSession
+    val lay = res.cfg.layout
+    val bc = spark.sparkContext.broadcast(res.params)
+    val t = res.cfg.seqLen
+    val nCat = seqCatCols.size; val nCont = seqContCols.size
+    val nNsCat = nonSeqCatCols.size; val nNsCont = nonSeqContCols.size
+    val proj = graft.ml.Ingress.project(wide, idCol, seqCatCols, seqContCols,
+      nonSeqCatCols, nonSeqContCols)
+    val outSchema = StructType(Seq(proj.schema(0),
+      StructField("churn_prob", DoubleType, nullable = false)))
+    proj.mapPartitions { rows =>
+      val p = bc.value
+      val (wOff, _) = lay.offsets("churn_w")
+      val (bOff, _) = lay.offsets("churn_b")
+      rows.map { row =>
+        // embed() returns the row-major-flattened encoder output — exactly
+        // the churn head's input view (model_wrapper.py:297-298)
+        val emb = TransformerAE.embed(res.cfg, lay, p,
+          graft.ml.Ingress.seqCatOf(row, t, nCat),
+          graft.ml.Ingress.seqContOf(row, t, nCat, nCont),
+          graft.ml.Ingress.nsCatOf(row, t, nCat, nCont, nNsCat),
+          graft.ml.Ingress.nsContOf(row, t, nCat, nCont, nNsCat, nNsCont))
+        var z = p(bOff)
+        var i = 0
+        while (i < emb.length) { z += p(wOff + i) * emb(i); i += 1 }
+        Row(row.get(0), 1.0 / (1.0 + math.exp(-z)))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Score with trained weights: embedding = flattened encoder output over

@@ -183,6 +183,66 @@ class AutodiffSpec extends AnyFunSuite {
     assert(failures.isEmpty, s"non-seq gradient mismatches:\n${failures.mkString("\n")}")
   }
 
+  test("I16 transformer churn fine-tune: BCE head FD-checked, encoder unfrozen") {
+    for (y <- Seq(0.0, 1.0)) {
+      val ccfg = cfg.copy(churn = true, seed = 37L,
+        nonSeqVocabSizes = Seq(3), nNonSeqCont = 1) // ns timestep included
+      val clay = ccfg.layout
+      assert(clay.specs.exists(_.name == "churn_w"))
+      assert(!clay.specs.exists(_.name.startsWith("headCat")),
+        "churn mode replaces the reconstruction heads")
+      assert(clay.offsets("churn_w")._2.rows == ccfg.tEff * ccfg.dModel)
+      val p = ccfg.initParams()
+      val nsCat = Array(1); val nsCont = Array(0.4)
+      val grad = new Array[Double](clay.totalSize)
+      val loss0 = TransformerAE.lossAndGrad(ccfg, clay, p, grad, cat, cont,
+        nsCat = nsCat, nsCont = nsCont, label = y)
+      assert(!loss0.isNaN && loss0 > 0)
+      val eps = 1e-6
+      val rng = new scala.util.Random(17)
+      val failures = scala.collection.mutable.ArrayBuffer[String]()
+      clay.specs.foreach { s =>
+        val (off, _) = clay.offsets(s.name)
+        val picks = Seq.fill(math.min(3, s.size))(off + rng.nextInt(s.size)).distinct
+        picks.foreach { idx =>
+          val orig = p(idx)
+          p(idx) = orig + eps
+          val lp = TransformerAE.lossAndGrad(ccfg, clay, p, null, cat, cont,
+            nsCat = nsCat, nsCont = nsCont, label = y)
+          p(idx) = orig - eps
+          val lm = TransformerAE.lossAndGrad(ccfg, clay, p, null, cat, cont,
+            nsCat = nsCat, nsCont = nsCont, label = y)
+          p(idx) = orig
+          val numeric = (lp - lm) / (2 * eps)
+          val analytic = grad(idx)
+          val bothTiny = math.abs(numeric) < 1e-8 && math.abs(analytic) < 1e-8
+          val denom = math.max(1e-6, math.abs(numeric) + math.abs(analytic))
+          val rel = if (bothTiny) 0.0 else math.abs(numeric - analytic) / denom
+          if (rel > 1e-4)
+            failures += f"${s.name}[$idx]: analytic=$analytic%.8f numeric=$numeric%.8f rel=$rel%.2e"
+        }
+      }
+      assert(failures.isEmpty, s"churn label=$y mismatches:\n${failures.mkString("\n")}")
+      // gradients reach the encoder (unfrozen, model_wrapper.py:302-316)
+      val (off, sp) = clay.offsets("l0_wq_w")
+      assert((0 until sp.size).exists(i => math.abs(grad(off + i)) > 1e-12),
+        "churn gradients must flow into the encoder layers")
+    }
+    // churn SGD drives BCE toward the label
+    val ccfg = cfg.copy(churn = true, seed = 41L)
+    val clay = ccfg.layout
+    val p = ccfg.initParams()
+    var first = 0.0; var last = Double.MaxValue
+    for (it <- 0 until 60) {
+      val g = new Array[Double](clay.totalSize)
+      val l = TransformerAE.lossAndGrad(ccfg, clay, p, g, cat, cont, label = 1.0)
+      if (it == 0) first = l
+      last = l
+      for (i <- p.indices) p(i) -= 0.1 * g(i)
+    }
+    assert(last < first * 0.5 && last < 0.2, s"churn loss $first -> $last")
+  }
+
   test("decoder path: gradients match finite differences; loss trains down") {
     val dcfg = cfg.copy(decoderLayers = 1, seed = 23L)
     val dlay = dcfg.layout

@@ -140,6 +140,28 @@ class TrainerSpec extends SparkSpec {
     }
   }
 
+  test("I16 transformer churn fine-tune trains distributed (TransformerChurnModel twin)") {
+    val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
+    val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
+    val contCols = Seq("value", "ts_days").map(c => (1 to 5).map(t => s"${c}_$t"))
+    val cfg = AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+      seqLen = 5, vocabSizes = Seq(6), nCont = 2, churn = true)
+    val res = TransformerTrainer.fit(wide, cfg, catCols, contCols,
+      TrainConfig(lr = 2e-2, maxEpochs = 4, warmupEpochs = 1),
+      labelCol = Some("churn"))
+    assert(res.losses.last < res.losses.head, s"losses: ${res.losses}")
+    val scored = TransformerTrainer.transformChurn(wide, res, "user_id",
+      catCols, contCols)
+    val probs = scored.select("churn_prob").collect().map(_.getDouble(0))
+    assert(probs.length == wide.count())
+    assert(probs.forall(p => p > 0.0 && p < 1.0))
+    assert(probs.distinct.length > 1, "churn head must discriminate")
+    intercept[IllegalArgumentException] { // labelCol gated on churn mode
+      TransformerTrainer.fit(wide, cfg.copy(churn = false), catCols, contCols,
+        TrainConfig(lr = 1e-2, maxEpochs = 1), labelCol = Some("churn"))
+    }
+  }
+
   test("dropout=0.1 distributed training still reduces the monitored loss") {
     val wide = SparkEntry.queries("q_pipeline_e2e")(spark, sf)
     val catCols = Seq((1 to 5).map(t => s"event_type_$t"))
