@@ -56,7 +56,10 @@ import breeze.numerics.{exp, sigmoid, tanh}
  * parity — see [[graft.analyze.Capacity]]). `attnDim = 0` selects the
  * faithful score width (= hidden); a positive attnDim plus
  * `attnInputBias = true` opts into the generalized form kept from earlier
- * rounds.
+ * rounds. `attnHeads > 1` selects the I5 MHA wrapper instead
+ * (unified_encoder.py:186-192; attention_mechanisms.py:63-99: per-head
+ * softmax(QK/sqrt(hd))V, residual + layernorm, sum-over-time pooling) —
+ * the trainable twin of [[MhaSumPool]].
  */
 final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     seqLen: Int, vocabSizes: Seq[Int], nCont: Int, seed: Long = 42L,
@@ -65,8 +68,12 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     dropout: Double = 0.0, // inter-layer, nn.LSTM semantics (active iff numLayers > 1)
     attnInputBias: Boolean = false, // generalized Bahdanau (adds ab1)
     nonSeqVocabSizes: Seq[Int] = Nil, nNonSeqCont: Int = 0,
-    nsMlpDim: Int = 16) { // emb_lin_layer_sizes_non_seq[-1]
+    nsMlpDim: Int = 16, // emb_lin_layer_sizes_non_seq[-1]
+    attnHeads: Int = 1) { // > 1 selects the I5 MHA wrapper over Bahdanau
+                          // (unified_encoder.py:186-192)
   require(Seq("none", "teacher", "auto", "churn").contains(decoder))
+  require(attnHeads >= 1 && (attnHeads == 1 || dirs * hidden % attnHeads == 0),
+    "attention heads must divide D*hidden")
   require(!hasDecoder || outDim == hidden,
     "decoder hidden init = fused embedding (unified_encoder.py:271) needs outDim == hidden")
   require(numLayers >= 1)
@@ -112,15 +119,27 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
         specs += ParamSpec(s"b$g$suf", 1, hidden)
       }
     }
-    // attention reads the top layer's D*h-wide outputs. Faithful widths
-    // (BahdanauAttention, attention_mechanisms.py:108-110): fc_encoder =
-    // Linear(D*h -> attnW, bias only when attnInputBias) and attnHidden =
-    // Linear(attnW -> 1) WITH its scalar bias `avb` (softmax-shift-invariant
-    // but counted, for parameter parity)
-    specs += ParamSpec("aw1", outWidth, attnW)
-    if (attnInputBias) specs += ParamSpec("ab1", 1, attnW)
-    specs += ParamSpec("av", 1, attnW)
-    specs += ParamSpec("avb", 1, 1)
+    // attention reads the top layer's D*h-wide outputs; the reference
+    // selects ONE mechanism (unified_encoder.py:186-192): heads == 1 ->
+    // Bahdanau, heads > 1 -> the I5 MHA wrapper with residual + layernorm
+    // + sum-over-time pooling (attention_mechanisms.py:63-99)
+    if (attnHeads > 1) {
+      for (n <- Seq("mq", "mk", "mv", "mo")) {
+        specs += ParamSpec(s"${n}_w", outWidth, outWidth)
+        specs += ParamSpec(s"${n}_b", 1, outWidth)
+      }
+      specs += ParamSpec("mln_g", 1, outWidth)
+      specs += ParamSpec("mln_b", 1, outWidth)
+    } else {
+      // Faithful Bahdanau widths (attention_mechanisms.py:108-110):
+      // fc_encoder = Linear(D*h -> attnW, bias only when attnInputBias) and
+      // attnHidden = Linear(attnW -> 1) WITH its scalar bias `avb`
+      // (softmax-shift-invariant but counted, for parameter parity)
+      specs += ParamSpec("aw1", outWidth, attnW)
+      if (attnInputBias) specs += ParamSpec("ab1", 1, attnW)
+      specs += ParamSpec("av", 1, attnW)
+      specs += ParamSpec("avb", 1, 1)
+    }
     // lin_layer_lstm_to_dense (multi_layer_lstm.py:34-36,55-60): [h_T fwd ;
     // h_T bwd] of the LAST layer is projected D*h -> h before the fuse
     // concat [proj(h_T), context]
@@ -197,8 +216,8 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
         case GateBias(_, "f", _) =>
           for (i <- 0 until s.size) a(off + i) = 1.0 // forget bias
         case GateBias(_, _, _) => () // other gate biases zero
-        case "ns_g" =>
-          for (i <- 0 until s.size) a(off + i) = 1.0 // BatchNorm gamma
+        case "ns_g" | "mln_g" =>
+          for (i <- 0 until s.size) a(off + i) = 1.0 // BatchNorm/LN gamma
         case n if n.endsWith("_b") || n == "ab1" || n == "avb" || n == "ns_beta" => ()
         case _ =>
           val limit = math.sqrt(6.0 / (s.rows + s.cols))
@@ -306,24 +325,76 @@ object LstmAE {
     }
     val outputs = layerIn(L) // T x D*h (top layer)
 
-    // ---- Bahdanau attention + fuse ------------------------------------
-    // faithful widths (attention_mechanisms.py:108-110): W1 is D*h -> attnW
-    // with the input bias only in the opt-in generalized form; the score
-    // linear keeps its scalar bias avb (softmax-shift-invariant)
-    val pre = DenseMatrix.zeros[Double](t, cfg.attnW)
-    for (i <- 0 until t) {
-      val v = W("aw1").t * outputs(i, ::).t
-      if (cfg.attnInputBias) v :+= V("ab1")
-      pre(i, ::) := v.t
-    }
-    val preT = tanh(pre)
-    val avb = V("avb")(0)
-    val scores = DenseVector.tabulate(t)(i => sum(V("av") *:* preT(i, ::).t) + avb)
-    val mx = breeze.linalg.max(scores)
-    val ex = exp(scores - mx)
-    val attn = ex / sum(ex)
-    val context = DenseVector.zeros[Double](oW)
-    for (i <- 0 until t) context :+= outputs(i, ::).t * attn(i)
+    // ---- attention (Bahdanau or I5 MHA) + fuse ------------------------
+    val useMha = cfg.attnHeads > 1
+    // Bahdanau caches
+    var preT: DenseMatrix[Double] = null
+    var attn: DenseVector[Double] = null
+    // MHA caches (attention_mechanisms.py:63-99: per-head softmax(QK/√hd)V,
+    // residual + layernorm, SUM-over-time pooling)
+    var mQ: DenseMatrix[Double] = null; var mK: DenseMatrix[Double] = null
+    var mV: DenseMatrix[Double] = null; var mCtx: DenseMatrix[Double] = null
+    var mXhat: DenseMatrix[Double] = null
+    var mAttn: Array[DenseMatrix[Double]] = null
+    var mInv: Array[Double] = null
+    val context: DenseVector[Double] =
+      if (useMha) {
+        def linRows(n: String): DenseMatrix[Double] = {
+          val m = outputs * W(s"${n}_w")
+          for (i <- 0 until t) m(i, ::) :+= V(s"${n}_b").t
+          m
+        }
+        mQ = linRows("mq"); mK = linRows("mk"); mV = linRows("mv")
+        val hd = oW / cfg.attnHeads
+        mCtx = DenseMatrix.zeros[Double](t, oW)
+        mAttn = new Array[DenseMatrix[Double]](cfg.attnHeads)
+        for (hh <- 0 until cfg.attnHeads) {
+          val sl = hh * hd until (hh + 1) * hd
+          val a = Layers.softmaxRows((mQ(::, sl) * mK(::, sl).t) / math.sqrt(hd.toDouble))
+          mAttn(hh) = a
+          mCtx(::, sl) := a * mV(::, sl)
+        }
+        val ctxO = mCtx * W("mo_w")
+        for (i <- 0 until t) ctxO(i, ::) :+= V("mo_b").t
+        val res = outputs + ctxO
+        // row layernorm with cached xhat + 1/sd (Layers.layerNorm semantics)
+        mXhat = DenseMatrix.zeros[Double](t, oW)
+        mInv = new Array[Double](t)
+        val normed = DenseMatrix.zeros[Double](t, oW)
+        for (i <- 0 until t) {
+          val row = res(i, ::).t
+          val mu = sum(row) / oW
+          val centered = row - mu
+          val sd = math.sqrt(sum(centered *:* centered) / oW + 1e-5)
+          mInv(i) = 1.0 / sd
+          mXhat(i, ::) := (centered / sd).t
+          normed(i, ::) := ((mXhat(i, ::).t *:* V("mln_g")) + V("mln_b")).t
+        }
+        // sum-over-time pool
+        val pooled = DenseVector.zeros[Double](oW)
+        for (i <- 0 until t) pooled :+= normed(i, ::).t
+        pooled
+      } else {
+        // faithful Bahdanau widths (attention_mechanisms.py:108-110): W1 is
+        // D*h -> attnW with the input bias only in the opt-in generalized
+        // form; the score linear keeps its scalar bias avb
+        // (softmax-shift-invariant)
+        val pre = DenseMatrix.zeros[Double](t, cfg.attnW)
+        for (i <- 0 until t) {
+          val v = W("aw1").t * outputs(i, ::).t
+          if (cfg.attnInputBias) v :+= V("ab1")
+          pre(i, ::) := v.t
+        }
+        preT = tanh(pre)
+        val avb = V("avb")(0)
+        val scores = DenseVector.tabulate(t)(i => sum(V("av") *:* preT(i, ::).t) + avb)
+        val mx = breeze.linalg.max(scores)
+        val ex = exp(scores - mx)
+        attn = ex / sum(ex)
+        val ctx = DenseVector.zeros[Double](oW)
+        for (i <- 0 until t) ctx :+= outputs(i, ::).t * attn(i)
+        ctx
+      }
     // final states of the LAST layer, fwd then bwd (multi_layer_lstm.py:55-58)
     val hNcat = DenseVector.vertcat((0 until D).map(d => caches(L - 1)(d).hs(t, ::).t): _*)
     // ---- non-seq branch (unified_encoder.py:142-146,262-263) ----------
@@ -621,22 +692,71 @@ object LstmAE {
     // grad of the concatenated final states [h_T fwd ; h_T bwd]; seeds each
     // direction's BPTT at its last processing step
     val dHNcat = W("l2d_w") * dHProj
-    // context = sum a_i out_i
-    val dAttn = DenseVector.tabulate(t)(i => sum(dContext *:* outputs(i, ::).t))
-    for (i <- 0 until t) dOut(i, ::) :+= (dContext * attn(i)).t
-    // softmax backward
-    val dotA = sum(attn *:* dAttn)
-    val dScores = (dAttn - dotA) *:* attn
-    // scores_i = av . tanh(pre_i) + avb (the avb grad is sum dScores = 0
-    // by softmax shift invariance; accumulated anyway for truthfulness)
-    lay.vec("avb", grad)(0) += sum(dScores)
-    for (i <- 0 until t) {
-      val dPreT = V("av") * dScores(i)
-      lay.vec("av", grad) :+= preT(i, ::).t * dScores(i)
-      val dPre = dPreT *:* (1.0 - (preT(i, ::).t *:* preT(i, ::).t))
-      lay.mat("aw1", grad) :+= outputs(i, ::).t * dPre.t
-      if (cfg.attnInputBias) lay.vec("ab1", grad) :+= dPre
-      dOut(i, ::) :+= (W("aw1") * dPre).t
+    if (useMha) {
+      // pooled = Σ_i normed_i => every row sees the same dContext
+      // layernorm backward per row
+      val dRes = DenseMatrix.zeros[Double](t, oW)
+      for (i <- 0 until t) {
+        val xhat = mXhat(i, ::).t
+        lay.vec("mln_g", grad) :+= dContext *:* xhat
+        lay.vec("mln_b", grad) :+= dContext
+        val dXhat = dContext *:* V("mln_g")
+        val s1 = sum(dXhat)
+        val s2 = sum(dXhat *:* xhat)
+        dRes(i, ::) := ((dXhat * oW.toDouble - s1 - (xhat * s2)) * (mInv(i) / oW)).t
+      }
+      // res = outputs + (ctx * mo + b): residual + output projection
+      dOut :+= dRes
+      lay.mat("mo_w", grad) :+= mCtx.t * dRes
+      for (i <- 0 until t) lay.vec("mo_b", grad) :+= dRes(i, ::).t
+      val dCtx = dRes * W("mo_w").t
+      // per-head attention backward
+      val hd = oW / cfg.attnHeads
+      val dQ = DenseMatrix.zeros[Double](t, oW)
+      val dK = DenseMatrix.zeros[Double](t, oW)
+      val dV = DenseMatrix.zeros[Double](t, oW)
+      for (hh <- 0 until cfg.attnHeads) {
+        val sl = hh * hd until (hh + 1) * hd
+        val a = mAttn(hh)
+        val dCtxH = dCtx(::, sl)
+        dV(::, sl) :+= a.t * dCtxH
+        val dA = dCtxH * mV(::, sl).t
+        // softmax-rows backward
+        val dS = DenseMatrix.zeros[Double](t, t)
+        for (i <- 0 until t) {
+          val ai = a(i, ::).t
+          val dai = dA(i, ::).t
+          val dot = sum(ai *:* dai)
+          dS(i, ::) := ((dai - dot) *:* ai).t
+        }
+        dS :/= math.sqrt(hd.toDouble)
+        dQ(::, sl) :+= dS * mK(::, sl)
+        dK(::, sl) :+= dS.t * mQ(::, sl)
+      }
+      // q/k/v projections: X * W + b
+      for ((n, dM) <- Seq(("mq", dQ), ("mk", dK), ("mv", dV))) {
+        lay.mat(s"${n}_w", grad) :+= outputs.t * dM
+        for (i <- 0 until t) lay.vec(s"${n}_b", grad) :+= dM(i, ::).t
+        dOut :+= dM * W(s"${n}_w").t
+      }
+    } else {
+      // context = sum a_i out_i
+      val dAttn = DenseVector.tabulate(t)(i => sum(dContext *:* outputs(i, ::).t))
+      for (i <- 0 until t) dOut(i, ::) :+= (dContext * attn(i)).t
+      // softmax backward
+      val dotA = sum(attn *:* dAttn)
+      val dScores = (dAttn - dotA) *:* attn
+      // scores_i = av . tanh(pre_i) + avb (the avb grad is sum dScores = 0
+      // by softmax shift invariance; accumulated anyway for truthfulness)
+      lay.vec("avb", grad)(0) += sum(dScores)
+      for (i <- 0 until t) {
+        val dPreT = V("av") * dScores(i)
+        lay.vec("av", grad) :+= preT(i, ::).t * dScores(i)
+        val dPre = dPreT *:* (1.0 - (preT(i, ::).t *:* preT(i, ::).t))
+        lay.mat("aw1", grad) :+= outputs(i, ::).t * dPre.t
+        if (cfg.attnInputBias) lay.vec("ab1", grad) :+= dPre
+        dOut(i, ::) :+= (W("aw1") * dPre).t
+      }
     }
 
     // ---- BPTT: top layer down, each direction in reverse processing

@@ -293,6 +293,25 @@ class LstmAutodiffSpec extends AnyFunSuite {
     assert(fg.isEmpty, s"generalized-Bahdanau mismatches:\n${fg.mkString("\n")}")
   }
 
+  test("I5 MHA attention path trains: FD green, heads > 1 replaces Bahdanau") {
+    // unified_encoder.py:186-192 selects MHA over Bahdanau at heads > 1;
+    // the serving twin (Lstm.MhaSumPool) has had this path since round 4 —
+    // this makes it TRAINABLE (residual + layernorm + sum-pool backward)
+    for ((nl, bd) <- Seq((1, false), (2, true))) {
+      val c = cfg.copy(hidden = 6, outDim = 4, attnHeads = 2,
+        numLayers = nl, bidirectional = bd, seed = 97L + nl)
+      val l = c.layout
+      assert(l.specs.exists(_.name == "mq_w") && !l.specs.exists(_.name == "aw1"))
+      val f = fdCheck(c)
+      assert(f.isEmpty, s"MHA layers=$nl bidir=$bd mismatches:\n${f.mkString("\n")}")
+    }
+    // composes with the decoder and the ns branch
+    val c = cfg.copy(hidden = 6, outDim = 6, attnHeads = 3, decoder = "teacher",
+      nonSeqVocabSizes = Seq(3), nNonSeqCont = 1, nsMlpDim = 4, seed = 101L)
+    val f = fdCheck(c, nsCat = Array(1), nsCont = Array(0.5))
+    assert(f.isEmpty, s"MHA+decoder+ns mismatches:\n${f.mkString("\n")}")
+  }
+
   test("J11 Capacity.lstmEncoderParams matches the faithful layout") {
     val encoderBlock = (n: String) => !(n.startsWith("headC") ||
       n.startsWith("headP") || n.startsWith("dec") || n.startsWith("nsDec") ||
