@@ -185,7 +185,8 @@ object MlOps extends QueryGroup {
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
         val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
-        val cfg = graft.nn.LstmAeConfig(hidden = 12, outDim = 12, attnDim = 8,
+        val cfg = graft.nn.LstmAeConfig(hidden = 12, outDim = 12,
+          attnDim = 0, // reference-faithful Bahdanau widths (round 8 default)
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2, decoder = "teacher")
         val catCols = Seq((1 to seqLen).map(t => s"event_type_$t"))
         val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
