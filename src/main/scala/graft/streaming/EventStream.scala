@@ -92,6 +92,78 @@ object EventStream {
       }
   }
 
+  final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
+  final case class BucketState(members: List[(Long, Seq[Long])])
+  final case class NearDup(doc_a: Long, doc_b: Long, band: Int, jhat: Double)
+
+  /**
+   * Streaming MinHash near-dup detection: the incremental twin of
+   * [[graft.ops.Dedup.minhashLshPairs]] (fastHash family). Per-doc
+   * signatures are a NARROW projection (k `array_min(transform(shingles,
+   * xxhash64(i, _)))` expressions — no shuffle, no state); band keys fold
+   * each band's rows with one xxhash64 exactly like the batch fast path, so
+   * a batch-deduped corpus and the stream agree on which docs collide.
+   * Each (band, bandKey) bucket holds its first-seen `maxBucket` member
+   * signatures in flatMapGroupsWithState; a new arrival is compared against
+   * the bucket members and emits (first-seen id, new id) pairs.
+   *
+   * Single-pass tradeoff (vs the batch operator's exact-Jaccard verify):
+   * the stream cannot revisit full shingle sets, so it verifies with the
+   * standard MinHash ESTIMATE jhat = (matching signature components) / k —
+   * unbiased with sd sqrt(J(1-J)/k); identical docs estimate exactly 1.0.
+   * Buckets at the `maxBucket` cap stop accepting members (the batch
+   * operator's degenerate-boilerplate drop). A pair colliding in several
+   * bands emits once per band — dedup downstream on (doc_a, doc_b).
+   * State is O(buckets x maxBucket x k longs), behind the same
+   * (band, key) shuffle the batch candidate join uses.
+   */
+  def streamingMinhashDedup(spark: SparkSession, docs: DataFrame,
+      textCol: String, idCol: String, n: Int, k: Int, bands: Int,
+      tau: Double, maxBucket: Int = 1000): Dataset[NearDup] = {
+    import spark.implicits._
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sh = graft.functions.WordShingles.wordShingles(col(textCol), n)
+    val mh = (1 to k).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s))).as(s"mh_$i"))
+    val withSigs = docs
+      .select(col(idCol).cast("long").as("doc_id"), sh.as("sh"), array(mh: _*).as("minhash"))
+      .filter(size(col("sh")) > 0) // < n tokens => no shingles (batch parity)
+      .drop("sh")
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (b * rows + 1 to (b + 1) * rows).map(i => col("minhash")(i - 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).cast("string").as("sig"))
+    }
+    withSigs
+      .select(col("doc_id"), col("minhash"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"),
+        concat_ws(":", col("bk.band"), col("bk.sig")).as("bkey"), col("minhash"))
+      .as[BandDoc]
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[BucketState, NearDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bkey: String, ds: Iterator[BandDoc], state: GroupState[BucketState]) =>
+          val band = bkey.takeWhile(_ != ':').toInt
+          var members = state.getOption.getOrElse(BucketState(Nil)).members
+          val out = scala.collection.mutable.ListBuffer.empty[NearDup]
+          ds.foreach { d =>
+            if (!members.exists(_._1 == d.doc_id) && members.size < maxBucket) {
+              members.foreach { case (mid, msig) =>
+                val same = msig.iterator.zip(d.minhash.iterator).count { case (a, b) => a == b }
+                val jhat = same.toDouble / k
+                if (jhat >= tau) {
+                  val (a, b) = if (mid < d.doc_id) (mid, d.doc_id) else (d.doc_id, mid)
+                  out += NearDup(a, b, band, math.round(jhat * 1e6) / 1e6)
+                }
+              }
+              members = (d.doc_id, d.minhash) :: members
+            }
+          }
+          state.update(BucketState(members))
+          out.iterator
+      }
+  }
+
   /**
    * Incremental latest-N sequence per entity: the streaming equivalent of
    * ranks+latestN+pivot. Emits the refreshed sequence on every update.

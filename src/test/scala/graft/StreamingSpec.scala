@@ -56,6 +56,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup agrees with the batch fast-path candidates") {
+    val dir = Files.createTempDirectory("graft_docs_stream2")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    // low tau: the spec pins CANDIDATE parity with the batch fast-hash
+    // family (same xxhash64 sigs and band keys => same collisions)
+    val near = EventStream.streamingMinhashDedup(spark, docsStream,
+      "text", "doc_id", n = 3, k = 16, bands = 4, tau = 0.05)
+    val q = near.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("near_stream").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM near_stream").collect()
+      val streamPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch candidate set under the SAME family: pairs sharing any band
+      // key (before exact-Jaccard verification). Rebuild it from the batch
+      // operator's own signature + band-key construction.
+      val docs = graft.core.Tables.load(spark, sf, "documents")
+      val verified = graft.ops.Dedup.minhashLshPairs(docs, "text", "doc_id",
+          3, 16, 4, 0.4, fastHash = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every batch-verified near-dup pair must surface on the stream
+      // (collision is deterministic given the shared family; the stream's
+      // jhat >= 0.05 keeps any pair with J >= ~0.4)
+      assert(verified.subsetOf(streamPairs),
+        s"missing on stream: ${verified -- streamPairs}")
+      // exact duplicates estimate jhat = 1.0 exactly
+      val exactDups = graft.ops.Dedup.exactGroups(docs, "text", "doc_id")
+        .collect().filter(_.getLong(2) > 1)
+      if (exactDups.nonEmpty)
+        assert(rows.exists(r => r.getDouble(3) == 1.0),
+          "an exact duplicate pair must estimate jhat = 1.0")
+      // pair ordering invariant + bounded band ids
+      assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+      assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))
+    } finally q.stop()
+  }
+
+  test("streaming minhash: bucket cap freezes degenerate boilerplate buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // 6 identical docs: all collide in every band; cap 3 => membership stops
+    // at 3 per bucket, so pairs per band = C(3,2) = 3, not C(6,2) = 15
+    val near = EventStream.streamingMinhashDedup(spark,
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      n = 2, k = 8, bands = 2, tau = 0.5, maxBucket = 3)
+    val q = near.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("near_capped").start()
+    try {
+      mem.addData((1 to 6).map(i => (i.toLong, "all rights reserved here")): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM near_capped").collect()
+      val perBand = rows.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+      assert(perBand.values.forall(_ == 3), s"cap must bind: $perBand")
+      assert(rows.forall(_.getDouble(3) == 1.0))
+    } finally q.stop()
+  }
+
   test("stateful latest-N sequences: bounded per-entity state, newest first") {
     val events = EventStream.readEvents(spark, streamDir)
     val seqs = EventStream.latestNSequences(spark, events, n = 5)
