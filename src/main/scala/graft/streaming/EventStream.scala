@@ -164,6 +164,79 @@ object EventStream {
       }
   }
 
+  final case class BandVec(vec_id: Long, bkey: String, embedding: Seq[Float])
+  final case class VecBucketState(members: List[(Long, Seq[Float])])
+  final case class EmbedDup(id_a: Long, id_b: Long, band: Int, cos: Double)
+
+  /**
+   * Streaming embedding-cosine near-dup: the incremental twin of
+   * [[graft.ops.Vectors.cosineDupPairs]] (bucketed mode). Band buckets use
+   * the SAME deterministic `planePairs` hyperplane family as the batch
+   * operator, so batch and stream agree on which vectors collide. Unlike
+   * the shingle-based stream, verification here is EXACT: an embedding is
+   * compact enough to keep in state, so each bucket holds its first-seen
+   * `maxBucket` member vectors and a new arrival is verified with the same
+   * left-to-right double-precision cosine the batch/codegen path computes.
+   *
+   * Cap semantics differ from batch under overflow (inherent to one pass):
+   * the batch window DROPS an overfull bucket entirely; the stream FREEZES
+   * membership at `maxBucket` first-seen vectors — both bound fan-out, and
+   * below the cap the two emit identical pairs (spec-checked). A pair
+   * colliding in several bands emits once per band — dedup downstream.
+   */
+  def streamingCosineDedup(spark: SparkSession, vecs: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      nBands: Int = 20, nPlanes: Int = 4, dim: Int = 64,
+      maxBucket: Int = 1000, seed: Long = 42L): Dataset[EmbedDup] = {
+    import spark.implicits._
+    val bandCols = graft.ops.Vectors.planePairs(nBands, nPlanes, dim, seed)
+      .zipWithIndex.map { case (prs, b) =>
+        struct(lit(b).as("band"),
+          graft.ops.Vectors.bandBucket(col(vecCol), prs).as("bucket"))
+      }
+    vecs
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"),
+        concat_ws(":", col("bb.band"), col("bb.bucket")).as("bkey"), col("embedding"))
+      .as[BandVec]
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[VecBucketState, EmbedDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bkey: String, ds: Iterator[BandVec], state: GroupState[VecBucketState]) =>
+          val band = bkey.takeWhile(_ != ':').toInt
+          var members = state.getOption.getOrElse(VecBucketState(Nil)).members
+          val out = scala.collection.mutable.ListBuffer.empty[EmbedDup]
+          def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            val n = math.min(a.length, b.length)
+            var i = 0
+            while (i < n) {
+              val x = a(i).toDouble; val y = b(i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+            if (na == 0.0 || nb == 0.0) 0.0
+            else dot / (math.sqrt(na) * math.sqrt(nb))
+          }
+          ds.foreach { d =>
+            if (!members.exists(_._1 == d.vec_id) && members.size < maxBucket) {
+              members.foreach { case (mid, mvec) =>
+                val c = BigDecimal(cosine(mvec, d.embedding))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (c >= tau) {
+                  val (a, b) = if (mid < d.vec_id) (mid, d.vec_id) else (d.vec_id, mid)
+                  out += EmbedDup(a, b, band, c)
+                }
+              }
+              members = (d.vec_id, d.embedding) :: members
+            }
+          }
+          state.update(VecBucketState(members))
+          out.iterator
+      }
+  }
+
   /**
    * Incremental latest-N sequence per entity: the streaming equivalent of
    * ranks+latestN+pivot. Emits the refreshed sequence on every update.

@@ -119,6 +119,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding-cosine near-dup matches the batch banded pairs") {
+    val dir = Files.createTempDirectory("graft_vecs_stream")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val vecsStream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+      .parquet(dir.toString)
+    val near = EventStream.streamingCosineDedup(spark, vecsStream,
+      "vec_id", "embedding", tau = 0.3)
+    val q = near.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("vec_near_stream").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM vec_near_stream").collect()
+      val streamPairs = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+        .toMap // per-band repeats carry the same cosine
+      val batch = graft.ops.Vectors.cosineDupPairs(
+          graft.core.Tables.load(spark, sf, "embeddings"),
+          "vec_id", "embedding", tau = 0.3, bucketed = true)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // same plane family + no bucket at the cap => identical pair sets,
+      // identical exact-cosine verdicts
+      assert(streamPairs.keySet == batch.keySet,
+        s"stream-only=${(streamPairs.keySet -- batch.keySet).take(3)} " +
+        s"batch-only=${(batch.keySet -- streamPairs.keySet).take(3)}")
+      streamPairs.foreach { case (pair, c) =>
+        assert(math.abs(c - batch(pair)) < 1e-9, s"$pair: $c vs ${batch(pair)}")
+      }
+    } finally q.stop()
+  }
+
   test("stateful latest-N sequences: bounded per-entity state, newest first") {
     val events = EventStream.readEvents(spark, streamDir)
     val seqs = EventStream.latestNSequences(spark, events, n = 5)
