@@ -46,15 +46,21 @@ object Capacity {
       hidden: Int, outDim: Int,
       numLayers: Int = 1, bidirectional: Boolean = false,
       nonSeqVocabSizes: Seq[Long] = Nil, nNonSeqCont: Int = 0,
-      nsMlpDim: Int = 16): Long = {
+      nsMlpDim: Int = 16,
+      attnHeads: Int = 1): Long = { // > 1: I5 MHA wrapper replaces Bahdanau
     val d = if (bidirectional) 2 else 1
     val inDim = vocabSizes.map(v => Dims.embeddingDim(v)).sum + nCont
     val cells = (0 until numLayers).map { l =>
       val in = if (l == 0) inDim else d * hidden
       d.toLong * lstmCellParams(in, hidden)
     }.sum
-    val attention = d.toLong * hidden * hidden + // fc_encoder, no bias
-      linearParams(hidden, 1)                    // attnHidden h -> 1 + bias
+    val oW = d * hidden
+    val attention =
+      if (attnHeads > 1) // q/k/v/o projections + layernorm gamma/beta
+        4L * linearParams(oW, oW) + 2L * oW
+      else
+        d.toLong * hidden * hidden + // fc_encoder, no bias
+          linearParams(hidden, 1)    // attnHidden h -> 1 + bias
     val nsEmbDim = nonSeqVocabSizes.map(v => Dims.embeddingDim(v)).sum
     val ns =
       if (nonSeqVocabSizes.isEmpty) 0L

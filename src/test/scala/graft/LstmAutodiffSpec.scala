@@ -328,6 +328,13 @@ class LstmAutodiffSpec extends AnyFunSuite {
         nonSeqVocabSizes = nsv, nNonSeqCont = nsc, nsMlpDim = 4)
       assert(got == want, s"layers=$nl bidir=$bd: layout=$got formula=$want")
     }
+    // MHA attention mode (heads > 1) counted too
+    val cm = cfg.copy(hidden = 6, outDim = 4, attnHeads = 2, bidirectional = true)
+    val gotM = cm.layout.specs.filter(s => encoderBlock(s.name)).map(_.size.toLong).sum
+    val wantM = graft.analyze.Capacity.lstmEncoderParams(
+      cm.vocabSizes.map(_.toLong), cm.nCont, cm.hidden, cm.outDim,
+      bidirectional = true, attnHeads = 2)
+    assert(gotM == wantM, s"MHA: layout=$gotM formula=$wantM")
   }
 
   test("SGD on one example reduces the loss substantially") {
