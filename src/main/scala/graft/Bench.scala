@@ -23,6 +23,80 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  /**
+   * Host-noise sentinels. Two of eight rounds committed BENCH files whose
+   * inflation was the shared host, not the code (CPU-bound queries 2.5-12x,
+   * scheduling-bound ones 1.1-1.4x — another process competing for cores).
+   * These fixed workloads make that contamination self-evident from the
+   * artifact itself:
+   *
+   *  - `cpu`   : single-threaded xorshift64* checksum loop, 1.5e9 steps.
+   *              Pure JVM, zero allocation, no Spark — measures raw
+   *              cycles-per-second this process actually received.
+   *  - `par`   : the same loop run on every core concurrently. A quiet
+   *              box finishes in ~the single-thread time; a contended box
+   *              inflates proportionally to the stolen cores. This is the
+   *              sensitive detector for the observed failure mode.
+   *  - `spark` : a fixed synthetic shuffle+agg job (range -> hash -> groupBy)
+   *              on generated data — captures Spark scheduling/GC contention
+   *              that a tight JIT loop can hide.
+   *
+   * Each sentinel runs three times — before pass 1, between passes, after
+   * pass 2 — so contention ARRIVING mid-run is caught; the JSON carries
+   * min and max. `baseline_ab` is the same-window analogue of
+   * BASELINE.md:88-96's A/B protocol collapsed to a constant workload:
+   * max over sentinels of (observed min / quiet-box reference). The
+   * references below were calibrated as the min of repeated runs on the
+   * measurement box while idle (same box class the 21.3 s gate was
+   * measured on). Reading: baseline_ab <= ~1.3 — box comparable to the
+   * baseline window, totals are honest; >= ~1.5 — the box is loaded, the
+   * per-query times are contaminated and must be adjudicated by a quiet
+   * re-run, NOT read as a code regression.
+   */
+  object Sentinel {
+    val CpuRefSec = 3.00    // quiet-box single-thread reference
+    val ParRefSec = 3.20    // quiet-box all-cores reference
+    val SparkRefSec = 0.50  // quiet-box fixed-job reference
+
+    private def loop(steps: Long, seed: Long): Long = {
+      var x = seed | 1L; var i = 0L
+      while (i < steps) { // xorshift64* — dependent ops, JIT can't elide
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        i += 1
+      }
+      x * 0x2545F4914F6CDD1DL
+    }
+
+    @volatile private var sink = 0L // defeat dead-code elimination
+
+    def cpuSec(): Double = {
+      val t0 = System.nanoTime()
+      sink = loop(1500000000L, 0x9E3779B97F4A7C15L)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def parSec(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map { k =>
+        val t = new Thread(() => { sink = loop(1500000000L, k.toLong) })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def sparkSec(spark: SparkSession): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .select((xxhash64(col("id")) % 997).as("k"))
+        .groupBy("k").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   /** Headline subset: the flagship pipeline + one representative per
     * operator family (agg, window, pivot, normalize, dedup x3, ANN, text,
     * multimodal, scoring, training x2). The rest of the catalog is
@@ -46,6 +120,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // `--sentinels-only`: probe box health without running the suite —
+    // the tool for same-window adjudication of a suspect BENCH artifact.
+    if (args.contains("--sentinels-only")) {
+      Sentinel.sparkSec(spark) // warm the fixed job
+      for (i <- 1 to 3) {
+        val c = Sentinel.cpuSec(); val p = Sentinel.parSec()
+        val s = Sentinel.sparkSec(spark)
+        val ab = Seq(c / Sentinel.CpuRefSec, p / Sentinel.ParRefSec,
+          s / Sentinel.SparkRefSec).max
+        println(f"""{"sentinel_run":$i,"cpu":$c%.3f,"par":$p%.3f,"spark":$s%.3f,"baseline_ab":$ab%.3f}""")
+      }
+      spark.stop(); return
+    }
+
     val qs = headline.filter(SparkEntry.queries.contains)
 
     def runOnce(name: String): Double = {
@@ -62,6 +150,15 @@ object Bench {
         System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
       }
     }
+    val cpuS = scala.collection.mutable.ArrayBuffer[Double]()
+    val parS = scala.collection.mutable.ArrayBuffer[Double]()
+    val sparkS = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleSentinels(): Unit = {
+      cpuS += Sentinel.cpuSec(); parS += Sentinel.parSec()
+      sparkS += Sentinel.sparkSec(spark)
+    }
+
+    sampleSentinels() // before pass 1
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (pass <- 1 to 2) {
       spark.sqlContext.clearCache()
@@ -74,6 +171,7 @@ object Bench {
           failed += n
         }
       }
+      sampleSentinels() // between passes / after pass 2
     }
     // a query that failed in EITHER pass reports -1.0 and never contributes
     // to the total — a flaky query must not inflate the headline with a
@@ -82,7 +180,18 @@ object Bench {
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    // baseline_ab: worst sentinel inflation vs the quiet-box references —
+    // the same-window A/B of BASELINE.md:88-96 against a constant workload.
+    // <=1.3 box comparable to the baseline window; >=1.5 artifact is
+    // host-contaminated, adjudicate by re-run before reading as regression.
+    val ab = Seq(cpuS.min / Sentinel.CpuRefSec, parS.min / Sentinel.ParRefSec,
+      sparkS.min / Sentinel.SparkRefSec).max
+    val sentJson =
+      s""""cpu_min":${r3(cpuS.min)},"cpu_max":${r3(cpuS.max)},""" +
+      s""""par_min":${r3(parS.min)},"par_max":${r3(parS.max)},""" +
+      s""""spark_min":${r3(sparkS.min)},"spark_max":${r3(sparkS.max)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
