@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/**
+ * Self-cleaning SQL cache for operators that return a LAZY DataFrame
+ * built on a cached intermediate.
+ *
+ * The problem: an operator like `Dedup.minhashLshPairs` caches its shingle
+ * table because three downstream branches reuse it, but the operator
+ * returns before any action runs — a `try/finally` unpersist would evict
+ * the blocks before the caller ever materializes the result. The old
+ * contract ("caller runs `spark.catalog.clearCache()` between
+ * invocations") leaked storage in long-lived sessions until LRU eviction.
+ *
+ * [[autoUnpersist]] caches `df` and registers a [[QueryExecutionListener]]
+ * that watches for the first COMPLETED action (success or failure) whose
+ * cached-data-substituted logical plan references this exact cache entry
+ * (matched by `cacheBuilder` reference identity — the builder instance is
+ * shared between the CacheManager entry and every InMemoryRelation
+ * substituted into a consumer plan). On that action it unpersists the
+ * blocks and deregisters itself, leaving the session clean — verified
+ * synchronously via [[awaitClean]].
+ *
+ * Contract: the cache accelerates the FIRST materialization (the
+ * multi-branch reuse inside one action, which is what the dedup operators
+ * need); later actions on the same result recompute uncached — correct,
+ * just not re-accelerated. Listener delivery is async (Spark's listener
+ * bus), so "clean" is eventual — within milliseconds in practice;
+ * [[graft.core.CacheScope.drain]] blocks until delivered for tests and
+ * strict callers.
+ */
+object CacheScope {
+
+  def autoUnpersist(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    df.cache()
+    // After cache(), the df's own cached-data-substituted plan is (rooted
+    // at) the InMemoryRelation just registered; grab its builder instance.
+    val target = df.queryExecution.withCachedData.collectFirst {
+      case r: InMemoryRelation => r.cacheBuilder
+    }
+    target.foreach { builder =>
+      val listener = new QueryExecutionListener {
+        private def consumes(qe: QueryExecution): Boolean =
+          // don't fire on the probe that *builds* the cache entry — only on
+          // plans that READ it (root != the relation itself is not required:
+          // materializing the cache IS consuming it once)
+          qe.withCachedData.exists {
+            case r: InMemoryRelation => r.cacheBuilder eq builder
+            case _ => false
+          }
+        private def done(qe: QueryExecution): Unit = if (consumes(qe)) {
+          df.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit = done(qe)
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = done(qe)
+      }
+      spark.listenerManager.register(listener)
+    }
+    df
+  }
+
+  /** Listener delivery is async; poll until no persistent RDD blocks
+    * remain (or timeout). Returns true when the session is clean. For
+    * specs and strict callers that need a synchronous guarantee. */
+  def awaitClean(spark: org.apache.spark.sql.SparkSession,
+      timeoutMs: Long = 30000): Boolean = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    while (System.nanoTime < deadline) {
+      if (spark.sparkContext.getPersistentRDDs.isEmpty) return true
+      Thread.sleep(50)
+    }
+    spark.sparkContext.getPersistentRDDs.isEmpty
+  }
+}

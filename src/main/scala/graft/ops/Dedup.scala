@@ -63,19 +63,20 @@ object Dedup {
    * window on the exploded table — ONE tokenize+explode pass over the
    * corpus, shuffled on the same shingle key the self-join needs (the old
    * groupBy-whitelist + re-join shape tokenized the corpus twice cold).
-   * Caches the capped shingle table; in a long-lived session call
-   * `spark.catalog.clearCache()` between dedup invocations (blocks are
-   * otherwise LRU-evicted).
+   * The capped shingle table is cached through [[graft.core.CacheScope]]:
+   * the blocks serve every branch of the first materialization and are
+   * unpersisted automatically when that action completes — no
+   * `clearCache()` contract on the caller, no storage leak in a
+   * long-lived session.
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
     val all = shingles(df, textCol, idCol, n)
-    val sh = all
+    val sh = graft.core.CacheScope.autoUnpersist(all
       .withColumn("df_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
       .filter(col("df_n") <= maxShingleDf)
-      .drop("df_n")
-      .cache()
+      .drop("df_n"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
@@ -128,7 +129,11 @@ object Dedup {
       it += 1
     }
     edges.unpersist(blocking = false)
-    labels.select(col("doc").as("doc_id"), col("lbl").as("canonical_id"))
+    // the final labels table is still cached (the loop materialized it for
+    // the convergence check); hand it to CacheScope so the blocks are
+    // reclaimed once the caller's action completes
+    graft.core.CacheScope.autoUnpersist(labels)
+      .select(col("doc").as("doc_id"), col("lbl").as("canonical_id"))
   }
 
   /**
@@ -216,9 +221,11 @@ object Dedup {
    * band collision lists longer than `maxBucket` are dropped as degenerate
    * (boilerplate clusters), bounding join fan-out under skew.
    *
-   * Caches the shingle and candidate tables for reuse across stages; in a
-   * long-lived session, call `spark.catalog.clearCache()` between dedup
-   * invocations (blocks are otherwise reclaimed by LRU eviction).
+   * The shingle and candidate tables are cached through
+   * [[graft.core.CacheScope]] for reuse across stages within the first
+   * materialization, then unpersisted automatically when that action
+   * completes — the operator leaves no blocks behind in a long-lived
+   * session.
    *
    * `fastHash = true` switches to the numeric xxhash64 family
    * ([[minhashSigsFast]]) and folds each band's row-hashes into one 64-bit
@@ -232,7 +239,7 @@ object Dedup {
       maxBucket: Int = 1000, fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = shingles(df, textCol, idCol, n).cache()
+    val sh = graft.core.CacheScope.autoUnpersist(shingles(df, textCol, idCol, n))
     val sigs = if (fastHash) minhashSigsFast(sh, idCol, k)
                else minhashSigs(sh, idCol, k)
     // stack the per-doc wide signature into (doc, band, sig) rows
@@ -253,9 +260,10 @@ object Dedup {
     val r = bucketed.select(col("band"), col("sig"), col(idCol).as("doc_b"))
     // candidates are tiny (bounded by bands x maxBucket^2); persist so the
     // semi-join below doesn't recompute the whole band subtree
-    val candidates = l.join(r, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct().cache()
+    val candidates = graft.core.CacheScope.autoUnpersist(
+      l.join(r, Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct())
     // verify candidates with exact Jaccard — restrict the shingle self-join
     // to documents that appear in some candidate pair first (the candidate
     // set is tiny relative to the corpus, so this skips almost all of the

@@ -333,4 +333,36 @@ class OpsSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(rows(loaded.topK(q, 3, nProbe = 3)) == rows(idx.topK(q, 3, nProbe = 3)))
   }
+
+  test("cache hygiene: dedup operators leave no cached blocks after the action") {
+    // the suites share one session (and the MlOps registry legitimately
+    // holds one slot), so assert no NEW persistent RDDs survive the action
+    spark.sqlContext.clearCache()
+    def newBlocksAfter(body: => Unit): Set[Int] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      body
+      val deadline = System.nanoTime + 30L * 1000000000L
+      var extra = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      while (extra.nonEmpty && System.nanoTime < deadline) {
+        Thread.sleep(50)
+        extra = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      }
+      extra
+    }
+    val j = newBlocksAfter {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(j.isEmpty, s"ngramJaccardPairs leaked cached RDDs: $j")
+    val m = newBlocksAfter {
+      Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 16, 4, 0.4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(m.isEmpty, s"minhashLshPairs leaked cached RDDs: $m")
+    val g = newBlocksAfter {
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+      Dedup.dedupGroups(pairs).write.format("noop").mode("overwrite").save()
+    }
+    assert(g.isEmpty, s"dedupGroups leaked cached RDDs: $g")
+  }
 }
