@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+
+/**
+ * Plan-assertion specs: freeze the audited physical-plan shapes (SCALE.md)
+ * as tests, so a Spark upgrade or an innocent-looking refactor that
+ * silently adds a shuffle, drops the group-limit pushdown, or degrades a
+ * broadcast join to sort-merge FAILS here instead of surfacing as a 100-TB
+ * regression in production.
+ *
+ * The flagship claim frozen here is `q_pipeline_e2e`'s one-shuffle
+ * featurization: a single entity-keyed Exchange serves
+ * window -> WindowGroupLimit (latest-N pushdown) -> row_number -> pivot
+ * aggregate, every encoding/profile join below it broadcasts, and the only
+ * other shuffles in the feature branch are tiny stat branches that
+ * terminate in a BroadcastExchange (k-row tables — irrelevant at scale).
+ *
+ * AQE is disabled while BUILDING the asserted plan (AdaptiveSparkPlanExec
+ * is a leaf wrapper that hides its subtree from collect); AQE only
+ * re-plans at runtime from this same initial plan, so the static shape is
+ * the right thing to freeze.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Physical plan with AQE off, original conf restored after. */
+  private def plan(name: String): SparkPlan = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    } finally spark.conf.set(key, prev)
+  }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  private def keyedOn(e: ShuffleExchangeExec, colName: String): Boolean =
+    e.outputPartitioning match {
+      case h: HashPartitioning => h.expressions.flatMap(_.references)
+        .exists(_.name == colName)
+      case _ => false
+    }
+
+  /** Shuffles that feed a BroadcastExchange somewhere above them — the
+    * tiny-branch shuffles (stat/encoding tables) that never carry bulk. */
+  private def underBroadcast(p: SparkPlan): Set[ShuffleExchangeExec] =
+    p.collect { case b: BroadcastExchangeExec => shuffles(b) }.flatten.toSet
+
+  test("q_pipeline_e2e: ONE entity-keyed shuffle serves window->group-limit->pivot") {
+    val p = plan("q_pipeline_e2e")
+
+    // latest-N is executed as a WindowGroupLimit pushdown, not a full
+    // rank-then-filter over every event
+    val wgl = p.collectFirst { case w: WindowGroupLimitExec => w }
+    assert(wgl.isDefined, s"no WindowGroupLimit in plan:\n$p")
+
+    // the final label join is the ONLY sort-merge join; everything else
+    // (encoding apply, profile, label-side customer join) broadcasts
+    val smjs = p.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.length == 1, s"expected exactly 1 SortMergeJoin (the label join), got ${smjs.length}")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.length >= 4,
+      "encoding/profile/customer joins must broadcast")
+
+    // features branch = left child of the label join: exactly ONE shuffle
+    // that is not a broadcast-bound stat branch, and it is keyed on the
+    // entity id; the pivot aggregate above the group-limit reuses that
+    // same partitioning (no further exchange)
+    val features = smjs.head.left
+    val bulk = shuffles(features).filterNot(underBroadcast(features))
+    assert(bulk.length == 1,
+      s"featurization must shuffle exactly once, got ${bulk.length}:\n${bulk.mkString("\n")}")
+    assert(keyedOn(bulk.head, "user_id"),
+      s"the one featurization shuffle must be entity-keyed, got ${bulk.head.outputPartitioning}")
+    // and that single shuffle sits BELOW the group-limit (the window
+    // consumes it directly; nothing re-shuffles between window and pivot)
+    assert(shuffles(wgl.get).filterNot(underBroadcast(features)).length == 1)
+  }
+
+  test("q_e1_pivot: pivot aggregates on the window shuffle, no extra exchange") {
+    val p = plan("q_e1_pivot")
+    assert(p.collectFirst { case w: WindowGroupLimitExec => w }.isDefined,
+      "latest-N before pivot must push down as WindowGroupLimit")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.length == 1 && keyedOn(bulk.head, "user_id"),
+      s"pivot path must shuffle once on the entity id, got:\n${bulk.mkString("\n")}")
+  }
+
+  test("q_f1_encode_join: encoding apply is a broadcast join, never a shuffle of the corpus") {
+    val p = plan("q_f1_encode_join")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "encoding table must broadcast onto the corpus")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "encoding apply must not sort-merge")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.isEmpty,
+      s"corpus must not shuffle for an encoding apply, got:\n${bulk.mkString("\n")}")
+  }
+}
