@@ -212,6 +212,46 @@ object MlOps extends QueryGroup {
     // K4 explainability: integrated-gradients attributions of the cat
     // (embedding-space interpolation) and cont sequence features toward
     // embedding dim 0 (completeness-tested); per-(feature, t) scalar columns
+    // K4 default algorithm: DeepLift (CASPRExplainer.py:70-73) — one
+    // backward per row against the zero baseline
+    QueryDef("q_explain_deeplift",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
+        val attrs = graft.analyze.Explainer.deepLift(wide, cfg,
+          cfg.initParams(), "user_id",
+          Seq((1 to seqLen).map(t => s"event_type_$t")),
+          Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")),
+          targetDim = 0)
+        attrs.columns.filter(_.startsWith("attr_"))
+          .foldLeft(attrs)((d, c) => d.withColumn(c, round(col(c), 6)))
+      },
+      None),
+
+    // K4 DeepLiftShap (CASPRExplainer.py:78): DeepLift averaged over a
+    // baseline SAMPLE — here the 4 lowest-id users' rows, deterministic
+    QueryDef("q_explain_deepliftshap",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
+        val seqCat = Seq((1 to seqLen).map(t => s"event_type_$t"))
+        val seqCont = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
+        val baseRows = graft.ml.Ingress.project(wide, "user_id", seqCat, seqCont)
+          .orderBy(col("user_id")).limit(4).collect()
+        val bCat = baseRows.map(r => graft.ml.Ingress.seqCatOf(r, seqLen, 1))
+        val bCont = baseRows.map(r => graft.ml.Ingress.seqContOf(r, seqLen, 1, 2))
+        val attrs = graft.analyze.Explainer.deepLift(wide, cfg,
+          cfg.initParams(), "user_id", seqCat, seqCont,
+          targetDim = 0, baselineCat = bCat, baselineCont = bCont)
+        attrs.columns.filter(_.startsWith("attr_"))
+          .foldLeft(attrs)((d, c) => d.withColumn(c, round(col(c), 6)))
+      },
+      None),
+
     QueryDef("q_explain_ig",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)

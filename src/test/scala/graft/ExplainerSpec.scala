@@ -1,11 +1,12 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
 import breeze.linalg.DenseMatrix
 import graft.nn.{AeConfig, TransformerAE}
 
-/** IG sanity: the completeness axiom and the seeded input-grad path. */
-class ExplainerSpec extends AnyFunSuite {
+/** IG sanity (completeness axiom, seeded input-grad path) + DeepLift /
+  * DeepLiftShap properties (gradient×Δx form, baseline averaging,
+  * IG-equivalence in the locally-linear regime). */
+class ExplainerSpec extends SparkSpec {
 
   private val cfg = AeConfig(dModel = 4, heads = 2, layers = 1, pf = 3,
     seqLen = 2, vocabSizes = Seq(3), nCont = 2, seed = 5L)
@@ -66,5 +67,87 @@ class ExplainerSpec extends AnyFunSuite {
       TransformerAE.embedDouble(cfg, lay, p0, cat, zero)(dim)
     assert(math.abs(total - delta) < 5e-3,
       s"completeness violated: IG sum=$total vs delta=$delta")
+  }
+
+  // ---- DeepLift / DeepLiftShap (operator-level, through the DataFrame API)
+
+  private val seqCat = Seq(Seq("et_1", "et_2"))
+  private val seqCont = Seq(Seq("v_1", "v_2"), Seq("w_1", "w_2"))
+
+  /** One-row wide frame: codes (1,2); cont(ts)(c) = ((.4,-.2),(.1,.7))·s. */
+  private def wideDf(s: Double) = {
+    import spark.implicits._
+    Seq((1L, 1, 2, 0.4 * s, 0.1 * s, -0.2 * s, 0.7 * s))
+      .toDF("user_id", "et_1", "et_2", "v_1", "v_2", "w_1", "w_2")
+  }
+
+  private def attrsOf(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+    val row = df.collect().head
+    df.columns.zipWithIndex.collect {
+      case (c, i) if c.startsWith("attr_") => c -> row.getDouble(i)
+    }.toMap
+  }
+
+  test("DeepLift is gradient-times-input: cont attrs FD-check against the model") {
+    val dim = 6
+    val dl = attrsOf(graft.analyze.Explainer.deepLift(
+      wideDf(1.0), cfg, p, "user_id", seqCat, seqCont, targetDim = dim))
+    val cont = Array(Array(0.4, -0.2), Array(0.1, 0.7))
+    val eps = 1e-6
+    val names = Map((0, 0) -> "attr_v_1", (1, 0) -> "attr_v_2",
+      (0, 1) -> "attr_w_1", (1, 1) -> "attr_w_2")
+    for (((i, j), name) <- names) {
+      val up = cont.map(_.clone()); up(i)(j) += eps
+      val dn = cont.map(_.clone()); dn(i)(j) -= eps
+      val numericGrad = (outputAt(up, dim) - outputAt(dn, dim)) / (2 * eps)
+      val expected = cont(i)(j) * numericGrad // zero baseline
+      assert(math.abs(dl(name) - expected) < 1e-4,
+        s"$name: deeplift=${dl(name)} expected x*grad=$expected")
+    }
+  }
+
+  test("DeepLiftShap: self-baseline zeroes attributions; sample mean is exact") {
+    val dim = 6
+    val selfCat = Array(Array(Array(1), Array(2)))
+    val selfCont = Array(Array(Array(0.4, -0.2), Array(0.1, 0.7)))
+    val zeroed = attrsOf(graft.analyze.Explainer.deepLift(
+      wideDf(1.0), cfg, p, "user_id", seqCat, seqCont, targetDim = dim,
+      baselineCat = selfCat, baselineCont = selfCont))
+    zeroed.foreach { case (n, v) =>
+      assert(math.abs(v) < 1e-12, s"$n nonzero against self-baseline: $v") }
+
+    // attribution over {b1, b2} = mean of single-baseline attributions
+    // (captum DeepLiftShap's definition; exact here, multiplier is shared)
+    val b1c = Array(Array(0), Array(1)); val b1x = Array(Array(0.0, 0.0), Array(0.0, 0.0))
+    val b2c = Array(Array(2), Array(0)); val b2x = Array(Array(0.2, 0.1), Array(-0.3, 0.5))
+    def run(bc: Array[Array[Array[Int]]], bx: Array[Array[Array[Double]]]) =
+      attrsOf(graft.analyze.Explainer.deepLift(
+        wideDf(1.0), cfg, p, "user_id", seqCat, seqCont, targetDim = dim,
+        baselineCat = bc, baselineCont = bx))
+    val both = run(Array(b1c, b2c), Array(b1x, b2x))
+    val m1 = run(Array(b1c), Array(b1x))
+    val m2 = run(Array(b2c), Array(b2x))
+    both.foreach { case (n, v) =>
+      assert(math.abs(v - (m1(n) + m2(n)) / 2) < 1e-12,
+        s"$n: shap=${v} mean=${(m1(n) + m2(n)) / 2}") }
+  }
+
+  test("DeepLift equals IG in the locally-linear regime") {
+    // shrink every input toward the baseline (cont scaled 1e-3, embedding
+    // table scaled 1e-3): along the whole IG path grad ~ grad(x) + O(eps),
+    // so DeepLift (one gradient at x) and IG (path mean) coincide to O(eps)
+    val dim = 6
+    val p2 = p.clone()
+    lay.mat("emb0", p2) :*= 1e-4
+    val dl = attrsOf(graft.analyze.Explainer.deepLift(
+      wideDf(1e-4), cfg, p2, "user_id", seqCat, seqCont, targetDim = dim))
+    val ig = attrsOf(graft.analyze.Explainer.integratedGradients(
+      wideDf(1e-4), cfg, p2, "user_id", seqCat, seqCont, targetDim = dim,
+      steps = 128))
+    val scale = ig.values.map(math.abs).max
+    assert(scale > 0)
+    ig.foreach { case (n, v) =>
+      assert(math.abs(dl(n) - v) < 5e-3 * scale + 1e-15,
+        s"$n: deeplift=${dl(n)} ig=$v (scale=$scale)") }
   }
 }
