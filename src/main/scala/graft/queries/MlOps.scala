@@ -8,7 +8,7 @@ import graft.ml.CasprScorer
 import graft.nn.TransformerConfig
 import graft.prep.{CasprFeaturizer, Encoding, FeaturizerConfig}
 import graft.train.{LinearAutoencoder, TrainConfig}
-import Catalog.{HistoryDays, PredTs}
+import Catalog.{HistoryDays, LabelDays, PredTs}
 
 /**
  * Model-side surfaces (SURVEY.md §2.I/J/K). Not SQL-expressible, so these
@@ -212,6 +212,30 @@ object MlOps extends QueryGroup {
     // K4 explainability: integrated-gradients attributions of the cat
     // (embedding-space interpolation) and cont sequence features toward
     // embedding dim 0 (completeness-tested); per-(feature, t) scalar columns
+    // G5 true SMOTE-NC (preprocess.py:365-385): churn-labeled customers
+    // (cat = segment, cont = balance) balanced with synthetic minority
+    // rows; output aggregated per (class, segment) so the row count is a
+    // stable fixture property (synthesis is seed-deterministic)
+    QueryDef("q_smote_balance",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val ev = Tables.load(s, dir, "events")
+        val pred = to_timestamp(lit(PredTs))
+        val active = ev.filter(col("ts") >= pred - expr(s"INTERVAL $LabelDays DAYS") &&
+            col("ts") < pred)
+          .select(col("user_id")).distinct()
+        val labeled = cust.join(active,
+            cust("c_custkey") === active("user_id"), "left")
+          .withColumn("churn", col("user_id").isNull.cast("int"))
+          .select(col("c_mktsegment"), col("c_acctbal"), col("churn"))
+        val bal = graft.prep.Sampling.smoteNC(labeled, "churn",
+          Seq("c_mktsegment"), Seq("c_acctbal"), k = 5, seed = 7L)
+        bal.groupBy(col("churn"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      },
+      None),
+
     // K4 default algorithm: DeepLift (CASPRExplainer.py:70-73) — one
     // backward per row against the zero baseline
     QueryDef("q_explain_deeplift",

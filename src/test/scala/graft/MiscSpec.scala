@@ -31,6 +31,41 @@ class MiscSpec extends SparkSpec {
     assert(math.abs(ws(1) - 100.0 / (2 * 10)) < 1e-9)
   }
 
+  test("G5 SMOTE-NC: exact top-up, convex synthesis, neighbor-local cats") {
+    // minority class = two well-separated clusters with distinct cats:
+    // cluster A near 0 tagged "a", cluster B near 100 tagged "b". True
+    // k-NN synthesis must interpolate WITHIN a cluster (no point lands in
+    // the 20..80 gap) and take the cat from the neighborhood — replication
+    // or random-pair lerp would both fail this.
+    val maj = (1 to 60).map(i => ("m", i * 1.0, 0))
+    val clA = (1 to 8).map(i => ("a", i * 0.5, 1))
+    val clB = (1 to 8).map(i => ("b", 100.0 + i * 0.5, 1))
+    val df = (maj ++ clA ++ clB).toDF("seg", "x", "y")
+    val out = Sampling.smoteNC(df, "y", Seq("seg"), Seq("x"), k = 3, seed = 11L)
+    val counts = out.groupBy("y").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) == 60 && counts(1) == 60, s"exact equalization: $counts")
+
+    val minority = out.filter(col("y") === 1)
+      .select("seg", "x").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // originals pass through; 44 rows are synthetic
+    assert(minority.length == 60)
+    minority.foreach { case (seg, x) =>
+      val inA = x >= 0.5 && x <= 4.0
+      val inB = x >= 100.5 && x <= 104.0
+      assert(inA || inB, s"synthetic point escaped its cluster: x=$x")
+      assert(if (inA) seg == "a" else seg == "b",
+        s"cat not taken from the neighborhood: ($seg, $x)")
+    }
+
+    // determinism: same seed, same synthesis
+    val again = Sampling.smoteNC(df, "y", Seq("seg"), Seq("x"), k = 3, seed = 11L)
+      .filter(col("y") === 1)
+      .select("seg", "x").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq ==
+      minority.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("A1 handover: round trip with block-size option") {
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
     val path = Handover.write(df, java.nio.file.Files
