@@ -258,8 +258,10 @@ object LlmOps extends QueryGroup {
               |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
     // Multi-probe LSH: query side explodes to the nProbe Hamming-1-adjacent
-    // buckets; corpus stays one row per vector (rows-only; recall-dominance
-    // over single-probe is spec-checked in OpsSpec)
+    // buckets; corpus stays one row per vector. The probe expansion is a
+    // pure function of the bucket bits, so the DuckDB oracle expresses it
+    // exactly (xor(b, 1<<i)) and the result hash-matches end-to-end;
+    // recall-dominance over single-probe is additionally spec-checked.
     QueryDef("q_ann_lsh_multiprobe",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -268,19 +270,38 @@ object LlmOps extends QueryGroup {
           e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
           k = 3, nProbe = 4)
       },
-      None),
+      Some(s"""WITH q0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+              |    ${bucketSql("embedding")} AS b FROM embeddings WHERE vec_id < 20),
+              |q AS (SELECT qid, qe, unnest([b, xor(b, 1), xor(b, 2), xor(b, 4)]) AS bucket FROM q0),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+              |    ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id >= 20),
+              |sc AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q JOIN c USING(bucket)),
+              |r AS (SELECT qid, cid, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
+              |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
-    // IVF ANN: KMeans coarse quantizer + nProbe cell search (rows-only;
-    // recall-vs-brute-force is spec-checked in OpsSpec)
+    // IVF ANN at nProbe = nCells: probing every cell makes IVF exactly
+    // brute force IF AND ONLY IF the index machinery is correct (KMeans
+    // cell assignment must PARTITION the corpus — a lost or duplicated
+    // vector breaks the hash match), so the brute-force SQL is a real
+    // oracle for the index plumbing end-to-end. The selective-probe path
+    // (nProbe < nCells, not SQL-expressible: MLlib KMeans centroids) is
+    // covered by the OpsSpec recall spec and the IvfIndex job-count and
+    // save/load round-trip specs.
     QueryDef("q_ann_ivf",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         Vectors.ivfTopK(
           e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
           e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
-          k = 3, nCells = 8, nProbe = 3)
+          k = 3, nCells = 8, nProbe = 8)
       },
-      None),
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 20),
+              |sc AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q CROSS JOIN c),
+              |r AS (SELECT qid, cid, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
+              |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
     // F5 embeddings joined back to an entity profile (segmentation/pandas.py:382-408)
     QueryDef("q_f5_embed_profile",
