@@ -333,41 +333,57 @@ object MlOps extends QueryGroup {
           .withColumn("churn", coalesce(col("churn"), lit(1.0)))
         val catCols = Seq((1 to seqLen).map(t => s"event_type_$t"))
         val contCols = Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))
+        // NOTE: c_acctbal arrives min-max scaled to [0,1] — profileFeaturized
+        // normalizes it with the broadcast min/max agg (the reference's
+        // non-seq scaler pattern), so the ns cont input is NOT raw balance
         val cfg = graft.nn.LstmAeConfig(hidden = 12, outDim = 12,
           attnDim = 0, // reference-faithful Bahdanau widths
           seqLen = seqLen, vocabSizes = Seq(vocab("event_type").toInt), nCont = 2,
           decoder = "churn",
           nonSeqVocabSizes = Seq(vocab("c_mktsegment").toInt), nNonSeqCont = 1)
-        // small batches => enough SGD steps on the 150-row sf0.01 fixture
-        // (batch size is a fixture knob, not the 100-TB setting)
-        val res = graft.train.LstmTrainer.fit(wideL, cfg, catCols, contCols,
-          graft.train.TrainConfig(lr = 3e-2, maxEpochs = 10, warmupEpochs = 2),
+        // held-out eval: deterministic ~25% test fold by id hash (stratified
+        // in expectation); degrade to in-sample only if a class is stranded
+        // on either side (possible at sf0.001), flagged in the output
+        val folded = wideL.withColumn("__fold", pmod(xxhash64(col("user_id")), lit(4)))
+        val trainCand = folded.filter(col("__fold") =!= 0).drop("__fold")
+        val testCand = folded.filter(col("__fold") === 0).drop("__fold")
+        def bothClasses(df: DataFrame): Boolean =
+          df.select(col("churn")).distinct().count() == 2
+        val heldOut = bothClasses(trainCand) && bothClasses(testCand)
+        val (trainSet, testSet) =
+          if (heldOut) (trainCand, testCand) else (wideL, wideL)
+        // small batches => enough SGD steps on the ~110-row sf0.01 train
+        // fold (batch size is a fixture knob, not the 100-TB setting)
+        val res = graft.train.LstmTrainer.fit(trainSet, cfg, catCols, contCols,
+          graft.train.TrainConfig(lr = 3e-2, maxEpochs = 25, warmupEpochs = 3),
           nonSeqCatCols = Seq("c_mktsegment"), nonSeqContCols = Seq("c_acctbal"),
           labelCol = Some("churn"), batchSize = 32)
-        val labels = wideL.select(col("user_id"), col("churn"))
-        val scored = graft.train.LstmTrainer.transformChurn(wideL, res, "user_id",
+        val testLabels = testSet.select(col("user_id"), col("churn"))
+        val scored = graft.train.LstmTrainer.transformChurn(testSet, res, "user_id",
           catCols, contCols, Seq("c_mktsegment"), Seq("c_acctbal"))
-          .join(labels, Seq("user_id"))
+          .join(testLabels, Seq("user_id"))
         val aucFt = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
           .setRawPredictionCol("churn_prob").setLabelCol("churn")
           .setMetricName("areaUnderROC").evaluate(scored)
         // frozen baseline: LR head on the untrained encoder's embeddings,
-        // fit AND evaluated on the full set (in-sample — favors the
-        // baseline; a tiny-SF split could also strand the minority class)
-        val emb0 = graft.train.LstmTrainer.transform(wideL,
-          graft.train.LstmTrainer.Result(cfg, cfg.initParams(), Nil, 0), "user_id",
-          catCols, contCols, Seq("c_mktsegment"), Seq("c_acctbal"))
-          .join(labels, Seq("user_id"))
-        val feats = Segmentation.withFeatures(emb0, "embedding")
-          .withColumn("label", col("churn"))
+        // fit on the SAME train fold, evaluated on the SAME test fold
+        def frozenEmb(df: DataFrame) = {
+          val emb = graft.train.LstmTrainer.transform(df,
+            graft.train.LstmTrainer.Result(cfg, cfg.initParams(), Nil, 0), "user_id",
+            catCols, contCols, Seq("c_mktsegment"), Seq("c_acctbal"))
+            .join(df.select(col("user_id"), col("churn")), Seq("user_id"))
+          Segmentation.withFeatures(emb, "embedding")
+            .withColumn("label", col("churn"))
+        }
         val lrModel = new org.apache.spark.ml.classification.LogisticRegression()
-          .setMaxIter(25).setRegParam(0.01).fit(feats)
+          .setMaxIter(25).setRegParam(0.01).fit(frozenEmb(trainSet))
         val aucFrozen = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
-          .setMetricName("areaUnderROC").evaluate(lrModel.transform(feats))
+          .setMetricName("areaUnderROC").evaluate(lrModel.transform(frozenEmb(testSet)))
         import s.implicits._
         Seq((math.round(aucFt * 1e4) / 1e4, math.round(aucFrozen * 1e4) / 1e4,
-          math.round(res.losses.last * 1e4) / 1e4, res.stoppedAt.toLong))
-          .toDF("auc_finetune", "auc_frozen", "final_loss", "epochs")
+          math.round(res.losses.last * 1e4) / 1e4, res.stoppedAt.toLong,
+          if (heldOut) 1L else 0L))
+          .toDF("auc_finetune", "auc_frozen", "final_loss", "epochs", "held_out")
       },
       None)
   )
