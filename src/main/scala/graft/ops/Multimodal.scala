@@ -1,23 +1,82 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/**
+ * Pluggable media decoder contract for the multimodal operators. The
+ * Spark-side plumbing (schemas, typed mapPartitions batching, 1->N frame
+ * explosion) is codec-agnostic; a real build supplies an implementation
+ * backed by an actual codec (javacv, TwelveMonkeys, ffmpeg-over-JNI) and
+ * NOTHING else changes — the operators take the decoder as a parameter.
+ *
+ * Must be Serializable: instances ship inside task closures. Implement as
+ * an `object` or a small case class holding only config (codec handles
+ * must be created lazily per-executor, e.g. via a transient lazy val).
+ */
+trait MediaDecoder extends Serializable {
+
+  /** Probe the container: (width, height, frame count). */
+  def probe(payload: Array[Byte]): (Long, Long, Long)
+
+  /** Decode frame `frameIdx` and resize toward the model input
+    * (`frameLen` bytes here stands in for a WxHxC pixel budget). */
+  def decodeFrame(payload: Array[Byte], frameIdx: Long, frameLen: Int): Array[Byte]
+
+  /** Feature-extract a decoded frame to a `dim`-float vector (the
+    * image-encoder forward in a real build). */
+  def features(frame: Array[Byte], dim: Int): Array[Float]
+}
+
+/**
+ * The test/sandbox implementation: deterministic fakes derived from the
+ * payload bytes (no image/audio codecs exist in this environment). This
+ * is the clearly-marked STUB half of SURVEY.md §7.5 — the DuckDB oracle
+ * for `q_multimodal_meta` mirrors exactly these formulas.
+ */
+object StubDecoder extends MediaDecoder {
+
+  /** Fake dimensions, deterministic in payload length. */
+  override def probe(payload: Array[Byte]): (Long, Long, Long) = {
+    val len = payload.length.toLong
+    (64 + len % 512, 64 + (len * 7) % 512, len % 30 + 1) // (width, height, frames)
+  }
+
+  /** Slices `frameLen` bytes at a deterministic per-frame offset — the
+    * stand-in for "decode frame i and resize". */
+  override def decodeFrame(payload: Array[Byte], frameIdx: Long,
+      frameLen: Int): Array[Byte] = {
+    if (payload.isEmpty) return Array.emptyByteArray
+    val off = ((frameIdx * 2654435761L) % payload.length).toInt.abs
+    Array.tabulate(math.min(frameLen, payload.length))(i =>
+      payload((off + i) % payload.length))
+  }
+
+  /** `dim` byte-histogram-ish floats — the stand-in for an image-encoder
+    * forward. Deterministic. */
+  override def features(frame: Array[Byte], dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    var i = 0
+    while (i < frame.length) { f(i % dim) += (frame(i) & 0xFF) / 255.0f; i += 1 }
+    f
+  }
+}
 
 /**
  * Multimodal-column plumbing (SURVEY.md §7.5): media as opaque `binary`
  * columns plus typed metadata, processed in partition-sized batches.
  *
- * The decode step is a clearly-marked deterministic STUB (no image/audio
- * codecs in this environment); everything around it — schema, typed
- * mapPartitions batching, partition sizing — is the real production shape.
- * In PySpark this stage would be `mapInPandas`; the Scala-native equivalent
- * is a typed `mapPartitions`, which keeps the batch loop in the JVM with no
- * Arrow hop.
+ * The decode step is behind the [[MediaDecoder]] contract with
+ * [[StubDecoder]] as the sandbox default; everything around it — schema,
+ * typed mapPartitions batching, partition sizing — is the real production
+ * shape. In PySpark this stage would be `mapInPandas`; the Scala-native
+ * equivalent is a typed `mapPartitions`, which keeps the batch loop in
+ * the JVM with no Arrow hop.
  */
 object Multimodal {
 
-  /** Decoded-media metadata produced by the (stubbed) decoder. */
+  /** Decoded-media metadata produced by the decoder's probe. */
   final case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
       height: Long, n_frames: Long)
 
@@ -27,16 +86,6 @@ object Multimodal {
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
-
-  /**
-   * STUB decoder: derives fake dimensions deterministically from payload
-   * length. A real build replaces ONLY this function with a codec call
-   * (e.g. javacv / TwelveMonkeys); the call sites do not change.
-   */
-  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val len = payload.length.toLong
-    (64 + len % 512, 64 + (len * 7) % 512, len % 30 + 1) // (width, height, frames)
-  }
 
   /** Attach a binary payload column (here: utf-8 of the text, as the fake
     * media bytes the decode stage consumes). */
@@ -49,13 +98,13 @@ object Multimodal {
    * memory, no driver involvement, parallelism = input splits.
    */
   def decodeMetadata(spark: SparkSession, withPayload: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String, decoder: MediaDecoder = StubDecoder): DataFrame = {
     import spark.implicits._
     withPayload.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val (w, h, f) = decodeStub(payload)
+          val (w, h, f) = decoder.probe(payload)
           MediaMeta(id, payload.length.toLong, w, h, f)
         }
       }
@@ -68,31 +117,8 @@ object Multimodal {
       features: Array[Float])
 
   /**
-   * STUB frame extractor: slices `frameLen` bytes at a deterministic
-   * per-frame offset — the stand-in for "decode frame i and resize to the
-   * model's input size". A real build replaces ONLY this function.
-   */
-  def frameStub(payload: Array[Byte], frameIdx: Long, frameLen: Int): Array[Byte] = {
-    if (payload.isEmpty) return Array.emptyByteArray
-    val off = ((frameIdx * 2654435761L) % payload.length).toInt.abs
-    Array.tabulate(math.min(frameLen, payload.length))(i =>
-      payload((off + i) % payload.length))
-  }
-
-  /**
-   * STUB feature extractor: `dim` byte-histogram-ish floats from the frame
-   * bytes — the stand-in for an image-encoder forward. Deterministic.
-   */
-  def featureStub(frame: Array[Byte], dim: Int): Array[Float] = {
-    val f = new Array[Float](dim)
-    var i = 0
-    while (i < frame.length) { f(i % dim) += (frame(i) & 0xFF) / 255.0f; i += 1 }
-    f
-  }
-
-  /**
    * Frame sampling + per-frame featurization: for each media payload, emit
-   * every `stride`-th frame (capped at `maxFrames`) with its stub-decoded
+   * every `stride`-th frame (capped at `maxFrames`) with its decoded
    * bytes and feature vector. The 1->N row explosion happens INSIDE the
    * typed mapPartitions (an iterator flatMap — frames stream out without
    * materializing a per-doc list), which is the production shape for video:
@@ -102,17 +128,17 @@ object Multimodal {
    */
   def sampleFrames(spark: SparkSession, withPayload: DataFrame, idCol: String,
       stride: Int = 2, maxFrames: Int = 8, frameLen: Int = 64,
-      featDim: Int = 8): DataFrame = {
+      featDim: Int = 8, decoder: MediaDecoder = StubDecoder): DataFrame = {
     import spark.implicits._
     require(stride >= 1 && maxFrames >= 1)
     withPayload.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          val (_, _, nFrames) = decodeStub(payload)
+          val (_, _, nFrames) = decoder.probe(payload)
           (0L until nFrames by stride.toLong).take(maxFrames).iterator.map { fi =>
-            val bytes = frameStub(payload, fi, frameLen)
-            Frame(id, fi, bytes, featureStub(bytes, featDim))
+            val bytes = decoder.decodeFrame(payload, fi, frameLen)
+            Frame(id, fi, bytes, decoder.features(bytes, featDim))
           }
         }
       }

@@ -163,6 +163,28 @@ class OpsSpec extends SparkSpec {
     assert(key(frames) == key(again))
   }
 
+  test("multimodal: a custom MediaDecoder plugs in with no operator change") {
+    // a "codec" that reports exactly 2 frames and constant 3-byte frames —
+    // the operators must route every decode call through it
+    object TwoFrameDecoder extends graft.ops.MediaDecoder {
+      override def probe(p: Array[Byte]): (Long, Long, Long) = (320L, 240L, 2L)
+      override def decodeFrame(p: Array[Byte], i: Long, len: Int): Array[Byte] =
+        Array[Byte](1, 2, i.toByte)
+      override def features(f: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(f.length.toFloat)
+    }
+    val withPayload = Multimodal.withBinaryPayload(docs, "text")
+    val meta = Multimodal.decodeMetadata(spark, withPayload, "doc_id",
+      decoder = TwoFrameDecoder).collect()
+    assert(meta.forall(r => r.getLong(2) == 320L && r.getLong(4) == 2L))
+    val frames = Multimodal.sampleFrames(spark, withPayload, "doc_id",
+      stride = 1, maxFrames = 8, frameLen = 16, featDim = 2,
+      decoder = TwoFrameDecoder).collect()
+    assert(frames.length == docs.count() * 2) // 2 frames per doc, stride 1
+    assert(frames.forall(r => r.getAs[Array[Byte]](2).toSeq.take(2) == Seq(1.toByte, 2.toByte)))
+    assert(frames.forall(r => r.getSeq[Float](3) == Seq(3.0f, 3.0f)))
+  }
+
   test("text quality + langid produce bounded scores") {
     val q = Text.qualityScore(docs, "text", "doc_id").collect()
     assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
