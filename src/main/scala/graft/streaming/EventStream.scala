@@ -54,6 +54,24 @@ object EventStream {
   final case class DedupDecision(doc_id: Long, content_hash: String,
       keep: Boolean, keep_id: Long)
 
+  /** The streaming dedup operators emit LONG ids. Fail fast on a
+    * non-integral id column instead of letting the cast produce nulls that
+    * die later in the typed encoder (their batch twins are id-type
+    * generic; string ids must be hashed to long — e.g. `xxhash64(id)` —
+    * BEFORE entering the stream, an explicit and collision-aware choice
+    * the operator refuses to make silently). */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    val ok = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    require(ok, s"$op needs an integral id column; '$idCol' is $dt — " +
+      "hash non-numeric ids to long explicitly (e.g. xxhash64) upstream")
+  }
+
+  /** Timeout mode for an optional processing-time state TTL. */
+  private def ttlConf(stateTtl: Option[String]): GroupStateTimeout =
+    if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
   /**
    * Streaming exact dedup: the incremental twin of [[graft.ops.Dedup
    * .exactGroups]]. Keyed by md5(normalized text) — the same 16-byte
@@ -69,26 +87,37 @@ object EventStream {
    * group; the stream keeps the FIRST-SEEN doc_id — identical whenever
    * arrival order follows doc_id (the file-stream fixture), divergent under
    * reordering, which is inherent to single-pass dedup.
+   *
+   * `stateTtl` (e.g. `Some("1 hour")`): optional processing-time TTL for
+   * long-running production streams — a content hash not re-seen within
+   * the TTL is evicted (a later duplicate of an evicted doc re-enters as a
+   * fresh canonical). Default None = exact unbounded-horizon dedup.
    */
   def streamingExactDedup(spark: SparkSession, docs: DataFrame,
-      textCol: String, idCol: String): Dataset[DedupDecision] = {
+      textCol: String, idCol: String,
+      stateTtl: Option[String] = None): Dataset[DedupDecision] = {
     import spark.implicits._
+    requireIntegralId(docs, idCol, "streamingExactDedup")
     docs.select(col(idCol).cast("long").as("doc_id"),
         md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("content_hash"))
       .as[Doc]
       .groupByKey(_.content_hash)
       .flatMapGroupsWithState[DedupState, DedupDecision](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, ttlConf(stateTtl)) {
         (hash: String, ds: Iterator[Doc], state: GroupState[DedupState]) =>
-          var st = state.getOption.getOrElse(DedupState(-1L, 0L))
-          val out = ds.map { d =>
-            val first = st.nSeen == 0L
-            if (first) st = DedupState(d.doc_id, 1L)
-            else st = st.copy(nSeen = st.nSeen + 1L)
-            DedupDecision(d.doc_id, hash, keep = first, keep_id = st.keepId)
-          }.toList // materialize before state.update (iterator is lazy)
-          state.update(st)
-          out.iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(DedupState(-1L, 0L))
+            val out = ds.map { d =>
+              val first = st.nSeen == 0L
+              if (first) st = DedupState(d.doc_id, 1L)
+              else st = st.copy(nSeen = st.nSeen + 1L)
+              DedupDecision(d.doc_id, hash, keep = first, keep_id = st.keepId)
+            }.toList // materialize before state.update (iterator is lazy)
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
       }
   }
 
@@ -115,12 +144,18 @@ object EventStream {
    * operator's degenerate-boilerplate drop). A pair colliding in several
    * bands emits once per band — dedup downstream on (doc_a, doc_b).
    * State is O(buckets x maxBucket x k longs), behind the same
-   * (band, key) shuffle the batch candidate join uses.
+   * (band, key) shuffle the batch candidate join uses. `stateTtl` adds an
+   * optional processing-time eviction of buckets not touched within the
+   * TTL, bounding state on unbounded production streams (an evicted
+   * bucket's members can no longer be matched — a deliberate recall/state
+   * tradeoff the caller opts into).
    */
   def streamingMinhashDedup(spark: SparkSession, docs: DataFrame,
       textCol: String, idCol: String, n: Int, k: Int, bands: Int,
-      tau: Double, maxBucket: Int = 1000): Dataset[NearDup] = {
+      tau: Double, maxBucket: Int = 1000,
+      stateTtl: Option[String] = None): Dataset[NearDup] = {
     import spark.implicits._
+    requireIntegralId(docs, idCol, "streamingMinhashDedup")
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sh = graft.functions.WordShingles.wordShingles(col(textCol), n)
@@ -141,26 +176,30 @@ object EventStream {
       .as[BandDoc]
       .groupByKey(_.bkey)
       .flatMapGroupsWithState[BucketState, NearDup](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, ttlConf(stateTtl)) {
         (bkey: String, ds: Iterator[BandDoc], state: GroupState[BucketState]) =>
-          val band = bkey.takeWhile(_ != ':').toInt
-          var members = state.getOption.getOrElse(BucketState(Nil)).members
-          val out = scala.collection.mutable.ListBuffer.empty[NearDup]
-          ds.foreach { d =>
-            if (!members.exists(_._1 == d.doc_id) && members.size < maxBucket) {
-              members.foreach { case (mid, msig) =>
-                val same = msig.iterator.zip(d.minhash.iterator).count { case (a, b) => a == b }
-                val jhat = same.toDouble / k
-                if (jhat >= tau) {
-                  val (a, b) = if (mid < d.doc_id) (mid, d.doc_id) else (d.doc_id, mid)
-                  out += NearDup(a, b, band, math.round(jhat * 1e6) / 1e6)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = bkey.takeWhile(_ != ':').toInt
+            var members = state.getOption.getOrElse(BucketState(Nil)).members
+            val out = scala.collection.mutable.ListBuffer.empty[NearDup]
+            ds.foreach { d =>
+              if (!members.exists(_._1 == d.doc_id) && members.size < maxBucket) {
+                members.foreach { case (mid, msig) =>
+                  val same = msig.iterator.zip(d.minhash.iterator).count { case (a, b) => a == b }
+                  val jhat = same.toDouble / k
+                  if (jhat >= tau) {
+                    val (a, b) = if (mid < d.doc_id) (mid, d.doc_id) else (d.doc_id, mid)
+                    out += NearDup(a, b, band, math.round(jhat * 1e6) / 1e6)
+                  }
                 }
+                members = (d.doc_id, d.minhash) :: members
               }
-              members = (d.doc_id, d.minhash) :: members
             }
+            state.update(BucketState(members))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(BucketState(members))
-          out.iterator
       }
   }
 
@@ -183,12 +222,16 @@ object EventStream {
    * membership at `maxBucket` first-seen vectors — both bound fan-out, and
    * below the cap the two emit identical pairs (spec-checked). A pair
    * colliding in several bands emits once per band — dedup downstream.
+   * `stateTtl`: optional processing-time bucket eviction, as in
+   * [[streamingMinhashDedup]].
    */
   def streamingCosineDedup(spark: SparkSession, vecs: DataFrame,
       idCol: String, vecCol: String, tau: Double,
       nBands: Int = 20, nPlanes: Int = 4, dim: Int = 64,
-      maxBucket: Int = 1000, seed: Long = 42L): Dataset[EmbedDup] = {
+      maxBucket: Int = 1000, seed: Long = 42L,
+      stateTtl: Option[String] = None): Dataset[EmbedDup] = {
     import spark.implicits._
+    requireIntegralId(vecs, idCol, "streamingCosineDedup")
     val bandCols = graft.ops.Vectors.planePairs(nBands, nPlanes, dim, seed)
       .zipWithIndex.map { case (prs, b) =>
         struct(lit(b).as("band"),
@@ -202,39 +245,157 @@ object EventStream {
       .as[BandVec]
       .groupByKey(_.bkey)
       .flatMapGroupsWithState[VecBucketState, EmbedDup](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, ttlConf(stateTtl)) {
         (bkey: String, ds: Iterator[BandVec], state: GroupState[VecBucketState]) =>
-          val band = bkey.takeWhile(_ != ':').toInt
-          var members = state.getOption.getOrElse(VecBucketState(Nil)).members
-          val out = scala.collection.mutable.ListBuffer.empty[EmbedDup]
-          def cosine(a: Seq[Float], b: Seq[Float]): Double = {
-            var dot = 0.0; var na = 0.0; var nb = 0.0
-            val n = math.min(a.length, b.length)
-            var i = 0
-            while (i < n) {
-              val x = a(i).toDouble; val y = b(i).toDouble
-              dot += x * y; na += x * x; nb += y * y
-              i += 1
-            }
-            if (na == 0.0 || nb == 0.0) 0.0
-            else dot / (math.sqrt(na) * math.sqrt(nb))
-          }
-          ds.foreach { d =>
-            if (!members.exists(_._1 == d.vec_id) && members.size < maxBucket) {
-              members.foreach { case (mid, mvec) =>
-                val c = BigDecimal(cosine(mvec, d.embedding))
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-                if (c >= tau) {
-                  val (a, b) = if (mid < d.vec_id) (mid, d.vec_id) else (d.vec_id, mid)
-                  out += EmbedDup(a, b, band, c)
-                }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = bkey.takeWhile(_ != ':').toInt
+            var members = state.getOption.getOrElse(VecBucketState(Nil)).members
+            val out = scala.collection.mutable.ListBuffer.empty[EmbedDup]
+            def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              val n = math.min(a.length, b.length)
+              var i = 0
+              while (i < n) {
+                val x = a(i).toDouble; val y = b(i).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                i += 1
               }
-              members = (d.vec_id, d.embedding) :: members
+              if (na == 0.0 || nb == 0.0) 0.0
+              else dot / (math.sqrt(na) * math.sqrt(nb))
             }
+            ds.foreach { d =>
+              if (!members.exists(_._1 == d.vec_id) && members.size < maxBucket) {
+                members.foreach { case (mid, mvec) =>
+                  val c = BigDecimal(cosine(mvec, d.embedding))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (c >= tau) {
+                    val (a, b) = if (mid < d.vec_id) (mid, d.vec_id) else (d.vec_id, mid)
+                    out += EmbedDup(a, b, band, c)
+                  }
+                }
+                members = (d.vec_id, d.embedding) :: members
+              }
+            }
+            state.update(VecBucketState(members))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(VecBucketState(members))
-          out.iterator
       }
+  }
+
+  final case class FeatEv(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value: Double)
+  final case class FeatState(events: List[(Long, Long, String, Double)])
+
+  /**
+   * Streaming FEATURIZATION end-to-end: the incremental twin of
+   * [[graft.prep.CasprFeaturizerModel.transform]]. A fitted model's
+   * encodings and normalization statistics are applied INSIDE the
+   * latest-N state emission, so every update yields the WIDE featurized
+   * row — `event_type_1..T` (encoded long, UNK=0), `value_1..T` and
+   * `ts_days_1..T` (normalized doubles) — identical to what the batch
+   * pipeline would produce for the same event prefix (batch-parity
+   * spec-checked).
+   *
+   * Semantics mirrored from the batch plan, step by step:
+   *  - active-window filter: `pred - historyDays < ts < pred` (B1 strict
+   *    bounds), applied at ingestion;
+   *  - date feature: interval mode = calendar-day difference in the
+   *    session timezone (datediff parity via epoch-day floor, UTC
+   *    sessions), absolute mode = unix seconds;
+   *  - encoding: the fitted mapping broadcast as a plain Map; unseen/null
+   *    -> 0 (UNK) — F1 semantics without a join, the stream-side apply;
+   *  - normalization: closed-form minMax/zScore from the fitted summary
+   *    (same scalars the batch column expressions fold in);
+   *  - slotting: rank/pad-shift algebra (C1+C2) — chronological slots,
+   *    right-pad fills slots m+1..T (or left-pad shifts onto T), with the
+   *    batch imputation constants (cat 0, cont 0.0, date = normalized
+   *    window start under interval mode);
+   *  - state: at most T (ts, event_id, type, value) tuples per entity
+   *    (ties broken by event_id, the batch tiebreak), so state size is
+   *    O(entities x T) regardless of stream length.
+   *
+   * Supported stream shape: the canonical event log — one entity id, one
+   * seq cat, one seq cont, the activity date as the seq date col (exactly
+   * the q_pipeline_e2e role set). Wider role sets featurize in batch.
+   */
+  def streamingFeaturize(spark: SparkSession, events: DataFrame,
+      model: graft.prep.CasprFeaturizerModel,
+      predTs: java.sql.Timestamp): DataFrame = {
+    import spark.implicits._
+    val cfg = model.cfg
+    val r = cfg.roles
+    require(r.tgtId.size == 1 && r.seqCat.size == 1 &&
+      r.seqCols.count(r.contCols.contains) == 1 &&
+      r.seqCols.filter(r.dateCols.contains) == Seq(r.activityDate),
+      "streamingFeaturize supports the canonical (id, cat, cont, activity-date) event shape")
+    val idCol = r.tgtId.head
+    val catCol = r.seqCat.head
+    val contCol = r.seqCols.filter(r.contCols.contains).head
+    val dateFeat = cfg.dateFeature(r.activityDate)
+    val n = cfg.seqLen
+    val leftPad = cfg.leftPad
+    val normMode = cfg.normMode
+    val interval = cfg.dateMode == "interval"
+    val summary = model.summary
+    // fitted encoding as a broadcast scalar map (code stored as long, F1)
+    val encMap = spark.sparkContext.broadcast(
+      model.encodings(catCol).mapping.collect()
+        .map(rr => rr.getString(0) -> rr.getInt(1).toLong).toMap)
+    // window bounds in epoch micros (strict, B1)
+    val predUs = predTs.getTime * 1000L
+    val startUs = predUs - cfg.historyDays * 86400000000L
+    val predEpochDay = Math.floorDiv(predTs.getTime, 86400000L)
+    // batch imputation constants (transform's na.fill triple)
+    val dateFill =
+      if (interval) summary.normalizedOf(dateFeat, cfg.historyDays.toDouble, normMode)
+      else 0.0
+
+    val outSchema = StructType(
+      StructField(idCol, LongType, nullable = false) +:
+      ((1 to n).map(t => StructField(s"${catCol}_$t", LongType, nullable = false)) ++
+       (1 to n).map(t => StructField(s"${contCol}_$t", DoubleType, nullable = false)) ++
+       (1 to n).map(t => StructField(s"${dateFeat}_$t", DoubleType, nullable = false))))
+
+    events.filter(unix_micros(col(r.activityDate)) < predUs &&
+        unix_micros(col(r.activityDate)) > startUs)
+      .select(col(idCol).cast("long").as("user_id"),
+        unix_micros(col(r.activityDate)).as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        col(catCol).cast("string").as("event_type"),
+        col(contCol).cast("double").as("value"))
+      .as[FeatEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FeatState, org.apache.spark.sql.Row](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[FeatEv], state: GroupState[FeatState]) =>
+          val prev = state.getOption.getOrElse(FeatState(Nil)).events
+          // newest first with the batch event_id tiebreak, bounded at T
+          val merged = (prev ++ evs.map(e => (e.ts_us, e.event_id, e.event_type, e.value)))
+            .sortBy(t => (-t._1, -t._2)).take(n)
+          state.update(FeatState(merged))
+          val m = merged.size
+          // chronological order oldest -> newest; slot base = C2 algebra:
+          // right-pad => slots 1..m, left-pad => slots (n-m+1)..n
+          val chron = merged.reverse
+          val shift = if (leftPad) n - m else 0
+          val cats = Array.fill(n)(0L)
+          val conts = Array.fill(n)(0.0)
+          val dates = Array.fill(n)(dateFill)
+          for ((ev, i) <- chron.zipWithIndex) {
+            val slot = i + shift
+            cats(slot) = encMap.value.getOrElse(ev._3, 0L)
+            conts(slot) = summary.normalizedOf(contCol, ev._4, normMode)
+            val rawDate =
+              if (interval) (predEpochDay - Math.floorDiv(ev._1, 86400000000L)).toDouble
+              else Math.floorDiv(ev._1, 1000000L).toDouble
+            dates(slot) = summary.normalizedOf(dateFeat, rawDate, normMode)
+          }
+          org.apache.spark.sql.Row.fromSeq(
+            ((userId: Any) +: (cats.map(x => x: Any) ++
+              conts.map(x => x: Any) ++ dates.map(x => x: Any))).toIndexedSeq)
+      }(implicitly, org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**

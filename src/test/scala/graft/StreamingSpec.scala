@@ -119,6 +119,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup state TTL evicts idle keys; duplicates re-canonicalize") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val dec = EventStream.streamingExactDedup(spark,
+      mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      stateTtl = Some("50 milliseconds"))
+    val q = dec.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_ttl").start()
+    // NOTE: processAllAvailable() is unreliable while a processing-time
+    // timer is pending (the engine keeps scheduling timeout batches), so
+    // drive the assertions by polling the sink with a deadline instead
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime + 30L * 1000000000L
+      while (spark.sql("SELECT * FROM dedup_ttl").count() < n &&
+        System.nanoTime < deadline) Thread.sleep(25)
+      assert(spark.sql("SELECT * FROM dedup_ttl").count() >= n,
+        s"sink never reached $n rows")
+    }
+    try {
+      mem.addData((1L, "same content"))
+      awaitRows(1)
+      Thread.sleep(300) // let the 50 ms TTL expire and the timeout batch run
+      mem.addData((3L, "same content")) // duplicate of the EVICTED doc 1
+      awaitRows(2)
+      // doc 1's state was evicted, so doc 3 re-enters as a fresh canonical
+      // (keep=true pointing at itself) instead of keep=false -> 1
+      val r3 = spark.sql("SELECT keep, keep_id FROM dedup_ttl WHERE doc_id = 3").head()
+      assert(r3.getBoolean(0) && r3.getLong(1) == 3L,
+        s"evicted hash must re-canonicalize: $r3")
+    } finally q.stop()
+  }
+
   test("streaming embedding-cosine near-dup matches the batch banded pairs") {
     val dir = Files.createTempDirectory("graft_vecs_stream")
     Files.copy(Paths.get(s"$sf/embeddings.parquet"),
@@ -147,6 +181,47 @@ class StreamingSpec extends SparkSpec {
       streamPairs.foreach { case (pair, c) =>
         assert(math.abs(c - batch(pair)) < 1e-9, s"$pair: $c vs ${batch(pair)}")
       }
+    } finally q.stop()
+  }
+
+  test("streaming featurization emits batch-identical wide rows") {
+    import org.apache.spark.sql.functions._
+    import graft.core.{ColumnRoles, Tables}
+    import graft.prep.{CasprFeaturizer, FeaturizerConfig}
+    import graft.queries.Catalog.{HistoryDays, PredTs}
+    // fit the featurizer in batch (the reference fit/transform discipline)
+    val batchEv = Tables.load(spark, sf, "events")
+    val input = batchEv.withColumn("pred_date", to_timestamp(lit(PredTs)))
+    val roles = ColumnRoles(
+      tgtId = Seq("user_id"), activityDate = "ts", predictionDate = "pred_date",
+      catCols = Seq("event_type"), contCols = Seq("value"),
+      seqCols = Seq("event_type", "value", "ts"), nonSeqCols = Nil,
+      dateCols = Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = 5, historyDays = HistoryDays,
+      tiebreak = Seq("event_id"))
+    val model = CasprFeaturizer.fit(input, cfg)
+    val batchWide = model.transform(input)
+    val cols = batchWide.columns.sorted.toSeq
+
+    val predTs = java.sql.Timestamp.from(
+      java.time.Instant.parse(PredTs.replace(" ", "T") + "Z"))
+    val stream = EventStream.streamingFeaturize(spark,
+      EventStream.readEvents(spark, streamDir), model, predTs)
+    val q = stream.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("feat_stream").start()
+    try {
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+        df.select(cols.map { c =>
+          if (df.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+            round(col(c), 9) else col(c)
+        }: _*).collect().map(_.toSeq.toIndexedSeq).toSeq
+          .sortBy(_.mkString("|"))
+      val streamRows = canon(spark.table("feat_stream"))
+      val batchRows = canon(batchWide)
+      assert(streamRows.size == batchRows.size,
+        s"row count: stream=${streamRows.size} batch=${batchRows.size}")
+      assert(streamRows == batchRows)
     } finally q.stop()
   }
 
