@@ -122,7 +122,15 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     // attention reads the top layer's D*h-wide outputs; the reference
     // selects ONE mechanism (unified_encoder.py:186-192): heads == 1 ->
     // Bahdanau, heads > 1 -> the I5 MHA wrapper with residual + layernorm
-    // + sum-over-time pooling (attention_mechanisms.py:63-99)
+    // + sum-over-time pooling (attention_mechanisms.py:63-99).
+    // WIDTH NOTE — deliberate generalization, not line-level parity: the
+    // reference constructs the wrapper with d_model = hidden_size
+    // (unified_encoder.py:190-192) even though the LSTM outputs are
+    // D*hidden wide, so bidirectional+MHA would CRASH there on the q/k/v
+    // matmul. We size the projections oW = D*hidden (matching the actual
+    // input), which is identical to the reference when D = 1 and the
+    // working extension when D = 2 — parameter-parity comparisons must
+    // account for the doubled widths in the bidirectional case.
     if (attnHeads > 1) {
       for (n <- Seq("mq", "mk", "mv", "mo")) {
         specs += ParamSpec(s"${n}_w", outWidth, outWidth)
@@ -331,11 +339,17 @@ object LstmAE {
     var preT: DenseMatrix[Double] = null
     var attn: DenseVector[Double] = null
     // MHA caches (attention_mechanisms.py:63-99: per-head softmax(QK/√hd)V,
-    // residual + layernorm, SUM-over-time pooling)
+    // residual + layernorm, SUM-over-time pooling). Training applies the
+    // wrapper's TWO dropouts (attention_mechanisms.py:64,95): on the
+    // attention weights before @V and on the attention output before the
+    // residual add — masks drawn from the same fixed-order dropSeed RNG as
+    // the inter-layer masks, so FD checks stay exact at dropout > 0.
     var mQ: DenseMatrix[Double] = null; var mK: DenseMatrix[Double] = null
     var mV: DenseMatrix[Double] = null; var mCtx: DenseMatrix[Double] = null
     var mXhat: DenseMatrix[Double] = null
     var mAttn: Array[DenseMatrix[Double]] = null
+    var mAttnMask: Array[DenseMatrix[Double]] = null
+    var mResMask: DenseMatrix[Double] = null
     var mInv: Array[Double] = null
     val context: DenseVector[Double] =
       if (useMha) {
@@ -348,15 +362,20 @@ object LstmAE {
         val hd = oW / cfg.attnHeads
         mCtx = DenseMatrix.zeros[Double](t, oW)
         mAttn = new Array[DenseMatrix[Double]](cfg.attnHeads)
+        mAttnMask = new Array[DenseMatrix[Double]](cfg.attnHeads)
         for (hh <- 0 until cfg.attnHeads) {
           val sl = hh * hd until (hh + 1) * hd
           val a = Layers.softmaxRows((mQ(::, sl) * mK(::, sl).t) / math.sqrt(hd.toDouble))
-          mAttn(hh) = a
-          mCtx(::, sl) := a * mV(::, sl)
+          mAttn(hh) = a // raw weights cached for the softmax backward
+          mAttnMask(hh) = dropMask(t, t)
+          // x = dropout(attention) @ V (attention_mechanisms.py:64)
+          mCtx(::, sl) := masked(a, mAttnMask(hh)) * mV(::, sl)
         }
         val ctxO = mCtx * W("mo_w")
         for (i <- 0 until t) ctxO(i, ::) :+= V("mo_b").t
-        val res = outputs + ctxO
+        // q = ln(q + dropout(_q)) (attention_mechanisms.py:95)
+        mResMask = dropMask(t, oW)
+        val res = outputs + masked(ctxO, mResMask)
         // row layernorm with cached xhat + 1/sd (Layers.layerNorm semantics)
         mXhat = DenseMatrix.zeros[Double](t, oW)
         mInv = new Array[Double](t)
@@ -705,12 +724,14 @@ object LstmAE {
         val s2 = sum(dXhat *:* xhat)
         dRes(i, ::) := ((dXhat * oW.toDouble - s1 - (xhat * s2)) * (mInv(i) / oW)).t
       }
-      // res = outputs + (ctx * mo + b): residual + output projection
+      // res = outputs + drop(ctx * mo + b): residual + output projection,
+      // with the wrapper's residual-branch dropout routing the grads
       dOut :+= dRes
-      lay.mat("mo_w", grad) :+= mCtx.t * dRes
-      for (i <- 0 until t) lay.vec("mo_b", grad) :+= dRes(i, ::).t
-      val dCtx = dRes * W("mo_w").t
-      // per-head attention backward
+      val dCtxO = if (mResMask == null) dRes else dRes *:* mResMask
+      lay.mat("mo_w", grad) :+= mCtx.t * dCtxO
+      for (i <- 0 until t) lay.vec("mo_b", grad) :+= dCtxO(i, ::).t
+      val dCtx = dCtxO * W("mo_w").t
+      // per-head attention backward (ctx used the DROPPED weights)
       val hd = oW / cfg.attnHeads
       val dQ = DenseMatrix.zeros[Double](t, oW)
       val dK = DenseMatrix.zeros[Double](t, oW)
@@ -718,9 +739,11 @@ object LstmAE {
       for (hh <- 0 until cfg.attnHeads) {
         val sl = hh * hd until (hh + 1) * hd
         val a = mAttn(hh)
+        val aDrop = if (mAttnMask(hh) == null) a else a *:* mAttnMask(hh)
         val dCtxH = dCtx(::, sl)
-        dV(::, sl) :+= a.t * dCtxH
-        val dA = dCtxH * mV(::, sl).t
+        dV(::, sl) :+= aDrop.t * dCtxH
+        val dADrop = dCtxH * mV(::, sl).t
+        val dA = if (mAttnMask(hh) == null) dADrop else dADrop *:* mAttnMask(hh)
         // softmax-rows backward
         val dS = DenseMatrix.zeros[Double](t, t)
         for (i <- 0 until t) {

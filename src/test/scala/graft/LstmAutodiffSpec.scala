@@ -293,6 +293,23 @@ class LstmAutodiffSpec extends AnyFunSuite {
     assert(fg.isEmpty, s"generalized-Bahdanau mismatches:\n${fg.mkString("\n")}")
   }
 
+  test("I5 MHA wrapper dropout: FD green at dropout=0.2; serving mask-free") {
+    // attention_mechanisms.py:64,95 — dropout on the attention weights
+    // before @V and on the attention output before the residual add; fixed
+    // dropSeed makes the FD secant exact through both masks
+    val c = cfg.copy(hidden = 6, outDim = 4, attnHeads = 2, dropout = 0.2,
+      numLayers = 2, bidirectional = true, seed = 103L)
+    val f = fdCheck(c)
+    assert(f.isEmpty, s"MHA dropout mismatches:\n${f.mkString("\n")}")
+    // serving (embedOnly) ignores the MHA dropouts like every other mask
+    val l = c.layout
+    val p = c.initParams()
+    val e1 = LstmAE.lossGradEmbed(c, l, p, null, cat, cont, embedOnly = true)._2
+    val e2 = LstmAE.lossGradEmbed(c.copy(dropout = 0.0), l, p, null, cat, cont,
+      embedOnly = true)._2
+    assert(e1.toSeq == e2.toSeq)
+  }
+
   test("I5 MHA attention path trains: FD green, heads > 1 replaces Bahdanau") {
     // unified_encoder.py:186-192 selects MHA over Bahdanau at heads > 1;
     // the serving twin (Lstm.MhaSumPool) has had this path since round 4 —
