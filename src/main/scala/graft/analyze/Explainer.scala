@@ -32,6 +32,55 @@ import graft.nn.{AeConfig, TransformerAE}
 object Explainer {
 
   /**
+   * `add_across_time` join mode (_join_attributions,
+   * CASPRExplainer.py:214-231): collapse a per-(feature, timestep)
+   * attribution frame to ONE column per sequential feature by summing the
+   * feature's T timestep columns. Pure column arithmetic on the output of
+   * [[deepLift]]/[[integratedGradients]] — no extra model passes.
+   *
+   * `seqCols` are the base wide names (e.g. "event_type", "value"); their
+   * timestep columns are `attr_<col>_<t>` for t in 1..seqLen, and the
+   * summed output keeps the name `attr_<col>`.
+   */
+  def sumAcrossTime(attrs: DataFrame, seqCols: Seq[String], seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = attrs.columns.filterNot(c =>
+      seqCols.exists(s => (1 to seqLen).exists(t => c == s"attr_${s}_$t")))
+    attrs.select(keep.map(col).toIndexedSeq ++ seqCols.map { s =>
+      (1 to seqLen).map(t => col(s"attr_${s}_$t")).reduce(_ + _).as(s"attr_$s")
+    }: _*)
+  }
+
+  /**
+   * Model-level importance summary: the DATA side of the reference's
+   * `visualize` bar chart (explain/utils.py:6-41 — separate_pos_neg +
+   * column means over the explained rows). One aggregate pass:
+   * per attribution column, mean of the positive part and mean of the
+   * negative part (both over ALL rows, zeros included, exactly the
+   * reference's `attribution * (attribution >= 0)` then `np.mean`).
+   * Returns one row per feature: (feature, mean_pos, mean_neg,
+   * mean_combined = mean_pos + |mean_neg| — the stacked single-bar mode).
+   * Plotting itself stays out of engine scope (SURVEY §7.3).
+   */
+  def importanceSummary(attrs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val attrCols = attrs.columns.filter(_.startsWith("attr_")).toSeq
+    require(attrCols.nonEmpty, "no attr_ columns to summarize")
+    val aggs = attrCols.flatMap { c =>
+      Seq(avg(when(col(c) >= 0, col(c)).otherwise(lit(0.0))).as(s"${c}__pos"),
+          avg(when(col(c) < 0, col(c)).otherwise(lit(0.0))).as(s"${c}__neg"))
+    }
+    val row = attrs.agg(aggs.head, aggs.tail: _*)
+    val spark = attrs.sparkSession
+    import spark.implicits._
+    val vals = row.head()
+    attrCols.zipWithIndex.map { case (c, i) =>
+      val pos = vals.getDouble(2 * i); val neg = vals.getDouble(2 * i + 1)
+      (c.stripPrefix("attr_"), pos, neg, pos + math.abs(neg))
+    }.toDF("feature", "mean_pos", "mean_neg", "mean_combined")
+  }
+
+  /**
    * K4 DeepLift / DeepLiftShap (reference CASPRExplainer.py:70-79 —
    * captum DeepLift is the DEFAULT algorithm, IG and DeepLiftShap the
    * alternatives; the class docstring calls DeepLift "the fastest and

@@ -276,6 +276,29 @@ object MlOps extends QueryGroup {
       },
       None),
 
+    // K4 add_across_time join + K5 data-side importance summary
+    // (CASPRExplainer.py:214-231; explain/utils.py:6-41 minus the plot):
+    // DeepLift attrs -> per-feature time sums -> model-level mean pos/neg
+    QueryDef("q_explain_summary",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
+        val attrs = graft.analyze.Explainer.deepLift(wide, cfg,
+          cfg.initParams(), "user_id",
+          Seq((1 to seqLen).map(t => s"event_type_$t")),
+          Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t")),
+          targetDim = 0)
+        val acrossTime = graft.analyze.Explainer.sumAcrossTime(attrs,
+          Seq("event_type", "value", "ts_days"), seqLen)
+        val summary = graft.analyze.Explainer.importanceSummary(acrossTime)
+        summary.select(col("feature"), round(col("mean_pos"), 6).as("mean_pos"),
+          round(col("mean_neg"), 6).as("mean_neg"),
+          round(col("mean_combined"), 6).as("mean_combined"))
+      },
+      None),
+
     QueryDef("q_explain_ig",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)

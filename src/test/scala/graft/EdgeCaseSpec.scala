@@ -36,6 +36,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rep(3L).getLong(1) == 1 && rep(3L).getLong(2) == 1)
   }
 
+  test("SMOTE-NC edge cases: balanced input unchanged; singleton class replicates") {
+    import spark.implicits._
+    // already balanced -> no synthesis, output == input (same rows)
+    val bal = Seq(("a", 1.0, 0), ("b", 2.0, 0), ("a", 3.0, 1), ("b", 4.0, 1))
+      .toDF("seg", "x", "y")
+    val outBal = graft.prep.Sampling.smoteNC(bal, "y", Seq("seg"), Seq("x"))
+    assert(outBal.count() == 4)
+    assert(outBal.collect().map(_.toSeq).toSet ==
+      bal.collect().map(_.toSeq).toSet)
+    // a single-row minority has no neighbors -> replication, exact top-up
+    val single = (Seq.tabulate(5)(i => ("m", i * 1.0, 0)) :+ (("only", 9.0, 1)))
+      .toDF("seg", "x", "y")
+    val outSingle = graft.prep.Sampling.smoteNC(single, "y", Seq("seg"), Seq("x"))
+    val minority = outSingle.filter(col("y") === 1).collect()
+    assert(minority.length == 5)
+    assert(minority.forall(r => r.getString(0) == "only" && r.getDouble(1) == 9.0))
+  }
+
   test("multi-probe LSH with nProbe=1 equals the single-bucket search") {
     import spark.implicits._
     val e = graft.core.Tables.load(spark, sf, "embeddings")

@@ -132,6 +132,30 @@ class ExplainerSpec extends SparkSpec {
         s"$n: shap=${v} mean=${(m1(n) + m2(n)) / 2}") }
   }
 
+  test("sumAcrossTime + importanceSummary match hand computation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two rows, one 2-step seq feature + one already-flat feature
+    val attrs = Seq(
+      (1L, 1.0, -3.0, 0.5),
+      (2L, 2.0, 1.0, -0.25)
+    ).toDF("user_id", "attr_f_1", "attr_f_2", "attr_g")
+    val summed = graft.analyze.Explainer.sumAcrossTime(attrs, Seq("f"), 2)
+    assert(summed.columns.toSet == Set("user_id", "attr_g", "attr_f"))
+    val byId = summed.collect().map(r =>
+      r.getLong(0) -> r.getDouble(summed.columns.indexOf("attr_f"))).toMap
+    assert(byId(1L) == -2.0 && byId(2L) == 3.0) // 1-3, 2+1
+
+    // reference semantics: mean over ALL rows of the pos / neg parts
+    val s = graft.analyze.Explainer.importanceSummary(summed)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // attr_f: pos part (0, 3) -> mean 1.5; neg part (-2, 0) -> mean -1.0
+    assert(s("f") == ((1.5, -1.0, 2.5)))
+    // attr_g: pos (0.5, 0) -> 0.25; neg (0, -0.25) -> -0.125
+    assert(s("g") == ((0.25, -0.125, 0.375)))
+  }
+
   test("DeepLift equals IG in the locally-linear regime") {
     // shrink every input toward the baseline (cont scaled 1e-3, embedding
     // table scaled 1e-3): along the whole IG path grad ~ grad(x) + O(eps),

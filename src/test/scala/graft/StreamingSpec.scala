@@ -184,12 +184,11 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming featurization emits batch-identical wide rows") {
+  test("streaming featurization emits batch-identical wide rows (config grid)") {
     import org.apache.spark.sql.functions._
     import graft.core.{ColumnRoles, Tables}
     import graft.prep.{CasprFeaturizer, FeaturizerConfig}
     import graft.queries.Catalog.{HistoryDays, PredTs}
-    // fit the featurizer in batch (the reference fit/transform discipline)
     val batchEv = Tables.load(spark, sf, "events")
     val input = batchEv.withColumn("pred_date", to_timestamp(lit(PredTs)))
     val roles = ColumnRoles(
@@ -197,32 +196,40 @@ class StreamingSpec extends SparkSpec {
       catCols = Seq("event_type"), contCols = Seq("value"),
       seqCols = Seq("event_type", "value", "ts"), nonSeqCols = Nil,
       dateCols = Seq("ts"))
-    val cfg = FeaturizerConfig(roles, seqLen = 5, historyDays = HistoryDays,
-      tiebreak = Seq("event_id"))
-    val model = CasprFeaturizer.fit(input, cfg)
-    val batchWide = model.transform(input)
-    val cols = batchWide.columns.sorted.toSeq
-
     val predTs = java.sql.Timestamp.from(
       java.time.Instant.parse(PredTs.replace(" ", "T") + "Z"))
-    val stream = EventStream.streamingFeaturize(spark,
-      EventStream.readEvents(spark, streamDir), model, predTs)
-    val q = stream.writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName("feat_stream").start()
-    try {
-      q.processAllAvailable()
-      def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
-        df.select(cols.map { c =>
-          if (df.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
-            round(col(c), 9) else col(c)
-        }: _*).collect().map(_.toSeq.toIndexedSeq).toSeq
-          .sortBy(_.mkString("|"))
-      val streamRows = canon(spark.table("feat_stream"))
-      val batchRows = canon(batchWide)
-      assert(streamRows.size == batchRows.size,
-        s"row count: stream=${streamRows.size} batch=${batchRows.size}")
-      assert(streamRows == batchRows)
-    } finally q.stop()
+    // default axes AND the other side of every config axis
+    // (left-pad, z-score, absolute dates)
+    val grid = Seq(
+      ("feat_default", FeaturizerConfig(roles, seqLen = 5,
+        historyDays = HistoryDays, tiebreak = Seq("event_id"))),
+      ("feat_leftz", FeaturizerConfig(roles, seqLen = 5,
+        historyDays = HistoryDays, leftPad = true, normMode = "z_score",
+        dateMode = "absolute", tiebreak = Seq("event_id"))))
+    for ((sink, cfg) <- grid) {
+      // fit the featurizer in batch (the reference fit/transform discipline)
+      val model = CasprFeaturizer.fit(input, cfg)
+      val batchWide = model.transform(input)
+      val cols = batchWide.columns.sorted.toSeq
+      val stream = EventStream.streamingFeaturize(spark,
+        EventStream.readEvents(spark, streamDir), model, predTs)
+      val q = stream.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(sink).start()
+      try {
+        q.processAllAvailable()
+        def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+          df.select(cols.map { c =>
+            if (df.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+              round(col(c), 9) else col(c)
+          }: _*).collect().map(_.toSeq.toIndexedSeq).toSeq
+            .sortBy(_.mkString("|"))
+        val streamRows = canon(spark.table(sink))
+        val batchRows = canon(batchWide)
+        assert(streamRows.size == batchRows.size,
+          s"$sink row count: stream=${streamRows.size} batch=${batchRows.size}")
+        assert(streamRows == batchRows, s"$sink rows diverge")
+      } finally q.stop()
+    }
   }
 
   test("stateful latest-N sequences: bounded per-entity state, newest first") {
