@@ -4,7 +4,6 @@ import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, ClusteringEvaluator}
 import org.apache.spark.ml.feature.PCA
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -18,11 +17,12 @@ import org.apache.spark.sql.functions._
  */
 object Segmentation {
 
-  /** array<float> embedding column -> MLlib vector column `features`. */
-  def withFeatures(df: DataFrame, embCol: String): DataFrame = {
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    df.withColumn("features", toVec(col(embCol)))
-  }
+  /** array<float> embedding column -> MLlib vector column `features` via
+    * the built-in `ml.functions.array_to_vector` (Catalyst expression, no
+    * Scala UDF — closes the engine's last UDF exception, COVERAGE §2.M). */
+  def withFeatures(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col(embCol)))
 
   /** K1: optional PCA -> KMeans sweep over k, silhouette-scored; returns
     * (bestK, silhouette, assignments DF with `cluster`). */

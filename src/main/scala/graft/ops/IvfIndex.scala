@@ -66,9 +66,9 @@ object IvfIndex {
   def fit(corpus: DataFrame, nCells: Int, cId: String = "cid",
       vecCol: String = "embedding", seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vectors => MlVectors}
-    val toVec = udf((a: Seq[Float]) => MlVectors.dense(a.map(_.toDouble).toArray))
-    val corpusFeats = corpus.withColumn("features", toVec(col(vecCol)))
+    // built-in Catalyst expression, not a Scala UDF (COVERAGE §2.M)
+    val corpusFeats = corpus.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol)))
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cell").fit(corpusFeats)
     IvfIndex(km.clusterCenters.map(_.toArray),
