@@ -74,10 +74,11 @@ final case class CasprFeaturizerModel(
       r.seqCols.filter(r.dateCols.contains).map(cfg.dateFeature)
     val normalized = Normalize.apply(longForm(df), summary, contFeats, normMode)
 
-    val ranked = Windows.padShift(
-      Windows.latestN(
-        Windows.ranks(normalized, r.tgtId, r.activityDate, tiebreak), seqLen),
-      seqLen, leftPad)
+    // fused rank -> WindowGroupLimit -> capped count -> pad shift: one
+    // sort serves all three windows and the count runs over n-bounded
+    // rows (slot-equivalence proof at Windows.latestNSlots)
+    val ranked = Windows.latestNSlots(normalized, r.tgtId, r.activityDate,
+      seqLen, leftPad, tiebreak)
 
     val wide = Pivot.toWide(ranked, r.tgtId, cfg.seqFeatures, seqLen)
 

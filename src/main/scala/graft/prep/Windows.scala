@@ -55,8 +55,13 @@ object Windows {
     val ordered = Window.partitionBy(part: _*)
       .orderBy((col(activityDate).desc +: tiebreak.map(col(_).desc)): _*)
     val unordered = Window.partitionBy(part: _*)
-    df.withColumn("seq_len", count(lit(1)).over(unordered))
-      .withColumn("rank_desc", row_number().over(ordered))
+    // ORDERED window first: the unordered count window then plans above it
+    // and its sort-by-id requirement is prefix-satisfied by the ordered
+    // window's (id, date desc, tiebreak desc) output ordering — ONE sort
+    // per partition instead of two (plan-audited; the reverse order paid a
+    // second Sort node on every ranked scan)
+    df.withColumn("rank_desc", row_number().over(ordered))
+      .withColumn("seq_len", count(lit(1)).over(unordered))
       .withColumn("rank_asc", col("seq_len") - col("rank_desc") + 1)
   }
 
@@ -81,6 +86,41 @@ object Windows {
     val applies = if (leftPad) lit(true) else col("seq_len") >= lit(n)
     ranked.withColumn("rank",
       when(applies, col("rank_asc") + shift).otherwise(col("rank_asc")))
+  }
+
+  /**
+   * Fused C1+B3+C2 for the pivot path: rank -> keep the latest n (planned
+   * as a WindowGroupLimit pushdown: the filter sits directly above the
+   * rank window) -> seq_len/rank_asc counted over the KEPT rows -> pad
+   * shift. One Exchange + ONE Sort serve all three windows: the rank
+   * window sorts (id, date desc, tiebreak desc); the group-limit
+   * preserves that order; the count window requires only sort-by-id,
+   * which is prefix-satisfied — no second Sort node (plan-audited, frozen
+   * in PlanShapeSpec). The count also runs over n-bounded rows instead of
+   * every event.
+   *
+   * Why the capped count yields identical slots to [[ranks]]+[[latestN]]+
+   * [[padShift]] (S = true seq_len, S' = min(S, n) = count over kept rows,
+   * rd = rank_desc):
+   *  - rightPad, S >= n: shift applies under both counts (S' = n);
+   *    rank = (S - rd + 1) + (n - S) = n - rd + 1 = (S' - rd + 1) + (n - S').
+   *  - rightPad, S < n: every row is kept so S' = S; the shift applies
+   *    under neither; rank = S - rd + 1 either way.
+   *  - leftPad: shift always applies; both reduce to n - rd + 1.
+   * No slot depends on the uncapped count — seq_len here is the CAPPED
+   * value (not exposed by the pivot output; use [[ranks]] when the true
+   * sequence length itself is the deliverable).
+   */
+  def latestNSlots(df: DataFrame, tgtId: Seq[String], activityDate: String,
+      n: Int, leftPad: Boolean, tiebreak: Seq[String] = Nil): DataFrame = {
+    val part = tgtId.map(col)
+    val ordered = Window.partitionBy(part: _*)
+      .orderBy((col(activityDate).desc +: tiebreak.map(col(_).desc)): _*)
+    val unordered = Window.partitionBy(part: _*)
+    val kept = df.withColumn("rank_desc", row_number().over(ordered))
+      .filter(col("rank_desc") <= lit(n))
+    padShift(kept.withColumn("seq_len", count(lit(1)).over(unordered))
+      .withColumn("rank_asc", col("seq_len") - col("rank_desc") + 1), n, leftPad)
   }
 
   /**

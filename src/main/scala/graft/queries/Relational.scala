@@ -131,10 +131,8 @@ object Relational extends QueryGroup {
     QueryDef("q_e1_pivot",
       (s, dir) => {
         val ev = Tables.load(s, dir, "events")
-        val ranked = Windows.padShift(
-          Windows.latestN(
-            Windows.ranks(ev, Seq("user_id"), "ts", tiebreak = Seq("event_id")), 5),
-          n = 5, leftPad = false)
+        val ranked = Windows.latestNSlots(ev, Seq("user_id"), "ts",
+          n = 5, leftPad = false, tiebreak = Seq("event_id"))
         Pivot.toWide(ranked, Seq("user_id"), Seq("event_type", "value"), 5)
       },
       Some {

@@ -80,15 +80,24 @@ class PlanShapeSpec extends SparkSpec {
     // and that single shuffle sits BELOW the group-limit (the window
     // consumes it directly; nothing re-shuffles between window and pivot)
     assert(shuffles(wgl.get).filterNot(underBroadcast(features)).length == 1)
+    // r9 fused slotting: the group-limit ALSO runs partially BELOW the
+    // exchange (map-side N-per-entity pruning — the shuffle carries at
+    // most N rows per entity, not the raw event stream)
+    val wgls = features.collect { case w: WindowGroupLimitExec => w }
+    assert(wgls.length == 2, s"expected partial+final WindowGroupLimit, got ${wgls.length}")
+    assert(bulk.head.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "the map side must prune to N per entity before shuffling")
   }
 
   test("q_e1_pivot: pivot aggregates on the window shuffle, no extra exchange") {
     val p = plan("q_e1_pivot")
-    assert(p.collectFirst { case w: WindowGroupLimitExec => w }.isDefined,
-      "latest-N before pivot must push down as WindowGroupLimit")
+    assert(p.collect { case w: WindowGroupLimitExec => w }.length == 2,
+      "latest-N before pivot must push down as partial+final WindowGroupLimit")
     val bulk = shuffles(p).filterNot(underBroadcast(p))
     assert(bulk.length == 1 && keyedOn(bulk.head, "user_id"),
       s"pivot path must shuffle once on the entity id, got:\n${bulk.mkString("\n")}")
+    assert(bulk.head.collect { case w: WindowGroupLimitExec => w }.nonEmpty,
+      "the map side must prune to N per entity before shuffling")
   }
 
   test("q_f1_encode_join: encoding apply is a broadcast join, never a shuffle of the corpus") {
