@@ -30,10 +30,35 @@ import org.apache.spark.sql.util.QueryExecutionListener
  * need); later actions on the same result recompute uncached — correct,
  * just not re-accelerated. Listener delivery is async (Spark's listener
  * bus), so "clean" is eventual — within milliseconds in practice;
- * [[graft.core.CacheScope.drain]] blocks until delivered for tests and
- * strict callers.
+ * [[graft.core.CacheScope.awaitClean]] blocks until delivered for tests
+ * and strict callers.
+ *
+ * Bindings are REFERENCE-COUNTED per cache entry: re-invoking an operator
+ * with an identical plan rebinds the same CacheManager entry, and without
+ * the count an earlier invocation's async listener would evict the entry
+ * out from under the newer invocation's running action (observed as a
+ * 2-3x dedup slowdown in back-to-back bench passes). A microsecond-scale
+ * race remains between a rebind's cache() and its count increment — its
+ * worst case is an uncached recompute, never a wrong result.
  */
 object CacheScope {
+
+  /** Identity key: CachedRDDBuilder is a case class (structural equals),
+    * but the scope contract is about one SPECIFIC cache entry instance. */
+  private final class Ref(val b: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(b)
+    override def equals(o: Any): Boolean = o match {
+      case r: Ref => r.b eq b
+      case _ => false
+    }
+  }
+
+  /** Live autoUnpersist bindings per cache entry. Re-invoking an operator
+    * with an identical plan REBINDS the same CacheManager entry (plan-
+    * keyed dedup); without refcounting, the earlier invocation's async
+    * listener would unpersist the shared entry out from under the newer
+    * invocation's action, silently degrading it to uncached recompute. */
+  private val holds = new java.util.concurrent.ConcurrentHashMap[Ref, Integer]()
 
   def autoUnpersist(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -44,7 +69,10 @@ object CacheScope {
       case r: InMemoryRelation => r.cacheBuilder
     }
     target.foreach { builder =>
+      val key = new Ref(builder)
+      holds.merge(key, 1, (a, b) => a + b)
       val listener = new QueryExecutionListener {
+        private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
         private def consumes(qe: QueryExecution): Boolean =
           // don't fire on the probe that *builds* the cache entry — only on
           // plans that READ it (root != the relation itself is not required:
@@ -53,10 +81,17 @@ object CacheScope {
             case r: InMemoryRelation => r.cacheBuilder eq builder
             case _ => false
           }
-        private def done(qe: QueryExecution): Unit = if (consumes(qe)) {
-          df.unpersist(blocking = false)
-          spark.listenerManager.unregister(this)
-        }
+        private def done(qe: QueryExecution): Unit =
+          if (consumes(qe) && fired.compareAndSet(false, true)) {
+            // release THIS binding; evict only when no newer invocation
+            // still holds the entry
+            val left = holds.merge(key, -1, (a, b) => a + b)
+            if (left <= 0) {
+              holds.remove(key)
+              df.unpersist(blocking = false)
+            }
+            spark.listenerManager.unregister(this)
+          }
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit = done(qe)
         override def onFailure(funcName: String, qe: QueryExecution,

@@ -84,7 +84,7 @@ object Sampling {
       // shuffle-fetch order is nondeterministic — a content-derived block
       // makes membership, quotas and draws reproducible run-to-run)
       val withBlock = cls.withColumn("__block",
-        pmod(xxhash64(schema.fieldNames.map(col) :+ lit(seed): _*),
+        pmod(xxhash64((schema.fieldNames.toIndexedSeq.map(col) :+ lit(seed)): _*),
           lit(nBlocks.toLong)).cast("int"))
       // per-block row counts -> largest-remainder quotas summing to `need`
       val blockCounts = withBlock.groupBy(col("__block"))

@@ -381,6 +381,16 @@ class OpsSpec extends SparkSpec {
         .write.format("noop").mode("overwrite").save()
     }
     assert(m.isEmpty, s"minhashLshPairs leaked cached RDDs: $m")
+    // back-to-back identical invocations rebind the same cache entry —
+    // the refcount must keep invocation 2 cached while invocation 1's
+    // async listener drains, and still leave the session clean at the end
+    val m2 = newBlocksAfter {
+      Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 16, 4, 0.4)
+        .write.format("noop").mode("overwrite").save()
+      Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 16, 4, 0.4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(m2.isEmpty, s"repeated minhashLshPairs leaked cached RDDs: $m2")
     val g = newBlocksAfter {
       val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
       Dedup.dedupGroups(pairs).write.format("noop").mode("overwrite").save()

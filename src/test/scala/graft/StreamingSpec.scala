@@ -232,6 +232,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming inference: featurize -> scorer emits batch-identical embeddings") {
+    import org.apache.spark.sql.functions._
+    import graft.core.{ColumnRoles, Tables}
+    import graft.prep.{CasprFeaturizer, FeaturizerConfig}
+    import graft.queries.Catalog.{HistoryDays, PredTs}
+    val batchEv = Tables.load(spark, sf, "events")
+    val input = batchEv.withColumn("pred_date", to_timestamp(lit(PredTs)))
+    val roles = ColumnRoles(
+      tgtId = Seq("user_id"), activityDate = "ts", predictionDate = "pred_date",
+      catCols = Seq("event_type"), contCols = Seq("value"),
+      seqCols = Seq("event_type", "value", "ts"), nonSeqCols = Nil,
+      dateCols = Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = 5, historyDays = HistoryDays,
+      tiebreak = Seq("event_id"))
+    val model = CasprFeaturizer.fit(input, cfg)
+    val vocab = (model.encodings("event_type").mapping.count() + 1)
+    val scorer = graft.ml.CasprScorer.forWide(
+      graft.nn.TransformerConfig(dModel = 8, heads = 2, layers = 1, pf = 8),
+      "user_id", Map("event_type" -> vocab), 5,
+      seqCat = Seq("event_type"), seqCont = Seq("value", "ts_days"))
+    // the scorer is a projection + mapPartitions with broadcast weights, so
+    // the SAME model object transforms the batch wide frame and the
+    // streaming featurized frame — end-to-end streaming inference
+    val batchEmb = scorer.transform(model.transform(input))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val predTs = java.sql.Timestamp.from(
+      java.time.Instant.parse(PredTs.replace(" ", "T") + "Z"))
+    val streamWide = EventStream.streamingFeaturize(spark,
+      EventStream.readEvents(spark, streamDir), model, predTs)
+    val q = scorer.transform(streamWide)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("stream_emb").start()
+    try {
+      q.processAllAvailable()
+      val streamEmb = spark.table("stream_emb")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(streamEmb.keySet == batchEmb.keySet)
+      assert(streamEmb.forall { case (id, e) => e == batchEmb(id) },
+        "streaming embeddings diverge from batch")
+    } finally q.stop()
+  }
+
   test("stateful latest-N sequences: bounded per-entity state, newest first") {
     val events = EventStream.readEvents(spark, streamDir)
     val seqs = EventStream.latestNSequences(spark, events, n = 5)
