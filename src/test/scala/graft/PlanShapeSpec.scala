@@ -100,6 +100,14 @@ class PlanShapeSpec extends SparkSpec {
       "the map side must prune to N per entity before shuffling")
   }
 
+  test("q_c1_rank: one sort serves both windows (ordered-first planning)") {
+    val p = plan("q_c1_rank")
+    val sorts = p.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.length == 1,
+      s"ranks() must sort once (count window prefix-satisfied), got ${sorts.length}")
+    assert(shuffles(p).length == 1 && keyedOn(shuffles(p).head, "user_id"))
+  }
+
   test("q_f1_encode_join: encoding apply is a broadcast join, never a shuffle of the corpus") {
     val p = plan("q_f1_encode_join")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
