@@ -23,20 +23,29 @@ final case class IvfIndex(centroids: Array[Array[Double]],
 
   /** Top-k cosine neighbors of each query among its `nProbe` nearest
     * cells. Only the (small) query side is broadcast and exploded; the
-    * corpus stays one row per vector, equi-joined on `cell`. */
+    * corpus stays one row per vector, equi-joined on `cell`.
+    *
+    * The nearest-cell probe is pure Catalyst (no Scala UDF): the k x d
+    * centroid matrix rides the plan as literal arrays, each squared L2
+    * distance is a codegen'd `zip_with`+`aggregate` fold, and
+    * `array_sort` over (distance, cell) structs picks the nProbe nearest
+    * (lexicographic struct order = distance first, cell-id tiebreak —
+    * identical to the former udf's stable sort). */
   def topK(queries: DataFrame, k: Int, nProbe: Int = 2,
       qId: String = "qid"): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
-    val probeCells = udf { (v: Seq[Float]) =>
-      val x = v.map(_.toDouble).toArray
-      bc.value.zipWithIndex.map { case (ctr, i) =>
-        var s = 0.0; var j = 0
-        while (j < x.length) { val d = x(j) - ctr(j); s += d * d; j += 1 }
-        (s, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
+    val dists = centroids.zipWithIndex.map { case (ctr, i) =>
+      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
+      val d2 = aggregate(
+        zip_with(col(vecCol), ctrLit, (a, b) => {
+          val d = a.cast("double") - b; d * d
+        }),
+        lit(0.0d), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(i).as("cell"))
     }
+    val probes = slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nProbe)
     val q = queries.select(col(qId), col(vecCol).as("qe"),
-      explode(probeCells(col(vecCol))).as("cell"))
+      explode(probes).as("p"))
+      .select(col(qId), col("qe"), col("p.cell").as("cell"))
     val c = assigned.select(col(cId), col(vecCol).as("ce"), col("cell"))
     val scored = broadcast(q).join(c, Seq("cell"))
       .select(col(qId), col(cId),
