@@ -319,10 +319,17 @@ object EventStream {
    * Supported stream shape: the canonical event log — one entity id, one
    * seq cat, one seq cont, the activity date as the seq date col (exactly
    * the q_pipeline_e2e role set). Wider role sets featurize in batch.
+   *
+   * State is bounded per entity (T tuples) but the ENTITY SET is not;
+   * `stateTtl` (e.g. `Some("1 hour")`) evicts entities idle past the TTL
+   * — their sequence restarts from empty if they reappear (the same
+   * opt-in recall/state tradeoff as the dedup twins). Default None keeps
+   * every entity's state for the life of the query.
    */
   def streamingFeaturize(spark: SparkSession, events: DataFrame,
       model: graft.prep.CasprFeaturizerModel,
-      predTs: java.sql.Timestamp): DataFrame = {
+      predTs: java.sql.Timestamp,
+      stateTtl: Option[String] = None): DataFrame = {
     import spark.implicits._
     val cfg = model.cfg
     val r = cfg.roles
@@ -367,14 +374,17 @@ object EventStream {
         col(contCol).cast("double").as("value"))
       .as[FeatEv]
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FeatState, org.apache.spark.sql.Row](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[FeatState, org.apache.spark.sql.Row](
+        OutputMode.Update, ttlConf(stateTtl)) {
         (userId: Long, evs: Iterator[FeatEv], state: GroupState[FeatState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           val prev = state.getOption.getOrElse(FeatState(Nil)).events
           // newest first with the batch event_id tiebreak, bounded at T
           val merged = (prev ++ evs.map(e => (e.ts_us, e.event_id, e.event_type, e.value)))
             .sortBy(t => (-t._1, -t._2)).take(n)
           state.update(FeatState(merged))
+          stateTtl.foreach(state.setTimeoutDuration)
           val m = merged.size
           // chronological order oldest -> newest; slot base = C2 algebra:
           // right-pad => slots 1..m, left-pad => slots (n-m+1)..n
@@ -392,9 +402,10 @@ object EventStream {
               else Math.floorDiv(ev._1, 1000000L).toDouble
             dates(slot) = summary.normalizedOf(dateFeat, rawDate, normMode)
           }
-          org.apache.spark.sql.Row.fromSeq(
+          Iterator(org.apache.spark.sql.Row.fromSeq(
             ((userId: Any) +: (cats.map(x => x: Any) ++
-              conts.map(x => x: Any) ++ dates.map(x => x: Any))).toIndexedSeq)
+              conts.map(x => x: Any) ++ dates.map(x => x: Any))).toIndexedSeq))
+          }
       }(implicitly, org.apache.spark.sql.Encoders.row(outSchema))
   }
 
