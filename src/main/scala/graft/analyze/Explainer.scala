@@ -203,6 +203,105 @@ object Explainer {
     }(Encoders.row(outSchema))
   }
 
+  /**
+   * The reference `explain()` loop (CASPRExplainer.py:258-272): attribute
+   * EVERY output dim of interest, not just one. One pass over the data
+   * (single mapPartitions; the per-dim loop runs inside the task against
+   * the row it already holds) instead of |dims| separate scans — output
+   * gains a `target_dim` column, one row per (example, dim).
+   *
+   * Cost is inherently |dims| backwards per row (each target dim seeds a
+   * distinct backward); what the batching saves is the repeated scan,
+   * projection and embedding-lookup work, plus |dims|-1 job launches.
+   */
+  def deepLiftAll(wide: DataFrame, cfg: AeConfig, params: Array[Double],
+      idCol: String, seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
+      targetDims: Seq[Int],
+      baselineCat: Array[Array[Array[Int]]] = Array.empty,
+      baselineCont: Array[Array[Array[Double]]] = Array.empty): DataFrame = {
+    require(targetDims.nonEmpty, "need at least one target dim")
+    require(baselineCat.length == baselineCont.length,
+      "baselineCat and baselineCont must have the same number of samples")
+    val spark = wide.sparkSession
+    val lay = cfg.layout
+    val bc = spark.sparkContext.broadcast(params)
+    val t = cfg.seqLen
+    val nCat = seqCatCols.size
+    val nCont = seqContCols.size
+    val embDims = cfg.embDims
+    val embSum = embDims.sum
+    val nBase = baselineCat.length
+    val bcBase = spark.sparkContext.broadcast((baselineCat, baselineCont))
+    val dims = targetDims.toArray
+    val proj = graft.ml.Ingress.project(wide, idCol, seqCatCols, seqContCols)
+    val outNames: Seq[String] =
+      seqCatCols.flatten.map(n => s"attr_$n") ++ seqContCols.flatten.map(n => s"attr_$n")
+    val outSchema = StructType(
+      proj.schema(0) +: StructField("target_dim", LongType, nullable = false) +:
+        outNames.map(StructField(_, DoubleType, nullable = false)))
+
+    proj.mapPartitions { rows =>
+      val p = bc.value
+      val (bCat, bCont) = bcBase.value
+      val embBase = DenseMatrix.zeros[Double](t, embSum)
+      val contBase = Array.ofDim[Double](t, nCont)
+      for (s <- 0 until nBase) {
+        for (i <- 0 until t) {
+          var off = 0
+          for (c <- 0 until nCat) {
+            val table = lay.mat(s"emb$c", p)
+            val code = math.min(math.max(bCat(s)(i)(c), 0), table.rows - 1)
+            embBase(i, off until off + embDims(c)) :+= (table(code, ::).t / nBase.toDouble).t
+            off += embDims(c)
+          }
+          for (c <- 0 until nCont) contBase(i)(c) += bCont(s)(i)(c) / nBase
+        }
+      }
+      rows.flatMap { row =>
+        val cat = graft.ml.Ingress.seqCatOf(row, t, nCat)
+        val x = graft.ml.Ingress.seqContOf(row, t, nCat, nCont)
+        val embX = DenseMatrix.zeros[Double](t, embSum)
+        for (i <- 0 until t) {
+          var off = 0
+          for (c <- 0 until nCat) {
+            val table = lay.mat(s"emb$c", p)
+            val code = math.min(math.max(cat(i)(c), 0), table.rows - 1)
+            embX(i, off until off + embDims(c)) := table(code, ::)
+            off += embDims(c)
+          }
+        }
+        dims.iterator.map { dim =>
+          val seed = DenseMatrix.zeros[Double](cfg.tEff, cfg.dModel)
+          seed(dim / cfg.dModel, dim % cfg.dModel) = 1.0
+          val scratch = new Array[Double](lay.totalSize)
+          val gradCont = Array.ofDim[Double](t, nCont)
+          val gradEmb = DenseMatrix.zeros[Double](t, embSum)
+          TransformerAE.lossAndGrad(cfg, lay, p, scratch, cat, x,
+            encSeed = seed, contGradOut = gradCont,
+            seqEmbInput = embX, seqEmbGradOut = gradEmb)
+          val out = new Array[Any](2 + nCat * t + nCont * t)
+          out(0) = row.get(0)
+          out(1) = dim.toLong
+          var idx = 2
+          var off = 0
+          for (c <- 0 until nCat) {
+            for (i <- 0 until t) {
+              var s = 0.0
+              for (j <- off until off + embDims(c))
+                s += (embX(i, j) - embBase(i, j)) * gradEmb(i, j)
+              out(idx) = s; idx += 1
+            }
+            off += embDims(c)
+          }
+          for (c <- 0 until nCont; i <- 0 until t) {
+            out(idx) = (x(i)(c) - contBase(i)(c)) * gradCont(i)(c); idx += 1
+          }
+          Row.fromSeq(out.toIndexedSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def integratedGradients(wide: DataFrame, cfg: AeConfig, params: Array[Double],
       idCol: String, seqCatCols: Seq[Seq[String]], seqContCols: Seq[Seq[String]],
       targetDim: Int, steps: Int = 32): DataFrame = {

@@ -132,6 +132,28 @@ class ExplainerSpec extends SparkSpec {
         s"$n: shap=${v} mean=${(m1(n) + m2(n)) / 2}") }
   }
 
+  test("deepLiftAll: per-dim batch equals single-dim deepLift, one pass") {
+    val dims = Seq(0, 3, 6)
+    val all = graft.analyze.Explainer.deepLiftAll(
+      wideDf(1.0), cfg, p, "user_id", seqCat, seqCont, dims)
+      .collect().map { r =>
+        r.getLong(1) -> r // (target_dim, row)
+      }.toMap
+    assert(all.keySet == dims.map(_.toLong).toSet)
+    for (d <- dims) {
+      val single = graft.analyze.Explainer.deepLift(
+        wideDf(1.0), cfg, p, "user_id", seqCat, seqCont, targetDim = d)
+      val sRow = single.collect().head
+      val aRow = all(d.toLong)
+      single.columns.zipWithIndex.foreach { case (c, i) =>
+        if (c.startsWith("attr_")) {
+          val ai = aRow.getDouble(aRow.schema.fieldIndex(c))
+          assert(ai == sRow.getDouble(i), s"dim $d col $c: $ai != ${sRow.getDouble(i)}")
+        }
+      }
+    }
+  }
+
   test("sumAcrossTime + importanceSummary match hand computation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
