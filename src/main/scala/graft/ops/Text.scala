@@ -42,6 +42,48 @@ object Text {
   }
 
   /**
+   * Context-window chunking for LLM training prep: split each document
+   * into windows of `chunkTokens` whitespace tokens with `overlap` tokens
+   * shared between consecutive windows (stride = chunkTokens − overlap).
+   * The standard pre-tokenizer packing step — a 100 TB corpus becomes the
+   * chunk table that tokenization/packing consumes.
+   *
+   * Output: (id, chunk_idx, n_tokens, chunk_text), one row per window;
+   * the last window keeps whatever remains (may be shorter). Documents
+   * with zero tokens yield no rows. Windows per doc:
+   * `1 + ceil((len − chunkTokens) / stride)` for len > chunkTokens, else 1
+   * — integer arithmetic, so the DuckDB oracle reproduces it exactly.
+   *
+   * Scale shape: one codegen'd projection (split once, `sequence` +
+   * `explode` for the 1→W fan-out, `slice`/`array_join` per window) — no
+   * shuffle, no UDF; fan-out is bounded by len/stride per doc. Chunks of
+   * a document stay in its input partition, so a downstream
+   * `repartition` decides distribution policy, not this operator.
+   */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val lenT = size(toks)
+    // ceil((len - chunk) / stride) + 1 in pure integer arithmetic
+    // (Column `/` is double division — floor().cast is the exact quotient
+    // for these positive operands)
+    val nChunks = when(lenT <= chunkTokens, lit(1))
+      .otherwise(floor((lenT - chunkTokens + stride - 1) / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"), lenT.as("__len"), nChunks.as("__n"))
+      .filter(col("__len") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)).as("__w"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        array_join(col("__w"), " ").as("chunk_text"))
+  }
+
+  /**
    * Quality scoring: char length, stopword ratio, distinct-token ratio,
    * uppercase-start flag. A doc is "quality" when it looks like prose:
    * some stopwords, low repetition.

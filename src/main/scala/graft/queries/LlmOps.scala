@@ -39,6 +39,22 @@ object LlmOps extends QueryGroup {
              |  ROUND(list_aggregate(list_transform(ts, x -> length(x)), 'sum') * 1.0 / len(ts), 6) AS avg_token_len
              |FROM t""".stripMargin)),
 
+    // Context-window chunking (LLM training prep): 40-token windows with
+    // 8-token overlap; the windows-per-doc and slice arithmetic are pure
+    // integer formulas, reproduced exactly by the DuckDB oracle
+    QueryDef("q_text_chunk",
+      (s, dir) => Text.chunk(Tables.load(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 40, overlap = 8),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+             |n AS (SELECT doc_id, ts,
+             |  CASE WHEN len(ts) <= 40 THEN 1 ELSE (len(ts) - 40 + 31) // 32 + 1 END AS nc
+             |  FROM t WHERE len(ts) > 0),
+             |e AS (SELECT doc_id, ts, unnest(range(nc)) AS ci FROM n)
+             |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+             |  CAST(len(list_slice(ts, ci*32 + 1, ci*32 + 40)) AS BIGINT) AS n_tokens,
+             |  array_to_string(list_slice(ts, ci*32 + 1, ci*32 + 40), ' ') AS chunk_text
+             |FROM e""".stripMargin)),
+
     QueryDef("q_text_quality",
       (s, dir) => Text.qualityScore(Tables.load(s, dir, "documents"), "text", "doc_id"),
       Some {

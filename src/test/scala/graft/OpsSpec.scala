@@ -185,6 +185,25 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(r => r.getSeq[Float](3) == Seq(3.0f, 3.0f)))
   }
 
+  test("context-window chunking: coverage, overlap, tail semantics") {
+    // 10 tokens, chunk 4, overlap 1 (stride 3) -> windows start 0,3,6,9:
+    // nChunks = ceil((10-4)/3)+1 = 3 ... check formula: (10-4+2)/3+1 = 3
+    // windows [1..4],[4..7],[7..10] — full coverage, 1-token overlaps
+    val doc = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b")).toDF("doc_id", "text")
+    val ch = Text.chunk(doc, "text", "doc_id", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(ch((1L, 0L)) == ((4L, "t0 t1 t2 t3")))
+    assert(ch((1L, 1L)) == ((4L, "t3 t4 t5 t6")))
+    assert(ch((1L, 2L)) == ((4L, "t6 t7 t8 t9")))
+    assert(!ch.contains((1L, 3L)))
+    // short doc: one (short) window, no padding
+    assert(ch((2L, 0L)) == ((2L, "a b")))
+    // every token of every doc appears in at least one chunk
+    val covered = ch.collect { case ((id, _), (_, txt)) if id == 1L => txt.split(" ") }
+      .flatten.toSet
+    assert(covered == (0 until 10).map(i => s"t$i").toSet)
+  }
+
   test("text quality + langid produce bounded scores") {
     val q = Text.qualityScore(docs, "text", "doc_id").collect()
     assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
