@@ -84,6 +84,53 @@ object Text {
   }
 
   /**
+   * Greedy sequence packing, the step after [[chunk]]: concatenate a
+   * document's chunks in order into packs of at most `maxTokens` tokens
+   * (start a new pack when the next chunk would overflow). Doc-scoped by
+   * design — packs never span documents, which keeps the operator a
+   * deterministic per-key fold (the cross-document packing some trainers
+   * use trades that determinism for fill ratio; compose it downstream if
+   * wanted). A chunk longer than `maxTokens` becomes its own (overflowing)
+   * pack rather than being silently truncated.
+   *
+   * Output: (id, pack_idx, n_chunks, n_tokens, pack_text). Scale shape:
+   * one shuffle keyed on the doc id (the same entity-keyed exchange shape
+   * as the featurizer), then a streaming typed fold per doc — greedy
+   * packing is inherently sequential per key, so this is the minimal
+   * plan; state per task is one pack buffer.
+   */
+  def packChunks(chunks: DataFrame, idCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1)
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(col(idCol).cast("long"), col("chunk_idx").cast("long"),
+        col("n_tokens").cast("long"), col("chunk_text"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId, it) =>
+        val ordered = it.toArray.sortBy(_._2) // chunk order within the doc
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+        var packIdx = 0L
+        var nChunks = 0L
+        var nToks = 0L
+        val sb = new StringBuilder
+        def flush(): Unit = if (nChunks > 0) {
+          out += ((docId, packIdx, nChunks, nToks, sb.result()))
+          packIdx += 1; nChunks = 0; nToks = 0; sb.clear()
+        }
+        for ((_, _, t, txt) <- ordered) {
+          if (nChunks > 0 && nToks + t > maxTokens) flush()
+          if (nChunks > 0) sb.append(' ')
+          sb.append(txt); nChunks += 1; nToks += t
+        }
+        flush()
+        out.iterator
+      }
+      .toDF(idCol, "pack_idx", "n_chunks", "n_tokens", "pack_text")
+  }
+
+  /**
    * Quality scoring: char length, stopword ratio, distinct-token ratio,
    * uppercase-start flag. A doc is "quality" when it looks like prose:
    * some stopwords, low repetition.

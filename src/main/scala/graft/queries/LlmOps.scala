@@ -55,6 +55,16 @@ object LlmOps extends QueryGroup {
              |  array_to_string(list_slice(ts, ci*32 + 1, ci*32 + 40), ' ') AS chunk_text
              |FROM e""".stripMargin)),
 
+    // Greedy per-doc sequence packing over the chunk table (rows-only:
+    // the greedy fold is sequential per key, not SQL-expressible; the
+    // invariants are spec-checked)
+    QueryDef("q_text_pack",
+      (s, dir) => Text.packChunks(
+        Text.chunk(Tables.load(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 40, overlap = 8),
+        "doc_id", maxTokens = 96),
+      None),
+
     QueryDef("q_text_quality",
       (s, dir) => Text.qualityScore(Tables.load(s, dir, "documents"), "text", "doc_id"),
       Some {

@@ -204,6 +204,31 @@ class OpsSpec extends SparkSpec {
     assert(covered == (0 until 10).map(i => s"t$i").toSet)
   }
 
+  test("sequence packing: greedy fill, cap respected, order preserved") {
+    // chunks of 4,4,2 tokens with max 8: greedy -> pack0 = [c0,c1] (8),
+    // pack1 = [c2] (2); an oversized chunk becomes its own pack unsplit
+    val chunks = Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "e f g h"), (1L, 2L, 2L, "i j"),
+      (2L, 0L, 12L, "x " * 11 + "x")
+    ).toDF("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+    val packs = Text.packChunks(chunks, "doc_id", maxTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(packs((1L, 0L)) == ((2L, 8L, "a b c d e f g h")))
+    assert(packs((1L, 1L)) == ((1L, 2L, "i j")))
+    assert(packs((2L, 0L))._2 == 12L) // oversize pack kept whole, flagged by size
+    assert(packs.size == 3)
+    // composed with chunk(): every pack <= max (given chunk <= max), and
+    // re-joining a doc's packs in order reproduces the chunk stream
+    val doc = Seq((7L, (0 until 25).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val ch = graft.ops.Text.chunk(doc, "text", "doc_id", chunkTokens = 6, overlap = 0)
+    val pk = Text.packChunks(ch, "doc_id", maxTokens = 13)
+      .orderBy("pack_idx").collect()
+    assert(pk.forall(_.getLong(3) <= 13))
+    val rejoined = pk.map(_.getString(4)).mkString(" ")
+    assert(rejoined == (0 until 25).map(i => s"w$i").mkString(" "))
+  }
+
   test("text quality + langid produce bounded scores") {
     val q = Text.qualityScore(docs, "text", "doc_id").collect()
     assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
