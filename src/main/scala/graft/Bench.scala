@@ -97,16 +97,16 @@ object Bench {
     }
   }
 
-  /** Headline subset: the flagship pipeline + one representative per
+  /** Headline subset: the flagship pipelines + one representative per
     * operator family (agg, window, pivot, normalize, dedup x3, ANN, text,
-    * multimodal, scoring, training x2). The rest of the catalog is
-    * correctness-gated in Verify. */
+    * LLM-prep e2e, multimodal, scoring, training x2). The rest of the
+    * catalog is correctness-gated in Verify. */
   val headline: Seq[String] = Seq(
     "q_pipeline_e2e", "q1_agg", "q_c1_rank", "q_e1_pivot", "q_h2_normalize",
     "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_fast",
-    "q_text_simhash", "q_text_quality", "q_ann_brute", "q_ann_lsh",
-    "q_multimodal_meta", "q_score_embeddings", "q_train_transformer",
-    "q_train_lstm_ae")
+    "q_text_simhash", "q_text_quality", "q_llm_e2e", "q_ann_brute",
+    "q_ann_lsh", "q_multimodal_meta", "q_score_embeddings",
+    "q_train_transformer", "q_train_lstm_ae")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,9 +50,18 @@ object Text {
    *
    * Output: (id, chunk_idx, n_tokens, chunk_text), one row per window;
    * the last window keeps whatever remains (may be shorter). Documents
-   * with zero tokens yield no rows. Windows per doc:
+   * with no tokens yield no rows — empty/whitespace-only text under the
+   * default tokenizer (gated on `trim(text)` being non-empty, because
+   * `split("\\s+")` of blank text yields `[""]`, size 1), or an empty
+   * array under `tokensCol`. Windows per doc:
    * `1 + ceil((len − chunkTokens) / stride)` for len > chunkTokens, else 1
    * — integer arithmetic, so the DuckDB oracle reproduces it exactly.
+   *
+   * `tokensCol`: optional pre-tokenized `array<string>` column (a real
+   * tokenizer's output) that replaces the whitespace split — window
+   * boundaries then follow the actual tokenizer, making the operator
+   * drop-in for training prep; with the column equal to the whitespace
+   * split the output is identical (spec-checked).
    *
    * Scale shape: one codegen'd projection (split once, `sequence` +
    * `explode` for the 1→W fan-out, `slice`/`array_join` per window) — no
@@ -61,19 +70,25 @@ object Text {
    * `repartition` decides distribution policy, not this operator.
    */
   def chunk(df: DataFrame, textCol: String, idCol: String,
-      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+      chunkTokens: Int, overlap: Int = 0,
+      tokensCol: Option[String] = None): DataFrame = {
     require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
       "need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = tokens(col(textCol))
+    val toks = tokensCol.map(col).getOrElse(tokens(col(textCol)))
     val lenT = size(toks)
+    // zero-token gate: the default tokenizer's split("\s+") maps blank text
+    // to [""] (size 1), so gate on the text itself; a custom tokensCol
+    // carries an honest size
+    val nonEmpty = tokensCol.map(c => size(col(c)) > 0)
+      .getOrElse(length(trim(col(textCol))) > 0)
     // ceil((len - chunk) / stride) + 1 in pure integer arithmetic
     // (Column `/` is double division — floor().cast is the exact quotient
     // for these positive operands)
     val nChunks = when(lenT <= chunkTokens, lit(1))
       .otherwise(floor((lenT - chunkTokens + stride - 1) / stride).cast("int") + 1)
-    df.select(col(idCol), toks.as("__toks"), lenT.as("__len"), nChunks.as("__n"))
-      .filter(col("__len") > 0)
+    df.filter(nonEmpty)
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__n"))
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(0), col("__n") - 1)).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
@@ -93,19 +108,24 @@ object Text {
    * wanted). A chunk longer than `maxTokens` becomes its own (overflowing)
    * pack rather than being silently truncated.
    *
+   * `tokenCountCol` (default `n_tokens`, the [[chunk]] output): the column
+   * whose counts drive pack boundaries — point it at a real tokenizer's
+   * token counts and the packs respect the actual training budget.
+   *
    * Output: (id, pack_idx, n_chunks, n_tokens, pack_text). Scale shape:
    * one shuffle keyed on the doc id (the same entity-keyed exchange shape
    * as the featurizer), then a streaming typed fold per doc — greedy
    * packing is inherently sequential per key, so this is the minimal
    * plan; state per task is one pack buffer.
    */
-  def packChunks(chunks: DataFrame, idCol: String, maxTokens: Int): DataFrame = {
+  def packChunks(chunks: DataFrame, idCol: String, maxTokens: Int,
+      tokenCountCol: String = "n_tokens"): DataFrame = {
     require(maxTokens >= 1)
     val spark = chunks.sparkSession
     import spark.implicits._
     chunks
       .select(col(idCol).cast("long"), col("chunk_idx").cast("long"),
-        col("n_tokens").cast("long"), col("chunk_text"))
+        col(tokenCountCol).cast("long"), col("chunk_text"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroups { (docId, it) =>
@@ -128,6 +148,77 @@ object Text {
         out.iterator
       }
       .toDF(idCol, "pack_idx", "n_chunks", "n_tokens", "pack_text")
+  }
+
+  /** Deterministic doc → bucket assignment for [[packChunksAcrossDocs]]:
+    * first 4 hex nibbles of md5(id) mod `nBuckets`. md5 (not xxhash64) so
+    * the DuckDB oracle computes the identical bucket. */
+  def docBucket(id: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
+  /**
+   * Cross-document greedy packing: the fill-ratio path [[packChunks]]'s
+   * scaladoc defers. Docs are hashed into `nBuckets` fixed salted buckets
+   * ([[docBucket]]); within a bucket, chunks are packed greedily in
+   * (doc_id, chunk_idx) order, so packs MAY span documents — lifting fill
+   * ratio toward maxTokens (spec-checked against the doc-scoped variant)
+   * while staying fully deterministic: bucket assignment and pack order
+   * are content-derived, never partition- or arrival-order-derived, so
+   * the same recursive-CTE oracle pattern as [[packChunks]] applies.
+   *
+   * Output: (bucket, pack_idx, n_docs, n_chunks, n_tokens, pack_text).
+   *
+   * Scale shape: one exchange hash-keyed on the bucket + a per-partition
+   * sort, then a STREAMING fold (constant memory: one pack buffer, no
+   * per-bucket materialization — unlike the doc-scoped variant there is
+   * no single-doc bound to lean on, so the fold never collects a group).
+   * `nBuckets` sets the parallelism/fill tradeoff: each bucket is packed
+   * sequentially, so choose nBuckets ≳ cluster cores at scale (buckets
+   * per task ≈ nBuckets / shuffle partitions; fill loss vs a single
+   * global sequence is negligible once buckets hold many docs).
+   */
+  def packChunksAcrossDocs(chunks: DataFrame, idCol: String, maxTokens: Int,
+      nBuckets: Int, tokenCountCol: String = "n_tokens"): DataFrame = {
+    require(maxTokens >= 1 && nBuckets >= 1)
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(docBucket(col(idCol), nBuckets).as("bucket"),
+        col(idCol).cast("long").as("__doc"), col("chunk_idx").cast("long"),
+        col(tokenCountCol).cast("long").as("__t"), col("chunk_text"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "__doc", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)]
+      .mapPartitions { it =>
+        // streaming fold over the sorted run; a partition may hold several
+        // buckets — reset pack numbering at each bucket boundary. The None
+        // sentinel flushes the final open pack.
+        var curBucket = -1L
+        var packIdx = 0L; var nDocs = 0L; var nChunks = 0L; var nToks = 0L
+        var lastDoc = -1L
+        val sb = new StringBuilder
+        def emit(): Option[(Long, Long, Long, Long, Long, String)] =
+          if (nChunks > 0) {
+            val r = (curBucket, packIdx, nDocs, nChunks, nToks, sb.result())
+            packIdx += 1; nDocs = 0; nChunks = 0; nToks = 0; lastDoc = -1
+            sb.clear()
+            Some(r)
+          } else None
+        (it.map(Option(_)) ++ Iterator(None)).flatMap {
+          case None => emit().iterator
+          case Some((b, d, _, t, txt)) =>
+            val flushed =
+              if (b != curBucket) { val e = emit(); packIdx = 0L; curBucket = b; e }
+              else if (nChunks > 0 && nToks + t > maxTokens) emit()
+              else None
+            if (nChunks > 0) sb.append(' ')
+            if (d != lastDoc) { nDocs += 1; lastDoc = d }
+            sb.append(txt); nChunks += 1; nToks += t
+            flushed.iterator
+        }
+      }
+      .toDF("bucket", "pack_idx", "n_docs", "n_chunks", "n_tokens", "pack_text")
   }
 
   /**

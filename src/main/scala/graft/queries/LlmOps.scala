@@ -19,6 +19,51 @@ object LlmOps extends QueryGroup {
       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle CTE: the 40/8 context-window chunk table `ck` (the
+    * q_text_chunk arithmetic — integer window formulas over the whitespace
+    * token array, blank docs gated exactly like [[Text.chunk]]). */
+  private val chunkCte =
+    """t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |n AS (SELECT doc_id, ts,
+      |  CASE WHEN len(ts) <= 40 THEN 1 ELSE (len(ts) - 40 + 31) // 32 + 1 END AS nc
+      |  FROM t),
+      |e AS (SELECT doc_id, ts, unnest(range(nc)) AS ci FROM n),
+      |ck AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(ts, ci*32 + 1, ci*32 + 40)) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(ts, ci*32 + 1, ci*32 + 40), ' ') AS chunk_text
+      |FROM e)""".stripMargin
+
+  /** Shared oracle CTE suffix: the greedy pack fold over an ordered chunk
+    * relation `o(…, rn)` — the sequential per-key state machine expressed
+    * as a recursive CTE (the q_dedup_groups trick): row rn folds onto row
+    * rn−1's (pack_idx, cum) state; a chunk that would overflow `maxTokens`
+    * opens the next pack. `keyCol` is the fold's partition key (`doc_id`
+    * for doc-scoped packing, `bucket` for cross-doc — the latter also
+    * carries doc_id through for the n_docs count). */
+  private def packFoldCte(keyCol: String, maxTokens: Int): String = {
+    val cols = if (keyCol == "doc_id") Seq("doc_id") else Seq(keyCol, "doc_id")
+    s"""st AS (
+       |  SELECT ${cols.mkString(", ")}, rn, n_tokens, chunk_text,
+       |    CAST(0 AS BIGINT) AS pack_idx, n_tokens AS cum
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT ${cols.map("c." + _).mkString(", ")}, c.rn, c.n_tokens, c.chunk_text,
+       |    CASE WHEN st.cum + c.n_tokens > $maxTokens
+       |         THEN st.pack_idx + 1 ELSE st.pack_idx END,
+       |    CASE WHEN st.cum + c.n_tokens > $maxTokens
+       |         THEN c.n_tokens ELSE st.cum + c.n_tokens END
+       |  FROM st JOIN o c ON c.$keyCol = st.$keyCol AND c.rn = st.rn + 1)""".stripMargin
+  }
+
+  /** Shared oracle fragment: [[Text.docBucket]] in DuckDB — first 4 hex
+    * nibbles of md5(id) mod nBuckets (md5 is lowercase hex both engines). */
+  private def docBucketSql(idExpr: String, nBuckets: Int): String = {
+    val h = s"md5(CAST($idExpr AS VARCHAR))"
+    def nib(k: Int) = s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1)"
+    s"((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) % $nBuckets)"
+  }
+
   /** Shared oracle fragment: double-precision cosine between two DOUBLE[]. */
   private def cosSql(a: String, b: String) =
     s"ROUND(list_inner_product($a,$b) / (sqrt(list_inner_product($a,$a)) * sqrt(list_inner_product($b,$b))), 6)"
@@ -45,25 +90,99 @@ object LlmOps extends QueryGroup {
     QueryDef("q_text_chunk",
       (s, dir) => Text.chunk(Tables.load(s, dir, "documents"), "text", "doc_id",
         chunkTokens = 40, overlap = 8),
-      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
-             |n AS (SELECT doc_id, ts,
-             |  CASE WHEN len(ts) <= 40 THEN 1 ELSE (len(ts) - 40 + 31) // 32 + 1 END AS nc
-             |  FROM t WHERE len(ts) > 0),
-             |e AS (SELECT doc_id, ts, unnest(range(nc)) AS ci FROM n)
-             |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
-             |  CAST(len(list_slice(ts, ci*32 + 1, ci*32 + 40)) AS BIGINT) AS n_tokens,
-             |  array_to_string(list_slice(ts, ci*32 + 1, ci*32 + 40), ' ') AS chunk_text
-             |FROM e""".stripMargin)),
+      Some(s"""WITH $chunkCte
+              |SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM ck""".stripMargin)),
 
-    // Greedy per-doc sequence packing over the chunk table (rows-only:
-    // the greedy fold is sequential per key, not SQL-expressible; the
-    // invariants are spec-checked)
+    // Greedy per-doc sequence packing over the chunk table. The fold is
+    // sequential per key, but (like q_dedup_groups' min-label propagation)
+    // it IS SQL-expressible as a recursive CTE: row rn's (pack_idx, cum)
+    // state is a function of row rn-1's — hash-matched end-to-end.
     QueryDef("q_text_pack",
       (s, dir) => Text.packChunks(
         Text.chunk(Tables.load(s, dir, "documents"), "text", "doc_id",
           chunkTokens = 40, overlap = 8),
         "doc_id", maxTokens = 96),
-      None),
+      Some(s"""WITH RECURSIVE $chunkCte,
+              |o AS (SELECT ck.*, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS rn FROM ck),
+              |${packFoldCte("doc_id", 96)}
+              |SELECT doc_id, pack_idx, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  string_agg(chunk_text, ' ' ORDER BY rn) AS pack_text
+              |FROM st GROUP BY doc_id, pack_idx""".stripMargin)),
+
+    // Cross-document packing: docs salted into 8 fixed md5 buckets, packed
+    // greedily in (doc, chunk) order within each bucket — the fill-ratio
+    // variant, still fully deterministic, same recursive-CTE oracle
+    QueryDef("q_text_pack_xdoc",
+      (s, dir) => Text.packChunksAcrossDocs(
+        Text.chunk(Tables.load(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 40, overlap = 8),
+        "doc_id", maxTokens = 96, nBuckets = 8),
+      Some(s"""WITH RECURSIVE $chunkCte,
+              |b AS (SELECT CAST(${docBucketSql("doc_id", 8)} AS BIGINT) AS bucket,
+              |  doc_id, chunk_idx, n_tokens, chunk_text FROM ck),
+              |o AS (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx) AS rn FROM b),
+              |${packFoldCte("bucket", 96)}
+              |SELECT bucket, pack_idx, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  string_agg(chunk_text, ' ' ORDER BY rn) AS pack_text
+              |FROM st GROUP BY bucket, pack_idx""".stripMargin)),
+
+    // The LLM-prep pipeline composed end-to-end: chunk -> pack ->
+    // pack-level exact dedup (keep the (doc, pack)-lexicographic first of
+    // each normalized-content group) -> stopword quality filter. One
+    // oracle-checked query proving the operators compose without schema or
+    // cache surprises.
+    QueryDef("q_llm_e2e",
+      (s, dir) => {
+        val packs = Text.packChunks(
+          Text.chunk(Tables.load(s, dir, "documents"), "text", "doc_id",
+            chunkTokens = 40, overlap = 8),
+          "doc_id", maxTokens = 96)
+        val hashed = packs.withColumn("content_hash",
+          md5(regexp_replace(trim(lower(col("pack_text"))), "\\s+", " ")))
+        // exact dedup at pack granularity: one shuffle on the 16-byte hash;
+        // min(struct) picks the lexicographic-first surviving pack
+        val kept = hashed.groupBy("content_hash")
+          .agg(min(struct(col("doc_id"), col("pack_idx"), col("n_tokens"),
+            col("pack_text"))).as("k"), count(lit(1)).as("n_dups"))
+          .select(col("content_hash"), col("k.doc_id").as("doc_id"),
+            col("k.pack_idx").as("pack_idx"), col("k.n_tokens").as("n_tokens"),
+            col("k.pack_text").as("pack_text"), col("n_dups"))
+        val t = Text.tokens(col("pack_text"))
+        val stopArr = array(Text.Stopwords.map(lit): _*)
+        kept
+          .withColumn("stop_ratio", round(
+            size(filter(t, x => array_contains(stopArr, x))).cast("double") / size(t), 6))
+          .filter(col("stop_ratio") >= 0.05)
+          .select("doc_id", "pack_idx", "content_hash", "n_tokens", "n_dups",
+            "stop_ratio")
+      },
+      Some {
+        val stoplist = Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH RECURSIVE $chunkCte,
+           |o AS (SELECT ck.*, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS rn FROM ck),
+           |${packFoldCte("doc_id", 96)},
+           |pk AS (SELECT doc_id, pack_idx, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |    string_agg(chunk_text, ' ' ORDER BY rn) AS pack_text
+           |  FROM st GROUP BY doc_id, pack_idx),
+           |h AS (SELECT pk.*,
+           |    md5(regexp_replace(trim(lower(pack_text)), '\\s+', ' ', 'g')) AS content_hash
+           |  FROM pk),
+           |r AS (SELECT h.*,
+           |    ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id, pack_idx) AS rk,
+           |    COUNT(*) OVER (PARTITION BY content_hash) AS n_dups
+           |  FROM h),
+           |k AS (SELECT doc_id, pack_idx, content_hash, n_tokens,
+           |    CAST(n_dups AS BIGINT) AS n_dups,
+           |    regexp_split_to_array(lower(pack_text), '\\s+') AS pts
+           |  FROM r WHERE rk = 1),
+           |q AS (SELECT doc_id, pack_idx, content_hash, n_tokens, n_dups,
+           |    ROUND(len(list_filter(pts, x -> list_contains($stoplist, x))) * 1.0 / len(pts), 6) AS stop_ratio
+           |  FROM k)
+           |SELECT doc_id, pack_idx, content_hash, n_tokens, n_dups, stop_ratio
+           |FROM q WHERE stop_ratio >= 0.05""".stripMargin
+      }),
 
     QueryDef("q_text_quality",
       (s, dir) => Text.qualityScore(Tables.load(s, dir, "documents"), "text", "doc_id"),
@@ -343,19 +462,42 @@ object LlmOps extends QueryGroup {
     // --- multimodal plumbing --------------------------------------------
 
     // Frame sampling: media rows -> frame rows inside one typed
-    // mapPartitions (stub codec, real 1->N batch shape); scalar projection
-    // keeps the rows-only output sortable
+    // mapPartitions (stub codec, real 1->N batch shape). The stub codec's
+    // frame arithmetic — frame count, stride/cap selection, rotating-offset
+    // byte slice — is pure integer math, so the projection (frame length +
+    // unsigned byte sum) hash-matches a DuckDB oracle that re-derives every
+    // frame byte from hex(payload); the float feature path stays
+    // spec-covered (OpsSpec).
     QueryDef("q_multimodal_frames",
       (s, dir) => {
+        import s.implicits._
         val frames = Multimodal.sampleFrames(s,
           Multimodal.withBinaryPayload(Tables.load(s, dir, "documents"), "text"),
           "doc_id")
-        frames.select(col("doc_id"), col("frame_idx"),
-          length(col("frame_bytes")).cast("long").as("frame_byte_len"),
-          round(sqrt(aggregate(col("features"), lit(0.0d),
-            (a, x) => a + x.cast("double") * x.cast("double"))), 6).as("feat_norm"))
+        frames.select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
+          .as[(Long, Long, Array[Byte])]
+          .map { case (d, fi, b) =>
+            (d, fi, b.length.toLong, b.foldLeft(0L)((a, x) => a + (x & 0xFF)))
+          }
+          .toDF("doc_id", "frame_idx", "frame_byte_len", "byte_sum")
       },
-      None),
+      Some("""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents),
+             |f AS (SELECT doc_id, hx, len, len % 30 + 1 AS nf FROM d),
+             |fr AS (SELECT doc_id, hx, len, unnest(range(0, nf, 2)) AS fi FROM f),
+             |cap AS (SELECT doc_id, hx, len, fi,
+             |    CASE WHEN len > 0 THEN (fi * 2654435761) % len ELSE 0 END AS o
+             |  FROM fr WHERE fi < 16),
+             |byt AS (SELECT doc_id, fi, len, o, hx, unnest(range(least(64, len))) AS i FROM cap),
+             |v AS (SELECT doc_id, fi,
+             |    (strpos('0123456789ABCDEF', substr(hx, 2*(((o+i)%len)+1) - 1, 1)) - 1) * 16
+             |    + (strpos('0123456789ABCDEF', substr(hx, 2*(((o+i)%len)+1), 1)) - 1) AS b
+             |  FROM byt),
+             |agg AS (SELECT doc_id, fi, SUM(b) AS s FROM v GROUP BY doc_id, fi)
+             |SELECT c.doc_id, CAST(c.fi AS BIGINT) AS frame_idx,
+             |  CAST(least(64, c.len) AS BIGINT) AS frame_byte_len,
+             |  CAST(COALESCE(a.s, 0) AS BIGINT) AS byte_sum
+             |FROM cap c LEFT JOIN agg a ON a.doc_id = c.doc_id AND a.fi = c.fi""".stripMargin)),
 
     QueryDef("q_multimodal_meta",
       (s, dir) => Multimodal.decodeMetadata(s,

@@ -229,6 +229,55 @@ class OpsSpec extends SparkSpec {
     assert(rejoined == (0 until 25).map(i => s"w$i").mkString(" "))
   }
 
+  test("chunk/pack accept a custom tokenizer; whitespace twin is identical") {
+    val doc = Seq((1L, "a b c d e f g"), (2L, "h i"), (3L, "   ")).toDF("doc_id", "text")
+    // tokensCol equal to the whitespace split (blank doc -> empty array,
+    // mirroring the trim gate) must reproduce the default output exactly
+    val pre = doc.withColumn("toks",
+      when(length(trim($"text")) > 0, Text.tokens($"text"))
+        .otherwise(array().cast("array<string>")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val d = Text.chunk(doc, "text", "doc_id", chunkTokens = 3, overlap = 1)
+    val c = Text.chunk(pre, "text", "doc_id", chunkTokens = 3, overlap = 1,
+      tokensCol = Some("toks"))
+    assert(canon(c) == canon(d) && d.count() > 0)
+    // blank doc yields no rows (the stated zero-token contract)
+    assert(!d.select("doc_id").as[Long].collect().contains(3L))
+    // a real tokenizer's counts drive pack boundaries: doubling the counts
+    // under the same cap halves what fits per pack
+    val ch = Text.chunk(doc, "text", "doc_id", chunkTokens = 2, overlap = 0)
+      .withColumn("bpe_tokens", $"n_tokens" * 2)
+    val whitespace = Text.packChunks(ch, "doc_id", maxTokens = 4)
+    val bpe = Text.packChunks(ch, "doc_id", maxTokens = 4, tokenCountCol = "bpe_tokens")
+    assert(canon(bpe.drop("n_tokens")) != canon(whitespace.drop("n_tokens")))
+    assert(bpe.filter($"doc_id" === 1L).count() >
+      whitespace.filter($"doc_id" === 1L).count())
+  }
+
+  test("cross-doc packing: conservation, fill ratio dominates doc-scoped") {
+    // many short docs: doc-scoped packing strands most of each pack's
+    // budget; cross-doc packing fills toward maxTokens
+    val doc = (1L to 40L).map(i => (i, s"w${i}a w${i}b w${i}c")).toDF("doc_id", "text")
+    val ch = Text.chunk(doc, "text", "doc_id", chunkTokens = 8, overlap = 0)
+    val perDoc = Text.packChunks(ch, "doc_id", maxTokens = 24)
+    val xdoc = Text.packChunksAcrossDocs(ch, "doc_id", maxTokens = 24, nBuckets = 4)
+    // token + chunk conservation across the repartition/fold
+    assert(xdoc.agg(sum("n_tokens")).head.getLong(0) ==
+      perDoc.agg(sum("n_tokens")).head.getLong(0))
+    assert(xdoc.agg(sum("n_chunks")).head.getLong(0) == ch.count())
+    // every pack within cap (no chunk exceeds it here), spanning docs
+    assert(xdoc.filter($"n_tokens" > 24).count() == 0)
+    assert(xdoc.filter($"n_docs" > 1).count() > 0)
+    val fill = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(avg("n_tokens")).head.getDouble(0)
+    assert(fill(xdoc) > fill(perDoc))
+    // deterministic under different parallelism (content-derived buckets)
+    val again = Text.packChunksAcrossDocs(ch.repartition(7), "doc_id",
+      maxTokens = 24, nBuckets = 4)
+    assert(again.collect().map(_.toSeq).toSet == xdoc.collect().map(_.toSeq).toSet)
+  }
+
   test("text quality + langid produce bounded scores") {
     val q = Text.qualityScore(docs, "text", "doc_id").collect()
     assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
