@@ -37,9 +37,16 @@ import org.apache.spark.sql.util.QueryExecutionListener
  * with an identical plan rebinds the same CacheManager entry, and without
  * the count an earlier invocation's async listener would evict the entry
  * out from under the newer invocation's running action (observed as a
- * 2-3x dedup slowdown in back-to-back bench passes). A microsecond-scale
- * race remains between a rebind's cache() and its count increment — its
- * worst case is an uncached recompute, never a wrong result.
+ * 2-3x dedup slowdown in back-to-back bench passes). Each listener only
+ * releases for executions CREATED after its own registration (checked via
+ * the monotonic QueryExecution id): listener delivery is async, so an
+ * older invocation's completion event can arrive milliseconds after a
+ * newer binding registered — without the watermark that one event would
+ * fire both listeners, drain the count to 0 and evict before the newer
+ * invocation's action ran, reintroducing the race the refcount exists to
+ * fix. A narrow window remains (a consumer plan built before the rebind,
+ * completing after it) — its worst case is an uncached recompute, never a
+ * wrong result.
  */
 object CacheScope {
 
@@ -71,13 +78,21 @@ object CacheScope {
     target.foreach { builder =>
       val key = new Ref(builder)
       holds.merge(key, 1, (a, b) => a + b)
+      // execution-id watermark: QueryExecution ids are assigned monotonically
+      // at construction, so a fresh throwaway QueryExecution's id separates
+      // "created before this binding" from "created after". An overlapping
+      // older invocation's consuming action (created earlier, delivered
+      // later on the async listener bus) must release only ITS OWN binding,
+      // not this one.
+      val wm = spark.range(0).queryExecution.id
       val listener = new QueryExecutionListener {
         private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
         private def consumes(qe: QueryExecution): Boolean =
           // don't fire on the probe that *builds* the cache entry — only on
           // plans that READ it (root != the relation itself is not required:
-          // materializing the cache IS consuming it once)
-          qe.withCachedData.exists {
+          // materializing the cache IS consuming it once), and only on
+          // consumers created after this binding registered (id > wm)
+          qe.id > wm && qe.withCachedData.exists {
             case r: InMemoryRelation => r.cacheBuilder eq builder
             case _ => false
           }

@@ -69,8 +69,13 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     attnInputBias: Boolean = false, // generalized Bahdanau (adds ab1)
     nonSeqVocabSizes: Seq[Int] = Nil, nNonSeqCont: Int = 0,
     nsMlpDim: Int = 16, // emb_lin_layer_sizes_non_seq[-1]
-    attnHeads: Int = 1) { // > 1 selects the I5 MHA wrapper over Bahdanau
-                          // (unified_encoder.py:186-192)
+    attnHeads: Int = 1, // > 1 selects the I5 MHA wrapper over Bahdanau
+                        // (unified_encoder.py:186-192)
+    attnDropout: Double = 0.1) { // the MHA wrapper's OWN dropout rate —
+                        // the reference hardcodes
+                        // MultiHeadAttentionLSTMWrapper(dropout=0.1)
+                        // (unified_encoder.py:186-192), independent of the
+                        // inter-layer LSTM `dropout` above
   require(Seq("none", "teacher", "auto", "churn").contains(decoder))
   require(attnHeads >= 1 && (attnHeads == 1 || dirs * hidden % attnHeads == 0),
     "attention heads must divide D*hidden")
@@ -78,6 +83,7 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     "decoder hidden init = fused embedding (unified_encoder.py:271) needs outDim == hidden")
   require(numLayers >= 1)
   require(dropout >= 0.0 && dropout < 1.0)
+  require(attnDropout >= 0.0 && attnDropout < 1.0)
   def embDims: Seq[Int] = vocabSizes.map(v => Dims.embeddingDim(v.toLong))
   def inDim: Int = embDims.sum + nCont
   def hasDecoder: Boolean = decoder == "teacher" || decoder == "auto"
@@ -261,11 +267,18 @@ object LstmAE {
     // so the backward reuses exactly the forward's masks; embedOnly = the
     // serving path = identity.
     val pDrop = if (embedOnly) 0.0 else cfg.dropout
-    val dropRng = if (pDrop > 0) new java.util.Random(dropSeed) else null
-    def dropMask(r: Int, c: Int): DenseMatrix[Double] =
-      if (pDrop <= 0) null
+    // the MHA wrapper's dropouts run at their OWN reference-hardcoded rate
+    // (0.1), not the inter-layer LSTM rate; both families draw from the one
+    // fixed-order dropSeed RNG so the backward/FD reuse is unchanged
+    val pAttnDrop = if (embedOnly) 0.0 else cfg.attnDropout
+    val dropRng =
+      if (pDrop > 0 || pAttnDrop > 0) new java.util.Random(dropSeed) else null
+    def maskAt(p: Double, r: Int, c: Int): DenseMatrix[Double] =
+      if (p <= 0) null
       else DenseMatrix.tabulate(r, c)((_, _) =>
-        if (dropRng.nextDouble() < pDrop) 0.0 else 1.0 / (1.0 - pDrop))
+        if (dropRng.nextDouble() < p) 0.0 else 1.0 / (1.0 - p))
+    def dropMask(r: Int, c: Int): DenseMatrix[Double] = maskAt(pDrop, r, c)
+    def attnDropMask(r: Int, c: Int): DenseMatrix[Double] = maskAt(pAttnDrop, r, c)
     def masked(mm: DenseMatrix[Double], mask: DenseMatrix[Double]): DenseMatrix[Double] =
       if (mask == null) mm else mm *:* mask
 
@@ -342,8 +355,10 @@ object LstmAE {
     // residual + layernorm, SUM-over-time pooling). Training applies the
     // wrapper's TWO dropouts (attention_mechanisms.py:64,95): on the
     // attention weights before @V and on the attention output before the
-    // residual add — masks drawn from the same fixed-order dropSeed RNG as
-    // the inter-layer masks, so FD checks stay exact at dropout > 0.
+    // residual add — at the wrapper's own attnDropout rate (0.1 in the
+    // reference, independent of the inter-layer rate), masks drawn from
+    // the same fixed-order dropSeed RNG as the inter-layer masks, so FD
+    // checks stay exact at dropout > 0.
     var mQ: DenseMatrix[Double] = null; var mK: DenseMatrix[Double] = null
     var mV: DenseMatrix[Double] = null; var mCtx: DenseMatrix[Double] = null
     var mXhat: DenseMatrix[Double] = null
@@ -367,14 +382,14 @@ object LstmAE {
           val sl = hh * hd until (hh + 1) * hd
           val a = Layers.softmaxRows((mQ(::, sl) * mK(::, sl).t) / math.sqrt(hd.toDouble))
           mAttn(hh) = a // raw weights cached for the softmax backward
-          mAttnMask(hh) = dropMask(t, t)
+          mAttnMask(hh) = attnDropMask(t, t)
           // x = dropout(attention) @ V (attention_mechanisms.py:64)
           mCtx(::, sl) := masked(a, mAttnMask(hh)) * mV(::, sl)
         }
         val ctxO = mCtx * W("mo_w")
         for (i <- 0 until t) ctxO(i, ::) :+= V("mo_b").t
         // q = ln(q + dropout(_q)) (attention_mechanisms.py:95)
-        mResMask = dropMask(t, oW)
+        mResMask = attnDropMask(t, oW)
         val res = outputs + masked(ctxO, mResMask)
         // row layernorm with cached xhat + 1/sd (Layers.layerNorm semantics)
         mXhat = DenseMatrix.zeros[Double](t, oW)

@@ -64,11 +64,14 @@ object Sampling {
     val synthetic = counts.filter(_._2 < maxN).map { case (label, n) =>
       val need = maxN - n
       val cls = base.filter(col(labelCol) <=> lit(label))
-      // med: median of within-class cont stddevs (the SMOTENC cat penalty)
+      // med: median of within-class cont stddevs (the SMOTENC cat penalty).
+      // stddev_pop, not _samp: imblearn computes np.std(ddof=0) over the
+      // class (SMOTENC.fit_resample), and an inflated penalty can flip
+      // neighbor selection at small class sizes.
       val med =
         if (nCont == 0) 1.0
         else {
-          val devs = cls.select(contCols.map(c => stddev_samp(col(c))): _*)
+          val devs = cls.select(contCols.map(c => stddev_pop(col(c))): _*)
             .head().toSeq.map {
               case d: java.lang.Double if !d.isNaN => d.doubleValue()
               case _ => 0.0

@@ -338,6 +338,14 @@ object EventStream {
       r.seqCols.filter(r.dateCols.contains) == Seq(r.activityDate),
       "streamingFeaturize supports the canonical (id, cat, cont, activity-date) event shape")
     val idCol = r.tgtId.head
+    // same fail-fast as the dedup twins: a string id would cast to null and
+    // NPE inside the typed Long encoder; and the batch C1 tiebreak column
+    // must actually exist (it is not part of the validated role set)
+    requireIntegralId(events, idCol, "streamingFeaturize")
+    require(events.columns.contains("event_id"),
+      "streamingFeaturize needs an integral 'event_id' column — the batch " +
+        "pipeline's rank tiebreak (FeaturizerConfig.tiebreak) applied stream-side")
+    requireIntegralId(events, "event_id", "streamingFeaturize")
     val catCol = r.seqCat.head
     val contCol = r.seqCols.filter(r.contCols.contains).head
     val dateFeat = cfg.dateFeature(r.activityDate)
