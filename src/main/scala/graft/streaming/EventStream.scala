@@ -418,6 +418,78 @@ object EventStream {
   }
 
   /**
+   * Streaming context-window chunking for corpus ingest: [[graft.ops.Text
+   * .chunk]] is a STATELESS filter + projection + bounded explode, so the
+   * batch operator applies to a streaming DataFrame unchanged — this twin
+   * exists to pin that contract (batch-parity spec-checked) and to keep the
+   * corpus-ingest story symmetric with the dedup twins. No state, no
+   * watermark; fan-out bounded by len/stride per document.
+   */
+  def streamingChunk(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame =
+    graft.ops.Text.chunk(docs, textCol, idCol, chunkTokens, overlap)
+
+  final case class ChunkRow(doc_id: Long, chunk_idx: Long, n_tokens: Long,
+      chunk_text: String)
+  final case class PackState(nextPackIdx: Long)
+  final case class Pack(doc_id: Long, pack_idx: Long, n_chunks: Long,
+      n_tokens: Long, pack_text: String)
+
+  /**
+   * Streaming greedy sequence packing: the incremental twin of
+   * [[graft.ops.Text.packChunks]]. Each micro-batch packs a document's
+   * newly-arrived chunks greedily in chunk_idx order and emits the packs
+   * immediately; per-doc state is ONE long (the next pack index), so pack
+   * numbering continues monotonically if a document's chunks span batches.
+   *
+   * Parity caveat (spec-checked, same family as streamingExactDedup's
+   * first-seen-vs-min-id): identical to batch whenever a document's chunks
+   * arrive within one batch — the file-source shape, since [[Text.chunk]]
+   * emits a doc's chunks together. Chunks split across batches never merge
+   * into one pack (single-pass; an open pack is flushed at batch end
+   * rather than buffered indefinitely), and late chunks open new packs in
+   * arrival order. `stateTtl` evicts idle documents' counters.
+   */
+  def streamingPackChunks(spark: SparkSession, chunks: DataFrame,
+      idCol: String, maxTokens: Int,
+      stateTtl: Option[String] = None): Dataset[Pack] = {
+    import spark.implicits._
+    require(maxTokens >= 1)
+    requireIntegralId(chunks, idCol, "streamingPackChunks")
+    chunks
+      .select(col(idCol).cast("long").as("doc_id"), col("chunk_idx").cast("long"),
+        col("n_tokens").cast("long"), col("chunk_text"))
+      .as[ChunkRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[PackState, Pack](
+        OutputMode.Append, ttlConf(stateTtl)) {
+        (docId: Long, it: Iterator[ChunkRow], state: GroupState[PackState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var packIdx = state.getOption.map(_.nextPackIdx).getOrElse(0L)
+            val ordered = it.toArray.sortBy(_.chunk_idx)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Pack]
+            var nChunks = 0L
+            var nToks = 0L
+            val sb = new StringBuilder
+            def flush(): Unit = if (nChunks > 0) {
+              out += Pack(docId, packIdx, nChunks, nToks, sb.result())
+              packIdx += 1; nChunks = 0; nToks = 0; sb.clear()
+            }
+            for (c <- ordered) {
+              if (nChunks > 0 && nToks + c.n_tokens > maxTokens) flush()
+              if (nChunks > 0) sb.append(' ')
+              sb.append(c.chunk_text); nChunks += 1; nToks += c.n_tokens
+            }
+            flush()
+            state.update(PackState(packIdx))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  /**
    * Incremental latest-N sequence per entity: the streaming equivalent of
    * ranks+latestN+pivot. Emits the refreshed sequence on every update.
    */

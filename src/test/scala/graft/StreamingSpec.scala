@@ -56,6 +56,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk + pack emit batch-identical rows on the documents stream") {
+    val dir = Files.createTempDirectory("graft_docs_chunk")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    // chunk is stateless; pack continues per-doc numbering via state
+    val chunks = EventStream.streamingChunk(docsStream, "text", "doc_id",
+      chunkTokens = 40, overlap = 8)
+    val packs = EventStream.streamingPackChunks(spark, chunks, "doc_id",
+      maxTokens = 96)
+    val qc = chunks.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunk_stream").start()
+    val qp = packs.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pack_stream").start()
+    try {
+      qc.processAllAvailable(); qp.processAllAvailable()
+      val docs = graft.core.Tables.load(spark, sf, "documents")
+      val batchChunks = graft.ops.Text.chunk(docs, "text", "doc_id",
+        chunkTokens = 40, overlap = 8)
+      val batchPacks = graft.ops.Text.packChunks(batchChunks, "doc_id", 96)
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(_.toSeq).toSet
+      assert(canon(spark.sql("SELECT * FROM chunk_stream").collect()) ==
+        canon(batchChunks.collect()))
+      // a doc's chunks arrive in one batch -> pack output is batch-identical
+      assert(canon(spark.sql("SELECT * FROM pack_stream").collect()) ==
+        canon(batchPacks.collect()))
+    } finally { qc.stop(); qp.stop() }
+  }
+
+  test("streaming pack: chunks split across batches keep monotone pack numbering") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_chunk_batches")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      // stage then move the part file into the stream dir root (the file
+      // source does not recurse into subdirectories)
+      val stage = Files.createTempDirectory("graft_chunk_stage")
+      rows.toDF("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+        .coalesce(1).write.parquet(s"$stage/out")
+      val part = Files.list(Paths.get(s"$stage/out")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 1: doc 1 chunks 0-1 (one full pack of 8 + nothing open? no:
+    // 4+4 = 8 <= 8 stays one OPEN pack, flushed at batch end)
+    writeBatch("b1", Seq((1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "e f g h")))
+    val stream = spark.readStream
+      .schema("doc_id LONG, chunk_idx LONG, n_tokens LONG, chunk_text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val q = EventStream.streamingPackChunks(spark, stream, "doc_id", maxTokens = 8)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pack_batches").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: two more chunks -> must land in pack_idx 1 (not merge into 0)
+      writeBatch("b2", Seq((1L, 2L, 2L, "i j"), (1L, 3L, 2L, "k l")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM pack_batches ORDER BY pack_idx").collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getString(4)))
+      assert(rows.toSeq == Seq((0L, 8L, "a b c d e f g h"), (1L, 4L, "i j k l")))
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup agrees with the batch fast-path candidates") {
     val dir = Files.createTempDirectory("graft_docs_stream2")
     Files.copy(Paths.get(s"$sf/documents.parquet"),
