@@ -113,10 +113,12 @@ object Text {
    * token counts and the packs respect the actual training budget.
    *
    * Output: (id, pack_idx, n_chunks, n_tokens, pack_text). Scale shape:
-   * one shuffle keyed on the doc id (the same entity-keyed exchange shape
-   * as the featurizer), then a streaming typed fold per doc — greedy
-   * packing is inherently sequential per key, so this is the minimal
-   * plan; state per task is one pack buffer.
+   * one exchange hash-keyed on the doc id (the same entity-keyed shuffle
+   * shape as the featurizer) + a per-partition SPILLABLE sort on
+   * (doc, chunk_idx), then a streaming fold — greedy packing is
+   * inherently sequential per key, so this is the minimal plan, and task
+   * memory is one pack buffer regardless of document size (no per-doc
+   * chunk-list materialization: Spark's external sort does the ordering).
    */
   def packChunks(chunks: DataFrame, idCol: String, maxTokens: Int,
       tokenCountCol: String = "n_tokens"): DataFrame = {
@@ -124,28 +126,37 @@ object Text {
     val spark = chunks.sparkSession
     import spark.implicits._
     chunks
-      .select(col(idCol).cast("long"), col("chunk_idx").cast("long"),
-        col(tokenCountCol).cast("long"), col("chunk_text"))
+      .select(col(idCol).cast("long").as("__doc"), col("chunk_idx").cast("long"),
+        col(tokenCountCol).cast("long").as("__t"), col("chunk_text"))
+      .repartition(col("__doc"))
+      .sortWithinPartitions("__doc", "chunk_idx")
       .as[(Long, Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (docId, it) =>
-        val ordered = it.toArray.sortBy(_._2) // chunk order within the doc
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
-        var packIdx = 0L
-        var nChunks = 0L
-        var nToks = 0L
+      .mapPartitions { it =>
+        // streaming fold over the sorted run, resetting at doc boundaries;
+        // the None sentinel flushes the final open pack
+        var started = false
+        var curDoc = 0L
+        var packIdx = 0L; var nChunks = 0L; var nToks = 0L
         val sb = new StringBuilder
-        def flush(): Unit = if (nChunks > 0) {
-          out += ((docId, packIdx, nChunks, nToks, sb.result()))
-          packIdx += 1; nChunks = 0; nToks = 0; sb.clear()
+        def emit(): Option[(Long, Long, Long, Long, String)] =
+          if (nChunks > 0) {
+            val r = (curDoc, packIdx, nChunks, nToks, sb.result())
+            packIdx += 1; nChunks = 0; nToks = 0; sb.clear()
+            Some(r)
+          } else None
+        (it.map(Option(_)) ++ Iterator(None)).flatMap {
+          case None => emit().iterator
+          case Some((d, _, t, txt)) =>
+            val flushed =
+              if (!started || d != curDoc) {
+                val e = emit(); packIdx = 0L; curDoc = d; started = true; e
+              }
+              else if (nChunks > 0 && nToks + t > maxTokens) emit()
+              else None
+            if (nChunks > 0) sb.append(' ')
+            sb.append(txt); nChunks += 1; nToks += t
+            flushed.iterator
         }
-        for ((_, _, t, txt) <- ordered) {
-          if (nChunks > 0 && nToks + t > maxTokens) flush()
-          if (nChunks > 0) sb.append(' ')
-          sb.append(txt); nChunks += 1; nToks += t
-        }
-        flush()
-        out.iterator
       }
       .toDF(idCol, "pack_idx", "n_chunks", "n_tokens", "pack_text")
   }
@@ -171,8 +182,8 @@ object Text {
    *
    * Scale shape: one exchange hash-keyed on the bucket + a per-partition
    * sort, then a STREAMING fold (constant memory: one pack buffer, no
-   * per-bucket materialization — unlike the doc-scoped variant there is
-   * no single-doc bound to lean on, so the fold never collects a group).
+   * per-bucket materialization — same fold as [[packChunks]], keyed on
+   * the bucket instead of the doc).
    * `nBuckets` sets the parallelism/fill tradeoff: each bucket is packed
    * sequentially, so choose nBuckets ≳ cluster cores at scale (buckets
    * per task ≈ nBuckets / shuffle partitions; fill loss vs a single

@@ -132,31 +132,37 @@ object LlmOps extends QueryGroup {
     // pack-level exact dedup (keep the (doc, pack)-lexicographic first of
     // each normalized-content group) -> stopword quality filter. One
     // oracle-checked query proving the operators compose without schema or
-    // cache surprises.
+    // cache surprises. Plan shape: the content hash AND the quality scalar
+    // are computed map-side BEFORE the dedup groupBy, so the one exchange
+    // carries (16-byte hash, ids, two scalars) — never pack bodies — the
+    // same shuffle-hashes-not-documents rule as Dedup.exactGroups. The
+    // kept row's stop_ratio equals the oracle's
+    // computed-on-the-kept-text value because pack_text is
+    // single-space-joined by construction (tokens(raw) == tokens
+    // (normalized) modulo the lower() both sides apply).
     QueryDef("q_llm_e2e",
       (s, dir) => {
         val packs = Text.packChunks(
           Text.chunk(Tables.load(s, dir, "documents"), "text", "doc_id",
             chunkTokens = 40, overlap = 8),
           "doc_id", maxTokens = 96)
-        val hashed = packs.withColumn("content_hash",
-          md5(regexp_replace(trim(lower(col("pack_text"))), "\\s+", " ")))
-        // exact dedup at pack granularity: one shuffle on the 16-byte hash;
-        // min(struct) picks the lexicographic-first surviving pack
-        val kept = hashed.groupBy("content_hash")
-          .agg(min(struct(col("doc_id"), col("pack_idx"), col("n_tokens"),
-            col("pack_text"))).as("k"), count(lit(1)).as("n_dups"))
-          .select(col("content_hash"), col("k.doc_id").as("doc_id"),
-            col("k.pack_idx").as("pack_idx"), col("k.n_tokens").as("n_tokens"),
-            col("k.pack_text").as("pack_text"), col("n_dups"))
         val t = Text.tokens(col("pack_text"))
         val stopArr = array(Text.Stopwords.map(lit): _*)
-        kept
-          .withColumn("stop_ratio", round(
-            size(filter(t, x => array_contains(stopArr, x))).cast("double") / size(t), 6))
+        val scored = packs.select(
+          md5(regexp_replace(trim(lower(col("pack_text"))), "\\s+", " "))
+            .as("content_hash"),
+          col("doc_id"), col("pack_idx"), col("n_tokens"),
+          round(size(filter(t, x => array_contains(stopArr, x))).cast("double")
+            / size(t), 6).as("stop_ratio"))
+        // exact dedup at pack granularity: min(struct) picks the
+        // lexicographic-first surviving pack ((doc, pack) is unique)
+        scored.groupBy("content_hash")
+          .agg(min(struct(col("doc_id"), col("pack_idx"), col("n_tokens"),
+            col("stop_ratio"))).as("k"), count(lit(1)).as("n_dups"))
+          .select(col("k.doc_id").as("doc_id"), col("k.pack_idx").as("pack_idx"),
+            col("content_hash"), col("k.n_tokens").as("n_tokens"),
+            col("n_dups"), col("k.stop_ratio").as("stop_ratio"))
           .filter(col("stop_ratio") >= 0.05)
-          .select("doc_id", "pack_idx", "content_hash", "n_tokens", "n_dups",
-            "stop_ratio")
       },
       Some {
         val stoplist = Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
