@@ -108,6 +108,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p).length == 1 && keyedOn(shuffles(p).head, "user_id"))
   }
 
+  test("q_text_pack / q_text_pack_xdoc: chunking never shuffles; packing shuffles once") {
+    for ((name, key) <- Seq("q_text_pack" -> "__doc", "q_text_pack_xdoc" -> "bucket")) {
+      val p = plan(name)
+      val bulk = shuffles(p).filterNot(underBroadcast(p))
+      assert(bulk.length == 1,
+        s"$name must shuffle exactly once (the pack fold key), got ${bulk.length}:\n${bulk.mkString("\n")}")
+      assert(keyedOn(bulk.head, key),
+        s"$name's shuffle must be keyed on $key, got ${bulk.head.outputPartitioning}")
+      // the chunk fan-out (split/sequence/explode/slice) runs entirely below
+      // the exchange — one narrow pass over the corpus, no pre-shuffle
+      assert(bulk.head.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
+        s"$name: the chunk explode must sit below the pack shuffle (map-side)")
+    }
+  }
+
+  test("q_llm_e2e: dedup exchange carries hash + scalars, never pack bodies") {
+    val p = plan("q_llm_e2e")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.length == 2,
+      s"composed pipeline = pack shuffle + dedup shuffle, got ${bulk.length}:\n${bulk.mkString("\n")}")
+    // the dedup exchange is the one keyed on content_hash; its row must be
+    // the 16-byte hash plus aggregation state — no string wide enough to be
+    // pack_text (the quality scalar is computed map-side, below the shuffle)
+    val dedup = bulk.find(keyedOn(_, "content_hash"))
+    assert(dedup.isDefined, s"no content_hash-keyed exchange in:\n${bulk.mkString("\n")}")
+    val attrs = dedup.get.output.map(_.name)
+    assert(!attrs.exists(_.contains("pack_text")),
+      s"dedup exchange must not carry pack bodies, got columns: $attrs")
+    // map-side combine: a partial aggregate sits below the exchange
+    assert(dedup.get.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty, "dedup min/count must partial-aggregate before the exchange")
+  }
+
   test("q_f1_encode_join: encoding apply is a broadcast join, never a shuffle of the corpus") {
     val p = plan("q_f1_encode_join")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
