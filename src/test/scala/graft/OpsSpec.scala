@@ -278,6 +278,26 @@ class OpsSpec extends SparkSpec {
     assert(again.collect().map(_.toSeq).toSet == xdoc.collect().map(_.toSeq).toSet)
   }
 
+  test("cross-doc packing edge cases: oversize chunk isolated, empty input empty") {
+    // an oversize chunk becomes its own (overflowing) pack — never merged
+    // with neighbors, never truncated (same contract as the doc-scoped fold)
+    val chunks = Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 30L, ("x " * 29).trim), (1L, 2L, 3L, "d e f")
+    ).toDF("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+    val packs = Text.packChunksAcrossDocs(chunks, "doc_id", maxTokens = 10, nBuckets = 4)
+      .orderBy("pack_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // pack 0 = [c0] (3), pack 1 = [c1] (30, overflowing alone), pack 2 = [c2]
+    assert(packs.toSeq == Seq((0L, 1L, 3L), (1L, 1L, 30L), (2L, 1L, 3L)))
+    // empty chunk table -> empty pack table, correct schema
+    val empty = Text.packChunksAcrossDocs(chunks.filter($"doc_id" < 0),
+      "doc_id", maxTokens = 10, nBuckets = 4)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq ==
+      Seq("bucket", "pack_idx", "n_docs", "n_chunks", "n_tokens", "pack_text"))
+    assert(Text.packChunks(chunks.filter($"doc_id" < 0), "doc_id", 10).count() == 0)
+  }
+
   test("text quality + langid produce bounded scores") {
     val q = Text.qualityScore(docs, "text", "doc_id").collect()
     assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
