@@ -92,6 +92,36 @@ class CasprStageSpec extends SparkSpec {
     assert(scored.select("prediction").distinct().count() >= 1)
   }
 
+  test("Pipeline(featurize -> scorer stage -> kmeans) runs for BOTH archs") {
+    val input = Tables.load(spark, sf, "events")
+      .withColumn("pred_date", to_timestamp(lit("2024-02-01 00:00:00")))
+    val roles = ColumnRoles(Seq("user_id"), "ts", "pred_date",
+      Seq("event_type"), Seq("value"), Seq("event_type", "value", "ts"),
+      Nil, Seq("ts"))
+    val cfg = FeaturizerConfig(roles, seqLen = 4, historyDays = 21,
+      tiebreak = Seq("event_id"))
+    val vocab = Map("event_type" -> 8L)
+    val tStage = new graft.ml.CasprScorerStage(graft.ml.CasprScorer.forWide(
+      graft.nn.TransformerConfig(dModel = 8, heads = 2, layers = 1, pf = 8),
+      "user_id", vocab, seqLen = 4,
+      seqCat = Seq("event_type"), seqCont = Seq("value", "ts_days")))
+    val lStage = new graft.ml.LstmScorerStage(graft.ml.LstmScorerModel(
+      graft.nn.LstmEncoderWeights.init(hidden = 8, outDim = 6,
+        vocabSizes = Seq(8), nCont = 2),
+      "user_id",
+      Seq((1 to 4).map(t => s"event_type_$t")),
+      Seq("value", "ts_days").map(c => (1 to 4).map(t => s"${c}_$t"))))
+    for (stage <- Seq[Transformer](tStage, lStage)) {
+      val out = new Pipeline().setStages(Array(
+        new CasprStage(cfg), stage, new EmbeddingToVector(),
+        new KMeans().setK(2).setSeed(7L).setFeaturesCol("features")
+          .setPredictionCol("segment"))).fit(input).transform(input)
+      assert(out.count() == 15 && out.columns.contains("segment"))
+      // Transformer semantics: the wide columns survive alongside embedding
+      assert(out.columns.contains("event_type_1"))
+    }
+  }
+
   test("CasprModel save/load round trip restores a scoring-identical model") {
     val input = Tables.load(spark, sf, "events")
       .withColumn("pred_date", to_timestamp(lit("2024-02-01 00:00:00")))
