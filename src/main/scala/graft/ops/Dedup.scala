@@ -181,6 +181,37 @@ object Dedup {
   }
 
   /**
+   * Benchmark DECONTAMINATION: flag corpus documents that share at least
+   * `minOverlap` distinct word n-gram shingles with a held-out benchmark
+   * set — the standard eval-leakage guard every LLM training pipeline
+   * runs before pretraining (n-gram overlap against the test sets, as in
+   * the GPT-3/PaLM data papers). Returns one row per CONTAMINATED corpus
+   * doc: (id, n_shared, bench_docs) where n_shared counts distinct
+   * overlapping shingles and bench_docs counts distinct benchmark docs
+   * hit; the caller anti-joins to drop them (or inspects the rows).
+   *
+   * Scale shape: shingle both sides (codegen'd word_shingles, no
+   * shuffle), equi-join on the shingle key, hash-agg on the corpus doc —
+   * the exact candidate-join pattern of [[ngramJaccardPairs]], except the
+   * benchmark side is typically tiny (eval suites: 1e4-1e6 shingles), so
+   * Catalyst broadcasts it and the corpus never shuffles at all. A
+   * `maxShingleDf` cap is deliberately NOT applied here: a contaminated
+   * boilerplate shingle still indicates leakage, and the join fan-out is
+   * bounded by the benchmark side's size, not the corpus's.
+   */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int, minOverlap: Int): DataFrame = {
+    val c = shingles(corpus, textCol, idCol, n)
+    val b = shingles(bench, textCol, idCol, n)
+      .select(col(idCol).as("__bench_id"), col("shingle"))
+    c.join(broadcast(b), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_shared"),
+        countDistinct(col("__bench_id")).as("bench_docs"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /**
    * MinHash signatures: k independent hash functions h_i(s) = md5(i':'s);
    * the signature component i is the lexicographic minimum over the doc's
    * shingles. md5-as-string keeps the min portable across engines.

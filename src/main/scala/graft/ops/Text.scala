@@ -233,6 +233,67 @@ object Text {
   }
 
   /**
+   * Deterministic corpus split: train/dev/test labels derived from the
+   * doc id's md5 (first 4 hex nibbles, a uniform value in [0, 65536)),
+   * compared against cumulative fraction thresholds floored to integers.
+   * The corpus-prep counterpart of the RANDOM row splits (G3, spec-only):
+   * content-derived, so membership is stable across runs, partitionings
+   * and engines — which makes it fully ORACLE-CHECKABLE, and means a doc
+   * keeps its split when the corpus is re-processed (the property
+   * training pipelines actually need to avoid cross-split leakage over
+   * time). One narrow projection, no shuffle.
+   *
+   * `fractions` are (label, weight) pairs; weights are normalized. The
+   * final label absorbs the rounding remainder (thresholds floor to
+   * 1/65536 granularity — at most ~0.0015% skew per boundary).
+   */
+  def hashSplit(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "need non-empty positive split fractions")
+    val total = fractions.map(_._2).sum
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val cums = fractions.scanLeft(0.0) { case (a, (_, w)) => a + w / total }
+      .tail.map(c => math.floor(c * 65536).toLong)
+    val label = fractions.init.zip(cums.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), t), rest) =>
+        when(h < t, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", label)
+  }
+
+  /**
+   * PII scrubbing: mask emails, US-style phone numbers and IPv4 addresses
+   * with typed placeholder tokens, and count what was masked — the
+   * redaction pass corpus pipelines run before training. Patterns are
+   * deliberately restricted to constructs whose semantics agree between
+   * Java regex (Spark codegen) and RE2 (DuckDB), so the operator is
+   * oracle-checkable; a production deployment would widen the pattern
+   * set, not the plumbing. One narrow codegen projection, no shuffle, no
+   * UDF (`regexp_replace` + `regexp_count`).
+   *
+   * Output: (id, clean_text, n_emails, n_phones, n_ips). Masking order:
+   * emails, then phones, then IPs (an IP can never match inside an
+   * already-masked token).
+   */
+  def scrubPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // domain = dot-terminated segments: unambiguous to parse, so Java
+    // regex (backtracking) and RE2 (automaton) agree on match extents
+    val email = "[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9-]+\\.)+[A-Za-z]{2,}"
+    val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("clean_text"),
+      regexp_count(t, lit(email)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phone)).cast("long").as("n_phones"),
+      regexp_count(regexp_replace(t, phone, "<PHONE>"), lit(ip))
+        .cast("long").as("n_ips"))
+  }
+
+  /**
    * Quality scoring: char length, stopword ratio, distinct-token ratio,
    * uppercase-start flag. A doc is "quality" when it looks like prose:
    * some stopwords, low repetition.

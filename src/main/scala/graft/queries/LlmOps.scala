@@ -56,13 +56,18 @@ object LlmOps extends QueryGroup {
        |  FROM st JOIN o c ON c.$keyCol = st.$keyCol AND c.rn = st.rn + 1)""".stripMargin
   }
 
-  /** Shared oracle fragment: [[Text.docBucket]] in DuckDB — first 4 hex
-    * nibbles of md5(id) mod nBuckets (md5 is lowercase hex both engines). */
-  private def docBucketSql(idExpr: String, nBuckets: Int): String = {
+  /** Shared oracle fragment: the first 4 hex nibbles of md5(id) as a
+    * uniform value in [0, 65536) — the hash behind [[Text.docBucket]] and
+    * [[Text.hashSplit]] (md5 is lowercase hex in both engines). */
+  private def md5Val16Sql(idExpr: String): String = {
     val h = s"md5(CAST($idExpr AS VARCHAR))"
     def nib(k: Int) = s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1)"
-    s"((${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)}) % $nBuckets)"
+    s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
   }
+
+  /** [[Text.docBucket]] in DuckDB. */
+  private def docBucketSql(idExpr: String, nBuckets: Int): String =
+    s"(${md5Val16Sql(idExpr)} % $nBuckets)"
 
   /** Shared oracle fragment: double-precision cosine between two DOUBLE[]. */
   private def cosSql(a: String, b: String) =
@@ -188,6 +193,73 @@ object LlmOps extends QueryGroup {
            |  FROM k)
            |SELECT doc_id, pack_idx, content_hash, n_tokens, n_dups, stop_ratio
            |FROM q WHERE stop_ratio >= 0.05""".stripMargin
+      }),
+
+    // Deterministic md5 train/dev/test split: content-derived membership,
+    // stable across runs/engines — hence fully hash-matched (the random G3
+    // row splits stay spec-only by nature)
+    QueryDef("q_text_hash_split",
+      (s, dir) => Text.hashSplit(Tables.load(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "dev" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")),
+      Some(s"""WITH h AS (SELECT doc_id, ${md5Val16Sql("doc_id")} AS hv FROM documents)
+              |SELECT doc_id,
+              |  CASE WHEN hv < 52428 THEN 'train'
+              |       WHEN hv < 58982 THEN 'dev'
+              |       ELSE 'test' END AS split
+              |FROM h""".stripMargin)),
+
+    // Benchmark decontamination: corpus docs sharing >= 5 distinct
+    // 3-gram shingles with the held-out "benchmark" slice (doc_id % 10 = 0)
+    QueryDef("q_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", n = 3, minOverlap = 5)
+      },
+      Some(s"""WITH $shinglesCte,
+              |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+              |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0)
+              |SELECT c.doc_id,
+              |  CAST(COUNT(DISTINCT c.shingle) AS BIGINT) AS n_shared,
+              |  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS bench_docs
+              |FROM c JOIN b USING(shingle)
+              |GROUP BY c.doc_id
+              |HAVING COUNT(DISTINCT c.shingle) >= 5""".stripMargin)),
+
+    // PII scrub with deterministically seeded PII (the synthetic corpus
+    // has none), so the masking regexes are exercised cross-engine
+    QueryDef("q_text_scrub_pii",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text2",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7")))
+        Text.scrubPii(seeded, "text2", "doc_id")
+      },
+      Some {
+        val email = "[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9-]+\\.)+[A-Za-z]{2,}"
+        val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        s"""WITH s AS (SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |      || '@example.com or 555-123-'
+           |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(t,
+           |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g') AS clean_text,
+           |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(
+           |    regexp_replace(t, '$phone', '<PHONE>', 'g'), '$ip')) AS BIGINT) AS n_ips
+           |FROM s""".stripMargin
       }),
 
     QueryDef("q_text_quality",

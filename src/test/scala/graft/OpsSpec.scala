@@ -298,6 +298,48 @@ class OpsSpec extends SparkSpec {
     assert(Text.packChunks(chunks.filter($"doc_id" < 0), "doc_id", 10).count() == 0)
   }
 
+  test("hash split: deterministic, exhaustive labels, fractions respected") {
+    val many = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = Text.hashSplit(many, "doc_id",
+      Seq("train" -> 0.8, "dev" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "dev", "test"))
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1400 && counts("train") < 1800) // ~0.8 +- hash noise
+    // content-derived: identical under repartition, disjoint by construction
+    val again = Text.hashSplit(many.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "dev" -> 0.1, "test" -> 0.1))
+    assert(again.collect().map(_.toSeq).toSet == split.collect().map(_.toSeq).toSet)
+  }
+
+  test("decontamination flags benchmark-overlapping docs only") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // heavy overlap
+      (2L, "completely different content with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, "text", "doc_id",
+      n = 3, minOverlap = 5).collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(hits.head.getLong(1) >= 5L && hits.head.getLong(2) == 1L)
+  }
+
+  test("PII scrub masks and counts emails, phones, IPs") {
+    val d = Seq(
+      (1L, "mail me at jane.doe+x@mail.example.com or call 555-123-4567 now"),
+      (2L, "server at 192.168.1.250 and 10.0.0.7 responded"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = Text.scrubPii(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == (("mail me at <EMAIL> or call <PHONE> now", 1L, 1L, 0L)))
+    assert(out(2L) == (("server at <IP> and <IP> responded", 0L, 0L, 2L)))
+    assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
+  }
+
   test("text quality + langid produce bounded scores") {
     val q = Text.qualityScore(docs, "text", "doc_id").collect()
     assert(q.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
