@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /**
  * Text-analysis operators for LLM training-data pipelines (SURVEY.md §7.5):
@@ -112,7 +113,10 @@ object Text {
    * whose counts drive pack boundaries — point it at a real tokenizer's
    * token counts and the packs respect the actual training budget.
    *
-   * Output: (id, pack_idx, n_chunks, n_tokens, pack_text). Scale shape:
+   * Output: (id, pack_idx, n_chunks, n_tokens, pack_text). The id column
+   * keeps its NATIVE type — long surrogate keys and string UUIDs/URLs
+   * both pass through unchanged (the fold compares ids by value, never
+   * casts), so real corpora need no pre-mapping. Scale shape:
    * one exchange hash-keyed on the doc id (the same entity-keyed shuffle
    * shape as the featurizer) + a per-partition SPILLABLE sort on
    * (doc, chunk_idx), then a streaming fold — greedy packing is
@@ -123,30 +127,35 @@ object Text {
   def packChunks(chunks: DataFrame, idCol: String, maxTokens: Int,
       tokenCountCol: String = "n_tokens"): DataFrame = {
     require(maxTokens >= 1)
-    val spark = chunks.sparkSession
-    import spark.implicits._
+    val idField = chunks.schema(idCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, idField.dataType, idField.nullable),
+      StructField("pack_idx", LongType, nullable = false),
+      StructField("n_chunks", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("pack_text", StringType, nullable = false)))
     chunks
-      .select(col(idCol).cast("long").as("__doc"), col("chunk_idx").cast("long"),
-        col(tokenCountCol).cast("long").as("__t"), col("chunk_text"))
+      .select(col(idCol).as("__doc"), col("chunk_idx").cast("long").as("__ci"),
+        col(tokenCountCol).cast("long").as("__t"), col("chunk_text").as("__txt"))
       .repartition(col("__doc"))
-      .sortWithinPartitions("__doc", "chunk_idx")
-      .as[(Long, Long, Long, String)]
+      .sortWithinPartitions("__doc", "__ci")
       .mapPartitions { it =>
         // streaming fold over the sorted run, resetting at doc boundaries;
         // the None sentinel flushes the final open pack
         var started = false
-        var curDoc = 0L
+        var curDoc: Any = null
         var packIdx = 0L; var nChunks = 0L; var nToks = 0L
         val sb = new StringBuilder
-        def emit(): Option[(Long, Long, Long, Long, String)] =
+        def emit(): Option[Row] =
           if (nChunks > 0) {
-            val r = (curDoc, packIdx, nChunks, nToks, sb.result())
+            val r = Row(curDoc, packIdx, nChunks, nToks, sb.result())
             packIdx += 1; nChunks = 0; nToks = 0; sb.clear()
             Some(r)
           } else None
         (it.map(Option(_)) ++ Iterator(None)).flatMap {
           case None => emit().iterator
-          case Some((d, _, t, txt)) =>
+          case Some(row) =>
+            val d = row.get(0); val t = row.getLong(2); val txt = row.getString(3)
             val flushed =
               if (!started || d != curDoc) {
                 val e = emit(); packIdx = 0L; curDoc = d; started = true; e
@@ -157,8 +166,7 @@ object Text {
             sb.append(txt); nChunks += 1; nToks += t
             flushed.iterator
         }
-      }
-      .toDF(idCol, "pack_idx", "n_chunks", "n_tokens", "pack_text")
+      }(Encoders.row(outSchema))
   }
 
   /** Deterministic doc → bucket assignment for [[packChunksAcrossDocs]]:
@@ -192,44 +200,55 @@ object Text {
   def packChunksAcrossDocs(chunks: DataFrame, idCol: String, maxTokens: Int,
       nBuckets: Int, tokenCountCol: String = "n_tokens"): DataFrame = {
     require(maxTokens >= 1 && nBuckets >= 1)
-    val spark = chunks.sparkSession
-    import spark.implicits._
+    // id-type generic like [[packChunks]]: the doc id orders the fold
+    // within a bucket (native-type sort: numeric for longs, binary
+    // lexicographic for strings — both deterministic and engine-portable)
+    // and feeds the n_docs boundary count; it is never cast.
+    val outSchema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("pack_idx", LongType, nullable = false),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("n_chunks", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("pack_text", StringType, nullable = false)))
     chunks
       .select(docBucket(col(idCol), nBuckets).as("bucket"),
-        col(idCol).cast("long").as("__doc"), col("chunk_idx").cast("long"),
-        col(tokenCountCol).cast("long").as("__t"), col("chunk_text"))
+        col(idCol).as("__doc"), col("chunk_idx").cast("long").as("__ci"),
+        col(tokenCountCol).cast("long").as("__t"), col("chunk_text").as("__txt"))
       .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "__doc", "chunk_idx")
-      .as[(Long, Long, Long, Long, String)]
+      .sortWithinPartitions("bucket", "__doc", "__ci")
       .mapPartitions { it =>
         // streaming fold over the sorted run; a partition may hold several
         // buckets — reset pack numbering at each bucket boundary. The None
         // sentinel flushes the final open pack.
         var curBucket = -1L
         var packIdx = 0L; var nDocs = 0L; var nChunks = 0L; var nToks = 0L
-        var lastDoc = -1L
+        var lastDoc: Any = null
+        var haveDoc = false
         val sb = new StringBuilder
-        def emit(): Option[(Long, Long, Long, Long, Long, String)] =
+        def emit(): Option[Row] =
           if (nChunks > 0) {
-            val r = (curBucket, packIdx, nDocs, nChunks, nToks, sb.result())
-            packIdx += 1; nDocs = 0; nChunks = 0; nToks = 0; lastDoc = -1
+            val r = Row(curBucket, packIdx, nDocs, nChunks, nToks, sb.result())
+            packIdx += 1; nDocs = 0; nChunks = 0; nToks = 0
+            lastDoc = null; haveDoc = false
             sb.clear()
             Some(r)
           } else None
         (it.map(Option(_)) ++ Iterator(None)).flatMap {
           case None => emit().iterator
-          case Some((b, d, _, t, txt)) =>
+          case Some(row) =>
+            val b = row.getLong(0); val d = row.get(1)
+            val t = row.getLong(3); val txt = row.getString(4)
             val flushed =
               if (b != curBucket) { val e = emit(); packIdx = 0L; curBucket = b; e }
               else if (nChunks > 0 && nToks + t > maxTokens) emit()
               else None
             if (nChunks > 0) sb.append(' ')
-            if (d != lastDoc) { nDocs += 1; lastDoc = d }
+            if (!haveDoc || d != lastDoc) { nDocs += 1; lastDoc = d; haveDoc = true }
             sb.append(txt); nChunks += 1; nToks += t
             flushed.iterator
         }
-      }
-      .toDF("bucket", "pack_idx", "n_docs", "n_chunks", "n_tokens", "pack_text")
+      }(Encoders.row(outSchema))
   }
 
   /**

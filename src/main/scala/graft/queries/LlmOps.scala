@@ -12,18 +12,29 @@ import graft.ops.{Dedup, Multimodal, Text, Vectors}
  */
 object LlmOps extends QueryGroup {
 
-  /** Shared oracle CTE: distinct word 3-gram shingles per document. */
-  private val shinglesCte =
-    """toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+  /** A zero-padded STRING doc id ('d' + 6 digits) for the string-id query
+    * twins: lexicographic order equals the numeric order of the underlying
+    * key, so the long-id and string-id variants pack/group identically —
+    * what matters is that the OPERATORS never cast it. */
+  private val strIdSql = "'d' || lpad(CAST(doc_id AS VARCHAR), 6, '0')"
+  private def strIdCol = concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+
+  /** Shared oracle CTE: distinct word 3-gram shingles per document, with a
+    * pluggable doc-id expression (the string-id twins rebind it). */
+  private def shinglesCteWith(idExpr: String) =
+    s"""toks AS (SELECT $idExpr AS doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
       |idx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS i FROM toks),
       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
+  private val shinglesCte = shinglesCteWith("doc_id")
+
   /** Shared oracle CTE: the 40/8 context-window chunk table `ck` (the
     * q_text_chunk arithmetic — integer window formulas over the whitespace
-    * token array, blank docs gated exactly like [[Text.chunk]]). */
-  private val chunkCte =
-    """t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts
+    * token array, blank docs gated exactly like [[Text.chunk]]), with a
+    * pluggable doc-id expression. */
+  private def chunkCteWith(idExpr: String) =
+    s"""t AS (SELECT $idExpr AS doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts
       |  FROM documents WHERE length(trim(text)) > 0),
       |n AS (SELECT doc_id, ts,
       |  CASE WHEN len(ts) <= 40 THEN 1 ELSE (len(ts) - 40 + 31) // 32 + 1 END AS nc
@@ -33,6 +44,8 @@ object LlmOps extends QueryGroup {
       |  CAST(len(list_slice(ts, ci*32 + 1, ci*32 + 40)) AS BIGINT) AS n_tokens,
       |  array_to_string(list_slice(ts, ci*32 + 1, ci*32 + 40), ' ') AS chunk_text
       |FROM e)""".stripMargin
+
+  private val chunkCte = chunkCteWith("doc_id")
 
   /** Shared oracle CTE suffix: the greedy pack fold over an ordered chunk
     * relation `o(…, rn)` — the sequential per-key state machine expressed
@@ -124,6 +137,44 @@ object LlmOps extends QueryGroup {
           chunkTokens = 40, overlap = 8),
         "doc_id", maxTokens = 96, nBuckets = 8),
       Some(s"""WITH RECURSIVE $chunkCte,
+              |b AS (SELECT CAST(${docBucketSql("doc_id", 8)} AS BIGINT) AS bucket,
+              |  doc_id, chunk_idx, n_tokens, chunk_text FROM ck),
+              |o AS (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx) AS rn FROM b),
+              |${packFoldCte("bucket", 96)}
+              |SELECT bucket, pack_idx, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  string_agg(chunk_text, ' ' ORDER BY rn) AS pack_text
+              |FROM st GROUP BY bucket, pack_idx""".stripMargin)),
+
+    // STRING-ID twin of q_text_pack: the corpus keyed by a string doc id
+    // ('d' + zero-padded digits — the UUID/URL shape real corpora use).
+    // Exercises the id-generic fold end-to-end: no cast anywhere, the id
+    // column stays VARCHAR through chunk -> pack and hash-matches the same
+    // recursive-CTE oracle rebound to the string key.
+    QueryDef("q_text_pack_strid",
+      (s, dir) => Text.packChunks(
+        Text.chunk(Tables.load(s, dir, "documents")
+            .select(strIdCol.as("doc_id"), col("text")),
+          "text", "doc_id", chunkTokens = 40, overlap = 8),
+        "doc_id", maxTokens = 96),
+      Some(s"""WITH RECURSIVE ${chunkCteWith(strIdSql)},
+              |o AS (SELECT ck.*, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS rn FROM ck),
+              |${packFoldCte("doc_id", 96)}
+              |SELECT doc_id, pack_idx, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  string_agg(chunk_text, ' ' ORDER BY rn) AS pack_text
+              |FROM st GROUP BY doc_id, pack_idx""".stripMargin)),
+
+    // STRING-ID twin of q_text_pack_xdoc: md5 bucketing and the in-bucket
+    // (doc, chunk) sort both run on the native VARCHAR key (binary
+    // lexicographic order — identical in Spark and DuckDB)
+    QueryDef("q_text_pack_xdoc_strid",
+      (s, dir) => Text.packChunksAcrossDocs(
+        Text.chunk(Tables.load(s, dir, "documents")
+            .select(strIdCol.as("doc_id"), col("text")),
+          "text", "doc_id", chunkTokens = 40, overlap = 8),
+        "doc_id", maxTokens = 96, nBuckets = 8),
+      Some(s"""WITH RECURSIVE ${chunkCteWith(strIdSql)},
               |b AS (SELECT CAST(${docBucketSql("doc_id", 8)} AS BIGINT) AS bucket,
               |  doc_id, chunk_idx, n_tokens, chunk_text FROM ck),
               |o AS (SELECT b.*, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx) AS rn FROM b),
@@ -367,6 +418,30 @@ object LlmOps extends QueryGroup {
         Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
           "text", "doc_id", n = 3, tau = 0.4)),
       Some(s"""WITH RECURSIVE $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |pairs AS (SELECT doc_a, doc_b
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+              |  WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.4),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |cc AS (
+              |  SELECT DISTINCT a AS doc, a AS lbl FROM e
+              |  UNION
+              |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc)
+              |SELECT doc AS doc_id, MIN(lbl) AS canonical_id FROM cc GROUP BY doc""".stripMargin)),
+
+    // STRING-ID twin of q_dedup_groups: the pair graph and min-label
+    // propagation run on native VARCHAR doc ids — min() is binary
+    // lexicographic in both engines, and the zero-padded id makes that
+    // order coincide with the numeric one, so canonical representatives
+    // agree with the long-id variant by construction.
+    QueryDef("q_dedup_groups_strid",
+      (s, dir) => Dedup.dedupGroups(
+        Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents")
+            .select(strIdCol.as("doc_id"), col("text")),
+          "text", "doc_id", n = 3, tau = 0.4)),
+      Some(s"""WITH RECURSIVE ${shinglesCteWith(strIdSql)},
               |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
               |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
               |pairs AS (SELECT doc_a, doc_b

@@ -429,11 +429,7 @@ object EventStream {
       chunkTokens: Int, overlap: Int = 0): DataFrame =
     graft.ops.Text.chunk(docs, textCol, idCol, chunkTokens, overlap)
 
-  final case class ChunkRow(doc_id: Long, chunk_idx: Long, n_tokens: Long,
-      chunk_text: String)
   final case class PackState(nextPackIdx: Long)
-  final case class Pack(doc_id: Long, pack_idx: Long, n_chunks: Long,
-      n_tokens: Long, pack_text: String)
 
   /**
    * Streaming greedy sequence packing: the incremental twin of
@@ -449,44 +445,58 @@ object EventStream {
    * into one pack (single-pass; an open pack is flushed at batch end
    * rather than buffered indefinitely), and late chunks open new packs in
    * arrival order. `stateTtl` evicts idle documents' counters.
+   *
+   * Id-type generic like its batch twin: the shuffle/state key is the id's
+   * string form (lossless for integers and the identity for string
+   * UUIDs/URLs), while the emitted id column keeps its NATIVE type — the
+   * state per doc is still exactly one long (the next pack index).
    */
   def streamingPackChunks(spark: SparkSession, chunks: DataFrame,
       idCol: String, maxTokens: Int,
-      stateTtl: Option[String] = None): Dataset[Pack] = {
+      stateTtl: Option[String] = None): DataFrame = {
     import spark.implicits._
     require(maxTokens >= 1)
-    requireIntegralId(chunks, idCol, "streamingPackChunks")
+    val idField = chunks.schema(idCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, idField.dataType, idField.nullable),
+      StructField("pack_idx", LongType, nullable = false),
+      StructField("n_chunks", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("pack_text", StringType, nullable = false)))
     chunks
-      .select(col(idCol).cast("long").as("doc_id"), col("chunk_idx").cast("long"),
-        col("n_tokens").cast("long"), col("chunk_text"))
-      .as[ChunkRow]
-      .groupByKey(_.doc_id)
-      .flatMapGroupsWithState[PackState, Pack](
+      .select(col(idCol).as("__doc"), col(idCol).cast("string").as("__key"),
+        col("chunk_idx").cast("long").as("__ci"),
+        col("n_tokens").cast("long").as("__t"), col("chunk_text").as("__txt"))
+      .groupByKey((r: org.apache.spark.sql.Row) => r.getString(1))
+      .flatMapGroupsWithState[PackState, org.apache.spark.sql.Row](
         OutputMode.Append, ttlConf(stateTtl)) {
-        (docId: Long, it: Iterator[ChunkRow], state: GroupState[PackState]) =>
+        (_: String, it: Iterator[org.apache.spark.sql.Row],
+         state: GroupState[PackState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var packIdx = state.getOption.map(_.nextPackIdx).getOrElse(0L)
-            val ordered = it.toArray.sortBy(_.chunk_idx)
-            val out = scala.collection.mutable.ArrayBuffer.empty[Pack]
+            val ordered = it.toArray.sortBy(_.getLong(2))
+            val docVal: Any = ordered.head.get(0)
+            val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
             var nChunks = 0L
             var nToks = 0L
             val sb = new StringBuilder
             def flush(): Unit = if (nChunks > 0) {
-              out += Pack(docId, packIdx, nChunks, nToks, sb.result())
+              out += org.apache.spark.sql.Row(docVal, packIdx, nChunks, nToks, sb.result())
               packIdx += 1; nChunks = 0; nToks = 0; sb.clear()
             }
             for (c <- ordered) {
-              if (nChunks > 0 && nToks + c.n_tokens > maxTokens) flush()
+              val t = c.getLong(3)
+              if (nChunks > 0 && nToks + t > maxTokens) flush()
               if (nChunks > 0) sb.append(' ')
-              sb.append(c.chunk_text); nChunks += 1; nToks += c.n_tokens
+              sb.append(c.getString(4)); nChunks += 1; nToks += t
             }
             flush()
             state.update(PackState(packIdx))
             stateTtl.foreach(state.setTimeoutDuration)
             out.iterator
           }
-      }
+      }(implicitly, org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**

@@ -298,6 +298,30 @@ class OpsSpec extends SparkSpec {
     assert(Text.packChunks(chunks.filter($"doc_id" < 0), "doc_id", 10).count() == 0)
   }
 
+  test("packing is id-type generic: string ids keep their native type") {
+    // UUID/URL-style string keys flow through both folds without casting —
+    // output id column stays StringType, per-doc semantics unchanged
+    val chunks = Seq(
+      ("urn:b", 0L, 3L, "a b c"), ("urn:b", 1L, 3L, "d e f"),
+      ("urn:a", 0L, 2L, "x y")
+    ).toDF("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+    val packs = Text.packChunks(chunks, "doc_id", maxTokens = 4)
+    assert(packs.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = packs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(4))).toSet
+    assert(rows == Set(("urn:a", 0L, "x y"),
+      ("urn:b", 0L, "a b c"), ("urn:b", 1L, "d e f")))
+    val x = Text.packChunksAcrossDocs(chunks, "doc_id", maxTokens = 8, nBuckets = 2)
+    assert(x.agg(sum("n_chunks")).head.getLong(0) == 3L)
+    // dedup group resolution is equally id-generic (no cast in the loop)
+    val pairs = Seq(("urn:a", "urn:b"), ("urn:b", "urn:c"))
+      .toDF("doc_a", "doc_b")
+    val groups = graft.ops.Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(groups == Map("urn:a" -> "urn:a", "urn:b" -> "urn:a", "urn:c" -> "urn:a"))
+  }
+
   test("hash split: deterministic, exhaustive labels, fractions respected") {
     val many = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val split = Text.hashSplit(many, "doc_id",
