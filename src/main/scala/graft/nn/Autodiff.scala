@@ -59,9 +59,27 @@ final case class AeConfig(
     decoderLayers: Int = 0,
     nonSeqVocabSizes: Seq[Int] = Nil, nNonSeqCont: Int = 0,
     dropout: Double = 0.0, // training-time inverted dropout (factory.py:75-78)
-    churn: Boolean = false) { // I16 TransformerChurnModel fine-tune
+    churn: Boolean = false, // I16 TransformerChurnModel fine-tune
+    // I1 pretrained vectors (embedding_layer.py:18-39, surfaced per
+    // unified_transformer_encoder.py:41-44): seq-cat column index ->
+    // (vocab+1) x embDim table injected into the flat-param layout at init
+    // (per-column, like the reference's per-layer from_pretrained; columns
+    // without an entry stay randomly initialized and trainable). When
+    // `freezePretrained` (reference default true) the injected tables'
+    // parameter slices are masked out of every optimizer step.
+    pretrainedEmb: Map[Int, Array[Array[Double]]] = Map.empty,
+    freezePretrained: Boolean = true) {
   require(dropout >= 0.0 && dropout < 1.0)
   require(dModel % heads == 0)
+  pretrainedEmb.foreach { case (i, vecs) =>
+    require(i >= 0 && i < vocabSizes.size,
+      s"pretrainedEmb column index $i outside the ${vocabSizes.size} seq cat columns")
+    require(vecs.length == vocabSizes(i) + 1,
+      s"pretrainedEmb($i) needs ${vocabSizes(i) + 1} rows (vocab + UNK/pad row 0), got ${vecs.length}")
+    require(vecs.forall(_.length == embDims(i)),
+      s"pretrainedEmb($i) vectors must have the layout dim ${embDims(i)} " +
+        "(the reference derives emb_dims before injecting pretrained tensors)")
+  }
   // TransformerChurnModel runs the unified ENCODER + a head on its
   // flattened output (model_wrapper.py:284-299) — no seq2seq decoder
   require(!churn || decoderLayers == 0,
@@ -159,8 +177,28 @@ final case class AeConfig(
         for (i <- 0 until s.size) a(off + i) = (rng.nextDouble() * 2 - 1) * limit
       }
     }
+    // inject pretrained embedding tables AFTER the random sweep so the rng
+    // stream (and thus every other table) is identical with or without
+    // injection; storage is column-major (ParamLayout.mat)
+    pretrainedEmb.foreach { case (ci, vecs) =>
+      val (off, s) = lay.offsets(s"emb$ci")
+      for (r <- 0 until s.rows; c <- 0 until s.cols)
+        a(off + c * s.rows + r) = vecs(r)(c)
+    }
     a
   }
+
+  /** The frozen flat-param slices ((offset, length) per frozen table):
+    * pretrained embedding tables when `freezePretrained` — the optimizer
+    * masks these out of every step (from_pretrained freeze semantics). */
+  def frozenRanges: Seq[(Int, Int)] =
+    if (!freezePretrained || pretrainedEmb.isEmpty) Nil
+    else {
+      val lay = layout
+      pretrainedEmb.keys.toSeq.sorted.map { ci =>
+        val (off, s) = lay.offsets(s"emb$ci"); (off, s.size)
+      }
+    }
 }
 
 object TransformerAE {

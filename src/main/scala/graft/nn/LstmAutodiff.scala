@@ -71,12 +71,25 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
     nsMlpDim: Int = 16, // emb_lin_layer_sizes_non_seq[-1]
     attnHeads: Int = 1, // > 1 selects the I5 MHA wrapper over Bahdanau
                         // (unified_encoder.py:186-192)
-    attnDropout: Double = 0.1) { // the MHA wrapper's OWN dropout rate —
+    attnDropout: Double = 0.1, // the MHA wrapper's OWN dropout rate —
                         // the reference hardcodes
                         // MultiHeadAttentionLSTMWrapper(dropout=0.1)
                         // (unified_encoder.py:186-192), independent of the
                         // inter-layer LSTM `dropout` above
+    // I1 pretrained vectors (embedding_layer.py:18-39): seq-cat column
+    // index -> (vocab+1) x embDim table injected at init; frozen tables'
+    // slices are masked out of optimizer steps (same contract as AeConfig)
+    pretrainedEmb: Map[Int, Array[Array[Double]]] = Map.empty,
+    freezePretrained: Boolean = true) {
   require(Seq("none", "teacher", "auto", "churn").contains(decoder))
+  pretrainedEmb.foreach { case (i, vecs) =>
+    require(i >= 0 && i < vocabSizes.size,
+      s"pretrainedEmb column index $i outside the ${vocabSizes.size} seq cat columns")
+    require(vecs.length == vocabSizes(i) + 1,
+      s"pretrainedEmb($i) needs ${vocabSizes(i) + 1} rows (vocab + UNK/pad row 0), got ${vecs.length}")
+    require(vecs.forall(_.length == embDims(i)),
+      s"pretrainedEmb($i) vectors must have the layout dim ${embDims(i)}")
+  }
   require(attnHeads >= 1 && (attnHeads == 1 || dirs * hidden % attnHeads == 0),
     "attention heads must divide D*hidden")
   require(!hasDecoder || outDim == hidden,
@@ -238,8 +251,26 @@ final case class LstmAeConfig(hidden: Int, outDim: Int, attnDim: Int,
           for (i <- 0 until s.size) a(off + i) = (rng.nextDouble() * 2 - 1) * limit
       }
     }
+    // inject pretrained embedding tables AFTER the random sweep (rng stream
+    // unchanged with or without injection); column-major per ParamLayout.mat
+    pretrainedEmb.foreach { case (ci, vecs) =>
+      val (off, s) = lay.offsets(s"emb$ci")
+      for (r <- 0 until s.rows; c <- 0 until s.cols)
+        a(off + c * s.rows + r) = vecs(r)(c)
+    }
     a
   }
+
+  /** Frozen flat-param slices: pretrained embedding tables when
+    * `freezePretrained` (from_pretrained freeze semantics). */
+  def frozenRanges: Seq[(Int, Int)] =
+    if (!freezePretrained || pretrainedEmb.isEmpty) Nil
+    else {
+      val lay = layout
+      pretrainedEmb.keys.toSeq.sorted.map { ci =>
+        val (off, s) = lay.offsets(s"emb$ci"); (off, s.size)
+      }
+    }
 }
 
 object LstmAE {

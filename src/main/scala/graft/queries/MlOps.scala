@@ -140,6 +140,30 @@ object MlOps extends QueryGroup {
       },
       None),
 
+    // I1 pretrained/frozen embedding vectors (embedding_layer.py:18-39,
+    // surfaced per unified_transformer_encoder.py:41-44): scoring consumes
+    // externally-supplied per-category vectors injected into the flat-param
+    // layout (frozen by default — the optimizer-mask contract is spec'd in
+    // MlSpec; here the serving path reads them end-to-end)
+    QueryDef("q_score_embeddings_pretrained",
+      (s, dir) => {
+        val (model, wide) = featurized(s, dir)
+        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val base = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
+          seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
+        // deterministic stand-in for externally trained vectors (e.g. a
+        // word2vec table): row r dim c = (r*d + c + 1) / ((vocab+1)*d)
+        val dim = base.embDims.head
+        val vecs = Array.tabulate(vocab + 1, dim)((r, c) =>
+          (r * dim + c + 1).toDouble / ((vocab + 1) * dim))
+        val cfg = base.copy(pretrainedEmb = Map(0 -> vecs))
+        val res = graft.train.TransformerTrainer.Result(cfg, cfg.initParams(), Nil, 0)
+        embedScalars(graft.train.TransformerTrainer.transform(wide, res, "user_id",
+          Seq((1 to seqLen).map(t => s"event_type_$t")),
+          Seq("value", "ts_days").map(c => (1 to seqLen).map(t => s"${c}_$t"))))
+      },
+      None),
+
     // J1/J2/J5 training loop: per-epoch mean loss from the distributed
     // broadcast + treeAggregate harness (loss must decrease; see MlSpec)
     QueryDef("q_train_ae_loss",

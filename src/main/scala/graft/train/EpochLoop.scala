@@ -67,7 +67,8 @@ object EpochLoop {
   def run[E: ClassTag](data: RDD[E], params: Array[Double], train: TrainConfig,
       batchSize: Int, examplesPerEpoch: Option[Int],
       lossGrad: (Array[Double], Array[Double], E) => Double,
-      lossOnly: Option[(Array[Double], E) => Double] = None): RunResult = {
+      lossOnly: Option[(Array[Double], E) => Double] = None,
+      frozenRanges: Seq[(Int, Int)] = Nil): RunResult = {
     val sc = data.context
     val n = params.length
     val total = data.count()
@@ -114,7 +115,7 @@ object EpochLoop {
           .persist(StorageLevel.MEMORY_AND_DISK))
       }
 
-    val adam = new Adam(n)
+    val adam = new Adam(n, frozen = frozenRanges)
     val sched = new LrSchedule(train.lr, train.warmupEpochs)
     val stopper = new EarlyStopping(train.patience, train.delta)
     val losses = scala.collection.mutable.ArrayBuffer[Double]()

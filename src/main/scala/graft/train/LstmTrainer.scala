@@ -83,7 +83,8 @@ object LstmTrainer {
       lossGradFn,
       lossOnly = Some((p: Array[Double], ex: Example) =>
         LstmAE.lossGradEmbed(cfgEval, lay, p, null, ex._1, ex._2, ex._3, ex._4,
-          ex._5)._1))
+          ex._5)._1),
+      frozenRanges = cfg.frozenRanges)
     data.unpersist()
     Result(cfg, params, res.losses, res.stoppedAt)
   }

@@ -6,10 +6,26 @@ package graft.train
  * (train.py:120-130,133-193; early_stopping.py:11-102) as plain Scala.
  * Weights live on the driver; executors only ever see broadcast copies.
  */
-final class Adam(n: Int, beta1: Double = 0.9, beta2: Double = 0.999, eps: Double = 1e-8) {
+final class Adam(n: Int, beta1: Double = 0.9, beta2: Double = 0.999, eps: Double = 1e-8,
+    frozen: Seq[(Int, Int)] = Nil) {
   private val m = new Array[Double](n)
   private val v = new Array[Double](n)
   private var t = 0
+  // frozen (offset, length) slices — pretrained embeddings with
+  // freeze_pretrained (embedding_layer.py:18-39): requires_grad=False in
+  // the reference means the optimizer never touches the slice, expressed
+  // here as a skip mask (no moment accumulation, no parameter update)
+  private val mask: Array[Boolean] =
+    if (frozen.isEmpty) null
+    else {
+      val a = new Array[Boolean](n)
+      frozen.foreach { case (off, len) =>
+        require(off >= 0 && len >= 0 && off + len <= n,
+          s"frozen range ($off, $len) out of [0, $n)")
+        java.util.Arrays.fill(a, off, off + len, true)
+      }
+      a
+    }
 
   def step(params: Array[Double], grad: Array[Double], lr: Double): Unit = {
     t += 1
@@ -17,9 +33,11 @@ final class Adam(n: Int, beta1: Double = 0.9, beta2: Double = 0.999, eps: Double
     val bc2 = 1 - math.pow(beta2, t)
     var i = 0
     while (i < n) {
-      m(i) = beta1 * m(i) + (1 - beta1) * grad(i)
-      v(i) = beta2 * v(i) + (1 - beta2) * grad(i) * grad(i)
-      params(i) -= lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
+      if (mask == null || !mask(i)) {
+        m(i) = beta1 * m(i) + (1 - beta1) * grad(i)
+        v(i) = beta2 * v(i) + (1 - beta2) * grad(i) * grad(i)
+        params(i) -= lr * (m(i) / bc1) / (math.sqrt(v(i) / bc2) + eps)
+      }
       i += 1
     }
   }

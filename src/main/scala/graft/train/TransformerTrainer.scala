@@ -94,7 +94,8 @@ object TransformerTrainer {
       lossGradFn,
       lossOnly = Some((p: Array[Double], ex: Example) =>
         TransformerAE.lossAndGrad(cfgEval, lay, p, null, ex._1, ex._2,
-          nsCat = ex._3, nsCont = ex._4, label = ex._5)))
+          nsCat = ex._3, nsCont = ex._4, label = ex._5)),
+      frozenRanges = cfg.frozenRanges)
     data.unpersist()
     Result(cfg, params, res.losses, res.stoppedAt)
   }

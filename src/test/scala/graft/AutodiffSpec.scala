@@ -286,4 +286,51 @@ class AutodiffSpec extends AnyFunSuite {
     }
     assert(last < first * 0.7, s"decoder loss $first -> $last")
   }
+
+  test("I1 pretrained embeddings: injected at init, frozen slices survive Adam steps") {
+    val dim = cfg.embDims.head
+    val vecs = Array.tabulate(cfg.vocabSizes.head + 1, dim)((r, c) =>
+      0.01 * (r * dim + c) - 0.03)
+    val pre = cfg.copy(pretrainedEmb = Map(0 -> vecs))
+    val p = pre.initParams()
+    // injected exactly (row = code, read back through the layout view)...
+    val emb = lay.mat("emb0", p)
+    for (r <- vecs.indices; c <- 0 until dim) assert(emb(r, c) == vecs(r)(c))
+    // ...and every OTHER block is bit-identical to the vanilla init (the
+    // injection must not perturb the rng stream = non-frozen path unchanged)
+    val p0 = cfg.initParams()
+    lay.specs.filterNot(_.name == "emb0").foreach { s =>
+      val (off, _) = lay.offsets(s.name)
+      for (i <- 0 until s.size) assert(p(off + i) == p0(off + i))
+    }
+    // real gradients DO reach the table (backward unchanged)...
+    val grad = new Array[Double](lay.totalSize)
+    TransformerAE.lossAndGrad(pre, lay, p, grad, cat, cont)
+    val (embOff, embSpec) = lay.offsets("emb0")
+    assert((embOff until embOff + embSpec.size).exists(grad(_) != 0.0))
+    // ...but the frozen slice is untouched by optimizer steps while the
+    // rest of the model moves (the from_pretrained freeze contract)
+    val before = p.clone()
+    val adam = new graft.train.Adam(lay.totalSize, frozen = pre.frozenRanges)
+    adam.step(p, grad, 1e-2)
+    adam.step(p, grad, 1e-2)
+    for (i <- embOff until embOff + embSpec.size) assert(p(i) == before(i))
+    assert(p.indices.exists(i => p(i) != before(i)))
+    // freezePretrained = false: same vectors, trainable — the step moves them
+    val un = pre.copy(freezePretrained = false)
+    assert(un.frozenRanges.isEmpty)
+    val p2 = un.initParams()
+    val grad2 = new Array[Double](lay.totalSize)
+    TransformerAE.lossAndGrad(un, lay, p2, grad2, cat, cont)
+    val b2 = p2.clone()
+    new graft.train.Adam(lay.totalSize, frozen = un.frozenRanges).step(p2, grad2, 1e-2)
+    assert((embOff until embOff + embSpec.size).exists(i => p2(i) != b2(i)))
+    // malformed injections are rejected up front
+    intercept[IllegalArgumentException] {
+      cfg.copy(pretrainedEmb = Map(0 -> Array(Array(0.1))))
+    }
+    intercept[IllegalArgumentException] {
+      cfg.copy(pretrainedEmb = Map(5 -> vecs))
+    }
+  }
 }

@@ -366,4 +366,29 @@ class LstmAutodiffSpec extends AnyFunSuite {
     }
     assert(last < first * 0.5, s"loss $first -> $last")
   }
+
+  test("I1 pretrained embeddings (LSTM arch): injected, frozen under Adam") {
+    val dim = cfg.embDims.head
+    val vecs = Array.tabulate(cfg.vocabSizes.head + 1, dim)((r, c) =>
+      0.02 * (r * dim + c) - 0.05)
+    val pre = cfg.copy(pretrainedEmb = Map(0 -> vecs))
+    val p = pre.initParams()
+    val emb = lay.mat("emb0", p)
+    for (r <- vecs.indices; c <- 0 until dim) assert(emb(r, c) == vecs(r)(c))
+    // non-emb blocks identical to vanilla init (rng stream untouched)
+    val p0 = cfg.initParams()
+    lay.specs.filterNot(_.name == "emb0").foreach { s =>
+      val (off, _) = lay.offsets(s.name)
+      for (i <- 0 until s.size) assert(p(off + i) == p0(off + i))
+    }
+    val grad = new Array[Double](lay.totalSize)
+    LstmAE.lossGradEmbed(pre, lay, p, grad, cat, cont)
+    val (embOff, embSpec) = lay.offsets("emb0")
+    assert((embOff until embOff + embSpec.size).exists(grad(_) != 0.0))
+    val before = p.clone()
+    new graft.train.Adam(lay.totalSize, frozen = pre.frozenRanges).step(p, grad, 1e-2)
+    for (i <- embOff until embOff + embSpec.size) assert(p(i) == before(i))
+    assert(p.indices.exists(i => p(i) != before(i)))
+    assert(pre.copy(freezePretrained = false).frozenRanges.isEmpty)
+  }
 }
