@@ -41,9 +41,12 @@ object Bench {
    *              on generated data — captures Spark scheduling/GC contention
    *              that a tight JIT loop can hide.
    *
-   * Each sentinel runs three times — before pass 1, between passes, after
-   * pass 2 — so contention ARRIVING mid-run is caught; the JSON carries
-   * min and max. `baseline_ab` is the same-window analogue of
+   * The cpu/par sentinels run three times — before pass 1, between passes,
+   * after pass 2; the cheap spark sentinel ADDITIONALLY runs between every
+   * pair of headline queries, bracketing each timed sample (per-query
+   * `query_ab` + the `contaminated` flag in the JSON), so contention
+   * ARRIVING mid-run is attributed to the exact queries it overlapped.
+   * The JSON carries min and max. `baseline_ab` is the same-window analogue of
    * BASELINE.md:88-96's A/B protocol collapsed to a constant workload:
    * max over sentinels of (observed min / quiet-box reference). The
    * references below were calibrated as the min of repeated runs on the
@@ -159,16 +162,32 @@ object Bench {
     }
 
     sampleSentinels() // before pass 1
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Per-query contamination brackets: the cheap spark sentinel (~0.5 s
+    // quiet) runs BETWEEN headline queries, so every timed sample is
+    // bracketed by two same-window probes. A query's reported time carries
+    // the bracket inflation of the pass that produced its minimum:
+    // query_ab[q] = max(sentinel before, sentinel after) / quiet reference.
+    // Contention arriving mid-run is thus attributed to the exact queries
+    // it overlapped (round-10's artifact needed a judge re-run precisely
+    // because suite-level maxima could not say WHICH times were inflated).
+    val best = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     for (pass <- 1 to 2) {
       spark.sqlContext.clearCache()
+      var prevSent = Sentinel.sparkSec(spark)
+      sparkS += prevSent
       qs.foreach { n =>
         try {
           val t = runOnce(n)
-          best(n) = math.min(best.getOrElse(n, Double.MaxValue), t)
+          val nextSent = Sentinel.sparkSec(spark)
+          sparkS += nextSent
+          val bracketAb = math.max(prevSent, nextSent) / Sentinel.SparkRefSec
+          prevSent = nextSent
+          if (t < best.getOrElse(n, (Double.MaxValue, 0.0))._1)
+            best(n) = (t, bracketAb)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $n FAILED (pass $pass): ${e.getMessage}")
           failed += n
+          prevSent = Sentinel.sparkSec(spark); sparkS += prevSent
         }
       }
       sampleSentinels() // between passes / after pass 2
@@ -176,7 +195,8 @@ object Bench {
     // a query that failed in EITHER pass reports -1.0 and never contributes
     // to the total — a flaky query must not inflate the headline with a
     // single-sample time while also flagging failure
-    val results = qs.map(n => n -> (if (failed(n)) -1.0 else best.getOrElse(n, -1.0)))
+    val results = qs.map(n => n -> (if (failed(n)) -1.0 else
+      best.get(n).map(_._1).getOrElse(-1.0)))
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
@@ -187,11 +207,20 @@ object Bench {
     // host-contaminated, adjudicate by re-run before reading as regression.
     val ab = Seq(cpuS.min / Sentinel.CpuRefSec, parS.min / Sentinel.ParRefSec,
       sparkS.min / Sentinel.SparkRefSec).max
+    // Self-adjudication: a query is contaminated when BOTH passes' brackets
+    // were inflated (its best sample has bracket ab above the loaded-box
+    // threshold) — its time must be adjudicated by a quiet re-run, never
+    // read as a regression. `contaminated` = the artifact contains at
+    // least one such query.
+    val qAb = qs.filterNot(failed).map(n => n -> r3(best(n)._2))
+    val qAbJson = qAb.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val contaminatedQs = qAb.filter(_._2 >= 1.5).map(_._1)
+    val contamJson = contaminatedQs.map(n => s""""$n"""").mkString("[", ",", "]")
     val sentJson =
       s""""cpu_min":${r3(cpuS.min)},"cpu_max":${r3(cpuS.max)},""" +
       s""""par_min":${r3(parS.min)},"par_max":${r3(parS.max)},""" +
       s""""spark_min":${r3(sparkS.min)},"spark_max":${r3(sparkS.max)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
