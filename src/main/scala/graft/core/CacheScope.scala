@@ -87,13 +87,32 @@ object CacheScope {
       val wm = spark.range(0).queryExecution.id
       val listener = new QueryExecutionListener {
         private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        // A consumer may reference this entry only INDIRECTLY: a second
+        // autoUnpersist cache whose own cached plan reads this one (nested
+        // caches — e.g. minhashLshPairs' candidate cache reads the cached
+        // band table). InMemoryRelation is a logical LEAF, so the outer
+        // plan's `exists` never sees the inner entry — recurse into each
+        // relation's physical cachedPlan (InMemoryTableScanExec carries the
+        // inner relation).
+        private def physConsumes(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.exists {
+            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              (s.relation.cacheBuilder eq builder) ||
+                physConsumes(s.relation.cacheBuilder.cachedPlan)
+            // AQE wraps a cached plan in AdaptiveSparkPlanExec, a LEAF that
+            // hides its subtree from exists — descend explicitly
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              physConsumes(a.inputPlan)
+            case _ => false
+          }
         private def consumes(qe: QueryExecution): Boolean =
           // don't fire on the probe that *builds* the cache entry — only on
           // plans that READ it (root != the relation itself is not required:
           // materializing the cache IS consuming it once), and only on
           // consumers created after this binding registered (id > wm)
           qe.id > wm && qe.withCachedData.exists {
-            case r: InMemoryRelation => r.cacheBuilder eq builder
+            case r: InMemoryRelation =>
+              (r.cacheBuilder eq builder) || physConsumes(r.cacheBuilder.cachedPlan)
             case _ => false
           }
         private def done(qe: QueryExecution): Unit =

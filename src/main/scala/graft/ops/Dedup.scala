@@ -59,24 +59,31 @@ object Dedup {
    * itself with [[shingleDfCap]] (p99.9 of the shingle df distribution)
    * rather than guessing.
    *
-   * Plan shape: the df cap is a `count(*) OVER (PARTITION BY shingle)`
-   * window on the exploded table — ONE tokenize+explode pass over the
-   * corpus, shuffled on the same shingle key the self-join needs (the old
-   * groupBy-whitelist + re-join shape tokenized the corpus twice cold).
-   * The capped shingle table is cached through [[graft.core.CacheScope]]:
-   * the blocks serve every branch of the first materialization and are
-   * unpersisted automatically when that action completes — no
-   * `clearCache()` contract on the caller, no storage leak in a
-   * long-lived session.
+   * Plan shape: the df cap is a groupBy-count over the exploded table
+   * (partial hash-aggregation BELOW the exchange — each input partition
+   * pre-combines a hot shingle to ONE row, so the reduce side of the
+   * count sees at most nPartitions rows per shingle) followed by a
+   * BROADCAST anti-join of the over-cap shingle list. The earlier
+   * `count(*) OVER (PARTITION BY shingle)` window had the right single-
+   * pass shape but funneled a df≈10⁸ boilerplate shingle's rows into one
+   * window task before filtering — bounded, but the long pole at 100×
+   * scale; the over-cap LIST is tiny by construction (at most
+   * totalShingles/cap entries, in practice the handful of boilerplate
+   * shingles the cap exists to kill), so it broadcasts. The exploded
+   * shingle table is cached through [[graft.core.CacheScope]] (it feeds
+   * the count, the sizes and both join sides within the first
+   * materialization) and unpersisted automatically when that action
+   * completes — no `clearCache()` contract on the caller, no storage
+   * leak in a long-lived session.
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
-    val all = shingles(df, textCol, idCol, n)
-    val sh = graft.core.CacheScope.autoUnpersist(all
-      .withColumn("df_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df_n") <= maxShingleDf)
-      .drop("df_n"))
+    val all = graft.core.CacheScope.autoUnpersist(shingles(df, textCol, idCol, n))
+    val overCap = all.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_n"))
+      .filter(col("df_n") > maxShingleDf)
+      .select(col("shingle"))
+    val sh = all.join(broadcast(overCap), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
@@ -252,7 +259,7 @@ object Dedup {
    * band collision lists longer than `maxBucket` are dropped as degenerate
    * (boilerplate clusters), bounding join fan-out under skew.
    *
-   * The shingle and candidate tables are cached through
+   * The shingle, band-signature and candidate tables are cached through
    * [[graft.core.CacheScope]] for reuse across stages within the first
    * materialization, then unpersisted automatically when that action
    * completes — the operator leaves no blocks behind in a long-lived
@@ -280,13 +287,20 @@ object Dedup {
                 else concat_ws("|", cols: _*)
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    val bandSig = sigs
+    // cached: the bucket-cap count and the candidate join both read it, and
+    // recomputing it means re-running the k-hash minhash aggregation
+    val bandSig = graft.core.CacheScope.autoUnpersist(sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val bucketed = bandSig.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("sig"))))
-      .filter(col("bucket_n") <= maxBucket)
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig")))
+    // degenerate-bucket cap via groupBy-count (map-side partial agg) +
+    // broadcast anti-join of the tiny over-cap list — same skew-hardened
+    // shape as ngramJaccardPairs's df cap (a boilerplate cluster's bucket
+    // never funnels into a single window task)
+    val overCap = bandSig.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("sig"))
+    val bucketed = bandSig.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
     val l = bucketed.select(col("band"), col("sig"), col(idCol).as("doc_a"))
     val r = bucketed.select(col("band"), col("sig"), col(idCol).as("doc_b"))
     // candidates are tiny (bounded by bands x maxBucket^2); persist so the

@@ -144,6 +144,29 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "dedup min/count must partial-aggregate before the exchange")
   }
 
+  test("q_dedup_jaccard: df cap partial-aggregates below its exchange; over-cap list broadcasts") {
+    val p = plan("q_dedup_jaccard")
+    // r11 skew hardening: no `count(*) OVER (PARTITION BY shingle)` — the
+    // old cap funneled a hot shingle's entire df into ONE window task
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "df cap must not be a per-shingle window")
+    // the over-cap shingle list is tiny and joins as a broadcast anti-join
+    val anti = p.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j }
+    assert(anti.nonEmpty, s"over-cap list must broadcast-anti-join, plan:\n$p")
+    // the df count combines map-side: a partial HashAggregate sits BELOW
+    // the count's exchange, so no reduce task ever sees a hot shingle's
+    // full occurrence list
+    val broadcastSides = p.collect { case b: BroadcastExchangeExec => b }
+    val capCount = broadcastSides.flatMap(shuffles).filter(_.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty)
+    assert(capCount.nonEmpty,
+      "the df groupBy-count must partial-aggregate before its exchange")
+  }
+
   test("q_f1_encode_join: encoding apply is a broadcast join, never a shuffle of the corpus") {
     val p = plan("q_f1_encode_join")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
