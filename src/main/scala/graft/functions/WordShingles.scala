@@ -49,6 +49,35 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * `word_shingles_all(text, n)`: ALL word n-grams of `text` in document
+ * order (position = array index), lowercased and whitespace-split — the
+ * POSITIONAL companion of [[WordShingles]] for span-level operators
+ * ([[graft.ops.Dedup.substringDupSpans]]): `posexplode` of the result
+ * yields (pos, shingle) rows. Same one-imperative-pass codegen rationale
+ * as the distinct variant.
+ */
+case class WordShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles_all"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shinglesAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shinglesAll($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+    copy(child = newChild)
+}
+
 object WordShingles {
 
   // identical to Spark's split(str, "\\s+") (Pattern.split with limit -1)
@@ -79,7 +108,33 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
+  /** One-pass ORDERED (non-distinct) shingling for the positional
+    * variant; called from both interpreted eval and codegen. */
+  def shinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = Ws.split(text.toLowerCase.toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Column API: distinct word n-gram shingles of `text`. */
   def wordShingles(text: Column, n: Int): Column =
     CatalystBridge.column(WordShingles(CatalystBridge.expression(text), n))
+
+  /** Column API: all word n-gram shingles of `text` in document order. */
+  def wordShinglesAll(text: Column, n: Int): Column =
+    CatalystBridge.column(WordShinglesAll(CatalystBridge.expression(text), n))
 }

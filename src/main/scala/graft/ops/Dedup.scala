@@ -144,6 +144,79 @@ object Dedup {
   }
 
   /**
+   * Positional word n-gram shingles: one row per shingle OCCURRENCE
+   * (doc, pos, shingle), pos 0-based in document order — the span-level
+   * companion of [[shingles]] (which is distinct/set-level). Codegen'd
+   * ([[graft.functions.WordShinglesAll]]) + posexplode: one narrow pass,
+   * no shuffle.
+   */
+  def positionalShingles(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.WordShingles.wordShinglesAll(col(textCol), n)))
+      .withColumnRenamed("col", "shingle")
+
+  /**
+   * EXACT SUBSTRING near-dup spans (the Lee et al. 2022 "Deduplicating
+   * Training Data Makes Language Models Better" family): find maximal
+   * token spans of at least `minSpanTokens` whitespace tokens repeated
+   * VERBATIM across document pairs. Complements the set-level detectors
+   * (Jaccard/MinHash miss a 50-token boilerplate block inside two long,
+   * otherwise-unrelated documents; this operator exists exactly for that
+   * case). Returns (doc_a, doc_b, a_start, b_start, span_tokens) with
+   * doc_a < doc_b, one row per MAXIMAL shared span occurrence pair —
+   * callers cut the spans (suffix-array removal) or drop/flag the docs.
+   *
+   * Distributed formulation (vs the paper's in-memory suffix array, which
+   * cannot shard): a span of L >= k tokens shared at (a_start, b_start)
+   * is exactly a maximal run of consecutive positions on one DIAGONAL
+   * (pos_a - pos_b constant) where the docs' positional k-shingles agree.
+   * So: positional-shingle both docs (narrow codegen pass), equi-join
+   * occurrences on the shingle (the same candidate-join shape as the
+   * other dedup operators — no cartesian), group matches by
+   * (doc_a, doc_b, diagonal), and collapse consecutive-position runs with
+   * the classic gaps-and-islands trick (pos - row_number is constant
+   * within a run). All integer arithmetic — the DuckDB oracle reproduces
+   * it bit-exactly.
+   *
+   * Skew guard: shingles with corpus-wide OCCURRENCE count above
+   * `maxShingleDf` are dropped before the join (groupBy-count partial agg
+   * + broadcast anti-join — the hardened [[ngramJaccardPairs]] cap shape;
+   * occurrences, not distinct docs, because join fan-out is occurrences
+   * squared); a count-10⁸ boilerplate shingle must not melt the join. Spans
+   * whose every k-window is boilerplate-frequent are missed, the same
+   * stop-shingle approximation the set-level operators make. The
+   * island window partitions by (doc_a, doc_b, diagonal) — bounded by
+   * min(len_a, len_b) rows, spillable, no hot-key funnel.
+   */
+  def substringDupSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minSpanTokens: Int, maxShingleDf: Int = 10000): DataFrame = {
+    require(k >= 1 && minSpanTokens >= k,
+      "need k >= 1 and minSpanTokens >= k (a span shorter than one shingle is undetectable)")
+    val sh = graft.core.CacheScope.autoUnpersist(
+      positionalShingles(df, textCol, idCol, k))
+    val overCap = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_n"))
+      .filter(col("df_n") > maxShingleDf)
+      .select(col("shingle"))
+    val kept = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
+    val a = kept.select(col(idCol).as("doc_a"), col("pos").as("pos_a"), col("shingle"))
+    val b = kept.select(col(idCol).as("doc_b"), col("pos").as("pos_b"), col("shingle"))
+    val m = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a").cast("long").as("pos_a"),
+        (col("pos_a") - col("pos_b")).cast("long").as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+    m.withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("pos_a")).as("a_start"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"), col("span_tokens"))
+  }
+
+  /**
    * Corpus shingle profiling: the top-k shingles by document frequency
    * (ties broken lexicographically). The operational companion of
    * `maxShingleDf` — at corpus scale this is how the stop-shingle

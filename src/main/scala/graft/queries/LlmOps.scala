@@ -12,6 +12,16 @@ import graft.ops.{Dedup, Multimodal, Text, Vectors}
  */
 object LlmOps extends QueryGroup {
 
+  /** Fixed 24-token paragraph seeded onto every 25th doc by
+    * q_dedup_substring — deterministic cross-document boilerplate for the
+    * span detector (all-lowercase single-space, so Spark and DuckDB
+    * tokenize it identically). */
+  private val SubstringPara: String = Seq(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray").mkString(" ")
+
   /** A zero-padded STRING doc id ('d' + 6 digits) for the string-id query
     * twins: lexicographic order equals the numeric order of the underlying
     * key, so the long-id and string-id variants pack/group identically —
@@ -430,6 +440,41 @@ object LlmOps extends QueryGroup {
               |  UNION
               |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc)
               |SELECT doc AS doc_id, MIN(lbl) AS canonical_id FROM cc GROUP BY doc""".stripMargin)),
+
+    // Exact substring dedup (Lee et al. 2022 family): maximal verbatim
+    // token spans >= 16 tokens shared across doc pairs, via positional
+    // 8-shingles -> shingle equi-join -> diagonal gaps-and-islands runs.
+    // A fixed 24-token paragraph is seeded onto every 25th doc (the
+    // corpus's natural exact/near dups contribute the rest), so both the
+    // cross-doc-boilerplate case and the full-doc-duplicate case are
+    // exercised; the span arithmetic is pure integer math end-to-end.
+    QueryDef("q_dedup_substring",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text2",
+          when(col("doc_id") % 25 === 0,
+            concat(col("text"), lit(" " + SubstringPara))).otherwise(col("text")))
+        Dedup.substringDupSpans(seeded, "text2", "doc_id",
+          k = 8, minSpanTokens = 16)
+      },
+      Some(s"""WITH s AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 25 = 0 THEN text || ' $SubstringPara' ELSE text END AS t
+              |  FROM documents),
+              |t AS (SELECT doc_id, regexp_split_to_array(lower(t), '\\s+') AS ts FROM s),
+              |g AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 8)) AS pos
+              |  FROM t WHERE len(ts) >= 8),
+              |sh AS (SELECT doc_id, pos,
+              |    array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS shingle FROM g),
+              |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 10000),
+              |kp AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+              |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    CAST(x.pos AS BIGINT) AS pa, CAST(x.pos - y.pos AS BIGINT) AS diag
+              |  FROM kp x JOIN kp y USING(shingle) WHERE x.doc_id < y.doc_id),
+              |r AS (SELECT *, pa - ROW_NUMBER() OVER (
+              |    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island FROM m)
+              |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pa) - diag AS b_start,
+              |  MAX(pa) - MIN(pa) + 8 AS span_tokens
+              |FROM r GROUP BY doc_a, doc_b, diag, island
+              |HAVING MAX(pa) - MIN(pa) + 8 >= 16""".stripMargin)),
 
     // STRING-ID twin of q_dedup_groups: the pair graph and min-label
     // propagation run on native VARCHAR doc ids — min() is binary

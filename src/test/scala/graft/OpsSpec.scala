@@ -298,6 +298,36 @@ class OpsSpec extends SparkSpec {
     assert(Text.packChunks(chunks.filter($"doc_id" < 0), "doc_id", 10).count() == 0)
   }
 
+  test("substring dedup: maximal verbatim spans with exact boundaries") {
+    val s20 = (1 to 20).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $s20 q1 q2"),
+      (2L, s"$s20 r1"),
+      (3L, "totally unrelated words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    // the 20-token block sits at positions 3..22 of doc 1 and 0..19 of
+    // doc 2 — one maximal span row, exact boundaries, doc 3 untouched
+    val spans = Dedup.substringDupSpans(docs, "text", "doc_id",
+        k = 5, minSpanTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((1L, 2L, 3L, 0L, 20L)))
+    // two disjoint repeats on one diagonal stay two maximal spans (the
+    // gaps-and-islands split), not one merged over the gap
+    val a12 = (1 to 12).map(i => s"a$i").mkString(" ")
+    val b10 = (1 to 10).map(i => s"b$i").mkString(" ")
+    val d2 = Seq((4L, s"$a12 u1 u2 u3 $b10"), (5L, s"$a12 v1 v2 v3 $b10"))
+      .toDF("doc_id", "text")
+    val sp2 = Dedup.substringDupSpans(d2, "text", "doc_id",
+        k = 5, minSpanTokens = 8)
+      .orderBy("a_start").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sp2.toSeq == Seq((0L, 0L, 12L), (15L, 15L, 10L)))
+    // the occurrence cap drops boilerplate shingles before the join
+    assert(Dedup.substringDupSpans(docs, "text", "doc_id", 5, 10,
+      maxShingleDf = 1).count() == 0)
+  }
+
   test("packing is id-type generic: string ids keep their native type") {
     // UUID/URL-style string keys flow through both folds without casting —
     // output id column stays StringType, per-doc semantics unchanged
