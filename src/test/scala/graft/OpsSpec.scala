@@ -298,6 +298,29 @@ class OpsSpec extends SparkSpec {
     assert(Text.packChunks(chunks.filter($"doc_id" < 0), "doc_id", 10).count() == 0)
   }
 
+  test("BPE tokenizer: hand-computed fit merges; encode is lossless and rank-ordered") {
+    import graft.ops.Bpe
+    // fit on "aa aa ab": pair (a,a) count 2 beats (a,b) count 1, then
+    // (a,b) is the only pair left — hand-computed merge order
+    val corpus = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val m = Bpe.fit(corpus, "text", nMerges = 2)
+    assert(m.pairs == Seq("a" -> "a", "a" -> "b"))
+    // fitted merges fully compress the training words
+    assert(Bpe.encode("aa ab", m).toSeq == Seq("aa", "ab"))
+    // rank-ordered chain: t+h -> th, then th+e -> the (later merges
+    // consume earlier outputs); never merges across words; lossless
+    val toks = Bpe.encode("the then other", Bpe.FixedEnglishMerges)
+    assert(toks.contains("the"))
+    assert(toks.mkString("") == "thethenother")
+    // blank text encodes to zero tokens
+    assert(Bpe.encode("   ", Bpe.FixedEnglishMerges).isEmpty)
+    // tokenize: distributed counts equal the driver encode; id passthrough
+    val out = Bpe.tokenize(corpus, "text", "doc_id", m).collect().head
+    assert(out.getLong(0) == 1L)
+    assert(out.getLong(2) == Bpe.encode("aa aa ab", m).length.toLong)
+    assert(out.getString(3) == Bpe.encode("aa aa ab", m).mkString(" "))
+  }
+
   test("substring dedup: maximal verbatim spans with exact boundaries") {
     val s20 = (1 to 20).map(i => s"s$i").mkString(" ")
     val docs = Seq(
