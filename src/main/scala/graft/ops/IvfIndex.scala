@@ -31,18 +31,51 @@ final case class IvfIndex(centroids: Array[Array[Double]],
     * `array_sort` over (distance, cell) structs picks the nProbe nearest
     * (lexicographic struct order = distance first, cell-id tiebreak —
     * identical to the former udf's stable sort). */
-  def topK(queries: DataFrame, k: Int, nProbe: Int = 2,
-      qId: String = "qid"): DataFrame = {
+  /** (d2, cell) structs for every centroid, sorted ascending — pure
+    * Catalyst (codegen'd zip_with + aggregate folds; lexicographic struct
+    * order = distance first, cell-id tiebreak, matching both the former
+    * udf's stable sort and MLlib KMeans' first-minimum assignment). */
+  private def sortedCellDists(vec: org.apache.spark.sql.Column) = {
     val dists = centroids.zipWithIndex.map { case (ctr, i) =>
       val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
       val d2 = aggregate(
-        zip_with(col(vecCol), ctrLit, (a, b) => {
+        zip_with(vec, ctrLit, (a, b) => {
           val d = a.cast("double") - b; d * d
         }),
         lit(0.0d), (acc, x) => acc + x)
       struct(d2.as("d2"), lit(i).as("cell"))
     }
-    val probes = slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nProbe)
+    array_sort(array(dists.toIndexedSeq: _*))
+  }
+
+  /** Assign rows to their nearest FROZEN centroid (no re-clustering). */
+  private def assignToCells(vectors: DataFrame): DataFrame =
+    vectors.select(col(cId), col(vecCol),
+      element_at(sortedCellDists(col(vecCol)), 1).getField("cell").as("cell"))
+
+  /**
+   * Incremental add: production corpora APPEND — new vectors are assigned
+   * to the EXISTING centroids (one narrow codegen pass, no KMeans job, no
+   * shuffle) and unioned into the corpus. Centroids are deliberately
+   * frozen: cell quality degrades only as the data distribution drifts,
+   * the standard IVF operational tradeoff (refit with [[IvfIndex.fit]]
+   * when recall decays). Spec-checked: add-then-query at full probe
+   * equals brute force over the grown corpus.
+   */
+  def add(vectors: DataFrame): IvfIndex =
+    copy(assigned = assigned.select(col(cId), col(vecCol), col("cell"))
+      .unionByName(assignToCells(vectors)))
+
+  /** Incremental add against a SAVED index: append only the new vectors'
+    * cell-partitioned parquet (centroids untouched) — the on-disk twin of
+    * [[add]]; [[IvfIndex.load]] then serves the grown corpus. */
+  def appendTo(dir: String, vectors: DataFrame): Unit =
+    assignToCells(vectors).write.mode("append")
+      .partitionBy("cell").parquet(s"$dir/corpus")
+
+  def topK(queries: DataFrame, k: Int, nProbe: Int = 2,
+      qId: String = "qid"): DataFrame = {
+    val probes = slice(sortedCellDists(col(vecCol)), 1, nProbe)
     val q = queries.select(col(qId), col(vecCol).as("qe"),
       explode(probes).as("p"))
       .select(col(qId), col("qe"), col("p.cell").as("cell"))

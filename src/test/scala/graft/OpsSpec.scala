@@ -588,6 +588,34 @@ class OpsSpec extends SparkSpec {
     assert(rows(loaded.topK(q, 3, nProbe = 3)) == rows(idx.topK(q, 3, nProbe = 3)))
   }
 
+  test("IvfIndex incremental add: frozen-centroid assignment, exact at full probe") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+    val base = e.filter($"vec_id" >= 5 && $"vec_id" < 60)
+      .select($"vec_id".as("cid"), $"embedding")
+    val extra = e.filter($"vec_id" >= 60).select($"vec_id".as("cid"), $"embedding")
+    val idx = IvfIndex.fit(base, nCells = 4)
+    val grown = idx.add(extra)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // centroids are frozen by add (no refit)
+    assert(grown.centroids eq idx.centroids)
+    // probing every cell makes IVF exactly brute force over the GROWN
+    // corpus — only true if add assigned every new vector to exactly one
+    // cell (nothing lost, nothing duplicated)
+    val brute = rows(Vectors.bruteForceTopK(q, base.unionByName(extra), k = 3))
+    assert(rows(grown.topK(q, 3, nProbe = 4)) == brute)
+    // on-disk twin: save + appendTo + load serves the same grown corpus
+    val dir = java.nio.file.Files.createTempDirectory("ivf_add").toString
+    idx.save(dir)
+    idx.appendTo(dir, extra)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(rows(loaded.topK(q, 3, nProbe = 4)) == brute)
+    // selective probe over the grown index still returns k rows per query
+    assert(grown.topK(q, 3, nProbe = 2).groupBy("qid").count()
+      .collect().forall(_.getLong(1) == 3L))
+  }
+
   test("cache hygiene: dedup operators leave no cached blocks after the action") {
     // the suites share one session (and the MlOps registry legitimately
     // holds one slot), so assert no NEW persistent RDDs survive the action
