@@ -47,6 +47,17 @@ import org.apache.spark.sql.util.QueryExecutionListener
  * fix. A narrow window remains (a consumer plan built before the rebind,
  * completing after it) — its worst case is an uncached recompute, never a
  * wrong result.
+ *
+ * CONTRACT: consumers must be CONSTRUCTED after [[autoUnpersist]]
+ * returns. The watermark deliberately ignores executions created before
+ * the binding, so a caller that runs an action on a Dataset whose
+ * QueryExecution predates the binding (e.g. collecting the exact
+ * DataFrame instance that was passed IN, whose Dataset-owned
+ * QueryExecution was built earlier, instead of the returned frame) never
+ * satisfies `qe.id > wm` and the blocks stay cached until session end —
+ * a storage leak, never a wrong result. Every operator in this repo
+ * builds its consumer plans from the RETURNED frame, satisfying the
+ * contract by construction.
  */
 object CacheScope {
 

@@ -101,6 +101,17 @@ class CasprModel(
     * key=value lines. */
   override def write: MLWriter = new MLWriter {
     override protected def saveImpl(path: String): Unit = {
+      // the config format is comma-joined key=value lines: a ',' in a
+      // column name would silently re-split into different column lists
+      // on load — fail fast instead of corrupting the round trip
+      (seqCat ++ seqCont).foreach { c =>
+        require(!c.contains(","),
+          s"CasprModel persistence joins column names with ','; rename '$c' before save")
+      }
+      (idCol +: (seqCat ++ seqCont)).foreach { c =>
+        require(!c.contains("\n"),
+          s"CasprModel persistence is line-oriented; rename '$c' before save")
+      }
       Persist.saveParams(weights, s"$path/params.bin")
       val lines = Seq(
         s"idCol=$idCol",

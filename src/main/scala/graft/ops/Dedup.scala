@@ -274,17 +274,23 @@ object Dedup {
    * shuffle), equi-join on the shingle key, hash-agg on the corpus doc —
    * the exact candidate-join pattern of [[ngramJaccardPairs]], except the
    * benchmark side is typically tiny (eval suites: 1e4-1e6 shingles), so
-   * Catalyst broadcasts it and the corpus never shuffles at all. A
+   * it broadcasts and the corpus never shuffles at all. A
    * `maxShingleDf` cap is deliberately NOT applied here: a contaminated
    * boilerplate shingle still indicates leakage, and the join fan-out is
    * bounded by the benchmark side's size, not the corpus's.
+   *
+   * `broadcastBench` (default true) is a HINT, not a guarantee of fit: a
+   * held-out set whose shingle table exceeds driver/broadcast memory
+   * would OOM under the hint — pass false to degrade to a plain
+   * shingle-keyed shuffle join (both sides exchange; same result).
    */
   def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
-      idCol: String, n: Int, minOverlap: Int): DataFrame = {
+      idCol: String, n: Int, minOverlap: Int,
+      broadcastBench: Boolean = true): DataFrame = {
     val c = shingles(corpus, textCol, idCol, n)
     val b = shingles(bench, textCol, idCol, n)
       .select(col(idCol).as("__bench_id"), col("shingle"))
-    c.join(broadcast(b), Seq("shingle"))
+    c.join(if (broadcastBench) broadcast(b) else b, Seq("shingle"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("shingle")).as("n_shared"),
         countDistinct(col("__bench_id")).as("bench_docs"))

@@ -293,8 +293,12 @@ object Text {
    * UDF (`regexp_replace` + `regexp_count`).
    *
    * Output: (id, clean_text, n_emails, n_phones, n_ips). Masking order:
-   * emails, then phones, then IPs (an IP can never match inside an
-   * already-masked token).
+   * emails, then phones, then IPs — and each count runs on the SAME
+   * progressively-masked text the clean_text pipeline sees (phones
+   * counted on email-masked text, IPs on email+phone-masked text), so
+   * the counts always agree with what the output text shows: a
+   * phone-shaped substring inside an email is masked as <EMAIL> and NOT
+   * counted as a phone.
    */
   def scrubPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // domain = dot-terminated segments: unambiguous to parse, so Java
@@ -303,13 +307,13 @@ object Text {
     val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, email, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phone, "<PHONE>")
     df.select(col(idCol),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("clean_text"),
+      regexp_replace(afterPhone, ip, "<IP>").as("clean_text"),
       regexp_count(t, lit(email)).cast("long").as("n_emails"),
-      regexp_count(t, lit(phone)).cast("long").as("n_phones"),
-      regexp_count(regexp_replace(t, phone, "<PHONE>"), lit(ip))
-        .cast("long").as("n_ips"))
+      regexp_count(afterEmail, lit(phone)).cast("long").as("n_phones"),
+      regexp_count(afterPhone, lit(ip)).cast("long").as("n_ips"))
   }
 
   /**

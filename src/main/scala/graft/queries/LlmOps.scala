@@ -393,9 +393,11 @@ object LlmOps extends QueryGroup {
            |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
            |    '$ip', '<IP>', 'g') AS clean_text,
            |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
-           |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
            |  CAST(len(regexp_extract_all(
-           |    regexp_replace(t, '$phone', '<PHONE>', 'g'), '$ip')) AS BIGINT) AS n_ips
+           |    regexp_replace(t, '$email', '<EMAIL>', 'g'), '$phone')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(
+           |    regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+           |      '$phone', '<PHONE>', 'g'), '$ip')) AS BIGINT) AS n_ips
            |FROM s""".stripMargin
       }),
 

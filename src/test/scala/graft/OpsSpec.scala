@@ -407,7 +407,11 @@ class OpsSpec extends SparkSpec {
     val d = Seq(
       (1L, "mail me at jane.doe+x@mail.example.com or call 555-123-4567 now"),
       (2L, "server at 192.168.1.250 and 10.0.0.7 responded"),
-      (3L, "no pii here at all")
+      (3L, "no pii here at all"),
+      // a phone-shaped local part: masked as ONE email, counted as ZERO
+      // phones — counts run on the same progressively-masked text the
+      // clean_text pipeline sees
+      (4L, "reach 555-123-4567@example.com today")
     ).toDF("doc_id", "text")
     val out = Text.scrubPii(d, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
@@ -415,6 +419,7 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == (("mail me at <EMAIL> or call <PHONE> now", 1L, 1L, 0L)))
     assert(out(2L) == (("server at <IP> and <IP> responded", 0L, 0L, 2L)))
     assert(out(3L) == (("no pii here at all", 0L, 0L, 0L)))
+    assert(out(4L) == (("reach <EMAIL> today", 1L, 0L, 0L)))
   }
 
   test("text quality + langid produce bounded scores") {
