@@ -64,6 +64,107 @@ object StubDecoder extends MediaDecoder {
 }
 
 /**
+ * A REAL image codec behind the [[MediaDecoder]] contract, built entirely
+ * on the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF readers ship with the
+ * JVM — no external codec dependency). Closes the "environment-blocked"
+ * caveat on the multimodal stack: [[StubDecoder]] remains the
+ * deterministic oracle fixture, this decoder is what a production
+ * deployment plugs in for actual images — and per the contract, NOTHING
+ * in the operators changes (spec-checked: decodeMetadata/sampleFrames run
+ * unchanged over real PNG payloads).
+ *
+ *  - probe: container dimensions + image count (animated GIF = frames);
+ *  - decodeFrame: decode frame i, nearest-neighbor resize to an s x s
+ *    RGB thumbnail where 3s² <= frameLen (the "resize toward the model
+ *    input budget" step), emitted as row-major RGB bytes;
+ *  - features: mean-pooled byte histogram over the decoded bytes (the
+ *    image-encoder forward stand-in, same fold as the stub).
+ *
+ * Unreadable payloads (not a known container) probe as (0, 0, 0): zero
+ * frames means [[Multimodal.sampleFrames]] emits no rows for them — the
+ * skip-broken-media behavior corpus pipelines want, not a task failure.
+ * Stateless object: safe inside task closures; ImageIO readers are
+ * created per call (they are not thread-safe to share).
+ */
+object ImageIoDecoder extends MediaDecoder {
+
+  private def read(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  override def probe(payload: Array[Byte]): (Long, Long, Long) = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) (0L, 0L, 0L)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val n = try r.getNumImages(true) catch { case _: java.io.IOException => 1 }
+          (r.getWidth(0).toLong, r.getHeight(0).toLong, math.max(n, 1).toLong)
+        } finally r.dispose()
+      }
+    } catch { case _: java.io.IOException => (0L, 0L, 0L) }
+    finally if (in != null) in.close()
+  }
+
+  override def decodeFrame(payload: Array[Byte], frameIdx: Long,
+      frameLen: Int): Array[Byte] = {
+    // multi-image containers: read frame `frameIdx` (falls back to 0 for
+    // single-image formats); then nearest-neighbor sample to s x s RGB
+    val img0 = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val idx = try {
+              val n = r.getNumImages(true)
+              if (frameIdx >= 0 && frameIdx < n) frameIdx.toInt else 0
+            } catch { case _: java.io.IOException => 0 }
+            Option(r.read(idx))
+          } catch { case _: java.io.IOException => None }
+          finally r.dispose()
+        }
+      } finally if (in != null) in.close()
+    }
+    img0.orElse(read(payload)) match {
+      case None => Array.emptyByteArray
+      case Some(img) =>
+        val s = math.max(1, math.sqrt(frameLen / 3.0).toInt)
+        val out = new Array[Byte](s * s * 3)
+        var y = 0
+        while (y < s) {
+          var x = 0
+          while (x < s) {
+            val px = img.getRGB(x * img.getWidth / s, y * img.getHeight / s)
+            val o = (y * s + x) * 3
+            out(o) = ((px >> 16) & 0xFF).toByte
+            out(o + 1) = ((px >> 8) & 0xFF).toByte
+            out(o + 2) = (px & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+    }
+  }
+
+  override def features(frame: Array[Byte], dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    var i = 0
+    while (i < frame.length) { f(i % dim) += (frame(i) & 0xFF) / 255.0f; i += 1 }
+    f
+  }
+}
+
+/**
  * Multimodal-column plumbing (SURVEY.md §7.5): media as opaque `binary`
  * columns plus typed metadata, processed in partition-sized batches.
  *

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, IvfIndex, Multimodal, Text, Vectors}
+import graft.ops.{Dedup, ImageIoDecoder, IvfIndex, Multimodal, Text, Vectors}
 
 /** Invariant specs for the LLM-pipeline operators on tiny inline data. */
 class OpsSpec extends SparkSpec {
@@ -296,6 +296,45 @@ class OpsSpec extends SparkSpec {
     assert(empty.columns.toSeq ==
       Seq("bucket", "pack_idx", "n_docs", "n_chunks", "n_tokens", "pack_text"))
     assert(Text.packChunks(chunks.filter($"doc_id" < 0), "doc_id", 10).count() == 0)
+  }
+
+  test("ImageIoDecoder: real PNG decode through the unchanged operators") {
+    // tiny deterministic PNG fixture generated with the same JDK codec
+    val img = new java.awt.image.BufferedImage(8, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 31) << 16) | ((y * 47) << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // probe reads the REAL container dimensions
+    assert(ImageIoDecoder.probe(png) == ((8L, 5L, 1L)))
+    // decodeFrame: 4x4 RGB nearest-neighbor thumbnail (3*16 = 48 <= 64),
+    // pixel-exact against the source image
+    val fr = ImageIoDecoder.decodeFrame(png, 0L, 64)
+    assert(fr.length == 48)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val px = img.getRGB(x * 8 / 4, y * 5 / 4)
+      val o = (y * 4 + x) * 3
+      assert((fr(o) & 0xFF) == ((px >> 16) & 0xFF))
+      assert((fr(o + 1) & 0xFF) == ((px >> 8) & 0xFF))
+      assert((fr(o + 2) & 0xFF) == (px & 0xFF))
+    }
+    // the operators run UNCHANGED with the real codec plugged in; an
+    // unreadable payload probes (0,0,0) and yields no frame rows (skip
+    // broken media, never fail the task)
+    val media = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMetadata(spark, media, "doc_id",
+        decoder = ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(meta(1L) == ((8L, 5L, 1L)))
+    assert(meta(2L) == ((0L, 0L, 0L)))
+    val frames = Multimodal.sampleFrames(spark, media, "doc_id",
+      decoder = ImageIoDecoder).collect()
+    assert(frames.length == 1 && frames.head.getLong(0) == 1L)
+    assert(frames.head.getAs[Array[Byte]]("frame_bytes").length == 48)
   }
 
   test("BPE tokenizer: hand-computed fit merges; encode is lossless and rank-ordered") {
