@@ -217,6 +217,42 @@ object Dedup {
   }
 
   /**
+   * Remove flagged duplicate spans from documents — the second half of
+   * the Lee et al. exact-substring flow: [[substringDupSpans]] FINDS the
+   * repeated spans, this operator CUTS them from the duplicate side
+   * (convention: doc_a < doc_b, so doc_a keeps its copy and doc_b's
+   * covered token ranges are excised — pass the span frame with the
+   * roles of your keep policy). Output: (id, clean_text,
+   * n_tokens_removed) for EVERY input doc; clean_text is the kept tokens
+   * re-joined single-spaced over lowercased whitespace tokens (the same
+   * normalization the span positions were computed on).
+   *
+   * Scale shape: spans collapse to one (doc, ranges) row per FLAGGED doc
+   * (tiny — bounded by the near-dup subset), broadcast-joined onto the
+   * corpus; the token filter is a per-doc Catalyst HOF over the ranges
+   * list (a few ranges per flagged doc), unflagged docs stream through
+   * with a null-ranges fast path. No corpus shuffle.
+   */
+  def cutSpans(df: DataFrame, spans: DataFrame, textCol: String,
+      idCol: String, docCol: String = "doc_b", startCol: String = "b_start",
+      lenCol: String = "span_tokens"): DataFrame = {
+    val cuts = spans.select(col(docCol).as(idCol),
+        struct(col(startCol).cast("long").as("s"),
+          (col(startCol) + col(lenCol)).cast("long").as("e")).as("__c"))
+      .groupBy(col(idCol)).agg(collect_list(col("__c")).as("__cuts"))
+    val toks = graft.ops.Text.tokens(col(textCol))
+    df.join(broadcast(cuts), Seq(idCol), "left")
+      .withColumn("__kept",
+        when(col("__cuts").isNull, toks)
+          .otherwise(filter(toks, (_, i) =>
+            !exists(col("__cuts"), c =>
+              i.cast("long") >= c.getField("s") && i.cast("long") < c.getField("e")))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(toks) - size(col("__kept"))).cast("long").as("n_tokens_removed"))
+  }
+
+  /**
    * Corpus shingle profiling: the top-k shingles by document frequency
    * (ties broken lexicographically). The operational companion of
    * `maxShingleDf` — at corpus scale this is how the stop-shingle

@@ -52,6 +52,31 @@ object LlmOps extends QueryGroup {
       |  array_to_string(list_slice(ts, ci*32 + 1, ci*32 + 40), ' ') AS chunk_text
       |FROM e)""".stripMargin
 
+  /** CTE chain shared by q_dedup_substring / q_dedup_substring_cut: the
+    * paragraph-seeded corpus `t(doc_id, ts)` and the maximal repeated
+    * spans `spansq` (the [[Dedup.substringDupSpans]] algorithm: positional
+    * 8-shingles, occurrence-capped equi-join, diagonal gaps-and-islands). */
+  private def substringSpansCtes: String =
+    s"""s AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 25 = 0 THEN text || ' $SubstringPara' ELSE text END AS t
+      |  FROM documents),
+      |t AS (SELECT doc_id, regexp_split_to_array(lower(t), '\\s+') AS ts FROM s),
+      |g AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 8)) AS pos
+      |  FROM t WHERE len(ts) >= 8),
+      |sh AS (SELECT doc_id, pos,
+      |    array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS shingle FROM g),
+      |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 10000),
+      |kp AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    CAST(x.pos AS BIGINT) AS pa, CAST(x.pos - y.pos AS BIGINT) AS diag
+      |  FROM kp x JOIN kp y USING(shingle) WHERE x.doc_id < y.doc_id),
+      |r AS (SELECT *, pa - ROW_NUMBER() OVER (
+      |    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island FROM m),
+      |spansq AS (SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pa) - diag AS b_start,
+      |    MAX(pa) - MIN(pa) + 8 AS span_tokens
+      |  FROM r GROUP BY doc_a, doc_b, diag, island
+      |  HAVING MAX(pa) - MIN(pa) + 8 >= 16)""".stripMargin
+
   /** A zero-padded STRING doc id ('d' + 6 digits) for the string-id query
     * twins: lexicographic order equals the numeric order of the underlying
     * key, so the long-id and string-id variants pack/group identically —
@@ -534,25 +559,34 @@ object LlmOps extends QueryGroup {
         Dedup.substringDupSpans(seeded, "text2", "doc_id",
           k = 8, minSpanTokens = 16)
       },
-      Some(s"""WITH s AS (SELECT doc_id,
-              |    CASE WHEN doc_id % 25 = 0 THEN text || ' $SubstringPara' ELSE text END AS t
-              |  FROM documents),
-              |t AS (SELECT doc_id, regexp_split_to_array(lower(t), '\\s+') AS ts FROM s),
-              |g AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 8)) AS pos
-              |  FROM t WHERE len(ts) >= 8),
-              |sh AS (SELECT doc_id, pos,
-              |    array_to_string(list_slice(ts, pos + 1, pos + 8), ' ') AS shingle FROM g),
-              |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 10000),
-              |kp AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-              |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-              |    CAST(x.pos AS BIGINT) AS pa, CAST(x.pos - y.pos AS BIGINT) AS diag
-              |  FROM kp x JOIN kp y USING(shingle) WHERE x.doc_id < y.doc_id),
-              |r AS (SELECT *, pa - ROW_NUMBER() OVER (
-              |    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island FROM m)
-              |SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pa) - diag AS b_start,
-              |  MAX(pa) - MIN(pa) + 8 AS span_tokens
-              |FROM r GROUP BY doc_a, doc_b, diag, island
-              |HAVING MAX(pa) - MIN(pa) + 8 >= 16""".stripMargin)),
+      Some(s"""WITH $substringSpansCtes
+              |SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM spansq""".stripMargin)),
+
+    // The second half of the exact-substring flow: CUT the flagged spans
+    // from the duplicate (doc_b) side — every doc emits its cleaned,
+    // single-spaced lowercased token stream + how many tokens were
+    // removed. Pure integer positions + string joins, hash-matched.
+    QueryDef("q_dedup_substring_cut",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text2",
+          when(col("doc_id") % 25 === 0,
+            concat(col("text"), lit(" " + SubstringPara))).otherwise(col("text")))
+        val spans = Dedup.substringDupSpans(seeded, "text2", "doc_id",
+          k = 8, minSpanTokens = 16)
+        Dedup.cutSpans(seeded, spans, "text2", "doc_id")
+      },
+      Some(s"""WITH $substringSpansCtes,
+              |cut AS (SELECT doc_b AS doc_id, b_start, b_start + span_tokens AS b_end FROM spansq),
+              |tok AS (SELECT doc_id, unnest(ts) AS tok,
+              |    unnest(generate_series(0, len(ts) - 1)) AS pos FROM t),
+              |kept AS (SELECT k.* FROM tok k WHERE NOT EXISTS (
+              |  SELECT 1 FROM cut c WHERE c.doc_id = k.doc_id
+              |    AND k.pos >= c.b_start AND k.pos < c.b_end)),
+              |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+              |    COUNT(*) AS n FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, COALESCE(a.txt, '') AS clean_text,
+              |  CAST(len(t.ts) - COALESCE(a.n, 0) AS BIGINT) AS n_tokens_removed
+              |FROM t LEFT JOIN agg a USING(doc_id)""".stripMargin)),
 
     // STRING-ID twin of q_dedup_groups: the pair graph and min-label
     // propagation run on native VARCHAR doc ids — min() is binary

@@ -390,6 +390,24 @@ class OpsSpec extends SparkSpec {
       maxShingleDf = 1).count() == 0)
   }
 
+  test("cutSpans removes exactly the flagged token ranges from the dup side") {
+    val d = Seq((1L, "a b c d e f"), (2L, "x a b c d y"), (3L, "untouched doc"))
+      .toDF("doc_id", "text")
+    val spans = Seq((1L, 2L, 0L, 1L, 4L))
+      .toDF("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    val out = Dedup.cutSpans(d, spans, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("a b c d e f", 0L))) // keep side untouched
+    assert(out(2L) == (("x y", 4L)))         // positions 1..4 excised
+    assert(out(3L) == (("untouched doc", 0L)))
+    // overlapping spans cut their UNION, not double-count
+    val spans2 = Seq((1L, 2L, 0L, 1L, 3L), (1L, 2L, 0L, 2L, 3L))
+      .toDF("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    val out2 = Dedup.cutSpans(d, spans2, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out2(2L) == (("x y", 4L))) // 1..3 union 2..4 = 1..4
+  }
+
   test("packing is id-type generic: string ids keep their native type") {
     // UUID/URL-style string keys flow through both folds without casting —
     // output id column stays StringType, per-doc semantics unchanged
