@@ -144,6 +144,39 @@ object Dedup {
   }
 
   /**
+   * Canonical-document selection — the decision step after
+   * [[dedupGroups]]: for EVERY corpus doc, keep or drop. Singletons
+   * (docs in no near-dup group) always keep; within a group the winner
+   * is the member with the highest `prefer` value (a quality score,
+   * length, …), ties broken by ascending id — so the policy is
+   * deterministic and engine-independent. Output: (id, group_id — NULL
+   * for singletons, kept).
+   *
+   * Scale shape: `groups` is the near-dup subset (tiny vs the corpus),
+   * so the member frame is built with a broadcast join, the ranking
+   * window shuffles MEMBERS ONLY, and the final decision is a second
+   * broadcast join back onto the corpus — the full corpus is never
+   * shuffled.
+   */
+  def resolveDuplicates(df: DataFrame, groups: DataFrame, idCol: String,
+      prefer: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groups.select(col("doc_id").as("__gid"), col("canonical_id"))
+    val members = df.select(col(idCol), prefer.as("__pref"))
+      .join(broadcast(g), col(idCol) === col("__gid"))
+      .select(col(idCol).as("__mid"), col("canonical_id"), col("__pref"))
+    val ranked = members.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("canonical_id"))
+        .orderBy(col("__pref").desc, col("__mid").asc)))
+      .select(col("__mid"), col("canonical_id"),
+        (col("__rk") === 1).as("__kept"))
+    df.select(col(idCol))
+      .join(broadcast(ranked), col(idCol) === col("__mid"), "left")
+      .select(col(idCol), col("canonical_id").as("group_id"),
+        coalesce(col("__kept"), lit(true)).as("kept"))
+  }
+
+  /**
    * Positional word n-gram shingles: one row per shingle OCCURRENCE
    * (doc, pos, shingle), pos 0-based in document order — the span-level
    * companion of [[shingles]] (which is distinct/set-level). Codegen'd

@@ -283,6 +283,40 @@ object Text {
   }
 
   /**
+   * Deterministic weighted corpus mixing — the data-mixture reweighting
+   * step of multi-source training pipelines (Pile/DoReMi style): each
+   * source gets a sampling weight `w >= 0`, and every doc is emitted
+   * `floor(w)` times plus one more when the doc's salted-md5 uniform
+   * value in [0, 65536) falls under `frac(w) * 65536` — so w = 0.25
+   * downsamples to a quarter, w = 2.5 emits 2 or 3 copies. The hash is
+   * salted ("#mix") so mixture membership is independent of
+   * [[hashSplit]]'s train/dev/test assignment; being content-derived it
+   * is stable across runs, partitionings and engines (oracle-checkable),
+   * and a doc keeps its fate when the corpus is reprocessed.
+   *
+   * Output: all input columns plus `copy` (0-based repeat index; rows
+   * with zero copies disappear). One narrow projection + explode — no
+   * shuffle, no RNG.
+   */
+  def mixCorpus(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "mixture weights must be >= 0")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit("#mix"))),
+      1, 4), 16, 10).cast("long")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (rest, (s, wt)) =>
+      when(col(sourceCol) === s, lit(wt)).otherwise(rest)
+    }
+    val base = floor(w).cast("long")
+    val thresh = floor((w - floor(w)) * 65536).cast("long")
+    val n = base + when(h < thresh, lit(1L)).otherwise(lit(0L))
+    // sequence(0, -1) would DESCEND in Spark; guard the zero-copy case
+    // with an explicit empty array so explode drops the row
+    df.withColumn("copy", explode(when(n > 0, sequence(lit(0L), n - lit(1L)))
+      .otherwise(array().cast("array<long>"))))
+  }
+
+  /**
    * PII scrubbing: mask emails, US-style phone numbers and IPv4 addresses
    * with typed placeholder tokens, and count what was masked — the
    * redaction pass corpus pipelines run before training. Patterns are

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Dedup, Multimodal, Text, Vectors}
+import graft.ops.{Bpe, Dedup, Multimodal, NgramLm, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -371,6 +371,60 @@ object LlmOps extends QueryGroup {
               |       ELSE 'test' END AS split
               |FROM h""".stripMargin)),
 
+    // Deterministic weighted source mixing: src0 dropped, src1 quartered,
+    // src2 upsampled 2.5x, src3 1.75x, every other source kept at 1.0 —
+    // copy counts come from a salted md5, so the mixture replays exactly
+    // in DuckDB (weights are exact binary fractions: decimal vs binary
+    // threshold arithmetic cannot disagree)
+    QueryDef("q_text_mix",
+      (s, dir) => Text.mixCorpus(Tables.load(s, dir, "documents"),
+        "doc_id", "source",
+        Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 2.5, "src3" -> 1.75))
+        .select(col("doc_id"), col("source"), col("copy")),
+      Some(s"""WITH w AS (SELECT doc_id, source,
+              |    CAST(CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25
+              |      WHEN 'src2' THEN 2.5 WHEN 'src3' THEN 1.75 ELSE 1.0 END AS DOUBLE) AS wt,
+              |    ${md5Val16Sql("CAST(doc_id AS VARCHAR) || '#mix'")} AS hv
+              |  FROM documents),
+              |n AS (SELECT doc_id, source,
+              |    CAST(FLOOR(wt) AS BIGINT) +
+              |      CASE WHEN hv < CAST(FLOOR((wt - FLOOR(wt)) * 65536) AS BIGINT)
+              |           THEN 1 ELSE 0 END AS n
+              |  FROM w)
+              |SELECT doc_id, source,
+              |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy
+              |FROM n WHERE n > 0""".stripMargin)),
+
+    // Bigram-LM fluency scoring (the CCNet / KenLM-style quality signal):
+    // fit counts on the train slice (doc_id % 10 <> 0), stupid-backoff-
+    // score EVERY doc; per-doc mean log-prob rounded to 6 dp
+    QueryDef("q_text_lm_score",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        NgramLm.fit(docs.filter(col("doc_id") % 10 =!= 0), "text")
+          .score(docs, "text", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+              |bg AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS p, ts FROM t),
+              |cb AS (SELECT doc_id, ts[p] AS w1, ts[p+1] AS w2 FROM bg),
+              |u AS (SELECT w, COUNT(*) AS c1 FROM (
+              |    SELECT unnest(ts) AS w FROM t WHERE doc_id % 10 <> 0) GROUP BY w),
+              |nv AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM u),
+              |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM cb
+              |  WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+              |sc AS (SELECT cb.doc_id,
+              |    CASE WHEN b.c12 IS NOT NULL
+              |         THEN ln(CAST(b.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+              |         ELSE ln(CAST(0.4 AS DOUBLE) *
+              |           (CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE) /
+              |            CAST(nv.n + nv.v AS DOUBLE))) END AS lp
+              |  FROM cb LEFT JOIN b USING(w1, w2)
+              |  LEFT JOIN u u1 ON u1.w = cb.w1
+              |  LEFT JOIN u u2 ON u2.w = cb.w2, nv)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |  ROUND(AVG(lp), 6) AS avg_logp
+              |FROM sc GROUP BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: corpus docs sharing >= 5 distinct
     // 3-gram shingles with the held-out "benchmark" slice (doc_id % 10 = 0)
     QueryDef("q_decontaminate",
@@ -543,6 +597,35 @@ object LlmOps extends QueryGroup {
               |  UNION
               |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc)
               |SELECT doc AS doc_id, MIN(lbl) AS canonical_id FROM cc GROUP BY doc""".stripMargin)),
+
+    // Canonical-document selection after group resolution: EVERY corpus
+    // doc gets an explicit (group_id, kept) decision — singletons keep,
+    // a group's winner is its longest member (ties: min id)
+    QueryDef("q_dedup_resolve",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val groups = Dedup.dedupGroups(
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, tau = 0.4))
+        Dedup.resolveDuplicates(docs, groups, "doc_id", col("n_chars"))
+      },
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |pairs AS (SELECT doc_a, doc_b
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+              |  WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.4),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |cc AS (
+              |  SELECT DISTINCT a AS doc, a AS lbl FROM e
+              |  UNION
+              |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc),
+              |grp AS (SELECT doc AS doc_id, MIN(lbl) AS group_id FROM cc GROUP BY doc),
+              |rk AS (SELECT g.doc_id, g.group_id, ROW_NUMBER() OVER (
+              |    PARTITION BY g.group_id ORDER BY d.n_chars DESC, g.doc_id ASC) AS r
+              |  FROM grp g JOIN documents d USING(doc_id))
+              |SELECT d.doc_id, rk.group_id, COALESCE(rk.r = 1, TRUE) AS kept
+              |FROM documents d LEFT JOIN rk USING(doc_id)""".stripMargin)),
 
     // Exact substring dedup (Lee et al. 2022 family): maximal verbatim
     // token spans >= 16 tokens shared across doc pairs, via positional

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, ImageIoDecoder, IvfIndex, Multimodal, Text, Vectors}
+import graft.ops.{Dedup, ImageIoDecoder, IvfIndex, Multimodal, NgramLm, Text, Vectors}
 
 /** Invariant specs for the LLM-pipeline operators on tiny inline data. */
 class OpsSpec extends SparkSpec {
@@ -676,6 +676,64 @@ class OpsSpec extends SparkSpec {
     // selective probe over the grown index still returns k rows per query
     assert(grown.topK(q, 3, nProbe = 2).groupBy("qid").count()
       .collect().forall(_.getLong(1) == 3L))
+  }
+
+  test("mixCorpus: copy counts follow weights; zero-weight sources vanish") {
+    val src = Seq((1L, "s0"), (2L, "s0"), (3L, "skeep"), (4L, "sup"),
+      (5L, "sup"), (6L, "sother")).toDF("doc_id", "source")
+    val out = Text.mixCorpus(src, "doc_id", "source",
+      Map("s0" -> 0.0, "sup" -> 3.0, "skeep" -> 1.0)).collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(!byDoc.contains(1L) && !byDoc.contains(2L)) // weight 0 dropped
+    assert(byDoc(3L) == 1)                             // weight 1 kept once
+    assert(byDoc(4L) == 3 && byDoc(5L) == 3)           // integer upsample
+    assert(byDoc(6L) == 1)                             // default weight 1.0
+    // copies are indexed 0..n-1
+    assert(out.filter(_.getLong(0) == 4L).map(_.getLong(2)).sorted.toSeq == Seq(0L, 1L, 2L))
+    // fractional weights keep a deterministic ~w fraction across many ids
+    val many = (1L to 2000L).map((_, "s")).toDF("doc_id", "source")
+    val kept = Text.mixCorpus(many, "doc_id", "source", Map("s" -> 0.25)).count()
+    assert(kept > 400 && kept < 600, s"kept $kept of 2000 at w=0.25")
+    // and the same ids are kept on re-run (content-derived, not RNG)
+    val kept2 = Text.mixCorpus(many, "doc_id", "source", Map("s" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept3 = Text.mixCorpus(many, "doc_id", "source", Map("s" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept3 && kept2.size == kept)
+  }
+
+  test("resolveDuplicates: singletons keep; group winner is longest then min id") {
+    val corpus = Seq((1L, "aaaa", 4L), (2L, "aaaaaa", 6L), (3L, "bb", 2L),
+      (4L, "cccccc", 6L), (5L, "cccccc", 6L)).toDF("doc_id", "text", "n_chars")
+    val groups = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "canonical_id")
+    val out = Dedup.resolveDuplicates(corpus, groups, "doc_id", col("n_chars"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    assert(out(3L) == ((-1L, true)))        // singleton: no group, kept
+    assert(out(1L) == ((1L, false)))        // shorter member loses
+    assert(out(2L) == ((1L, true)))         // longest wins
+    assert(out(4L) == ((4L, true)))         // tie -> min id wins
+    assert(out(5L) == ((4L, false)))
+    assert(out.size == 5)                   // every corpus doc decided
+  }
+
+  test("bigram LM: seen bigrams score c12/c1; unseen back off; OOV floored") {
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // counts: uni a=3 b=3 c=1 (N=7, V=3); bi (a,b)=3 (b,a)=1 (b,c)=1
+    val m = NgramLm.fit(train, "text")
+    assert(m.totalTokens == 7 && m.vocabSize == 3)
+    val scored = m.score(Seq((10L, "a b"), (11L, "b b"), (12L, "z z"))
+      .toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(scored(10L) == ((1L, r6(math.log(3.0 / 3.0)))))          // seen
+    assert(scored(11L) == ((1L, r6(math.log(0.4 * (4.0 / 10.0)))))) // backoff to uni(b)
+    assert(scored(12L) == ((1L, r6(math.log(0.4 * (1.0 / 10.0)))))) // OOV floor
+    // pruning to top-1 vocab keeps only bigrams with w1 in the top slice
+    val pruned = m.pruned(1)
+    assert(pruned.bigrams.select("w1").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
   }
 
   test("cache hygiene: dedup operators leave no cached blocks after the action") {
