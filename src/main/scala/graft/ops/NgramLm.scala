@@ -69,6 +69,68 @@ final case class NgramLmModel(
   }
 }
 
+/**
+ * DSIR-style data selection (Xie et al. 2023, "Data Selection for
+ * Language Models via Importance Resampling"): rank raw-corpus docs by
+ * the importance log-ratio llr(x) = log p_target(x) - log p_raw(x)
+ * under two cheap n-gram LMs, then draw k docs without replacement with
+ * probability ∝ exp(llr) via the Gumbel top-k trick. The Gumbel uniform
+ * is content-derived (salted md5 of the doc id, the [[Text.hashSplit]]
+ * family) instead of an RNG, so the selection is deterministic,
+ * partitioning-invariant and engine-replayable — a rerun over a
+ * reprocessed corpus picks the same documents.
+ *
+ * Scale shape: ONE pass over the corpus — the bigram stream is exploded
+ * once and joined against BOTH models' count tables (broadcast-able
+ * after [[NgramLmModel.pruned]]), then a single per-doc aggregation
+ * computes both mean log-probs; top-k compiles to
+ * TakeOrderedAndProject (per-partition k-heap + driver merge of k rows,
+ * no global sort shuffle).
+ */
+object Dsir {
+
+  def select(docs: DataFrame, textCol: String, idCol: String,
+      target: NgramLmModel, raw: NgramLmModel, k: Int): DataFrame = {
+    val ts = Text.tokens(col(textCol))
+    val pairs = arrays_zip(
+      slice(ts, lit(1), size(ts) - 1).as("w1"),
+      slice(ts, lit(2), size(ts) - 1).as("w2"))
+    val exploded = docs.select(col(idCol), explode(pairs).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    def side(m: NgramLmModel, sfx: String)(df: DataFrame): DataFrame = df
+      .join(m.bigrams.select(col("w1"), col("w2"), col("c12").as(s"c12$sfx")),
+        Seq("w1", "w2"), "left")
+      .join(m.unigrams.select(col("w").as("w1"), col("c1").as(s"c1$sfx")),
+        Seq("w1"), "left")
+      .join(m.unigrams.select(col("w").as("w2"), col("c1").as(s"c2$sfx")),
+        Seq("w2"), "left")
+    def logp(m: NgramLmModel, sfx: String): Column = {
+      val uniFloor = (coalesce(col(s"c2$sfx"), lit(0L)).cast("double") + 1.0) /
+        (m.totalTokens + m.vocabSize).toDouble
+      when(col(s"c12$sfx").isNotNull,
+          log(col(s"c12$sfx").cast("double") / col(s"c1$sfx").cast("double")))
+        .otherwise(log(lit(m.alpha) * uniFloor))
+    }
+
+    val scored = side(raw, "_r")(side(target, "_t")(exploded))
+      .groupBy(col(idCol))
+      .agg(round(avg(logp(target, "_t")), 6).as("lp_t"),
+        round(avg(logp(raw, "_r")), 6).as("lp_r"))
+    // Gumbel key: llr + (-ln(-ln u)) with u uniform in (0,1) from the
+    // first 16 md5 bits of the salted id — argmax-k of this key IS a
+    // weighted draw without replacement (Gumbel top-k)
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit("#dsir"))),
+      1, 4), 16, 10).cast("long").cast("double")
+    val u = (h + lit(0.5d)) / lit(65536.0d)
+    scored
+      .select(col(idCol), round(col("lp_t") - col("lp_r"), 6).as("llr"),
+        round(col("lp_t") - col("lp_r") - log(-log(u)), 6).as("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
+
 object NgramLm {
 
   /** Fit unigram + bigram counts on `df`'s `textCol` (whitespace tokens,

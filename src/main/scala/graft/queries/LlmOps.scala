@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Dedup, Multimodal, NgramLm, Text, Vectors}
+import graft.ops.{Bpe, Dedup, Dsir, Multimodal, NgramLm, QualityFilter, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -424,6 +424,68 @@ object LlmOps extends QueryGroup {
               |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
               |  ROUND(AVG(lp), 6) AS avg_logp
               |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    // DSIR data selection: importance log-ratio between a target LM
+    // (fit on the doc_id % 3 = 0 slice) and a raw LM (fit on everything),
+    // Gumbel top-k with the salted-md5 uniform — fully deterministic, so
+    // the k=100 selected SET replays exactly in DuckDB
+    QueryDef("q_dsir_select",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dsir.select(docs, "text", "doc_id",
+          target = NgramLm.fit(docs.filter(col("doc_id") % 3 === 0), "text"),
+          raw = NgramLm.fit(docs, "text"), k = 100)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+              |bg AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS p, ts FROM t),
+              |cb AS (SELECT doc_id, ts[p] AS w1, ts[p+1] AS w2 FROM bg),
+              |tu AS (SELECT w, COUNT(*) AS c1 FROM (
+              |    SELECT unnest(ts) AS w FROM t WHERE doc_id % 3 = 0) GROUP BY w),
+              |tnv AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM tu),
+              |tb AS (SELECT w1, w2, COUNT(*) AS c12 FROM cb
+              |  WHERE doc_id % 3 = 0 GROUP BY w1, w2),
+              |ru AS (SELECT w, COUNT(*) AS c1 FROM (
+              |    SELECT unnest(ts) AS w FROM t) GROUP BY w),
+              |rnv AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM ru),
+              |rb AS (SELECT w1, w2, COUNT(*) AS c12 FROM cb GROUP BY w1, w2),
+              |sc AS (SELECT cb.doc_id,
+              |    CASE WHEN tb.c12 IS NOT NULL
+              |         THEN ln(CAST(tb.c12 AS DOUBLE) / CAST(tu1.c1 AS DOUBLE))
+              |         ELSE ln(CAST(0.4 AS DOUBLE) *
+              |           (CAST(COALESCE(tu2.c1, 0) + 1 AS DOUBLE) /
+              |            CAST(tnv.n + tnv.v AS DOUBLE))) END AS lpt,
+              |    CASE WHEN rb.c12 IS NOT NULL
+              |         THEN ln(CAST(rb.c12 AS DOUBLE) / CAST(ru1.c1 AS DOUBLE))
+              |         ELSE ln(CAST(0.4 AS DOUBLE) *
+              |           (CAST(COALESCE(ru2.c1, 0) + 1 AS DOUBLE) /
+              |            CAST(rnv.n + rnv.v AS DOUBLE))) END AS lpr
+              |  FROM cb
+              |  LEFT JOIN tb ON tb.w1 = cb.w1 AND tb.w2 = cb.w2
+              |  LEFT JOIN tu tu1 ON tu1.w = cb.w1
+              |  LEFT JOIN tu tu2 ON tu2.w = cb.w2
+              |  LEFT JOIN rb ON rb.w1 = cb.w1 AND rb.w2 = cb.w2
+              |  LEFT JOIN ru ru1 ON ru1.w = cb.w1
+              |  LEFT JOIN ru ru2 ON ru2.w = cb.w2, tnv, rnv),
+              |ag AS (SELECT doc_id, ROUND(AVG(lpt), 6) AS lp_t,
+              |    ROUND(AVG(lpr), 6) AS lp_r FROM sc GROUP BY doc_id)
+              |SELECT doc_id, ROUND(lp_t - lp_r, 6) AS llr,
+              |  ROUND(lp_t - lp_r - ln(-ln(
+              |    (${md5Val16Sql("CAST(doc_id AS VARCHAR) || '#dsir'")} + 0.5) / 65536.0)), 6) AS sel_key
+              |FROM ag ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // fastText-style trained quality classifier: hashed word+bigram
+    // features -> logistic regression, fit against a deterministic
+    // "trusted source" label (source = src2), score every doc. Trained
+    // numerics (L-BFGS) -> rows-only check; invariants spec'd in OpsSpec
+    QueryDef("q_quality_classifier",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val m = QualityFilter.fit(
+          docs.withColumn("label", (col("source") === "src2").cast("int")),
+          "text", "label", numFeatures = 1 << 16)
+        QualityFilter.score(m, docs, "text", "doc_id")
+      },
+      None),
 
     // Benchmark decontamination: corpus docs sharing >= 5 distinct
     // 3-gram shingles with the held-out "benchmark" slice (doc_id % 10 = 0)

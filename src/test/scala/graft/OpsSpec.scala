@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, ImageIoDecoder, IvfIndex, Multimodal, NgramLm, Text, Vectors}
+import graft.ops.{Dedup, Dsir, ImageIoDecoder, IvfIndex, Multimodal, NgramLm, QualityFilter, Text, Vectors}
 
 /** Invariant specs for the LLM-pipeline operators on tiny inline data. */
 class OpsSpec extends SparkSpec {
@@ -734,6 +734,43 @@ class OpsSpec extends SparkSpec {
     val pruned = m.pruned(1)
     assert(pruned.bigrams.select("w1").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("a"))
+  }
+
+  test("DSIR selection: target-like docs win; k bound; deterministic rerun") {
+    // target domain talks about "alpha beta", the raw corpus mixes in
+    // "noise junk" docs; selection with prob ∝ exp(llr) must overwhelmingly
+    // pick the target-like half
+    val docs = ((1L to 40L).map(i => (i, "alpha beta alpha beta gamma")) ++
+      (41L to 80L).map(i => (i, "noise junk noise junk filler"))).toDF("doc_id", "text")
+    val target = NgramLm.fit(docs.filter(col("doc_id") <= 40), "text")
+    val raw = NgramLm.fit(docs, "text")
+    val sel = Dsir.select(docs, "text", "doc_id", target, raw, k = 20)
+    val picked = sel.collect().map(_.getLong(0)).toSet
+    assert(picked.size == 20)
+    assert(picked.count(_ <= 40L) >= 18, s"picked ${picked.count(_ <= 40L)}/20 target-like")
+    // content-derived Gumbel: identical selection on rerun
+    val again = Dsir.select(docs, "text", "doc_id", target, raw, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    // k larger than the corpus degrades to "every doc with bigrams"
+    assert(Dsir.select(docs, "text", "doc_id", target, raw, k = 500).count() == 80)
+  }
+
+  test("quality classifier separates an obviously separable corpus") {
+    val good = (1L to 30L).map(i => (i, s"clean well formed sentence number $i with structure", 1))
+    val bad = (31L to 60L).map(i => (i, s"zz qq xx $i garbage garbage garbage zz qq", 0))
+    val docs = (good ++ bad).toDF("doc_id", "text", "label")
+    val m = QualityFilter.fit(docs, "text", "label", numFeatures = 1 << 12)
+    // score held-out docs drawn from the same two distributions
+    val held = Seq((100L, "clean well formed sentence with structure"),
+      (101L, "zz qq xx garbage garbage zz")).toDF("doc_id", "text")
+    val s = QualityFilter.score(m, held, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(100L) > 0.5 && s(101L) < 0.5, s"scores $s")
+    // scores are probabilities
+    val all = QualityFilter.score(m, docs, "text", "doc_id").collect()
+    assert(all.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+    assert(all.length == 60)
   }
 
   test("cache hygiene: dedup operators leave no cached blocks after the action") {
