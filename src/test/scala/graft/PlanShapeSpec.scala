@@ -167,6 +167,28 @@ class PlanShapeSpec extends SparkSpec {
       "the df groupBy-count must partial-aggregate before its exchange")
   }
 
+  test("q_dsir_select: one corpus pass, broadcast model joins, heap top-k") {
+    val p = plan("q_dsir_select")
+    // both LMs' count tables join onto the single exploded bigram stream
+    // as broadcasts — the corpus side never sorts or re-shuffles per model
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "model count tables must broadcast, not sort-merge")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 6,
+      "six count-table joins (bigram/w1/w2 x two models) expected")
+    // top-k is a per-partition heap + driver merge of k rows, not a
+    // global sort shuffle
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"selection must compile to TakeOrderedAndProject, plan:\n$p")
+    assert(p.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      .isEmpty, "no global sort for top-k")
+    // exactly one bulk exchange touches the corpus-sized side: the per-doc
+    // aggregation; every other shuffle feeds a model-table broadcast
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1,
+      s"one doc-keyed exchange expected, got:\n${bulk.mkString("\n")}")
+  }
+
   test("q_f1_encode_join: encoding apply is a broadcast join, never a shuffle of the corpus") {
     val p = plan("q_f1_encode_join")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
