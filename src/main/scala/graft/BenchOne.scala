@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Micro-bench one catalog query under the exact Bench session config:
+  * `runMain graft.BenchOne <query> [sfDir] [passes]`. Prints per-pass and
+  * best seconds — the tool for A/B-ing one operator's plan without paying
+  * for the whole headline suite. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up
+    val ts = (1 to passes).map { i =>
+      spark.sqlContext.clearCache()
+      val t = once(); println(f"pass $i: $t%.3f s"); t
+    }
+    println(f"best: ${ts.min}%.3f s")
+    spark.stop()
+  }
+}

@@ -70,15 +70,20 @@ object Dedup {
    * scale; the over-cap LIST is tiny by construction (at most
    * totalShingles/cap entries, in practice the handful of boilerplate
    * shingles the cap exists to kill), so it broadcasts. The exploded
-   * shingle table is cached through [[graft.core.CacheScope]] (it feeds
-   * the count, the sizes and both join sides within the first
-   * materialization) and unpersisted automatically when that action
-   * completes — no `clearCache()` contract on the caller, no storage
-   * leak in a long-lived session.
+   * shingle table is deliberately NOT cached: the explode is a cheap
+   * codegen'd pass over the scan, AQE's exchange reuse dedupes the
+   * repeated count subtree at runtime, and measured at sf0.1 a cache is
+   * a wash or slower (block-store writes outweigh the narrow re-scan)
+   * while breaking whole-stage codegen fusion.
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
-    val all = graft.core.CacheScope.autoUnpersist(shingles(df, textCol, idCol, n))
+    val all = shingles(df, textCol, idCol, n)
+    // no cache: the explode is a cheap codegen'd pass, and AQE's exchange
+    // reuse already dedupes the repeated count subtree at runtime —
+    // measured at sf0.1, caching either the exploded table or the over-cap
+    // list is a wash or slower than recomputing (block-store writes cost
+    // more than the narrow re-scan) while breaking codegen fusion
     val overCap = all.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df_n"))
       .filter(col("df_n") > maxShingleDf)
