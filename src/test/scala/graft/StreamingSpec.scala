@@ -88,6 +88,31 @@ class StreamingSpec extends SparkSpec {
     } finally { qc.stop(); qp.stop() }
   }
 
+  test("streaming corpus mixing: stateless operator emits batch-identical copies") {
+    // mixCorpus is one projection + explode with content-derived copy
+    // counts — it applies to a streaming DataFrame unchanged, and the
+    // mixture is partition/batch-invariant because nothing is RNG-driven
+    val dir = Files.createTempDirectory("graft_docs_mix")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    val weights = Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 2.5)
+    val mixed = graft.ops.Text.mixCorpus(docsStream, "doc_id", "source", weights)
+      .select("doc_id", "source", "copy")
+    val q = mixed.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mix_stream").start()
+    try {
+      q.processAllAvailable()
+      val batch = graft.ops.Text.mixCorpus(
+        graft.core.Tables.load(spark, sf, "documents"), "doc_id", "source", weights)
+        .select("doc_id", "source", "copy")
+      assert(spark.sql("SELECT * FROM mix_stream").collect().map(_.toSeq).toSet ==
+        batch.collect().map(_.toSeq).toSet)
+    } finally q.stop()
+  }
+
   test("streaming pack: chunks split across batches keep monotone pack numbering") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_chunk_batches")
