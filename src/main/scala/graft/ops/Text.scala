@@ -317,6 +317,43 @@ object Text {
   }
 
   /**
+   * C4-style line-level dedup (Raffel et al. 2020 §2.2 discards any line
+   * occurring more than once in the dataset; generalized here to a
+   * document-frequency threshold): drop every line whose normalized form
+   * (trim + lowercase) appears in at least `minDf` DISTINCT documents,
+   * then reassemble each document's surviving lines in original order.
+   * Documents whose every line is boilerplate disappear from the output
+   * (C4 drops emptied docs). Output: (id, clean_text, n_lines).
+   *
+   * Scale shape: line document-frequency is a two-level aggregation
+   * (per-doc distinct, then count — both with map-side partial combine),
+   * and the hot-line list rejoins as a broadcast anti-join by default
+   * (the list holds only lines duplicated across >= minDf docs). Set
+   * `broadcastHot = false` when the duplicated-line universe exceeds
+   * broadcast memory — the join degrades to a shuffle anti-join keyed on
+   * the line. Reassembly is ONE doc-keyed aggregation: `sort_array` over
+   * (pos, line) structs restores order without a window.
+   */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      minDf: Int = 2, broadcastHot: Boolean = true): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val norm = trim(lower(col("line")))
+    val hot = lines.select(norm.as("nl"), col(idCol)).distinct()
+      .groupBy(col("nl")).agg(count(lit(1)).as("df_n"))
+      .filter(col("df_n") >= minDf)
+      .select(col("nl"))
+    val hotSide = if (broadcastHot) broadcast(hot) else hot
+    lines.join(hotSide, norm === col("nl"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /**
    * PII scrubbing: mask emails, US-style phone numbers and IPv4 addresses
    * with typed placeholder tokens, and count what was masked — the
    * redaction pass corpus pipelines run before training. Patterns are

@@ -22,6 +22,12 @@ object LlmOps extends QueryGroup {
     "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
     "victor", "whiskey", "xray").mkString(" ")
 
+  /** Fixed boilerplate footer line seeded onto every 5th doc by
+    * q_text_line_dedup (all-lowercase single-space — both engines
+    * normalize it identically). */
+  private val BoilerLine: String =
+    "subscribe to our newsletter for updates and exclusive offers"
+
   /** [[Bpe]] tokenization in DuckDB: the marker representation (one `c@`
     * per char, single space between symbols, double space between words,
     * leading space) run through the SAME rank-ordered merge chain as
@@ -424,6 +430,31 @@ object LlmOps extends QueryGroup {
               |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
               |  ROUND(AVG(lp), 6) AS avg_logp
               |FROM sc GROUP BY doc_id""".stripMargin)),
+
+    // C4-style line dedup: every doc becomes two lines (its own text +
+    // a boilerplate footer on every 5th doc); the footer and any line
+    // shared by >= 2 docs (exact-dup texts) are dropped, docs reassemble
+    // from surviving lines, fully-boilerplate docs vanish
+    QueryDef("q_text_line_dedup",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\n" + BoilerLine))).otherwise(col("text")))
+        Text.dedupLines(seeded, "text", "doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || '$BoilerLine'
+              |         ELSE text END AS tx FROM documents),
+              |ls AS (SELECT doc_id, string_split(tx, chr(10)) AS la FROM d),
+              |l AS (SELECT doc_id, unnest(generate_series(1, len(la))) AS p, la FROM ls),
+              |ln AS (SELECT doc_id, p, la[p] AS line FROM l),
+              |hot AS (SELECT trim(lower(line)) AS nl FROM ln
+              |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+              |keep AS (SELECT doc_id, p, line FROM ln
+              |  WHERE trim(lower(line)) NOT IN (SELECT nl FROM hot))
+              |SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
+              |  COUNT(*) AS n_lines
+              |FROM keep GROUP BY doc_id""".stripMargin)),
 
     // DSIR data selection: importance log-ratio between a target LM
     // (fit on the doc_id % 3 = 0 slice) and a raw LM (fit on everything),

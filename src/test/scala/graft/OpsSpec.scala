@@ -736,6 +736,28 @@ class OpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("line dedup: repeated lines drop, order survives, emptied docs vanish") {
+    val docs = Seq(
+      (1L, "unique alpha\nSHARED FOOTER\nunique beta"),
+      (2L, "shared footer\nunique gamma"),   // case/trim-insensitive match
+      (3L, "  shared footer  "),             // all boilerplate -> doc vanishes
+      (4L, "solo line only")).toDF("doc_id", "text")
+    val out = Text.dedupLines(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("unique alpha\nunique beta", 2L))) // order preserved
+    assert(out(2L) == (("unique gamma", 1L)))
+    assert(!out.contains(3L))                              // emptied doc dropped
+    assert(out(4L) == (("solo line only", 1L)))
+    // threshold respected: the footer lives in 3 docs, so minDf=4 keeps it
+    val relaxed = Text.dedupLines(docs, "text", "doc_id", minDf = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(relaxed(3L).trim.toLowerCase == "shared footer")
+    // shuffle-join fallback is result-identical to the broadcast path
+    val shuffled = Text.dedupLines(docs, "text", "doc_id", broadcastHot = false)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(shuffled == out)
+  }
+
   test("DSIR selection: target-like docs win; k bound; deterministic rerun") {
     // target domain talks about "alpha beta", the raw corpus mixes in
     // "noise junk" docs; selection with prob ∝ exp(llr) must overwhelmingly
