@@ -74,24 +74,33 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /**
-   * Load a table. `events.ts` is written as parquet TIMESTAMP(NANOS), which
-   * Spark 4 has no native type for (TimestampType is microseconds) — read it
-   * as a long and truncate ns -> us. The conf is runtime-settable, so this
-   * works under any caller-provided session, including the driver's.
+   * Load a table, normalizing `events.ts` to session-tz TimestampType
+   * whichever way the generator wrote it:
+   *   - parquet TIMESTAMP(NANOS): Spark 4 has no native ns type — read as
+   *     long (`nanosAsLong`, runtime-settable so this works under any
+   *     caller-provided session) and truncate ns -> us;
+   *   - parquet timestamp[us] without UTC adjustment: Spark 4 infers
+   *     TIMESTAMP_NTZ, which `unix_seconds`/`unix_millis` reject — cast to
+   *     TimestampType (wall clock == instant under the UTC session tz all
+   *     entrypoints set, matching DuckDB's naive-as-UTC `epoch()`).
    */
-  /** Raw nanos twin kept alongside the converted `ts` so time predicates can
-    * reach the parquet scan (see Windows.activeWindowFilter). Pruned for free
-    * when unused. */
+  /** Raw scan-column twin (nanos long or NTZ, per the file) kept alongside
+    * the converted `ts` so time predicates can reach the parquet scan
+    * (see Windows.activeWindowFilter). Pruned for free when unused. */
   val RawTsCol = "__ts_raw_ns"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map { _ =>
-        df.withColumn(RawTsCol, org.apache.spark.sql.functions.col("ts"))
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      }
-      .getOrElse(df)
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn(RawTsCol, col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(RawTsCol, col("ts"))
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }

@@ -23,18 +23,28 @@ object Windows {
       predictionDate: Column, historyDays: Int): DataFrame = {
     val start = predictionDate - expr(s"INTERVAL $historyDays DAYS")
     val semantic = col(activityDate) < predictionDate && col(activityDate) > start
-    // When the date column was derived from a raw nanos long (Tables.load),
-    // the derived predicate cannot reach the parquet scan. Add a slightly
-    // looser, IMPLIED predicate on the raw column: it constant-folds to long
+    // When the date column was derived from a raw scan column (Tables.load),
+    // the derived predicate cannot reach the parquet scan. Add an IMPLIED
+    // predicate on the raw column itself: it constant-folds to literal
     // bounds that push down to row-group stats, and the exact semantic
-    // filter still applies on top. Bounds account for the ns->us floor:
+    // filter still applies on top. For a nanos long the bounds are slightly
+    // loose to account for the ns->us floor:
     //   ts_us < pred  =>  raw_ns <  us(pred)*1000 + 1000
     //   ts_us > start =>  raw_ns >  us(start)*1000
+    // For an NTZ raw column the LTZ->NTZ cast of the foldable bound is
+    // exact under any single session tz (the casts are inverses).
     val pushable =
       if (activityDate == "ts" && df.columns.contains(graft.core.Tables.RawTsCol)) {
         val raw = col(graft.core.Tables.RawTsCol)
-        raw < unix_micros(predictionDate) * 1000L + 1000L &&
-          raw > unix_micros(start) * 1000L
+        df.schema(graft.core.Tables.RawTsCol).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw < unix_micros(predictionDate) * 1000L + 1000L &&
+              raw > unix_micros(start) * 1000L
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw < predictionDate.cast(org.apache.spark.sql.types.TimestampNTZType) &&
+              raw > start.cast(org.apache.spark.sql.types.TimestampNTZType)
+          case _ => lit(true)
+        }
       } else lit(true)
     df.filter(pushable && semantic)
   }

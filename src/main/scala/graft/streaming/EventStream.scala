@@ -23,18 +23,37 @@ import org.apache.spark.sql.types._
  */
 object EventStream {
 
-  /** Raw parquet schema of the events table (ts as nanos-long; see
-    * graft.core.Tables on Spark 4 vs TIMESTAMP(NANOS)). */
+  /** Raw parquet schema of the events table under the legacy
+    * TIMESTAMP(NANOS) generator (ts as nanos-long; see graft.core.Tables
+    * on Spark 4 vs TIMESTAMP(NANOS)). [[readEvents]] sniffs the actual
+    * on-disk variant per directory. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-stream the event log from a directory of parquet files. */
+  /** File-stream the event log from a directory of parquet files.
+    *
+    * A file stream needs an explicit schema, and the generator has written
+    * `ts` two ways (TIMESTAMP(NANOS), and timestamp[us] without UTC
+    * adjustment which Spark reads as TIMESTAMP_NTZ) — so peek at the footer
+    * with a one-off batch read and normalize either variant to session-tz
+    * TimestampType, exactly like the batch loader (graft.core.Tables.load).
+    * Reinterpreting the INT64 physical values under the wrong variant would
+    * silently shift every event by 1000x. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val onDisk = spark.read.parquet(dir).schema
+    onDisk("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(onDisk).parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        spark.readStream.schema(onDisk).parquet(dir)
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ =>
+        spark.readStream.schema(onDisk).parquet(dir)
+    }
   }
 
   /** Tumbling-window per-type counts with a watermark bounding state. */
