@@ -447,6 +447,72 @@ object Text {
         .otherwise(lit(0.0)), 6).as("rep_ratio"))
   }
 
+  /** Gopher's stopword list for the minStopwords rule (Rae et al. 2021,
+    * appendix A1.1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style document quality rules (Rae et al. 2021, appendix A1.1),
+   * the rule-based filter most LLM corpus pipelines run before any trained
+   * quality model: reject documents outside word-count / mean-word-length
+   * bounds, with too many symbols (# or ...) per word, too many
+   * bullet-started or ellipsis-ended lines, too few words containing an
+   * alphabetic character, or too few distinct stopwords. Emits the measured
+   * signals AND the keep verdict, so thresholds can be re-tuned downstream
+   * without a second corpus scan.
+   *
+   * All ratios are rounded to 6 dp and the verdict compares the ROUNDED
+   * values, so an external SQL engine replays the decision exactly.
+   *
+   * Scale shape: one codegen'd narrow projection (two splits + higher-order
+   * filters over the token/line arrays), no shuffle — a single corpus pass,
+   * fusable with the other per-doc quality signals.
+   */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      stopwords: Seq[String] = GopherStopwords,
+      minStopwords: Int = 2): DataFrame = {
+    val txt = col(textCol)
+    val t = tokens(txt)
+    val dbl = (c: Column) => c.cast("double")
+    // split("\s+") maps blank text to [""] (size 1) — gate on the text
+    val nWords = when(length(trim(txt)) > 0, size(t)).otherwise(lit(0))
+    // token-length sum == chars left after deleting \s+ runs (see tokenStats)
+    val charSum = length(regexp_replace(lower(txt), "\\s+", ""))
+    val meanLen = round(when(nWords > 0, dbl(charSum) / nWords).otherwise(lit(0.0)), 6)
+    val nSym = regexp_count(txt, lit("#")) + regexp_count(txt, lit("\\.\\.\\."))
+    val symRatio = round(when(nWords > 0, dbl(nSym) / nWords).otherwise(lit(0.0)), 6)
+    val lines = split(txt, "\n")
+    val nLines = size(lines) // >= 1 always
+    val nBullet = size(filter(lines, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+    val bulletRatio = round(dbl(nBullet) / nLines, 6)
+    val nEllipsis = size(filter(lines,
+      l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+    val ellipsisRatio = round(dbl(nEllipsis) / nLines, 6)
+    val nAlpha = size(filter(t, w => w.rlike("[a-z]")))
+    val alphaRatio = round(when(nWords > 0, dbl(nAlpha) / nWords).otherwise(lit(0.0)), 6)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(t), stopArr))
+    val keep = nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+      symRatio <= maxSymbolRatio && bulletRatio <= maxBulletRatio &&
+      ellipsisRatio <= maxEllipsisRatio && alphaRatio >= minAlphaRatio &&
+      nStop >= minStopwords
+    df.select(col(idCol),
+      nWords.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      nStop.cast("long").as("n_stop"),
+      keep.as("keep"))
+  }
+
   /**
    * Document fingerprint: md5 over the sorted distinct token set — a
    * canonical-form hash robust to word order, the cheap cousin of shingle

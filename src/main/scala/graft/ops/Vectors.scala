@@ -226,4 +226,60 @@ object Vectors {
         .filter(col("cos") >= tau)
     }
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): cluster the embedding
+   * space, then drop near-identical members WITHIN each cluster — the
+   * quadratic pair search is confined to a cluster, which is the paper's
+   * whole trick for web scale.
+   *
+   * This rebuild keeps every decision deterministic and engine-replayable
+   * (no RNG, no iterative k-means): cluster seeds are the `k` vectors with
+   * the smallest `md5(id)` (content-derived, the [[graft.ops.Text.hashSplit]]
+   * family); each vector joins its max-cosine seed, ties to the seed
+   * earlier in (md5, id) order; within a cluster a vector is DROPPED when
+   * any lower-id member sits at rounded cosine >= `tau` (keep-lowest-id, the
+   * same canonical rule as [[graft.ops.Dedup.resolveDuplicates]]).
+   *
+   * Output: (id, cluster = seed id, keep). Scale shape: the k seed vectors
+   * are a driver-side fit statistic (k rows, like IvfIndex centroids) that
+   * ride the plan as literals — assignment is ONE narrow codegen'd pass
+   * (k fused [[graft.functions.VecCosine]] calls, no shuffle, no join);
+   * the pair search shuffles on cluster id only and never moves the corpus
+   * twice; cosines are rounded to 6 dp on both engines before comparing.
+   */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, tau: Double = 0.7): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val seeds = df.select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .withColumn("__h", md5(col("sid").cast("string")))
+      .orderBy(col("__h"), col("sid"))
+      .limit(k)
+      .select(col("sid"), col("sv"))
+      .collect()
+    val scored = seeds.map { r =>
+      (r.get(0), round(cosine(col(vecCol), lit(r.getSeq[Float](1).toArray)), 6))
+    }
+    // first-seed-wins on rounded-cosine ties (strict > replacement), in
+    // (md5, id) seed order — mirrored by the oracle's ORDER BY cos DESC,
+    // seed_rank ASC
+    var bestId: Column = lit(scored.head._1)
+    var bestCos: Column = scored.head._2
+    scored.tail.foreach { case (sid, c) =>
+      bestId = when(c > bestCos, lit(sid)).otherwise(bestId)
+      bestCos = when(c > bestCos, c).otherwise(bestCos)
+    }
+    val assigned = df.select(col(idCol), col(vecCol), bestId.as("cluster"))
+    val l = assigned.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = assigned.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("__drop"), lit(true)).as("keep"))
+  }
 }

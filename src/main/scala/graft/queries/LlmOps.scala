@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Dedup, Dsir, Multimodal, NgramLm, QualityFilter, Text, Vectors}
+import graft.ops.{Bpe, Dedup, Dsir, Multimodal, NgramLm, QualityFilter, Select, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -431,6 +431,73 @@ object LlmOps extends QueryGroup {
               |  ROUND(AVG(lp), 6) AS avg_logp
               |FROM sc GROUP BY doc_id""".stripMargin)),
 
+    // Token-budget fill: walk docs longest-first (n_chars desc, the cheap
+    // quality proxy already in the table) and keep until the running token
+    // total passes 15k — the "fill the training budget by priority" step.
+    // The Spark side is the distributed prefix scan (range partition +
+    // per-partition running totals), the oracle the single-window replay.
+    QueryDef("q_text_token_budget",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stats = Text.tokenStats(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_tokens"))
+          .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        Select.tokenBudget(stats, "n_tokens",
+            Seq(col("n_chars").desc, col("doc_id")), budget = 15000L)
+          .select(col("doc_id"), col("n_tokens"), col("rank"),
+            col("cum_tokens"), col("keep"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, n_chars,
+              |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |r AS (SELECT doc_id, n_tokens,
+              |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk,
+              |    SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM t)
+              |SELECT doc_id, n_tokens, CAST(rk AS BIGINT) AS "rank",
+              |  CAST(cum AS BIGINT) AS cum_tokens, cum <= 15000 AS keep
+              |FROM r""".stripMargin)),
+
+    // CCNet-style perplexity bucketing: terciles of the bigram-LM score
+    // (head = most fluent third) via the exact distributed NTILE — same
+    // LM fit as q_text_lm_score, bucket labels replayed with NTILE(3)
+    QueryDef("q_text_ppl_bucket",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val scored = NgramLm.fit(docs.filter(col("doc_id") % 10 =!= 0), "text")
+          .score(docs, "text", "doc_id")
+          .select(col("doc_id"), col("avg_logp"))
+        Select.ntileBuckets(scored,
+            Seq(col("avg_logp").desc, col("doc_id")), buckets = 3)
+          .select(col("doc_id"), col("avg_logp"),
+            when(col("bucket") === 1, "head")
+              .when(col("bucket") === 2, "middle")
+              .otherwise("tail").as("ppl_bucket"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+              |bg AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS p, ts FROM t),
+              |cb AS (SELECT doc_id, ts[p] AS w1, ts[p+1] AS w2 FROM bg),
+              |u AS (SELECT w, COUNT(*) AS c1 FROM (
+              |    SELECT unnest(ts) AS w FROM t WHERE doc_id % 10 <> 0) GROUP BY w),
+              |nv AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM u),
+              |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM cb
+              |  WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+              |sc AS (SELECT cb.doc_id,
+              |    CASE WHEN b.c12 IS NOT NULL
+              |         THEN ln(CAST(b.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+              |         ELSE ln(CAST(0.4 AS DOUBLE) *
+              |           (CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE) /
+              |            CAST(nv.n + nv.v AS DOUBLE))) END AS lp
+              |  FROM cb LEFT JOIN b USING(w1, w2)
+              |  LEFT JOIN u u1 ON u1.w = cb.w1
+              |  LEFT JOIN u u2 ON u2.w = cb.w2, nv),
+              |d AS (SELECT doc_id, ROUND(AVG(lp), 6) AS avg_logp FROM sc GROUP BY doc_id)
+              |SELECT doc_id, avg_logp,
+              |  CASE NTILE(3) OVER (ORDER BY avg_logp DESC, doc_id)
+              |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+              |FROM d""".stripMargin)),
+
     // C4-style line dedup: every doc becomes two lines (its own text +
     // a boilerplate footer on every 5th doc); the footer and any line
     // shared by >= 2 docs (exact-dup texts) are dropped, docs reassemble
@@ -583,6 +650,61 @@ object LlmOps extends QueryGroup {
            |  ROUND(len(list_distinct(ts)) * 1.0 / len(ts), 6) AS distinct_ratio
            |FROM t""".stripMargin
       }),
+
+    // Gopher rule-based quality filter: seed bullet lines on every 7th doc,
+    // an ellipsis-ended line on every (other) 5th, a symbol burst on every
+    // (other) 11th, then apply Rae et al.'s rules with bounds tuned so the
+    // corpus lands on both sides of every rule (word bounds 30..80 straddle
+    // the 10..99-word docs; the stopword list is drawn from the corpus
+    // vocabulary)
+    QueryDef("q_text_gopher",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit("\n- first point\n- second point")))
+          .when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\nto be continued ...")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" #### ####")))
+          .otherwise(col("text")))
+        Text.gopherRules(seeded, "text", "doc_id", minWords = 30, maxWords = 80,
+          stopwords = Seq("the", "a", "data", "table", "row", "value"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || '- first point' || chr(10) || '- second point'
+              |         WHEN doc_id % 5 = 0 THEN text || chr(10) || 'to be continued ...'
+              |         WHEN doc_id % 11 = 0 THEN text || ' #### ####'
+              |         ELSE text END AS tx FROM documents),
+              |t AS (SELECT doc_id, tx,
+              |    regexp_split_to_array(lower(tx), '\\s+') AS ts,
+              |    string_split(tx, chr(10)) AS ls FROM d),
+              |m AS (SELECT doc_id,
+              |    CASE WHEN len(trim(tx)) > 0 THEN len(ts) ELSE 0 END AS n_words,
+              |    length(regexp_replace(lower(tx), '\\s+', '', 'g')) AS n_chr,
+              |    len(regexp_extract_all(tx, '#')) + len(regexp_extract_all(tx, '\\.\\.\\.')) AS n_sym,
+              |    len(ls) AS n_lines,
+              |    len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+              |    len(list_filter(ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS n_ell,
+              |    len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+              |    len(list_intersect(list_distinct(ts),
+              |        ['the', 'a', 'data', 'table', 'row', 'value'])) AS n_stop
+              |  FROM t),
+              |r AS (SELECT doc_id, n_words, n_stop,
+              |    ROUND(CASE WHEN n_words > 0 THEN n_chr * 1.0 / n_words ELSE 0.0 END, 6) AS mean_word_len,
+              |    ROUND(CASE WHEN n_words > 0 THEN n_sym * 1.0 / n_words ELSE 0.0 END, 6) AS symbol_ratio,
+              |    ROUND(n_bullet * 1.0 / n_lines, 6) AS bullet_ratio,
+              |    ROUND(n_ell * 1.0 / n_lines, 6) AS ellipsis_ratio,
+              |    ROUND(CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words ELSE 0.0 END, 6) AS alpha_ratio
+              |  FROM m)
+              |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+              |  symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio,
+              |  CAST(n_stop AS BIGINT) AS n_stop,
+              |  (n_words >= 30 AND n_words <= 80
+              |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+              |   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+              |   AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+              |   AND n_stop >= 2) AS keep
+              |FROM r""".stripMargin)),
 
     QueryDef("q_text_langid",
       (s, dir) => Text.languageId(Tables.load(s, dir, "documents"), "text", "doc_id"),
@@ -853,6 +975,30 @@ object LlmOps extends QueryGroup {
            |FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
            |WHERE ${cosSql("a.v", "b.v")} >= 0.3""".stripMargin
       }),
+
+    // SemDeDup: deterministic variant — 8 md5-seeded clusters, max-cosine
+    // assignment (ties to the earlier seed in (md5, id) order), drop any
+    // member with a lower-id cluster-mate at cos >= tau. The oracle replays
+    // seed choice, assignment, and the keep/drop verdicts row for row.
+    QueryDef("q_semdedup",
+      (s, dir) => Vectors.semDedup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, tau = 0.25),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |s AS (SELECT sid, sv, srank FROM (
+              |    SELECT vec_id AS sid, v AS sv,
+              |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srank
+              |    FROM e) WHERE srank <= 8),
+              |a AS (SELECT e.vec_id, e.v, s.sid, s.srank,
+              |    ${cosSql("e.v", "s.sv")} AS cos FROM e CROSS JOIN s),
+              |asg AS (SELECT vec_id, v, sid FROM (
+              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY cos DESC, srank ASC) AS rn FROM a) WHERE rn = 1),
+              |drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+              |    ON a.sid = b.sid AND a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.v", "b.v")} >= 0.25)
+              |SELECT asg.vec_id, asg.sid AS cluster,
+              |  (drp.vec_id IS NULL) AS keep
+              |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin)),
 
     // --- similarity search ----------------------------------------------
 
