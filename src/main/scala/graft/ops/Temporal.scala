@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal relational operators the reference's event pipelines imply but
+ * never name as reusable primitives: as-of join, gap sessionization, and a
+ * bucketed range join. (The reference keeps per-entity event history as
+ * sorted sequences — e.g. spark/preprocess.py's rank/pad pipeline — and any
+ * "latest state at time t" lookup is done by re-sorting inside pandas; these
+ * operators express the same lookups as single-shuffle Spark plans.)
+ *
+ * All three are pure DataFrame composition — no UDFs, no custom physical
+ * operators — and each shuffles exactly once, keyed on the entity:
+ *
+ *  - [[asofJoin]] is the union-then-carry-forward formulation: instead of a
+ *    range join (which Spark would execute as a per-key cartesian + filter),
+ *    both sides are tagged and unioned, sorted once per key by time, and the
+ *    most recent right-side payload is carried forward with
+ *    `last(_, ignoreNulls)` over a running window. One exchange on the key,
+ *    linear in |L|+|R|, no row explosion — this is the shape that survives a
+ *    100 TB event table where per-key order-matching would blow up.
+ *  - [[sessionize]] is two window functions over one sort (lag + running
+ *    sum), the standard gaps-and-islands formulation.
+ *  - [[rangeJoin]] buckets time so interval containment becomes an equi-join
+ *    on (key, bucket) + an exact residual filter — no BroadcastNestedLoop.
+ */
+object Temporal {
+
+  /**
+   * As-of join: for every left row, attach the single most recent right row
+   * of the same key with `right.ts <= left.ts` (ties at equal timestamps DO
+   * match, like DuckDB/pandas `merge_asof` backward direction). Left rows
+   * with no prior right row (or none inside `toleranceSec`) keep null
+   * payload columns — left-outer semantics, the left side never loses rows.
+   *
+   * When several right rows share the winning (key, ts), the one with the
+   * greatest `rightTiebreak` tuple wins — pass a tiebreak that makes the
+   * right side totally ordered per (key, ts) for deterministic output.
+   *
+   * Scale shape: both sides are projected to (key, ts, payload), unioned,
+   * and sorted ONCE per key inside a single window exchange. No join
+   * operator at all, so there is nothing to skew-explode: a hot key costs
+   * one sorted partition scan, not |L_key|×|R_key| candidate pairs. The
+   * right payload travels as one struct column, so the shuffle carries each
+   * right row once.
+   *
+   * @param valueCols    right columns to attach (original names preserved)
+   * @param matchedTsCol output column holding the matched right timestamp
+   * @param toleranceSec max allowed left.ts - right.ts age, in seconds;
+   *                     older matches are nulled out (the left row stays)
+   */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      valueCols: Seq[String],
+      matchedTsCol: String = "asof_ts",
+      toleranceSec: Option[Long] = None,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    require(!left.columns.contains(matchedTsCol),
+      s"left side already has a '$matchedTsCol' column")
+
+    val tbExpr: Column =
+      if (rightTiebreak.isEmpty) lit(0L)
+      else struct(rightTiebreak.map(col): _*)
+    val rTagged = right.select(
+      col(rightKey).as("_k"), col(rightTs).as("_t"),
+      lit(0).as("_side"), tbExpr.as("_tb"),
+      struct(col(rightTs).as(matchedTsCol) +: valueCols.map(col): _*).as("_r"))
+    val lTagged = left.select(
+      col(leftKey).as("_k"), col(leftTs).as("_t"),
+      lit(1).as("_side"),
+      lit(null).cast(rTagged.schema("_tb").dataType).as("_tb"),
+      lit(null).cast(rTagged.schema("_r").dataType).as("_r"),
+      struct(left.columns.map(col): _*).as("_l"))
+    val unioned = lTagged.unionByName(
+      rTagged.withColumn("_l", lit(null).cast(lTagged.schema("_l").dataType)))
+
+    // Right rows sort before left rows at equal ts (side 0 < 1), so a
+    // same-instant right row is visible to the left row; among right rows at
+    // one instant the greatest tiebreak lands last and wins the carry.
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_side").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+
+    val inTol: Column = toleranceSec match {
+      case Some(tol) =>
+        when(col("_m").isNotNull &&
+          unix_micros(col("_t")) - unix_micros(col("_m").getField(matchedTsCol))
+            <= tol * 1000000L, col("_m"))
+          .otherwise(lit(null).cast(rTagged.schema("_r").dataType))
+      case None => col("_m")
+    }
+    carried.withColumn("_m", inTol)
+      .select(col("_l.*") +:
+        (matchedTsCol +: valueCols).map(c => col("_m").getField(c).as(c)): _*)
+  }
+
+  /**
+   * Gap sessionization: assign each row a per-key `session_id` (1-based,
+   * increasing with time) where a new session starts whenever the gap to the
+   * previous row of the same key exceeds `gapSec` (strictly; a gap of
+   * exactly `gapSec` stays in-session). Classic gaps-and-islands: one lag +
+   * one running sum over the same (key, ts, tiebreak) sort — a single
+   * exchange keyed on the entity, reusable by any downstream per-key op.
+   *
+   * `tiebreak` makes the order total when timestamps collide (required for
+   * deterministic output; same convention as [[graft.prep.Windows.ranks]]).
+   */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+      gapSec: Long, tiebreak: Seq[String] = Nil,
+      sessionCol: String = "session_id"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(gapSec > 0, "gapSec must be positive")
+    val ord = col(tsCol).asc +: tiebreak.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = prev.isNull ||
+      (unix_micros(col(tsCol)) - unix_micros(prev)) > gapSec * 1000000L
+    df.withColumn("_sess_new", isNew.cast("long"))
+      .withColumn(sessionCol, sum(col("_sess_new")).over(run))
+      .drop("_sess_new")
+  }
+
+  /**
+   * Per-session aggregates over a [[sessionize]] result: event count, span
+   * start/end and duration. Groups on (keys, session) — same key prefix as
+   * the sessionize exchange, so AQE/EnsureRequirements keeps it to the one
+   * existing shuffle plus a partial agg.
+   */
+  def sessionStats(sessions: DataFrame, keys: Seq[String], tsCol: String,
+      sessionCol: String = "session_id"): DataFrame =
+    sessions.groupBy((keys :+ sessionCol).map(col): _*).agg(
+      count(lit(1)).as("n_events"),
+      min(col(tsCol)).as("session_start"),
+      max(col(tsCol)).as("session_end"),
+      (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+        .as("duration_us"))
+
+  /**
+   * Bucketed range join: left rows (point events) against right rows
+   * (intervals `[rightStart, rightEnd]`, inclusive both ends), equi-keyed on
+   * an entity and matched on containment. Spark's native answer to a
+   * non-equi conjunct is a per-key nested loop; instead, time is cut into
+   * `bucketSec` buckets, each interval is exploded to the buckets it covers,
+   * and the match becomes an equi-join on (key, bucket) followed by the
+   * exact containment filter. A point lives in exactly one bucket, and an
+   * interval emits each covered bucket once, so no post-join dedup is
+   * needed.
+   *
+   * Choose `bucketSec` near the typical interval length: cost is
+   * |R| × (span/bucketSec + 1) exploded rows vs. per-bucket candidate
+   * density. Degenerate long intervals fan out linearly — cap span upstream
+   * if the interval table is untrusted.
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightStart: String, rightEnd: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val us = bucketSec * 1000000L
+    val lB = left.withColumn("_b", floor(unix_micros(col(leftTs)) / us))
+    val rB = right.withColumn("_b",
+      explode(sequence(floor(unix_micros(col(rightStart)) / us),
+        floor(unix_micros(col(rightEnd)) / us))))
+    lB.join(rB,
+        lB("_b") === rB("_b") && lB(leftKey) === rB(rightKey) &&
+          lB(leftTs) >= rB(rightStart) && lB(leftTs) <= rB(rightEnd),
+        "inner")
+      .drop("_b")
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Temporal
+
+/**
+ * Temporal relational operators (as-of join, gap sessionization, bucketed
+ * range join — `graft.ops.Temporal`), each hash-checked against a DuckDB
+ * oracle. Conventions follow Relational: money in integer cents, counts as
+ * bigint, every window order carries an `event_id` tiebreak.
+ */
+object TemporalQ extends QueryGroup {
+
+  /** 2-day session gap / 7-day as-of tolerance, in seconds and micros. */
+  private val GapSec = 2L * 86400L
+  private val GapUs = GapSec * 1000000L
+  private val TolSec = 7L * 86400L
+  private val TolUs = TolSec * 1000000L
+
+  /** Shared oracle CTE: per-event session ids at the 2-day gap. */
+  private val sessionCte =
+    s"""x AS (
+       |  SELECT event_id, user_id, ts,
+       |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |sess AS (
+       |  SELECT event_id, user_id, ts,
+       |    SUM(CASE WHEN prev IS NULL
+       |        OR date_diff('microsecond', prev, ts) > $GapUs
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM x)""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // Gap sessionization: islands of per-user activity separated by >2 days.
+    QueryDef("q_sessionize",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Temporal.sessionize(ev, Seq("user_id"), "ts", GapSec,
+            tiebreak = Seq("event_id"))
+          .select(col("event_id"), col("user_id"),
+            col("session_id").cast("long").as("session_id"))
+      },
+      Some(s"""WITH $sessionCte
+              |SELECT event_id, user_id,
+              |  CAST(session_id AS BIGINT) AS session_id
+              |FROM sess""".stripMargin)),
+
+    // Per-session aggregates: count, span, exact duration in micros.
+    QueryDef("q_session_stats",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val sess = Temporal.sessionize(ev, Seq("user_id"), "ts", GapSec,
+          tiebreak = Seq("event_id"))
+        Temporal.sessionStats(sess, Seq("user_id"), "ts")
+          .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+            col("n_events"), col("session_start"), col("session_end"),
+            col("duration_us"))
+      },
+      Some(s"""WITH $sessionCte
+              |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              |  COUNT(*) AS n_events,
+              |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+              |  CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+              |    AS duration_us
+              |FROM sess GROUP BY user_id, session_id""".stripMargin)),
+
+    // As-of join: each event picks up the latest order of its customer at
+    // or before the event instant (ties on o_orderdate resolved to the
+    // greatest o_orderkey, mirrored by the oracle's dedup).
+    QueryDef("q_asof_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val ord = Tables.load(s, dir, "orders")
+        Temporal.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+            valueCols = Seq("o_orderkey", "o_totalprice"),
+            rightTiebreak = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("asof_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("asof_price_c"))
+      },
+      Some("""WITH rd AS (
+             |  SELECT * FROM (
+             |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+             |                         ORDER BY o_orderkey DESC) AS rn
+             |    FROM orders) WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, rd.o_orderkey AS asof_orderkey,
+             |  CAST(ROUND(rd.o_totalprice*100) AS BIGINT) AS asof_price_c
+             |FROM events e ASOF JOIN rd
+             |  ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate"""
+        .stripMargin)),
+
+    // Self as-of with tolerance: for each purchase, the latest click of the
+    // same user within the preceding 7 days (left-outer: unmatched
+    // purchases keep null click columns).
+    QueryDef("q_asof_prior_click",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        Temporal.asofJoin(purch, clicks, "user_id", "user_id", "ts", "ts",
+            valueCols = Seq("click_id"), toleranceSec = Some(TolSec),
+            rightTiebreak = Seq("click_id"))
+          .select(col("event_id"), col("user_id"),
+            col("click_id").as("prior_click_id"),
+            (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("age_us"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT event_id, user_id, ts FROM events
+              |  WHERE event_type = 'purchase'),
+              |c AS (
+              |  SELECT * FROM (
+              |    SELECT event_id AS click_id, user_id, ts,
+              |      ROW_NUMBER() OVER (PARTITION BY user_id, ts
+              |                         ORDER BY event_id DESC) AS rn
+              |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+              |j AS (
+              |  SELECT p.event_id, p.user_id, c.click_id,
+              |    date_diff('microsecond', c.ts, p.ts) AS age
+              |  FROM p ASOF LEFT JOIN c
+              |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+              |SELECT event_id, user_id,
+              |  CASE WHEN age <= $TolUs THEN click_id END AS prior_click_id,
+              |  CASE WHEN age <= $TolUs THEN CAST(age AS BIGINT) END AS age_us
+              |FROM j""".stripMargin)),
+
+    // Bucketed range join: events back onto their own session spans —
+    // sessions are disjoint per user and bounds inclusive, so the result
+    // must reproduce q_sessionize exactly (cross-validating both paths).
+    QueryDef("q_range_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val spans = Temporal.sessionStats(
+            Temporal.sessionize(ev, Seq("user_id"), "ts", GapSec,
+              tiebreak = Seq("event_id")),
+            Seq("user_id"), "ts")
+          .select(col("user_id").as("s_user"), col("session_id"),
+            col("session_start"), col("session_end"))
+        Temporal.rangeJoin(ev, spans, "user_id", "s_user", "ts",
+            "session_start", "session_end", bucketSec = 86400L)
+          .select(col("event_id"), col("user_id"),
+            col("session_id").cast("long").as("session_id"))
+      },
+      Some(s"""WITH $sessionCte,
+              |sp AS (
+              |  SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+              |  FROM sess GROUP BY user_id, session_id)
+              |SELECT e.event_id, e.user_id,
+              |  CAST(sp.session_id AS BIGINT) AS session_id
+              |FROM events e JOIN sp
+              |  ON e.user_id = sp.user_id AND e.ts BETWEEN sp.st AND sp.en"""
+        .stripMargin))
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+
+/** Invariant specs for the temporal operators (as-of join, sessionize,
+  * bucketed range join) on tiny inline data with hand-computed answers. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // user 1: events at 10:00, 10:30, 13:00; user 2: one event at 09:00.
+  private lazy val left = Seq(
+    (101L, 1L, ts("2024-01-01 10:00:00")),
+    (102L, 1L, ts("2024-01-01 10:30:00")),
+    (103L, 1L, ts("2024-01-01 13:00:00")),
+    (201L, 2L, ts("2024-01-01 09:00:00"))
+  ).toDF("event_id", "user_id", "ts")
+
+  // user 1: states at 09:00 (A), 10:30 (B; two rows — tiebreak picks id 13),
+  // 12:00 (C); user 3 only has state for an unmatched key.
+  private lazy val right = Seq(
+    (11L, 1L, ts("2024-01-01 09:00:00"), "A"),
+    (12L, 1L, ts("2024-01-01 10:30:00"), "B_lo"),
+    (13L, 1L, ts("2024-01-01 10:30:00"), "B_hi"),
+    (14L, 1L, ts("2024-01-01 12:00:00"), "C"),
+    (31L, 3L, ts("2024-01-01 00:00:00"), "Z")
+  ).toDF("state_id", "user_id", "sts", "state")
+
+  test("asof join: backward match, tie at equal ts matches, tiebreak max wins") {
+    val out = Temporal.asofJoin(left, right, "user_id", "user_id", "ts", "sts",
+        valueCols = Seq("state_id", "state"), rightTiebreak = Seq("state_id"))
+      .select("event_id", "state_id", "state")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(101L) == (Some(11L), Some("A")))      // strictly-before match
+    assert(out(102L) == (Some(13L), Some("B_hi")))   // equal-ts + tiebreak max
+    assert(out(103L) == (Some(14L), Some("C")))      // latest of several
+    assert(out(201L) == (None, None))                // no right row for key
+  }
+
+  test("asof join: tolerance nulls out stale matches but keeps left rows") {
+    val out = Temporal.asofJoin(left, right, "user_id", "user_id", "ts", "sts",
+        valueCols = Seq("state"), toleranceSec = Some(3600L),
+        rightTiebreak = Seq("state_id"))
+      .select("event_id", "state")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out.size == 4)                         // left-outer: no row lost
+    assert(out(101L) == Some("A"))                // 60 min old == tolerance
+    assert(out(102L) == Some("B_hi"))             // same-instant
+    assert(out(103L) == Some("C"))                // 60 min old
+    assert(out(201L) == None)
+    val tight = Temporal.asofJoin(left, right, "user_id", "user_id", "ts", "sts",
+        valueCols = Seq("state"), toleranceSec = Some(1800L),
+        rightTiebreak = Seq("state_id"))
+      .select("event_id", "state")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(tight(101L) == None)                   // 60 min > 30 min tolerance
+    assert(tight(103L) == None)
+    assert(tight(102L) == Some("B_hi"))
+  }
+
+  test("sessionize: gap strictly over threshold splits; stats cover spans") {
+    // gaps for user 1: 30 min, 150 min — a 30-min gap threshold keeps the
+    // first two together (gap == threshold stays in-session at exactly 1800s)
+    val sess = Temporal.sessionize(left, Seq("user_id"), "ts", gapSec = 1800L,
+        tiebreak = Seq("event_id"))
+      .select("event_id", "session_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess(101L) == 1L && sess(102L) == 1L)  // 1800s gap == threshold
+    assert(sess(103L) == 2L)                      // 9000s gap > threshold
+    assert(sess(201L) == 1L)
+    val stats = Temporal.sessionStats(
+        Temporal.sessionize(left, Seq("user_id"), "ts", 1800L, Seq("event_id")),
+        Seq("user_id"), "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(stats((1L, 1L)) == (2L, 1800L * 1000000L))  // 2 events, 30-min span
+    assert(stats((1L, 2L)) == (1L, 0L))
+    assert(stats((2L, 1L)) == (1L, 0L))
+  }
+
+  test("range join: bucketed equi-join equals the naive non-equi join") {
+    val spans = Seq(
+      (1L, 10L, ts("2024-01-01 09:30:00"), ts("2024-01-01 11:00:00")),
+      (1L, 11L, ts("2024-01-01 12:30:00"), ts("2024-01-01 14:00:00")),
+      (2L, 20L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("s_user", "span_id", "st", "en")
+    val got = Temporal.rangeJoin(left, spans, "user_id", "s_user", "ts",
+        "st", "en", bucketSec = 600L)
+      .select("event_id", "span_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = left.join(spans,
+        left("user_id") === spans("s_user") &&
+          left("ts") >= spans("st") && left("ts") <= spans("en"))
+      .select("event_id", "span_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got == Set((101L, 10L), (102L, 10L), (103L, 11L)))  // 201 outside
+  }
+
+  test("asof join plan: no join operator, exactly one exchange") {
+    val out = Temporal.asofJoin(left, right, "user_id", "user_id", "ts", "sts",
+      valueCols = Seq("state"), rightTiebreak = Seq("state_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof join must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
