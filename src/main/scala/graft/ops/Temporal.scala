@@ -145,6 +145,46 @@ object Temporal {
         .as("duration_us"))
 
   /**
+   * SCD type-2 history build: turn a change-event stream (key, ts, tracked
+   * attributes) into validity intervals — half-open `[valid_from, valid_to)`
+   * per key, `valid_to` null for the current row. When `attrCols` is
+   * non-empty, consecutive rows whose tracked attributes are unchanged are
+   * collapsed first (classic SCD-2 compaction), so each output row is one
+   * attribute regime. Two window passes over the SAME (key, ts, tiebreak)
+   * sort — one exchange total — and the output composes directly with
+   * [[asofJoin]] / [[pointInTime]] for "state as of t" lookups.
+   */
+  def scd2(df: DataFrame, keys: Seq[String], tsCol: String,
+      tiebreak: Seq[String] = Nil, attrCols: Seq[String] = Nil,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val ord = col(tsCol).asc +: tiebreak.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val compacted =
+      if (attrCols.isEmpty) df
+      else {
+        val attrs = struct(attrCols.map(col): _*)
+        df.withColumn("_prev_attrs", lag(attrs, 1).over(w))
+          .filter(col("_prev_attrs").isNull || !(attrs <=> col("_prev_attrs")))
+          .drop("_prev_attrs")
+      }
+    compacted
+      .withColumn(validFromCol, col(tsCol))
+      .withColumn(validToCol, lead(col(tsCol), 1).over(w))
+  }
+
+  /** Point-in-time slice of an [[scd2]] history: the one row per key whose
+    * validity interval contains `at` (`valid_from <= at < valid_to`, open
+    * current rows included). A narrow filter — partition-prunable when the
+    * history is stored partitioned on a `valid_from` bucket. */
+  def pointInTime(history: DataFrame, at: Column,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame =
+    history.filter(col(validFromCol) <= at &&
+      (col(validToCol).isNull || col(validToCol) > at))
+
+  /**
    * Bucketed range join: left rows (point events) against right rows
    * (intervals `[rightStart, rightEnd]`, inclusive both ends), equi-keyed on
    * an entity and matched on containment. Spark's native answer to a

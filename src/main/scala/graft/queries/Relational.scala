@@ -186,6 +186,43 @@ object Relational extends QueryGroup {
              |    (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()) AS qty_mm,
              |  ROUND((l_extendedprice - AVG(l_extendedprice) OVER ()) /
              |    STDDEV_SAMP(l_extendedprice) OVER (), 6) AS price_z
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // OLAP rollup: hierarchical subtotals in ONE pass (Spark plans a single
+    // Expand + hash aggregate, not one scan per grouping level).
+    QueryDef("q_rollup",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus")).agg(
+            grouping_id().cast("long").as("gid"),
+            sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+            col("sum_qty_c"), col("n"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+        .stripMargin)),
+
+    // OLAP cube: all grouping-set combinations, same single-Expand plan.
+    QueryDef("q_cube",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.cube(col("l_returnflag"), col("l_linestatus")).agg(
+            grouping_id().cast("long").as("gid"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+            col("rev_c"), col("n"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(2*GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+        .stripMargin))
   )
 }

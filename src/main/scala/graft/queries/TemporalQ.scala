@@ -157,6 +157,59 @@ object TemporalQ extends QueryGroup {
               |  CAST(sp.session_id AS BIGINT) AS session_id
               |FROM events e JOIN sp
               |  ON e.user_id = sp.user_id AND e.ts BETWEEN sp.st AND sp.en"""
+        .stripMargin)),
+
+    // SCD-2 history: per-user event_type regimes with half-open validity
+    // intervals; consecutive same-type events collapse to one regime row.
+    QueryDef("q_scd2",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        Temporal.scd2(ev, Seq("user_id"), "ts", tiebreak = Seq("event_id"),
+            attrCols = Seq("event_type"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("valid_from"), col("valid_to"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id
+             |                          ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, event_id, ts, event_type FROM o
+             |  WHERE prev_type IS NULL OR event_type <> prev_type)
+             |SELECT user_id, event_id, event_type, ts AS valid_from,
+             |  LEAD(ts) OVER (PARTITION BY user_id
+             |                 ORDER BY ts, event_id) AS valid_to
+             |FROM c""".stripMargin)),
+
+    // Point-in-time slice of the SCD-2 history: each user's regime mid-month.
+    QueryDef("q_scd2_pit",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val hist = Temporal.scd2(ev, Seq("user_id"), "ts",
+          tiebreak = Seq("event_id"), attrCols = Seq("event_type"))
+        Temporal.pointInTime(hist, to_timestamp(lit("2024-01-15 00:00:00")))
+          .select(col("user_id"), col("event_type"), col("valid_from"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, ts, event_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id
+             |                          ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |c AS (
+             |  SELECT user_id, event_id, ts, event_type FROM o
+             |  WHERE prev_type IS NULL OR event_type <> prev_type),
+             |h AS (
+             |  SELECT user_id, event_type, ts AS valid_from,
+             |    LEAD(ts) OVER (PARTITION BY user_id
+             |                   ORDER BY ts, event_id) AS valid_to
+             |  FROM c)
+             |SELECT user_id, event_type, valid_from FROM h
+             |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+             |  AND (valid_to IS NULL
+             |       OR valid_to > TIMESTAMP '2024-01-15 00:00:00')"""
         .stripMargin))
   )
 }

@@ -99,6 +99,34 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set((101L, 10L), (102L, 10L), (103L, 11L)))  // 201 outside
   }
 
+  test("scd2: compaction collapses runs; intervals tile the key timeline") {
+    // user 1 regimes: A (2 rows), B, A again — compacts to 3 interval rows
+    val changes = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), "A"),
+      (2L, 1L, ts("2024-01-01 10:00:00"), "A"),
+      (3L, 1L, ts("2024-01-01 11:00:00"), "B"),
+      (4L, 1L, ts("2024-01-01 12:00:00"), "A"),
+      (5L, 2L, ts("2024-01-01 08:00:00"), "X")
+    ).toDF("change_id", "user_id", "ts", "state")
+    val hist = Temporal.scd2(changes, Seq("user_id"), "ts",
+        tiebreak = Seq("change_id"), attrCols = Seq("state"))
+      .orderBy("user_id", "valid_from")
+      .select("user_id", "state", "valid_from", "valid_to")
+      .collect()
+    val u1 = hist.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    // half-open tiling: each valid_to equals the next valid_from; last open
+    assert(u1.init.zip(u1.tail).forall { case (a, b) => a.get(3) == b.get(2) })
+    assert(u1.last.isNullAt(3) && hist.filter(_.getLong(0) == 2L).head.isNullAt(3))
+
+    val pit = Temporal.pointInTime(
+        Temporal.scd2(changes, Seq("user_id"), "ts", Seq("change_id"), Seq("state")),
+        lit(ts("2024-01-01 11:30:00")))
+      .select("user_id", "state")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pit == Map(1L -> "B", 2L -> "X"))           // exactly one row/key
+  }
+
   test("asof join plan: no join operator, exactly one exchange") {
     val out = Temporal.asofJoin(left, right, "user_id", "user_id", "ts", "sts",
       valueCols = Seq("state"), rightTiebreak = Seq("state_id"))
