@@ -63,6 +63,31 @@ object EventStream {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /**
+   * Per-user session aggregates over the stream via Spark's native
+   * `session_window` (merging state windows; the streaming twin of
+   * `graft.ops.Temporal.sessionize`/`sessionStats`). The watermark bounds
+   * session state: a session older than watermark behind the stream's
+   * max event time is finalized and its state dropped, so state is
+   * O(active sessions), not O(history). Works identically on a batch
+   * DataFrame (batch `session_window` support), which is what the parity
+   * spec pins. Boundary convention: an inter-event gap strictly smaller
+   * than `gap` merges; a gap equal to `gap` starts a new session (the
+   * window closes at last_event + gap, exclusive).
+   */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 day"): DataFrame = {
+    val windowed =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    windowed
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_type: String, value: Double)
   final case class SeqState(events: List[(Long, String, Double)])
   final case class UserSeq(user_id: Long, seq_len: Int,

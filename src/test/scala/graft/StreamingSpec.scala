@@ -29,6 +29,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows over the stream match the batch session_window rows") {
+    val stream = EventStream.sessionStats(
+      EventStream.readEvents(spark, streamDir), gap = "6 hours")
+    val q = stream.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_stats").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess_stats")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      val batch = EventStream.sessionStats(
+          graft.core.Tables.load(spark, sf, "events"), gap = "6 hours")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got == batch && got.nonEmpty)
+      // sessions partition the events: counts add up to the table size
+      assert(got.toSeq.map(_._4).sum == 1000)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup matches the batch groups on the documents stream") {
     val dir = Files.createTempDirectory("graft_docs_stream")
     Files.copy(Paths.get(s"$sf/documents.parquet"),
