@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Dedup, Dsir, Multimodal, NgramLm, QualityFilter, Select, Text, Vectors}
+import graft.ops.{Bpe, Dedup, Dsir, Multimodal, NgramLm, Pq, QualityFilter, Select, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -1079,6 +1079,56 @@ object LlmOps extends QueryGroup {
               |r AS (SELECT qid, cid, cos,
               |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
               |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // Product-quantization ADC search with a DATA-DERIVED codebook (codes
+    // = subvectors of corpus rows 20..27, no clustering), so encode +
+    // asymmetric-distance ranking is replayable in SQL end-to-end: both
+    // engines fold the same left-to-right squared-diff sums, so argmin
+    // code ties and rank ties break identically. The KMeans-fit codebook
+    // path ([[Pq.fit]]) is spec-covered (recall + compression invariants).
+    QueryDef("q_ann_pq_adc",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cb = Pq.codebookFromRows(corpus, "cid", "embedding",
+          (20L to 27L).toSeq, m = 2)
+        val codes = Pq.encode(corpus, "cid", "embedding", cb)
+        Pq.adcTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          "qid", codes, "cid", cb, k = 3)
+      },
+      Some("""WITH cvec AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 20),
+             |qvec AS (
+             |  SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),
+             |cent AS (
+             |  SELECT j, CAST(vec_id - 20 AS INT) AS code,
+             |    v[j*32+1 : j*32+32] AS cv
+             |  FROM cvec CROSS JOIN (SELECT unnest(range(0,2)) AS j)
+             |  WHERE vec_id BETWEEN 20 AND 27),
+             |encd AS (
+             |  SELECT cid, j, code FROM (
+             |    SELECT c.vec_id AS cid, ct.j, ct.code,
+             |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, ct.j ORDER BY
+             |        list_sum(list_transform(list_zip(c.v[ct.j*32+1 : ct.j*32+32], ct.cv),
+             |          x -> (x[1]-x[2])*(x[1]-x[2]))), ct.code) AS rn
+             |    FROM cvec c CROSS JOIN cent ct) WHERE rn = 1),
+             |qd AS (
+             |  SELECT q.qid, ct.j, ct.code,
+             |    list_sum(list_transform(list_zip(q.v[ct.j*32+1 : ct.j*32+32], ct.cv),
+             |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+             |  FROM qvec q CROSS JOIN cent ct),
+             |ad AS (
+             |  SELECT q0.qid, e0.cid, ROUND(q0.d2 + q1.d2, 6) AS ad2
+             |  FROM (SELECT cid, code FROM encd WHERE j = 0) e0
+             |  JOIN (SELECT cid, code FROM encd WHERE j = 1) e1 USING (cid)
+             |  JOIN (SELECT qid, code, d2 FROM qd WHERE j = 0) q0 ON q0.code = e0.code
+             |  JOIN (SELECT qid, code, d2 FROM qd WHERE j = 1) q1
+             |    ON q1.code = e1.code AND q1.qid = q0.qid),
+             |r AS (SELECT qid, cid, ad2,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad2, cid) AS rnk FROM ad)
+             |SELECT qid, cid, ad2, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
     // F5 embeddings joined back to an entity profile (segmentation/pandas.py:382-408)
     QueryDef("q_f5_embed_profile",

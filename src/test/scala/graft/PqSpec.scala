@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Pq, PqCodebook}
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 well-separated clusters in 8-dim, deterministic construction
+  private def clustered = {
+    val base = Seq(
+      Array.fill(8)(0.0f),
+      Array.fill(8)(10.0f),
+      Array.tabulate(8)(i => if (i < 4) 20.0f else -20.0f))
+    (0 until 30).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.map(x => x + (i / 3) * 0.01f).toSeq)
+    }.toDF("cid", "embedding")
+  }
+
+  test("fit + encode: codebook shape, codes in range, m-byte representation") {
+    val cb = Pq.fit(clustered, m = 2, k = 3, seed = 7L)
+    assert(cb.m == 2 && cb.k == 3 && cb.subDim == 4)
+    val codes = Pq.encode(clustered, "cid", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.length == 30)
+    assert(codes.forall { case (_, cs) =>
+      cs.length == 2 && cs.forall(c => c >= 0 && c < 3) })
+    // k = number of clusters: quantization collapses each cluster to one
+    // code word and distinct clusters never share one
+    val byCluster = codes.groupBy(_._1 % 3).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byCluster.values.forall(_.length == 1))
+    assert(byCluster.values.flatten.toSeq.distinct.length == 3)
+  }
+
+  test("ADC is exact when corpus vectors sit on codebook entries") {
+    // codebook = the 3 base vectors themselves (plus one filler), corpus
+    // rows 0..2 are exactly those rows -> ADC == true squared L2
+    val corpus = clustered.filter($"cid" < 3)
+    val cb = Pq.codebookFromRows(clustered, "cid", "embedding",
+      Seq(0L, 1L, 2L, 3L), m = 2)
+    val codes = Pq.encode(corpus, "cid", "embedding", cb)
+    val queries = clustered.filter($"cid" >= 27)
+      .select($"cid".as("qid"), $"embedding")
+    val adc = Pq.adcTopK(queries, "qid", codes, "cid", cb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = queries.withColumnRenamed("embedding", "qe")
+      .crossJoin(corpus.withColumnRenamed("embedding", "ce"))
+      .select($"qid", $"cid",
+        round(aggregate(zip_with($"qe", $"ce",
+          (a, b) => { val d = a.cast("double") - b.cast("double"); d * d }),
+          lit(0.0d), (acc, x) => acc + x), 6).as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(adc.keySet == exact.keySet)
+    assert(adc.forall { case (k2, v) => math.abs(v - exact(k2)) < 1e-6 })
+  }
+
+  test("ADC top-1 with a fitted codebook recalls the true cluster") {
+    val cb = Pq.fit(clustered, m = 2, k = 4, seed = 7L)
+    val codes = Pq.encode(clustered, "cid", "embedding", cb)
+    val queries = clustered.filter($"cid" % 3 === 1L && $"cid" < 10)
+      .select($"cid".as("qid"), $"embedding")
+    val top1 = Pq.adcTopK(queries, "qid", codes, "cid", cb, k = 1)
+      .collect()
+    assert(top1.nonEmpty)
+    // nearest code word of a cluster-1 query is a cluster-1 row
+    assert(top1.forall(r => r.getLong(1) % 3 == 1L))
+  }
+
+  test("ADC agrees with brute-force cosine ranking on separated clusters") {
+    val cb = Pq.fit(clustered, m = 2, k = 4, seed = 7L)
+    val codes = Pq.encode(clustered, "cid", "embedding", cb)
+    val queries = clustered.filter($"cid" < 6)
+      .select($"cid".as("qid"), $"embedding")
+    val adcTop = Pq.adcTopK(queries, "qid", codes, "cid", cb, k = 10)
+      .filter($"rnk" <= 10).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1) % 3).toSet }
+    // all top-10 of each query collapse to the query's own cluster
+    adcTop.foreach { case (q, cls) => assert(cls == Set(q % 3)) }
+  }
+}
