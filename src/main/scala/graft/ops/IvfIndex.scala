@@ -73,6 +73,14 @@ final case class IvfIndex(centroids: Array[Array[Double]],
     assignToCells(vectors).write.mode("append")
       .partitionBy("cell").parquet(s"$dir/corpus")
 
+  /** Expand each query to its `nProbe` nearest cells: (qId, cell) — the
+    * shortlist generator shared by [[topK]] (IVF-Flat) and
+    * [[Pq.ivfAdcTopK]] (IVF-PQ). Pure Catalyst; one row per probe. */
+  def probe(queries: DataFrame, nProbe: Int, qId: String = "qid"): DataFrame =
+    queries.select(col(qId),
+      explode(slice(sortedCellDists(col(vecCol)), 1, nProbe)).as("p"))
+      .select(col(qId), col("p.cell").as("cell"))
+
   def topK(queries: DataFrame, k: Int, nProbe: Int = 2,
       qId: String = "qid"): DataFrame = {
     val probes = slice(sortedCellDists(col(vecCol)), 1, nProbe)

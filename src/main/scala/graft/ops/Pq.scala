@@ -119,4 +119,36 @@ object Pq {
       .filter(col("rnk") <= k)
       .select(col(qId), col(cId), col("ad2"), col("rnk").cast("long").as("rnk"))
   }
+
+  /**
+   * IVF-PQ: the billion-scale composition — the [[IvfIndex]] coarse
+   * quantizer shortlists nProbe cells per query (equi-join on cell, no
+   * corpus scan), and ADC ranks the shortlist from codes alone. The
+   * corpus side of the join carries (id, cell, codes): a few bytes per
+   * vector, so the shuffled/broadcast working set is the compressed
+   * index, never the raw floats. At nProbe = nCells this equals
+   * [[adcTopK]] exactly (spec-pinned), the same equivalence argument the
+   * IVF-Flat oracle uses.
+   */
+  def ivfAdcTopK(queries: DataFrame, qId: String, ivf: IvfIndex,
+      corpusCodes: DataFrame, cId: String, cb: PqCodebook,
+      k: Int, nProbe: Int, vecCol: String = "embedding"): DataFrame = {
+    val qTab = array((0 until cb.m).map(j =>
+      array((0 until cb.k).map(c => cb.subDist2(col(vecCol), j, c)): _*)): _*)
+    val probes = ivf.probe(queries, nProbe, qId)
+    val q = queries.select(col(qId), qTab.as("_qtab"))
+      .join(probes, qId)
+    val corpus = ivf.assigned.select(col(ivf.cId).as(cId), col("cell"))
+      .join(corpusCodes, cId)
+    val ad2 = (0 until cb.m).map(j =>
+      element_at(element_at(col("_qtab"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(qId)).orderBy(col("ad2").asc, col(cId).asc)
+    broadcast(q).join(corpus, Seq("cell"))
+      .select(col(qId), col(cId), round(ad2, 6).as("ad2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("ad2"), col("rnk").cast("long").as("rnk"))
+  }
 }

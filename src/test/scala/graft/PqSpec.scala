@@ -67,6 +67,26 @@ class PqSpec extends SparkSpec {
     assert(top1.forall(r => r.getLong(1) % 3 == 1L))
   }
 
+  test("IVF-PQ at full probe equals plain ADC; partial probe recalls cluster") {
+    import graft.ops.IvfIndex
+    val cb = Pq.fit(clustered, m = 2, k = 3, seed = 7L)
+    val codes = Pq.encode(clustered, "cid", "embedding", cb)
+    val ivf = IvfIndex.fit(clustered, nCells = 3, cId = "cid")
+    val queries = clustered.filter($"cid" < 6)
+      .select($"cid".as("qid"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val full = rows(Pq.ivfAdcTopK(queries, "qid", ivf, codes, "cid", cb,
+      k = 5, nProbe = 3))
+    val plain = rows(Pq.adcTopK(queries, "qid", codes, "cid", cb, k = 5))
+    assert(full == plain)
+    // nProbe=1: shortlist is the query's own cell -> all top-5 in-cluster
+    val partial = Pq.ivfAdcTopK(queries, "qid", ivf, codes, "cid", cb,
+      k = 5, nProbe = 1).collect()
+    assert(partial.nonEmpty)
+    partial.foreach(r => assert(r.getLong(1) % 3 == r.getLong(0) % 3))
+  }
+
   test("ADC agrees with brute-force cosine ranking on separated clusters") {
     val cb = Pq.fit(clustered, m = 2, k = 4, seed = 7L)
     val codes = Pq.encode(clustered, "cid", "embedding", cb)
