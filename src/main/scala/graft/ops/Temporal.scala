@@ -103,6 +103,60 @@ object Temporal {
   }
 
   /**
+   * As-of join against a PACKED dimension history: the right side is
+   * collapsed to one row per key holding its time-sorted (ts, payload)
+   * array, and each left row picks the last entry at-or-before its
+   * timestamp with pure array expressions (`filter` + `element_at`).
+   * Same match semantics as [[asofJoin]] (backward, ties match, greatest
+   * tiebreak wins, left-outer, optional tolerance) — spec-pinned equal.
+   *
+   * Different scale shape, complementary to [[asofJoin]]: the left side
+   * is NEVER shuffled or sorted — one equi-join (broadcastable when the
+   * packed dimension is small) and a narrow projection. The cost is the
+   * packed array: per-key history must fit in a row, so this is the shape
+   * for dimension histories (SCD-2 tables, config/state changelogs), not
+   * for joining two event logs. Because no window functions are involved,
+   * it is also the STREAMING as-of: a stream-static equi-join plus array
+   * expressions is fully supported by Structured Streaming, where the
+   * union+window formulation is not.
+   */
+  def asofLookupJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      valueCols: Seq[String],
+      matchedTsCol: String = "asof_ts",
+      toleranceSec: Option[Long] = None,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    require(!left.columns.contains(matchedTsCol),
+      s"left side already has a '$matchedTsCol' column")
+    val tbExpr: Column =
+      if (rightTiebreak.isEmpty) lit(0L)
+      else struct(rightTiebreak.map(col): _*)
+    // sort key = (ts, tiebreak) so array order reproduces the window
+    // order of asofJoin; payload rides along outside the comparison
+    val packed = right.groupBy(col(rightKey).as("_k"))
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("_t"), tbExpr.as("_tb"),
+        struct(col(rightTs).as(matchedTsCol) +: valueCols.map(col): _*)
+          .as("_v")))).as("_hist"))
+    val eligible = filter(col("_hist"),
+      x => x.getField("_t") <= col(leftTs))
+    val m = when(size(eligible) > 0, element_at(eligible, -1).getField("_v"))
+    val inTol: Column = toleranceSec match {
+      case Some(tol) =>
+        when(m.isNotNull &&
+          unix_micros(col(leftTs)) - unix_micros(m.getField(matchedTsCol))
+            <= tol * 1000000L, m)
+      case None => m
+    }
+    left.join(packed, col(leftKey) === col("_k"), "left")
+      .withColumn("_m", inTol)
+      .select(left.columns.map(col).toSeq ++
+        (matchedTsCol +: valueCols).map(c => col("_m").getField(c).as(c)): _*)
+  }
+
+  /**
    * Gap sessionization: assign each row a per-key `session_id` (1-based,
    * increasing with time) where a new session starts whenever the gap to the
    * previous row of the same key exceeds `gapSec` (strictly; a gap of

@@ -95,6 +95,33 @@ object TemporalQ extends QueryGroup {
              |  ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate"""
         .stripMargin)),
 
+    // The SAME as-of semantics through the packed-history lookup path
+    // (broadcast-dimension / streaming shape) against the SAME oracle —
+    // both formulations are pinned to DuckDB ASOF JOIN independently.
+    QueryDef("q_asof_lookup",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val ord = Tables.load(s, dir, "orders")
+        Temporal.asofLookupJoin(ev, ord, "user_id", "o_custkey", "ts",
+            "o_orderdate", valueCols = Seq("o_orderkey", "o_totalprice"),
+            rightTiebreak = Seq("o_orderkey"))
+          .select(col("event_id"), col("user_id"),
+            col("o_orderkey").as("asof_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("asof_price_c"))
+      },
+      Some("""WITH rd AS (
+             |  SELECT * FROM (
+             |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+             |                         ORDER BY o_orderkey DESC) AS rn
+             |    FROM orders) WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, rd.o_orderkey AS asof_orderkey,
+             |  CAST(ROUND(rd.o_totalprice*100) AS BIGINT) AS asof_price_c
+             |FROM events e ASOF JOIN rd
+             |  ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate"""
+        .stripMargin)),
+
     // Self as-of with tolerance: for each purchase, the latest click of the
     // same user within the preceding 7 days (left-outer: unmatched
     // purchases keep null click columns).

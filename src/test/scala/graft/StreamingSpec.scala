@@ -51,6 +51,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment (packed lookup) matches the batch as-of join") {
+    import org.apache.spark.sql.functions._
+    val batchEv = graft.core.Tables.load(spark, sf, "events")
+    // static dimension history: each user's signup events as state changes
+    val dim = batchEv.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("sts"),
+        col("event_id").as("state_id"), col("value").as("state_val"))
+    def project(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_ts", "state_id")
+    val leftCols = Seq("event_id", "user_id", "ts")
+    val stream = graft.ops.Temporal.asofLookupJoin(
+      EventStream.readEvents(spark, streamDir).select(leftCols.map(col): _*),
+      dim, "user_id", "user_id", "ts", "sts", Seq("state_id", "state_val"),
+      rightTiebreak = Seq("state_id"))
+    val q = project(stream).writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("asof_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, asof_ts, state_id FROM asof_stream")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val want = project(graft.ops.Temporal.asofJoin(
+          batchEv.select(leftCols.map(col): _*), dim,
+          "user_id", "user_id", "ts", "sts", Seq("state_id", "state_val"),
+          rightTiebreak = Seq("state_id")))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      assert(got == want && got.size == 1000)
+      assert(got.exists(_._3.isDefined) && got.exists(_._3.isEmpty))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup matches the batch groups on the documents stream") {
     val dir = Files.createTempDirectory("graft_docs_stream")
     Files.copy(Paths.get(s"$sf/documents.parquet"),

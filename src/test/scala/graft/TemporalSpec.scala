@@ -99,6 +99,27 @@ class TemporalSpec extends SparkSpec {
     assert(got == Set((101L, 10L), (102L, 10L), (103L, 11L)))  // 201 outside
   }
 
+  test("asofLookupJoin (packed-history) equals asofJoin, incl. ties + tolerance") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_ts", "state_id", "state")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)),
+          Option(r.get(2)), Option(r.get(3)))).toSet
+    for (tol <- Seq(None, Some(3600L), Some(1800L))) {
+      val a = rows(Temporal.asofJoin(left, right, "user_id", "user_id",
+        "ts", "sts", Seq("state_id", "state"), toleranceSec = tol,
+        rightTiebreak = Seq("state_id")))
+      val b = rows(Temporal.asofLookupJoin(left, right, "user_id", "user_id",
+        "ts", "sts", Seq("state_id", "state"), toleranceSec = tol,
+        rightTiebreak = Seq("state_id")))
+      assert(a == b, s"mismatch at tolerance $tol")
+    }
+    // plan shape: the left side is never exchanged (right packs + joins)
+    val plan = Temporal.asofLookupJoin(left, right, "user_id", "user_id",
+      "ts", "sts", Seq("state"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), "lookup variant must be a real join")
+  }
+
   test("scd2: compaction collapses runs; intervals tile the key timeline") {
     // user 1 regimes: A (2 rows), B, A again — compacts to 3 interval rows
     val changes = Seq(
