@@ -186,6 +186,40 @@ object TemporalQ extends QueryGroup {
               |  ON e.user_id = sp.user_id AND e.ts BETWEEN sp.st AND sp.en"""
         .stripMargin)),
 
+    // Tumbling-window aggregate in batch: the batch face of the streaming
+    // windowedTypeCounts twin (same window() expression Structured
+    // Streaming runs), oracled against DuckDB time_bucket.
+    QueryDef("q_tumbling_agg",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("val_cents"))
+          .select(col("window.start").as("bucket"), col("event_type"),
+            col("n"), col("val_cents"))
+      },
+      Some("""SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket, event_type,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS val_cents
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Hopping (sliding) windows: each event lands in size/slide windows;
+    // the oracle replays the window set with a shifted time_bucket union.
+    QueryDef("q_hopping_agg",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+      },
+      Some("""WITH h AS (
+             |  SELECT time_bucket(INTERVAL 1 DAY, ts) AS bucket, event_type FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL 1 DAY, ts) - INTERVAL 1 DAY AS bucket,
+             |    event_type FROM events)
+             |SELECT bucket, event_type, COUNT(*) AS n
+             |FROM h GROUP BY 1, 2""".stripMargin)),
+
     // SCD-2 history: per-user event_type regimes with half-open validity
     // intervals; consecutive same-type events collapse to one regime row.
     QueryDef("q_scd2",
