@@ -30,6 +30,31 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** The content-hash index of a corpus — persist this (not the bodies)
+    * as the dedup state an incremental ingest checks against. */
+  def hashIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(normText(textCol)).as("content_hash")).distinct()
+
+  /**
+   * Incremental exact dedup: admit only new-batch docs whose content is
+   * (a) unseen in the existing corpus's [[hashIndex]] and (b) the
+   * canonical (min-id) copy within the batch itself. The ingest path for
+   * a continuously-growing corpus: the existing corpus contributes ONLY
+   * its 16-byte hashes (never re-read, never re-shuffled); the anti-join
+   * keys on the hash, so batch bodies shuffle once at batch size, and a
+   * daily batch vs a 100 TB corpus costs the batch, not the corpus.
+   */
+  def dedupIncremental(newDocs: DataFrame, textCol: String, idCol: String,
+      index: DataFrame): DataFrame = {
+    val hashed = newDocs.withColumn("content_hash", md5(normText(textCol)))
+    val canonical = hashed
+      .join(hashed.groupBy("content_hash").agg(min(col(idCol)).as("__keep")),
+        "content_hash")
+      .filter(col(idCol) === col("__keep")).drop("__keep")
+    canonical.join(index, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+  }
+
   /**
    * Distinct word n-gram shingles per document (one row per shingle).
    * Built by the codegen'd [[graft.functions.WordShingles]] expression —

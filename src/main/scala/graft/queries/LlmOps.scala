@@ -760,6 +760,33 @@ object LlmOps extends QueryGroup {
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Incremental ingest dedup: a new batch admits only unseen content,
+    // checked against the EXISTING corpus's 16-byte hash index (the
+    // corpus itself is never re-read); intra-batch dups resolve to the
+    // min-id canonical first.
+    QueryDef("q_dedup_incremental",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val batch = d.filter(col("doc_id") >= 300)
+          .select(col("doc_id"), col("text"), col("source"))
+        Dedup.dedupIncremental(batch, "text", "doc_id",
+            Dedup.hashIndex(d.filter(col("doc_id") < 300), "text"))
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""WITH nrm AS (
+             |  SELECT doc_id, source,
+             |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+             |  FROM documents),
+             |ex AS (SELECT DISTINCT h FROM nrm WHERE doc_id < 300),
+             |batch AS (SELECT * FROM nrm WHERE doc_id >= 300),
+             |canon AS (
+             |  SELECT doc_id, source, h FROM (
+             |    SELECT doc_id, source, h,
+             |      MIN(doc_id) OVER (PARTITION BY h) AS mk FROM batch)
+             |  WHERE doc_id = mk)
+             |SELECT doc_id, source FROM canon
+             |WHERE h NOT IN (SELECT h FROM ex)""".stripMargin)),
+
     QueryDef("q_dedup_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
         "text", "doc_id", n = 3, tau = 0.4),

@@ -188,6 +188,35 @@ object Relational extends QueryGroup {
              |    STDDEV_SAMP(l_extendedprice) OVER (), 6) AS price_z
              |FROM lineitem""".stripMargin)),
 
+    // Z-order (Morton) key for multi-column data-skipping layout: exact
+    // integer scaling + bit interleave, replayed bit-for-bit in SQL.
+    QueryDef("q_zorder",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val base = cust.select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        val (lo, hi) = graft.ops.Layout.fitBounds(base, Seq("c_custkey", "bal_c"))
+        base.select(col("c_custkey"), col("bal_c"),
+          graft.ops.Layout.zValue(Seq("c_custkey", "bal_c"), lo, hi, bits = 8)
+            .as("zv"))
+      },
+      Some {
+        val interleave = (0 until 8).flatMap(b => Seq(
+          s"(((s0 >> $b) & 1) << ${2 * b})",
+          s"(((s1 >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+        s"""WITH base AS (
+           |  SELECT c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c
+           |  FROM customer),
+           |bnd AS (SELECT MIN(c_custkey) mn0, MAX(c_custkey) mx0,
+           |               MIN(bal_c) mn1, MAX(bal_c) mx1 FROM base),
+           |sc AS (SELECT c_custkey, bal_c,
+           |    ((c_custkey - mn0) * 255) // (mx0 - mn0) AS s0,
+           |    ((bal_c - mn1) * 255) // (mx1 - mn1) AS s1
+           |  FROM base, bnd)
+           |SELECT c_custkey, bal_c, CAST($interleave AS BIGINT) AS zv
+           |FROM sc""".stripMargin
+      }),
+
     // OLAP rollup: hierarchical subtotals in ONE pass (Spark plans a single
     // Expand + hash aggregate, not one scan per grouping level).
     QueryDef("q_rollup",
