@@ -78,6 +78,25 @@ object CorpusIo {
   }
 
   /**
+   * Compact a small-file corpus partition into ~`targetRecordsPerFile`
+   * files (streaming ingest and per-batch appends accrete tiny files;
+   * scan cost at 100 TB is dominated by file-open overhead once files
+   * drop below a few hundred MB). Reads `inPath`, coalesces — a narrow
+   * repartition, no shuffle — and writes `outPath`; the caller swaps
+   * directories atomically (never compact in place: the scan would race
+   * its own overwrite). Returns the output file count.
+   */
+  def compactTo(spark: SparkSession, inPath: String, outPath: String,
+      targetRecordsPerFile: Long): Int = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val df = spark.read.parquet(inPath)
+    val n = math.max(1L, (df.count() + targetRecordsPerFile - 1)
+      / targetRecordsPerFile).toInt
+    df.coalesce(n).write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).inputFiles.length
+  }
+
+  /**
    * Re-open a partitioned corpus. `filters` are plain column predicates —
    * apply them immediately after this call so Catalyst turns partition-
    * column predicates into partition pruning (no file listing beyond the

@@ -42,6 +42,39 @@ class LayoutSpec extends SparkSpec {
       s"z-order partitions must not span all of y: $zS")
   }
 
+  test("saltedJoin: identical rows to the plain join; salt splits a hot key") {
+    import graft.ops.Skew
+    // 90% of left rows share one hot key
+    val left = (1 to 200).map(i => (if (i <= 180) 1L else i.toLong, i.toLong))
+      .toDF("k", "row_id")
+    val right = Seq((1L, "hot"), (20L, "cold"), (190L, "cold2"))
+      .toDF("k", "tag")
+    val plain = left.join(right, left("k") === right("k"))
+      .select($"row_id", $"tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = Skew.saltedJoin(left, right, "k", nSalts = 8,
+      saltBy = Seq("row_id"))
+      .select($"row_id", $"tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain && plain.size == 181) // 180 hot + 1 cold match
+    // the hot key's rows really spread over several salt buckets
+    val buckets = left.filter($"k" === 1L)
+      .select(pmod(xxhash64($"row_id"), lit(8L))).distinct().count()
+    assert(buckets >= 4, s"expected spread over salts, got $buckets")
+  }
+
+  test("compactTo coalesces a many-file corpus without losing rows") {
+    import graft.sources.CorpusIo
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val docs = (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    docs.repartition(16).write.parquet(s"$dir/in")
+    assert(spark.read.parquet(s"$dir/in").inputFiles.length == 16)
+    val nOut = CorpusIo.compactTo(spark, s"$dir/in", s"$dir/out",
+      targetRecordsPerFile = 50L)
+    assert(nOut == 2)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 100 &&
+      back.agg(sum($"doc_id")).as[Long].head() == 5050L)
+  }
+
   test("dedupIncremental admits only unseen content, canonical within batch") {
     val existing = Seq((1L, "alpha text", "web"), (2L, "beta text", "web"))
       .toDF("doc_id", "text", "source")
