@@ -199,4 +199,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(bulk.isEmpty,
       s"corpus must not shuffle for an encoding apply, got:\n${bulk.mkString("\n")}")
   }
+
+  test("q_asof_join: no join operator at all — ONE key exchange carries both sides") {
+    val p = plan("q_asof_join")
+    assert(p.toString.contains("Window"), "carry-forward window expected")
+    assert(!p.toString.contains("Join"),
+      s"as-of must not plan a join:\n$p")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1 && keyedOn(bulk.head, "_k"),
+      s"expected exactly one key exchange, got:\n${bulk.mkString("\n")}")
+  }
+
+  test("q_scd2: compaction + intervals share ONE entity-keyed sort/exchange") {
+    val p = plan("q_scd2")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1 && keyedOn(bulk.head, "user_id"),
+      s"expected one user-keyed exchange, got:\n${bulk.mkString("\n")}")
+  }
+
+  test("q_range_join: bucketed containment is an equi-join, never nested-loop") {
+    val p = plan("q_range_join")
+    val s = p.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin") ||
+      s.contains("ShuffledHashJoin"), "expected a hash/merge equi-join")
+  }
+
+  test("q_dedup_incremental: anti-join keys on the 16-byte hash, bodies never shuffle twice") {
+    val p = plan("q_dedup_incremental")
+    val s = p.toString
+    assert(s.contains("LeftAnti"), "expected a left-anti join on the index")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"))
+    // every bulk exchange is keyed on the content hash — nothing reshuffles
+    // on document ids or raw text
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.forall(keyedOn(_, "content_hash")),
+      s"all bulk exchanges must key on content_hash:\n${bulk.mkString("\n")}")
+  }
 }
