@@ -199,6 +199,64 @@ object Temporal {
         .as("duration_us"))
 
   /**
+   * Funnel analysis: per key, the earliest completion chain through
+   * `steps` — `stepN_ts` is the minimum event time of step N's type
+   * at-or-after step N-1's match (the standard nested-min funnel; `>=`
+   * makes same-instant progressions count and the result independent of
+   * any tie order). One pass per step over the type-filtered slice
+   * (predicate pushes to the scan), every aggregation and join keyed on
+   * the SAME entity columns — one hash partitioning reused down the
+   * chain, no global state. Output: keys, `stepN_ts` per step (null once
+   * the chain stalls) and `n_steps_completed`.
+   */
+  def funnel(df: DataFrame, keys: Seq[String], tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val kc = keys.map(col)
+    var acc = df.select(kc: _*).distinct()
+    var prev: Option[String] = None
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val name = s"step${i + 1}_ts"
+      val cand = df.filter(col(typeCol) === st)
+        .select(kc :+ col(tsCol).as("_ts"): _*)
+      val gated = prev match {
+        case None => cand
+        case Some(p) =>
+          cand.join(acc.select(kc :+ col(p).as("_prev"): _*), keys)
+            .filter(col("_prev").isNotNull && col("_ts") >= col("_prev"))
+      }
+      acc = acc.join(gated.groupBy(kc: _*).agg(min(col("_ts")).as(name)),
+        keys, "left")
+      prev = Some(name)
+    }
+    // chain prefix property: a stalled step nulls everything after it,
+    // so completed = count of non-null step times
+    acc.withColumn("n_steps_completed",
+      steps.indices.map(i =>
+        when(col(s"step${i + 1}_ts").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("long"))
+  }
+
+  /**
+   * Event-time downsampling: keep the LAST event per (key, bucket) —
+   * telemetry thinning that preserves end-of-bucket state. One
+   * window-ranked pass on the (key, bucket) grain; emits the surviving
+   * rows unchanged plus the bucket start.
+   */
+  def downsample(df: DataFrame, keys: Seq[String], tsCol: String,
+      bucketSec: Long, tiebreak: Seq[String] = Nil): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bucket = timestamp_seconds(
+      floor(unix_micros(col(tsCol)) / (bucketSec * 1000000L)) * bucketSec)
+    val ord = col(tsCol).desc +: tiebreak.map(col(_).desc)
+    df.withColumn("bucket_start", bucket)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy((keys.map(col) :+ col("bucket_start")): _*)
+          .orderBy(ord: _*)))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /**
    * SCD type-2 history build: turn a change-event stream (key, ts, tracked
    * attributes) into validity intervals — half-open `[valid_from, valid_to)`
    * per key, `valid_to` null for the current row. When `attrCols` is

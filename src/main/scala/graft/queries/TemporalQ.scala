@@ -186,6 +186,53 @@ object TemporalQ extends QueryGroup {
               |  ON e.user_id = sp.user_id AND e.ts BETWEEN sp.st AND sp.en"""
         .stripMargin)),
 
+    // Funnel: earliest signup -> click -> purchase chain per user
+    // (nested-min semantics, >= so same-instant progressions count).
+    QueryDef("q_funnel",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Temporal.funnel(ev, Seq("user_id"), "ts", "event_type",
+          Seq("signup", "click", "purchase"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |       JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |       JOIN s2 ON e.user_id = s2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+             |SELECT u.user_id, s1.t1 AS step1_ts, s2.t2 AS step2_ts,
+             |  s3.t3 AS step3_ts,
+             |  CAST((CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END)
+             |     + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)
+             |     + (CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_steps_completed
+             |FROM u LEFT JOIN s1 USING (user_id)
+             |  LEFT JOIN s2 USING (user_id)
+             |  LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
+    // Event-time downsampling: last event per (user, 6-hour bucket).
+    QueryDef("q_downsample",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        Temporal.downsample(ev, Seq("user_id"), "ts", bucketSec = 21600L,
+            tiebreak = Seq("event_id"))
+          .select(col("event_id"), col("user_id"), col("bucket_start"),
+            round(col("value") * 100).cast("long").as("val_cents"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id, user_id, ts, value,
+             |    time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, time_bucket(INTERVAL 6 HOUR, ts)
+             |                       ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT event_id, user_id, bucket_start,
+             |  CAST(ROUND(value*100) AS BIGINT) AS val_cents
+             |FROM b WHERE rn = 1""".stripMargin)),
+
     // Tumbling-window aggregate in batch: the batch face of the streaming
     // windowedTypeCounts twin (same window() expression Structured
     // Streaming runs), oracled against DuckDB time_bucket.

@@ -148,6 +148,43 @@ class TemporalSpec extends SparkSpec {
     assert(pit == Map(1L -> "B", 2L -> "X"))           // exactly one row/key
   }
 
+  test("funnel: nested-min chain with >= progression; stalls null the tail") {
+    val ev = Seq(
+      // user 1 completes out-of-order first (purchase before click) then in order
+      (1L, 1L, ts("2024-01-01 09:00:00"), "signup"),
+      (2L, 1L, ts("2024-01-01 09:30:00"), "purchase"), // before any click: ignored
+      (3L, 1L, ts("2024-01-01 10:00:00"), "click"),
+      (4L, 1L, ts("2024-01-01 11:00:00"), "purchase"),
+      // user 2: same-instant signup+click counts (>=), never purchases
+      (5L, 2L, ts("2024-01-01 08:00:00"), "signup"),
+      (6L, 2L, ts("2024-01-01 08:00:00"), "click"),
+      // user 3: clicks but never signs up -> 0 steps
+      (7L, 3L, ts("2024-01-01 07:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Temporal.funnel(ev, Seq("user_id"), "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(out(1L) == (Some(ts("2024-01-01 09:00:00")),
+      Some(ts("2024-01-01 10:00:00")), Some(ts("2024-01-01 11:00:00")), 3L))
+    assert(out(2L) == (Some(ts("2024-01-01 08:00:00")),
+      Some(ts("2024-01-01 08:00:00")), None, 2L))
+    assert(out(3L) == (None, None, None, 0L))
+  }
+
+  test("downsample keeps exactly the last event per key-bucket") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 09:10:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 09:50:00"), 2.0),  // survives bucket 09:00
+      (3L, 1L, ts("2024-01-01 10:05:00"), 3.0),  // survives bucket 10:00
+      (4L, 2L, ts("2024-01-01 09:59:00"), 4.0)   // survives (other key)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Temporal.downsample(ev, Seq("user_id"), "ts", bucketSec = 3600L,
+        tiebreak = Seq("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L, 4L))
+  }
+
   test("asof join plan: no join operator, exactly one exchange") {
     val out = Temporal.asofJoin(left, right, "user_id", "user_id", "ts", "sts",
       valueCols = Seq("state"), rightTiebreak = Seq("state_id"))
