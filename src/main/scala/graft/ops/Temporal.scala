@@ -238,6 +238,31 @@ object Temporal {
   }
 
   /**
+   * Cohort retention: bucket each key's FIRST event into its cohort,
+   * then count distinct keys active per (cohort, bucket offset) — the
+   * standard retention matrix in long form. Buckets are epoch-floored
+   * (engine-replayable integer arithmetic, no calendar-origin
+   * surprises), emitted as epoch seconds. Two key-partitioned
+   * aggregations + one co-keyed join; the final (cohort, offset) grain
+   * is tiny.
+   */
+  def cohortRetention(df: DataFrame, keys: Seq[String], tsCol: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    require(keys.nonEmpty, "keys must be non-empty")
+    def bucket(c: Column): Column =
+      floor(unix_micros(c) / (bucketSec * 1000000L)) * bucketSec
+    val kc = keys.map(col)
+    val cohorts = df.groupBy(kc: _*).agg(bucket(min(col(tsCol))).as("_cs"))
+    val active = df.select(kc :+ bucket(col(tsCol)).as("_b"): _*).distinct()
+    active.join(cohorts, keys)
+      .groupBy(col("_cs").as("cohort_start_s"),
+        ((col("_b") - col("_cs")) / lit(bucketSec)).cast("long")
+          .as("bucket_offset"))
+      .agg(count_distinct(kc.head, kc.tail: _*).as("n_active"))
+  }
+
+  /**
    * Event-time downsampling: keep the LAST event per (key, bucket) —
    * telemetry thinning that preserves end-of-bucket state. One
    * window-ranked pass on the (key, bucket) grain; emits the surviving

@@ -233,6 +233,26 @@ object TemporalQ extends QueryGroup {
              |  CAST(ROUND(value*100) AS BIGINT) AS val_cents
              |FROM b WHERE rn = 1""".stripMargin)),
 
+    // Cohort retention matrix (weekly) in long form.
+    QueryDef("q_retention",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        Temporal.cohortRetention(ev, Seq("user_id"), "ts",
+          bucketSec = 7L * 86400L)
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id,
+             |    (CAST(epoch(MIN(ts)) AS BIGINT) // 604800) * 604800 AS cs
+             |  FROM events GROUP BY 1),
+             |a AS (
+             |  SELECT DISTINCT user_id,
+             |    (CAST(epoch(ts) AS BIGINT) // 604800) * 604800 AS b
+             |  FROM events)
+             |SELECT c.cs AS cohort_start_s,
+             |  CAST((a.b - c.cs) // 604800 AS BIGINT) AS bucket_offset,
+             |  COUNT(DISTINCT a.user_id) AS n_active
+             |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin)),
+
     // Tumbling-window aggregate in batch: the batch face of the streaming
     // windowedTypeCounts twin (same window() expression Structured
     // Streaming runs), oracled against DuckDB time_bucket.
