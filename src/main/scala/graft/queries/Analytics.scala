@@ -289,6 +289,17 @@ object Analytics extends QueryGroup {
         .limit(10)
         .select(col("c_custkey"), col("c_acctbal")),
       Some("""SELECT c_custkey, c_acctbal FROM customer
-             |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin))
+             |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin)),
+
+    // Fixed-width value histogram (data profiling; clamped edge bins)
+    QueryDef("q_histogram",
+      (s, dir) => Planners.histogram(Tables.load(s, dir, "events"),
+        "value", lo = 0.0, hi = 500.0, nBins = 10),
+      Some("""WITH b AS (
+             |  SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS BIGINT), 0), 9) AS bin
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT bin, COUNT(*) AS n,
+             |  CAST(bin AS DOUBLE) * CAST(50.0 AS DOUBLE) AS bin_lo
+             |FROM b GROUP BY 1""".stripMargin))
   )
 }

@@ -73,4 +73,24 @@ object Planners {
         date_format(date_sub(col("max_date"), (col("idx") * strideDays).cast("int")),
           "yyyy-MM-dd").as("cutoff"))
   }
+
+  /**
+   * Fixed-width value histogram: bin index + inclusive-clamped counts over
+   * caller-supplied [lo, hi] edges (data-profiling building block; the
+   * fit-free twin of the quantile planners). One map-side-combining
+   * aggregate on the bin id; the bin arithmetic is plain double division
+   * identical across engines, so it is oracle-replayable.
+   */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(w))
+  }
 }

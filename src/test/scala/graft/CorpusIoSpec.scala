@@ -33,6 +33,38 @@ class CorpusIoSpec extends SparkSpec {
     assert(bad.exists(_.contains("not json at all")))
   }
 
+  test("bucketed tables: co-located join and keyed agg plan ZERO exchanges") {
+    import spark.implicits._
+    import graft.sources.Bucketed
+    val feats = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("uid", "feat")
+    val labels = (1 to 100).map(i => (i.toLong, i % 2)).toDF("uid", "label")
+    // force the big-join planning path (tiny fixtures would broadcast) and
+    // freeze the static plan (AQE wrapper hides the subtree)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Bucketed.writeBucketed(feats, "bk_feats", Seq("uid"), 4, Seq("uid"))
+      Bucketed.writeBucketed(labels, "bk_labels", Seq("uid"), 4, Seq("uid"))
+      val joined = Bucketed.readTable(spark, "bk_feats")
+        .join(Bucketed.readTable(spark, "bk_labels"), "uid")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 100)
+      val agg = Bucketed.readTable(spark, "bk_feats").groupBy($"uid")
+        .agg(sum($"feat"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "keyed agg over a bucketed table must not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS bk_feats")
+      spark.sql("DROP TABLE IF EXISTS bk_labels")
+    }
+  }
+
   test("partitioned corpus write: round trip + partition pruning in the scan") {
     import spark.implicits._
     val docs = Seq(
