@@ -165,6 +165,57 @@ object EventStream {
       }
   }
 
+  final case class ChangeEv(key: Long, ts_us: Long, attr: String)
+  final case class Scd2State(sinceUs: Long, attr: String)
+  final case class ClosedInterval(key: Long, attr: String,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /**
+   * Streaming SCD-2 history build: the incremental twin of
+   * [[graft.ops.Temporal.scd2]] over a changelog stream. State per key is
+   * ONLY the open regime (start, attrs); an arriving change emits the
+   * regime it closes as a half-open interval and replaces the state;
+   * unchanged attrs extend the open regime silently (the batch operator's
+   * compaction). Emitted rows therefore equal exactly the batch scd2's
+   * CLOSED intervals (valid_to non-null) — the open tail lives in state
+   * until the next change, the standard changelog-consumer contract.
+   * Parity is spec-pinned on the events stream.
+   *
+   * Arrival must be event-time ordered per key (rows are sorted within
+   * each micro-batch group; an out-of-order event ACROSS batches is a
+   * changelog-source contract violation and fails fast rather than
+   * emitting overlapping history).
+   */
+  def streamingScd2(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, attrCol: String): Dataset[ClosedInterval] = {
+    import spark.implicits._
+    requireIntegralId(events, keyCol, "streamingScd2")
+    events.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"), col(attrCol).as("attr"))
+      .as[ChangeEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, ClosedInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[ChangeEv], state: GroupState[Scd2State]) =>
+          val sorted = evs.toList.sortBy(e => (e.ts_us, e.attr))
+          var st = state.getOption.orNull
+          val out = List.newBuilder[ClosedInterval]
+          sorted.foreach { e =>
+            if (st == null) st = Scd2State(e.ts_us, e.attr)
+            else {
+              require(e.ts_us >= st.sinceUs,
+                s"out-of-order changelog for key $key: ${e.ts_us} < ${st.sinceUs}")
+              if (e.attr != st.attr) {
+                out += ClosedInterval(key, st.attr, st.sinceUs, e.ts_us)
+                st = Scd2State(e.ts_us, e.attr)
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
   final case class BucketState(members: List[(Long, Seq[Long])])
   final case class NearDup(doc_a: Long, doc_b: Long, band: Int, jhat: Double)

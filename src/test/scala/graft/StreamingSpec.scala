@@ -81,6 +81,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD-2 emits exactly the batch closed intervals") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream.streamingScd2(spark,
+        EventStream.readEvents(spark, streamDir), "user_id", "ts", "event_type")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scd2_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT key, attr, valid_from_us, valid_to_us FROM scd2_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      // batch twin ordered by (ts, attr) to mirror the stream's tie order
+      val batch = graft.ops.Temporal.scd2(
+          graft.core.Tables.load(spark, sf, "events")
+            .select(col("user_id"), col("ts"), col("event_type")),
+          Seq("user_id"), "ts", tiebreak = Seq("event_type"),
+          attrCols = Seq("event_type"))
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")), unix_micros(col("valid_to")))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup matches the batch groups on the documents stream") {
     val dir = Files.createTempDirectory("graft_docs_stream")
     Files.copy(Paths.get(s"$sf/documents.parquet"),
