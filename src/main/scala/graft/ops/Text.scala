@@ -283,6 +283,28 @@ object Text {
   }
 
   /**
+   * Deterministic per-group quota sampling: keep at most `quota` rows per
+   * group, chosen by a salted content hash (stable across runs,
+   * partitionings and engines — never `rand()`), md5 tiebroken by id.
+   * The balanced-downsampling step of multi-source corpora ("cap every
+   * source at N docs"); complements [[mixCorpus]]'s fractional weights
+   * with an exact per-group cardinality bound. One window pass on the
+   * group key; at 100 TB the per-group rank is the same shuffle the
+   * downstream per-source processing needs anyway.
+   */
+  def quotaSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(concat_ws("#", col(idCol).cast("string"), lit("quota"))).asc,
+        col(idCol).asc)
+    df.withColumn("_qr", row_number().over(w))
+      .filter(col("_qr") <= quota).drop("_qr")
+  }
+
+  /**
    * Deterministic weighted corpus mixing — the data-mixture reweighting
    * step of multi-source training pipelines (Pile/DoReMi style): each
    * source gets a sampling weight `w >= 0`, and every doc is emitted

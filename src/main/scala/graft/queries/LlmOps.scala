@@ -382,6 +382,20 @@ object LlmOps extends QueryGroup {
     // copy counts come from a salted md5, so the mixture replays exactly
     // in DuckDB (weights are exact binary fractions: decimal vs binary
     // threshold arithmetic cannot disagree)
+    // Exact per-source quota cap (balanced downsampling), deterministic
+    // salted-md5 choice — the cardinality-bound complement of q_text_mix.
+    QueryDef("q_quota_sample",
+      (s, dir) => Text.quotaSample(Tables.load(s, dir, "documents"),
+          Seq("source"), "doc_id", quota = 50)
+        .select(col("doc_id"), col("source")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#' || 'quota'),
+             |               doc_id) AS qr
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE qr <= 50""".stripMargin)),
+
     QueryDef("q_text_mix",
       (s, dir) => Text.mixCorpus(Tables.load(s, dir, "documents"),
         "doc_id", "source",
