@@ -216,6 +216,53 @@ object EventStream {
       }
   }
 
+  final case class FunnelEv(key: Long, ts_us: Long, step: Int)
+  final case class FunnelState(idx: Int, lastUs: Long)
+  final case class StepHit(key: Long, step: Int, ts_us: Long)
+
+  /**
+   * Streaming funnel: the incremental twin of
+   * [[graft.ops.Temporal.funnel]] for event-time-ordered streams. State
+   * per key is just (steps completed, last match time); an event of the
+   * next expected step type at-or-after the last match advances the
+   * chain and emits a [[StepHit]]. Rows are sorted within each
+   * micro-batch group by (ts, step priority) — step order ahead of any
+   * other tiebreak so same-instant progressions (the batch `>=`
+   * semantics) count; under ordered arrival the greedy first-match
+   * equals the batch nested-min chain exactly (parity spec-pinned).
+   */
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): Dataset[StepHit] = {
+    import spark.implicits._
+    requireIntegralId(events, keyCol, "streamingFunnel")
+    val stepIdx = steps.zipWithIndex
+      .foldRight(lit(-1): org.apache.spark.sql.Column) { case ((st, i), rest) =>
+        when(col(typeCol) === st, lit(i)).otherwise(rest)
+      }
+    events.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"), stepIdx.as("step"))
+      .filter(col("step") >= 0)
+      .as[FunnelEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, StepHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          val sorted = evs.toList.sortBy(e => (e.ts_us, e.step))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = List.newBuilder[StepHit]
+          sorted.foreach { e =>
+            if (st.idx < steps.length && e.step == st.idx &&
+                e.ts_us >= st.lastUs) {
+              out += StepHit(key, st.idx, e.ts_us)
+              st = FunnelState(st.idx + 1, e.ts_us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
   final case class BucketState(members: List[(Long, Seq[Long])])
   final case class NearDup(doc_a: Long, doc_b: Long, band: Int, jhat: Double)

@@ -108,6 +108,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel step hits equal the batch nested-min chain") {
+    import org.apache.spark.sql.functions._
+    val steps = Seq("signup", "click", "purchase")
+    val q = EventStream.streamingFunnel(spark,
+        EventStream.readEvents(spark, streamDir), "user_id", "ts",
+        "event_type", steps)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, step, ts_us FROM funnel_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.ops.Temporal.funnel(
+          graft.core.Tables.load(spark, sf, "events"),
+          Seq("user_id"), "ts", "event_type", steps)
+        .select(col("user_id") +:
+          steps.indices.map(i => unix_micros(col(s"step${i + 1}_ts"))): _*)
+      val want = batch.collect().flatMap { r =>
+        steps.indices.flatMap { i =>
+          if (r.isNullAt(i + 1)) None
+          else Some((r.getLong(0), i, r.getLong(i + 1)))
+        }
+      }.toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup matches the batch groups on the documents stream") {
     val dir = Files.createTempDirectory("graft_docs_stream")
     Files.copy(Paths.get(s"$sf/documents.parquet"),
