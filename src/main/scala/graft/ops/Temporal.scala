@@ -238,6 +238,51 @@ object Temporal {
   }
 
   /**
+   * Resample to a regular per-key time grid with forward fill: one row
+   * per (key, bucket) from the key's first to last event bucket, carrying
+   * the last observed value at-or-before each bucket end (telemetry
+   * regularization / feature-grid building). Grid generation is a
+   * `sequence` + explode on the per-key [min, max] span (rows ∝ output
+   * grid, never a cross join); the fill is the same union + carry-forward
+   * trick as [[asofJoin]] — grid points and observations sort ONCE per
+   * key, `last(value, ignoreNulls)` carries state, one exchange total.
+   * Emits `bucket_start_s` (epoch seconds) and the filled `valueCol`.
+   */
+  def resampleFfill(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, bucketSec: Long,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    require(keys.nonEmpty, "keys must be non-empty")
+    val kc = keys.map(col)
+    def bucket(c: Column): Column =
+      floor(unix_micros(c) / (bucketSec * 1000000L)) * bucketSec
+    // observations: last value per occupied (key, bucket) — ordered carry
+    // needs each instant once, so collapse to bucket grain first
+    val obs = df
+      .withColumn("_b", bucket(col(tsCol)))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(kc :+ col("_b"): _*)
+          .orderBy(col(tsCol).desc +: tiebreak.map(col(_).desc): _*)))
+      .filter(col("_rn") === 1)
+      .select(kc ++ Seq(col("_b"), lit(0).as("_side"),
+        col(valueCol).as("_v")): _*)
+    val grid = df.groupBy(kc: _*)
+      .agg(bucket(min(col(tsCol))).as("_lo"), bucket(max(col(tsCol))).as("_hi"))
+      .select(kc :+ explode(sequence(col("_lo"), col("_hi"),
+        lit(bucketSec))).as("_b"): _*)
+      .select(kc ++ Seq(col("_b"), lit(1).as("_side"),
+        lit(null).cast(df.schema(valueCol).dataType).as("_v")): _*)
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(col("_b").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(grid)
+      .withColumn("_f", last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(kc ++ Seq(col("_b").as("bucket_start_s"),
+        col("_f").as(valueCol)): _*)
+  }
+
+  /**
    * Cohort retention: bucket each key's FIRST event into its cohort,
    * then count distinct keys active per (cohort, bucket offset) — the
    * standard retention matrix in long form. Buckets are epoch-floored

@@ -233,6 +233,43 @@ object TemporalQ extends QueryGroup {
              |  CAST(ROUND(value*100) AS BIGINT) AS val_cents
              |FROM b WHERE rn = 1""".stripMargin)),
 
+    // Regular daily grid per user with forward-filled values.
+    QueryDef("q_resample_ffill",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            round(col("value") * 100).cast("long").as("val_c"))
+        Temporal.resampleFfill(ev, Seq("user_id"), "ts", "val_c",
+          bucketSec = 86400L, tiebreak = Seq("event_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, ts,
+             |    CAST(ROUND(value*100) AS BIGINT) AS val_c,
+             |    (CAST(epoch(ts) AS BIGINT) // 86400) * 86400 AS b
+             |  FROM events),
+             |o AS (
+             |  SELECT user_id, b, val_c FROM (
+             |    SELECT user_id, b, val_c,
+             |      ROW_NUMBER() OVER (PARTITION BY user_id, b
+             |                         ORDER BY ts DESC, event_id DESC) AS rn
+             |    FROM e) WHERE rn = 1),
+             |g AS (
+             |  SELECT user_id, unnest(range(lo, hi + 86400, 86400)) AS b
+             |  FROM (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+             |        FROM e GROUP BY 1)),
+             |u AS (
+             |  SELECT user_id, b, 0 AS side, val_c FROM o
+             |  UNION ALL
+             |  SELECT user_id, b, 1 AS side, NULL AS val_c FROM g),
+             |f AS (
+             |  SELECT user_id, b, side,
+             |    LAST_VALUE(val_c IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY b, side
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+             |  FROM u)
+             |SELECT user_id, b AS bucket_start_s, fv AS val_c
+             |FROM f WHERE side = 1""".stripMargin)),
+
     // Cohort retention matrix (weekly) in long form.
     QueryDef("q_retention",
       (s, dir) => {
