@@ -774,6 +774,26 @@ object LlmOps extends QueryGroup {
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Corpus health report: per-source duplication rate from the exact
+    // dedup groups (what a 100 TB ingest dashboards after every drop).
+    QueryDef("q_dedup_stats",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val hashed = d.select(col("source"),
+          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+            .as("content_hash"))
+        hashed.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("content_hash")).as("n_unique"),
+          round(lit(1.0) - count_distinct(col("content_hash"))
+            / count(lit(1)).cast("double"), 6).as("dup_rate"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique,
+             |  ROUND(CAST(1.0 AS DOUBLE) - COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+             |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+             |FROM documents GROUP BY source""".stripMargin)),
+
     // Incremental ingest dedup: a new batch admits only unseen content,
     // checked against the EXISTING corpus's 16-byte hash index (the
     // corpus itself is never re-read); intra-batch dups resolve to the

@@ -233,6 +233,28 @@ object TemporalQ extends QueryGroup {
              |  CAST(ROUND(value*100) AS BIGINT) AS val_cents
              |FROM b WHERE rn = 1""".stripMargin)),
 
+    // Rolling per-key anomaly score: each event's value z-scored against
+    // the PRECEDING 10 events of the same user (bounded window frame —
+    // constant state per row at any scale; rows without 2 predecessors
+    // yield null). 6-dp rounding on both sides (stddev partial-order).
+    QueryDef("q_rolling_zscore",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-10, -1)
+        ev.select(col("event_id"), col("user_id"),
+          round((col("value") - avg(col("value")).over(w))
+            / stddev_samp(col("value")).over(w), 6).as("z"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) AS z
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)"""
+        .stripMargin)),
+
     // Regular daily grid per user with forward-filled values.
     QueryDef("q_resample_ffill",
       (s, dir) => {
