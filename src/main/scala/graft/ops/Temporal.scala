@@ -327,6 +327,37 @@ object Temporal {
   }
 
   /**
+   * Interval-overlap join: left intervals × right intervals of the same
+   * key where `[lStart,lEnd]` and `[rStart,rEnd]` intersect (inclusive).
+   * Same bucketing idea as [[rangeJoin]], plus the canonical-bucket trick
+   * to keep the equi-join duplicate-free WITHOUT a dedup pass: a pair of
+   * overlapping intervals co-occurs in every bucket their spans share,
+   * so the match is emitted only in the bucket containing the overlap's
+   * START (`max(lStart, rStart)`) — exactly one bucket per overlapping
+   * pair, no `distinct` over the blown-up candidate set.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val us = bucketSec * 1000000L
+    def buckets(s: String, e: String) =
+      explode(sequence(floor(unix_micros(col(s)) / us),
+        floor(unix_micros(col(e)) / us)))
+    val lB = left.withColumn("_b", buckets(lStart, lEnd))
+    val rB = right.withColumn("_b", buckets(rStart, rEnd))
+    val overlapStartBucket =
+      floor(greatest(unix_micros(lB(lStart)), unix_micros(rB(rStart))) / us)
+    lB.join(rB,
+        lB("_b") === rB("_b") && lB(leftKey) === rB(rightKey) &&
+          lB(lStart) <= rB(rEnd) && rB(rStart) <= lB(lEnd) &&
+          lB("_b") === overlapStartBucket,
+        "inner")
+      .drop("_b")
+  }
+
+  /**
    * SCD type-2 history build: turn a change-event stream (key, ts, tracked
    * attributes) into validity intervals — half-open `[valid_from, valid_to)`
    * per key, `valid_to` null for the current row. When `attrCols` is

@@ -346,6 +346,60 @@ object TemporalQ extends QueryGroup {
              |SELECT bucket, event_type, COUNT(*) AS n
              |FROM h GROUP BY 1, 2""".stripMargin)),
 
+    // Interval-overlap join: click-session spans × view-session spans of
+    // the same user — bucketed equi-join with the canonical-bucket pair
+    // assignment (no dedup pass), oracled against the plain non-equi join.
+    QueryDef("q_interval_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def spans(t: String, p: String) = Temporal.sessionStats(
+            Temporal.sessionize(
+              ev.filter(col("event_type") === t)
+                .select(col("event_id"), col("user_id"), col("ts")),
+              Seq("user_id"), "ts", GapSec, tiebreak = Seq("event_id")),
+            Seq("user_id"), "ts")
+          .select(col("user_id").as(s"${p}_user"),
+            col("session_id").cast("long").as(s"${p}_sid"),
+            col("session_start").as(s"${p}_st"),
+            col("session_end").as(s"${p}_en"))
+        Temporal.intervalJoin(spans("click", "a"), spans("view", "b"),
+            "a_user", "b_user", "a_st", "a_en", "b_st", "b_en",
+            bucketSec = 86400L)
+          .select(col("a_user").as("user_id"), col("a_sid"), col("b_sid"))
+      },
+      Some(s"""WITH ca AS (
+              |  SELECT event_id, user_id, ts,
+              |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              |  FROM events WHERE event_type = 'click'),
+              |sa AS (
+              |  SELECT user_id, ts,
+              |    SUM(CASE WHEN prev IS NULL
+              |        OR date_diff('microsecond', prev, ts) > $GapUs
+              |        THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |            ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM ca),
+              |aa AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+              |       FROM sa GROUP BY 1, 2),
+              |cb AS (
+              |  SELECT event_id, user_id, ts,
+              |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              |  FROM events WHERE event_type = 'view'),
+              |sb AS (
+              |  SELECT user_id, ts,
+              |    SUM(CASE WHEN prev IS NULL
+              |        OR date_diff('microsecond', prev, ts) > $GapUs
+              |        THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |            ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM cb),
+              |bb AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+              |       FROM sb GROUP BY 1, 2)
+              |SELECT a.user_id, CAST(a.sid AS BIGINT) AS a_sid,
+              |  CAST(b.sid AS BIGINT) AS b_sid
+              |FROM aa a JOIN bb b ON a.user_id = b.user_id
+              |  AND a.st <= b.en AND b.st <= a.en""".stripMargin)),
+
     // SCD-2 history: per-user event_type regimes with half-open validity
     // intervals; consecutive same-type events collapse to one regime row.
     QueryDef("q_scd2",

@@ -148,6 +148,30 @@ class TemporalSpec extends SparkSpec {
     assert(pit == Map(1L -> "B", 2L -> "X"))           // exactly one row/key
   }
 
+  test("interval join: equals the naive overlap join with NO duplicate pairs") {
+    // long spans covering many buckets — the canonical-bucket assignment
+    // must still emit each overlapping pair exactly once
+    val a = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")),
+      (1L, 11L, ts("2024-01-07 00:00:00"), ts("2024-01-08 00:00:00")),
+      (2L, 20L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    ).toDF("a_user", "a_id", "a_st", "a_en")
+    val b = Seq(
+      (1L, 100L, ts("2024-01-03 00:00:00"), ts("2024-01-09 00:00:00")), // hits both
+      (1L, 101L, ts("2024-01-06 00:00:00"), ts("2024-01-06 12:00:00")), // hits none
+      (2L, 200L, ts("2024-01-01 12:00:00"), ts("2024-01-03 00:00:00"))  // hits 20
+    ).toDF("b_user", "b_id", "b_st", "b_en")
+    val got = Temporal.intervalJoin(a, b, "a_user", "b_user",
+        "a_st", "a_en", "b_st", "b_en", bucketSec = 21600L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.length == got.distinct.length, s"duplicate pairs: $got")
+    val want = a.join(b, a("a_user") === b("b_user") &&
+        a("a_st") <= b("b_en") && b("b_st") <= a("a_en"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == want)
+    assert(want == Set((10L, 100L), (11L, 100L), (20L, 200L)))
+  }
+
   test("funnel: nested-min chain with >= progression; stalls null the tail") {
     val ev = Seq(
       // user 1 completes out-of-order first (purchase before click) then in order
