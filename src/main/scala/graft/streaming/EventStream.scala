@@ -165,6 +165,28 @@ object EventStream {
       }
   }
 
+  /**
+   * Streaming downsample: keep the LAST event per (user, tumbling
+   * bucket) — the streaming twin of [[graft.ops.Temporal.downsample]]
+   * (same epoch-aligned buckets), expressed as a watermarked window
+   * aggregate with `max_by` over the (ts, tiebreak) order, so state per
+   * open (key, bucket) is one row. Works identically on a batch frame;
+   * parity spec pins streaming == batch survivors.
+   */
+  def streamingDownsample(events: DataFrame, bucket: String = "6 hours",
+      watermark: String = "1 day"): DataFrame = {
+    val windowed =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    windowed
+      .groupBy(window(col("ts"), bucket), col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("_last"))
+      .select(col("user_id"), col("window.start").as("bucket_start"),
+        col("_last.event_id").as("event_id"), col("_last.ts").as("ts"),
+        col("_last.value").as("value"))
+  }
+
   final case class ChangeEv(key: Long, ts_us: Long, attr: String)
   final case class Scd2State(sinceUs: Long, attr: String)
   final case class ClosedInterval(key: Long, attr: String,

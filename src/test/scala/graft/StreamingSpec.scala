@@ -81,6 +81,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming downsample keeps the same per-bucket survivors as batch") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream.streamingDownsample(
+        EventStream.readEvents(spark, streamDir), bucket = "6 hours")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ds_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id FROM ds_stream")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.Temporal.downsample(
+          graft.core.Tables.load(spark, sf, "events")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", bucketSec = 21600L, tiebreak = Seq("event_id"))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming SCD-2 emits exactly the batch closed intervals") {
     import org.apache.spark.sql.functions._
     val q = EventStream.streamingScd2(spark,
