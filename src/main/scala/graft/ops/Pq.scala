@@ -28,17 +28,15 @@ final case class PqCodebook(centroids: Array[Array[Array[Double]]]) {
   require(centroids.forall(s => s.length == k && s.forall(_.length == subDim)),
     "ragged codebook")
 
-  /** Squared L2 between `vec`'s j-th subvector and centroid (j, c), as a
-    * codegen'd fold — the SAME accumulation order (left-to-right
-    * squared-diff sum) the oracle replays, so argmin ties break
-    * identically. */
-  private[ops] def subDist2(vec: Column, j: Int, c: Int): Column = {
-    val sub = slice(vec, j * subDim + 1, subDim)
-    val ctr = array(centroids(j)(c).map(lit).toIndexedSeq: _*)
-    aggregate(
-      zip_with(sub, ctr, (a, b) => { val d = a.cast("double") - b; d * d }),
-      lit(0.0d), (acc, x) => acc + x)
-  }
+  /** Squared L2 between `vec`'s j-th subvector and centroid (j, c) — a
+    * codegen'd one-pass [[graft.functions.VecL2Sq]] expression with the
+    * SAME accumulation order (left-to-right squared-diff sum) as the HOF
+    * fold and the oracle replay, so results are bit-identical and argmin
+    * ties break identically (encode evaluates this m×k times per row). */
+  private[ops] def subDist2(vec: Column, j: Int, c: Int): Column =
+    graft.functions.VecL2Sq.vecL2Sq(
+      slice(vec, j * subDim + 1, subDim),
+      array(centroids(j)(c).map(lit).toIndexedSeq: _*))
 
   /** Nearest-code id for subspace j (min distance, code-id tiebreak). */
   private[ops] def subCode(vec: Column, j: Int): Column =

@@ -18,6 +18,22 @@ class PqSpec extends SparkSpec {
     }.toDF("cid", "embedding")
   }
 
+  test("VecL2Sq codegen expression is bit-identical to the HOF fold") {
+    val pairs = clustered.select($"embedding".as("a"),
+      reverse($"embedding").as("b"))
+    val viaExpr = pairs.select(
+      graft.functions.VecL2Sq.vecL2Sq($"a", $"b")).collect().map(_.getDouble(0))
+    val viaHof = pairs.select(
+      aggregate(zip_with($"a", $"b",
+        (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+        lit(0.0d), (acc, x) => acc + x)).collect().map(_.getDouble(0))
+    assert(viaExpr.length == 30)
+    viaExpr.zip(viaHof).foreach { case (e, h) =>
+      assert(java.lang.Double.doubleToLongBits(e) ==
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
   test("fit + encode: codebook shape, codes in range, m-byte representation") {
     val cb = Pq.fit(clustered, m = 2, k = 3, seed = 7L)
     assert(cb.m == 2 && cb.k == 3 && cb.subDim == 4)
