@@ -238,6 +238,42 @@ object EventStream {
       }
   }
 
+  final case class QuotaDoc(group: String, doc_id: Long, hkey: String)
+  final case class QuotaState(admitted: Long)
+  final case class QuotaDecision(group: String, doc_id: Long, admitted: Boolean)
+
+  /**
+   * Streaming per-group quota: admit at most `quota` docs per group over
+   * the stream's lifetime (state = one counter per group). Within a
+   * micro-batch, candidates are ordered by the SAME salted md5 the batch
+   * [[graft.ops.Text.quotaSample]] uses, so a single-batch stream admits
+   * exactly the batch sample (parity spec); across batches the cap
+   * becomes first-come within the remaining budget — the arrival-order
+   * semantics an unbounded ingest actually wants.
+   */
+  def streamingQuotaSample(spark: SparkSession, docs: DataFrame,
+      groupCol: String, idCol: String, quota: Int): Dataset[QuotaDecision] = {
+    import spark.implicits._
+    require(quota > 0, "quota must be positive")
+    requireIntegralId(docs, idCol, "streamingQuotaSample")
+    docs.select(col(groupCol).as("group"), col(idCol).cast("long").as("doc_id"),
+        md5(concat_ws("#", col(idCol).cast("string"), lit("quota"))).as("hkey"))
+      .as[QuotaDoc]
+      .groupByKey(_.group)
+      .flatMapGroupsWithState[QuotaState, QuotaDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (group: String, ds: Iterator[QuotaDoc], state: GroupState[QuotaState]) =>
+          var st = state.getOption.getOrElse(QuotaState(0L))
+          val out = ds.toList.sortBy(d => (d.hkey, d.doc_id)).map { d =>
+            val ok = st.admitted < quota
+            if (ok) st = QuotaState(st.admitted + 1L)
+            QuotaDecision(group, d.doc_id, ok)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class FunnelEv(key: Long, ts_us: Long, step: Int)
   final case class FunnelState(idx: Int, lastUs: Long)
   final case class StepHit(key: Long, step: Int, ts_us: Long)

@@ -154,6 +154,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quota: single-batch admissions equal the batch quota sample") {
+    val dir = Files.createTempDirectory("graft_quota_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    val q = EventStream.streamingQuotaSample(spark, docsStream,
+        "source", "doc_id", quota = 5)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("quota_stream").start()
+    try {
+      q.processAllAvailable()
+      val admitted = spark.sql(
+        "SELECT doc_id FROM quota_stream WHERE admitted")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.ops.Text.quotaSample(
+          graft.core.Tables.load(spark, sf, "documents"),
+          Seq("source"), "doc_id", quota = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == batch && admitted.nonEmpty)
+      // caps respected per group over the whole stream
+      val perGroup = spark.sql(
+        "SELECT group, COUNT(*) FROM quota_stream WHERE admitted GROUP BY group")
+        .collect().map(_.getLong(1))
+      assert(perGroup.forall(_ <= 5))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup matches the batch groups on the documents stream") {
     val dir = Files.createTempDirectory("graft_docs_stream")
     Files.copy(Paths.get(s"$sf/documents.parquet"),
