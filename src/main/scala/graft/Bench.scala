@@ -112,7 +112,9 @@ object Bench {
     "q_train_transformer", "q_train_lstm_ae",
     // round-12 operator families (no round-4 baseline; per-query entries
     // only — exclude from gate-total comparisons, like q_llm_e2e r10)
-    "q_asof_join", "q_sessionize")
+    "q_asof_join", "q_sessionize",
+    // round-13: ranked retrieval + bounded-window EWMA (per-query only)
+    "q_bm25_search", "q_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Ranked full-text retrieval over the corpus: posting lists, BM25 top-k,
+ * and TF-IDF keyword extraction. Rounds out the corpus-analytics family
+ * (SURVEY.md §7.5) — after dedup/quality filtering, retrieval is how a
+ * training-data pipeline audits coverage ("what does the corpus say about
+ * X?") and mines domain-targeted subsets.
+ *
+ * Scale design (the classic distributed-indexing shape):
+ *  - [[postings]] is ONE explode + ONE map-side-combining hash aggregate
+ *    keyed on (term, doc) — the document body is read once and never
+ *    shuffled; only (term, doc_id, dl, tf) rows move. The result is the
+ *    inverted index as a DataFrame; persist it partitioned by term for a
+ *    reusable on-disk index.
+ *  - [[bm25TopK]] broadcasts the QUERY side (a query batch is tiny by
+ *    definition) onto the postings, so the corpus-sized side is pruned to
+ *    matched postings before any scoring work. Document frequency for the
+ *    matched terms is computed from the pruned postings themselves (the
+ *    prune keeps every posting of a matched term, so df is exact). Corpus
+ *    N and avgdl ride in as a broadcast one-row aggregate — no driver
+ *    collect in the plan.
+ *  - Scores are rounded to 1e-6 BEFORE ranking and ties broken by doc id,
+ *    so the top-k cut is deterministic and engine-independent (summation
+ *    order across terms differs between engines at ~1e-15).
+ */
+object Search {
+
+  private def toks(c: String): Column =
+    array_remove(split(lower(col(c)), "\\s+"), "")
+
+  /**
+   * Inverted-index posting lists: one row per (term, doc) with the term
+   * frequency `tf` and the document length `dl` (token count) carried
+   * alongside, so BM25's length normalization needs no second join back
+   * to the corpus.
+   */
+  def postings(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"),
+        explode(toks(textCol)).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /**
+   * BM25 top-k retrieval (Robertson/Sparck Jones, the Lucene idf variant
+   * `ln(1 + (N - df + 0.5)/(df + 0.5))`): for each (query_id, text) in the
+   * batch, the k highest-scoring documents with dense ranks 1..k.
+   *
+   * Output: (query_id, doc_id, score, rk) — `score` rounded to 1e-6,
+   * `rk` assigned by (score desc, doc_id asc).
+   */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      queryBatch: Seq[(Int, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val post = postings(docs, textCol, idCol)
+    // Corpus stats over ALL docs (incl. empty ones): one-row broadcast.
+    val stats = docs
+      .select(size(toks(textCol)).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
+
+    val qterms = queryBatch.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(array_distinct(array_remove(split(lower(col("qtext")), "\\s+"), "")))
+          .as("term"))
+    val qset = qterms.select(col("term")).distinct()
+
+    // Prune the index to query terms first; df is exact on the pruned side.
+    val cand = post.join(broadcast(qset), "term")
+    val dfT = cand.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+    val scored = cand
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /**
+   * TF-IDF keyword extraction: the k most characteristic terms per
+   * document, scored `tf * ln(N / df)` (raw counts, natural log), ranked
+   * (score desc, term asc). The df join is keyed on term — vocabulary-
+   * sized, orders of magnitude smaller than the corpus — and the per-doc
+   * top-k compiles to a WindowGroupLimit, not a full sort of the postings.
+   */
+  def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val post = postings(docs, textCol, idCol)
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    post.join(dfT, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_t")), 6)
+          .as("tfidf"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

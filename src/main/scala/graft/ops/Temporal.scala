@@ -429,4 +429,43 @@ object Temporal {
         "inner")
       .drop("_b")
   }
+
+  /**
+   * Bounded-memory exponentially weighted moving average per key: the
+   * pandas `ewm(alpha).mean()` adjust=False recursion
+   * `e_t = alpha*v_t + (1-alpha)*e_{t-1}` restarted from the oldest row of
+   * a `window`-row trailing frame. Truncating the recursion at `window`
+   * rows bounds per-row state at scale (the dropped tail carries weight
+   * `(1-alpha)^window` — pick the window to make it negligible for your
+   * alpha) and makes the value a pure function of the frame, so the same
+   * fold replays in any engine and in the streaming twin
+   * ([[graft.streaming.EventStream.streamingEwma]]).
+   *
+   * Shape: ONE exchange on the key + one sort; the frame materializes at
+   * most `window` doubles per row (`collect_list` over a bounded frame)
+   * and the fold is a codegen'd `aggregate` HOF seeded with the frame's
+   * first element — left-to-right, bit-reproducible. Output: the input
+   * row's `idCols` plus the raw `ewma` double (deliberately unrounded:
+   * with a dyadic alpha the fold is bit-identical in any IEEE engine,
+   * while rounding would create knife-edge half-way cases — fold results
+   * are exact dyadic multiples that LAND on decimal .5 boundaries).
+   */
+  def ewma(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, alpha: Double, window: Int = 10,
+      tiebreak: Seq[String] = Nil,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val xs = collect_list(col(valueCol).cast("double")).over(w)
+    val folded = aggregate(
+      expr(s"slice(_xs, 2, $window)"),
+      element_at(col("_xs"), 1),
+      (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc)
+    val keep = (keys ++ idCols).distinct.map(col)
+    df.withColumn("_xs", xs)
+      .select(keep :+ folded.as("ewma"): _*)
+  }
 }

@@ -570,4 +570,32 @@ object Text {
     }.reduce(_ + _)
     summed.select(col(idCol), sig.as("simhash"))
   }
+
+  /**
+   * Shannon character entropy per document (bits): `-sum p_c * log2 p_c`
+   * over the character distribution of the raw text. The
+   * gibberish/encoded-blob detector that complements [[gopherRules]]'s
+   * word-level checks — base64 walls and key dumps sit near the 6-bit
+   * ceiling, repeated-character padding near 0, prose around 4.
+   *
+   * Computed as `log2(L) - (1/L) * sum c*log2(c)` over per-character
+   * counts, which needs only the (doc, char) histogram: one explode +
+   * two-level hash aggregate with map-side partial combine on (doc, char)
+   * — rows ∝ total characters, shuffled rows ∝ distinct (doc, char)
+   * pairs (≤ alphabet size per doc). Docs with empty text are dropped
+   * (entropy of nothing is undefined). Output rounded to 1e-6.
+   */
+  def charEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ln2 = math.log(2.0)
+    df.filter(length(col(textCol)) > 0)
+      // split(_, "") keeps a trailing "" (Java split limit -1) — drop it
+      .select(col(idCol),
+        explode(array_remove(split(col(textCol), ""), "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(
+        log(sum(col("c")).cast("double")) / lit(ln2) -
+          sum(col("c") * log(col("c").cast("double")) / lit(ln2)) /
+            sum(col("c")).cast("double"), 6).as("entropy_bits"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Dedup, Dsir, Multimodal, NgramLm, Pq, QualityFilter, Select, Text, Vectors}
+import graft.ops.{Bpe, Dedup, Dsir, Multimodal, NgramLm, Pq, QualityFilter, Search, Select, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -1250,6 +1250,72 @@ object LlmOps extends QueryGroup {
              |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
              |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
              |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // --- ranked retrieval ------------------------------------------------
+
+    QueryDef("q_bm25_search",
+      (s, dir) => Search.bm25TopK(Tables.load(s, dir, "documents"),
+        "text", "doc_id", Bm25Queries, k = 10),
+      Some {
+        val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+        s"""WITH q(query_id, qtext) AS (VALUES $vals),
+           |qt AS (SELECT DISTINCT query_id,
+           |    unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
+           |  FROM q),
+           |base AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+           |  FROM documents),
+           |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
+           |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+           |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
+           |cand AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
+           |dft AS (SELECT term, COUNT(*) AS df_t FROM cand GROUP BY 1),
+           |sc AS (SELECT qt.query_id, c.doc_id,
+           |    ROUND(SUM(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
+           |  FROM cand c JOIN qt ON qt.term = c.term JOIN dft d ON d.term = c.term
+           |  CROSS JOIN stats s
+           |  GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, score,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           |  FROM sc)
+           |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""".stripMargin
+      }),
+
+    QueryDef("q_tfidf_keywords",
+      (s, dir) => Search.tfidfKeywords(Tables.load(s, dir, "documents"),
+        "text", "doc_id", k = 3),
+      Some("""WITH base AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+             |  FROM documents),
+             |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+             |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
+             |stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |dft AS (SELECT term, COUNT(*) AS df_t FROM p GROUP BY 1),
+             |sc AS (SELECT p.doc_id, p.term,
+             |    ROUND(p.tf * ln(CAST(s.n_docs AS DOUBLE) / d.df_t), 6) AS tfidf
+             |  FROM p JOIN dft d ON d.term = p.term CROSS JOIN stats s),
+             |r AS (SELECT doc_id, term, tfidf,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+             |  FROM sc)
+             |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3""".stripMargin)),
+
+    QueryDef("q_text_entropy",
+      (s, dir) => Text.charEntropy(Tables.load(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+             |  FROM documents WHERE length(text) > 0),
+             |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) / ln(2.0)
+             |    - SUM(c * ln(CAST(c AS DOUBLE)) / ln(2.0)) / CAST(SUM(c) AS DOUBLE),
+             |    6) AS entropy_bits
+             |FROM c GROUP BY doc_id""".stripMargin))
   )
+
+  /** Fixed BM25 query batch (terms drawn from the generator vocabulary). */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "hash join merge",
+    1 -> "vector scan window",
+    2 -> "fast stream batch query")
 }

@@ -451,6 +451,38 @@ object TemporalQ extends QueryGroup {
              |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
              |  AND (valid_to IS NULL
              |       OR valid_to > TIMESTAMP '2024-01-15 00:00:00')"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Bounded-window EWMA per user (alpha and 1-alpha chosen dyadic so the
+    // fold literals are bit-identical across engines).
+    QueryDef("q_ewma",
+      (s, dir) => Temporal.ewma(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        alpha = 0.25, window = 10, tiebreak = Seq("event_id"),
+        idCols = Seq("event_id")),
+      Some("""WITH x AS (SELECT user_id, event_id,
+             |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  list_reduce(xs, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
+             |FROM x""".stripMargin)),
+
+    // Schema-on-read over the JSON props blob: extract + aggregate without
+    // ever inferring (from_json under an enforced schema, null on parse
+    // failure — the splittable-scan shape that survives a 100 TB log table).
+    QueryDef("q_json_extract",
+      (s, dir) => Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  SUM(CAST(props->>'k' AS INT)) AS sum_k,
+             |  ROUND(AVG(CAST(props->>'k' AS INT)), 6) AS avg_k
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }

@@ -321,6 +321,50 @@ object EventStream {
       }
   }
 
+  final case class EwmaEv(key: Long, id: Long, ts_us: Long, value: Double)
+  final case class EwmaState(tail: List[Double])
+  final case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+  /**
+   * Streaming bounded-window EWMA: the incremental twin of
+   * [[graft.ops.Temporal.ewma]]. State per key is the most recent
+   * `window - 1` values (oldest first); each arrival folds
+   * `alpha*v + (1-alpha)*acc` over exactly the batch operator's trailing
+   * frame (state ++ current, seeded with the frame's oldest element), so
+   * under event-time-ordered arrival the emitted doubles are BIT-identical
+   * to the batch fold (parity spec-pinned). O(window) doubles per key,
+   * independent of stream length — the reason [[graft.ops.Temporal.ewma]]
+   * truncates the recursion in the first place.
+   */
+  def streamingEwma(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String, idCol: String,
+      alpha: Double, window: Int = 10): Dataset[EwmaOut] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(window >= 1, "window must be >= 1")
+    requireIntegralId(events, keyCol, "streamingEwma")
+    events.select(col(keyCol).cast("long").as("key"),
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(valueCol).cast("double").as("value"))
+      .as[EwmaEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[EwmaEv], state: GroupState[EwmaState]) =>
+          var tail = state.getOption.map(_.tail).getOrElse(Nil)
+          val out = evs.toList.sortBy(e => (e.ts_us, e.id)).map { e =>
+            val frame = tail :+ e.value
+            val ewma = frame.tail.foldLeft(frame.head)(
+              (acc, x) => alpha * x + (1.0 - alpha) * acc)
+            tail = frame.takeRight(window - 1)
+            EwmaOut(key, e.id, ewma)
+          }
+          state.update(EwmaState(tail))
+          out.iterator
+      }
+  }
+
   final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
   final case class BucketState(members: List[(Long, Seq[Long])])
   final case class NearDup(doc_a: Long, doc_b: Long, band: Int, jhat: Double)

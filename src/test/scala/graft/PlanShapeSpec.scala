@@ -237,4 +237,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(bulk.forall(keyedOn(_, "content_hash")),
       s"all bulk exchanges must key on content_hash:\n${bulk.mkString("\n")}")
   }
+
+  test("q_bm25_search: query side broadcasts, corpus joins never sort-merge") {
+    val p = plan("q_bm25_search")
+    // the query-term prune, query re-attach, and df table all broadcast
+    // onto the postings; the corpus-sized side is never the build side of
+    // anything and never sort-merge joined
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, s"expected >=3 broadcast joins, got ${bhj.size}")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "corpus-side join degraded to sort-merge")
+  }
+
+  test("q_ewma: one user-keyed exchange, no joins at all") {
+    val p = plan("q_ewma")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1 && keyedOn(bulk.head, "user_id"),
+      s"expected one user-keyed exchange:\n${bulk.mkString("\n")}")
+    val s = p.toString
+    assert(!s.contains("Join"), "ewma must be join-free")
+  }
 }

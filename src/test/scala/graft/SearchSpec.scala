@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Search, Temporal, Text}
+
+/** Ranked retrieval (BM25 / TF-IDF keywords), character entropy, and the
+  * bounded-window EWMA: hand-computed invariants on tiny fixtures. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple apple apple apple"),
+    (4L, "durian")).toDF("doc_id", "text")
+
+  test("postings carry tf and dl per (term, doc)") {
+    val p = Search.postings(docs, "text", "doc_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(p.contains(("apple", 1L, 3, 2L)))
+    assert(p.contains(("banana", 1L, 3, 1L)))
+    assert(p.contains(("cherry", 2L, 2, 1L)))
+    assert(p.contains(("apple", 3L, 4, 4L)))
+    assert(p.contains(("durian", 4L, 1, 1L)))
+    assert(p.size == 6)
+  }
+
+  test("bm25 matches the hand-computed formula and ranks by score") {
+    // N=4, avgdl=2.5; df(apple)=2 -> idf = ln(1 + 2.5/2.5) = ln 2
+    def s(tf: Int, dl: Int): Double = {
+      val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+      idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5)))
+    }
+    val res = Search.bm25TopK(docs, "text", "doc_id", Seq(0 -> "apple"), k = 10)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    assert(res.map(_._1).toSeq == Seq(3L, 1L)) // tf=4 beats tf=2
+    assert(math.abs(res(0)._2 - s(4, 4)) < 2e-6)
+    assert(math.abs(res(1)._2 - s(2, 3)) < 2e-6)
+  }
+
+  test("bm25 respects k and prefers the shorter doc at equal tf") {
+    val res = Search.bm25TopK(docs, "text", "doc_id", Seq(1 -> "banana"), k = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // doc1 (tf=1, dl=3) vs doc2 (tf=1, dl=2): length normalization wins
+    assert(res.toSeq == Seq((2L, 1)))
+  }
+
+  test("tfidf keywords rank per doc, rare terms score highest") {
+    val res = Search.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = res.groupBy(_._1)
+    assert(byDoc.values.forall(_.length <= 2))
+    assert(res.forall(_._4 <= 2))
+    // doc1: apple tf=2 df=2 -> 2*ln2 beats banana tf=1 df=2 -> ln2
+    val d1 = byDoc(1L).sortBy(_._4)
+    assert(d1.map(_._2).toSeq == Seq("apple", "banana"))
+    assert(math.abs(d1(0)._3 - 2 * math.log(2.0)) < 2e-6)
+    // doc4: durian tf=1 df=1 -> ln 4
+    assert(math.abs(byDoc(4L).head._3 - math.log(4.0)) < 2e-6)
+  }
+
+  test("charEntropy: degenerate 0, uniform log2(k), empty text dropped") {
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val m = Text.charEntropy(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 0.0)
+    assert(math.abs(m(2L) - 1.0) < 1e-9)
+    assert(math.abs(m(3L) - 2.0) < 1e-9)
+    assert(!m.contains(4L))
+  }
+
+  test("ewma seeds at the frame head and truncates at the window") {
+    val d = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 40.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", col("event_id"))
+    def run(window: Int): Map[Long, Double] =
+      Temporal.ewma(d, Seq("user_id"), "ts", "value", alpha = 0.5,
+        window = window, idCols = Seq("event_id"))
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val full = run(10)
+    assert(full(1L) == 10.0)
+    assert(full(2L) == 15.0)   // 0.5*20 + 0.5*10
+    assert(full(3L) == 27.5)   // 0.5*40 + 0.5*15
+    val trunc = run(2)
+    assert(trunc(3L) == 30.0)  // frame [20, 40] seeded at 20
+  }
+}

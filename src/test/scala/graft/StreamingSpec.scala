@@ -29,6 +29,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA equals the batch fold bit-for-bit") {
+    val out = EventStream.streamingEwma(spark,
+      EventStream.readEvents(spark, streamDir),
+      "user_id", "ts", "value", "event_id", alpha = 0.25, window = 10)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ewma_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, event_id, ewma FROM ewma_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.ops.Temporal.ewma(
+          graft.core.Tables.load(spark, sf, "events"),
+          Seq("user_id"), "ts", "value", alpha = 0.25, window = 10,
+          tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // exact double equality: same fold, same dyadic literals, same order
+      assert(got == batch && got.size == 1000)
+    } finally q.stop()
+  }
+
   test("session windows over the stream match the batch session_window rows") {
     val stream = EventStream.sessionStats(
       EventStream.readEvents(spark, streamDir), gap = "6 hours")
