@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Dedup, Dsir, Multimodal, NgramLm, Pq, QualityFilter, Search, Select, Text, Vectors}
+import graft.ops.{Bpe, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, QualityFilter, Search, Select, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -821,6 +821,33 @@ object LlmOps extends QueryGroup {
              |SELECT doc_id, source FROM canon
              |WHERE h NOT IN (SELECT h FROM ex)""".stripMargin)),
 
+    // Same contract as q_dedup_incremental — the Bloom prefilter is a pure
+    // physical optimization, so the oracle is the SAME exact-dedup replay
+    // (false positives are exact-verified, false negatives impossible).
+    QueryDef("q_dedup_incremental_bloom",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val batch = d.filter(col("doc_id") >= 300)
+          .select(col("doc_id"), col("text"), col("source"))
+        Dedup.dedupIncrementalBloom(batch, "text", "doc_id",
+            Dedup.hashIndex(d.filter(col("doc_id") < 300), "text"),
+            fpp = 0.05)
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""WITH nrm AS (
+             |  SELECT doc_id, source,
+             |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+             |  FROM documents),
+             |ex AS (SELECT DISTINCT h FROM nrm WHERE doc_id < 300),
+             |batch AS (SELECT * FROM nrm WHERE doc_id >= 300),
+             |canon AS (
+             |  SELECT doc_id, source, h FROM (
+             |    SELECT doc_id, source, h,
+             |      MIN(doc_id) OVER (PARTITION BY h) AS mk FROM batch)
+             |  WHERE doc_id = mk)
+             |SELECT doc_id, source FROM canon
+             |WHERE h NOT IN (SELECT h FROM ex)""".stripMargin)),
+
     QueryDef("q_dedup_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
         "text", "doc_id", n = 3, tau = 0.4),
@@ -831,6 +858,46 @@ object LlmOps extends QueryGroup {
               |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
               |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
               |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
+
+    // PageRank over the symmetrized near-dup graph (5 fixed iterations):
+    // link centrality of documents inside duplicate clusters. The oracle
+    // unrolls the iterations as chained CTEs over the same jaccard edges.
+    QueryDef("q_pagerank",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, tau = 0.4)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        Graph.pageRank(edges, "src", "dst", iterations = 5)
+          .withColumnRenamed("v", "doc_id")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (SELECT verts.v,
+             |    CAST(0.15 AS DOUBLE) / nn.n
+             |      + CAST(0.85 AS DOUBLE) * COALESCE(SUM(p.rank / p.odeg), 0.0) AS rank
+             |  FROM verts CROSS JOIN nn
+             |  LEFT JOIN (SELECT e.dst, r.rank, od.odeg
+             |             FROM e JOIN r${i - 1} r ON r.v = e.src
+             |             JOIN od ON od.src = e.src) p ON p.dst = verts.v
+             |  GROUP BY verts.v, nn.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $shinglesCte,
+           |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+           |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+           |j AS (SELECT doc_a, doc_b,
+           |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+           |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |verts AS (SELECT DISTINCT src AS v FROM e),
+           |nn AS (SELECT COUNT(*) AS n FROM verts),
+           |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+           |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM verts CROSS JOIN nn),
+           |$iters
+           |SELECT v AS doc_id, ROUND(rank, 6) AS rank FROM r5""".stripMargin
+      }),
 
     QueryDef("q_dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),

@@ -321,6 +321,34 @@ object EventStream {
       }
   }
 
+  /**
+   * Stream-stream interval join: pair each `leftType` event with every
+   * `rightType` event of the same key within `[l_ts, l_ts + withinSec]` —
+   * the click→purchase attribution shape. This is Spark's watermarked
+   * stream-stream inner join: BOTH sides carry a watermark and the join
+   * condition bounds event time on both ends, so each side's join state
+   * is evicted once the other side's watermark passes the window —
+   * bounded state, the whole point of the construction. Works identically
+   * on a batch DataFrame (the parity spec pins streaming == batch on the
+   * same inputs).
+   */
+  def streamingIntervalJoin(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, idCol: String, leftType: String, rightType: String,
+      withinSec: Long, watermark: String = "1 day"): DataFrame = {
+    require(withinSec > 0, "withinSec must be positive")
+    def side(t: String, p: String) = {
+      val base = events.filter(col(typeCol) === t)
+        .select(col(keyCol).as(s"${p}_key"), col(idCol).as(s"${p}_id"),
+          col(tsCol).as(s"${p}_ts"))
+      if (base.isStreaming) base.withWatermark(s"${p}_ts", watermark) else base
+    }
+    side(leftType, "l").join(side(rightType, "r"),
+      expr(s"l_key = r_key AND r_ts >= l_ts AND " +
+        s"r_ts <= l_ts + INTERVAL $withinSec SECONDS"), "inner")
+      .select(col("l_key").as("key"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   final case class EwmaEv(key: Long, id: Long, ts_us: Long, value: Double)
   final case class EwmaState(tail: List[Double])
   final case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)

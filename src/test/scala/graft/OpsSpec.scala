@@ -836,4 +836,42 @@ class OpsSpec extends SparkSpec {
     }
     assert(g.isEmpty, s"dedupGroups leaked cached RDDs: $g")
   }
+
+  test("bloom-prefiltered incremental dedup equals the exact path") {
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1
+      (11L, "a genuinely new document body"),
+      (12L, "a genuinely new document body"),               // in-batch dup of 11
+      (13L, "another fresh one")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.hashIndex(corpus, "text")
+    val exact = Dedup.dedupIncremental(batch, "text", "doc_id", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // across fpp regimes (incl. one so loose most probes are positive),
+    // the result NEVER changes — false positives are exact-verified
+    for (fpp <- Seq(0.5, 0.05, 0.001)) {
+      val bloom = Dedup.dedupIncrementalBloom(batch, "text", "doc_id", idx,
+          fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"fpp=$fpp diverged: $bloom vs $exact")
+    }
+    assert(exact == Set(11L, 13L))
+  }
+
+  test("pageRank: uniform on a cycle, hub dominates a star") {
+    import graft.ops.Graph
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pc = Graph.pageRank(cycle, "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pc.size == 3 && pc.values.forall(v => math.abs(v - 1.0 / 3) < 1e-6))
+    // star with back-edges: hub collects damped mass from all leaves
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L),
+      (1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val ps = Graph.pageRank(star, "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ps(1L) > ps(2L) && ps(2L) == ps(3L) && ps(3L) == ps(4L))
+    // symmetric graph, no dangling mass: ranks sum to ~1
+    assert(math.abs(ps.values.sum - 1.0) < 1e-5)
+  }
 }

@@ -29,6 +29,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventStream.streamingIntervalJoin(df, "user_id", "ts", "event_type",
+        "event_id", leftType = "view", rightType = "purchase",
+        withinSec = 6 * 3600)
+    val q = run(EventStream.readEvents(spark, streamDir))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ivj_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, l_id, r_id FROM ivj_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = run(graft.core.Tables.load(spark, sf, "events"))
+        .select("key", "l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming EWMA equals the batch fold bit-for-bit") {
     val out = EventStream.streamingEwma(spark,
       EventStream.readEvents(spark, streamDir),
