@@ -99,6 +99,47 @@ object Search {
    * sized, orders of magnitude smaller than the corpus — and the per-doc
    * top-k compiles to a WindowGroupLimit, not a full sort of the postings.
    */
+  /**
+   * Pointwise mutual information over term co-occurrence (document-level
+   * window): `pmi(a,b) = ln(N * df_ab / (df_a * df_b))` for term pairs
+   * co-occurring in >= 1 document, both terms with document frequency
+   * >= `minDf`. The corpus-association statistic behind collocation
+   * mining and distributional embeddings; the top of the list is the
+   * corpus's phrase book.
+   *
+   * Shape: distinct terms per doc (narrow), then the pair generation is a
+   * self equi-join ON THE DOC ID — per-doc quadratic in its distinct
+   * vocabulary terms (bounded by doc length; the `minDf` prefilter prunes
+   * hapax noise before the join), never corpus-quadratic. Counts are
+   * map-side-combining aggregates; the final top-`topPairs` compiles to
+   * TakeOrdered, not a full sort. Ties rank (pmi desc, term_a, term_b).
+   */
+  def termPmi(docs: DataFrame, textCol: String, idCol: String,
+      minDf: Int = 2, topPairs: Int = 100): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      array_distinct(toks(textCol)).as("ts"))
+    val e = t.select(col("doc_id"), explode(col("ts")).as("term"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val ca = e.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDf)
+    val kept = e.join(broadcast(ca.select("term")), "term")
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.term") < col("y.term"))
+      .groupBy(col("x.term").as("term_a"), col("y.term").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(ca.withColumnRenamed("term", "term_a")
+        .withColumnRenamed("c", "c_a")), "term_a")
+      .join(broadcast(ca.withColumnRenamed("term", "term_b")
+        .withColumnRenamed("c", "c_b")), "term_b")
+      .crossJoin(broadcast(stats))
+      .select(col("term_a"), col("term_b"),
+        round(log(col("n_docs").cast("double") * col("c_ab") /
+          (col("c_a") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a").asc, col("term_b").asc)
+      .limit(topPairs)
+  }
+
   def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val post = postings(docs, textCol, idCol)

@@ -450,6 +450,39 @@ object Temporal {
    * while rounding would create knife-edge half-way cases — fold results
    * are exact dyadic multiples that LAND on decimal .5 boundaries).
    */
+  /**
+   * Rolling median over a bounded `window`-row trailing frame per key —
+   * the robust-statistics companion of the rolling z-score (a single
+   * outlier saturates a mean but barely moves the median). Odd frames
+   * take the middle element, even frames the mean of the two middle
+   * elements (numpy/pandas convention). Deterministic bit-for-bit across
+   * engines: sorting doubles and averaging two of them has no
+   * summation-order freedom, so the output needs no rounding.
+   *
+   * Shape: identical to [[ewma]] — one key exchange + one sort, a
+   * bounded `collect_list` frame, and a codegen'd `array_sort` +
+   * `element_at` pick; O(window log window) per row, constant memory.
+   */
+  def rollingMedian(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, window: Int = 11,
+      tiebreak: Seq[String] = Nil,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val xs = array_sort(collect_list(col(valueCol).cast("double")).over(w))
+    val n = size(col("_xs"))
+    val h = ((n + lit(1)) / lit(2)).cast("int")  // Spark `/` is double division
+    val h2 = (n / lit(2)).cast("int")
+    val med = when(n % 2 === 1, element_at(col("_xs"), h))
+      .otherwise((element_at(col("_xs"), h2) +
+        element_at(col("_xs"), h2 + lit(1))) / lit(2.0))
+    val keep = (keys ++ idCols).distinct.map(col)
+    df.withColumn("_xs", xs)
+      .select(keep :+ med.as("rolling_median"): _*)
+  }
+
   def ewma(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, alpha: Double, window: Int = 10,
       tiebreak: Seq[String] = Nil,

@@ -1368,6 +1368,26 @@ object LlmOps extends QueryGroup {
              |  FROM sc)
              |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3""".stripMargin)),
 
+    QueryDef("q_term_pmi",
+      (s, dir) => Search.termPmi(Tables.load(s, dir, "documents"),
+        "text", "doc_id", minDf = 5, topPairs = 50),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS ts
+             |  FROM documents),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |e AS (SELECT doc_id, unnest(ts) AS term FROM t),
+             |ca AS (SELECT term, COUNT(*) AS c FROM e GROUP BY 1 HAVING COUNT(*) >= 5),
+             |k AS (SELECT e.doc_id, e.term FROM e JOIN ca USING(term)),
+             |p AS (SELECT x.term AS term_a, y.term AS term_b, COUNT(*) AS c_ab
+             |  FROM k x JOIN k y ON x.doc_id = y.doc_id AND x.term < y.term
+             |  GROUP BY 1, 2),
+             |s AS (SELECT term_a, term_b,
+             |    ROUND(ln(CAST(n.n AS DOUBLE) * c_ab / (a.c * b.c)), 6) AS pmi
+             |  FROM p JOIN ca a ON a.term = p.term_a
+             |  JOIN ca b ON b.term = p.term_b CROSS JOIN n)
+             |SELECT term_a, term_b, pmi FROM s
+             |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin)),
+
     QueryDef("q_text_entropy",
       (s, dir) => Text.charEntropy(Tables.load(s, dir, "documents"), "text", "doc_id"),
       Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch

@@ -252,6 +252,33 @@ object Relational extends QueryGroup {
              |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Whole-table profiling (SUMMARIZE): one long-form row per column,
+    // computed in ONE aggregate pass. Oracle = per-column UNION ALL.
+    QueryDef("q_profile",
+      (s, dir) => graft.ops.Profile.summarize(Tables.load(s, dir, "events")
+        .drop(graft.core.Tables.RawTsCol)),
+      Some {
+        def numCol(c: String) =
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+             |  ROUND(AVG($c), 6) AS mean_num,
+             |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM events""".stripMargin
+        def strCol(c: String) =
+          s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT($c), COUNT(DISTINCT $c),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  MIN($c), MAX($c) FROM events""".stripMargin
+        val tsCol =
+          """SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+            |  CAST(epoch_us(MIN(ts)) AS DOUBLE), CAST(epoch_us(MAX(ts)) AS DOUBLE),
+            |  CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            |FROM events""".stripMargin
+        Seq(numCol("event_id"), tsCol, numCol("user_id"),
+          strCol("event_type"), numCol("value"), strCol("props"))
+          .mkString("\nUNION ALL\n")
+      })
   )
 }

@@ -468,6 +468,22 @@ object TemporalQ extends QueryGroup {
              |  list_reduce(xs, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
              |FROM x""".stripMargin)),
 
+    // Rolling median per user over a bounded 11-row trailing frame — the
+    // robust twin of q_rolling_zscore; sort + middle-pick is bit-exact in
+    // both engines, so no rounding.
+    QueryDef("q_rolling_median",
+      (s, dir) => Temporal.rollingMedian(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        window = 11, tiebreak = Seq("event_id"), idCols = Seq("event_id")),
+      Some("""WITH x AS (SELECT user_id, event_id,
+             |    list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS xs
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  CASE WHEN len(xs) % 2 = 1 THEN xs[(len(xs) + 1) // 2]
+             |       ELSE (xs[len(xs) // 2] + xs[len(xs) // 2 + 1]) / 2.0 END AS rolling_median
+             |FROM x""".stripMargin)),
+
     // Schema-on-read over the JSON props blob: extract + aggregate without
     // ever inferring (from_json under an enforced schema, null on parse
     // failure — the splittable-scan shape that survives a 100 TB log table).

@@ -75,6 +75,52 @@ class SearchSpec extends SparkSpec {
     assert(!m.contains(4L))
   }
 
+  test("termPmi: exclusive co-occurrence scores above independent") {
+    val d = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "gamma delta"), (5L, "gamma beta"), (6L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val pmi = Search.termPmi(d, "text", "doc_id", minDf = 2, topPairs = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // alpha+beta co-occur 3/6 with df 3 and 4: ln(6*3/(3*4)) = ln(1.5)
+    assert(math.abs(pmi(("alpha", "beta")) - math.log(6.0 * 3 / 12)) < 2e-6)
+    // perfectly correlated pair ranks above the diluted one
+    assert(pmi(("delta", "gamma")) > pmi(("alpha", "beta")))
+    // delta never meets beta with both >= minDf co-occurrence: no such row
+    assert(!pmi.contains(("beta", "delta")))
+  }
+
+  test("rollingMedian: odd middle, even mean-of-middle, outlier-robust") {
+    val d = Seq((1L, 1L, 5.0), (1L, 2L, 1.0), (1L, 3L, 1000.0),
+      (1L, 4L, 3.0), (1L, 5L, 4.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", col("event_id"))
+    val m = Temporal.rollingMedian(d, Seq("user_id"), "ts", "value",
+        window = 3, idCols = Seq("event_id"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(m(1L) == 5.0)            // [5]
+    assert(m(2L) == 3.0)            // [1,5] -> (1+5)/2
+    assert(m(3L) == 5.0)            // [1,5,1000] -> middle, outlier ignored
+    assert(m(4L) == 3.0)            // [1,3,1000]
+    assert(m(5L) == 4.0)            // [3,4,1000]
+  }
+
+  test("Profile.summarize: one row per column with exact stats") {
+    val d = Seq((1L, "a", Some(1.0)), (2L, "b", Some(3.0)),
+      (3L, "a", None)).toDF("id", "s", "x")
+    val p = graft.ops.Profile.summarize(d)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.size == 3)
+    val x = p("x")
+    assert(x.getLong(1) == 3 && x.getLong(2) == 1 && x.getLong(3) == 2)
+    assert(x.getDouble(4) == 1.0 && x.getDouble(5) == 3.0 && x.getDouble(6) == 2.0)
+    assert(x.isNullAt(7) && x.isNullAt(8))
+    val s = p("s")
+    assert(s.getLong(2) == 0 && s.getLong(3) == 2)
+    assert(s.isNullAt(4) && s.getString(7) == "a" && s.getString(8) == "b")
+  }
+
   test("ewma seeds at the frame head and truncates at the window") {
     val d = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 40.0))
       .toDF("user_id", "event_id", "value")
