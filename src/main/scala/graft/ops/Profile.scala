@@ -64,4 +64,45 @@ object Profile {
     }: _*)
     row.select(explode(entries).as("e")).select("e.*")
   }
+
+  /**
+   * Population stability index between a reference and a current slice of
+   * a numeric column — THE drift score monitoring pipelines alarm on
+   * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted). Bins follow
+   * [[graft.stats.Planners.histogram]]'s fixed-width clamped grid;
+   * `smooth` pseudo-counts (Laplace, default 0.5 per bin) keep empty bins
+   * finite. Returns one row per bin — (bin, bin_lo, p_ref, p_cur,
+   * contrib) with `contrib = (p_ref - p_cur) * ln(p_ref / p_cur)`, all
+   * rounded to 1e-6 — so the alarm threshold AND the bins driving it come
+   * from the same result; PSI = sum(contrib).
+   *
+   * Shape: one map-side-combining histogram aggregate per slice (k-row
+   * outputs), joined on the k-row bin grid — nothing here scales with the
+   * table beyond the two scans.
+   */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int,
+      smooth: Double = 0.5): DataFrame = {
+    require(smooth > 0, "smooth must be positive (empty bins must stay finite)")
+    import graft.stats.Planners
+    val spark = ref.sparkSession
+    val grid = spark.range(nBins).select(col("id").as("bin"))
+    def side(df: DataFrame, s: String) =
+      Planners.histogram(df, valueCol, lo, hi, nBins)
+        .select(col("bin"), col("n").as(s"n_$s"))
+    val w = (hi - lo) / nBins
+    val j = grid
+      .join(side(ref, "ref"), Seq("bin"), "left")
+      .join(side(cur, "cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = j.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    def p(s: String) = (col(s"n_$s") + lit(smooth)) /
+      (col(s"t_$s") + lit(smooth) * nBins)
+    j.crossJoin(broadcast(tot))
+      .select(col("bin"), (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        round(p("ref"), 6).as("p_ref"), round(p("cur"), 6).as("p_cur"),
+        round((p("ref") - p("cur")) * log(p("ref") / p("cur")), 6).as("contrib"))
+  }
 }

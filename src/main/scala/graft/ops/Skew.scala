@@ -50,4 +50,41 @@ object Skew {
     merge(salted.groupBy(col(key), col("__salt")).agg(partial.head, partial.tail: _*)
       .drop("__salt"))
   }
+
+  /**
+   * Key-skew diagnosis: the one-row report that tells you whether a
+   * planned `groupBy`/`join` on `keyCol` needs [[saltedJoin]]/
+   * [[twoPhaseAgg]] at all — n_keys, n_rows, the share of the single
+   * hottest key, the share of the top-`topK`, and the Gini coefficient
+   * of the per-key count distribution (0 = perfectly uniform, → 1 =
+   * one key owns everything).
+   *
+   * Shape: one map-side-combining count per key (the same aggregate the
+   * skewed job itself would run), then windows over the KEY-count table —
+   * vocabulary-sized, orders of magnitude below the data. Gini uses the
+   * sorted-rank identity `G = 2·Σ i·cᵢ / (n·Σcᵢ) − (n+1)/n` with ranks
+   * assigned (count asc, key asc) so ties are deterministic.
+   */
+  def report(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("c").asc, col("k").asc)))
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("k").asc)))
+    ranked.agg(
+        count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_c"),
+        sum(when(col("r") <= topK, col("c")).otherwise(lit(0L))).as("topk_c"),
+        // i·c summed in double: the long product overflows at 1e9 keys ×
+        // hot counts; 1e-13 relative double error is invisible in a Gini
+        sum(col("i").cast("double") * col("c")).as("ic"))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("max_c").cast("double") / col("n_rows"), 6).as("top1_share"),
+        round(col("topk_c").cast("double") / col("n_rows"), 6).as("topk_share"),
+        round(lit(2.0) * col("ic")
+            / (col("n_keys").cast("double") * col("n_rows"))
+          - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+  }
 }

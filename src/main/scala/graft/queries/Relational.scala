@@ -279,6 +279,52 @@ object Relational extends QueryGroup {
         Seq(numCol("event_id"), tsCol, numCol("user_id"),
           strCol("event_type"), numCol("value"), strCol("props"))
           .mkString("\nUNION ALL\n")
-      })
+      }),
+
+    // PSI drift between the first and second half of the month: the
+    // monitoring alarm built from two k-row histogram aggregates.
+    QueryDef("q_psi",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+        graft.ops.Profile.psi(ev.filter(col("ts") < cut),
+          ev.filter(col("ts") >= cut), "value",
+          lo = 0.0, hi = 500.0, nBins = 10)
+      },
+      Some("""WITH b AS (SELECT
+             |    least(greatest(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
+             |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+             |h AS (SELECT g.bin,
+             |    COALESCE(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END), 0) AS n_ref,
+             |    COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END), 0) AS n_cur
+             |  FROM g LEFT JOIN b ON b.bin = g.bin GROUP BY g.bin),
+             |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM h)
+             |SELECT h.bin, CAST(h.bin * 50.0 AS DOUBLE) AS bin_lo,
+             |  ROUND((n_ref + 0.5) / (t_ref + 5.0), 6) AS p_ref,
+             |  ROUND((n_cur + 0.5) / (t_cur + 5.0), 6) AS p_cur,
+             |  ROUND(((n_ref + 0.5) / (t_ref + 5.0) - (n_cur + 0.5) / (t_cur + 5.0))
+             |    * ln(((n_ref + 0.5) / (t_ref + 5.0)) / ((n_cur + 0.5) / (t_cur + 5.0))), 6)
+             |    AS contrib
+             |FROM h CROSS JOIN t""".stripMargin)),
+
+    // Key-skew diagnosis over the event log's user distribution.
+    QueryDef("q_skew_report",
+      (s, dir) => graft.ops.Skew.report(Tables.load(s, dir, "events"),
+        "user_id", topK = 10),
+      Some("""WITH c AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+             |r AS (SELECT k, c,
+             |    ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i,
+             |    ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rr
+             |  FROM c)
+             |SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows,
+             |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
+             |  ROUND(CAST(SUM(CASE WHEN rr <= 10 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+             |    AS topk_share,
+             |  ROUND(2.0 * SUM(CAST(i AS DOUBLE) * c)
+             |      / (CAST(COUNT(*) AS DOUBLE) * SUM(c))
+             |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+             |FROM r""".stripMargin))
   )
 }

@@ -121,6 +121,31 @@ class SearchSpec extends SparkSpec {
     assert(s.isNullAt(4) && s.getString(7) == "a" && s.getString(8) == "b")
   }
 
+  test("psi: zero on identical slices, alarms on a shift") {
+    val ref = (1 to 200).map(i => (i.toLong, (i % 10) * 10.0 + 1))
+      .toDF("id", "v")
+    val same = graft.ops.Profile.psi(ref, ref, "v", 0.0, 100.0, 10)
+      .collect()
+    assert(same.length == 10 && same.forall(_.getDouble(4) == 0.0))
+    val shifted = ref.withColumn("v", col("v") + 50.0)
+    val drift = graft.ops.Profile.psi(ref, shifted, "v", 0.0, 100.0, 10)
+      .collect().map(_.getDouble(4)).sum
+    assert(drift > 0.25, s"expected alarm-level PSI, got $drift")
+  }
+
+  test("skew report: uniform gini ~0, dominant key detected") {
+    val uniform = (1 to 100).map(i => ((i % 10).toLong, i)).toDF("k", "x")
+    val u = graft.ops.Skew.report(uniform, "k", topK = 3).head()
+    assert(u.getLong(0) == 10 && u.getLong(1) == 100)
+    assert(u.getDouble(2) == 0.1 && math.abs(u.getDouble(4)) < 1e-6)
+    val skewed = ((1 to 91).map(_ => (1L, 0)) ++ (2 to 10).map(i => (i.toLong, 0)))
+      .toDF("k", "x")
+    val s = graft.ops.Skew.report(skewed, "k", topK = 3).head()
+    assert(s.getDouble(2) == 0.91)     // top1_share
+    assert(s.getDouble(3) == 0.93)     // top 3 = 91 + 1 + 1
+    assert(s.getDouble(4) > 0.7, s"gini should approach 1, got ${s.getDouble(4)}")
+  }
+
   test("ewma seeds at the frame head and truncates at the window") {
     val d = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 40.0))
       .toDF("user_id", "event_id", "value")
