@@ -58,14 +58,26 @@ object Search {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bm25TopKDf(docs, textCol, idCol, queryBatch.toDF("query_id", "qtext"),
+      k, k1, b)
+  }
 
+  /**
+   * [[bm25TopK]] with the query batch as a DataFrame (query_id, qtext) —
+   * the production shape: query sets come from tables (audit slices,
+   * mined probes), not driver literals. Plan is identical; the batch is
+   * still broadcast.
+   */
+  def bm25TopKDf(docs: DataFrame, textCol: String, idCol: String,
+      queryDf: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = postings(docs, textCol, idCol)
     // Corpus stats over ALL docs (incl. empty ones): one-row broadcast.
     val stats = docs
       .select(size(toks(textCol)).as("dl0"))
       .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
 
-    val qterms = queryBatch.toDF("query_id", "qtext")
+    val qterms = queryDf
       .select(col("query_id"),
         explode(array_distinct(array_remove(split(lower(col("qtext")), "\\s+"), "")))
           .as("term"))
@@ -90,6 +102,45 @@ object Search {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) of N per-query rankings —
+   * the standard hybrid-retrieval combiner (BM25 ⊕ dense ANN): each system
+   * contributes `1 / (c + rank)` for every (query, doc) it ranked, fused
+   * score = the sum, re-ranked descending with doc-id tiebreak. Rank-only
+   * fusion needs no score calibration between systems, which is exactly
+   * why it is the default in hybrid search stacks.
+   *
+   * Each input must carry (`qId`, `dId`, `rankCol`); inputs are combined
+   * by FULL OUTER joins on (query, doc) and the fused score is an explicit
+   * left-to-right sum of coalesced terms — never a groupBy over a union —
+   * so floating-point addition order is fixed and the result is
+   * engine-replayable (`q_hybrid_rrf` hash-matches). Top-k lists are tiny
+   * (k rows per query per system), so at scale every join here is
+   * broadcast-sized regardless of corpus size; the expensive work already
+   * happened inside the per-system retrievers.
+   *
+   * Output: (qId, dId, rrf rounded to 1e-6, rk 1..k).
+   */
+  def rrfFuse(rankings: Seq[DataFrame], qId: String, dId: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(qId), col(dId),
+        (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double")))
+          .as(s"__rr_$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq(qId, dId), "full_outer"))
+    val fused = rankings.indices
+      .map(i => coalesce(col(s"__rr_$i"), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("rrf").desc, col(dId).asc)
+    joined.select(col(qId), col(dId), round(fused, 6).as("rrf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(qId), col(dId), col("rrf"), col("rk").cast("long").as("rk"))
   }
 
   /**

@@ -376,6 +376,37 @@ object Text {
   }
 
   /**
+   * Intra-document duplicate-line removal — the WITHIN-doc counterpart of
+   * the corpus-wide [[dedupLines]] (RefinedWeb/MassiveText run both: a doc
+   * that repeats its own navigation/footer lines keeps one copy; C4-style
+   * cross-doc boilerplate needs the document-frequency pass). Keeps the
+   * FIRST occurrence of each normalized (trim + lowercase) line, preserves
+   * original order and the surviving lines' original (untrimmed) text.
+   *
+   * Output: (id, clean_text, n_lines, n_dropped).
+   *
+   * Scale shape: unlike the cross-doc variant this needs NO shuffle at all
+   * — membership is decided inside the row with array higher-order
+   * functions (`array_position` of the normalized form == own index keeps
+   * exactly the first occurrence), so the operator is one codegen'd
+   * narrow projection over the corpus. Cost is O(lines²) per doc on the
+   * normalized-line array, fine for real documents (lines ≪ 10⁴); docs
+   * with that many lines are boilerplate the quality filters drop anyway.
+   */
+  def dedupLinesInDoc(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val normed = transform(lines, l => trim(lower(l)))
+    // keep line i (0-based lambda index) iff the first occurrence of its
+    // normalized form is at i (array_position is 1-based)
+    val kept = filter(lines, (_, i) =>
+      array_position(normed, element_at(normed, i + 1)) === (i + 1).cast("long"))
+    df.select(col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      size(kept).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"))
+  }
+
+  /**
    * PII scrubbing: mask emails, US-style phone numbers and IPv4 addresses
    * with typed placeholder tokens, and count what was masked — the
    * redaction pass corpus pipelines run before training. Patterns are

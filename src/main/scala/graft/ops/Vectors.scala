@@ -103,6 +103,48 @@ object Vectors {
   }
 
   /**
+   * Bucket-packed ANN index: the corpus grouped into one row per sign-LSH
+   * bucket with its members packed as an array of (cid, vec) structs.
+   * Build once (ONE shuffle over the corpus), reuse per query batch — and
+   * because [[packedTopK]] resolves candidates with array functions
+   * instead of windows/aggregations, the lookup side runs UNCHANGED as a
+   * stream-static join in Structured Streaming (the [[Temporal]]
+   * asofLookupJoin trick applied to ANN serving).
+   */
+  def packedIndex(corpus: DataFrame, cId: String = "cid",
+      vecCol: String = "embedding", nPlanes: Int = 8): DataFrame =
+    corpus
+      .select(signBucket(col(vecCol), nPlanes).as("bucket"),
+        struct(col(cId).as("cid"), col(vecCol).as("ce")).as("e"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("e")).as("items"))
+
+  /**
+   * Top-k against a [[packedIndex]]: equi-join on the query's bucket, then
+   * rank INSIDE the row — score every packed candidate, `array_sort` on
+   * (cos desc, cid asc) via a (-cos, cid) sort key, slice k, posexplode.
+   * Identical output to single-probe [[lshTopK]] (spec-pinned), but with
+   * no window function and no aggregation after the join: per-query state
+   * is one bucket row, so the same plan serves batch backfills and a
+   * live query stream. Index rows ride broadcast when small; bucket
+   * membership is bounded by the LSH family, not corpus size.
+   */
+  def packedTopK(queries: DataFrame, index: DataFrame, k: Int,
+      qId: String = "qid", vecCol: String = "embedding",
+      nPlanes: Int = 8): DataFrame = {
+    val q = queries.select(col(qId), col(vecCol).as("qe"),
+      signBucket(col(vecCol), nPlanes).as("bucket"))
+    val scored = transform(col("items"), e =>
+      struct((-round(cosine(col("qe"), e.getField("ce")), 6)).as("negcos"),
+        e.getField("cid").as("cid")))
+    q.join(broadcast(index), Seq("bucket"))
+      .select(col(qId), slice(array_sort(scored), 1, k).as("top"))
+      .select(col(qId), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col(qId), col("t.cid").as("cid"),
+        (-col("t.negcos")).as("cos"), (col("i") + 1).cast("long").as("rnk"))
+  }
+
+  /**
    * IVF-style ANN, one-shot convenience shape: fit + query in one call.
    * Repeated query workloads should [[IvfIndex.fit]] once (or
    * [[IvfIndex.load]] a saved index) and call [[IvfIndex.topK]] per batch —
@@ -144,6 +186,63 @@ object Vectors {
       }
     }
     out.toSeq.grouped(nPlanes).toSeq
+  }
+
+  /**
+   * Deterministic ±1 Johnson–Lindenstrauss projection matrix (`dOut` rows
+   * × `dIn` columns) from the same MMIX LCG as [[planePairs]]: a
+   * Rademacher sketch preserves pairwise angles/distances within
+   * 1 ± O(sqrt(log n / dOut)) (Achlioptas 2003), at a quarter the target
+   * dimension here. Pure function of (dIn, dOut, seed), so the DuckDB
+   * oracle SQL embeds literals generated by the SAME call and can never
+   * drift. Entries are ±1.0 (unscaled — cosine is scale-invariant, and
+   * downstream L2 users can fold the 1/sqrt(dOut) factor into thresholds).
+   */
+  def projectionMatrix(dIn: Int, dOut: Int,
+      seed: Long = 42L): Array[Array[Double]] = {
+    require(dIn >= 1 && dOut >= 1, "need dIn >= 1 and dOut >= 1")
+    var state = seed
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state >>> 33
+    }
+    Array.fill(dOut, dIn)(if ((next() & 1L) == 0L) 1.0 else -1.0)
+  }
+
+  /** Projection expression: `dOut` sequential-fold dot products against the
+    * matrix rows (each a literal array riding the plan) — one narrow
+    * projection, no shuffle. Accumulation is left-to-right, matching the
+    * SQL `list_sum(list_transform(list_zip(...)))` replay bit for bit. */
+  def projectExpr(vec: Column, mat: Array[Array[Double]]): Column =
+    array(mat.toIndexedSeq.map { row =>
+      aggregate(
+        zip_with(vec, array(row.toIndexedSeq.map(lit): _*),
+          (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /**
+   * Brute-force top-k in the PROJECTED space: both sides sketched to
+   * `dOut` dims, then exact cosine ranking over the sketches. The scan
+   * arithmetic shrinks by dIn/dOut (64→16 = 4×) at a bounded recall cost —
+   * the dimensionality-reduction tier of the compression family
+   * ([[Sq]] quantizes values, [[Pq]] quantizes subspaces, this cuts
+   * dimensions), and the natural front-end to either: SQ8-over-sketch
+   * stores one byte per REDUCED dim.
+   */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int, dOut: Int,
+      qId: String = "qid", cId: String = "cid", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val dIn = corpus.select(size(col(vecCol))).head().getInt(0)
+    val mat = projectionMatrix(dIn, dOut, seed)
+    val q = queries.select(col(qId), projectExpr(col(vecCol), mat).as("qe"))
+    val c = corpus.select(col(cId), projectExpr(col(vecCol), mat).as("ce"))
+    val scored = broadcast(q).crossJoin(c)
+      .select(col(qId), col(cId), round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
   /** Bucket id of one band: nPlanes sign bits packed into a long. Vectors

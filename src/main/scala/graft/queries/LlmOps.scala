@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, QualityFilter, Search, Select, Text, Vectors}
+import graft.ops.{Bpe, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, QualityFilter, Search, Select, Sketch, Sq, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -536,6 +536,35 @@ object LlmOps extends QueryGroup {
               |SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean_text,
               |  COUNT(*) AS n_lines
               |FROM keep GROUP BY doc_id""".stripMargin)),
+
+    // Intra-document duplicate-line removal (the WITHIN-doc pass
+    // RefinedWeb/MassiveText run alongside the cross-doc one): every 4th
+    // doc is seeded with the boilerplate line TWICE; the second occurrence
+    // (and any natural intra-doc repeats) drop, first stays, order and
+    // original line text preserved. Pure array HOFs — no shuffle at all —
+    // and both engines resolve "first occurrence" via the same 1-based
+    // first-index primitive, so the hash matches.
+    QueryDef("q_text_line_dedup_intra",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"),
+              lit("\n" + BoilerLine + "\nmore details follow\n" + BoilerLine)))
+            .otherwise(col("text")))
+        Text.dedupLinesInDoc(seeded, "text", "doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 4 = 0 THEN text || chr(10) || '$BoilerLine'
+              |      || chr(10) || 'more details follow' || chr(10) || '$BoilerLine'
+              |    ELSE text END AS tx FROM documents),
+              |ls AS (SELECT doc_id, string_split(tx, chr(10)) AS la FROM d),
+              |nm AS (SELECT doc_id, la, list_transform(la, l -> trim(lower(l))) AS na FROM ls),
+              |kp AS (SELECT doc_id, la,
+              |    list_filter(la, (l, i) -> list_position(na, na[i]) = i) AS ka FROM nm)
+              |SELECT doc_id, array_to_string(ka, chr(10)) AS clean_text,
+              |  CAST(len(ka) AS BIGINT) AS n_lines,
+              |  CAST(len(la) - len(ka) AS BIGINT) AS n_dropped
+              |FROM kp""".stripMargin)),
 
     // DSIR data selection: importance log-ratio between a target LM
     // (fit on the doc_id % 3 = 0 slice) and a raw LM (fit on everything),
@@ -1185,6 +1214,29 @@ object LlmOps extends QueryGroup {
               |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
               |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // Bucket-packed ANN (the stream-static serving shape): corpus packed
+    // one row per LSH bucket, candidates ranked INSIDE the row by array
+    // sort/slice — no window, no post-join aggregation, so the same plan
+    // serves Structured Streaming query streams (parity spec'd). Output
+    // must equal single-probe lshTopK exactly, hence the same oracle.
+    QueryDef("q_ann_packed",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val index = Vectors.packedIndex(
+          e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")))
+        Vectors.packedTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          index, k = 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+              |    ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+              |    ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id >= 20),
+              |sc AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q JOIN c USING(bucket)),
+              |r AS (SELECT qid, cid, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
+              |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
     // IVF ANN at nProbe = nCells: probing every cell makes IVF exactly
     // brute force IF AND ONLY IF the index machinery is correct (KMeans
     // cell assignment must PARTITION the corpus — a lost or duplicated
@@ -1257,6 +1309,86 @@ object LlmOps extends QueryGroup {
              |r AS (SELECT qid, cid, ad2,
              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad2, cid) AS rnk FROM ad)
              |SELECT qid, cid, ad2, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // Johnson–Lindenstrauss sketch search: both sides projected 64→16 dims
+    // through the deterministic ±1 Rademacher matrix (MMIX LCG, same
+    // generator builds the SQL literals), exact cosine ranking over the
+    // sketches. Fold order is left-to-right on both engines, so projected
+    // coordinates, cosines, and rank ties hash-match exactly.
+    QueryDef("q_ann_rp",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Vectors.rpTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
+          k = 3, dOut = 16)
+      },
+      Some {
+        val mat = Vectors.projectionMatrix(64, 16)
+        def projSql(v: String) = "[" + mat.map { row =>
+          val lits = row.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
+          s"list_sum(list_transform(list_zip($v, [$lits]), x -> x[1]*x[2]))"
+        }.mkString(",\n      ") + "]"
+        s"""WITH q AS (SELECT vec_id AS qid,
+           |    ${projSql("embedding::DOUBLE[]")} AS qe
+           |  FROM embeddings WHERE vec_id < 20),
+           |c AS (SELECT vec_id AS cid,
+           |    ${projSql("embedding::DOUBLE[]")} AS ce
+           |  FROM embeddings WHERE vec_id >= 20),
+           |sc AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q CROSS JOIN c),
+           |r AS (SELECT qid, cid, cos,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
+           |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin
+      }),
+
+    // Scalar quantization (SQ8) search: per-dimension (min,max) fit over
+    // the corpus -> 1-byte-per-dim codes -> mid-rise decode -> squared-L2
+    // ranking. UNLIKE PQ, the fit itself is exact min/max aggregation, so
+    // the ENTIRE pipeline (fit + encode + decode + rank) replays in SQL
+    // and hash-matches — no data-derived-codebook workaround needed. Both
+    // engines evaluate ((x-mn)/span)*255, clamp, and fold the same
+    // left-to-right squared-diff sum, so codes, distances and rank ties
+    // are bit-identical.
+    QueryDef("q_ann_sq8",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val p = Sq.fit(corpus)
+        val codes = Sq.encode(corpus, "cid", "embedding", p)
+        Sq.topK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          "qid", codes, "cid", p, k = 3)
+      },
+      Some("""WITH cvec AS (
+             |  SELECT vec_id AS cid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 20),
+             |qvec AS (
+             |  SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),
+             |dims AS (SELECT unnest(range(1, 65)) AS i),
+             |stats AS (
+             |  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+             |  FROM cvec CROSS JOIN dims GROUP BY i),
+             |prm AS (
+             |  SELECT list(mn ORDER BY i) AS mnl, list(mx - mn ORDER BY i) AS spanl
+             |  FROM stats),
+             |enc AS (
+             |  SELECT cid, list_transform(list_zip(v, mnl, spanl),
+             |    x -> CASE WHEN x[3] = 0 THEN 0
+             |         ELSE CAST(least(greatest(floor((x[1] - x[2]) / x[3] * 255), 0), 255) AS INT)
+             |         END) AS codes
+             |  FROM cvec CROSS JOIN prm),
+             |dec AS (
+             |  SELECT cid, list_transform(list_zip(codes, mnl, spanl),
+             |    x -> x[2] + (CAST(x[1] AS DOUBLE) + 0.5) * x[3] / 255) AS dv
+             |  FROM enc CROSS JOIN prm),
+             |sc AS (
+             |  SELECT qid, cid,
+             |    ROUND(list_sum(list_transform(list_zip(q.v, dv),
+             |      x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) AS d2
+             |  FROM qvec q CROSS JOIN dec),
+             |r AS (SELECT qid, cid, d2,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk FROM sc)
+             |SELECT qid, cid, d2, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
     // F5 embeddings joined back to an entity profile (segmentation/pandas.py:382-408)
     QueryDef("q_f5_embed_profile",
@@ -1350,6 +1482,65 @@ object LlmOps extends QueryGroup {
            |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""".stripMargin
       }),
 
+    // Hybrid retrieval: BM25 over the document corpus ⊕ dense cosine over
+    // the embeddings, fused with reciprocal-rank fusion (1/(60+rank) per
+    // system, full-outer on (query, doc), re-ranked). The fused score is a
+    // fixed-order two-term sum of exactly-replayable doubles, so the whole
+    // hybrid stack hash-matches end-to-end. Queries are docs/vectors 0..2;
+    // the candidate corpus is ids >= 20 (disjoint from the queries).
+    QueryDef("q_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val sparse = Search.bm25TopKDf(
+          docs.filter(col("doc_id") >= 20), "text", "doc_id",
+          docs.filter(col("doc_id") < 3)
+            .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+          k = 20)
+          .select(col("query_id"), col("doc_id"), col("rk"))
+        val dense = Vectors.bruteForceTopK(
+          emb.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding")),
+          emb.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
+          k = 20)
+          .select(col("qid").as("query_id"), col("cid").as("doc_id"), col("rnk").as("rk"))
+        Search.rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rk", k = 10)
+      },
+      Some(s"""WITH q AS (SELECT doc_id AS query_id, text AS qtext FROM documents WHERE doc_id < 3),
+              |qt AS (SELECT DISTINCT query_id,
+              |    unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
+              |  FROM q),
+              |base AS (SELECT doc_id,
+              |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+              |  FROM documents WHERE doc_id >= 20),
+              |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
+              |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+              |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
+              |cand AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
+              |dft AS (SELECT term, COUNT(*) AS df_t FROM cand GROUP BY 1),
+              |sp AS (SELECT qt.query_id, c.doc_id,
+              |    ROUND(SUM(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+              |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
+              |  FROM cand c JOIN qt ON qt.term = c.term JOIN dft d ON d.term = c.term
+              |  CROSS JOIN stats s GROUP BY 1, 2),
+              |spr AS (SELECT query_id, doc_id,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+              |  FROM sp),
+              |sp20 AS (SELECT query_id, doc_id, rk FROM spr WHERE rk <= 20),
+              |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
+              |cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 20),
+              |dsc AS (SELECT query_id, doc_id, ${cosSql("qe", "ce")} AS cos FROM qv CROSS JOIN cv),
+              |dr AS (SELECT query_id, doc_id,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rk
+              |  FROM dsc),
+              |d20 AS (SELECT query_id, doc_id, rk FROM dr WHERE rk <= 20),
+              |fz AS (SELECT query_id, doc_id,
+              |    ROUND(COALESCE(1.0 / (60 + s.rk), 0) + COALESCE(1.0 / (60 + de.rk), 0), 6) AS rrf
+              |  FROM sp20 s FULL OUTER JOIN d20 de USING (query_id, doc_id)),
+              |r AS (SELECT query_id, doc_id, rrf,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+              |  FROM fz)
+              |SELECT query_id, doc_id, rrf, rk FROM r WHERE rk <= 10""".stripMargin)),
+
     QueryDef("q_tfidf_keywords",
       (s, dir) => Search.tfidfKeywords(Tables.load(s, dir, "documents"),
         "text", "doc_id", k = 3),
@@ -1387,6 +1578,67 @@ object LlmOps extends QueryGroup {
              |  JOIN ca b ON b.term = p.term_b CROSS JOIN n)
              |SELECT term_a, term_b, pmi FROM s
              |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin)),
+
+    // Instruction-data ingestion: a deterministic 3-turn JSON conversation
+    // is synthesized per document (every 7th doc gets a role-order defect),
+    // then parsed under the ENFORCED turn schema, alternation-validated,
+    // and rendered to the chat template. The oracle rebuilds the same JSON
+    // and replays parse/validate/render through DuckDB's JSON operators —
+    // so Spark's from_json + HOF pipeline is hash-checked end-to-end.
+    QueryDef("q_chat_flatten",
+      (s, dir) => {
+        val ts = split(lower(col("text")), "\\s+")
+        val c1 = concat(lit("please summarize: "), array_join(slice(ts, 1, 8), " "))
+        val c2 = array_join(slice(ts, 1, 5), " ")
+        val r1 = when(col("doc_id") % 7 === 0, lit("assistant")).otherwise(lit("user"))
+        val js = concat(
+          lit("[{\"role\":\""), r1, lit("\",\"content\":\""), c1,
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), c2,
+          lit("\"},{\"role\":\"user\",\"content\":\"thanks\"}]"))
+        Chat.flatten(
+          Tables.load(s, dir, "documents").withColumn("conv_json", js),
+          "conv_json", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+             |b AS (SELECT doc_id,
+             |    'please summarize: ' || array_to_string(ts[1:8], ' ') AS c1,
+             |    array_to_string(ts[1:5], ' ') AS c2,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'assistant' ELSE 'user' END AS r1
+             |  FROM t),
+             |j AS (SELECT doc_id,
+             |    '[{"role":"' || r1 || '","content":"' || c1 ||
+             |    '"},{"role":"assistant","content":"' || c2 ||
+             |    '"},{"role":"user","content":"thanks"}]' AS js
+             |  FROM b)
+             |SELECT doc_id,
+             |  CAST(json_array_length(js) AS BIGINT) AS n_turns,
+             |  ((js->>'$[0].role') = 'user' AND (js->>'$[1].role') = 'assistant'
+             |    AND (js->>'$[2].role') = 'user') AS valid,
+             |  '<|' || (js->>'$[0].role') || '|>' || (js->>'$[0].content') || chr(10) ||
+             |  '<|' || (js->>'$[1].role') || '|>' || (js->>'$[1].content') || chr(10) ||
+             |  '<|' || (js->>'$[2].role') || '|>' || (js->>'$[2].content') AS chat_text
+             |FROM j""".stripMargin)),
+
+    // Count-min-sketch heavy hitters over the event stream's user keys:
+    // depth-3 × width-256 salted-md5 sketch, estimate = min over rows,
+    // threshold + (est desc, key) ranking. The sketch hashes, cell
+    // counters and min-probe all replay exactly in SQL (same md5-nibble
+    // primitive as docBucket), so estimates — including any collision
+    // overshoot — hash-match.
+    QueryDef("q_heavy_hitters",
+      (s, dir) => Sketch.heavyHitters(Tables.load(s, dir, "events"),
+        "user_id", minCount = 70L),
+      Some(s"""WITH x AS (SELECT user_id, unnest(range(0, 3)) AS j FROM events),
+              |c AS (SELECT j, ${md5Val16Sql("user_id || '#cms' || j")} % 256 AS cell,
+              |    COUNT(*) AS cnt
+              |  FROM x GROUP BY 1, 2),
+              |k AS (SELECT DISTINCT user_id FROM events),
+              |p AS (SELECT user_id, unnest(range(0, 3)) AS j FROM k),
+              |pc AS (SELECT user_id, j,
+              |    ${md5Val16Sql("user_id || '#cms' || j")} % 256 AS cell FROM p),
+              |est AS (SELECT user_id, MIN(COALESCE(c.cnt, 0)) AS est
+              |  FROM pc LEFT JOIN c ON c.j = pc.j AND c.cell = pc.cell GROUP BY 1)
+              |SELECT user_id, est FROM est WHERE est >= 70""".stripMargin)),
 
     QueryDef("q_text_entropy",
       (s, dir) => Text.charEntropy(Tables.load(s, dir, "documents"), "text", "doc_id"),

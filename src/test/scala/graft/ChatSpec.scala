@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Chat
+
+/** Conversation ingestion: enforced-schema parse, alternation validity,
+  * template rendering, malformed-JSON quarantine semantics. */
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flat(rows: Seq[(Long, String)], sys: Option[String] = None) =
+    Chat.flatten(rows.toDF("id", "js"), "js", "id", sys)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getString(3)))).toMap
+
+  test("valid alternating conversation flattens to the template") {
+    val js = """[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}]"""
+    val r = flat(Seq((1L, js)))(1L)
+    assert(r == ((2L, true, "<|user|>hi\n<|assistant|>hello")))
+  }
+
+  test("system prompt is prepended when configured") {
+    val js = """[{"role":"user","content":"hi"}]"""
+    val r = flat(Seq((1L, js)), sys = Some("be helpful"))(1L)
+    assert(r._3 == "<|system|>be helpful\n<|user|>hi")
+  }
+
+  test("assistant-first, repeated-role, and empty conversations are invalid") {
+    val byId = flat(Seq(
+      (1L, """[{"role":"assistant","content":"x"},{"role":"user","content":"y"}]"""),
+      (2L, """[{"role":"user","content":"x"},{"role":"user","content":"y"}]"""),
+      (3L, """[]""")))
+    assert(!byId(1L)._2 && !byId(2L)._2 && !byId(3L)._2)
+    assert(byId(1L)._1 == 2L && byId(3L)._1 == 0L)
+  }
+
+  test("malformed JSON keeps its row: zero turns, invalid, empty text") {
+    val r = flat(Seq((9L, """{"not": "an array""")))(9L)
+    assert(r == ((0L, false, "")))
+  }
+
+  test("extra JSON fields are dropped by the enforced schema") {
+    val js = """[{"role":"user","content":"hi","meta":{"x":1}}]"""
+    val r = flat(Seq((1L, js)))(1L)
+    assert(r == ((1L, true, "<|user|>hi")))
+  }
+}

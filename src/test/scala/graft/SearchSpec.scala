@@ -161,4 +161,40 @@ class SearchSpec extends SparkSpec {
     val trunc = run(2)
     assert(trunc(3L) == 30.0)  // frame [20, 40] seeded at 20
   }
+
+  test("rrfFuse: agreement wins, single-system docs score one term") {
+    // system A ranks (d1, d2), system B ranks (d1, d3): d1 fused from both
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("qid", "did", "rk")
+    val b = Seq((0L, 1L, 2L), (0L, 3L, 1L)).toDF("qid", "did", "rk")
+    val res = Search.rrfFuse(Seq(a, b), "qid", "did", "rk", k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._3)
+    def rr(r: Int) = 1.0 / (60 + r)
+    def rnd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res.map(_._1).toSeq == Seq(1L, 3L, 2L)) // both-systems doc first
+    assert(res(0)._2 == rnd6(rr(1) + rr(2)))
+    assert(res(1)._2 == rnd6(rr(1)))
+    assert(res(2)._2 == rnd6(rr(2)))
+  }
+
+  test("rrfFuse: ties break by doc id and k cuts the list") {
+    val a = Seq((0L, 5L, 1L), (0L, 3L, 1L), (0L, 9L, 2L)).toDF("qid", "did", "rk")
+    val res = Search.rrfFuse(Seq(a), "qid", "did", "rk", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sortBy(_._2)
+    assert(res.toSeq == Seq((3L, 1L), (5L, 2L))) // equal rrf -> lower id first
+  }
+
+  test("dedupLinesInDoc keeps first occurrence, order, original text") {
+    val d = Seq(
+      (1L, "Alpha\nbeta\n alpha \nGamma\nbeta"),
+      (2L, "one\ntwo")).toDF("doc_id", "text")
+    val res = Text.dedupLinesInDoc(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // " alpha " normalizes to "alpha" -> dropped; second "beta" dropped;
+    // the SURVIVING lines keep their original (untrimmed, cased) text
+    assert(res(1L) == (("Alpha\nbeta\nGamma", 3L, 2L)))
+    assert(res(2L) == (("one\ntwo", 2L, 0L)))
+  }
 }

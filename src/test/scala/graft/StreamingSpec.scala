@@ -469,6 +469,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static packed ANN equals batch single-probe lshTopK") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_annq_stream")
+    Files.copy(Paths.get(s"$sf/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val index = graft.ops.Vectors.packedIndex(
+      e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")))
+    val qStream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label LONG")
+      .parquet(dir.toString)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = graft.ops.Vectors.packedTopK(qStream, index, k = 3)
+    val q = res.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ann_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT qid, cid, cos, rnk FROM ann_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val want = graft.ops.Vectors.lshTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
+          k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(got.nonEmpty && got == want,
+        s"stream-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming featurization emits batch-identical wide rows (config grid)") {
     import org.apache.spark.sql.functions._
     import graft.core.{ColumnRoles, Tables}
