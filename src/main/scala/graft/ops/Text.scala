@@ -441,6 +441,101 @@ object Text {
   }
 
   /**
+   * Corpus text normalization: Unicode NFC composition (custom codegen'd
+   * [[graft.functions.NfcNormalize]] expression — Spark has no built-in),
+   * then control characters (C0 + DEL) and NBSP replaced by spaces, runs
+   * of whitespace collapsed to one space, and the result trimmed. The
+   * canonicalization pass that runs BEFORE any hash-based operator (exact
+   * dedup, minhash, fingerprints): `e`+U+0301 from one crawler and
+   * precomposed U+00E9 from another must hash identically or every
+   * downstream dedup silently misses the pair.
+   *
+   * Newlines are deliberately folded with the rest of the whitespace —
+   * run the line-structure operators ([[dedupLines]] etc.) BEFORE this
+   * pass. One narrow codegen projection, no shuffle; the NFC expression
+   * has an allocation-free fast path for already-normalized (e.g. pure
+   * ASCII) text, which is almost all of a real corpus.
+   *
+   * Output: (id, clean_text, n_chars_norm).
+   */
+  def normalizeText(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfcNormalize
+    // \x{..} hex escapes parse identically in Java regex and RE2
+    val noCtl = regexp_replace(nfcNormalize(col(textCol)),
+      "[\\x{00}-\\x{1f}\\x{7f}\\x{a0}]", " ")
+    val clean = trim(regexp_replace(noCtl, " +", " "))
+    df.select(col(idCol), clean.as("clean_text"),
+      length(clean).cast("long").as("n_chars_norm"))
+  }
+
+  /**
+   * HTML/markup stripping — the boilerplate-removal front of web-corpus
+   * extraction: drop `<script>`/`<style>` blocks wholesale (their TEXT is
+   * code, not prose), drop comments, strip remaining tags, unescape the
+   * five standard entities plus numeric quote/nbsp, collapse whitespace.
+   * Pattern set is the Java-regex ∩ RE2 subset (non-greedy `.*?` and the
+   * `(?s)` flag agree; no backreferences, so the close-tag alternation is
+   * repeated rather than referenced) — oracle-checkable. `&amp;` is
+   * unescaped LAST, the standard order that keeps `&amp;lt;` from
+   * double-unescaping into `<`.
+   *
+   * One codegen projection, no shuffle. A production extractor would add
+   * DOM-aware main-content detection ON TOP of this pass, not replace it.
+   *
+   * Output: (id, clean_text, n_chars_clean).
+   */
+  def stripMarkup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val noBlocks = regexp_replace(col(textCol),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "<[^>]+>", " ")
+    val unescaped = replace(replace(replace(replace(replace(replace(
+      noTags,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+    val clean = trim(regexp_replace(unescaped, "\\s+", " "))
+    df.select(col(idCol), clean.as("clean_text"),
+      length(clean).cast("long").as("n_chars_clean"))
+  }
+
+  /**
+   * Length-grouped batching — the padding-efficiency step of training-data
+   * layout: documents are bucketed by token-count range (`bucketWidth`
+   * tokens per bucket) and batched WITHIN a bucket in (token count, id)
+   * order, so each batch of `batchSize` docs has near-uniform lengths and
+   * the padding waste `batch_size·max_len − Σlen` stays small. Emits one
+   * row per batch with its waste accounting — the report that drives
+   * bucket-width tuning.
+   *
+   * Scale shape: the window is partitioned BY BUCKET (dozens of
+   * independent partitions, not one global sort), so batch numbering
+   * parallelizes; at 100 TB the same bucket key is what the writer would
+   * `repartitionByRange` on, reusing this shuffle. All arithmetic is
+   * integer, so the output hash-matches cross-engine.
+   *
+   * Output: (bucket, batch_id, n_docs, max_tokens, sum_tokens, pad_waste).
+   */
+  def lengthBatches(df: DataFrame, textCol: String, idCol: String,
+      batchSize: Int = 32, bucketWidth: Int = 16): DataFrame = {
+    require(batchSize > 0 && bucketWidth > 0, "batchSize/bucketWidth must be positive")
+    val nTok = size(tokens(col(textCol))).cast("long")
+    val withBucket = df.select(col(idCol), nTok.as("n_tokens"),
+      floor(nTok / bucketWidth).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").asc, col(idCol).asc)
+    withBucket
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / batchSize))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_waste",
+        col("max_tokens") * col("n_docs") - col("sum_tokens"))
+  }
+
+  /**
    * Quality scoring: char length, stopword ratio, distinct-token ratio,
    * uppercase-start flag. A doc is "quality" when it looks like prose:
    * some stopwords, low repetition.

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Fuzzy, Text, Urls}
+
+/**
+ * Web-corpus curation operators: Unicode normalization, markup stripping,
+ * URL canonicalization, fuzzy (edit-distance) value consolidation, and
+ * length-grouped batch layout. Every query is oracle-checked — the
+ * operators restrict themselves to the Java-regex ∩ RE2 pattern subset
+ * and integer/md5 arithmetic so DuckDB replays them bit-identically.
+ */
+object CurationQ extends QueryGroup {
+
+  /** Seeded denormalized suffix: combining-acute `cafe`+U+0301, a tab, an
+    * NBSP — the constructs [[Text.normalizeText]] must canonicalize.
+    * DuckDB side builds the identical string with chr(). */
+  private val DenormSuffix = " cafe\u0301 x\ty\u00a0z"
+
+  /** Seeded markup wrapper for [[Text.stripMarkup]] (tags + comment +
+    * script block + entities). */
+  private val MarkupPre = "<html><body><p class=\"d\">"
+  private val MarkupPost = "</p><!-- footer --><script>var x = 1 < 2;</script>" +
+    "<ul><li>&amp; &lt;tag&gt; &#39;q&#39;&nbsp;done</li></ul></body></html>"
+
+  /** The seeded synthetic URL both engines derive from (source, doc_id):
+    * uppercase www-host (canonicalization must lowercase it), a path, and
+    * per-residue tracking params / plain params / fragment. */
+  private def urlColSpark = concat(
+    lit("https://WWW."), col("source"), (col("doc_id") % 5).cast("string"),
+    lit(".example.org"),
+    when(col("doc_id") % 2 === 0, concat(lit("/docs/"), col("doc_id").cast("string")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"), lit("&ref=x")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("?id="), (col("doc_id") % 7).cast("string")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+
+  // single line: embedding a multi-line fragment whose lines START with
+  // the `||` concat operator would collide with the outer stripMargin
+  private val urlSql =
+    "'https://WWW.' || source || CAST(doc_id % 5 AS VARCHAR) || '.example.org' || " +
+    "CASE WHEN doc_id % 2 = 0 THEN '/docs/' || CAST(doc_id AS VARCHAR) ELSE '' END || " +
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=x' " +
+    "WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END || " +
+    "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END"
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // Unicode NFC + control/NBSP strip + whitespace collapse, via the
+    // codegen'd NfcNormalize expression; the seeded suffix forces real
+    // composition work (combining acute -> precomposed e-acute)
+    QueryDef("q_text_normalize",
+      (s, dir) => Text.normalizeText(
+        Tables.load(s, dir, "documents")
+          .withColumn("text2", concat(col("text"), lit(DenormSuffix))),
+        "text2", "doc_id"),
+      Some("""WITH s AS (SELECT doc_id,
+             |    text || ' cafe' || chr(769) || ' x' || chr(9) || 'y' || chr(160) || 'z' AS t
+             |  FROM documents),
+             |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             |    nfc_normalize(t), '[\x{00}-\x{1f}\x{7f}\x{a0}]', ' ', 'g'),
+             |    ' +', ' ', 'g')) AS clean_text FROM s)
+             |SELECT doc_id, clean_text,
+             |  CAST(length(clean_text) AS BIGINT) AS n_chars_norm FROM n""".stripMargin)),
+
+    // Markup strip: script block dropped wholesale, comment dropped, tags
+    // stripped, entities unescaped (&amp; last), whitespace collapsed
+    QueryDef("q_text_strip_markup",
+      (s, dir) => Text.stripMarkup(
+        Tables.load(s, dir, "documents")
+          .withColumn("html", concat(lit(MarkupPre), col("text"), lit(MarkupPost))),
+        "html", "doc_id"),
+      Some("""WITH s AS (SELECT doc_id,
+             |    '<html><body><p class="d">' || text || '</p><!-- footer -->'
+             |    || '<script>var x = 1 < 2;</script><ul><li>&amp; &lt;tag&gt; '
+             |    || '&#39;q&#39;&nbsp;done</li></ul></body></html>' AS t
+             |  FROM documents),
+             |u AS (SELECT doc_id, trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(regexp_replace(regexp_replace(t,
+             |        '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]+>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             |      '&nbsp;', ' '), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS clean_text FROM s)
+             |SELECT doc_id, clean_text,
+             |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean FROM u""".stripMargin)),
+
+    // Length-grouped batching: bucket by token-count range, batch within
+    // bucket, report per-batch padding waste — all integer arithmetic
+    QueryDef("q_length_batches",
+      (s, dir) => Text.lengthBatches(Tables.load(s, dir, "documents"),
+        "text", "doc_id", batchSize = 8, bucketWidth = 16),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket FROM t),
+             |r AS (SELECT *, row_number() OVER
+             |    (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn FROM b)
+             |SELECT bucket, (rn - 1) // 8 AS batch_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  MAX(n_tokens) AS max_tokens, SUM(n_tokens) AS sum_tokens,
+             |  MAX(n_tokens) * CAST(COUNT(*) AS BIGINT) - SUM(n_tokens) AS pad_waste
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // Edit-distance near-dup value pairs, length-blocked (lossless:
+    // lev <= d bounds the length delta by d) — the DuckDB side runs the
+    // naive quadratic join, same result set
+    QueryDef("q_fuzzy_pairs",
+      (s, dir) => Fuzzy.fuzzyPairs(Tables.load(s, dir, "part"), "p_name", maxDist = 2),
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+             |SELECT a.name AS name_a, b.name AS name_b,
+             |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+             |FROM n a JOIN n b ON a.name < b.name
+             |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin)),
+
+    // Fuzzy consolidation: single-link components over the pair graph,
+    // min-name canonical — min-label propagation vs a recursive-CTE
+    // transitive closure
+    QueryDef("q_fuzzy_canon",
+      (s, dir) => Fuzzy.canonicalize(Tables.load(s, dir, "part"), "p_name", maxDist = 2),
+      Some("""WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+             |e AS (SELECT a.name AS na, b.name AS nb FROM n a JOIN n b
+             |  ON a.name <> b.name WHERE levenshtein(a.name, b.name) <= 2),
+             |reach(name, peer) AS (
+             |  SELECT name, name FROM n
+             |  UNION
+             |  SELECT r.name, e.nb FROM reach r JOIN e ON e.na = r.peer)
+             |SELECT name, MIN(peer) AS canon FROM reach GROUP BY name""".stripMargin)),
+
+    // URL parse + canonicalize: lowercase scheme/host, strip tracking
+    // params (survivors keep order), drop fragment, default path to /
+    QueryDef("q_url_canon",
+      (s, dir) => Urls.canonicalize(
+        Urls.parse(
+          Tables.load(s, dir, "documents").withColumn("url", urlColSpark), "url"),
+        "url")
+        .select("doc_id", "host", "domain", "tld", "path", "canonical_url"),
+      Some(s"""WITH s AS (SELECT doc_id, $urlSql AS url FROM documents),
+              |p AS (SELECT doc_id, url,
+              |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+              |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+              |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+              |  FROM s),
+              |d AS (SELECT doc_id, url, host, path, q,
+              |  regexp_replace(host, '^www\\.', '') AS domain,
+              |  COALESCE(array_to_string(list_filter(string_split(q, '&'),
+              |    x -> NOT regexp_matches(x, '^(utm_[a-z]+|ref|fbclid|gclid|mc_cid|mc_eid)=')
+              |      AND x <> ''), '&'), '') AS cq
+              |  FROM p)
+              |SELECT doc_id, host, domain,
+              |  regexp_extract(domain, '\\.([a-z0-9-]+)$$', 1) AS tld, path,
+              |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || host
+              |    || CASE WHEN path = '' THEN '/' ELSE path END
+              |    || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+              |FROM d""".stripMargin))
+  )
+}

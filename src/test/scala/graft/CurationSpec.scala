@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.NfcNormalize
+import graft.ops.{Fuzzy, Text, Urls}
+
+/** Invariant specs for the web-corpus curation operators (normalization,
+  * markup strip, fuzzy consolidation, URL canonicalization, length
+  * batching) on tiny inline data. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nfc_normalize composes combining marks, fast-path on ASCII, null-safe") {
+    val df = Seq(
+      (1L, "café"),          // e + combining acute -> precomposed
+      (2L, "plain ascii"),
+      (3L, "é already nfc"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val out = df.select(col("id"), NfcNormalize.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "café")
+    assert(out(2L) == "plain ascii")
+    assert(out(3L) == "é already nfc")
+    assert(out(4L) == null)
+  }
+
+  test("normalizeText folds controls/NBSP and collapses whitespace") {
+    val df = Seq((1L, "a\tb c\ne  café  ")).toDF("doc_id", "text")
+    val r = Text.normalizeText(df, "text", "doc_id").collect().head
+    assert(r.getString(1) == "a b c e café")
+    assert(r.getLong(2) == "a b c e café".length.toLong)
+  }
+
+  test("stripMarkup drops script wholesale, strips tags, unescapes entities") {
+    val html = "<html><p class=\"x\">Hello <b>world</b></p>" +
+      "<script>var a = 1 < 2;</script><!-- c -->&amp;amp; &lt;x&gt; &#39;q&#39;</html>"
+    val df = Seq((1L, html)).toDF("doc_id", "text")
+    val r = Text.stripMarkup(df, "text", "doc_id").collect().head
+    // &amp;amp; must single-unescape to &amp; (amp done last), script TEXT gone
+    assert(r.getString(1) == "Hello world &amp; <x> 'q'")
+    assert(!r.getString(1).contains("var a"))
+  }
+
+  test("fuzzyPairs equals the naive quadratic join (length blocking is lossless)") {
+    val names = Seq("red plate", "red plates", "hot plate", "hot ring",
+      "cold ring", "old ring", "zzz", "completely different").map(Tuple1(_))
+      .toDF("name")
+    val blocked = Fuzzy.fuzzyPairs(names, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val vals = names.as[String].collect().distinct
+    val naive = (for {
+      a <- vals; b <- vals if a < b
+      d = {
+        // reference Levenshtein DP
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length).toLong
+      } if d <= 2
+    } yield (a, b, d)).toSet
+    assert(blocked == naive)
+    assert(blocked.nonEmpty)
+  }
+
+  test("canonicalize maps every value; clusters share the min name; singletons self-map") {
+    val names = Seq("red ring", "red rings", "red ringz", "solo value").map(Tuple1(_))
+      .toDF("name")
+    val m = Fuzzy.canonicalize(names, "name", maxDist = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.keySet == Set("red ring", "red rings", "red ringz", "solo value"))
+    assert(m("red ring") == "red ring" && m("red rings") == "red ring"
+      && m("red ringz") == "red ring")
+    assert(m("solo value") == "solo value")
+  }
+
+  test("url parse + canonicalize: tracking params dropped, fragment dropped, empty path -> /") {
+    val df = Seq(
+      (1L, "https://WWW.Example.ORG/a/b?utm_source=x&id=3&ref=z#frag"),
+      (2L, "http://example.com?utm_campaign=c"),
+      (3L, "https://sub.example.co/path?a=1&b=2")
+    ).toDF("id", "url")
+    val out = Urls.canonicalize(Urls.parse(df, "url"), "url")
+      .select("id", "host", "domain", "tld", "path", "canonical_url")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4), r.getString(5))).toMap
+    assert(out(1L) == (("www.example.org", "example.org", "org", "/a/b",
+      "https://www.example.org/a/b?id=3")))
+    assert(out(2L) == (("example.com", "example.com", "com", "",
+      "http://example.com/")))
+    assert(out(3L) == (("sub.example.co", "sub.example.co", "co", "/path",
+      "https://sub.example.co/path?a=1&b=2")))
+  }
+
+  test("lengthBatches: batch sizes bounded, totals preserved, waste non-negative") {
+    val docs = (1L to 100L).map(i => (i, ("w " * (i % 37 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = Text.lengthBatches(docs, "text", "doc_id", batchSize = 8, bucketWidth = 10)
+      .collect()
+    assert(out.map(_.getLong(2)).sum == 100L)            // every doc in exactly one batch
+    assert(out.forall(_.getLong(2) <= 8L))               // batch size bound
+    assert(out.forall(r => r.getLong(5) >= 0L))          // pad_waste >= 0
+    // within a bucket, max_tokens stays inside the bucket's token range
+    assert(out.forall(r => r.getLong(3) / 10 == r.getLong(0)))
+    // waste identity: n_docs*max == sum + waste
+    assert(out.forall(r => r.getLong(2) * r.getLong(3) == r.getLong(4) + r.getLong(5)))
+  }
+}
