@@ -560,4 +560,64 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /**
+   * Cross-group (e.g. cross-SOURCE) content-overlap matrix: for every pair
+   * of groups, the count of shared distinct word n-gram shingles and the
+   * set Jaccard — the corpus diagnostic that decides WHERE cross-source
+   * dedup effort goes (two crawls of the same sites show up as a hot cell
+   * before any doc-level pass runs).
+   *
+   * Scale shape: shingle sets are reduced to the GROUP grain first
+   * (distinct on (group, shingle) — map-side partial agg), so the
+   * self-join fan-out per shingle is bounded by the number of GROUPS
+   * carrying it (dozens of sources, not millions of docs) — at most G²
+   * rows per shingle, no df cap needed. Group sizes join back as a
+   * broadcast (G rows). Output: (grp_a, grp_b, n_shared, jaccard),
+   * grp_a < grp_b, only pairs with >= 1 shared shingle.
+   */
+  def groupOverlap(df: DataFrame, textCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    val sh = shingles(df, textCol, groupCol, n).distinct()
+    val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(groupCol).as("grp_a"), col("shingle"))
+    val b = sh.select(col(groupCol).as("grp_b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b")).agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col(groupCol).as("grp_a"), col("sz").as("sz_a"))), Seq("grp_a"))
+      .join(broadcast(sizes.select(col(groupCol).as("grp_b"), col("sz").as("sz_b"))), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  /**
+   * Sketch-path twin of [[groupOverlap]] for corpus scale: per-group HLL
+   * sketches of the shingle set (Spark's DataSketches `hll_sketch_agg`,
+   * map-side mergeable — shuffled bytes per group are the SKETCH size,
+   * independent of shingle count), pairwise intersection estimated by
+   * inclusion–exclusion over `hll_union`. At 100 TB the exact variant's
+   * shingle self-join touches every (shingle, group) row; this one reduces
+   * the corpus to G kilobyte-sized sketches and estimates every cell of
+   * the G×G matrix from those alone (the estimate error is the standard
+   * HLL ~1%·union bound — fine for the "where do I dedup first" decision,
+   * not for exact accounting).
+   *
+   * Output: (grp_a, grp_b, sz_a, sz_b, est_union, est_shared) — estimates
+   * rounded to whole counts, est_shared floored at 0.
+   */
+  def groupOverlapSketch(df: DataFrame, textCol: String, groupCol: String,
+      n: Int, lgK: Int = 14): DataFrame = {
+    val sh = shingles(df, textCol, groupCol, n).distinct()
+    val sk = sh.groupBy(col(groupCol)).agg(
+      hll_sketch_agg(col("shingle"), lit(lgK)).as("sk"),
+      count(lit(1)).as("sz"))
+    val a = sk.select(col(groupCol).as("grp_a"), col("sk").as("sk_a"), col("sz").as("sz_a"))
+    val b = sk.select(col(groupCol).as("grp_b"), col("sk").as("sk_b"), col("sz").as("sz_b"))
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .withColumn("est_union",
+        round(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))).cast("long"))
+      .select(col("grp_a"), col("grp_b"), col("sz_a"), col("sz_b"), col("est_union"),
+        greatest(lit(0L), col("sz_a") + col("sz_b") - col("est_union")).as("est_shared"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Fuzzy, Text, Urls}
+import graft.ops.{Dedup, Fuzzy, Text, Urls}
 
 /**
  * Web-corpus curation operators: Unicode normalization, markup stripping,
@@ -132,6 +132,57 @@ object CurationQ extends QueryGroup {
              |  UNION
              |  SELECT r.name, e.nb FROM reach r JOIN e ON e.na = r.peer)
              |SELECT name, MIN(peer) AS canon FROM reach GROUP BY name""".stripMargin)),
+
+    // Cross-source shingle-overlap matrix: shared distinct 3-gram counts
+    // + set Jaccard per source pair (the "which sources need cross-dedup"
+    // diagnostic); group-grain distinct bounds the self-join fan-out
+    QueryDef("q_source_overlap",
+      (s, dir) => Dedup.groupOverlap(Tables.load(s, dir, "documents"),
+        "text", "source", n = 3),
+      Some("""WITH toks AS (SELECT source, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+             |idx AS (SELECT source, ts, unnest(generate_series(1, greatest(len(ts)-2, 0))) AS i FROM toks),
+             |sh AS (SELECT DISTINCT source, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx),
+             |sz AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY source)
+             |SELECT a.source AS grp_a, b.source AS grp_b,
+             |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+             |  ROUND(COUNT(*) * 1.0 /
+             |    (MIN(sa.sz) + MIN(sb.sz) - COUNT(*)), 6) AS jaccard
+             |FROM sh a JOIN sh b USING(shingle)
+             |JOIN sz sa ON sa.source = a.source
+             |JOIN sz sb ON sb.source = b.source
+             |WHERE a.source < b.source
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Sketch-path twin: per-source HLL shingle sketches, intersection by
+    // inclusion-exclusion — DataSketches internals are not replayable in
+    // DuckDB, so this is a rows-only entry; CurationSpec pins the estimate
+    // against the exact matrix
+    QueryDef("q_source_overlap_sketch",
+      (s, dir) => Dedup.groupOverlapSketch(Tables.load(s, dir, "documents"),
+        "text", "source", n = 3),
+      None),
+
+    // Group-preserving (leakage-safe) split: the hash is keyed on the
+    // DOMAIN, so every doc of a domain lands in the same split — the
+    // contamination guard a per-doc split cannot give
+    QueryDef("q_group_split",
+      (s, dir) => Text.hashSplit(
+        Urls.parse(
+          Tables.load(s, dir, "documents").withColumn("url", urlColSpark), "url"),
+        "domain", Seq("train" -> 0.9, "test" -> 0.1))
+        .select(col("doc_id"), col("domain"), col("split")),
+      Some {
+        val h = "md5(domain)"
+        def nib(k: Int) = s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1)"
+        val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+        s"""WITH s AS (SELECT doc_id, $urlSql AS url FROM documents),
+           |d AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url,
+           |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\\.', '') AS domain
+           |  FROM s)
+           |SELECT doc_id, domain,
+           |  CASE WHEN $hv < 58982 THEN 'train' ELSE 'test' END AS split
+           |FROM d""".stripMargin
+      }),
 
     // URL parse + canonicalize: lowercase scheme/host, strip tracking
     // params (survivors keep order), drop fragment, default path to /

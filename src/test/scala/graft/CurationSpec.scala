@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.NfcNormalize
-import graft.ops.{Fuzzy, Text, Urls}
+import graft.ops.{Dedup, Fuzzy, Text, Urls}
 
 /** Invariant specs for the web-corpus curation operators (normalization,
   * markup strip, fuzzy consolidation, URL canonicalization, length
@@ -93,6 +93,49 @@ class CurationSpec extends SparkSpec {
       "http://example.com/")))
     assert(out(3L) == (("sub.example.co", "sub.example.co", "co", "/path",
       "https://sub.example.co/path?a=1&b=2")))
+  }
+
+  test("groupOverlap: known shared shingles between sources, disjoint pair absent") {
+    val df = Seq(
+      (1L, "a b c d e", "s1"),
+      (2L, "a b c x y", "s2"),   // shares shingle "a b c" with s1
+      (3L, "p q r s t", "s3")    // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.groupOverlap(df, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // s1: {abc,bcd,cde}, s2: {abc,bcx,cxy} -> 1 shared of 5 union
+    assert(m(("s1", "s2")) == ((1L, 0.2)))
+    assert(!m.contains(("s1", "s3")) && !m.contains(("s2", "s3")))
+  }
+
+  test("groupOverlapSketch estimates track the exact overlap on the documents table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.groupOverlap(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val est = Dedup.groupOverlapSketch(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(est.nonEmpty)
+    est.foreach { case (pair, (szA, szB, estShared)) =>
+      val exactShared = exact.getOrElse(pair, 0L)
+      val union = szA + szB - exactShared
+      // inclusion-exclusion error is bounded by the HLL union error (~1%
+      // at lgK=14); allow 5% of the union to be safe on small sets
+      assert(math.abs(estShared - exactShared) <= math.max(5L, union / 20),
+        s"$pair: est $estShared vs exact $exactShared (union $union)")
+    }
+  }
+
+  test("group-preserving split: every domain lands in exactly one split") {
+    val df = Seq(
+      (1L, "https://a.com/x"), (2L, "https://a.com/y"), (3L, "https://a.com/z"),
+      (4L, "https://b.org/x"), (5L, "https://b.org/y"), (6L, "https://c.net/x")
+    ).toDF("doc_id", "url")
+    val out = Text.hashSplit(Urls.parse(df, "url"), "domain",
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .select("domain", "split").collect()
+    val byDomain = out.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(byDomain.values.forall(_.size == 1))
   }
 
   test("lengthBatches: batch sizes bounded, totals preserved, waste non-negative") {
