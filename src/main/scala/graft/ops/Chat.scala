@@ -54,6 +54,54 @@ object Chat {
   }
 
   /**
+   * SFT loss-mask spans: for every ASSISTANT turn, the 0-based half-open
+   * character span its CONTENT occupies inside the [[render]]ed
+   * `chat_text` — the byte ranges the training loss is computed on (user
+   * and system text is context, not target; trainers mask it). Keeping the
+   * spans as offsets into the template output — instead of re-rendering
+   * per-turn fragments at training time — is what lets the tokenizer run
+   * ONCE over `chat_text` with char-to-token alignment.
+   *
+   * Offsets are pure integer arithmetic over the template: segment i
+   * starts at `prefix + Σ_{j<i} len(seg_j) + i` (one `\n` separator per
+   * preceding turn), and the content starts after the `<|role|>` header.
+   * The prefix sums are computed INSIDE the row (`slice` + `aggregate`
+   * over the per-turn length array — conversations are short, so the
+   * interpreted fold is nanoseconds) — no explode-then-window shuffle;
+   * the only row multiplication is the final per-assistant-turn
+   * `posexplode`. Offsets count CODEPOINTS (Spark/DuckDB `length`
+   * semantics), matching `substring` on both engines.
+   *
+   * Output: (id, turn_idx, span_start, span_end), one row per assistant
+   * turn of every VALID conversation ([[validTurns]] gate).
+   */
+  def lossMaskSpans(df: DataFrame, jsonCol: String, idCol: String,
+      systemPrompt: Option[String] = None): DataFrame = {
+    val turns = parseTurns(col(jsonCol))
+    // codePointCount, not String#length: Spark length() counts codepoints
+    val pfx = systemPrompt.map { s =>
+      val line = s"<|system|>$s\n"
+      lit(line.codePointCount(0, line.length).toLong)
+    }.getOrElse(lit(0L))
+    val segLens = transform(turns, t =>
+      (length(t.getField("role")) + length(t.getField("content")) + 4).cast("long"))
+    val base = df
+      .filter(validTurns(turns))
+      .select(col(idCol), pfx.as("_pfx"), segLens.as("_lens"),
+        posexplode(turns).as(Seq("turn_idx", "turn")))
+    val priorLen = coalesce(
+      aggregate(slice(col("_lens"), lit(1), col("turn_idx")), lit(0L), (a, x) => a + x),
+      lit(0L))
+    val segStart = col("_pfx") + priorLen + col("turn_idx")
+    val contentStart = segStart + length(col("turn.role")) + lit(4)
+    base
+      .filter(col("turn.role") === "assistant")
+      .select(col(idCol), col("turn_idx").cast("long").as("turn_idx"),
+        contentStart.cast("long").as("span_start"),
+        (contentStart + length(col("turn.content"))).cast("long").as("span_end"))
+  }
+
+  /**
    * Full ingestion pass: (id, n_turns, valid, chat_text). Invalid or
    * malformed conversations keep their row (n_turns 0 for unparseable)
    * so the drop decision — and its rate — stays observable downstream.

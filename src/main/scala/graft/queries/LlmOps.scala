@@ -1619,6 +1619,53 @@ object LlmOps extends QueryGroup {
              |  '<|' || (js->>'$[2].role') || '|>' || (js->>'$[2].content') AS chat_text
              |FROM j""".stripMargin)),
 
+    // SFT loss-mask spans over the same seeded conversations: per
+    // assistant turn, the half-open char span of its content inside the
+    // rendered template — integer prefix-sum arithmetic, replayed in SQL
+    // with a per-turn window sum over json-extracted lengths
+    QueryDef("q_chat_loss_mask",
+      (s, dir) => {
+        val ts = split(lower(col("text")), "\\s+")
+        val c1 = concat(lit("please summarize: "), array_join(slice(ts, 1, 8), " "))
+        val c2 = array_join(slice(ts, 1, 5), " ")
+        val r1 = when(col("doc_id") % 7 === 0, lit("assistant")).otherwise(lit("user"))
+        val js = concat(
+          lit("[{\"role\":\""), r1, lit("\",\"content\":\""), c1,
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), c2,
+          lit("\"},{\"role\":\"user\",\"content\":\"thanks\"}]"))
+        Chat.lossMaskSpans(
+          Tables.load(s, dir, "documents").withColumn("conv_json", js),
+          "conv_json", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+             |b AS (SELECT doc_id,
+             |    'please summarize: ' || array_to_string(ts[1:8], ' ') AS c1,
+             |    array_to_string(ts[1:5], ' ') AS c2,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'assistant' ELSE 'user' END AS r1
+             |  FROM t),
+             |j AS (SELECT doc_id,
+             |    '[{"role":"' || r1 || '","content":"' || c1 ||
+             |    '"},{"role":"assistant","content":"' || c2 ||
+             |    '"},{"role":"user","content":"thanks"}]' AS js
+             |  FROM b WHERE r1 = 'user'),
+             |u AS (SELECT doc_id, js,
+             |    unnest(generate_series(0, CAST(json_array_length(js) AS INT) - 1)) AS i
+             |  FROM j),
+             |seg AS (SELECT doc_id, i,
+             |    json_extract_string(js, '$[' || i || '].role') AS role,
+             |    json_extract_string(js, '$[' || i || '].content') AS content
+             |  FROM u),
+             |l AS (SELECT doc_id, i, role, content,
+             |    length(role) + length(content) + 4 AS seg_len FROM seg),
+             |o AS (SELECT doc_id, i, role, content,
+             |    COALESCE(SUM(seg_len) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + i AS seg_start
+             |  FROM l)
+             |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+             |  CAST(seg_start + length(role) + 4 AS BIGINT) AS span_start,
+             |  CAST(seg_start + length(role) + 4 + length(content) AS BIGINT) AS span_end
+             |FROM o WHERE role = 'assistant'""".stripMargin)),
+
     // Count-min-sketch heavy hitters over the event stream's user keys:
     // depth-3 × width-256 salted-md5 sketch, estimate = min over rows,
     // threshold + (est desc, key) ranking. The sketch hashes, cell

@@ -44,4 +44,44 @@ class ChatSpec extends SparkSpec {
     val r = flat(Seq((1L, js)))(1L)
     assert(r == ((1L, true, "<|user|>hi")))
   }
+
+  test("loss-mask spans substring to exactly the assistant contents; user turns uncovered") {
+    import spark.implicits._
+    val js = """[{"role":"user","content":"what is two plus two"},""" +
+      """{"role":"assistant","content":"four"},""" +
+      """{"role":"user","content":"and times three?"},""" +
+      """{"role":"assistant","content":"twelve, obviously"}]"""
+    val df = Seq((1L, js)).toDF("id", "conv")
+    val rendered = graft.ops.Chat.flatten(df, "conv", "id")
+      .collect().head.getString(3)
+    val spans = graft.ops.Chat.lossMaskSpans(df, "conv", "id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.map(_._1).toSeq == Seq(1L, 3L))
+    val texts = spans.map { case (_, a, b) => rendered.substring(a.toInt, b.toInt) }
+    assert(texts.toSeq == Seq("four", "twelve, obviously"))
+    // nothing outside the spans contains assistant content markers
+    val masked = spans.foldLeft(rendered) { case (s, (_, a, b)) =>
+      s.substring(0, a.toInt) + "#" * (b - a).toInt + s.substring(b.toInt) }
+    assert(!masked.contains("four") && !masked.contains("twelve"))
+  }
+
+  test("loss-mask spans account for a system prompt prefix") {
+    import spark.implicits._
+    val js = """[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}]"""
+    val df = Seq((1L, js)).toDF("id", "conv")
+    val sys = Some("be helpful")
+    val rendered = graft.ops.Chat.flatten(df, "conv", "id", sys)
+      .collect().head.getString(3)
+    val Array((a, b)) = graft.ops.Chat.lossMaskSpans(df, "conv", "id", sys)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(rendered.substring(a.toInt, b.toInt) == "hello")
+  }
+
+  test("invalid conversations emit no spans") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """[{"role":"assistant","content":"x"}]"""),
+      (2L, """not json""")).toDF("id", "conv")
+    assert(graft.ops.Chat.lossMaskSpans(df, "conv", "id").count() == 0L)
+  }
 }
