@@ -257,4 +257,39 @@ class PlanShapeSpec extends SparkSpec {
     val s = p.toString
     assert(!s.contains("Join"), "ewma must be join-free")
   }
+
+  test("q_fuzzy_pairs: length blocking keeps the join an equi-join, never nested-loop") {
+    val p = plan("q_fuzzy_pairs")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "fuzzy matching must never degrade to a quadratic join operator")
+    assert(s.contains("Join"), "expected the blocked equi-join to exist")
+  }
+
+  test("q_source_overlap: group-size joins broadcast; overlap join is shingle-keyed") {
+    val p = plan("q_source_overlap")
+    val bcasts = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.size >= 2,
+      s"both size joins must broadcast (G-row tables), got ${bcasts.size}")
+    val smjs = p.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.forall(_.leftKeys.flatMap(_.references).exists(_.name == "shingle")),
+      "any sort-merge join must key on the shingle, not a group")
+  }
+
+  test("curation projections (normalize/markup/url/loss-mask) are shuffle-free") {
+    for (q <- Seq("q_text_normalize", "q_text_strip_markup", "q_url_canon",
+        "q_chat_loss_mask")) {
+      val p = plan(q)
+      assert(shuffles(p).isEmpty, s"$q must be a narrow projection, found exchange")
+      assert(!p.toString.contains("Join"), s"$q must be join-free")
+    }
+  }
+
+  test("q_length_batches: ONE bucket-keyed exchange serves window AND batch aggregate") {
+    val p = plan("q_length_batches")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1 && keyedOn(bulk.head, "bucket"),
+      s"expected one bucket-keyed exchange (agg reuses the window partitioning):\n" +
+        bulk.mkString("\n"))
+  }
 }
