@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
@@ -151,6 +151,73 @@ object Bpe {
       }
     }
     Merges(merges.result())
+  }
+
+  /**
+   * The marker representation as a pure Catalyst column — the exact
+   * [[repr]] arithmetic expressed with `split`/`transform`/`regexp_replace`
+   * so the whole tokenizer can run INSIDE whole-stage codegen (no
+   * mapPartitions Row boundary). `split(.., -1)` keeps trailing empties,
+   * matching `String.split("\\s+", -1)`.
+   */
+  private def reprCol(text: Column): Column = {
+    val words = split(lower(coalesce(text.cast("string"), lit(""))), "\\s+", -1)
+    val marked = transform(words, w => rtrim(regexp_replace(w, "(.)", "$1@ ")))
+    concat(lit(" "), array_join(marked, "  "))
+  }
+
+  /**
+   * Column-level BPE: the identical sequential replace chain as
+   * [[encode]], but as Catalyst `StringReplace` expressions — Java's
+   * `String.replace` and the expression both substitute left-to-right
+   * non-overlapping, so this is bit-identical to [[tokenize]]'s output
+   * (spec-pinned) while staying inside codegen. Lets BPE counts feed
+   * aggregations ([[fertilityStats]]) and per-segment arithmetic
+   * ([[Chat.sftTokenSpans]]) without a mapPartitions hop.
+   *
+   * Cost is one full-string scan per merge (O(nMerges × doc length),
+   * same as [[encode]]); for large merge lists prefer [[tokenize]] whose
+   * single-pass loop amortizes better, or pre-materialize `bpe_tokens`.
+   */
+  def tokensCol(text: Column, merges: Merges): Column = {
+    val chained = merges.pairs.foldLeft(reprCol(text)) { case (e, (a, b)) =>
+      replace(e, lit(s" $a@ $b@"), lit(s" $a$b@"))
+    }
+    transform(
+      filter(split(chained, " ", -1), t => length(t) > 0),
+      t => t.substr(lit(1), length(t) - 1))
+  }
+
+  /** Subword count per row — [[tokensCol]] collapsed to its length. */
+  def tokenCountCol(text: Column, merges: Merges): Column =
+    size(tokensCol(text, merges)).cast("long")
+
+  /**
+   * Tokenizer fertility report per group (typically the source): subword
+   * tokens per word and (non-whitespace) chars per subword — the standard
+   * diagnostic for how well a vocabulary fits each slice of a multi-source
+   * corpus (a high-fertility source burns training budget; CC-style
+   * pipelines gate on it before mixing). One narrow codegen'd projection
+   * ([[tokenCountCol]]) + one map-side-combining aggregate — no shuffle
+   * beyond the G-row group exchange.
+   *
+   * Output: (group, n_docs, n_words, n_bpe_tokens, n_chars, fertility,
+   * chars_per_token), ratios rounded to 6 dp.
+   */
+  def fertilityStats(df: DataFrame, textCol: String, groupCol: String,
+      merges: Merges): DataFrame = {
+    val t = lower(col(textCol))
+    val nWords = size(filter(split(t, "\\s+", -1), w => length(w) > 0)).cast("long")
+    val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    df.select(col(groupCol), nWords.as("__w"), nChars.as("__c"),
+        tokenCountCol(col(textCol), merges).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_bpe_tokens"),
+        sum(col("__c")).as("n_chars"),
+        round(sum(col("__t")).cast("double") / sum(col("__w")), 6).as("fertility"),
+        round(sum(col("__c")).cast("double") / sum(col("__t")), 6).as("chars_per_token"))
   }
 
   /**

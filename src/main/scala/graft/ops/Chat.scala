@@ -102,6 +102,61 @@ object Chat {
   }
 
   /**
+   * TOKEN-level SFT spans: for every turn of every valid conversation,
+   * the half-open token range its segment (`<|role|>content`) occupies in
+   * the concatenated token sequence, plus the `is_target` flag trainers
+   * turn into the loss mask. This is the deliverable trainers actually
+   * consume — [[lossMaskSpans]]'s CHAR spans require char-to-token
+   * alignment at training time; tokenizing per segment and prefix-summing
+   * the counts (the standard SFT collator contract) removes that step.
+   *
+   * `tokenCount` maps a segment text column to its token count — defaults
+   * to non-empty whitespace tokens; pass
+   * `c => Bpe.tokenCountCol(c, merges)` for real subword budgets. Counts
+   * are defined SEGMENT-WISE (each turn tokenized independently, like
+   * per-turn `tokenizer(text).input_ids` concatenation); a tokenizer run
+   * over the joined template may merge across boundaries — that variant
+   * is exactly what [[lossMaskSpans]]'s char offsets support.
+   *
+   * Same row-local prefix-sum shape as [[lossMaskSpans]]: `aggregate`
+   * over a `slice` of the per-turn count array, one `posexplode`, no
+   * window, no shuffle.
+   *
+   * Output: (id, turn_idx, role, token_start, token_end, is_target), one
+   * row per turn (all roles — trainers need the full segmentation);
+   * `systemPrompt` tokens (when set) shift every span right.
+   */
+  def sftTokenSpans(df: DataFrame, jsonCol: String, idCol: String,
+      systemPrompt: Option[String] = None,
+      tokenCount: Column => Column = whitespaceTokenCount): DataFrame = {
+    val turns = parseTurns(col(jsonCol))
+    val seg = (t: Column) =>
+      concat(lit("<|"), t.getField("role"), lit("|>"), t.getField("content"))
+    val sysTok = systemPrompt
+      .map(s => tokenCount(lit(s"<|system|>$s")).cast("long"))
+      .getOrElse(lit(0L))
+    val cnts = transform(turns, t => tokenCount(seg(t)).cast("long"))
+    val base = df
+      .filter(validTurns(turns))
+      .select(col(idCol), sysTok.as("_sys"), cnts.as("_cnts"),
+        posexplode(turns).as(Seq("turn_idx", "turn")))
+    val prior = coalesce(
+      aggregate(slice(col("_cnts"), lit(1), col("turn_idx")), lit(0L), (a, x) => a + x),
+      lit(0L))
+    val start = col("_sys") + prior
+    base.select(col(idCol), col("turn_idx").cast("long").as("turn_idx"),
+      col("turn.role").as("role"),
+      start.as("token_start"),
+      (start + element_at(col("_cnts"), col("turn_idx") + 1)).as("token_end"),
+      (col("turn.role") === "assistant").as("is_target"))
+  }
+
+  /** Default segment tokenizer: non-empty whitespace tokens of the
+    * lowercased text ([[Text.tokens]] with the blank-segment gate). */
+  def whitespaceTokenCount(c: Column): Column =
+    size(filter(split(lower(c), "\\s+", -1), t => length(t) > 0)).cast("long")
+
+  /**
    * Full ingestion pass: (id, n_turns, valid, chat_text). Invalid or
    * malformed conversations keep their row (n_turns 0 for unparseable)
    * so the drop decision — and its rate — stays observable downstream.

@@ -562,6 +562,126 @@ object Dedup {
   }
 
   /**
+   * Persistable MinHash band index of a corpus: one row per (doc, band)
+   * carrying the band key and the doc's FULL k-component signature — the
+   * state that makes near-dup admission INCREMENTAL. Build once over the
+   * existing corpus, write to parquet; each new batch is admitted against
+   * the index ([[admitNearDups]]) and its own rows appended — the corpus
+   * text is never re-read and never re-shingled. The batch counterpart of
+   * [[graft.streaming.EventStream]]'s streaming MinHash state, and the
+   * near-dup analogue of [[hashIndex]]/[[dedupIncremental]].
+   *
+   * `fastHash = false` uses the md5 hash family ([[minhashSigs]], oracle-
+   * replayable); `true` uses xxhash64 longs ([[minhashSigsFast]], the
+   * production path — same agreement guarantee as [[minhashLshPairs]]).
+   *
+   * Schema: (id, band, sig, mh array) — mh repeats per band (bands is
+   * small); storing it inline keeps the index ONE self-contained table.
+   */
+  def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int, fastHash: Boolean = false): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sh = shingles(df, textCol, idCol, n)
+    val sigs = if (fastHash) minhashSigsFast(sh, idCol, k)
+               else minhashSigs(sh, idCol, k)
+    val mhArr = array((1 to k).map(i => col(s"mh_$i")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows + 1 to (b + 1) * rows).map(i => col(s"mh_$i"))
+      val sig = if (fastHash) xxhash64(cols: _*).cast("string")
+                else concat_ws("|", cols: _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    sigs.select(col(idCol), mhArr.as("mh"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("mh"))
+  }
+
+  /**
+   * Near-duplicate ADMISSION of a new batch against a [[minhashBandIndex]]:
+   * every new doc is flagged dup/novel, with the canonical existing match.
+   * Candidates come from band-key equality against the index; verification
+   * is the MinHash AGREEMENT estimate jhat = |matching components| / k —
+   * the index stores signatures, not shingle sets, which is precisely what
+   * makes admission O(new batch), so the verify step uses the estimator
+   * (the same contract as the streaming twin `streamingMinhashDedup`), not
+   * exact Jaccard. Run [[minhashLshPairs]] WITHIN the batch separately if
+   * intra-batch dups matter.
+   *
+   * Scale shape: the new batch is shingled and signed (narrow, O(batch));
+   * the index side is read pre-bucketed from parquet, degenerate buckets
+   * capped via groupBy-count + broadcast anti-join (the
+   * [[minhashLshPairs]] skew guard); the candidate join is band-keyed.
+   * The full corpus never re-shuffles — only its (band, sig) rows matched
+   * by the batch move. Append `minhashBandIndex(admitted)` rows to the
+   * index parquet to complete the increment.
+   *
+   * Output: one row per new doc — (id, is_dup, dup_of, best_jhat), where
+   * `dup_of` is the min existing id among matches >= tau (ties on the
+   * estimate are irrelevant: min over ALL matches) and `best_jhat` its
+   * strongest agreement; both null for novel docs.
+   */
+  def admitNearDups(newDocs: DataFrame, index: DataFrame, textCol: String,
+      idCol: String, n: Int, k: Int, bands: Int, tau: Double,
+      maxBucket: Int = 1000, fastHash: Boolean = false): DataFrame = {
+    val newIdx = minhashBandIndex(newDocs, textCol, idCol, n, k, bands, fastHash)
+      .select(col(idCol).as("__new_id"), col("band"), col("sig"),
+        col("mh").as("__mh_new"))
+    val overCap = index.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("sig"))
+    val idxCapped = index.join(broadcast(overCap), Seq("band", "sig"), "left_anti")
+      .select(col("band"), col("sig"), col(idCol).as("__ex_id"),
+        col("mh").as("__mh_ex"))
+    val agree = size(filter(
+      zip_with(col("__mh_new"), col("__mh_ex"), (x, y) => x === y),
+      b => b))
+    val matched = newIdx.join(idxCapped, Seq("band", "sig"))
+      .dropDuplicates("__new_id", "__ex_id")
+      .withColumn("__jhat", round(agree.cast("double") / k, 6))
+      .filter(col("__jhat") >= tau)
+      .groupBy(col("__new_id"))
+      .agg(min(col("__ex_id")).as("dup_of"), max(col("__jhat")).as("best_jhat"))
+    newDocs.select(col(idCol))
+      .join(matched.withColumnRenamed("__new_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("best_jhat"))
+  }
+
+  /**
+   * Benchmark-contamination FRACTION per corpus document: the share of the
+   * doc's distinct n-gram shingles that appear anywhere in the held-out
+   * benchmark — the graded signal behind GPT-3/PaLM-style contamination
+   * analyses, where docs are binned or dropped by overlap percentage
+   * rather than [[decontaminate]]'s absolute shingle count (which biases
+   * against long documents). Same join shape as [[decontaminate]]: the
+   * bench shingle set is deduped to one column and broadcast (guarded by
+   * the same hint), the corpus is scanned once; every corpus doc with >= 1
+   * shingle gets a row (clean docs score 0.0).
+   *
+   * Output: (id, n_shingles, n_shared, overlap_frac, flagged) with
+   * `flagged = overlap_frac >= minFrac`.
+   */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int, minFrac: Double,
+      broadcastBench: Boolean = true): DataFrame = {
+    val c = graft.core.CacheScope.autoUnpersist(shingles(corpus, textCol, idCol, n))
+    val b0 = shingles(bench, textCol, idCol, n).select(col("shingle")).distinct()
+    val b = if (broadcastBench) broadcast(b0) else b0
+    val sz = c.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val shared = c.join(b, Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__shared"))
+    sz.join(shared, Seq(idCol), "left")
+      .withColumn("n_shared", coalesce(col("__shared"), lit(0L)))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+      .select(col(idCol), col("n_shingles"), col("n_shared"),
+        col("overlap_frac"), (col("overlap_frac") >= minFrac).as("flagged"))
+  }
+
+  /**
    * Cross-group (e.g. cross-SOURCE) content-overlap matrix: for every pair
    * of groups, the count of shared distinct word n-gram shingles and the
    * set Jaccard — the corpus diagnostic that decides WHERE cross-source

@@ -283,6 +283,40 @@ object Text {
   }
 
   /**
+   * Deterministic multi-epoch training shuffle + shard manifest: for each
+   * epoch e in [0, epochs) every row gets a content-derived shard and a
+   * sortable key — the final "global shuffle" step that turns a curated
+   * corpus into per-epoch training shards, with a DIFFERENT but fully
+   * reproducible permutation per epoch (the salt is `e:id`, never
+   * `rand()`, so re-runs, retries and engines agree row-for-row).
+   *
+   * The order WITHIN a shard is defined by `sort_key` (the md5 itself —
+   * uniform, collision-free in practice, lexicographically sortable):
+   * consumers write with `repartitionByRange($"epoch", $"shard")` +
+   * `sortWithinPartitions($"sort_key")` (or hive-partition by
+   * epoch/shard via [[graft.sources.CorpusIo]]). Deliberately NO
+   * row_number position: a per-shard dense rank would funnel each shard
+   * through one window task — the sort key gives the same ordering
+   * contract shuffle-free.
+   *
+   * Output: (id, epoch, shard, sort_key); one projection + a 1→epochs
+   * explode, no shuffle of its own.
+   */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+      nShards: Int): DataFrame = {
+    require(epochs >= 1 && nShards >= 1, "epochs and nShards must be >= 1")
+    val epoch = explode(array((0 until epochs).map(e => lit(e.toLong)): _*))
+    val h = md5(concat(col("epoch").cast("string"), lit(":"),
+      col(idCol).cast("string")))
+    df.select(col(idCol), epoch.as("epoch"))
+      .withColumn("sort_key", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("sort_key"), 1, 4), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .select(col(idCol), col("epoch"), col("shard"), col("sort_key"))
+  }
+
+  /**
    * Deterministic per-group quota sampling: keep at most `quota` rows per
    * group, chosen by a salted content hash (stable across runs,
    * partitionings and engines — never `rand()`), md5 tiebroken by id.

@@ -415,6 +415,37 @@ object LlmOps extends QueryGroup {
               |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy
               |FROM n WHERE n > 0""".stripMargin)),
 
+    // Deterministic multi-epoch shuffle + shard manifest: per-epoch salted
+    // md5 ordering, shard = hash16 % nShards — the training-egress
+    // ordering, RNG-free and engine-replayable
+    QueryDef("q_epoch_shuffle",
+      (s, dir) => Text.epochShuffle(Tables.load(s, dir, "documents"),
+        "doc_id", epochs = 2, nShards = 8),
+      Some(s"""WITH e AS (SELECT doc_id, unnest(generate_series(0, 1)) AS ep FROM documents)
+              |SELECT doc_id, CAST(ep AS BIGINT) AS epoch,
+              |  CAST(${md5Val16Sql("CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard,
+              |  md5(CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS sort_key
+              |FROM e""".stripMargin)),
+
+    // Tokenizer fertility per source: subwords/word + chars/subword from
+    // the pure-Catalyst BPE column — the vocabulary-fit diagnostic that
+    // gates a source before mixing. The oracle replays the identical
+    // replace-chain tokenizer
+    QueryDef("q_bpe_fertility",
+      (s, dir) => Bpe.fertilityStats(Tables.load(s, dir, "documents"),
+        "text", "source", Bpe.FixedEnglishMerges),
+      Some(s"""WITH b AS (SELECT source, text, ${bpeToksSql("text")} AS bpe FROM documents),
+              |w AS (SELECT source,
+              |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS nw,
+              |    CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS BIGINT) AS nc,
+              |    CAST(len(bpe) AS BIGINT) AS nt
+              |  FROM b)
+              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  SUM(nw) AS n_words, SUM(nt) AS n_bpe_tokens, SUM(nc) AS n_chars,
+              |  ROUND(SUM(nt) * 1.0 / SUM(nw), 6) AS fertility,
+              |  ROUND(SUM(nc) * 1.0 / SUM(nt), 6) AS chars_per_token
+              |FROM w GROUP BY source""".stripMargin)),
+
     // Bigram-LM fluency scoring (the CCNet / KenLM-style quality signal):
     // fit counts on the train slice (doc_id % 10 <> 0), stupid-backoff-
     // score EVERY doc; per-doc mean log-prob rounded to 6 dp
@@ -647,6 +678,29 @@ object LlmOps extends QueryGroup {
               |FROM c JOIN b USING(shingle)
               |GROUP BY c.doc_id
               |HAVING COUNT(DISTINCT c.shingle) >= 5""".stripMargin)),
+
+    // Contamination FRACTION: the graded counterpart of q_decontaminate —
+    // share of each corpus doc's distinct shingles found anywhere in the
+    // benchmark slice; every corpus doc with >= 1 shingle is scored
+    QueryDef("q_contamination_frac",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.contaminationScore(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", n = 3, minFrac = 0.5)
+      },
+      Some(s"""WITH $shinglesCte,
+              |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+              |cz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM c GROUP BY doc_id),
+              |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+              |sj AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+              |  FROM c JOIN b USING(shingle) GROUP BY c.doc_id)
+              |SELECT cz.doc_id, cz.n_shingles,
+              |  COALESCE(sj.n_shared, 0) AS n_shared,
+              |  ROUND(COALESCE(sj.n_shared, 0) * 1.0 / cz.n_shingles, 6) AS overlap_frac,
+              |  ROUND(COALESCE(sj.n_shared, 0) * 1.0 / cz.n_shingles, 6) >= 0.5 AS flagged
+              |FROM cz LEFT JOIN sj USING(doc_id)""".stripMargin)),
 
     // PII scrub with deterministically seeded PII (the synthetic corpus
     // has none), so the masking regexes are exercised cross-engine
@@ -948,6 +1002,44 @@ object LlmOps extends QueryGroup {
               |  FROM cand c JOIN inter USING(doc_a, doc_b)
               |  JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b)
               |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
+
+    // Incremental near-dup ADMISSION: the corpus slice (doc_id % 10 <> 0)
+    // is indexed ONCE (band keys + full signatures); the "new batch"
+    // (doc_id % 10 = 0) is admitted against the index — candidates by band
+    // equality, verified by the signature-agreement estimate jhat =
+    // matches/16 (the index stores signatures, not shingles — that is what
+    // makes admission O(batch)). Every batch doc gets an explicit verdict
+    QueryDef("q_dedup_minhash_admit",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.admitNearDups(
+          docs.filter(col("doc_id") % 10 === 0),
+          Dedup.minhashBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
+            "text", "doc_id", n = 3, k = 16, bands = 4),
+          "text", "doc_id", n = 3, k = 16, bands = 4, tau = 0.4)
+      },
+      Some(s"""WITH $shinglesCte,
+              |mh AS (SELECT doc_id, hi, MIN(md5(CAST(hi AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh CROSS JOIN generate_series(1, 16) g(hi) GROUP BY doc_id, hi),
+              |bs AS (SELECT doc_id, (hi - 1) // 4 AS band, string_agg(mh, '|' ORDER BY hi) AS sig
+              |  FROM mh GROUP BY doc_id, (hi - 1) // 4),
+              |ix AS (SELECT * FROM bs WHERE doc_id % 10 <> 0),
+              |nb AS (SELECT * FROM bs WHERE doc_id % 10 = 0),
+              |cap AS (SELECT band, sig FROM ix GROUP BY band, sig HAVING COUNT(*) > 1000),
+              |ixf AS (SELECT ix.* FROM ix LEFT JOIN cap USING(band, sig) WHERE cap.band IS NULL),
+              |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS ex_id
+              |  FROM nb n JOIN ixf c USING(band, sig)),
+              |ag AS (SELECT cand.new_id, cand.ex_id,
+              |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS jhat
+              |  FROM cand
+              |  JOIN mh a ON a.doc_id = cand.new_id
+              |  JOIN mh b ON b.doc_id = cand.ex_id AND b.hi = a.hi
+              |  GROUP BY cand.new_id, cand.ex_id),
+              |m AS (SELECT new_id, MIN(ex_id) AS dup_of, MAX(jhat) AS best_jhat
+              |  FROM ag WHERE jhat >= 0.4 GROUP BY new_id)
+              |SELECT d.doc_id, (m.dup_of IS NOT NULL) AS is_dup, m.dup_of, m.best_jhat
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              |LEFT JOIN m ON m.new_id = d.doc_id""".stripMargin)),
 
     // Pair -> group resolution: connected components over the near-dup pair
     // graph, canonical id = component minimum (iterative min-label
@@ -1665,6 +1757,104 @@ object LlmOps extends QueryGroup {
              |  CAST(seg_start + length(role) + 4 AS BIGINT) AS span_start,
              |  CAST(seg_start + length(role) + 4 + length(content) AS BIGINT) AS span_end
              |FROM o WHERE role = 'assistant'""".stripMargin)),
+
+    // TOKEN-level SFT spans (whitespace tokenizer): per turn, the
+    // half-open token range of its `<|role|>content` segment in the
+    // concatenated sequence + the is_target flag — the collator contract
+    // trainers consume directly. Same seeded conversations; the oracle
+    // prefix-sums per-segment token counts with a window
+    QueryDef("q_sft_token_spans",
+      (s, dir) => {
+        val ts = split(lower(col("text")), "\\s+")
+        val c1 = concat(lit("please summarize: "), array_join(slice(ts, 1, 8), " "))
+        val c2 = array_join(slice(ts, 1, 5), " ")
+        val r1 = when(col("doc_id") % 7 === 0, lit("assistant")).otherwise(lit("user"))
+        val js = concat(
+          lit("[{\"role\":\""), r1, lit("\",\"content\":\""), c1,
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), c2,
+          lit("\"},{\"role\":\"user\",\"content\":\"thanks\"}]"))
+        Chat.sftTokenSpans(
+          Tables.load(s, dir, "documents").withColumn("conv_json", js),
+          "conv_json", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+             |b AS (SELECT doc_id,
+             |    'please summarize: ' || array_to_string(ts[1:8], ' ') AS c1,
+             |    array_to_string(ts[1:5], ' ') AS c2,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'assistant' ELSE 'user' END AS r1
+             |  FROM t),
+             |j AS (SELECT doc_id,
+             |    '[{"role":"' || r1 || '","content":"' || c1 ||
+             |    '"},{"role":"assistant","content":"' || c2 ||
+             |    '"},{"role":"user","content":"thanks"}]' AS js
+             |  FROM b WHERE r1 = 'user'),
+             |u AS (SELECT doc_id, js,
+             |    unnest(generate_series(0, CAST(json_array_length(js) AS INT) - 1)) AS i
+             |  FROM j),
+             |seg AS (SELECT doc_id, i,
+             |    json_extract_string(js, '$[' || i || '].role') AS role,
+             |    json_extract_string(js, '$[' || i || '].content') AS content
+             |  FROM u),
+             |l AS (SELECT doc_id, i, role,
+             |    CAST(len(list_filter(regexp_split_to_array(
+             |      lower('<|' || role || '|>' || content), '\s+'), x -> x <> '')) AS BIGINT) AS cnt
+             |  FROM seg),
+             |o AS (SELECT doc_id, i, role, cnt,
+             |    COALESCE(SUM(cnt) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+             |  FROM l)
+             |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, role,
+             |  tok_start AS token_start, tok_start + cnt AS token_end,
+             |  role = 'assistant' AS is_target
+             |FROM o""".stripMargin)),
+
+    // The same spans under the BPE tokenizer (Bpe.tokenCountCol — the
+    // pure-Catalyst replace-chain twin of Bpe.tokenize), so the mask is in
+    // REAL subword units; the oracle swaps in the replace-chain token list
+    QueryDef("q_sft_token_spans_bpe",
+      (s, dir) => {
+        val ts = split(lower(col("text")), "\\s+")
+        val c1 = concat(lit("please summarize: "), array_join(slice(ts, 1, 8), " "))
+        val c2 = array_join(slice(ts, 1, 5), " ")
+        val r1 = when(col("doc_id") % 7 === 0, lit("assistant")).otherwise(lit("user"))
+        val js = concat(
+          lit("[{\"role\":\""), r1, lit("\",\"content\":\""), c1,
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), c2,
+          lit("\"},{\"role\":\"user\",\"content\":\"thanks\"}]"))
+        Chat.sftTokenSpans(
+          Tables.load(s, dir, "documents").withColumn("conv_json", js),
+          "conv_json", "doc_id",
+          tokenCount = c => Bpe.tokenCountCol(c, Bpe.FixedEnglishMerges))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+             |b AS (SELECT doc_id,
+             |    'please summarize: ' || array_to_string(ts[1:8], ' ') AS c1,
+             |    array_to_string(ts[1:5], ' ') AS c2,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'assistant' ELSE 'user' END AS r1
+             |  FROM t),
+             |j AS (SELECT doc_id,
+             |    '[{"role":"' || r1 || '","content":"' || c1 ||
+             |    '"},{"role":"assistant","content":"' || c2 ||
+             |    '"},{"role":"user","content":"thanks"}]' AS js
+             |  FROM b WHERE r1 = 'user'),
+             |u AS (SELECT doc_id, js,
+             |    unnest(generate_series(0, CAST(json_array_length(js) AS INT) - 1)) AS i
+             |  FROM j),
+             |seg AS (SELECT doc_id, i,
+             |    json_extract_string(js, '$$[' || i || '].role') AS role,
+             |    json_extract_string(js, '$$[' || i || '].content') AS content
+             |  FROM u),
+             |l AS (SELECT doc_id, i, role,
+             |    CAST(len(${bpeToksSql("'<|' || role || '|>' || content")}) AS BIGINT) AS cnt
+             |  FROM seg),
+             |o AS (SELECT doc_id, i, role, cnt,
+             |    COALESCE(SUM(cnt) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+             |  FROM l)
+             |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, role,
+             |  tok_start AS token_start, tok_start + cnt AS token_end,
+             |  role = 'assistant' AS is_target
+             |FROM o""".stripMargin)),
 
     // Count-min-sketch heavy hitters over the event stream's user keys:
     // depth-3 × width-256 salted-md5 sketch, estimate = min over rows,

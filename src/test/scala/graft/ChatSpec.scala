@@ -84,4 +84,45 @@ class ChatSpec extends SparkSpec {
       (2L, """not json""")).toDF("id", "conv")
     assert(graft.ops.Chat.lossMaskSpans(df, "conv", "id").count() == 0L)
   }
+
+  test("sftTokenSpans: contiguous cover, segment-wise counts, assistant targets") {
+    import spark.implicits._
+    val js = """[{"role":"user","content":"what is two plus two"},""" +
+      """{"role":"assistant","content":"it is four"},""" +
+      """{"role":"user","content":"thanks a lot"},""" +
+      """{"role":"assistant","content":"welcome"}]"""
+    val df = Seq((1L, js)).toDF("id", "conv")
+    val rows = Chat.sftTokenSpans(df, "conv", "id", Some("be brief"))
+      .orderBy("turn_idx").collect()
+    assert(rows.length == 4)
+    // spans tile contiguously after the system-prompt offset
+    val sysTok = 2L // "<|system|>be" "brief" — header glues to first word
+    assert(rows.head.getLong(3) == sysTok)
+    for (i <- 1 until rows.length)
+      assert(rows(i).getLong(3) == rows(i - 1).getLong(4),
+        s"gap between turn ${i - 1} and $i")
+    // each width equals the whitespace token count of "<|role|>content"
+    val widths = rows.map(r => r.getLong(4) - r.getLong(3)).toSeq
+    assert(widths == Seq(5L, 3L, 3L, 1L))
+    // is_target marks exactly the assistant turns
+    assert(rows.map(_.getBoolean(5)).toSeq == Seq(false, true, false, true))
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("user", "assistant", "user", "assistant"))
+  }
+
+  test("sftTokenSpans under BPE counts: widths equal Bpe.encode segment lengths") {
+    import spark.implicits._
+    import graft.ops.Bpe
+    val js = """[{"role":"user","content":"the thing hereof"},""" +
+      """{"role":"assistant","content":"another then"}]"""
+    val df = Seq((1L, js)).toDF("id", "conv")
+    val rows = Chat.sftTokenSpans(df, "conv", "id",
+        tokenCount = c => Bpe.tokenCountCol(c, Bpe.FixedEnglishMerges))
+      .orderBy("turn_idx").collect()
+    val segs = Seq("<|user|>the thing hereof", "<|assistant|>another then")
+    val want = segs.map(s => Bpe.encode(s, Bpe.FixedEnglishMerges).length.toLong)
+    assert(rows.map(r => r.getLong(4) - r.getLong(3)).toSeq == want)
+    assert(rows.head.getLong(3) == 0L &&
+      rows(1).getLong(3) == rows.head.getLong(4))
+  }
 }

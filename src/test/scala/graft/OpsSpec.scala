@@ -859,6 +859,118 @@ class OpsSpec extends SparkSpec {
     assert(exact == Set(11L, 13L))
   }
 
+  test("Bpe.tokensCol equals Bpe.tokenize, fixed AND fitted merges") {
+    import graft.ops.Bpe
+    val real = graft.core.Tables.load(spark, sf, "documents")
+    val fitted = Bpe.fit(real, "text", nMerges = 30)
+    for (m <- Seq(Bpe.FixedEnglishMerges, fitted)) {
+      val viaMap = Bpe.tokenize(real, "text", "doc_id", m)
+        .select(col("doc_id"), col("bpe_tokens"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val viaCol = real.select(col("doc_id"),
+          Bpe.tokensCol(col("text"), m).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(viaCol == viaMap,
+        s"catalyst replace chain diverged from String.replace (merges=${m.size})")
+    }
+  }
+
+  test("fertilityStats: more merges never raise token counts; ratios consistent") {
+    import graft.ops.Bpe
+    val real = graft.core.Tables.load(spark, sf, "documents")
+    val none = Bpe.fertilityStats(real, "text", "source", Bpe.Merges(Seq.empty))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val some = Bpe.fertilityStats(real, "text", "source", Bpe.FixedEnglishMerges)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(none.keySet == some.keySet && none.nonEmpty)
+    for ((src, r0) <- none) {
+      val r1 = some(src)
+      // zero merges => one token per char: n_bpe_tokens == n_chars
+      assert(r0.getLong(3) == r0.getLong(4))
+      // merging only ever shrinks the token stream
+      assert(r1.getLong(3) <= r0.getLong(3))
+      // fertility = tokens/words to 6 dp
+      val fert = BigDecimal(r1.getLong(3).toDouble / r1.getLong(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r1.getDouble(5) - fert) < 2e-6)
+    }
+  }
+
+  test("minhash admission: exact copy admitted as dup, novel text passes") {
+    val corpus = docs
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"), // copy of 1/4
+      (12L, "entirely novel words that never appeared before anywhere else today")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(corpus, "text", "doc_id", n = 3, k = 16, bands = 4)
+    val out = Dedup.admitNearDups(batch, idx, "text", "doc_id",
+        n = 3, k = 16, bands = 4, tau = 0.4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(11L).getBoolean(1) && out(11L).getLong(2) == 1L &&
+      out(11L).getDouble(3) == 1.0)
+    assert(!out(12L).getBoolean(1) && out(12L).isNullAt(2))
+    // fast-hash family: same verdict on the exact copy
+    val idxF = Dedup.minhashBandIndex(corpus, "text", "doc_id", 3, 16, 4, fastHash = true)
+    val outF = Dedup.admitNearDups(batch, idxF, "text", "doc_id",
+        3, 16, 4, 0.4, fastHash = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(outF(11L).getBoolean(1) && outF(11L).getDouble(3) == 1.0)
+    assert(!outF(12L).getBoolean(1))
+  }
+
+  test("minhash index is incremental: union of parts equals whole") {
+    val part1 = docs.filter(col("doc_id") <= 3)
+    val part2 = docs.filter(col("doc_id") > 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getSeq[String](3))).toSet
+    val whole = canon(Dedup.minhashBandIndex(docs, "text", "doc_id", 3, 16, 4))
+    val parts = canon(Dedup.minhashBandIndex(part1, "text", "doc_id", 3, 16, 4)
+      .union(Dedup.minhashBandIndex(part2, "text", "doc_id", 3, 16, 4)))
+    assert(whole == parts) // signatures are content-derived, never corpus-derived
+  }
+
+  test("epochShuffle: per-epoch permutation, deterministic, epochs differ") {
+    val real = graft.core.Tables.load(spark, sf, "documents")
+    val n = real.count()
+    val out = Text.epochShuffle(real, "doc_id", epochs = 2, nShards = 8)
+    val rows = out.collect()
+    assert(rows.length == 2 * n)
+    // each epoch covers every doc exactly once; shards in range
+    for (e <- 0 to 1)
+      assert(rows.count(_.getLong(1) == e) == n)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8))
+    // sort keys are distinct (a true ordering) and epochs order differently
+    assert(rows.map(_.getString(3)).distinct.length == rows.length)
+    def order(e: Int) = rows.filter(_.getLong(1) == e)
+      .sortBy(_.getString(3)).map(_.getLong(0)).toSeq
+    assert(order(0) != order(1))
+    // determinism: a second evaluation is row-identical
+    val again = Text.epochShuffle(real, "doc_id", 2, 8).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("contaminationScore: self-contamination is 1.0, disjoint is 0.0") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(docs, bench, "text", "doc_id",
+        n = 3, minFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1 and 4 ARE the bench doc: every shingle shared
+    assert(out(1L).getDouble(3) == 1.0 && out(1L).getBoolean(4))
+    assert(out(4L).getDouble(3) == 1.0)
+    // doc 3 shares nothing; scored 0, unflagged — but still present
+    assert(out(3L).getLong(2) == 0L && out(3L).getDouble(3) == 0.0 &&
+      !out(3L).getBoolean(4))
+    // near-dup doc 2 sits strictly between
+    assert(out(2L).getDouble(3) > 0.0 && out(2L).getDouble(3) < 1.0)
+    // n_shared agrees with decontaminate's absolute count where both emit
+    val dec = Dedup.decontaminate(docs, bench, "text", "doc_id", 3, minOverlap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, r) <- out if r.getLong(2) > 0)
+      assert(dec(id) == r.getLong(2))
+  }
+
   test("pageRank: uniform on a cycle, hub dominates a star") {
     import graft.ops.Graph
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
