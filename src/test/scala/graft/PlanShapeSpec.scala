@@ -292,4 +292,47 @@ class PlanShapeSpec extends SparkSpec {
       s"expected one bucket-keyed exchange (agg reuses the window partitioning):\n" +
         bulk.mkString("\n"))
   }
+
+  test("epoch shuffle and SFT token spans are shuffle-free projections") {
+    // the training-egress manifest and the collator spans are row-local by
+    // design: a window-based position (or an explode-then-window) would
+    // funnel shards/conversations through single tasks at 100 TB
+    for (q <- Seq("q_epoch_shuffle", "q_sft_token_spans", "q_sft_token_spans_bpe")) {
+      val p = plan(q)
+      assert(shuffles(p).isEmpty, s"$q must be a narrow projection, found exchange")
+      assert(!p.toString.contains("Join"), s"$q must be join-free")
+    }
+  }
+
+  test("q_bpe_fertility: one source-keyed aggregate exchange, nothing else") {
+    val p = plan("q_bpe_fertility")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1 && keyedOn(bulk.head, "source"),
+      s"fertility must be a single map-side-combining aggregate:\n${bulk.mkString("\n")}")
+    assert(!p.toString.contains("Join"), "fertility must be join-free")
+  }
+
+  test("q_contamination_frac: corpus shingles never exchange on the shingle") {
+    val p = plan("q_contamination_frac")
+    // the only shingle-keyed shuffle allowed is the bench-side distinct,
+    // which terminates in the BroadcastExchange — the corpus side joins
+    // the benchmark set by broadcast, never by a shingle-keyed exchange
+    val bulkOnShingle = shuffles(p).filterNot(underBroadcast(p))
+      .filter(keyedOn(_, "shingle"))
+    assert(bulkOnShingle.isEmpty,
+      s"corpus must not shuffle on shingle:\n${bulkOnShingle.mkString("\n")}")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the bench shingle set must broadcast")
+  }
+
+  test("q_dedup_minhash_admit: broadcast cap, equi-joins only, no cartesian") {
+    val p = plan("q_dedup_minhash_admit")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "admission must stay equi-join shaped")
+    // the over-cap bucket list joins as a broadcast anti-join (the skew guard)
+    val anti = p.collect { case j: BroadcastHashJoinExec
+        if j.joinType.toString.toLowerCase.contains("anti") => j }
+    assert(anti.nonEmpty, s"expected the maxBucket broadcast anti-join in:\n$s")
+  }
 }
