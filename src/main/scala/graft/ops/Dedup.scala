@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -648,6 +648,78 @@ object Dedup {
       .join(matched.withColumnRenamed("__new_id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"), col("best_jhat"))
+  }
+
+  /**
+   * [[minhashBandIndex]] packed one row per (band, sig) bucket — members
+   * as an inline array — the serving layout that lets [[admitNearDupsPacked]]
+   * resolve admission with NO aggregation after the join, which is what
+   * makes the identical plan run as a stream-static query in Structured
+   * Streaming append mode (the [[graft.ops.Vectors.packedIndex]] /
+   * asofLookupJoin house pattern). Buckets over `maxBucket` members are
+   * dropped whole — the same degenerate-cluster cap as [[admitNearDups]]'s
+   * broadcast anti-join, applied at pack time (once, not per batch).
+   */
+  def packedAdmitIndex(index: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame =
+    index.groupBy(col("band"), col("sig"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("mh"))).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+
+  /**
+   * Near-dup admission against a [[packedAdmitIndex]] — IDENTICAL verdicts
+   * to [[admitNearDups]] (spec-pinned), but expressed as `bands`
+   * stream-static-legal left equi-joins plus row-local array folds:
+   *
+   *  - signatures are computed IN-ROW (`array_min` over the doc's shingle
+   *    array — same hash families as [[minhashSigs]]/[[minhashSigsFast]]),
+   *    no groupBy;
+   *  - each band joins its own slice of the packed index (left outer,
+   *    stream on the left — append-mode legal);
+   *  - candidates from all bands concatenate in-row; jhat, the tau filter,
+   *    min-id dup_of and max best_jhat are array HOFs — no post-join
+   *    aggregation, no state, no watermark.
+   *
+   * Pass a STREAMING `docs` and the result is a streaming admission feed;
+   * pass a batch frame and it is a batch operator. Docs with < n tokens
+   * have no shingles and come out novel (batch parity).
+   */
+  def admitNearDupsPacked(docs: DataFrame, packed: DataFrame, textCol: String,
+      idCol: String, n: Int, k: Int, bands: Int, tau: Double,
+      fastHash: Boolean = false): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sh = graft.functions.WordShingles.wordShingles(col(textCol), n)
+    def mhI(i: Int): Column =
+      if (fastHash) array_min(transform(sh, s => xxhash64(lit(i), s)))
+      else array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+    val mhArr = array((1 to k).map(mhI): _*)
+    def sigOf(b: Int): Column = {
+      val cols = (b * rows until (b + 1) * rows).map(i => col("__mh")(i))
+      if (fastHash) xxhash64(cols: _*).cast("string")
+      else concat_ws("|", cols: _*)
+    }
+    val memType = packed.schema("members").dataType
+    var cur = docs.select(col(idCol), mhArr.as("__mh"))
+    cur = cur.select(Seq(col(idCol), col("__mh")) ++
+      (0 until bands).map(b => sigOf(b).as(s"__sig_$b")): _*)
+    (0 until bands).foreach { b =>
+      val side = packed.filter(col("band") === b)
+        .select(col("sig").as(s"__psig_$b"), col("members").as(s"__mem_$b"))
+      cur = cur.join(side, cur(s"__sig_$b") === side(s"__psig_$b"), "left")
+    }
+    val allMem = concat((0 until bands).map(b =>
+      coalesce(col(s"__mem_$b"), array().cast(memType))): _*)
+    val cands = transform(allMem, m => struct(
+      m.getField("id").as("id"),
+      round(size(filter(zip_with(col("__mh"), m.getField("mh"),
+        (x, y) => x === y), v => v)).cast("double") / k, 6).as("jhat")))
+    val hits = filter(cands, c => c.getField("jhat") >= tau)
+    cur.select(col(idCol), col("__mh"), hits.as("__hits"))
+      .select(col(idCol),
+        (size(col("__hits")) > 0).as("is_dup"),
+        array_min(transform(col("__hits"), _.getField("id"))).as("dup_of"),
+        array_max(transform(col("__hits"), _.getField("jhat"))).as("best_jhat"))
   }
 
   /**

@@ -1041,6 +1041,43 @@ object LlmOps extends QueryGroup {
               |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
               |LEFT JOIN m ON m.new_id = d.doc_id""".stripMargin)),
 
+    // The PACKED admission path: one row per index bucket, candidates
+    // resolved by row-local array folds after stream-static-legal left
+    // joins — the same verdicts through a state-free plan that runs
+    // unchanged on a streaming batch (StreamingSpec parity). Same oracle.
+    QueryDef("q_dedup_minhash_admit_packed",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.admitNearDupsPacked(
+          docs.filter(col("doc_id") % 10 === 0),
+          Dedup.packedAdmitIndex(
+            Dedup.minhashBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
+              "text", "doc_id", n = 3, k = 16, bands = 4), "doc_id"),
+          "text", "doc_id", n = 3, k = 16, bands = 4, tau = 0.4)
+      },
+      Some(s"""WITH $shinglesCte,
+              |mh AS (SELECT doc_id, hi, MIN(md5(CAST(hi AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh CROSS JOIN generate_series(1, 16) g(hi) GROUP BY doc_id, hi),
+              |bs AS (SELECT doc_id, (hi - 1) // 4 AS band, string_agg(mh, '|' ORDER BY hi) AS sig
+              |  FROM mh GROUP BY doc_id, (hi - 1) // 4),
+              |ix AS (SELECT * FROM bs WHERE doc_id % 10 <> 0),
+              |nb AS (SELECT * FROM bs WHERE doc_id % 10 = 0),
+              |cap AS (SELECT band, sig FROM ix GROUP BY band, sig HAVING COUNT(*) > 1000),
+              |ixf AS (SELECT ix.* FROM ix LEFT JOIN cap USING(band, sig) WHERE cap.band IS NULL),
+              |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS ex_id
+              |  FROM nb n JOIN ixf c USING(band, sig)),
+              |ag AS (SELECT cand.new_id, cand.ex_id,
+              |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS jhat
+              |  FROM cand
+              |  JOIN mh a ON a.doc_id = cand.new_id
+              |  JOIN mh b ON b.doc_id = cand.ex_id AND b.hi = a.hi
+              |  GROUP BY cand.new_id, cand.ex_id),
+              |m AS (SELECT new_id, MIN(ex_id) AS dup_of, MAX(jhat) AS best_jhat
+              |  FROM ag WHERE jhat >= 0.4 GROUP BY new_id)
+              |SELECT d.doc_id, (m.dup_of IS NOT NULL) AS is_dup, m.dup_of, m.best_jhat
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              |LEFT JOIN m ON m.new_id = d.doc_id""".stripMargin)),
+
     // Pair -> group resolution: connected components over the near-dup pair
     // graph, canonical id = component minimum (iterative min-label
     // propagation; the oracle closes the same graph with a recursive CTE)

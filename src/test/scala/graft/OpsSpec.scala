@@ -918,6 +918,27 @@ class OpsSpec extends SparkSpec {
     assert(!outF(12L).getBoolean(1))
   }
 
+  test("packed admission equals the aggregation-based admission, both hash families") {
+    val real = graft.core.Tables.load(spark, sf, "documents")
+    val corpus = real.filter(col("doc_id") % 10 =!= 0)
+    val batch = real.filter(col("doc_id") % 10 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    for (fast <- Seq(false, true)) {
+      val idx = Dedup.minhashBandIndex(corpus, "text", "doc_id", 3, 16, 4,
+        fastHash = fast)
+      val agg = canon(Dedup.admitNearDups(batch, idx, "text", "doc_id",
+        3, 16, 4, 0.4, fastHash = fast))
+      val packed = canon(Dedup.admitNearDupsPacked(batch,
+        Dedup.packedAdmitIndex(idx, "doc_id"), "text", "doc_id",
+        3, 16, 4, 0.4, fastHash = fast))
+      assert(packed == agg, s"fastHash=$fast verdicts diverged")
+      assert(agg.exists(_._2), "expected at least one admitted dup on the corpus")
+    }
+  }
+
   test("minhash index is incremental: union of parts equals whole") {
     val part1 = docs.filter(col("doc_id") <= 3)
     val part2 = docs.filter(col("doc_id") > 3)

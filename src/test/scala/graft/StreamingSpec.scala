@@ -603,4 +603,38 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(r => r.getSeq[String](2).size == 5))
     } finally q.stop()
   }
+
+  test("stream-static packed admission equals the batch admission verdicts") {
+    import graft.ops.Dedup
+    val dir = Files.createTempDirectory("graft_admit_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val all = graft.core.Tables.load(spark, sf, "documents")
+    val corpus = all.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+    val packed = Dedup.packedAdmitIndex(
+      Dedup.minhashBandIndex(corpus, "text", "doc_id", 3, 16, 4, fastHash = true),
+      "doc_id")
+    // the packed index is static; the NEW batch arrives as a stream — the
+    // very same operator call, now planned as stream-static left joins
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+      .filter("doc_id % 10 = 0")
+    val q = Dedup.admitNearDupsPacked(docsStream, packed, "text", "doc_id",
+        3, 16, 4, 0.4, fastHash = true)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("admit_stream").start()
+    try {
+      q.processAllAvailable()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+      val got = canon(spark.sql("SELECT * FROM admit_stream").collect())
+      val want = canon(Dedup.admitNearDupsPacked(
+        all.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        packed, "text", "doc_id", 3, 16, 4, 0.4, fastHash = true).collect())
+      assert(got == want && got.exists(_._2))
+    } finally q.stop()
+  }
 }
