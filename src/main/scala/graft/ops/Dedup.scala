@@ -754,6 +754,33 @@ object Dedup {
   }
 
   /**
+   * Corpus snapshot diff: every doc id across two corpus versions gets a
+   * status — `added` (new only), `removed` (old only), `changed` (both,
+   * content hash differs), `unchanged` — the audit primitive behind
+   * incremental reprocessing ("run the pipeline on added+changed only")
+   * and release notes between corpus versions. Content equality is
+   * md5-of-text (byte-level; pre-normalize upstream if whitespace changes
+   * shouldn't count).
+   *
+   * Scale shape: each side reduces to (id, 16-byte hash) map-side before
+   * the id-keyed full-outer join — document bodies never shuffle. For a
+   * RECURRING diff, write both snapshots `bucketBy(n, id)`
+   * ([[graft.sources.Bucketed]]) and the join plans with zero exchanges.
+   */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol).cast("string")).as("old_hash"))
+    val nw = newDf.select(col(idCol), md5(col(textCol).cast("string")).as("new_hash"))
+    o.join(nw, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") === col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_hash"), col("new_hash"))
+  }
+
+  /**
    * Cross-group (e.g. cross-SOURCE) content-overlap matrix: for every pair
    * of groups, the count of shared distinct word n-gram shingles and the
    * set Jaccard — the corpus diagnostic that decides WHERE cross-source

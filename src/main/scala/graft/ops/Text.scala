@@ -317,6 +317,29 @@ object Text {
   }
 
   /**
+   * Per-group score calibration: each row's score becomes its
+   * percent-rank WITHIN its group (source), so a single global threshold
+   * ("keep the top 30%") cuts every source at the same quantile instead
+   * of letting one verbose source dominate — the standard fix for
+   * heterogeneous quality-score distributions across corpus sources
+   * (CCNet applies its LM threshold per language/shard for the same
+   * reason). Deterministic: ties break on the id.
+   *
+   * Output: input keys + (score, pct_rank in [0,1], rounded 6 dp). One
+   * window pass keyed on the group — at 100 TB the same per-source
+   * shuffle any per-source processing needs; no global sort.
+   */
+  def calibrateScores(df: DataFrame, scoreCol: String, groupCols: Seq[String],
+      idCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol), col(idCol))
+    df.select((groupCols :+ idCol :+ scoreCol).map(col): _*)
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
+  /**
    * Deterministic per-group quota sampling: keep at most `quota` rows per
    * group, chosen by a salted content hash (stable across runs,
    * partitionings and engines — never `rand()`), md5 tiebroken by id.

@@ -446,6 +446,47 @@ object LlmOps extends QueryGroup {
               |  ROUND(SUM(nc) * 1.0 / SUM(nt), 6) AS chars_per_token
               |FROM w GROUP BY source""".stripMargin)),
 
+    // Corpus snapshot diff: the old snapshot is the full documents table;
+    // the "new" snapshot deterministically drops every 7th doc, edits
+    // every 5th (suffix append), and adds shifted ids for every 11th —
+    // exercising all four statuses
+    QueryDef("q_corpus_diff",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        Dedup.corpusDiff(docs, newSnap, "text", "doc_id")
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+             |n0 AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+             |n AS (SELECT doc_id, md5(text) AS new_hash FROM n0)
+             |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+             |       ELSE 'changed' END AS status,
+             |  o.old_hash, n.new_hash
+             |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin)),
+
+    // Per-source score calibration: percent-rank of n_chars within each
+    // source — the per-source-quantile threshold trick (one verbose
+    // source can no longer monopolize a global cut)
+    QueryDef("q_quality_calibrate",
+      (s, dir) => Text.calibrateScores(Tables.load(s, dir, "documents"),
+        "n_chars", Seq("source"), "doc_id"),
+      Some("""SELECT source, doc_id, n_chars,
+             |  ROUND(PERCENT_RANK() OVER (
+             |    PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pct_rank
+             |FROM documents""".stripMargin)),
+
     // Bigram-LM fluency scoring (the CCNet / KenLM-style quality signal):
     // fit counts on the train slice (doc_id % 10 <> 0), stupid-backoff-
     // score EVERY doc; per-doc mean log-prob rounded to 6 dp

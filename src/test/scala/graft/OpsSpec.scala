@@ -992,6 +992,30 @@ class OpsSpec extends SparkSpec {
       assert(dec(id) == r.getLong(2))
   }
 
+  test("corpusDiff: all four statuses, bodies compared by hash") {
+    val oldSnap = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "alpha"), (2L, "bravo EDITED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val d = Dedup.corpusDiff(oldSnap, newSnap, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("calibrateScores: per-group percent ranks, id tiebreak, [0,1]") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0), ("a", 4L, 40.0),
+      ("b", 5L, 999.0)).toDF("source", "doc_id", "score")
+    val out = Text.calibrateScores(df, "score", Seq("source"), "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // group a: ranks 1..4 -> (rank-1)/3; the tie at 20.0 breaks on id
+    assert(out(1L) == 0.0 && math.abs(out(2L) - 1.0 / 3) < 1e-6 &&
+      math.abs(out(3L) - 2.0 / 3) < 1e-6 && out(4L) == 1.0)
+    // singleton group is 0 (no peer set to rank against), not NaN
+    assert(out(5L) == 0.0)
+  }
+
   test("pageRank: uniform on a cycle, hub dominates a star") {
     import graft.ops.Graph
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")

@@ -325,6 +325,26 @@ class PlanShapeSpec extends SparkSpec {
       "the bench shingle set must broadcast")
   }
 
+  test("q_quality_calibrate: one source-keyed exchange, no global sort") {
+    val p = plan("q_quality_calibrate")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1 && keyedOn(bulk.head, "source"),
+      s"calibration must shuffle once on the group key:\n${bulk.mkString("\n")}")
+    assert(!p.toString.contains("rangepartitioning"),
+      "percent_rank must not plan a global sort")
+  }
+
+  test("q_corpus_diff: id-keyed equi-join over hashes, never a cartesian") {
+    val p = plan("q_corpus_diff")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"))
+    // both sides reduce to (id, hash) projections below the join — the md5
+    // appears under the join, so document bodies never cross the exchange
+    val smj = p.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty && smj.forall(j =>
+      j.leftKeys.flatMap(_.references).forall(_.name == "doc_id")))
+  }
+
   test("q_dedup_minhash_admit: broadcast cap, equi-joins only, no cartesian") {
     val p = plan("q_dedup_minhash_admit")
     val s = p.toString
