@@ -597,14 +597,18 @@ object Text {
    * uppercase-start flag. A doc is "quality" when it looks like prose:
    * some stopwords, low repetition.
    */
-  def qualityScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def qualityScore(df: DataFrame, textCol: String, idCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = tokens(col(textCol))
     val stopArr = array(Stopwords.map(lit): _*)
     val nStop = size(filter(t, x => array_contains(stopArr, x)))
-    df.select(col(idCol),
-      length(col(textCol)).cast("long").as("n_chars_m"),
-      round(nStop.cast("double") / size(t), 6).as("stop_ratio"),
-      round(size(array_distinct(t)).cast("double") / size(t), 6).as("distinct_ratio"))
+    // `carry` keeps payload columns (e.g. the text itself) in the output so
+    // a downstream gate needs no join back — the scores stay one narrow
+    // projection either way
+    df.select(col(idCol) +: carry.map(col) :+
+      length(col(textCol)).cast("long").as("n_chars_m") :+
+      round(nStop.cast("double") / size(t), 6).as("stop_ratio") :+
+      round(size(array_distinct(t)).cast("double") / size(t), 6).as("distinct_ratio"): _*)
   }
 
   /**

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.{Dedup, Fuzzy, Text, Urls}
+import org.apache.spark.sql.Column
 
 /**
  * Web-corpus curation operators: Unicode normalization, markup stripping,
@@ -48,7 +49,106 @@ object CurationQ extends QueryGroup {
     "WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END || " +
     "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END"
 
+  /** Fixed boilerplate document seeded onto every doc_id % 10 == 9 for the
+    * e2e pipeline's dedup stage (the corpus has no natural byte-exact
+    * dups): long enough to clear the length gate, stopword-rich enough to
+    * clear the quality gate, apostrophe-free so the SQL literal is
+    * identical. */
+  private val BoilerDoc: String =
+    "the terms of service and the privacy policy of this site apply to " +
+    "all of the content on a page and the use of the data is subject to " +
+    "the rules of the site in all cases and is provided on a best effort " +
+    "basis to the users of the service"
+
   def queries: Seq[QueryDef] = Seq(
+
+    // The curation pipeline composed END-TO-END: boilerplate-seeded corpus
+    // -> markup strip -> PII seed + scrub -> NFC normalize -> quality gate
+    // (stop ratio + length) -> exact dedup (keep min id) -> hash split.
+    // One hash-matched query proving the curation operators compose with
+    // no schema or normalization surprises — the q_llm_e2e counterpart for
+    // the cleaning half of the pipeline. Every stage is the SAME operator
+    // (and the same oracle fragment) already pinned individually.
+    QueryDef("q_curation_e2e",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("text",
+            when(col("doc_id") % 10 === 9, lit(BoilerDoc)).otherwise(col("text")))
+          .withColumn("html", concat(lit(MarkupPre), col("text"), lit(MarkupPost)))
+        val stripped = Text.stripMarkup(docs, "html", "doc_id")
+        val seeded = stripped.withColumn("t2",
+          concat(col("clean_text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7")))
+        val scrubbed = Text.scrubPii(seeded, "t2", "doc_id")
+        val normed = Text.normalizeText(scrubbed, "clean_text", "doc_id")
+        // carry the text through the scorer: the gate is a filter on the
+        // same narrow projection, not a join back
+        val gated = Text.qualityScore(normed, "clean_text", "doc_id",
+            carry = Seq("clean_text"))
+          .filter(col("stop_ratio") >= 0.05 && col("n_chars_m") >= 150)
+        val groups = Dedup.exactGroups(gated, "clean_text", "doc_id")
+        val chash: Column =
+          md5(regexp_replace(trim(lower(col("clean_text"))), "\\s+", " "))
+        val kept = gated.withColumn("content_hash", chash)
+          .join(groups, Seq("content_hash"))
+          .filter(col("doc_id") === col("keep_id"))
+          .withColumnRenamed("n_docs", "n_dups")
+        Text.hashSplit(kept, "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
+          .select(col("doc_id"), col("clean_text"), col("stop_ratio"),
+            col("n_dups"), col("split"))
+      },
+      Some {
+        val email = "[A-Za-z0-9._%+-]+@(?:[A-Za-z0-9-]+\\.)+[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+        val stoplist = Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val h = "md5(CAST(doc_id AS VARCHAR))"
+        def nib(k: Int) = s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1)"
+        val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+        s"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 10 = 9 THEN '$BoilerDoc' ELSE text END AS text
+           |  FROM documents),
+           |s AS (SELECT doc_id,
+           |    '<html><body><p class="d">' || text || '</p><!-- footer -->'
+           |    || '<script>var x = 1 < 2;</script><ul><li>&amp; &lt;tag&gt; '
+           |    || '&#39;q&#39;&nbsp;done</li></ul></body></html>' AS t
+           |  FROM d),
+           |u AS (SELECT doc_id, trim(regexp_replace(
+           |    replace(replace(replace(replace(replace(replace(
+           |      regexp_replace(regexp_replace(regexp_replace(t,
+           |        '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+           |        '(?s)<!--.*?-->', ' ', 'g'),
+           |        '<[^>]+>', ' ', 'g'),
+           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+           |      '&nbsp;', ' '), '&amp;', '&'),
+           |    '\\s+', ' ', 'g')) AS ct1 FROM s),
+           |p0 AS (SELECT doc_id, ct1 || ' contact user' || CAST(doc_id AS VARCHAR)
+           |    || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t2
+           |  FROM u),
+           |p AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t2,
+           |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g') AS ct2 FROM p0),
+           |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+           |    nfc_normalize(ct2), '[\\x{00}-\\x{1f}\\x{7f}\\x{a0}]', ' ', 'g'),
+           |    ' +', ' ', 'g')) AS ct3 FROM p),
+           |q AS (SELECT doc_id, ct3,
+           |    CAST(length(ct3) AS BIGINT) AS n_chars,
+           |    ROUND(len(list_filter(regexp_split_to_array(lower(ct3), '\\s+'),
+           |        x -> list_contains($stoplist, x))) * 1.0
+           |      / len(regexp_split_to_array(lower(ct3), '\\s+')), 6) AS stop_ratio
+           |  FROM n),
+           |g AS (SELECT * FROM q WHERE stop_ratio >= 0.05 AND n_chars >= 150),
+           |grp AS (SELECT md5(regexp_replace(trim(lower(ct3)), '\\s+', ' ', 'g')) AS chash,
+           |    MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+           |  FROM g GROUP BY 1),
+           |k AS (SELECT g.doc_id, g.ct3, g.stop_ratio, grp.n_dups FROM g JOIN grp
+           |  ON md5(regexp_replace(trim(lower(g.ct3)), '\\s+', ' ', 'g')) = grp.chash
+           |  AND g.doc_id = grp.keep_id)
+           |SELECT doc_id, ct3 AS clean_text, stop_ratio, n_dups,
+           |  CASE WHEN $hv < 58982 THEN 'train' ELSE 'test' END AS split
+           |FROM k""".stripMargin
+      }),
 
     // Unicode NFC + control/NBSP strip + whitespace collapse, via the
     // codegen'd NfcNormalize expression; the seeded suffix forces real

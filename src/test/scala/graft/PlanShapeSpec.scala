@@ -345,6 +345,28 @@ class PlanShapeSpec extends SparkSpec {
       j.leftKeys.flatMap(_.references).forall(_.name == "doc_id")))
   }
 
+  test("q_curation_e2e: strip/scrub/normalize/gate fuse into one narrow stage; only the dedup exchanges on the content hash") {
+    val p = plan("q_curation_e2e")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    // markup strip -> PII scrub -> NFC normalize -> quality gate are ONE
+    // codegen'd projection chain (no joins between stages after the carry
+    // refactor); the only exchanges left are the exact-dedup group-by and
+    // its join, both keyed on the 16-byte content hash — never on the id
+    assert(bulk.forall(keyedOn(_, "content_hash")),
+      s"all bulk exchanges must key on content_hash:\n${bulk.mkString("\n")}")
+    assert(bulk.size <= 3, s"dedup needs at most 3 hash exchanges, got ${bulk.size}")
+    // the keep-decision join keys on the hash (at this SF the tiny group
+    // table broadcasts outright; at scale it degrades to the hash-keyed
+    // shuffle join asserted above — never an id-keyed body move)
+    val joinKeys = p.collect {
+      case j: BroadcastHashJoinExec => j.leftKeys
+      case j: SortMergeJoinExec => j.leftKeys
+    }
+    assert(joinKeys.exists(_.flatMap(_.references).exists(_.name == "content_hash")),
+      "expected the dedup join keyed on content_hash")
+    assert(!p.toString.contains("CartesianProduct"))
+  }
+
   test("q_dedup_minhash_admit: broadcast cap, equi-joins only, no cartesian") {
     val p = plan("q_dedup_minhash_admit")
     val s = p.toString
