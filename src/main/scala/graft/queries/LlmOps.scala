@@ -1119,6 +1119,55 @@ object LlmOps extends QueryGroup {
               |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
               |LEFT JOIN m ON m.new_id = d.doc_id""".stripMargin)),
 
+    // Split-leakage audit: near-dup pairs whose members landed in
+    // DIFFERENT hash splits — the eval-hygiene check run after any
+    // per-doc split (a train doc nearly identical to a test doc inflates
+    // eval scores exactly like benchmark contamination). Composes the
+    // minhash pair detector with hashSplit labels; at scale the pair
+    // table is the tiny side, so labeling is two broadcast-able id joins
+    QueryDef("q_split_leakage",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val split = Text.hashSplit(docs, "doc_id",
+          Seq("train" -> 0.8, "dev" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("split"))
+        val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+          n = 3, k = 16, bands = 4, tau = 0.4)
+        pairs
+          .join(split.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+          .join(split.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |mh AS (SELECT doc_id, hi, MIN(md5(CAST(hi AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh CROSS JOIN generate_series(1, 16) g(hi) GROUP BY doc_id, hi),
+              |bs AS (SELECT doc_id, (hi - 1) // 4 AS band, string_agg(mh, '|' ORDER BY hi) AS sig
+              |  FROM mh GROUP BY doc_id, (hi - 1) // 4),
+              |bk AS (SELECT doc_id, band, sig,
+              |    COUNT(*) OVER (PARTITION BY band, sig) AS bucket_n FROM bs),
+              |bf AS (SELECT * FROM bk WHERE bucket_n <= 1000),
+              |cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              |  FROM bf l JOIN bf r USING(band, sig) WHERE l.doc_id < r.doc_id),
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |j AS (SELECT c.doc_a, c.doc_b,
+              |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+              |  FROM cand c JOIN inter USING(doc_a, doc_b)
+              |  JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b),
+              |pr AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4),
+              |sp AS (SELECT doc_id, CASE WHEN ${md5Val16Sql("doc_id")} < 52428 THEN 'train'
+              |    WHEN ${md5Val16Sql("doc_id")} < 58982 THEN 'dev' ELSE 'test' END AS split
+              |  FROM documents)
+              |SELECT pr.doc_a, pr.doc_b, pr.jaccard,
+              |  sa.split AS split_a, sb.split AS split_b
+              |FROM pr JOIN sp sa ON sa.doc_id = pr.doc_a
+              |JOIN sp sb ON sb.doc_id = pr.doc_b
+              |WHERE sa.split <> sb.split""".stripMargin)),
+
     // Pair -> group resolution: connected components over the near-dup pair
     // graph, canonical id = component minimum (iterative min-label
     // propagation; the oracle closes the same graph with a recursive CTE)

@@ -136,4 +136,47 @@ class EdgeCaseSpec extends SparkSpec {
     val yRow = wide.filter($"region" === "y").head()
     assert(yRow.getLong(wide.columns.indexOf("event_type_2")) == 0) // padded
   }
+
+  test("admission edge cases: empty batch, empty index, sub-n-token docs") {
+    import graft.ops.Dedup
+    val docs = Seq((1L, "the quick brown fox jumps over it"),
+      (2L, "tiny")).toDF("doc_id", "text")
+    val empty = docs.filter($"doc_id" < 0)
+    val idx = Dedup.minhashBandIndex(docs, "text", "doc_id", 3, 16, 4)
+    // empty batch -> empty verdicts; empty index -> every batch doc novel
+    assert(Dedup.admitNearDups(empty, idx, "text", "doc_id", 3, 16, 4, 0.4).count() == 0)
+    val emptyIdx = Dedup.minhashBandIndex(empty, "text", "doc_id", 3, 16, 4)
+    val allNovel = Dedup.admitNearDups(docs, emptyIdx, "text", "doc_id", 3, 16, 4, 0.4)
+      .collect()
+    assert(allNovel.length == 2 && allNovel.forall(!_.getBoolean(1)))
+    // a doc too short to shingle ("tiny") is novel, never an error — in
+    // the aggregation path AND the packed path
+    val packed = Dedup.packedAdmitIndex(idx, "doc_id")
+    val viaPacked = Dedup.admitNearDupsPacked(docs, packed, "text", "doc_id",
+      3, 16, 4, 0.4).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaPacked(1L) && !viaPacked(2L)) // 1 is in the index; tiny is not dup
+  }
+
+  test("corpusDiff with an empty side; epochShuffle with one epoch") {
+    import graft.ops.{Dedup, Text}
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val none = docs.filter($"doc_id" < 0)
+    val gone = Dedup.corpusDiff(docs, none, "text", "doc_id").collect()
+    assert(gone.length == 2 && gone.forall(_.getString(1) == "removed"))
+    val born = Dedup.corpusDiff(none, docs, "text", "doc_id").collect()
+    assert(born.length == 2 && born.forall(_.getString(1) == "added"))
+    val one = Text.epochShuffle(docs, "doc_id", epochs = 1, nShards = 1).collect()
+    assert(one.length == 2 && one.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
+  }
+
+  test("sftTokenSpans: empty assistant content spans zero tokens after its header") {
+    import graft.ops.Chat
+    val js = """[{"role":"user","content":"hello there"},{"role":"assistant","content":""}]"""
+    val df = Seq((1L, js)).toDF("id", "conv")
+    val rows = Chat.sftTokenSpans(df, "conv", "id").orderBy("turn_idx").collect()
+    assert(rows.length == 2)
+    // "<|assistant|>" with empty content is one whitespace token
+    assert(rows(1).getLong(4) - rows(1).getLong(3) == 1L)
+    assert(rows(1).getBoolean(5))
+  }
 }

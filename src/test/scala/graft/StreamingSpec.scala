@@ -604,6 +604,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation chain (strip -> scrub -> normalize -> gate) is stateless: streaming equals batch") {
+    import graft.ops.Text
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_cur_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def chain(df: org.apache.spark.sql.DataFrame) = {
+      val html = df.withColumn("html",
+        concat(lit("<p>"), col("text"), lit("</p><!-- x --><b>&amp;fin</b>")))
+      val stripped = Text.stripMarkup(html, "html", "doc_id")
+      val scrubbed = Text.scrubPii(stripped, "clean_text", "doc_id")
+      val normed = Text.normalizeText(scrubbed, "clean_text", "doc_id")
+      Text.qualityScore(normed, "clean_text", "doc_id", carry = Seq("clean_text"))
+        .filter(col("stop_ratio") >= 0.05)
+    }
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    val q = chain(docsStream).writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cur_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, clean_text FROM cur_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = chain(graft.core.Tables.load(spark, sf, "documents"))
+        .select("doc_id", "clean_text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static packed admission equals the batch admission verdicts") {
     import graft.ops.Dedup
     val dir = Files.createTempDirectory("graft_admit_stream")
