@@ -245,4 +245,31 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /**
+   * Frame-level exact dedup across the corpus: groups of byte-identical
+   * decoded frames — the multimodal counterpart of
+   * [[graft.ops.Dedup.exactGroups]] (dedup repeated stills/intro frames
+   * before captioning or feature extraction). Groups key on
+   * md5(hex(frame_bytes)), so the exchange carries a 32-char hash plus
+   * scalars — frame bodies never shuffle; canonical = lexicographic min
+   * (doc, frame).
+   *
+   * Output: (frame_hash, n_frames, canon_doc, canon_frame,
+   * frame_byte_len), duplicate groups only (n_frames >= 2).
+   */
+  def dedupFrames(frames: DataFrame, idCol: String): DataFrame =
+    frames.select(col(idCol), col("frame_idx"),
+        md5(hex(col("frame_bytes"))).as("frame_hash"),
+        length(col("frame_bytes")).cast("long").as("frame_byte_len"))
+      .filter(col("frame_byte_len") > 0)
+      .groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(struct(col(idCol), col("frame_idx"))).as("__c"),
+        min(col("frame_byte_len")).as("frame_byte_len"))
+      .filter(col("n_frames") >= 2)
+      .select(col("frame_hash"), col("n_frames"),
+        col(s"__c.$idCol").as("canon_doc"),
+        col("__c.frame_idx").cast("long").as("canon_frame"),
+        col("frame_byte_len"))
 }

@@ -1660,6 +1660,43 @@ object LlmOps extends QueryGroup {
              |  CAST(COALESCE(a.s, 0) AS BIGINT) AS byte_sum
              |FROM cap c LEFT JOIN agg a ON a.doc_id = c.doc_id AND a.fi = c.fi""".stripMargin)),
 
+    // Frame-level exact dedup: every 10th doc's payload is replaced by a
+    // fixed boiler string, so its stub-decoded frames are byte-identical
+    // across those docs — the oracle re-derives each frame as a rotation
+    // of the payload hex and groups on md5 of that hex, exactly the
+    // operator's hash (Spark hex(binary) and DuckDB hex(blob) agree)
+    QueryDef("q_multimodal_frame_dedup",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 10 === 9, lit("frame dedup boiler payload"))
+            .otherwise(col("text")))
+        Multimodal.dedupFrames(
+          Multimodal.sampleFrames(s,
+            Multimodal.withBinaryPayload(seeded, "text"), "doc_id"),
+          "doc_id")
+      },
+      Some("""WITH d0 AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 9 THEN 'frame dedup boiler payload' ELSE text END AS t
+             |  FROM documents),
+             |d AS (SELECT doc_id, hex(encode(t)) AS hx,
+             |    CAST(octet_length(encode(t)) AS BIGINT) AS len FROM d0),
+             |f AS (SELECT doc_id, hx, len, len % 30 + 1 AS nf FROM d),
+             |fr AS (SELECT doc_id, hx, len, unnest(range(0, nf, 2)) AS fi FROM f),
+             |cap AS (SELECT doc_id, hx, len, fi,
+             |    CASE WHEN len > 0 THEN (fi * 2654435761) % len ELSE 0 END AS o
+             |  FROM fr WHERE fi < 16),
+             |fh AS (SELECT doc_id, fi, least(64, len) AS fblen,
+             |    substr(substr(hx, CAST(2*o + 1 AS INT)) || substr(hx, 1, CAST(2*o AS INT)),
+             |      1, CAST(2*least(64, len) AS INT)) AS fhex
+             |  FROM cap WHERE len > 0),
+             |r AS (SELECT md5(fhex) AS frame_hash, doc_id, fi, fblen,
+             |    ROW_NUMBER() OVER (PARTITION BY md5(fhex) ORDER BY doc_id, fi) AS rn,
+             |    COUNT(*) OVER (PARTITION BY md5(fhex)) AS n
+             |  FROM fh)
+             |SELECT frame_hash, CAST(n AS BIGINT) AS n_frames, doc_id AS canon_doc,
+             |  CAST(fi AS BIGINT) AS canon_frame, CAST(fblen AS BIGINT) AS frame_byte_len
+             |FROM r WHERE rn = 1 AND n >= 2""".stripMargin)),
+
     QueryDef("q_multimodal_meta",
       (s, dir) => Multimodal.decodeMetadata(s,
         Multimodal.withBinaryPayload(Tables.load(s, dir, "documents"), "text"), "doc_id"),

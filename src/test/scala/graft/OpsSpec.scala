@@ -1016,6 +1016,21 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == 0.0)
   }
 
+  test("dedupFrames: identical payloads collapse per frame index, hash-keyed") {
+    import graft.ops.Multimodal
+    val d = Seq((1L, "same payload content"), (2L, "same payload content"),
+      (3L, "a different body entirely")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark,
+      Multimodal.withBinaryPayload(d, "text"), "doc_id")
+    val groups = Multimodal.dedupFrames(frames, "doc_id").collect()
+    // docs 1 and 2 share every frame; doc 3 shares none
+    assert(groups.nonEmpty && groups.forall(_.getLong(1) == 2L))
+    assert(groups.forall(_.getLong(2) == 1L)) // canon_doc = min id
+    val framesPerDoc = frames.filter(col("doc_id") === 1L).count()
+    assert(groups.length == framesPerDoc ||
+      groups.length < framesPerDoc) // fewer if two frame indices coincide
+  }
+
   test("pageRank: uniform on a cycle, hub dominates a star") {
     import graft.ops.Graph
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
