@@ -169,6 +169,59 @@ object Text {
       }(Encoders.row(outSchema))
   }
 
+  /**
+   * Cross-document pack ASSIGNMENTS: one output row per input chunk with
+   * its (bucket, pack_idx, token_offset) — the coordinates trainers need
+   * to remap per-example annotations (loss spans, boundaries, attention
+   * segments) into PACKED sequence space, which the aggregated
+   * [[packChunksAcrossDocs]] output deliberately collapses. Same
+   * deterministic [[docBucket]] salting, same (doc, chunk) fold order,
+   * same overflow rule — so assignments and the aggregated packs agree
+   * row-for-row.
+   *
+   * Output: (id, chunk_idx, bucket, pack_idx, token_offset, n_tokens).
+   * Scale shape: ONE bucket-keyed exchange + per-partition sort +
+   * constant-memory streaming fold (no aggregation at all — the fold
+   * emits as it walks).
+   */
+  def packAssignments(chunks: DataFrame, idCol: String, maxTokens: Int,
+      nBuckets: Int, tokenCountCol: String = "n_tokens"): DataFrame = {
+    require(maxTokens >= 1 && nBuckets >= 1)
+    val idField = chunks.schema(idCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, idField.dataType, idField.nullable),
+      StructField("chunk_idx", LongType, nullable = false),
+      StructField("bucket", LongType, nullable = false),
+      StructField("pack_idx", LongType, nullable = false),
+      StructField("token_offset", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false)))
+    chunks
+      .select(col(idCol).as("__doc"), col("chunk_idx").cast("long").as("__ci"),
+        col(tokenCountCol).cast("long").as("__t"),
+        docBucket(col(idCol), nBuckets).as("__b"))
+      .repartition(col("__b"))
+      .sortWithinPartitions("__b", "__doc", "__ci")
+      .mapPartitions { it =>
+        var started = false
+        var curBucket = -1L
+        var packIdx = 0L; var cum = 0L; var nChunks = 0L
+        it.map { row =>
+          val d = row.get(0); val ci = row.getLong(1)
+          val t = row.getLong(2); val b = row.getLong(3)
+          // same overflow rule as packChunks' fold (counter, not cum, so a
+          // zero-token chunk still occupies its pack slot)
+          if (!started || b != curBucket) {
+            started = true; curBucket = b; packIdx = 0L; cum = 0L; nChunks = 0L
+          } else if (nChunks > 0 && cum + t > maxTokens) {
+            packIdx += 1; cum = 0L; nChunks = 0L
+          }
+          val off = cum
+          cum += t; nChunks += 1
+          Row(d, ci, b, packIdx, off, t)
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Deterministic doc → bucket assignment for [[packChunksAcrossDocs]]:
     * first 4 hex nibbles of md5(id) mod `nBuckets`. md5 (not xxhash64) so
     * the DuckDB oracle computes the identical bucket. */

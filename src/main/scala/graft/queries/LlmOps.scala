@@ -2020,6 +2020,89 @@ object LlmOps extends QueryGroup {
              |  role = 'assistant' AS is_target
              |FROM o""".stripMargin)),
 
+    // SFT example packing with span remap: valid conversations pack
+    // cross-doc into 64-token sequences (each conversation = one unit);
+    // every assistant turn's token span is shifted by its conversation's
+    // token_offset into PACKED coordinates — the exact loss mask a packed
+    // trainer consumes. packAssignments' per-chunk offsets are replayed by
+    // the same recursive-CTE fold as the pack oracles, cum minus n_tokens
+    QueryDef("q_chat_pack_spans",
+      (s, dir) => {
+        val ts = split(lower(col("text")), "\\s+")
+        val c1 = concat(lit("please summarize: "), array_join(slice(ts, 1, 8), " "))
+        val c2 = array_join(slice(ts, 1, 5), " ")
+        val r1 = when(col("doc_id") % 7 === 0, lit("assistant")).otherwise(lit("user"))
+        val js = concat(
+          lit("[{\"role\":\""), r1, lit("\",\"content\":\""), c1,
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), c2,
+          lit("\"},{\"role\":\"user\",\"content\":\"thanks\"}]"))
+        val docs = Tables.load(s, dir, "documents").withColumn("conv_json", js)
+        val convs = Chat.flatten(docs, "conv_json", "doc_id")
+          .filter(col("valid"))
+          .select(col("doc_id"), lit(0L).as("chunk_idx"),
+            Chat.whitespaceTokenCount(col("chat_text")).as("n_tokens"))
+        val asg = Text.packAssignments(convs, "doc_id",
+          maxTokens = 64, nBuckets = 4)
+        Chat.sftTokenSpans(docs, "conv_json", "doc_id")
+          .filter(col("is_target"))
+          .join(asg.select(col("doc_id"), col("bucket"), col("pack_idx"),
+            col("token_offset")), Seq("doc_id"))
+          .select(col("doc_id"), col("turn_idx"), col("bucket"), col("pack_idx"),
+            (col("token_offset") + col("token_start")).as("packed_start"),
+            (col("token_offset") + col("token_end")).as("packed_end"))
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+             |b AS (SELECT doc_id,
+             |    'please summarize: ' || array_to_string(ts[1:8], ' ') AS c1,
+             |    array_to_string(ts[1:5], ' ') AS c2,
+             |    CASE WHEN doc_id % 7 = 0 THEN 'assistant' ELSE 'user' END AS r1
+             |  FROM t),
+             |j AS (SELECT doc_id,
+             |    '[{"role":"' || r1 || '","content":"' || c1 ||
+             |    '"},{"role":"assistant","content":"' || c2 ||
+             |    '"},{"role":"user","content":"thanks"}]' AS js
+             |  FROM b WHERE r1 = 'user'),
+             |c AS (SELECT doc_id,
+             |    '<|' || (js->>'$$[0].role') || '|>' || (js->>'$$[0].content') || chr(10) ||
+             |    '<|' || (js->>'$$[1].role') || '|>' || (js->>'$$[1].content') || chr(10) ||
+             |    '<|' || (js->>'$$[2].role') || '|>' || (js->>'$$[2].content') AS chat_text,
+             |    js FROM j),
+             |ck AS (SELECT doc_id, js,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(chat_text), '\\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tokens,
+             |    ${docBucketSql("doc_id", 4)} AS bucket
+             |  FROM c),
+             |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM ck),
+             |st AS (
+             |  SELECT bucket, doc_id, rn, n_tokens, CAST(0 AS BIGINT) AS pack_idx, n_tokens AS cum
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT c2.bucket, c2.doc_id, c2.rn, c2.n_tokens,
+             |    CASE WHEN st.cum + c2.n_tokens > 64 THEN st.pack_idx + 1 ELSE st.pack_idx END,
+             |    CASE WHEN st.cum + c2.n_tokens > 64 THEN c2.n_tokens ELSE st.cum + c2.n_tokens END
+             |  FROM st JOIN o c2 ON c2.bucket = st.bucket AND c2.rn = st.rn + 1),
+             |asg AS (SELECT doc_id, bucket, pack_idx, cum - n_tokens AS token_offset FROM st),
+             |u AS (SELECT doc_id, js,
+             |    unnest(generate_series(0, CAST(json_array_length(js) AS INT) - 1)) AS i
+             |  FROM j),
+             |seg AS (SELECT doc_id, i,
+             |    json_extract_string(js, '$$[' || i || '].role') AS role,
+             |    json_extract_string(js, '$$[' || i || '].content') AS content
+             |  FROM u),
+             |l AS (SELECT doc_id, i, role,
+             |    CAST(len(list_filter(regexp_split_to_array(
+             |      lower('<|' || role || '|>' || content), '\\s+'), x -> x <> '')) AS BIGINT) AS cnt
+             |  FROM seg),
+             |sp AS (SELECT doc_id, i, role, cnt,
+             |    COALESCE(SUM(cnt) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+             |  FROM l)
+             |SELECT sp.doc_id, CAST(sp.i AS BIGINT) AS turn_idx, asg.bucket,
+             |  asg.pack_idx, asg.token_offset + sp.tok_start AS packed_start,
+             |  asg.token_offset + sp.tok_start + sp.cnt AS packed_end
+             |FROM sp JOIN asg ON asg.doc_id = sp.doc_id
+             |WHERE sp.role = 'assistant'""".stripMargin)),
+
     // Count-min-sketch heavy hitters over the event stream's user keys:
     // depth-3 × width-256 salted-md5 sketch, estimate = min over rows,
     // threshold + (est desc, key) ranking. The sketch hashes, cell

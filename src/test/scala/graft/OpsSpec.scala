@@ -1031,6 +1031,31 @@ class OpsSpec extends SparkSpec {
       groups.length < framesPerDoc) // fewer if two frame indices coincide
   }
 
+  test("packAssignments agrees with the aggregated cross-doc packs") {
+    val real = graft.core.Tables.load(spark, sf, "documents")
+    val chunks = Text.chunk(real, "text", "doc_id", chunkTokens = 40, overlap = 8)
+    val packs = Text.packChunksAcrossDocs(chunks, "doc_id",
+        maxTokens = 96, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap // (bucket,pack) -> (n_chunks, n_tokens)
+    val asg = Text.packAssignments(chunks, "doc_id", maxTokens = 96, nBuckets = 8)
+      .collect()
+    val grouped = asg.groupBy(r => (r.getLong(2), r.getLong(3)))
+    assert(grouped.keySet == packs.keySet)
+    for ((k, rows) <- grouped) {
+      val (nc, nt) = packs(k)
+      assert(rows.length.toLong == nc, s"pack $k chunk count")
+      assert(rows.map(_.getLong(5)).sum == nt, s"pack $k token sum")
+      // offsets tile the pack contiguously: sorted offsets == running sums
+      val sorted = rows.sortBy(_.getLong(4))
+      var cum = 0L
+      for (r <- sorted) {
+        assert(r.getLong(4) == cum, s"pack $k offset gap")
+        cum += r.getLong(5)
+      }
+    }
+  }
+
   test("pageRank: uniform on a cycle, hub dominates a star") {
     import graft.ops.Graph
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
