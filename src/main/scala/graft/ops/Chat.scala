@@ -157,6 +157,42 @@ object Chat {
     size(filter(split(lower(c), "\\s+", -1), t => length(t) > 0)).cast("long")
 
   /**
+   * Preference-pair construction for DPO/RLHF-style training: given
+   * multiple scored candidate completions per prompt, emit one
+   * (chosen, rejected) pair per prompt — chosen = highest score,
+   * rejected = lowest, deterministic (score ties break on id; max takes
+   * the LOWER id, min the HIGHER, so a 2-candidate tie still yields
+   * chosen ≠ rejected). Prompts with a single candidate, or where best
+   * and worst collapse to the same row, are dropped; `minMargin` prunes
+   * weak-signal pairs (margin = chosen - rejected score).
+   *
+   * One groupBy on the prompt key (max_by/min_by over (score, id)
+   * structs — map-side partial agg); no window, no self-join.
+   *
+   * Output: (prompt key, chosen_id, rejected_id, chosen_score,
+   * rejected_score, margin).
+   */
+  def preferencePairs(df: DataFrame, promptCol: String, idCol: String,
+      scoreCol: String, minMargin: Double = 0.0): DataFrame = {
+    val sc = col(scoreCol).cast("double")
+    // lexicographic struct order: score first, then id — negated id inside
+    // the max makes the min id win score ties (and vice versa for min)
+    val best = max(struct(sc.as("s"), (-col(idCol).cast("double")).as("negid"),
+      col(idCol).as("id"))).as("__b")
+    val worst = min(struct(sc.as("s"), (-col(idCol).cast("double")).as("negid"),
+      col(idCol).as("id"))).as("__w")
+    df.groupBy(col(promptCol))
+      .agg(best, worst, count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__b.id") =!= col("__w.id"))
+      .withColumn("margin", round(col("__b.s") - col("__w.s"), 6))
+      .filter(col("margin") >= minMargin)
+      .select(col(promptCol), col("__b.id").as("chosen_id"),
+        col("__w.id").as("rejected_id"),
+        col("__b.s").as("chosen_score"), col("__w.s").as("rejected_score"),
+        col("margin"))
+  }
+
+  /**
    * Full ingestion pass: (id, n_turns, valid, chat_text). Invalid or
    * malformed conversations keep their row (n_turns 0 for unparseable)
    * so the drop decision — and its rate — stays observable downstream.

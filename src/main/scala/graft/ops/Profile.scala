@@ -24,6 +24,29 @@ import org.apache.spark.sql.types._
  */
 object Profile {
 
+  /**
+   * Pearson correlation matrix over numeric columns (upper triangle):
+   * the feature-engineering / drift-triage companion of [[summarize]] —
+   * all pairs computed in ONE aggregate pass (map-side partial moments,
+   * a single reduce), then unpivoted driver-free with `stack`. Values
+   * rounded to 6 dp (partial-agg order differs ~1e-12 across engines).
+   */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a).cast("double"), col(b).cast("double")), 6)
+        .as(s"${a}__$b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${pairs.size}, " + pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__$b`"
+    }.mkString(", ") + ") as (col_a, col_b, corr)"
+    one.selectExpr(stackExpr)
+  }
+
   def summarize(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val fields = df.schema.fields.toSeq
     def nullNum = lit(null).cast("double")

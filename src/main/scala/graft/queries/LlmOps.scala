@@ -2103,6 +2103,30 @@ object LlmOps extends QueryGroup {
              |FROM sp JOIN asg ON asg.doc_id = sp.doc_id
              |WHERE sp.role = 'assistant'""".stripMargin)),
 
+    // Preference-pair (DPO/RLHF) prep: documents grouped into 50 "prompt"
+    // buckets act as candidate completions; per prompt the highest-scored
+    // candidate (n_chars; ties -> min id) is chosen, the lowest (ties ->
+    // max id) rejected. One max_by/min_by groupBy — no window, no self-join
+    QueryDef("q_preference_pairs",
+      (s, dir) => Chat.preferencePairs(
+        Tables.load(s, dir, "documents")
+          .withColumn("prompt_id", col("doc_id") % 50),
+        "prompt_id", "doc_id", "n_chars"),
+      Some("""WITH cand AS (SELECT doc_id % 50 AS prompt_id, doc_id,
+             |    CAST(n_chars AS DOUBLE) AS s FROM documents),
+             |r AS (SELECT prompt_id, doc_id, s,
+             |    ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY s DESC, doc_id ASC) AS rb,
+             |    ROW_NUMBER() OVER (PARTITION BY prompt_id ORDER BY s ASC, doc_id DESC) AS rw,
+             |    COUNT(*) OVER (PARTITION BY prompt_id) AS n
+             |  FROM cand)
+             |SELECT b.prompt_id, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+             |  b.s AS chosen_score, w.s AS rejected_score,
+             |  ROUND(b.s - w.s, 6) AS margin
+             |FROM (SELECT * FROM r WHERE rb = 1) b
+             |JOIN (SELECT * FROM r WHERE rw = 1) w USING(prompt_id)
+             |WHERE b.n >= 2 AND b.doc_id <> w.doc_id
+             |  AND ROUND(b.s - w.s, 6) >= 0.0""".stripMargin)),
+
     // Count-min-sketch heavy hitters over the event stream's user keys:
     // depth-3 × width-256 salted-md5 sketch, estimate = min over rows,
     // threshold + (est desc, key) ranking. The sketch hashes, cell

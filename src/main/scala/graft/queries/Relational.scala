@@ -281,6 +281,23 @@ object Relational extends QueryGroup {
           .mkString("\nUNION ALL\n")
       }),
 
+    // Pearson correlation matrix over lineitem's numeric columns: all
+    // pairs in ONE aggregate pass, stack-unpivoted; 6-dp rounding absorbs
+    // partial-agg order differences
+    QueryDef("q_corr_matrix",
+      (s, dir) => graft.ops.Profile.correlationMatrix(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- (i + 1) until cols.size
+        } yield (cols(i), cols(j))
+        pairs.map { case (a, b) =>
+          s"SELECT '$a' AS col_a, '$b' AS col_b, ROUND(corr($a, $b), 6) AS corr FROM lineitem"
+        }.mkString("\nUNION ALL\n")
+      }),
+
     // PSI drift between the first and second half of the month: the
     // monitoring alarm built from two k-row histogram aggregates.
     QueryDef("q_psi",

@@ -1056,6 +1056,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("preferencePairs: tie determinism, singleton drop, margin prune") {
+    import graft.ops.Chat
+    val cand = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 1.0), // clear best/worst
+      (2L, 20L, 4.0), (2L, 21L, 4.0),                 // full tie
+      (3L, 30L, 7.0)                                  // singleton
+    ).toDF("prompt_id", "doc_id", "score")
+    val out = Chat.preferencePairs(cand, "prompt_id", "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // singleton prompt dropped
+    assert(out(1L).getLong(1) == 11L && out(1L).getLong(2) == 12L &&
+      out(1L).getDouble(5) == 8.0)
+    // full tie: chosen = min id, rejected = max id, margin 0
+    assert(out(2L).getLong(1) == 20L && out(2L).getLong(2) == 21L &&
+      out(2L).getDouble(5) == 0.0)
+    // margin prune removes the tie pair
+    val pruned = Chat.preferencePairs(cand, "prompt_id", "doc_id", "score",
+      minMargin = 0.5).collect().map(_.getLong(0)).toSet
+    assert(pruned == Set(1L))
+  }
+
+  test("correlationMatrix: exact linear dependence and sign") {
+    import graft.ops.Profile
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.5)).toDF("x", "y", "z")
+    val m = Profile.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("x", "y")) == 1.0) // y = 2x exactly
+    assert(m(("x", "z")) < -0.99 && m(("y", "z")) < -0.99)
+  }
+
   test("pageRank: uniform on a cycle, hub dominates a star") {
     import graft.ops.Graph
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
