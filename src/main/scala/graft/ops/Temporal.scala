@@ -358,6 +358,49 @@ object Temporal {
   }
 
   /**
+   * CDC changelog apply (the lakehouse MERGE): fold a batch of change
+   * events (key, ts, op ∈ {I,U,D}, payload) onto a snapshot — the LATEST
+   * change per key wins (ts order, tiebreak column for equal timestamps):
+   * a final D deletes the key, I/U upserts its payload, keys with no
+   * change carry the snapshot row. `payloadCols` are the columns both
+   * frames share beyond the keys.
+   *
+   * Output: keys ++ payloadCols ++ origin ∈ {carried, updated, inserted}.
+   *
+   * Scale shape: one window pass keyed on the change keys reduces the
+   * changelog to one row per touched key (changelog-sized, usually ≪
+   * snapshot), then ONE key-equi full-outer join applies it; with both
+   * sides bucketed on the key ([[graft.sources.Bucketed]]) the recurring
+   * daily apply plans with zero exchanges on the snapshot.
+   */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+      keys: Seq[String], tsCol: String, opCol: String,
+      payloadCols: Seq[String], tiebreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty && payloadCols.nonEmpty)
+    val ord = (col(tsCol).desc +: tiebreak.map(col(_).desc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val latest = changes
+      .select((keys ++ Seq(tsCol, opCol) ++ payloadCols ++ tiebreak)
+        .distinct.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(keys.map(col) ++ Seq(col(opCol).as("__op")) ++
+        payloadCols.map(c => col(c).as(s"__c_$c")): _*)
+    val snap = snapshot.select(keys.map(col) ++
+      Seq(lit(true).as("__in_snap")) ++
+      payloadCols.map(c => col(c).as(s"__s_$c")): _*)
+    snap.join(latest, keys, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(keys.map(col) ++
+        payloadCols.map(c =>
+          when(col("__op").isNotNull, col(s"__c_$c"))
+            .otherwise(col(s"__s_$c")).as(c)) :+
+        when(col("__op").isNull, lit("carried"))
+          .when(col("__in_snap").isNotNull, lit("updated"))
+          .otherwise(lit("inserted")).as("origin"): _*)
+  }
+
+  /**
    * SCD type-2 history build: turn a change-event stream (key, ts, tracked
    * attributes) into validity intervals — half-open `[valid_from, valid_to)`
    * per key, `valid_to` null for the current row. When `attrCols` is

@@ -370,6 +370,32 @@ object Text {
   }
 
   /**
+   * Encoding-hygiene anomaly scan: per doc, counts of U+FFFD replacement
+   * characters (the scar a botched charset conversion leaves), control
+   * characters (C0 minus tab/newline/CR), and the longest line — the
+   * cheap pass that catches binary-in-text, mojibake and minified blobs
+   * before they poison tokenizer fits and dedup hashes. One narrow
+   * codegen projection; patterns restricted to the Java-regex ∩ RE2
+   * subset.
+   *
+   * Output: (id, n_replacement, n_control, n_lines, max_line_len,
+   * flagged).
+   */
+  def anomalyScan(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n", -1)
+    val nRepl = regexp_count(t, lit("\\uFFFD")).cast("long")
+    val nCtl = regexp_count(t,
+      lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")).cast("long")
+    df.select(col(idCol),
+      nRepl.as("n_replacement"),
+      nCtl.as("n_control"),
+      size(lines).cast("long").as("n_lines"),
+      array_max(transform(lines, l => length(l))).cast("long").as("max_line_len"),
+      (nRepl > 0 || nCtl > 0).as("flagged"))
+  }
+
+  /**
    * Per-group score calibration: each row's score becomes its
    * percent-rank WITHIN its group (source), so a single global threshold
    * ("keep the top 30%") cuts every source at the same quantile instead

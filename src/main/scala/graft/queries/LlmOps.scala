@@ -789,6 +789,31 @@ object LlmOps extends QueryGroup {
            |FROM t""".stripMargin
       }),
 
+    // Encoding-hygiene anomaly scan: every 9th doc gains a control char +
+    // U+FFFD replacement char, every (other) 4th a 300-char line — the
+    // binary-in-text / mojibake / minified-blob detector
+    QueryDef("q_text_anomalies",
+      (s, dir) => Text.anomalyScan(
+        Tables.load(s, dir, "documents").withColumn("text2",
+          concat(col("text"),
+            when(col("doc_id") % 9 === 0, lit("\u0001x\uFFFD"))
+              .when(col("doc_id") % 4 === 0, concat(lit("\n"), lit("z" * 300)))
+              .otherwise(lit("")))),
+        "text2", "doc_id"),
+      Some("""WITH s AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 9 = 0 THEN chr(1) || 'x' || chr(65533)
+             |         WHEN doc_id % 4 = 0 THEN chr(10) || repeat('z', 300)
+             |         ELSE '' END AS t FROM documents),
+             |m AS (SELECT doc_id, t,
+             |    CAST(len(regexp_extract_all(t, '\x{fffd}')) AS BIGINT) AS n_replacement,
+             |    CAST(len(regexp_extract_all(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_control,
+             |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+             |    CAST(list_max(list_transform(string_split(t, chr(10)), l -> length(l))) AS BIGINT) AS max_line_len
+             |  FROM s)
+             |SELECT doc_id, n_replacement, n_control, n_lines, max_line_len,
+             |  (n_replacement > 0 OR n_control > 0) AS flagged
+             |FROM m""".stripMargin)),
+
     // Gopher rule-based quality filter: seed bullet lines on every 7th doc,
     // an ellipsis-ended line on every (other) 5th, a symbol burst on every
     // (other) 11th, then apply Rae et al.'s rules with bounds tuned so the

@@ -499,6 +499,63 @@ object TemporalQ extends QueryGroup {
       Some("""SELECT event_type, COUNT(*) AS n,
              |  SUM(CAST(props->>'k' AS INT)) AS sum_k,
              |  ROUND(AVG(CAST(props->>'k' AS INT)), 6) AS avg_k
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // JSON field-coverage report (schema-drift monitor): every 3rd event
+    // gains a seeded "extra" field, every 97th becomes unparseable — the
+    // report shows per-key row counts and coverage over ALL rows, so new
+    // fields, dying fields and parse-failure spikes are all visible
+    QueryDef("q_json_field_coverage",
+      (s, dir) => graft.sources.CorpusIo.jsonFieldCoverage(
+        Tables.load(s, dir, "events").withColumn("props2",
+          when(col("event_id") % 97 === 0, lit("not json"))
+            .when(col("event_id") % 3 === 0,
+              replace(col("props"), lit("}"), lit(", \"extra\": 1}")))
+            .otherwise(col("props"))),
+        "props2"),
+      Some("""WITH s AS (SELECT CASE WHEN event_id % 97 = 0 THEN 'not json'
+             |    WHEN event_id % 3 = 0 THEN replace(props, '}', ', "extra": 1}')
+             |    ELSE props END AS js FROM events),
+             |tot AS (SELECT COUNT(*) AS t FROM s),
+             |k AS (SELECT unnest(json_keys(js)) AS key FROM s WHERE json_valid(js))
+             |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  ROUND(COUNT(*) * 1.0 / MIN(tot.t), 6) AS coverage
+             |FROM k CROSS JOIN tot GROUP BY key""".stripMargin)),
+
+    // CDC changelog apply (the lakehouse MERGE): snapshot = every user seen
+    // before Jan 15 at balance -1; the second half of the month is the
+    // changelog (error events delete, everything else upserts the event
+    // value); latest change per user wins on (ts, event_id)
+    QueryDef("q_cdc_apply",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+        val snapshot = ev.filter(col("ts") < cut)
+          .select(col("user_id")).distinct()
+          .withColumn("balance", lit(-1.0))
+        val changes = ev.filter(col("ts") >= cut)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+            col("value").as("balance"))
+        graft.ops.Temporal.applyChangelog(snapshot, changes,
+          keys = Seq("user_id"), tsCol = "ts", opCol = "op",
+          payloadCols = Seq("balance"), tiebreak = Seq("event_id"))
+      },
+      Some("""WITH sn AS (SELECT DISTINCT user_id, CAST(-1.0 AS DOUBLE) AS balance
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+             |ch AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |    value AS balance
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+             |l AS (SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM ch),
+             |lt AS (SELECT user_id, op, balance FROM l WHERE rn = 1)
+             |SELECT COALESCE(sn.user_id, lt.user_id) AS user_id,
+             |  CASE WHEN lt.user_id IS NOT NULL THEN lt.balance ELSE sn.balance END AS balance,
+             |  CASE WHEN lt.user_id IS NULL THEN 'carried'
+             |       WHEN sn.user_id IS NOT NULL THEN 'updated'
+             |       ELSE 'inserted' END AS origin
+             |FROM sn FULL OUTER JOIN lt ON sn.user_id = lt.user_id
+             |WHERE lt.op IS NULL OR lt.op <> 'D'""".stripMargin))
   )
 }

@@ -104,4 +104,23 @@ object CorpusIo {
    */
   def readCorpus(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /**
+   * JSON field-coverage report: for every top-level key appearing in a
+   * JSON column, how many rows carry it and what fraction of ALL rows
+   * (including unparseable ones) that is — the schema-drift monitor for
+   * JSONL ingest: a new producer field shows up as a low-coverage key, a
+   * field being dropped decays toward zero, and the denominator catches
+   * parse-failure spikes. One explode + hash-agg; the single-row total
+   * joins back as a broadcast.
+   */
+  def jsonFieldCoverage(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__total"))
+    df.select(explode(json_object_keys(col(jsonCol))).as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__total"), 6).as("coverage"))
+  }
 }

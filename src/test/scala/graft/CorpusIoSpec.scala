@@ -92,4 +92,13 @@ class CorpusIoSpec extends SparkSpec {
     }.sum
     assert(files == 1, s"expected 1 file after pruning, got $files")
   }
+  test("jsonFieldCoverage: per-key coverage over ALL rows, invalid rows count in the denominator") {
+    import spark.implicits._
+    val df = Seq(
+      """{"a": 1, "b": 2}""", """{"a": 3}""", """not json""", """{"b": 4}"""
+    ).toDF("js")
+    val cov = CorpusIo.jsonFieldCoverage(df, "js")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(cov == Map("a" -> ((2L, 0.5)), "b" -> ((2L, 0.5))))
+  }
 }

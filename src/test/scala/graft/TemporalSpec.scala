@@ -217,4 +217,22 @@ class TemporalSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+  test("applyChangelog: upsert, delete, carry, insert, ts+tiebreak ordering") {
+    import spark.implicits._
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val ch = Seq(
+      (1L, 5L, 1L, "U", 11.0),  // update key 1
+      (1L, 5L, 2L, "U", 12.0),  // same ts, higher tiebreak wins
+      (2L, 6L, 3L, "D", 0.0),   // delete key 2
+      (2L, 5L, 4L, "U", 99.0),  // earlier change, overridden by the delete
+      (4L, 7L, 5L, "I", 40.0)   // insert new key 4
+    ).toDF("k", "ts", "event_id", "op", "v")
+    val out = Temporal.applyChangelog(snap, ch, Seq("k"), "ts", "op",
+        Seq("v"), tiebreak = Seq("event_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(out == Map(
+      1L -> ((12.0, "updated")),
+      3L -> ((30.0, "carried")),
+      4L -> ((40.0, "inserted"))))
+  }
 }
