@@ -298,6 +298,33 @@ object Relational extends QueryGroup {
         }.mkString("\nUNION ALL\n")
       }),
 
+    // Exact per-group quantiles: type-7 interpolation on both engines
+    QueryDef("q_group_quantiles",
+      (s, dir) => graft.stats.Planners.groupQuantiles(
+        Tables.load(s, dir, "documents"),
+        Seq("source"), "n_chars", Seq(0.25, 0.5, 0.75, 0.9)),
+      Some(Seq(0.25, 0.5, 0.75, 0.9).map(q =>
+        s"""SELECT source, CAST($q AS DOUBLE) AS q,
+           |  ROUND(quantile_cont(n_chars, $q), 6) AS q_value
+           |FROM documents GROUP BY source""".stripMargin)
+        .mkString("\nUNION ALL\n"))),
+
+    // Chi-squared independence screen between event type and a derived
+    // categorical label: contingency aggregate + window marginals over
+    // the tiny cell table
+    QueryDef("q_chi2",
+      (s, dir) => graft.stats.Planners.chi2(
+        Tables.load(s, dir, "events")
+          .withColumn("label", col("user_id") % 3),
+        "event_type", "label"),
+      Some("""WITH c AS (SELECT event_type AS a, user_id % 3 AS b, COUNT(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT *, SUM(o) OVER (PARTITION BY a) AS ra,
+             |    SUM(o) OVER (PARTITION BY b) AS cb, SUM(o) OVER () AS n FROM c)
+             |SELECT ROUND(SUM(POWER(o - ra*1.0*cb/n, 2) / (ra*1.0*cb/n)), 6) AS chi2,
+             |  CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof
+             |FROM m""".stripMargin)),
+
     // PSI drift between the first and second half of the month: the
     // monitoring alarm built from two k-row histogram aggregates.
     QueryDef("q_psi",

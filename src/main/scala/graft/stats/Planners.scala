@@ -93,4 +93,46 @@ object Planners {
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", lit(lo) + col("bin") * lit(w))
   }
+  /**
+   * Exact per-group quantiles: one `percentile(value, [qs])` aggregate per
+   * group (type-7 linear interpolation — the same definition DuckDB's
+   * quantile_cont uses, so results hash-match cross-engine), unpivoted to
+   * (group, q, value) rows. Map-side partial aggregation; for sketchable
+   * scale swap in approx_percentile (the sequenceLength gate pattern).
+   */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty && qs.nonEmpty)
+    val exact = expr(s"percentile($valueCol, array(${qs.mkString(", ")}))")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(exact.as("__p"))
+      .select(groupCols.map(col) :+ posexplode(col("__p")).as(Seq("__i", "q_value")): _*)
+      .select(groupCols.map(col) :+
+        element_at(array(qs.map(lit): _*), col("__i") + 1).as("q") :+
+        round(col("q_value"), 6).as("q_value"): _*)
+  }
+
+  /**
+   * Pearson chi-squared test of independence between two categorical
+   * columns: one contingency aggregate over the data (|A|x|B| cells), then
+   * window sums over the TINY cell table for the marginals — chi2 =
+   * sum (O-E)^2/E, dof = (|A|-1)(|B|-1). The feature-relevance screen for
+   * categorical features vs a label.
+   */
+  def chi2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val wa = Window.partitionBy(col(aCol))
+    val wb = Window.partitionBy(col(bCol))
+    val wall = Window.partitionBy()
+    val withE = cells
+      .withColumn("ra", sum(col("o")).over(wa))
+      .withColumn("cb", sum(col("o")).over(wb))
+      .withColumn("n", sum(col("o")).over(wall))
+      .withColumn("e", col("ra").cast("double") * col("cb") / col("n"))
+    withE.agg(
+      round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
+      ((countDistinct(col(aCol)) - 1) * (countDistinct(col(bCol)) - 1))
+        .as("dof"))
+  }
 }
