@@ -113,6 +113,21 @@ object IvfIndex {
   /** One KMeans job over the corpus -> (centroids, cell-assigned corpus).
     * The assigned frame is persisted by the caller (or [[IvfIndex.save]]d)
     * for repeated query workloads. */
+  /**
+   * Build an index around EXPLICIT centroids (no KMeans): corpus rows are
+   * assigned by the same pure-Catalyst argmin the incremental [[IvfIndex.add]]
+   * path uses. Production use: refit-free rebuilds from saved centroids;
+   * test/oracle use: fully deterministic cell structure (the semDedup
+   * seed-centroid pattern), which is what lets residual IVF-PQ be
+   * hash-checked cross-engine.
+   */
+  def fromCentroids(centroids: Array[Array[Double]], corpus: DataFrame,
+      cId: String = "cid", vecCol: String = "embedding"): IvfIndex = {
+    val empty = corpus.filter(lit(false))
+      .select(col(cId), col(vecCol), lit(0).as("cell"))
+    IvfIndex(centroids, empty, cId, vecCol).add(corpus)
+  }
+
   def fit(corpus: DataFrame, nCells: Int, cId: String = "cid",
       vecCol: String = "embedding", seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans

@@ -128,6 +128,59 @@ object Pq {
    * [[adcTopK]] exactly (spec-pinned), the same equivalence argument the
    * IVF-Flat oracle uses.
    */
+  /** Residual of each assigned vector from its cell centroid — the input
+    * PQ quantizes in residual IVF-PQ. Pure `zip_with`; the centroid matrix
+    * rides the plan as literals indexed by the row's cell. */
+  def residuals(assigned: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val centsLit = array(centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    assigned.withColumn("residual",
+      zip_with(col(vecCol).cast("array<double>"),
+        element_at(centsLit, col("cell") + 1), (x, c) => x - c))
+  }
+
+  /**
+   * RESIDUAL IVF-PQ (the canonical FAISS IVFADC structure): the corpus is
+   * coarsely quantized by the IVF centroids, PQ encodes each vector's
+   * RESIDUAL from its centroid, and at query time the ADC table is built
+   * from the QUERY'S residual against each probed cell's centroid — so
+   * the fine quantizer only has to cover the (much tighter) residual
+   * distribution, the standard accuracy win over [[ivfAdcTopK]]'s
+   * raw-vector encoding. ad2 ≈ ||q − centroid_cell − dec(codes)||².
+   *
+   * Scale shape: identical to [[ivfAdcTopK]] — queries (with their
+   * per-probed-cell m×k tables) broadcast, corpus streams (cell, codes)
+   * only; the residual arithmetic is m×k extra codegen'd subtractions per
+   * (query, probe), nothing per corpus row.
+   */
+  def ivfAdcResidualTopK(queries: DataFrame, qId: String, ivf: IvfIndex,
+      codes: DataFrame, cId: String, cb: PqCodebook, k: Int, nProbe: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    val centsLit = array(ivf.centroids.map(c =>
+      array(c.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val probes = ivf.probe(queries, nProbe, qId)
+    val qres = zip_with(col(vecCol).cast("array<double>"),
+      element_at(centsLit, col("cell") + 1), (x, c) => x - c)
+    val q = queries.join(probes, qId)
+      .select(col(qId), col("cell"),
+        array((0 until cb.m).map(j =>
+          array((0 until cb.k).map(c2 => cb.subDist2(qres, j, c2)): _*)): _*)
+          .as("_qtab"))
+    val corpus = ivf.assigned.select(col(ivf.cId).as(cId), col("cell"))
+      .join(codes, cId)
+    val ad2 = (0 until cb.m).map(j =>
+      element_at(element_at(col("_qtab"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col(qId)).orderBy(col("ad2").asc, col(cId).asc)
+    broadcast(q).join(corpus, Seq("cell"))
+      .select(col(qId), col(cId), round(ad2, 6).as("ad2"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("ad2"), col("rnk").cast("long").as("rnk"))
+  }
+
   def ivfAdcTopK(queries: DataFrame, qId: String, ivf: IvfIndex,
       corpusCodes: DataFrame, cId: String, cb: PqCodebook,
       k: Int, nProbe: Int, vecCol: String = "embedding"): DataFrame = {

@@ -1559,6 +1559,66 @@ object LlmOps extends QueryGroup {
     // generator builds the SQL literals), exact cosine ranking over the
     // sketches. Fold order is left-to-right on both engines, so projected
     // coordinates, cosines, and rank ties hash-match exactly.
+    // RESIDUAL IVF-PQ (the FAISS IVFADC structure), fully deterministic:
+    // IVF centroids = corpus rows 20..23, residual codebook = rows 24..31's
+    // residuals — assignment, residual arithmetic, encode and ADC all
+    // replay in SQL, so the canonical billion-scale ANN layout is
+    // hash-checked end-to-end (full probe; the probe ORDER is pinned by
+    // q_ann_ivf's oracle already)
+    QueryDef("q_ann_ivfpq_residual",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val cents = corpus.filter(col("cid") <= 23).orderBy("cid")
+          .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        val ivf = graft.ops.IvfIndex.fromCentroids(cents, corpus, "cid", "embedding")
+        val res = Pq.residuals(ivf.assigned, "embedding", cents)
+        val cb = Pq.codebookFromRows(res, "cid", "residual", (24L to 31L), m = 2)
+        val codes = Pq.encode(res, "cid", "residual", cb)
+        Pq.ivfAdcResidualTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          "qid", ivf, codes, "cid", cb, k = 3, nProbe = 4)
+      },
+      Some("""WITH cvec AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 20),
+             |qvec AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),
+             |ivfc AS (SELECT CAST(cid - 20 AS INT) AS cell, v AS cv FROM cvec WHERE cid BETWEEN 20 AND 23),
+             |casg AS (SELECT cid, cell FROM (
+             |    SELECT c.cid, f.cell,
+             |      ROW_NUMBER() OVER (PARTITION BY c.cid ORDER BY
+             |        list_sum(list_transform(list_zip(c.v, f.cv), x -> (x[1]-x[2])*(x[1]-x[2]))), f.cell) AS rn
+             |    FROM cvec c CROSS JOIN ivfc f) WHERE rn = 1),
+             |cres AS (SELECT c.cid, a.cell,
+             |    list_transform(list_zip(c.v, f.cv), x -> x[1]-x[2]) AS r
+             |  FROM cvec c JOIN casg a ON a.cid = c.cid JOIN ivfc f ON f.cell = a.cell),
+             |cent AS (SELECT j, CAST(cr.cid - 24 AS INT) AS code, cr.r[j*32+1 : j*32+32] AS cv
+             |  FROM cres cr CROSS JOIN (SELECT unnest(range(0,2)) AS j)
+             |  WHERE cr.cid BETWEEN 24 AND 31),
+             |encd AS (SELECT cid, j, code FROM (
+             |    SELECT cr.cid, ct.j, ct.code,
+             |      ROW_NUMBER() OVER (PARTITION BY cr.cid, ct.j ORDER BY
+             |        list_sum(list_transform(list_zip(cr.r[ct.j*32+1 : ct.j*32+32], ct.cv),
+             |          x -> (x[1]-x[2])*(x[1]-x[2]))), ct.code) AS rn
+             |    FROM cres cr CROSS JOIN cent ct) WHERE rn = 1),
+             |qres AS (SELECT q.qid, f.cell,
+             |    list_transform(list_zip(q.v, f.cv), x -> x[1]-x[2]) AS r
+             |  FROM qvec q CROSS JOIN ivfc f),
+             |qd AS (SELECT qr.qid, qr.cell, ct.j, ct.code,
+             |    list_sum(list_transform(list_zip(qr.r[ct.j*32+1 : ct.j*32+32], ct.cv),
+             |      x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+             |  FROM qres qr CROSS JOIN cent ct),
+             |ad AS (SELECT q0.qid, e0.cid, ROUND(q0.d2 + q1.d2, 6) AS ad2
+             |  FROM (SELECT cid, code FROM encd WHERE j = 0) e0
+             |  JOIN (SELECT cid, code FROM encd WHERE j = 1) e1 USING (cid)
+             |  JOIN casg a ON a.cid = e0.cid
+             |  JOIN (SELECT qid, cell, code, d2 FROM qd WHERE j = 0) q0
+             |    ON q0.code = e0.code AND q0.cell = a.cell
+             |  JOIN (SELECT qid, cell, code, d2 FROM qd WHERE j = 1) q1
+             |    ON q1.code = e1.code AND q1.qid = q0.qid AND q1.cell = a.cell),
+             |r AS (SELECT qid, cid, ad2,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad2, cid) AS rnk FROM ad)
+             |SELECT qid, cid, ad2, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
     QueryDef("q_ann_rp",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")

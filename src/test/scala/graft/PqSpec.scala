@@ -115,4 +115,28 @@ class PqSpec extends SparkSpec {
     // all top-10 of each query collapse to the query's own cluster
     adcTop.foreach { case (q, cls) => assert(cls == Set(q % 3)) }
   }
+
+  test("residual IVF-PQ: exact when residuals sit on codebook entries; in-cluster recall") {
+    import graft.ops.IvfIndex
+    // centroids = one row per cluster -> residuals are the small 0.01*i
+    // perturbations; a codebook drawn FROM those residuals must rank each
+    // query's own perturbation group exactly
+    val cents = Seq(0L, 1L, 2L).map(i =>
+      clustered.filter($"cid" === i).head().getSeq[Float](1).map(_.toDouble).toArray)
+    val ivf = IvfIndex.fromCentroids(cents.toArray, clustered, "cid", "embedding")
+    val res = Pq.residuals(ivf.assigned, "embedding", cents.toArray)
+    val cb = Pq.codebookFromRows(res, "cid", "residual", (0L to 8L), m = 2)
+    val codes = Pq.encode(res, "cid", "residual", cb)
+    val queries = clustered.filter($"cid" < 6).select($"cid".as("qid"), $"embedding")
+    val out = Pq.ivfAdcResidualTopK(queries, "qid", ivf, codes, "cid", cb,
+        k = 3, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty && out.length == 6 * 3)
+    // rank-1 hit is the query itself at ad2 == 0 (its residual IS a
+    // codebook entry for cid <= 8, so reconstruction is exact)
+    val top1 = out.filter(_._4 == 1L)
+    assert(top1.forall(t => t._2 == t._1 && t._3 == 0.0))
+    // every hit stays in the query's own cluster at nProbe covering all
+    assert(out.forall(t => t._2 % 3 == t._1 % 3))
+  }
 }
