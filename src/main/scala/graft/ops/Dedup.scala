@@ -260,6 +260,31 @@ object Dedup {
   }
 
   /**
+   * SOFT dedup: instead of dropping duplicates, weight every doc by the
+   * inverse of its near-dup group size (singletons 1.0) — the
+   * SlimPajama-style alternative to [[resolveDuplicates]]'s hard
+   * keep/drop when repeated content should still contribute, just not n
+   * times. Weights feed sampling ([[Text.mixCorpus]]-style) or per-example
+   * loss scaling downstream.
+   *
+   * Same broadcast shape as [[resolveDuplicates]]: the group table (the
+   * tiny near-dup subset) broadcasts twice, the corpus never shuffles.
+   * Output: (id, group_id, n_dups, weight), weight = round(1/n, 6).
+   */
+  def duplicationWeights(df: DataFrame, groups: DataFrame,
+      idCol: String): DataFrame = {
+    val g = groups.select(col("doc_id").as("__gid"), col("canonical_id"))
+    val sizes = g.groupBy(col("canonical_id")).agg(count(lit(1)).as("__n"))
+    val gs = g.join(sizes, Seq("canonical_id"))
+    df.select(col(idCol))
+      .join(broadcast(gs), col(idCol) === col("__gid"), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("group_id"),
+        coalesce(col("__n"), lit(1L)).as("n_dups"),
+        round(lit(1.0) / coalesce(col("__n"), lit(1L)), 6).as("weight"))
+  }
+
+  /**
    * Positional word n-gram shingles: one row per shingle OCCURRENCE
    * (doc, pos, shingle), pos 0-based in document order — the span-level
    * companion of [[shingles]] (which is distinct/set-level). Codegen'd

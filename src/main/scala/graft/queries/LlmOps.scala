@@ -1243,6 +1243,37 @@ object LlmOps extends QueryGroup {
               |SELECT d.doc_id, rk.group_id, COALESCE(rk.r = 1, TRUE) AS kept
               |FROM documents d LEFT JOIN rk USING(doc_id)""".stripMargin)),
 
+    // SOFT dedup: every doc weighted 1/|near-dup group| instead of a hard
+    // keep/drop — the SlimPajama-style alternative; singletons weight 1.0
+    QueryDef("q_dedup_softweight",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val groups = Dedup.dedupGroups(
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, tau = 0.4))
+        Dedup.duplicationWeights(docs, groups, "doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |pairs AS (SELECT doc_a, doc_b
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+              |  WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.4),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |cc AS (
+              |  SELECT DISTINCT a AS doc, a AS lbl FROM e
+              |  UNION
+              |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc),
+              |grp AS (SELECT doc AS doc_id, MIN(lbl) AS group_id FROM cc GROUP BY doc),
+              |gsz AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n FROM grp GROUP BY group_id)
+              |SELECT d.doc_id,
+              |  COALESCE(grp.group_id, d.doc_id) AS group_id,
+              |  COALESCE(gsz.n, 1) AS n_dups,
+              |  ROUND(1.0 / COALESCE(gsz.n, 1), 6) AS weight
+              |FROM documents d
+              |LEFT JOIN grp ON grp.doc_id = d.doc_id
+              |LEFT JOIN gsz ON gsz.group_id = grp.group_id""".stripMargin)),
+
     // Exact substring dedup (Lee et al. 2022 family): maximal verbatim
     // token spans >= 16 tokens shared across doc pairs, via positional
     // 8-shingles -> shingle equi-join -> diagonal gaps-and-islands runs.

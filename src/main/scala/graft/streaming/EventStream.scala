@@ -790,4 +790,63 @@ object EventStream {
           UserSeq(userId, merged.size, merged.map(_._2), merged.map(_._3))
       }
   }
+
+  final case class CdcChange(key: Long, ts_us: Long, tie: Long, op: String,
+      v: Double)
+  final case class CdcState(v: Double, deleted: Boolean, tsUs: Long,
+      tie: Long, fromSnapshot: Boolean)
+  final case class CdcRow(key: Long, v: Option[Double], origin: String)
+
+  /**
+   * Streaming CDC apply: the incremental twin of
+   * [[graft.ops.Temporal.applyChangelog]]. State = the current value per
+   * key, seeded from the SNAPSHOT via the initial-state API; each
+   * micro-batch folds its changes in (ts, tiebreak) order and emits one
+   * row per TOUCHED key reflecting the post-batch state (`updated` /
+   * `inserted` / `deleted` — untouched keys emit nothing; their state is
+   * the carry). A single-batch run therefore emits exactly the batch
+   * operator's non-carried rows plus explicit tombstones for the keys the
+   * batch operator dropped (parity spec). Out-of-order arrivals relative
+   * to applied state fail fast, the [[streamingScd2]] contract.
+   */
+  def streamingCdcApply(spark: SparkSession, changes: DataFrame,
+      snapshot: DataFrame, keyCol: String, tsCol: String, opCol: String,
+      valCol: String, tieCol: String): Dataset[CdcRow] = {
+    import spark.implicits._
+    requireIntegralId(changes, keyCol, "streamingCdcApply")
+    val init = snapshot.select(col(keyCol).cast("long").as("key"),
+        col(valCol).cast("double").as("v"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => CdcState(r._2, deleted = false,
+        Long.MinValue, Long.MinValue, fromSnapshot = true))
+    changes.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"), col(tieCol).cast("long").as("tie"),
+        col(opCol).as("op"), col(valCol).cast("double").as("v"))
+      .as[CdcChange]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init) {
+        (key: Long, evs: Iterator[CdcChange], state: GroupState[CdcState]) =>
+          val sorted = evs.toList.sortBy(e => (e.ts_us, e.tie))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              if (st != null && st.tsUs != Long.MinValue)
+                require(e.ts_us >= st.tsUs,
+                  s"out-of-order changelog for key $key")
+              val snap = st != null && st.fromSnapshot
+              st = CdcState(e.v, e.op == "D", e.ts_us, e.tie, snap)
+            }
+            state.update(st)
+            val origin =
+              if (st.deleted) "deleted"
+              else if (st.fromSnapshot) "updated"
+              else "inserted"
+            Iterator.single(
+              CdcRow(key, if (st.deleted) None else Some(st.v), origin))
+          }
+      }
+  }
 }

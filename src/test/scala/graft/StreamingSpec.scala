@@ -635,6 +635,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: one batch emits the batch merge's non-carried rows plus tombstones") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Temporal
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+    val snapshot = ev.filter(col("ts") < cut)
+      .select(col("user_id")).distinct().withColumn("balance", lit(-1.0))
+    def chg(df: org.apache.spark.sql.DataFrame) = df.filter(col("ts") >= cut)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value").as("balance"))
+    val q = EventStream.streamingCdcApply(spark,
+        chg(EventStream.readEvents(spark, streamDir)), snapshot,
+        "user_id", "ts", "op", "balance", "event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cdc_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT key, v, origin FROM cdc_stream").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getString(2)))
+      val batch = Temporal.applyChangelog(snapshot, chg(ev), Seq("user_id"),
+          "ts", "op", Seq("balance"), Seq("event_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      val streamLive = got.filter(_._3 != "deleted")
+        .map(t => (t._1, t._2.get, t._3)).toSet
+      val batchLive = batch.filter(_._3 != "carried").toSet
+      assert(streamLive == batchLive && streamLive.nonEmpty)
+      // tombstoned keys are exactly the keys the batch merge dropped
+      val dead = got.filter(_._3 == "deleted").map(_._1).toSet
+      assert(dead.nonEmpty && dead.intersect(batch.map(_._1).toSet).isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static packed admission equals the batch admission verdicts") {
     import graft.ops.Dedup
     val dir = Files.createTempDirectory("graft_admit_stream")
