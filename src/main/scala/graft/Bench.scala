@@ -114,7 +114,11 @@ object Bench {
     // only — exclude from gate-total comparisons, like q_llm_e2e r10)
     "q_asof_join", "q_sessionize",
     // round-13: ranked retrieval + bounded-window EWMA (per-query only)
-    "q_bm25_search", "q_ewma")
+    "q_bm25_search", "q_ewma",
+    // round-14 families (per-query only): composed curation pipeline,
+    // incremental near-dup admission, residual IVF-PQ, CDC merge
+    "q_curation_e2e", "q_dedup_minhash_admit", "q_ann_ivfpq_residual",
+    "q_cdc_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
