@@ -27,6 +27,16 @@ trait MediaDecoder extends Serializable {
   /** Feature-extract a decoded frame to a `dim`-float vector (the
     * image-encoder forward in a real build). */
   def features(frame: Array[Byte], dim: Int): Array[Float]
+
+  /** `w*h`-byte row-major luminance grid for perceptual hashing. Default:
+    * the frame-0 decode sliced / zero-padded to `w*h` — exactly what
+    * [[StubDecoder]]'s deterministic fake frames give (and therefore what
+    * the DuckDB oracle replays); real codecs override with resample +
+    * ITU-R BT.601 luma ([[ImageIoDecoder]]). */
+  def luma(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val raw = decodeFrame(payload, 0L, w * h)
+    if (raw.length == w * h) raw else java.util.Arrays.copyOf(raw, w * h)
+  }
 }
 
 /**
@@ -162,6 +172,29 @@ object ImageIoDecoder extends MediaDecoder {
     while (i < frame.length) { f(i % dim) += (frame(i) & 0xFF) / 255.0f; i += 1 }
     f
   }
+
+  /** Real luminance grid: nearest-neighbor resample to w x h, ITU-R
+    * BT.601 integer luma (299R + 587G + 114B) / 1000 per pixel. Unreadable
+    * payloads yield the all-zero grid (hash 0 — groups with other
+    * unreadables; filter on byte_len upstream like [[Multimodal.dedupFrames]]). */
+  override def luma(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    read(payload) match {
+      case None => new Array[Byte](w * h)
+      case Some(img) =>
+        val out = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x * img.getWidth / w, y * img.getHeight / h)
+            val r = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val b = px & 0xFF
+            out(y * w + x) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+    }
 }
 
 /**

@@ -381,4 +381,84 @@ object Vectors {
       .select(col(idCol), col("cluster"),
         coalesce(!col("__drop"), lit(true)).as("keep"))
   }
+
+  /**
+   * Binary quantization: each vector compressed to `nWords * bitsPerWord`
+   * sign bits (bit j of word w = [v(w*bitsPerWord + j) > 0]) packed into
+   * an `array<long>` of word values — 64 floats become 64 bits, a 32x
+   * compression that turns distance into XOR+popcount. The standard
+   * first-stage filter in modern vector stores (the reference's ANN
+   * surface has the same coarse-then-exact split, e.g. its IVF/PQ paths).
+   *
+   * Zero-centered embeddings are assumed (sign bits carry no information
+   * otherwise) — true of the testdata embeddings and of most encoder
+   * outputs. Components beyond the vector's length contribute 0 bits, so
+   * short vectors are safe under ANSI mode (same guard as [[signBucket]]).
+   *
+   * The fold is high-bit-to-low `acc*2 + bit` — exact integer arithmetic
+   * that DuckDB replays verbatim, keeping the whole Hamming path
+   * hash-checkable. One narrow codegen projection, no shuffle.
+   */
+  def binaryCode(vec: Column, nWords: Int = 4, bitsPerWord: Int = 16): Column = {
+    require(nWords >= 1 && bitsPerWord >= 1 && bitsPerWord <= 62,
+      "need nWords >= 1 and 1 <= bitsPerWord <= 62")
+    array((0 until nWords).map { w =>
+      ((bitsPerWord - 1) to 0 by -1).foldLeft(lit(0L)) { (acc, j) =>
+        val idx = w * bitsPerWord + j + 1
+        acc * 2 + when(size(vec) >= lit(idx),
+          when(element_at(vec, idx) > lit(0), lit(1L)).otherwise(lit(0L)))
+          .otherwise(lit(0L))
+      }
+    }: _*)
+  }
+
+  /** Hamming distance between two packed codes: popcount of the per-word
+    * XOR, summed — `bit_count` is codegen'd, so the whole distance is a
+    * handful of ALU ops per pair. */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /**
+   * Two-stage ANN: binary-Hamming scan to `m` candidates per query, exact
+   * cosine rerank of the survivors to top `k`. The 100 TB shape:
+   *
+   *  - stage 1 drops the float vectors BEFORE the top-m shuffle — the scan
+   *    emits only (qid, cid, ham) skinny rows, so the per-query window
+   *    moves 16 bytes per candidate instead of the embedding;
+   *  - stage 2 rejoins vectors only for the `m * |Q|` survivors (hinted
+   *    broadcast — survivors are bounded by construction), so the corpus
+   *    is read once and never shuffled with its payload.
+   *
+   * Candidate order ties break on cid, final ties on (cos desc, cid) —
+   * fully deterministic, hash-checked against DuckDB end to end
+   * (`q_ann_binary_rerank`). Recall-vs-m is spec-checked: at m = |corpus|
+   * the result equals [[bruteForceTopK]] exactly.
+   */
+  def binaryRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
+      qId: String = "qid", cId: String = "cid", vecCol: String = "embedding",
+      nWords: Int = 4, bitsPerWord: Int = 16): DataFrame = {
+    require(m >= k, s"rerank pool m=$m must be >= k=$k")
+    def coded(df: DataFrame, id: String, out: String) =
+      df.select(col(id), col(vecCol).as(out),
+        binaryCode(col(vecCol), nWords, bitsPerWord).as(s"__${out}c"))
+    val q = coded(queries, qId, "qe")
+    val c = coded(corpus, cId, "ce")
+    val ham = broadcast(q.select(col(qId), col("__qec")))
+      .crossJoin(c.select(col(cId), col("__cec")))
+      .select(col(qId), col(cId),
+        hammingDist(col("__qec"), col("__cec")).as("ham"))
+    val wm = Window.partitionBy(col(qId)).orderBy(col("ham").asc, col(cId).asc)
+    val cand = ham.withColumn("__hrnk", row_number().over(wm))
+      .filter(col("__hrnk") <= m)
+      .join(q.select(col(qId), col("qe")), Seq(qId))
+    val rer = c.select(col(cId), col("ce")).join(broadcast(cand), Seq(cId))
+      .select(col(qId), col(cId), col("ham"),
+        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val wk = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    rer.withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("ham"), col("cos"),
+        col("rnk").cast("long").as("rnk"))
+  }
 }
