@@ -291,6 +291,99 @@ object Multimodal {
    * Output: (frame_hash, n_frames, canon_doc, canon_frame,
    * frame_byte_len), duplicate groups only (n_frames >= 2).
    */
+  /** One perceptual hash: the doc plus its packed average-hash code
+    * (`nWords` words of `bitsPerWord` sign bits each). */
+  final case class PHashRow(doc_id: Long, pcode: Array[Long])
+
+  /**
+   * Perceptual average-hash (aHash) over the decoder's luminance grid:
+   * resample the media to a `w` x `h` luma thumbnail, threshold each
+   * pixel against the grid mean, pack the bits into `nWords` longs of
+   * `bitsPerWord` bits (same word layout as
+   * [[graft.ops.Vectors.binaryCode]], so
+   * [[graft.ops.Vectors.hammingDist]] ranks distances directly). The
+   * classic near-identical-image detector: crops/re-encodes/minor edits
+   * keep the hash within a few bits, so frame/thumbnail dedup becomes
+   * Hamming search over 64-bit codes instead of pixel comparison.
+   *
+   * The mean threshold is exact integer math — bit i is
+   * `luma(i) * (w*h) > sum(luma)` (cross-multiplied, no division) — so
+   * with [[StubDecoder]] (whose luma grid is the leading payload bytes,
+   * zero-padded) the whole hash replays in DuckDB byte arithmetic and
+   * hash-matches (`q_multimodal_phash`). Real codecs override
+   * [[MediaDecoder.luma]] with resample + BT.601 ([[ImageIoDecoder]])
+   * and nothing here changes.
+   *
+   * Scale shape: one typed mapPartitions (the decode), output 8 bytes of
+   * code per media row — the corpus' payload bytes never shuffle.
+   */
+  def perceptualHash(spark: SparkSession, withPayload: DataFrame, idCol: String,
+      w: Int = 8, h: Int = 8, nWords: Int = 4, bitsPerWord: Int = 16,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    import spark.implicits._
+    require(w * h == nWords * bitsPerWord,
+      s"grid ${w}x$h must supply exactly nWords*bitsPerWord = ${nWords * bitsPerWord} pixels")
+    require(bitsPerWord <= 62, "bitsPerWord > 62 overflows the long fold")
+    withPayload.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val n = w * h
+        it.map { case (id, payload) =>
+          val g = decoder.luma(payload, w, h)
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += (g(i) & 0xFF); i += 1 }
+          val words = Array.tabulate(nWords) { wd =>
+            var acc = 0L
+            var j = bitsPerWord - 1
+            while (j >= 0) {
+              val b = if ((g(wd * bitsPerWord + j) & 0xFF).toLong * n > sum) 1L else 0L
+              acc = acc * 2 + b
+              j -= 1
+            }
+            acc
+          }
+          PHashRow(id, words)
+        }
+      }
+      .toDF()
+  }
+
+  /**
+   * Perceptual near-duplicate pairs: docs whose average-hash codes are
+   * within `maxDist` Hamming bits. Banded exactly like MinHash-LSH —
+   * by pigeonhole, two codes at Hamming distance <= maxDist < nWords
+   * agree on at least one whole word, so candidates are the pairs
+   * sharing any (word_idx, word_value) key and the band equi-join is
+   * EXACT (no recall loss), verified by the full Hamming distance.
+   *
+   * Scale shape: explode nWords skinny rows per doc, self equi-join on
+   * the 16-bit band key, distinct, then one id-keyed join back to the
+   * 8-byte codes for verification — no cartesian, payloads never move.
+   * Identical-media cliques fan out quadratically in the band join, but
+   * so does the pair OUTPUT itself; cap upstream with
+   * [[dedupFrames]]-style exact grouping if byte-identical media
+   * dominates.
+   */
+  def phashNearDup(phashes: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    val nWords = 4
+    require(maxDist >= 0 && maxDist < nWords,
+      s"banding is exact only for maxDist < $nWords words")
+    val p = phashes.select(col(idCol).as("__id"), col("pcode"))
+    val bands = p.select(col("__id"), posexplode(col("pcode")).as(Seq("__w", "__v")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.__w") === col("b.__w") && col("a.__v") === col("b.__v") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    cand
+      .join(p.select(col("__id").as("doc_a"), col("pcode").as("__pa")), Seq("doc_a"))
+      .join(p.select(col("__id").as("doc_b"), col("pcode").as("__pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Vectors.hammingDist(col("__pa"), col("__pb")).as("ham"))
+      .filter(col("ham") <= maxDist)
+  }
+
   def dedupFrames(frames: DataFrame, idCol: String): DataFrame =
     frames.select(col(idCol), col("frame_idx"),
         md5(hex(col("frame_bytes"))).as("frame_hash"),

@@ -161,6 +161,34 @@ object LlmOps extends QueryGroup {
     (1 to 8).map(p => s"(CASE WHEN $v[$p] > $v[${p + 32}] THEN ${1L << (p - 1)} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  /** [[Vectors.binaryCode]] in DuckDB: per-word high-to-low sign-bit fold
+    * (exact integer arithmetic, same association as the Spark fold). */
+  private def binCodeSql(v: String, nWords: Int = 4, bitsPerWord: Int = 16): String =
+    "[" + (0 until nWords).map { w =>
+      ((bitsPerWord - 1) to 0 by -1).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        s"($acc * 2 + (CASE WHEN $v[${w * bitsPerWord + j + 1}] > 0 THEN 1 ELSE 0 END))"
+      }
+    }.mkString(", ") + "]"
+
+  /** [[Vectors.hammingDist]] in DuckDB: popcount of per-word XOR, summed. */
+  private def hammingSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT)))"
+
+  /** [[Multimodal.perceptualHash]]'s 4-word pack fold in DuckDB: bit p of
+    * word w is `bl[w*16+p+1] * 64 > sum` (cross-multiplied mean
+    * threshold), folded high-to-low exactly like the Scala loop. */
+  private def phashWordsSql(bl: String, sm: String): String =
+    (0 until 4).map { wd =>
+      (15 to 0 by -1).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+        s"($acc * 2 + (CASE WHEN $bl[${wd * 16 + j + 1}] * 64 > $sm THEN 1 ELSE 0 END))"
+      }
+    }.mkString(", ")
+
+  /** >= 64 ASCII bytes: docs seeded with this prefix share their entire
+    * stub-codec luma grid, hence their entire perceptual hash. */
+  private val PhashBoiler =
+    "phash near-dup boiler prefix padding padding padding padding padding "
+
   def queries: Seq[QueryDef] = Seq(
 
     // --- text analysis ---------------------------------------------------
@@ -1725,6 +1753,35 @@ object LlmOps extends QueryGroup {
              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk FROM sc)
              |SELECT qid, cid, d2, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // Binary-quantization ANN: 64 sign bits per vector (32x compression),
+    // Hamming scan to an m-candidate pool, exact cosine rerank of the
+    // survivors — the coarse-then-exact split every modern vector store
+    // runs first. Codes, XOR+popcount distances and both rank stages are
+    // exact integer/tie-broken arithmetic, so the WHOLE two-stage path
+    // hash-matches the SQL replay; recall (= brute force at m = |corpus|)
+    // is additionally spec-checked in OpsSpec.
+    QueryDef("q_ann_binary_rerank",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Vectors.binaryRerankTopK(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding")),
+          e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
+          k = 3, m = 12)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+              |    ${binCodeSql("(embedding::DOUBLE[])")} AS qc FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+              |    ${binCodeSql("(embedding::DOUBLE[])")} AS cc FROM embeddings WHERE vec_id >= 20),
+              |hm AS (SELECT qid, cid, CAST(${hammingSql("qc", "cc")} AS BIGINT) AS ham
+              |  FROM q CROSS JOIN c),
+              |cand AS (SELECT qid, cid, ham,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, cid) AS hr FROM hm),
+              |rr AS (SELECT cand.qid, cand.cid, cand.ham, ${cosSql("qe", "ce")} AS cos
+              |  FROM cand JOIN q USING (qid) JOIN c USING (cid) WHERE hr <= 12),
+              |r AS (SELECT qid, cid, ham, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM rr)
+              |SELECT qid, cid, ham, cos, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
     // F5 embeddings joined back to an entity profile (segmentation/pandas.py:382-408)
     QueryDef("q_f5_embed_profile",
       (s, dir) => {
@@ -1812,6 +1869,68 @@ object LlmOps extends QueryGroup {
              |SELECT frame_hash, CAST(n AS BIGINT) AS n_frames, doc_id AS canon_doc,
              |  CAST(fi AS BIGINT) AS canon_frame, CAST(fblen AS BIGINT) AS frame_byte_len
              |FROM r WHERE rn = 1 AND n >= 2""".stripMargin)),
+
+    // Perceptual average-hash (aHash): decoder luma grid -> 8x8 mean-
+    // threshold bits -> 4 x 16-bit packed words (binaryCode layout).
+    // Under the stub codec the luma grid is the leading 64 payload bytes
+    // zero-padded, so the whole hash — hex byte extraction, cross-
+    // multiplied mean threshold (no division), high-to-low pack fold —
+    // replays in DuckDB integer arithmetic and hash-matches.
+    QueryDef("q_multimodal_phash",
+      (s, dir) => {
+        val ph = Multimodal.perceptualHash(s,
+          Multimodal.withBinaryPayload(Tables.load(s, dir, "documents"), "text"), "doc_id")
+        ph.select(col("doc_id"), posexplode(col("pcode")).as(Seq("word_idx", "word")))
+          .select(col("doc_id"), col("word_idx").cast("long").as("word_idx"), col("word"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+              |    octet_length(encode(text)) AS len FROM documents),
+              |b AS (SELECT doc_id, i,
+              |    CASE WHEN i <= len THEN
+              |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+              |      + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)
+              |    ELSE 0 END AS bv
+              |  FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+              |s AS (SELECT doc_id, list(bv ORDER BY i) AS bl, sum(bv) AS sm
+              |  FROM b GROUP BY doc_id),
+              |w AS (SELECT doc_id, [${phashWordsSql("bl", "sm")}] AS pl FROM s)
+              |SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_idx, pl[CAST(i AS INT)] AS word
+              |FROM w CROSS JOIN (SELECT unnest(range(1, 5)) AS i)""".stripMargin)),
+
+    // Perceptual near-dup pairs: banded Hamming search over the packed
+    // aHash codes (pigeonhole-exact for maxDist < nWords — the blocked
+    // equi-join provably equals the all-pairs scan the oracle runs).
+    // Every 10th doc gets a fixed >= 64-byte boiler prefix, so its
+    // stub-codec hash is entirely the prefix's: a guaranteed ham = 0
+    // clique plus whatever near-identical-prefix pairs occur naturally.
+    QueryDef("q_multimodal_phash_dedup",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 10 === 9, concat(lit(PhashBoiler), col("text")))
+            .otherwise(col("text")))
+        Multimodal.phashNearDup(
+          Multimodal.perceptualHash(s,
+            Multimodal.withBinaryPayload(seeded, "text"), "doc_id"),
+          "doc_id", maxDist = 3)
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 10 = 9 THEN '$PhashBoiler' || text ELSE text END AS t
+              |  FROM documents),
+              |d AS (SELECT doc_id, hex(encode(t)) AS hx,
+              |    octet_length(encode(t)) AS len FROM d0),
+              |b AS (SELECT doc_id, i,
+              |    CASE WHEN i <= len THEN
+              |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+              |      + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)
+              |    ELSE 0 END AS bv
+              |  FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+              |s AS (SELECT doc_id, list(bv ORDER BY i) AS bl, sum(bv) AS sm
+              |  FROM b GROUP BY doc_id),
+              |w AS (SELECT doc_id, [${phashWordsSql("bl", "sm")}] AS pl FROM s),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    CAST(${hammingSql("a.pl", "b.pl")} AS BIGINT) AS ham
+              |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, ham FROM p WHERE ham <= 3""".stripMargin)),
 
     QueryDef("q_multimodal_meta",
       (s, dir) => Multimodal.decodeMetadata(s,

@@ -337,6 +337,91 @@ class OpsSpec extends SparkSpec {
     assert(frames.head.getAs[Array[Byte]]("frame_bytes").length == 48)
   }
 
+  test("binaryCode: hand-computed sign-bit packing; hammingDist exact") {
+    // 8 dims, 2 words x 4 bits: word bits are low-to-high in pixel order
+    // (fold adds the high j first), so [+,-,+,+] -> 0b1101 = 13 and
+    // [-,-,-,+] -> 0b1000 = 8
+    val df = Seq(Tuple1(Array(1f, -1f, 1f, 1f, -1f, -1f, -1f, 1f))).toDF("v")
+    val code = df.select(Vectors.binaryCode($"v", nWords = 2, bitsPerWord = 4))
+      .head().getSeq[Long](0)
+    assert(code == Seq(13L, 8L))
+    // out-of-range components contribute 0 bits (ANSI-safe short vectors)
+    val short = Seq(Tuple1(Array(1f, 1f, 1f))).toDF("v")
+      .select(Vectors.binaryCode($"v", nWords = 1, bitsPerWord = 4))
+      .head().getSeq[Long](0)
+    assert(short == Seq(7L))
+    val hd = Seq((Array(13L, 8L), Array(12L, 8L))).toDF("a", "b")
+      .select(Vectors.hammingDist($"a", $"b")).head().getLong(0)
+    assert(hd == 1L) // 13 xor 12 = 1 -> one bit
+  }
+
+  test("binary rerank ANN: equals brute force at m = |corpus|; pool bounded") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"embedding")
+    val c = e.filter($"vec_id" >= 20).select($"vec_id".as("cid"), $"embedding")
+    val n = c.count().toInt
+    val exact = Vectors.bruteForceTopK(q, c, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val full = Vectors.binaryRerankTopK(q, c, k = 3, m = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(full == exact, "rerank over the full pool must equal brute force")
+    // a tight pool still returns exactly k per query
+    val tight = Vectors.binaryRerankTopK(q, c, k = 3, m = 5).collect()
+    assert(tight.groupBy(_.getLong(0)).forall(_._2.length == 3))
+  }
+
+  test("perceptualHash: hand-computed stub-codec grid; banding equals all-pairs") {
+    // "abc" -> luma = [97,98,99, 0*61], sum 294; every nonzero byte's
+    // cross-multiplied threshold passes (97*64 > 294), zeros fail ->
+    // word0 = 2^0+2^1+2^2 = 7, rest 0
+    val one = Multimodal.perceptualHash(spark,
+      Multimodal.withBinaryPayload(Seq((1L, "abc")).toDF("doc_id", "text"), "text"),
+      "doc_id").head().getSeq[Long](1)
+    assert(one == Seq(7L, 0L, 0L, 0L))
+    // banded near-dup must equal the quadratic scan (pigeonhole exactness)
+    val seeded = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (7L, "the quick brown fox jumps over a lazy dog")    // near prefix
+    ).toDF("doc_id", "text"))
+    val ph = Multimodal.perceptualHash(spark,
+      Multimodal.withBinaryPayload(seeded, "text"), "doc_id")
+    val codes = ph.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    for (maxDist <- Seq(0, 3)) {
+      val brute = (for {
+        a <- codes.keys; b <- codes.keys if a < b
+        if ham(codes(a), codes(b)) <= maxDist
+      } yield (a, b)).toSet
+      val banded = Multimodal.phashNearDup(ph, "doc_id", maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"banding lost/invented pairs at maxDist=$maxDist")
+    }
+    // identical docs are ham-0 pairs by construction
+    val zero = Multimodal.phashNearDup(ph, "doc_id", 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zero.contains((1L, 4L)) && zero.contains((1L, 6L)))
+  }
+
+  test("ImageIoDecoder.luma: BT.601 on a constant image; zero phash at the mean") {
+    val img = new java.awt.image.BufferedImage(8, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 8) img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    // (299*100 + 587*150 + 114*200) / 1000 = 140 for every resampled pixel
+    val g = ImageIoDecoder.luma(png, 8, 8)
+    assert(g.length == 64 && g.forall(b => (b & 0xFF) == 140))
+    // constant grid: no byte exceeds the mean (strict >), so the hash is 0
+    val code = Multimodal.perceptualHash(spark,
+      Seq((1L, png)).toDF("doc_id", "payload"), "doc_id",
+      decoder = ImageIoDecoder).head().getSeq[Long](1)
+    assert(code == Seq(0L, 0L, 0L, 0L))
+    // unreadable payloads luma to the all-zero grid, not an exception
+    assert(ImageIoDecoder.luma("nope".getBytes("UTF-8"), 8, 8).forall(_ == 0))
+  }
+
   test("BPE tokenizer: hand-computed fit merges; encode is lossless and rank-ordered") {
     import graft.ops.Bpe
     // fit on "aa aa ab": pair (a,a) count 2 beats (a,b) count 1, then
