@@ -118,7 +118,10 @@ object Bench {
     // round-14 families (per-query only): composed curation pipeline,
     // incremental near-dup admission, residual IVF-PQ, CDC merge
     "q_curation_e2e", "q_dedup_minhash_admit", "q_ann_ivfpq_residual",
-    "q_cdc_apply")
+    "q_cdc_apply",
+    // round-15 families (per-query only): binary-quantization two-stage
+    // ANN, perceptual-hash banded near-dup
+    "q_ann_binary_rerank", "q_multimodal_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -57,4 +57,91 @@ object Graph {
     }
     ranks.select(col("v"), round(col("rank"), 6).as("rank"))
   }
+
+  /**
+   * Connected components by alternating LARGE-STAR / SMALL-STAR
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC 2014) — the log-round scale path for near-dup group resolution.
+   *
+   * [[Dedup.dedupGroups]]' min-label propagation moves the component
+   * minimum ONE hop per round, so a duplication CHAIN of diameter d
+   * (doc A ~ B ~ C ~ … — common in versioned/boilerplate corpora) costs
+   * d shuffles; at 100 TB a thousand-deep chain is a thousand-stage job.
+   * The star operations instead rewire the graph toward its component
+   * minima and converge in O(log² n) rounds regardless of diameter
+   * (spec: a 200-node path closes in <= 12 rounds, far under its
+   * diameter 199).
+   *
+   * Per round: both ops are one groupBy-min on the node key plus one
+   * equi-join of the edge list back to that min — the Pregel shuffle
+   * pattern, declarative so AQE handles hub skew. Edges are kept
+   * canonical (small endpoint first, distinct), so the state never
+   * exceeds one row per surviving edge, monotonically collapsing to one
+   * row per non-root node.
+   *
+   *  - large-star(u): m = min(Γ(u) ∪ u); emit (m, v) for v ∈ Γ(u), v > u
+   *  - small-star(u): m = min{v ∈ Γ(u) : v < u}; emit (m, v) for those
+   *    v ≠ m plus (m, u)
+   *
+   * Output: (doc_id, canonical_id) for every node of the input graph,
+   * canonical = component minimum — identical contract (and results) to
+   * [[Dedup.dedupGroups]], so the two are drop-in interchangeable and
+   * oracle-checked against the same recursive-CTE closure
+   * (`q_dedup_groups_star`).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("doc_id"))
+      .union(pairs.select(col(bCol).as("doc_id"))).distinct()
+    // each round references the previous edge set several times, so the
+    // lineage would double+ per round — checkpoint every round to keep
+    // the plan flat (localCheckpoint here; a cluster run checkpoints to
+    // reliable storage the same way pageRank's checkpointEvery does)
+    var e = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // fixpoint detection by (count, order-free hash-xor) signature: both
+    // sides are DISTINCT canonical edge sets (so xor cancellation of
+    // repeated rows cannot occur) and equal signatures mean equal sets
+    // up to a 2^-64 hash collision — one tiny aggregate per round
+    // instead of a set-difference join, and xor cannot overflow under
+    // ANSI mode the way a hash SUM does
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var eSig = sig(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every node n with its full neighborhood
+      val nbrs = e.select(col("u").as("n"), col("v").as("nb"))
+        .union(e.select(col("v").as("n"), col("u").as("nb")))
+      val mins = nbrs.groupBy(col("n"))
+        .agg(min(least(col("nb"), col("n"))).as("m"))
+      val large = nbrs.join(mins, "n").filter(col("nb") > col("n"))
+        .select(col("m").as("u"), col("nb").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: strictly-smaller neighborhoods of the large-star result
+      val smaller = large.select(col("v").as("n"), col("u").as("nb"))
+      val minsS = smaller.groupBy(col("n")).agg(min(col("nb")).as("m"))
+      val withM = smaller.join(minsS, "n")
+      val next = withM.select(col("m").as("u"), col("nb").as("v"))
+        .union(withM.select(col("m").as("u"), col("n").as("v")))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      val nextSig = sig(next)
+      e = next // the previous round's checkpoint blocks are GC-reclaimed
+      converged = nextSig == eSig
+      eSig = nextSig
+      it += 1
+    }
+    // converged state is a star forest centered on component minima; the
+    // groupBy-min also covers a maxIter bailout on a degenerate graph
+    val lbl = e.groupBy(col("v").as("doc_id")).agg(min(col("u")).as("__lbl"))
+    nodes.join(lbl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__lbl"), col("doc_id")).as("canonical_id"))
+  }
 }

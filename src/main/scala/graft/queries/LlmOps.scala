@@ -1242,6 +1242,28 @@ object LlmOps extends QueryGroup {
               |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc)
               |SELECT doc AS doc_id, MIN(lbl) AS canonical_id FROM cc GROUP BY doc""".stripMargin)),
 
+    // Same pair graph resolved by the alternating large-star/small-star
+    // algorithm (log-round convergence independent of chain diameter —
+    // the 100 TB path) — drop-in interchangeable with dedupGroups, so the
+    // SAME recursive-CTE closure is its oracle
+    QueryDef("q_dedup_groups_star",
+      (s, dir) => Graph.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, tau = 0.4)),
+      Some(s"""WITH RECURSIVE $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |pairs AS (SELECT doc_a, doc_b
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+              |  WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.4),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+              |cc AS (
+              |  SELECT DISTINCT a AS doc, a AS lbl FROM e
+              |  UNION
+              |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc)
+              |SELECT doc AS doc_id, MIN(lbl) AS canonical_id FROM cc GROUP BY doc""".stripMargin)),
+
     // Canonical-document selection after group resolution: EVERY corpus
     // doc gets an explicit (group_id, kept) decision — singletons keep,
     // a group's winner is its longest member (ties: min id)

@@ -1187,4 +1187,46 @@ class OpsSpec extends SparkSpec {
     // symmetric graph, no dangling mass: ranks sum to ~1
     assert(math.abs(ps.values.sum - 1.0) < 1e-5)
   }
+
+  test("star connected components: equals dedupGroups on every graph shape") {
+    import graft.ops.Graph
+    val rnd = new scala.util.Random(7)
+    val shapes = Seq(
+      // two cliques + a bridge-free singleton pair + a short chain
+      (1 to 4).combinations(2).map(p => (p(0).toLong, p(1).toLong)).toSeq ++
+        Seq((10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L)),
+      // random graph on 40 nodes
+      Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2),
+      // duplicate + reversed edges must not matter
+      Seq((5L, 6L), (6L, 5L), (5L, 6L), (6L, 7L))
+    )
+    for (edges <- shapes) {
+      val df = edges.toDF("doc_a", "doc_b")
+      val viaProp = Dedup.dedupGroups(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = Graph.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaProp, s"star CC diverged from min-label on $edges")
+    }
+  }
+
+  test("star connected components: path diameter 199 closes in <= 12 rounds") {
+    import graft.ops.Graph
+    // min-label propagation needs ~199 rounds here (dedupGroups' default
+    // maxIter 20 would bail out unconverged); the star algorithm is
+    // logarithmic in diameter — a wrong label at maxIter = 12 fails this
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val lbl = Graph.connectedComponents(chain, maxIter = 12).collect()
+    assert(lbl.length == 200)
+    assert(lbl.forall(_.getLong(1) == 1L),
+      "star CC failed to close a 200-node path within 12 rounds")
+    // type-generic ids: strings keep their native type, lexicographic min
+    val s = Seq(("urn:b", "urn:c"), ("urn:a", "urn:b"), ("urn:x", "urn:y"))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.connectedComponents(s).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("urn:a" -> "urn:a", "urn:b" -> "urn:a",
+      "urn:c" -> "urn:a", "urn:x" -> "urn:x", "urn:y" -> "urn:x"))
+  }
 }
