@@ -556,6 +556,72 @@ object EventStream {
       }
   }
 
+  final case class PHashBand(doc_id: Long, bkey: String, pcode: Seq[Long])
+  final case class PHashBucketState(members: List[(Long, Seq[Long])])
+  final case class PhashDup(doc_a: Long, doc_b: Long, band: Int, ham: Long)
+
+  /**
+   * Streaming perceptual near-dup over media payloads: the incremental
+   * twin of [[graft.ops.Multimodal.phashNearDup]]. The aHash computation
+   * ([[graft.ops.Multimodal.perceptualHash]] — decoder luma grid,
+   * mean-threshold bits, 4 x 16-bit packed words) runs as the same typed
+   * projection on the stream; the banded candidate structure keys state
+   * on (word_idx, word_value) exactly like the batch equi-join, so by
+   * the same pigeonhole argument a pair within `maxDist < 4` Hamming
+   * bits ALWAYS collides in at least one bucket — the stream loses no
+   * recall vs batch below the cap (parity spec-checked).
+   *
+   * Verification is exact: an 8-byte code trivially fits in state, so
+   * each bucket holds its first-seen `maxBucket` member codes and a new
+   * arrival is checked with the same XOR+popcount distance the batch
+   * path computes. A pair matching in several bands emits once per band
+   * — dedup downstream on (doc_a, doc_b). State is
+   * O(buckets x maxBucket x 4 longs); `stateTtl` optionally evicts idle
+   * buckets on unbounded streams (evicted members can no longer match —
+   * the same opt-in recall/state tradeoff as the other dedup twins).
+   */
+  def streamingPhashDedup(spark: SparkSession, docs: DataFrame, idCol: String,
+      maxDist: Int, maxBucket: Int = 1000,
+      decoder: graft.ops.MediaDecoder = graft.ops.StubDecoder,
+      stateTtl: Option[String] = None): Dataset[PhashDup] = {
+    import spark.implicits._
+    requireIntegralId(docs, idCol, "streamingPhashDedup")
+    require(maxDist >= 0 && maxDist < 4, "banding is exact only for maxDist < 4 words")
+    graft.ops.Multimodal.perceptualHash(spark, docs, idCol, decoder = decoder)
+      .select(col("doc_id"), posexplode(col("pcode")).as(Seq("w", "v")), col("pcode"))
+      .select(col("doc_id"), concat_ws(":", col("w"), col("v")).as("bkey"), col("pcode"))
+      .as[PHashBand]
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[PHashBucketState, PhashDup](
+        OutputMode.Append, ttlConf(stateTtl)) {
+        (bkey: String, ds: Iterator[PHashBand], state: GroupState[PHashBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = bkey.takeWhile(_ != ':').toInt
+            var members = state.getOption.getOrElse(PHashBucketState(Nil)).members
+            val out = scala.collection.mutable.ListBuffer.empty[PhashDup]
+            def ham(a: Seq[Long], b: Seq[Long]): Long =
+              a.iterator.zip(b.iterator)
+                .map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+            ds.foreach { d =>
+              if (!members.exists(_._1 == d.doc_id) && members.size < maxBucket) {
+                members.foreach { case (mid, mcode) =>
+                  val h = ham(mcode, d.pcode)
+                  if (h <= maxDist) {
+                    val (a, b) = if (mid < d.doc_id) (mid, d.doc_id) else (d.doc_id, mid)
+                    out += PhashDup(a, b, band, h)
+                  }
+                }
+                members = (d.doc_id, d.pcode) :: members
+              }
+            }
+            state.update(PHashBucketState(members))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   final case class FeatEv(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String, value: Double)
   final case class FeatState(events: List[(Long, Long, String, Double)])

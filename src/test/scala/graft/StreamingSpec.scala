@@ -469,6 +469,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming phash near-dup equals the batch banded scan exactly") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_docs_phash_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    val near = EventStream.streamingPhashDedup(spark,
+      graft.ops.Multimodal.withBinaryPayload(docsStream, "text"),
+      "doc_id", maxDist = 3)
+    val q = near.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("phash_stream").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM phash_stream").collect()
+      val streamPairs = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+        .toMap // per-band repeats carry the same hamming distance
+      val docs = graft.core.Tables.load(spark, sf, "documents")
+      val batch = graft.ops.Multimodal.phashNearDup(
+          graft.ops.Multimodal.perceptualHash(spark,
+            graft.ops.Multimodal.withBinaryPayload(docs, "text"), "doc_id"),
+          "doc_id", maxDist = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // same hash, same band structure, nothing at the cap => identical
+      // pair sets with identical exact distances (pigeonhole both sides)
+      assert(streamPairs == batch,
+        s"stream-only=${(streamPairs.keySet -- batch.keySet).take(3)} " +
+        s"batch-only=${(batch.keySet -- streamPairs.keySet).take(3)}")
+      assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))
+    } finally q.stop()
+  }
+
   test("stream-static packed ANN equals batch single-probe lshTopK") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_annq_stream")
