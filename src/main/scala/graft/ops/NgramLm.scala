@@ -131,6 +131,63 @@ object Dsir {
   }
 }
 
+/**
+ * Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the formulation
+ * of Chen & Goodman 1998) — the smoothing KenLM actually ships, upgraded
+ * from [[NgramLmModel]]'s stupid backoff. The lower-order distribution is
+ * the CONTINUATION probability (how many distinct contexts a word follows)
+ * rather than raw frequency, which is what makes "francisco" unlikely
+ * outside "san francisco" even though it is frequent:
+ *
+ *   P(w2|w1) = max(c12 - D, 0)/c1 + D·fan(w1)/c1 · Pc(w2)     (w1 seen)
+ *   Pc(w2)   = (cont(w2) + 1) / (B + V + 1)                    (+1 floor)
+ *
+ * with c1 = Σ_w2 c12 (context occurrences), fan(w1) = |{w2 : c12 > 0}|,
+ * cont(w2) = |{w1 : c12 > 0}|, B = distinct bigram types, V = vocabulary.
+ * An unseen context backs off to Pc alone. The +1 continuation floor
+ * keeps every score finite (an OOV continuation otherwise has Pc = 0),
+ * the same role Laplace plays in the stupid-backoff floor. All terms are
+ * count ratios — deterministic and oracle-replayable (`q_text_lm_kn`).
+ *
+ * Scale shape identical to [[NgramLmModel.score]]: three count tables
+ * joined against the exploded bigram stream (broadcast-able once pruned
+ * to a top vocabulary), one per-doc aggregation.
+ */
+final case class KneserNeyModel(
+    contexts: DataFrame,      // (w1, c1, fan)
+    bigrams: DataFrame,       // (w1, w2, c12)
+    continuations: DataFrame, // (w2, cont)
+    nBigramTypes: Long,       // B
+    vocabSize: Long,          // V
+    discount: Double) {
+
+  /** Per-document fluency: (id, n_bigrams, avg_logp), same contract as
+    * [[NgramLmModel.score]] so the two models are drop-in comparable. */
+  def score(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ts = Text.tokens(col(textCol))
+    val pairs = arrays_zip(
+      slice(ts, lit(1), size(ts) - 1).as("w1"),
+      slice(ts, lit(2), size(ts) - 1).as("w2"))
+    val exploded = df.select(col(idCol), explode(pairs).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pc = (coalesce(col("cont"), lit(0L)).cast("double") + 1.0) /
+      lit((nBigramTypes + vocabSize + 1).toDouble)
+    val term1 = greatest(
+      coalesce(col("c12"), lit(0L)).cast("double") - lit(discount), lit(0.0)) /
+      col("c1").cast("double")
+    val term2 = lit(discount) * col("fan").cast("double") /
+      col("c1").cast("double") * pc
+    val logp = when(col("c1").isNotNull, log(term1 + term2)).otherwise(log(pc))
+    exploded
+      .join(bigrams, Seq("w1", "w2"), "left")
+      .join(contexts, Seq("w1"), "left")
+      .join(continuations, Seq("w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(logp), 6).as("avg_logp"))
+  }
+}
+
 object NgramLm {
 
   /** Fit unigram + bigram counts on `df`'s `textCol` (whitespace tokens,
@@ -149,5 +206,28 @@ object NgramLm {
     val nRow = uni.agg(sum(col("c1")).as("n"), count(lit(1)).as("v"))
       .collect()(0)
     NgramLmModel(uni, bi, nRow.getLong(0), nRow.getLong(1), alpha)
+  }
+
+  /** Fit the Kneser-Ney count structure: everything derives from the
+    * bigram type/count table in one aggregation pass each (context sums
+    * + fan-outs, continuation fan-ins, type count), plus one distinct
+    * count for V. */
+  def fitKneserNey(df: DataFrame, textCol: String,
+      discount: Double = 0.75): KneserNeyModel = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val ts = Text.tokens(col(textCol))
+    val pairs = arrays_zip(
+      slice(ts, lit(1), size(ts) - 1).as("w1"),
+      slice(ts, lit(2), size(ts) - 1).as("w2"))
+    val bi = df.select(explode(pairs).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fan"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val bTypes = bi.count()
+    val v = df.select(explode(ts).as("w")).agg(countDistinct(col("w")))
+      .collect()(0).getLong(0)
+    KneserNeyModel(ctx, bi, cont, bTypes, v, discount)
   }
 }

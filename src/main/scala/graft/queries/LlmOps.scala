@@ -545,6 +545,41 @@ object LlmOps extends QueryGroup {
               |  ROUND(AVG(lp), 6) AS avg_logp
               |FROM sc GROUP BY doc_id""".stripMargin)),
 
+    // Interpolated Kneser-Ney scoring over the same fit slice: absolute
+    // discounting + continuation-probability backoff (the KenLM
+    // smoothing), all count ratios, so the full score replays in SQL
+    QueryDef("q_text_lm_kn",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        NgramLm.fitKneserNey(docs.filter(col("doc_id") % 10 =!= 0), "text")
+          .score(docs, "text", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+              |bg AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS p, ts FROM t),
+              |cb AS (SELECT doc_id, ts[p] AS w1, ts[p+1] AS w2 FROM bg),
+              |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM cb
+              |  WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+              |ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS fan FROM b GROUP BY w1),
+              |cont AS (SELECT w2, COUNT(*) AS cont FROM b GROUP BY w2),
+              |nb AS (SELECT COUNT(*) AS bt FROM b),
+              |vv AS (SELECT COUNT(DISTINCT w) AS v FROM (
+              |    SELECT unnest(ts) AS w FROM t WHERE doc_id % 10 <> 0)),
+              |sc AS (SELECT cb.doc_id,
+              |    CASE WHEN ctx.c1 IS NOT NULL THEN
+              |      ln(GREATEST(CAST(COALESCE(b.c12, 0) AS DOUBLE) - 0.75, 0.0)
+              |           / CAST(ctx.c1 AS DOUBLE)
+              |         + 0.75 * CAST(ctx.fan AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)
+              |           * (CAST(COALESCE(cont.cont, 0) + 1 AS DOUBLE)
+              |              / CAST(nb.bt + vv.v + 1 AS DOUBLE)))
+              |    ELSE ln(CAST(COALESCE(cont.cont, 0) + 1 AS DOUBLE)
+              |            / CAST(nb.bt + vv.v + 1 AS DOUBLE)) END AS lp
+              |  FROM cb LEFT JOIN b USING(w1, w2)
+              |  LEFT JOIN ctx ON ctx.w1 = cb.w1
+              |  LEFT JOIN cont ON cont.w2 = cb.w2, nb, vv)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |  ROUND(AVG(lp), 6) AS avg_logp
+              |FROM sc GROUP BY doc_id""".stripMargin)),
+
     // Token-budget fill: walk docs longest-first (n_chars desc, the cheap
     // quality proxy already in the table) and keep until the running token
     // total passes 15k — the "fill the training budget by priority" step.

@@ -821,6 +821,28 @@ class OpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("Kneser-Ney LM: hand-computed discount, continuation backoff, floors") {
+    // train "a b a b a c": bi (a,b)=2 (b,a)=2 (a,c)=1
+    // ctx a: c1=3 fan=2; b: c1=2 fan=1 | cont a=1 b=1 c=1 | B=3 V=3 -> 7
+    val m = NgramLm.fitKneserNey(Seq((1L, "a b a b a c")).toDF("doc_id", "text"), "text")
+    assert(m.nBigramTypes == 3 && m.vocabSize == 3)
+    val ctx = m.contexts.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ctx == Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L))))
+    val scored = m.score(Seq(
+        (10L, "a b"),  // seen: (2-.75)/3 + .75*2/3 * (1+1)/7
+        (11L, "c a"),  // unseen context c: continuation floor of a
+        (12L, "z q"))  // fully OOV: continuation floor of q
+      .toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(scored(10L) == r6(math.log(1.25 / 3.0 + 0.75 * 2 / 3.0 * (2.0 / 7))))
+    assert(scored(11L) == r6(math.log(2.0 / 7)))
+    assert(scored(12L) == r6(math.log(1.0 / 7)))
+    // every KN probability is a genuine probability (< 1, > 0): log < 0
+    assert(scored.values.forall(_ < 0.0))
+  }
+
   test("line dedup: repeated lines drop, order survives, emptied docs vanish") {
     val docs = Seq(
       (1L, "unique alpha\nSHARED FOOTER\nunique beta"),
