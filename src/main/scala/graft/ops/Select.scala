@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -114,5 +115,56 @@ object Select {
       else when(rk <= (q + 1) * r, floor((rk - 1) / lit(q + 1)) + 1)
         .otherwise(lit(r) + floor((rk - lit((q + 1) * r) - 1) / lit(q)) + 1)
     ranked.withColumn(bucketCol, bucket.cast("long")).drop("__rank")
+  }
+
+  /**
+   * UniMax-style per-source token budgeting (Chung et al. 2023, "UniMax:
+   * Fairer and More Effective Language Sampling for Large-Scale
+   * Multilingual Pretraining"): allocate a total training-token `budget`
+   * across sources so no source repeats more than `maxEpochs` times and
+   * the rest of the budget spreads UNIFORMLY over the unsaturated
+   * sources — the waterfilling solution the paper reaches by a greedy
+   * loop, computed here in closed form. With caps sorted ascending,
+   * source j of k is SATURATED iff cap_j·(k−j+1) <= budget − prefix_{j−1}
+   * — provably a prefix property (if it fails at j it fails at every
+   * j' > j), so saturation is a per-row window expression and everyone
+   * unsaturated shares the water level (budget − Σ saturated caps) /
+   * #unsaturated.
+   *
+   * The input is the per-source AGGREGATE table (one row per source), so
+   * the global windows here run over dozens of rows — the "never a
+   * global window over the corpus" rule ([[tokenBudget]]'s reason for
+   * existing) does not apply at this altitude.
+   *
+   * Output: (keyCol, n_tokens, cap_tokens, alloc_tokens, epochs,
+   * saturated); allocations sum to min(budget, total capacity) and
+   * epochs <= maxEpochs everywhere.
+   */
+  def waterfillBudgets(df: DataFrame, keyCol: String, tokenCol: String,
+      budget: Double, maxEpochs: Double): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    val ord = Window.orderBy(col("cap_tokens").asc, col(keyCol).asc)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val flagged = df
+      .select(col(keyCol), col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens").cast("double") * lit(maxEpochs))
+      .withColumn("__idx", row_number().over(ord))
+      .withColumn("__prefix", coalesce(sum(col("cap_tokens")).over(prev), lit(0.0)))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("saturated",
+        col("cap_tokens") * (col("__k") - col("__idx") + 1) <=
+          lit(budget) - col("__prefix"))
+      .withColumn("__fsum",
+        sum(when(col("saturated"), col("cap_tokens")).otherwise(lit(0.0))).over(all))
+      .withColumn("__nsat",
+        sum(when(col("saturated"), lit(1L)).otherwise(lit(0L))).over(all))
+    val alloc = when(col("saturated"), col("cap_tokens"))
+      .otherwise((lit(budget) - col("__fsum")) / (col("__k") - col("__nsat")))
+    flagged.select(col(keyCol), col("n_tokens"),
+      round(col("cap_tokens"), 6).as("cap_tokens"),
+      round(alloc, 6).as("alloc_tokens"),
+      round(alloc / col("n_tokens"), 6).as("epochs"),
+      col("saturated"))
   }
 }

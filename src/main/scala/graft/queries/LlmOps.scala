@@ -443,6 +443,41 @@ object LlmOps extends QueryGroup {
               |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy
               |FROM n WHERE n > 0""".stripMargin)),
 
+    // UniMax waterfill: one training-token budget split across sources
+    // under a max-epoch repetition cap — saturation is a prefix property
+    // of the ascending-capacity order, so the whole allocation is window
+    // expressions over the tiny per-source aggregate, replayed verbatim
+    QueryDef("q_source_budget",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stats = Text.tokenStats(docs, "text", "doc_id")
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source")).agg(sum(col("n_tokens")).as("n_tok"))
+        Select.waterfillBudgets(stats, "source", "n_tok",
+          budget = 100000.0, maxEpochs = 4.0)
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS nt
+              |  FROM documents),
+              |s AS (SELECT d.source, CAST(SUM(t.nt) AS BIGINT) AS n_tokens
+              |  FROM t JOIN documents d USING(doc_id) GROUP BY d.source),
+              |c AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) * 4.0 AS cap FROM s),
+              |w AS (SELECT source, n_tokens, cap,
+              |    ROW_NUMBER() OVER (ORDER BY cap, source) AS idx,
+              |    COALESCE(SUM(cap) OVER (ORDER BY cap, source
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+              |    COUNT(*) OVER () AS k
+              |  FROM c),
+              |f AS (SELECT *, cap * (k - idx + 1) <= 100000.0 - prefix AS saturated FROM w),
+              |g AS (SELECT *, SUM(CASE WHEN saturated THEN cap ELSE 0.0 END) OVER () AS fsum,
+              |    SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS nsat FROM f),
+              |a AS (SELECT *, CASE WHEN saturated THEN cap
+              |    ELSE (100000.0 - fsum) / (k - nsat) END AS alloc FROM g)
+              |SELECT source, n_tokens, ROUND(cap, 6) AS cap_tokens,
+              |  ROUND(alloc, 6) AS alloc_tokens,
+              |  ROUND(alloc / n_tokens, 6) AS epochs, saturated
+              |FROM a""".stripMargin)),
+
     // Deterministic multi-epoch shuffle + shard manifest: per-epoch salted
     // md5 ordering, shard = hash16 % nShards — the training-egress
     // ordering, RNG-free and engine-replayable

@@ -821,6 +821,30 @@ class OpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("waterfill budgets: hand-computed levels, exact budget, cap respected") {
+    import graft.ops.Select
+    // caps (maxEpochs 1) = [10, 20, 40, 80], budget 100:
+    // 10*4=40<=100 sat; 20*3=60<=90 sat; 40*2=80<=70 unsat -> level
+    // (100-30)/2 = 35 -> allocs [10, 20, 35, 35]
+    val stats = Seq(("a", 10L), ("b", 20L), ("c", 40L), ("d", 80L))
+      .toDF("source", "n_tok")
+    val got = Select.waterfillBudgets(stats, "source", "n_tok",
+        budget = 100.0, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got("a") == ((10.0, 1.0, true)))
+    assert(got("b") == ((20.0, 1.0, true)))
+    assert(got("c") == ((35.0, 0.875, false)))
+    assert(got("d") == ((35.0, 0.4375, false)))
+    assert(got.values.map(_._1).sum == 100.0) // allocations exhaust the budget
+    // budget above total capacity: everything saturates at cap
+    val loose = Select.waterfillBudgets(stats, "source", "n_tok",
+        budget = 1e6, maxEpochs = 2.0)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(loose.forall { case (alloc, ep, sat) => sat && ep == 2.0 } &&
+      loose.map(_._1).sum == 300.0)
+  }
+
   test("Kneser-Ney LM: hand-computed discount, continuation backoff, floors") {
     // train "a b a b a c": bi (a,b)=2 (b,a)=2 (a,c)=1
     // ctx a: c1=3 fan=2; b: c1=2 fan=1 | cont a=1 b=1 c=1 | B=3 V=3 -> 7
