@@ -319,6 +319,47 @@ object Text {
    * final label absorbs the rounding remainder (thresholds floor to
    * 1/65536 granularity — at most ~0.0015% skew per boundary).
    */
+  /**
+   * Deterministic feature-hashed text embedding (signed feature hashing,
+   * Weinberger et al. 2009): each whitespace token hashes to one of
+   * `dim` buckets with a ±1 sign, per-doc bucket sums are L2-normalized
+   * — a cheap, engine-stable text → vector bridge that gives any corpus
+   * an embedding column WITHOUT a neural encoder (the recall-oriented
+   * blocking/featurizing fallback where no model embeddings exist).
+   * Both hashes are md5-derived (the [[hashSplit]] family), so the whole
+   * vector replays in SQL and hash-matches (`q_text_hash_embed`).
+   *
+   * Output is the SPARSE representation (id, dim_idx, val) with
+   * val = raw/‖raw‖ rounded to 6 dp and zero-mass buckets omitted —
+   * O(distinct buckets) rows per doc regardless of `dim`. Everything up
+   * to the final division is integer arithmetic (signed bucket sums,
+   * squared norm), so cross-engine determinism is exact, not
+   * floating-point-lucky.
+   *
+   * Scale shape: explode → (id, bucket) hash aggregate (map-side
+   * combine) → id-keyed window for the norm; text bodies leave the plan
+   * at the explode.
+   */
+  def hashEmbedding(df: DataFrame, textCol: String, idCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2, "dim must be >= 2")
+    def h16(c: Column) = conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+    val raw = tok
+      .select(col(idCol),
+        pmod(h16(concat(col("__w"), lit("#b"))), lit(dim.toLong)).as("dim_idx"),
+        when(pmod(h16(concat(col("__w"), lit("#s"))), lit(2L)) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("__s"))
+      .groupBy(col(idCol), col("dim_idx"))
+      .agg(sum(col("__s")).as("__raw"))
+      .filter(col("__raw") =!= 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    raw.select(col(idCol), col("dim_idx"),
+      round(col("__raw").cast("double") /
+        sqrt(sum(col("__raw") * col("__raw")).over(w).cast("double")), 6).as("val"))
+  }
+
   def hashSplit(df: DataFrame, idCol: String,
       fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),

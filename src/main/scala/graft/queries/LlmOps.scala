@@ -405,6 +405,26 @@ object LlmOps extends QueryGroup {
               |       ELSE 'test' END AS split
               |FROM h""".stripMargin)),
 
+    // Feature-hashed text embedding: signed md5 hashing of tokens into
+    // 64 buckets, L2-normalized, emitted sparse — integer arithmetic up
+    // to the one final division, so the vector replays in SQL exactly
+    QueryDef("q_text_hash_embed",
+      (s, dir) => Text.hashEmbedding(Tables.load(s, dir, "documents"),
+        "text", "doc_id", dim = 64),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents),
+              |tf AS (SELECT doc_id, w FROM t WHERE w <> ''),
+              |b AS (SELECT doc_id, ${md5Val16Sql("w || '#b'")} % 64 AS dim_idx,
+              |    CASE WHEN ${md5Val16Sql("w || '#s'")} % 2 = 0 THEN 1 ELSE -1 END AS s
+              |  FROM tf),
+              |r AS (SELECT doc_id, dim_idx, SUM(s) AS raw FROM b GROUP BY 1, 2),
+              |n AS (SELECT doc_id, dim_idx, raw,
+              |    SUM(raw * raw) OVER (PARTITION BY doc_id) AS ss
+              |  FROM r WHERE raw <> 0)
+              |SELECT doc_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+              |  ROUND(raw / sqrt(ss), 6) AS val
+              |FROM n""".stripMargin)),
+
     // Deterministic weighted source mixing: src0 dropped, src1 quartered,
     // src2 upsampled 2.5x, src3 1.75x, every other source kept at 1.0 —
     // copy counts come from a salted md5, so the mixture replays exactly

@@ -821,6 +821,25 @@ class OpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("hashEmbedding: unit norm, dup identity, near-dups closer than strangers") {
+    val emb = Text.hashEmbedding(docs, "text", "doc_id")
+    val vecs = emb.collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
+    assert(vecs.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // L2-normalized up to the 6-dp rounding
+    vecs.values.foreach(v =>
+      assert(math.abs(v.values.map(x => x * x).sum - 1.0) < 1e-4))
+    // dimension indices live in [0, 64)
+    assert(vecs.values.flatMap(_.keys).forall(i => i >= 0 && i < 64))
+    // byte-identical docs embed identically; the near-dup is closer to
+    // doc 1 than the unrelated doc (sparse dot = cosine on unit vectors)
+    assert(vecs(1L) == vecs(4L))
+    def cos(a: Map[Long, Double], b: Map[Long, Double]) =
+      a.map { case (k, x) => x * b.getOrElse(k, 0.0) }.sum
+    assert(cos(vecs(1L), vecs(2L)) > cos(vecs(1L), vecs(3L)))
+  }
+
   test("waterfill budgets: hand-computed levels, exact budget, cap respected") {
     import graft.ops.Select
     // caps (maxEpochs 1) = [10, 20, 40, 80], budget 100:

@@ -367,6 +367,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"))
   }
 
+  test("q_ann_binary_rerank: top-m shuffle carries skinny hamming rows, vectors rejoin broadcast") {
+    val p = plan("q_ann_binary_rerank")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "rerank joins must broadcast (survivor set is bounded by m * |Q|)")
+    // every bulk exchange is the per-query candidate window, and it moves
+    // only (qid, cid, ham) — the embeddings are dropped BEFORE the top-m
+    // shuffle and rejoined broadcast for the bounded survivors
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.nonEmpty && bulk.forall(e => keyedOn(e, "qid")),
+      s"candidate ranking must shuffle on qid only:\n${bulk.mkString("\n")}")
+    bulk.foreach { e =>
+      val cols = e.output.map(_.name).toSet
+      assert(!cols.exists(c => c.contains("qe") || c.contains("ce") || c.contains("embedding")),
+        s"top-m exchange must not carry vectors, moved: $cols")
+    }
+  }
+
+  test("q_multimodal_phash_dedup: banded candidates stay equi-join; payload bytes never shuffle") {
+    val p = plan("q_multimodal_phash_dedup")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "band matching must stay an equi-join on (word_idx, word_value)")
+    shuffles(p).foreach { e =>
+      val cols = e.output.map(_.name).toSet
+      assert(!cols.contains("payload") && !cols.contains("text"),
+        s"media payloads must never shuffle, moved: $cols")
+    }
+  }
+
   test("q_dedup_minhash_admit: broadcast cap, equi-joins only, no cartesian") {
     val p = plan("q_dedup_minhash_admit")
     val s = p.toString
