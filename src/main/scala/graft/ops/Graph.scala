@@ -144,4 +144,24 @@ object Graph {
       .select(col("doc_id"),
         coalesce(col("__lbl"), col("doc_id")).as("canonical_id"))
   }
+
+  /**
+   * Incremental component merge: fold a batch of NEW near-dup pairs into
+   * an existing (doc_id, canonical_id) labeling without reprocessing the
+   * original pair graph. A labeling IS a star edge forest (doc → root,
+   * roots self-mapped), so merging reduces to connected components over
+   * labels-as-edges ∪ new pairs — cost scales with |labels| + |newPairs|
+   * and the log-round star convergence, NOT with the historical pair
+   * count. The production shape for an append-only corpus: resolve once,
+   * then merge each ingest batch's pairs. Self-mapped roots ride along
+   * as self-loop rows so singleton docs stay in the output (spec:
+   * merge(cc(P₁), P₂) == cc(P₁ ∪ P₂) exactly).
+   */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 30): DataFrame =
+    connectedComponents(
+      labels.select(col("doc_id").as(aCol), col("canonical_id").as(bCol))
+        .unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
 }

@@ -49,6 +49,32 @@ object Vectors {
   }
 
   /**
+   * Hard-negative mining for retrieval/embedding training: for each
+   * query, the top-k most similar corpus items EXCLUDING its known
+   * positives — the negatives that actually move a contrastive loss
+   * (DPR-style in-batch training, Karpukhin et al. 2020). Exclusion
+   * happens BEFORE ranking, so the k returned are the true next-best
+   * candidates, not a truncated top-k with holes. Same scale shape as
+   * [[bruteForceTopK]] (small query set broadcast, corpus partitioned;
+   * swap the scorer for the banded/IVF candidate generator at corpus
+   * scale) plus one broadcast anti-join on the (query, positive) table —
+   * positives are O(queries), always the small side.
+   */
+  def hardNegatives(queries: DataFrame, positives: DataFrame, corpus: DataFrame,
+      k: Int, qId: String = "qid", cId: String = "cid",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId), col(vecCol).as("qe"))
+    val c = corpus.select(col(cId), col(vecCol).as("ce"))
+    val scored = broadcast(q).crossJoin(c)
+      .select(col(qId), col(cId), round(cosine(col("qe"), col("ce")), 6).as("cos"))
+      .join(broadcast(positives.select(col(qId), col(cId))), Seq(qId, cId), "left_anti")
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId).asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /**
    * Sign-LSH bucket id from `nPlanes` coordinate-difference hyperplanes:
    * bit p = [v(p) > v(p + offset)]. A valid (if simple) LSH family for
    * cosine on centered vectors; the point here is the scale shape: bucket

@@ -1035,6 +1035,37 @@ object LlmOps extends QueryGroup {
 
     // --- dedup -----------------------------------------------------------
 
+    // SimHash near-dup pairs: nibble-banded Hamming search over the
+    // 16-bit signatures (pigeonhole-exact for maxDist < 4) — the oracle
+    // recomputes every signature and scans all pairs; the blocked
+    // equi-join must equal it exactly
+    QueryDef("q_dedup_simhash",
+      (s, dir) => Dedup.simhashNearDup(Tables.load(s, dir, "documents"),
+        "text", "doc_id", maxDist = 1),
+      Some {
+        val votes = (0 until 16).map { j =>
+          val nib = s"nib${j / 4 + 1}"
+          s"SUM(CASE WHEN ($nib >> ${3 - j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v_$j"
+        }.mkString(",\n  ")
+        val sig = (0 until 16)
+          .map(j => s"(CASE WHEN v_$j > 0 THEN ${1L << (15 - j)} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok FROM documents),
+           |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+           |n AS (SELECT doc_id,
+           |  strpos('0123456789abcdef', substr(h,1,1)) - 1 AS nib1,
+           |  strpos('0123456789abcdef', substr(h,2,1)) - 1 AS nib2,
+           |  strpos('0123456789abcdef', substr(h,3,1)) - 1 AS nib3,
+           |  strpos('0123456789abcdef', substr(h,4,1)) - 1 AS nib4
+           |FROM h),
+           |v AS (SELECT doc_id, $votes FROM n GROUP BY doc_id),
+           |s AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM v),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS ham
+           |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, ham FROM p WHERE ham <= 1""".stripMargin
+      }),
+
     QueryDef("q_dedup_exact",
       (s, dir) => Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id"),
       Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
@@ -1588,6 +1619,27 @@ object LlmOps extends QueryGroup {
               |r AS (SELECT qid, cid, cos,
               |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
               |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // Hard-negative mining: top-k by cosine EXCLUDING each query's known
+    // positive (fixture: positive of query q is corpus vector q + 20) —
+    // exclusion precedes ranking, so every returned negative is a true
+    // next-best candidate, the DPR-style contrastive-training mine
+    QueryDef("q_hard_negatives",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("qid"), col("embedding"))
+        val pos = q.select(col("qid"), (col("qid") + 20).as("cid"))
+        Vectors.hardNegatives(q, pos,
+          e.filter(col("vec_id") >= 20).select(col("vec_id").as("cid"), col("embedding")),
+          k = 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 20),
+              |sc AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q CROSS JOIN c
+              |  WHERE cid <> qid + 20),
+              |r AS (SELECT qid, cid, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
+              |SELECT qid, cid, cos, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
     QueryDef("q_ann_lsh",
       (s, dir) => {

@@ -821,6 +821,72 @@ class OpsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("a"))
   }
 
+  test("simhashNearDup: banding equals the quadratic scan; dups at distance 0") {
+    val seeded = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "the quick brown fox jumps over a lazy dog")
+    ).toDF("doc_id", "text"))
+    val sigs = Text.simhash16(seeded, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (maxDist <- Seq(0, 1, 3)) {
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxDist
+      } yield (a, b)).toSet
+      val banded = Dedup.simhashNearDup(seeded, "text", "doc_id", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"banding lost/invented pairs at maxDist=$maxDist")
+    }
+    val zero = Dedup.simhashNearDup(seeded, "text", "doc_id", 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zero.contains((1L, 4L)) && zero.contains((1L, 6L)))
+  }
+
+  test("mergeComponents: incremental merge equals a full rebuild") {
+    import graft.ops.Graph
+    val rnd = new scala.util.Random(13)
+    val all = Seq.fill(50)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val (p1, p2) = all.splitAt(25)
+    val full = Graph.connectedComponents(all.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Graph.mergeComponents(
+        Graph.connectedComponents(p1.toDF("doc_a", "doc_b")),
+        p2.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == full, "incremental merge diverged from the full rebuild")
+    // a singleton from batch 1 (self-mapped root, untouched by batch 2)
+    // must survive the merge
+    val lone = Graph.mergeComponents(
+        Seq((100L, 100L), (1L, 1L), (2L, 1L)).toDF("doc_id", "canonical_id"),
+        Seq((2L, 3L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lone == Map(100L -> 100L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("hardNegatives: positives excluded before ranking, k true next-bests") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val c = e.filter($"vec_id" >= 10).select($"vec_id".as("cid"), $"embedding")
+    val pos = q.select($"qid", ($"qid" + 10).as("cid"))
+    val negs = Vectors.hardNegatives(q, pos, c, k = 3).collect()
+    val posSet = pos.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negs.forall(r => !posSet((r.getLong(0), r.getLong(1)))),
+      "a known positive leaked into the negatives")
+    assert(negs.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    // equals the full ranking with each query's OWN positives dropped
+    // (per-query exclusion, not corpus-global removal)
+    val n = c.count().toInt
+    val all = Vectors.bruteForceTopK(q, c, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = all.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      rows.toSeq.filterNot(t => posSet((qid, t._2)))
+        .sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+        .map { case ((_, cid, _), i) => (qid, cid, i + 1L) }
+    }.toSet
+    assert(negs.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == want)
+  }
+
   test("hashEmbedding: unit norm, dup identity, near-dups closer than strangers") {
     val emb = Text.hashEmbedding(docs, "text", "doc_id")
     val vecs = emb.collect().groupBy(_.getLong(0))
