@@ -105,6 +105,55 @@ object Search {
   }
 
   /**
+   * Ranked-retrieval evaluation — Recall@k, MRR@k and nDCG@k per query
+   * against graded relevance judgments (qrels): the grading half of the
+   * retrieval stack, so index/threshold A/Bs run inside the engine
+   * instead of exporting run files to trec_eval.
+   *
+   *   recall@k = |relevant ∩ top-k| / |relevant|
+   *   mrr@k    = 1 / rank of the first relevant hit (0 if none in top-k)
+   *   ndcg@k   = DCG@k / IDCG@k with DCG = Σ (2^rel − 1)/log2(rank + 1)
+   *              and IDCG the same sum over the rel-descending ideal
+   *              prefix (doc-id tiebreak — deterministic)
+   *
+   * Queries with no relevant docs are dropped (their metrics are
+   * undefined — the trec_eval convention). Inputs are top-k lists and
+   * judgment tables, both O(queries·k): every join here is
+   * broadcast-sized no matter how big the corpus that produced the
+   * ranking was. Output: (qId, n_rel, recall_k, mrr_k, ndcg_k), rounded
+   * to 6 dp (`q_retrieval_metrics` hash-matches the SQL replay).
+   */
+  def rankingMetrics(ranked: DataFrame, qrels: DataFrame, k: Int,
+      qId: String = "query_id", dId: String = "doc_id",
+      rankCol: String = "rk", relCol: String = "rel"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rel = qrels.filter(col(relCol) > 0)
+      .select(col(qId), col(dId), col(relCol).cast("double").as("__rel"))
+    val top = ranked.filter(col(rankCol) <= k)
+      .select(col(qId), col(dId), col(rankCol).cast("double").as("__rk"))
+    val gain = (pow(lit(2.0), col("__rel")) - lit(1.0)) /
+      log(2.0, col("__rk") + lit(1.0))
+    val hits = top.join(rel, Seq(qId, dId))
+      .groupBy(col(qId))
+      .agg(count(lit(1)).as("__h"), min(col("__rk")).as("__minrk"),
+        sum(gain).as("__dcg"))
+    val iw = Window.partitionBy(col(qId))
+      .orderBy(col("__rel").desc, col(dId).asc)
+    val ideal = rel.withColumn("__irk", row_number().over(iw).cast("double"))
+      .filter(col("__irk") <= k)
+      .groupBy(col(qId))
+      .agg(sum((pow(lit(2.0), col("__rel")) - lit(1.0)) /
+        log(2.0, col("__irk") + lit(1.0))).as("__idcg"))
+    val nrel = rel.groupBy(col(qId)).agg(count(lit(1)).as("n_rel"))
+    nrel.join(ideal, Seq(qId)).join(hits, Seq(qId), "left")
+      .select(col(qId), col("n_rel"),
+        round(coalesce(col("__h"), lit(0L)).cast("double") / col("n_rel"), 6)
+          .as("recall_k"),
+        round(coalesce(lit(1.0) / col("__minrk"), lit(0.0)), 6).as("mrr_k"),
+        round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 6).as("ndcg_k"))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack et al. 2009) of N per-query rankings —
    * the standard hybrid-retrieval combiner (BM25 ⊕ dense ANN): each system
    * contributes `1 / (c + rank)` for every (query, doc) it ranked, fused

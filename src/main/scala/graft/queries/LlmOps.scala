@@ -2137,6 +2137,72 @@ object LlmOps extends QueryGroup {
            |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""".stripMargin
       }),
 
+    // Retrieval evaluation: Recall@10 / MRR@10 / nDCG@10 of the BM25 run
+    // against graded term-containment qrels (rel = #{of the query's first
+    // two terms contained}) — ranking, judging and grading all replay in
+    // SQL, so the metrics hash-match end-to-end
+    QueryDef("q_retrieval_metrics",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val ranked = Search.bm25TopK(docs, "text", "doc_id", Bm25Queries, k = 10)
+        val qrels = Bm25Queries.map { case (qid, qtext) =>
+          val ts = qtext.split(" ")
+          docs.select(lit(qid).as("query_id"), col("doc_id"),
+            ((when(instr(lower(col("text")), ts(0)) > 0, 1).otherwise(0)) +
+             (when(instr(lower(col("text")), ts(1)) > 0, 1).otherwise(0))).as("rel"))
+        }.reduce(_ unionByName _).filter(col("rel") > 0)
+        Search.rankingMetrics(ranked, qrels, k = 10)
+      },
+      Some {
+        val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+        val rels = Bm25Queries.map { case (i, t) =>
+          val ts = t.split(" ")
+          s"($i, '${ts(0)}', '${ts(1)}')"
+        }.mkString(", ")
+        s"""WITH q(query_id, qtext) AS (VALUES $vals),
+           |qt AS (SELECT DISTINCT query_id,
+           |    unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
+           |  FROM q),
+           |base AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+           |  FROM documents),
+           |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
+           |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+           |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
+           |cand AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
+           |dft AS (SELECT term, COUNT(*) AS df_t FROM cand GROUP BY 1),
+           |sc AS (SELECT qt.query_id, c.doc_id,
+           |    ROUND(SUM(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
+           |  FROM cand c JOIN qt ON qt.term = c.term JOIN dft d ON d.term = c.term
+           |  CROSS JOIN stats s
+           |  GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, score,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           |  FROM sc),
+           |topk AS (SELECT query_id, doc_id, CAST(rk AS DOUBLE) AS rk FROM r WHERE rk <= 10),
+           |qr(query_id, t1, t2) AS (VALUES $rels),
+           |qrels AS (SELECT query_id, doc_id, CAST(rel AS DOUBLE) AS rel FROM (
+           |    SELECT qr.query_id, d.doc_id,
+           |      (CASE WHEN strpos(lower(d.text), t1) > 0 THEN 1 ELSE 0 END +
+           |       CASE WHEN strpos(lower(d.text), t2) > 0 THEN 1 ELSE 0 END) AS rel
+           |    FROM documents d CROSS JOIN qr) WHERE rel > 0),
+           |hits AS (SELECT t.query_id, COUNT(*) AS h, MIN(t.rk) AS minrk,
+           |    SUM((POW(2, rel) - 1) / log2(t.rk + 1)) AS dcg
+           |  FROM topk t JOIN qrels USING(query_id, doc_id) GROUP BY 1),
+           |ideal AS (SELECT query_id,
+           |    SUM((POW(2, rel) - 1) / log2(irk + 1)) AS idcg
+           |  FROM (SELECT query_id, rel, CAST(ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY rel DESC, doc_id) AS DOUBLE) AS irk
+           |    FROM qrels) WHERE irk <= 10 GROUP BY 1),
+           |nr AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY 1)
+           |SELECT nr.query_id, CAST(nr.n_rel AS BIGINT) AS n_rel,
+           |  ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / nr.n_rel, 6) AS recall_k,
+           |  ROUND(COALESCE(1.0 / minrk, 0.0), 6) AS mrr_k,
+           |  ROUND(COALESCE(dcg, 0.0) / idcg, 6) AS ndcg_k
+           |FROM nr JOIN ideal USING(query_id) LEFT JOIN hits USING(query_id)""".stripMargin
+      }),
+
     // Hybrid retrieval: BM25 over the document corpus ⊕ dense cosine over
     // the embeddings, fused with reciprocal-rank fusion (1/(60+rank) per
     // system, full-outer on (query, doc), re-ranked). The fused score is a

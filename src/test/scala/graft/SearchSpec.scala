@@ -197,4 +197,23 @@ class SearchSpec extends SparkSpec {
     assert(res(1L) == (("Alpha\nbeta\nGamma", 3L, 2L)))
     assert(res(2L) == (("one\ntwo", 2L, 0L)))
   }
+
+  test("rankingMetrics: hand-computed recall/MRR/nDCG; no-hit and unranked queries zero") {
+    val ranked = Seq((0, 10L, 1L), (0, 11L, 2L), (0, 12L, 3L), (1, 20L, 1L))
+      .toDF("query_id", "doc_id", "rk")
+    val qrels = Seq((0, 11L, 1), (0, 99L, 2), (1, 50L, 1), (2, 60L, 1), (0, 13L, 0))
+      .toDF("query_id", "doc_id", "rel")
+    val m = Search.rankingMetrics(ranked, qrels, k = 3).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // query 0: relevant {11 (rel 1), 99 (rel 2)} (rel-0 row ignored); the
+    // one hit is doc 11 at rank 2 -> recall 1/2, mrr 1/2;
+    // dcg = 1/log2(3), idcg = 3/log2(2) + 1/log2(3)
+    val dcg = 1.0 / (math.log(3.0) / math.log(2.0))
+    assert(m(0) == ((2L, 0.5, 0.5, r6(dcg / (3.0 + dcg)))))
+    // query 1 retrieved nothing relevant; query 2 was never ranked at all
+    assert(m(1) == ((1L, 0.0, 0.0, 0.0)))
+    assert(m(2) == ((1L, 0.0, 0.0, 0.0)))
+  }
 }
