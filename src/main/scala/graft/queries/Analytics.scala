@@ -291,6 +291,30 @@ object Analytics extends QueryGroup {
       Some("""SELECT c_custkey, c_acctbal FROM customer
              |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""".stripMargin)),
 
+    // Calibration report: binned confidence-vs-accuracy + ECE + Brier
+    // over a deterministic (prob, label) fixture — completes the metrics
+    // family (confusion, AUC, top-k, retrieval) with probability grading
+    QueryDef("q_calibration",
+      (s, dir) => Planners.calibrationReport(
+        Tables.load(s, dir, "customer")
+          .select(((col("c_custkey") % 100).cast("double") / 100.0 + 0.005).as("prob"),
+            (col("c_acctbal") > 5000).cast("long").as("label")),
+        "prob", "label", nBins = 10),
+      Some("""WITH src AS (SELECT
+             |    CAST(c_custkey % 100 AS DOUBLE) / 100.0 + 0.005 AS p,
+             |    CAST(c_acctbal > 5000 AS INT) AS y FROM customer),
+             |b AS (SELECT LEAST(GREATEST(CAST(FLOOR(p * 10) AS BIGINT), 0), 9) AS bin, p, y
+             |  FROM src),
+             |g AS (SELECT bin, COUNT(*) AS n, AVG(p) AS conf,
+             |    AVG(CAST(y AS DOUBLE)) AS acc, SUM((p - y) * (p - y)) AS sqe
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT *, SUM(n) OVER () AS tot FROM g)
+             |SELECT bin, CAST(n AS BIGINT) AS n, ROUND(conf, 6) AS confidence,
+             |  ROUND(acc, 6) AS accuracy, ROUND(ABS(acc - conf), 6) AS gap,
+             |  ROUND(SUM(CAST(n AS DOUBLE) / tot * ABS(acc - conf)) OVER (), 6) AS ece,
+             |  ROUND(SUM(sqe) OVER () / tot, 6) AS brier
+             |FROM t""".stripMargin)),
+
     // Fixed-width value histogram (data profiling; clamped edge bins)
     QueryDef("q_histogram",
       (s, dir) => Planners.histogram(Tables.load(s, dir, "events"),

@@ -135,4 +135,42 @@ object Planners {
       ((countDistinct(col(aCol)) - 1) * (countDistinct(col(bCol)) - 1))
         .as("dof"))
   }
+
+  /**
+   * Probability-calibration report (the ECE formulation of Guo et al.
+   * 2017, "On Calibration of Modern Neural Networks"): fixed-width
+   * confidence bins over [0, 1] with, per bin, the mean predicted
+   * probability (confidence), the empirical positive rate (accuracy),
+   * the count and the |gap|; plus two scalars repeated on every row —
+   * expected calibration error ECE = Σ_b n_b/N · |acc_b − conf_b| and
+   * the Brier score mean((p − y)²). A constant column on the ≤nBins-row
+   * bin table beats a second output table for what is one single-pass
+   * report. Out-of-range probabilities clamp into the edge bins like
+   * [[histogram]]; one hash aggregate on `bin` + a window over the tiny
+   * bin table.
+   */
+  def calibrationReport(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val p = col(probCol).cast("double")
+    val binned = df
+      .select(
+        least(greatest(floor(p * nBins).cast("long"), lit(0L)),
+          lit(nBins - 1L)).as("bin"),
+        p.as("__p"), col(labelCol).cast("double").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("__p")).as("__conf"),
+        avg(col("__y")).as("__acc"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y"))).as("__sqe"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    binned
+      .withColumn("__N", sum(col("n")).over(all))
+      .select(col("bin"), col("n"),
+        round(col("__conf"), 6).as("confidence"),
+        round(col("__acc"), 6).as("accuracy"),
+        round(abs(col("__acc") - col("__conf")), 6).as("gap"),
+        round(sum(col("n").cast("double") / col("__N") *
+          abs(col("__acc") - col("__conf"))).over(all), 6).as("ece"),
+        round(sum(col("__sqe")).over(all) / col("__N"), 6).as("brier"))
+  }
 }

@@ -103,4 +103,23 @@ class PrepSpec extends SparkSpec {
         s"bucket $b: exact $n vs sketch $na beyond 5%")
     }
   }
+
+  test("calibrationReport: hand-computed bins, ECE, Brier, edge clamp") {
+    import graft.stats.Planners
+    // bins at nBins=2: {0.05, 0.15} -> bin 0; {0.95, 0.85, 1.0} -> bin 1
+    // (p = 1.0 clamps into the top bin)
+    val df = Seq((0.95, 1L), (0.85, 1L), (0.05, 0L), (0.15, 1L), (1.0, 1L))
+      .toDF("prob", "label")
+    val rows = Planners.calibrationReport(df, "prob", "label", nBins = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // bin 0: conf 0.1, acc 0.5, gap 0.4; bin 1: conf 2.8/3, acc 1
+    // ECE = 2/5*0.4 + 3/5*(1 - 2.8/3); Brier = 0.75/5 = 0.15
+    val conf1 = (0.95 + 0.85 + 1.0) / 3
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    val ece = r6(2.0 / 5 * 0.4 + 3.0 / 5 * (1.0 - conf1))
+    assert(rows(0L) == ((2L, 0.1, 0.5, 0.4, ece, 0.15)))
+    assert(rows(1L) == ((3L, r6(conf1), 1.0, r6(1.0 - conf1), ece, 0.15)))
+  }
 }
