@@ -105,6 +105,76 @@ object Search {
   }
 
   /**
+   * RM3 pseudo-relevance feedback (Lavrenko & Croft 2001, as popularized
+   * by Anserini's default expansion): run BM25, build a relevance-model
+   * term distribution from the top-`f` feedback documents, interpolate
+   * it with the original query, score again —
+   *
+   *   w(q,t)  = Σ_{d ∈ top-f(q)} tf(t,d)/dl(d) · score(d)   (RM1 weight)
+   *   query'  = λ·{original terms} + (1−λ)·{top-e new terms, w-normalized}
+   *   score'  = Σ_t qw(t) · idf(t) · tfnorm(t,d)            (weighted BM25)
+   *
+   * the classic recall-lifting expansion: vocabulary from documents the
+   * first pass already liked gets folded into the query, so relevant
+   * docs that share no literal term with the query still surface.
+   *
+   * Determinism/oracle parity: pass-1 scores and RM1 weights are rounded
+   * to 6 dp BEFORE the top-e cut (tiebreak term asc), so the selection
+   * cannot flip on last-ulp float noise — `q_bm25_rm3` hash-matches the
+   * full two-pass SQL replay.
+   *
+   * Scale shape: both passes are the [[bm25TopKDf]] candidate-pruned
+   * joins (query side broadcast, corpus postings never fully shuffle);
+   * the feedback table is O(queries · f) rows and the expanded query
+   * O(queries · (|q| + e)) — all broadcast-sized regardless of corpus.
+   */
+  def rm3TopK(docs: DataFrame, textCol: String, idCol: String,
+      queryBatch: Seq[(Int, String)], k: Int, f: Int = 5, e: Int = 3,
+      lambda: Double = 0.6, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(f >= 1 && e >= 1 && lambda > 0 && lambda < 1,
+      "need f >= 1, e >= 1, 0 < lambda < 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val queryDf = queryBatch.toDF("query_id", "qtext")
+    val post = postings(docs, textCol, idCol)
+    val stats = docs.select(size(toks(textCol)).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
+    val qterms = queryDf.select(col("query_id"),
+      explode(array_distinct(array_remove(split(lower(col("qtext")), "\\s+"), "")))
+        .as("term"))
+    val pass1 = bm25TopKDf(docs, textCol, idCol, queryDf, f, k1, b)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val fb = post.join(broadcast(pass1), Seq("doc_id"))
+      .select(col("query_id"), col("term"),
+        (col("tf").cast("double") / col("dl") * col("score")).as("__c"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(round(sum(col("__c")), 6).as("__w"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("__w").desc, col("term").asc)
+    val wsum = Window.partitionBy(col("query_id"))
+    val expW = fb.withColumn("__r", row_number().over(we)).filter(col("__r") <= e)
+      .select(col("query_id"), col("term"),
+        (lit(1.0 - lambda) * col("__w") / sum(col("__w")).over(wsum)).as("qw"))
+    val wq = qterms.select(col("query_id"), col("term"), lit(lambda).as("qw"))
+      .unionByName(expW)
+    val cand = post.join(broadcast(wq.select(col("term")).distinct()), "term")
+    val dfT = cand.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = cand.join(broadcast(wq), "term")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("qw") * idf * tfNorm), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /**
    * Ranked-retrieval evaluation — Recall@k, MRR@k and nDCG@k per query
    * against graded relevance judgments (qrels): the grading half of the
    * retrieval stack, so index/threshold A/Bs run inside the engine

@@ -2137,6 +2137,62 @@ object LlmOps extends QueryGroup {
            |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""".stripMargin
       }),
 
+    // RM3 pseudo-relevance feedback: BM25 pass-1 -> RM1 term weights from
+    // the top-5 feedback docs (rounded before the top-3 cut, so the
+    // selection is engine-stable) -> lambda-interpolated weighted
+    // re-scoring; the oracle replays BOTH passes
+    QueryDef("q_bm25_rm3",
+      (s, dir) => Search.rm3TopK(Tables.load(s, dir, "documents"),
+        "text", "doc_id", Bm25Queries, k = 10),
+      Some {
+        val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+        s"""WITH q(query_id, qtext) AS (VALUES $vals),
+           |qt AS (SELECT DISTINCT query_id,
+           |    unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
+           |  FROM q),
+           |base AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+           |  FROM documents),
+           |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
+           |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+           |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
+           |cand1 AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
+           |dft1 AS (SELECT term, COUNT(*) AS df_t FROM cand1 GROUP BY 1),
+           |sc1 AS (SELECT qt.query_id, c.doc_id,
+           |    ROUND(SUM(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
+           |  FROM cand1 c JOIN qt ON qt.term = c.term JOIN dft1 d ON d.term = c.term
+           |  CROSS JOIN stats s GROUP BY 1, 2),
+           |r1 AS (SELECT query_id, doc_id, score,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+           |  FROM sc1),
+           |fb AS (SELECT r.query_id, p.term,
+           |    ROUND(SUM(p.tf * 1.0 / p.dl * r.score), 6) AS w
+           |  FROM p JOIN r1 r ON p.doc_id = r.doc_id AND r.rk <= 5
+           |  GROUP BY 1, 2),
+           |fbx AS (SELECT * FROM fb
+           |  WHERE NOT EXISTS (SELECT 1 FROM qt
+           |    WHERE qt.query_id = fb.query_id AND qt.term = fb.term)),
+           |ew AS (SELECT query_id, term,
+           |    0.4 * w / SUM(w) OVER (PARTITION BY query_id) AS qw
+           |  FROM (SELECT query_id, term, w, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY w DESC, term) AS r FROM fbx)
+           |  WHERE r <= 3),
+           |wq AS (SELECT query_id, term, 0.6 AS qw FROM qt
+           |  UNION ALL SELECT query_id, term, qw FROM ew),
+           |cand2 AS (SELECT * FROM p WHERE term IN (SELECT DISTINCT term FROM wq)),
+           |dft2 AS (SELECT term, COUNT(*) AS df_t FROM cand2 GROUP BY 1),
+           |sc2 AS (SELECT w.query_id, c.doc_id,
+           |    ROUND(SUM(w.qw * ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+           |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
+           |  FROM cand2 c JOIN wq w ON w.term = c.term JOIN dft2 d ON d.term = c.term
+           |  CROSS JOIN stats s GROUP BY 1, 2)
+           |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
+           |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM sc2)
+           |WHERE rk <= 10""".stripMargin
+      }),
+
     // Retrieval evaluation: Recall@10 / MRR@10 / nDCG@10 of the BM25 run
     // against graded term-containment qrels (rel = #{of the query's first
     // two terms contained}) — ranking, judging and grading all replay in

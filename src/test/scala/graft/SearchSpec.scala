@@ -198,6 +198,31 @@ class SearchSpec extends SparkSpec {
     assert(res(2L) == (("one\ntwo", 2L, 0L)))
   }
 
+  test("rm3TopK: feedback vocabulary surfaces docs sharing no query term") {
+    // query "apple": feedback docs 1 & 3; the only non-query feedback
+    // term is "banana" (doc 1), so RM3 must surface doc 2 ("banana
+    // cherry") which shares NO literal term with the query
+    val q = Seq(0 -> "apple")
+    val pass1 = Search.bm25TopK(docs, "text", "doc_id", q, k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(pass1 == Set(1L, 3L), "pass-1 sanity: only apple docs match")
+    val rm3 = Search.rm3TopK(docs, "text", "doc_id", q, k = 10)
+      .orderBy(col("rk")).collect()
+    val ranked = rm3.map(_.getLong(1)).toSeq
+    assert(ranked.contains(2L), "expansion must surface the banana doc")
+    assert(!ranked.contains(4L), "durian shares nothing and must not appear")
+    // doc 1 matches the original term AND the expansion term, so it
+    // overtakes the apple-only doc 3 — the expansion reshapes the top
+    assert(ranked.head == 1L, "both-vocabulary doc must rank first")
+    assert(ranked.indexOf(3L) < ranked.indexOf(2L),
+      "an original-term doc still beats an expansion-only doc")
+    // scores strictly ordered with rank, determinism across reruns
+    assert(rm3.map(_.getDouble(2)).toSeq == rm3.map(_.getDouble(2)).sorted.reverse.toSeq)
+    val again = Search.rm3TopK(docs, "text", "doc_id", q, k = 10)
+      .orderBy(col("rk")).collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(again == rm3.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("rankingMetrics: hand-computed recall/MRR/nDCG; no-hit and unranked queries zero") {
     val ranked = Seq((0, 10L, 1L), (0, 11L, 2L), (0, 12L, 3L), (1, 20L, 1L))
       .toDF("query_id", "doc_id", "rk")
