@@ -384,6 +384,62 @@ object Multimodal {
       .filter(col("ham") <= maxDist)
   }
 
+  /**
+   * Persistable perceptual-hash band index: one row per (id, band, word)
+   * with the full code inline — the media analogue of
+   * [[graft.ops.Dedup.minhashBandIndex]]. Write it to parquet
+   * partitioned however the corpus ages; append
+   * `phashBandIndex(perceptualHash(newlyAdmitted))` rows to complete
+   * each increment.
+   */
+  def phashBandIndex(phashes: DataFrame, idCol: String): DataFrame =
+    phashes.select(col(idCol), posexplode(col("pcode")).as(Seq("band", "word")),
+      col("pcode"))
+
+  /**
+   * Perceptual near-dup ADMISSION of a new media batch against a
+   * [[phashBandIndex]]: every new item is flagged dup/novel with its
+   * canonical existing match — the multimodal counterpart of
+   * [[graft.ops.Dedup.admitNearDups]], and by the same pigeonhole
+   * argument as [[phashNearDup]] the band-keyed candidate join is EXACT
+   * for `maxDist < 4` (below the bucket cap): an incoming near-identical
+   * image cannot slip past the index.
+   *
+   * Scale shape: the new batch is decoded once (8-byte codes out); the
+   * index side is read pre-bucketed, degenerate buckets (logo frames,
+   * solid colors) capped via groupBy-count + broadcast anti-join; the
+   * candidate join is (band, word)-keyed and the corpus payloads never
+   * move. Output: (id, is_dup, dup_of = min matching existing id,
+   * best_ham = min distance among matches; nulls when novel).
+   */
+  def phashAdmit(newMedia: DataFrame, index: DataFrame, idCol: String,
+      maxDist: Int, maxBucket: Int = 1000,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      "banding is exact only for maxDist < 4 words")
+    val spark = newMedia.sparkSession
+    val ph = perceptualHash(spark, newMedia, idCol, decoder = decoder)
+    val newBands = ph.select(col("doc_id").as("__new_id"),
+      posexplode(col("pcode")).as(Seq("band", "word")), col("pcode").as("__pn"))
+    val overCap = index.groupBy(col("band"), col("word"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("word"))
+    val idx = index.join(broadcast(overCap), Seq("band", "word"), "left_anti")
+      .select(col("band"), col("word"), col(idCol).as("__ex_id"),
+        col("pcode").as("__pe"))
+    val matched = newBands.join(idx, Seq("band", "word"))
+      .dropDuplicates("__new_id", "__ex_id")
+      .withColumn("__ham", Vectors.hammingDist(col("__pn"), col("__pe")))
+      .filter(col("__ham") <= maxDist)
+      .groupBy(col("__new_id"))
+      .agg(min(col("__ex_id")).as("dup_of"), min(col("__ham")).as("best_ham"))
+    ph.select(col("doc_id"))
+      .join(matched.withColumnRenamed("__new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("best_ham"))
+  }
+
   def dedupFrames(frames: DataFrame, idCol: String): DataFrame =
     frames.select(col(idCol), col("frame_idx"),
         md5(hex(col("frame_bytes"))).as("frame_hash"),

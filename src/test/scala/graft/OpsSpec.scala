@@ -403,6 +403,40 @@ class OpsSpec extends SparkSpec {
     assert(zero.contains((1L, 4L)) && zero.contains((1L, 6L)))
   }
 
+  test("phashAdmit: banded admission equals the quadratic scan; cap freezes") {
+    val seeded = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "completely different content with nothing shared here at all")
+    ).toDF("doc_id", "text"))
+    val withPayload = Multimodal.withBinaryPayload(seeded, "text")
+    val idxDocs = withPayload.filter($"doc_id" <= 4)
+    val newDocs = withPayload.filter($"doc_id" > 4)
+    val index = Multimodal.phashBandIndex(
+      Multimodal.perceptualHash(spark, idxDocs, "doc_id"), "doc_id")
+    val got = Multimodal.phashAdmit(newDocs, index, "doc_id", maxDist = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // brute-force expectation from the raw codes
+    val codes = Multimodal.perceptualHash(spark, withPayload, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum.toLong
+    for (nid <- Seq(5L, 6L, 7L)) {
+      val matches = (1L to 4L).map(e => e -> ham(codes(nid), codes(e)))
+        .filter(_._2 <= 3)
+      val want =
+        if (matches.isEmpty) ((false, None, None))
+        else ((true, Some(matches.map(_._1).min), Some(matches.map(_._2).min)))
+      assert(got(nid) == want, s"admission verdict for $nid")
+    }
+    // doc 6 duplicates docs 1/4 exactly -> admitted as dup of 1, ham 0
+    assert(got(6L) == ((true, Some(1L), Some(0L))))
+    // a cap of 0 freezes every bucket: everything admits as novel
+    val frozen = Multimodal.phashAdmit(newDocs, index, "doc_id",
+      maxDist = 3, maxBucket = 0).collect()
+    assert(frozen.forall(!_.getBoolean(1)))
+  }
+
   test("ImageIoDecoder.luma: BT.601 on a constant image; zero phash at the mean") {
     val img = new java.awt.image.BufferedImage(8, 5,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
