@@ -42,6 +42,50 @@ object Analytics extends QueryGroup {
              |WHERE abs(l_extendedprice - (SELECT AVG(l_extendedprice) FROM lineitem))
              |   <= 3 * (SELECT STDDEV_SAMP(l_extendedprice) FROM lineitem)""".stripMargin)),
 
+    // B5 variant: Tukey IQR fences — the robust outlier filter (3-sigma
+    // collapses when outliers inflate sigma itself; quartiles don't).
+    // Exact percentile on both engines (percentile == quantile_cont)
+    QueryDef("q_b5_iqr",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val q = ev.agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        ev.crossJoin(broadcast(q))
+          .filter(col("value").between(
+            col("q1") - (col("q3") - col("q1")) * 1.5,
+            col("q3") + (col("q3") - col("q1")) * 1.5))
+          .select(col("event_id"), col("user_id"))
+      },
+      Some("""WITH q AS (SELECT quantile_cont(value, 0.25) AS q1,
+             |    quantile_cont(value, 0.75) AS q3 FROM events)
+             |SELECT event_id, user_id FROM events, q
+             |WHERE value BETWEEN q1 - (q3 - q1) * 1.5
+             |                AND q3 + (q3 - q1) * 1.5""".stripMargin)),
+
+    // Robust z-score: (x - median) / (1.4826 * MAD) — the outlier score
+    // that survives heavy tails (mean/sigma move with the outliers, the
+    // median/MAD pair does not); 1.4826 makes MAD sigma-consistent under
+    // normality. Two exact-percentile scalars broadcast onto the rows
+    QueryDef("q_robust_z",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val med = ev.agg(expr("percentile(value, 0.5)").as("med"))
+        val withMed = ev.crossJoin(broadcast(med))
+        val mad = withMed.agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+        withMed.crossJoin(broadcast(mad))
+          .select(col("event_id"),
+            when(col("mad") === 0, lit(0.0))
+              .otherwise(round((col("value") - col("med")) /
+                (lit(1.4826) * col("mad")), 6)).as("robust_z"))
+      },
+      Some("""WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+             |d AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad FROM events, m)
+             |SELECT event_id,
+             |  CASE WHEN mad = 0 THEN 0.0
+             |       ELSE ROUND((value - med) / (1.4826 * mad), 6) END AS robust_z
+             |FROM events, m, d""".stripMargin)),
+
     // B2 window filter with grace period (preprocess.py:90-92):
     // keep ts in [cutoff - grace - history, cutoff - grace], inclusive
     QueryDef("q_b2_grace_filter",
