@@ -49,6 +49,32 @@ object Vectors {
   }
 
   /**
+   * Mean-pool dense embeddings per group and L2-renormalize — the
+   * chunk→document / member→cluster centroid for cosine geometry (the
+   * renormalized mean of unit vectors maximizes average cosine to the
+   * members). Output is SPARSE (group, dim_idx, val) rows, the same
+   * engine-stable layout as [[graft.ops.Text.hashEmbedding]], so pooled
+   * centroids feed the same downstream joins. All-zero groups emit
+   * zero vectors instead of NaN.
+   *
+   * Scale shape: explode → (group, dim) hash aggregate with map-side
+   * partial combine → one group-keyed window over ≤dim rows per group;
+   * the vectors leave the plan at the explode, so the exchange carries
+   * (group, dim, double) triples, never embeddings.
+   */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val ex = df.select(col(groupCol),
+      posexplode(col(vecCol)).as(Seq("dim_idx", "__v")))
+    val m = ex.groupBy(col(groupCol), col("dim_idx"))
+      .agg(avg(col("__v").cast("double")).as("__m"))
+    val w = Window.partitionBy(col(groupCol))
+    m.withColumn("__ss", sum(col("__m") * col("__m")).over(w))
+      .select(col(groupCol), col("dim_idx").cast("long").as("dim_idx"),
+        when(col("__ss") === 0, lit(0.0))
+          .otherwise(round(col("__m") / sqrt(col("__ss")), 6)).as("val"))
+  }
+
+  /**
    * Hard-negative mining for retrieval/embedding training: for each
    * query, the top-k most similar corpus items EXCLUDING its known
    * positives — the negatives that actually move a contrastive loss

@@ -1946,6 +1946,23 @@ object LlmOps extends QueryGroup {
               |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM rr)
               |SELECT qid, cid, ham, cos, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // Group mean-pooling: renormalized per-group embedding centroids
+    // emitted sparse — chunk->doc / member->cluster aggregation for
+    // cosine geometry; avg + renormalize replay verbatim in SQL
+    QueryDef("q_embed_mean_pool",
+      (s, dir) => Vectors.meanPool(
+        Tables.load(s, dir, "embeddings")
+          .select((col("vec_id") % 50).as("grp"), col("embedding")),
+        "grp", "embedding"),
+      Some("""WITH e AS (SELECT vec_id % 50 AS grp, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (SELECT grp, i - 1 AS dim_idx, v[CAST(i AS INT)] AS val
+             |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+             |m AS (SELECT grp, dim_idx, AVG(val) AS mv FROM x GROUP BY 1, 2),
+             |n AS (SELECT grp, dim_idx, mv, SUM(mv * mv) OVER (PARTITION BY grp) AS ss FROM m)
+             |SELECT grp, CAST(dim_idx AS BIGINT) AS dim_idx,
+             |  CASE WHEN ss = 0 THEN 0.0 ELSE ROUND(mv / sqrt(ss), 6) END AS val
+             |FROM n""".stripMargin)),
+
     // F5 embeddings joined back to an entity profile (segmentation/pandas.py:382-408)
     QueryDef("q_f5_embed_profile",
       (s, dir) => {

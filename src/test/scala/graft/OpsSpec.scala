@@ -898,6 +898,24 @@ class OpsSpec extends SparkSpec {
     assert(lone == Map(100L -> 100L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("meanPool: hand-computed centroid, unit norm, zero-group guard") {
+    val vecs = Seq(
+      ("a", Array(1f, 0f, 0f, 0f)), ("a", Array(0f, 1f, 0f, 0f)),
+      ("b", Array(0f, 0f, 2f, 0f)),
+      ("z", Array(0f, 0f, 0f, 0f))).toDF("grp", "embedding")
+    val got = Vectors.meanPool(vecs, "grp", "embedding").collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap }
+    // group a: mean (.5,.5,0,0) -> renormalized (1/sqrt2, 1/sqrt2, 0, 0)
+    val s2 = math.round(1 / math.sqrt(2) * 1e6) / 1e6
+    assert(got("a") == Map(0L -> s2, 1L -> s2, 2L -> 0.0, 3L -> 0.0))
+    // singleton group: direction preserved, unit length
+    assert(got("b") == Map(0L -> 0.0, 1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
+    // all-zero group: zero vector, no NaN
+    assert(got("z").values.forall(_ == 0.0))
+  }
+
   test("hardNegatives: positives excluded before ranking, k true next-bests") {
     val e = graft.core.Tables.load(spark, sf, "embeddings")
     val q = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
