@@ -320,6 +320,38 @@ object Text {
    * 1/65536 granularity — at most ~0.0015% skew per boundary).
    */
   /**
+   * Per-document n-gram NOVELTY: the share of a doc's distinct word
+   * shingles that appear in no other document (corpus df = 1), plus the
+   * mean df of its shingles — the boilerplate/templating diagnostic that
+   * complements pairwise dedup: novelty ≈ 1 marks genuinely unique
+   * prose, low novelty marks mirror/template content whose shingles are
+   * corpus-wide even when no single near-dup pair crosses the Jaccard
+   * threshold. Docs with fewer than `n` tokens have no shingles and are
+   * not emitted.
+   *
+   * Scale shape: distinct (doc, shingle) → shingle-keyed df aggregate
+   * (map-side combine) → one equi-join back on the shingle — the
+   * [[Dedup.ngramJaccardPairs]] candidate-join pattern; only shingle
+   * strings and counts move. A df≈corpus boilerplate shingle fans out df
+   * rows here like in every shingle join — profile with
+   * [[Dedup.shingleDfCap]] and pre-filter if such shingles dominate.
+   *
+   * Output: (id, n_shingles, n_unique, mean_df, novelty), rounded 6.
+   */
+  def noveltyScore(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(df, textCol, idCol, n).distinct()
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfs, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        round(avg(col("df").cast("double")), 6).as("mean_df"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+  }
+
+  /**
    * Deterministic feature-hashed text embedding (signed feature hashing,
    * Weinberger et al. 2009): each whitespace token hashes to one of
    * `dim` buckets with a ±1 sign, per-doc bucket sums are L2-normalized

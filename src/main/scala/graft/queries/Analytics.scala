@@ -359,6 +359,23 @@ object Analytics extends QueryGroup {
              |  ROUND(SUM(sqe) OVER () / tot, 6) AS brier
              |FROM t""".stripMargin)),
 
+    // Two-sample KS statistic between click and view value distributions
+    // — exact empirical-CDF sup-gap, running windows on both engines
+    QueryDef("q_ks_test",
+      (s, dir) => Planners.ksTest(Tables.load(s, dir, "events"),
+        "value", "event_type", "click", "view"),
+      Some("""WITH g AS (SELECT value AS v, event_type = 'click' AS isa
+             |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+             |d AS (SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS cb FROM g GROUP BY 1),
+             |c AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+             |    SUM(cb) OVER (ORDER BY v) AS cumb,
+             |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM d)
+             |SELECT ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / na
+             |    - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_d,
+             |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+             |FROM c""".stripMargin)),
+
     // Fixed-width value histogram (data profiling; clamped edge bins)
     QueryDef("q_histogram",
       (s, dir) => Planners.histogram(Tables.load(s, dir, "events"),

@@ -405,6 +405,19 @@ object LlmOps extends QueryGroup {
               |       ELSE 'test' END AS split
               |FROM h""".stripMargin)),
 
+    // N-gram novelty: share of each doc's shingles unique to it +
+    // mean corpus df — the boilerplate/templating diagnostic
+    QueryDef("q_text_novelty",
+      (s, dir) => Text.noveltyScore(Tables.load(s, dir, "documents"),
+        "text", "doc_id"),
+      Some(s"""WITH $shinglesCte,
+              |dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+              |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+              |  SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique,
+              |  ROUND(AVG(CAST(df AS DOUBLE)), 6) AS mean_df,
+              |  ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS novelty
+              |FROM sh JOIN dfs USING(shingle) GROUP BY 1""".stripMargin)),
+
     // Feature-hashed text embedding: signed md5 hashing of tokens into
     // 64 buckets, L2-normalized, emitted sparse — integer arithmetic up
     // to the one final division, so the vector replays in SQL exactly

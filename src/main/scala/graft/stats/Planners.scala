@@ -137,6 +137,43 @@ object Planners {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov statistic D = sup_v |F_A(v) − F_B(v)|
+   * between the `valueCol` distributions of two groups — the standard
+   * distribution-shift test complementing [[graft.ops.Profile]]'s PSI
+   * (PSI needs binning; KS is binning-free and sensitive anywhere in the
+   * CDF). Exact: empirical CDFs evaluated at every pooled distinct
+   * value via running-sum windows, ties handled by aggregation before
+   * the scan.
+   *
+   * The CDF scan is a single-task global window over DISTINCT values —
+   * fine for a statistic (|distinct| rows, not |rows|); at 100 TB
+   * pre-quantize values to a grid (the [[histogram]] binning) before
+   * calling, which bounds the scan at grid size with a known D error.
+   *
+   * Output: one row (ks_d, n_a, n_b).
+   */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val g = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"),
+        (col(groupCol) === groupA).as("isa"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+    val run = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    g.withColumn("cuma", sum(col("ca")).over(run))
+      .withColumn("cumb", sum(col("cb")).over(run))
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      .agg(round(max(abs(col("cuma").cast("double") / col("na") -
+          col("cumb").cast("double") / col("nb"))), 6).as("ks_d"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+  }
+
+  /**
    * Probability-calibration report (the ECE formulation of Guo et al.
    * 2017, "On Calibration of Modern Neural Networks"): fixed-width
    * confidence bins over [0, 1] with, per bin, the mean predicted

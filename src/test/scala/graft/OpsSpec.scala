@@ -939,6 +939,22 @@ class OpsSpec extends SparkSpec {
     assert(negs.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == want)
   }
 
+  test("noveltyScore: exact dups share everything; unique doc scores 1") {
+    val nv = Text.noveltyScore(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    // docs 1 and 4 are byte-identical: every shingle has df >= 2 -> the
+    // fully-shared docs have zero unique shingles
+    assert(nv(1L)._2 == 0L && nv(1L)._3 == 0.0)
+    assert(nv(1L) == nv(4L))
+    // doc 3 shares nothing: all its shingles are df = 1 -> novelty 1.0
+    assert(nv(3L)._1 == nv(3L)._2 && nv(3L)._3 == 1.0)
+    // doc 5 ("short text") has < 3 tokens: no shingles, not emitted
+    assert(!nv.contains(5L))
+    // near-dup doc 2 sits strictly between
+    assert(nv(2L)._3 > 0.0 && nv(2L)._3 < 1.0)
+  }
+
   test("hashEmbedding: unit norm, dup identity, near-dups closer than strangers") {
     val emb = Text.hashEmbedding(docs, "text", "doc_id")
     val vecs = emb.collect().groupBy(_.getLong(0))

@@ -104,6 +104,23 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("ksTest: hand-computed sup gap; identical samples give D = 0") {
+    import graft.stats.Planners
+    // A = {1, 2}, B = {2, 3}: F_A - F_B = 0.5 at v=1 and v=2, 0 at v=3
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"))
+      .toDF("value", "grp")
+    val r = Planners.ksTest(df, "value", "grp", "a", "b").head()
+    assert(r.getDouble(0) == 0.5 && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // identical distributions: D = 0 (ties collapse before the scan)
+    val same = Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"))
+      .toDF("value", "grp")
+    assert(Planners.ksTest(same, "value", "grp", "a", "b").head().getDouble(0) == 0.0)
+    // disjoint supports: D = 1
+    val dis = Seq((1.0, "a"), (2.0, "a"), (10.0, "b"), (11.0, "b"))
+      .toDF("value", "grp")
+    assert(Planners.ksTest(dis, "value", "grp", "a", "b").head().getDouble(0) == 1.0)
+  }
+
   test("calibrationReport: hand-computed bins, ECE, Brier, edge clamp") {
     import graft.stats.Planners
     // bins at nBins=2: {0.05, 0.15} -> bin 0; {0.95, 0.85, 1.0} -> bin 1
