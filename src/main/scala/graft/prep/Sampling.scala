@@ -189,4 +189,33 @@ object Sampling {
     df.join(broadcast(counts), Seq(labelCol))
       .withColumn(weightCol, lit(total) / (lit(k) * col("n"))).drop("n")
   }
+
+  /**
+   * Deterministic weighted sample WITHOUT replacement: the Gumbel top-k
+   * trick (key = ln w + Gumbel noise; the arg-top-k IS a weighted draw
+   * without replacement, P(pick) ∝ weight) with a CONTENT-DERIVED
+   * uniform — the salted-md5 family of [[graft.ops.Text.hashSplit]] —
+   * instead of an RNG, so re-runs, retries and engines agree
+   * row-for-row. This is [[graft.ops.Dsir]]'s selection mechanism
+   * exposed standalone: "subsample the corpus ∝ quality score"
+   * without the importance-LM machinery.
+   *
+   * Keys are rounded to 6 dp before ranking with an id tiebreak, so the
+   * cut is engine-stable (`q_weighted_sample` hash-matches). Selection
+   * is invariant under weight RESCALING (ln(c·w) shifts every key
+   * equally — spec-pinned), exactly as a ∝-sampler must be. `weightCol`
+   * must be strictly positive; top-k compiles to
+   * TakeOrderedAndProject (per-partition heap, no global sort).
+   */
+  def weightedTake(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "wtake"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("#" + salt))), 1, 4), 16, 10).cast("long").cast("double")
+    val u = (h + lit(0.5d)) / lit(65536.0d)
+    df.withColumn("sel_key",
+        round(log(col(weightCol).cast("double")) - log(-log(u)), 6))
+      .orderBy(col("sel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -457,6 +457,23 @@ object LlmOps extends QueryGroup {
              |  FROM documents)
              |SELECT doc_id, source FROM r WHERE qr <= 50""".stripMargin)),
 
+    // Deterministic weighted sampling without replacement: Gumbel top-k
+    // with content-derived uniforms, P(pick) proportional to n_chars —
+    // the "subsample by quality score" primitive; keys rounded before
+    // the cut, id tiebreak, so the selection is engine-stable
+    QueryDef("q_weighted_sample",
+      (s, dir) => graft.prep.Sampling.weightedTake(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100),
+      Some(s"""WITH h AS (SELECT doc_id, n_chars,
+              |    ${md5Val16Sql("CAST(doc_id AS VARCHAR) || '#wtake'")} AS hv
+              |  FROM documents),
+              |s AS (SELECT doc_id, n_chars,
+              |    ROUND(ln(CAST(n_chars AS DOUBLE)) - ln(-ln((hv + 0.5) / 65536.0)), 6) AS sel_key
+              |  FROM h)
+              |SELECT doc_id, n_chars, sel_key FROM s
+              |ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin)),
+
     QueryDef("q_text_mix",
       (s, dir) => Text.mixCorpus(Tables.load(s, dir, "documents"),
         "doc_id", "source",

@@ -939,6 +939,29 @@ class OpsSpec extends SparkSpec {
     assert(negs.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == want)
   }
 
+  test("weightedTake: deterministic, rescale-invariant, k rows, heavy weights win") {
+    import graft.prep.Sampling
+    val rnd = new scala.util.Random(3)
+    val pop = (1L to 200L).map(i => (i, 1.0 + rnd.nextInt(100)))
+      .toDF("doc_id", "w")
+    val a = Sampling.weightedTake(pop, "doc_id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size == 50)
+    // deterministic rerun
+    val b = Sampling.weightedTake(pop, "doc_id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // a proportional sampler is invariant under weight rescaling
+    val scaled = Sampling.weightedTake(
+        pop.withColumn("w", col("w") * 1000.0), "doc_id", "w", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(scaled == a, "rescaling weights must not change the selection")
+    // a weight dominating the pool by orders of magnitude is always taken
+    val spiked = pop.union(Seq((999L, 1e12)).toDF("doc_id", "w"))
+    assert(Sampling.weightedTake(spiked, "doc_id", "w", 1)
+      .head().getLong(0) == 999L)
+  }
+
   test("noveltyScore: exact dups share everything; unique doc scores 1") {
     val nv = Text.noveltyScore(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) ->
