@@ -320,6 +320,40 @@ object Text {
    * 1/65536 granularity — at most ~0.0015% skew per boundary).
    */
   /**
+   * Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
+   * ln(rank) for the top `topN` terms (freq desc, term-asc tiebreak).
+   * Natural-language corpora slope ≈ −1; a far-off slope is the cheap
+   * whole-corpus tell for synthetic/templated/boilerplate-dominated
+   * data that per-doc quality scores miss. Output: one row
+   * (n_terms, zipf_slope, ln_intercept), rounded 6.
+   *
+   * Scale shape: the vocabulary aggregate is corpus-wide with map-side
+   * combine; the rank window and regression run over the topN-row term
+   * table. At 100 TB pre-filter `f >= minFreq` before ranking so the
+   * window input stays tiny (the tail never makes the top-N anyway).
+   */
+  def zipfStats(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, "need at least two ranks to fit a slope")
+    val tf = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("w").asc)
+    val top = tf.withColumn("r", row_number().over(wr)).filter(col("r") <= topN)
+    val x = log(col("r").cast("double"))
+    val y = log(col("f").cast("double"))
+    val a = top.agg(count(lit(1)).cast("double").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+      sum(x * x).as("sxx"))
+    val slope = (col("sxy") - col("sx") * col("sy") / col("n")) /
+      (col("sxx") - col("sx") * col("sx") / col("n"))
+    a.select(col("n").cast("long").as("n_terms"),
+      round(slope, 6).as("zipf_slope"),
+      round(col("sy") / col("n") - slope * col("sx") / col("n"), 6)
+        .as("ln_intercept"))
+  }
+
+  /**
    * Per-document n-gram NOVELTY: the share of a doc's distinct word
    * shingles that appear in no other document (corpus df = 1), plus the
    * mean df of its shingles — the boilerplate/templating diagnostic that

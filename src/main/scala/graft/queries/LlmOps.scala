@@ -405,6 +405,27 @@ object LlmOps extends QueryGroup {
               |       ELSE 'test' END AS split
               |FROM h""".stripMargin)),
 
+    // Zipf fit over the corpus vocabulary: OLS of ln f on ln rank for the
+    // top 1000 terms — natural prose slopes near -1; identical sum
+    // formulas on both engines
+    QueryDef("q_text_zipf",
+      (s, dir) => Text.zipfStats(Tables.load(s, dir, "documents"), "text"),
+      Some("""WITH tf AS (SELECT w, COUNT(*) AS f FROM (
+             |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+             |    FROM documents) WHERE w <> '' GROUP BY w),
+             |top AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r FROM tf
+             |  QUALIFY r <= 1000),
+             |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    SUM(ln(CAST(r AS DOUBLE))) AS sx, SUM(ln(CAST(f AS DOUBLE))) AS sy,
+             |    SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))) AS sxy,
+             |    SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+             |  FROM top)
+             |SELECT CAST(n AS BIGINT) AS n_terms,
+             |  ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+             |  ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n, 6)
+             |    AS ln_intercept
+             |FROM a""".stripMargin)),
+
     // N-gram novelty: share of each doc's shingles unique to it +
     // mean corpus df — the boilerplate/templating diagnostic
     QueryDef("q_text_novelty",

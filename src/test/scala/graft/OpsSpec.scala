@@ -939,6 +939,19 @@ class OpsSpec extends SparkSpec {
     assert(negs.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == want)
   }
 
+  test("zipfStats: two-point exact slope -1; uniform corpus slopes 0") {
+    // freqs a=4, b=2 at ranks 1, 2: slope = (ln2 - ln4)/(ln2 - 0) = -1,
+    // intercept = mean(y) - slope*mean(x) = ln4 exactly
+    val two = Seq((1L, "a a a a b b")).toDF("doc_id", "text")
+    val r = Text.zipfStats(two, "text").head()
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(r.getLong(0) == 2L && r.getDouble(1) == -1.0)
+    assert(r.getDouble(2) == r6(math.log(4.0)))
+    // every term equally frequent: zero covariance, slope 0
+    val uni = Seq((1L, "p q r s p q r s")).toDF("doc_id", "text")
+    assert(Text.zipfStats(uni, "text").head().getDouble(1) == 0.0)
+  }
+
   test("weightedTake: deterministic, rescale-invariant, k rows, heavy weights win") {
     import graft.prep.Sampling
     val rnd = new scala.util.Random(3)
