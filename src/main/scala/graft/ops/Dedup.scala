@@ -61,6 +61,19 @@ object Dedup {
   }
 
   /**
+   * [[simhashNearDup]] at production scale: 64-bit signatures
+   * ([[Text.simhash64]]) banded as 4 x 16-bit words — each band keys on
+   * 2¹⁶ buckets instead of the 16-bit variant's 2⁴ nibbles, so candidate
+   * sets stay corpus-size-independent (the MinHash-band collision
+   * profile) while the pigeonhole exactness for `maxDist < 4` is
+   * unchanged. Delegates the banding/verify machinery to
+   * [[Multimodal.phashNearDup]] (same packed-word layout).
+   */
+  def simhashNearDup64(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int): DataFrame =
+    Multimodal.phashNearDup(Text.simhash64(df, textCol, idCol), idCol, maxDist)
+
+  /**
    * Exact dedup groups: hash-groupBy on normalized text; keeps the minimum
    * id as the canonical representative. At scale, group on the md5 of the
    * text (shuffles 16 bytes per doc, not the document body).

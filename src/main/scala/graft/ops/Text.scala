@@ -320,6 +320,37 @@ object Text {
    * 1/65536 granularity — at most ~0.0015% skew per boundary).
    */
   /**
+   * 64-bit SimHash packed as 4 x 16-bit words (the
+   * [[graft.ops.Vectors.binaryCode]] word layout): per token, the first
+   * 16 md5 nibbles vote ±1 on 64 bits; positive sums set the bit. The
+   * SCALE companion of [[simhash16]]: a 16-bit signature gives each
+   * near-dup band only 2⁴ buckets (candidate sets grow quadratically
+   * with the corpus), while these bands key on 16 bits = 2¹⁶ buckets —
+   * the same corpus-size-independent collision rate as MinHash banding.
+   * Same md5-nibble arithmetic, so it replays in SQL and hash-matches.
+   */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val withNibs = (1 to 16).foldLeft(exploded) { (d, k) =>
+      d.withColumn(s"nib_$k",
+        instr(lit("0123456789abcdef"), substring(col("h"), k, 1)) - 1)
+    }
+    val votes = (0 until 64).map { g =>
+      val nib = col(s"nib_${g / 4 + 1}")
+      val bit = shiftright(nib, 3 - g % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v_$g")
+    }
+    val summed = withNibs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val words = (0 until 4).map { w =>
+      (15 to 0 by -1).foldLeft(lit(0L)) { (acc, j) =>
+        acc * 2 + when(col(s"v_${w * 16 + j}") > 0, lit(1L)).otherwise(lit(0L))
+      }
+    }
+    summed.select(col(idCol), array(words: _*).as("pcode"))
+  }
+
+  /**
    * Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
    * ln(rank) for the top `topN` terms (freq desc, term-asc tiebreak).
    * Natural-language corpora slope ≈ −1; a far-off slope is the cheap

@@ -1117,6 +1117,38 @@ object LlmOps extends QueryGroup {
            |SELECT doc_a, doc_b, ham FROM p WHERE ham <= 1""".stripMargin
       }),
 
+    // 64-bit SimHash near-dup pairs: 2^16-bucket bands (corpus-size-
+    // independent candidates, unlike the 16-bit variant), pigeonhole
+    // exactness unchanged; oracle rebuilds all 64 vote sums + the word
+    // pack and scans all pairs
+    QueryDef("q_dedup_simhash64",
+      (s, dir) => Dedup.simhashNearDup64(Tables.load(s, dir, "documents"),
+        "text", "doc_id", maxDist = 3),
+      Some {
+        val votes = (0 until 64).map { g =>
+          val nib = s"nib${g / 4 + 1}"
+          s"SUM(CASE WHEN ($nib >> ${3 - g % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v_$g"
+        }.mkString(",\n  ")
+        val words = (0 until 4).map { w =>
+          (15 to 0 by -1).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+            s"($acc * 2 + (CASE WHEN v_${w * 16 + j} > 0 THEN 1 ELSE 0 END))"
+          }
+        }.mkString(", ")
+        val nibs = (1 to 16).map(k =>
+          s"strpos('0123456789abcdef', substr(h,$k,1)) - 1 AS nib$k").mkString(",\n  ")
+        s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok FROM documents),
+           |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+           |n AS (SELECT doc_id,
+           |  $nibs
+           |FROM h),
+           |v AS (SELECT doc_id, $votes FROM n GROUP BY doc_id),
+           |w AS (SELECT doc_id, [$words] AS pl FROM v),
+           |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(${hammingSql("a.pl", "b.pl")} AS BIGINT) AS ham
+           |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, ham FROM p WHERE ham <= 3""".stripMargin
+      }),
+
     QueryDef("q_dedup_exact",
       (s, dir) => Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id"),
       Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,

@@ -876,6 +876,29 @@ class OpsSpec extends SparkSpec {
     assert(zero.contains((1L, 4L)) && zero.contains((1L, 6L)))
   }
 
+  test("simhash64: banding equals quadratic scan; near-dups close, strangers far") {
+    val seeded = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text"))
+    val sigs = Text.simhash64(seeded, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // identical docs: identical signatures
+    assert(sigs(1L) == sigs(4L) && ham(sigs(1L), sigs(6L)) == 0)
+    // near-dup pair within a few bits; unrelated doc far away
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+    for (maxDist <- Seq(0, 3)) {
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if ham(sigs(a), sigs(b)) <= maxDist
+      } yield (a, b)).toSet
+      val banded = Dedup.simhashNearDup64(seeded, "text", "doc_id", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"64-bit banding diverged at maxDist=$maxDist")
+    }
+  }
+
   test("mergeComponents: incremental merge equals a full rebuild") {
     import graft.ops.Graph
     val rnd = new scala.util.Random(13)
