@@ -440,6 +440,55 @@ object Multimodal {
         col("dup_of"), col("best_ham"))
   }
 
+  /**
+   * [[phashBandIndex]] packed one row per (band, word) bucket — members
+   * inline — the serving layout that lets [[phashAdmitPacked]] resolve
+   * admission with NO aggregation after the join (stream-static legal,
+   * the [[graft.ops.Dedup.packedAdmitIndex]] house pattern). Buckets
+   * over `maxBucket` drop whole at pack time — the degenerate-media cap
+   * applied once, not per batch.
+   */
+  def packedPhashIndex(index: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame =
+    index.groupBy(col("band"), col("word"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("pcode"))).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+
+  /**
+   * [[phashAdmit]] against a [[packedPhashIndex]] — identical verdicts
+   * (spec-pinned) as 4 stream-static-legal left equi-joins plus
+   * row-local array folds: band b joins on word = pcode[b]; candidate
+   * member arrays concatenate in-row; Hamming verification, the
+   * maxDist filter, min-id dup_of and min best_ham are array HOFs — no
+   * post-join aggregation, no state, no watermark. Pass a STREAMING
+   * media frame and this is a live admission feed against the persisted
+   * index; pass a batch frame and it is a batch operator.
+   */
+  def phashAdmitPacked(docs: DataFrame, packed: DataFrame, idCol: String,
+      maxDist: Int, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      "banding is exact only for maxDist < 4 words")
+    val spark = docs.sparkSession
+    val memType = packed.schema("members").dataType
+    var cur = perceptualHash(spark, docs, idCol, decoder = decoder)
+    (0 until 4).foreach { b =>
+      val side = packed.filter(col("band") === b)
+        .select(col("word").as(s"__pw_$b"), col("members").as(s"__mem_$b"))
+      cur = cur.join(side, cur("pcode")(b) === side(s"__pw_$b"), "left")
+    }
+    val allMem = concat((0 until 4).map(b =>
+      coalesce(col(s"__mem_$b"), array().cast(memType))): _*)
+    val cands = transform(allMem, m => struct(
+      m.getField("id").as("id"),
+      Vectors.hammingDist(col("pcode"), m.getField("pcode")).as("ham")))
+    val hits = filter(cands, c => c.getField("ham") <= maxDist)
+    cur.select(col("doc_id"), hits.as("__hits"))
+      .select(col("doc_id"),
+        (size(col("__hits")) > 0).as("is_dup"),
+        array_min(transform(col("__hits"), _.getField("id"))).as("dup_of"),
+        array_min(transform(col("__hits"), _.getField("ham"))).as("best_ham"))
+  }
+
   def dedupFrames(frames: DataFrame, idCol: String): DataFrame =
     frames.select(col(idCol), col("frame_idx"),
         md5(hex(col("frame_bytes"))).as("frame_hash"),

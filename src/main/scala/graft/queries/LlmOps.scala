@@ -189,6 +189,33 @@ object LlmOps extends QueryGroup {
   private val PhashBoiler =
     "phash near-dup boiler prefix padding padding padding padding padding "
 
+  /** Shared oracle for BOTH media-admission forms (aggregation-based and
+    * packed stream-static): rebuild every hash, scan new x index pairs. */
+  private def phashAdmitOracleSql: String =
+    s"""WITH d0 AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 9 THEN '$PhashBoiler' || text ELSE text END AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, hex(encode(t)) AS hx,
+       |    octet_length(encode(t)) AS len FROM d0),
+       |b AS (SELECT doc_id, i,
+       |    CASE WHEN i <= len THEN
+       |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+       |      + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)
+       |    ELSE 0 END AS bv
+       |  FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+       |s AS (SELECT doc_id, list(bv ORDER BY i) AS bl, sum(bv) AS sm
+       |  FROM b GROUP BY doc_id),
+       |w AS (SELECT doc_id, [${phashWordsSql("bl", "sm")}] AS pl FROM s),
+       |nw AS (SELECT * FROM w WHERE doc_id % 3 = 0),
+       |ix AS (SELECT * FROM w WHERE doc_id % 3 <> 0),
+       |m AS (SELECT nw.doc_id, ix.doc_id AS ex,
+       |    CAST(${hammingSql("nw.pl", "ix.pl")} AS BIGINT) AS ham
+       |  FROM nw CROSS JOIN ix),
+       |f AS (SELECT doc_id, MIN(ex) AS dup_of, MIN(ham) AS best_ham
+       |  FROM m WHERE ham <= 3 GROUP BY 1)
+       |SELECT n.doc_id, f.dup_of IS NOT NULL AS is_dup, f.dup_of, f.best_ham
+       |FROM nw n LEFT JOIN f USING(doc_id)""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
 
     // --- text analysis ---------------------------------------------------
@@ -2214,29 +2241,27 @@ object LlmOps extends QueryGroup {
           withPayload.filter(col("doc_id") % 3 === 0), index, "doc_id",
           maxDist = 3)
       },
-      Some(s"""WITH d0 AS (SELECT doc_id,
-              |    CASE WHEN doc_id % 10 = 9 THEN '$PhashBoiler' || text ELSE text END AS t
-              |  FROM documents),
-              |d AS (SELECT doc_id, hex(encode(t)) AS hx,
-              |    octet_length(encode(t)) AS len FROM d0),
-              |b AS (SELECT doc_id, i,
-              |    CASE WHEN i <= len THEN
-              |      (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
-              |      + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1)
-              |    ELSE 0 END AS bv
-              |  FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
-              |s AS (SELECT doc_id, list(bv ORDER BY i) AS bl, sum(bv) AS sm
-              |  FROM b GROUP BY doc_id),
-              |w AS (SELECT doc_id, [${phashWordsSql("bl", "sm")}] AS pl FROM s),
-              |nw AS (SELECT * FROM w WHERE doc_id % 3 = 0),
-              |ix AS (SELECT * FROM w WHERE doc_id % 3 <> 0),
-              |m AS (SELECT nw.doc_id, ix.doc_id AS ex,
-              |    CAST(${hammingSql("nw.pl", "ix.pl")} AS BIGINT) AS ham
-              |  FROM nw CROSS JOIN ix),
-              |f AS (SELECT doc_id, MIN(ex) AS dup_of, MIN(ham) AS best_ham
-              |  FROM m WHERE ham <= 3 GROUP BY 1)
-              |SELECT n.doc_id, f.dup_of IS NOT NULL AS is_dup, f.dup_of, f.best_ham
-              |FROM nw n LEFT JOIN f USING(doc_id)""".stripMargin)),
+      Some(phashAdmitOracleSql)),
+
+    // The same admission as a PACKED stream-static plan: one row per
+    // (band, word) bucket, 4 left joins + in-row folds, no post-join
+    // aggregation — identical verdicts, same oracle
+    QueryDef("q_multimodal_admit_packed",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 10 === 9, concat(lit(PhashBoiler), col("text")))
+            .otherwise(col("text")))
+        val withPayload = Multimodal.withBinaryPayload(seeded, "text")
+        val packed = Multimodal.packedPhashIndex(
+          Multimodal.phashBandIndex(
+            Multimodal.perceptualHash(s,
+              withPayload.filter(col("doc_id") % 3 =!= 0), "doc_id"), "doc_id"),
+          "doc_id")
+        Multimodal.phashAdmitPacked(
+          withPayload.filter(col("doc_id") % 3 === 0), packed, "doc_id",
+          maxDist = 3)
+      },
+      Some(phashAdmitOracleSql)),
 
     QueryDef("q_multimodal_meta",
       (s, dir) => Multimodal.decodeMetadata(s,

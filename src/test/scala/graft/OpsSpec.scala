@@ -437,6 +437,25 @@ class OpsSpec extends SparkSpec {
     assert(frozen.forall(!_.getBoolean(1)))
   }
 
+  test("phashAdmitPacked equals the aggregation-based admission") {
+    val seeded = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "completely different content with nothing shared here at all")
+    ).toDF("doc_id", "text"))
+    val withPayload = Multimodal.withBinaryPayload(seeded, "text")
+    val idxDocs = withPayload.filter($"doc_id" <= 4)
+    val newDocs = withPayload.filter($"doc_id" > 4)
+    val index = Multimodal.phashBandIndex(
+      Multimodal.perceptualHash(spark, idxDocs, "doc_id"), "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    val agg = rows(Multimodal.phashAdmit(newDocs, index, "doc_id", maxDist = 3))
+    val packed = rows(Multimodal.phashAdmitPacked(newDocs,
+      Multimodal.packedPhashIndex(index, "doc_id"), "doc_id", maxDist = 3))
+    assert(packed == agg, "packed admission diverged from the aggregation form")
+  }
+
   test("ImageIoDecoder.luma: BT.601 on a constant image; zero phash at the mean") {
     val img = new java.awt.image.BufferedImage(8, 5,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
