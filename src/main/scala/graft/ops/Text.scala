@@ -351,6 +351,47 @@ object Text {
   }
 
   /**
+   * Heaps-law vocabulary growth: cumulative distinct-term count at
+   * `nCheckpoints` equal-document checkpoints along the id order, with
+   * cumulative token counts — the companion diagnostic to [[zipfStats]]
+   * (natural corpora grow vocab ≈ K·Nᵝ, β ≈ 0.5–0.7; a flat curve means
+   * templated/repetitive data, a linear one near-random tokens).
+   *
+   * Exact and engine-replayable: a term's first-occurrence doc is a
+   * min-aggregate, so vocab-at-checkpoint is just a count of terms with
+   * first_doc <= the checkpoint's max id — no iterative scan. The doc
+   * ntile is a global window over the per-DOC token-count table (one row
+   * per doc); at 100 TB checkpoint on fixed id ranges instead. Docs with
+   * zero non-empty tokens carry no vocabulary and are excluded from the
+   * document ordering.
+   *
+   * Output: (checkpoint, max_doc, cum_docs, cum_tokens, vocab).
+   */
+  def vocabGrowth(df: DataFrame, textCol: String, idCol: String,
+      nCheckpoints: Int = 10): DataFrame = {
+    require(nCheckpoints >= 1, "nCheckpoints must be >= 1")
+    val ex = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val docTok = ex.groupBy(col(idCol)).agg(count(lit(1)).as("nt"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val run = org.apache.spark.sql.expressions.Window.orderBy(col("ck"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = docTok.withColumn("ck", ntile(nCheckpoints).over(wOrd))
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("n_docs"), max(col(idCol)).as("max_doc"),
+        sum(col("nt")).as("toks"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(run))
+      .withColumn("cum_tokens", sum(col("toks")).over(run))
+    val fd = ex.distinct().groupBy(col("w")).agg(min(col(idCol)).as("fd"))
+    val voc = fd.join(broadcast(cum.select(col("ck"), col("max_doc"))),
+        col("fd") <= col("max_doc"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("vocab"))
+    cum.join(voc, Seq("ck"))
+      .select(col("ck").cast("long").as("checkpoint"), col("max_doc"),
+        col("cum_docs"), col("cum_tokens"), col("vocab"))
+  }
+
+  /**
    * Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
    * ln(rank) for the top `topN` terms (freq desc, term-asc tiebreak).
    * Natural-language corpora slope ≈ −1; a far-off slope is the cheap

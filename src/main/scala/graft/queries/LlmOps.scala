@@ -453,6 +453,31 @@ object LlmOps extends QueryGroup {
              |    AS ln_intercept
              |FROM a""".stripMargin)),
 
+    // Heaps-law vocabulary growth at document deciles — flat curves mark
+    // templated corpora; first-occurrence min-aggregate, no iterative scan
+    QueryDef("q_text_vocab_growth",
+      (s, dir) => Text.vocabGrowth(Tables.load(s, dir, "documents"),
+        "text", "doc_id"),
+      Some("""WITH ex AS (SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+             |    FROM documents) WHERE w <> ''),
+             |dt AS (SELECT doc_id, COUNT(*) AS nt FROM ex GROUP BY 1),
+             |bk AS (SELECT doc_id, nt, NTILE(10) OVER (ORDER BY doc_id) AS ck FROM dt),
+             |b AS (SELECT ck, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc,
+             |    SUM(nt) AS toks FROM bk GROUP BY 1),
+             |c AS (SELECT ck, n_docs, max_doc,
+             |    SUM(n_docs) OVER (ORDER BY ck) AS cum_docs,
+             |    SUM(toks) OVER (ORDER BY ck) AS cum_tokens FROM b),
+             |fd AS (SELECT w, MIN(doc_id) AS fd FROM (SELECT DISTINCT doc_id, w FROM ex)
+             |  GROUP BY 1),
+             |v AS (SELECT ck, COUNT(*) AS vocab FROM fd JOIN c ON fd.fd <= c.max_doc
+             |  GROUP BY 1)
+             |SELECT CAST(c.ck AS BIGINT) AS checkpoint, c.max_doc,
+             |  CAST(cum_docs AS BIGINT) AS cum_docs,
+             |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST(vocab AS BIGINT) AS vocab
+             |FROM c JOIN v USING(ck)""".stripMargin)),
+
     // N-gram novelty: share of each doc's shingles unique to it +
     // mean corpus df — the boilerplate/templating diagnostic
     QueryDef("q_text_novelty",

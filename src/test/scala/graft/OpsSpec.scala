@@ -981,6 +981,19 @@ class OpsSpec extends SparkSpec {
     assert(negs.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == want)
   }
 
+  test("vocabGrowth: hand-computed cumulative vocab at each checkpoint") {
+    val tiny = Seq((1L, "a b"), (2L, "a c"), (3L, "d d")).toDF("doc_id", "text")
+    val g = Text.vocabGrowth(tiny, "text", "doc_id", nCheckpoints = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(g(1L) == ((1L, 1L, 2L, 2L)))  // {a,b}
+    assert(g(2L) == ((2L, 2L, 4L, 3L)))  // +c, a repeats
+    assert(g(3L) == ((3L, 3L, 6L, 4L)))  // +d (counted once)
+    // vocab is monotone and ends at the full distinct count
+    val vs = g.toSeq.sortBy(_._1).map(_._2._4)
+    assert(vs == vs.sorted && vs.last == 4L)
+  }
+
   test("zipfStats: two-point exact slope -1; uniform corpus slopes 0") {
     // freqs a=4, b=2 at ranks 1, 2: slope = (ln2 - ln4)/(ln2 - 0) = -1,
     // intercept = mean(y) - slope*mean(x) = ln4 exactly
