@@ -48,6 +48,83 @@ object Vectors {
       .select(col(qId), col(cId), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** One MMR input candidate: query, candidate, relevance, embedding. */
+  final case class MmrCand(qid: Long, cid: Long, rel: Double,
+      embedding: Seq[Float])
+  /** One MMR output row: the diversified rank and the score that won it. */
+  final case class MmrPick(qid: Long, cid: Long, rel: Double,
+      mmr_rank: Int, mmr_score: Double)
+
+  /**
+   * Maximal-Marginal-Relevance diversification (Carbonell & Goldstein
+   * 1998): greedily re-rank a per-query candidate list, each step taking
+   *
+   *   argmax_d  λ·rel(d) − (1−λ)·max_{s ∈ picked} cos(d, s)
+   *
+   * — the standard redundancy-killer between retrieval and an LLM
+   * context window (near-identical passages burn budget; MMR keeps one
+   * of each). λ = 1 reduces to relevance order (spec-pinned); lower λ
+   * trades relevance for coverage. Ties break on min cid, so the
+   * greedy is fully deterministic.
+   *
+   * Scale shape: candidates arrive PRE-CUT to a per-query top-m (ANN /
+   * BM25 output — m is tens), so the O(k·m) greedy runs in-JVM per
+   * query group via typed mapGroups: one shuffle keyed on qid carrying
+   * m skinny rows per query, the sanctioned imperative site for
+   * per-group logic (SURVEY §7.3). Not SQL-expressible without a
+   * recursive CTE per pick — rows-only + reference-parity spec.
+   */
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double,
+      qId: String = "qid", cId: String = "cid", relCol: String = "rel",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1, "need k >= 1, lambda in [0,1]")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col(qId).cast("long").as("qid"), col(cId).cast("long").as("cid"),
+        col(relCol).cast("double").as("rel"), col(vecCol).as("embedding"))
+      .as[MmrCand]
+      .groupByKey(_.qid)
+      .flatMapGroups { (qid, it) =>
+        val pool = scala.collection.mutable.ArrayBuffer.from(it)
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            d += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var rank = 1
+        while (rank <= k && pool.nonEmpty) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < pool.length) {
+            val c = pool(i)
+            val redundancy =
+              if (picked.isEmpty) 0.0
+              else picked.iterator.map(p => cos(c.embedding, p.embedding)).max
+            val score = lambda * c.rel - (1 - lambda) * redundancy
+            if (score > bestScore ||
+                (score == bestScore && best >= 0 && c.cid < pool(best).cid)) {
+              best = i; bestScore = score
+            }
+            i += 1
+          }
+          val chosen = pool.remove(best)
+          picked += chosen
+          out += MmrPick(qid, chosen.cid, chosen.rel, rank,
+            math.rint(bestScore * 1e6) / 1e6)
+          rank += 1
+        }
+        out.iterator
+      }
+      .toDF()
+  }
+
   /**
    * Mean-pool dense embeddings per group and L2-renormalize — the
    * chunk→document / member→cluster centroid for cosine geometry (the

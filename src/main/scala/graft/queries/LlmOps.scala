@@ -1755,6 +1755,22 @@ object LlmOps extends QueryGroup {
               |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc)
               |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // MMR diversification over the ANN top-10: greedy relevance-vs-
+    // redundancy re-rank (per-query greedy is not SQL-expressible
+    // without a recursive CTE per pick — rows-only; reference-parity
+    // and lambda-limit behavior are spec-pinned in OpsSpec)
+    QueryDef("q_mmr_rerank",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val c = e.filter(col("vec_id") >= 5).select(col("vec_id").as("cid"), col("embedding"))
+        val top = Vectors.bruteForceTopK(
+          e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding")),
+          c, 10).join(c, Seq("cid"))
+          .select(col("qid"), col("cid"), col("cos").as("rel"), col("embedding"))
+        Vectors.mmrRerank(top, k = 5, lambda = 0.5)
+      },
+      None),
+
     // Hard-negative mining: top-k by cosine EXCLUDING each query's known
     // positive (fixture: positive of query q is corpus vector q + 20) —
     // exclusion precedes ranking, so every returned negative is a true

@@ -940,6 +940,29 @@ class OpsSpec extends SparkSpec {
     assert(lone == Map(100L -> 100L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("mmrRerank: lambda=1 is relevance order; twins get skipped at lambda=0.5") {
+    // candidates for query 0: two IDENTICAL high-rel vectors (10, 11)
+    // and a dissimilar lower-rel one (12)
+    val cands = Seq(
+      (0L, 10L, 0.9, Seq(1f, 0f, 0f)),
+      (0L, 11L, 0.89, Seq(1f, 0f, 0f)),
+      (0L, 12L, 0.5, Seq(0f, 1f, 0f))).toDF("qid", "cid", "rel", "embedding")
+    // pure relevance at lambda = 1
+    val rel = Vectors.mmrRerank(cands, k = 3, lambda = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(10L, 11L, 12L))
+    // at lambda = 0.5 the twin's redundancy (cos = 1) is fatal:
+    // 0.5*0.89 - 0.5*1 = -0.055 < 0.5*0.5 - 0.5*0 = 0.25
+    val div = Vectors.mmrRerank(cands, k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(div == Seq(10L, 12L, 11L), s"diversification failed: $div")
+    // k bounds output; reruns are deterministic
+    assert(Vectors.mmrRerank(cands, k = 2, lambda = 0.5).count() == 2)
+    val again = Vectors.mmrRerank(cands, k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(again == div)
+  }
+
   test("meanPool: hand-computed centroid, unit norm, zero-group guard") {
     val vecs = Seq(
       ("a", Array(1f, 0f, 0f, 0f)), ("a", Array(0f, 1f, 0f, 0f)),
