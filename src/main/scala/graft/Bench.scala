@@ -120,8 +120,10 @@ object Bench {
     "q_curation_e2e", "q_dedup_minhash_admit", "q_ann_ivfpq_residual",
     "q_cdc_apply",
     // round-15 families (per-query only): binary-quantization two-stage
-    // ANN, perceptual-hash banded near-dup
-    "q_ann_binary_rerank", "q_multimodal_phash_dedup")
+    // ANN, perceptual-hash banded near-dup, 64-bit simhash near-dup,
+    // RM3 two-pass retrieval
+    "q_ann_binary_rerank", "q_multimodal_phash_dedup",
+    "q_dedup_simhash64", "q_bm25_rm3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -396,6 +396,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_bm25_rm3: both passes broadcast the query side; postings never sort-merge") {
+    val p = plan("q_bm25_rm3")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"),
+      "RM3 must stay candidate-pruned, never cartesian")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"query/feedback/weight tables must broadcast onto the postings:\n$s")
+  }
+
+  test("q_text_novelty: one shingle-keyed candidate join, no cartesian, hashes only") {
+    val p = plan("q_text_novelty")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "novelty must stay a shingle equi-join")
+    // the exchanges carry shingle strings / ids / counts, never text bodies
+    shuffles(p).foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"document bodies must not shuffle: ${e.output.map(_.name)}")
+    }
+  }
+
   test("q_dedup_minhash_admit: broadcast cap, equi-joins only, no cartesian") {
     val p = plan("q_dedup_minhash_admit")
     val s = p.toString
