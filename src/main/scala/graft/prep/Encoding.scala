@@ -89,4 +89,49 @@ object Encoding {
    */
   def pruneToVocabulary(df: DataFrame, enc: CategoricalEncoding): DataFrame =
     df.join(broadcast(enc.mapping.select(enc.column)), Seq(enc.column), "left_semi")
+
+  /**
+   * Leakage-safe K-fold TARGET ENCODING (the CatBoost/Kaggle standard for
+   * high-cardinality categoricals): each row's category becomes the
+   * SMOOTHED mean label computed on the OTHER folds only —
+   *
+   *   te(v, f) = (Σy(v) − Σy(v,f) + m·prior) / (n(v) − n(v,f) + m)
+   *
+   * with prior = global mean label and smoothing mass `m`. Excluding the
+   * row's own fold breaks the label leak that makes naive target
+   * encoding overfit; a category seen ONLY in the row's fold reduces to
+   * the prior (the formula degrades to m·prior/m — no special case).
+   * Folds are content-derived (salted md5 of the id, the
+   * [[graft.ops.Text.hashSplit]] family), so the encoding is
+   * deterministic, partitioning-invariant and engine-replayable
+   * (`q_target_encode` hash-matches; 0/1 labels keep every sum integer-
+   * exact until the one division).
+   *
+   * Scale shape: two hash aggregates on the category key (map-side
+   * combine) + two broadcast joins of the tiny (cat[, fold]) stats onto
+   * the rows; the corpus never shuffles.
+   *
+   * Output: input id + (catCol, fold, te).
+   */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: String,
+      idCol: String, folds: Int = 5, smoothing: Double = 10.0): DataFrame = {
+    require(folds >= 2, "need at least 2 folds to hold one out")
+    require(smoothing > 0, "smoothing mass must be positive")
+    val fold = pmod(conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("#tefold"))), 1, 4), 16, 10).cast("long"), lit(folds.toLong))
+    val base = df.select(col(idCol), col(catCol).as("__cat"),
+        col(labelCol).cast("double").as("__y"))
+      .withColumn("__fold", fold)
+    val pri = base.agg(avg(col("__y")).as("__prior"))
+    val tot = base.groupBy(col("__cat"))
+      .agg(sum(col("__y")).as("__ts"), count(lit(1)).as("__tc"))
+    val per = base.groupBy(col("__cat"), col("__fold"))
+      .agg(sum(col("__y")).as("__fs"), count(lit(1)).as("__fc"))
+    base.join(broadcast(tot), Seq("__cat"))
+      .join(broadcast(per), Seq("__cat", "__fold"))
+      .crossJoin(broadcast(pri))
+      .select(col(idCol), col("__cat").as(catCol), col("__fold").as("fold"),
+        round((col("__ts") - col("__fs") + lit(smoothing) * col("__prior")) /
+          (col("__tc") - col("__fc") + lit(smoothing)), 6).as("te"))
+  }
 }

@@ -530,6 +530,28 @@ object LlmOps extends QueryGroup {
              |  FROM documents)
              |SELECT doc_id, source FROM r WHERE qr <= 50""".stripMargin)),
 
+    // Leakage-safe K-fold target encoding: each row's category becomes
+    // the smoothed mean label over the OTHER md5-derived folds — the
+    // CatBoost-style high-cardinality encoder; 0/1 labels keep every sum
+    // integer-exact until the one division
+    QueryDef("q_target_encode",
+      (s, dir) => graft.prep.Encoding.targetEncode(
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") > 5000).cast("double").as("label")),
+        "c_mktsegment", "label", "c_custkey"),
+      Some(s"""WITH b AS (SELECT c_custkey AS id, c_mktsegment AS cat,
+              |    CAST(c_acctbal > 5000 AS INT) AS y,
+              |    ${md5Val16Sql("CAST(c_custkey AS VARCHAR) || '#tefold'")} % 5 AS f
+              |  FROM customer),
+              |p AS (SELECT AVG(CAST(y AS DOUBLE)) AS prior FROM b),
+              |t AS (SELECT cat, SUM(y) AS ts, COUNT(*) AS tc FROM b GROUP BY 1),
+              |pf AS (SELECT cat, f, SUM(y) AS fs, COUNT(*) AS fc FROM b GROUP BY 1, 2)
+              |SELECT b.id AS c_custkey, b.cat AS c_mktsegment,
+              |  CAST(b.f AS BIGINT) AS fold,
+              |  ROUND((t.ts - pf.fs + 10.0 * p.prior) / (t.tc - pf.fc + 10.0), 6) AS te
+              |FROM b JOIN t USING(cat) JOIN pf ON pf.cat = b.cat AND pf.f = b.f, p""".stripMargin)),
+
     // Deterministic weighted sampling without replacement: Gumbel top-k
     // with content-derived uniforms, P(pick) proportional to n_chars —
     // the "subsample by quality score" primitive; keys rounded before

@@ -104,6 +104,32 @@ class PrepSpec extends SparkSpec {
     }
   }
 
+  test("targetEncode: out-of-fold means, prior fallback, no self-leakage") {
+    import graft.prep.Encoding
+    // category "a": rows with labels 1, 1, 0; category "b": one row
+    val df = Seq((1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 0.0), (4L, "b", 1.0))
+      .toDF("id", "cat", "label")
+    val m = 2.0
+    val prior = 0.75 // 3 positives / 4 rows
+    val got = Encoding.targetEncode(df, "cat", "label", "id",
+        folds = 2, smoothing = m)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // recompute each row's expectation from ITS actual md5 fold
+    val folds = df.select(col("id"),
+        pmod(conv(substring(md5(concat(col("id").cast("string"), lit("#tefold"))),
+          1, 4), 16, 10).cast("long"), lit(2L)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 0.0), (4L, "b", 1.0))
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    for ((id, cat, _) <- rows) {
+      val others = rows.filter(t => t._2 == cat && folds(t._1) != folds(id))
+      val want = r6((others.map(_._3).sum + m * prior) / (others.size + m))
+      assert(got(id) == ((folds(id), want)), s"row $id: ${got(id)} vs $want")
+    }
+    // the singleton category's encoding is EXACTLY the smoothed prior
+    assert(got(4L)._2 == r6(m * prior / m))
+  }
+
   test("ksTest: hand-computed sup gap; identical samples give D = 0") {
     import graft.stats.Planners
     // A = {1, 2}, B = {2, 3}: F_A - F_B = 0.5 at v=1 and v=2, 0 at v=3
