@@ -120,8 +120,13 @@ object CacheScope {
           // don't fire on the probe that *builds* the cache entry — only on
           // plans that READ it (root != the relation itself is not required:
           // materializing the cache IS consuming it once), and only on
-          // consumers created after this binding registered (id > wm)
-          qe.id > wm && qe.withCachedData.exists {
+          // consumers created after this binding registered (id > wm).
+          // One pre-binding consumer IS legitimate: the bound df's own
+          // QueryExecution (constructed with the Dataset, before binding) —
+          // a caller that collects the exact instance passed in would
+          // otherwise never satisfy the watermark and the block would leak
+          // until session end, so accept it by identity.
+          (qe.id > wm || (qe eq df.queryExecution)) && qe.withCachedData.exists {
             case r: InMemoryRelation =>
               (r.cacheBuilder eq builder) || physConsumes(r.cacheBuilder.cachedPlan)
             case _ => false

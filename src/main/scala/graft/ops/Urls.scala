@@ -74,4 +74,62 @@ object Urls {
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String,
       quota: Int): DataFrame =
     Text.quotaSample(parse(df, urlCol), Seq("domain"), idCol, quota)
+
+  /** The dot-suffix chain of a host, most-specific first:
+    * `a.b.example.org` → `[a.b.example.org, b.example.org, example.org,
+    * org]`. A blocklist entry matches a host iff it equals one of these —
+    * the standard "block a domain and every subdomain" semantics of
+    * UT1-style blocklists. Pure array HOFs, codegen'd, no UDF. */
+  def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
+
+  /**
+   * Domain-blocklist flag against an in-plan literal list — the first
+   * gate of every web-corpus pipeline (CCNet / RefinedWeb run a
+   * UT1-category blocklist before any content filter). Appends
+   * `blocked_by` (the MOST SPECIFIC matching blocklist entry, null when
+   * clean) and `blocked`. A pure shuffle-free projection
+   * (`arrays_overlap` on the suffix chain), so it runs identically in a
+   * stream and pushes past nothing it shouldn't.
+   *
+   * Fits blocklists up to the tens of thousands (the literal array is
+   * broadcast with the plan). For the millions-of-domains regime use
+   * [[blocklistFilter]], which joins a blocklist DataFrame instead.
+   */
+  def blocklistFlag(df: DataFrame, hostCol: String,
+      entries: Seq[String]): DataFrame = {
+    require(entries.nonEmpty, "empty blocklist")
+    val lst = lit(entries.map(_.toLowerCase).toArray)
+    val chain = hostSuffixes(lower(col(hostCol)))
+    // suffix chain is ordered most-specific first; the first hit wins
+    val hits = filter(chain, s => array_contains(lst, s))
+    df.withColumn("blocked_by",
+        when(size(hits) > 0, element_at(hits, 1)).otherwise(lit(null)))
+      .withColumn("blocked", size(hits) > 0)
+  }
+
+  /**
+   * Blocklist filtering for LARGE blocklists (a blocklist DataFrame with
+   * an `entry` column, e.g. millions of registered domains): explode each
+   * host's suffix chain, equi-join the blocklist, and anti-join the hits
+   * back on `idCol`. The corpus BODY never shuffles — the semi side
+   * carries only (id, suffix) skinny rows, and the blocklist side of the
+   * equi-join broadcasts when it fits (Spark's planner decides; pass
+   * `hintBroadcast = false` to force a shuffle join for blocklists beyond
+   * driver memory). Returns the surviving rows unchanged.
+   */
+  def blocklistFilter(df: DataFrame, hostCol: String, idCol: String,
+      blocklist: DataFrame, entryCol: String = "entry",
+      hintBroadcast: Boolean = true): DataFrame = {
+    val bl = blocklist.select(lower(col(entryCol)).as("__ble")).distinct()
+    val blSide = if (hintBroadcast) broadcast(bl) else bl
+    val hits = df.select(col(idCol),
+        explode(hostSuffixes(lower(col(hostCol)))).as("__suf"))
+      .join(blSide, col("__suf") === col("__ble"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(hits, Seq(idCol), "left_anti")
+  }
 }

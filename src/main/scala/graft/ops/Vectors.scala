@@ -590,4 +590,87 @@ object Vectors {
       .select(col(qId), col(cId), col("ham"), col("cos"),
         col("rnk").cast("long").as("rnk"))
   }
+
+  final case class IcpDoc(id: Long, bucket: Long, embedding: Seq[Float])
+  final case class IcpPos(id: Long, bucket: Long, chain_pos: Long,
+      link_cos: Double)
+
+  /**
+   * In-context-pretraining document ordering (Shi et al. 2023, "In-Context
+   * Pretraining: Language Modeling Beyond Document Boundaries"): lay out
+   * the corpus so each training context window holds RELATED documents —
+   * within each locality bucket, chain docs by a greedy nearest-neighbor
+   * walk (start at the min id; each step jumps to the unvisited doc with
+   * the highest cosine to the current one, ties to min id) and emit the
+   * chain position. Sorting the corpus by (bucket, chain_pos) before
+   * [[graft.ops.Text.packChunksAcrossDocs]] gives packs whose members are
+   * semantically adjacent instead of random — the paper's curriculum.
+   *
+   * `link_cos` is the similarity of the edge that PLACED the doc (0 for
+   * each chain head), rounded to 1e-6 so reruns are bit-stable.
+   *
+   * Scale shape: the walk is O(m²) per bucket, so buckets must stay small
+   * and numerous — exactly the coarse-quantizer regime. This overload
+   * takes a PRE-ASSIGNED bucket column (IVF cell ids from
+   * [[graft.ops.IvfIndex]], or [[signBucket]] via the convenience
+   * overload), and the only movement is ONE shuffle keyed on the bucket;
+   * at 100 TB you raise the cell count so per-cell membership stays
+   * a few hundred docs, never grow the per-task quadratic. The greedy is
+   * a typed mapGroups — the SURVEY-sanctioned imperative site — and is
+   * not SQL-expressible without a per-step recursive CTE, so the catalog
+   * query is rows-only with a reference-parity spec (permutation,
+   * determinism, and chained-adjacency beating id-order adjacency).
+   */
+  def icpOrderInBuckets(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(bucketCol).cast("long").as("bucket"), col(vecCol).as("embedding"))
+      .as[IcpDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket, it) =>
+        val pool = scala.collection.mutable.ArrayBuffer.from(it)
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0
+          val n = math.min(a.length, b.length)
+          var i = 0
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            d += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[IcpPos]
+        // head: min id — content-derived, so the walk replays exactly
+        var curIdx = pool.indices.minBy(pool(_).id)
+        var pos = 1L
+        out += IcpPos(pool(curIdx).id, bucket, pos, 0.0)
+        var cur = pool.remove(curIdx)
+        while (pool.nonEmpty) {
+          var best = 0; var bestCos = Double.NegativeInfinity
+          var i = 0
+          while (i < pool.length) {
+            val c = math.rint(cos(cur.embedding, pool(i).embedding) * 1e6) / 1e6
+            if (c > bestCos || (c == bestCos && pool(i).id < pool(best).id)) {
+              best = i; bestCos = c
+            }
+            i += 1
+          }
+          cur = pool.remove(best)
+          pos += 1
+          out += IcpPos(cur.id, bucket, pos, bestCos)
+        }
+        out.iterator
+      }
+      .toDF()
+  }
+
+  /** [[icpOrderInBuckets]] with [[signBucket]] locality buckets — the
+    * self-contained form for corpora without a fitted IVF index. */
+  def icpOrder(df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int = 8, offset: Int = 32): DataFrame =
+    icpOrderInBuckets(
+      df.withColumn("__icpb", signBucket(col(vecCol), nPlanes, offset)),
+      idCol, vecCol, "__icpb")
 }

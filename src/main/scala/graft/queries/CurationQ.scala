@@ -309,6 +309,32 @@ object CurationQ extends QueryGroup {
               |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || host
               |    || CASE WHEN path = '' THEN '/' ELSE path END
               |    || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
-              |FROM d""".stripMargin))
+              |FROM d""".stripMargin)),
+
+    // Domain-blocklist gate (the CCNet/RefinedWeb UT1 step): an entry
+    // blocks its domain AND every subdomain via the host's dot-suffix
+    // chain, most-specific match reported. Seeded hosts carry a lang
+    // level so both entry kinds fire: a mid-level suffix ('es.example
+    // .org' blocks every es doc) and an exact host. Shuffle-free
+    // projection on both engines; the large-blocklist join form is
+    // parity-spec'd against this flag in CurationSpec.
+    QueryDef("q_url_blocklist",
+      (s, dir) => {
+        val hosts = Tables.load(s, dir, "documents").withColumn("host",
+          concat(col("source"), lit("."), col("lang"), lit(".example.org")))
+        Urls.blocklistFlag(hosts, "host",
+          Seq("es.example.org", "src1.zh.example.org"))
+          .select(col("doc_id"), col("host"), col("blocked_by"), col("blocked"))
+      },
+      Some("""WITH s AS (SELECT doc_id, source || '.' || lang || '.example.org' AS host FROM documents),
+             |c AS (SELECT doc_id, host, string_split(host, '.') AS pa FROM s),
+             |ch AS (SELECT doc_id, host, list_transform(generate_series(1, len(pa)),
+             |    i -> array_to_string(array_slice(pa, i, len(pa)), '.')) AS chain FROM c),
+             |h AS (SELECT doc_id, host, list_filter(chain,
+             |    x -> list_contains(['es.example.org', 'src1.zh.example.org'], x)) AS hits FROM ch)
+             |SELECT doc_id, host,
+             |  CASE WHEN len(hits) > 0 THEN hits[1] ELSE NULL END AS blocked_by,
+             |  len(hits) > 0 AS blocked
+             |FROM h""".stripMargin))
   )
 }

@@ -1793,6 +1793,37 @@ object LlmOps extends QueryGroup {
       },
       None),
 
+    // In-context-pretraining layout (Shi et al. 2023): greedy nearest-
+    // neighbor chains inside sign-LSH locality buckets; sorting by
+    // (bucket, chain_pos) makes packed context windows semantically
+    // coherent. The oracle replays the greedy exactly as a recursive CTE
+    // (the q_text_pack trick): each iteration advances EVERY bucket's
+    // chain one pick (row_number over the not-yet-picked candidates,
+    // rounded-cos desc then min id — the same tiebreak the Scala walk
+    // uses), carrying the picked list as recursion state.
+    QueryDef("q_icp_order",
+      (s, dir) => Vectors.icpOrder(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+              |eb AS (SELECT id, v, ${bucketSql("v")} AS b FROM e),
+              |h AS (SELECT b, min(id) AS hid FROM eb GROUP BY b),
+              |rec AS (
+              |  SELECT eb.b, CAST(1 AS BIGINT) AS pos, eb.id,
+              |    CAST(0.0 AS DOUBLE) AS link_cos, [eb.id] AS picked, eb.v AS cv
+              |  FROM eb JOIN h ON eb.b = h.b AND eb.id = h.hid
+              |  UNION ALL
+              |  SELECT b, pos, id, link_cos, picked, cv FROM (
+              |    SELECT r.b, r.pos + 1 AS pos, c.id,
+              |      ${cosSql("r.cv", "c.v")} AS link_cos,
+              |      list_append(r.picked, c.id) AS picked, c.v AS cv,
+              |      ROW_NUMBER() OVER (PARTITION BY r.b
+              |        ORDER BY ${cosSql("r.cv", "c.v")} DESC, c.id ASC) AS rn
+              |    FROM rec r JOIN eb c ON c.b = r.b AND NOT list_contains(r.picked, c.id)
+              |  ) WHERE rn = 1
+              |)
+              |SELECT id, CAST(b AS BIGINT) AS bucket, pos AS chain_pos, link_cos
+              |FROM rec""".stripMargin)),
+
     // Hard-negative mining: top-k by cosine EXCLUDING each query's known
     // positive (fixture: positive of query q is corpus vector q + 20) —
     // exclusion precedes ranking, so every returned negative is a true

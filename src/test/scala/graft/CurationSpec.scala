@@ -151,4 +151,31 @@ class CurationSpec extends SparkSpec {
     // waste identity: n_docs*max == sum + waste
     assert(out.forall(r => r.getLong(2) * r.getLong(3) == r.getLong(4) + r.getLong(5)))
   }
+
+  test("blocklist: suffix chain blocks domain+subdomains, most-specific wins, join form agrees") {
+    val df = Seq(
+      (1L, "a.b.spam.com"),      // matched by both entries; b.spam.com is more specific
+      (2L, "spam.com"),          // exact entry match
+      (3L, "ok.example.org"),    // clean
+      (4L, "Bad.Example.ORG"),   // case-insensitive match
+      (5L, "notspam.com")        // suffixes are label-aligned, NOT substrings
+    ).toDF("id", "host")
+    val entries = Seq("spam.com", "b.spam.com", "bad.example.org")
+    val out = Urls.blocklistFlag(df, "host", entries).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(out(1L) == ((Some("b.spam.com"), true)))
+    assert(out(2L) == ((Some("spam.com"), true)))
+    assert(out(3L) == ((None, false)))
+    assert(out(4L) == ((Some("bad.example.org"), true)))
+    assert(out(5L) == ((None, false)))
+    // the large-blocklist join form keeps exactly the unflagged rows
+    val bl = entries.toDF("entry")
+    val kept = Urls.blocklistFilter(df, "host", "id", bl)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L))
+    // non-broadcast fallback produces the identical survivor set
+    val keptShuffle = Urls.blocklistFilter(df, "host", "id", bl,
+      hintBroadcast = false).collect().map(_.getLong(0)).toSet
+    assert(keptShuffle == kept)
+  }
 }

@@ -100,4 +100,19 @@ class MiscSpec extends SparkSpec {
     val noisy = pairs ++ Seq((0, 0), (1, 1)) // 2 rows off the permutation
     assert(Hungarian.clusterAccuracy(noisy, 3) > 0.9)
   }
+
+  test("CacheScope: a consumer built BEFORE binding (the bound instance itself) still releases") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Seq(1, 2, 3).toDF("x")
+    // df's QueryExecution predates the binding, so the execution-id
+    // watermark alone would never fire for it; the identity escape
+    // (qe eq df.queryExecution) must release the block
+    val bound = graft.core.CacheScope.autoUnpersist(df)
+    assert(bound.collect().length == 3)
+    val deadline = System.nanoTime + 30_000_000_000L
+    def extra = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (extra.nonEmpty && System.nanoTime < deadline) Thread.sleep(50)
+    assert(extra.isEmpty, "pre-binding consumer did not release the cache block")
+  }
 }

@@ -1542,4 +1542,53 @@ class OpsSpec extends SparkSpec {
     assert(got == Map("urn:a" -> "urn:a", "urn:b" -> "urn:a",
       "urn:c" -> "urn:a", "urn:x" -> "urn:x", "urn:y" -> "urn:x"))
   }
+
+  test("icpOrder: greedy chain follows similarity, permutation per bucket, deterministic") {
+    // dim-3 vectors all land in signBucket 0 (size < offset+1) -> ONE
+    // chain; geometry forces the walk 1 -> 2 -> 3 -> 4:
+    // cos(2,3)=0.1104 > cos(2,4)=0.1098, then the strong 3->4 link 0.9939
+    val e = Seq(
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)),
+      (4L, Seq(0f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Vectors.icpOrder(e, "vec_id", "embedding")
+      .orderBy("chain_pos").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L)) // 1..n positions
+    assert(out.head.getDouble(3) == 0.0)      // chain head carries no link
+    assert(out.last.getDouble(3) > 0.99)      // the 3->4 edge
+    // rerun is bit-identical (content-derived head + rounded-cos ties)
+    val again = Vectors.icpOrder(e, "vec_id", "embedding")
+      .orderBy("chain_pos").collect().map(_.getLong(0)).toSeq
+    assert(again == Seq(1L, 2L, 3L, 4L))
+    // pre-assigned buckets stay independent: each bucket is its own
+    // permutation with positions restarting at 1
+    val b = Seq(
+      (10L, 7L, Seq(1f, 0f)), (11L, 7L, Seq(0.9f, 0.1f)),
+      (20L, 8L, Seq(0f, 1f))).toDF("vec_id", "cell", "embedding")
+    val byB = Vectors.icpOrderInBuckets(b, "vec_id", "embedding", "cell")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    assert(byB.toSet == Set((7L, 1L, 10L), (7L, 2L, 11L), (8L, 1L, 20L)))
+    // on the real embeddings fixture the chained layout must beat the
+    // id-order layout on mean adjacent cosine (the ICP objective)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(60).cache()
+    val ordered = Vectors.icpOrder(emb, "vec_id", "embedding")
+      .withColumnRenamed("id", "vec_id")
+    val adjGain = emb.join(ordered, "vec_id" :: Nil)
+    def meanAdj(df: org.apache.spark.sql.DataFrame, sortCols: Seq[org.apache.spark.sql.Column]): Double = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(sortCols: _*)
+      df.withColumn("pv", lag(col("embedding"), 1).over(w))
+        .filter(col("pv").isNotNull)
+        .agg(avg(Vectors.cosine(col("embedding"), col("pv"))))
+        .collect()(0).getDouble(0)
+    }
+    val chained = meanAdj(adjGain, Seq(col("chain_pos")))
+    val idOrder = meanAdj(adjGain, Seq(col("vec_id")))
+    assert(chained >= idOrder,
+      s"greedy chain ($chained) must not lose to id order ($idOrder)")
+    emb.unpersist()
+  }
 }

@@ -276,6 +276,18 @@ class PlanShapeSpec extends SparkSpec {
       "any sort-merge join must key on the shingle, not a group")
   }
 
+  test("q_url_blocklist: the literal-list gate is a shuffle-free, join-free projection") {
+    val p = plan("q_url_blocklist")
+    assert(shuffles(p).isEmpty, "blocklistFlag must not exchange")
+    assert(!p.toString.contains("Join"), "blocklistFlag must be join-free")
+  }
+
+  test("icpOrder: ONE bucket-keyed exchange feeds the per-bucket greedy") {
+    val p = plan("q_icp_order")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1, s"expected one exchange, got:\n${bulk.mkString("\n")}")
+  }
+
   test("curation projections (normalize/markup/url/loss-mask) are shuffle-free") {
     for (q <- Seq("q_text_normalize", "q_text_strip_markup", "q_url_canon",
         "q_chat_loss_mask")) {
