@@ -128,4 +128,40 @@ object Profile {
         round(p("ref"), 6).as("p_ref"), round(p("cur"), 6).as("p_cur"),
         round((p("ref") - p("cur")) * log(p("ref") / p("cur")), 6).as("contrib"))
   }
+
+  /**
+   * Per-group categorical composition: Shannon entropy (nats), category
+   * count, and the majority category with its share — the one-line
+   * answer to "how mixed is this group?" asked of packed training
+   * sequences (source mixture per pack), corpus slices (language mix per
+   * source), cluster assignments (label purity), and split audits.
+   * Majority ties break (count desc, category asc) so the report is
+   * engine-replayable; entropy and share round to 6 dp.
+   *
+   * Shape: a (keys, cat) hash aggregate with map-side partial combine
+   * collapses the table to its composition matrix FIRST — everything
+   * after (the key-partitioned window and the final per-key aggregate)
+   * moves only (keys, cat, count) triples, at most one row per distinct
+   * pair, no matter how large the input.
+   */
+  def groupEntropy(df: DataFrame, keyCols: Seq[String],
+      catCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val keys = keyCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy((keys :+ col(catCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+    val byKey = Window.partitionBy(keys: _*)
+    val rw = byKey.orderBy(col("__n").desc, col(catCol).asc)
+    counts
+      .withColumn("__tot", sum(col("__n")).over(byKey))
+      .withColumn("__rn", row_number().over(rw))
+      .withColumn("__p", col("__n").cast("double") / col("__tot"))
+      .groupBy(keys: _*)
+      .agg(max(col("__tot")).as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        round(sum(-col("__p") * log(col("__p"))), 6).as("entropy"),
+        max(when(col("__rn") === 1, col(catCol))).as("majority_cat"),
+        round(max(when(col("__rn") === 1, col("__p"))), 6).as("majority_share"))
+  }
 }

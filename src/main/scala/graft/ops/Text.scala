@@ -1043,4 +1043,35 @@ object Text {
           sum(col("c") * log(col("c").cast("double")) / lit(ln2)) /
             sum(col("c")).cast("double"), 6).as("entropy_bits"))
   }
+
+  /**
+   * Head+tail truncation (the "keep the opening and the conclusion"
+   * long-document policy of SFT/eval prep, vs chunking which keeps
+   * everything): docs over `headTokens + tailTokens` whitespace tokens
+   * keep their first `headTokens` and last `tailTokens` with `marker`
+   * spliced between; shorter docs pass through. Output text is
+   * re-joined on single spaces on BOTH paths so the operator is
+   * whitespace-normalizing and engine-replayable.
+   *
+   * Pure array HOFs over the token split — a shuffle-free codegen'd
+   * projection, streaming-legal, nothing scales beyond the row.
+   * Output: (idCol, trunc_text, n_tokens, n_dropped, truncated).
+   */
+  def truncateMiddle(df: DataFrame, textCol: String, idCol: String,
+      headTokens: Int, tailTokens: Int,
+      marker: String = "..."): DataFrame = {
+    require(headTokens >= 1 && tailTokens >= 1, "head/tail must be >= 1")
+    val ts = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val n = size(ts)
+    val keep = lit(headTokens + tailTokens)
+    val trunc = concat(
+      array_join(slice(ts, 1, headTokens), " "),
+      lit(" " + marker + " "),
+      array_join(slice(ts, -tailTokens, tailTokens), " "))
+    df.select(col(idCol),
+      when(n > keep, trunc).otherwise(array_join(ts, " ")).as("trunc_text"),
+      n.cast("long").as("n_tokens"),
+      greatest(n - keep, lit(0)).cast("long").as("n_dropped"),
+      (n > keep).as("truncated"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, QualityFilter, Search, Select, Sketch, Sq, Text, Vectors}
+import graft.ops.{Bpe, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, Profile, QualityFilter, Search, Select, Sketch, Sq, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -226,6 +226,25 @@ object LlmOps extends QueryGroup {
              |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
              |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
              |  ROUND(list_aggregate(list_transform(ts, x -> length(x)), 'sum') * 1.0 / len(ts), 6) AS avg_token_len
+             |FROM t""".stripMargin)),
+
+    // Head+tail truncation (the keep-opening-and-conclusion long-doc
+    // policy, vs chunking which keeps everything): first 8 + last 4
+    // tokens with a spliced marker; pure array slicing on both engines
+    QueryDef("q_text_truncate",
+      (s, dir) => Text.truncateMiddle(Tables.load(s, dir, "documents"),
+        "text", "doc_id", headTokens = 8, tailTokens = 4),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ts
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN len(ts) > 12 THEN
+             |      array_to_string(array_slice(ts, 1, 8), ' ') || ' ... ' ||
+             |      array_to_string(array_slice(ts, len(ts) - 3, len(ts)), ' ')
+             |    ELSE array_to_string(ts, ' ') END AS trunc_text,
+             |  CAST(len(ts) AS BIGINT) AS n_tokens,
+             |  CAST(greatest(len(ts) - 12, 0) AS BIGINT) AS n_dropped,
+             |  len(ts) > 12 AS truncated
              |FROM t""".stripMargin)),
 
     // Context-window chunking (LLM training prep): 40-token windows with
@@ -1823,6 +1842,93 @@ object LlmOps extends QueryGroup {
               |)
               |SELECT id, CAST(b AS BIGINT) AS bucket, pos AS chain_pos, link_cos
               |FROM rec""".stripMargin)),
+
+    // ANN quality eval in-engine: recall/mrr/ndcg of the LSH index
+    // against brute-force truth at k=5 — the index-tuning A/B loop run
+    // without exporting run files; composes lshTopK + bruteForceTopK
+    // through rankingMetrics, every stage already individually oracled
+    QueryDef("q_ann_recall",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val c = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val truth = Vectors.bruteForceTopK(q, c, k = 5)
+          .select(col("qid"), col("cid"), lit(1.0).as("rel"))
+        val approx = Vectors.lshTopK(q, c, k = 5)
+          .select(col("qid"), col("cid"), col("rnk").as("rk"))
+        Search.rankingMetrics(approx, truth, k = 5, qId = "qid", dId = "cid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+              |    ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce,
+              |    ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id >= 20),
+              |bt AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q CROSS JOIN c),
+              |qrels AS (SELECT qid, cid, CAST(1.0 AS DOUBLE) AS rel FROM (
+              |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+              |      ORDER BY cos DESC, cid) AS rnk FROM bt) WHERE rnk <= 5),
+              |ls AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q JOIN c USING(bucket)),
+              |topk AS (SELECT qid, cid, rk FROM (
+              |    SELECT qid, cid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              |      ORDER BY cos DESC, cid) AS DOUBLE) AS rk FROM ls) WHERE rk <= 5),
+              |hits AS (SELECT t.qid, COUNT(*) AS h, MIN(t.rk) AS minrk,
+              |    SUM((POW(2, rel) - 1) / log2(t.rk + 1)) AS dcg
+              |  FROM topk t JOIN qrels USING(qid, cid) GROUP BY 1),
+              |ideal AS (SELECT qid, SUM((POW(2, rel) - 1) / log2(irk + 1)) AS idcg
+              |  FROM (SELECT qid, rel, CAST(ROW_NUMBER() OVER (
+              |      PARTITION BY qid ORDER BY rel DESC, cid) AS DOUBLE) AS irk
+              |    FROM qrels) WHERE irk <= 5 GROUP BY 1),
+              |nr AS (SELECT qid, COUNT(*) AS n_rel FROM qrels GROUP BY 1)
+              |SELECT nr.qid, CAST(nr.n_rel AS BIGINT) AS n_rel,
+              |  ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / nr.n_rel, 6) AS recall_k,
+              |  ROUND(COALESCE(1.0 / minrk, 0.0), 6) AS mrr_k,
+              |  ROUND(COALESCE(dcg, 0.0) / idcg, 6) AS ndcg_k
+              |FROM nr JOIN ideal USING(qid) LEFT JOIN hits USING(qid)""".stripMargin)),
+
+    // Per-pack source mixture after cross-doc packing: how blended are
+    // the training sequences the packer emits? groupEntropy over the
+    // pack assignment joined back to doc sources; the oracle replays the
+    // pack fold (recursive CTE) then the entropy/majority aggregate
+    QueryDef("q_pack_mixture",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val units = docs.select(col("doc_id"), lit(0L).as("chunk_idx"),
+          Chat.whitespaceTokenCount(col("text")).as("n_tokens"))
+        val asg = Text.packAssignments(units, "doc_id",
+          maxTokens = 256, nBuckets = 4)
+        Profile.groupEntropy(
+          asg.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+          Seq("bucket", "pack_idx"), "source")
+      },
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, source,
+              |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              |      x -> x <> '')) AS BIGINT) AS n_tokens,
+              |    ${docBucketSql("doc_id", 4)} AS bucket
+              |  FROM documents),
+              |o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM d),
+              |st AS (
+              |  SELECT bucket, doc_id, source, rn, n_tokens,
+              |    CAST(0 AS BIGINT) AS pack_idx, n_tokens AS cum
+              |  FROM o WHERE rn = 1
+              |  UNION ALL
+              |  SELECT c.bucket, c.doc_id, c.source, c.rn, c.n_tokens,
+              |    CASE WHEN st.cum + c.n_tokens > 256 THEN st.pack_idx + 1 ELSE st.pack_idx END,
+              |    CASE WHEN st.cum + c.n_tokens > 256 THEN c.n_tokens ELSE st.cum + c.n_tokens END
+              |  FROM st JOIN o c ON c.bucket = st.bucket AND c.rn = st.rn + 1),
+              |cnt AS (SELECT bucket, pack_idx, source, COUNT(*) AS n FROM st GROUP BY 1, 2, 3),
+              |tot AS (SELECT bucket, pack_idx, CAST(SUM(n) AS BIGINT) AS tot,
+              |    COUNT(*) AS n_cats FROM cnt GROUP BY 1, 2),
+              |mj AS (SELECT bucket, pack_idx, source, n, ROW_NUMBER() OVER (
+              |    PARTITION BY bucket, pack_idx ORDER BY n DESC, source ASC) AS rn FROM cnt)
+              |SELECT CAST(c.bucket AS BIGINT) AS bucket, c.pack_idx, t.tot AS n_rows,
+              |  CAST(t.n_cats AS BIGINT) AS n_cats,
+              |  ROUND(SUM(-(CAST(c.n AS DOUBLE) / t.tot) * LN(CAST(c.n AS DOUBLE) / t.tot)), 6) AS entropy,
+              |  MAX(CASE WHEN m.rn = 1 THEN m.source END) AS majority_cat,
+              |  ROUND(MAX(CASE WHEN m.rn = 1 THEN CAST(m.n AS DOUBLE) / t.tot END), 6) AS majority_share
+              |FROM cnt c JOIN tot t USING(bucket, pack_idx)
+              |JOIN mj m ON m.bucket = c.bucket AND m.pack_idx = c.pack_idx AND m.source = c.source
+              |GROUP BY c.bucket, c.pack_idx, t.tot, t.n_cats""".stripMargin)),
 
     // Hard-negative mining: top-k by cosine EXCLUDING each query's known
     // positive (fixture: positive of query q is corpus vector q + 20) —

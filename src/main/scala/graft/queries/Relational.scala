@@ -281,6 +281,24 @@ object Relational extends QueryGroup {
           .mkString("\nUNION ALL\n")
       }),
 
+    // Per-group categorical composition: language entropy / majority
+    // share per source — groupEntropy's simplest instantiation (its
+    // pack-mixture composition is q_pack_mixture). Majority ties break
+    // (count desc, category asc) on both engines.
+    QueryDef("q_group_entropy",
+      (s, dir) => graft.ops.Profile.groupEntropy(
+        Tables.load(s, dir, "documents"), Seq("source"), "lang"),
+      Some("""WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+             |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS n_cats FROM c GROUP BY 1),
+             |m AS (SELECT source, lang, n, ROW_NUMBER() OVER (
+             |    PARTITION BY source ORDER BY n DESC, lang ASC) AS rn FROM c)
+             |SELECT c.source, t.tot AS n_rows, CAST(t.n_cats AS BIGINT) AS n_cats,
+             |  ROUND(SUM(-(CAST(c.n AS DOUBLE) / t.tot) * LN(CAST(c.n AS DOUBLE) / t.tot)), 6) AS entropy,
+             |  MAX(CASE WHEN m.rn = 1 THEN m.lang END) AS majority_cat,
+             |  ROUND(MAX(CASE WHEN m.rn = 1 THEN CAST(m.n AS DOUBLE) / t.tot END), 6) AS majority_share
+             |FROM c JOIN t USING(source) JOIN m ON m.source = c.source AND m.lang = c.lang
+             |GROUP BY c.source, t.tot, t.n_cats""".stripMargin)),
+
     // Pearson correlation matrix over lineitem's numeric columns: all
     // pairs in ONE aggregate pass, stack-unpivoted; 6-dp rounding absorbs
     // partial-agg order differences

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Dsir, ImageIoDecoder, IvfIndex, Multimodal, NgramLm, QualityFilter, Text, Vectors}
+import graft.ops.{Dedup, Dsir, ImageIoDecoder, IvfIndex, Multimodal, NgramLm, Profile, QualityFilter, Text, Vectors}
 
 /** Invariant specs for the LLM-pipeline operators on tiny inline data. */
 class OpsSpec extends SparkSpec {
@@ -1541,6 +1541,34 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("urn:a" -> "urn:a", "urn:b" -> "urn:a",
       "urn:c" -> "urn:a", "urn:x" -> "urn:x", "urn:y" -> "urn:x"))
+  }
+
+  test("groupEntropy: hand-computed entropy, majority tie-break, single-category zero") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "z"), ("b", "z"), ("b", "z")).toDF("grp", "cat")
+    val out = Profile.groupEntropy(df, Seq("grp"), "cat").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getDouble(5)))
+      .toMap
+    // group a: uniform over 2 cats -> ln 2; majority tie (2,2) -> min cat "x"
+    assert(out("a") == ((4L, 2L, math.rint(math.log(2) * 1e6) / 1e6, "x", 0.5)))
+    // group b: one category -> entropy 0, share 1
+    assert(out("b") == ((3L, 1L, 0.0, "z", 1.0)))
+  }
+
+  test("truncateMiddle: head+tail kept with marker, short docs pass, whitespace normalized") {
+    val df = Seq(
+      (1L, "a b c d e f"),       // 6 > 2+2 -> truncate
+      (2L, "x y"),               // short -> unchanged
+      (3L, "p  q\tr")            // short, messy whitespace -> normalized
+    ).toDF("doc_id", "text")
+    val out = Text.truncateMiddle(df, "text", "doc_id", 2, 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == (("a b ... e f", 6L, 2L, true)))
+    assert(out(2L) == (("x y", 2L, 0L, false)))
+    assert(out(3L) == (("p q r", 3L, 0L, false)))
   }
 
   test("icpOrder: greedy chain follows similarity, permutation per bucket, deterministic") {
