@@ -1045,6 +1045,44 @@ object Text {
   }
 
   /**
+   * FlashText-style dictionary tagging: count every occurrence of each
+   * dictionary phrase (1..L words, lowercased, whitespace-normalized) in
+   * every document — topic tagging, controlled-vocabulary filtering, and
+   * the "does this doc mention one of our N thousand entities" gate.
+   * Counts include overlapping matches (tagging semantics, not
+   * longest-match extraction).
+   *
+   * Scale shape: the corpus emits its positional n-grams ONCE PER
+   * DISTINCT PHRASE LENGTH (codegen'd `word_shingles_all` — one
+   * imperative pass per doc, no shuffle) and each length stream
+   * equi-joins the broadcast phrase list, so cost is
+   * corpus_tokens × |distinct lengths|, independent of dictionary size;
+   * the (doc, phrase) aggregate moves only matched pairs. This is the
+   * decontaminate machinery pointed at a curated dictionary instead of
+   * a held-out benchmark. Output: (idCol, keyword, n_hits).
+   */
+  def keywordTag(df: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty dictionary")
+    val norm = phrases.map(_.toLowerCase.trim.split("\\s+").mkString(" ")).distinct
+    require(norm.forall(_.nonEmpty), "blank dictionary phrase")
+    val byLen = norm.groupBy(_.split(" ").length)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val streams = byLen.toSeq.sortBy(_._1).map { case (len, ps) =>
+      val dict = broadcast(ps.toDF("keyword"))
+      df.select(col(idCol),
+          explode(graft.functions.WordShingles.wordShinglesAll(col(textCol), len))
+            .as("__g"))
+        .join(dict, col("__g") === col("keyword"))
+        .select(col(idCol), col("keyword"))
+    }
+    streams.reduce(_ unionByName _)
+      .groupBy(col(idCol), col("keyword"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /**
    * Head+tail truncation (the "keep the opening and the conclusion"
    * long-document policy of SFT/eval prep, vs chunking which keeps
    * everything): docs over `headTokens + tailTokens` whitespace tokens

@@ -1557,6 +1557,23 @@ class OpsSpec extends SparkSpec {
     assert(out("b") == ((3L, 1L, 0.0, "z", 1.0)))
   }
 
+  test("keywordTag: overlapping counts, phrase lengths mixed, case-insensitive, misses absent") {
+    val df = Seq(
+      (1L, "Spark spark runs a hash join then a hash join again"),
+      (2L, "nothing relevant here"),
+      (3L, "table scan")).toDF("doc_id", "text")
+    val out = Text.keywordTag(df, "text", "doc_id",
+        Seq("spark", "hash join", "table scan")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (1L, "spark") -> 2L, (1L, "hash join") -> 2L,
+      (3L, "table scan") -> 1L))
+    // dictionary normalization: messy phrase spelling still matches
+    val renorm = Text.keywordTag(df, "text", "doc_id", Seq("  HASH   JOIN "))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(renorm.toSeq == Seq((1L, "hash join", 2L)))
+  }
+
   test("truncateMiddle: head+tail kept with marker, short docs pass, whitespace normalized") {
     val df = Seq(
       (1L, "a b c d e f"),       // 6 > 2+2 -> truncate
