@@ -123,7 +123,10 @@ object Bench {
     // ANN, perceptual-hash banded near-dup, 64-bit simhash near-dup,
     // RM3 two-pass retrieval
     "q_ann_binary_rerank", "q_multimodal_phash_dedup",
-    "q_dedup_simhash64", "q_bm25_rm3")
+    "q_dedup_simhash64", "q_bm25_rm3",
+    // round-16 families (per-query only): ICP greedy corpus layout,
+    // dictionary phrase tagging
+    "q_icp_order", "q_text_keyword_tag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

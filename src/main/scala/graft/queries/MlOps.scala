@@ -177,6 +177,25 @@ object MlOps extends QueryGroup {
       },
       None),
 
+    // Importance-weighted training (the soft-dedup consumer): per-example
+    // loss scales by a weight column and epoch means divide by the weight
+    // sum, so weight w == the example repeated w times (parity-spec'd in
+    // TrainerSpec). Weights here downweight half the entities; trained
+    // numerics are not SQL-expressible -> rows-only.
+    QueryDef("q_train_ae_weighted",
+      (s, dir) => {
+        val (_, wide) = featurized(s, dir)
+        val cols = for (c <- Seq("value", "ts_days"); t <- 1 to seqLen) yield s"${c}_$t"
+        val res = LinearAutoencoder.fit(
+          wide.withColumn("w",
+            when(col("user_id") % 2 === 0, lit(0.5)).otherwise(lit(1.0))),
+          cols, TrainConfig(nHidden = 4, lr = 1e-2, maxEpochs = 10, warmupEpochs = 2),
+          weightCol = Some("w"))
+        import s.implicits._
+        res.losses.zipWithIndex.map { case (l, e) => (e, l) }.toDF("epoch", "loss")
+      },
+      None),
+
     // Full CASPR lifecycle: featurize -> pretrain transformer AE (3 epochs,
     // mini-batched distributed treeAggregate grads, reference batch-step
     // training spark/large/train.py:35) -> score with trained weights

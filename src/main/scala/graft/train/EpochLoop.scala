@@ -68,7 +68,8 @@ object EpochLoop {
       batchSize: Int, examplesPerEpoch: Option[Int],
       lossGrad: (Array[Double], Array[Double], E) => Double,
       lossOnly: Option[(Array[Double], E) => Double] = None,
-      frozenRanges: Seq[(Int, Int)] = Nil): RunResult = {
+      frozenRanges: Seq[(Int, Int)] = Nil,
+      weight: Option[E => Double] = None): RunResult = {
     val sc = data.context
     val n = params.length
     val total = data.count()
@@ -77,11 +78,18 @@ object EpochLoop {
       case _ => 1.0
     }
 
+    // Per-example weight (soft-dedup downweighting): the accumulator's
+    // count slot holds the WEIGHT SUM, so the mean gradient and monitored
+    // mean loss divide by total weight — an example with weight w is
+    // numerically the example repeated w times (the lossGrad closure is
+    // responsible for scaling its own loss/grad contributions by w).
+    val weightOf: E => Double = weight.getOrElse((_: E) => 1.0)
+
     def sweep(rdd: RDD[E], p: Array[Double]): Array[Double] = {
       val bc = sc.broadcast(p)
       val acc = rdd.treeAggregate(new Array[Double](n + 2))(
         seqOp = (a, ex) => {
-          val l = lossGrad(bc.value, a, ex); a(n) += l; a(n + 1) += 1.0; a
+          val l = lossGrad(bc.value, a, ex); a(n) += l; a(n + 1) += weightOf(ex); a
         },
         combOp = (a, b) => {
           var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
@@ -96,7 +104,7 @@ object EpochLoop {
         case Some(f) =>
           val bc = sc.broadcast(p)
           val (ls, cnt) = rdd.treeAggregate((0.0, 0.0))(
-            seqOp = (a, ex) => (a._1 + f(bc.value, ex), a._2 + 1.0),
+            seqOp = (a, ex) => (a._1 + f(bc.value, ex), a._2 + weightOf(ex)),
             combOp = (a, b) => (a._1 + b._1, a._2 + b._2))
           bc.destroy()
           (ls, cnt)

@@ -76,25 +76,41 @@ object LinearAutoencoder {
 
   /** Fit on the numeric columns of `df` via the shared [[EpochLoop]]
     * harness (reference-style multi-step epochs; see [[TransformerTrainer]]
-    * for the `examplesPerEpoch` budget semantics). Nulls are treated as 0. */
+    * for the `examplesPerEpoch` budget semantics). Nulls are treated as 0.
+    *
+    * `weightCol` (soft-dedup / importance weighting): per-example loss
+    * L = 0.5 · w · ‖x̂ − x‖² and the epoch mean divides by Σw, so an
+    * example with weight w is numerically the example repeated w times —
+    * the consumer side of [[graft.ops.Dedup]]'s soft-dedup weights
+    * (duplicate clusters train once at full weight instead of n times). */
   def fit(df: DataFrame, cols: Seq[String], cfg: TrainConfig,
-      batchSize: Int = 4096, examplesPerEpoch: Option[Int] = None): TrainResult = {
+      batchSize: Int = 4096, examplesPerEpoch: Option[Int] = None,
+      weightCol: Option[String] = None): TrainResult = {
     val nIn = cols.size
     val nHidden = cfg.nHidden
-    val data = df.select(cols.map(c => coalesce(col(c).cast("double"), lit(0.0))): _*)
-      .rdd.map(r => Array.tabulate(nIn)(r.getDouble))
+    val selCols = cols.map(c => coalesce(col(c).cast("double"), lit(0.0))) ++
+      weightCol.map(c => coalesce(col(c).cast("double"), lit(1.0))).toSeq
+    // layout: features 0..nIn-1, optional weight at index nIn
+    val rowWidth = selCols.size
+    val data = df.select(selCols: _*)
+      .rdd.map(r => Array.tabulate(rowWidth)(r.getDouble))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weighted = weightCol.isDefined
 
     val w = AeWeights.init(nIn, nHidden, cfg.seed)
     val res = EpochLoop.run(data, w.params, cfg, batchSize, examplesPerEpoch,
       (p, a, x: Array[Double]) => {
         val wt = AeWeights(nIn, nHidden, p)
+        val wgt = if (weighted) x(nIn) else 1.0
         val h = wt.encode(x)
         val xh = wt.decode(h)
         val e = new Array[Double](nIn)
         var loss = 0.0
         var i = 0
-        while (i < nIn) { e(i) = xh(i) - x(i); loss += e(i) * e(i); i += 1 }
+        // e holds w·(x̂−x): every accumulated gradient term below scales by w
+        while (i < nIn) {
+          val d = xh(i) - x(i); loss += wgt * d * d; e(i) = wgt * d; i += 1
+        }
         // dL/dW2 = h e^T ; dL/db2 = e ; dh = W2 e ; dL/dW1 = x dh^T ; dL/db1 = dh
         val dh = new Array[Double](nHidden)
         var j = 0
@@ -125,12 +141,14 @@ object LinearAutoencoder {
       },
       lossOnly = Some((p: Array[Double], x: Array[Double]) => {
         val wt = AeWeights(nIn, nHidden, p)
+        val wgt = if (weighted) x(nIn) else 1.0
         val xh = wt.decode(wt.encode(x))
         var loss = 0.0
         var i = 0
-        while (i < nIn) { val e = xh(i) - x(i); loss += e * e; i += 1 }
+        while (i < nIn) { val e = xh(i) - x(i); loss += wgt * e * e; i += 1 }
         0.5 * loss
-      }))
+      }),
+      weight = if (weighted) Some((x: Array[Double]) => x(nIn)) else None)
     data.unpersist()
     TrainResult(w, res.losses, res.stoppedAt)
   }

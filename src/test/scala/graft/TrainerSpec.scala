@@ -192,6 +192,37 @@ class TrainerSpec extends SparkSpec {
       s"epoch read amplification: ${reads.value} reads for $n examples")
   }
 
+  test("weighted AE training: weight w equals the example repeated w times; w=1 is a no-op") {
+    import spark.implicits._
+    import graft.train.LinearAutoencoder
+    val base = Seq(
+      (1.0, 2.0), (2.0, 1.0), (3.0, 3.0), (0.5, 1.5), (2.5, 0.5), (1.5, 2.5))
+    // row 0 carries weight 3; the duplicated twin corpus repeats it 3 times
+    val weightedDf = base.zipWithIndex.map { case ((a, b), i) =>
+      (a, b, if (i == 0) 3.0 else 1.0) }.toDF("a", "b", "w")
+    val dupDf = (Seq.fill(2)(base.head) ++ base).toDF("a", "b")
+    val cfg = TrainConfig(nHidden = 2, lr = 1e-2, maxEpochs = 4, warmupEpochs = 1)
+    // full-batch (one step per epoch) so step slicing can't diverge the runs
+    val rw = LinearAutoencoder.fit(weightedDf, Seq("a", "b"), cfg,
+      batchSize = 0, weightCol = Some("w"))
+    val rd = LinearAutoencoder.fit(dupDf, Seq("a", "b"), cfg, batchSize = 0)
+    assert(rw.losses.size == rd.losses.size)
+    rw.losses.zip(rd.losses).foreach { case (lw, ld) =>
+      assert(math.abs(lw - ld) < 1e-9, s"weighted $lw != duplicated $ld") }
+    rw.weights.params.zip(rd.weights.params).foreach { case (pw, pd) =>
+      assert(math.abs(pw - pd) < 1e-9) }
+    // all-ones weight column reproduces the unweighted run (same arithmetic;
+    // tolerance absorbs aggregate combine-order ulps, as above)
+    val ones = weightedDf.withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+    val r1 = LinearAutoencoder.fit(ones, Seq("a", "b"), cfg,
+      batchSize = 0, weightCol = Some("w"))
+    val r0 = LinearAutoencoder.fit(weightedDf, Seq("a", "b"), cfg, batchSize = 0)
+    r1.losses.zip(r0.losses).foreach { case (l1, l0) =>
+      assert(math.abs(l1 - l0) < 1e-9, s"all-ones $l1 != unweighted $l0") }
+    r1.weights.params.zip(r0.weights.params).foreach { case (p1, p0) =>
+      assert(math.abs(p1 - p0) < 1e-9) }
+  }
+
   test("EpochLoop batchSize <= 0 runs one full-batch step per epoch") {
     val sc = spark.sparkContext
     val data = sc.parallelize(Seq.fill(64)(1.0), 4)
