@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Normalized text for exact dedup: lowercase + whitespace collapse. */
-  private def normText(c: String) =
+  /** Normalized text for exact dedup: lowercase + whitespace collapse.
+    * Public so composed reports ([[graft.queries.LlmOps]]' datasheet) key
+    * on the SAME content identity the dedup family uses. */
+  def normText(c: String): Column =
     regexp_replace(trim(lower(col(c))), "\\s+", " ")
 
   /**

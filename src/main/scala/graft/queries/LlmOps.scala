@@ -1069,6 +1069,65 @@ object LlmOps extends QueryGroup {
            |FROM t""".stripMargin
       }),
 
+    // Per-source corpus datasheet (the "data card" table): volume, token
+    // mass, quality means, exact-dup rate (same content identity as the
+    // dedup family) and language entropy in ONE report — each column is
+    // an aggregate the catalog already verifies standalone; every join
+    // here is on the |sources|-row key
+    QueryDef("q_corpus_datasheet",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(Chat.whitespaceTokenCount(col("text"))).as("total_tokens"),
+          round(avg(length(col("text"))), 6).as("mean_chars"))
+        val qual = Text.qualityScore(docs, "text", "doc_id")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source").agg(
+            round(avg(col("stop_ratio")), 6).as("mean_stop_ratio"),
+            round(avg(col("distinct_ratio")), 6).as("mean_distinct_ratio"))
+        val hashed = docs.select(col("source"), col("doc_id"),
+          md5(Dedup.normText("text")).as("__h"))
+        val dup = hashed
+          .join(hashed.groupBy("__h").agg(count(lit(1)).as("__df")), Seq("__h"))
+          .groupBy("source")
+          .agg(round(sum(when(col("__df") > 1, 1.0).otherwise(0.0)) /
+            count(lit(1)), 6).as("dup_rate"))
+        val lang = Profile.groupEntropy(docs, Seq("source"), "lang")
+          .select(col("source"), col("entropy").as("lang_entropy"))
+        base.join(qual, Seq("source")).join(dup, Seq("source"))
+          .join(lang, Seq("source"))
+      },
+      Some {
+        val stoplist = Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, source, lang, text,
+           |    regexp_split_to_array(lower(text), '\\s+') AS ts,
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+           |  FROM documents),
+           |base AS (SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(len(list_filter(ts, x -> x <> ''))) AS BIGINT) AS total_tokens,
+           |    ROUND(AVG(length(text)), 6) AS mean_chars
+           |  FROM t GROUP BY 1),
+           |qual AS (SELECT source,
+           |    ROUND(AVG(ROUND(len(list_filter(ts, x -> list_contains($stoplist, x))) * 1.0 / len(ts), 6)), 6) AS mean_stop_ratio,
+           |    ROUND(AVG(ROUND(len(list_distinct(ts)) * 1.0 / len(ts), 6)), 6) AS mean_distinct_ratio
+           |  FROM t GROUP BY 1),
+           |hdf AS (SELECT h, COUNT(*) AS df FROM t GROUP BY 1),
+           |dup AS (SELECT source,
+           |    ROUND(SUM(CASE WHEN df > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS dup_rate
+           |  FROM t JOIN hdf USING(h) GROUP BY 1),
+           |lc AS (SELECT source, lang, COUNT(*) AS n FROM t GROUP BY 1, 2),
+           |lt AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM lc GROUP BY 1),
+           |lang AS (SELECT lc.source,
+           |    ROUND(SUM(-(CAST(lc.n AS DOUBLE) / lt.tot) * LN(CAST(lc.n AS DOUBLE) / lt.tot)), 6) AS lang_entropy
+           |  FROM lc JOIN lt USING(source) GROUP BY 1)
+           |SELECT base.source, base.n_docs, base.total_tokens, base.mean_chars,
+           |  qual.mean_stop_ratio, qual.mean_distinct_ratio, dup.dup_rate,
+           |  lang.lang_entropy
+           |FROM base JOIN qual USING(source) JOIN dup USING(source)
+           |JOIN lang USING(source)""".stripMargin
+      }),
+
     // Encoding-hygiene anomaly scan: every 9th doc gains a control char +
     // U+FFFD replacement char, every (other) 4th a 300-char line — the
     // binary-in-text / mojibake / minified-blob detector

@@ -306,6 +306,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming blocklist + truncation: shuffle-free projections run stream-legal, batch-identical") {
+    val dir = Files.createTempDirectory("graft_docs_gate")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Text.truncateMiddle(
+        graft.ops.Urls.blocklistFlag(
+          df.withColumn("host", concat(col("source"), lit(".example.org"))),
+          "host", Seq("src1.example.org", "src3.example.org"))
+          .filter(!col("blocked")),
+        "text", "doc_id", headTokens = 6, tailTokens = 3)
+    val q = gate(docsStream).writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gate_stream").start()
+    try {
+      q.processAllAvailable()
+      val batch = gate(graft.core.Tables.load(spark, sf, "documents"))
+      assert(spark.sql("SELECT * FROM gate_stream").collect().map(_.toSeq).toSet ==
+        batch.collect().map(_.toSeq).toSet)
+      assert(batch.count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming pack: chunks split across batches keep monotone pack numbering") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_chunk_batches")
