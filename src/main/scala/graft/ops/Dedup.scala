@@ -583,6 +583,31 @@ object Dedup {
    * Jaccard before emission, so correctness is unaffected; only the hash
    * family (and thus which true pairs the bands happen to surface) differs.
    */
+  /** [[lshPlan]]'s result: banding for [[minhashLshPairs]] plus the
+    * S-curve diagnostics that justify it. */
+  final case class LshPlan(bands: Int, rowsPerBand: Int, threshold: Double,
+      pCollideAtTau: Double)
+
+  /**
+   * MinHash-LSH parameter planner: given a signature budget `k` and a
+   * target Jaccard threshold `tau`, pick the (bands, rows) factorization
+   * whose S-curve midpoint `(1/b)^(1/r)` lands closest to `tau` — the
+   * standard banding rule (Leskovec/Rajaraman/Ullman, MMDS §3.4). Also
+   * reports the collision probability `1 − (1 − tau^r)^b` AT the
+   * threshold, so callers can see how sharp the chosen curve is before
+   * spending a corpus pass. Pure driver-side arithmetic (spec-pinned);
+   * feed the result straight into [[minhashLshPairs]]'s (k, bands).
+   */
+  def lshPlan(k: Int, tau: Double): LshPlan = {
+    require(k >= 1 && tau > 0 && tau < 1, "need k >= 1 and tau in (0,1)")
+    val cands = for (r <- 1 to k if k % r == 0) yield {
+      val b = k / r
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    val (b, r, thr) = cands.minBy { case (_, _, t) => math.abs(t - tau) }
+    LshPlan(b, r, thr, 1 - math.pow(1 - math.pow(tau, r), b))
+  }
+
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, tau: Double,
       maxBucket: Int = 1000, fastHash: Boolean = false): DataFrame = {

@@ -1083,6 +1083,36 @@ object Text {
   }
 
   /**
+   * [[keywordTag]] for SMALL dictionaries (tens to a few thousand
+   * entries), evaluated entirely row-locally: the dictionary rides the
+   * plan as literals and each phrase's occurrence count is a
+   * filter-count over the row's positional shingles — no join, no
+   * aggregate, NO SHUFFLE AT ALL, which makes it legal (and
+   * batch-identical) inside a streaming query where the join form's
+   * post-join groupBy would force an aggregation mode. Same output
+   * contract as [[keywordTag]]: (idCol, keyword, n_hits > 0 rows only).
+   */
+  def keywordTagSmall(df: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty dictionary")
+    val norm = phrases.map(_.toLowerCase.trim.split("\\s+").mkString(" ")).distinct
+    require(norm.forall(_.nonEmpty), "blank dictionary phrase")
+    // one materialized shingle array per distinct length (computed once
+    // per row, shared by every phrase of that length)
+    val byLen = norm.groupBy(_.split(" ").length)
+    val lens = byLen.keys.toSeq.sorted
+    val withGrams = lens.foldLeft(df)((d, len) => d.withColumn(s"__g$len",
+      graft.functions.WordShingles.wordShinglesAll(col(textCol), len)))
+    val counted = lens.flatMap { len =>
+      byLen(len).sorted.map(p => struct(lit(p).as("keyword"),
+        size(filter(col(s"__g$len"), g => g === lit(p))).cast("long").as("n_hits")))
+    }
+    withGrams.select(col(idCol), explode(array(counted: _*)).as("__kw"))
+      .select(col(idCol), col("__kw.keyword"), col("__kw.n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /**
    * Head+tail truncation (the "keep the opening and the conclusion"
    * long-document policy of SFT/eval prep, vs chunking which keeps
    * everything): docs over `headTokens + tailTokens` whitespace tokens

@@ -265,6 +265,22 @@ object LlmOps extends QueryGroup {
              |  UNION ALL SELECT doc_id, keyword FROM g2 JOIN kw2 ON g = keyword)
              |SELECT doc_id, keyword, COUNT(*) AS n_hits FROM m GROUP BY 1, 2""".stripMargin)),
 
+    // The row-local small-dictionary form: literals in the plan, zero
+    // shuffle, stream-legal — same contract, same oracle as the join form
+    QueryDef("q_text_keyword_tag_small",
+      (s, dir) => Text.keywordTagSmall(Tables.load(s, dir, "documents"),
+        "text", "doc_id",
+        Seq("spark", "hash join", "table scan", "slow query")),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+             |g1 AS (SELECT doc_id, unnest(ts) AS g FROM t),
+             |p2 AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS p, ts FROM t WHERE len(ts) >= 2),
+             |g2 AS (SELECT doc_id, ts[p] || ' ' || ts[p + 1] AS g FROM p2),
+             |kw1(keyword) AS (VALUES ('spark')),
+             |kw2(keyword) AS (VALUES ('hash join'), ('table scan'), ('slow query')),
+             |m AS (SELECT doc_id, keyword FROM g1 JOIN kw1 ON g = keyword
+             |  UNION ALL SELECT doc_id, keyword FROM g2 JOIN kw2 ON g = keyword)
+             |SELECT doc_id, keyword, COUNT(*) AS n_hits FROM m GROUP BY 1, 2""".stripMargin)),
+
     // Context-window chunking (LLM training prep): 40-token windows with
     // 8-token overlap; the windows-per-doc and slice arithmetic are pure
     // integer formulas, reproduced exactly by the DuckDB oracle

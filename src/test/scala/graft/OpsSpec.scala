@@ -1574,6 +1574,35 @@ class OpsSpec extends SparkSpec {
     assert(renorm.toSeq == Seq((1L, "hash join", 2L)))
   }
 
+  test("keywordTagSmall: row-local form equals the join form; plan is shuffle-free") {
+    val df = Seq(
+      (1L, "Spark spark runs a hash join then a hash join again"),
+      (2L, "nothing relevant here"),
+      (3L, "table scan")).toDF("doc_id", "text")
+    val dict = Seq("spark", "hash join", "table scan")
+    val big = Text.keywordTag(df, "text", "doc_id", dict).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val small = Text.keywordTagSmall(df, "text", "doc_id", dict)
+    assert(small.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == big)
+    // literal-dictionary form must stay a pure projection (stream-legal)
+    val plan = small.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"keywordTagSmall shuffled:\n$plan")
+  }
+
+  test("lshPlan: MMDS banding rule recovers known factorizations; S-curve sane") {
+    val p = Dedup.lshPlan(k = 100, tau = 0.55)
+    // (1/20)^(1/5) = 0.5493 is the classic 20x5 banding
+    assert(p.bands == 20 && p.rowsPerBand == 5)
+    assert(math.abs(p.threshold - math.pow(1.0 / 20, 1.0 / 5)) < 1e-12)
+    assert(p.pCollideAtTau > 0 && p.pCollideAtTau < 1)
+    // lower tau -> more bands (lower threshold); higher tau -> fewer
+    assert(Dedup.lshPlan(100, 0.2).bands > p.bands)
+    assert(Dedup.lshPlan(100, 0.9).bands < p.bands)
+    // plan feeds minhashLshPairs directly: bands divides k
+    assert(100 % Dedup.lshPlan(100, 0.55).bands == 0)
+  }
+
   test("truncateMiddle: head+tail kept with marker, short docs pass, whitespace normalized") {
     val df = Seq(
       (1L, "a b c d e f"),       // 6 > 2+2 -> truncate
