@@ -167,4 +167,59 @@ object Select {
       round(alloc / col("n_tokens"), 6).as("epochs"),
       col("saturated"))
   }
+
+  /**
+   * Temperature-scaled source mixing (the T5/mT5 alpha-sampling rule,
+   * Raffel et al. 2020 §3.4.3 / Conneau et al. 2020): sampling share
+   * q_s = n_s^alpha / Σ n_t^alpha over per-source token masses. alpha = 1
+   * is proportional (big sources dominate), alpha → 0 is uniform; the
+   * usual 0.3–0.7 range boosts small sources without drowning the big
+   * ones. The complement of [[waterfillBudgets]]: UniMax caps epochs,
+   * temperature reshapes shares.
+   *
+   * One map-side-combining aggregate collapses the corpus to |sources|
+   * rows; the totals broadcast back. Output: (keyCol, n_tokens, share,
+   * q, boost = q/share), ratios rounded to 6 dp.
+   */
+  def temperatureMix(df: DataFrame, keyCol: String, tokenCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val agg = df.groupBy(col(keyCol))
+      .agg(sum(col(tokenCol).cast("long")).as("n_tokens"))
+    val tot = agg.agg(sum(col("n_tokens")).as("__tot"),
+      sum(pow(col("n_tokens").cast("double"), lit(alpha))).as("__ptot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n_tokens"),
+        round(col("n_tokens") / col("__tot"), 6).as("share"),
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) / col("__ptot"), 6)
+          .as("q"),
+        round((pow(col("n_tokens").cast("double"), lit(alpha)) / col("__ptot")) /
+          (col("n_tokens") / col("__tot")), 6).as("boost"))
+  }
+
+  /**
+   * Deterministic low-discrepancy interleave: a global training order in
+   * which source s occupies a fraction ~q_s of every prefix — the data
+   * ORDER that realizes [[temperatureMix]]'s shares without sampling.
+   * Each row's key is (rank_in_source − 0.5) / q_s (the classic
+   * lattice/stride interleave): sorting by it round-robins sources at
+   * densities proportional to q, so curriculum prefixes, checkpoint
+   * restarts and partial epochs all see the target mixture. The
+   * within-source order is the salted-md5 shuffle (content-derived,
+   * engine-replayable, same device as the epoch-shuffle manifest).
+   *
+   * `rates` is the (keyCol, q) table — [[temperatureMix]] output or any
+   * hand-set shares — broadcast onto one source-keyed window pass.
+   * Output: (idCol, keyCol, rn, sort_key rounded to 6 dp).
+   */
+  def interleaveOrder(df: DataFrame, keyCol: String, idCol: String,
+      rates: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(
+      md5(concat(col(idCol).cast("string"), lit("#ilv"))), col(idCol))
+    df.select(col(keyCol), col(idCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(rates.select(col(keyCol), col("q"))), Seq(keyCol))
+      .select(col(idCol), col(keyCol), col("rn"),
+        round((col("rn") - lit(0.5)) / col("q"), 6).as("sort_key"))
+  }
 }

@@ -645,6 +645,61 @@ object LlmOps extends QueryGroup {
     // under a max-epoch repetition cap — saturation is a prefix property
     // of the ascending-capacity order, so the whole allocation is window
     // expressions over the tiny per-source aggregate, replayed verbatim
+    // Temperature-scaled source shares (T5/mT5 alpha-sampling, alpha=0.5):
+    // q_s = n_s^alpha / sum n^alpha over per-source token masses — the
+    // share-reshaping complement of the UniMax epoch cap below
+    QueryDef("q_temperature_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Select.temperatureMix(
+          Text.tokenStats(docs, "text", "doc_id")
+            .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+          "source", "n_tokens", alpha = 0.5)
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS nt
+              |  FROM documents),
+              |a AS (SELECT d.source, CAST(SUM(t.nt) AS BIGINT) AS n_tokens
+              |  FROM t JOIN documents d USING(doc_id) GROUP BY 1),
+              |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+              |    SUM(POW(CAST(n_tokens AS DOUBLE), 0.5)) AS ptot FROM a)
+              |SELECT source, n_tokens,
+              |  ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS share,
+              |  ROUND(POW(CAST(n_tokens AS DOUBLE), 0.5) / ptot, 6) AS q,
+              |  ROUND((POW(CAST(n_tokens AS DOUBLE), 0.5) / ptot) /
+              |    (CAST(n_tokens AS DOUBLE) / tot), 6) AS boost
+              |FROM a CROSS JOIN tt""".stripMargin)),
+
+    // The deterministic order that REALIZES those shares: sort_key =
+    // (rank_in_source - 0.5) / q_s round-robins sources at density q, so
+    // every training prefix sees the target mixture — salted-md5
+    // within-source shuffle, fully engine-replayable
+    QueryDef("q_interleave_order",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val rates = Select.temperatureMix(
+          Text.tokenStats(docs, "text", "doc_id")
+            .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+          "source", "n_tokens", alpha = 0.5)
+        Select.interleaveOrder(docs, "source", "doc_id", rates)
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS nt
+              |  FROM documents),
+              |a AS (SELECT d.source, CAST(SUM(t.nt) AS BIGINT) AS n_tokens
+              |  FROM t JOIN documents d USING(doc_id) GROUP BY 1),
+              |tt AS (SELECT SUM(POW(CAST(n_tokens AS DOUBLE), 0.5)) AS ptot FROM a),
+              |q AS (SELECT source,
+              |    ROUND(POW(CAST(n_tokens AS DOUBLE), 0.5) / ptot, 6) AS q
+              |  FROM a CROSS JOIN tt),
+              |r AS (SELECT doc_id, source, CAST(ROW_NUMBER() OVER (
+              |    PARTITION BY source
+              |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#ilv'), doc_id) AS BIGINT) AS rn
+              |  FROM documents)
+              |SELECT r.doc_id, r.source, r.rn,
+              |  ROUND((r.rn - 0.5) / q.q, 6) AS sort_key
+              |FROM r JOIN q USING(source)""".stripMargin)),
+
     QueryDef("q_source_budget",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

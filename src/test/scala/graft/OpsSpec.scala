@@ -1088,6 +1088,46 @@ class OpsSpec extends SparkSpec {
     assert(cos(vecs(1L), vecs(2L)) > cos(vecs(1L), vecs(3L)))
   }
 
+  test("temperatureMix: alpha=1 proportional, alpha->0 flattens, hand-computed shares") {
+    import graft.ops.Select
+    // token masses 100 vs 400 -> shares .2/.8; alpha=.5: sqrt -> 10/20 -> q = 1/3, 2/3
+    val rows = Seq(("a", 60L), ("a", 40L), ("b", 400L)).toDF("src", "tok")
+    val half = Select.temperatureMix(rows, "src", "tok", alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(half("a") == ((100L, 0.2, 0.333333, 1.666667)))
+    assert(half("b") == ((400L, 0.8, 0.666667, 0.833333)))
+    // alpha = 1 reproduces raw shares (boost 1 everywhere)
+    val prop = Select.temperatureMix(rows, "src", "tok", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(prop("a") == ((0.2, 1.0)) && prop("b") == ((0.8, 1.0)))
+    // small alpha pulls toward uniform: q(a) rises monotonically
+    val flat = Select.temperatureMix(rows, "src", "tok", alpha = 0.01)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(flat("a") > 0.45 && flat("a") < 0.55)
+  }
+
+  test("interleaveOrder: every prefix tracks the target mixture; deterministic") {
+    import graft.ops.Select
+    val docs = (1L to 30L).map(i => (i, if (i <= 10) "a" else "b"))
+      .toDF("id", "src")
+    val rates = Seq(("a", 0.333333), ("b", 0.666667)).toDF("src", "q")
+    val out = Select.interleaveOrder(docs, "src", "id", rates)
+      .orderBy("sort_key").collect()
+    assert(out.length == 30)
+    // in every prefix of length 3k the a:b ratio stays within one item
+    // of 1:2 (the low-discrepancy property)
+    val srcs = out.map(_.getString(1))
+    for (k <- 1 to 10) {
+      val nA = srcs.take(3 * k).count(_ == "a")
+      assert(math.abs(nA - k) <= 1, s"prefix ${3 * k}: a-count $nA, want ~$k")
+    }
+    // replay is bit-identical (salted-md5 order, no RNG)
+    val again = Select.interleaveOrder(docs, "src", "id", rates)
+      .orderBy("sort_key").collect().map(_.getLong(0)).toSeq
+    assert(again == out.map(_.getLong(0)).toSeq)
+  }
+
   test("waterfill budgets: hand-computed levels, exact budget, cap respected") {
     import graft.ops.Select
     // caps (maxEpochs 1) = [10, 20, 40, 80], budget 100:
