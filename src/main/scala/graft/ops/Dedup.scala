@@ -583,6 +583,26 @@ object Dedup {
    * Jaccard before emission, so correctness is unaffected; only the hash
    * family (and thus which true pairs the bands happen to surface) differs.
    */
+  /**
+   * Near-dup-leakage-safe split: hash-split on the dedup CLUSTER key
+   * instead of the doc id, so every member of a duplicate/near-duplicate
+   * group lands in the same split — the eval-hygiene complement of
+   * decontamination (a near-dup of a test doc in train is leakage even
+   * after exact dedup). `groups` is [[dedupGroups]] /
+   * [[graft.ops.Graph.connectedComponents]] output (doc_id,
+   * canonical_id); docs outside any pair split on their own id. One
+   * left join (groups side is the small one) + the same content-derived
+   * md5 threshold as [[Text.hashSplit]] — deterministic, engine-stable.
+   */
+  def clusterSafeSplit(df: DataFrame, groups: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val canon = df
+      .join(groups.select(col(idCol), col("canonical_id")), Seq(idCol), "left")
+      .withColumn("__ck", coalesce(col("canonical_id"), col(idCol)))
+    Text.hashSplit(canon, "__ck", fractions)
+      .drop("__ck", "canonical_id")
+  }
+
   /** [[lshPlan]]'s result: banding for [[minhashLshPairs]] plus the
     * S-curve diagnostics that justify it. */
   final case class LshPlan(bands: Int, rowsPerBand: Int, threshold: Double,

@@ -1687,6 +1687,43 @@ object LlmOps extends QueryGroup {
               |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc)
               |SELECT doc AS doc_id, MIN(lbl) AS canonical_id FROM cc GROUP BY doc""".stripMargin)),
 
+    // Near-dup-leakage-safe split: hash-split on the dedup CLUSTER key,
+    // so a near-dup of a test doc can never sit in train — the oracle
+    // replays the group closure, then the same md5-nibble threshold as
+    // the hash-split family on the canonical key
+    QueryDef("q_cluster_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val groups = Dedup.dedupGroups(
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, tau = 0.4))
+        Dedup.clusterSafeSplit(docs, groups, "doc_id",
+          Seq("train" -> 0.8, "test" -> 0.2))
+          .select(col("doc_id"), col("split"))
+      },
+      Some {
+        def nib(k: Int) = s"(strpos('0123456789abcdef', substr(h, $k, 1)) - 1)"
+        val hv = s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+        s"""WITH RECURSIVE $shinglesCte,
+           |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+           |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+           |pairs AS (SELECT doc_a, doc_b
+           |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+           |  WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.4),
+           |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |cc AS (
+           |  SELECT DISTINCT a AS doc, a AS lbl FROM e
+           |  UNION
+           |  SELECT e.b, cc.lbl FROM cc JOIN e ON e.a = cc.doc),
+           |g AS (SELECT doc AS doc_id, MIN(lbl) AS canonical_id FROM cc GROUP BY doc),
+           |ck AS (SELECT d.doc_id,
+           |    md5(CAST(COALESCE(g.canonical_id, d.doc_id) AS VARCHAR)) AS h
+           |  FROM documents d LEFT JOIN g USING(doc_id))
+           |SELECT doc_id,
+           |  CASE WHEN $hv < 52428 THEN 'train' ELSE 'test' END AS split
+           |FROM ck""".stripMargin
+      }),
+
     // Same pair graph resolved by the alternating large-star/small-star
     // algorithm (log-round convergence independent of chain diameter —
     // the 100 TB path) — drop-in interchangeable with dedupGroups, so the

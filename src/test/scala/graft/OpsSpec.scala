@@ -1088,6 +1088,25 @@ class OpsSpec extends SparkSpec {
     assert(cos(vecs(1L), vecs(2L)) > cos(vecs(1L), vecs(3L)))
   }
 
+  test("clusterSafeSplit: every dup-cluster member lands in the same split") {
+    val docsDf = (1L to 12L).toDF("doc_id")
+    // {1,2,3} and {7,8} are near-dup clusters
+    val groups = Dedup.dedupGroups(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b"))
+    val out = Dedup.clusterSafeSplit(docsDf, groups, "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 12)
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "cluster {1,2,3} split apart")
+    assert(out(7L) == out(8L), "cluster {7,8} split apart")
+    // singletons follow their own id's hash - same label as a plain
+    // hashSplit of the id
+    val plain = Text.hashSplit((1L to 12L).toDF("doc_id"), "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- Seq(4L, 5L, 6L, 9L, 10L, 11L, 12L)) assert(out(i) == plain(i))
+  }
+
   test("temperatureMix: alpha=1 proportional, alpha->0 flattens, hand-computed shares") {
     import graft.ops.Select
     // token masses 100 vs 400 -> shares .2/.8; alpha=.5: sqrt -> 10/20 -> q = 1/3, 2/3
