@@ -981,6 +981,58 @@ object Text {
   }
 
   /**
+   * Filter-funnel attrition report over [[gopherRules]]: one row per
+   * rule, in the fixed rule order, with how many docs pass it ALONE, how
+   * many it KILLS (fail it having survived every earlier rule), and how
+   * many SURVIVE through it — the table every curation writeup publishes
+   * ("rule X removed N% of the corpus") and the tuning loop for
+   * thresholds: a rule with near-zero marginal kills is free, one
+   * killing half the corpus deserves a second look.
+   *
+   * Shape: the metric projection is [[gopherRules]]'s (shuffle-free);
+   * the funnel is ONE whole-table aggregate (3 counters per rule,
+   * map-side combined) whose single wide row explodes into the per-rule
+   * report driver-free. Output: (rule_idx, rule, n_docs, n_pass_alone,
+   * n_killed, n_surviving).
+   */
+  def gopherAttrition(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      stopwords: Seq[String] = GopherStopwords,
+      minStopwords: Int = 2): DataFrame = {
+    val m = gopherRules(df, textCol, idCol, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletRatio,
+      maxEllipsisRatio, minAlphaRatio, stopwords, minStopwords)
+    val rules: Seq[(String, Column)] = Seq(
+      "word_count" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "mean_word_len" -> (col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen),
+      "symbol_ratio" -> (col("symbol_ratio") <= maxSymbolRatio),
+      "bullet_ratio" -> (col("bullet_ratio") <= maxBulletRatio),
+      "ellipsis_ratio" -> (col("ellipsis_ratio") <= maxEllipsisRatio),
+      "alpha_ratio" -> (col("alpha_ratio") >= minAlphaRatio),
+      "stopwords" -> (col("n_stop") >= minStopwords))
+    val cums = rules.scanLeft(lit(true)) { case (acc, (_, p)) => acc && p }.tail
+    val aggs = rules.zip(cums).zipWithIndex.flatMap { case (((_, p), cum), i) =>
+      val prior = if (i == 0) lit(true) else cums(i - 1)
+      Seq(sum(when(p, 1L).otherwise(0L)).as(s"__p$i"),
+        sum(when(prior && !p, 1L).otherwise(0L)).as(s"__k$i"),
+        sum(when(cum, 1L).otherwise(0L)).as(s"__s$i"))
+    }
+    val wide = m.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).cast("long").as("rule_idx"), lit(name).as("rule"),
+        col(s"__p$i").as("n_pass_alone"), col(s"__k$i").as("n_killed"),
+        col(s"__s$i").as("n_surviving"))
+    }
+    wide.select(col("__n").as("n_docs"), explode(array(rows: _*)).as("__r"))
+      .select(col("__r.rule_idx"), col("__r.rule"), col("n_docs"),
+        col("__r.n_pass_alone"), col("__r.n_killed"), col("__r.n_surviving"))
+  }
+
+  /**
    * Document fingerprint: md5 over the sorted distinct token set — a
    * canonical-form hash robust to word order, the cheap cousin of shingle
    * fingerprinting for exact-ish dedup.

@@ -1279,6 +1279,76 @@ object LlmOps extends QueryGroup {
               |   AND n_stop >= 2) AS keep
               |FROM r""".stripMargin)),
 
+    // Filter-funnel attrition over the same seeded gopher fixture: per
+    // rule (fixed order) — docs passing it alone, docs it kills given
+    // survival of prior rules, docs surviving through it. One aggregate
+    // row exploded into the report; all-integer counts, exact oracle.
+    QueryDef("q_text_gopher_attrition",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit("\n- first point\n- second point")))
+          .when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\nto be continued ...")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" #### ####")))
+          .otherwise(col("text")))
+        Text.gopherAttrition(seeded, "text", "doc_id", minWords = 30, maxWords = 80,
+          stopwords = Seq("the", "a", "data", "table", "row", "value"))
+      },
+      Some {
+        val preds = Seq(
+          "word_count" -> "(n_words >= 30 AND n_words <= 80)",
+          "mean_word_len" -> "(mean_word_len >= 3.0 AND mean_word_len <= 10.0)",
+          "symbol_ratio" -> "(symbol_ratio <= 0.1)",
+          "bullet_ratio" -> "(bullet_ratio <= 0.9)",
+          "ellipsis_ratio" -> "(ellipsis_ratio <= 0.3)",
+          "alpha_ratio" -> "(alpha_ratio >= 0.8)",
+          "stopwords" -> "(n_stop >= 2)")
+        val cumExprs = preds.indices.map(i =>
+          preds.take(i + 1).map(_._2).mkString(" AND "))
+        val aggCols = preds.zipWithIndex.map { case ((_, p), i) =>
+          val prior = if (i == 0) "TRUE" else cumExprs(i - 1)
+          s"CAST(SUM(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS pa$i, " +
+            s"CAST(SUM(CASE WHEN ($prior) AND NOT $p THEN 1 ELSE 0 END) AS BIGINT) AS k$i, " +
+            s"CAST(SUM(CASE WHEN ${cumExprs(i)} THEN 1 ELSE 0 END) AS BIGINT) AS s$i"
+        }.mkString(",\n")
+        val unions = preds.zipWithIndex.map { case ((name, _), i) =>
+          s"SELECT CAST(${i + 1} AS BIGINT) AS rule_idx, '$name' AS rule, n_docs, " +
+            s"pa$i AS n_pass_alone, k$i AS n_killed, s$i AS n_surviving FROM agg"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || '- first point' || chr(10) || '- second point'
+           |         WHEN doc_id % 5 = 0 THEN text || chr(10) || 'to be continued ...'
+           |         WHEN doc_id % 11 = 0 THEN text || ' #### ####'
+           |         ELSE text END AS tx FROM documents),
+           |t AS (SELECT doc_id, tx,
+           |    regexp_split_to_array(lower(tx), '\\s+') AS ts,
+           |    string_split(tx, chr(10)) AS ls FROM d),
+           |m AS (SELECT doc_id,
+           |    CASE WHEN len(trim(tx)) > 0 THEN len(ts) ELSE 0 END AS n_words,
+           |    length(regexp_replace(lower(tx), '\\s+', '', 'g')) AS n_chr,
+           |    len(regexp_extract_all(tx, '#')) + len(regexp_extract_all(tx, '\\.\\.\\.')) AS n_sym,
+           |    len(ls) AS n_lines,
+           |    len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+           |    len(list_filter(ls, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS n_ell,
+           |    len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+           |    len(list_intersect(list_distinct(ts),
+           |        ['the', 'a', 'data', 'table', 'row', 'value'])) AS n_stop
+           |  FROM t),
+           |r AS (SELECT doc_id, n_words, n_stop,
+           |    ROUND(CASE WHEN n_words > 0 THEN n_chr * 1.0 / n_words ELSE 0.0 END, 6) AS mean_word_len,
+           |    ROUND(CASE WHEN n_words > 0 THEN n_sym * 1.0 / n_words ELSE 0.0 END, 6) AS symbol_ratio,
+           |    ROUND(n_bullet * 1.0 / n_lines, 6) AS bullet_ratio,
+           |    ROUND(n_ell * 1.0 / n_lines, 6) AS ellipsis_ratio,
+           |    ROUND(CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words ELSE 0.0 END, 6) AS alpha_ratio
+           |  FROM m),
+           |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |$aggCols
+           |FROM r)
+           |$unions""".stripMargin
+      }),
+
     QueryDef("q_text_langid",
       (s, dir) => Text.languageId(Tables.load(s, dir, "documents"), "text", "doc_id"),
       Some {

@@ -1088,6 +1088,29 @@ class OpsSpec extends SparkSpec {
     assert(cos(vecs(1L), vecs(2L)) > cos(vecs(1L), vecs(3L)))
   }
 
+  test("gopherAttrition: funnel identities hold and agree with gopherRules") {
+    val seeded = spark.read.parquet(s"$sf/documents.parquet")
+    val att = Text.gopherAttrition(seeded, "text", "doc_id",
+        minWords = 30, maxWords = 80,
+        stopwords = Seq("the", "a", "data", "table", "row", "value"))
+      .orderBy("rule_idx").collect()
+    assert(att.length == 7)
+    val nDocs = att.head.getLong(2)
+    // survivors are monotone nonincreasing and s_i = s_{i-1} - k_i
+    var prev = nDocs
+    att.foreach { r =>
+      val (killed, surv) = (r.getLong(4), r.getLong(5))
+      assert(surv == prev - killed, s"rule ${r.getString(1)}: $prev - $killed != $surv")
+      prev = surv
+    }
+    // the funnel's end equals the composite keep count
+    val kept = Text.gopherRules(seeded, "text", "doc_id",
+        minWords = 30, maxWords = 80,
+        stopwords = Seq("the", "a", "data", "table", "row", "value"))
+      .filter(col("keep")).count()
+    assert(att.last.getLong(5) == kept)
+  }
+
   test("clusterSafeSplit: every dup-cluster member lands in the same split") {
     val docsDf = (1L to 12L).toDF("doc_id")
     // {1,2,3} and {7,8} are near-dup clusters
