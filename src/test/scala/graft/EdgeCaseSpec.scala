@@ -169,6 +169,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(one.length == 2 && one.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
   }
 
+  test("round-16 operator edge cases: empty inputs, blanks, degenerate groups") {
+    import graft.ops.{Dedup, Profile, Select, Text, Urls, Vectors}
+    import spark.implicits._
+    // blocklist: empty corpus flows through; blank-phrase dict rejected
+    val emptyHosts = Seq.empty[(Long, String)].toDF("id", "host")
+    assert(Urls.blocklistFlag(emptyHosts, "host", Seq("x.com")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Text.keywordTag(Seq((1L, "a")).toDF("id", "t"), "t", "id", Seq("  "))
+    }
+    // truncateMiddle: empty text -> zero tokens, not truncated
+    val tr = Text.truncateMiddle(Seq((1L, ""), (2L, "   ")).toDF("id", "t"),
+      "t", "id", 2, 2).collect().map(r => (r.getString(1), r.getLong(2), r.getBoolean(4)))
+    assert(tr.forall { case (txt, n, flag) => txt == "" && n == 0 && !flag })
+    // temperatureMix: single source gets share = q = boost = 1
+    val one = Select.temperatureMix(Seq(("s", 10L)).toDF("k", "tok"), "k", "tok", 0.5)
+      .collect()(0)
+    assert(one.getDouble(2) == 1.0 && one.getDouble(3) == 1.0 && one.getDouble(4) == 1.0)
+    // groupEntropy on an empty frame is empty, not an error
+    assert(Profile.groupEntropy(Seq.empty[(String, String)].toDF("g", "c"),
+      Seq("g"), "c").count() == 0)
+    // icpOrder: singleton corpus = one chain head
+    val solo = Vectors.icpOrder(Seq((5L, Seq(1f, 2f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").collect()
+    assert(solo.length == 1 && solo(0).getLong(2) == 1L && solo(0).getDouble(3) == 0.0)
+    // clusterSafeSplit with an empty group table = plain hash split
+    val noGroups = Seq.empty[(Long, Long)].toDF("doc_id", "canonical_id")
+    val split = Dedup.clusterSafeSplit((1L to 4L).toDF("doc_id"), noGroups,
+      "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+    assert(split.count() == 4)
+  }
+
   test("sftTokenSpans: empty assistant content spans zero tokens after its header") {
     import graft.ops.Chat
     val js = """[{"role":"user","content":"hello there"},{"role":"assistant","content":""}]"""

@@ -288,6 +288,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(bulk.size == 1, s"expected one exchange, got:\n${bulk.mkString("\n")}")
   }
 
+  test("q_temperature_mix: one corpus aggregate, totals broadcast back, no second corpus pass") {
+    val p = plan("q_temperature_mix")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    // corpus collapses to |sources| rows in ONE aggregate exchange; the
+    // totals row rejoins via BroadcastNestedLoopJoin (1-row cross)
+    assert(bulk.size <= 1, s"temperatureMix should shuffle once:\n${bulk.mkString("\n")}")
+  }
+
+  test("q_interleave_order: one source-keyed window exchange; rates broadcast") {
+    val p = plan("q_interleave_order")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size <= 2, // corpus window + rates aggregate (tiny)
+      s"interleaveOrder plan grew:\n${bulk.mkString("\n")}")
+    assert(p.toString.contains("BroadcastHashJoin") ||
+      p.toString.contains("BroadcastNestedLoopJoin"),
+      "rates table must broadcast onto the corpus")
+  }
+
+  test("q_text_gopher_attrition: metric projection + one aggregate, no joins") {
+    val p = plan("q_text_gopher_attrition")
+    assert(!p.toString.contains("Join"), "attrition must be join-free")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size <= 1, s"attrition should be one aggregate exchange:\n$bulk")
+  }
+
   test("curation projections (normalize/markup/url/loss-mask) are shuffle-free") {
     for (q <- Seq("q_text_normalize", "q_text_strip_markup", "q_url_canon",
         "q_chat_loss_mask")) {
