@@ -20,7 +20,7 @@ object Dedup {
     * Public so composed reports ([[graft.queries.LlmOps]]' datasheet) key
     * on the SAME content identity the dedup family uses. */
   def normText(c: String): Column =
-    regexp_replace(trim(lower(col(c))), "\\s+", " ")
+    trim(regexp_replace(lower(col(c)), "\\s+", " "))
 
   /**
    * SimHash near-duplicate PAIRS — completes the SimHash dedup family

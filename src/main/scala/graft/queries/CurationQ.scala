@@ -89,7 +89,7 @@ object CurationQ extends QueryGroup {
           .filter(col("stop_ratio") >= 0.05 && col("n_chars_m") >= 150)
         val groups = Dedup.exactGroups(gated, "clean_text", "doc_id")
         val chash: Column =
-          md5(regexp_replace(trim(lower(col("clean_text"))), "\\s+", " "))
+          md5(trim(regexp_replace(lower(col("clean_text")), "\\s+", " ")))
         val kept = gated.withColumn("content_hash", chash)
           .join(groups, Seq("content_hash"))
           .filter(col("doc_id") === col("keep_id"))
@@ -139,11 +139,11 @@ object CurationQ extends QueryGroup {
            |      / len(regexp_split_to_array(lower(ct3), '\\s+')), 6) AS stop_ratio
            |  FROM n),
            |g AS (SELECT * FROM q WHERE stop_ratio >= 0.05 AND n_chars >= 150),
-           |grp AS (SELECT md5(regexp_replace(trim(lower(ct3)), '\\s+', ' ', 'g')) AS chash,
+           |grp AS (SELECT md5(trim(regexp_replace(lower(ct3), '\\s+', ' ', 'g'))) AS chash,
            |    MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
            |  FROM g GROUP BY 1),
            |k AS (SELECT g.doc_id, g.ct3, g.stop_ratio, grp.n_dups FROM g JOIN grp
-           |  ON md5(regexp_replace(trim(lower(g.ct3)), '\\s+', ' ', 'g')) = grp.chash
+           |  ON md5(trim(regexp_replace(lower(g.ct3), '\\s+', ' ', 'g'))) = grp.chash
            |  AND g.doc_id = grp.keep_id)
            |SELECT doc_id, ct3 AS clean_text, stop_ratio, n_dups,
            |  CASE WHEN $hv < 58982 THEN 'train' ELSE 'test' END AS split

@@ -430,7 +430,7 @@ object LlmOps extends QueryGroup {
         val t = Text.tokens(col("pack_text"))
         val stopArr = array(Text.Stopwords.map(lit): _*)
         val scored = packs.select(
-          md5(regexp_replace(trim(lower(col("pack_text"))), "\\s+", " "))
+          md5(trim(regexp_replace(lower(col("pack_text")), "\\s+", " ")))
             .as("content_hash"),
           col("doc_id"), col("pack_idx"), col("n_tokens"),
           round(size(filter(t, x => array_contains(stopArr, x))).cast("double")
@@ -454,7 +454,7 @@ object LlmOps extends QueryGroup {
            |    string_agg(chunk_text, ' ' ORDER BY rn) AS pack_text
            |  FROM st GROUP BY doc_id, pack_idx),
            |h AS (SELECT pk.*,
-           |    md5(regexp_replace(trim(lower(pack_text)), '\\s+', ' ', 'g')) AS content_hash
+           |    md5(trim(regexp_replace(lower(pack_text), '\\s+', ' ', 'g'))) AS content_hash
            |  FROM pk),
            |r AS (SELECT h.*,
            |    ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id, pack_idx) AS rk,
@@ -1173,7 +1173,7 @@ object LlmOps extends QueryGroup {
         val stoplist = Text.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
         s"""WITH t AS (SELECT doc_id, source, lang, text,
            |    regexp_split_to_array(lower(text), '\\s+') AS ts,
-           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+           |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
            |  FROM documents),
            |base AS (SELECT source, COUNT(*) AS n_docs,
            |    CAST(SUM(len(list_filter(ts, x -> x <> ''))) AS BIGINT) AS total_tokens,
@@ -1462,7 +1462,7 @@ object LlmOps extends QueryGroup {
 
     QueryDef("q_dedup_exact",
       (s, dir) => Dedup.exactGroups(Tables.load(s, dir, "documents"), "text", "doc_id"),
-      Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
              |FROM documents GROUP BY 1""".stripMargin)),
 
@@ -1472,7 +1472,7 @@ object LlmOps extends QueryGroup {
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         val hashed = d.select(col("source"),
-          md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
             .as("content_hash"))
         hashed.groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
@@ -1481,8 +1481,8 @@ object LlmOps extends QueryGroup {
             / count(lit(1)).cast("double"), 6).as("dup_rate"))
       },
       Some("""SELECT source, COUNT(*) AS n_docs,
-             |  COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique,
-             |  ROUND(CAST(1.0 AS DOUBLE) - COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+             |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_unique,
+             |  ROUND(CAST(1.0 AS DOUBLE) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
              |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
              |FROM documents GROUP BY source""".stripMargin)),
 
@@ -1501,7 +1501,7 @@ object LlmOps extends QueryGroup {
       },
       Some("""WITH nrm AS (
              |  SELECT doc_id, source,
-             |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
              |  FROM documents),
              |ex AS (SELECT DISTINCT h FROM nrm WHERE doc_id < 300),
              |batch AS (SELECT * FROM nrm WHERE doc_id >= 300),
@@ -1528,7 +1528,7 @@ object LlmOps extends QueryGroup {
       },
       Some("""WITH nrm AS (
              |  SELECT doc_id, source,
-             |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
              |  FROM documents),
              |ex AS (SELECT DISTINCT h FROM nrm WHERE doc_id < 300),
              |batch AS (SELECT * FROM nrm WHERE doc_id >= 300),

@@ -143,7 +143,7 @@ object EventStream {
     import spark.implicits._
     requireIntegralId(docs, idCol, "streamingExactDedup")
     docs.select(col(idCol).cast("long").as("doc_id"),
-        md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("content_hash"))
+        md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("content_hash"))
       .as[Doc]
       .groupByKey(_.content_hash)
       .flatMapGroupsWithState[DedupState, DedupDecision](

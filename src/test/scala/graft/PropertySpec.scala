@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.{Dedup, Text, Urls}
+
+/**
+ * Randomized-input properties: ScalaCheck generators build one adversarial
+ * batch per property (odd whitespace, empty tokens, unicode, degenerate
+ * sizes), a SINGLE Spark pass evaluates the operator over the whole batch,
+ * and a plain-Scala reference implementation checks every row. One job per
+ * property keeps the randomized coverage at spec cost.
+ */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling: scalacheck Gen pinned to a fixed seed so CI
+    * never flakes; bump the seed to re-roll the corpus deliberately. */
+  private def sample[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(0xC0FFEEL + i)))
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf(Gen.alphaLowerStr.map(_.take(6)), Gen.const("the"),
+      Gen.const("a1"), Gen.const("..."), Gen.const("#"))
+  private val wsGen: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOfN(12, wordGen)
+    seps <- Gen.listOfN(12, wsGen)
+    lead <- Gen.oneOf("", " ", "\t")
+  } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  test("property: truncateMiddle matches the per-row reference on adversarial whitespace") {
+    val texts = sample(textGen, 120).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = Text.truncateMiddle(df, "t", "id", 3, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split("\\s+", -1).filter(_.nonEmpty).toSeq
+      val n = toks.length
+      val expect =
+        if (n > 5) (toks.take(3) ++ Seq("...") ++ toks.takeRight(2)).mkString(" ")
+        else toks.mkString(" ")
+      val (txt, gn, dropped, flag) = got(i.toLong)
+      assert(txt == expect, s"row $i: '$t' -> '$txt' want '$expect'")
+      assert(gn == n && dropped == math.max(0, n - 5) && flag == (n > 5))
+    }
+  }
+
+  test("property: hostSuffixes + blocklistFlag match the reference suffix chain") {
+    val labelGen = Gen.oneOf("a", "bb", "spam", "x9", "sub")
+    val hostGen = for {
+      k <- Gen.choose(1, 5)
+      parts <- Gen.listOfN(k, labelGen)
+      up <- Gen.oneOf(identity[String] _, (s: String) => s.toUpperCase)
+    } yield up(parts.mkString("."))
+    val hosts = sample(hostGen, 150).distinct
+    val entries = Seq("spam.a", "bb", "sub.spam")
+    val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("id", "host")
+    val got = Urls.blocklistFlag(df, "host", entries).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)), r.getBoolean(3)))).toMap
+    hosts.zipWithIndex.foreach { case (h, i) =>
+      val parts = h.toLowerCase.split("\\.", -1).toSeq
+      val chain = parts.indices.map(j => parts.drop(j).mkString("."))
+      val expect = chain.find(entries.contains)
+      assert(got(i.toLong) == ((expect, expect.isDefined)),
+        s"host '$h': got ${got(i.toLong)}, want ($expect)")
+    }
+  }
+
+  test("property: lshPlan always factorizes k and picks the closest midpoint") {
+    val cases = sample(Gen.zip(Gen.choose(1, 256), Gen.choose(0.01, 0.99)), 200)
+    cases.foreach { case (k, tau) =>
+      val p = Dedup.lshPlan(k, tau)
+      assert(p.bands * p.rowsPerBand == k, s"k=$k tau=$tau: ${p.bands}x${p.rowsPerBand}")
+      assert(p.threshold > 0 && p.threshold <= 1)
+      assert(p.pCollideAtTau >= 0 && p.pCollideAtTau <= 1)
+      // no other factorization lands closer to tau
+      val best = (1 to k).filter(k % _ == 0)
+        .map(r => math.abs(math.pow(1.0 / (k / r), 1.0 / r) - tau)).min
+      assert(math.abs(p.threshold - tau) <= best + 1e-12)
+    }
+  }
+
+  test("property: hashSplit labels are exhaustive, deterministic, and fraction-plausible") {
+    val ids = sample(Gen.choose(0L, 1000000L), 400).distinct
+    val df = ids.toDF("id")
+    val fracs = Seq("train" -> 0.7, "dev" -> 0.2, "test" -> 0.1)
+    val out = Text.hashSplit(df, "id", fracs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.toSet.subsetOf(Set("train", "dev", "test")))
+    // content-derived: a second run is identical
+    val again = Text.hashSplit(df, "id", fracs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+    // plausibility, not exactness: the md5 split of ~400 ids should put
+    // the majority in train and not starve test entirely at these sizes
+    val n = out.size.toDouble
+    assert(out.values.count(_ == "train") / n > 0.55)
+    assert(out.values.count(_ == "test") > 0)
+  }
+
+  test("property: normText is idempotent and whitespace-insensitive") {
+    val texts = sample(textGen, 120).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val once = df.select(col("id"), Dedup.normText("t").as("n1"))
+    val twice = once.select(col("id"), col("n1"),
+      trim(regexp_replace(lower(col("n1")), "\\s+", " ")).as("n2"))
+    val rows = twice.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows.values.forall { case (n1, n2) => n1 == n2 }, "normText not idempotent")
+    // collapsing any run of whitespace to one space reaches the same form
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ref = t.toLowerCase.replaceAll("\\s+", " ").trim
+      val got = rows(i.toLong)._1
+      assert(got == ref, s"'$t': '$got' != '$ref'")
+    }
+  }
+}
