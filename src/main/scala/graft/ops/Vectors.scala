@@ -479,26 +479,7 @@ object Vectors {
    */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, tau: Double = 0.7): DataFrame = {
-    require(k >= 1, "k >= 1")
-    val seeds = df.select(col(idCol).as("sid"), col(vecCol).as("sv"))
-      .withColumn("__h", md5(col("sid").cast("string")))
-      .orderBy(col("__h"), col("sid"))
-      .limit(k)
-      .select(col("sid"), col("sv"))
-      .collect()
-    val scored = seeds.map { r =>
-      (r.get(0), round(cosine(col(vecCol), lit(r.getSeq[Float](1).toArray)), 6))
-    }
-    // first-seed-wins on rounded-cosine ties (strict > replacement), in
-    // (md5, id) seed order — mirrored by the oracle's ORDER BY cos DESC,
-    // seed_rank ASC
-    var bestId: Column = lit(scored.head._1)
-    var bestCos: Column = scored.head._2
-    scored.tail.foreach { case (sid, c) =>
-      bestId = when(c > bestCos, lit(sid)).otherwise(bestId)
-      bestCos = when(c > bestCos, c).otherwise(bestCos)
-    }
-    val assigned = df.select(col(idCol), col(vecCol), bestId.as("cluster"))
+    val assigned = seedAssign(df, idCol, vecCol, k).drop("proto_cos")
     val l = assigned.select(col("cluster"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val r = assigned.select(col("cluster"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     val dropped = l.join(r, Seq("cluster"))
@@ -509,6 +490,85 @@ object Vectors {
     assigned.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(!col("__drop"), lit(true)).as("keep"))
+  }
+
+  /**
+   * Deterministic md5-seeded cluster assignment shared by [[semDedup]] and
+   * [[prototypicality]]: seeds are the `k` vectors with the smallest
+   * `md5(id)` (content-derived, engine-stable — no RNG, no iterative
+   * k-means); each vector takes its max-rounded-cosine seed, ties resolved
+   * to the seed earlier in (md5, id) order by the strict-`>` replacement
+   * fold. Output: (idCol, vecCol, cluster = seed id, proto_cos = rounded
+   * cosine to the assigned seed).
+   *
+   * Scale shape: the seeds are a k-row driver-side fit statistic riding
+   * the plan as literals (the IvfIndex centroid pattern), so assignment is
+   * ONE narrow codegen'd projection — k fused cosines, no shuffle, no join.
+   */
+  private def seedAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val seeds = df.select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .withColumn("__h", md5(col("sid").cast("string")))
+      .orderBy(col("__h"), col("sid"))
+      .limit(k)
+      .select(col("sid"), col("sv"))
+      .collect()
+    val scored = seeds.map { r =>
+      (r.get(0), round(cosine(col(vecCol), lit(r.getSeq[Float](1).toArray)), 6))
+    }
+    var bestId: Column = lit(scored.head._1)
+    var bestCos: Column = scored.head._2
+    scored.tail.foreach { case (sid, c) =>
+      bestId = when(c > bestCos, lit(sid)).otherwise(bestId)
+      bestCos = when(c > bestCos, c).otherwise(bestCos)
+    }
+    df.select(col(idCol), col(vecCol), bestId.as("cluster"),
+      bestCos.as("proto_cos"))
+  }
+
+  /**
+   * Prototypicality scores (Sorscher et al. 2022, "Beyond neural scaling
+   * laws": the SSL-prototypes metric): each example's cosine to its
+   * cluster prototype, ranked within the cluster — rank 1 is the MOST
+   * prototypical (easiest, most redundant) member. The pruning signal of
+   * the D4 pipeline (Tirumala et al. 2023): dropping the most prototypical
+   * fraction beats random down-sampling at equal token budget.
+   *
+   * Deterministic rebuild: prototypes are the [[seedAssign]] md5-seeded
+   * vectors (not trained centroids), so every score, rank, and verdict is
+   * engine-replayable and the oracle hash-checks the whole table. Output:
+   * (id, cluster, proto_cos, proto_rank, cluster_n). Rank ties (equal
+   * rounded cosine) break to the lower id.
+   *
+   * Scale shape: one narrow assignment projection (no shuffle) + ONE
+   * shuffle on cluster id for the two analytic functions — rank and size
+   * share the same window partitioning, so Catalyst plans a single
+   * exchange; bodies/vectors never move a second time.
+   */
+  def prototypicality(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    val byCluster = Window.partitionBy(col("cluster"))
+    val w = byCluster.orderBy(col("proto_cos").desc, col(idCol))
+    seedAssign(df, idCol, vecCol, k)
+      .select(col(idCol), col("cluster"), col("proto_cos"),
+        row_number().over(w).as("proto_rank"),
+        count(lit(1)).over(byCluster).as("cluster_n"))
+  }
+
+  /**
+   * SSL-prototypes pruning verdicts over [[prototypicality]]: drop the
+   * `dropFraction` most prototypical members of every cluster (keep =
+   * proto_rank > floor(dropFraction * cluster_n), so small clusters round
+   * toward keeping). Compose after [[semDedup]] survivors for the full D4
+   * recipe: semantic dedup first, then prototype pruning on what remains.
+   */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, dropFraction: Double = 0.2): DataFrame = {
+    require(dropFraction >= 0 && dropFraction < 1, "dropFraction in [0, 1)")
+    prototypicality(df, idCol, vecCol, k)
+      .withColumn("keep",
+        col("proto_rank") > floor(lit(dropFraction) * col("cluster_n")))
   }
 
   /**

@@ -157,6 +157,21 @@ object LlmOps extends QueryGroup {
   private def cosSql(a: String, b: String) =
     s"ROUND(list_inner_product($a,$b) / (sqrt(list_inner_product($a,$a)) * sqrt(list_inner_product($b,$b))), 6)"
 
+  /** [[Vectors.seedAssign]] in DuckDB (shared by the SemDeDup-family
+    * oracles): emits `${p}s` (md5-ordered seed pick), `${p}a` (all
+    * cosines) and `${p}asg` (max-cosine assignment, ties to the earlier
+    * seed) CTE bodies over a source CTE exposing (vec_id, v). */
+  private def seedAsgSql(src: String, k: Int, p: String): String =
+    s"""${p}s AS (SELECT sid, sv, srank FROM (
+       |    SELECT vec_id AS sid, v AS sv,
+       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srank
+       |    FROM $src) WHERE srank <= $k),
+       |${p}a AS (SELECT t.vec_id, t.v, s.sid, s.srank,
+       |    ${cosSql("t.v", "s.sv")} AS cos FROM $src t CROSS JOIN ${p}s s),
+       |${p}asg AS (SELECT vec_id, v, sid, cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, srank ASC) AS rn FROM ${p}a) WHERE rn = 1)""".stripMargin
+
   private val bucketSql = (v: String) =>
     (1 to 8).map(p => s"(CASE WHEN $v[$p] > $v[${p + 32}] THEN ${1L << (p - 1)} ELSE 0 END)")
       .mkString("(", " + ", ")")
@@ -2033,6 +2048,50 @@ object LlmOps extends QueryGroup {
               |SELECT asg.vec_id, asg.sid AS cluster,
               |  (drp.vec_id IS NULL) AS keep
               |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin)),
+
+    // SSL-prototypes scoring (Sorscher et al. 2022): cosine to the
+    // assigned (deterministic md5-seeded) prototype, ranked within the
+    // cluster; keep = outside the dropFraction most-prototypical band.
+    // The oracle replays seed pick, assignment, rank, and verdicts.
+    QueryDef("q_prototype_prune",
+      (s, dir) => Vectors.prototypePrune(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, dropFraction = 0.25),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |${seedAsgSql("e", 8, "")},
+              |rk AS (SELECT vec_id, sid AS cluster, cos AS proto_cos,
+              |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, vec_id) AS proto_rank,
+              |    COUNT(*) OVER (PARTITION BY sid) AS cluster_n FROM asg)
+              |SELECT vec_id, cluster, proto_cos, proto_rank, cluster_n,
+              |  proto_rank > FLOOR(0.25 * cluster_n) AS keep FROM rk""".stripMargin)),
+
+    // D4 (Tirumala et al. 2023): SemDeDup first, SSL-prototypes pruning
+    // on the survivors — the published two-stage recipe, end to end. The
+    // oracle chains both stages' CTEs (second seed pick runs over the
+    // dedup survivors, exactly as the engine re-seeds the subset).
+    QueryDef("q_d4_pipeline",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val survivors = Vectors.semDedup(e, "vec_id", "embedding", k = 8, tau = 0.25)
+          .filter(col("keep")).select("vec_id")
+        Vectors.prototypePrune(e.join(survivors, Seq("vec_id")),
+            "vec_id", "embedding", k = 8, dropFraction = 0.25)
+          .filter(col("keep"))
+          .select(col("vec_id"), col("cluster"), col("proto_rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |${seedAsgSql("e", 8, "d")},
+              |drp AS (SELECT DISTINCT b.vec_id FROM dasg a JOIN dasg b
+              |    ON a.sid = b.sid AND a.vec_id < b.vec_id
+              |  WHERE ${cosSql("a.v", "b.v")} >= 0.25),
+              |sv AS (SELECT g.vec_id, g.v FROM dasg g LEFT JOIN drp
+              |    ON g.vec_id = drp.vec_id
+              |  WHERE drp.vec_id IS NULL),
+              |${seedAsgSql("sv", 8, "p")},
+              |rk AS (SELECT vec_id, sid AS cluster,
+              |    ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, vec_id) AS proto_rank,
+              |    COUNT(*) OVER (PARTITION BY sid) AS cluster_n FROM pasg)
+              |SELECT vec_id, cluster, proto_rank FROM rk
+              |WHERE proto_rank > FLOOR(0.25 * cluster_n)""".stripMargin)),
 
     // --- similarity search ----------------------------------------------
 

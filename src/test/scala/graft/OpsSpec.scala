@@ -643,6 +643,47 @@ class OpsSpec extends SparkSpec {
     assert(mp.groupBy(_.getLong(0)).forall(_._2.length <= 3))
   }
 
+  test("prototypicality: rank 1 is the cluster max, sizes partition the corpus, prune keeps n - floor(f*n)") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val total = e.count()
+    val p = Vectors.prototypePrune(e, "vec_id", "embedding", k = 4, dropFraction = 0.25)
+      .collect()
+    assert(p.length == total, "scoring must cover every vector")
+    val byCluster = p.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, rows) =>
+      val n = rows.length
+      // cluster_n is consistent and ranks are the 1..n permutation
+      assert(rows.forall(_.getLong(4) == n))
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to n))
+      // rank orders by proto_cos descending (ties broken by id)
+      val sorted = rows.sortBy(_.getInt(3))
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0).getDouble(2) >= w(1).getDouble(2),
+          s"cluster $c: rank order violates proto_cos order")
+      }
+      // keep verdicts: exactly n - floor(0.25 n), and they are the tail ranks
+      val kept = rows.filter(_.getBoolean(5))
+      assert(kept.length == n - math.floor(0.25 * n).toInt)
+      assert(kept.forall(_.getInt(3) > math.floor(0.25 * n).toInt))
+    }
+    // dropFraction = 0 keeps everything
+    val all = Vectors.prototypePrune(e, "vec_id", "embedding", k = 4, dropFraction = 0.0)
+    assert(all.filter(!col("keep")).count() == 0)
+  }
+
+  test("d4 composition: prototype pruning runs strictly within semDedup survivors") {
+    val e = graft.core.Tables.load(spark, sf, "embeddings")
+    val survivors = Vectors.semDedup(e, "vec_id", "embedding", k = 4, tau = 0.25)
+      .filter(col("keep")).select("vec_id")
+    val surv = survivors.collect().map(_.getLong(0)).toSet
+    val pruned = Vectors.prototypePrune(e.join(survivors, Seq("vec_id")),
+        "vec_id", "embedding", k = 4, dropFraction = 0.25)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(pruned.subsetOf(surv), "D4 output must be a subset of dedup survivors")
+    assert(pruned.nonEmpty && pruned.size < surv.size,
+      s"pruning should drop a strict, non-total fraction (kept ${pruned.size} of ${surv.size})")
+  }
+
   test("banded cosine LSH: subset of exact pairs with recall >= 0.9") {
     val e = graft.core.Tables.load(spark, sf, "embeddings")
     val exact = Vectors.cosineDupPairs(e, "vec_id", "embedding", tau = 0.3,

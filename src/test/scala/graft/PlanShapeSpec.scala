@@ -454,6 +454,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_prototype_prune: ONE cluster-keyed exchange serves rank AND size; assignment is shuffle-free") {
+    val p = plan("q_prototype_prune")
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.length == 1,
+      s"rank + cluster_n must share one cluster-keyed exchange, got ${bulk.length}:\n$p")
+    assert(keyedOn(bulk.head, "cluster"),
+      s"the one exchange must key on cluster, got ${bulk.head.outputPartitioning}")
+  }
+
   test("q_dedup_minhash_admit: broadcast cap, equi-joins only, no cartesian") {
     val p = plan("q_dedup_minhash_admit")
     val s = p.toString
