@@ -413,6 +413,46 @@ object Dedup {
   }
 
   /**
+   * Winnowing overlap pairs (Schleimer et al. 2003): candidate document
+   * pairs sharing at least `minShared` [[Text.winnowFingerprints]]
+   * VALUES, with a containment estimate shared/min(|A|,|B|) over the
+   * retained fingerprint sets. The MOSS pipeline at corpus scale: the
+   * winnowing guarantee (any shared run of >= w+k-1 tokens contributes a
+   * shared fingerprint) makes this a principled prefilter whose cost is
+   * ~2/(w+1) of the full positional-shingle join [[substringDupSpans]]
+   * runs — use it to gate which pairs that exact span-finder inspects.
+   *
+   * Scale shape: distinct (doc, fp) rows only — bodies never join; hot
+   * fingerprints (df > maxDf: boilerplate the pigeonhole makes every doc
+   * select) are dropped by groupBy-count + broadcast anti-join (the
+   * hardened [[ngramJaccardPairs]] cap shape) BEFORE the equi-join, so
+   * fan-out per fp is bounded; containment denominators count the same
+   * retained universe the join saw.
+   */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    require(minShared >= 1 && maxDf >= 1, "minShared and maxDf must be positive")
+    val fps = Text.winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("fp"))
+    val cool = graft.core.CacheScope.autoUnpersist(
+      fps.join(broadcast(hot), Seq("fp"), "left_anti"))
+    val sizes = cool.groupBy(col("__id")).agg(count(lit(1)).as("__nfp"))
+    val shared = cool.as("a").join(cool.as("b"),
+        col("a.fp") === col("b.fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+    shared
+      .join(sizes.select(col("__id").as("doc_a"), col("__nfp").as("__na")), Seq("doc_a"))
+      .join(sizes.select(col("__id").as("doc_b"), col("__nfp").as("__nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared_fp"),
+        round(col("shared_fp") / least(col("__na"), col("__nb")).cast("double"), 6)
+          .as("containment"))
+  }
+
+  /**
    * Remove flagged duplicate spans from documents — the second half of
    * the Lee et al. exact-substring flow: [[substringDupSpans]] FINDS the
    * repeated spans, this operator CUTS them from the duplicate side

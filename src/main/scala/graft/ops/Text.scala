@@ -1042,6 +1042,51 @@ object Text {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col(textCol)))))).as("fp"))
 
   /**
+   * Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+   * local fingerprinting algorithm): hash every k-token gram, slide a
+   * window of `w` gram-hashes, and select each window's minimum (ties to
+   * the RIGHTMOST minimum — the paper's rule, which maximizes selection
+   * reuse across overlapping windows). The selection guarantee: any two
+   * documents sharing a token run of at least `w + k - 1` tokens share at
+   * least one fingerprint VALUE, while only ~2/(w+1) of gram hashes are
+   * kept — the standard code/corpus overlap-detection primitive.
+   *
+   * Documents with fewer than `k` tokens emit nothing; documents with
+   * fewer than `k + w - 1` use the shrunken effective window (their
+   * global minimum — one fingerprint), so every hashable doc is covered.
+   * Hashes are the first 8 hex nibbles of md5(gram) — engine-replayable
+   * (the [[hashSplit]] md5-prefix family), so the whole table
+   * hash-checks against the DuckDB oracle.
+   *
+   * Scale shape: one shuffle-free array-HOF projection per document (the
+   * [[truncateMiddle]] pattern) — gram hashing, window minima, and the
+   * distinct-selection dedup all happen inside the row; only the selected
+   * (pos, fp) pairs explode. Output: (id, pos, fp), pos 1-based over
+   * grams.
+   */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val base = df.select(col(idCol),
+        filter(tokens(col(textCol)), t => t =!= lit("")).as("__toks"))
+      .withColumn("__g", size(col("__toks")) - (k - 1))
+      .filter(col("__g") >= 1)
+      .withColumn("__we", least(lit(w), col("__g")))
+    val hs = transform(sequence(lit(1), col("__g")), i =>
+      conv(substring(md5(array_join(slice(col("__toks"), i, lit(k)), " ")), 1, 8),
+        16, 10).cast("long"))
+    val sels = transform(sequence(lit(1), col("__g") - col("__we") + 1), p => {
+      val win = slice(col("__hs"), p, col("__we"))
+      val minv = array_min(win)
+      val j = array_position(reverse(win), minv)
+      struct((p.cast("long") + col("__we") - j).as("pos"), minv.as("fp"))
+    })
+    base.withColumn("__hs", hs)
+      .select(col(idCol), explode(array_distinct(sels)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /**
    * 16-bit SimHash from per-token md5s. For each of the first 4 hex nibbles
    * of md5(token), each of its 4 bits votes +1/-1; the sign of the summed
    * vote per bit position forms the signature. Near-duplicate docs land on

@@ -153,6 +153,17 @@ object LlmOps extends QueryGroup {
   private def docBucketSql(idExpr: String, nBuckets: Int): String =
     s"(${md5Val16Sql(idExpr)} % $nBuckets)"
 
+  /** First 8 hex nibbles of md5(expr) as a BIGINT in [0, 2^32) — the
+    * DuckDB twin of Spark's `conv(substring(md5(x),1,8),16,10)` behind
+    * [[Text.winnowFingerprints]]. */
+  private def md5Val32Sql(expr: String): String = {
+    val h = s"md5($expr)"
+    (1 to 8).map { i =>
+      val pw = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)*$pw"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Shared oracle fragment: double-precision cosine between two DOUBLE[]. */
   private def cosSql(a: String, b: String) =
     s"ROUND(list_inner_product($a,$b) / (sqrt(list_inner_product($a,$a)) * sqrt(list_inner_product($b,$b))), 6)"
@@ -1387,6 +1398,61 @@ object LlmOps extends QueryGroup {
       Some("""SELECT doc_id,
              |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
              |FROM documents""".stripMargin)),
+
+    // Winnowing (Schleimer et al. 2003): rightmost-window-min fingerprint
+    // selection over k-gram md5 hashes. The oracle replays grams, the
+    // 8-nibble hash, the shrunken-window rule, and the rightmost-min pick.
+    QueryDef("q_text_winnow",
+      (s, dir) => Text.winnowFingerprints(Tables.load(s, dir, "documents"),
+        "text", "doc_id", k = 4, w = 4),
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+              |  FROM documents),
+              |dg AS (SELECT doc_id, ts, len(ts) - 3 AS g FROM d WHERE len(ts) >= 4),
+              |gp AS (SELECT doc_id, ts, g, unnest(generate_series(1, g)) AS i FROM dg),
+              |hvt AS (SELECT doc_id, g, i,
+              |    ${md5Val32Sql("array_to_string(list_slice(ts, i, i + 3), ' ')")} AS h
+              |  FROM gp),
+              |hl AS (SELECT doc_id, ANY_VALUE(g) AS g, LEAST(4, ANY_VALUE(g)) AS we,
+              |    list(h ORDER BY i) AS hs
+              |  FROM hvt GROUP BY doc_id),
+              |pp AS (SELECT doc_id, hs, we, unnest(generate_series(1, g - we + 1)) AS p FROM hl),
+              |wv AS (SELECT doc_id, p, we, list_slice(hs, p, p + we - 1) AS win FROM pp)
+              |SELECT DISTINCT doc_id,
+              |  CAST(p + we - list_position(list_reverse(win), list_min(win)) AS BIGINT) AS pos,
+              |  list_min(win) AS fp
+              |FROM wv""".stripMargin)),
+
+    // Winnowing overlap pairs: equi-join on shared fingerprint values
+    // with a hot-fp cap, shared counts and containment over the retained
+    // sets — the MOSS candidate stage, fully replayed by the oracle.
+    QueryDef("q_winnow_overlap",
+      (s, dir) => Dedup.winnowOverlapPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", k = 4, w = 4, minShared = 2, maxDf = 1000),
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+              |  FROM documents),
+              |dg AS (SELECT doc_id, ts, len(ts) - 3 AS g FROM d WHERE len(ts) >= 4),
+              |gp AS (SELECT doc_id, ts, g, unnest(generate_series(1, g)) AS i FROM dg),
+              |hvt AS (SELECT doc_id, g, i,
+              |    ${md5Val32Sql("array_to_string(list_slice(ts, i, i + 3), ' ')")} AS h
+              |  FROM gp),
+              |hl AS (SELECT doc_id, ANY_VALUE(g) AS g, LEAST(4, ANY_VALUE(g)) AS we,
+              |    list(h ORDER BY i) AS hs
+              |  FROM hvt GROUP BY doc_id),
+              |pp AS (SELECT doc_id, hs, we, unnest(generate_series(1, g - we + 1)) AS p FROM hl),
+              |wv AS (SELECT doc_id, p, we, list_slice(hs, p, p + we - 1) AS win FROM pp),
+              |fp AS (SELECT DISTINCT doc_id, list_min(win) AS fp FROM wv),
+              |hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 1000),
+              |cool AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+              |sz AS (SELECT doc_id, COUNT(*) AS nfp FROM cool GROUP BY doc_id),
+              |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fp
+              |  FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              |SELECT pr.doc_a, pr.doc_b, pr.shared_fp,
+              |  ROUND(pr.shared_fp / CAST(LEAST(sa.nfp, sb.nfp) AS DOUBLE), 6) AS containment
+              |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+              |  JOIN sz sb ON sb.doc_id = pr.doc_b""".stripMargin)),
 
     QueryDef("q_text_simhash",
       (s, dir) => Text.simhash16(Tables.load(s, dir, "documents"), "text", "doc_id"),

@@ -643,6 +643,31 @@ class OpsSpec extends SparkSpec {
     assert(mp.groupBy(_.getLong(0)).forall(_._2.length <= 3))
   }
 
+  test("winnowing: shared run of w+k-1 tokens guarantees a shared fingerprint; overlap pairs surface it") {
+    import spark.implicits._
+    val run = "alpha bravo charlie delta echo foxtrot golf" // 7 = w+k-1 tokens at k=4,w=4
+    val docs = Seq(
+      (1L, s"zeta eta theta $run iota kappa"),
+      (2L, s"one two $run three four five six"),
+      (3L, "unrelated words entirely disjoint from everything else here")
+    ).toDF("doc_id", "text")
+    val fps = graft.ops.Text.winnowFingerprints(docs, "text", "doc_id", k = 4, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing a >= w+k-1 token run must share a fingerprint value")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "no gram in common -> no fingerprint in common")
+    // the pair stage surfaces exactly the planted pair; identical docs hit containment 1
+    val pairs = graft.ops.Dedup.winnowOverlapPairs(docs, "text", "doc_id",
+      k = 4, w = 4, minShared = 1).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val twin = Seq((1L, run + " tail one"), (2L, run + " tail one")).toDF("doc_id", "text")
+    val c = graft.ops.Dedup.winnowOverlapPairs(twin, "text", "doc_id",
+      k = 4, w = 4, minShared = 1).head()
+    assert(c.getDouble(3) == 1.0, s"identical docs must have containment 1, got $c")
+  }
+
   test("prototypicality: rank 1 is the cluster max, sizes partition the corpus, prune keeps n - floor(f*n)") {
     val e = graft.core.Tables.load(spark, sf, "embeddings")
     val total = e.count()

@@ -102,6 +102,38 @@ class PropertySpec extends SparkSpec {
     assert(out.values.count(_ == "test") > 0)
   }
 
+  test("property: winnowFingerprints equals the per-row reference on random corpora") {
+    def refWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val g = toks.length - (k - 1)
+      if (g < 1) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(s: String): Long = {
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(8), 16)
+      }
+      val hs = (0 until g).map(i => h(toks.slice(i, i + k).mkString(" ")))
+      val we = math.min(w, g)
+      (0 to g - we).map { p =>
+        val win = hs.slice(p, p + we)
+        val minv = win.min
+        ((p + win.lastIndexOf(minv) + 1).toLong, minv) // rightmost min
+      }.toSet
+    }
+    val texts = sample(textGen, 120).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    for ((k, w) <- Seq((4, 4), (2, 3), (1, 1))) {
+      val got = Text.winnowFingerprints(df, "t", "id", k, w).collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val want = refWinnow(t, k, w)
+        assert(got.getOrElse(i.toLong, Set.empty) == want,
+          s"k=$k w=$w row $i '$t': ${got.getOrElse(i.toLong, Set.empty)} != $want")
+      }
+    }
+  }
+
   test("property: normText is idempotent and whitespace-insensitive") {
     val texts = sample(textGen, 120).distinct
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
