@@ -1239,4 +1239,53 @@ object Text {
       greatest(n - keep, lit(0)).cast("long").as("n_dropped"),
       (n > keep).as("truncated"))
   }
+
+  /**
+   * Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+   * training of language models to fill in the middle"): reorder a
+   * `rate` fraction of documents into PSM form — `<PRE> prefix <SUF>
+   * suffix <MID> middle` — so an autoregressive LM learns infilling from
+   * plain left-to-right training. Token-level splits; everything is
+   * hash-derived (the [[hashSplit]] md5-prefix family), so the SAME docs
+   * transform with the SAME cut points on every engine and run:
+   *  - apply gate: md5(id + ":fim") 16-bit value < rate * 65536, and the
+   *    doc has >= 3 tokens;
+   *  - cuts c1, c2 = 1 + floor(h_salt * (n-1) / 65536) for salts ":a"
+   *    and ":b" (each in [1, n-1]; prefix and suffix are never empty,
+   *    the middle may be — the paper keeps those);
+   *  - prefix = tokens[1..lo], middle = (lo..hi], suffix = (hi..n] with
+   *    lo/hi = min/max(c1, c2). Untouched docs pass through (tokens
+   *    re-joined single-spaced) with fim_applied = false.
+   *
+   * Scale shape: one shuffle-free narrow projection — the
+   * [[truncateMiddle]] pattern; sentinels are plan literals.
+   */
+  def fimTransform(df: DataFrame, textCol: String, idCol: String,
+      rate: Double = 0.5, preTok: String = "<PRE>", sufTok: String = "<SUF>",
+      midTok: String = "<MID>"): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate in [0, 1]")
+    def hv(salt: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 4),
+        16, 10).cast("long")
+    val ts = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol), ts.as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .withColumn("__ap", hv(":fim") < lit(math.round(rate * 65536)) &&
+        col("__n") >= 3)
+      .withColumn("__c1", lit(1L) + floor(hv(":a") * (col("__n") - 1) / lit(65536)).cast("long"))
+      .withColumn("__c2", lit(1L) + floor(hv(":b") * (col("__n") - 1) / lit(65536)).cast("long"))
+      .withColumn("__lo", least(col("__c1"), col("__c2")))
+      .withColumn("__hi", greatest(col("__c1"), col("__c2")))
+    val psm = array_join(concat(
+      array(lit(preTok)), slice(col("__ts"), lit(1), col("__lo")),
+      array(lit(sufTok)), slice(col("__ts"), col("__hi") + 1, col("__n") - col("__hi")),
+      array(lit(midTok)), slice(col("__ts"), col("__lo") + 1, col("__hi") - col("__lo"))),
+      " ")
+    base.select(col(idCol),
+      when(col("__ap"), psm).otherwise(array_join(col("__ts"), " ")).as("fim_text"),
+      col("__ap").as("fim_applied"),
+      when(col("__ap"), col("__lo")).otherwise(col("__n")).as("n_prefix"),
+      when(col("__ap"), col("__hi") - col("__lo")).otherwise(lit(0L)).as("n_middle"),
+      when(col("__ap"), col("__n") - col("__hi")).otherwise(lit(0L)).as("n_suffix"))
+  }
 }

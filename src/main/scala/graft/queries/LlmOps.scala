@@ -1399,6 +1399,35 @@ object LlmOps extends QueryGroup {
              |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fp
              |FROM documents""".stripMargin)),
 
+    // FIM (Bavarian et al. 2022): hash-gated PSM reorder with md5-derived
+    // cut points — the oracle replays gate, cuts, and the exact splice.
+    QueryDef("q_text_fim",
+      (s, dir) => Text.fimTransform(Tables.load(s, dir, "documents"),
+        "text", "doc_id", rate = 0.5),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+              |  FROM documents),
+              |n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+              |    ${md5Val16Sql("doc_id || ':fim'")} AS hf,
+              |    ${md5Val16Sql("doc_id || ':a'")} AS ha,
+              |    ${md5Val16Sql("doc_id || ':b'")} AS hb FROM t),
+              |c AS (SELECT doc_id, ts, n, (hf < 32768 AND n >= 3) AS ap,
+              |    1 + (ha * (n - 1)) // 65536 AS c1,
+              |    1 + (hb * (n - 1)) // 65536 AS c2 FROM n),
+              |s AS (SELECT doc_id, ts, n, ap,
+              |    LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi FROM c)
+              |SELECT doc_id,
+              |  CASE WHEN ap THEN array_to_string(
+              |    ['<PRE>'] || list_slice(ts, 1, lo) || ['<SUF>'] ||
+              |    list_slice(ts, hi + 1, n) || ['<MID>'] ||
+              |    list_slice(ts, lo + 1, hi), ' ')
+              |  ELSE array_to_string(ts, ' ') END AS fim_text,
+              |  ap AS fim_applied,
+              |  CASE WHEN ap THEN lo ELSE n END AS n_prefix,
+              |  CASE WHEN ap THEN hi - lo ELSE 0 END AS n_middle,
+              |  CASE WHEN ap THEN n - hi ELSE 0 END AS n_suffix
+              |FROM s""".stripMargin)),
+
     // Winnowing (Schleimer et al. 2003): rightmost-window-min fingerprint
     // selection over k-gram md5 hashes. The oracle replays grams, the
     // 8-nibble hash, the shrunken-window rule, and the rightmost-min pick.

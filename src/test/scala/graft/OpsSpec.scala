@@ -643,6 +643,35 @@ class OpsSpec extends SparkSpec {
     assert(mp.groupBy(_.getLong(0)).forall(_._2.length <= 3))
   }
 
+  test("fim: PSM reorder is a token permutation, prefix/suffix never empty, rate limits apply") {
+    val d = graft.core.Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Text.fimTransform(d, "text", "doc_id", rate = 0.5)
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id")).collect()
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)),
+      "rate=0.5 should transform some docs and pass others through")
+    rows.foreach { r =>
+      val orig = r.getString(6).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val (np, nm, ns) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(np + nm + ns == orig.length, s"doc ${r.getLong(0)}: counts must partition")
+      if (r.getBoolean(2)) {
+        val t = r.getString(1).split(" ").toSeq
+        assert(np >= 1 && ns >= 1, "prefix and suffix are never empty")
+        // reassemble PRE..SUF..MID sections back into the original order
+        val pre = t.slice(1, t.indexOf("<SUF>"))
+        val suf = t.slice(t.indexOf("<SUF>") + 1, t.indexOf("<MID>"))
+        val mid = t.drop(t.indexOf("<MID>") + 1)
+        assert((pre ++ mid ++ suf) == orig,
+          s"doc ${r.getLong(0)}: PSM splice must be a reorder of the original tokens")
+      } else assert(r.getString(1).split(" ").toSeq == orig)
+    }
+    // rate limits
+    assert(graft.ops.Text.fimTransform(d, "text", "doc_id", rate = 0.0)
+      .filter(col("fim_applied")).count() == 0)
+    val all = graft.ops.Text.fimTransform(d, "text", "doc_id", rate = 1.0)
+    assert(all.filter(!col("fim_applied")).count() ==
+      all.filter(col("n_prefix") + col("n_middle") + col("n_suffix") < 3).count())
+  }
+
   test("winnowing: shared run of w+k-1 tokens guarantees a shared fingerprint; overlap pairs surface it") {
     import spark.implicits._
     val run = "alpha bravo charlie delta echo foxtrot golf" // 7 = w+k-1 tokens at k=4,w=4
