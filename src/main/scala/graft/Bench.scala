@@ -126,7 +126,10 @@ object Bench {
     "q_dedup_simhash64", "q_bm25_rm3",
     // round-16 families (per-query only): ICP greedy corpus layout,
     // dictionary phrase tagging
-    "q_icp_order", "q_text_keyword_tag")
+    "q_icp_order", "q_text_keyword_tag",
+    // round-17 families (per-query only): winnowing overlap pairs,
+    // the composed D4 (SemDeDup -> SSL-prototypes) pipeline, FIM
+    "q_winnow_overlap", "q_d4_pipeline", "q_text_fim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

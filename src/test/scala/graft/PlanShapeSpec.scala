@@ -463,6 +463,26 @@ class PlanShapeSpec extends SparkSpec {
       s"the one exchange must key on cluster, got ${bulk.head.outputPartitioning}")
   }
 
+  test("q_winnow_overlap: fp-keyed equi-join with broadcast hot cap, no cartesian") {
+    val p = plan("q_winnow_overlap")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      "winnow overlap must never go cartesian")
+    // the exchanges carry (id, fp) pairs and counts, never text bodies
+    shuffles(p).foreach { e =>
+      assert(!e.output.map(_.name).contains("text"),
+        s"document bodies must not shuffle: ${e.output.map(_.name)}")
+    }
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "the hot-fp cap must apply as a broadcast (anti) join")
+    // the capped fingerprint set is CACHED, so the array-HOF winnowing
+    // computes once, not once per self-join side (at spec scale the
+    // small side broadcasts; at corpus scale the join shuffles on fp —
+    // both shapes read the same cached (id, fp) set)
+    assert(s.contains("InMemoryTableScan"),
+      "the capped fingerprint set must be cached across the self-join sides")
+  }
+
   test("q_dedup_minhash_admit: broadcast cap, equi-joins only, no cartesian") {
     val p = plan("q_dedup_minhash_admit")
     val s = p.toString
