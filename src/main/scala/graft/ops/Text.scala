@@ -1260,6 +1260,72 @@ object Text {
    * Scale shape: one shuffle-free narrow projection — the
    * [[truncateMiddle]] pattern; sentinels are plan literals.
    */
+  /**
+   * T5-style span corruption (Raffel et al. 2020 §3.1.4; the UL2 R-denoiser
+   * of Tay et al. 2022): replace short token spans with numbered sentinel
+   * tokens and emit the (input, target) pair a masked-denoising objective
+   * trains on — input keeps the unmasked text with `<extra_id_b>` holes,
+   * target lists each sentinel followed by the tokens it hides.
+   *
+   * The reference samplers draw span starts at random; this rebuild is
+   * hash-derived so the SAME spans mask on every engine and run: the
+   * document splits into consecutive blocks of `blockLen` = round(spanLen
+   * / density) tokens, and block b masks the `spanLen`-token span at
+   * offset md5(id + ":" + b) % (blockLen - spanLen + 1) — matching T5's
+   * expectation (one mean-length span per 1/density tokens, i.e. a
+   * `density` fraction of tokens masked) with bounded worst-case gap.
+   * Trailing tokens beyond the last full block stay unmasked (T5 keeps
+   * partial tails too). Docs shorter than one block pass through with
+   * n_masked = 0 and an empty target.
+   *
+   * Scale shape: one shuffle-free array-HOF projection (the
+   * [[fimTransform]] pattern): block offsets, hole splicing, and target
+   * assembly all happen inside the row; sentinels are plan literals.
+   * Output: (id, input_text, target_text, n_tokens, n_masked, n_spans).
+   */
+  def spanCorrupt(df: DataFrame, textCol: String, idCol: String,
+      density: Double = 0.15, spanLen: Int = 3,
+      sentinelPrefix: String = "<extra_id_"): DataFrame = {
+    require(density > 0 && density < 1, "density in (0, 1)")
+    require(spanLen >= 1, "spanLen >= 1")
+    val blockLen = math.max(spanLen + 1, math.round(spanLen / density).toInt)
+    val width = blockLen - spanLen + 1
+    def sentinel(b: Column): Column = concat(lit(sentinelPrefix), b, lit(">"))
+    val ts = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val base = df.select(col(idCol), ts.as("__ts"))
+      .withColumn("__n", size(col("__ts")).cast("long"))
+      .withColumn("__nb", (col("__n") / lit(blockLen)).cast("long"))
+    // per block b (0-based): masked span start (1-based absolute)
+    val off = (b: Column) =>
+      lit(1L) + b * blockLen +
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"), b)), 1, 4),
+          16, 10).cast("long") % width
+    val blocks = when(col("__nb") >= 1, sequence(lit(0L), col("__nb") - 1))
+      .otherwise(array().cast("array<bigint>"))
+    // input: for each block, kept-prefix ++ sentinel ++ kept-rest-of-block;
+    // plus the unmasked tail after the last full block
+    val inputParts = concat(
+      flatten(transform(blocks, b => {
+        val st = off(b)
+        concat(
+          slice(col("__ts"), b * blockLen + 1, st - (b * blockLen + 1)),
+          array(sentinel(b)),
+          slice(col("__ts"), st + spanLen, (b + 1) * blockLen - (st + spanLen) + 1))
+      })),
+      slice(col("__ts"), col("__nb") * blockLen + 1,
+        col("__n") - col("__nb") * blockLen))
+    val targetParts = flatten(transform(blocks, b =>
+      concat(array(sentinel(b)), slice(col("__ts"), off(b), lit(spanLen)))))
+    base.select(col(idCol),
+      when(col("__nb") >= 1, array_join(inputParts, " "))
+        .otherwise(array_join(col("__ts"), " ")).as("input_text"),
+      when(col("__nb") >= 1, array_join(targetParts, " "))
+        .otherwise(lit("")).as("target_text"),
+      col("__n").as("n_tokens"),
+      (col("__nb") * spanLen).as("n_masked"),
+      col("__nb").as("n_spans"))
+  }
+
   def fimTransform(df: DataFrame, textCol: String, idCol: String,
       rate: Double = 0.5, preTok: String = "<PRE>", sufTok: String = "<SUF>",
       midTok: String = "<MID>"): DataFrame = {

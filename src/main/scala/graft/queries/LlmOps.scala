@@ -1428,6 +1428,36 @@ object LlmOps extends QueryGroup {
               |  CASE WHEN ap THEN n - hi ELSE 0 END AS n_suffix
               |FROM s""".stripMargin)),
 
+    // T5 span corruption: hash-derived masked spans (one spanLen-token
+    // span per blockLen-token block) -> (input with sentinels, target).
+    // The oracle replays block offsets, hole splicing, and target order.
+    QueryDef("q_text_span_corrupt",
+      (s, dir) => Text.spanCorrupt(Tables.load(s, dir, "documents"),
+        "text", "doc_id", density = 0.15, spanLen = 3),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts
+              |  FROM documents),
+              |n AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+              |    CAST(len(ts) AS BIGINT) // 20 AS nb FROM t),
+              |b AS (SELECT doc_id, ts, n, nb,
+              |    unnest(generate_series(0, nb - 1)) AS bi FROM n WHERE nb >= 1),
+              |o AS (SELECT doc_id, ts, nb, bi,
+              |    1 + bi*20 + (${md5Val16Sql("doc_id || ':' || bi")} % 18) AS st FROM b),
+              |parts AS (SELECT doc_id, bi,
+              |    list_slice(ts, bi*20 + 1, st - 1) || ['<extra_id_' || bi || '>'] ||
+              |      list_slice(ts, st + 3, (bi+1)*20) AS inp,
+              |    ['<extra_id_' || bi || '>'] || list_slice(ts, st, st + 2) AS tgt
+              |  FROM o),
+              |agg AS (SELECT doc_id, flatten(list(inp ORDER BY bi)) AS inps,
+              |    flatten(list(tgt ORDER BY bi)) AS tgts FROM parts GROUP BY doc_id)
+              |SELECT n.doc_id,
+              |  CASE WHEN nb >= 1
+              |    THEN array_to_string(inps || list_slice(ts, nb*20 + 1, n), ' ')
+              |    ELSE array_to_string(ts, ' ') END AS input_text,
+              |  CASE WHEN nb >= 1 THEN array_to_string(tgts, ' ') ELSE '' END AS target_text,
+              |  n AS n_tokens, nb * 3 AS n_masked, nb AS n_spans
+              |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id""".stripMargin)),
+
     // Winnowing (Schleimer et al. 2003): rightmost-window-min fingerprint
     // selection over k-gram md5 hashes. The oracle replays grams, the
     // 8-nibble hash, the shrunken-window rule, and the rightmost-min pick.

@@ -643,6 +643,41 @@ class OpsSpec extends SparkSpec {
     assert(mp.groupBy(_.getLong(0)).forall(_._2.length <= 3))
   }
 
+  test("span corruption: splicing targets back into the holes reconstructs the document") {
+    val d = graft.core.Tables.load(spark, sf, "documents")
+    val rows = graft.ops.Text.spanCorrupt(d, "text", "doc_id", density = 0.15, spanLen = 3)
+      .join(d.select(col("doc_id"), col("text")), Seq("doc_id")).collect()
+    assert(rows.exists(_.getLong(5) >= 1), "corpus should contain maskable docs")
+    rows.foreach { r =>
+      val orig = r.getString(6).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val (n, nMasked, nSpans) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n == orig.length && nMasked == nSpans * 3)
+      val sent = (b: Long) => s"<extra_id_$b>"
+      if (nSpans == 0) {
+        assert(r.getString(1).split(" ").filter(_.nonEmpty).toSeq == orig)
+        assert(r.getString(2).isEmpty)
+      } else {
+        // target: sentinel b then its 3 hidden tokens, in block order
+        val tgt = r.getString(2).split(" ").toSeq
+        val spans = (0L until nSpans).map { b =>
+          val i = tgt.indexOf(sent(b))
+          assert(i >= 0, s"doc ${r.getLong(0)}: target missing ${sent(b)}")
+          b -> tgt.slice(i + 1, i + 4)
+        }.toMap
+        assert(tgt.length == nSpans * 4, "target = (sentinel + 3 tokens) per span")
+        // splice each span back into its hole
+        val rebuilt = r.getString(1).split(" ").toSeq.flatMap { t =>
+          if (t.startsWith("<extra_id_")) spans(t.stripPrefix("<extra_id_").stripSuffix(">").toLong)
+          else Seq(t)
+        }
+        assert(rebuilt == orig, s"doc ${r.getLong(0)}: splice-back must reconstruct")
+        // realized mask rate tracks the requested density (3/20)
+        assert(math.abs(nMasked.toDouble / n - 0.15) < 0.15,
+          s"doc ${r.getLong(0)}: masked fraction ${nMasked.toDouble / n} far from density")
+      }
+    }
+  }
+
   test("fim: PSM reorder is a token permutation, prefix/suffix never empty, rate limits apply") {
     val d = graft.core.Tables.load(spark, sf, "documents")
     val rows = graft.ops.Text.fimTransform(d, "text", "doc_id", rate = 0.5)

@@ -663,6 +663,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("objective transforms (FIM, span corruption, winnowing) are stateless: streaming equals batch") {
+    import graft.ops.Text
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_obj_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    val sFim = Text.fimTransform(docsStream, "text", "doc_id", rate = 0.5)
+    val sSpan = Text.spanCorrupt(docsStream, "text", "doc_id")
+    val sWin = Text.winnowFingerprints(docsStream, "text", "doc_id")
+    val q1 = sFim.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fim_stream").start()
+    val q2 = sSpan.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("span_stream").start()
+    val q3 = sWin.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("win_stream").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      val batch = graft.core.Tables.load(spark, sf, "documents")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.toList).toSet
+      assert(key(spark.table("fim_stream")) ==
+        key(Text.fimTransform(batch, "text", "doc_id", rate = 0.5)))
+      assert(key(spark.table("span_stream")) ==
+        key(Text.spanCorrupt(batch, "text", "doc_id")))
+      assert(key(spark.table("win_stream")) ==
+        key(Text.winnowFingerprints(batch, "text", "doc_id")))
+      assert(spark.table("fim_stream").count() > 0)
+    } finally { q1.stop(); q2.stop(); q3.stop() }
+  }
+
   test("curation chain (strip -> scrub -> normalize -> gate) is stateless: streaming equals batch") {
     import graft.ops.Text
     import org.apache.spark.sql.functions._
