@@ -200,6 +200,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(split.count() == 4)
   }
 
+  test("objective-transform edge cases: empty/short docs, string ids, degenerate params") {
+    import graft.ops.{Dedup, Text}
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "one two"),
+      (5L, "exactly three tokens")).toDF("doc_id", "text")
+    // winnowing: nothing hashable below k tokens; k=1 fingerprints everything non-empty
+    assert(Text.winnowFingerprints(docs, "text", "doc_id", k = 4, w = 4).count() == 0)
+    assert(Text.winnowFingerprints(docs, "text", "doc_id", k = 1, w = 1)
+      .select("doc_id").distinct().count() == 3)
+    // FIM: < 3 tokens always passes through, even at rate 1
+    val fim = Text.fimTransform(docs, "text", "doc_id", rate = 1.0).collect()
+    assert(fim.filter(_.getBoolean(2)).map(_.getLong(0)).toSet == Set(5L))
+    assert(fim.filter(_.getLong(0) == 1L).head.getString(1) == "")
+    // span corruption: below one block nothing masks; text survives verbatim
+    val sc = Text.spanCorrupt(docs, "text", "doc_id").collect()
+    assert(sc.forall(_.getLong(5) == 0L) && sc.forall(_.getString(2) == ""))
+    assert(sc.filter(_.getLong(0) == 5L).head.getString(1) == "exactly three tokens")
+    // string doc ids flow through hashing + pairing untouched
+    val sdocs = Seq(("doc/a", "alpha bravo charlie delta echo foxtrot golf hotel"),
+      ("doc/b", "alpha bravo charlie delta echo foxtrot golf hotel"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(sdocs, "text", "doc_id", minShared = 1).collect()
+    assert(pairs.length == 1 && pairs.head.getString(0) == "doc/a" &&
+      pairs.head.getDouble(3) == 1.0)
+    assert(Text.fimTransform(sdocs, "text", "doc_id", rate = 1.0)
+      .filter(col("fim_applied")).count() == 2)
+  }
+
   test("sftTokenSpans: empty assistant content spans zero tokens after its header") {
     import graft.ops.Chat
     val js = """[{"role":"user","content":"hello there"},{"role":"assistant","content":""}]"""
