@@ -204,8 +204,9 @@ object CurationQ extends QueryGroup {
              |    (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn FROM b)
              |SELECT bucket, (rn - 1) // 8 AS batch_id,
              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-             |  MAX(n_tokens) AS max_tokens, SUM(n_tokens) AS sum_tokens,
-             |  MAX(n_tokens) * CAST(COUNT(*) AS BIGINT) - SUM(n_tokens) AS pad_waste
+             |  MAX(n_tokens) AS max_tokens,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(MAX(n_tokens) * CAST(COUNT(*) AS BIGINT) - SUM(n_tokens) AS BIGINT) AS pad_waste
              |FROM r GROUP BY 1, 2""".stripMargin)),
 
     // Edit-distance near-dup value pairs, length-blocked (lossless:

@@ -565,7 +565,7 @@ object LlmOps extends QueryGroup {
       Some(s"""WITH $shinglesCte,
               |dfs AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
               |SELECT sh.doc_id, COUNT(*) AS n_shingles,
-              |  SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique,
+              |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
               |  ROUND(AVG(CAST(df AS DOUBLE)), 6) AS mean_df,
               |  ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS novelty
               |FROM sh JOIN dfs USING(shingle) GROUP BY 1""".stripMargin)),
@@ -783,7 +783,9 @@ object LlmOps extends QueryGroup {
               |    CAST(len(bpe) AS BIGINT) AS nt
               |  FROM b)
               |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-              |  SUM(nw) AS n_words, SUM(nt) AS n_bpe_tokens, SUM(nc) AS n_chars,
+              |  CAST(SUM(nw) AS BIGINT) AS n_words,
+              |  CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+              |  CAST(SUM(nc) AS BIGINT) AS n_chars,
               |  ROUND(SUM(nt) * 1.0 / SUM(nw), 6) AS fertility,
               |  ROUND(SUM(nc) * 1.0 / SUM(nt), 6) AS chars_per_token
               |FROM w GROUP BY source""".stripMargin)),
@@ -3295,7 +3297,8 @@ object LlmOps extends QueryGroup {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
              |  FROM l)
              |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, role,
-             |  tok_start AS token_start, tok_start + cnt AS token_end,
+             |  CAST(tok_start AS BIGINT) AS token_start,
+             |  CAST(tok_start + cnt AS BIGINT) AS token_end,
              |  role = 'assistant' AS is_target
              |FROM o""".stripMargin)),
 
@@ -3343,7 +3346,8 @@ object LlmOps extends QueryGroup {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
              |  FROM l)
              |SELECT doc_id, CAST(i AS BIGINT) AS turn_idx, role,
-             |  tok_start AS token_start, tok_start + cnt AS token_end,
+             |  CAST(tok_start AS BIGINT) AS token_start,
+             |  CAST(tok_start + cnt AS BIGINT) AS token_end,
              |  role = 'assistant' AS is_target
              |FROM o""".stripMargin)),
 
@@ -3425,8 +3429,9 @@ object LlmOps extends QueryGroup {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
              |  FROM l)
              |SELECT sp.doc_id, CAST(sp.i AS BIGINT) AS turn_idx, asg.bucket,
-             |  asg.pack_idx, asg.token_offset + sp.tok_start AS packed_start,
-             |  asg.token_offset + sp.tok_start + sp.cnt AS packed_end
+             |  asg.pack_idx,
+             |  CAST(asg.token_offset + sp.tok_start AS BIGINT) AS packed_start,
+             |  CAST(asg.token_offset + sp.tok_start + sp.cnt AS BIGINT) AS packed_end
              |FROM sp JOIN asg ON asg.doc_id = sp.doc_id
              |WHERE sp.role = 'assistant'""".stripMargin)),
 

@@ -380,7 +380,7 @@ object Relational extends QueryGroup {
              |    ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i,
              |    ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rr
              |  FROM c)
-             |SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows,
+             |SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
              |  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
              |  ROUND(CAST(SUM(CASE WHEN rr <= 10 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
              |    AS topk_share,

@@ -497,7 +497,7 @@ object TemporalQ extends QueryGroup {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           round(avg(col("k")), 6).as("avg_k")),
       Some("""SELECT event_type, COUNT(*) AS n,
-             |  SUM(CAST(props->>'k' AS INT)) AS sum_k,
+             |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
              |  ROUND(AVG(CAST(props->>'k' AS INT)), 6) AS avg_k
              |FROM events GROUP BY event_type""".stripMargin)),
 
