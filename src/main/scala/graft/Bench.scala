@@ -215,10 +215,11 @@ object Bench {
     // a query that failed in EITHER pass reports -1.0 and never contributes
     // to the total — a flaky query must not inflate the headline with a
     // single-sample time while also flagging failure
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     val results = qs.map(n => n -> (if (failed(n)) -1.0 else
-      best.get(n).map(_._1).getOrElse(-1.0)))
+      best.get(n).map(t => r3(t._1)).getOrElse(-1.0)))
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // like-for-like total over the 16 queries the round-4 21.3 s gate was
     // measured on (later-round additions report per-query only)
     val gate16 = Set("q_pipeline_e2e", "q1_agg", "q_c1_rank", "q_e1_pivot",
@@ -226,9 +227,8 @@ object Bench {
       "q_dedup_minhash_fast", "q_text_simhash", "q_text_quality",
       "q_ann_brute", "q_ann_lsh", "q_multimodal_meta", "q_score_embeddings",
       "q_train_transformer", "q_train_lstm_ae")
-    val gate16Total = results.filter(r => gate16(r._1)).map(_._2).filter(_ >= 0).sum
+    val gate16Total = r3(results.filter(r => gate16(r._1)).map(_._2).filter(_ >= 0).sum)
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
-    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     // baseline_ab: worst sentinel inflation vs the quiet-box references —
     // the same-window A/B of BASELINE.md:88-96 against a constant workload.
     // <=1.3 box comparable to the baseline window; >=1.5 artifact is
@@ -241,15 +241,30 @@ object Bench {
     // read as a regression. `contaminated` = the artifact contains at
     // least one such query.
     val qAb = qs.filterNot(failed).map(n => n -> r3(best(n)._2))
-    val qAbJson = qAb.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // shrink: only report brackets that show inflation (>= 1.2); a clean
+    // bracket carries no information and the r11 artifact got truncated by
+    // the driver's tail capture precisely because the line had grown
+    val qAbJson = qAb.filter(_._2 >= 1.2)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val contaminatedQs = qAb.filter(_._2 >= 1.5).map(_._1)
     val contamJson = contaminatedQs.map(n => s""""$n"""").mkString("[", ",", "]")
     val sentJson =
       s""""cpu_min":${r3(cpuS.min)},"cpu_max":${r3(cpuS.max)},""" +
       s""""par_min":${r3(parS.min)},"par_max":${r3(parS.max)},""" +
       s""""spark_min":${r3(sparkS.min)},"spark_max":${r3(sparkS.max)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","gate16_total":${r3(gate16Total)},"queries":$qJson,"failed":$failedJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","gate16_total":$gate16Total,"queries":$qJson,"failed":$failedJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}"""
+    // belt-and-braces vs the driver's finite tail capture: the artifact
+    // also lands in the repo, so the verdict never depends on the capture
+    // window catching the whole stdout line
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
+    // the JSON is the ABSOLUTE last stdout line this process emits (after
+    // spark.stop()'s logging) — maximizes survival under tail capture
+    println(json)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -18,7 +18,16 @@ object Dedup {
 
   /** Normalized text for exact dedup: lowercase + whitespace collapse.
     * Public so composed reports ([[graft.queries.LlmOps]]' datasheet) key
-    * on the SAME content identity the dedup family uses. */
+    * on the SAME content identity the dedup family uses.
+    *
+    * COMPAT (round 11): the trim/collapse order changed to
+    * `trim(regexp_replace(...))` so leading/trailing TABS and NEWLINES
+    * are stripped too (Spark `trim` strips spaces only — collapsing
+    * first turns them into strippable spaces). This changes the content
+    * hash for such texts: persisted artifacts keyed on the old hash —
+    * notably [[graft.streaming.EventStream]] exact-dedup checkpoint
+    * state — will no longer match and must be rebuilt from the corpus
+    * after upgrading. */
   def normText(c: String): Column =
     trim(regexp_replace(lower(col(c)), "\\s+", " "))
 
@@ -636,11 +645,18 @@ object Dedup {
    */
   def clusterSafeSplit(df: DataFrame, groups: DataFrame, idCol: String,
       fractions: Seq[(String, Double)]): DataFrame = {
+    // dedupGroups/connectedComponents emit hard-coded (doc_id,
+    // canonical_id) — rename both to idCol-local names so the composition
+    // works for ANY idCol and never collides with caller columns. Accept
+    // groups keyed either on doc_id (the dedupGroups contract) or already
+    // on idCol.
+    val gid = if (groups.columns.contains("doc_id")) "doc_id" else idCol
     val canon = df
-      .join(groups.select(col(idCol), col("canonical_id")), Seq(idCol), "left")
-      .withColumn("__ck", coalesce(col("canonical_id"), col(idCol)))
+      .join(groups.select(col(gid).as(idCol), col("canonical_id").as("__canon")),
+        Seq(idCol), "left")
+      .withColumn("__ck", coalesce(col("__canon"), col(idCol)))
     Text.hashSplit(canon, "__ck", fractions)
-      .drop("__ck", "canonical_id")
+      .drop("__ck", "__canon")
   }
 
   /** [[lshPlan]]'s result: banding for [[minhashLshPairs]] plus the

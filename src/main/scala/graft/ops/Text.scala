@@ -1241,26 +1241,6 @@ object Text {
   }
 
   /**
-   * Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
-   * training of language models to fill in the middle"): reorder a
-   * `rate` fraction of documents into PSM form — `<PRE> prefix <SUF>
-   * suffix <MID> middle` — so an autoregressive LM learns infilling from
-   * plain left-to-right training. Token-level splits; everything is
-   * hash-derived (the [[hashSplit]] md5-prefix family), so the SAME docs
-   * transform with the SAME cut points on every engine and run:
-   *  - apply gate: md5(id + ":fim") 16-bit value < rate * 65536, and the
-   *    doc has >= 3 tokens;
-   *  - cuts c1, c2 = 1 + floor(h_salt * (n-1) / 65536) for salts ":a"
-   *    and ":b" (each in [1, n-1]; prefix and suffix are never empty,
-   *    the middle may be — the paper keeps those);
-   *  - prefix = tokens[1..lo], middle = (lo..hi], suffix = (hi..n] with
-   *    lo/hi = min/max(c1, c2). Untouched docs pass through (tokens
-   *    re-joined single-spaced) with fim_applied = false.
-   *
-   * Scale shape: one shuffle-free narrow projection — the
-   * [[truncateMiddle]] pattern; sentinels are plan literals.
-   */
-  /**
    * T5-style span corruption (Raffel et al. 2020 §3.1.4; the UL2 R-denoiser
    * of Tay et al. 2022): replace short token spans with numbered sentinel
    * tokens and emit the (input, target) pair a masked-denoising objective
@@ -1326,6 +1306,26 @@ object Text {
       col("__nb").as("n_spans"))
   }
 
+  /**
+   * Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+   * training of language models to fill in the middle"): reorder a
+   * `rate` fraction of documents into PSM form — `<PRE> prefix <SUF>
+   * suffix <MID> middle` — so an autoregressive LM learns infilling from
+   * plain left-to-right training. Token-level splits; everything is
+   * hash-derived (the [[hashSplit]] md5-prefix family), so the SAME docs
+   * transform with the SAME cut points on every engine and run:
+   *  - apply gate: md5(id + ":fim") 16-bit value < rate * 65536, and the
+   *    doc has >= 3 tokens;
+   *  - cuts c1, c2 = 1 + floor(h_salt * (n-1) / 65536) for salts ":a"
+   *    and ":b" (each in [1, n-1]; prefix and suffix are never empty,
+   *    the middle may be — the paper keeps those);
+   *  - prefix = tokens[1..lo], middle = (lo..hi], suffix = (hi..n] with
+   *    lo/hi = min/max(c1, c2). Untouched docs pass through (tokens
+   *    re-joined single-spaced) with fim_applied = false.
+   *
+   * Scale shape: one shuffle-free narrow projection — the
+   * [[truncateMiddle]] pattern; sentinels are plan literals.
+   */
   def fimTransform(df: DataFrame, textCol: String, idCol: String,
       rate: Double = 0.5, preTok: String = "<PRE>", sufTok: String = "<SUF>",
       midTok: String = "<MID>"): DataFrame = {

@@ -104,11 +104,15 @@ object Urls {
     require(entries.nonEmpty, "empty blocklist")
     val lst = lit(entries.map(_.toLowerCase).toArray)
     val chain = hostSuffixes(lower(col(hostCol)))
-    // suffix chain is ordered most-specific first; the first hit wins
+    // suffix chain is ordered most-specific first; the first hit wins.
+    // `blocked` must be null-safe: a null host (URL parse failure) makes
+    // size(hits) null, and a NULL flag would silently drop the row from
+    // filter(!blocked) — diverging from blocklistFilter, which keeps
+    // null-host rows (explode skips null chains, anti-join retains)
     val hits = filter(chain, s => array_contains(lst, s))
     df.withColumn("blocked_by",
         when(size(hits) > 0, element_at(hits, 1)).otherwise(lit(null)))
-      .withColumn("blocked", size(hits) > 0)
+      .withColumn("blocked", coalesce(size(hits) > 0, lit(false)))
   }
 
   /**

@@ -178,4 +178,21 @@ class CurationSpec extends SparkSpec {
       hintBroadcast = false).collect().map(_.getLong(0)).toSet
     assert(keptShuffle == kept)
   }
+
+  test("blocklist: null host (URL parse failure) — flag is false, both forms keep the row") {
+    val df = Seq((1L, "spam.com"), (2L, null.asInstanceOf[String]), (3L, "ok.org"))
+      .toDF("id", "host")
+    val entries = Seq("spam.com")
+    val flagged = Urls.blocklistFlag(df, "host", entries)
+    val byId = flagged.collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(byId(2L) == ((None, false)), "null host must flag blocked=false, not NULL")
+    // the documented gate pattern must keep the null-host row
+    val gateKept = flagged.filter(!col("blocked")).collect().map(_.getLong(0)).toSet
+    assert(gateKept == Set(2L, 3L))
+    // and agree with the join form on the survivor set
+    val joinKept = Urls.blocklistFilter(df, "host", "id", entries.toDF("entry"))
+      .collect().map(_.getLong(0)).toSet
+    assert(joinKept == gateKept)
+  }
 }
