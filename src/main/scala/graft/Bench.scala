@@ -129,7 +129,11 @@ object Bench {
     "q_icp_order", "q_text_keyword_tag",
     // round-17 families (per-query only): winnowing overlap pairs,
     // the composed D4 (SemDeDup -> SSL-prototypes) pipeline, FIM
-    "q_winnow_overlap", "q_d4_pipeline", "q_text_fim")
+    "q_winnow_overlap", "q_d4_pipeline", "q_text_fim",
+    // round-18 (per-query only): retrieval served from a SAVED inverted
+    // index (fit+save paid once on the warm-up pass; timed passes read
+    // the term-clustered on-disk postings)
+    "q_bm25_prebuilt", "q_bm25_rm3_prebuilt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

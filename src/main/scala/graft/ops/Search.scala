@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,8 +30,14 @@ import org.apache.spark.sql.functions._
  */
 object Search {
 
-  private def toks(c: String): Column =
+  private[ops] def toks(c: String): Column =
     array_remove(split(lower(col(c)), "\\s+"), "")
+
+  /** (doc_id, dl, term) token rows — the narrow explode every index shape
+    * aggregates from. */
+  private def tokenRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"),
+      explode(toks(textCol)).as("term"))
 
   /**
    * Inverted-index posting lists: one row per (term, doc) with the term
@@ -40,10 +46,49 @@ object Search {
    * to the corpus.
    */
   def postings(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"),
-        explode(toks(textCol)).as("term"))
+    tokenRows(df, textCol, idCol)
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+
+  /**
+   * How the BM25/RM3 cores obtain matched postings. Two shapes:
+   *  - inline (ad-hoc corpus): prune the exploded token rows by the
+   *    broadcast term/doc set BEFORE any aggregation, so nothing
+   *    vocabulary-sized is ever aggregated or shuffled — the only wide
+   *    work is a hash-aggregate over MATCHED rows;
+   *  - prebuilt ([[SearchIndex]]): prune the stored postings table; with
+   *    [[SearchIndex#save]]'s term-clustered layout the scan itself
+   *    prunes on the parquet footer stats.
+   */
+  private sealed trait PostingsSource {
+    /** One-row (n_docs, avgdl) over ALL docs. */
+    def stats: DataFrame
+    /** (term, doc_id, dl, tf) rows for terms in `termSet` (skinny, broadcast). */
+    def byTerms(termSet: DataFrame): DataFrame
+    /** (term, doc_id, dl, tf) rows for docs in `docIds` (skinny, broadcast). */
+    def byDocs(docIds: DataFrame): DataFrame
+  }
+
+  private final case class InlineSource(docs: DataFrame, textCol: String,
+      idCol: String) extends PostingsSource {
+    def stats: DataFrame = SearchIndex.statsOf(docs, textCol)
+    def byTerms(termSet: DataFrame): DataFrame =
+      tokenRows(docs, textCol, idCol).join(broadcast(termSet), "term")
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+    def byDocs(docIds: DataFrame): DataFrame =
+      tokenRows(docs, textCol, idCol).join(broadcast(docIds), "doc_id")
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+  }
+
+  private final case class IndexSource(index: SearchIndex) extends PostingsSource {
+    def stats: DataFrame = index.stats
+    def byTerms(termSet: DataFrame): DataFrame =
+      index.postings.join(broadcast(termSet), "term")
+    def byDocs(docIds: DataFrame): DataFrame =
+      index.postings.join(broadcast(docIds), "doc_id")
+  }
 
   /**
    * BM25 top-k retrieval (Robertson/Sparck Jones, the Lucene idf variant
@@ -70,12 +115,23 @@ object Search {
    */
   def bm25TopKDf(docs: DataFrame, textCol: String, idCol: String,
       queryDf: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val post = postings(docs, textCol, idCol)
-    // Corpus stats over ALL docs (incl. empty ones): one-row broadcast.
-    val stats = docs
-      .select(size(toks(textCol)).as("dl0"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Core(InlineSource(docs, textCol, idCol), queryDf, k, k1, b)
+
+  /**
+   * [[bm25TopKDf]] against a PREBUILT [[SearchIndex]] — the repeated-
+   * workload shape: [[SearchIndex.fit]]+[[SearchIndex#save]] once,
+   * [[SearchIndex.load]] per session, and every query batch prunes the
+   * on-disk postings without re-tokenizing the corpus. Identical
+   * results to the inline build (spec-pinned).
+   */
+  def bm25TopKIdx(index: SearchIndex, queryDf: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Core(IndexSource(index), queryDf, k, k1, b)
+
+  private def bm25Core(src: PostingsSource, queryDf: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val stats = src.stats
 
     val qterms = queryDf
       .select(col("query_id"),
@@ -83,8 +139,8 @@ object Search {
           .as("term"))
     val qset = qterms.select(col("term")).distinct()
 
-    // Prune the index to query terms first; df is exact on the pruned side.
-    val cand = post.join(broadcast(qset), "term")
+    // Prune to query terms first; df is exact on the pruned side.
+    val cand = src.byTerms(qset)
     val dfT = cand.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
 
     val idf = log(lit(1.0) +
@@ -124,27 +180,46 @@ object Search {
    * full two-pass SQL replay.
    *
    * Scale shape: both passes are the [[bm25TopKDf]] candidate-pruned
-   * joins (query side broadcast, corpus postings never fully shuffle);
+   * joins (query side broadcast; inline serving prunes the token rows
+   * BEFORE any aggregate, so nothing vocabulary-sized is ever built —
+   * three pruned corpus passes, each aggregating only matched rows);
    * the feedback table is O(queries · f) rows and the expanded query
    * O(queries · (|q| + e)) — all broadcast-sized regardless of corpus.
+   * For repeated workloads serve [[rm3TopKIdx]] from a saved
+   * [[SearchIndex]] instead — zero corpus tokenization per batch.
    */
   def rm3TopK(docs: DataFrame, textCol: String, idCol: String,
       queryBatch: Seq[(Int, String)], k: Int, f: Int = 5, e: Int = 3,
       lambda: Double = 0.6, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(f >= 1 && e >= 1 && lambda > 0 && lambda < 1,
-      "need f >= 1, e >= 1, 0 < lambda < 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val queryDf = queryBatch.toDF("query_id", "qtext")
-    val post = postings(docs, textCol, idCol)
-    val stats = docs.select(size(toks(textCol)).as("dl0"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
+    rm3Core(InlineSource(docs, textCol, idCol),
+      queryBatch.toDF("query_id", "qtext"), k, f, e, lambda, k1, b)
+  }
+
+  /** [[rm3TopK]] against a PREBUILT [[SearchIndex]] (query batch as a
+    * (query_id, qtext) DataFrame) — both BM25 passes serve from the same
+    * index; nothing re-tokenizes the corpus. */
+  def rm3TopKIdx(index: SearchIndex, queryDf: DataFrame, k: Int,
+      f: Int = 5, e: Int = 3, lambda: Double = 0.6,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rm3Core(IndexSource(index), queryDf, k, f, e, lambda, k1, b)
+
+  private def rm3Core(src: PostingsSource, queryDf: DataFrame, k: Int,
+      f: Int, e: Int, lambda: Double, k1: Double, b: Double): DataFrame = {
+    require(f >= 1 && e >= 1 && lambda > 0 && lambda < 1,
+      "need f >= 1, e >= 1, 0 < lambda < 1")
+    val stats = src.stats
     val qterms = queryDf.select(col("query_id"),
       explode(array_distinct(array_remove(split(lower(col("qtext")), "\\s+"), "")))
         .as("term"))
-    val pass1 = bm25TopKDf(docs, textCol, idCol, queryDf, f, k1, b)
+    val pass1 = bm25Core(src, queryDf, f, k1, b)
       .select(col("query_id"), col("doc_id"), col("score"))
-    val fb = post.join(broadcast(pass1), Seq("doc_id"))
+    // RM1 weights need tf over ALL terms of the feedback docs — prune by
+    // DOC instead of term, then fan out per (query, doc) via the tiny
+    // broadcast pass-1 table
+    val fb = src.byDocs(pass1.select(col("doc_id")).distinct())
+      .join(broadcast(pass1), Seq("doc_id"))
       .select(col("query_id"), col("term"),
         (col("tf").cast("double") / col("dl") * col("score")).as("__c"))
       .groupBy(col("query_id"), col("term"))
@@ -158,7 +233,7 @@ object Search {
         (lit(1.0 - lambda) * col("__w") / sum(col("__w")).over(wsum)).as("qw"))
     val wq = qterms.select(col("query_id"), col("term"), lit(lambda).as("qw"))
       .unionByName(expW)
-    val cand = post.join(broadcast(wq.select(col("term")).distinct()), "term")
+    val cand = src.byTerms(wq.select(col("term")).distinct())
     val dfT = cand.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
@@ -324,4 +399,52 @@ object Search {
           .as("tfidf"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+}
+
+/**
+ * Prebuilt inverted index: the [[Search.postings]] table plus the one-row
+ * corpus stats (n_docs, avgdl) BM25's idf and length normalization need.
+ * Stats are computed over ALL documents — including empty ones, which the
+ * postings cannot see — so they must travel WITH the postings; recomputing
+ * them from the index would silently shift every idf.
+ *
+ * The [[IvfIndex]] save/load pattern applied to retrieval: [[SearchIndex.fit]]
+ * once, [[save]] to disk, [[SearchIndex.load]] in later sessions, and serve
+ * [[Search.bm25TopKIdx]] / [[Search.rm3TopKIdx]] query batches without ever
+ * re-tokenizing the corpus — at 100 TB the postings build IS the dominant
+ * cost of retrieval, and it amortizes across every query batch that reuses
+ * the saved index.
+ */
+final case class SearchIndex(postings: DataFrame, stats: DataFrame) {
+
+  /**
+   * Term-clustered on-disk layout: range-repartition by (term, doc_id) +
+   * sort within partitions, so each parquet file covers a contiguous term
+   * range and its min/max footer stats prune query-term lookups at scan
+   * time. Deliberately NOT `write.partitionBy("term")` — one directory
+   * per vocabulary term is a small-files catastrophe at web scale.
+   */
+  def save(dir: String): Unit = {
+    postings.repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+}
+
+object SearchIndex {
+
+  /** One-row corpus stats over ALL docs (incl. empty ones): n_docs, avgdl. */
+  private[ops] def statsOf(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(size(Search.toks(textCol)).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
+
+  /** One pass over the corpus for the postings aggregate + one skinny
+    * token-count pass for the stats row. */
+  def fit(docs: DataFrame, textCol: String, idCol: String): SearchIndex =
+    SearchIndex(Search.postings(docs, textCol, idCol), statsOf(docs, textCol))
+
+  def load(spark: SparkSession, dir: String): SearchIndex =
+    SearchIndex(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/stats"))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, Profile, QualityFilter, Search, Select, Sketch, Sq, Text, Vectors}
+import graft.ops.{Bpe, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, Profile, QualityFilter, Search, SearchIndex, Select, Sketch, Sq, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -2919,31 +2919,20 @@ object LlmOps extends QueryGroup {
     QueryDef("q_bm25_search",
       (s, dir) => Search.bm25TopK(Tables.load(s, dir, "documents"),
         "text", "doc_id", Bm25Queries, k = 10),
-      Some {
-        val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
-        s"""WITH q(query_id, qtext) AS (VALUES $vals),
-           |qt AS (SELECT DISTINCT query_id,
-           |    unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
-           |  FROM q),
-           |base AS (SELECT doc_id,
-           |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
-           |  FROM documents),
-           |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
-           |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
-           |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
-           |cand AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
-           |dft AS (SELECT term, COUNT(*) AS df_t FROM cand GROUP BY 1),
-           |sc AS (SELECT qt.query_id, c.doc_id,
-           |    ROUND(SUM(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
-           |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
-           |  FROM cand c JOIN qt ON qt.term = c.term JOIN dft d ON d.term = c.term
-           |  CROSS JOIN stats s
-           |  GROUP BY 1, 2),
-           |r AS (SELECT query_id, doc_id, score,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
-           |  FROM sc)
-           |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""".stripMargin
-      }),
+      Some(bm25OracleSql)),
+
+    // The same retrieval served from a SAVED SearchIndex (fit+save happens
+    // once per sf dir, on the warm-up pass; timed passes read the
+    // term-clustered on-disk postings — the production repeated-query
+    // shape, zero corpus tokenization per batch). Results are identical
+    // to q_bm25_search, so the same oracle grades both.
+    QueryDef("q_bm25_prebuilt",
+      (s, dir) => {
+        import s.implicits._
+        Search.bm25TopKIdx(prebuiltIndex(s, dir),
+          Bm25Queries.toDF("query_id", "qtext"), k = 10)
+      },
+      Some(bm25OracleSql)),
 
     // RM3 pseudo-relevance feedback: BM25 pass-1 -> RM1 term weights from
     // the top-5 feedback docs (rounded before the top-3 cut, so the
@@ -2952,54 +2941,16 @@ object LlmOps extends QueryGroup {
     QueryDef("q_bm25_rm3",
       (s, dir) => Search.rm3TopK(Tables.load(s, dir, "documents"),
         "text", "doc_id", Bm25Queries, k = 10),
-      Some {
-        val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
-        s"""WITH q(query_id, qtext) AS (VALUES $vals),
-           |qt AS (SELECT DISTINCT query_id,
-           |    unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
-           |  FROM q),
-           |base AS (SELECT doc_id,
-           |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
-           |  FROM documents),
-           |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
-           |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
-           |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
-           |cand1 AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
-           |dft1 AS (SELECT term, COUNT(*) AS df_t FROM cand1 GROUP BY 1),
-           |sc1 AS (SELECT qt.query_id, c.doc_id,
-           |    ROUND(SUM(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
-           |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
-           |  FROM cand1 c JOIN qt ON qt.term = c.term JOIN dft1 d ON d.term = c.term
-           |  CROSS JOIN stats s GROUP BY 1, 2),
-           |r1 AS (SELECT query_id, doc_id, score,
-           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
-           |  FROM sc1),
-           |fb AS (SELECT r.query_id, p.term,
-           |    ROUND(SUM(p.tf * 1.0 / p.dl * r.score), 6) AS w
-           |  FROM p JOIN r1 r ON p.doc_id = r.doc_id AND r.rk <= 5
-           |  GROUP BY 1, 2),
-           |fbx AS (SELECT * FROM fb
-           |  WHERE NOT EXISTS (SELECT 1 FROM qt
-           |    WHERE qt.query_id = fb.query_id AND qt.term = fb.term)),
-           |ew AS (SELECT query_id, term,
-           |    0.4 * w / SUM(w) OVER (PARTITION BY query_id) AS qw
-           |  FROM (SELECT query_id, term, w, ROW_NUMBER() OVER (
-           |      PARTITION BY query_id ORDER BY w DESC, term) AS r FROM fbx)
-           |  WHERE r <= 3),
-           |wq AS (SELECT query_id, term, 0.6 AS qw FROM qt
-           |  UNION ALL SELECT query_id, term, qw FROM ew),
-           |cand2 AS (SELECT * FROM p WHERE term IN (SELECT DISTINCT term FROM wq)),
-           |dft2 AS (SELECT term, COUNT(*) AS df_t FROM cand2 GROUP BY 1),
-           |sc2 AS (SELECT w.query_id, c.doc_id,
-           |    ROUND(SUM(w.qw * ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
-           |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
-           |  FROM cand2 c JOIN wq w ON w.term = c.term JOIN dft2 d ON d.term = c.term
-           |  CROSS JOIN stats s GROUP BY 1, 2)
-           |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
-           |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
-           |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM sc2)
-           |WHERE rk <= 10""".stripMargin
-      }),
+      Some(rm3OracleSql)),
+
+    // RM3 served from the saved index (see q_bm25_prebuilt)
+    QueryDef("q_bm25_rm3_prebuilt",
+      (s, dir) => {
+        import s.implicits._
+        Search.rm3TopKIdx(prebuiltIndex(s, dir),
+          Bm25Queries.toDF("query_id", "qtext"), k = 10)
+      },
+      Some(rm3OracleSql)),
 
     // Retrieval evaluation: Recall@10 / MRR@10 / nDCG@10 of the BM25 run
     // against graded term-containment qrels (rel = #{of the query's first
@@ -3497,4 +3448,98 @@ object LlmOps extends QueryGroup {
     0 -> "hash join merge",
     1 -> "vector scan window",
     2 -> "fast stream batch query")
+
+  /** Build-once-per-sfDir saved [[SearchIndex]] under the JVM temp dir:
+    * the warm-up pass of a bench run pays fit+save; timed passes (and
+    * Verify) serve the on-disk index — the production repeated-query
+    * shape. */
+  private def prebuiltIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): SearchIndex = {
+    // key the cached index on the source parquet's (size, mtime) so a
+    // regenerated sf dir can never be served from a stale index
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val fp = java.lang.Long.toHexString(
+      java.util.Objects.hash(dir, src.length(), src.lastModified()).toLong & 0xffffffffL)
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_searchidx_$fp").getAbsolutePath
+    if (!new java.io.File(s"$idxDir/stats/_SUCCESS").exists())
+      SearchIndex.fit(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .save(idxDir)
+    SearchIndex.load(s, idxDir)
+  }
+
+  private def bm25OracleSql: String = {
+    val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $vals),
+       |qt AS (SELECT DISTINCT query_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
+       |  FROM q),
+       |base AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
+       |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+       |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
+       |cand AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
+       |dft AS (SELECT term, COUNT(*) AS df_t FROM cand GROUP BY 1),
+       |sc AS (SELECT qt.query_id, c.doc_id,
+       |    ROUND(SUM(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+       |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
+       |  FROM cand c JOIN qt ON qt.term = c.term JOIN dft d ON d.term = c.term
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""".stripMargin
+  }
+
+  private def rm3OracleSql: String = {
+    val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $vals),
+       |qt AS (SELECT DISTINCT query_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
+       |  FROM q),
+       |base AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
+       |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+       |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
+       |cand1 AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
+       |dft1 AS (SELECT term, COUNT(*) AS df_t FROM cand1 GROUP BY 1),
+       |sc1 AS (SELECT qt.query_id, c.doc_id,
+       |    ROUND(SUM(ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+       |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
+       |  FROM cand1 c JOIN qt ON qt.term = c.term JOIN dft1 d ON d.term = c.term
+       |  CROSS JOIN stats s GROUP BY 1, 2),
+       |r1 AS (SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM sc1),
+       |fb AS (SELECT r.query_id, p.term,
+       |    ROUND(SUM(p.tf * 1.0 / p.dl * r.score), 6) AS w
+       |  FROM p JOIN r1 r ON p.doc_id = r.doc_id AND r.rk <= 5
+       |  GROUP BY 1, 2),
+       |fbx AS (SELECT * FROM fb
+       |  WHERE NOT EXISTS (SELECT 1 FROM qt
+       |    WHERE qt.query_id = fb.query_id AND qt.term = fb.term)),
+       |ew AS (SELECT query_id, term,
+       |    0.4 * w / SUM(w) OVER (PARTITION BY query_id) AS qw
+       |  FROM (SELECT query_id, term, w, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY w DESC, term) AS r FROM fbx)
+       |  WHERE r <= 3),
+       |wq AS (SELECT query_id, term, 0.6 AS qw FROM qt
+       |  UNION ALL SELECT query_id, term, qw FROM ew),
+       |cand2 AS (SELECT * FROM p WHERE term IN (SELECT DISTINCT term FROM wq)),
+       |dft2 AS (SELECT term, COUNT(*) AS df_t FROM cand2 GROUP BY 1),
+       |sc2 AS (SELECT w.query_id, c.doc_id,
+       |    ROUND(SUM(w.qw * ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+       |      * (c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * c.dl / s.avgdl)))), 6) AS score
+       |  FROM cand2 c JOIN wq w ON w.term = c.term JOIN dft2 d ON d.term = c.term
+       |  CROSS JOIN stats s GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM (
+       |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk FROM sc2)
+       |WHERE rk <= 10""".stripMargin
+  }
 }

@@ -223,6 +223,32 @@ class SearchSpec extends SparkSpec {
     assert(again == rm3.map(r => (r.getLong(1), r.getDouble(2))).toSeq)
   }
 
+  test("SearchIndex: saved+loaded index serves BM25 and RM3 identically to the inline build") {
+    import graft.ops.SearchIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchidx-").toString
+    try {
+      SearchIndex.fit(docs, "text", "doc_id").save(dir)
+      val idx = SearchIndex.load(spark, dir)
+      // stats must cover ALL docs (n_docs=4, avgdl=2.5)
+      val st = idx.stats.head()
+      assert(st.getLong(0) == 4L && st.getDouble(1) == 2.5)
+      val q = Seq(0 -> "apple", 1 -> "banana cherry").toDF("query_id", "qtext")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows(Search.bm25TopKIdx(idx, q, k = 10)) ==
+        rows(Search.bm25TopKDf(docs, "text", "doc_id", q, k = 10)))
+      assert(rows(Search.rm3TopKIdx(idx, q, k = 10)) ==
+        rows(Search.rm3TopK(docs, "text", "doc_id",
+          Seq(0 -> "apple", 1 -> "banana cherry"), k = 10)))
+    } finally {
+      val d = new java.io.File(dir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(d)
+    }
+  }
+
   test("rankingMetrics: hand-computed recall/MRR/nDCG; no-hit and unranked queries zero") {
     val ranked = Seq((0, 10L, 1L), (0, 11L, 2L), (0, 12L, 3L), (1, 20L, 1L))
       .toDF("query_id", "doc_id", "rk")
