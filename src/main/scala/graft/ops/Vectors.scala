@@ -497,16 +497,34 @@ object Vectors {
    * [[prototypicality]]: seeds are the `k` vectors with the smallest
    * `md5(id)` (content-derived, engine-stable — no RNG, no iterative
    * k-means); each vector takes its max-rounded-cosine seed, ties resolved
-   * to the seed earlier in (md5, id) order by the strict-`>` replacement
-   * fold. Output: (idCol, vecCol, cluster = seed id, proto_cos = rounded
-   * cosine to the assigned seed).
+   * to the seed earlier in (md5, id) order (NaN cosines — zero-norm
+   * inputs — order as -infinity on both paths). Output: (idCol, vecCol,
+   * cluster = seed id, proto_cos = rounded cosine to the assigned seed).
    *
-   * Scale shape: the seeds are a k-row driver-side fit statistic riding
-   * the plan as literals (the IvfIndex centroid pattern), so assignment is
-   * ONE narrow codegen'd projection — k fused cosines, no shuffle, no join.
+   * Scale shape, two regimes sharing ONE contract (identical output,
+   * spec-pinned):
+   *  - k <= [[SeedAssignJoinThreshold]]: the seeds are a k-row driver-side
+   *    fit statistic riding the plan as literals (the IvfIndex centroid
+   *    pattern) — assignment is ONE narrow codegen'd projection, k fused
+   *    cosines, no shuffle, no join;
+   *  - larger k: expression depth and driver plan size grow with k, so
+   *    assignment switches to a broadcast centroid JOIN (corpus ×
+   *    broadcast-k cosines, argmax via one map-side-combining `max_by`
+   *    aggregate keyed on id) — k-independent plan size, one skinny
+   *    exchange of per-id rows, the web-scale shape.
    */
   private def seedAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    if (k <= SeedAssignJoinThreshold) seedAssignLiteral(df, idCol, vecCol, k)
+    else seedAssignJoin(df, idCol, vecCol, k)
+
+  /** Literal-path / join-path switch point: below this the k fused cosines
+    * codegen fine; above it the plan-literal seeds bloat the driver plan
+    * and expression tree, so the broadcast-join variant takes over. */
+  private[graft] val SeedAssignJoinThreshold = 100
+
+  private[graft] def seedAssignLiteral(df: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
     val seeds = df.select(col(idCol).as("sid"), col(vecCol).as("sv"))
       .withColumn("__h", md5(col("sid").cast("string")))
@@ -514,17 +532,49 @@ object Vectors {
       .limit(k)
       .select(col("sid"), col("sv"))
       .collect()
-    val scored = seeds.map { r =>
-      (r.get(0), round(cosine(col(vecCol), lit(r.getSeq[Float](1).toArray)), 6))
+    // Linear-size selection: ONE array_max over k (key, -rank, cos, id)
+    // structs — lexicographic max = highest rounded cosine, ties to the
+    // EARLIEST seed in (md5, id) order. NaN cosines (zero-norm inputs)
+    // order as -infinity via nanvl so a degenerate seed can never win
+    // (the raw cosine is still carried for the output; the join path
+    // uses the identical ordering key). A when-chain fold here would
+    // reference its own accumulator twice per step — 2^k expression
+    // blowup that broke whole-stage codegen around k ~ 13.
+    val entries = seeds.zipWithIndex.map { case (r, i) =>
+      val c = round(cosine(col(vecCol), lit(r.getSeq[Float](1).toArray)), 6)
+      struct(nanvl(c, lit(Double.NegativeInfinity)).as("key"),
+        lit(-i).as("nr"), c.as("c"), lit(r.get(0)).as("s"))
     }
-    var bestId: Column = lit(scored.head._1)
-    var bestCos: Column = scored.head._2
-    scored.tail.foreach { case (sid, c) =>
-      bestId = when(c > bestCos, lit(sid)).otherwise(bestId)
-      bestCos = when(c > bestCos, c).otherwise(bestCos)
-    }
-    df.select(col(idCol), col(vecCol), bestId.as("cluster"),
-      bestCos.as("proto_cos"))
+    val best = array_max(array(entries: _*))
+    df.select(col(idCol), col(vecCol),
+      best.getField("s").as("cluster"), best.getField("c").as("proto_cos"))
+  }
+
+  /** Join-path twin of [[seedAssignLiteral]] — same seeds, same rounded
+    * cosines, same ordering key (max rounded cosine with NaN as
+    * -infinity, ties to the EARLIEST seed in (md5, id) order), so the two
+    * paths agree exactly (spec-pinned). */
+  private[graft] def seedAssignJoin(df: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val seeds = df.select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .withColumn("__h", md5(col("sid").cast("string")))
+      .orderBy(col("__h"), col("sid"))
+      .limit(k)
+    // k rows only — the global window ranks the broadcast side, not the corpus
+    val ranked = seeds.withColumn("__srank",
+        row_number().over(Window.orderBy(col("__h"), col("sid"))))
+      .select(col("sid"), col("sv"), col("__srank"))
+    df.crossJoin(broadcast(ranked))
+      .select(col(idCol), col(vecCol), col("sid"), col("__srank"),
+        round(cosine(col(vecCol), col("sv")), 6).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol).as("v"), col("sid").as("s"), col("__c").as("c")),
+        struct(nanvl(col("__c"), lit(Double.NegativeInfinity)),
+          -col("__srank"))).as("__best"))
+      .select(col(idCol), col("__best.v").as(vecCol),
+        col("__best.s").as("cluster"), col("__best.c").as("proto_cos"))
   }
 
   /**

@@ -773,6 +773,33 @@ class OpsSpec extends SparkSpec {
       s"pruning should drop a strict, non-total fraction (kept ${pruned.size} of ${surv.size})")
   }
 
+  test("seedAssign: literal-fused and centroid-join paths agree exactly, ties included") {
+    val base = graft.core.Tables.load(spark, sf, "embeddings")
+    // force rounded-cosine TIES: clone a few vectors under fresh ids, so
+    // several rows sit at cosine exactly 1.0 to the same seeds and the
+    // earliest-seed tiebreak is actually exercised
+    val clones = base.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+    val e = base.unionByName(clones)
+    for (k <- Seq(1, 4, 13)) {
+      val viaLiteral = Vectors.seedAssignLiteral(e, "vec_id", "embedding", k)
+        .select("vec_id", "cluster", "proto_cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaJoin = Vectors.seedAssignJoin(e, "vec_id", "embedding", k)
+        .select("vec_id", "cluster", "proto_cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaJoin == viaLiteral,
+        s"k=$k: join path must reproduce the literal fold exactly")
+    }
+    // the join path also carries the vector through unchanged
+    val v = Vectors.seedAssignJoin(e, "vec_id", "embedding", 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val orig = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(v == orig)
+  }
+
   test("banded cosine LSH: subset of exact pairs with recall >= 0.9") {
     val e = graft.core.Tables.load(spark, sf, "embeddings")
     val exact = Vectors.cosineDupPairs(e, "vec_id", "embedding", tau = 0.3,
