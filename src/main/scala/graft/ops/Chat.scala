@@ -157,6 +157,52 @@ object Chat {
     size(filter(split(lower(c), "\\s+", -1), t => length(t) > 0)).cast("long")
 
   /**
+   * Char-span → token-span alignment: map 0-based half-open CHARACTER
+   * spans over `textCol` (the [[lossMaskSpans]] output, or any char-level
+   * annotation — PII hits, keyword tags) to TOKEN coordinates under a
+   * given tokenizer, so char-level annotations survive subword
+   * tokenization (the alignment step [[lossMaskSpans]]'s scaladoc
+   * promises; pass `c => Bpe.tokenCountCol(c, merges)` for real subword
+   * coordinates).
+   *
+   * Prefix-count construction (the classic offset-mapping fallback):
+   *   token_end   = tokenCount(text[0, end))            — any token
+   *                 overlapping the span's last char is included;
+   *   token_start = tokenCount(text[0, start)) − 1 if `start` falls
+   *                 mid-token (non-whitespace on both sides), else
+   *                 tokenCount(text[0, start)).
+   * The result is CONSERVATIVE: the token range always covers every
+   * span character; a span edge inside a token extends to include that
+   * whole token (round start down, round end up — what practical
+   * aligners do). For BPE the mid-token test is still the whitespace
+   * boundary (a BPE token never crosses whitespace): a span edge inside
+   * a WORD aligns via the prefix's own BPE, which can shift the boundary
+   * by at most one subword — document-stable and engine-replayable,
+   * which is what lets the oracle hash-check the whole table.
+   *
+   * One narrow codegen'd projection (two substrings + two token counts
+   * per row), no shuffle, no join — alignment streams.
+   *
+   * Output: the input row + (token_start, token_end).
+   */
+  def alignCharSpansToTokens(df: DataFrame, textCol: String,
+      startCol: String = "span_start", endCol: String = "span_end",
+      tokenCount: Column => Column = whitespaceTokenCount): DataFrame = {
+    val s = col(startCol).cast("int")
+    val e = col(endCol).cast("int")
+    val text = col(textCol)
+    // Column.substr is codepoint-based like length(); positions are 1-based
+    val prefixS = text.substr(lit(1), s)
+    val prefixE = text.substr(lit(1), e)
+    val prevCh = text.substr(s, lit(1))       // char at index start-1
+    val curCh = text.substr(s + 1, lit(1))    // char at index start
+    val midToken = (s > 0) && prevCh.rlike("^\\S$") && curCh.rlike("^\\S$")
+    df.withColumn("token_start",
+        (tokenCount(prefixS) - when(midToken, 1L).otherwise(0L)).cast("long"))
+      .withColumn("token_end", tokenCount(prefixE).cast("long"))
+  }
+
+  /**
    * Preference-pair construction for DPO/RLHF-style training: given
    * multiple scored candidate completions per prompt, emit one
    * (chosen, rejected) pair per prompt — chosen = highest score,

@@ -3202,6 +3202,77 @@ object LlmOps extends QueryGroup {
              |  CAST(seg_start + length(role) + 4 + length(content) AS BIGINT) AS span_end
              |FROM o WHERE role = 'assistant'""".stripMargin)),
 
+    // Char->token alignment under BPE: the q_chat_loss_mask CHAR spans
+    // joined back onto the rendered chat_text and mapped to SUBWORD
+    // coordinates by prefix token counts (token_end = bpe tokens of the
+    // prefix up to span_end; token_start additionally rounds down when the
+    // span edge falls mid-token) — the operator that lets char-level
+    // annotations drive a subword loss mask. The oracle replays the same
+    // two prefix tokenizations with the replace-chain BPE
+    QueryDef("q_sft_char_align_bpe",
+      (s, dir) => {
+        val ts = split(lower(col("text")), "\\s+")
+        val c1 = concat(lit("please summarize: "), array_join(slice(ts, 1, 8), " "))
+        val c2 = array_join(slice(ts, 1, 5), " ")
+        val r1 = when(col("doc_id") % 7 === 0, lit("assistant")).otherwise(lit("user"))
+        val js = concat(
+          lit("[{\"role\":\""), r1, lit("\",\"content\":\""), c1,
+          lit("\"},{\"role\":\"assistant\",\"content\":\""), c2,
+          lit("\"},{\"role\":\"user\",\"content\":\"thanks\"}]"))
+        val docs = Tables.load(s, dir, "documents").withColumn("conv_json", js)
+        val chat = Chat.flatten(docs, "conv_json", "doc_id")
+          .filter(col("valid")).select(col("doc_id"), col("chat_text"))
+        val spans = Chat.lossMaskSpans(docs, "conv_json", "doc_id")
+        Chat.alignCharSpansToTokens(
+            spans.join(chat, Seq("doc_id")), "chat_text",
+            tokenCount = c => Bpe.tokenCountCol(c, Bpe.FixedEnglishMerges))
+          .select(col("doc_id"), col("turn_idx"), col("span_start"),
+            col("span_end"), col("token_start"), col("token_end"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+              |b AS (SELECT doc_id,
+              |    'please summarize: ' || array_to_string(ts[1:8], ' ') AS c1,
+              |    array_to_string(ts[1:5], ' ') AS c2,
+              |    CASE WHEN doc_id % 7 = 0 THEN 'assistant' ELSE 'user' END AS r1
+              |  FROM t),
+              |j AS (SELECT doc_id,
+              |    '[{"role":"' || r1 || '","content":"' || c1 ||
+              |    '"},{"role":"assistant","content":"' || c2 ||
+              |    '"},{"role":"user","content":"thanks"}]' AS js
+              |  FROM b WHERE r1 = 'user'),
+              |c AS (SELECT doc_id,
+              |    '<|' || (js->>'$$[0].role') || '|>' || (js->>'$$[0].content') || chr(10) ||
+              |    '<|' || (js->>'$$[1].role') || '|>' || (js->>'$$[1].content') || chr(10) ||
+              |    '<|' || (js->>'$$[2].role') || '|>' || (js->>'$$[2].content') AS chat_text,
+              |    js FROM j),
+              |u AS (SELECT doc_id, js,
+              |    unnest(generate_series(0, CAST(json_array_length(js) AS INT) - 1)) AS i
+              |  FROM j),
+              |seg AS (SELECT doc_id, i,
+              |    json_extract_string(js, '$$[' || i || '].role') AS role,
+              |    json_extract_string(js, '$$[' || i || '].content') AS content
+              |  FROM u),
+              |l AS (SELECT doc_id, i, role, content,
+              |    length(role) + length(content) + 4 AS seg_len FROM seg),
+              |o AS (SELECT doc_id, i, role, content,
+              |    COALESCE(SUM(seg_len) OVER (PARTITION BY doc_id ORDER BY i
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + i AS seg_start
+              |  FROM l),
+              |sp AS (SELECT doc_id, CAST(i AS BIGINT) AS turn_idx,
+              |    CAST(seg_start + length(role) + 4 AS BIGINT) AS span_start,
+              |    CAST(seg_start + length(role) + 4 + length(content) AS BIGINT) AS span_end
+              |  FROM o WHERE role = 'assistant'),
+              |a AS (SELECT sp.doc_id, sp.turn_idx, sp.span_start, sp.span_end, c.chat_text
+              |  FROM sp JOIN c ON c.doc_id = sp.doc_id)
+              |SELECT doc_id, turn_idx, span_start, span_end,
+              |  CAST(len(${bpeToksSql("substr(chat_text, 1, CAST(span_start AS INT))")})
+              |    - CASE WHEN span_start > 0
+              |        AND regexp_matches(substr(chat_text, CAST(span_start AS INT), 1), '^\\S$$')
+              |        AND regexp_matches(substr(chat_text, CAST(span_start AS INT) + 1, 1), '^\\S$$')
+              |      THEN 1 ELSE 0 END AS BIGINT) AS token_start,
+              |  CAST(len(${bpeToksSql("substr(chat_text, 1, CAST(span_end AS INT))")}) AS BIGINT) AS token_end
+              |FROM a""".stripMargin)),
+
     // TOKEN-level SFT spans (whitespace tokenizer): per turn, the
     // half-open token range of its `<|role|>content` segment in the
     // concatenated sequence + the is_target flag — the collator contract

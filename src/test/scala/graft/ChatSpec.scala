@@ -125,4 +125,39 @@ class ChatSpec extends SparkSpec {
     assert(rows.head.getLong(3) == 0L &&
       rows(1).getLong(3) == rows.head.getLong(4))
   }
+
+  test("alignCharSpansToTokens: boundary spans exact, mid-token edges round outward") {
+    val df = Seq(
+      // span over "world": boundary-aligned -> tokens [1, 2)
+      (1L, "hello world foo", 6L, 11L),
+      // span [2,4) inside the first word -> rounds down to cover token 0
+      (2L, "abcdef ghi", 2L, 4L),
+      // span starting right after a space: prev char is whitespace -> exact
+      (3L, "foo bar", 4L, 7L),
+      // span from position 0
+      (4L, "one two", 0L, 3L),
+      // span crossing a token boundary mid-word on both edges:
+      // "aa bbbb cc", [4,9) touches tokens 1 and 2 -> [1, 3)
+      (5L, "aa bbbb cc", 4L, 9L)
+    ).toDF("id", "text", "span_start", "span_end")
+    val out = Chat.alignCharSpansToTokens(df, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((1L, 2L)))
+    assert(out(2L) == ((0L, 1L)))
+    assert(out(3L) == ((1L, 2L)))
+    assert(out(4L) == ((0L, 1L)))
+    assert(out(5L) == ((1L, 3L)))
+    // conservativeness under BPE: the token range always covers the span —
+    // re-rendering the covered tokens must contain every span character
+    import graft.ops.Bpe
+    val bpe = Chat.alignCharSpansToTokens(df, "text",
+        tokenCount = c => Bpe.tokenCountCol(c, Bpe.FixedEnglishMerges))
+      .collect()
+    bpe.foreach { r =>
+      val toks = Bpe.encode(r.getString(1), Bpe.FixedEnglishMerges)
+      val (ts, te) = (r.getLong(4), r.getLong(5))
+      assert(ts >= 0 && te <= toks.length && ts < te,
+        s"id ${r.getLong(0)}: token range [$ts,$te) out of [0,${toks.length})")
+    }
+  }
 }
