@@ -14,4 +14,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the `private[spark]` listener bus so task metrics collected by
+    * a test SparkListener are complete before assertions (the skew-stress
+    * specs measure per-task shuffle volume through one). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
