@@ -783,4 +783,36 @@ object Vectors {
     icpOrderInBuckets(
       df.withColumn("__icpb", signBucket(col(vecCol), nPlanes, offset)),
       idCol, vecCol, "__icpb")
+
+  /**
+   * ANN quality-vs-cost frontier: macro-averaged Recall@k / MRR@k /
+   * nDCG@k of EACH candidate index against brute-force truth, one row
+   * per variant — so the recall of every index the library ships (LSH,
+   * SQ8, PQ-ADC, residual IVF-PQ, binary-rerank, ...) is MEASURED in one
+   * report, not asserted. Composes [[Search.rankingMetrics]] per variant
+   * (truth top-k as unit-relevance qrels) and averages over queries.
+   *
+   * All inputs are top-k tables (O(queries · k) rows): every join and
+   * aggregate here is broadcast-sized regardless of the corpus that
+   * produced the rankings — the expensive work already happened inside
+   * the per-variant retrievers.
+   *
+   * Output: (variant, n_queries, recall_k, mrr_k, ndcg_k), one row per
+   * variant, 6-dp rounded, ordered by variant name.
+   */
+  def annRecallReport(truth: DataFrame, variants: Seq[(String, DataFrame)],
+      k: Int, qId: String = "qid", dId: String = "cid",
+      rankCol: String = "rnk"): DataFrame = {
+    require(variants.nonEmpty, "need at least one variant")
+    val qrels = truth.select(col(qId), col(dId), lit(1.0).as("rel"))
+    variants.map { case (name, topk) =>
+      Search.rankingMetrics(topk, qrels, k, qId, dId, rankCol, "rel")
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall_k")), 6).as("recall_k"),
+          round(avg(col("mrr_k")), 6).as("mrr_k"),
+          round(avg(col("ndcg_k")), 6).as("ndcg_k"))
+        .select(lit(name).as("variant"), col("n_queries"),
+          col("recall_k"), col("mrr_k"), col("ndcg_k"))
+    }.reduce(_ unionByName _).orderBy(col("variant"))
+  }
 }

@@ -2327,6 +2327,42 @@ object LlmOps extends QueryGroup {
               |  ROUND(COALESCE(dcg, 0.0) / idcg, 6) AS ndcg_k
               |FROM nr JOIN ideal USING(qid) LEFT JOIN hits USING(qid)""".stripMargin)),
 
+    // The full quality-vs-cost frontier: recall/mrr/ndcg of EVERY shipped
+    // index family against brute-force truth at k=3, one row per variant
+    // (same fixtures as the individual q_ann_* queries). Rows-only by
+    // design — each variant's top-k is already individually oracle-checked;
+    // AnnEvalSpec pins the report's invariants (brute recall = 1, bounds,
+    // full coverage).
+    QueryDef("q_ann_recall_variants",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val c = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("cid"), col("embedding"))
+        val k = 3
+        val truth = Vectors.bruteForceTopK(q, c, k)
+        val sqP = Sq.fit(c)
+        val sqCodes = Sq.encode(c, "cid", "embedding", sqP)
+        val pqCb = Pq.codebookFromRows(c, "cid", "embedding", (20L to 27L).toSeq, m = 2)
+        val pqCodes = Pq.encode(c, "cid", "embedding", pqCb)
+        val cents = c.filter(col("cid") <= 23).orderBy("cid")
+          .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        val ivf = graft.ops.IvfIndex.fromCentroids(cents, c, "cid", "embedding")
+        val res = Pq.residuals(ivf.assigned, "embedding", cents)
+        val rCb = Pq.codebookFromRows(res, "cid", "residual", (24L to 31L), m = 2)
+        val rCodes = Pq.encode(res, "cid", "residual", rCb)
+        Vectors.annRecallReport(truth, Seq(
+          "brute" -> Vectors.bruteForceTopK(q, c, k),
+          "lsh" -> Vectors.lshTopK(q, c, k),
+          "sq8" -> Sq.topK(q, "qid", sqCodes, "cid", sqP, k),
+          "pq_adc" -> Pq.adcTopK(q, "qid", pqCodes, "cid", pqCb, k),
+          "ivfpq_residual" -> Pq.ivfAdcResidualTopK(q, "qid", ivf, rCodes,
+            "cid", rCb, k, nProbe = 4),
+          "binary_rerank" -> Vectors.binaryRerankTopK(q, c, k, m = 12)), k)
+      },
+      None),
+
     // Per-pack source mixture after cross-doc packing: how blended are
     // the training sequences the packer emits? groupEntropy over the
     // pack assignment joined back to doc sources; the oracle replays the
