@@ -915,4 +915,26 @@ object EventStream {
           }
       }
   }
+
+  /**
+   * Micro-batch retrieval serving: score each arriving (query_id, qtext)
+   * batch against a STATIC prebuilt [[graft.ops.SearchIndex]] and hand the
+   * per-batch top-k to `sink` — the stream-serves-saved-index shape
+   * (index built/refreshed offline, query traffic served continuously).
+   *
+   * `foreachBatch` on purpose: BM25's per-query window/top-k is not an
+   * incremental streaming aggregate and does not need to be — every query
+   * is scored independently against the static index, so per-batch
+   * results equal the batch run over the same queries exactly
+   * (parity-spec'd). State is zero; throughput scales with the batch
+   * size, never the stream history.
+   */
+  def streamingBm25Serve(queries: DataFrame, index: graft.ops.SearchIndex,
+      k: Int)(sink: DataFrame => Unit):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Search.bm25TopKIdx(index, batch, k))
+      }
+      .start()
 }

@@ -794,4 +794,38 @@ class StreamingSpec extends SparkSpec {
       assert(got == want && got.exists(_._2))
     } finally q.stop()
   }
+
+  test("streaming BM25 serve over a saved index equals the batch run per query") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.{Search, SearchIndex}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-serve-").toString
+    SearchIndex.fit(docs, "text", "doc_id").save(dir)
+    val idx = SearchIndex.load(spark, dir)
+    val queries = Seq(0 -> "hash join merge", 1 -> "vector scan window",
+      2 -> "fast stream batch query")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Double)]()
+    val mem = MemoryStream[(Int, String)]
+    val q = EventStream.streamingBm25Serve(
+      mem.toDF().toDF("query_id", "qtext"), idx, k = 5) { batch =>
+      batch.collect().foreach(r =>
+        sink.add((r.getInt(0), r.getLong(1), r.getDouble(2))))
+    }
+    try {
+      // two separate micro-batches — per-batch independence is the contract
+      mem.addData(queries.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(queries.drop(1): _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = sink.asScala.toSet
+      val want = Search.bm25TopKIdx(idx,
+          queries.toDF("query_id", "qtext"), k = 5)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want && got.nonEmpty,
+        s"stream-served top-k must equal the batch run (${got.size} vs ${want.size})")
+    } finally q.stop()
+  }
 }
