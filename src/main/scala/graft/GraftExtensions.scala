@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{NfcNormalize, VecCosine, VecL2Sq, WordShingles, WordShinglesAll}
+
+/**
+ * SQL surface for the library's custom Catalyst expressions — the
+ * [[org.apache.spark.sql.SparkSessionExtensions]] registration the
+ * Spark-native packaging story calls for, so `spark.sql("...")` users get
+ * the same codegen'd hot-path functions as the Column API:
+ *
+ *   - `vec_cosine(a, b)`       — [[graft.functions.VecCosine]]
+ *   - `vec_l2sq(a, b)`         — [[graft.functions.VecL2Sq]]
+ *   - `nfc_normalize(s)`       — [[graft.functions.NfcNormalize]]
+ *   - `word_shingles(s, n)`    — [[graft.functions.WordShingles]] (distinct)
+ *   - `word_shingles_all(s, n)`— [[graft.functions.WordShinglesAll]] (positional)
+ *
+ * Two activation paths:
+ *   - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
+ *     (the standard extension-jar deployment — no code changes needed);
+ *   - on a LIVE session: `GraftExtensions.register(spark)` (notebooks,
+ *     tests — extension classes only apply at build time).
+ *
+ * The `n` of the shingle functions must be a foldable INT literal (it
+ * parameterizes codegen); a non-literal raises an analysis-time error,
+ * never a runtime one.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: the shingle width must be an INT literal, got $other")
+  }
+
+  private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * FunctionDescription shape. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      args => { arity("vec_cosine", 2, args); VecCosine(args(0), args(1)) }),
+    (FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      args => { arity("vec_l2sq", 2, args); VecL2Sq(args(0), args(1)) }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      args => { arity("nfc_normalize", 1, args); NfcNormalize(args(0)) }),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      args => { arity("word_shingles", 2, args)
+        WordShingles(args(0), litInt(args(1), "word_shingles")) }),
+    (FunctionIdentifier("word_shingles_all"),
+      new ExpressionInfo(classOf[WordShinglesAll].getName, "word_shingles_all"),
+      args => { arity("word_shingles_all", 2, args)
+        WordShinglesAll(args(0), litInt(args(1), "word_shingles_all")) }))
+
+  /** Register onto a LIVE session (extension classes only apply at session
+    * build). Idempotent: re-registering replaces the same definitions. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

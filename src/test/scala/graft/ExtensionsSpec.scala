@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VecCosine
+
+/** SQL registration of the custom codegen'd expressions: the
+  * SparkSessionExtensions surface (`GraftExtensions`) and its live-session
+  * twin (`GraftExtensions.register`). */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions equal their Column-API twins") {
+    GraftExtensions.register(spark)
+    // vec_cosine: SQL vs Column API, bit-identical
+    val pairs = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(0.5f, 1.0f, -1.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    pairs.createOrReplaceTempView("vec_pairs")
+    val viaSql = spark.sql("SELECT vec_cosine(a, b) AS c FROM vec_pairs")
+      .collect().map(_.getDouble(0)).toSeq
+    val viaCol = pairs.select(VecCosine.vecCosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql(1) == 1.0)
+    // word_shingles: distinct n-grams from SQL
+    val sh = spark.sql("SELECT word_shingles('the cat the cat sat', 2) AS s")
+      .head().getSeq[String](0).toSet
+    assert(sh == Set("the cat", "cat the", "cat sat"))
+    // nfc_normalize composes combining marks from SQL
+    val n = spark.sql("SELECT nfc_normalize('café') AS s").head().getString(0)
+    assert(n == "café")
+    // vec_l2sq from SQL
+    val d = spark.sql("SELECT vec_l2sq(array(CAST(1.0 AS DOUBLE), 2.0)," +
+      " array(CAST(4.0 AS DOUBLE), 6.0)) AS d").head().getDouble(0)
+    assert(d == 25.0)
+  }
+
+  test("shingle width must be a literal; wrong arity fails at analysis") {
+    GraftExtensions.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', 1 + length('x')) AS s")
+        .collect() // non-foldable width
+    }
+    intercept[Exception] {
+      spark.sql("SELECT vec_cosine(array(1.0)) AS c").collect()
+    }
+  }
+
+  test("extension class injects the same registry entries at session build time") {
+    // the extension object IS the registration list — applying it to a
+    // fresh SparkSessionExtensions must accept every entry without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    // and the live-session path is idempotent
+    GraftExtensions.register(spark)
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT vec_l2sq(array(CAST(0.0 AS DOUBLE)), array(CAST(3.0 AS DOUBLE)))")
+      .head().getDouble(0) == 9.0)
+  }
+}
