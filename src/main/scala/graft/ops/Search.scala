@@ -447,4 +447,37 @@ object SearchIndex {
   def load(spark: SparkSession, dir: String): SearchIndex =
     SearchIndex(spark.read.parquet(s"$dir/postings"),
       spark.read.parquet(s"$dir/stats"))
+
+  /**
+   * Incremental index growth — the [[IvfIndex.appendTo]] pattern for
+   * retrieval: tokenize ONLY the new batch, append its postings to the
+   * saved layout, and merge the one-row stats exactly (counts add;
+   * avgdl merges as the dl-weighted mean, so the merged stats equal a
+   * fresh [[fit]] over the union bit-for-bit in count and exactly in
+   * the weighted mean). Per-ingest cost is O(new batch), never the
+   * historical corpus.
+   *
+   * Contract (same as [[IvfIndex.add]]): batch ids must be NEW — re-adding
+   * an indexed doc would double its postings. Single writer: the stats
+   * rewrite is not transactional against concurrent appends.
+   */
+  def appendTo(spark: SparkSession, dir: String, docs: DataFrame,
+      textCol: String, idCol: String): Unit = {
+    import spark.implicits._
+    val add = fit(docs, textCol, idCol)
+    add.postings.repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("append").parquet(s"$dir/postings")
+    val old = spark.read.parquet(s"$dir/stats").head()
+    val fresh = add.stats.head()
+    val (n0, n1) = (old.getLong(0), fresh.getLong(0))
+    // avg of an empty side is null; treat as contributing zero length
+    val s0 = if (old.isNullAt(1)) 0.0 else old.getDouble(1) * n0
+    val s1 = if (fresh.isNullAt(1)) 0.0 else fresh.getDouble(1) * n1
+    val n = n0 + n1
+    val avg: java.lang.Double =
+      if (n == 0) null else java.lang.Double.valueOf((s0 + s1) / n)
+    Seq((n, avg)).toDF("n_docs", "avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
 }

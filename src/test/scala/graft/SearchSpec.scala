@@ -249,6 +249,35 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("SearchIndex.appendTo: incremental growth equals a fresh fit over the union") {
+    import graft.ops.SearchIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-searchidx-add-").toString
+    try {
+      SearchIndex.fit(docs.filter(col("doc_id") <= 2), "text", "doc_id").save(dir)
+      SearchIndex.appendTo(spark, dir,
+        docs.filter(col("doc_id") > 2), "text", "doc_id")
+      val grown = SearchIndex.load(spark, dir)
+      val full = SearchIndex.fit(docs, "text", "doc_id")
+      val (gs, fs) = (grown.stats.head(), full.stats.head())
+      assert(gs.getLong(0) == fs.getLong(0))
+      assert(math.abs(gs.getDouble(1) - fs.getDouble(1)) < 1e-12)
+      def posts(i: SearchIndex) = i.postings.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      assert(posts(grown) == posts(full))
+      // and retrieval over the grown index equals the one-shot build
+      val q = Seq(0 -> "apple banana").toDF("query_id", "qtext")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows(Search.bm25TopKIdx(grown, q, k = 10)) ==
+        rows(Search.bm25TopKDf(docs, "text", "doc_id", q, k = 10)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("rankingMetrics: hand-computed recall/MRR/nDCG; no-hit and unranked queries zero") {
     val ranked = Seq((0, 10L, 1L), (0, 11L, 2L), (0, 12L, 3L), (1, 20L, 1L))
       .toDF("query_id", "doc_id", "rk")
