@@ -1067,22 +1067,14 @@ object Text {
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    val base = df.select(col(idCol),
-        filter(tokens(col(textCol)), t => t =!= lit("")).as("__toks"))
-      .withColumn("__g", size(col("__toks")) - (k - 1))
-      .filter(col("__g") >= 1)
-      .withColumn("__we", least(lit(w), col("__g")))
-    val hs = transform(sequence(lit(1), col("__g")), i =>
-      conv(substring(md5(array_join(slice(col("__toks"), i, lit(k)), " ")), 1, 8),
-        16, 10).cast("long"))
-    val sels = transform(sequence(lit(1), col("__g") - col("__we") + 1), p => {
-      val win = slice(col("__hs"), p, col("__we"))
-      val minv = array_min(win)
-      val j = array_position(reverse(win), minv)
-      struct((p.cast("long") + col("__we") - j).as("pos"), minv.as("fp"))
-    })
-    base.withColumn("__hs", hs)
-      .select(col(idCol), explode(array_distinct(sels)).as("__s"))
+    // the whole selection (gram md5s, rightmost-min deque, distinct) runs
+    // in ONE imperative codegen'd expression — the HOF formulation
+    // evaluated O(grams·(k+w)) interpreted lambdas per document and
+    // dominated q_winnow_overlap's runtime (see WinnowSelect's scaladoc);
+    // values are bit-identical (spec + oracle pinned)
+    val toks = filter(tokens(col(textCol)), t => t =!= lit(""))
+    df.select(col(idCol),
+        explode(graft.functions.WinnowSelect.winnowSelect(toks, k, w)).as("__s"))
       .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 
