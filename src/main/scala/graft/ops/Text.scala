@@ -329,26 +329,13 @@ object Text {
    * the same corpus-size-independent collision rate as MinHash banding.
    * Same md5-nibble arithmetic, so it replays in SQL and hash-matches.
    */
-  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val withNibs = (1 to 16).foldLeft(exploded) { (d, k) =>
-      d.withColumn(s"nib_$k",
-        instr(lit("0123456789abcdef"), substring(col("h"), k, 1)) - 1)
-    }
-    val votes = (0 until 64).map { g =>
-      val nib = col(s"nib_${g / 4 + 1}")
-      val bit = shiftright(nib, 3 - g % 4).bitwiseAND(lit(1))
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"v_$g")
-    }
-    val summed = withNibs.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val words = (0 until 4).map { w =>
-      (15 to 0 by -1).foldLeft(lit(0L)) { (acc, j) =>
-        acc * 2 + when(col(s"v_${w * 16 + j}") > 0, lit(1L)).otherwise(lit(0L))
-      }
-    }
-    summed.select(col(idCol), array(words: _*).as("pcode"))
-  }
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    // one shuffle-free narrow projection — the exploded 64-vote aggregate
+    // this replaces shuffled 64 partial sums per document (see
+    // graft.functions.SimHash64; bit-identical, oracle-pinned)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.SimHash64.simhash64(tokens(col(textCol))).as("pcode"))
 
   /**
    * Heaps-law vocabulary growth: cumulative distinct-term count at
