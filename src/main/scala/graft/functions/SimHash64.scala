@@ -86,3 +86,60 @@ object SimHash64 {
   def simhash64(tokens: Column): Column =
     CatalystBridge.column(SimHash64(CatalystBridge.expression(tokens)))
 }
+
+/** `simhash16(tokens)`: the 16-bit scalar signature — the coarse oracle
+  * fixture of the family ([[SimHash64]] is the production width). Same
+  * one-pass ±1 voting over the first 2 md5 digest bytes, MSB-first;
+  * bit-identical to the exploded 16-vote aggregate it replaces. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash16.hash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash16.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+
+  def hash(toks: ArrayData): Long = {
+    val votes = new Array[Int](16)
+    val md = MessageDigest.getInstance("MD5")
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(toks.getUTF8String(i).getBytes)
+      val d = md.digest()
+      var g = 0
+      while (g < 16) {
+        val bit = (d(g >> 3) >> (7 - (g & 7))) & 1
+        votes(g) += (if (bit == 1) 1 else -1)
+        g += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var g = 0
+    while (g < 16) {
+      sig = sig * 2 + (if (votes(g) > 0) 1L else 0L)
+      g += 1
+    }
+    sig
+  }
+
+  def simhash16(tokens: Column): Column =
+    CatalystBridge.column(SimHash16(CatalystBridge.expression(tokens)))
+}

@@ -1074,23 +1074,12 @@ object Text {
    * Implemented as one explode + hash-agg (shuffle on doc id only; the
    * 16 bit-sums are map-side partial aggregates).
    */
-  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val withVals = (1 to 4).foldLeft(exploded) { (d, k) =>
-      d.withColumn(s"nib_$k", instr(lit("0123456789abcdef"), substring(col("h"), k, 1)) - 1)
-    }
-    val votes = (0 until 16).map { j =>
-      val nib = col(s"nib_${j / 4 + 1}")
-      val bit = shiftright(nib, 3 - j % 4).bitwiseAND(lit(1))
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"v_$j")
-    }
-    val summed = withVals.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 16).map { j =>
-      when(col(s"v_$j") > 0, lit(1L << (15 - j))).otherwise(lit(0L))
-    }.reduce(_ + _)
-    summed.select(col(idCol), sig.as("simhash"))
-  }
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    // shuffle-free narrow projection (see graft.functions.SimHash16 —
+    // bit-identical to the exploded 16-vote aggregate, oracle-pinned)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.SimHash16.simhash16(tokens(col(textCol))).as("simhash"))
 
   /**
    * Shannon character entropy per document (bits): `-sum p_c * log2 p_c`
