@@ -85,6 +85,27 @@ object Pq {
       codeIds.map(id => rows(id).slice(j * sub, j * sub + sub)).toArray).toArray)
   }
 
+  /** Persist a fitted codebook — the [[IvfIndex.save]] pattern for the
+    * PQ tier: fit offline once, [[loadCodebook]] per serving session.
+    * One (subspace, code, centroid) row per entry. */
+  def save(cb: PqCodebook, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    (for (j <- 0 until cb.m; c <- 0 until cb.k)
+      yield (j, c, cb.centroids(j)(c).toSeq))
+      .toDF("j", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqCodebook = {
+    val rows = spark.read.parquet(dir).orderBy("j", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    PqCodebook((0 until m).map(j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)).map(_.toArray).toArray)
+  }
+
   /** Encode vectors to m-byte codes: (id, codes array<int>). This is the
     * compressed corpus representation — ~(4d)/m× smaller than the floats. */
   def encode(df: DataFrame, idCol: String, vecCol: String,

@@ -83,6 +83,23 @@ object Sq {
       p: SqParams): DataFrame =
     df.select(col(idCol), p.encodeExpr(col(vecCol)).as("codes"))
 
+  /** Persist fitted params — the [[IvfIndex.save]] pattern for the SQ8
+    * tier: fit offline once, [[loadParams]] per serving session. One
+    * d-row parquet. */
+  def save(p: SqParams, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    p.mins.indices.map(i => (i, p.mins(i), p.maxs(i)))
+      .toDF("i", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SqParams = {
+    val rows = spark.read.parquet(dir).orderBy("i").collect()
+    SqParams(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
   /** Storage form: codes shifted by −128 into signed-byte range (parquet
     * stores `array<tinyint>` elements in one byte each). */
   def toBytes(codes: Column): Column =

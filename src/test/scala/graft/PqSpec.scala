@@ -139,4 +139,26 @@ class PqSpec extends SparkSpec {
     // every hit stays in the query's own cluster at nProbe covering all
     assert(out.forall(t => t._2 % 3 == t._1 % 3))
   }
+
+  test("PqCodebook save/load round-trips exactly; loaded codebook encodes identically") {
+    val cb = Pq.fit(clustered, m = 2, k = 3, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-").toString
+    try {
+      Pq.save(cb, spark, dir)
+      val cb2 = Pq.loadCodebook(spark, dir)
+      assert(cb2.m == cb.m && cb2.k == cb.k && cb2.subDim == cb.subDim)
+      for (j <- 0 until cb.m; c <- 0 until cb.k)
+        assert(cb2.centroids(j)(c).toSeq == cb.centroids(j)(c).toSeq)
+      val a = Pq.encode(clustered, "cid", "embedding", cb)
+        .orderBy("cid").collect().map(_.getSeq[Int](1).toSeq).toSeq
+      val b = Pq.encode(clustered, "cid", "embedding", cb2)
+        .orderBy("cid").collect().map(_.getSeq[Int](1).toSeq).toSeq
+      assert(a == b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

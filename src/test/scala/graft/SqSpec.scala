@@ -135,4 +135,27 @@ class SqSpec extends SparkSpec {
     assert(top(100L).map(_._2).toSet == (0L until 5L).toSet)
     assert(top(101L).map(_._2).toSet == (5L until 10L).toSet)
   }
+
+  test("SqParams save/load round-trips exactly; loaded params encode identically") {
+    val df = vecs(Seq(
+      (1L, Seq(0.0f, -2.0f, 7.0f)),
+      (2L, Seq(1.0f, 3.0f, 7.0f))))
+    val p = Sq.fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq-").toString
+    try {
+      Sq.save(p, spark, dir)
+      val p2 = Sq.loadParams(spark, dir)
+      assert(p2.mins.toSeq == p.mins.toSeq && p2.maxs.toSeq == p.maxs.toSeq)
+      val a = Sq.encode(df, "id", "embedding", p)
+        .orderBy("id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+      val b = Sq.encode(df, "id", "embedding", p2)
+        .orderBy("id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+      assert(a == b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
