@@ -609,6 +609,27 @@ object Dedup {
   }
 
   /**
+   * One-pass narrow signatures: the same (id, mh_1..mh_k) shape as
+   * [[minhashSigs]]/[[minhashSigsFast]] but computed per document ROW by
+   * [[graft.functions.MinHash]] — no shingle explode, no k-wide min
+   * hash-aggregate, no exchange; the k·|shingles| hash calls run in one
+   * codegen'd register loop. Bit-identical outputs (MinHashSpec ties
+   * each family to its aggregate formulation); documents with an empty
+   * shingle set — which the exploded aggregate simply never emits — are
+   * filtered here to keep row parity.
+   */
+  def minhashSigsNarrow(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, fastHash: Boolean): DataFrame = {
+    val mh =
+      if (fastHash) graft.functions.MinHash.minhashXx(col(textCol), n, k)
+      else graft.functions.MinHash.minhashMd5(col(textCol), n, k)
+    df.select(col(idCol), mh.as("__mh"))
+      .filter(size(col("__mh")) > 0)
+      .select(col(idCol) +: (1 to k).map(i =>
+        element_at(col("__mh"), i).as(s"mh_$i")): _*)
+  }
+
+  /**
    * MinHash-LSH near-duplicate pairs: k minhashes in `bands` bands of
    * k/bands rows; docs colliding on any full band signature become
    * candidates (equi-join on (band, signature)); candidates are then
@@ -689,9 +710,9 @@ object Dedup {
       maxBucket: Int = 1000, fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = graft.core.CacheScope.autoUnpersist(shingles(df, textCol, idCol, n))
-    val sigs = if (fastHash) minhashSigsFast(sh, idCol, k)
-               else minhashSigs(sh, idCol, k)
+    // signatures are a narrow one-pass projection (minhashSigsNarrow) —
+    // the corpus is shingle-exploded ONLY for the candidate docs below
+    val sigs = minhashSigsNarrow(df, textCol, idCol, n, k, fastHash)
     // stack the per-doc wide signature into (doc, band, sig) rows
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows + 1 to (b + 1) * rows).map(i => col(s"mh_$i"))
@@ -727,8 +748,15 @@ object Dedup {
     // shared-shingle pair blowup; output is identical)
     val candDocs = candidates.select(col("doc_a").as(idCol))
       .union(candidates.select(col("doc_b").as(idCol))).distinct()
-    val shc = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // semi-join BEFORE the explode so only candidate docs are ever
+    // shingled into rows (the join cannot be pushed below a generate by
+    // the optimizer); sizes = |distinct shingle set| is a narrow
+    // projection over the same tiny candidate slice
+    val dfc = df.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val shc = shingles(dfc, textCol, idCol, n)
+    val sizes = dfc.select(col(idCol),
+      size(graft.functions.WordShingles.wordShingles(col(textCol), n))
+        .cast("long").as("sz"))
     val a = shc.select(col(idCol).as("doc_a"), col("shingle"))
     val b = shc.select(col(idCol).as("doc_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
@@ -763,9 +791,7 @@ object Dedup {
       n: Int, k: Int, bands: Int, fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = shingles(df, textCol, idCol, n)
-    val sigs = if (fastHash) minhashSigsFast(sh, idCol, k)
-               else minhashSigs(sh, idCol, k)
+    val sigs = minhashSigsNarrow(df, textCol, idCol, n, k, fastHash)
     val mhArr = array((1 to k).map(i => col(s"mh_$i")): _*)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows + 1 to (b + 1) * rows).map(i => col(s"mh_$i"))
