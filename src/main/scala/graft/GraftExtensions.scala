@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{NfcNormalize, VecCosine, VecL2Sq, WordShingles, WordShinglesAll}
+import graft.functions.{MinHashMd5, MinHashXx, NfcNormalize, SimHash16,
+  SimHash64, VecCosine, VecL2Sq, WinnowSelect, WordShingles, WordShinglesAll}
 
 /**
  * SQL surface for the library's custom Catalyst expressions — the
@@ -17,6 +18,11 @@ import graft.functions.{NfcNormalize, VecCosine, VecL2Sq, WordShingles, WordShin
  *   - `nfc_normalize(s)`       — [[graft.functions.NfcNormalize]]
  *   - `word_shingles(s, n)`    — [[graft.functions.WordShingles]] (distinct)
  *   - `word_shingles_all(s, n)`— [[graft.functions.WordShinglesAll]] (positional)
+ *   - `minhash_xx(s, n, k)`    — [[graft.functions.MinHashXx]] (production)
+ *   - `minhash_md5(s, n, k)`   — [[graft.functions.MinHashMd5]] (oracle family)
+ *   - `simhash64(toks)`        — [[graft.functions.SimHash64]]
+ *   - `simhash16(toks)`        — [[graft.functions.SimHash16]]
+ *   - `winnow_select(hs, k, w)`— [[graft.functions.WinnowSelect]]
  *
  * Two activation paths:
  *   - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -64,7 +70,28 @@ object GraftExtensions {
     (FunctionIdentifier("word_shingles_all"),
       new ExpressionInfo(classOf[WordShinglesAll].getName, "word_shingles_all"),
       args => { arity("word_shingles_all", 2, args)
-        WordShinglesAll(args(0), litInt(args(1), "word_shingles_all")) }))
+        WordShinglesAll(args(0), litInt(args(1), "word_shingles_all")) }),
+    (FunctionIdentifier("minhash_xx"),
+      new ExpressionInfo(classOf[MinHashXx].getName, "minhash_xx"),
+      args => { arity("minhash_xx", 3, args)
+        MinHashXx(args(0), litInt(args(1), "minhash_xx"),
+          litInt(args(2), "minhash_xx")) }),
+    (FunctionIdentifier("minhash_md5"),
+      new ExpressionInfo(classOf[MinHashMd5].getName, "minhash_md5"),
+      args => { arity("minhash_md5", 3, args)
+        MinHashMd5(args(0), litInt(args(1), "minhash_md5"),
+          litInt(args(2), "minhash_md5")) }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      args => { arity("simhash64", 1, args); SimHash64(args(0)) }),
+    (FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      args => { arity("simhash16", 1, args); SimHash16(args(0)) }),
+    (FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      args => { arity("winnow_select", 3, args)
+        WinnowSelect(args(0), litInt(args(1), "winnow_select"),
+          litInt(args(2), "winnow_select")) }))
 
   /** Register onto a LIVE session (extension classes only apply at session
     * build). Idempotent: re-registering replaces the same definitions. */

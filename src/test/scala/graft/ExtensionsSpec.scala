@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.VecCosine
+import graft.functions.{VecCosine, WinnowSelect}
 
 /** SQL registration of the custom codegen'd expressions: the
   * SparkSessionExtensions surface (`GraftExtensions`) and its live-session
@@ -33,6 +33,45 @@ class ExtensionsSpec extends SparkSpec {
     val d = spark.sql("SELECT vec_l2sq(array(CAST(1.0 AS DOUBLE), 2.0)," +
       " array(CAST(4.0 AS DOUBLE), 6.0)) AS d").head().getDouble(0)
     assert(d == 25.0)
+  }
+
+  test("hashing SQL functions equal their Column-API twins") {
+    GraftExtensions.register(spark)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    docs.createOrReplaceTempView("mh_docs")
+    // minhash_xx / minhash_md5 vs the Column API, bit-identical
+    val sqlXx = spark.sql("SELECT minhash_xx(text, 3, 8) AS mh FROM mh_docs")
+      .head().getSeq[Long](0)
+    val colXx = docs.select(
+        graft.functions.MinHash.minhashXx(col("text"), 3, 8).as("mh"))
+      .head().getSeq[Long](0)
+    assert(sqlXx == colXx && sqlXx.length == 8)
+    val sqlMd5 = spark.sql("SELECT minhash_md5(text, 3, 8) AS mh FROM mh_docs")
+      .head().getSeq[String](0)
+    val colMd5 = docs.select(
+        graft.functions.MinHash.minhashMd5(col("text"), 3, 8).as("mh"))
+      .head().getSeq[String](0)
+    assert(sqlMd5 == colMd5 && sqlMd5.forall(_.matches("[0-9a-f]{32}")))
+    // simhash64 / simhash16 over a token array from SQL
+    val s64 = spark.sql(
+      "SELECT simhash64(split('a b c d', ' ')) AS h").head().getSeq[Long](0)
+    val c64 = docs.select(graft.functions.SimHash64.simhash64(
+        split(lit("a b c d"), " ")).as("h")).head().getSeq[Long](0)
+    assert(s64 == c64 && s64.length == 4)
+    val s16 = spark.sql(
+      "SELECT simhash16(split('a b c d', ' ')) AS h").head().getLong(0)
+    assert(s16 >= 0L && s16 < 65536L)
+    // winnow_select emits (pos, fp) structs from SQL, bit-identical to
+    // the Column API
+    val w = spark.sql(
+        "SELECT winnow_select(split('a b c d e f g', ' '), 2, 3) AS p")
+      .select(explode(col("p")).as("s")).select("s.pos", "s.fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wc = Seq(("a b c d e f g")).toDF("text")
+      .select(WinnowSelect.winnowSelect(split(col("text"), " "), 2, 3).as("p"))
+      .select(explode(col("p")).as("s")).select("s.pos", "s.fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(w.nonEmpty && w == wc)
   }
 
   test("shingle width must be a literal; wrong arity fails at analysis") {
