@@ -70,14 +70,33 @@ object Search {
   }
 
   private final case class InlineSource(docs: DataFrame, textCol: String,
-      idCol: String) extends PostingsSource {
-    def stats: DataFrame = SearchIndex.statsOf(docs, textCol)
+      idCol: String, share: Boolean = false) extends PostingsSource {
+    // `share = true` (the multi-pass RM3 shape): regex-tokenize the corpus
+    // ONCE into a cached one-row-per-doc token-array table and explode
+    // from the cache — without it each byTerms/byDocs re-runs the regex
+    // split, and RM3 makes three such calls. The cache is PRE-explode
+    // (doc-grain, ~text-sized): caching the exploded token ROWS was
+    // measured slower than re-tokenizing (block-store writes of the
+    // row blowup beat two regex passes), the same finding documented at
+    // [[Dedup.ngramJaccardPairs]]. Single-pass BM25 keeps share = false:
+    // a cache written once and read once only adds traffic. (The 100 TB
+    // repeated-workload answer remains the prebuilt SearchIndex.)
+    private lazy val tokDocs = graft.core.CacheScope.autoUnpersist(
+      docs.select(col(idCol).as("doc_id"), toks(textCol).as("__toks")))
+    private def tok: DataFrame =
+      if (share) tokDocs.select(col("doc_id"),
+        size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
+      else tokenRows(docs, textCol, idCol)
+    def stats: DataFrame =
+      if (share) tokDocs.agg(count(lit(1)).as("n_docs"),
+        avg(size(col("__toks"))).as("avgdl"))
+      else SearchIndex.statsOf(docs, textCol)
     def byTerms(termSet: DataFrame): DataFrame =
-      tokenRows(docs, textCol, idCol).join(broadcast(termSet), "term")
+      tok.join(broadcast(termSet), "term")
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).as("tf"))
     def byDocs(docIds: DataFrame): DataFrame =
-      tokenRows(docs, textCol, idCol).join(broadcast(docIds), "doc_id")
+      tok.join(broadcast(docIds), "doc_id")
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).as("tf"))
   }
@@ -193,7 +212,7 @@ object Search {
       lambda: Double = 0.6, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    rm3Core(InlineSource(docs, textCol, idCol),
+    rm3Core(InlineSource(docs, textCol, idCol, share = true),
       queryBatch.toDF("query_id", "qtext"), k, f, e, lambda, k1, b)
   }
 
