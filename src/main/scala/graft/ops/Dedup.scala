@@ -623,8 +623,16 @@ object Dedup {
     val mh =
       if (fastHash) graft.functions.MinHash.minhashXx(col(textCol), n, k)
       else graft.functions.MinHash.minhashMd5(col(textCol), n, k)
-    df.select(col(idCol), mh.as("__mh"))
-      .filter(size(col("__mh")) > 0)
+    // drop sub-n-token docs (no shingles -> the exploded aggregate never
+    // emits them) BEFORE computing signatures, and do it on a cheap
+    // token-count predicate: filtering on size(__mh) would be pushed
+    // below the projection with the alias inlined, evaluating the k-hash
+    // expression TWICE per row (measured ~1.3x on the band-index path).
+    // split's token count equals WordShingles' (same \s+ regex, limit -1;
+    // lowercasing changes no boundaries), so the predicates agree exactly;
+    // null text yields a null count and is dropped, matching nullSafeEval.
+    df.filter(size(split(col(textCol), "\\s+")) >= n)
+      .select(col(idCol), mh.as("__mh"))
       .select(col(idCol) +: (1 to k).map(i =>
         element_at(col("__mh"), i).as(s"mh_$i")): _*)
   }
