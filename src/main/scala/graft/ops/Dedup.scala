@@ -904,11 +904,18 @@ object Dedup {
       fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = graft.functions.WordShingles.wordShingles(col(textCol), n)
-    def mhI(i: Int): Column =
-      if (fastHash) array_min(transform(sh, s => xxhash64(lit(i), s)))
-      else array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
-    val mhArr = array((1 to k).map(mhI): _*)
+    // ONE codegen'd signature pass per doc ([[graft.functions.MinHash]]);
+    // the k interpreted array_min/transform lambdas this replaces are
+    // bit-identical for docs with shingles. Docs with < n tokens carried
+    // k null components there (array_min over empty = null) — reproduced
+    // by the `when`'s otherwise branch, so they still flow through the
+    // band joins and come out novel (jhat counts no null matches).
+    val elemT = if (fastHash) "bigint" else "string"
+    val mhNarrow =
+      if (fastHash) graft.functions.MinHash.minhashXx(col(textCol), n, k)
+      else graft.functions.MinHash.minhashMd5(col(textCol), n, k)
+    val mhArr = when(size(split(col(textCol), "\\s+")) >= n, mhNarrow)
+      .otherwise(array((1 to k).map(_ => lit(null).cast(elemT)): _*))
     def sigOf(b: Int): Column = {
       val cols = (b * rows until (b + 1) * rows).map(i => col("__mh")(i))
       if (fastHash) xxhash64(cols: _*).cast("string")

@@ -430,13 +430,15 @@ object EventStream {
     requireIntegralId(docs, idCol, "streamingMinhashDedup")
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sh = graft.functions.WordShingles.wordShingles(col(textCol), n)
-    val mh = (1 to k).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s))).as(s"mh_$i"))
+    // ONE codegen'd pass per doc ([[graft.functions.MinHash]]) — the k
+    // interpreted array_min/transform lambdas this replaces are
+    // bit-identical but evaluated per element outside codegen; the cheap
+    // token-count filter drops < n-token docs (no shingles, batch parity)
+    // without evaluating the signature twice
     val withSigs = docs
-      .select(col(idCol).cast("long").as("doc_id"), sh.as("sh"), array(mh: _*).as("minhash"))
-      .filter(size(col("sh")) > 0) // < n tokens => no shingles (batch parity)
-      .drop("sh")
+      .filter(size(split(col(textCol), "\\s+")) >= n)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.MinHash.minhashXx(col(textCol), n, k).as("minhash"))
     val bandKeys = (0 until bands).map { b =>
       val cols = (b * rows + 1 to (b + 1) * rows).map(i => col("minhash")(i - 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).cast("string").as("sig"))
