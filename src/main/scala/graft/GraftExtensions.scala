@@ -4,8 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinHashMd5, MinHashXx, NfcNormalize, SimHash16,
-  SimHash64, VecCosine, VecL2Sq, WinnowSelect, WordShingles, WordShinglesAll}
+import graft.functions.{MinHashMd5, MinHashXx, NfcNormalize, RepetitionStats,
+  SimHash16, SimHash64, VecCosine, VecL2Sq, WinnowSelect, WordShingles,
+  WordShinglesAll}
 
 /**
  * SQL surface for the library's custom Catalyst expressions — the
@@ -23,6 +24,7 @@ import graft.functions.{MinHashMd5, MinHashXx, NfcNormalize, SimHash16,
  *   - `simhash64(toks)`        — [[graft.functions.SimHash64]]
  *   - `simhash16(toks)`        — [[graft.functions.SimHash16]]
  *   - `winnow_select(hs, k, w)`— [[graft.functions.WinnowSelect]]
+ *   - `repetition_stats(s)`    — [[graft.functions.RepetitionStats]]
  *
  * Two activation paths:
  *   - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -91,7 +93,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
       args => { arity("winnow_select", 3, args)
         WinnowSelect(args(0), litInt(args(1), "winnow_select"),
-          litInt(args(2), "winnow_select")) }))
+          litInt(args(2), "winnow_select")) }),
+    (FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      args => { arity("repetition_stats", 1, args)
+        RepetitionStats(args(0)) }))
 
   /** Register onto a LIVE session (extension classes only apply at session
     * build). Idempotent: re-registering replaces the same definitions. */

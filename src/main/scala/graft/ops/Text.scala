@@ -1020,6 +1020,76 @@ object Text {
   }
 
   /**
+   * Gopher repetition-removal rules (Rae et al. 2021, appendix A1.2) —
+   * the OTHER half of the Gopher gate next to [[gopherRules]]: reject
+   * documents dominated by internal repetition. Emits, per document, the
+   * measured fractions AND the keep verdict, so thresholds re-tune
+   * downstream without a second corpus scan:
+   *
+   *  - `dup_line_frac` / `dup_para_frac` — fraction of lines /
+   *    paragraphs that repeat an earlier one (occurrences beyond the
+   *    first over the total; blank elements dropped);
+   *  - `dup_line_char_frac` / `dup_para_char_frac` — characters of those
+   *    repeated occurrences over the document length;
+   *  - `top{2,3,4}_char_frac` — characters covered by the single most
+   *    frequent word n-gram (count x gram length; 0 when nothing
+   *    repeats) over the document length;
+   *  - `dup{5..10}_char_frac` — characters across ALL occurrences of
+   *    duplicated n-grams over the characters across ALL n-grams of
+   *    that size (the NeMo-Curator convention, which keeps the fraction
+   *    in [0, 1] despite overlapping grams; see
+   *    [[graft.functions.RepetitionStats]] for the documented deviation
+   *    from the paper's sequential scan).
+   *
+   * Default thresholds are the paper's table A1. All fractions are
+   * rounded to 6 dp and the verdict compares the ROUNDED values, so an
+   * external SQL engine replays the decision exactly.
+   *
+   * Scale shape: ONE shuffle-free narrow projection; all 15 counters
+   * come from a single codegen'd imperative pass per document
+   * ([[graft.functions.RepetitionStats]]) — fusable with [[gopherRules]]
+   * and the other per-doc quality signals in the same stage.
+   */
+  def gopherRepetition(df: DataFrame, textCol: String, idCol: String,
+      maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20, maxDupParaCharFrac: Double = 0.20,
+      maxTopNgramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      maxDupNgramCharFrac: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
+      : DataFrame = {
+    require(maxTopNgramCharFrac.size == 3, "top thresholds cover n = 2, 3, 4")
+    require(maxDupNgramCharFrac.size == 6, "dup thresholds cover n = 5..10")
+    val dbl = (c: Column) => c.cast("double")
+    val base = df.select(col(idCol),
+      length(col(textCol)).cast("long").as("__nc"),
+      graft.functions.RepetitionStats.stats(col(textCol)).as("__rs"))
+    def elemFrac(dup: String, n: String): Column =
+      round(when(col(s"__rs.$n") > 0,
+        dbl(col(s"__rs.$dup")) / col(s"__rs.$n")).otherwise(lit(0.0)), 6)
+    def charFrac(f: String): Column =
+      round(when(col("__nc") > 0,
+        dbl(col(s"__rs.$f")) / col("__nc")).otherwise(lit(0.0)), 6)
+    val fracs: Seq[(String, Column, Column => Column)] =
+      Seq(
+        ("dup_line_frac", elemFrac("dup_lines", "n_lines"), (c: Column) => c <= maxDupLineFrac),
+        ("dup_line_char_frac", charFrac("dup_line_chars"), (c: Column) => c <= maxDupLineCharFrac),
+        ("dup_para_frac", elemFrac("dup_paras", "n_paras"), (c: Column) => c <= maxDupParaFrac),
+        ("dup_para_char_frac", charFrac("dup_para_chars"), (c: Column) => c <= maxDupParaCharFrac)) ++
+      (2 to 4).map(n => (s"top${n}_char_frac", charFrac(s"top${n}_chars"),
+        (c: Column) => c <= maxTopNgramCharFrac(n - 2))) ++
+      (5 to 10).map { n =>
+        val f = round(when(col(s"__rs.gram${n}_chars") > 0,
+          dbl(col(s"__rs.dup${n}_chars")) / col(s"__rs.gram${n}_chars"))
+          .otherwise(lit(0.0)), 6)
+        (s"dup${n}_char_frac", f, (c: Column) => c <= maxDupNgramCharFrac(n - 5))
+      }
+    val named = base.select(Seq(col(idCol),
+      col("__rs.n_lines").as("n_lines"), col("__rs.n_paras").as("n_paras")) ++
+      fracs.map { case (name, c, _) => c.as(name) }: _*)
+    named.withColumn("keep",
+      fracs.map { case (name, _, pred) => pred(col(name)) }.reduce(_ && _))
+  }
+
+  /**
    * Document fingerprint: md5 over the sorted distinct token set — a
    * canonical-form hash robust to word order, the cheap cousin of shingle
    * fingerprinting for exact-ish dedup.

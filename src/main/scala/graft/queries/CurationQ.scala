@@ -336,6 +336,114 @@ object CurationQ extends QueryGroup {
              |SELECT doc_id, host,
              |  CASE WHEN len(hits) > 0 THEN hits[1] ELSE NULL END AS blocked_by,
              |  len(hits) > 0 AS blocked
-             |FROM h""".stripMargin))
+             |FROM h""".stripMargin)),
+
+    // Gopher repetition-removal gate (Rae et al. 2021 A1.2): the fixture
+    // line-ifies the word-soup corpus (newline every 4 words, blank line
+    // every 3 lines) and seeds per-residue hard repetition — a duplicated
+    // line (%7), a 'buy now' x5 top-2-gram block (%5), a duplicated
+    // paragraph (%11), and a repeated 10-gram (%13) — so every signal
+    // family fires. The oracle replays all 15 counters with DuckDB list
+    // lambdas; fractions rounded 6 dp on both sides, verdict over the
+    // ROUNDED values.
+    QueryDef("q_text_repetition",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val lineified = regexp_replace(regexp_replace(col("text"),
+          "((\\S+\\s+){3}\\S+)\\s+", "$1\n"),
+          "(([^\\n]+\\n){2}[^\\n]+)\\n", "$1\n\n")
+        val seeded = docs.withColumn("text", concat(lineified,
+          when(col("doc_id") % 7 === 0,
+            lit("\nthe quick brown fox\nthe quick brown fox")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nbuy now buy now buy now buy now buy now")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\n\nspam spam spam\n\nspam spam spam")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" one two three four five six seven eight nine ten" +
+              " one two three four five six seven eight nine ten"))
+            .otherwise(lit(""))))
+        Text.gopherRepetition(seeded, "text", "doc_id")
+      },
+      Some(repetitionOracle))
   )
+
+  /** DuckDB n-gram list for [[repetitionOracle]]: all occurrences of the
+    * space-joined n-word grams of `ws` (empty below n words). */
+  private def gramsSql(n: Int): String =
+    s"list_transform(range(1, len(ws) - ${n - 2}), i -> array_to_string(ws[i:i+${n - 1}], ' '))"
+
+  /** Characters of repeated occurrences BEYOND THE FIRST of each element. */
+  private def dupBeyondFirstCharsSql(lst: String): String =
+    s"coalesce(list_sum(list_transform(list_distinct($lst), e -> " +
+      s"CAST((len(list_filter($lst, x -> x = e)) - 1) * length(e) AS BIGINT))), 0)"
+
+  /** Characters across ALL occurrences of duplicated (count >= 2) grams. */
+  private def dupAllCharsSql(g: String): String =
+    s"coalesce(list_sum(list_transform(list_distinct($g), e -> " +
+      s"CASE WHEN len(list_filter($g, x -> x = e)) >= 2 " +
+      s"THEN CAST(len(list_filter($g, x -> x = e)) * length(e) AS BIGINT) ELSE 0 END)), 0)"
+
+  private def fracSql(num: String, den: String): String =
+    s"ROUND(CASE WHEN $den > 0 THEN $num * 1.0 / $den ELSE 0.0 END, 6)"
+
+  private lazy val repetitionOracle: String = {
+    val trimset = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+    val gcols = (2 to 10).map(n => s"${gramsSql(n)} AS g$n").mkString(",\n    ")
+    val topcols = Seq(2, 3, 4).map { n =>
+      s"list_max(list_transform(list_distinct(g$n), e -> len(list_filter(g$n, x -> x = e)))) AS tc$n,\n" +
+      s"    list_min(list_filter(list_distinct(g$n), e -> len(list_filter(g$n, x -> x = e)) = tc$n)) AS tg$n,\n" +
+      s"    CASE WHEN coalesce(tc$n, 0) >= 2 THEN CAST(tc$n * length(tg$n) AS BIGINT) ELSE 0 END AS top${n}_chars"
+    }.mkString(",\n    ")
+    val dupcols = (5 to 10).map(n =>
+      s"${dupAllCharsSql(s"g$n")} AS dup${n}_chars,\n    " +
+      s"coalesce(list_sum(list_transform(g$n, e -> CAST(length(e) AS BIGINT))), 0) AS gram${n}_chars")
+      .mkString(",\n    ")
+    val topf = Seq(2, 3, 4).map(n =>
+      s"${fracSql(s"top${n}_chars", "nc")} AS top${n}_char_frac").mkString(",\n  ")
+    val dupf = (5 to 10).map(n =>
+      s"${fracSql(s"dup${n}_chars", s"gram${n}_chars")} AS dup${n}_char_frac").mkString(",\n  ")
+    val thr = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+      5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    val keep = s"${fracSql("dup_lines", "n_lines")} <= 0.30" +
+      s" AND ${fracSql("dup_line_chars", "nc")} <= 0.20" +
+      s" AND ${fracSql("dup_paras", "n_paras")} <= 0.30" +
+      s" AND ${fracSql("dup_para_chars", "nc")} <= 0.20" +
+      Seq(2, 3, 4).map(n => s" AND ${fracSql(s"top${n}_chars", "nc")} <= ${thr(n)}").mkString +
+      (5 to 10).map(n => s" AND ${fracSql(s"dup${n}_chars", s"gram${n}_chars")} <= ${thr(n)}").mkString
+    s"""WITH d AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(text,
+       |      '((\\S+\\s+){3}\\S+)\\s+', '\\1' || chr(10), 'g'),
+       |      '(([^\\n]+\\n){2}[^\\n]+)\\n', '\\1' || chr(10) || chr(10), 'g')
+       |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'the quick brown fox' || chr(10) || 'the quick brown fox' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'buy now buy now buy now buy now buy now' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) || 'spam spam spam' || chr(10) || chr(10) || 'spam spam spam' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' one two three four five six seven eight nine ten one two three four five six seven eight nine ten' ELSE '' END AS tx
+       |  FROM documents),
+       |t AS (SELECT doc_id, tx, length(tx) AS nc,
+       |    list_filter(list_transform(string_split(tx, chr(10)), x -> trim(x, $trimset)), x -> x <> '') AS ls,
+       |    list_filter(list_transform(regexp_split_to_array(tx, '\\n{2,}'), x -> trim(x, $trimset)), x -> x <> '') AS ps,
+       |    list_filter(regexp_split_to_array(lower(tx), '\\s+'), w -> w <> '') AS ws
+       |  FROM d),
+       |g AS (SELECT doc_id, nc, ls, ps,
+       |    $gcols
+       |  FROM t),
+       |m AS (SELECT doc_id, nc,
+       |    len(ls) AS n_lines, len(ls) - len(list_distinct(ls)) AS dup_lines,
+       |    ${dupBeyondFirstCharsSql("ls")} AS dup_line_chars,
+       |    len(ps) AS n_paras, len(ps) - len(list_distinct(ps)) AS dup_paras,
+       |    ${dupBeyondFirstCharsSql("ps")} AS dup_para_chars,
+       |    $topcols,
+       |    $dupcols
+       |  FROM g)
+       |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, CAST(n_paras AS BIGINT) AS n_paras,
+       |  ${fracSql("dup_lines", "n_lines")} AS dup_line_frac,
+       |  ${fracSql("dup_line_chars", "nc")} AS dup_line_char_frac,
+       |  ${fracSql("dup_paras", "n_paras")} AS dup_para_frac,
+       |  ${fracSql("dup_para_chars", "nc")} AS dup_para_char_frac,
+       |  $topf,
+       |  $dupf,
+       |  ($keep) AS keep
+       |FROM m""".stripMargin
+  }
 }

@@ -195,4 +195,49 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(joinKept == gateKept)
   }
+
+  test("gopherRepetition: hand-computed line/paragraph/n-gram repetition signals") {
+    val docs = Seq(
+      // lines [aa bb, aa bb, cc]: 1 dup line (5 chars) over len-14 text;
+      // top 2-gram 'aa bb' x2 (10 chars); single 5-gram -> no dup5
+      (1L, "aa bb\naa bb\ncc"),
+      // paragraphs [x y, x y, z]: 1 dup paragraph (3 chars) over len 11
+      (2L, "x y\n\nx y\n\nz"),
+      // a 10-gram repeated twice: every dup{5..10} signal fires
+      (3L, "one two three four five six seven eight nine ten " +
+        "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Text.gopherRepetition(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, f: String) = r.getDouble(r.fieldIndex(f))
+    val a = out(1L)
+    assert(a.getLong(a.fieldIndex("n_lines")) == 3L)
+    assert(d(a, "dup_line_frac") == 0.333333)
+    assert(d(a, "dup_line_char_frac") == 0.357143)
+    assert(d(a, "top2_char_frac") == 0.714286)
+    assert(d(a, "top3_char_frac") == 0.0)
+    assert(d(a, "dup5_char_frac") == 0.0)
+    assert(!a.getBoolean(a.fieldIndex("keep")), "dup line + top2 must reject")
+    val b = out(2L)
+    assert(b.getLong(b.fieldIndex("n_paras")) == 3L)
+    assert(d(b, "dup_para_frac") == 0.333333)
+    assert(d(b, "dup_para_char_frac") == 0.272727)
+    val c = out(3L)
+    (5 to 10).foreach(n => assert(d(c, s"dup${n}_char_frac") > 0.0, s"n=$n"))
+    assert(!c.getBoolean(c.fieldIndex("keep")))
+  }
+
+  test("repetition_stats: exact dup/top numerators and lexicographic tie-break") {
+    val txt = "one two three four five six seven eight nine ten " +
+      "one two three four five six seven eight nine ten"
+    val df = Seq((1L, txt)).toDF("id", "text")
+    val r = df.select(graft.functions.RepetitionStats.stats(col("text")).as("rs"))
+      .select(col("rs.dup10_chars"), col("rs.top2_chars"), col("rs.n_lines"))
+      .collect().head
+    // the 48-char 10-gram occurs twice -> 96; nine 2-grams tie at count 2,
+    // 'eight nine' (10 chars) is the lexicographic winner -> 20
+    assert(r.getLong(0) == 96L)
+    assert(r.getLong(1) == 20L)
+    assert(r.getLong(2) == 1L)
+  }
 }

@@ -72,6 +72,12 @@ class ExtensionsSpec extends SparkSpec {
       .select(explode(col("p")).as("s")).select("s.pos", "s.fp")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(w.nonEmpty && w == wc)
+    // repetition_stats: struct fields reachable from SQL, same values as
+    // the Column API
+    val rs = spark.sql(
+      "SELECT repetition_stats('aa bb\naa bb\ncc') AS rs")
+      .select(col("rs.dup_lines"), col("rs.top2_chars")).head()
+    assert(rs.getLong(0) == 1L && rs.getLong(1) == 10L)
   }
 
   test("shingle width must be a literal; wrong arity fails at analysis") {
