@@ -1045,23 +1045,26 @@ object Text {
    * rounded to 6 dp and the verdict compares the ROUNDED values, so an
    * external SQL engine replays the decision exactly.
    *
-   * Scale shape: ONE shuffle-free narrow projection; all 15 counters
+   * Scale shape: ONE shuffle-free narrow projection; all 21 counters
    * come from a single codegen'd imperative pass per document
    * ([[graft.functions.RepetitionStats]]) — fusable with [[gopherRules]]
-   * and the other per-doc quality signals in the same stage.
+   * and the other per-doc quality signals in the same stage. `carry`
+   * threads payload columns (the text itself, usually) through, so the
+   * gate composes in a pipeline without a re-join — streaming-legal.
    */
   def gopherRepetition(df: DataFrame, textCol: String, idCol: String,
       maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
       maxDupLineCharFrac: Double = 0.20, maxDupParaCharFrac: Double = 0.20,
       maxTopNgramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16),
-      maxDupNgramCharFrac: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
-      : DataFrame = {
+      maxDupNgramCharFrac: Seq[Double] = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10),
+      carry: Seq[String] = Nil): DataFrame = {
     require(maxTopNgramCharFrac.size == 3, "top thresholds cover n = 2, 3, 4")
     require(maxDupNgramCharFrac.size == 6, "dup thresholds cover n = 5..10")
     val dbl = (c: Column) => c.cast("double")
-    val base = df.select(col(idCol),
+    val base = df.select(Seq(col(idCol),
       length(col(textCol)).cast("long").as("__nc"),
-      graft.functions.RepetitionStats.stats(col(textCol)).as("__rs"))
+      graft.functions.RepetitionStats.stats(col(textCol)).as("__rs")) ++
+      carry.map(col): _*)
     def elemFrac(dup: String, n: String): Column =
       round(when(col(s"__rs.$n") > 0,
         dbl(col(s"__rs.$dup")) / col(s"__rs.$n")).otherwise(lit(0.0)), 6)
@@ -1084,7 +1087,7 @@ object Text {
       }
     val named = base.select(Seq(col(idCol),
       col("__rs.n_lines").as("n_lines"), col("__rs.n_paras").as("n_paras")) ++
-      fracs.map { case (name, c, _) => c.as(name) }: _*)
+      fracs.map { case (name, c, _) => c.as(name) } ++ carry.map(col): _*)
     named.withColumn("keep",
       fracs.map { case (name, _, pred) => pred(col(name)) }.reduce(_ && _))
   }

@@ -708,7 +708,12 @@ class StreamingSpec extends SparkSpec {
       val stripped = Text.stripMarkup(html, "html", "doc_id")
       val scrubbed = Text.scrubPii(stripped, "clean_text", "doc_id")
       val normed = Text.normalizeText(scrubbed, "clean_text", "doc_id")
-      Text.qualityScore(normed, "clean_text", "doc_id", carry = Seq("clean_text"))
+      // the repetition gate is a stateless narrow projection too —
+      // streaming-legal in the same chain, text carried through (no join)
+      val gated = Text.gopherRepetition(normed, "clean_text", "doc_id",
+          carry = Seq("clean_text"))
+        .filter(col("keep"))
+      Text.qualityScore(gated, "clean_text", "doc_id", carry = Seq("clean_text"))
         .filter(col("stop_ratio") >= 0.05)
     }
     val docsStream = spark.readStream
