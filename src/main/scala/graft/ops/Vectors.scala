@@ -64,15 +64,17 @@ object Vectors {
    * — the standard redundancy-killer between retrieval and an LLM
    * context window (near-identical passages burn budget; MMR keeps one
    * of each). λ = 1 reduces to relevance order (spec-pinned); lower λ
-   * trades relevance for coverage. Ties break on min cid, so the
-   * greedy is fully deterministic.
+   * trades relevance for coverage. Ties break on min cid, and the
+   * redundancy cosine is rounded to 6 dp BEFORE the argmax (the
+   * [[icpOrderInBuckets]] contract), so the greedy is fully
+   * deterministic AND engine-portable — the oracle replays every pick
+   * as a recursive CTE carrying the picked vectors as recursion state.
    *
    * Scale shape: candidates arrive PRE-CUT to a per-query top-m (ANN /
    * BM25 output — m is tens), so the O(k·m) greedy runs in-JVM per
    * query group via typed mapGroups: one shuffle keyed on qid carrying
    * m skinny rows per query, the sanctioned imperative site for
-   * per-group logic (SURVEY §7.3). Not SQL-expressible without a
-   * recursive CTE per pick — rows-only + reference-parity spec.
+   * per-group logic (SURVEY §7.3).
    */
   def mmrRerank(cands: DataFrame, k: Int, lambda: Double,
       qId: String = "qid", cId: String = "cid", relCol: String = "rel",
@@ -86,6 +88,12 @@ object Vectors {
       .groupByKey(_.qid)
       .flatMapGroups { (qid, it) =>
         val pool = scala.collection.mutable.ArrayBuffer.from(it)
+        // 6-dp HALF-AWAY-FROM-ZERO — DuckDB/Spark ROUND semantics.
+        // math.rint (half-even) differs on exact .5 doubles, which the
+        // score DOES hit: rel is already 6-dp, so λ=0.5 makes
+        // score = rel/2 land on x.xxxxxx5 exactly.
+        def r6(x: Double): Double =
+          math.copySign(math.floor(math.abs(x) * 1e6 + 0.5), x) / 1e6
         def cos(a: Seq[Float], b: Seq[Float]): Double = {
           var d = 0.0; var na = 0.0; var nb = 0.0
           val n = math.min(a.length, b.length)
@@ -106,7 +114,9 @@ object Vectors {
             val c = pool(i)
             val redundancy =
               if (picked.isEmpty) 0.0
-              else picked.iterator.map(p => cos(c.embedding, p.embedding)).max
+              else picked.iterator
+                .map(p => r6(cos(c.embedding, p.embedding)))
+                .max
             val score = lambda * c.rel - (1 - lambda) * redundancy
             if (score > bestScore ||
                 (score == bestScore && best >= 0 && c.cid < pool(best).cid)) {
@@ -116,8 +126,7 @@ object Vectors {
           }
           val chosen = pool.remove(best)
           picked += chosen
-          out += MmrPick(qid, chosen.cid, chosen.rel, rank,
-            math.rint(bestScore * 1e6) / 1e6)
+          out += MmrPick(qid, chosen.cid, chosen.rel, rank, r6(bestScore))
           rank += 1
         }
         out.iterator

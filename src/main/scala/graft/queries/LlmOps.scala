@@ -2238,9 +2238,12 @@ object LlmOps extends QueryGroup {
               |SELECT qid, cid, cos, rnk FROM r WHERE rnk <= 3""".stripMargin)),
 
     // MMR diversification over the ANN top-10: greedy relevance-vs-
-    // redundancy re-rank (per-query greedy is not SQL-expressible
-    // without a recursive CTE per pick — rows-only; reference-parity
-    // and lambda-limit behavior are spec-pinned in OpsSpec)
+    // redundancy re-rank. The oracle replays every pick as a recursive
+    // CTE (the q_icp_order trick) carrying the picked VECTORS as
+    // recursion state — redundancy = max 6-dp-rounded cosine against
+    // all picked, score ordered DESC with min-cid ties, one pick per
+    // query per iteration. Engine-portable because mmrRerank rounds the
+    // redundancy cosine BEFORE its argmax (the icpOrder contract).
     QueryDef("q_mmr_rerank",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
@@ -2250,8 +2253,32 @@ object LlmOps extends QueryGroup {
           c, 10).join(c, Seq("cid"))
           .select(col("qid"), col("cid"), col("cos").as("rel"), col("embedding"))
         Vectors.mmrRerank(top, k = 5, lambda = 0.5)
+          .withColumn("mmr_rank", col("mmr_rank").cast("long"))
       },
-      None),
+      Some(s"""WITH RECURSIVE q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 5),
+              |sc AS (SELECT qid, cid, ${cosSql("qe", "ce")} AS cos FROM q CROSS JOIN c),
+              |r AS (SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk FROM sc),
+              |cand AS (SELECT r.qid, r.cid, r.cos AS rel, c.ce AS v FROM r JOIN c ON r.cid = c.cid WHERE rnk <= 10),
+              |rec AS (
+              |  SELECT qid, 0 AS rk, CAST(NULL AS BIGINT) AS cid, CAST(NULL AS DOUBLE) AS rel,
+              |    CAST(NULL AS DOUBLE) AS score,
+              |    CAST([] AS BIGINT[]) AS picked, CAST([] AS DOUBLE[][]) AS pvecs
+              |  FROM (SELECT DISTINCT qid FROM cand)
+              |  UNION ALL
+              |  SELECT qid, rk, cid, rel, score, picked, pvecs FROM (
+              |    SELECT r.qid AS qid, r.rk + 1 AS rk, c.cid, c.rel,
+              |      0.5 * c.rel - 0.5 * coalesce(list_max(list_transform(r.pvecs, p -> ${cosSql("p", "c.v")})), 0.0) AS score,
+              |      list_append(r.picked, c.cid) AS picked, list_append(r.pvecs, c.v) AS pvecs,
+              |      ROW_NUMBER() OVER (PARTITION BY r.qid ORDER BY
+              |        0.5 * c.rel - 0.5 * coalesce(list_max(list_transform(r.pvecs, p -> ${cosSql("p", "c.v")})), 0.0) DESC,
+              |        c.cid ASC) AS rn
+              |    FROM rec r JOIN cand c ON c.qid = r.qid AND NOT list_contains(r.picked, c.cid)
+              |    WHERE r.rk < 5
+              |  ) WHERE rn = 1
+              |)
+              |SELECT qid, cid, rel, CAST(rk AS BIGINT) AS mmr_rank, ROUND(score, 6) AS mmr_score
+              |FROM rec WHERE rk >= 1""".stripMargin)),
 
     // In-context-pretraining layout (Shi et al. 2023): greedy nearest-
     // neighbor chains inside sign-LSH locality buckets; sorting by
