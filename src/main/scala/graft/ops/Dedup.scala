@@ -99,6 +99,75 @@ object Dedup {
   def hashIndex(df: DataFrame, textCol: String): DataFrame =
     df.select(md5(normText(textCol)).as("content_hash")).distinct()
 
+  /** Non-empty trimmed paragraphs of a text column (split on blank
+    * lines), the [[graft.functions.RepetitionStats]] conventions. */
+  private def parasOf(text: Column): Column =
+    filter(transform(split(text, "\n{2,}"),
+      p => regexp_replace(p, "^[ \t\n\r\f]+|[ \t\n\r\f]+$", "")),
+      p => p =!= lit(""))
+
+  /**
+   * Paragraph-grain exact dedup verdicts ACROSS the corpus — the
+   * MassiveText/Gopher second dedup pass (docs are deduped whole, then
+   * repeated boilerplate PARAGRAPHS are cut everywhere they recur).
+   * Each non-empty trimmed paragraph (split on blank lines) is keyed by
+   * the md5 of its [[normText]]-normalized content; the canonical copy
+   * is the (min doc, min idx) occurrence, every other occurrence is a
+   * dup. Output: (doc_id, para_idx, para_hash, is_dup, canon_doc,
+   * canon_idx), para_idx 1-based.
+   *
+   * Scale shape: paragraphs explode to (doc, idx, 16-byte hash) rows —
+   * bodies never shuffle. The canonical pick is a groupBy-min on the
+   * hash (map-side combined — a boilerplate paragraph repeated 10⁸
+   * times partial-aggregates, it does NOT funnel into one window task),
+   * joined back on the hash (AQE splits the skewed probe).
+   */
+  def paragraphDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keys = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(parasOf(col(textCol))).as(Seq("__p0", "__para")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("para_idx"),
+        md5(trim(regexp_replace(lower(col("__para")), "\\s+", " "))).as("para_hash"))
+    val canon = keys.groupBy(col("para_hash"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("__c"))
+      .select(col("para_hash"), col("__c.doc_id").as("canon_doc"),
+        col("__c.para_idx").as("canon_idx"))
+    keys.join(canon, Seq("para_hash"))
+      .select(col("doc_id"), col("para_idx"), col("para_hash"),
+        (col("canon_doc") =!= col("doc_id") ||
+          col("canon_idx") =!= col("para_idx")).as("is_dup"),
+        col("canon_doc"), col("canon_idx"))
+  }
+
+  /**
+   * Cut every non-canonical repeated paragraph out of the corpus — the
+   * apply side of [[paragraphDups]]: each doc keeps only paragraphs
+   * whose (doc, idx) IS the corpus-wide canonical occurrence of their
+   * content, re-joined with blank lines. Output: (doc_id, clean_text,
+   * n_paras, n_dropped).
+   *
+   * Scale shape: the verdict pass shuffles only (doc, idx, hash); the
+   * drop-index sets come back as ONE small row per affected doc (ints,
+   * not text), and the reconstruction is a narrow array filter over the
+   * doc's own paragraph array — the corpus text itself never shuffles
+   * (the [[substringCut]] pattern).
+   */
+  def dropDuplicateParagraphs(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val drops = paragraphDups(df, textCol, idCol)
+      .filter(col("is_dup"))
+      .groupBy(col("doc_id")).agg(collect_set(col("para_idx")).as("__drop"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        parasOf(col(textCol)).as("__ps"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("__ps"), (x, i) =>
+          !array_contains(coalesce(col("__drop"), array().cast("array<bigint>")),
+            (i + 1).cast("long"))), "\n\n").as("clean_text"),
+        size(col("__ps")).cast("long").as("n_paras"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /**
    * Incremental exact dedup: admit only new-batch docs whose content is
    * (a) unseen in the existing corpus's [[hashIndex]] and (b) the

@@ -365,8 +365,69 @@ object CurationQ extends QueryGroup {
             .otherwise(lit(""))))
         Text.gopherRepetition(seeded, "text", "doc_id")
       },
-      Some(repetitionOracle))
+      Some(repetitionOracle)),
+
+    // Paragraph-grain exact dedup ACROSS the corpus (the MassiveText
+    // second dedup pass): paragraphified word-soup fixture + two seeded
+    // cross-doc boilerplate paragraphs (%4 newsletter, %6 rights) ->
+    // verdict per paragraph occurrence with the (min doc, min idx)
+    // canonical. Oracle replays split/normalize/md5/first-occurrence.
+    QueryDef("q_para_dedup",
+      (s, dir) => Dedup.paragraphDups(paraSeeded(s, dir), "text", "doc_id"),
+      Some(paraBaseSql + "\n" +
+        """SELECT doc_id, para_idx, para_hash,
+          |  (canon_doc <> doc_id OR canon_idx <> para_idx) AS is_dup,
+          |  canon_doc, canon_idx
+          |FROM c""".stripMargin)),
+
+    // The apply side: cut every non-canonical repeated paragraph, rebuild
+    // the doc with blank-line joins; bodies never shuffle (array filter
+    // over the doc's own paragraph list).
+    QueryDef("q_para_dedup_cut",
+      (s, dir) => Dedup.dropDuplicateParagraphs(paraSeeded(s, dir), "text", "doc_id"),
+      Some(paraBaseSql + ",\n" +
+        """dups AS (SELECT doc_id, list(para_idx) AS dl FROM c
+          |    WHERE canon_doc <> doc_id OR canon_idx <> para_idx GROUP BY doc_id)
+          |SELECT p.doc_id,
+          |  coalesce(array_to_string(list_transform(list_filter(range(1, len(ps) + 1),
+          |    i -> NOT list_contains(coalesce(dl, CAST([] AS BIGINT[])), i)), i -> ps[i]),
+          |    chr(10) || chr(10)), '') AS clean_text,
+          |  CAST(len(ps) AS BIGINT) AS n_paras,
+          |  CAST(coalesce(len(dl), 0) AS BIGINT) AS n_dropped
+          |FROM p LEFT JOIN dups USING (doc_id)""".stripMargin))
   )
+
+  /** Shared fixture for the paragraph-dedup pair: paragraphified text
+    * plus per-residue cross-doc boilerplate paragraphs. */
+  private def paraSeeded(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val lineified = regexp_replace(regexp_replace(col("text"),
+      "((\\S+\\s+){3}\\S+)\\s+", "$1\n"),
+      "(([^\\n]+\\n){2}[^\\n]+)\\n", "$1\n\n")
+    Tables.load(s, dir, "documents").withColumn("text", concat(lineified,
+      when(col("doc_id") % 4 === 0,
+        lit("\n\nsubscribe to our newsletter today")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        lit("\n\nall rights reserved")).otherwise(lit(""))))
+  }
+
+  /** The paragraph-dedup oracle CTE chain through the canonical pick. */
+  private lazy val paraBaseSql: String = {
+    val trimset = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+    s"""WITH d AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(text,
+       |      '((\\S+\\s+){3}\\S+)\\s+', '\\1' || chr(10), 'g'),
+       |      '(([^\\n]+\\n){2}[^\\n]+)\\n', '\\1' || chr(10) || chr(10), 'g')
+       |    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) || 'subscribe to our newsletter today' ELSE '' END
+       |    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || chr(10) || 'all rights reserved' ELSE '' END AS tx
+       |  FROM documents),
+       |p AS (SELECT doc_id, list_filter(list_transform(regexp_split_to_array(tx, '\\n{2,}'), x -> trim(x, $trimset)), x -> x <> '') AS ps FROM d),
+       |e AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS para_idx, ps FROM p),
+       |k AS (SELECT doc_id, para_idx, md5(trim(regexp_replace(lower(ps[para_idx]), '\\s+', ' ', 'g'))) AS para_hash FROM e),
+       |c AS (SELECT doc_id, para_idx, para_hash,
+       |    FIRST_VALUE(doc_id) OVER w AS canon_doc,
+       |    FIRST_VALUE(para_idx) OVER w AS canon_idx
+       |  FROM k WINDOW w AS (PARTITION BY para_hash ORDER BY doc_id, para_idx))""".stripMargin
+  }
 
   /** DuckDB n-gram list for [[repetitionOracle]]: all occurrences of the
     * space-joined n-word grams of `ws` (empty below n words). */

@@ -227,6 +227,27 @@ class CurationSpec extends SparkSpec {
     assert(!c.getBoolean(c.fieldIndex("keep")))
   }
 
+  test("paragraph dedup: cross-doc canonical pick, normalization, and cut") {
+    val docs = Seq(
+      (1L, "p1\n\nshared\n\np2"),
+      (2L, "shared\n\nunique"),
+      (3L, "SHARED\n\n  shared  ") // normalization folds case + padding
+    ).toDF("doc_id", "text")
+    val v = Dedup.paragraphDups(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(3), r.getLong(4), r.getLong(5))).toMap
+    assert(v((1L, 2L)) == ((false, 1L, 2L)), "first occurrence is canonical")
+    assert(v((2L, 1L)) == ((true, 1L, 2L)))
+    assert(v((3L, 1L)) == ((true, 1L, 2L)), "case-folded copy is a dup")
+    assert(v((3L, 2L)) == ((true, 1L, 2L)), "padded copy is a dup")
+    assert(v((2L, 2L))._1 == false)
+    val cut = Dedup.dropDuplicateParagraphs(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cut(1L) == (("p1\n\nshared\n\np2", 3L, 0L)))
+    assert(cut(2L) == (("unique", 2L, 1L)))
+    assert(cut(3L) == (("", 2L, 2L)), "a doc can lose every paragraph")
+  }
+
   test("repetition_stats: exact dup/top numerators and lexicographic tie-break") {
     val txt = "one two three four five six seven eight nine ten " +
       "one two three four five six seven eight nine ten"
