@@ -133,7 +133,10 @@ object Bench {
     // round-18 (per-query only): retrieval served from a SAVED inverted
     // index (fit+save paid once on the warm-up pass; timed passes read
     // the term-clustered on-disk postings)
-    "q_bm25_prebuilt", "q_bm25_rm3_prebuilt")
+    "q_bm25_prebuilt", "q_bm25_rm3_prebuilt",
+    // round-18 batch 2 (per-query only): the one-pass 21-counter
+    // repetition gate, paragraph-grain corpus dedup with cut
+    "q_text_repetition", "q_para_dedup_cut")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
