@@ -123,11 +123,7 @@ object Dedup {
    * joined back on the hash (AQE splits the skewed probe).
    */
   def paragraphDups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keys = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(parasOf(col(textCol))).as(Seq("__p0", "__para")))
-      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("para_idx"),
-        md5(trim(regexp_replace(lower(col("__para")), "\\s+", " "))).as("para_hash"))
+    val keys = paraKeys(df, textCol, idCol)
     val canon = keys.groupBy(col("para_hash"))
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("__c"))
       .select(col("para_hash"), col("__c.doc_id").as("canon_doc"),
@@ -157,6 +153,14 @@ object Dedup {
     val drops = paragraphDups(df, textCol, idCol)
       .filter(col("is_dup"))
       .groupBy(col("doc_id")).agg(collect_set(col("para_idx")).as("__drop"))
+    cutParagraphs(df, textCol, idCol, drops)
+  }
+
+  /** Rebuild each doc from its paragraph array minus the 1-based indexes
+    * in `drops` (doc_id, __drop: array<long>) — the narrow no-text-shuffle
+    * apply side shared by the paragraph-cut family. */
+  private def cutParagraphs(df: DataFrame, textCol: String, idCol: String,
+      drops: DataFrame): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
         parasOf(col(textCol)).as("__ps"))
       .join(drops, Seq("doc_id"), "left")
@@ -166,6 +170,88 @@ object Dedup {
             (i + 1).cast("long"))), "\n\n").as("clean_text"),
         size(col("__ps")).cast("long").as("n_paras"),
         coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"))
+
+  /** (doc_id, para_idx, para_hash) keys of every non-empty paragraph —
+    * the narrow exploded form the paragraph-dedup family joins on. */
+  private def paraKeys(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(parasOf(col(textCol))).as(Seq("__p0", "__para")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("para_idx"),
+        md5(trim(regexp_replace(lower(col("__para")), "\\s+", " "))).as("para_hash"))
+
+  /** Distinct paragraph-content hashes of a corpus — the paragraph-grain
+    * [[hashIndex]]: persist THIS (16 bytes per distinct paragraph, never
+    * the text) as the state an incremental ingest cuts against. */
+  def paragraphHashIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(parasOf(col(textCol))).as("__para"))
+      .select(md5(trim(regexp_replace(lower(col("__para")), "\\s+", " ")))
+        .as("para_hash"))
+      .distinct()
+
+  /**
+   * Incremental paragraph cut — the ingest form of
+   * [[dropDuplicateParagraphs]]: drop from each new-batch doc every
+   * paragraph that is (a) already in the corpus's
+   * [[paragraphHashIndex]] or (b) a non-canonical repeat WITHIN the
+   * batch. The existing corpus contributes ONLY its 16-byte hashes
+   * (never re-read); batch bodies never shuffle (keys explode to
+   * (doc, idx, hash), the cut is the row-local array filter) — a daily
+   * batch against a 100 TB corpus costs the batch, the
+   * [[dedupIncremental]] contract at paragraph grain.
+   */
+  def dropKnownParagraphs(newDocs: DataFrame, textCol: String, idCol: String,
+      index: DataFrame): DataFrame = {
+    val batchDups = paragraphDups(newDocs, textCol, idCol)
+      .filter(col("is_dup")).select(col("doc_id"), col("para_idx"))
+    val known = paraKeys(newDocs, textCol, idCol)
+      .join(index, Seq("para_hash"), "left_semi")
+      .select(col("doc_id"), col("para_idx"))
+    val drops = batchDups.unionByName(known).distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("para_idx")).as("__drop"))
+    cutParagraphs(newDocs, textCol, idCol, drops)
+  }
+
+  /**
+   * Row-local APPROXIMATE paragraph cut against a Bloom sketch of the
+   * corpus [[paragraphHashIndex]] — the STREAMING form: no explode, no
+   * regroup, no state, so it is append-mode legal and each micro-batch
+   * row filters its own paragraph array through the broadcast-sized
+   * sketch (the [[dedupIncrementalBloom]] fit-statistic shape; probe is
+   * Spark's codegen'd `BloomFilterMightContain` over `xxhash64`).
+   *
+   * A Bloom filter has NO false negatives: a paragraph the sketch
+   * rejects is provably unseen and is kept correctly; the `fpp`
+   * fraction of genuinely-novel paragraphs false-positive and are cut —
+   * the right trade for boilerplate scrubbing on a live feed, NOT for
+   * provenance-critical cuts (use [[dropKnownParagraphs]] there).
+   * Within-batch repeats are NOT cut (no cross-row state) — run the
+   * exact batch pass at compaction time.
+   */
+  def dropKnownParagraphsBloom(docs: DataFrame, textCol: String,
+      idCol: String, index: DataFrame, expectedItems: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(index.count(), 1L)
+    val bf = index.select(xxhash64(col("para_hash")).as("h"))
+      .stat.bloomFilter("h", items, fpp)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    val bytes = os.toByteArray
+    def novel(p: Column): Column =
+      !CatalystBridge.column(BloomFilterMightContain(
+        Literal(bytes), CatalystBridge.expression(xxhash64(
+          md5(trim(regexp_replace(lower(p), "\\s+", " ")))))))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        parasOf(col(textCol)).as("__ps"))
+      .select(col("doc_id"), col("__ps"),
+        filter(col("__ps"), p => novel(p)).as("__kept"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), "\n\n").as("clean_text"),
+        size(col("__ps")).cast("long").as("n_paras"),
+        (size(col("__ps")) - size(col("__kept"))).cast("long").as("n_dropped"))
   }
 
   /**

@@ -394,7 +394,40 @@ object CurationQ extends QueryGroup {
           |    chr(10) || chr(10)), '') AS clean_text,
           |  CAST(len(ps) AS BIGINT) AS n_paras,
           |  CAST(coalesce(len(dl), 0) AS BIGINT) AS n_dropped
-          |FROM p LEFT JOIN dups USING (doc_id)""".stripMargin))
+          |FROM p LEFT JOIN dups USING (doc_id)""".stripMargin)),
+
+    // Incremental paragraph cut: first half of the corpus is the
+    // persisted 16-byte paragraph-hash index, the second half ingests
+    // against it — drop known-paragraph occurrences AND within-batch
+    // non-canonical repeats, reconstruct each batch doc. The corpus
+    // contributes only hashes; batch bodies never shuffle.
+    QueryDef("q_para_dedup_incremental",
+      (s, dir) => {
+        val docs = paraSeeded(s, dir)
+        val index = Dedup.paragraphHashIndex(docs.filter(col("doc_id") < 250), "text")
+        Dedup.dropKnownParagraphs(docs.filter(col("doc_id") >= 250),
+          "text", "doc_id", index)
+      },
+      Some(paraKeysSql + ",\n" +
+        """idx AS (SELECT DISTINCT para_hash FROM k WHERE doc_id < 250),
+          |kb AS (SELECT * FROM k WHERE doc_id >= 250),
+          |cb AS (SELECT doc_id, para_idx, para_hash,
+          |    FIRST_VALUE(doc_id) OVER w AS canon_doc,
+          |    FIRST_VALUE(para_idx) OVER w AS canon_idx
+          |  FROM kb WINDOW w AS (PARTITION BY para_hash ORDER BY doc_id, para_idx)),
+          |dl0 AS (
+          |  SELECT doc_id, para_idx FROM cb WHERE canon_doc <> doc_id OR canon_idx <> para_idx
+          |  UNION
+          |  SELECT kb.doc_id, kb.para_idx FROM kb JOIN idx USING (para_hash)),
+          |dups AS (SELECT doc_id, list(para_idx) AS dl FROM dl0 GROUP BY doc_id)
+          |SELECT p.doc_id,
+          |  coalesce(array_to_string(list_transform(list_filter(range(1, len(ps) + 1),
+          |    i -> NOT list_contains(coalesce(dl, CAST([] AS BIGINT[])), i)), i -> ps[i]),
+          |    chr(10) || chr(10)), '') AS clean_text,
+          |  CAST(len(ps) AS BIGINT) AS n_paras,
+          |  CAST(coalesce(len(dl), 0) AS BIGINT) AS n_dropped
+          |FROM p LEFT JOIN dups USING (doc_id)
+          |WHERE p.doc_id >= 250""".stripMargin))
   )
 
   /** Shared fixture for the paragraph-dedup pair: paragraphified text
@@ -410,8 +443,9 @@ object CurationQ extends QueryGroup {
         lit("\n\nall rights reserved")).otherwise(lit(""))))
   }
 
-  /** The paragraph-dedup oracle CTE chain through the canonical pick. */
-  private lazy val paraBaseSql: String = {
+  /** Fixture + paragraph-key CTE chain (d, p, e, k) shared by the
+    * paragraph-dedup oracles. */
+  private lazy val paraKeysSql: String = {
     val trimset = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
     s"""WITH d AS (SELECT doc_id,
        |    regexp_replace(regexp_replace(text,
@@ -422,12 +456,15 @@ object CurationQ extends QueryGroup {
        |  FROM documents),
        |p AS (SELECT doc_id, list_filter(list_transform(regexp_split_to_array(tx, '\\n{2,}'), x -> trim(x, $trimset)), x -> x <> '') AS ps FROM d),
        |e AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS para_idx, ps FROM p),
-       |k AS (SELECT doc_id, para_idx, md5(trim(regexp_replace(lower(ps[para_idx]), '\\s+', ' ', 'g'))) AS para_hash FROM e),
-       |c AS (SELECT doc_id, para_idx, para_hash,
-       |    FIRST_VALUE(doc_id) OVER w AS canon_doc,
-       |    FIRST_VALUE(para_idx) OVER w AS canon_idx
-       |  FROM k WINDOW w AS (PARTITION BY para_hash ORDER BY doc_id, para_idx))""".stripMargin
+       |k AS (SELECT doc_id, para_idx, md5(trim(regexp_replace(lower(ps[para_idx]), '\\s+', ' ', 'g'))) AS para_hash FROM e)""".stripMargin
   }
+
+  /** The paragraph-dedup oracle CTE chain through the canonical pick. */
+  private lazy val paraBaseSql: String = paraKeysSql + ",\n" +
+    """c AS (SELECT doc_id, para_idx, para_hash,
+      |    FIRST_VALUE(doc_id) OVER w AS canon_doc,
+      |    FIRST_VALUE(para_idx) OVER w AS canon_idx
+      |  FROM k WINDOW w AS (PARTITION BY para_hash ORDER BY doc_id, para_idx))""".stripMargin
 
   /** DuckDB n-gram list for [[repetitionOracle]]: all occurrences of the
     * space-joined n-word grams of `ws` (empty below n words). */

@@ -248,6 +248,25 @@ class CurationSpec extends SparkSpec {
     assert(cut(3L) == (("", 2L, 2L)), "a doc can lose every paragraph")
   }
 
+  test("incremental paragraph cut: index hits + within-batch repeats; Bloom form skips batch repeats") {
+    val corpus = Seq((0L, "known para")).toDF("doc_id", "text")
+    val index = Dedup.paragraphHashIndex(corpus, "text")
+    val batch = Seq(
+      (10L, "Known  Para\n\nnovel\n\nrepeat\n\nrepeat"), // case/space-folded index hit
+      (11L, "repeat")                                    // within-batch dup of (10, 3)
+    ).toDF("doc_id", "text")
+    val exact = Dedup.dropKnownParagraphs(batch, "text", "doc_id", index)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(exact(10L) == (("novel\n\nrepeat", 2L)), "index hit + batch dup cut")
+    assert(exact(11L) == (("", 1L)), "non-canonical batch copy cut")
+    // Bloom form: index hits only (row-local, no cross-row state)
+    val bloom = Dedup.dropKnownParagraphsBloom(batch, "text", "doc_id", index,
+        expectedItems = 8, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(bloom(10L) == (("novel\n\nrepeat\n\nrepeat", 1L)))
+    assert(bloom(11L) == (("repeat", 0L)), "within-batch repeat kept by design")
+  }
+
   test("repetition_stats: exact dup/top numerators and lexicographic tie-break") {
     val txt = "one two three four five six seven eight nine ten " +
       "one two three four five six seven eight nine ten"
