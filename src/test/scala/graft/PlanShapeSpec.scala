@@ -493,4 +493,29 @@ class PlanShapeSpec extends SparkSpec {
         if j.joinType.toString.toLowerCase.contains("anti") => j }
     assert(anti.nonEmpty, s"expected the maxBucket broadcast anti-join in:\n$s")
   }
+
+  test("q_text_repetition: the whole 21-counter gate is ONE shuffle-free scan") {
+    val p = plan("q_text_repetition")
+    assert(shuffles(p).isEmpty,
+      s"repetition gate must be a narrow projection, got shuffles in:\n$p")
+    assert(p.toString.contains("repetition_stats"),
+      "the codegen'd RepetitionStats expression must carry the counters")
+  }
+
+  test("q_para_dedup: canonical pick partial-aggregates; bodies never shuffle") {
+    val p = plan("q_para_dedup")
+    val s = p.toString
+    // hot boilerplate paragraphs must map-side combine, not window-funnel
+    assert(!s.contains("Window"),
+      "canonical pick must be groupBy-min (skew-immune), not a window")
+    assert(s.contains("partial_min") || s.contains("partial min") ||
+      s.contains("HashAggregate(keys=[para_hash"),
+      s"expected a hash-keyed partial aggregate in:\n$s")
+    // every shuffle carries only (doc, idx, 16-byte hash) — no text column
+    shuffles(p).foreach { e =>
+      assert(!e.child.output.exists(_.name == "text") &&
+        !e.child.output.exists(_.name == "__para"),
+        s"paragraph bodies must not shuffle, got: ${e.child.output}")
+    }
+  }
 }
