@@ -267,6 +267,30 @@ class CurationSpec extends SparkSpec {
     assert(bloom(11L) == (("repeat", 0L)), "within-batch repeat kept by design")
   }
 
+  test("paragraph cut is idempotent and leaves zero cross-doc duplicates") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+      .limit(60)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("\n\nrepeated footer block"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\n\nanother shared notice"))
+          .otherwise(lit(""))))
+    val once = Dedup.dropDuplicateParagraphs(docs, "text", "doc_id")
+    // after the cut, every surviving paragraph content is unique corpus-wide
+    val residual = Dedup.paragraphDups(once, "clean_text", "doc_id")
+      .filter(col("is_dup")).count()
+    assert(residual == 0L, s"cut must leave no duplicate paragraphs, got $residual")
+    // and a second cut is a no-op
+    val twice = Dedup.dropDuplicateParagraphs(once, "clean_text", "doc_id")
+      .select(col("doc_id"), col("clean_text"))
+    val first = once.select(col("doc_id"), col("clean_text"))
+    assert(twice.except(first).isEmpty && first.except(twice).isEmpty)
+    // token mass never grows
+    val before = docs.select(sum(length(col("text")))).head.getLong(0)
+    val after = once.select(sum(length(col("clean_text")))).head.getLong(0)
+    assert(after <= before)
+  }
+
   test("repetition_stats: exact dup/top numerators and lexicographic tie-break") {
     val txt = "one two three four five six seven eight nine ten " +
       "one two three four five six seven eight nine ten"
