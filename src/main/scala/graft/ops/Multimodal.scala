@@ -198,6 +198,124 @@ object ImageIoDecoder extends MediaDecoder {
 }
 
 /**
+ * A REAL audio codec behind the [[MediaDecoder]] contract, built entirely
+ * on the JDK's `javax.sound.sampled` (the WAV/AIFF/AU readers ship with
+ * the JVM — no external codec dependency). Demonstrates that the
+ * multimodal operators are modality-agnostic: audio "frames" are
+ * ONE-SECOND WINDOWS, so [[Multimodal.sampleFrames]] becomes audio
+ * windowing and [[Multimodal.dedupFrames]] window-grain dedup, with
+ * NOTHING in the operators changing.
+ *
+ *  - probe: (sample rate, channels, number of 1 s windows);
+ *  - decodeFrame: window `frameIdx` decoded to PCM, downmixed to mono
+ *    signed-16-bit little-endian, truncated to `frameLen` bytes;
+ *  - features: `dim` per-slice RMS energies of the mono samples in
+ *    [0, 1] — the audio-encoder forward stand-in (a real build swaps
+ *    in a mel filterbank + encoder).
+ *
+ * Unreadable payloads probe (0, 0, 0) and decode empty — skip broken
+ * media, never fail the task (the [[ImageIoDecoder]] contract).
+ * Stateless object: safe inside task closures; streams are created per
+ * call.
+ */
+object WavDecoder extends MediaDecoder {
+  import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+  private def open(payload: Array[Byte]): Option[AudioInputStream] =
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = raw.getFormat
+      val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+        f.getSampleRate, false)
+      Some(if (f.matches(pcm)) raw else AudioSystem.getAudioInputStream(pcm, raw))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+      case _: IllegalArgumentException => None // no PCM conversion path
+    }
+
+  override def probe(payload: Array[Byte]): (Long, Long, Long) =
+    open(payload) match {
+      case None => (0L, 0L, 0L)
+      case Some(in) =>
+        try {
+          val f = in.getFormat
+          val rate = f.getSampleRate.toLong
+          val frames = in.getFrameLength
+          val windows = if (frames <= 0 || rate <= 0) 0L
+            else (frames + rate - 1) / rate
+          (rate, f.getChannels.toLong, windows)
+        } finally in.close()
+    }
+
+  override def decodeFrame(payload: Array[Byte], frameIdx: Long,
+      frameLen: Int): Array[Byte] =
+    open(payload) match {
+      case None => Array.emptyByteArray
+      case Some(in) =>
+        try {
+          val f = in.getFormat
+          val ch = f.getChannels
+          val rate = f.getSampleRate.toInt
+          val frameSize = ch * 2
+          var toSkip = frameIdx * rate * frameSize
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s <= 0) return Array.emptyByteArray
+            toSkip -= s
+          }
+          val buf = new Array[Byte](rate * frameSize)
+          var off = 0
+          var n = 0
+          while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+            off += n
+          val nFrames = off / frameSize
+          // downmix: average the channels' s16le samples per frame
+          val mono = new Array[Byte](math.min(nFrames * 2, frameLen))
+          var i = 0
+          while (i * 2 + 1 < mono.length) {
+            var acc = 0L
+            var c = 0
+            while (c < ch) {
+              val o = i * frameSize + c * 2
+              acc += ((buf(o + 1) << 8) | (buf(o) & 0xFF)).toShort
+              c += 1
+            }
+            val v = (acc / ch).toInt
+            mono(i * 2) = (v & 0xFF).toByte
+            mono(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          mono
+        } finally in.close()
+    }
+
+  /** Per-slice RMS energy of the mono s16le samples, normalized to [0, 1]. */
+  override def features(frame: Array[Byte], dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    val nSamp = frame.length / 2
+    if (nSamp == 0 || dim == 0) return f
+    val cnt = new Array[Int](dim)
+    var i = 0
+    while (i < nSamp) {
+      val v = ((frame(i * 2 + 1) << 8) | (frame(i * 2) & 0xFF)).toShort.toDouble
+      val k = (i.toLong * dim / nSamp).toInt
+      f(k) += (v * v).toFloat
+      cnt(k) += 1
+      i += 1
+    }
+    var k = 0
+    while (k < dim) {
+      if (cnt(k) > 0) f(k) = (math.sqrt(f(k) / cnt(k)) / 32768.0).toFloat
+      k += 1
+    }
+    f
+  }
+}
+
+/**
  * Multimodal-column plumbing (SURVEY.md §7.5): media as opaque `binary`
  * columns plus typed metadata, processed in partition-sized batches.
  *

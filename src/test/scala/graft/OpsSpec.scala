@@ -337,6 +337,53 @@ class OpsSpec extends SparkSpec {
     assert(frames.head.getAs[Array[Byte]]("frame_bytes").length == 48)
   }
 
+  test("WavDecoder: real WAV decode — windows, downmix, energies — through the unchanged operators") {
+    import graft.ops.WavDecoder
+    // 2-second 8 kHz stereo fixture: left = 440 Hz sine, right = silence
+    val rate = 8000
+    val n = rate * 2
+    val data = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt
+      data(i * 4) = (v & 0xFF).toByte
+      data(i * 4 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    // probe: (sample rate, channels, 1-second windows)
+    assert(WavDecoder.probe(wav) == ((8000L, 2L, 2L)))
+    // window 1: 8000 mono samples; stereo downmix halves the sine amplitude
+    val w1 = WavDecoder.decodeFrame(wav, 1L, 2 * rate)
+    assert(w1.length == 2 * rate)
+    val samples = Array.tabulate(rate)(i =>
+      ((w1(i * 2 + 1) << 8) | (w1(i * 2) & 0xFF)).toShort.toInt)
+    assert(samples.max > 5000 && samples.max < 6500, s"max ${samples.max}")
+    // RMS energies: every slice of a steady sine carries energy,
+    // sine/2 RMS = 12000/2/sqrt(2)/32768 ~ 0.1294
+    val e = WavDecoder.features(w1, 4)
+    assert(e.forall(x => x > 0.12f && x < 0.14f), e.toSeq.toString)
+    // the operators run UNCHANGED with the audio codec plugged in;
+    // non-audio payloads probe (0,0,0) and emit no windows
+    val media = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMetadata(spark, media, "doc_id",
+        decoder = WavDecoder)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(meta(1L) == ((8000L, 2L, 2L)))
+    assert(meta(2L) == ((0L, 0L, 0L)))
+    val frames = Multimodal.sampleFrames(spark, media, "doc_id",
+      stride = 1, maxFrames = 8, frameLen = 2 * rate,
+      decoder = WavDecoder).collect()
+    assert(frames.forall(_.getLong(0) == 1L) && frames.length == 2,
+      s"expected the 2 windows of doc 1, got ${frames.length}")
+  }
+
   test("binaryCode: hand-computed sign-bit packing; hammingDist exact") {
     // 8 dims, 2 words x 4 bits: word bits are low-to-high in pixel order
     // (fold adds the high j first), so [+,-,+,+] -> 0b1101 = 13 and
