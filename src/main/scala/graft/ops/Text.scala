@@ -100,6 +100,52 @@ object Text {
   }
 
   /**
+   * Sentence-boundary chunking — the [[chunk]] variant real pipelines
+   * use for RAG/training prep when windows must not cut mid-sentence:
+   * split each document into sentences (maximal runs of
+   * non-terminators plus their trailing `.!?` run, trimmed), then
+   * greedily pack CONSECUTIVE sentences into chunks of at most
+   * `maxTokens` whitespace tokens. A single sentence over the budget
+   * becomes its own (overflowing) chunk rather than being cut — the
+   * [[packChunks]] contract. Documents with no sentences yield no rows.
+   *
+   * Output: (id, chunk_idx, n_tokens, chunk_text), chunk_idx 0-based,
+   * sentences joined with one space.
+   *
+   * Scale shape: UNLIKE [[packChunks]] (a per-doc fold after a doc-keyed
+   * exchange), the greedy fold here runs INSIDE the row over the doc's
+   * own sentence array (`aggregate` with a (done, cur, tok) struct
+   * accumulator) — no shuffle at all, and the DuckDB oracle replays the
+   * identical left fold with `list_reduce`.
+   */
+  def chunkSentences(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    val raw = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]*"), lit(0))
+    val sents = filter(transform(raw, s => trim(s)), s => s =!= lit(""))
+    def tc(s: Column): Column = size(filter(split(s, "\\s+"), t => t =!= lit("")))
+    val init = struct(array().cast("array<string>").as("done"),
+      lit("").as("cur"), lit(0).as("tok"))
+    val folded = aggregate(sents, init,
+      (a, s) => {
+        val stc = tc(s)
+        when(a.getField("tok") > 0 && a.getField("tok") + stc > maxTokens,
+          struct(concat(a.getField("done"), array(a.getField("cur"))).as("done"),
+            s.as("cur"), stc.as("tok")))
+        .otherwise(struct(a.getField("done").as("done"),
+          when(a.getField("tok") === 0, s)
+            .otherwise(concat_ws(" ", a.getField("cur"), s)).as("cur"),
+          (a.getField("tok") + stc).as("tok")))
+      },
+      a => when(a.getField("tok") > 0,
+        concat(a.getField("done"), array(a.getField("cur"))))
+        .otherwise(a.getField("done")))
+    df.select(col(idCol), posexplode(folded).as(Seq("__i", "chunk_text")))
+      .select(col(idCol), col("__i").cast("long").as("chunk_idx"),
+        tc(col("chunk_text")).cast("long").as("n_tokens"), col("chunk_text"))
+  }
+
+  /**
    * Greedy sequence packing, the step after [[chunk]]: concatenate a
    * document's chunks in order into packs of at most `maxTokens` tokens
    * (start a new pack when the next chunk would overflow). Doc-scoped by

@@ -316,6 +316,31 @@ object LlmOps extends QueryGroup {
       Some(s"""WITH $chunkCte
               |SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM ck""".stripMargin)),
 
+    // Sentence-boundary chunking: the fixture seeds a period after every
+    // ~7th word, sentences pack greedily into <= 16-token chunks. The
+    // Spark side folds row-locally over the doc's sentence array; the
+    // oracle replays the SAME greedy as the q_text_pack recursive CTE
+    // (sentence rows in order, new chunk when the budget overflows).
+    // An over-budget sentence becomes its own overflowing chunk.
+    QueryDef("q_text_chunk_sentences",
+      (s, dir) => Text.chunkSentences(
+        Tables.load(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\S+\\s+){6}\\S+)\\s+", "$1. ")),
+        "text", "doc_id", maxTokens = 16),
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id,
+              |    regexp_replace(text, '((\\S+\\s+){6}\\S+)\\s+', '\\1. ', 'g') AS tx FROM documents),
+              |sx AS (SELECT doc_id,
+              |    list_filter(list_transform(regexp_extract_all(tx, '[^.!?]+[.!?]*'), x -> trim(x)), x -> x <> '') AS ss FROM d),
+              |ex AS (SELECT doc_id, unnest(generate_series(1, len(ss))) AS rn, ss FROM sx),
+              |o AS (SELECT doc_id, rn,
+              |    CAST(len(list_filter(regexp_split_to_array(ss[rn], '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+              |    ss[rn] AS chunk_text FROM ex),
+              |${packFoldCte("doc_id", 16)}
+              |SELECT doc_id, pack_idx AS chunk_idx,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  string_agg(chunk_text, ' ' ORDER BY rn) AS chunk_text
+              |FROM st GROUP BY doc_id, pack_idx""".stripMargin)),
+
     // Greedy per-doc sequence packing over the chunk table. The fold is
     // sequential per key, but (like q_dedup_groups' min-label propagation)
     // it IS SQL-expressible as a recursive CTE: row rn's (pack_idx, cum)

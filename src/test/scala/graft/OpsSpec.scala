@@ -298,6 +298,23 @@ class OpsSpec extends SparkSpec {
     assert(Text.packChunks(chunks.filter($"doc_id" < 0), "doc_id", 10).count() == 0)
   }
 
+  test("chunkSentences: greedy sentence packing, overflow sentence, empty doc") {
+    val docs = Seq(
+      (1L, "aa bb. cc dd ee! ff gg? hh"),   // sentences of 2,3,2,1 tokens
+      (2L, "one two three four five six."), // single over-budget sentence
+      (3L, "   ")                           // no sentences -> no rows
+    ).toDF("doc_id", "text")
+    val out = Text.chunkSentences(docs, "text", "doc_id", maxTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: [aa bb.][cc dd ee!] = 5 -> chunk 0; [ff gg?][hh] = 3 -> chunk 1
+    assert(out((1L, 0L)) == ((5L, "aa bb. cc dd ee!")))
+    assert(out((1L, 1L)) == ((3L, "ff gg? hh")))
+    // doc 2: the 6-token sentence becomes its own overflowing chunk
+    assert(out((2L, 0L)) == ((6L, "one two three four five six.")))
+    assert(out.size == 3, "blank doc must emit nothing")
+  }
+
   test("ImageIoDecoder: real PNG decode through the unchanged operators") {
     // tiny deterministic PNG fixture generated with the same JDK codec
     val img = new java.awt.image.BufferedImage(8, 5,
