@@ -675,14 +675,21 @@ class StreamingSpec extends SparkSpec {
     val sFim = Text.fimTransform(docsStream, "text", "doc_id", rate = 0.5)
     val sSpan = Text.spanCorrupt(docsStream, "text", "doc_id")
     val sWin = Text.winnowFingerprints(docsStream, "text", "doc_id")
+    // sentence-boundary chunking folds inside the row -> stream-legal too
+    def seeded(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      regexp_replace(col("text"), "((\\S+\\s+){6}\\S+)\\s+", "$1. "))
+    val sSent = Text.chunkSentences(seeded(docsStream), "text", "doc_id", 16)
     val q1 = sFim.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("fim_stream").start()
     val q2 = sSpan.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("span_stream").start()
     val q3 = sWin.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("win_stream").start()
+    val q4 = sSent.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sent_stream").start()
     try {
-      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+      q1.processAllAvailable(); q2.processAllAvailable()
+      q3.processAllAvailable(); q4.processAllAvailable()
       val batch = graft.core.Tables.load(spark, sf, "documents")
       def key(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq.toList).toSet
@@ -692,8 +699,11 @@ class StreamingSpec extends SparkSpec {
         key(Text.spanCorrupt(batch, "text", "doc_id")))
       assert(key(spark.table("win_stream")) ==
         key(Text.winnowFingerprints(batch, "text", "doc_id")))
+      assert(key(spark.table("sent_stream")) ==
+        key(Text.chunkSentences(seeded(batch), "text", "doc_id", 16)))
       assert(spark.table("fim_stream").count() > 0)
-    } finally { q1.stop(); q2.stop(); q3.stop() }
+      assert(spark.table("sent_stream").count() > 0)
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
   }
 
   test("curation chain (strip -> scrub -> normalize -> gate) is stateless: streaming equals batch") {
