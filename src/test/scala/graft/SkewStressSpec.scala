@@ -131,4 +131,34 @@ class SkewStressSpec extends SparkSpec {
     // never a second corpus-order blowup on top of it
     assert(mx < 4L * n * n, s"straggler task read $mx shuffle records")
   }
+
+  test("paragraph dedup: 20k-clone boilerplate paragraph partial-aggregates; verdicts exact") {
+    // every clone carries the SAME boilerplate paragraph plus a unique
+    // one: the hot hash has df = nClones + cleanDocs with it, and the
+    // groupBy-min canonical pick must map-side combine instead of
+    // funneling every occurrence through one task. Verdict check: the
+    // canonical is the min (doc, idx) occurrence; every clone copy and
+    // every later unique-paragraph copy is a dup.
+    val withBoiler = clean.withColumn("text",
+        concat(col("text"), lit("\n\n"), lit(boiler)))
+      .unionByName(spark.range(nClones.toLong)
+        .select((col("id") + 100000L).as("doc_id"),
+          concat(lit(boiler), lit("\n\nunique tail "), col("id").cast("string"))
+            .as("text")))
+    val ((dupCount, canon), mx) = withTaskBound {
+      val v = Dedup.paragraphDups(withBoiler, "text", "doc_id")
+      val hot = v.filter(col("is_dup") === false)
+        .filter(col("canon_doc") === 1L && col("canon_idx") === 2L).count()
+      (v.filter(col("is_dup")).count(), hot)
+    }
+    // boilerplate occurrences: 6 clean (idx 2) + 20k clones (idx 1) with
+    // canonical (doc 1, idx 2) -> 20,005 dups; plus docs 1/2 share their
+    // first paragraph (the planted identical pair) -> one more
+    assert(dupCount == (6L + nClones) - 1L + 1L,
+      s"expected every non-canonical copy flagged, got $dupCount")
+    assert(canon == 1L, "canonical must be the (min doc, min idx) occurrence")
+    // the canonical pick is an aggregate: per-task shuffle reads stay at
+    // combiner grain (one row per hash per map task), never corpus grain
+    assert(mx < TaskCeiling, s"straggler task read $mx shuffle records")
+  }
 }
