@@ -502,6 +502,12 @@ class PlanShapeSpec extends SparkSpec {
       "the codegen'd RepetitionStats expression must carry the counters")
   }
 
+  test("q_text_chunk_sentences: the sentence fold runs in-row — zero shuffle") {
+    val p = plan("q_text_chunk_sentences")
+    assert(shuffles(p).isEmpty,
+      s"sentence chunking must be a narrow projection, got shuffles in:\n$p")
+  }
+
   test("q_para_dedup: canonical pick partial-aggregates; bodies never shuffle") {
     val p = plan("q_para_dedup")
     val s = p.toString
