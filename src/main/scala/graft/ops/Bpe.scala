@@ -245,4 +245,21 @@ object Bpe {
         }
       }(Encoders.row(outSchema))
   }
+
+  /** Persist a fitted merge list as (rank, a, b) parquet — the tokenizer
+    * artifact a training pipeline fits once and ships everywhere (the
+    * [[IvfIndex]] save/load pattern: fit-statistics persist next to the
+    * data they were fit on). */
+  def save(m: Merges, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    m.pairs.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[save]]d merge list; rank order restored exactly. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Merges =
+    Merges(spark.read.parquet(dir).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
 }

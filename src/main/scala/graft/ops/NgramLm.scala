@@ -230,4 +230,45 @@ object NgramLm {
       .collect()(0).getLong(0)
     KneserNeyModel(ctx, bi, cont, bTypes, v, discount)
   }
+
+  /** Persist a fitted [[NgramLmModel]]: the count TABLES as parquet (the
+    * model at scale IS tables — they reload as lazy DataFrames, never a
+    * driver-side collect) plus a one-row scalar meta table. */
+  def save(m: NgramLmModel, dir: String): Unit = {
+    val spark = m.unigrams.sparkSession
+    import spark.implicits._
+    m.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
+    m.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    Seq((m.totalTokens, m.vocabSize, m.alpha)).toDF("n", "v", "alpha")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[save]]d bigram LM; count tables come back lazy. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): NgramLmModel = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    NgramLmModel(spark.read.parquet(s"$dir/unigrams"),
+      spark.read.parquet(s"$dir/bigrams"),
+      meta.getLong(0), meta.getLong(1), meta.getDouble(2))
+  }
+
+  /** Persist a fitted [[KneserNeyModel]] — same table + scalar layout. */
+  def saveKneserNey(m: KneserNeyModel, dir: String): Unit = {
+    val spark = m.contexts.sparkSession
+    import spark.implicits._
+    m.contexts.write.mode("overwrite").parquet(s"$dir/contexts")
+    m.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    m.continuations.write.mode("overwrite").parquet(s"$dir/continuations")
+    Seq((m.nBigramTypes, m.vocabSize, m.discount)).toDF("b", "v", "d")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[saveKneserNey]]-persisted model. */
+  def loadKneserNey(spark: org.apache.spark.sql.SparkSession,
+      dir: String): KneserNeyModel = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    KneserNeyModel(spark.read.parquet(s"$dir/contexts"),
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/continuations"),
+      meta.getLong(0), meta.getLong(1), meta.getDouble(2))
+  }
 }

@@ -61,4 +61,20 @@ object QualityFilter {
     m.lr.transform(featurize(docs, textCol, m.numFeatures))
       .select(col(idCol),
         round(vector_to_array(col(m.lr.getProbabilityCol))(1), 6).as("quality"))
+
+  /** Persist a fitted classifier: MLlib's own writer for the LR model
+    * plus a one-row meta table pinning the hash-feature width (scores
+    * are only reproducible with the SAME width). */
+  def save(m: Model, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    m.lr.write.overwrite().save(s"$dir/lr")
+    Seq(m.numFeatures).toDF("num_features")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[save]]d classifier. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+    Model(LogisticRegressionModel.load(s"$dir/lr"),
+      spark.read.parquet(s"$dir/meta").collect()(0).getInt(0))
 }

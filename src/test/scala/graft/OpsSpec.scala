@@ -298,6 +298,38 @@ class OpsSpec extends SparkSpec {
     assert(Text.packChunks(chunks.filter($"doc_id" < 0), "doc_id", 10).count() == 0)
   }
 
+  test("BPE / n-gram LMs / quality classifier persist and reload identically") {
+    import graft.ops.Bpe
+    val dir = java.nio.file.Files.createTempDirectory("graft_persist").toString
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(80)
+    // BPE: fitted merges round-trip in rank order; tokenization identical
+    val m = Bpe.fit(docs, "text", nMerges = 24)
+    Bpe.save(m, spark, s"$dir/bpe")
+    val m2 = Bpe.load(spark, s"$dir/bpe")
+    assert(m2.pairs == m.pairs)
+    // bigram LM + Kneser-Ney: per-doc scores identical after reload
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val lm = NgramLm.fit(docs, "text")
+    NgramLm.save(lm, s"$dir/lm")
+    assert(scores(NgramLm.load(spark, s"$dir/lm").score(docs, "text", "doc_id")) ==
+      scores(lm.score(docs, "text", "doc_id")))
+    val kn = NgramLm.fitKneserNey(docs, "text")
+    NgramLm.saveKneserNey(kn, s"$dir/kn")
+    assert(scores(NgramLm.loadKneserNey(spark, s"$dir/kn").score(docs, "text", "doc_id")) ==
+      scores(kn.score(docs, "text", "doc_id")))
+    // quality classifier: probabilities identical after reload
+    val labeled = docs.withColumn("label", (col("source") === "src2").cast("int"))
+    val qm = QualityFilter.fit(labeled, "text", "label", numFeatures = 1 << 12)
+    QualityFilter.save(qm, spark, s"$dir/qf")
+    val qm2 = QualityFilter.load(spark, s"$dir/qf")
+    val a = QualityFilter.score(qm, docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = QualityFilter.score(qm2, docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b && qm2.numFeatures == (1 << 12))
+  }
+
   test("chunkSentences: greedy sentence packing, overflow sentence, empty doc") {
     val docs = Seq(
       (1L, "aa bb. cc dd ee! ff gg? hh"),   // sentences of 2,3,2,1 tokens
