@@ -149,4 +149,63 @@ class PropertySpec extends SparkSpec {
       assert(got == ref, s"'$t': '$got' != '$ref'")
     }
   }
+
+  test("property: repetition_stats matches the per-row reference on random multi-line texts") {
+    // multi-line texts with DELIBERATE repetition: lines drawn from a
+    // small pool (collisions guaranteed), single/double newlines mixed
+    val lineGen: Gen[String] = Gen.oneOf(
+      Gen.listOfN(4, wordGen).map(_.mkString(" ")),
+      Gen.const("buy now buy now"), Gen.const("the end"), Gen.const("  "))
+    val docGen: Gen[String] = for {
+      lines <- Gen.listOfN(8, lineGen)
+      seps <- Gen.listOfN(8, Gen.oneOf("\n", "\n\n", "\n\n\n"))
+    } yield lines.zip(seps).map { case (l, s) => l + s }.mkString
+
+    def trimWs(s: String): String = {
+      val cs = " \t\n\r\f"
+      var a = 0; var b = s.length
+      while (a < b && cs.indexOf(s.charAt(a)) >= 0) a += 1
+      while (b > a && cs.indexOf(s.charAt(b - 1)) >= 0) b -= 1
+      s.substring(a, b)
+    }
+    def dupRef(elems: Seq[String]): (Long, Long, Long) = {
+      val c = elems.groupBy(identity).view.mapValues(_.size)
+      (elems.size.toLong,
+        c.values.filter(_ > 1).map(_ - 1).sum.toLong,
+        c.collect { case (e, n) if n > 1 => (n - 1).toLong * e.length }.sum)
+    }
+    def ref(text: String): Seq[Long] = {
+      val lines = text.split("\n").map(trimWs).filter(_.nonEmpty).toSeq
+      val paras = text.split("\n{2,}").map(trimWs).filter(_.nonEmpty).toSeq
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      def grams(n: Int) = words.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      def top(n: Int): Long = {
+        val c = grams(n).groupBy(identity).view.mapValues(_.size)
+        if (c.isEmpty) 0L
+        else {
+          val (g, k) = c.toSeq.minBy { case (g2, k2) => (-k2, g2) }
+          if (k >= 2) k.toLong * g.length else 0L
+        }
+      }
+      def dupTot(n: Int): (Long, Long) = {
+        val c = grams(n).groupBy(identity).view.mapValues(_.size)
+        (c.collect { case (g, k) if k > 1 => k.toLong * g.length }.sum,
+          c.map { case (g, k) => k.toLong * g.length }.sum)
+      }
+      val (ln, ld, lc) = dupRef(lines)
+      val (pn, pd, pc) = dupRef(paras)
+      val dt = (5 to 10).map(dupTot)
+      Seq(ln, ld, lc, pn, pd, pc, top(2), top(3), top(4)) ++
+        dt.map(_._1) ++ dt.map(_._2)
+    }
+    val texts = sample(docGen, 120).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.functions.RepetitionStats.stats(col("t")).as("rs"))
+      .collect().map(r => r.getLong(0) ->
+        r.getStruct(1).toSeq.map(_.asInstanceOf[Long])).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"row $i: '${t.take(60)}...'")
+    }
+  }
 }
