@@ -847,6 +847,92 @@ object Text {
       length(clean).cast("long").as("n_chars_clean"))
   }
 
+  /** Block-level tags whose boundaries delimit content blocks for
+    * [[mainContentBlocks]] (the jusText block segmentation). */
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|li|h[1-6]|ul|ol|table|tr|td|nav|header|footer|article|section|br)(?:\\s[^>]*)?>"
+
+  /** Tag-strip + whitespace-collapse + trim (NO entity unescape — compose
+    * [[stripMarkup]] downstream for that). */
+  private def blockText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]+>", " "), "\\s+", " "))
+
+  /** Characters of the whitespace-joined inner texts of a block's `<a>`
+    * anchors — the link-density numerator. */
+  private def anchorChars(c: Column): Column =
+    length(blockText(array_join(
+      regexp_extract_all(c, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)), " ")))
+
+  /** Per-block struct array for the main-content family: non-empty blocks
+    * in document order with their (text, anchor chars). */
+  private def contentBlocks(html: Column): Column =
+    filter(transform(split(html, BlockTagRe),
+      b => struct(blockText(b).as("t"), anchorChars(b).as("ac"))),
+      s => s.getField("t") =!= lit(""))
+
+  /**
+   * Main-content block segmentation (the jusText/trafilatura heuristic —
+   * Pomikálek 2011): split raw HTML on block-level tag boundaries and
+   * score each non-empty block by length and LINK DENSITY (anchor-text
+   * characters over block characters). Navigation bars, footers, and
+   * related-links boxes are short and link-dense; body prose is long and
+   * link-sparse — the rule-based boilerplate cut that runs BEFORE
+   * document-grain curation, recovering article text from page chrome.
+   *
+   * Emits every non-empty block with its measured signals AND the keep
+   * verdict (`n_chars >= minChars AND link_density <= maxLinkDensity`,
+   * density rounded 6 dp, verdict over the ROUNDED value) so thresholds
+   * re-tune without a second pass. Inline anchors must not wrap block
+   * tags (true of well-formed HTML); entities are left for
+   * [[stripMarkup]] downstream.
+   *
+   * Output: (id, block_idx, n_chars, link_density, keep, block_text),
+   * block_idx 1-based over non-empty blocks.
+   *
+   * Scale shape: ONE narrow projection — split, per-block regex
+   * arithmetic, and the non-empty filter all run inside the row; only
+   * the per-block rows explode (bounded by the page's block count). No
+   * shuffle, no parser library, engine-portable regexes (Java ∩ RE2).
+   */
+  def mainContentBlocks(df: DataFrame, htmlCol: String, idCol: String,
+      minChars: Int = 25, maxLinkDensity: Double = 0.5): DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode(contentBlocks(col(htmlCol)))
+        .as(Seq("__p", "__b")))
+    val nChars = length(col("__b.t"))
+    val density = round(col("__b.ac").cast("double") /
+      greatest(nChars, lit(1)), 6)
+    exploded.select(col(idCol),
+      (col("__p") + 1).cast("long").as("block_idx"),
+      nChars.cast("long").as("n_chars"),
+      density.as("link_density"),
+      (nChars >= minChars && density <= maxLinkDensity).as("keep"),
+      col("__b.t").as("block_text"))
+  }
+
+  /**
+   * The apply side of [[mainContentBlocks]]: keep only main-content
+   * blocks and rebuild each document (blocks joined with blank lines) —
+   * entirely IN-ROW, so it is zero-shuffle, append-mode streaming-legal,
+   * and the page HTML never leaves its input partition. Output:
+   * (id, main_text, n_blocks, n_kept).
+   */
+  def extractMainContent(df: DataFrame, htmlCol: String, idCol: String,
+      minChars: Int = 25, maxLinkDensity: Double = 0.5): DataFrame = {
+    val blocks = contentBlocks(col(htmlCol))
+    def keepP(s: Column): Column = {
+      val n = length(s.getField("t"))
+      val d = round(s.getField("ac").cast("double") / greatest(n, lit(1)), 6)
+      n >= minChars && d <= maxLinkDensity
+    }
+    df.select(col(idCol), blocks.as("__bs"))
+      .select(col(idCol),
+        array_join(transform(filter(col("__bs"), keepP _), _.getField("t")), "\n\n")
+          .as("main_text"),
+        size(col("__bs")).cast("long").as("n_blocks"),
+        size(filter(col("__bs"), keepP _)).cast("long").as("n_kept"))
+  }
+
   /**
    * Length-grouped batching — the padding-efficiency step of training-data
    * layout: documents are bucketed by token-count range (`bucketWidth`

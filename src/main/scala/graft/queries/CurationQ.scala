@@ -427,8 +427,67 @@ object CurationQ extends QueryGroup {
           |  CAST(len(ps) AS BIGINT) AS n_paras,
           |  CAST(coalesce(len(dl), 0) AS BIGINT) AS n_dropped
           |FROM p LEFT JOIN dups USING (doc_id)
-          |WHERE p.doc_id >= 250""".stripMargin))
+          |WHERE p.doc_id >= 250""".stripMargin)),
+
+    // Main-content block segmentation (jusText heuristic): the fixture
+    // wraps each doc in page chrome — a link-dense <nav>, the doc text
+    // split across a <div> and a <p> with one inline anchor, a link-heavy
+    // <footer>. Per block: chars, link density (anchor chars / chars,
+    // 6 dp), keep verdict. Oracle replays split/strip/extract/density.
+    QueryDef("q_main_content_blocks",
+      (s, dir) => Text.mainContentBlocks(htmlSeeded(s, dir), "html", "doc_id"),
+      Some(mainContentBaseSql + "\n" +
+        """SELECT doc_id, block_idx, n_chars, link_density,
+          |  (n_chars >= 25 AND link_density <= 0.5) AS keep, block_text
+          |FROM f""".stripMargin)),
+
+    // The apply side: chrome blocks cut, article text rebuilt per page —
+    // entirely in-row on the Spark side (zero shuffle, streaming-legal).
+    QueryDef("q_main_content",
+      (s, dir) => Text.extractMainContent(htmlSeeded(s, dir), "html", "doc_id"),
+      Some(mainContentBaseSql + "\n" +
+        """SELECT doc_id,
+          |  coalesce(string_agg(CASE WHEN n_chars >= 25 AND link_density <= 0.5
+          |      THEN block_text END, chr(10) || chr(10) ORDER BY block_idx), '') AS main_text,
+          |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+          |  CAST(SUM(CASE WHEN n_chars >= 25 AND link_density <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          |FROM f GROUP BY doc_id""".stripMargin))
   )
+
+  /** Shared fixture for the main-content pair: page chrome around the
+    * corpus text (nav + split body + footer). */
+  private def htmlSeeded(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents").withColumn("html", concat(
+      lit("<html><body><nav><a href=\"/\">Home page</a> <a href=\"/a\">About us team</a></nav>"),
+      lit("<div>"), expr("substring(text, 1, 80)"), lit("</div>"),
+      lit("<p>"), expr("substring(text, 81)"),
+      lit(" with a <a href=\"/x\">small link</a> inside</p>"),
+      lit("<footer><a href=\"/tos\">Terms of service text</a> (c)</footer></body></html>")))
+
+  /** Main-content oracle CTE chain through per-block signals. */
+  private lazy val mainContentBaseSql: String = {
+    val blockRe =
+      "(?i)</?(?:p|div|li|h[1-6]|ul|ol|table|tr|td|nav|header|footer|article|section|br)(?:\\s[^>]*)?>"
+    s"""WITH d AS (SELECT doc_id,
+       |    '<html><body><nav><a href="/">Home page</a> <a href="/a">About us team</a></nav>'
+       |    || '<div>' || substr(text, 1, 80) || '</div>'
+       |    || '<p>' || substr(text, 81) || ' with a <a href="/x">small link</a> inside</p>'
+       |    || '<footer><a href="/tos">Terms of service text</a> (c)</footer></body></html>' AS html
+       |  FROM documents),
+       |b AS (SELECT doc_id, regexp_split_to_array(html, '$blockRe') AS blocks FROM d),
+       |e AS (SELECT doc_id, unnest(generate_series(1, len(blocks))) AS i, blocks FROM b),
+       |m AS (SELECT doc_id, i,
+       |    trim(regexp_replace(regexp_replace(blocks[i], '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS btext,
+       |    length(trim(regexp_replace(regexp_replace(
+       |      coalesce(array_to_string(regexp_extract_all(blocks[i], '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), ''),
+       |      '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))) AS anchor_chars
+       |  FROM e),
+       |f AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS block_idx,
+       |    CAST(length(btext) AS BIGINT) AS n_chars,
+       |    ROUND(anchor_chars * 1.0 / greatest(length(btext), 1), 6) AS link_density,
+       |    btext AS block_text
+       |  FROM m WHERE btext <> '')""".stripMargin
+  }
 
   /** Shared fixture for the paragraph-dedup pair: paragraphified text
     * plus per-residue cross-doc boilerplate paragraphs. */

@@ -196,6 +196,33 @@ class CurationSpec extends SparkSpec {
     assert(joinKept == gateKept)
   }
 
+  test("main-content extraction: link-dense chrome cut, body kept, densities exact") {
+    val html = "<html><body>" +
+      "<nav><a href=\"/\">Home page link</a> <a href=\"/b\">About page</a></nav>" +
+      "<div>this paragraph is the long main body of the page and it easily clears the gate</div>" +
+      "<p>short</p>" +
+      "<p>another long body paragraph with one <b>inline</b> <a href=\"/x\">tiny link</a> kept anyway</p>" +
+      "<footer><a href=\"/t\">All rights reserved by us</a></footer></body></html>"
+    val df = Seq((1L, html)).toDF("doc_id", "html")
+    val blocks = Text.mainContentBlocks(df, "html", "doc_id").collect()
+      .map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4), r.getString(5))).toMap
+    // nav: text = anchors only -> density 1.0, dropped
+    assert(blocks(1L)._2 == 1.0 && !blocks(1L)._3)
+    // main div: zero links, long -> kept
+    assert(blocks(2L)._2 == 0.0 && blocks(2L)._3)
+    // short <p>: density 0 but under minChars -> dropped
+    assert(blocks(3L)._1 == 5L && !blocks(3L)._3)
+    // body <p> with one small anchor: low density -> kept
+    assert(blocks(4L)._3 && blocks(4L)._2 < 0.5)
+    // footer: anchor dominates -> dropped
+    assert(!blocks(5L)._3)
+    val main = Text.extractMainContent(df, "html", "doc_id").collect().head
+    assert(main.getString(1) ==
+      blocks(2L)._4 + "\n\n" + blocks(4L)._4)
+    assert(main.getLong(2) == 5L && main.getLong(3) == 2L)
+  }
+
   test("gopherRepetition: hand-computed line/paragraph/n-gram repetition signals") {
     val docs = Seq(
       // lines [aa bb, aa bb, cc]: 1 dup line (5 chars) over len-14 text;
