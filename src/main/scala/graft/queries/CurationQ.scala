@@ -451,7 +451,22 @@ object CurationQ extends QueryGroup {
           |      THEN block_text END, chr(10) || chr(10) ORDER BY block_idx), '') AS main_text,
           |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
           |  CAST(SUM(CASE WHEN n_chars >= 25 AND link_density <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-          |FROM f GROUP BY doc_id""".stripMargin))
+          |FROM f GROUP BY doc_id""".stripMargin)),
+
+    // The web front-end composed: main-content extraction feeding the
+    // Gopher repetition gate — both this-round stages chained, both
+    // oracle fragments reused verbatim, every doc's 17 repetition
+    // signals computed over the EXTRACTED article text.
+    QueryDef("q_web_repetition_e2e",
+      (s, dir) => Text.gopherRepetition(
+        Text.extractMainContent(htmlSeeded(s, dir), "html", "doc_id"),
+        "main_text", "doc_id"),
+      Some(mainContentBaseSql + ",\n" +
+        """mt AS (SELECT doc_id,
+          |    coalesce(string_agg(CASE WHEN n_chars >= 25 AND link_density <= 0.5
+          |        THEN block_text END, chr(10) || chr(10) ORDER BY block_idx), '') AS tx
+          |  FROM f GROUP BY doc_id),""".stripMargin + "\n" +
+        repetitionSignalsSql("mt")))
   )
 
   /** Shared fixture for the main-content pair: page chrome around the
@@ -476,7 +491,7 @@ object CurationQ extends QueryGroup {
        |  FROM documents),
        |b AS (SELECT doc_id, regexp_split_to_array(html, '$blockRe') AS blocks FROM d),
        |e AS (SELECT doc_id, unnest(generate_series(1, len(blocks))) AS i, blocks FROM b),
-       |m AS (SELECT doc_id, i,
+       |mx AS (SELECT doc_id, i,
        |    trim(regexp_replace(regexp_replace(blocks[i], '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS btext,
        |    length(trim(regexp_replace(regexp_replace(
        |      coalesce(array_to_string(regexp_extract_all(blocks[i], '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), ''),
@@ -486,7 +501,7 @@ object CurationQ extends QueryGroup {
        |    CAST(length(btext) AS BIGINT) AS n_chars,
        |    ROUND(anchor_chars * 1.0 / greatest(length(btext), 1), 6) AS link_density,
        |    btext AS block_text
-       |  FROM m WHERE btext <> '')""".stripMargin
+       |  FROM mx WHERE btext <> '')""".stripMargin
   }
 
   /** Shared fixture for the paragraph-dedup pair: paragraphified text
@@ -545,6 +560,22 @@ object CurationQ extends QueryGroup {
     s"ROUND(CASE WHEN $den > 0 THEN $num * 1.0 / $den ELSE 0.0 END, 6)"
 
   private lazy val repetitionOracle: String = {
+    s"""WITH d AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(text,
+       |      '((\\S+\\s+){3}\\S+)\\s+', '\\1' || chr(10), 'g'),
+       |      '(([^\\n]+\\n){2}[^\\n]+)\\n', '\\1' || chr(10) || chr(10), 'g')
+       |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'the quick brown fox' || chr(10) || 'the quick brown fox' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'buy now buy now buy now buy now buy now' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) || 'spam spam spam' || chr(10) || chr(10) || 'spam spam spam' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' one two three four five six seven eight nine ten one two three four five six seven eight nine ten' ELSE '' END AS tx
+       |  FROM documents),
+       |""".stripMargin + repetitionSignalsSql("d")
+  }
+
+  /** The full 21-counter repetition replay over any CTE exposing
+    * (doc_id, tx) — CTE chain `t, g, m` plus the final fraction/verdict
+    * SELECT (shared by the fixture oracle and composed pipelines). */
+  private def repetitionSignalsSql(srcCte: String): String = {
     val trimset = "' ' || chr(9) || chr(10) || chr(13) || chr(12)"
     val gcols = (2 to 10).map(n => s"${gramsSql(n)} AS g$n").mkString(",\n    ")
     val topcols = Seq(2, 3, 4).map { n =>
@@ -568,20 +599,11 @@ object CurationQ extends QueryGroup {
       s" AND ${fracSql("dup_para_chars", "nc")} <= 0.20" +
       Seq(2, 3, 4).map(n => s" AND ${fracSql(s"top${n}_chars", "nc")} <= ${thr(n)}").mkString +
       (5 to 10).map(n => s" AND ${fracSql(s"dup${n}_chars", s"gram${n}_chars")} <= ${thr(n)}").mkString
-    s"""WITH d AS (SELECT doc_id,
-       |    regexp_replace(regexp_replace(text,
-       |      '((\\S+\\s+){3}\\S+)\\s+', '\\1' || chr(10), 'g'),
-       |      '(([^\\n]+\\n){2}[^\\n]+)\\n', '\\1' || chr(10) || chr(10), 'g')
-       |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'the quick brown fox' || chr(10) || 'the quick brown fox' ELSE '' END
-       |    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'buy now buy now buy now buy now buy now' ELSE '' END
-       |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) || 'spam spam spam' || chr(10) || chr(10) || 'spam spam spam' ELSE '' END
-       |    || CASE WHEN doc_id % 13 = 0 THEN ' one two three four five six seven eight nine ten one two three four five six seven eight nine ten' ELSE '' END AS tx
-       |  FROM documents),
-       |t AS (SELECT doc_id, tx, length(tx) AS nc,
+    s"""t AS (SELECT doc_id, tx, length(tx) AS nc,
        |    list_filter(list_transform(string_split(tx, chr(10)), x -> trim(x, $trimset)), x -> x <> '') AS ls,
        |    list_filter(list_transform(regexp_split_to_array(tx, '\\n{2,}'), x -> trim(x, $trimset)), x -> x <> '') AS ps,
        |    list_filter(regexp_split_to_array(lower(tx), '\\s+'), w -> w <> '') AS ws
-       |  FROM d),
+       |  FROM $srcCte),
        |g AS (SELECT doc_id, nc, ls, ps,
        |    $gcols
        |  FROM t),
