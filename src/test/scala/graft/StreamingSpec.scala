@@ -713,8 +713,13 @@ class StreamingSpec extends SparkSpec {
     Files.copy(Paths.get(s"$sf/documents.parquet"),
       dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
     def chain(df: org.apache.spark.sql.DataFrame) = {
-      val html = df.withColumn("html",
-        concat(lit("<p>"), col("text"), lit("</p><!-- x --><b>&amp;fin</b>")))
+      // page chrome first: the in-row main-content cut is stream-legal too
+      val paged = df.withColumn("page",
+        concat(lit("<nav><a href=\"/\">Home page</a> <a href=\"/b\">About page</a></nav><div>"),
+          col("text"), lit("</div>")))
+      val mc = Text.extractMainContent(paged, "page", "doc_id")
+      val html = mc.withColumn("html",
+        concat(lit("<p>"), col("main_text"), lit("</p><!-- x --><b>&amp;fin</b>")))
       val stripped = Text.stripMarkup(html, "html", "doc_id")
       val scrubbed = Text.scrubPii(stripped, "clean_text", "doc_id")
       val normed = Text.normalizeText(scrubbed, "clean_text", "doc_id")
