@@ -150,6 +150,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunkSentences matches the per-row greedy reference") {
+    val sentGen: Gen[String] = for {
+      n <- Gen.choose(1, 9)
+      ws <- Gen.listOfN(n, Gen.alphaLowerStr.map(w => if (w.isEmpty) "x" else w.take(5)))
+      t <- Gen.oneOf(".", "!", "?", "", "...", ".?")
+    } yield ws.mkString(" ") + t
+    val docGen: Gen[String] = for {
+      ss <- Gen.listOfN(6, sentGen)
+      sep <- Gen.oneOf(" ", "  ", " \n ")
+    } yield ss.mkString(sep)
+    def ref(text: String, budget: Int): Seq[(Long, Long, String)] = {
+      // space-only trim — Spark/DuckDB `trim` semantics, NOT Java .trim
+      def trimSp(s: String) =
+        s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val sents = "[^.!?]+[.!?]*".r.findAllIn(text)
+        .map(trimSp).filter(_.nonEmpty).toSeq
+      def tc(s: String) = s.split("\\s+").count(_.nonEmpty)
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur = ""; var tok = 0
+      sents.foreach { s =>
+        val n = tc(s)
+        if (tok > 0 && tok + n > budget) { chunks += cur; cur = s; tok = n }
+        else { cur = if (tok == 0) s else cur + " " + s; tok += n }
+      }
+      if (tok > 0) chunks += cur
+      chunks.zipWithIndex.map { case (c, i) => (i.toLong, tc(c).toLong, c) }.toSeq
+    }
+    val texts = sample(docGen, 120).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = Text.chunkSentences(df, "t", "id", maxTokens = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = ref(t, 8)
+      want.foreach { case (ci, n, c) =>
+        assert(got.get((i.toLong, ci)).contains((n, c)),
+          s"row $i chunk $ci: got ${got.get((i.toLong, ci))} want ($n, '$c')")
+      }
+      assert(got.keys.count(_._1 == i.toLong) == want.size)
+    }
+  }
+
   test("property: repetition_stats matches the per-row reference on random multi-line texts") {
     // multi-line texts with DELIBERATE repetition: lines drawn from a
     // small pool (collisions guaranteed), single/double newlines mixed
