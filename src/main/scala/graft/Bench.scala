@@ -135,8 +135,9 @@ object Bench {
     // the term-clustered on-disk postings)
     "q_bm25_prebuilt", "q_bm25_rm3_prebuilt",
     // round-18 batch 2 (per-query only): the one-pass 21-counter
-    // repetition gate, paragraph-grain corpus dedup with cut
-    "q_text_repetition", "q_para_dedup_cut")
+    // repetition gate, paragraph-grain corpus dedup with cut, and the
+    // composed web front-end (main-content cut -> repetition gate)
+    "q_text_repetition", "q_para_dedup_cut", "q_web_repetition_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
