@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] =
-    Seq(Relational, Analytics, TemporalQ, LlmOps, CurationQ, PipelineQ, MlOps)
+    Seq(Relational, Analytics, TemporalQ, LlmOps, CurationQ, TokenizerQ,
+      PipelineQ, MlOps)
 
   private lazy val catalog: Seq[QueryDef] = groups.flatMap(_.queries)
 
