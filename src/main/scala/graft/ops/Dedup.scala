@@ -1216,4 +1216,38 @@ object Dedup {
       .select(col("grp_a"), col("grp_b"), col("sz_a"), col("sz_b"), col("est_union"),
         greatest(lit(0L), col("sz_a") + col("sz_b") - col("est_union")).as("est_shared"))
   }
+
+  /**
+   * Candidate-pair quality harness: recall/precision of an approximate
+   * pair generator ([[minhashLshPairs]], [[simhashPairs]],
+   * [[graft.ops.Vectors]] banded cosine, [[winnowOverlapPairs]])
+   * against a ground-truth pair set ([[ngramJaccardPairs]] at the same
+   * threshold) — the dedup analogue of the ANN recall report
+   * (`q_ann_recall_variants`): the miss rate of every shipped candidate
+   * path is MEASURED, not asserted. Pairs are order-canonicalized
+   * (least, greatest) and de-duplicated on both sides, so generators
+   * that emit (a,b) and (b,a) are graded identically.
+   *
+   * One full-outer equi-join on the pair key + a one-row aggregate —
+   * both inputs are pair tables (already candidate-pruned, orders of
+   * magnitude smaller than the corpus), so the harness adds no
+   * corpus-scale work. Output: one row (n_truth, n_cand, n_hit, recall,
+   * precision), ratios rounded to 6 dp; n_hit counts truth ∩ candidates.
+   */
+  def pairRecall(cand: DataFrame, truth: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    def canon(df: DataFrame, tag: String): DataFrame =
+      df.select(least(col(aCol), col(bCol)).as("__a"),
+          greatest(col(aCol), col(bCol)).as("__b"))
+        .distinct().withColumn(tag, lit(1L))
+    canon(truth, "__t").join(canon(cand, "__c"), Seq("__a", "__b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("__t"), lit(0L)) * coalesce(col("__c"), lit(0L)))
+          .as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
+        round(col("n_hit").cast("double") / col("n_cand"), 6).as("precision"))
+  }
 }

@@ -611,7 +611,7 @@ object Vectors {
     val w = byCluster.orderBy(col("proto_cos").desc, col(idCol))
     seedAssign(df, idCol, vecCol, k)
       .select(col(idCol), col("cluster"), col("proto_cos"),
-        row_number().over(w).as("proto_rank"),
+        row_number().over(w).cast("long").as("proto_rank"),
         count(lit(1)).over(byCluster).as("cluster_n"))
   }
 

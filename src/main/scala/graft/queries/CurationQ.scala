@@ -62,6 +62,32 @@ object CurationQ extends QueryGroup {
 
   def queries: Seq[QueryDef] = Seq(
 
+    // WARC-container round-trip: documents rendered as a WARC-style
+    // archive ON DISK (text sink), re-read via the splittable
+    // lineSep-delimited scan, headers parsed and the body cut by
+    // Content-Length — the oracle is a direct SQL projection of the
+    // source table, so a hash match proves render + split + parse are
+    // lossless end-to-end. The ingestion front door of a crawl pipeline.
+    QueryDef("q_warc_roundtrip",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val uri = concat(lit("http://corpus.example/"), col("source"),
+          lit("/"), col("doc_id").cast("string"))
+        val path = s"${sys.props("java.io.tmpdir")}/graft_warc_" +
+          Integer.toHexString(dir.hashCode)
+        graft.sources.Warc.write(docs, "doc_id", "text", uri, path)
+        graft.sources.Warc.read(s, path)
+          .select(
+            regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+              .cast("long").as("doc_id"),
+            col("target_uri"), col("content_length"), col("body"))
+      },
+      Some("""SELECT doc_id,
+             |  'http://corpus.example/' || source || '/' || doc_id AS target_uri,
+             |  CAST(length(coalesce(text, '')) AS BIGINT) AS content_length,
+             |  coalesce(text, '') AS body
+             |FROM documents""".stripMargin)),
+
     // The curation pipeline composed END-TO-END: boilerplate-seeded corpus
     // -> markup strip -> PII seed + scrub -> NFC normalize -> quality gate
     // (stop ratio + length) -> exact dedup (keep min id) -> hash split.

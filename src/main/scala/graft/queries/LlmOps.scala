@@ -1779,6 +1779,48 @@ object LlmOps extends QueryGroup {
               |  JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b)
               |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
 
+    // Dedup candidate-path quality harness: MinHash-LSH verified pairs
+    // graded against the exact n-gram-Jaccard ground truth at the same
+    // threshold — recall quantifies the band-miss rate (the S-curve's
+    // false-negative side), precision confirms the verify stage admits
+    // nothing below tau. The dedup counterpart of q_ann_recall_variants:
+    // every approximate pair generator's quality is measured, not
+    // asserted.
+    QueryDef("q_dedup_pair_recall",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.pairRecall(
+          Dedup.minhashLshPairs(docs, "text", "doc_id",
+            n = 3, k = 16, bands = 4, tau = 0.4),
+          Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, tau = 0.4))
+      },
+      Some(s"""WITH $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |jx AS (SELECT doc_a, doc_b,
+              |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+              |truth AS (SELECT doc_a, doc_b FROM jx WHERE jaccard >= 0.4),
+              |mh AS (SELECT doc_id, hi, MIN(md5(CAST(hi AS VARCHAR) || ':' || shingle)) AS mh
+              |  FROM sh CROSS JOIN generate_series(1, 16) g(hi) GROUP BY doc_id, hi),
+              |bs AS (SELECT doc_id, (hi - 1) // 4 AS band, string_agg(mh, '|' ORDER BY hi) AS sig
+              |  FROM mh GROUP BY doc_id, (hi - 1) // 4),
+              |bk AS (SELECT doc_id, band, sig,
+              |    COUNT(*) OVER (PARTITION BY band, sig) AS bucket_n FROM bs),
+              |bf AS (SELECT * FROM bk WHERE bucket_n <= 1000),
+              |cd AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              |  FROM bf l JOIN bf r USING(band, sig) WHERE l.doc_id < r.doc_id),
+              |cand AS (SELECT c.doc_a, c.doc_b FROM cd c
+              |  JOIN jx USING(doc_a, doc_b) WHERE jx.jaccard >= 0.4),
+              |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+              |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+              |hc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+              |  FROM truth JOIN cand USING(doc_a, doc_b))
+              |SELECT n_truth, n_cand, n_hit,
+              |  ROUND(n_hit * 1.0 / n_truth, 6) AS recall,
+              |  ROUND(n_hit * 1.0 / n_cand, 6) AS precision
+              |FROM tc CROSS JOIN cc CROSS JOIN hc""".stripMargin)),
+
     // Incremental near-dup ADMISSION: the corpus slice (doc_id % 10 <> 0)
     // is indexed ONCE (band keys + full signatures); the "new batch"
     // (doc_id % 10 = 0) is admitted against the index — candidates by band

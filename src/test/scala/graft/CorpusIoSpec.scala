@@ -101,4 +101,49 @@ class CorpusIoSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(cov == Map("a" -> ((2L, 0.5)), "b" -> ((2L, 0.5))))
   }
+
+  test("warc round-trip: bodies with blank lines and empties survive; malformed records null out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain body", "web"),
+      (2L, "multi\n\nparagraph\n\nbody", "web"), // blank lines INSIDE a body:
+      // only the Content-Length cut (not a blank-line search) keeps it whole
+      (3L, "", "books"),
+      (4L, "trailing spaces  ", "books")
+    ).toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft-warc").toString
+    val uri = concat(lit("http://x/"), col("source"), lit("/"), col("doc_id"))
+    graft.sources.Warc.write(docs, "doc_id", "text", uri, dir)
+    val back = graft.sources.Warc.read(spark, dir)
+      .select(regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+        .cast("long").as("doc_id"), col("target_uri"),
+        col("content_length"), col("body"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(back(1L) == (("http://x/web/1", 10L, "plain body")))
+    assert(back(2L) == (("http://x/web/2", 22L, "multi\n\nparagraph\n\nbody")))
+    assert(back(3L) == (("http://x/books/3", 0L, "")))
+    assert(back(4L) == (("http://x/books/4", 17L, "trailing spaces  ")))
+    // malformed record (no headers at all) parses to null fields, no throw
+    val badDir = Files.createTempDirectory("graft-warc-bad").toString
+    Seq("WARC/1.0\r\ngarbage with no headers").toDF("value")
+      .write.mode("overwrite").text(badDir)
+    val bad = graft.sources.Warc.read(spark, badDir).collect()
+    assert(bad.length == 1 && bad.head.isNullAt(0) && bad.head.isNullAt(2))
+  }
+
+  test("pairRecall: order-canonicalized, de-duplicated, exact counts") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    // cand: one hit emitted BOTH ways + duplicated, one false positive
+    val cand = Seq((2L, 1L), (1L, 2L), (4L, 3L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val r = graft.ops.Dedup.pairRecall(cand, truth).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 2.0 / 3) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3) < 1e-6)
+    // a perfect generator grades 1.0 / 1.0
+    val perfect = graft.ops.Dedup.pairRecall(truth, truth).head()
+    assert(perfect.getDouble(3) == 1.0 && perfect.getDouble(4) == 1.0)
+  }
 }
