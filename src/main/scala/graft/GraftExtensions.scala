@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 import graft.functions.{MinHashMd5, MinHashXx, NfcNormalize, RepetitionStats,
-  SimHash16, SimHash64, VecCosine, VecL2Sq, WinnowSelect, WordShingles,
-  WordShinglesAll}
+  SimHash16, SimHash64, UnigramEncode, VecCosine, VecL2Sq, WinnowSelect,
+  WordPieceEncode, WordShingles, WordShinglesAll}
 
 /**
  * SQL surface for the library's custom Catalyst expressions — the
@@ -25,6 +25,8 @@ import graft.functions.{MinHashMd5, MinHashXx, NfcNormalize, RepetitionStats,
  *   - `simhash16(toks)`        — [[graft.functions.SimHash16]]
  *   - `winnow_select(hs, k, w)`— [[graft.functions.WinnowSelect]]
  *   - `repetition_stats(s)`    — [[graft.functions.RepetitionStats]]
+ *   - `wordpiece_encode(s, pieces, unk)` — [[graft.functions.WordPieceEncode]]
+ *   - `unigram_encode(s, pieces, scores, unk)` — [[graft.functions.UnigramEncode]]
  *
  * Two activation paths:
  *   - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -51,6 +53,40 @@ object GraftExtensions {
 
   private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
     require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  /** Foldable array argument → its elements (vocabularies parameterize
+    * the expression, so they must be literal at analysis time — the same
+    * rule as the shingle widths). */
+  private def litArray(e: Expression, fn: String): Seq[Any] = {
+    require(e.foldable && e.dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType],
+      s"$fn: the vocabulary must be a literal array, got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(
+          e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected a literal array, got $other")
+    }
+  }
+
+  private def litStrArray(e: Expression, fn: String): Seq[String] =
+    litArray(e, fn).map(_.toString)
+
+  private def litLongArray(e: Expression, fn: String): Seq[Long] =
+    litArray(e, fn).map {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: scores must be integer literals, got $other")
+    }
+
+  private def litStr(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a string literal, got $other")
+  }
 
   /** (identifier, info, builder) triples in SparkSessionExtensions'
     * FunctionDescription shape. */
@@ -97,7 +133,18 @@ object GraftExtensions {
     (FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       args => { arity("repetition_stats", 1, args)
-        RepetitionStats(args(0)) }))
+        RepetitionStats(args(0)) }),
+    (FunctionIdentifier("wordpiece_encode"),
+      new ExpressionInfo(classOf[WordPieceEncode].getName, "wordpiece_encode"),
+      args => { arity("wordpiece_encode", 3, args)
+        WordPieceEncode(args(0), litStrArray(args(1), "wordpiece_encode"),
+          litStr(args(2), "wordpiece_encode")) }),
+    (FunctionIdentifier("unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
+      args => { arity("unigram_encode", 4, args)
+        UnigramEncode(args(0), litStrArray(args(1), "unigram_encode"),
+          litLongArray(args(2), "unigram_encode"),
+          litStr(args(3), "unigram_encode")) }))
 
   /** Register onto a LIVE session (extension classes only apply at session
     * build). Idempotent: re-registering replaces the same definitions. */

@@ -80,6 +80,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(rs.getLong(0) == 1L && rs.getLong(1) == 10L)
   }
 
+  test("tokenizer SQL functions equal their Column-API twins") {
+    GraftExtensions.register(spark)
+    val wpv = graft.ops.WordPiece.FixedEnglishVocab
+    val ulm = graft.ops.Unigram.FixedEnglishPieces
+    val docs = Seq((1L, "the fast table scans a value")).toDF("id", "text")
+    docs.createOrReplaceTempView("tok_docs")
+    def sqlArr(xs: Seq[String]) = xs.map(p => s"'$p'").mkString("array(", ",", ")")
+    val wpSql = spark.sql(
+        s"SELECT wordpiece_encode(lower(text), ${sqlArr(wpv.pieces)}, '${wpv.unk}') AS t FROM tok_docs")
+      .head().getSeq[String](0)
+    val wpCol = docs.select(
+        graft.ops.WordPiece.tokensCol(col("text"), wpv).as("t"))
+      .head().getSeq[String](0)
+    assert(wpSql == wpCol && wpSql.contains("##ble"))
+    val scoresSql = ulm.scores.map(s => s"${s}L").mkString("array(", ",", ")")
+    val ulmSql = spark.sql(
+        s"SELECT unigram_encode(lower(text), ${sqlArr(ulm.pieces)}, $scoresSql, '${ulm.unk}') AS t FROM tok_docs")
+      .head().getSeq[String](0)
+    val ulmCol = docs.select(
+        graft.ops.Unigram.tokensCol(col("text"), ulm).as("t"))
+      .head().getSeq[String](0)
+    assert(ulmSql == ulmCol && ulmSql.contains("ta"))
+    // non-literal vocabulary fails at analysis, never at runtime
+    intercept[Exception] {
+      spark.sql("SELECT wordpiece_encode(text, split(text, ' '), 'U') FROM tok_docs")
+        .collect()
+    }
+  }
+
   test("shingle width must be a literal; wrong arity fails at analysis") {
     GraftExtensions.register(spark)
     intercept[Exception] {

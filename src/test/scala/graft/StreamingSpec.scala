@@ -706,6 +706,36 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
   }
 
+  test("subword tokenizers are stateless projections: streaming equals batch") {
+    val dir = Files.createTempDirectory("graft_tok_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    val sWp = graft.ops.WordPiece.tokenize(docsStream, "text", "doc_id",
+      graft.ops.WordPiece.FixedEnglishVocab)
+    val sUlm = graft.ops.Unigram.tokenize(docsStream, "text", "doc_id",
+      graft.ops.Unigram.FixedEnglishPieces)
+    val q1 = sWp.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wp_stream").start()
+    val q2 = sUlm.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ulm_stream").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batch = graft.core.Tables.load(spark, sf, "documents")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.toList).toSet
+      assert(key(spark.table("wp_stream")) ==
+        key(graft.ops.WordPiece.tokenize(batch, "text", "doc_id",
+          graft.ops.WordPiece.FixedEnglishVocab)))
+      assert(key(spark.table("ulm_stream")) ==
+        key(graft.ops.Unigram.tokenize(batch, "text", "doc_id",
+          graft.ops.Unigram.FixedEnglishPieces)))
+      assert(spark.table("wp_stream").count() > 0)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("curation chain (strip -> scrub -> normalize -> gate) is stateless: streaming equals batch") {
     import graft.ops.Text
     import org.apache.spark.sql.functions._
