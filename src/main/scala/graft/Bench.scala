@@ -137,7 +137,13 @@ object Bench {
     // round-18 batch 2 (per-query only): the one-pass 21-counter
     // repetition gate, paragraph-grain corpus dedup with cut, and the
     // composed web front-end (main-content cut -> repetition gate)
-    "q_text_repetition", "q_para_dedup_cut", "q_web_repetition_e2e")
+    "q_text_repetition", "q_para_dedup_cut", "q_web_repetition_e2e",
+    // round-19 (per-query only): subword tokenizer expressions (greedy
+    // WordPiece walk + integer-Viterbi Unigram, both codegen'd), and the
+    // WARC container round-trip (render -> text sink -> splittable
+    // lineSep scan -> parse; the write re-runs each pass by design —
+    // the round-trip IS the operator)
+    "q_text_wordpiece", "q_text_unigram", "q_warc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
