@@ -817,6 +817,117 @@ object Text {
   }
 
   /**
+   * The common cp1252-misdecoded-UTF-8 artifacts and their repairs: the
+   * character sequences a UTF-8 byte stream turns into when decoded as
+   * Windows-1252 (the dominant real-world mojibake family — curly
+   * quotes/dashes E2 80 xx and Latin-1 accents C3 xx / symbols C2 xx).
+   * Three-char artifacts first so the chain never half-consumes one.
+   * Each entry is the EXACT cp1252 rendering of the target's UTF-8
+   * bytes — verified by construction (new String(target.getBytes(UTF_8),
+   * "windows-1252") in the spec).
+   */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€“" -> "–", // en dash
+    "â€”" -> "—", // em dash
+    "â€˜" -> "‘", // left single quote
+    "â€™" -> "’", // right single quote
+    "â€œ" -> "“", // left double quote
+    "â€¦" -> "…", // ellipsis
+    "Ã©" -> "é", // é
+    "Ã¨" -> "è", // è
+    "Ã¤" -> "ä", // ä
+    "Ã¶" -> "ö", // ö
+    "Ã¼" -> "ü", // ü
+    "Ã±" -> "ñ", // ñ
+    "Ã§" -> "ç", // ç
+    "Ã¡" -> "á", // á
+    "Ã³" -> "ó", // ó
+    "Ãº" -> "ú", // ú
+    "Â©" -> "©", // ©
+    "Â°" -> "°", // °
+    "Â«" -> "«", // «
+    "Â»" -> "»", // »
+    "Â " -> " ") // nbsp
+
+  /**
+   * Mojibake repair (the fixed-table core of ftfy): rewrite the
+   * [[MojibakeTable]] artifacts back to the characters the original
+   * UTF-8 encoded, count artifacts before repair, and flag touched
+   * rows. A plain left-to-right `replace` chain — Java and SQL replace
+   * agree exactly, so `q_text_fix_mojibake` hash-matches — and one
+   * narrow codegen projection, no shuffle, streaming-legal. Full ftfy
+   * additionally SEARCHES for the decoding that minimizes badness
+   * (byte-level codec round-trips, out of the engine-replayable
+   * subset); this table covers the dominant cp1252 double-encode
+   * family, and [[anomalyScan]] still flags what the table misses.
+   * Run BEFORE [[normalizeText]]: repairs produce NBSP/accents that
+   * normalization then canonicalizes.
+   *
+   * Output: (id, fixed_text, n_artifacts, changed).
+   */
+  def fixMojibake(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    val nArt = MojibakeTable.map { case (bad, _) =>
+      ((length(t) - length(replace(t, lit(bad), lit("")))) /
+        bad.length).cast("long")
+    }.reduce(_ + _)
+    val fixed = MojibakeTable.foldLeft(t) { case (e, (bad, good)) =>
+      replace(e, lit(bad), lit(good))
+    }
+    df.select(col(idCol), fixed.as("fixed_text"), nArt.as("n_artifacts"),
+      (nArt > 0L).as("changed"))
+  }
+
+  /** The script classes [[scriptProfile]] counts, as (name, regex char
+    * class) — `\x{...}` hex ranges parse identically in Java regex and
+    * RE2, the same portability rule as [[normalizeText]]. Precedence
+    * order = tie order for the majority verdict. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{c0}-\\x{ff}]",
+    "cyrillic" -> "[\\x{400}-\\x{4ff}]",
+    "greek" -> "[\\x{370}-\\x{3ff}]",
+    "cjk" -> "[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]",
+    "hangul" -> "[\\x{ac00}-\\x{d7af}\\x{1100}-\\x{11ff}]",
+    "arabic" -> "[\\x{600}-\\x{6ff}]",
+    "digit" -> "[0-9]")
+
+  /**
+   * Script-composition profile: per-document counts and ratios of the
+   * [[ScriptClasses]] (Latin incl. Latin-1 accents, Cyrillic, Greek,
+   * CJK incl. kana, Hangul incl. jamo, Arabic, digits) over the
+   * non-whitespace character count, plus the majority script
+   * (highest count; [[ScriptClasses]] order breaks ties; "other" when
+   * nothing matches). The script gate that runs NEXT TO [[languageId]]
+   * in a multilingual crawl pipeline: language-ID models assume a
+   * script, so mC4/CCNet-style pipelines bucket by script FIRST —
+   * and mixed-script documents (ratio spread across classes) are the
+   * classic spam/SEO signal. One narrow codegen projection of
+   * `regexp_count` calls, no shuffle, streaming-legal.
+   *
+   * Output: (id, n_chars, n_<class>..., <class>_ratio..., majority).
+   */
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val counts = ScriptClasses.map { case (name, cls) =>
+      name -> regexp_count(t, lit(cls)).cast("long")
+    }
+    val majority = counts.foldLeft((lit("other"), lit(0L))) {
+      case ((bestName, bestCnt), (name, cnt)) =>
+        // strict > keeps the earlier class on ties — the precedence rule
+        (when(cnt > bestCnt, lit(name)).otherwise(bestName),
+          when(cnt > bestCnt, cnt).otherwise(bestCnt))
+    }._1
+    val cols = Seq(col(idCol), nChars.as("n_chars")) ++
+      counts.map { case (name, cnt) => cnt.as(s"n_$name") } ++
+      counts.map { case (name, cnt) =>
+        round(when(nChars > 0, cnt.cast("double") / nChars).otherwise(lit(0.0)),
+          6).as(s"${name}_ratio")
+      } :+ majority.as("majority")
+    df.select(cols: _*)
+  }
+
+  /**
    * HTML/markup stripping — the boilerplate-removal front of web-corpus
    * extraction: drop `<script>`/`<style>` blocks wholesale (their TEXT is
    * code, not prose), drop comments, strip remaining tags, unescape the

@@ -19,6 +19,19 @@ object CurationQ extends QueryGroup {
     * DuckDB side builds the identical string with chr(). */
   private val DenormSuffix = " cafe\u0301 x\ty\u00a0z"
 
+  /** Seeded cp1252-mojibake suffixes for [[Text.fixMojibake]] (curly
+    * quote/dash/ellipsis E2 80 xx artifacts; Latin-1 accents Ã©/Ã¨;
+    * symbol artifacts Â©/Â«Â»). No single quotes — the literals embed in
+    * SQL directly. */
+  private val MojibakeSuffixA = " donâ€™t Ã©lite â€” fin Ã¨re"
+  private val MojibakeSuffixB = " â€œquoteâ€¦ Â© 2024 Â«xÂ» 10Â°"
+
+  /** Seeded script suffixes for [[Text.scriptProfile]]: Cyrillic, CJK +
+    * kana, and a Greek/digit/Arabic/Hangul mix. */
+  private val ScriptSuffixCyr = " привет мир данные"
+  private val ScriptSuffixCjk = " 你好世界 データ処理"
+  private val ScriptSuffixMix = " αβγ 123 مرحبا 한글"
+
   /** Seeded markup wrapper for [[Text.stripMarkup]] (tags + comment +
     * script block + entities). */
   private val MarkupPre = "<html><body><p class=\"d\">"
@@ -87,6 +100,77 @@ object CurationQ extends QueryGroup {
              |  CAST(length(coalesce(text, '')) AS BIGINT) AS content_length,
              |  coalesce(text, '') AS body
              |FROM documents""".stripMargin)),
+
+    // Mojibake repair (fixed-table ftfy core): cp1252-misdecoded-UTF-8
+    // artifacts seeded per residue, repaired by the replace chain both
+    // engines execute identically; artifact count from length deltas.
+    QueryDef("q_text_fix_mojibake",
+      (s, dir) => Text.fixMojibake(
+        Tables.load(s, dir, "documents").withColumn("t2",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(MojibakeSuffixA)))
+          .when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(MojibakeSuffixB)))
+          .otherwise(col("text"))),
+        "t2", "doc_id"),
+      Some {
+        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN text || '$MojibakeSuffixA'
+          |  WHEN doc_id % 5 = 0 THEN text || '$MojibakeSuffixB'
+          |  ELSE text END""".stripMargin
+        val nArt = Text.MojibakeTable.map { case (bad, _) =>
+          s"(length(t) - length(replace(t, '$bad', ''))) // ${bad.length}"
+        }.mkString(" + ")
+        val fixed = Text.MojibakeTable.foldLeft("t") { case (e, (bad, good)) =>
+          s"replace($e, '$bad', '$good')"
+        }
+        s"""WITH s AS (SELECT doc_id, $seeded AS t FROM documents)
+           |SELECT doc_id, $fixed AS fixed_text,
+           |  CAST($nArt AS BIGINT) AS n_artifacts,
+           |  ($nArt) > 0 AS changed
+           |FROM s""".stripMargin
+      }),
+
+    // Script-composition profile: per-doc counts/ratios of the script
+    // classes + majority verdict (earliest class on count ties), over a
+    // corpus seeded with Cyrillic/CJK/Greek suffixes per residue.
+    QueryDef("q_text_script_profile",
+      (s, dir) => Text.scriptProfile(
+        Tables.load(s, dir, "documents").withColumn("t2",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(ScriptSuffixCyr)))
+          .when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(ScriptSuffixCjk)))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(ScriptSuffixMix)))
+          .otherwise(col("text"))),
+        "t2", "doc_id"),
+      Some {
+        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN text || '$ScriptSuffixCyr'
+          |  WHEN doc_id % 5 = 0 THEN text || '$ScriptSuffixCjk'
+          |  WHEN doc_id % 7 = 0 THEN text || '$ScriptSuffixMix'
+          |  ELSE text END""".stripMargin
+        val cnts = Text.ScriptClasses.map { case (name, cls) =>
+          s"CAST(len(regexp_extract_all(t, '$cls')) AS BIGINT) AS n_$name"
+        }.mkString(",\n|    ")
+        val mx = Text.ScriptClasses.map(c => s"n_${c._1}")
+          .mkString("greatest(", ", ", ")")
+        val majority = Text.ScriptClasses.map { case (name, _) =>
+          s"WHEN n_$name = __mx THEN '$name'"
+        }.mkString(" ")
+        val ratios = Text.ScriptClasses.map { case (name, _) =>
+          s"CASE WHEN n_chars > 0 THEN ROUND(n_$name * 1.0 / n_chars, 6) ELSE 0.0 END AS ${name}_ratio"
+        }.mkString(",\n|  ")
+        s"""WITH s AS (SELECT doc_id, $seeded AS t FROM documents),
+           |c AS (SELECT doc_id,
+           |    CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT) AS n_chars,
+           |    $cnts
+           |  FROM s),
+           |m AS (SELECT *, $mx AS __mx FROM c)
+           |SELECT doc_id, n_chars, ${Text.ScriptClasses.map(c => s"n_${c._1}").mkString(", ")},
+           |  $ratios,
+           |  CASE WHEN __mx = 0 THEN 'other' $majority END AS majority
+           |FROM m""".stripMargin
+      }),
 
     // The curation pipeline composed END-TO-END: boilerplate-seeded corpus
     // -> markup strip -> PII seed + scrub -> NFC normalize -> quality gate

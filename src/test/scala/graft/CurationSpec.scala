@@ -331,4 +331,57 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(1) == 20L)
     assert(r.getLong(2) == 1L)
   }
+
+  test("mojibake table entries ARE the cp1252 rendering of their target's UTF-8 bytes") {
+    Text.MojibakeTable.foreach { case (bad, good) =>
+      val rendered = new String(
+        good.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+      assert(rendered == bad, s"'$good' cp1252-renders as '$rendered', table has '$bad'")
+    }
+  }
+
+  test("fixMojibake repairs a cp1252 double-encode round trip; clean text untouched") {
+    val original = "don’t — “élite”… © 2024 «10°»"
+    // the table covers every artifact the corruption produces EXCEPT the
+    // closing ” (its UTF-8 maps through cp1252's undefined 0x9D)
+    val corrupted = new String(
+      original.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+    val df = Seq((1L, corrupted), (2L, "plain ascii text"),
+      (3L, "already clean é’—")).toDF("doc_id", "text")
+    val got = Text.fixMojibake(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val (fixed, nArt, changed) = got(1L)
+    assert(changed && nArt >= 8L)
+    // every table-covered character is restored
+    Seq("don’t", "—", "“élite", "…", "©", "«10°»").foreach { frag =>
+      assert(fixed.contains(frag), s"missing '$frag' in '$fixed'")
+    }
+    assert(got(2L) == (("plain ascii text", 0L, false)))
+    // already-correct unicode passes through unrepaired and unflagged
+    assert(got(3L) == (("already clean é’—", 0L, false)))
+  }
+
+  test("scriptProfile: hand-computed counts, tie precedence, empty text") {
+    val df = Seq(
+      (1L, "hello мир 你好 123"),    // latin 5, cyr 3, cjk 2, digit 3
+      (2L, "ab аб"),                 // latin 2, cyrillic 2 -> tie: latin wins
+      (3L, ""),                      // empty -> ratios 0, majority other
+      (4L, "!!! ???")                // no class matches -> other
+    ).toDF("doc_id", "text")
+    val got = Text.scriptProfile(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_chars") == 13L)
+    assert(r1.getAs[Long]("n_latin") == 5L)
+    assert(r1.getAs[Long]("n_cyrillic") == 3L)
+    assert(r1.getAs[Long]("n_cjk") == 2L)
+    assert(r1.getAs[Long]("n_digit") == 3L)
+    assert(r1.getAs[String]("majority") == "latin")
+    assert(math.abs(r1.getAs[Double]("latin_ratio") - 5.0 / 13) < 1e-6)
+    assert(got(2L).getAs[String]("majority") == "latin") // precedence on tie
+    assert(got(3L).getAs[String]("majority") == "other")
+    assert(got(3L).getAs[Double]("latin_ratio") == 0.0)
+    assert(got(4L).getAs[String]("majority") == "other")
+  }
 }
