@@ -29,6 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * Both expressions lowercase and whitespace-split internally (matching
  * `Text.tokens`); tokenization is per-word, so the scan stays narrow
  * (no explode) and the output is the flat subword array per document.
+ *
+ * Unicode contract: segmentation walks UTF-16 code units, the oracle
+ * replay walks code points — identical for BMP vocabularies (every
+ * shipped vocab). A supplementary-plane character (emoji) can never
+ * match a BMP piece on either side, so a word containing one collapses
+ * to the unk token under BOTH walks (spec-pinned); only a vocabulary
+ * that itself contained supplementary-plane pieces would diverge.
  */
 object SubwordEncode {
   private[functions] val Ws: Pattern = Pattern.compile("\\s+")

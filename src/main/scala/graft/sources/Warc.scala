@@ -67,8 +67,18 @@ object Warc {
    * surface as null-field rows for the caller to gate on, never as
    * exceptions mid-scan).
    */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", Delim).text(path)
+  def read(spark: SparkSession, path: String): DataFrame =
+    parse(spark.read.option("lineSep", Delim).text(path))
+
+  /** Streaming twin: the same delimiter split + parse over a text STREAM
+    * (new archive files appearing in a drop directory — the continuous-
+    * crawl ingest shape). Pure projections, so the plan is append-legal
+    * with no state; StreamingSpec pins batch parity. */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    parse(spark.readStream.option("lineSep", Delim).text(path))
+
+  private def parse(input: DataFrame): DataFrame = {
+    val raw = input
       .filter(length(trim(col("value"))) > 0) // preamble before record 1
     val hdrEnd = locate("\r\n\r\n", col("value"))
     val header = substring(col("value"), lit(1), hdrEnd - 1)

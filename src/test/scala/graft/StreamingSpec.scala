@@ -736,6 +736,45 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("streaming WARC ingest and mojibake/script gates equal their batch twins") {
+    import org.apache.spark.sql.functions._
+    // write a WARC archive from the fixture, then ingest it as a STREAM
+    val batchDocs = graft.core.Tables.load(spark, sf, "documents")
+      .withColumn("text", // seed artifacts + scripts so the gates fire
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" donâ€™t Ã©lite")))
+          .when(col("doc_id") % 5 === 0, concat(col("text"), lit(" привет 你好")))
+          .otherwise(col("text")))
+    val warcDir = Files.createTempDirectory("graft_warc_stream").toString
+    graft.sources.Warc.write(batchDocs, "doc_id", "text",
+      concat(lit("http://x/"), col("doc_id")), warcDir)
+    val streamed = graft.sources.Warc.readStream(spark, warcDir)
+    // chain the new curation gates onto the streamed records
+    val withId = (df: org.apache.spark.sql.DataFrame) => df.select(
+      regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+        .cast("long").as("doc_id"), col("body"))
+    val sChain = graft.ops.Text.scriptProfile(
+      graft.ops.Text.fixMojibake(withId(streamed), "body", "doc_id")
+        .withColumnRenamed("fixed_text", "body2"),
+      "body2", "doc_id")
+    val q = sChain.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("warc_chain_stream").start()
+    try {
+      q.processAllAvailable()
+      val bChain = graft.ops.Text.scriptProfile(
+        graft.ops.Text.fixMojibake(
+          withId(graft.sources.Warc.read(spark, warcDir)), "body", "doc_id")
+          .withColumnRenamed("fixed_text", "body2"),
+        "body2", "doc_id")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.toList).toSet
+      assert(key(spark.table("warc_chain_stream")) == key(bChain))
+      // the seeds actually exercised both gates
+      val rows = spark.table("warc_chain_stream")
+      assert(rows.filter(col("n_cyrillic") > 0).count() > 0)
+      assert(rows.count() == batchDocs.count())
+    } finally { q.stop() }
+  }
+
   test("curation chain (strip -> scrub -> normalize -> gate) is stateless: streaming equals batch") {
     import graft.ops.Text
     import org.apache.spark.sql.functions._

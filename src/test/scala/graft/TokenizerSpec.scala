@@ -180,6 +180,22 @@ class TokenizerSpec extends SparkSpec {
     assert(multi > 0L)
   }
 
+  test("supplementary-plane characters collapse the containing word to unk") {
+    // an emoji (UTF-16 surrogate pair) can never match a BMP vocab piece,
+    // so the word it sits in becomes unk under both tokenizers — the
+    // engine-agnostic verdict the scaladoc contract pins
+    val df = Seq((1L, "table 😀ok value")).toDF("doc_id", "text")
+    val wp = WordPiece.tokenize(df, "text", "doc_id",
+        WordPiece.FixedEnglishVocab)
+      .select("wp_tokens").as[Seq[String]].head()
+    assert(wp.head == "ta" && wp.contains("[UNK]") && wp.contains("val"))
+    assert(wp.count(_ == "[UNK]") == 1)
+    val ulm = Unigram.tokenize(df, "text", "doc_id",
+        Unigram.FixedEnglishPieces)
+      .select("ulm_tokens").as[Seq[String]].head()
+    assert(ulm.contains("<unk>") && ulm.count(_ == "<unk>") == 1)
+  }
+
   test("tokenize plans are shuffle-free narrow projections") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (df <- Seq(
