@@ -904,9 +904,12 @@ object Text {
    * classic spam/SEO signal. One narrow codegen projection of
    * `regexp_count` calls, no shuffle, streaming-legal.
    *
-   * Output: (id, n_chars, n_<class>..., <class>_ratio..., majority).
+   * Output: (id, n_chars, n_<class>..., <class>_ratio..., majority),
+   * plus any `carry` payload columns passed through unchanged (so a
+   * composed pipeline can gate on the profile without a join back).
    */
-  def scriptProfile(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def scriptProfile(df: DataFrame, textCol: String, idCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val t = coalesce(col(textCol).cast("string"), lit(""))
     val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
     val counts = ScriptClasses.map { case (name, cls) =>
@@ -923,7 +926,7 @@ object Text {
       counts.map { case (name, cnt) =>
         round(when(nChars > 0, cnt.cast("double") / nChars).otherwise(lit(0.0)),
           6).as(s"${name}_ratio")
-      } :+ majority.as("majority")
+      } ++ Seq(majority.as("majority")) ++ carry.map(col)
     df.select(cols: _*)
   }
 

@@ -32,6 +32,34 @@ object CurationQ extends QueryGroup {
   private val ScriptSuffixCjk = " 你好世界 データ処理"
   private val ScriptSuffixMix = " αβγ 123 مرحبا 한글"
 
+  /** The [[Text.MojibakeTable]] repair as a SQL replace chain over
+    * `expr` — the fragment q_text_fix_mojibake pins, reused by the
+    * composed ingestion pipeline. */
+  private def mojibakeFixSql(expr: String): String =
+    Text.MojibakeTable.foldLeft(expr) { case (e, (bad, good)) =>
+      s"replace($e, '$bad', '$good')"
+    }
+
+  /** The [[Text.stripMarkup]] chain over `expr` (same fragment as
+    * q_text_strip_markup's oracle). */
+  private def stripMarkupSql(expr: String): String =
+    s"""trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(
+       |      regexp_replace(regexp_replace(regexp_replace($expr,
+       |        '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |        '(?s)<!--.*?-->', ' ', 'g'),
+       |        '<[^>]+>', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |      '&nbsp;', ' '), '&amp;', '&'),
+       |    '\\s+', ' ', 'g'))""".stripMargin
+
+  /** The [[Text.normalizeText]] chain over `expr` (same fragment as
+    * q_text_normalize's oracle). */
+  private def normalizeSql(expr: String): String =
+    s"""trim(regexp_replace(regexp_replace(
+       |    nfc_normalize($expr), '[\\x{00}-\\x{1f}\\x{7f}\\x{a0}]', ' ', 'g'),
+       |    ' +', ' ', 'g'))""".stripMargin
+
   /** Seeded markup wrapper for [[Text.stripMarkup]] (tags + comment +
     * script block + entities). */
   private val MarkupPre = "<html><body><p class=\"d\">"
@@ -100,6 +128,57 @@ object CurationQ extends QueryGroup {
              |  CAST(length(coalesce(text, '')) AS BIGINT) AS content_length,
              |  coalesce(text, '') AS body
              |FROM documents""".stripMargin)),
+
+    // The crawl INGESTION FRONT DOOR composed end-to-end: seeded raw HTML
+    // (mojibake artifacts on one residue, Cyrillic spam on another) ->
+    // WARC archive ON DISK -> splittable re-read -> mojibake repair ->
+    // markup strip -> script gate (drop any-Cyrillic docs) -> NFC
+    // normalize. Every stage is the operator (and oracle fragment)
+    // already pinned individually; the WARC hop is physically executed
+    // on the Spark side while the oracle treats it as identity — which
+    // is exactly the losslessness claim q_warc_roundtrip isolates.
+    QueryDef("q_web_ingest_e2e",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("t2",
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(MojibakeSuffixA)))
+            .when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(ScriptSuffixCyr)))
+            .otherwise(col("text")))
+          .withColumn("html", concat(lit(MarkupPre), col("t2"), lit(MarkupPost)))
+        val path = s"${sys.props("java.io.tmpdir")}/graft_webingest_" +
+          Integer.toHexString(dir.hashCode)
+        graft.sources.Warc.write(docs, "doc_id", "html",
+          concat(lit("http://crawl/"), col("doc_id").cast("string")), path)
+        val records = graft.sources.Warc.read(s, path)
+          .select(regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1)
+            .cast("long").as("doc_id"), col("body"))
+        val repaired = Text.fixMojibake(records, "body", "doc_id")
+        val stripped = Text.stripMarkup(repaired, "fixed_text", "doc_id")
+        val gated = Text.scriptProfile(stripped, "clean_text", "doc_id",
+            carry = Seq("clean_text"))
+          .filter(col("n_cyrillic") === 0L)
+        Text.normalizeText(gated, "clean_text", "doc_id")
+      },
+      Some {
+        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN text || '$MojibakeSuffixA'
+          |  WHEN doc_id % 5 = 0 THEN text || '$ScriptSuffixCyr'
+          |  ELSE text END""".stripMargin
+        val cyrCls = Text.ScriptClasses.toMap.apply("cyrillic")
+        s"""WITH s AS (SELECT doc_id,
+           |    '<html><body><p class="d">' || $seeded || '</p><!-- footer -->'
+           |    || '<script>var x = 1 < 2;</script><ul><li>&amp; &lt;tag&gt; '
+           |    || '&#39;q&#39;&nbsp;done</li></ul></body></html>' AS t
+           |  FROM documents),
+           |f AS (SELECT doc_id, ${mojibakeFixSql("t")} AS ft FROM s),
+           |u AS (SELECT doc_id, ${stripMarkupSql("ft")} AS clean_text FROM f),
+           |g AS (SELECT doc_id, clean_text FROM u
+           |  WHERE len(regexp_extract_all(clean_text, '$cyrCls')) = 0),
+           |n AS (SELECT doc_id, ${normalizeSql("clean_text")} AS clean_text FROM g)
+           |SELECT doc_id, clean_text,
+           |  CAST(length(clean_text) AS BIGINT) AS n_chars_norm FROM n""".stripMargin
+      }),
 
     // Mojibake repair (fixed-table ftfy core): cp1252-misdecoded-UTF-8
     // artifacts seeded per residue, repaired by the replace chain both
