@@ -143,7 +143,11 @@ object Bench {
     // WARC container round-trip (render -> text sink -> splittable
     // lineSep scan -> parse; the write re-runs each pass by design —
     // the round-trip IS the operator)
-    "q_text_wordpiece", "q_text_unigram", "q_warc_roundtrip")
+    "q_text_wordpiece", "q_text_unigram", "q_warc_roundtrip",
+    // round-19 batch 2 (per-query only): the composed crawl ingestion
+    // front door (WARC on disk -> re-read -> mojibake repair -> strip ->
+    // script gate -> normalize; the write re-runs each pass by design)
+    "q_web_ingest_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

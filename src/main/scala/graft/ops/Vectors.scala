@@ -48,6 +48,111 @@ object Vectors {
       .select(col(qId), col(cId), col("cos"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Fitted whitening transform: per-dimension mean and the d×d ZCA
+    * matrix (row-major), applied as `W · (v − mean)`. */
+  final case class Whitening(mean: Array[Double], w: Array[Array[Double]])
+      extends Serializable {
+    def dim: Int = mean.length
+  }
+
+  /**
+   * ZCA whitening fit (the retrieval post-processing of Jung et al. /
+   * "whitening-BERT" family): estimate the embedding mean and covariance,
+   * and return `W = U diag(1/sqrt(λ+eps)) Uᵀ` so that `W(v − mean)` has
+   * identity covariance — de-correlating the dominant directions that
+   * make raw cosine saturate (anisotropy). Fit is ONE treeAggregate pass
+   * accumulating (count, sum, sum of outer products) — d×d doubles per
+   * partition, independent of corpus size (the fit-statistics pattern;
+   * d is the embedding width, e.g. 64–1024). The d×d eigendecomposition
+   * runs on the driver via Breeze (same dependency as the nn package).
+   */
+  def whitenFit(df: DataFrame, vecCol: String, eps: Double = 1e-5): Whitening = {
+    val rows = df.select(col(vecCol)).rdd
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = rows.first().length
+    val zero = (0L, new Array[Double](d), Array.ofDim[Double](d, d))
+    val (n, s, ss) = rows.treeAggregate(zero)(
+      seqOp = { case ((n, s, ss), v) =>
+        var i = 0
+        while (i < d) {
+          s(i) += v(i)
+          var j = 0
+          while (j < d) { ss(i)(j) += v(i) * v(j); j += 1 }
+          i += 1
+        }
+        (n + 1, s, ss)
+      },
+      combOp = { case ((n1, s1, ss1), (n2, s2, ss2)) =>
+        var i = 0
+        while (i < d) {
+          s1(i) += s2(i)
+          var j = 0
+          while (j < d) { ss1(i)(j) += ss2(i)(j); j += 1 }
+          i += 1
+        }
+        (n1 + n2, s1, ss1)
+      })
+    require(n > 1, "whitening needs more than one vector")
+    val mean = s.map(_ / n)
+    val cov = breeze.linalg.DenseMatrix.tabulate(d, d) { (i, j) =>
+      ss(i)(j) / n - mean(i) * mean(j)
+    }
+    val es = breeze.linalg.eigSym((cov + cov.t) / 2.0) // symmetrize fp noise
+    val scale = es.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    val w = es.eigenvectors * breeze.linalg.diag(scale) * es.eigenvectors.t
+    Whitening(mean, Array.tabulate(d, d)((i, j) => w(i, j)))
+  }
+
+  /** Apply a fitted [[Whitening]]: each vector becomes `W(v − mean)`,
+    * replacing `vecCol` (still array<float> — downstream ANN operators
+    * consume it unchanged). One mapPartitions pass with the broadcast
+    * transform (the [[graft.ml.Scorer]] pattern); no shuffle. */
+  def whitenApply(df: DataFrame, vecCol: String, fit: Whitening): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val d = fit.dim
+    val idx = df.schema.fieldIndex(vecCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.map(f => if (f.name == vecCol)
+        f.copy(dataType = ArrayType(FloatType, containsNull = false)) else f))
+    val bc = df.sparkSession.sparkContext.broadcast(fit)
+    df.mapPartitions { it =>
+      val ft = bc.value
+      it.map { row =>
+        val v = row.getSeq[Float](idx)
+        val centered = new Array[Double](d)
+        var i = 0
+        while (i < d) { centered(i) = v(i).toDouble - ft.mean(i); i += 1 }
+        val out = new Array[Float](d)
+        i = 0
+        while (i < d) {
+          var acc = 0.0
+          val wi = ft.w(i)
+          var j = 0
+          while (j < d) { acc += wi(j) * centered(j); j += 1 }
+          out(i) = acc.toFloat
+          i += 1
+        }
+        Row.fromSeq(row.toSeq.updated(idx, out.toSeq))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Matryoshka truncation (Kusupati et al. 2022): keep the first `dims`
+   * components of the embedding. MRL-trained models front-load
+   * information so prefixes remain usable embeddings — serving at d/2 or
+   * d/4 quarters the ANN memory/compute; the recall report's trunc
+   * variants measure what that costs on YOUR vectors (cosine
+   * re-normalizes, so no explicit rescale is needed). A narrow
+   * projection; at 100 TB the cut happens at the scan and the shuffled
+   * bytes shrink proportionally.
+   */
+  def truncateDims(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+  }
+
   /** One MMR input candidate: query, candidate, relevance, embedding. */
   final case class MmrCand(qid: Long, cid: Long, rel: Double,
       embedding: Seq[Float])

@@ -2453,7 +2453,24 @@ object LlmOps extends QueryGroup {
           "pq_adc" -> Pq.adcTopK(q, "qid", pqCodes, "cid", pqCb, k),
           "ivfpq_residual" -> Pq.ivfAdcResidualTopK(q, "qid", ivf, rCodes,
             "cid", rCb, k, nProbe = 4),
-          "binary_rerank" -> Vectors.binaryRerankTopK(q, c, k, m = 12)), k)
+          "binary_rerank" -> Vectors.binaryRerankTopK(q, c, k, m = 12),
+          // matryoshka serving: the same brute scorer over dimension
+          // PREFIXES — the memory/quality frontier of truncated serving
+          "trunc32" -> Vectors.bruteForceTopK(
+            Vectors.truncateDims(q, "embedding", 32),
+            Vectors.truncateDims(c, "embedding", 32), k),
+          "trunc16" -> Vectors.bruteForceTopK(
+            Vectors.truncateDims(q, "embedding", 16),
+            Vectors.truncateDims(c, "embedding", 16), k),
+          // ZCA-whitened serving (fit on the corpus side only — queries
+          // are transformed with the CORPUS statistics, the deployment
+          // shape): how far de-anisotropized cosine moves the ranking
+          "whitened" -> {
+            val wf = Vectors.whitenFit(c, "embedding")
+            Vectors.bruteForceTopK(
+              Vectors.whitenApply(q, "embedding", wf),
+              Vectors.whitenApply(c, "embedding", wf), k)
+          }), k)
       },
       None),
 

@@ -839,9 +839,9 @@ class OpsSpec extends SparkSpec {
       val n = rows.length
       // cluster_n is consistent and ranks are the 1..n permutation
       assert(rows.forall(_.getLong(4) == n))
-      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to n))
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to n.toLong))
       // rank orders by proto_cos descending (ties broken by id)
-      val sorted = rows.sortBy(_.getInt(3))
+      val sorted = rows.sortBy(_.getLong(3))
       sorted.sliding(2).foreach { w =>
         if (w.length == 2) assert(w(0).getDouble(2) >= w(1).getDouble(2),
           s"cluster $c: rank order violates proto_cos order")
@@ -849,7 +849,7 @@ class OpsSpec extends SparkSpec {
       // keep verdicts: exactly n - floor(0.25 n), and they are the tail ranks
       val kept = rows.filter(_.getBoolean(5))
       assert(kept.length == n - math.floor(0.25 * n).toInt)
-      assert(kept.forall(_.getInt(3) > math.floor(0.25 * n).toInt))
+      assert(kept.forall(_.getLong(3) > math.floor(0.25 * n).toLong))
     }
     // dropFraction = 0 keeps everything
     val all = Vectors.prototypePrune(e, "vec_id", "embedding", k = 4, dropFraction = 0.0)
