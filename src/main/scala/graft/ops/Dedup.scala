@@ -1240,14 +1240,22 @@ object Dedup {
       df.select(least(col(aCol), col(bCol)).as("__a"),
           greatest(col(aCol), col(bCol)).as("__b"))
         .distinct().withColumn(tag, lit(1L))
+    // coalesce the aggregates and guard the divisions: with an empty
+    // truth or candidate set the sums are NULL and the ratios divide by
+    // zero — the degenerate case a recall harness exists to report (as
+    // zeros), not to crash a getLong/getDouble caller on
     canon(truth, "__t").join(canon(cand, "__c"), Seq("__a", "__b"), "full_outer")
       .agg(
-        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
-        sum(coalesce(col("__c"), lit(0L))).as("n_cand"),
-        sum(coalesce(col("__t"), lit(0L)) * coalesce(col("__c"), lit(0L)))
-          .as("n_hit"))
+        coalesce(sum(coalesce(col("__t"), lit(0L))), lit(0L)).as("n_truth"),
+        coalesce(sum(coalesce(col("__c"), lit(0L))), lit(0L)).as("n_cand"),
+        coalesce(sum(coalesce(col("__t"), lit(0L)) * coalesce(col("__c"), lit(0L))),
+          lit(0L)).as("n_hit"))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"),
-        round(col("n_hit").cast("double") / col("n_cand"), 6).as("precision"))
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 6))
+          .otherwise(lit(0.0)).as("recall"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand"), 6))
+          .otherwise(lit(0.0)).as("precision"))
   }
 }

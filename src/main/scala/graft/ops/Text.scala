@@ -912,22 +912,30 @@ object Text {
       carry: Seq[String] = Nil): DataFrame = {
     val t = coalesce(col(textCol).cast("string"), lit(""))
     val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
-    val counts = ScriptClasses.map { case (name, cls) =>
-      name -> regexp_count(t, lit(cls)).cast("long")
-    }
-    val majority = counts.foldLeft((lit("other"), lit(0L))) {
-      case ((bestName, bestCnt), (name, cnt)) =>
-        // strict > keeps the earlier class on ties — the precedence rule
-        (when(cnt > bestCnt, lit(name)).otherwise(bestName),
-          when(cnt > bestCnt, cnt).otherwise(bestCnt))
-    }._1
-    val cols = Seq(col(idCol), nChars.as("n_chars")) ++
-      counts.map { case (name, cnt) => cnt.as(s"n_$name") } ++
-      counts.map { case (name, cnt) =>
-        round(when(nChars > 0, cnt.cast("double") / nChars).otherwise(lit(0.0)),
+    // two projection steps: counts become NAMED columns first, so the
+    // ratio/majority expressions reference columns instead of embedding
+    // the regexp_count subtree again (a running-best fold duplicated each
+    // count exponentially; even greatest()+when chains over raw exprs
+    // would re-embed every regex per reference)
+    val counted = df.select(
+      (Seq(col(idCol), nChars.as("n_chars")) ++
+        ScriptClasses.map { case (name, cls) =>
+          regexp_count(t, lit(cls)).cast("long").as(s"n_$name")
+        } ++ carry.map(col)): _*)
+    val mx = greatest(ScriptClasses.map(c => col(s"n_${c._1}")): _*)
+    // the FIRST class attaining the max wins ties (declaration order)
+    val majority = when(mx === 0L, lit("other")).otherwise(
+      ScriptClasses.reverse.foldLeft(lit("other")) { case (tail, (name, _)) =>
+        when(col(s"n_$name") === mx, lit(name)).otherwise(tail)
+      })
+    val cols = Seq(col(idCol), col("n_chars")) ++
+      ScriptClasses.map(c => col(s"n_${c._1}")) ++
+      ScriptClasses.map { case (name, _) =>
+        round(when(col("n_chars") > 0,
+          col(s"n_$name").cast("double") / col("n_chars")).otherwise(lit(0.0)),
           6).as(s"${name}_ratio")
       } ++ Seq(majority.as("majority")) ++ carry.map(col)
-    df.select(cols: _*)
+    counted.select(cols: _*)
   }
 
   /**

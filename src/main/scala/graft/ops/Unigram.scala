@@ -113,18 +113,22 @@ object Unigram {
       .orderBy(col("c").desc, col("w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
-    // seed: substring occurrence counts, single chars always in
+    // seed: substring occurrence counts, single chars always in. Piece
+    // boundaries walk CODE POINTS so a supplementary-plane char never
+    // yields half-surrogate pieces (invalid strings that would mangle
+    // through the parquet artifact round trip); piece LENGTH stays
+    // UTF-16 units to match the apply DP's maxLen window.
     val sub = scala.collection.mutable.HashMap[String, Long]()
     wc.foreach { case (w, c) =>
-      var i = 0
-      while (i < w.length) {
-        var l = 1
-        while (l <= maxPieceLen && i + l <= w.length) {
-          val p = w.substring(i, i + l)
-          sub.update(p, sub.getOrElse(p, 0L) + c)
-          l += 1
-        }
-        i += 1
+      val bounds = (0 to w.length).filter(i =>
+        i == 0 || i == w.length || !Character.isLowSurrogate(w.charAt(i)))
+      for {
+        bi <- bounds.indices
+        bj <- (bi + 1) until bounds.length
+        if bounds(bj) - bounds(bi) <= maxPieceLen
+      } {
+        val p = w.substring(bounds(bi), bounds(bj))
+        sub.update(p, sub.getOrElse(p, 0L) + c)
       }
     }
     val chars = sub.keysIterator.filter(_.length == 1).toSeq.sorted
@@ -188,26 +192,15 @@ object Unigram {
     val m = new java.util.HashMap[String, java.lang.Long]()
     pieces.entries.foreach { case (p, s) => m.put(p, s) }
     val maxLen = if (pieces.entries.isEmpty) 1 else pieces.pieces.map(_.length).max
+    // ONE Viterbi implementation on the JVM side: the best-path score is
+    // the sum of the winning segmentation's piece scores, so reuse
+    // [[viterbi]] rather than hand-rolling the DP a second time (the tie
+    // rule and unreachable handling must stay bit-identical everywhere)
     var nll = 0L
     wc.foreach { case (w, c) =>
-      val n = w.length
-      val dp = new Array[Long](n + 1)
-      java.util.Arrays.fill(dp, Long.MinValue)
-      dp(0) = 0L
-      var i = 1
-      while (i <= n) {
-        var j = math.max(0, i - maxLen)
-        while (j < i) {
-          if (dp(j) != Long.MinValue) {
-            val sc = m.get(w.substring(j, i))
-            if (sc != null && dp(j) + sc.longValue() > dp(i))
-              dp(i) = dp(j) + sc.longValue()
-          }
-          j += 1
-        }
-        i += 1
-      }
-      nll += c * (if (dp(n) == Long.MinValue) unkCost else -dp(n))
+      val segs = viterbi(w, m, maxLen)
+      nll += c * (if (segs == null) unkCost
+        else -segs.map(m.get(_).longValue()).sum)
     }
     nll
   }

@@ -70,9 +70,13 @@ object WordPiece {
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    // symbol form: first char plain, rest ##-prefixed
+    // symbol form: first char plain, rest ##-prefixed. Split on CODE
+    // POINTS, not UTF-16 units — String.split("") halves surrogate pairs
+    // and the alphabet would gain unpaired-surrogate "pieces" (invalid
+    // strings that mangle through the parquet save/load round trip).
     var words: Array[(Array[String], Long)] = wc.map { case (w, c) =>
-      (w.split("").filter(_.nonEmpty).zipWithIndex
+      (w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).zipWithIndex
         .map { case (ch, i) => if (i == 0) ch else s"##$ch" }, c)
     }
     val alphabet = words.iterator.flatMap(_._1).toSet.toSeq.sorted

@@ -125,7 +125,7 @@ object CurationQ extends QueryGroup {
       },
       Some("""SELECT doc_id,
              |  'http://corpus.example/' || source || '/' || doc_id AS target_uri,
-             |  CAST(length(coalesce(text, '')) AS BIGINT) AS content_length,
+             |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
              |  coalesce(text, '') AS body
              |FROM documents""".stripMargin)),
 

@@ -1817,8 +1817,8 @@ object LlmOps extends QueryGroup {
               |hc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
               |  FROM truth JOIN cand USING(doc_a, doc_b))
               |SELECT n_truth, n_cand, n_hit,
-              |  ROUND(n_hit * 1.0 / n_truth, 6) AS recall,
-              |  ROUND(n_hit * 1.0 / n_cand, 6) AS precision
+              |  CASE WHEN n_truth > 0 THEN ROUND(n_hit * 1.0 / n_truth, 6) ELSE 0.0 END AS recall,
+              |  CASE WHEN n_cand > 0 THEN ROUND(n_hit * 1.0 / n_cand, 6) ELSE 0.0 END AS precision
               |FROM tc CROSS JOIN cc CROSS JOIN hc""".stripMargin)),
 
     // Incremental near-dup ADMISSION: the corpus slice (doc_id % 10 <> 0)

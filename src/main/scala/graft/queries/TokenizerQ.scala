@@ -138,7 +138,8 @@ object TokenizerQ extends QueryGroup {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val t = WordPiece.tokensCol(col("text"), WordPiece.FixedEnglishVocab)
-        val nWords = size(filter(split(lower(col("text")), "\\s+", -1),
+        // the same word definition the tokenizers segment by
+        val nWords = size(filter(Text.tokens(col("text")),
           w => length(w) > 0)).cast("long")
         docs.select(col("source"), nWords.as("__w"),
             size(t).cast("long").as("__t"),

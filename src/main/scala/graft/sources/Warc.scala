@@ -41,9 +41,13 @@ object Warc {
     concat(
       lit("WARC/1.0\r\n"),
       lit("WARC-Type: response\r\n"),
-      concat(lit("WARC-Record-ID: <urn:graft:"), idCol.cast("string"),
-        lit(">\r\n")),
-      concat(lit("WARC-Target-URI: "), uriCol, lit("\r\n")),
+      // null id/URI degrade to an empty header value — a null anywhere in
+      // the concat would null the whole record string, the text sink would
+      // write an empty line, and the record would silently vanish
+      concat(lit("WARC-Record-ID: <urn:graft:"),
+        coalesce(idCol.cast("string"), lit("")), lit(">\r\n")),
+      concat(lit("WARC-Target-URI: "),
+        coalesce(uriCol.cast("string"), lit("")), lit("\r\n")),
       concat(lit("Content-Length: "), octet_length(payload).cast("string"),
         lit("\r\n")),
       lit("\r\n"),
@@ -85,15 +89,21 @@ object Warc {
     val lenStr = regexp_extract(header, "(?m)^Content-Length: (\\d+)\\r?$", 1)
     val recId = regexp_extract(header, "(?m)^WARC-Record-ID: <([^>]*)>\\r?$", 1)
     val uri = regexp_extract(header, "(?m)^WARC-Target-URI: (\\S+)\\r?$", 1)
+    // Content-Length counts BYTES; `locate` yields a CHAR offset. Convert
+    // the char offset of the body start into a byte offset via the octet
+    // length of the prefix, cut the payload on the BINARY form, and decode
+    // back — a non-ASCII payload would otherwise pull trailing record
+    // garbage in with it (a char-count cut over-reads by one position per
+    // multi-byte character).
+    val bodyStartBytes = octet_length(
+      substring(col("value"), lit(1), hdrEnd + 3))
     raw.select(
         when(recId =!= "", recId).as("record_id"),
         when(uri =!= "", uri).as("target_uri"),
         when(lenStr =!= "", lenStr).cast("long").as("content_length"),
         when(hdrEnd > 0 && lenStr =!= "",
-          // Content-Length is bytes; the fixture corpora are ASCII so the
-          // char cut below equals the byte cut. A binary-payload reader
-          // would substr on the binary cast instead.
-          substring(col("value"), hdrEnd + 4, lenStr.cast("int")))
+          substring(col("value").cast("binary"), bodyStartBytes + 1,
+            lenStr.cast("int")).cast("string"))
           .as("body"))
   }
 }

@@ -109,7 +109,11 @@ class CorpusIoSpec extends SparkSpec {
       (2L, "multi\n\nparagraph\n\nbody", "web"), // blank lines INSIDE a body:
       // only the Content-Length cut (not a blank-line search) keeps it whole
       (3L, "", "books"),
-      (4L, "trailing spaces  ", "books")
+      (4L, "trailing spaces  ", "books"),
+      // non-ASCII payload: Content-Length is BYTES (привет = 12 bytes,
+      // 6 chars) and the byte-offset cut must not over-read into the
+      // record trailer
+      (5L, "привет мир — ok", "web")
     ).toDF("doc_id", "text", "source")
     val dir = Files.createTempDirectory("graft-warc").toString
     val uri = concat(lit("http://x/"), col("source"), lit("/"), col("doc_id"))
@@ -124,6 +128,10 @@ class CorpusIoSpec extends SparkSpec {
     assert(back(2L) == (("http://x/web/2", 22L, "multi\n\nparagraph\n\nbody")))
     assert(back(3L) == (("http://x/books/3", 0L, "")))
     assert(back(4L) == (("http://x/books/4", 17L, "trailing spaces  ")))
+    val nonAscii = "привет мир — ok"
+    assert(back(5L) == (("http://x/web/5",
+      nonAscii.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
+      nonAscii)))
     // malformed record (no headers at all) parses to null fields, no throw
     val badDir = Files.createTempDirectory("graft-warc-bad").toString
     Seq("WARC/1.0\r\ngarbage with no headers").toDF("value")
