@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Re-identification-risk operators (Sweeney's k-anonymity, Machanavajjhala
+ * et al.'s l-diversity): the COMPLIANCE half of the privacy story next to
+ * [[Text.scrubPii]]'s content half. Scrubbing removes literal
+ * identifiers; these measure and enforce the weaker leak — a combination
+ * of quasi-identifier columns (region × segment × age bucket …) so rare
+ * it singles a record out even with every name gone. Training-data
+ * releases and eval-set publications gate on exactly this audit.
+ *
+ * All three operators are ONE hash aggregate (or one window pass) keyed
+ * on the quasi-identifier columns — at 100 TB the same shuffle any
+ * per-group statistic needs, map-side combined, no skew surface beyond
+ * the group key itself (a hot equivalence class is by definition a LARGE
+ * class — the safe kind).
+ */
+object Privacy {
+
+  private def qi(quasiCols: Seq[String]): Seq[Column] = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    quasiCols.map(col)
+  }
+
+  /**
+   * k-anonymity audit: one row summarizing the equivalence-class
+   * structure over the quasi-identifiers — `anonymity_k` (the smallest
+   * class size; the dataset IS k-anonymous for k ≤ this), class and row
+   * counts, and how many classes/rows fall below the requested `k`.
+   * NULL quasi-identifier values form their own class (standard
+   * groupBy semantics — engines agree).
+   */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(qi(quasiCols): _*).agg(count(lit(1)).as("__n"))
+      .agg(
+        coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(min(col("__n")), lit(0L)).as("anonymity_k"),
+        coalesce(sum(when(col("__n") < k, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("n_violating_classes"),
+        coalesce(sum(when(col("__n") < k, col("__n")).otherwise(lit(0L))), lit(0L))
+          .as("n_violating_rows"))
+  }
+
+  /**
+   * k-anonymity enforcement by suppression: keep only rows whose
+   * quasi-identifier equivalence class has at least `k` members — the
+   * release-gate complement of [[kAnonymityReport]] (generalization,
+   * the other classic mechanism, is a modeling choice left to the
+   * caller: bucket the columns first, then suppress). One window count
+   * over the class key; rows pass through unchanged.
+   */
+  def suppressRare(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(qi(quasiCols): _*)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= k)
+      .drop("__n")
+  }
+
+  /**
+   * Distinct l-diversity audit: per quasi-identifier class, the number
+   * of DISTINCT values of the sensitive column — a k-anonymous class
+   * where everyone shares the same sensitive value still leaks it
+   * (the homogeneity attack l-diversity exists to name). One row:
+   * `diversity_l` (the smallest per-class distinct count; the dataset
+   * is distinct-l-diverse for l ≤ this) plus how many classes fall
+   * below the requested `l`.
+   */
+  def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 1, "l must be >= 1")
+    df.groupBy(qi(quasiCols): _*)
+      .agg(count_distinct(col(sensitiveCol)).as("__d"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        coalesce(min(col("__d")), lit(0L)).as("diversity_l"),
+        coalesce(sum(when(col("__d") < l, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("n_low_diversity_classes"))
+  }
+}

@@ -939,6 +939,45 @@ object Text {
   }
 
   /**
+   * Flesch reading-ease score (Flesch 1948, the readability heuristic
+   * education-targeted curation gates on — FineWeb-Edu-style filters
+   * correlate strongly with it):
+   *
+   *   FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+   *
+   * with the standard cheap proxies: sentences = terminator groups
+   * `[.!?]+` (floor 1), syllables = vowel groups `[aeiouy]+` per word
+   * (floor 1 per word). Higher = simpler text; ~90 is grade-school
+   * prose, below 30 is academic/legalese, and extreme values flag
+   * non-prose (code, tables, keyword spam). One narrow codegen
+   * projection (regexp counts + an aggregate HOF over the token
+   * array), no shuffle, streaming-legal, engine-replayable
+   * (`q_text_readability` hash-matches).
+   *
+   * Output: (id, n_words, n_sentences, n_syllables, flesch) — flesch
+   * rounded to 6 dp, null for wordless docs.
+   */
+  def readability(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    val ws = filter(tokens(t), w => length(w) > 0)
+    val nWords = size(ws).cast("long")
+    val nSent = greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+    val nSyl = aggregate(ws, lit(0L), (acc, w) =>
+      acc + greatest(regexp_count(w, lit("[aeiouy]+")).cast("long"), lit(1L)))
+    // counts become named columns first (the scriptProfile rule: the
+    // formula would otherwise re-embed the token split + HOF fold per
+    // reference)
+    df.select(col(idCol), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyl.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+            - lit(84.6) * col("n_syllables").cast("double") / col("n_words"),
+            6)))
+  }
+
+  /**
    * HTML/markup stripping — the boilerplate-removal front of web-corpus
    * extraction: drop `<script>`/`<style>` blocks wholesale (their TEXT is
    * code, not prose), drop comments, strip remaining tags, unescape the

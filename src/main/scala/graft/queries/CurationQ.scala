@@ -180,6 +180,30 @@ object CurationQ extends QueryGroup {
            |  CAST(length(clean_text) AS BIGINT) AS n_chars_norm FROM n""".stripMargin
       }),
 
+    // Flesch reading ease over period-seeded prose: terminator-group
+    // sentences, vowel-group syllables (floor 1 per word), the classic
+    // formula — both engines compute the identical counts and doubles.
+    QueryDef("q_text_readability",
+      (s, dir) => Text.readability(
+        Tables.load(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\S+\\s+){6}\\S+)\\s+", "$1. ")),
+        "text", "doc_id"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1. ', 'g') AS t FROM documents),
+             |c AS (SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(lower(t), '\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+             |    greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+             |    CAST(list_sum(list_transform(
+             |      list_filter(regexp_split_to_array(lower(t), '\s+'), w -> w <> ''),
+             |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT) AS n_syllables
+             |  FROM d)
+             |SELECT doc_id, n_words, n_sentences,
+             |  coalesce(n_syllables, 0) AS n_syllables,
+             |  CASE WHEN n_words > 0 THEN ROUND(206.835
+             |    - 1.015 * n_words / n_sentences
+             |    - 84.6 * n_syllables / n_words, 6) END AS flesch
+             |FROM c""".stripMargin)),
+
     // Mojibake repair (fixed-table ftfy core): cp1252-misdecoded-UTF-8
     // artifacts seeded per residue, repaired by the replace chain both
     // engines execute identically; artifact count from length deltas.

@@ -21,6 +21,55 @@ object Relational extends QueryGroup {
 
   def queries: Seq[QueryDef] = Seq(
 
+    // k-anonymity audit over (nation, segment) quasi-identifiers: class
+    // structure, the dataset's anonymity k, and the sub-k violation
+    // counts — the release-gate audit next to the PII scrub.
+    QueryDef("q_privacy_kanon",
+      (s, dir) => graft.ops.Privacy.kAnonymityReport(
+        Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 10),
+      Some("""WITH c AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(MIN(n) AS BIGINT) AS anonymity_k,
+             |  CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+             |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_violating_rows
+             |FROM c""".stripMargin)),
+
+    // k-anonymity enforcement: suppress rows whose quasi-identifier
+    // class has fewer than k members; survivors pass through unchanged.
+    QueryDef("q_privacy_suppress",
+      (s, dir) => graft.ops.Privacy.suppressRare(
+          Tables.load(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_nationkey, c_mktsegment
+             |FROM (SELECT *, COUNT(*) OVER (
+             |    PARTITION BY c_nationkey, c_mktsegment) AS n FROM customer)
+             |WHERE n >= 10""".stripMargin)),
+
+    // Distinct l-diversity over an account-balance bucket as the
+    // sensitive attribute: a k-anonymous class can still leak a shared
+    // sensitive value (the homogeneity attack); the report measures it.
+    QueryDef("q_privacy_ldiv",
+      (s, dir) => graft.ops.Privacy.lDiversityReport(
+        Tables.load(s, dir, "customer")
+          .withColumn("bal_bucket",
+            floor(col("c_acctbal") / 2000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 3),
+      Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+             |  FROM customer),
+             |c AS (SELECT c_nationkey, c_mktsegment,
+             |    COUNT(DISTINCT bal_bucket) AS d
+             |  FROM b GROUP BY 1, 2)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  CAST(MIN(d) AS BIGINT) AS diversity_l,
+             |  CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_low_diversity_classes
+             |FROM c""".stripMargin)),
+
     QueryDef("q1_agg",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")

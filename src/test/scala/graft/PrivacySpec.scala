@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Privacy, Text}
+
+/** Invariants for the re-identification-risk operators and the Flesch
+  * readability score (hand-computed fixtures; the fixture-scale behavior
+  * is oracle-pinned by q_privacy_* / q_text_readability). */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val people = Seq(
+    // (id, region, segment, balance-bucket)
+    (1L, "eu", "retail", 1L), (2L, "eu", "retail", 2L),
+    (3L, "eu", "retail", 1L), (4L, "eu", "corp", 5L),
+    (5L, "us", "retail", 1L), (6L, "us", "retail", 1L),
+    (7L, "us", "corp", 3L)
+  ).toDF("id", "region", "segment", "bucket")
+
+  test("kAnonymityReport: class structure and violation counts, hand-computed") {
+    // classes: (eu,retail)=3, (eu,corp)=1, (us,retail)=2, (us,corp)=1
+    val r = Privacy.kAnonymityReport(people, Seq("region", "segment"), k = 2).head()
+    assert(r.getLong(0) == 7L)  // n_rows
+    assert(r.getLong(1) == 4L)  // n_classes
+    assert(r.getLong(2) == 1L)  // anonymity_k = min class size
+    assert(r.getLong(3) == 2L)  // violating classes (the two singletons)
+    assert(r.getLong(4) == 2L)  // violating rows
+  }
+
+  test("suppressRare keeps exactly the rows of >= k classes; k=1 keeps all") {
+    val kept = Privacy.suppressRare(people, Seq("region", "segment"), k = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 5L, 6L)) // singletons 4 and 7 suppressed
+    assert(Privacy.suppressRare(people, Seq("region", "segment"), k = 1)
+      .count() == 7L)
+    // after suppression at k, the result IS k-anonymous
+    val again = Privacy.kAnonymityReport(
+      Privacy.suppressRare(people, Seq("region", "segment"), k = 2),
+      Seq("region", "segment"), k = 2).head()
+    assert(again.getLong(2) >= 2L && again.getLong(3) == 0L)
+  }
+
+  test("lDiversityReport: distinct sensitive values per class, hand-computed") {
+    // distinct buckets: (eu,retail)={1,2}=2, (eu,corp)={5}=1,
+    // (us,retail)={1}=1, (us,corp)={3}=1
+    val r = Privacy.lDiversityReport(people, Seq("region", "segment"),
+      "bucket", l = 2).head()
+    assert(r.getLong(0) == 4L)  // n_classes
+    assert(r.getLong(1) == 1L)  // diversity_l
+    assert(r.getLong(2) == 3L)  // classes below l=2
+    // the homogeneity case l-diversity exists for: k-anonymous but l=1
+    val homog = Seq((1L, "eu", 9L), (2L, "eu", 9L), (3L, "eu", 9L))
+      .toDF("id", "region", "bucket")
+    assert(Privacy.kAnonymityReport(homog, Seq("region"), 3).head().getLong(2) == 3L)
+    assert(Privacy.lDiversityReport(homog, Seq("region"), "bucket", 2)
+      .head().getLong(1) == 1L)
+  }
+
+  test("readability: hand-computed Flesch on known sentences; wordless docs null") {
+    val df = Seq(
+      (1L, "the cat sat. the dog ran!"),
+      // 6 words, 2 sentences, syllables: the=1 cat=1 sat.=1 the=1 dog=1
+      // ran!=1 -> 6. FRE = 206.835 - 1.015*3 - 84.6*1 = 119.19
+      (2L, "unbelievable bureaucracy"),
+      // 2 words, 1 sentence (floor), syllables: u-n-b... vowel groups:
+      // "unbelievable" -> u,e,ie,a,e = 5; "bureaucracy" -> u,eau,a,y = 4
+      // -> 9. FRE = 206.835 - 1.015*2 - 84.6*4.5 = -175.895
+      (3L, "   "),
+      (4L, "zzz") // no vowels -> syllable floor 1 per word
+    ).toDF("doc_id", "text")
+    val got = Text.readability(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 6L && got(1L).getLong(2) == 2L &&
+      got(1L).getLong(3) == 6L)
+    assert(math.abs(got(1L).getDouble(4) - 119.19) < 1e-6)
+    assert(got(2L).getLong(3) == 9L)
+    assert(math.abs(got(2L).getDouble(4) - (-175.895)) < 1e-6)
+    assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(4))
+    assert(got(4L).getLong(3) == 1L)
+  }
+}
