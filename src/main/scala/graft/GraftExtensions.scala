@@ -4,9 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinHashMd5, MinHashXx, NfcNormalize, RepetitionStats,
-  SimHash16, SimHash64, UnigramEncode, VecCosine, VecL2Sq, WinnowSelect,
-  WordPieceEncode, WordShingles, WordShinglesAll}
+import graft.functions.{DeflateRatio, MinHashMd5, MinHashXx, NfcNormalize,
+  RepetitionStats, SimHash16, SimHash64, UnigramEncode, VecCosine, VecL2Sq,
+  WinnowSelect, WordPieceEncode, WordShingles, WordShinglesAll}
 
 /**
  * SQL surface for the library's custom Catalyst expressions — the
@@ -27,6 +27,7 @@ import graft.functions.{MinHashMd5, MinHashXx, NfcNormalize, RepetitionStats,
  *   - `repetition_stats(s)`    — [[graft.functions.RepetitionStats]]
  *   - `wordpiece_encode(s, pieces, unk)` — [[graft.functions.WordPieceEncode]]
  *   - `unigram_encode(s, pieces, scores, unk)` — [[graft.functions.UnigramEncode]]
+ *   - `deflate_ratio(s)`       — [[graft.functions.DeflateRatio]]
  *
  * Two activation paths:
  *   - at session build: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -144,7 +145,10 @@ object GraftExtensions {
       args => { arity("unigram_encode", 4, args)
         UnigramEncode(args(0), litStrArray(args(1), "unigram_encode"),
           litLongArray(args(2), "unigram_encode"),
-          litStr(args(3), "unigram_encode")) }))
+          litStr(args(3), "unigram_encode")) }),
+    (FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      args => { arity("deflate_ratio", 1, args); DeflateRatio(args(0)) }))
 
   /** Register onto a LIVE session (extension classes only apply at session
     * build). Idempotent: re-registering replaces the same definitions. */

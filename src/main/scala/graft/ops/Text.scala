@@ -939,6 +939,30 @@ object Text {
   }
 
   /**
+   * Compressibility quality signal: per-document DEFLATE ratio
+   * ([[graft.functions.DeflateRatio]] — LZ77 catches the fuzzy and
+   * long-range repetition the exact n-gram counters miss) plus the gate
+   * verdict `keep = ratio in [lo, hi]`: far-below-prose ratios are
+   * templated/repetitive text, near-1 ratios are non-text (random
+   * strings, base64 blobs). The RedPajama-v2 signal family. One narrow
+   * codegen projection, no shuffle, streaming-legal; deterministic but
+   * not SQL-replayable (rows-only query + ordering specs).
+   *
+   * Output: (id, n_bytes, deflate_ratio rounded 6 dp, keep).
+   */
+  def compressionSignal(df: DataFrame, textCol: String, idCol: String,
+      lo: Double = 0.20, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && lo < hi, "need 0 <= lo < hi")
+    val t = coalesce(col(textCol).cast("string"), lit(""))
+    df.select(col(idCol),
+        octet_length(t).cast("long").as("n_bytes"),
+        round(graft.functions.DeflateRatio.deflateRatio(t), 6)
+          .as("deflate_ratio"))
+      .withColumn("keep",
+        col("deflate_ratio") >= lo && col("deflate_ratio") <= hi)
+  }
+
+  /**
    * Flesch reading-ease score (Flesch 1948, the readability heuristic
    * education-targeted curation gates on — FineWeb-Edu-style filters
    * correlate strongly with it):

@@ -180,6 +180,18 @@ object CurationQ extends QueryGroup {
            |  CAST(length(clean_text) AS BIGINT) AS n_chars_norm FROM n""".stripMargin
       }),
 
+    // Compressibility signal (rows-only: DEFLATE is deterministic but
+    // DuckDB cannot replay it; orderings are spec-pinned): repetitive
+    // residue docs compress far below the prose band and get gated.
+    QueryDef("q_text_compression",
+      (s, dir) => Text.compressionSignal(
+        Tables.load(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat_ws(" ", (1 to 40).map(_ => col("text").substr(1, 24)): _*))
+            .otherwise(col("text"))),
+        "text", "doc_id"),
+      None),
+
     // Flesch reading ease over period-seeded prose: terminator-group
     // sentences, vowel-group syllables (floor 1 per word), the classic
     // formula — both engines compute the identical counts and doubles.

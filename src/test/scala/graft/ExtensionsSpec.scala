@@ -107,6 +107,13 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT wordpiece_encode(text, split(text, ' '), 'U') FROM tok_docs")
         .collect()
     }
+    // deflate_ratio from SQL equals the Column API
+    val drSql = spark.sql("SELECT deflate_ratio(text) AS r FROM tok_docs")
+      .head().getDouble(0)
+    val drCol = docs.select(
+        graft.functions.DeflateRatio.deflateRatio(col("text")).as("r"))
+      .head().getDouble(0)
+    assert(drSql == drCol && drSql > 0.0)
   }
 
   test("shingle width must be a literal; wrong arity fails at analysis") {

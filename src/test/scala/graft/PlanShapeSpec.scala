@@ -524,4 +524,23 @@ class PlanShapeSpec extends SparkSpec {
         s"paragraph bodies must not shuffle, got: ${e.child.output}")
     }
   }
+
+  test("curation gate projections are shuffle-free; privacy audits shuffle once on the class key") {
+    // the scan-stage gates: zero exchanges, whole plan fuses into the read
+    for (name <- Seq("q_text_fix_mojibake", "q_text_script_profile",
+        "q_text_readability", "q_text_compression")) {
+      val p = plan(name)
+      assert(shuffles(p).isEmpty, s"$name must not shuffle:\n$p")
+    }
+    // k-anonymity audit: ONE exchange, keyed on the quasi-identifier, and
+    // the class count partial-aggregates below it (map-side combine)
+    val kp = plan("q_privacy_kanon")
+    val ks = shuffles(kp).filter(_.outputPartitioning.numPartitions > 1)
+    assert(ks.count(e => keyedOn(e, "c_nationkey")) == 1,
+      s"expected one quasi-keyed exchange:\n$kp")
+    assert(kp.toString.contains("partial_count") ||
+      kp.toString.contains("partial count") ||
+      kp.toString.contains("HashAggregate(keys=[c_nationkey"),
+      s"class counts must map-side combine:\n$kp")
+  }
 }

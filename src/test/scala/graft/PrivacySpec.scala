@@ -56,6 +56,40 @@ class PrivacySpec extends SparkSpec {
       .head().getLong(1) == 1L)
   }
 
+  test("compressionSignal: repetition compresses below prose, random stays near 1, gates fire") {
+    val repetitive = Seq.fill(60)("the same boilerplate line again").mkString(" ")
+    val prose = "the quick brown fox jumps over the lazy dog while a curious " +
+      "crowd of onlookers gathered near the old stone bridge to watch the " +
+      "morning light spread across the quiet river valley below them"
+    // hash-derived pseudo-random chars over the full printable range
+    // (94 symbols, near-uniform): effectively incompressible — a hex
+    // string would NOT do (16 symbols Huffman-code to ~4 bits/char,
+    // BELOW English prose)
+    val random = (1 to 400).map { i =>
+      // splitmix-style mixing: (i * c) mod 94 alone is PERIODIC in 94
+      // chars and LZ77 would compress the repetition right back out
+      var z = i * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 31); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 27)
+      ((java.lang.Long.remainderUnsigned(z, 94)) + 33).toChar
+    }.mkString
+    val df = Seq((1L, repetitive), (2L, prose), (3L, random), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Text.compressionSignal(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val (rRep, keepRep) = got(1L)
+    val (rProse, keepProse) = got(2L)
+    val (rRand, _) = got(3L)
+    assert(rRep < rProse && rProse < rRand, s"$rRep < $rProse < $rRand expected")
+    assert(rRep < 0.2 && !keepRep) // heavy repetition gated
+    assert(keepProse)
+    assert(got(4L) == ((1.0, false))) // empty: incompressible by convention
+    // deterministic across evaluations
+    val again = Text.compressionSignal(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again(1L) == rRep && again(3L) == rRand)
+  }
+
   test("readability: hand-computed Flesch on known sentences; wordless docs null") {
     val df = Seq(
       (1L, "the cat sat. the dog ran!"),
