@@ -180,6 +180,58 @@ object CurationQ extends QueryGroup {
            |  CAST(length(clean_text) AS BIGINT) AS n_chars_norm FROM n""".stripMargin
       }),
 
+    // The ingestion funnel's ATTRITION companion (the
+    // q_text_gopher_attrition pattern): per-stage survivor counts of the
+    // q_web_ingest_e2e chain — parsed records, mojibake-touched docs,
+    // script-gate survivors — the dashboard row an ingest operator
+    // watches. Same stages, same oracle fragments, aggregate grain.
+    QueryDef("q_web_ingest_attrition",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("t2",
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(MojibakeSuffixA)))
+            .when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(ScriptSuffixCyr)))
+            .otherwise(col("text")))
+          .withColumn("html", concat(lit(MarkupPre), col("t2"), lit(MarkupPost)))
+        val repaired = Text.fixMojibake(docs.select(col("doc_id"),
+          col("html")), "html", "doc_id")
+        val stripped = Text.stripMarkup(repaired, "fixed_text", "doc_id")
+        val gated = Text.scriptProfile(stripped, "clean_text", "doc_id")
+        // two one-row aggregates cross-joined — never a row-level join;
+        // each branch is a scan-stage projection + count
+        val left = repaired.agg(
+          count(lit(1)).as("n_parsed"),
+          sum(when(col("changed"), 1L).otherwise(0L)).as("n_repaired"))
+        val right = gated.agg(
+          sum(when(col("n_cyrillic") === 0L, 1L).otherwise(0L))
+            .as("n_script_kept"))
+        left.crossJoin(broadcast(right))
+      },
+      Some {
+        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN text || '$MojibakeSuffixA'
+          |  WHEN doc_id % 5 = 0 THEN text || '$ScriptSuffixCyr'
+          |  ELSE text END""".stripMargin
+        val nArt = Text.MojibakeTable.map { case (bad, _) =>
+          s"(length(t) - length(replace(t, '$bad', ''))) // ${bad.length}"
+        }.mkString(" + ")
+        val cyrCls = Text.ScriptClasses.toMap.apply("cyrillic")
+        s"""WITH s AS (SELECT doc_id,
+           |    '<html><body><p class="d">' || $seeded || '</p><!-- footer -->'
+           |    || '<script>var x = 1 < 2;</script><ul><li>&amp; &lt;tag&gt; '
+           |    || '&#39;q&#39;&nbsp;done</li></ul></body></html>' AS t
+           |  FROM documents),
+           |f AS (SELECT doc_id, ($nArt) > 0 AS changed,
+           |    ${mojibakeFixSql("t")} AS ft FROM s),
+           |u AS (SELECT doc_id, changed, ${stripMarkupSql("ft")} AS clean_text FROM f)
+           |SELECT CAST(COUNT(*) AS BIGINT) AS n_parsed,
+           |  CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
+           |  CAST(SUM(CASE WHEN len(regexp_extract_all(clean_text, '$cyrCls')) = 0
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_script_kept
+           |FROM u""".stripMargin
+      }),
+
     // Compressibility signal (rows-only: DEFLATE is deterministic but
     // DuckDB cannot replay it; orderings are spec-pinned): repetitive
     // residue docs compress far below the prose band and get gated.
