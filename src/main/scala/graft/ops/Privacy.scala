@@ -32,7 +32,9 @@ object Privacy {
    * class size; the dataset IS k-anonymous for k ≤ this), class and row
    * counts, and how many classes/rows fall below the requested `k`.
    * NULL quasi-identifier values form their own class (standard
-   * groupBy semantics — engines agree).
+   * groupBy semantics — engines agree). On an EMPTY input `anonymity_k`
+   * is null, not 0: an empty dataset is vacuously k-anonymous for every
+   * k, and a 0 would wrongly fail a `anonymity_k >= k` release gate.
    */
   def kAnonymityReport(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -40,7 +42,7 @@ object Privacy {
       .agg(
         coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_classes"),
-        coalesce(min(col("__n")), lit(0L)).as("anonymity_k"),
+        min(col("__n")).as("anonymity_k"),
         coalesce(sum(when(col("__n") < k, lit(1L)).otherwise(lit(0L))), lit(0L))
           .as("n_violating_classes"),
         coalesce(sum(when(col("__n") < k, col("__n")).otherwise(lit(0L))), lit(0L))
@@ -69,8 +71,9 @@ object Privacy {
    * where everyone shares the same sensitive value still leaks it
    * (the homogeneity attack l-diversity exists to name). One row:
    * `diversity_l` (the smallest per-class distinct count; the dataset
-   * is distinct-l-diverse for l ≤ this) plus how many classes fall
-   * below the requested `l`.
+   * is distinct-l-diverse for l ≤ this — null on an empty input, the
+   * [[kAnonymityReport]] vacuous-truth convention) plus how many
+   * classes fall below the requested `l`.
    */
   def lDiversityReport(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, l: Int): DataFrame = {
@@ -79,7 +82,7 @@ object Privacy {
       .agg(count_distinct(col(sensitiveCol)).as("__d"))
       .agg(
         count(lit(1)).as("n_classes"),
-        coalesce(min(col("__d")), lit(0L)).as("diversity_l"),
+        min(col("__d")).as("diversity_l"),
         coalesce(sum(when(col("__d") < l, lit(1L)).otherwise(lit(0L))), lit(0L))
           .as("n_low_diversity_classes"))
   }

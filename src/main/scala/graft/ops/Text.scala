@@ -910,6 +910,11 @@ object Text {
    */
   def scriptProfile(df: DataFrame, textCol: String, idCol: String,
       carry: Seq[String] = Nil): DataFrame = {
+    val outNames = "n_chars" +: "majority" +:
+      ScriptClasses.flatMap(c => Seq(s"n_${c._1}", s"${c._1}_ratio"))
+    require(!(carry :+ idCol).exists(outNames.contains),
+      s"carry/id columns collide with profile outputs: rename before the " +
+        s"profile (reserved: ${outNames.mkString(", ")})")
     val t = coalesce(col(textCol).cast("string"), lit(""))
     val nChars = length(regexp_replace(t, "\\s+", "")).cast("long")
     // two projection steps: counts become NAMED columns first, so the
@@ -1017,7 +1022,10 @@ object Text {
    *
    * Output: (id, clean_text, n_chars_clean).
    */
-  def stripMarkup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def stripMarkup(df: DataFrame, textCol: String, idCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(!(carry :+ idCol).exists(Seq("clean_text", "n_chars_clean").contains),
+      "carry/id columns collide with stripMarkup outputs")
     val noBlocks = regexp_replace(col(textCol),
       "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
@@ -1028,8 +1036,8 @@ object Text {
       lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
       lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
     val clean = trim(regexp_replace(unescaped, "\\s+", " "))
-    df.select(col(idCol), clean.as("clean_text"),
-      length(clean).cast("long").as("n_chars_clean"))
+    df.select((Seq(col(idCol), clean.as("clean_text"),
+      length(clean).cast("long").as("n_chars_clean")) ++ carry.map(col)): _*)
   }
 
   /** Block-level tags whose boundaries delimit content blocks for

@@ -122,9 +122,14 @@ object Unigram {
     wc.foreach { case (w, c) =>
       val bounds = (0 to w.length).filter(i =>
         i == 0 || i == w.length || !Character.isLowSurrogate(w.charAt(i)))
+      // the inner scan is BOUNDED by maxPieceLen boundary steps (each
+      // step is >= 1 UTF-16 unit, so the unit-length guard still cuts
+      // exactly) — an unbounded boundary-pair enumeration would be
+      // O(len^2) per word and a single long URL/base64 token in the
+      // word table would stall the driver
       for {
         bi <- bounds.indices
-        bj <- (bi + 1) until bounds.length
+        bj <- (bi + 1) to math.min(bi + maxPieceLen, bounds.length - 1)
         if bounds(bj) - bounds(bi) <= maxPieceLen
       } {
         val p = w.substring(bounds(bi), bounds(bj))

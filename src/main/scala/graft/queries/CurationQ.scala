@@ -40,6 +40,20 @@ object CurationQ extends QueryGroup {
       s"replace($e, '$bad', '$good')"
     }
 
+  /** The artifact COUNT companion (length-delta sum over the table) —
+    * one pinned fragment shared by every oracle that reads `changed`. */
+  private def nArtifactsSql(expr: String): String =
+    Text.MojibakeTable.map { case (bad, _) =>
+      s"(length($expr) - length(replace($expr, '$bad', ''))) // ${bad.length}"
+    }.mkString(" + ")
+
+  /** Null-coalesced text on BOTH sides of every seeded fixture: the
+    * operators coalesce nulls to "" internally, so the seeds must too or
+    * a null-text row diverges (Spark concat(null, suffix) is null while
+    * a SQL-side coalesce would keep the suffix). */
+  private val textNN = "coalesce(text, '')"
+  private def textNNCol: Column = coalesce(col("text"), lit(""))
+
   /** The [[Text.stripMarkup]] chain over `expr` (same fragment as
     * q_text_strip_markup's oracle). */
   private def stripMarkupSql(expr: String): String =
@@ -142,10 +156,10 @@ object CurationQ extends QueryGroup {
         val docs = Tables.load(s, dir, "documents")
           .withColumn("t2",
             when(col("doc_id") % 3 === 0,
-              concat(col("text"), lit(MojibakeSuffixA)))
+              concat(textNNCol, lit(MojibakeSuffixA)))
             .when(col("doc_id") % 5 === 0,
-              concat(col("text"), lit(ScriptSuffixCyr)))
-            .otherwise(col("text")))
+              concat(textNNCol, lit(ScriptSuffixCyr)))
+            .otherwise(textNNCol))
           .withColumn("html", concat(lit(MarkupPre), col("t2"), lit(MarkupPost)))
         val path = s"${sys.props("java.io.tmpdir")}/graft_webingest_" +
           Integer.toHexString(dir.hashCode)
@@ -162,9 +176,9 @@ object CurationQ extends QueryGroup {
         Text.normalizeText(gated, "clean_text", "doc_id")
       },
       Some {
-        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN text || '$MojibakeSuffixA'
-          |  WHEN doc_id % 5 = 0 THEN text || '$ScriptSuffixCyr'
-          |  ELSE text END""".stripMargin
+        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN $textNN || '$MojibakeSuffixA'
+          |  WHEN doc_id % 5 = 0 THEN $textNN || '$ScriptSuffixCyr'
+          |  ELSE $textNN END""".stripMargin
         val cyrCls = Text.ScriptClasses.toMap.apply("cyrillic")
         s"""WITH s AS (SELECT doc_id,
            |    '<html><body><p class="d">' || $seeded || '</p><!-- footer -->'
@@ -190,32 +204,32 @@ object CurationQ extends QueryGroup {
         val docs = Tables.load(s, dir, "documents")
           .withColumn("t2",
             when(col("doc_id") % 3 === 0,
-              concat(col("text"), lit(MojibakeSuffixA)))
+              concat(textNNCol, lit(MojibakeSuffixA)))
             .when(col("doc_id") % 5 === 0,
-              concat(col("text"), lit(ScriptSuffixCyr)))
-            .otherwise(col("text")))
+              concat(textNNCol, lit(ScriptSuffixCyr)))
+            .otherwise(textNNCol))
           .withColumn("html", concat(lit(MarkupPre), col("t2"), lit(MarkupPost)))
+        // ONE pass: `changed` rides the carry hooks through strip and
+        // profile, so the 21-entry repair chain prices the scan once and
+        // all three counters come from a single aggregate — no second
+        // scan, no join
         val repaired = Text.fixMojibake(docs.select(col("doc_id"),
           col("html")), "html", "doc_id")
-        val stripped = Text.stripMarkup(repaired, "fixed_text", "doc_id")
-        val gated = Text.scriptProfile(stripped, "clean_text", "doc_id")
-        // two one-row aggregates cross-joined — never a row-level join;
-        // each branch is a scan-stage projection + count
-        val left = repaired.agg(
+        val stripped = Text.stripMarkup(repaired, "fixed_text", "doc_id",
+          carry = Seq("changed"))
+        val gated = Text.scriptProfile(stripped, "clean_text", "doc_id",
+          carry = Seq("changed"))
+        gated.agg(
           count(lit(1)).as("n_parsed"),
-          sum(when(col("changed"), 1L).otherwise(0L)).as("n_repaired"))
-        val right = gated.agg(
+          sum(when(col("changed"), 1L).otherwise(0L)).as("n_repaired"),
           sum(when(col("n_cyrillic") === 0L, 1L).otherwise(0L))
             .as("n_script_kept"))
-        left.crossJoin(broadcast(right))
       },
       Some {
-        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN text || '$MojibakeSuffixA'
-          |  WHEN doc_id % 5 = 0 THEN text || '$ScriptSuffixCyr'
-          |  ELSE text END""".stripMargin
-        val nArt = Text.MojibakeTable.map { case (bad, _) =>
-          s"(length(t) - length(replace(t, '$bad', ''))) // ${bad.length}"
-        }.mkString(" + ")
+        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN $textNN || '$MojibakeSuffixA'
+          |  WHEN doc_id % 5 = 0 THEN $textNN || '$ScriptSuffixCyr'
+          |  ELSE $textNN END""".stripMargin
+        val nArt = nArtifactsSql("t")
         val cyrCls = Text.ScriptClasses.toMap.apply("cyrillic")
         s"""WITH s AS (SELECT doc_id,
            |    '<html><body><p class="d">' || $seeded || '</p><!-- footer -->'
@@ -250,10 +264,10 @@ object CurationQ extends QueryGroup {
     QueryDef("q_text_readability",
       (s, dir) => Text.readability(
         Tables.load(s, dir, "documents").withColumn("text",
-          regexp_replace(col("text"), "((\\S+\\s+){6}\\S+)\\s+", "$1. ")),
+          regexp_replace(textNNCol, "((\\S+\\s+){6}\\S+)\\s+", "$1. ")),
         "text", "doc_id"),
       Some("""WITH d AS (SELECT doc_id,
-             |    regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1. ', 'g') AS t FROM documents),
+             |    regexp_replace(coalesce(text, ''), '((\S+\s+){6}\S+)\s+', '\1. ', 'g') AS t FROM documents),
              |c AS (SELECT doc_id,
              |    CAST(len(list_filter(regexp_split_to_array(lower(t), '\s+'), w -> w <> '')) AS BIGINT) AS n_words,
              |    greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
@@ -275,21 +289,17 @@ object CurationQ extends QueryGroup {
       (s, dir) => Text.fixMojibake(
         Tables.load(s, dir, "documents").withColumn("t2",
           when(col("doc_id") % 3 === 0,
-            concat(col("text"), lit(MojibakeSuffixA)))
+            concat(textNNCol, lit(MojibakeSuffixA)))
           .when(col("doc_id") % 5 === 0,
-            concat(col("text"), lit(MojibakeSuffixB)))
-          .otherwise(col("text"))),
+            concat(textNNCol, lit(MojibakeSuffixB)))
+          .otherwise(textNNCol)),
         "t2", "doc_id"),
       Some {
-        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN text || '$MojibakeSuffixA'
-          |  WHEN doc_id % 5 = 0 THEN text || '$MojibakeSuffixB'
-          |  ELSE text END""".stripMargin
-        val nArt = Text.MojibakeTable.map { case (bad, _) =>
-          s"(length(t) - length(replace(t, '$bad', ''))) // ${bad.length}"
-        }.mkString(" + ")
-        val fixed = Text.MojibakeTable.foldLeft("t") { case (e, (bad, good)) =>
-          s"replace($e, '$bad', '$good')"
-        }
+        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN $textNN || '$MojibakeSuffixA'
+          |  WHEN doc_id % 5 = 0 THEN $textNN || '$MojibakeSuffixB'
+          |  ELSE $textNN END""".stripMargin
+        val nArt = nArtifactsSql("t")
+        val fixed = mojibakeFixSql("t")
         s"""WITH s AS (SELECT doc_id, $seeded AS t FROM documents)
            |SELECT doc_id, $fixed AS fixed_text,
            |  CAST($nArt AS BIGINT) AS n_artifacts,
@@ -304,18 +314,18 @@ object CurationQ extends QueryGroup {
       (s, dir) => Text.scriptProfile(
         Tables.load(s, dir, "documents").withColumn("t2",
           when(col("doc_id") % 3 === 0,
-            concat(col("text"), lit(ScriptSuffixCyr)))
+            concat(textNNCol, lit(ScriptSuffixCyr)))
           .when(col("doc_id") % 5 === 0,
-            concat(col("text"), lit(ScriptSuffixCjk)))
+            concat(textNNCol, lit(ScriptSuffixCjk)))
           .when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(ScriptSuffixMix)))
-          .otherwise(col("text"))),
+            concat(textNNCol, lit(ScriptSuffixMix)))
+          .otherwise(textNNCol)),
         "t2", "doc_id"),
       Some {
-        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN text || '$ScriptSuffixCyr'
-          |  WHEN doc_id % 5 = 0 THEN text || '$ScriptSuffixCjk'
-          |  WHEN doc_id % 7 = 0 THEN text || '$ScriptSuffixMix'
-          |  ELSE text END""".stripMargin
+        val seeded = s"""CASE WHEN doc_id % 3 = 0 THEN $textNN || '$ScriptSuffixCyr'
+          |  WHEN doc_id % 5 = 0 THEN $textNN || '$ScriptSuffixCjk'
+          |  WHEN doc_id % 7 = 0 THEN $textNN || '$ScriptSuffixMix'
+          |  ELSE $textNN END""".stripMargin
         val cnts = Text.ScriptClasses.map { case (name, cls) =>
           s"CAST(len(regexp_extract_all(t, '$cls')) AS BIGINT) AS n_$name"
         }.mkString(",\n|    ")

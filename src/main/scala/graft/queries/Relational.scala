@@ -30,11 +30,11 @@ object Relational extends QueryGroup {
         Seq("c_nationkey", "c_mktsegment"), k = 10),
       Some("""WITH c AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
              |  FROM customer GROUP BY 1, 2)
-             |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             |SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_rows,
              |  CAST(COUNT(*) AS BIGINT) AS n_classes,
              |  CAST(MIN(n) AS BIGINT) AS anonymity_k,
-             |  CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
-             |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_violating_rows
+             |  CAST(coalesce(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violating_classes,
+             |  CAST(coalesce(SUM(CASE WHEN n < 10 THEN n ELSE 0 END), 0) AS BIGINT) AS n_violating_rows
              |FROM c""".stripMargin)),
 
     // k-anonymity enforcement: suppress rows whose quasi-identifier
@@ -68,7 +68,7 @@ object Relational extends QueryGroup {
              |  FROM b GROUP BY 1, 2)
              |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
              |  CAST(MIN(d) AS BIGINT) AS diversity_l,
-             |  CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |  CAST(coalesce(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END), 0) AS BIGINT)
              |    AS n_low_diversity_classes
              |FROM c""".stripMargin)),
 
