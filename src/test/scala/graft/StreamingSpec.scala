@@ -775,6 +775,35 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("readability and compression gates are stateless: streaming equals batch") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_gate_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    def seeded(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      regexp_replace(col("text"), "((\\S+\\s+){6}\\S+)\\s+", "$1. "))
+    val sRead = graft.ops.Text.readability(seeded(docsStream), "text", "doc_id")
+    val sComp = graft.ops.Text.compressionSignal(docsStream, "text", "doc_id")
+    val q1 = sRead.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("read_stream").start()
+    val q2 = sComp.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("comp_stream").start()
+    try {
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batch = graft.core.Tables.load(spark, sf, "documents")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.toList).toSet
+      assert(key(spark.table("read_stream")) ==
+        key(graft.ops.Text.readability(seeded(batch), "text", "doc_id")))
+      assert(key(spark.table("comp_stream")) ==
+        key(graft.ops.Text.compressionSignal(batch, "text", "doc_id")))
+      assert(spark.table("read_stream").count() > 0)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("curation chain (strip -> scrub -> normalize -> gate) is stateless: streaming equals batch") {
     import graft.ops.Text
     import org.apache.spark.sql.functions._
