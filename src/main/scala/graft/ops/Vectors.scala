@@ -69,7 +69,9 @@ object Vectors {
   def whitenFit(df: DataFrame, vecCol: String, eps: Double = 1e-5): Whitening = {
     val rows = df.select(col(vecCol)).rdd
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val d = rows.first().length
+    val head = rows.take(1)
+    require(head.nonEmpty, "whitening needs more than one vector")
+    val d = head.head.length
     val zero = (0L, new Array[Double](d), Array.ofDim[Double](d, d))
     val (n, s, ss) = rows.treeAggregate(zero)(
       seqOp = { case ((n, s, ss), v) =>

@@ -57,5 +57,12 @@ class AnnEvalSpec extends SparkSpec {
     val fit2 = Vectors.whitenFit(e, "embedding")
     assert(fit.mean.toSeq == fit2.mean.toSeq &&
       fit.w.map(_.toSeq).toSeq == fit2.w.map(_.toSeq).toSeq)
+    // degenerate inputs fail with the contract message, not an opaque
+    // first()/aggregate error
+    val err = intercept[IllegalArgumentException] {
+      Vectors.whitenFit(e.filter(org.apache.spark.sql.functions.lit(false)),
+        "embedding")
+    }
+    assert(err.getMessage.contains("more than one vector"))
   }
 }
