@@ -137,7 +137,7 @@ object Bench {
     // round-18 batch 2 (per-query only): the one-pass 21-counter
     // repetition gate, paragraph-grain corpus dedup with cut, and the
     // composed web front-end (main-content cut -> repetition gate)
-    "q_text_repetition", "q_para_dedup_cut", "q_web_repetition_e2e",
+    "q_text_repetition_gopher", "q_para_dedup_cut", "q_web_repetition_e2e",
     // round-19 (per-query only): subword tokenizer expressions (greedy
     // WordPiece walk + integer-Viterbi Unigram, both codegen'd), and the
     // WARC container round-trip (render -> text sink -> splittable

@@ -12,7 +12,14 @@ object SparkEntry {
     Seq(Relational, Analytics, TemporalQ, LlmOps, CurationQ, TokenizerQ,
       PipelineQ, MlOps)
 
-  private lazy val catalog: Seq[QueryDef] = groups.flatMap(_.queries)
+  private lazy val catalog: Seq[QueryDef] = {
+    val all = groups.flatMap(_.queries)
+    // A duplicate name would silently drop one query from the gate maps
+    // below (later group wins) — fail fast instead.
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty, s"duplicate catalog query names: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

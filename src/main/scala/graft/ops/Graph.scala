@@ -59,6 +59,59 @@ object Graph {
   }
 
   /**
+   * HITS hubs & authorities (Kleinberg 1999) with a fixed iteration
+   * count: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each
+   * vector L2-normalized after its update (the classic formulation, so
+   * scores are comparable across graphs). Starts from hub = 1; each
+   * iteration updates auth from the CURRENT hubs, then hubs from the NEW
+   * auths. The link-analysis complement of [[pageRank]]: directories /
+   * query hubs vs cited sources — in corpus curation, the seed-site vs
+   * content-site split over a crawl's link graph.
+   *
+   * Same scale shape as [[pageRank]]: per half-iteration one equi-join
+   * of the edge list to the current score vector plus one groupBy-sum
+   * (map-side combined), the L2 norm a broadcast scalar — no driver
+   * graph, AQE handles hub skew. `checkpointEvery` truncates lineage on
+   * long runs. Returns (v, hub, auth) over ALL vertices, 6-dp rounded;
+   * sink-only vertices hold hub 0, source-only vertices auth 0.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+
+    def l2norm(scores: DataFrame, c: String): DataFrame = {
+      val nrm = scores.agg(sqrt(sum(col(c) * col(c))).as("_n"))
+      scores.crossJoin(broadcast(nrm))
+        .select(col("v"),
+          when(col("_n") > 0, col(c) / col("_n")).otherwise(lit(0.0)).as(c))
+    }
+
+    var hubs = verts.select(col("v"), lit(1.0).as("hub"))
+    var auths = verts.select(col("v"), lit(0.0).as("auth"))
+    for (i <- 1 to iterations) {
+      auths = l2norm(verts.join(
+        e.join(hubs.withColumnRenamed("v", "src"), "src")
+          .groupBy(col("dst").as("v")).agg(sum(col("hub")).as("auth")),
+        Seq("v"), "left")
+        .select(col("v"), coalesce(col("auth"), lit(0.0)).as("auth")), "auth")
+      hubs = l2norm(verts.join(
+        e.join(auths.withColumnRenamed("v", "dst"), "dst")
+          .groupBy(col("src").as("v")).agg(sum(col("auth")).as("hub")),
+        Seq("v"), "left")
+        .select(col("v"), coalesce(col("hub"), lit(0.0)).as("hub")), "hub")
+      if (checkpointEvery > 0 && i % checkpointEvery == 0) {
+        hubs = hubs.localCheckpoint(); auths = auths.localCheckpoint()
+      }
+    }
+    hubs.join(auths, "v")
+      .select(col("v"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+  }
+
+  /**
    * Connected components by alternating LARGE-STAR / SMALL-STAR
    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
    * SoCC 2014) — the log-round scale path for near-dup group resolution.

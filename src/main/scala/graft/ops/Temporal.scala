@@ -238,6 +238,77 @@ object Temporal {
   }
 
   /**
+   * Multi-touch attribution: credit every touch event to the EARLIEST
+   * conversion at-or-after it for the same key (conversions partition
+   * each key's timeline into journeys; touches after the last conversion
+   * earn nothing), under the four standard models at once —
+   * `credit_first` / `credit_last` (winner-take-all endpoints),
+   * `credit_linear` (1/n each) and `credit_position` (the U-shape:
+   * 40/20/40, collapsing to 1.0 for a single touch and 0.5/0.5 for two).
+   * Emitting all four per touch row beats four runs: the expensive part
+   * is the journey assignment, the models are arithmetic on (rank, n).
+   *
+   * Journey assignment is the [[asofJoin]] union+carry trick run
+   * FORWARD (descending scan): no join operator, so a hot user costs one
+   * sorted partition scan, never |touches|×|conversions| pairs. The
+   * rank/count pass reuses the same key partitioning plus the journey ts
+   * — two window passes over one exchange-compatible layout. Ties in
+   * touch order break on `tiebreakCol` for engine-stable ranks; a touch
+   * exactly at the conversion instant belongs to that conversion.
+   * `lookbackSec` drops touches older than the window (age >
+   * lookbackSec) instead of crediting them.
+   *
+   * Output: keys, `conv_ts`, `channelCol`, `touch_ts`, tiebreakCol,
+   * `touch_rank`, `n_touches`, the four credit columns (6-dp rounded).
+   */
+  def attribution(df: DataFrame, keys: Seq[String], tsCol: String,
+      typeCol: String, conversionType: String, channelCol: String,
+      tiebreakCol: String, lookbackSec: Option[Long] = None): DataFrame = {
+    val kc = keys.map(col)
+    val conv = df.filter(col(typeCol) === conversionType)
+      .select(kc :+ col(tsCol).as("_t") :+ lit(0).as("_side")
+        :+ lit(null).cast("string").as("_ch")
+        :+ lit(null).cast(df.schema(tiebreakCol).dataType).as("_tb"): _*)
+    val touch = df.filter(col(typeCol) =!= conversionType)
+      .select(kc :+ col(tsCol).as("_t") :+ lit(1).as("_side")
+        :+ col(channelCol).cast("string").as("_ch")
+        :+ col(tiebreakCol).as("_tb"): _*)
+    // descending scan: at equal ts the conversion (side 0) is seen first,
+    // so a same-instant touch credits it
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(col("_t").desc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = conv.unionByName(touch)
+      .withColumn("conv_ts",
+        last(when(col("_side") === 0, col("_t")), ignoreNulls = true).over(w))
+      .where(col("_side") === 1 && col("conv_ts").isNotNull)
+    val inWindow = lookbackSec match {
+      case Some(lb) => assigned.where(
+        unix_micros(col("conv_ts")) - unix_micros(col("_t")) <= lb * 1000000L)
+      case None => assigned
+    }
+    val journey = Window.partitionBy(kc :+ col("conv_ts"): _*)
+    val order = journey.orderBy(col("_t").asc, col("_tb").asc)
+    val n = col("n_touches").cast("double")
+    val rk = col("touch_rank")
+    val positional =
+      when(col("n_touches") === 1, 1.0)
+        .when(col("n_touches") === 2, 0.5)
+        .when(rk === 1 || rk === col("n_touches"), 0.4)
+        .otherwise(lit(0.2) / (n - 2))
+    inWindow
+      .withColumn("touch_rank", row_number().over(order).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(journey))
+      .select(kc ++ Seq(col("conv_ts"), col("_ch").as(channelCol),
+        col("_t").as("touch_ts"), col("_tb").as(tiebreakCol),
+        col("touch_rank"), col("n_touches"),
+        when(rk === 1, 1.0).otherwise(0.0).as("credit_first"),
+        when(rk === col("n_touches"), 1.0).otherwise(0.0).as("credit_last"),
+        round(lit(1.0) / n, 6).as("credit_linear"),
+        round(positional, 6).as("credit_position")): _*)
+  }
+
+  /**
    * Resample to a regular per-key time grid with forward fill: one row
    * per (key, bucket) from the key's first to last event bucket, carrying
    * the last observed value at-or-before each bucket end (telemetry

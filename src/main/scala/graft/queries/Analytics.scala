@@ -376,6 +376,57 @@ object Analytics extends QueryGroup {
              |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
              |FROM c""".stripMargin)),
 
+    // Welch's unequal-variance t between the same two event families:
+    // the parametric mean-shift test next to KS — one aggregate pass,
+    // two (n, mean, var) triples, no sort anywhere.
+    QueryDef("q_welch_t",
+      (s, dir) => Planners.welchT(Tables.load(s, dir, "events"),
+        "value", "event_type", "click", "view"),
+      Some("""WITH g AS (SELECT value AS v, event_type = 'click' AS isa
+             |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+             |a AS (SELECT
+             |    SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS n_a,
+             |    SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS n_b,
+             |    AVG(CASE WHEN isa THEN v END) AS ma,
+             |    AVG(CASE WHEN NOT isa THEN v END) AS mb,
+             |    VAR_SAMP(CASE WHEN isa THEN v END) AS va,
+             |    VAR_SAMP(CASE WHEN NOT isa THEN v END) AS vb
+             |  FROM g)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+             |  ROUND((ma - mb) / SQRT(va / n_a + vb / n_b), 6) AS t_stat,
+             |  ROUND(POWER(va / n_a + vb / n_b, 2) /
+             |    (POWER(va / n_a, 2) / (n_a - 1) + POWER(vb / n_b, 2) / (n_b - 1)), 6) AS dof
+             |FROM a""".stripMargin)),
+
+    // Mann–Whitney U (rank-sum, midrank ties, tie-corrected z) between
+    // the same two families: the nonparametric location test — ranks
+    // computed on the DISTINCT-value table via running sums, the KS scan
+    // shape.
+    QueryDef("q_mann_whitney",
+      (s, dir) => Planners.mannWhitneyU(Tables.load(s, dir, "events"),
+        "value", "event_type", "click", "view"),
+      Some("""WITH g AS (SELECT value AS v, event_type = 'click' AS isa
+             |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+             |d AS (SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS cb,
+             |    COUNT(*) AS t FROM g GROUP BY 1),
+             |r AS (SELECT *, COALESCE(SUM(t) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM d),
+             |m AS (SELECT ca, cb, t, prev + (t + 1.0) / 2 AS midrank FROM r),
+             |a AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+             |    SUM(ca * midrank) AS rs_a,
+             |    SUM(POWER(CAST(t AS DOUBLE), 3) - t) AS ties
+             |  FROM m)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             |  ROUND(rs_a - n_a * (n_a + 1.0) / 2, 6) AS u_a,
+             |  ROUND(CAST(n_a AS DOUBLE) * n_b - (rs_a - n_a * (n_a + 1.0) / 2), 6) AS u_b,
+             |  ROUND(((rs_a - n_a * (n_a + 1.0) / 2) - CAST(n_a AS DOUBLE) * n_b / 2) /
+             |    SQRT(CAST(n_a AS DOUBLE) * n_b / 12 *
+             |      ((n_a + n_b + 1) - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z,
+             |  ROUND((rs_a - n_a * (n_a + 1.0) / 2) * 2 / (CAST(n_a AS DOUBLE) * n_b) - 1, 6) AS r_rb
+             |FROM a""".stripMargin)),
+
     // Fixed-width value histogram (data profiling; clamped edge bins)
     QueryDef("q_histogram",
       (s, dir) => Planners.histogram(Tables.load(s, dir, "events"),

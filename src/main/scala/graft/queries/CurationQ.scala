@@ -633,7 +633,7 @@ object CurationQ extends QueryGroup {
     // family fires. The oracle replays all 15 counters with DuckDB list
     // lambdas; fractions rounded 6 dp on both sides, verdict over the
     // ROUNDED values.
-    QueryDef("q_text_repetition",
+    QueryDef("q_text_repetition_gopher",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val lineified = regexp_replace(regexp_replace(col("text"),

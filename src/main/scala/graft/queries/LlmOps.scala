@@ -1758,6 +1758,43 @@ object LlmOps extends QueryGroup {
            |SELECT v AS doc_id, ROUND(rank, 6) AS rank FROM r5""".stripMargin
       }),
 
+    // HITS hubs/authorities over the DIRECTED order->part bipartite
+    // graph (namespaced vertex ids so key spaces can't collide): hubs =
+    // orders touching many popular parts, authorities = parts cited by
+    // strong hubs. 3 fixed iterations, L2-normalized after each half
+    // update; the oracle unrolls them as chained CTEs.
+    QueryDef("q_hits",
+      (s, dir) => Graph.hits(
+        Tables.load(s, dir, "lineitem").select(
+          concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")),
+        "src", "dst", iterations = 3)
+        .withColumnRenamed("v", "node_id"),
+      Some {
+        val iters = (1 to 3).map { i =>
+          s"""a${i}r AS (SELECT verts.v, COALESCE(SUM(h.hub), 0.0) AS s
+             |  FROM verts LEFT JOIN e ON e.dst = verts.v
+             |  LEFT JOIN h${i - 1} h ON h.v = e.src GROUP BY verts.v),
+             |a$i AS (SELECT v, CASE WHEN n.n > 0 THEN s / n.n ELSE 0.0 END AS auth
+             |  FROM a${i}r CROSS JOIN (SELECT SQRT(SUM(s * s)) AS n FROM a${i}r) n),
+             |h${i}r AS (SELECT verts.v, COALESCE(SUM(a.auth), 0.0) AS s
+             |  FROM verts LEFT JOIN e ON e.src = verts.v
+             |  LEFT JOIN a$i a ON a.v = e.dst GROUP BY verts.v),
+             |h$i AS (SELECT v, CASE WHEN n.n > 0 THEN s / n.n ELSE 0.0 END AS hub
+             |  FROM h${i}r CROSS JOIN (SELECT SQRT(SUM(s * s)) AS n FROM h${i}r) n)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT 'o' || l_orderkey AS src,
+           |    'p' || l_partkey AS dst FROM lineitem),
+           |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           |h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM verts),
+           |$iters
+           |SELECT verts.v AS node_id, ROUND(h3.hub, 6) AS hub,
+           |  ROUND(a3.auth, 6) AS auth
+           |FROM verts JOIN h3 ON h3.v = verts.v JOIN a3 ON a3.v = verts.v"""
+          .stripMargin
+      }),
+
     QueryDef("q_dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
         "text", "doc_id", n = 3, k = 16, bands = 4, tau = 0.4),

@@ -72,6 +72,32 @@ object Relational extends QueryGroup {
              |    AS n_low_diversity_classes
              |FROM c""".stripMargin)),
 
+    // t-closeness over market segment as the categorical sensitive
+    // attribute: per (nation) class, total-variation distance to the
+    // GLOBAL segment mix (EMD under the 0/1 ground distance) — the
+    // skewness-attack audit completing the k-anon / l-div triad.
+    QueryDef("q_privacy_tclose",
+      (s, dir) => graft.ops.Privacy.tClosenessReport(
+        Tables.load(s, dir, "customer"),
+        Seq("c_nationkey"), "c_mktsegment", t = 0.3),
+      Some("""WITH cells AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |ct AS (SELECT c_nationkey, SUM(n) AS ctot FROM cells GROUP BY 1),
+             |g AS (SELECT c_mktsegment, COUNT(*) AS gn FROM customer GROUP BY 1),
+             |gt AS (SELECT SUM(gn) AS gtot FROM g),
+             |per AS (SELECT cells.c_nationkey,
+             |    SUM(ABS(CAST(n AS DOUBLE) / ctot - CAST(gn AS DOUBLE) / gtot)) AS pres,
+             |    1.0 - SUM(CAST(gn AS DOUBLE) / gtot) AS absent
+             |  FROM cells JOIN ct USING (c_nationkey)
+             |  JOIN g USING (c_mktsegment) CROSS JOIN gt
+             |  GROUP BY cells.c_nationkey),
+             |tv AS (SELECT ROUND((pres + absent) / 2, 6) AS tv FROM per)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             |  MAX(tv) AS closeness_t,
+             |  CAST(coalesce(SUM(CASE WHEN tv > 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    AS n_violating_classes
+             |FROM tv""".stripMargin)),
+
     QueryDef("q1_agg",
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")

@@ -186,6 +186,36 @@ object TemporalQ extends QueryGroup {
               |  ON e.user_id = sp.user_id AND e.ts BETWEEN sp.st AND sp.en"""
         .stripMargin)),
 
+    // Multi-touch attribution: every non-purchase event credits the
+    // user's next purchase (first/last/linear/position models in one
+    // pass); journey assignment via the descending union+carry scan —
+    // no join, skew-immune. Oracle replays it with a running MIN over
+    // the same (ts DESC, conversion-first) order.
+    QueryDef("q_attribution",
+      (s, dir) => Temporal.attribution(Tables.load(s, dir, "events"),
+        Seq("user_id"), "ts", "event_type", conversionType = "purchase",
+        channelCol = "event_type", tiebreakCol = "event_id"),
+      Some("""WITH u AS (SELECT user_id, ts, event_type, event_id,
+             |    CASE WHEN event_type = 'purchase' THEN ts END AS pts FROM events),
+             |w AS (SELECT *, MIN(pts) OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, (event_type = 'purchase') DESC, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_ts FROM u),
+             |a AS (SELECT user_id, conv_ts, event_type, ts AS touch_ts, event_id
+             |  FROM w WHERE event_type <> 'purchase' AND conv_ts IS NOT NULL),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, conv_ts
+             |      ORDER BY touch_ts, event_id) AS touch_rank,
+             |    COUNT(*) OVER (PARTITION BY user_id, conv_ts) AS n_touches FROM a)
+             |SELECT user_id, conv_ts, event_type, touch_ts, event_id,
+             |  CAST(touch_rank AS BIGINT) AS touch_rank,
+             |  CAST(n_touches AS BIGINT) AS n_touches,
+             |  CAST(CASE WHEN touch_rank = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS credit_first,
+             |  CAST(CASE WHEN touch_rank = n_touches THEN 1.0 ELSE 0.0 END AS DOUBLE) AS credit_last,
+             |  ROUND(CAST(1.0 AS DOUBLE) / n_touches, 6) AS credit_linear,
+             |  ROUND(CAST(CASE WHEN n_touches = 1 THEN 1.0 WHEN n_touches = 2 THEN 0.5
+             |    WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
+             |    ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END AS DOUBLE), 6) AS credit_position
+             |FROM r""".stripMargin)),
+
     // Funnel: earliest signup -> click -> purchase chain per user
     // (nested-min semantics, >= so same-instant progressions count).
     QueryDef("q_funnel",

@@ -210,4 +210,93 @@ object Planners {
           abs(col("__acc") - col("__conf"))).over(all), 6).as("ece"),
         round(sum(col("__sqe")).over(all) / col("__N"), 6).as("brier"))
   }
+
+  /**
+   * Welch's unequal-variance t-test between the `valueCol` distributions
+   * of two groups — the parametric complement of [[ksTest]] for "did the
+   * curation change move the MEAN" questions (mean doc quality before vs
+   * after a filter, mean session value across an A/B split). Reports the
+   * t statistic and the Welch–Satterthwaite degrees of freedom; the
+   * caller compares against their critical value (no p-value table in
+   * SQL engines — dof + t IS the portable result).
+   *
+   * ONE hash-aggregate pass producing two (n, mean, var) triples — the
+   * cheapest possible two-sample test at 100 TB (map-side combined, no
+   * window, no sort). Sample variance (n−1 denominator) on both engines.
+   * Output: one row (n_a, n_b, mean_a, mean_b, t_stat, dof).
+   */
+  def welchT(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val isa = col(groupCol) === groupA
+    val g = df.filter(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .agg(
+        sum(when(isa, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isa, 1L).otherwise(0L)).as("n_b"),
+        avg(when(isa, v)).as("__ma"), avg(when(!isa, v)).as("__mb"),
+        var_samp(when(isa, v)).as("__va"), var_samp(when(!isa, v)).as("__vb"))
+    val sa = col("__va") / col("n_a")
+    val sb = col("__vb") / col("n_b")
+    g.select(col("n_a"), col("n_b"),
+      round(col("__ma"), 6).as("mean_a"), round(col("__mb"), 6).as("mean_b"),
+      round((col("__ma") - col("__mb")) / sqrt(sa + sb), 6).as("t_stat"),
+      round(pow(sa + sb, 2) /
+        (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1)), 6)
+        .as("dof"))
+  }
+
+  /**
+   * Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the `valueCol`
+   * distributions of two groups — the nonparametric "did the change shift
+   * the distribution" test: rank-based, so outlier-immune where [[welchT]]
+   * is not, and location-sensitive where [[ksTest]] spreads its power
+   * across the whole CDF. Ties get average ranks (the midrank convention);
+   * the normal approximation's z uses the standard tie-corrected variance
+   * `σ² = nAnB/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`. Also reports the
+   * rank-biserial effect size `r = 2U_A/(nAnB) − 1` (−1..1, 0 = no shift).
+   *
+   * Shape mirrors [[ksTest]]: aggregate to DISTINCT values first (ties
+   * collapse there), then ONE running-sum window over the |distinct|-row
+   * value table computes midranks — a single-task scan over a statistic-
+   * sized table, not the corpus; pre-quantize to a grid at 100 TB if the
+   * value domain is genuinely continuous. Output: one row
+   * (n_a, n_b, u_a, u_b, z, r_rb).
+   */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"),
+        (col(groupCol) === groupA).as("isa"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val run = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    // midrank of a tie block starting after `prev` ranks with t members:
+    // prev + (t+1)/2
+    val ranked = g
+      .withColumn("prev", coalesce(sum(col("t")).over(run), lit(0L)))
+      .withColumn("midrank",
+        col("prev").cast("double") + (col("t").cast("double") + 1) / 2)
+    val agg = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum(col("ca").cast("double") * col("midrank")).as("__rs_a"),
+      sum(pow(col("t").cast("double"), 3) - col("t")).as("__ties"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    val ua = col("__rs_a") - na * (na + 1) / 2
+    val sigma2 = na * nb / 12 * ((n + 1) - col("__ties") / (n * (n - 1)))
+    agg.select(col("n_a"), col("n_b"),
+      round(ua, 6).as("u_a"),
+      round(na * nb - ua, 6).as("u_b"),
+      // sigma2 = 0 when EVERY pooled value ties (no cross-group
+      // variability): z is undefined — null, not a divide-by-zero
+      round(when(sigma2 > 0, (ua - na * nb / 2) / sqrt(sigma2)), 6).as("z"),
+      round(ua * 2 / (na * nb) - 1, 6).as("r_rb"))
+  }
 }

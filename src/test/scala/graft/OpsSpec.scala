@@ -1836,6 +1836,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(ps.values.sum - 1.0) < 1e-5)
   }
 
+  test("hits: hand-computed hubs/authorities; iteration-stable on the fixed point") {
+    import graft.ops.Graph
+    // a -> c, b -> c: the unique authority is c (auth 1), a and b are
+    // equal hubs (1/sqrt(2) each) — the fixed point from iteration 1 on
+    val g = Seq(("a", "c"), ("b", "c")).toDF("src", "dst")
+    def score(it: Int) = Graph.hits(g, "src", "dst", iterations = it)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val s1 = score(1)
+    val inv = math.round(1.0 / math.sqrt(2) * 1e6) / 1e6
+    assert(s1("c") == ((0.0, 1.0)))
+    assert(s1("a") == ((inv, 0.0)) && s1("b") == ((inv, 0.0)))
+    assert(score(4) == s1) // converged: more iterations change nothing
+    // star with a distinguished source: s -> {x, y, z}; s is the only
+    // hub, targets are equal authorities; both vectors unit L2
+    val star = Seq(("s", "x"), ("s", "y"), ("s", "z")).toDF("src", "dst")
+    val st = Graph.hits(star, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(st("s")._1 == 1.0 && st("s")._2 == 0.0)
+    val a3 = math.round(1.0 / math.sqrt(3) * 1e6) / 1e6
+    assert(Seq("x", "y", "z").forall(v => st(v) == ((0.0, a3))))
+    // duplicate and self-referencing-free: repeated edges don't double-count
+    val dup = Seq(("a", "c"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    assert(Graph.hits(dup, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap == score(2))
+  }
+
   test("star connected components: equals dedupGroups on every graph shape") {
     import graft.ops.Graph
     val rnd = new scala.util.Random(7)

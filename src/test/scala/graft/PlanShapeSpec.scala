@@ -494,8 +494,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(anti.nonEmpty, s"expected the maxBucket broadcast anti-join in:\n$s")
   }
 
-  test("q_text_repetition: the whole 21-counter gate is ONE shuffle-free scan") {
-    val p = plan("q_text_repetition")
+  test("q_text_repetition_gopher: the whole 21-counter gate is ONE shuffle-free scan") {
+    val p = plan("q_text_repetition_gopher")
     assert(shuffles(p).isEmpty,
       s"repetition gate must be a narrow projection, got shuffles in:\n$p")
     assert(p.toString.contains("repetition_stats"),

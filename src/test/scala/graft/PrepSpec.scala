@@ -147,6 +147,47 @@ class PrepSpec extends SparkSpec {
     assert(Planners.ksTest(dis, "value", "grp", "a", "b").head().getDouble(0) == 1.0)
   }
 
+  test("welchT: hand-computed t and Welch-Satterthwaite dof; equal samples give t = 0") {
+    import graft.stats.Planners
+    // A = {1,2,3}: n=3 mean=2 var=1; B = {4,6}: n=2 mean=5 var=2
+    // t = (2-5)/sqrt(1/3 + 1) = -3/sqrt(4/3); dof = (4/3)^2/((1/3)^2/2 + 1^2/1)
+    val df = Seq((1.0, "a"), (2.0, "a"), (3.0, "a"), (4.0, "b"), (6.0, "b"))
+      .toDF("value", "grp")
+    val r = Planners.welchT(df, "value", "grp", "a", "b").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(r.getDouble(4) == r6(-3.0 / math.sqrt(4.0 / 3)))
+    assert(r.getDouble(5) == r6(math.pow(4.0 / 3, 2) /
+      (math.pow(1.0 / 3, 2) / 2 + 1.0)))
+    // identical groups: t exactly 0
+    val same = Seq((1.0, "a"), (3.0, "a"), (1.0, "b"), (3.0, "b"))
+      .toDF("value", "grp")
+    assert(Planners.welchT(same, "value", "grp", "a", "b").head().getDouble(4) == 0.0)
+  }
+
+  test("mannWhitneyU: midrank ties, U_A + U_B = nA*nB, symmetric z, known example") {
+    import graft.stats.Planners
+    // A = {1, 2}, B = {2, 3}: pooled ranks 1, (2.5, 2.5), 4
+    // rank-sum A = 1 + 2.5 = 3.5; U_A = 3.5 - 3 = 0.5; U_B = 4 - 0.5 = 3.5
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"))
+      .toDF("value", "grp")
+    val r = Planners.mannWhitneyU(df, "value", "grp", "a", "b").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 3.5)
+    // rank-biserial r = 2U/(nAnB) - 1 = 2*0.5/4 - 1 = -0.75
+    assert(r.getDouble(5) == -0.75)
+    // swapping the groups flips U and z signs
+    val s = Planners.mannWhitneyU(df, "value", "grp", "b", "a").head()
+    assert(s.getDouble(2) == 3.5 && s.getDouble(3) == 0.5)
+    assert(math.abs(s.getDouble(4) + r.getDouble(4)) < 1e-9)
+    // total-tie input: U_A = nAnB/2 exactly; z is undefined there
+    // (sigma2 = 0 — no cross-group variability to normalize by)
+    val tied = Seq((5.0, "a"), (5.0, "a"), (5.0, "b")).toDF("value", "grp")
+    val t = Planners.mannWhitneyU(tied, "value", "grp", "a", "b").head()
+    assert(t.getDouble(2) == 1.0 && t.getDouble(3) == 1.0)
+  }
+
   test("calibrationReport: hand-computed bins, ECE, Brier, edge clamp") {
     import graft.stats.Planners
     // bins at nBins=2: {0.05, 0.15} -> bin 0; {0.95, 0.85, 1.0} -> bin 1

@@ -56,6 +56,30 @@ class PrivacySpec extends SparkSpec {
       .head().getLong(1) == 1L)
   }
 
+  test("tClosenessReport: hand-computed TV distance; uniform class has t=0") {
+    // global segment mix: retail 5/7, corp 2/7
+    // eu class (4 rows): retail 3/4, corp 1/4 ->
+    //   TV = (|3/4-5/7| + |1/4-2/7|) / 2 = (1/28 + 1/28) / 2 = 1/28
+    // us class (3 rows): retail 2/3, corp 1/3 ->
+    //   TV = (|2/3-5/7| + |1/3-2/7|) / 2 = (1/21 + 1/21) / 2 = 1/21
+    val r = Privacy.tClosenessReport(people, Seq("region"), "segment",
+      t = 0.04).head()
+    assert(r.getLong(0) == 2L) // n_classes
+    assert(math.abs(r.getDouble(1) - 1.0 / 21) < 1e-6) // closeness_t = max
+    assert(r.getLong(2) == 1L) // only the us class exceeds 0.04
+    // a table where every class mirrors the global mix is 0-close;
+    // missing-value mass counts (class {a} vs global {a,b} has TV > 0)
+    val mirrored = Seq((1L, "x", "a"), (2L, "x", "b"),
+      (3L, "y", "a"), (4L, "y", "b")).toDF("id", "cls", "s")
+    assert(Privacy.tClosenessReport(mirrored, Seq("cls"), "s", 0.5)
+      .head().getDouble(1) == 0.0)
+    val skewed = Seq((1L, "x", "a"), (2L, "y", "a"), (3L, "y", "b"))
+      .toDF("id", "cls", "s")
+    // class x = {a:1}: TV = (|1-2/3| + 1/3)/2 = 1/3 (absent-b mass counted)
+    val sk = Privacy.tClosenessReport(skewed, Seq("cls"), "s", 0.9).head()
+    assert(math.abs(sk.getDouble(1) - 1.0 / 3) < 1e-6)
+  }
+
   test("compressionSignal: repetition compresses below prose, random stays near 1, gates fire") {
     val repetitive = Seq.fill(60)("the same boilerplate line again").mkString(" ")
     val prose = "the quick brown fox jumps over the lazy dog while a curious " +

@@ -196,6 +196,60 @@ class TemporalSpec extends SparkSpec {
     assert(out(3L) == (None, None, None, 0L))
   }
 
+  test("attribution: journey assignment, credit models, lookback, same-instant touch") {
+    val ev = Seq(
+      // user 1, journey 1: three touches then a purchase at 12:00
+      (1L, 1L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:00:00"), "click"),
+      (3L, 1L, ts("2024-01-01 11:00:00"), "view"),
+      (4L, 1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // user 1, journey 2: a same-instant touch AT the purchase counts
+      // toward exactly that purchase
+      (5L, 1L, ts("2024-01-01 14:00:00"), "purchase"),
+      (6L, 1L, ts("2024-01-01 14:00:00"), "click"),
+      // user 1: a touch after the last purchase earns nothing
+      (7L, 1L, ts("2024-01-01 15:00:00"), "view"),
+      // user 2: touches but no conversion at all -> no rows
+      (8L, 2L, ts("2024-01-01 09:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Temporal.attribution(ev, Seq("user_id"), "ts", "event_type",
+      "purchase", "event_type", "event_id")
+    val rows = out.collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 6L)) // 7 post-conv, 8 no conv
+    // journey 1: ranks 1..3 of 3
+    val j1 = Seq(1L, 2L, 3L).map(rows)
+    assert(j1.map(_.getAs[Long]("touch_rank")) == Seq(1L, 2L, 3L))
+    assert(j1.forall(_.getAs[Long]("n_touches") == 3L))
+    assert(j1.map(_.getAs[Double]("credit_first")) == Seq(1.0, 0.0, 0.0))
+    assert(j1.map(_.getAs[Double]("credit_last")) == Seq(0.0, 0.0, 1.0))
+    assert(j1.forall(_.getAs[Double]("credit_linear") == 0.333333))
+    assert(j1.map(_.getAs[Double]("credit_position")) == Seq(0.4, 0.2, 0.4))
+    // every model's credits sum to 1 per journey (the invariant that
+    // makes attribution a credit DISTRIBUTION)
+    val sums = out.groupBy(col("user_id"), col("conv_ts"))
+      .agg(sum(col("credit_first")).as("f"), sum(col("credit_last")).as("l"),
+        sum(col("credit_linear")).as("n"), sum(col("credit_position")).as("p"))
+      .collect()
+    sums.foreach { r =>
+      Seq("f", "l", "n", "p").foreach(c =>
+        assert(math.abs(r.getAs[Double](c) - 1.0) < 1e-4, s"$c: $r"))
+    }
+    // same-instant touch joined the 14:00 journey as its only touch
+    assert(rows(6L).getAs[java.sql.Timestamp]("conv_ts") == ts("2024-01-01 14:00:00"))
+    assert(rows(6L).getAs[Double]("credit_position") == 1.0)
+    // lookback 150 min: the 09:00 view (age 180 min at the 12:00
+    // conversion) drops; the 10:00 click (120 min) stays
+    val lb = Temporal.attribution(ev, Seq("user_id"), "ts", "event_type",
+      "purchase", "event_type", "event_id", lookbackSec = Some(150L * 60))
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(lb == Set(2L, 3L, 6L))
+    // two touches: position collapses to 0.5/0.5
+    val two = Temporal.attribution(ev.filter(col("event_id").isin(2L, 3L, 4L)),
+      Seq("user_id"), "ts", "event_type", "purchase", "event_type", "event_id")
+      .collect().map(_.getAs[Double]("credit_position")).toSeq
+    assert(two == Seq(0.5, 0.5))
+  }
+
   test("downsample keeps exactly the last event per key-bucket") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 09:10:00"), 1.0),
