@@ -147,7 +147,11 @@ object Bench {
     // round-19 batch 2 (per-query only): the composed crawl ingestion
     // front door (WARC on disk -> re-read -> mojibake repair -> strip ->
     // script gate -> normalize; the write re-runs each pass by design)
-    "q_web_ingest_e2e")
+    "q_web_ingest_e2e",
+    // round-20 (per-query only): content-defined chunk dedup (the
+    // O(len) windowed-hash scan is the cost driver), multi-touch
+    // attribution (union+carry journey scan), HITS link analysis
+    "q_content_chunk_dedup", "q_attribution", "q_hits")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1258,4 +1258,108 @@ object Dedup {
           round(col("n_hit").cast("double") / col("n_cand"), 6))
           .otherwise(lit(0.0)).as("precision"))
   }
+
+  /**
+   * Content-defined chunking (Rabin-style): cut each document at
+   * positions where a rolling window's hash hits a fixed pattern, so
+   * chunk boundaries derive from CONTENT, not offsets — an insertion or
+   * deletion shifts only the chunks it touches and the cut points
+   * re-synchronize right after (the storage-dedup property exact
+   * line/paragraph grain lacks: a one-character edit re-aligns nothing).
+   * This is the byte-grain dedup complement of [[paragraphDups]] for
+   * corpora without structural delimiters (minified HTML/JS, logs,
+   * concatenated crawl text).
+   *
+   * Boundary rule: position i (1-based, i ≥ window) ends a chunk when
+   * the hash of the `window` chars ending AT i matches a 1-in-64
+   * pattern — expected chunk length 64 characters. `fastHash = false`
+   * (the oracle fixture) tests `md5(window)` for hex prefix `0[0-3]`
+   * (4/256 = 1/64, SQL-replayable on any engine with md5);
+   * `fastHash = true` (the production path) tests `xxhash64 % 64 == 0`.
+   * A boundary landing exactly on the last character merges into the
+   * final chunk (no empty tail); blank/empty docs emit no rows.
+   *
+   * Scale shape: ONE narrow projection — boundary positions, starts and
+   * ends are array HOFs over the doc's own character range; the explode
+   * emits (doc, idx, start, len, 16-byte hash) skinny rows, the text
+   * never shuffles. The per-doc cost is O(len) window hashes of
+   * `window` chars (md5/xxhash64 are codegen'd); at 100 TB fuse it into
+   * the ingest scan stage and prefer `fastHash = true` — the windowed
+   * xxhash64 is the measured-cheap half of the [[minhashSigsFast]]
+   * trade. Output: (doc_id, chunk_idx, chunk_start, chunk_len,
+   * chunk_hash), 1-based start, hash = md5 of the chunk text.
+   */
+  def contentChunks(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val txt = col(textCol)
+    val isBoundary: Column => Column = i => {
+      val win = txt.substr(i - (window - 1), lit(window))
+      if (fastHash) pmod(xxhash64(win), lit(64L)) === 0L
+      else md5(win).rlike("^0[0-3]")
+    }
+    val n = length(txt)
+    // candidate boundary positions window..len-1 (a cut AT len is a
+    // no-op tail); starts = 1 :: each boundary+1; ends = boundaries :: len.
+    // Guard the short-doc case: Spark's sequence(a, b) DESCENDS when
+    // a > b, which would fabricate boundaries for docs shorter than the
+    // window — those docs are one whole chunk.
+    val bpos = when(n - 1 >= window,
+      filter(sequence(lit(window), n - 1), isBoundary))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), transform(bpos, b => b + 1))
+    val ends = concat(bpos, array(n))
+    df.filter(length(txt) > 0)
+      .select(col(idCol).cast("long").as("doc_id"), txt.as("__t"),
+        posexplode(zip_with(starts, ends, (s, e) =>
+          struct(s.as("s"), e.as("e")))).as(Seq("__i", "__c")))
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("chunk_idx"),
+        col("__c.s").cast("long").as("chunk_start"),
+        (col("__c.e") - col("__c.s") + 1).cast("long").as("chunk_len"),
+        md5(col("__t").substr(col("__c.s"),
+          col("__c.e") - col("__c.s") + 1)).as("chunk_hash"))
+  }
+
+  /**
+   * Chunk-grain dedup verdicts over [[contentChunks]] output: the
+   * corpus-wide canonical occurrence (min (doc, idx)) per chunk content,
+   * [[paragraphDups]]' contract at content-defined grain. Output:
+   * (doc_id, chunk_idx, chunk_len, chunk_hash, is_dup, canon_doc,
+   * canon_idx). Shuffles 16-byte hashes + ints only; groupBy-min
+   * map-side combines, so a boilerplate chunk in 10⁸ docs partial-
+   * aggregates per task instead of funneling one partition.
+   */
+  def contentChunkDups(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+    val keys = contentChunks(df, textCol, idCol, window, fastHash)
+    val canon = keys.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__c"))
+      .select(col("chunk_hash"), col("__c.doc_id").as("canon_doc"),
+        col("__c.chunk_idx").as("canon_idx"))
+    keys.join(canon, Seq("chunk_hash"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
+        col("chunk_hash"),
+        (col("canon_doc") =!= col("doc_id") ||
+          col("canon_idx") =!= col("chunk_idx")).as("is_dup"),
+        col("canon_doc"), col("canon_idx"))
+  }
+
+  /**
+   * Per-document duplication profile at content-defined chunk grain:
+   * how many of the doc's chunks (and characters) already exist
+   * elsewhere in the corpus as the canonical copy — the "how much of
+   * this page is boilerplate seen before" signal storage dedup systems
+   * report as the dedup ratio. One aggregate over [[contentChunkDups]];
+   * `dup_frac` is duplicated chars over chunked chars, 6-dp rounded.
+   * Output: (doc_id, n_chunks, n_dup_chunks, dup_chars, dup_frac).
+   */
+  def contentChunkStats(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, fastHash: Boolean = false): DataFrame =
+    contentChunkDups(df, textCol, idCol, window, fastHash)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("is_dup"), col("chunk_len")).otherwise(0L)).as("dup_chars"),
+        round(sum(when(col("is_dup"), col("chunk_len")).otherwise(0L))
+          .cast("double") / sum(col("chunk_len")), 6).as("dup_frac"))
 }

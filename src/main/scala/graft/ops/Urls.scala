@@ -136,4 +136,36 @@ object Urls {
       .select(col(idCol)).distinct()
     df.join(hits, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Domain-level quality gate (the RefinedWeb/C4 "judge the site, not
+   * just the page" step): roll each host's per-document quality score up
+   * to (doc count, mean score), then flag every document of a host that
+   * has ENOUGH evidence (`minDocs`) and a mean BELOW `minMeanScore` —
+   * spam farms produce many uniformly-poor pages, and the domain mean
+   * separates them from a good site's occasional bad page. Hosts below
+   * the evidence floor are never blocked (one bad page is not a farm);
+   * per-page gates remain the caller's second filter. Returns every
+   * input row with `domain_n_docs`, `domain_mean_score` (6 dp, the
+   * verdict compares the ROUNDED value so external engines replay it)
+   * and `domain_blocked`.
+   *
+   * Scale shape: one map-side-combined aggregate keyed on host (output
+   * rows = |domains|, orders of magnitude below |docs|) broadcast-joined
+   * back onto the corpus — the corpus body never shuffles. A hot domain
+   * is exactly what the partial aggregate absorbs.
+   */
+  def domainQualityGate(df: DataFrame, hostCol: String, scoreCol: String,
+      minDocs: Long, minMeanScore: Double): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    val h = lower(col(hostCol))
+    val stats = df.groupBy(h.as("__h"))
+      .agg(count(lit(1)).as("domain_n_docs"),
+        round(avg(col(scoreCol).cast("double")), 6).as("domain_mean_score"))
+    df.join(broadcast(stats), h === col("__h"), "left")
+      .withColumn("domain_blocked",
+        col("domain_n_docs") >= minDocs &&
+          col("domain_mean_score") < minMeanScore)
+      .drop("__h")
+  }
 }

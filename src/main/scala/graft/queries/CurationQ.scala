@@ -625,6 +625,27 @@ object CurationQ extends QueryGroup {
              |  len(hits) > 0 AS blocked
              |FROM h""".stripMargin)),
 
+    // Domain-level quality gate: per-host doc count + mean score rolled
+    // up and broadcast back; hosts with >= 3 docs and mean n_chars below
+    // 215 block their documents, under-evidenced hosts never block.
+    QueryDef("q_domain_quality_gate",
+      (s, dir) => {
+        val hosts = Tables.load(s, dir, "documents").withColumn("host",
+          concat(col("source"), lit("."), col("lang"), lit(".example.org")))
+        Urls.domainQualityGate(hosts, "host", "n_chars",
+            minDocs = 3, minMeanScore = 215.0)
+          .select(col("doc_id"), col("host"), col("domain_n_docs"),
+            col("domain_mean_score"), col("domain_blocked"))
+      },
+      Some("""WITH s AS (SELECT doc_id, n_chars,
+             |    source || '.' || lang || '.example.org' AS host FROM documents),
+             |g AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n,
+             |    ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS m FROM s GROUP BY 1)
+             |SELECT doc_id, s.host, g.n AS domain_n_docs,
+             |  g.m AS domain_mean_score,
+             |  (g.n >= 3 AND g.m < 215.0) AS domain_blocked
+             |FROM s JOIN g ON g.host = s.host""".stripMargin)),
+
     // Gopher repetition-removal gate (Rae et al. 2021 A1.2): the fixture
     // line-ifies the word-soup corpus (newline every 4 words, blank line
     // every 3 lines) and seeds per-residue hard repetition — a duplicated
@@ -716,6 +737,50 @@ object CurationQ extends QueryGroup {
           |FROM p LEFT JOIN dups USING (doc_id)
           |WHERE p.doc_id >= 250""".stripMargin)),
 
+    // Content-defined chunking (Rabin-style): boundaries where the
+    // 16-char window's md5 starts 0[0-3] (1-in-64), so cut points derive
+    // from content and re-sync after edits. The oracle replays the
+    // window scan with DuckDB list lambdas over the same md5 rule.
+    QueryDef("q_content_chunks",
+      (s, dir) => Dedup.contentChunks(Tables.load(s, dir, "documents"),
+        "text", "doc_id", window = 16),
+      Some(cdcKeysSql("documents") + "\n" +
+        """SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+          |  CAST(starts[ci] AS BIGINT) AS chunk_start,
+          |  CAST(ends[ci] - starts[ci] + 1 AS BIGINT) AS chunk_len,
+          |  md5(substr(text, CAST(starts[ci] AS BIGINT),
+          |    CAST(ends[ci] - starts[ci] + 1 AS BIGINT))) AS chunk_hash
+          |FROM x""".stripMargin)),
+
+    // Chunk-grain dedup profile over a boilerplate-seeded corpus (every
+    // %4 doc carries the same ~200-char block): per doc, how many
+    // content-defined chunks (and chars) already exist elsewhere as the
+    // canonical copy — the storage-dedup ratio at corpus grain.
+    QueryDef("q_content_chunk_dedup",
+      (s, dir) => Dedup.contentChunkStats(
+        Tables.load(s, dir, "documents").withColumn("text",
+          concat(col("text"), when(col("doc_id") % 4 === 0,
+            lit(CdcBoilerplate)).otherwise(lit("")))),
+        "text", "doc_id", window = 16),
+      Some(cdcKeysSql(s"(SELECT doc_id, text || CASE WHEN doc_id % 4 = 0" +
+          s" THEN '$CdcBoilerplate' ELSE '' END AS text FROM documents)") + ",\n" +
+        """ck AS (SELECT doc_id, ci AS chunk_idx,
+          |    CAST(ends[ci] - starts[ci] + 1 AS BIGINT) AS chunk_len,
+          |    md5(substr(text, CAST(starts[ci] AS BIGINT),
+          |      CAST(ends[ci] - starts[ci] + 1 AS BIGINT))) AS chunk_hash
+          |  FROM x),
+          |cc AS (SELECT *, FIRST_VALUE(doc_id) OVER w AS canon_doc,
+          |    FIRST_VALUE(chunk_idx) OVER w AS canon_idx
+          |  FROM ck WINDOW w AS (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx))
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          |  CAST(SUM(CASE WHEN canon_doc <> doc_id OR canon_idx <> chunk_idx
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+          |  CAST(SUM(CASE WHEN canon_doc <> doc_id OR canon_idx <> chunk_idx
+          |    THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_chars,
+          |  ROUND(SUM(CASE WHEN canon_doc <> doc_id OR canon_idx <> chunk_idx
+          |    THEN CAST(chunk_len AS DOUBLE) ELSE 0.0 END) / SUM(chunk_len), 6) AS dup_frac
+          |FROM cc GROUP BY doc_id""".stripMargin)),
+
     // Main-content block segmentation (jusText heuristic): the fixture
     // wraps each doc in page chrome — a link-dense <nav>, the doc text
     // split across a <div> and a <p> with one inline anchor, a link-heavy
@@ -790,6 +855,32 @@ object CurationQ extends QueryGroup {
        |    btext AS block_text
        |  FROM mx WHERE btext <> '')""".stripMargin
   }
+
+  /** Seeded cross-doc boilerplate block for the chunk-dedup fixture —
+    * long enough (~3 expected chunks) that interior chunks dedup across
+    * docs regardless of where each doc's preceding boundary fell. No
+    * single quotes: the literal embeds in SQL directly. */
+  private val CdcBoilerplate = " subscribe to our newsletter for updates" +
+    " and offers. this website uses cookies to improve your experience." +
+    " all rights reserved by the publisher of this content. terms of" +
+    " service apply to every visitor of this page."
+
+  /** Content-defined-chunking oracle CTE chain (d, b, c, x) over `src`
+    * (a table name or derived-table SQL): boundary positions by the
+    * md5-prefix rule, then per-chunk (starts, ends) arrays. Mirrors
+    * [[Dedup.contentChunks]] with window 16. */
+  private def cdcKeysSql(src: String): String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM $src
+       |  WHERE length(text) > 0),
+       |b AS (SELECT doc_id, text, n,
+       |    list_filter(generate_series(16, n - 1),
+       |      i -> regexp_matches(md5(substr(text, CAST(i - 15 AS BIGINT), 16)), '^0[0-3]')) AS bp
+       |  FROM d),
+       |c AS (SELECT doc_id, text,
+       |    list_prepend(1, list_transform(bp, p -> p + 1)) AS starts,
+       |    list_append(bp, CAST(n AS BIGINT)) AS ends FROM b),
+       |x AS (SELECT doc_id, text, starts, ends,
+       |    unnest(generate_series(1, len(starts))) AS ci FROM c)""".stripMargin
 
   /** Shared fixture for the paragraph-dedup pair: paragraphified text
     * plus per-residue cross-doc boilerplate paragraphs. */

@@ -393,6 +393,74 @@ object EventStream {
       }
   }
 
+  final case class PsiEv(wstart_us: Long, bin: Int)
+  final case class PsiState(counts: Seq[Long])
+  final case class PsiOut(window_start_us: Long, n_events: Long, psi: Double)
+
+  /**
+   * Streaming PSI drift monitor: the incremental twin of
+   * [[graft.ops.Profile.psi]] — per event-time window, the population
+   * stability index of the stream's `valueCol` histogram against a FIXED
+   * reference distribution (the training slice), the standard
+   * "has the serving distribution drifted from what the model saw"
+   * alarm. `refCounts` is the reference histogram's raw per-bin counts
+   * ([[graft.stats.Planners.histogram]] output — a bounded fit statistic,
+   * nBins longs), smoothed here exactly like the batch operator.
+   *
+   * State per window is the nBins-long count vector behind a window-key
+   * shuffle — O(active windows × nBins) longs, the minimum any windowed
+   * histogram holds. Each micro-batch the updated window re-emits
+   * (Update semantics): `psi` = Σ_b round₆((p_ref − p_cur)·ln(p_ref/p_cur))
+   * with the same per-bin 6-dp rounding the batch operator applies, so a
+   * window's final emission equals the batch PSI's `sum(contrib)` over
+   * the same slice exactly. `stateTtl` evicts windows idle past the TTL
+   * (their next event would restart the count — use a TTL comfortably
+   * beyond the watermark/window span).
+   */
+  def streamingPsi(spark: SparkSession, events: DataFrame,
+      valueCol: String, tsCol: String, refCounts: Seq[Long],
+      lo: Double, hi: Double, nBins: Int, windowSec: Long,
+      smooth: Double = 0.5, stateTtl: Option[String] = None): Dataset[PsiOut] = {
+    import spark.implicits._
+    require(nBins >= 1 && refCounts.length == nBins,
+      s"refCounts must carry exactly nBins=$nBins entries")
+    require(smooth > 0, "smooth must be positive")
+    require(windowSec >= 1, "windowSec must be >= 1")
+    val tRef = refCounts.sum.toDouble + smooth * nBins
+    val pRef = refCounts.map(n => (n + smooth) / tRef)
+    val w = (hi - lo) / nBins
+    val winUs = windowSec * 1000000L
+    def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(
+        (floor(unix_micros(col(tsCol)) / winUs) * winUs).as("wstart_us"),
+        least(greatest(floor((col(valueCol).cast("double") - lo) / w)
+          .cast("int"), lit(0)), lit(nBins - 1)).as("bin"))
+      .as[PsiEv]
+      .groupByKey(_.wstart_us)
+      .flatMapGroupsWithState[PsiState, PsiOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (wstart: Long, evs: Iterator[PsiEv], state: GroupState[PsiState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val counts = state.getOption.map(_.counts.toArray)
+              .getOrElse(Array.fill(nBins)(0L))
+            evs.foreach(e => counts(e.bin) += 1)
+            state.update(PsiState(counts.toSeq))
+            stateTtl.foreach(state.setTimeoutDuration)
+            val tCur = counts.sum.toDouble + smooth * nBins
+            // per-bin 6-dp rounding mirrors the batch operator's contrib
+            // column, so the sums agree bit-for-bit
+            val psi = (0 until nBins).map { b =>
+              val pc = (counts(b) + smooth) / tCur
+              round6((pRef(b) - pc) * math.log(pRef(b) / pc))
+            }.sum
+            Iterator.single(PsiOut(wstart, counts.sum, round6(psi)))
+          }
+      }
+  }
+
   final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
   final case class BucketState(members: List[(Long, Seq[Long])])
   final case class NearDup(doc_a: Long, doc_b: Long, band: Int, jhat: Double)

@@ -254,6 +254,75 @@ class CurationSpec extends SparkSpec {
     assert(!c.getBoolean(c.fieldIndex("keep")))
   }
 
+  test("domainQualityGate: farms block, good sites survive a bad page, thin evidence exempts") {
+    val docs = Seq(
+      // spam.farm: 3 uniformly poor pages -> blocked
+      (1L, "spam.farm", 0.1), (2L, "spam.farm", 0.2), (3L, "SPAM.FARM", 0.15),
+      // good.site: one bad page among good ones -> mean holds, not blocked
+      (4L, "good.site", 0.9), (5L, "good.site", 0.95), (6L, "good.site", 0.1),
+      // tiny.site: 2 poor pages but below the evidence floor -> exempt
+      (7L, "tiny.site", 0.05), (8L, "tiny.site", 0.1)
+    ).toDF("doc_id", "host", "score")
+    val out = Urls.domainQualityGate(docs, "host", "score",
+        minDocs = 3, minMeanScore = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("domain_n_docs"), r.getAs[Boolean]("domain_blocked")))).toMap
+    assert(out.size == 8, "every input row survives with a verdict")
+    assert(Seq(1L, 2L, 3L).forall(out(_) == ((3L, true))),
+      "case-folded host members aggregate together and block")
+    assert(Seq(4L, 5L, 6L).forall(out(_) == ((3L, false))))
+    assert(Seq(7L, 8L).forall(out(_) == ((2L, false))))
+  }
+
+  test("content-defined chunking: chunks tile the doc; edits re-sync; variants agree on shape") {
+    // deterministic pseudo-random text (splitmix mixing, lowercase+space)
+    def rndText(seed: Long, n: Int): String = (1 to n).map { i =>
+      var z = (seed + i) * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 31); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 27)
+      val r = java.lang.Long.remainderUnsigned(z, 27)
+      if (r == 26) ' ' else ('a' + r).toChar
+    }.mkString
+    val base = rndText(7L, 1200)
+    val edited = base.substring(0, 50) + "XYZZY" + base.substring(50)
+    val docs = Seq((1L, base), (2L, edited), (3L, "tiny"), (4L, ""))
+      .toDF("doc_id", "text")
+    for (fast <- Seq(false, true)) {
+      val ch = Dedup.contentChunks(docs, "text", "doc_id", window = 16,
+        fastHash = fast).collect()
+        .groupBy(_.getLong(0)).map { case (d, rs) =>
+          d -> rs.sortBy(_.getLong(1)) }
+      // tiling: starts begin at 1, each next start = prev end + 1,
+      // lengths sum to the doc length
+      for ((d, txt) <- Seq(1L -> base, 2L -> edited, 3L -> "tiny")) {
+        val rows = ch(d)
+        assert(rows.head.getLong(2) == 1L, s"fast=$fast doc $d start")
+        assert(rows.map(_.getLong(3)).sum == txt.length, s"fast=$fast doc $d len")
+        rows.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.getLong(2) == a.getLong(2) + a.getLong(3))
+          case _ =>
+        }
+      }
+      assert(!ch.contains(4L), "empty doc emits no chunks")
+      assert(ch(3L).length == 1, "short doc is one whole chunk")
+      // insertion robustness: the 5-char insert at position 50 disturbs
+      // only the chunks it touches — boundaries re-sync after it, so
+      // most chunk hashes are SHARED between the two versions (offset
+      // or fixed-width chunking would share none past the edit)
+      val h1 = ch(1L).map(_.getString(4)).toSet
+      val h2 = ch(2L).map(_.getString(4)).toSet
+      val shared = (h1 & h2).size
+      assert(shared >= h1.size / 2,
+        s"fast=$fast: only $shared of ${h1.size} chunks survived a 5-char insert")
+      assert(h1 != h2, "the edited chunk itself must differ")
+    }
+    // the md5 and xxhash64 boundary families chunk DIFFERENTLY (expected)
+    // but both feed the same dup machinery: stats rows exist per doc
+    val st = Dedup.contentChunkStats(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st.keySet == Set(1L, 2L, 3L))
+  }
+
   test("paragraph dedup: cross-doc canonical pick, normalization, and cut") {
     val docs = Seq(
       (1L, "p1\n\nshared\n\np2"),

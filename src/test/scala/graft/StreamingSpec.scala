@@ -48,6 +48,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI equals the batch psi contrib sum; drift alarm fires on shift") {
+    import org.apache.spark.sql.functions._
+    val batchEv = graft.core.Tables.load(spark, sf, "events")
+    val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+    val ref = batchEv.filter(col("ts") < cut)
+    val refCounts = graft.stats.Planners
+      .histogram(ref, "value", 0.0, 500.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refVec = (0 until 10).map(b => refCounts.getOrElse(b.toLong, 0L))
+    // one huge window covers the whole slice, so the stream's final
+    // emission is the full-slice PSI
+    val out = EventStream.streamingPsi(spark,
+      EventStream.readEvents(spark, streamDir)
+        .filter(col("ts") >= cut),
+      "value", "ts", refVec, lo = 0.0, hi = 500.0, nBins = 10,
+      windowSec = 365L * 24 * 3600)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("psi_stream").start()
+    try {
+      q.processAllAvailable()
+      // update mode re-emits per batch: the row with the max count is final
+      val rows = spark.sql(
+        "SELECT window_start_us, n_events, psi FROM psi_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val fin = rows.maxBy(_._2)
+      val batchPsi = graft.ops.Profile.psi(ref,
+          batchEv.filter(col("ts") >= cut), "value", 0.0, 500.0, 10)
+        .agg(sum(col("contrib"))).head().getDouble(0)
+      assert(math.abs(fin._3 - batchPsi) < 1e-6,
+        s"stream ${fin._3} vs batch $batchPsi")
+      assert(fin._2 == batchEv.filter(col("ts") >= cut &&
+        col("value").isNotNull).count())
+      // identical-distribution sanity: a stream measured against its OWN
+      // histogram is (near) zero; a shifted one alarms
+      val curCounts = graft.stats.Planners
+        .histogram(batchEv.filter(col("ts") >= cut), "value", 0.0, 500.0, 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val curVec = (0 until 10).map(b => curCounts.getOrElse(b.toLong, 0L))
+      val self = EventStream.streamingPsi(spark,
+        EventStream.readEvents(spark, streamDir).filter(col("ts") >= cut),
+        "value", "ts", curVec, 0.0, 500.0, 10, 365L * 24 * 3600)
+      val q2 = self.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("psi_self").start()
+      try {
+        q2.processAllAvailable()
+        val sp = spark.sql("SELECT n_events, psi FROM psi_self")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).maxBy(_._1)._2
+        assert(sp < 1e-4, s"self-PSI should be ~0, got $sp")
+        assert(fin._3 > sp, "drifted slice must score above the self baseline")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming EWMA equals the batch fold bit-for-bit") {
     val out = EventStream.streamingEwma(spark,
       EventStream.readEvents(spark, streamDir),
