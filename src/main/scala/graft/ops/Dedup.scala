@@ -1289,10 +1289,12 @@ object Dedup {
    * trade. Output: (doc_id, chunk_idx, chunk_start, chunk_len,
    * chunk_hash), 1-based start, hash = md5 of the chunk text.
    */
-  def contentChunks(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+  /** (starts, ends) 1-based chunk ranges of `txt` under the
+    * content-defined boundary rule — the row-local core shared by the
+    * chunking family. */
+  private def chunkRanges(txt: Column, window: Int,
+      fastHash: Boolean): (Column, Column) = {
     require(window >= 2, "window must be >= 2")
-    val txt = col(textCol)
     val isBoundary: Column => Column = i => {
       val win = txt.substr(i - (window - 1), lit(window))
       if (fastHash) pmod(xxhash64(win), lit(64L)) === 0L
@@ -1307,8 +1309,14 @@ object Dedup {
     val bpos = when(n - 1 >= window,
       filter(sequence(lit(window), n - 1), isBoundary))
       .otherwise(array().cast("array<int>"))
-    val starts = concat(array(lit(1)), transform(bpos, b => b + 1))
-    val ends = concat(bpos, array(n))
+    (concat(array(lit(1)), transform(bpos, b => b + 1)),
+      concat(bpos, array(n)))
+  }
+
+  def contentChunks(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+    val txt = col(textCol)
+    val (starts, ends) = chunkRanges(txt, window, fastHash)
     df.filter(length(txt) > 0)
       .select(col(idCol).cast("long").as("doc_id"), txt.as("__t"),
         posexplode(zip_with(starts, ends, (s, e) =>
@@ -1362,4 +1370,66 @@ object Dedup {
         sum(when(col("is_dup"), col("chunk_len")).otherwise(0L)).as("dup_chars"),
         round(sum(when(col("is_dup"), col("chunk_len")).otherwise(0L))
           .cast("double") / sum(col("chunk_len")), 6).as("dup_frac"))
+
+  /** Distinct chunk-content hashes of a corpus — [[contentChunks]]' grain
+    * of [[paragraphHashIndex]]: persist THIS (16 bytes per distinct
+    * chunk, never the text) as the state an incremental ingest cuts
+    * against. Same `window`/`fastHash` MUST be used on both sides. */
+  def contentChunkHashIndex(df: DataFrame, textCol: String,
+      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+    val txt = col(textCol)
+    val (starts, ends) = chunkRanges(txt, window, fastHash)
+    df.filter(length(txt) > 0)
+      .select(explode(zip_with(starts, ends,
+        (s, e) => md5(txt.substr(s, e - s + 1)))).as("chunk_hash"))
+      .distinct()
+  }
+
+  /**
+   * Incremental content-defined chunk cut — the ingest form of the
+   * chunk-dedup family: drop from each new-batch doc every chunk that is
+   * (a) already in the corpus's [[contentChunkHashIndex]] or (b) a
+   * within-batch repeat of an earlier (doc, idx) occurrence, then
+   * rebuild the doc from its surviving chunk ranges. Empty/blank batch
+   * docs emit no rows (they have no chunks — the [[contentChunks]]
+   * convention).
+   *
+   * Scale shape: the batch chunks once (skinny hash rows), the verdicts
+   * come back as ONE small (doc, drop-idx-set) row per affected doc, and
+   * the rebuild is a row-local range filter + substring concat over the
+   * doc's own text — batch bodies never shuffle, the index side joins on
+   * the 16-byte hash. Output: (doc_id, clean_text, n_chunks, n_dropped).
+   */
+  def dropKnownChunks(batch: DataFrame, textCol: String, idCol: String,
+      index: DataFrame, window: Int = 16,
+      fastHash: Boolean = false): DataFrame = {
+    val ck = contentChunks(batch, textCol, idCol, window, fastHash)
+    val canon = ck.groupBy(col("chunk_hash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__c"))
+      .select(col("chunk_hash"), col("__c.doc_id").as("__cd"),
+        col("__c.chunk_idx").as("__ci"))
+    val withinDups = ck.join(canon, Seq("chunk_hash"))
+      .filter(col("__cd") =!= col("doc_id") || col("__ci") =!= col("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"))
+    val known = ck.join(index, Seq("chunk_hash"), "left_semi")
+      .select(col("doc_id"), col("chunk_idx"))
+    val drops = withinDups.union(known)
+      .groupBy(col("doc_id")).agg(collect_set(col("chunk_idx")).as("__drop"))
+    val txt = col(textCol)
+    val (starts, ends) = chunkRanges(txt, window, fastHash)
+    batch.filter(length(txt) > 0)
+      .select(col(idCol).cast("long").as("doc_id"), txt.as("__t"),
+        starts.as("__s"), ends.as("__e"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(transform(
+          filter(sequence(lit(1), size(col("__s"))), i =>
+            !array_contains(coalesce(col("__drop"),
+              array().cast("array<bigint>")), i.cast("long"))),
+          i => col("__t").substr(element_at(col("__s"), i),
+            element_at(col("__e"), i) - element_at(col("__s"), i) + 1)),
+          "").as("clean_text"),
+        size(col("__s")).cast("long").as("n_chunks"),
+        coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"))
+  }
 }

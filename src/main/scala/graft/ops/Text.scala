@@ -789,6 +789,50 @@ object Text {
   }
 
   /**
+   * Checksum-validated payment-card scrub: candidate digit runs (13–19
+   * digits, optional single space/dash group separators) are VERIFIED
+   * with the Luhn check before redaction, so order ids, timestamps and
+   * tracking numbers that merely look card-shaped survive — the
+   * false-positive control a bare regex scrub ([[scrubPii]]) cannot
+   * give. Valid candidates are replaced with `<CARD>` wherever they
+   * occur; invalid ones are left untouched and reported, so a release
+   * audit can eyeball the near-misses.
+   *
+   * Pure Catalyst: candidates via `regexp_extract_all`, the Luhn sum an
+   * `aggregate` HOF over the candidate's reversed digit string (double
+   * every second digit, subtract 9 above 9), the redaction a fold of
+   * literal `replace` calls over the validated list — one narrow
+   * codegen projection, no shuffle, stream-legal; fuses into the scan
+   * stage next to [[scrubPii]]. The regex stays in the Java ∩ RE2
+   * subset so external engines replay the decision. Output:
+   * (id, clean_text, n_cards, n_rejected).
+   */
+  def scrubCards(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // 13-19 digits with optional single separators; \b keeps mid-number
+    // starts and longer digit runs out on both engines
+    val cardPat = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+    val cands = array_distinct(
+      regexp_extract_all(col(textCol), lit(cardPat), lit(0)))
+    val luhnValid: Column => Column = c => {
+      val ds = reverse(regexp_replace(c, "[^0-9]", ""))
+      val s = aggregate(sequence(lit(1), length(ds)), lit(0),
+        (acc, i) => {
+          val d = ds.substr(i, lit(1)).cast("int")
+          val dbl = when(pmod(i, lit(2)) === 0,
+            when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+          acc + dbl
+        })
+      pmod(s, lit(10)) === 0
+    }
+    val valid = filter(cands, luhnValid)
+    df.select(col(idCol),
+      aggregate(valid, col(textCol),
+        (acc, c) => replace(acc, c, lit("<CARD>"))).as("clean_text"),
+      size(valid).cast("long").as("n_cards"),
+      (size(cands) - size(valid)).cast("long").as("n_rejected"))
+  }
+
+  /**
    * Corpus text normalization: Unicode NFC composition (custom codegen'd
    * [[graft.functions.NfcNormalize]] expression — Spark has no built-in),
    * then control characters (C0 + DEL) and NBSP replaced by spaces, runs

@@ -781,6 +781,45 @@ object CurationQ extends QueryGroup {
           |    THEN CAST(chunk_len AS DOUBLE) ELSE 0.0 END) / SUM(chunk_len), 6) AS dup_frac
           |FROM cc GROUP BY doc_id""".stripMargin)),
 
+    // Incremental chunk cut: first half of the seeded corpus is the
+    // persisted 16-byte chunk-hash index, the second half ingests
+    // against it — drop chunks already known to the corpus AND
+    // within-batch repeats, rebuild each doc from its surviving ranges.
+    QueryDef("q_content_chunk_incremental",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").withColumn("text",
+          concat(col("text"), when(col("doc_id") % 4 === 0,
+            lit(CdcBoilerplate)).otherwise(lit(""))))
+        val index = Dedup.contentChunkHashIndex(
+          docs.filter(col("doc_id") < 250), "text", window = 16)
+        Dedup.dropKnownChunks(docs.filter(col("doc_id") >= 250),
+          "text", "doc_id", index, window = 16)
+      },
+      Some(cdcKeysSql(s"(SELECT doc_id, text || CASE WHEN doc_id % 4 = 0" +
+          s" THEN '$CdcBoilerplate' ELSE '' END AS text FROM documents)") + ",\n" +
+        """ck AS (SELECT doc_id, ci,
+          |    md5(substr(text, CAST(starts[ci] AS BIGINT),
+          |      CAST(ends[ci] - starts[ci] + 1 AS BIGINT))) AS h FROM x),
+          |idx AS (SELECT DISTINCT h FROM ck WHERE doc_id < 250),
+          |kb AS (SELECT * FROM ck WHERE doc_id >= 250),
+          |cb AS (SELECT *, FIRST_VALUE(doc_id) OVER w AS cd,
+          |    FIRST_VALUE(ci) OVER w AS cc
+          |  FROM kb WINDOW w AS (PARTITION BY h ORDER BY doc_id, ci)),
+          |dl0 AS (
+          |  SELECT doc_id, ci FROM cb WHERE cd <> doc_id OR cc <> ci
+          |  UNION
+          |  SELECT kb.doc_id, kb.ci FROM kb JOIN idx USING (h)),
+          |dups AS (SELECT doc_id, list(ci) AS dl FROM dl0 GROUP BY doc_id)
+          |SELECT c.doc_id,
+          |  array_to_string(list_transform(list_filter(range(1, len(starts) + 1),
+          |    i -> NOT list_contains(coalesce(dl, CAST([] AS BIGINT[])), i)),
+          |    i -> substr(text, CAST(starts[i] AS BIGINT),
+          |      CAST(ends[i] - starts[i] + 1 AS BIGINT))), '') AS clean_text,
+          |  CAST(len(starts) AS BIGINT) AS n_chunks,
+          |  CAST(coalesce(len(dl), 0) AS BIGINT) AS n_dropped
+          |FROM c LEFT JOIN dups USING (doc_id)
+          |WHERE c.doc_id >= 250""".stripMargin)),
+
     // Main-content block segmentation (jusText heuristic): the fixture
     // wraps each doc in page chrome — a link-dense <nav>, the doc text
     // split across a <div> and a <p> with one inline anchor, a link-heavy

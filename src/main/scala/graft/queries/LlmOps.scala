@@ -1147,6 +1147,52 @@ object LlmOps extends QueryGroup {
               |  ROUND(COALESCE(sj.n_shared, 0) * 1.0 / cz.n_shingles, 6) >= 0.5 AS flagged
               |FROM cz LEFT JOIN sj USING(doc_id)""".stripMargin)),
 
+    // Luhn-validated card scrub: seeded VALID numbers (bare Visa %3,
+    // dash-grouped %5, 15-digit Amex %7) redact; a seeded card-SHAPED
+    // but checksum-failing run (%2) survives and is counted rejected —
+    // the false-positive control the bare regex scrub lacks. The oracle
+    // replays candidate extraction, the Luhn fold, and the literal
+    // replace chain with DuckDB list lambdas.
+    QueryDef("q_text_scrub_cards",
+      (s, dir) => {
+        val seeded = Tables.load(s, dir, "documents").withColumn("text2",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit(" pay with 4111111111111111 now")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit(" card 4012-8888-8888-1881 on file")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit(" amex 378282246310005 works")).otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              lit(" order 1234-5678-9012-3456 shipped")).otherwise(lit(""))))
+        Text.scrubCards(seeded, "text2", "doc_id")
+      },
+      Some {
+        val pat = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+        s"""WITH s AS (SELECT doc_id, text
+           |    || CASE WHEN doc_id % 3 = 0 THEN ' pay with 4111111111111111 now' ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 0 THEN ' card 4012-8888-8888-1881 on file' ELSE '' END
+           |    || CASE WHEN doc_id % 7 = 0 THEN ' amex 378282246310005 works' ELSE '' END
+           |    || CASE WHEN doc_id % 2 = 0 THEN ' order 1234-5678-9012-3456 shipped' ELSE '' END AS t
+           |  FROM documents),
+           |c AS (SELECT doc_id, t,
+           |    list_distinct(regexp_extract_all(t, '$pat')) AS cands FROM s),
+           |v AS (SELECT doc_id, t, cands,
+           |    list_filter(cands, x ->
+           |      list_sum(list_transform(range(1, length(regexp_replace(x, '[^0-9]', '', 'g')) + 1),
+           |        i -> CASE WHEN i % 2 = 0
+           |          THEN CASE WHEN CAST(substr(reverse(regexp_replace(x, '[^0-9]', '', 'g')), CAST(i AS BIGINT), 1) AS INT) * 2 > 9
+           |            THEN CAST(substr(reverse(regexp_replace(x, '[^0-9]', '', 'g')), CAST(i AS BIGINT), 1) AS INT) * 2 - 9
+           |            ELSE CAST(substr(reverse(regexp_replace(x, '[^0-9]', '', 'g')), CAST(i AS BIGINT), 1) AS INT) * 2 END
+           |          ELSE CAST(substr(reverse(regexp_replace(x, '[^0-9]', '', 'g')), CAST(i AS BIGINT), 1) AS INT) END))
+           |      % 10 = 0) AS valid FROM c)
+           |SELECT doc_id,
+           |  list_reduce(list_prepend(t, valid), (a, b) -> replace(a, b, '<CARD>')) AS clean_text,
+           |  CAST(len(valid) AS BIGINT) AS n_cards,
+           |  CAST(len(cands) - len(valid) AS BIGINT) AS n_rejected
+           |FROM v""".stripMargin
+      }),
+
     // PII scrub with deterministically seeded PII (the synthetic corpus
     // has none), so the masking regexes are exercised cross-engine
     QueryDef("q_text_scrub_pii",

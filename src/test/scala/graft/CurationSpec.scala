@@ -254,6 +254,60 @@ class CurationSpec extends SparkSpec {
     assert(!c.getBoolean(c.fieldIndex("keep")))
   }
 
+  test("scrubCards: Luhn-valid numbers redact, lookalikes survive and count as rejected") {
+    val docs = Seq(
+      (1L, "pay 4111111111111111 or 4012-8888-8888-1881 today"),
+      (2L, "order 1234-5678-9012-3456 shipped"), // card-shaped, Luhn-fails
+      (3L, "call 555-123-4567 x89"), // 10 digits: below candidate floor
+      (4L, "amex 378282246310005 fine"), // 15-digit valid
+      (5L, "nothing numeric here")
+    ).toDF("doc_id", "text")
+    val out = Text.scrubCards(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("pay <CARD> or <CARD> today", 2L, 0L)))
+    assert(out(2L) == (("order 1234-5678-9012-3456 shipped", 0L, 1L)),
+      "checksum-failing candidate survives and is reported")
+    assert(out(3L) == (("call 555-123-4567 x89", 0L, 0L)),
+      "a 10-digit phone never becomes a candidate")
+    assert(out(4L) == (("amex <CARD> fine", 1L, 0L)))
+    assert(out(5L) == (("nothing numeric here", 0L, 0L)))
+  }
+
+  test("dropKnownChunks: known chunks cut, fresh text survives, within-batch repeats drop") {
+    // seed scaled FAR past any position index: streams from different
+    // seeds must not be shifted copies of each other (seed + i alone
+    // would make them overlap — and content-defined chunking would,
+    // correctly, dedup the overlap)
+    def rndText(seed: Long, n: Int): String = (1 to n).map { i =>
+      var z = (seed * 1000003L + i) * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 31); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 27)
+      val r = java.lang.Long.remainderUnsigned(z, 27)
+      if (r == 26) ' ' else ('a' + r).toChar
+    }.mkString
+    val corpusText = rndText(11L, 800)
+    val freshText = rndText(99L, 800)
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val index = Dedup.contentChunkHashIndex(corpus, "text")
+    // batch: an exact re-ingest of the corpus doc, a fresh doc, and a
+    // second copy of the fresh doc (within-batch repeat)
+    val batch = Seq((10L, corpusText), (11L, freshText), (12L, freshText))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropKnownChunks(batch, "text", "doc_id", index)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L)._1 == "" && out(10L)._2 == out(10L)._3,
+      "a re-ingested doc loses every chunk")
+    assert(out(11L) == ((freshText, out(11L)._2, 0L)),
+      "fresh text passes through byte-identical")
+    assert(out(12L)._1 == "" && out(12L)._3 == out(12L)._2,
+      "the within-batch second copy drops fully")
+    // surviving ranges stitch back losslessly: cutting nothing = identity
+    val none = Dedup.dropKnownChunks(batch,
+      "text", "doc_id", index.limit(0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(none(10L) == corpusText && none(11L) == freshText)
+  }
+
   test("domainQualityGate: farms block, good sites survive a bad page, thin evidence exempts") {
     val docs = Seq(
       // spam.farm: 3 uniformly poor pages -> blocked
