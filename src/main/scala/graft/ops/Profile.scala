@@ -130,6 +130,47 @@ object Profile {
   }
 
   /**
+   * Benford first-significant-digit audit: the distribution of leading
+   * digits of `valueCol` against Benford's law p(d) = log₁₀(1 + 1/d) —
+   * the classic fabricated-data / unit-mixing screen for numeric
+   * telemetry (naturally-arising multiplicative quantities follow it;
+   * uniform synthetics and capped counters don't). Emits one row per
+   * digit 1–9 (observed n, p_obs, p_exp, the χ² contribution) plus the
+   * total χ² and max |p_obs − p_exp| (the MAD-style alarm) repeated per
+   * row, the [[graft.stats.Planners.calibrationReport]] constant-column
+   * convention. Zero/null values carry no leading digit and are skipped;
+   * signs and decimal points are irrelevant by construction (the digit
+   * comes from |v| scaled into [1, 10)).
+   *
+   * ONE hash aggregate to a 9-row table + a window over it — nothing
+   * scales with the input. The leading digit is computed arithmetically
+   * (floor(|v| / 10^floor(log10 |v|))), not by string inspection, so
+   * both engines agree on doubles.
+   */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = abs(col(valueCol).cast("double"))
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val digits = df.filter(col(valueCol).isNotNull && v > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(1, 10).select(col("id").cast("int").as("digit"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    grid.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        log10(lit(1.0) + lit(1.0) / col("digit")).as("__pe"))
+      .withColumn("__N", sum(col("n")).over(all))
+      .withColumn("__po", col("n").cast("double") / col("__N"))
+      .select(col("digit"), col("n"),
+        round(col("__po"), 6).as("p_obs"),
+        round(col("__pe"), 6).as("p_exp"),
+        round(pow(col("n") - col("__N") * col("__pe"), 2) /
+          (col("__N") * col("__pe")), 6).as("chi2_contrib"),
+        round(sum(pow(col("n") - col("__N") * col("__pe"), 2) /
+          (col("__N") * col("__pe"))).over(all), 6).as("chi2"),
+        round(max(abs(col("__po") - col("__pe"))).over(all), 6).as("max_dev"))
+  }
+
+  /**
    * Per-group categorical composition: Shannon entropy (nats), category
    * count, and the majority category with its share — the one-line
    * answer to "how mixed is this group?" asked of packed training

@@ -448,6 +448,30 @@ object Relational extends QueryGroup {
              |    AS contrib
              |FROM h CROSS JOIN t""".stripMargin)),
 
+    // Benford first-digit audit over order totals (a naturally
+    // multiplicative quantity): per digit, observed vs log10(1+1/d)
+    // expectation, chi2 contributions and the max-deviation alarm.
+    QueryDef("q_benford",
+      (s, dir) => graft.ops.Profile.benford(
+        Tables.load(s, dir, "orders"), "o_totalprice"),
+      Some("""WITH v AS (SELECT ABS(CAST(o_totalprice AS DOUBLE)) AS a
+             |  FROM orders WHERE o_totalprice IS NOT NULL
+             |    AND ABS(CAST(o_totalprice AS DOUBLE)) > 0),
+             |d AS (SELECT CAST(FLOOR(a / POWER(10.0, FLOOR(LOG10(a)))) AS INT) AS digit
+             |  FROM v),
+             |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+             |g AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit),
+             |j AS (SELECT g.digit, COALESCE(c.n, 0) AS n,
+             |    LOG10(1.0 + 1.0 / g.digit) AS pe FROM g LEFT JOIN c USING (digit)),
+             |t AS (SELECT SUM(n) AS nn FROM j)
+             |SELECT digit, CAST(n AS BIGINT) AS n,
+             |  ROUND(CAST(n AS DOUBLE) / nn, 6) AS p_obs,
+             |  ROUND(pe, 6) AS p_exp,
+             |  ROUND(POWER(n - nn * pe, 2) / (nn * pe), 6) AS chi2_contrib,
+             |  ROUND(SUM(POWER(n - nn * pe, 2) / (nn * pe)) OVER (), 6) AS chi2,
+             |  ROUND(MAX(ABS(CAST(n AS DOUBLE) / nn - pe)) OVER (), 6) AS max_dev
+             |FROM j CROSS JOIN t""".stripMargin)),
+
     // Key-skew diagnosis over the event log's user distribution.
     QueryDef("q_skew_report",
       (s, dir) => graft.ops.Skew.report(Tables.load(s, dir, "events"),

@@ -1810,6 +1810,28 @@ class OpsSpec extends SparkSpec {
     assert(pruned == Set(1L))
   }
 
+  test("benford: digit extraction across magnitudes; geometric data conforms, uniform alarms") {
+    import graft.ops.Profile
+    // digit extraction: sign, scale and decimals are irrelevant
+    val probe = Seq(0.05, -523.0, 999.0, 1.0, 0.0, 7e9).toDF("v")
+    val got = Profile.benford(probe, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(5L.toInt) == 2L && got(9) == 1L && got(1) == 1L && got(7) == 1L)
+    assert(got.values.sum == 5L, "zero carries no leading digit")
+    // a geometric sequence is exactly Benford in the limit; 10^k grids
+    // hit digit 1 only — use growth 1.07 over 300 steps for a close fit
+    val geo = (1 to 300).map(i => math.pow(1.07, i)).toDF("v")
+    val gRows = Profile.benford(geo, "v").collect()
+    val gChi = gRows.head.getAs[Double]("chi2")
+    // uniform integers 100-999 put ~1/9 mass on every digit — far off
+    val uni = (100 to 999).map(_.toDouble).toDF("v")
+    val uChi = Profile.benford(uni, "v").collect().head.getAs[Double]("chi2")
+    assert(gChi < 20 && uChi > 100, s"geo $gChi vs uniform $uChi")
+    // expectations are the law itself and sum to 1
+    assert(math.abs(gRows.map(_.getAs[Double]("p_exp")).sum - 1.0) < 1e-4)
+    assert(gRows.length == 9, "all nine digits present even when unobserved")
+  }
+
   test("correlationMatrix: exact linear dependence and sign") {
     import graft.ops.Profile
     val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),

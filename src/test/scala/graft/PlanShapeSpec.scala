@@ -494,6 +494,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(anti.nonEmpty, s"expected the maxBucket broadcast anti-join in:\n$s")
   }
 
+  test("q_content_chunks: chunking is a narrow projection — zero shuffles") {
+    val p = plan("q_content_chunks")
+    assert(shuffles(p).isEmpty,
+      s"content-defined chunking must never shuffle text, got:\n$p")
+  }
+
+  test("q_content_chunk_dedup: only skinny hash rows shuffle; no window funnel") {
+    val p = plan("q_content_chunk_dedup")
+    // the canonical pick must be a partial-aggregating groupBy-min, not a
+    // window over the hash partition (the hot-boilerplate funnel)
+    assert(!p.toString.contains("Window"),
+      s"canonical pick must map-side combine, got a Window in:\n$p")
+    // no shuffle may carry the text column — only (doc, idx, len, hash)
+    shuffles(p).foreach { e =>
+      val cols = e.output.map(_.name.toLowerCase)
+      assert(!cols.exists(_.contains("text")),
+        s"a shuffle carries text columns: $cols")
+    }
+  }
+
+  test("q_attribution: journey assignment has NO join operator") {
+    val p = plan("q_attribution")
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"attribution must be the union+carry scan, got joins in:\n$p")
+  }
+
+  test("q_domain_quality_gate: domain stats broadcast back; corpus never shuffles") {
+    val p = plan("q_domain_quality_gate")
+    assert(p.collectFirst { case j: BroadcastHashJoinExec => j }.isDefined,
+      s"domain stats must broadcast-join back, got:\n$p")
+    assert(p.collectFirst { case j: SortMergeJoinExec => j }.isEmpty,
+      "the corpus side must not sort-merge")
+    // every shuffle feeds the k-row domain aggregate (under the
+    // broadcast), so nothing corpus-sized crosses the wire
+    val bulk = shuffles(p).toSet -- underBroadcast(p)
+    assert(bulk.isEmpty, s"unexpected corpus-side shuffle:\n$bulk")
+  }
+
+  test("q_text_scrub_cards: Luhn scrub is one shuffle-free scan") {
+    val p = plan("q_text_scrub_cards")
+    assert(shuffles(p).isEmpty,
+      s"card scrub must fuse into the scan stage, got shuffles in:\n$p")
+  }
+
   test("q_text_repetition_gopher: the whole 21-counter gate is ONE shuffle-free scan") {
     val p = plan("q_text_repetition_gopher")
     assert(shuffles(p).isEmpty,
