@@ -151,7 +151,10 @@ object Bench {
     // round-20 (per-query only): content-defined chunk dedup (the
     // O(len) windowed-hash scan is the cost driver), multi-touch
     // attribution (union+carry journey scan), HITS link analysis
-    "q_content_chunk_dedup", "q_attribution", "q_hits")
+    "q_content_chunk_dedup", "q_attribution", "q_hits",
+    // the gear boundary expression vs the windowed-md5 chunk scan: the
+    // two chunkings of the same corpus price the O(1)-per-char claim
+    "q_content_chunks_gear", "q_content_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

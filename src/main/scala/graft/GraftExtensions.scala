@@ -4,9 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DeflateRatio, MinHashMd5, MinHashXx, NfcNormalize,
-  RepetitionStats, SimHash16, SimHash64, UnigramEncode, VecCosine, VecL2Sq,
-  WinnowSelect, WordPieceEncode, WordShingles, WordShinglesAll}
+import graft.functions.{DeflateRatio, GearBoundaries, MinHashMd5, MinHashXx,
+  NfcNormalize, RepetitionStats, SimHash16, SimHash64, UnigramEncode,
+  VecCosine, VecL2Sq, WinnowSelect, WordPieceEncode, WordShingles,
+  WordShinglesAll}
 
 /**
  * SQL surface for the library's custom Catalyst expressions — the
@@ -135,6 +136,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       args => { arity("repetition_stats", 1, args)
         RepetitionStats(args(0)) }),
+    (FunctionIdentifier("gear_boundaries"),
+      new ExpressionInfo(classOf[GearBoundaries].getName, "gear_boundaries"),
+      args => { arity("gear_boundaries", 3, args)
+        GearBoundaries(args(0), litInt(args(1), "gear_boundaries"),
+          litInt(args(2), "gear_boundaries")) }),
     (FunctionIdentifier("wordpiece_encode"),
       new ExpressionInfo(classOf[WordPieceEncode].getName, "wordpiece_encode"),
       args => { arity("wordpiece_encode", 3, args)

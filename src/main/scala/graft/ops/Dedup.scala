@@ -1317,6 +1317,12 @@ object Dedup {
       window: Int = 16, fastHash: Boolean = false): DataFrame = {
     val txt = col(textCol)
     val (starts, ends) = chunkRanges(txt, window, fastHash)
+    chunkTable(df, txt, idCol, starts, ends)
+  }
+
+  /** The chunk-table explode shared by the boundary families. */
+  private def chunkTable(df: DataFrame, txt: Column, idCol: String,
+      starts: Column, ends: Column): DataFrame =
     df.filter(length(txt) > 0)
       .select(col(idCol).cast("long").as("doc_id"), txt.as("__t"),
         posexplode(zip_with(starts, ends, (s, e) =>
@@ -1326,6 +1332,25 @@ object Dedup {
         (col("__c.e") - col("__c.s") + 1).cast("long").as("chunk_len"),
         md5(col("__t").substr(col("__c.s"),
           col("__c.e") - col("__c.s") + 1)).as("chunk_hash"))
+
+  /**
+   * [[contentChunks]] with GEAR rolling-hash boundaries
+   * ([[graft.functions.GearBoundaries]]) — the production boundary
+   * family for the 100 TB ingest scan: O(1) hash work per character
+   * where the windowed md5/xxhash64 rules pay a full `window`-char
+   * digest at every position. Same output contract and downstream
+   * machinery; a DIFFERENT chunking (boundary families never agree),
+   * so pick one family per corpus and persist it with the index.
+   * Expected chunk length 2^maskBits characters.
+   */
+  def contentChunksGear(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, maskBits: Int = 6): DataFrame = {
+    import graft.functions.GearBoundaries.gearBoundaries
+    val txt = col(textCol)
+    val bpos = gearBoundaries(txt, window, maskBits)
+    val starts = concat(array(lit(1)), transform(bpos, b => b + 1))
+    val ends = concat(bpos, array(length(txt)))
+    chunkTable(df, txt, idCol, starts, ends)
   }
 
   /**

@@ -781,6 +781,16 @@ object CurationQ extends QueryGroup {
           |    THEN CAST(chunk_len AS DOUBLE) ELSE 0.0 END) / SUM(chunk_len), 6) AS dup_frac
           |FROM cc GROUP BY doc_id""".stripMargin)),
 
+    // Production-path chunking: GEAR rolling-hash boundaries (O(1) per
+    // char vs the windowed md5's O(window)) — rows-only: the gear table
+    // is not expressible to an external engine; CurationSpec ties the
+    // family invariants (tiling, edit re-sync) and the md5 variant above
+    // stays the oracle fixture.
+    QueryDef("q_content_chunks_gear",
+      (s, dir) => Dedup.contentChunksGear(Tables.load(s, dir, "documents"),
+        "text", "doc_id", window = 16, maskBits = 6),
+      None),
+
     // Incremental chunk cut: first half of the seeded corpus is the
     // persisted 16-byte chunk-hash index, the second half ingests
     // against it — drop chunks already known to the corpus AND

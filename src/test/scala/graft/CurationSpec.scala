@@ -375,6 +375,48 @@ class CurationSpec extends SparkSpec {
     val st = Dedup.contentChunkStats(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(st.keySet == Set(1L, 2L, 3L))
+
+    // GEAR production family: same tiling + re-sync contract, and the
+    // expression agrees with a direct Scala reference of the gear rule
+    val gch = Dedup.contentChunksGear(docs, "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.sortBy(_.getLong(1)) }
+    for ((d, txt) <- Seq(1L -> base, 2L -> edited, 3L -> "tiny")) {
+      val rows = gch(d)
+      assert(rows.head.getLong(2) == 1L)
+      assert(rows.map(_.getLong(3)).sum == txt.length, s"gear doc $d tiling")
+    }
+    val g1 = gch(1L).map(_.getString(4)).toSet
+    val g2 = gch(2L).map(_.getString(4)).toSet
+    assert((g1 & g2).size >= g1.size / 2 && g1 != g2,
+      s"gear re-sync: ${(g1 & g2).size} of ${g1.size} shared")
+    // reference replay of the boundary rule on the base doc
+    val gear = {
+      val t = Array.tabulate(256) { i =>
+        var z = (i + 1) * 0x9E3779B97F4A7C15L
+        z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+        z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      var h = 0L
+      val bs = scala.collection.mutable.ArrayBuffer[Int]()
+      for (i <- 0 until base.length - 1) {
+        h = (h << 1) + t(base.charAt(i) & 0xff)
+        if (i + 1 >= 16 && (h & 63L) == 0L) bs += (i + 1)
+      }
+      bs.toSeq
+    }
+    val wantStarts = (1 +: gear.map(_ + 1)).map(_.toLong)
+    assert(gch(1L).map(_.getLong(2)).toSeq == wantStarts,
+      "expression boundaries equal the reference gear scan")
+    // registered as a SQL function through the extensions
+    graft.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("gear_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, gear_boundaries(text, 16, 6) AS b FROM gear_docs WHERE doc_id = 1")
+      .collect().head.getSeq[Int](1)
+    assert(viaSql.map(_.toLong + 1) == wantStarts.drop(1),
+      "SQL-registered expression matches")
   }
 
   test("paragraph dedup: cross-doc canonical pick, normalization, and cut") {
