@@ -1334,6 +1334,56 @@ object Dedup {
           col("__c.e") - col("__c.s") + 1)).as("chunk_hash"))
 
   /**
+   * Row-local APPROXIMATE chunk cut against a Bloom sketch of the corpus
+   * [[contentChunkHashIndex]] — the STREAMING form of [[dropKnownChunks]]
+   * at content-defined grain: no explode, no regroup, no state, so it is
+   * append-mode legal and each micro-batch row filters its own chunk
+   * ranges through the broadcast-sized sketch (probe is Spark's
+   * codegen'd `BloomFilterMightContain` over `xxhash64`).
+   *
+   * Bloom semantics as in [[dropKnownParagraphsBloom]]: no false
+   * negatives (provably-unseen chunks are always kept); `fpp` of
+   * genuinely-novel chunks false-positive and are cut — boilerplate
+   * scrubbing on a live feed, not provenance-critical removal.
+   * Within-batch repeats are NOT cut (no cross-row state) — run the
+   * exact [[dropKnownChunks]] pass at compaction time. The index must
+   * have been built with the SAME `window`/`fastHash` family.
+   */
+  def dropKnownChunksBloom(docs: DataFrame, textCol: String, idCol: String,
+      index: DataFrame, expectedItems: Long = 0L, fpp: Double = 0.01,
+      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(index.count(), 1L)
+    val bf = index.select(xxhash64(col("chunk_hash")).as("h"))
+      .stat.bloomFilter("h", items, fpp)
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    val bytes = os.toByteArray
+    def novel(chunk: Column): Column =
+      !CatalystBridge.column(BloomFilterMightContain(
+        Literal(bytes), CatalystBridge.expression(xxhash64(md5(chunk)))))
+    val txt = col(textCol)
+    val (starts, ends) = chunkRanges(txt, window, fastHash)
+    docs.filter(length(txt) > 0)
+      .select(col(idCol).cast("long").as("doc_id"), txt.as("__t"),
+        zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e")))
+          .as("__r"))
+      .select(col("doc_id"), col("__r"),
+        filter(col("__r"), r => novel(col("__t").substr(r.getField("s"),
+          r.getField("e") - r.getField("s") + 1))).as("__kept"),
+        col("__t"))
+      .select(col("doc_id"),
+        array_join(transform(col("__kept"), r =>
+          col("__t").substr(r.getField("s"),
+            r.getField("e") - r.getField("s") + 1)), "").as("clean_text"),
+        size(col("__r")).cast("long").as("n_chunks"),
+        (size(col("__r")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
+  /**
    * [[contentChunks]] with GEAR rolling-hash boundaries
    * ([[graft.functions.GearBoundaries]]) — the production boundary
    * family for the 100 TB ingest scan: O(1) hash work per character

@@ -260,10 +260,14 @@ object Temporal {
    *
    * Output: keys, `conv_ts`, `channelCol`, `touch_ts`, tiebreakCol,
    * `touch_rank`, `n_touches`, the four credit columns (6-dp rounded).
+   * With `halfLifeSec` set, a fifth model `credit_time_decay` is
+   * appended: weights 0.5^(age/halfLife) normalized per journey — recent
+   * touches earn more, still summing to 1.
    */
   def attribution(df: DataFrame, keys: Seq[String], tsCol: String,
       typeCol: String, conversionType: String, channelCol: String,
-      tiebreakCol: String, lookbackSec: Option[Long] = None): DataFrame = {
+      tiebreakCol: String, lookbackSec: Option[Long] = None,
+      halfLifeSec: Option[Long] = None): DataFrame = {
     val kc = keys.map(col)
     val conv = df.filter(col(typeCol) === conversionType)
       .select(kc :+ col(tsCol).as("_t") :+ lit(0).as("_side")
@@ -296,7 +300,7 @@ object Temporal {
         .when(col("n_touches") === 2, 0.5)
         .when(rk === 1 || rk === col("n_touches"), 0.4)
         .otherwise(lit(0.2) / (n - 2))
-    inWindow
+    val base = inWindow
       .withColumn("touch_rank", row_number().over(order).cast("long"))
       .withColumn("n_touches", count(lit(1)).over(journey))
       .select(kc ++ Seq(col("conv_ts"), col("_ch").as(channelCol),
@@ -306,6 +310,17 @@ object Temporal {
         when(rk === col("n_touches"), 1.0).otherwise(0.0).as("credit_last"),
         round(lit(1.0) / n, 6).as("credit_linear"),
         round(positional, 6).as("credit_position")): _*)
+    halfLifeSec match {
+      case None => base
+      case Some(hl) =>
+        require(hl >= 1, "halfLifeSec must be >= 1")
+        val journey2 = Window.partitionBy(kc :+ col("conv_ts"): _*)
+        val w = pow(lit(0.5),
+          (unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")))
+            .cast("double") / 1000000.0 / hl)
+        base.withColumn("credit_time_decay",
+          round(w / sum(w).over(journey2), 6))
+    }
   }
 
   /**

@@ -216,6 +216,29 @@ object TemporalQ extends QueryGroup {
              |    ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END AS DOUBLE), 6) AS credit_position
              |FROM r""".stripMargin)),
 
+    // Time-decay attribution: the halfLife model over a 1-day half-life
+    // — weights 0.5^(age_s/86400) normalized per journey; recency wins
+    // but every in-journey touch keeps nonzero credit.
+    QueryDef("q_attribution_decay",
+      (s, dir) => Temporal.attribution(Tables.load(s, dir, "events"),
+        Seq("user_id"), "ts", "event_type", conversionType = "purchase",
+        channelCol = "event_type", tiebreakCol = "event_id",
+        halfLifeSec = Some(86400L))
+        .select(col("user_id"), col("conv_ts"), col("event_id"),
+          col("credit_time_decay")),
+      Some("""WITH u AS (SELECT user_id, ts, event_type, event_id,
+             |    CASE WHEN event_type = 'purchase' THEN ts END AS pts FROM events),
+             |w AS (SELECT *, MIN(pts) OVER (PARTITION BY user_id
+             |    ORDER BY ts DESC, (event_type = 'purchase') DESC, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_ts FROM u),
+             |a AS (SELECT user_id, conv_ts, event_id,
+             |    POWER(0.5, (epoch_us(conv_ts) - epoch_us(ts)) / 1000000.0 / 86400.0) AS wt
+             |  FROM w WHERE event_type <> 'purchase' AND conv_ts IS NOT NULL)
+             |SELECT user_id, conv_ts, event_id,
+             |  ROUND(wt / SUM(wt) OVER (PARTITION BY user_id, conv_ts), 6)
+             |    AS credit_time_decay
+             |FROM a""".stripMargin)),
+
     // Funnel: earliest signup -> click -> purchase chain per user
     // (nested-min semantics, >= so same-instant progressions count).
     QueryDef("q_funnel",

@@ -933,6 +933,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk Bloom cut: append-legal, equals the batch form") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_chunk_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.core.Tables.load(spark, sf, "documents")
+    // a long seeded boilerplate block so interior chunks hit the sketch
+    val boiler = " subscribe to our newsletter for updates and offers." +
+      " this website uses cookies to improve your experience. all rights" +
+      " reserved by the publisher of this content. terms of service apply."
+    def seeded(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(boiler)).otherwise(lit(""))))
+    val index = Dedup.contentChunkHashIndex(
+      seeded(batchDocs).filter(col("doc_id") < 100), "text")
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+    val q = Dedup.dropKnownChunksBloom(seeded(docsStream), "text", "doc_id",
+        index, expectedItems = 4096, fpp = 0.001)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunk_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, clean_text, n_dropped FROM chunk_stream")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val want = Dedup.dropKnownChunksBloom(seeded(batchDocs), "text", "doc_id",
+          index, expectedItems = 4096, fpp = 0.001)
+        .select("doc_id", "clean_text", "n_dropped")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(got == want && got.nonEmpty)
+      // seeded boilerplate chunks are actually cut on streamed docs >= 100
+      assert(got.exists { case (id, (_, d)) => id >= 100 && id % 3 == 0 && d > 0 })
+    } finally q.stop()
+  }
+
   test("streaming CDC apply: one batch emits the batch merge's non-carried rows plus tombstones") {
     import org.apache.spark.sql.functions._
     import graft.ops.Temporal

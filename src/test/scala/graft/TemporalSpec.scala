@@ -250,6 +250,31 @@ class TemporalSpec extends SparkSpec {
     assert(two == Seq(0.5, 0.5))
   }
 
+  test("attribution time-decay: half-life halves credit weight per hour of age") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), "view"),   // age 3h -> w 0.125
+      (2L, 1L, ts("2024-01-01 10:00:00"), "click"),  // age 2h -> w 0.25
+      (3L, 1L, ts("2024-01-01 11:00:00"), "view"),   // age 1h -> w 0.5
+      (4L, 1L, ts("2024-01-01 12:00:00"), "purchase"),
+      (5L, 1L, ts("2024-01-01 14:00:00"), "purchase"),
+      (6L, 1L, ts("2024-01-01 14:00:00"), "click")   // age 0 -> sole touch
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Temporal.attribution(ev, Seq("user_id"), "ts", "event_type",
+      "purchase", "event_type", "event_id", halfLifeSec = Some(3600L))
+    val rows = out.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("credit_time_decay"))
+      .toMap
+    // weights 0.125/0.25/0.5 over sum 0.875, 6-dp rounded
+    assert(rows(1L) == 0.142857 && rows(2L) == 0.285714 && rows(3L) == 0.571429)
+    assert(rows(6L) == 1.0) // zero-age sole touch gets everything
+    // still a distribution per journey (up to rounding)
+    out.groupBy(col("user_id"), col("conv_ts"))
+      .agg(sum(col("credit_time_decay")).as("d")).collect()
+      .foreach(r => assert(math.abs(r.getAs[Double]("d") - 1.0) < 1e-4))
+    // recency strictly wins within a journey
+    assert(rows(3L) > rows(2L) && rows(2L) > rows(1L))
+  }
+
   test("downsample keeps exactly the last event per key-bucket") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 09:10:00"), 1.0),
