@@ -630,4 +630,137 @@ object Temporal {
     df.withColumn("_xs", xs)
       .select(keep :+ folded.as("ewma"): _*)
   }
+
+  /**
+   * First-order Markov transition matrix over an event-type sequence:
+   * per entity, each event hands off to its successor (ordered by
+   * `tsCol` + tiebreak), and the (from, to) handoffs aggregate to
+   * counts and row-normalized probabilities — the next-event model
+   * behind journey Sankeys, anomaly scoring (improbable transitions)
+   * and synthetic-session generators.
+   *
+   * Output: `from_state, to_state, n, p` (p = n / Σ n per from_state,
+   * 6 dp). Scale shape: ONE shuffle by `keys` for the lead window, then
+   * a hash agg to (from, to) grain — S² rows for S states, so the
+   * normalizing window runs on a table the size of the state-space
+   * square, not the event log.
+   */
+  def markovTransitions(df: DataFrame, keys: Seq[String], tsCol: String,
+      stateCol: String, tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    val counts = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull && col(stateCol).isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("from_state"))
+    counts.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(tot), 6))
+  }
+
+  /**
+   * Frequent event n-grams: every length-`n` run of consecutive states
+   * per entity, counted corpus-wide — the sequence-mining complement of
+   * [[markovTransitions]] (n = 2 recovers its counts). `minCount`
+   * prunes the long tail before it leaves the aggregation.
+   * Output: `ngram` (states joined with " -> "), `n`. Same ONE-shuffle
+   * shape: lead window per key, hash agg on the ngram string.
+   */
+  def eventNgrams(df: DataFrame, keys: Seq[String], tsCol: String,
+      stateCol: String, n: Int, tiebreak: Seq[String] = Nil,
+      minCount: Long = 1L): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    val steps = (1 until n).map(k => lead(col(stateCol), k).over(w))
+    val parts = col(stateCol) +: steps
+    df.withColumn("__g",
+        when(parts.map(_.isNotNull).reduce(_ && _),
+          concat_ws(" -> ", parts: _*)))
+      .filter(col("__g").isNotNull)
+      .groupBy(col("__g").as("ngram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /**
+   * Per-key sample autocorrelation at lags 1..`maxLag` (the standard
+   * biased estimator: Σ dev_t·dev_{t+k} / Σ dev_t², deviations from the
+   * key's own mean) — the seasonality/periodicity probe run before
+   * choosing resample grain or EWMA alpha.
+   *
+   * Output: keys, `lag`, `n_pairs`, `acf` (6 dp; null when the key's
+   * series has zero variance or fewer than lag+1 points). Scale shape:
+   * the full-partition mean, the ordered lead columns and the final
+   * per-key aggregation all share ONE hash partitioning by `keys` —
+   * a single exchange end-to-end; lags unpivot driver-free from the
+   * aggregated (key-grain) row.
+   */
+  def autocorrelation(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, maxLag: Int, tiebreak: Seq[String] = Nil): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val kc = keys.map(col)
+    val ord = Window.partitionBy(kc: _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    val all = Window.partitionBy(kc: _*)
+    val dev = col(valueCol).cast("double") - avg(col(valueCol)).over(all)
+    val withLags = (1 to maxLag).foldLeft(
+        df.withColumn("__d", dev)) { (d, k) =>
+      d.withColumn(s"__l$k", lead(col("__d"), k).over(ord))
+    }
+    val aggs = sum(col("__d") * col("__d")).as("__ss") +:
+      (1 to maxLag).flatMap(k => Seq(
+        sum(col("__d") * col(s"__l$k")).as(s"__num$k"),
+        count(col(s"__l$k")).as(s"__np$k")))
+    val agg = withLags.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to maxLag).map(k =>
+      struct(lit(k).cast("long").as("lag"), col(s"__np$k").as("n_pairs"),
+        round(when(col("__ss") > 0, col(s"__num$k") / col("__ss")), 6)
+          .as("acf")))
+    agg.select(kc :+ explode(array(rows: _*)).as("__r"): _*)
+      .select(kc ++ Seq(col("__r.lag"), col("__r.n_pairs"), col("__r.acf")): _*)
+  }
+
+  /**
+   * Mean-shift changepoint scan: at each boundary, compare the `w`
+   * points immediately before against the `w` starting at the point;
+   * score = |Δmean| / pooled sample std. Only boundaries with BOTH
+   * windows full are scored (edges can't witness a shift), and a zero
+   * pooled std (two locally-constant windows) yields a null score —
+   * a level CHANGE between them is the textbook changepoint, but with
+   * no variance there is no scale to grade it on, so it is flagged via
+   * the `flat_shift` column instead of an infinite score.
+   *
+   * Output: keys, `tsCol`, tiebreak, `mean_before`, `mean_after`,
+   * `score` (6 dp), `flat_shift`, `is_changepoint` (score > threshold
+   * OR a nonzero flat shift). ONE shuffle: both frames ride the same
+   * key partitioning.
+   */
+  def meanShiftChangepoints(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, w: Int, threshold: Double,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(w >= 2, "w must be >= 2 (sample variance needs 2 points)")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    val before = ord.rowsBetween(-w, -1)
+    val after = ord.rowsBetween(Window.currentRow, w - 1)
+    val v = col(valueCol).cast("double")
+    val pooled = sqrt((var_samp(v).over(before) + var_samp(v).over(after)) / 2)
+    val delta = abs(avg(v).over(after) - avg(v).over(before))
+    df.withColumn("__nb", count(v).over(before))
+      .withColumn("__na", count(v).over(after))
+      .withColumn("mean_before", round(avg(v).over(before), 6))
+      .withColumn("mean_after", round(avg(v).over(after), 6))
+      .withColumn("__sd", pooled)
+      .withColumn("__delta", delta)
+      .filter(col("__nb") === w && col("__na") === w)
+      .withColumn("score",
+        round(when(col("__sd") > 0, col("__delta") / col("__sd")), 6))
+      .withColumn("flat_shift", col("__sd") === 0 && col("__delta") > 0)
+      .withColumn("is_changepoint",
+        coalesce(col("score") > threshold, lit(false)) || col("flat_shift"))
+      .select((keys ++ Seq(tsCol) ++ tiebreak).map(col) ++ Seq(
+        col("mean_before"), col("mean_after"), col("score"),
+        col("flat_shift"), col("is_changepoint")): _*)
+  }
 }

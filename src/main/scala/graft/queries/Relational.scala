@@ -488,6 +488,63 @@ object Relational extends QueryGroup {
              |  ROUND(2.0 * SUM(CAST(i AS DOUBLE) * c)
              |      / (CAST(COUNT(*) AS DOUBLE) * SUM(c))
              |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Data-quality expectations suite: five single-scan column checks
+    // over orders, the lineitem->orders foreign key, and a freshness
+    // gate — the promote-this-snapshot report. Mixed verdicts by
+    // construction: the 200k price ceiling and the {O,F} status set
+    // both fail partially, everything else passes.
+    QueryDef("q_expectations",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val li = Tables.load(s, dir, "lineitem")
+        graft.ops.Expect.report(orders, Seq(
+            graft.ops.Expect.Complete("o_custkey"),
+            graft.ops.Expect.Unique(Seq("o_orderkey")),
+            graft.ops.Expect.InRange("o_totalprice", 0, 200000, 0.9),
+            graft.ops.Expect.InSet("o_orderstatus", Seq("O", "F"), 0.99),
+            graft.ops.Expect.Matches("o_orderpriority", "^[0-9]-")))
+          .unionByName(graft.ops.Expect.referential(
+            li, "l_orderkey", orders, "o_orderkey"))
+          .unionByName(graft.ops.Expect.freshness(
+            orders, "o_orderdate", "2001-09-01 00:00:00", 90L * 86400))
+      },
+      Some("""WITH m AS (SELECT COUNT(*) AS n, COUNT(o_custkey) AS c_cust,
+             |    COUNT(DISTINCT o_orderkey) AS d_key,
+             |    COUNT(o_orderkey) AS nn_key,
+             |    COUNT(CASE WHEN o_totalprice BETWEEN 0 AND 200000 THEN 1 END) AS r_price,
+             |    COUNT(o_totalprice) AS nn_price,
+             |    COUNT(CASE WHEN o_orderstatus IN ('O','F') THEN 1 END) AS s_stat,
+             |    COUNT(o_orderstatus) AS nn_stat,
+             |    COUNT(CASE WHEN regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 END) AS m_prio,
+             |    COUNT(o_orderpriority) AS nn_prio,
+             |    MAX(o_orderdate) AS mx
+             |  FROM orders),
+             |ri AS (SELECT COUNT(*) AS t,
+             |    COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS orph
+             |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |    ON l.l_orderkey = o.o_orderkey
+             |  WHERE l.l_orderkey IS NOT NULL),
+             |rows_ AS (
+             |  SELECT 'complete' AS check_name, 'o_custkey' AS target,
+             |    ROUND(c_cust*1.0/n, 6) AS value, CAST(1.0 AS DOUBLE) AS threshold, 'ge' AS op FROM m
+             |  UNION ALL SELECT 'unique', 'o_orderkey',
+             |    ROUND(d_key*1.0/nn_key, 6), CAST(1.0 AS DOUBLE), 'ge' FROM m
+             |  UNION ALL SELECT 'in_range', 'o_totalprice',
+             |    ROUND(r_price*1.0/nn_price, 6), CAST(0.9 AS DOUBLE), 'ge' FROM m
+             |  UNION ALL SELECT 'in_set', 'o_orderstatus',
+             |    ROUND(s_stat*1.0/nn_stat, 6), CAST(0.99 AS DOUBLE), 'ge' FROM m
+             |  UNION ALL SELECT 'matches', 'o_orderpriority',
+             |    ROUND(m_prio*1.0/nn_prio, 6), CAST(1.0 AS DOUBLE), 'ge' FROM m
+             |  UNION ALL SELECT 'referential', 'l_orderkey->o_orderkey',
+             |    ROUND(orph*1.0/t, 6), CAST(0.0 AS DOUBLE), 'le' FROM ri
+             |  UNION ALL SELECT 'freshness', 'o_orderdate',
+             |    (epoch_us(TIMESTAMP '2001-09-01 00:00:00') - epoch_us(mx))/1000000.0,
+             |    CAST(7776000.0 AS DOUBLE), 'le' FROM m)
+             |SELECT check_name, target, value, threshold, op,
+             |  coalesce(CASE WHEN op = 'ge' THEN value >= threshold
+             |    ELSE value <= threshold END, false) AS passed
+             |FROM rows_""".stripMargin))
   )
 }

@@ -239,6 +239,87 @@ object TemporalQ extends QueryGroup {
              |    AS credit_time_decay
              |FROM a""".stripMargin)),
 
+    // First-order Markov transition matrix over per-user event-type
+    // sequences: handoff counts + row-normalized next-event probability.
+    QueryDef("q_markov_transitions",
+      (s, dir) => Temporal.markovTransitions(Tables.load(s, dir, "events"),
+        Seq("user_id"), "ts", "event_type", tiebreak = Seq("event_id")),
+      Some("""WITH s AS (SELECT event_type AS f,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS t
+             |  FROM events),
+             |c AS (SELECT f AS from_state, t AS to_state, COUNT(*) AS n
+             |  FROM s WHERE t IS NOT NULL AND f IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+             |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+             |FROM c""".stripMargin)),
+
+    // Frequent event 3-grams (sequence mining over the same handoff
+    // window; minCount prunes the tail inside the aggregation).
+    QueryDef("q_event_ngrams",
+      (s, dir) => Temporal.eventNgrams(Tables.load(s, dir, "events"),
+        Seq("user_id"), "ts", "event_type", n = 3,
+        tiebreak = Seq("event_id"), minCount = 5L),
+      Some("""WITH s AS (SELECT event_type AS a,
+             |    LEAD(event_type, 1) OVER w AS b,
+             |    LEAD(event_type, 2) OVER w AS c
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT a || ' -> ' || b || ' -> ' || c AS ngram,
+             |  CAST(COUNT(*) AS BIGINT) AS n
+             |FROM s WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+             |GROUP BY 1 HAVING COUNT(*) >= 5""".stripMargin)),
+
+    // Per-user sample ACF at lags 1..3 over the event value series —
+    // deviations from the user's own mean, biased estimator.
+    QueryDef("q_autocorrelation",
+      (s, dir) => Temporal.autocorrelation(Tables.load(s, dir, "events"),
+        Seq("user_id"), "ts", "value", maxLag = 3,
+        tiebreak = Seq("event_id")),
+      Some("""WITH d AS (SELECT user_id, ts, event_id,
+             |    value - AVG(value) OVER (PARTITION BY user_id) AS dv
+             |  FROM events),
+             |l AS (SELECT user_id, dv,
+             |    LEAD(dv, 1) OVER w AS l1, LEAD(dv, 2) OVER w AS l2,
+             |    LEAD(dv, 3) OVER w AS l3
+             |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |a AS (SELECT user_id, SUM(dv*dv) AS ss,
+             |    SUM(dv*l1) AS n1, COUNT(l1) AS p1,
+             |    SUM(dv*l2) AS n2, COUNT(l2) AS p2,
+             |    SUM(dv*l3) AS n3, COUNT(l3) AS p3
+             |  FROM l GROUP BY 1)
+             |SELECT user_id, CAST(1 AS BIGINT) AS lag, CAST(p1 AS BIGINT) AS n_pairs,
+             |  CASE WHEN ss > 0 THEN ROUND(n1/ss, 6) END AS acf FROM a
+             |UNION ALL SELECT user_id, 2, p2,
+             |  CASE WHEN ss > 0 THEN ROUND(n2/ss, 6) END FROM a
+             |UNION ALL SELECT user_id, 3, p3,
+             |  CASE WHEN ss > 0 THEN ROUND(n3/ss, 6) END FROM a""".stripMargin)),
+
+    // Mean-shift changepoint scan: 5-before vs 5-from-here windows per
+    // user, |dmean|/pooled-std score, both-full boundaries only.
+    QueryDef("q_changepoints",
+      (s, dir) => Temporal.meanShiftChangepoints(
+        Tables.load(s, dir, "events"), Seq("user_id"), "ts", "value",
+        w = 5, threshold = 2.0, tiebreak = Seq("event_id")),
+      Some("""WITH s AS (SELECT user_id, ts, event_id, value,
+             |    COUNT(value) OVER wb AS nb, COUNT(value) OVER wa AS na,
+             |    AVG(value) OVER wb AS mb, AVG(value) OVER wa AS ma,
+             |    VAR_SAMP(value) OVER wb AS vb, VAR_SAMP(value) OVER wa AS va
+             |  FROM events
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+             |    wa AS (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+             |SELECT user_id, ts, event_id,
+             |  ROUND(mb, 6) AS mean_before, ROUND(ma, 6) AS mean_after,
+             |  CASE WHEN sqrt((vb+va)/2) > 0
+             |    THEN ROUND(ABS(ma-mb)/sqrt((vb+va)/2), 6) END AS score,
+             |  (sqrt((vb+va)/2) = 0 AND ABS(ma-mb) > 0) AS flat_shift,
+             |  coalesce(CASE WHEN sqrt((vb+va)/2) > 0
+             |      THEN ROUND(ABS(ma-mb)/sqrt((vb+va)/2), 6) END > 2.0, false)
+             |    OR (sqrt((vb+va)/2) = 0 AND ABS(ma-mb) > 0) AS is_changepoint
+             |FROM s WHERE nb = 5 AND na = 5""".stripMargin)),
+
     // Funnel: earliest signup -> click -> purchase chain per user
     // (nested-min semantics, >= so same-instant progressions count).
     QueryDef("q_funnel",

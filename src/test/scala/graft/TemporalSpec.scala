@@ -275,6 +275,83 @@ class TemporalSpec extends SparkSpec {
     assert(rows(3L) > rows(2L) && rows(2L) > rows(1L))
   }
 
+  test("markov transitions + event n-grams: hand-computed handoffs") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), "A"),
+      (2L, 1L, ts("2024-01-01 10:00:00"), "B"),
+      (3L, 1L, ts("2024-01-01 11:00:00"), "A"),
+      (4L, 1L, ts("2024-01-01 12:00:00"), "B"),
+      (5L, 2L, ts("2024-01-01 09:00:00"), "A"),
+      (6L, 2L, ts("2024-01-01 10:00:00"), "A"),
+      (7L, 2L, ts("2024-01-01 11:00:00"), "C")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val m = Temporal.markovTransitions(ev, Seq("user_id"), "ts",
+        "event_type", Seq("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(m == Map(("A", "B") -> (2L, 0.5), ("B", "A") -> (1L, 1.0),
+      ("A", "A") -> (1L, 0.25), ("A", "C") -> (1L, 0.25)))
+    // n=2 n-grams recover the markov counts; n=3 runs hand-checked
+    val g2 = Temporal.eventNgrams(ev, Seq("user_id"), "ts", "event_type", 2,
+      Seq("event_id")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 == Map("A -> B" -> 2L, "B -> A" -> 1L, "A -> A" -> 1L,
+      "A -> C" -> 1L))
+    val g3 = Temporal.eventNgrams(ev, Seq("user_id"), "ts", "event_type", 3,
+      Seq("event_id")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g3 == Map("A -> B -> A" -> 1L, "B -> A -> B" -> 1L,
+      "A -> A -> C" -> 1L))
+    // minCount prunes inside the aggregation
+    assert(Temporal.eventNgrams(ev, Seq("user_id"), "ts", "event_type", 2,
+      Seq("event_id"), minCount = 2L).count() == 1)
+  }
+
+  test("autocorrelation: hand-computed lags, zero-variance null, short series") {
+    val ev = (1 to 4).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 0$i:00:00"), i.toDouble)) ++ Seq(
+      // key 2: constant -> ss = 0 -> null acf
+      (5L, 2L, ts("2024-01-01 01:00:00"), 7.0),
+      (6L, 2L, ts("2024-01-01 02:00:00"), 7.0))
+    val df = ev.toDF("event_id", "user_id", "ts", "value")
+    val out = Temporal.autocorrelation(df, Seq("user_id"), "ts", "value",
+        maxLag = 3, tiebreak = Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("lag")) ->
+        (r.getAs[Long]("n_pairs"), Option(r.getAs[java.lang.Double]("acf"))
+          .map(_.toDouble))).toMap
+    // series 1,2,3,4: dev -1.5,-0.5,.5,1.5, ss=5; lag sums 1.25,-1.5,-2.25
+    assert(out((1L, 1L)) == (3L, Some(0.25)))
+    assert(out((1L, 2L)) == (2L, Some(-0.3)))
+    assert(out((1L, 3L)) == (1L, Some(-0.45)))
+    // constant series: pairs exist but acf is null (no variance)
+    assert(out((2L, 1L)) == (1L, None))
+    // lag beyond the series: zero pairs, null acf
+    assert(out((2L, 3L)) == (0L, None))
+  }
+
+  test("mean-shift changepoints: full-window gating, score, flat shift") {
+    val ev = Seq(
+      // key 1: two constant levels -> flat shift at the boundary
+      (1L, 1L, 1.0), (2L, 1L, 1.0), (3L, 1L, 5.0), (4L, 1L, 5.0),
+      // key 2: ramp -> scored shift 2/sqrt(0.5)
+      (5L, 2L, 1.0), (6L, 2L, 2.0), (7L, 2L, 3.0), (8L, 2L, 4.0)
+    ).map { case (id, u, v) =>
+      (id, u, ts(f"2024-01-01 ${(id - 1) % 4 + 1}%02d:00:00"), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = Temporal.meanShiftChangepoints(ev, Seq("user_id"), "ts",
+        "value", w = 2, threshold = 1.0, tiebreak = Seq("event_id"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    // only the both-windows-full boundary rows survive
+    assert(out.keySet == Set(3L, 7L))
+    val flat = out(3L)
+    assert(flat.getAs[Double]("mean_before") == 1.0 &&
+      flat.getAs[Double]("mean_after") == 5.0)
+    assert(flat.getAs[java.lang.Double]("score") == null &&
+      flat.getAs[Boolean]("flat_shift") && flat.getAs[Boolean]("is_changepoint"))
+    val ramp = out(7L)
+    assert(ramp.getAs[Double]("score") == 2.828427) // 2 / sqrt(0.5)
+    assert(!ramp.getAs[Boolean]("flat_shift") &&
+      ramp.getAs[Boolean]("is_changepoint"))
+  }
+
   test("downsample keeps exactly the last event per key-bucket") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 09:10:00"), 1.0),
