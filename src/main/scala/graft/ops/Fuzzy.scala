@@ -70,4 +70,51 @@ object Fuzzy {
     values.join(groups, Seq("name"), "left")
       .select(col("name"), coalesce(col("canonical_id"), col("name")).as("canon"))
   }
+
+  /**
+   * Golden-record survivorship: collapse the duplicate rows of an
+   * entity into ONE canonical row with per-field conflict resolution —
+   * the merge step that follows [[canonicalize]] / [[Dedup.dedupGroups]]
+   * in an MDM pipeline. Two policies:
+   *  - `recencyFields`: the latest NON-NULL value by (`tsCol`,
+   *    `tiebreakCol`) wins — stale rows fill gaps but never overwrite
+   *    fresher data;
+   *  - `majorityFields`: the most frequent non-null value wins, ties
+   *    broken by the smallest value (deterministic mode).
+   * Output: `entityCol`, every resolved field (original names), and
+   * `n_records` merged. Null only when the field is null across ALL of
+   * the entity's records.
+   *
+   * Scale shape: recency resolves in ONE groupBy(entity) pass — each
+   * field is a max over a (ts, tiebreak, value) struct whose null-value
+   * rows sort first (struct ordering is field-lexicographic, nulls
+   * smallest), so no window and no second shuffle; majority fields each
+   * add a (entity, value)-grain count + a per-entity max-struct pick,
+   * joined back on entity. All joins are entity-grain (post-agg, small).
+   */
+  def goldenRecord(df: DataFrame, entityCol: String, tsCol: String,
+      tiebreakCol: String, recencyFields: Seq[String],
+      majorityFields: Seq[String] = Nil): DataFrame = {
+    require(recencyFields.nonEmpty || majorityFields.nonEmpty,
+      "need at least one field to resolve")
+    val recencyAggs = recencyFields.map { f =>
+      max(struct(
+        when(col(f).isNotNull, col(tsCol)).as("t"),
+        when(col(f).isNotNull, col(tiebreakCol)).as("k"),
+        col(f).as("v"))).getField("v").as(f)
+    }
+    val base = df.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_records"), recencyAggs: _*)
+    majorityFields.foldLeft(base) { (acc, f) =>
+      // (entity, value) counts, then min value among max-count rows —
+      // the counts subtree appears twice but is one ReusedExchange.
+      val counts = df.filter(col(f).isNotNull)
+        .groupBy(col(entityCol), col(f)).agg(count(lit(1)).as("__c"))
+      val top = counts.groupBy(col(entityCol)).agg(max(col("__c")).as("__mx"))
+      val pick = counts.join(top, Seq(entityCol))
+        .filter(col("__c") === col("__mx"))
+        .groupBy(col(entityCol)).agg(min(col(f)).as(f))
+      acc.join(pick, Seq(entityCol), "left")
+    }
+  }
 }

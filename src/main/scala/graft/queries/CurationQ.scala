@@ -521,6 +521,33 @@ object CurationQ extends QueryGroup {
              |  SELECT r.name, e.nb FROM reach r JOIN e ON e.na = r.peer)
              |SELECT name, MIN(peer) AS canon FROM reach GROUP BY name""".stripMargin)),
 
+    // Golden-record survivorship over the event log: per user, the
+    // latest non-null value/props by (ts, event_id) and the modal
+    // event_type (min value on count ties) — the MDM merge that follows
+    // fuzzy consolidation.
+    QueryDef("q_golden_record",
+      (s, dir) => Fuzzy.goldenRecord(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id",
+        recencyFields = Seq("value", "props"),
+        majorityFields = Seq("event_type")),
+      Some("""WITH r AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_records
+             |  FROM events GROUP BY 1),
+             |v AS (SELECT DISTINCT user_id,
+             |    last_value(value IGNORE NULLS) OVER w AS value,
+             |    last_value(props IGNORE NULLS) OVER w AS props
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+             |m AS (SELECT user_id, event_type, COUNT(*) AS c FROM events
+             |  WHERE event_type IS NOT NULL GROUP BY 1, 2),
+             |mm AS (SELECT user_id, MAX(c) AS mx FROM m GROUP BY 1),
+             |pick AS (SELECT m.user_id, MIN(event_type) AS event_type
+             |  FROM m JOIN mm ON m.user_id = mm.user_id AND m.c = mm.mx
+             |  GROUP BY 1)
+             |SELECT r.user_id, r.n_records, v.value, v.props, pick.event_type
+             |FROM r LEFT JOIN v USING (user_id)
+             |LEFT JOIN pick USING (user_id)""".stripMargin)),
+
     // Cross-source shingle-overlap matrix: shared distinct 3-gram counts
     // + set Jaccard per source pair (the "which sources need cross-dedup"
     // diagnostic); group-grain distinct bounds the self-join fan-out

@@ -490,6 +490,53 @@ object Relational extends QueryGroup {
              |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
              |FROM r""".stripMargin)),
 
+    // Market-basket frequent items: parts appearing in >= 40 orders.
+    QueryDef("q_frequent_items",
+      (s, dir) => graft.ops.Basket.frequentItems(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 40L),
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+             |SELECT i AS item, CAST(COUNT(*) AS BIGINT) AS support
+             |FROM p GROUP BY 1 HAVING COUNT(*) >= 40""".stripMargin)),
+
+    // Frequent co-purchased part pairs (support >= 2). The Spark side
+    // Apriori-prunes and caps basket size; both are support-neutral, so
+    // the oracle runs the naive self-join.
+    QueryDef("q_frequent_pairs",
+      (s, dir) => graft.ops.Basket.frequentPairs(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L),
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL)
+             |SELECT a.i AS item_a, b2.i AS item_b,
+             |  CAST(COUNT(*) AS BIGINT) AS support
+             |FROM p a JOIN p b2 ON a.b = b2.b AND a.i < b2.i
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
+
+    // Association rules from the frequent pairs, both directions, with
+    // confidence and lift against the whole-corpus base rate.
+    QueryDef("q_association_rules",
+      (s, dir) => graft.ops.Basket.associationRules(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2L),
+      Some("""WITH p AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+             |sup AS (SELECT i, COUNT(*) AS s FROM p GROUP BY 1),
+             |nb AS (SELECT COUNT(DISTINCT b) AS n FROM p),
+             |pr AS (SELECT a.i AS ia, b2.i AS ib, COUNT(*) AS support
+             |  FROM p a JOIN p b2 ON a.b = b2.b AND a.i < b2.i
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |dirs AS (SELECT ia AS antecedent, ib AS consequent, support FROM pr
+             |  UNION ALL SELECT ib, ia, support FROM pr)
+             |SELECT antecedent, consequent, CAST(support AS BIGINT) AS support,
+             |  ROUND(CAST(support AS DOUBLE) / sa.s, 6) AS confidence,
+             |  ROUND(CAST(support AS DOUBLE) * nb.n / (sa.s * sc.s), 6) AS lift
+             |FROM dirs
+             |JOIN sup sa ON sa.i = dirs.antecedent
+             |JOIN sup sc ON sc.i = dirs.consequent
+             |CROSS JOIN nb""".stripMargin)),
+
     // Data-quality expectations suite: five single-scan column checks
     // over orders, the lineitem->orders foreign key, and a freshness
     // gate — the promote-this-snapshot report. Mixed verdicts by
