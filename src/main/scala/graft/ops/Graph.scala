@@ -217,4 +217,62 @@ object Graph {
       labels.select(col("doc_id").as(aCol), col("canonical_id").as(bCol))
         .unionByName(newPairs.select(col(aCol), col(bCol))),
       aCol, bCol, maxIter)
+
+  /**
+   * Per-vertex triangle counts + local clustering coefficient over an
+   * undirected graph (edges de-duped to `a < b` canon, self-loops
+   * dropped) — the community-density signal next to [[pageRank]] /
+   * [[connectedComponents]], and the classic join-shape benchmark.
+   *
+   * Scale shape: the textbook degree-ordered orientation. Each edge is
+   * directed from its lower-degree endpoint (ties by vertex id), which
+   * bounds every vertex's OUT-degree by O(√m) on any graph — so the
+   * wedge self-join (out-neighbors × out-neighbors per source) can't
+   * explode on a celebrity vertex the way a naive neighbor join does:
+   * the 10⁷-degree hub receives its edges, it never fans them out. The
+   * closing join is a plain equi-join of wedges against the canonical
+   * edge set. Every triangle is found exactly once (its lowest-order
+   * vertex emits the wedge), then credited to all three corners with
+   * one explode + hash agg.
+   *
+   * Output: `vertex`, `degree`, `triangles`, `clustering`
+   * (2·t / d(d−1), 6 dp; null for degree < 2).
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    // orient low-degree -> high-degree (ties by id: a < b already canon)
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("degree").as("__da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("degree").as("__db")), Seq("b"))
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("d")))
+          .otherwise(struct(col("b").as("s"), col("a").as("d"))).as("__e"))
+      .select(col("__e.s").as("s"), col("__e.d").as("d"))
+    val wedges = oriented.alias("l")
+      .join(oriented.alias("r"), col("l.s") === col("r.s") &&
+        col("l.d") < col("r.d"))
+      .select(col("l.s").as("w0"), col("l.d").as("w1"), col("r.d").as("w2"))
+    val tris = wedges.join(e,
+      col("a") === least(col("w1"), col("w2")) &&
+        col("b") === greatest(col("w1"), col("w2")), "left_semi")
+    val perVertex = tris
+      .select(explode(array(col("w0"), col("w1"), col("w2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("triangles"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v").as("vertex"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
+  }
 }

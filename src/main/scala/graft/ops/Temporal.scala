@@ -736,6 +736,45 @@ object Temporal {
    * OR a nonzero flat shift). ONE shuffle: both frames ride the same
    * key partitioning.
    */
+  /**
+   * Seasonal-baseline anomaly scoring: each point is z-scored against
+   * the mean/std of its own season bucket (hour-of-day by default) —
+   * the "is 3am traffic normal FOR 3am" detector that a raw global
+   * z-score gets wrong on any series with a daily cycle. Compare
+   * [[meanShiftChangepoints]] (level shifts) vs this (point outliers
+   * against a cyclic profile).
+   *
+   * Output: idCols, `tsCol`, `valueCol`, `season`, `season_mean`,
+   * `season_std` (6 dp), `z` (6 dp; null when the bucket has no
+   * variance or fewer than `minBucket` points), `is_anomaly`
+   * (|z| > threshold). Scale shape: the profile is a groupBy to
+   * BUCKET grain (24 rows for hours — map-side combine does all the
+   * work) broadcast back onto the stream of points; no row-grain
+   * shuffle, no window — a 24-partition window would put 1/24th of
+   * 100 TB in one task.
+   */
+  def seasonalAnomalies(df: DataFrame, tsCol: String, valueCol: String,
+      threshold: Double = 3.0, minBucket: Long = 2L,
+      idCols: Seq[String] = Nil): DataFrame = {
+    val season = hour(col(tsCol).cast("timestamp")).cast("long")
+    val v = col(valueCol).cast("double")
+    val prof = df.select(season.as("season"), v.as("__v"))
+      .groupBy("season")
+      .agg(count(col("__v")).as("__n"), avg(col("__v")).as("__m"),
+        stddev_samp(col("__v")).as("__s"))
+    val z = when(col("__s") > 0 && col("__n") >= minBucket,
+      (v - col("__m")) / col("__s"))
+    df.withColumn("season", season)
+      .join(broadcast(prof), Seq("season"))
+      .withColumn("season_mean", round(col("__m"), 6))
+      .withColumn("season_std", round(col("__s"), 6))
+      .withColumn("z", round(z, 6))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold, lit(false)))
+      .select((idCols ++ Seq(tsCol, valueCol)).map(col) ++ Seq(
+        col("season"), col("season_mean"), col("season_std"),
+        col("z"), col("is_anomaly")): _*)
+  }
+
   def meanShiftChangepoints(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, w: Int, threshold: Double,
       tiebreak: Seq[String] = Nil): DataFrame = {

@@ -537,6 +537,51 @@ object Relational extends QueryGroup {
              |JOIN sup sc ON sc.i = dirs.consequent
              |CROSS JOIN nb""".stripMargin)),
 
+    // Per-vertex triangles + clustering coefficient over the
+    // co-purchase graph (frequent pairs as edges) — degree-ordered
+    // orientation on the Spark side, naive x<y<z 3-join in the oracle.
+    QueryDef("q_triangle_counts",
+      (s, dir) => graft.ops.Graph.triangleCounts(
+        graft.ops.Basket.frequentPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+          .select("item_a", "item_b"),
+        "item_a", "item_b"),
+      Some("""WITH p0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+             |e AS (SELECT a.i AS a, b2.i AS b FROM p0 a
+             |  JOIN p0 b2 ON a.bk = b2.bk AND a.i < b2.i
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |deg AS (SELECT v, COUNT(*) AS d FROM
+             |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |vt AS (SELECT v, COUNT(*) AS t FROM
+             |  (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+             |   UNION ALL SELECT z FROM tri) GROUP BY 1)
+             |SELECT deg.v AS vertex, CAST(d AS BIGINT) AS degree,
+             |  CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+             |  CASE WHEN d >= 2 THEN
+             |    ROUND(CAST(2 * coalesce(t, 0) AS DOUBLE) / (d * (d - 1)), 6)
+             |  END AS clustering
+             |FROM deg LEFT JOIN vt ON vt.v = deg.v""".stripMargin)),
+
+    // Seasonal-baseline anomalies: each event z-scored against its own
+    // hour-of-day bucket's mean/std (broadcast profile, no row shuffle).
+    QueryDef("q_seasonal_anomalies",
+      (s, dir) => graft.ops.Temporal.seasonalAnomalies(
+        Tables.load(s, dir, "events"), "ts", "value", threshold = 2.0,
+        idCols = Seq("event_id")),
+      Some("""WITH p AS (SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS season,
+             |    COUNT(value) AS n, AVG(value) AS m, STDDEV_SAMP(value) AS s
+             |  FROM events GROUP BY 1)
+             |SELECT event_id, ts, value, p.season,
+             |  ROUND(m, 6) AS season_mean, ROUND(s, 6) AS season_std,
+             |  CASE WHEN s > 0 AND n >= 2 THEN ROUND((value - m) / s, 6) END AS z,
+             |  coalesce(ABS(CASE WHEN s > 0 AND n >= 2
+             |    THEN ROUND((value - m) / s, 6) END) > 2.0, false) AS is_anomaly
+             |FROM events JOIN p ON p.season = CAST(EXTRACT(hour FROM ts) AS BIGINT)""".stripMargin)),
+
     // Data-quality expectations suite: five single-scan column checks
     // over orders, the lineitem->orders foreign key, and a freshness
     // gate — the promote-this-snapshot report. Mixed verdicts by

@@ -1885,6 +1885,65 @@ class OpsSpec extends SparkSpec {
       .toMap == score(2))
   }
 
+  test("triangleCounts: square+diagonal hand-count; canon kills dups/loops/reversals") {
+    import graft.ops.Graph
+    // square 1-2-3-4 with diagonal 1-3: triangles {1,2,3} and {1,3,4};
+    // noise rows (reversed, duplicate, self-loop) must not change it
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (2L, 1L), (3L, 1L), (3L, 3L)).toDF("s", "d")
+    val out = Graph.triangleCounts(e, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.getAs[java.lang.Double]("clustering")).map(_.toDouble))).toMap
+    assert(out(1L) == (3L, 2L, Some(0.666667)))
+    assert(out(2L) == (2L, 1L, Some(1.0)))
+    assert(out(3L) == (3L, 2L, Some(0.666667)))
+    assert(out(4L) == (2L, 1L, Some(1.0)))
+    // triangle-free path: zero triangles, clustering null at degree 1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val p = Graph.triangleCounts(path, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getAs[java.lang.Double]("clustering"))).toMap
+    assert(p(1L) == (0L, null) && p(2L)._1 == 0L &&
+      p(2L)._2.doubleValue == 0.0)
+    // clique K4: every vertex in C(3,2)=3 triangles, clustering 1
+    val k4 = (1 to 4).combinations(2)
+      .map(c => (c(0).toLong, c(1).toLong)).toSeq.toDF("s", "d")
+    Graph.triangleCounts(k4, "s", "d").collect().foreach { r =>
+      assert(r.getLong(2) == 3L && r.getAs[Double]("clustering") == 1.0)
+    }
+  }
+
+  test("seasonalAnomalies: per-bucket z, zero-variance and thin buckets null out") {
+    import graft.ops.Temporal
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // hour 1: values 1,1,1,5 -> mean 2, std 2
+      (1L, ts("2024-01-01 01:00:00"), 1.0),
+      (2L, ts("2024-01-02 01:10:00"), 1.0),
+      (3L, ts("2024-01-03 01:20:00"), 1.0),
+      (4L, ts("2024-01-04 01:30:00"), 5.0),
+      // hour 2: constant -> std 0 -> null z
+      (5L, ts("2024-01-01 02:00:00"), 7.0),
+      (6L, ts("2024-01-02 02:00:00"), 7.0),
+      // hour 3: single point -> below minBucket -> null z
+      (7L, ts("2024-01-01 03:00:00"), 9.0)
+    ).toDF("event_id", "ts", "value")
+    val out = Temporal.seasonalAnomalies(ev, "ts", "value", threshold = 1.2,
+        idCols = Seq("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("season"), Option(r.getAs[java.lang.Double]("z")),
+          r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(out(4L) == (1L, Some(1.5), true))
+    assert(out(1L) == (1L, Some(-0.5), false))
+    assert(out(5L) == (2L, None, false))
+    assert(out(7L) == (3L, None, false))
+    // profile join is broadcast: no shuffle of the event rows
+    val plan = Temporal.seasonalAnomalies(ev, "ts", "value")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("star connected components: equals dedupGroups on every graph shape") {
     import graft.ops.Graph
     val rnd = new scala.util.Random(7)
