@@ -48,17 +48,13 @@ object Expect {
   private def ratio(num: Column, den: Column): Column =
     round(when(den === 0, lit(null)).otherwise(num.cast("double") / den), 6)
 
-  /**
-   * Evaluate `checks` in one aggregate pass. Exact distinct counts for
-   * [[Unique]] expand the scan grouping-sets-style; pass
-   * `approxDistinct = true` to keep it single-stage with HLL sketches
-   * at scale (threshold then grades the ~2% sketch estimate).
-   */
-  def report(df: DataFrame, checks: Seq[Check],
-      approxDistinct: Boolean = false): DataFrame = {
+  /** (kind, target, metric aggregate, threshold) per check — shared by
+    * [[report]] and the streaming per-window twin. */
+  private[graft] def metricsFor(checks: Seq[Check],
+      approxDistinct: Boolean): Seq[(String, String, Column, Double)] = {
     require(checks.nonEmpty, "need at least one check")
     val n = count(lit(1))
-    val metrics: Seq[(String, String, Column, Double)] = checks.map {
+    checks.map {
       case Complete(c, t) =>
         ("complete", c, ratio(count(col(c)), n), t)
       case Unique(cs, t) =>
@@ -79,15 +75,33 @@ object Expect {
         ("in_set", c, ratio(count(when(col(c).isin(vs: _*), 1)),
           count(col(c))), t)
     }
-    val aggs = metrics.zipWithIndex.map { case ((_, _, m, _), i) =>
-      m.as(s"__v$i")
-    }
+  }
+
+  /** The explode-to-verdicts tail shared with the streaming twin:
+    * wide metric columns `__v0..` become one graded row per check. */
+  private[graft] def verdictRows(
+      metrics: Seq[(String, String, Column, Double)]): Column = {
     val rows = metrics.zipWithIndex.map { case ((kind, target, _, th), i) =>
       struct(lit(kind).as("check_name"), lit(target).as("target"),
         col(s"__v$i").as("value"), lit(th).as("threshold"))
     }
+    explode(array(rows: _*))
+  }
+
+  /**
+   * Evaluate `checks` in one aggregate pass. Exact distinct counts for
+   * [[Unique]] expand the scan grouping-sets-style; pass
+   * `approxDistinct = true` to keep it single-stage with HLL sketches
+   * at scale (threshold then grades the ~2% sketch estimate).
+   */
+  def report(df: DataFrame, checks: Seq[Check],
+      approxDistinct: Boolean = false): DataFrame = {
+    val metrics = metricsFor(checks, approxDistinct)
+    val aggs = metrics.zipWithIndex.map { case ((_, _, m, _), i) =>
+      m.as(s"__v$i")
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(rows: _*)).as("__r"))
+      .select(verdictRows(metrics).as("__r"))
       .select(col("__r.check_name"), col("__r.target"), col("__r.value"),
         col("__r.threshold"), lit("ge").as("op"),
         coalesce(col("__r.value") >= col("__r.threshold"), lit(false))

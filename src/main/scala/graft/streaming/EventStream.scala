@@ -187,6 +187,37 @@ object EventStream {
         col("_last.value").as("value"))
   }
 
+  /**
+   * Per-window data-quality monitoring: the streaming twin of
+   * [[graft.ops.Expect.report]] — the SAME check list compiles into one
+   * windowed aggregation (tumbling `windowDur`, watermark-bounded
+   * state, append-legal), one verdict row per (window, check). Distinct
+   * counts for Unique checks are always the HLL sketch here (exact
+   * multi-distinct isn't streaming-legal, and the batch operator's
+   * `approxDistinct = true` path computes the identical estimate, so
+   * batch/stream parity is bit-for-bit — spec-pinned).
+   */
+  def streamingExpectations(events: DataFrame, tsCol: String,
+      windowDur: String, checks: Seq[graft.ops.Expect.Check],
+      watermark: String = "1 day"): DataFrame = {
+    val metrics = graft.ops.Expect.metricsFor(checks, approxDistinct = true)
+    val aggs = metrics.zipWithIndex.map { case ((_, _, m, _), i) =>
+      m.as(s"__v$i")
+    }
+    val windowed =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    windowed
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        graft.ops.Expect.verdictRows(metrics).as("__r"))
+      .select(col("window_start"), col("__r.check_name"), col("__r.target"),
+        col("__r.value"), col("__r.threshold"), lit("ge").as("op"),
+        coalesce(col("__r.value") >= col("__r.threshold"), lit(false))
+          .as("passed"))
+  }
+
   final case class ChangeEv(key: Long, ts_us: Long, attr: String)
   final case class Scd2State(sinceUs: Long, attr: String)
   final case class ClosedInterval(key: Long, attr: String,

@@ -970,6 +970,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming expectations: per-window verdicts equal the batch twin") {
+    import graft.ops.Expect
+    import org.apache.spark.sql.functions._
+    val checks = Seq[Expect.Check](
+      Expect.Complete("value", 0.99),
+      Expect.Unique(Seq("event_id")),
+      Expect.InRange("value", 0, 500, 0.5),
+      Expect.InSet("event_type", Seq("click", "view"), 0.6))
+    val q = EventStream.streamingExpectations(
+        EventStream.readEvents(spark, streamDir), "ts", "24 hours", checks)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("exp_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT window_start, check_name, value, passed FROM exp_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (Option(r.getAs[java.lang.Double]("value")), r.getBoolean(3))).toMap
+      // batch twin: same window grain, same sketch-based unique
+      val want = EventStream.streamingExpectations(
+          graft.core.Tables.load(spark, sf, "events"), "ts", "24 hours", checks)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (Option(r.getAs[java.lang.Double]("value")), r.getBoolean(6))).toMap
+      assert(got == want && got.nonEmpty)
+      // every window carries all four verdicts
+      assert(got.keySet.map(_._1).forall(w =>
+        got.keySet.count(_._1 == w) == 4))
+    } finally q.stop()
+  }
+
   test("streaming CDC apply: one batch emits the batch merge's non-carried rows plus tombstones") {
     import org.apache.spark.sql.functions._
     import graft.ops.Temporal
