@@ -737,6 +737,88 @@ object Temporal {
    * key partitioning.
    */
   /**
+   * Cadence-gap detection: per key, every consecutive-event gap larger
+   * than `toleranceSec` — the "did the feed go dark" audit a freshness
+   * check ([[graft.ops.Expect.freshness]]) can't see (freshness grades
+   * only the newest row; an outage in the MIDDLE of the window passes
+   * it silently). Output: keys, `prev_ts`, `tsCol`, `gap_sec` — one row
+   * per violation, empty when the cadence holds. ONE shuffle (the lag
+   * window); the filter runs before anything leaves the window stage.
+   */
+  def gapReport(df: DataFrame, keys: Seq[String], tsCol: String,
+      toleranceSec: Long, tiebreak: Seq[String] = Nil): DataFrame = {
+    require(toleranceSec >= 1, "toleranceSec must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    df.withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("gap_sec",
+        ((unix_micros(col(tsCol)) - unix_micros(col("prev_ts"))) / 1000000L)
+          .cast("long"))
+      .filter(col("gap_sec") > toleranceSec)
+      .select(keys.map(col) ++ Seq(col("prev_ts"), col(tsCol),
+        col("gap_sec")): _*)
+  }
+
+  /**
+   * Seasonal-naive forecast backtest: predict each bucket's value as
+   * the SAME key's value `period` buckets earlier, and grade the
+   * forecast per key (MAE / RMSE / MAPE over matched buckets) — the
+   * canonical "beat this before shipping a model" baseline, and the
+   * cheapest drift alarm (a rising seasonal-naive error IS regime
+   * change). Input is a regular (key, bucket, value) grid (run
+   * [[resampleFfill]] / [[downsample]] first); holes are handled
+   * correctly because the lookup is an equi-join on `bucket − period`,
+   * not a row-offset lag. MAPE skips zero actuals (`n_mape` reports the
+   * surviving count). Output per key: `n_scored`, `mae`, `rmse`,
+   * `mape` (6 dp; null when nothing scored). Shape: self equi-join on
+   * (key, bucket) — both sides hash the same key columns — then one
+   * hash agg to key grain.
+   *
+   * Determinism: error terms are quantized BEFORE aggregation (errors
+   * to integer micro-units for MAE, milli-units for RMSE, per-row
+   * ratio to ppm for MAPE) so every sum is an exact integer, and the
+   * MAE/MAPE means round half-up in INTEGER arithmetic
+   * (`(2s + n) div 2n`) — a plain double `round(avg(...), 6)` hits
+   * exact midpoints (an integer sum over n rows lands on the half-micro
+   * grid with probability ~1/n), where Spark's BigDecimal HALF_UP and
+   * other engines' double rounding disagree. Values are expected at
+   * ≤ 6-dp grain and moderate magnitude (|err| ≲ 10⁶), the regime
+   * where the quantization is exact.
+   */
+  def seasonalNaiveBacktest(df: DataFrame, keys: Seq[String],
+      bucketCol: String, valueCol: String, period: Long): DataFrame = {
+    require(period >= 1, "period must be >= 1")
+    val kc = keys.map(col)
+    val v = col(valueCol).cast("double")
+    val actual = df.select(kc ++ Seq(col(bucketCol).cast("long").as("__t"),
+      v.as("__y")): _*)
+    val forecast = df.select(kc ++ Seq(
+      (col(bucketCol).cast("long") + period).as("__t"),
+      v.as("__f")): _*)
+    val err = col("__y") - col("__f")
+    val eUs = round(err * 1e6).cast("long")
+    val eMs = round(err * 1e3).cast("long")
+    val rPpm = when(col("__y") =!= 0,
+      round(abs(err / col("__y")) * 1e6).cast("long"))
+    val n = count(lit(1))
+    actual.join(forecast, keys :+ "__t")
+      .filter(col("__y").isNotNull && col("__f").isNotNull)
+      .groupBy(kc: _*)
+      .agg(n.as("n_scored"), sum(abs(eUs)).as("__se"),
+        sum(eMs * eMs).as("__s2"), count(rPpm).as("n_mape"),
+        sum(rPpm).as("__sp"))
+      .select(kc ++ Seq(col("n_scored"),
+        (expr("(__se * 2 + n_scored) div (n_scored * 2)")
+          .cast("double") / 1e6).as("mae"),
+        round(sqrt(col("__s2").cast("double") / col("n_scored")) / 1e3, 6)
+          .as("rmse"),
+        col("n_mape"),
+        when(col("n_mape") > 0,
+          expr("(__sp * 2 + n_mape) div (n_mape * 2)").cast("double") / 1e6)
+          .as("mape")): _*)
+  }
+
+  /**
    * Seasonal-baseline anomaly scoring: each point is z-scored against
    * the mean/std of its own season bucket (hour-of-day by default) —
    * the "is 3am traffic normal FOR 3am" detector that a raw global

@@ -427,6 +427,35 @@ object Analytics extends QueryGroup {
              |  ROUND((rs_a - n_a * (n_a + 1.0) / 2) * 2 / (CAST(n_a AS DOUBLE) * n_b) - 1, 6) AS r_rb
              |FROM a""".stripMargin)),
 
+    // Two-proportion z between the same two families' conversion rates
+    // (value > 500 as the success flag): pooled-variance z + lifts.
+    QueryDef("q_proportion_z",
+      (s, dir) => Planners.proportionZTest(
+        Tables.load(s, dir, "events").withColumn("converted", col("value") > 500),
+        "converted", "event_type", "click", "view"),
+      Some("""WITH g AS (SELECT (value > 500) AS s, event_type = 'click' AS isa
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |    AND (value > 500) IS NOT NULL),
+             |a AS (SELECT
+             |    SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+             |    SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS nb,
+             |    SUM(CASE WHEN isa AND s THEN 1 ELSE 0 END) AS sa,
+             |    SUM(CASE WHEN NOT isa AND s THEN 1 ELSE 0 END) AS sb
+             |  FROM g)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  ROUND(CAST(sa AS DOUBLE) / na, 6) AS p_a,
+             |  ROUND(CAST(sb AS DOUBLE) / nb, 6) AS p_b,
+             |  ROUND(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb, 6) AS lift_abs,
+             |  ROUND(CASE WHEN sb > 0 THEN
+             |    (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / (CAST(sb AS DOUBLE) / nb)
+             |  END, 6) AS lift_rel,
+             |  ROUND(CASE WHEN na > 0 AND nb > 0 AND sa + sb > 0 AND sa + sb < na + nb THEN
+             |    (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+             |    SQRT(CAST(sa + sb AS DOUBLE) / (na + nb) * (1 - CAST(sa + sb AS DOUBLE) / (na + nb))
+             |      * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb))
+             |  END, 6) AS z
+             |FROM a""".stripMargin)),
+
     // Fixed-width value histogram (data profiling; clamped edge bins)
     QueryDef("q_histogram",
       (s, dir) => Planners.histogram(Tables.load(s, dir, "events"),

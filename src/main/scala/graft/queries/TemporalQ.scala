@@ -239,6 +239,58 @@ object TemporalQ extends QueryGroup {
              |    AS credit_time_decay
              |FROM a""".stripMargin)),
 
+    // Cadence-gap audit: per-user event gaps above 2 days — the
+    // mid-window outage detector freshness checks can't see.
+    QueryDef("q_gap_report",
+      (s, dir) => Temporal.gapReport(Tables.load(s, dir, "events"),
+        Seq("user_id"), "ts", toleranceSec = 172800L,
+        tiebreak = Seq("event_id")),
+      Some("""WITH l AS (SELECT user_id, ts,
+             |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events)
+             |SELECT user_id, prev_ts, ts,
+             |  CAST((epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS gap_sec
+             |FROM l
+             |WHERE (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 > 172800""".stripMargin)),
+
+    // Seasonal-naive backtest: daily per-user value means forecast by
+    // their own value 7 days earlier; MAE/RMSE/MAPE per user. Equi-join
+    // on (user, day-7), hole-proof where a row-offset lag is not.
+    QueryDef("q_seasonal_naive",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        // daily mean via exact integer cents (the q1_agg money pattern):
+        // a plain avg's 6-dp rounding is engine-order-unstable
+        val daily = ev.groupBy(col("user_id"),
+            floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+          .agg((sum(round(col("value") * 100).cast("long")).cast("double") /
+            count(col("value")) / 100).as("v"))
+        Temporal.seasonalNaiveBacktest(daily, Seq("user_id"), "day", "v",
+          period = 7L)
+      },
+      Some("""WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             |      / COUNT(value) / 100 AS v
+             |  FROM events GROUP BY 1, 2),
+             |j AS (SELECT a.user_id, a.v AS y, f.v AS f FROM d a
+             |  JOIN d f ON f.user_id = a.user_id AND f.day = a.day - 7
+             |  WHERE a.v IS NOT NULL AND f.v IS NOT NULL),
+             |e AS (SELECT user_id,
+             |    CAST(ROUND((y - f) * 1000000) AS BIGINT) AS eus,
+             |    CAST(ROUND((y - f) * 1000) AS BIGINT) AS ems,
+             |    CASE WHEN y <> 0 THEN
+             |      CAST(ROUND(ABS((y - f) / y) * 1000000) AS BIGINT) END AS rppm
+             |  FROM j)
+             |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+             |  CAST((SUM(ABS(eus)) * 2 + COUNT(*)) // (COUNT(*) * 2) AS DOUBLE)
+             |    / 1000000 AS mae,
+             |  ROUND(SQRT(CAST(SUM(ems * ems) AS DOUBLE) / COUNT(*)) / 1000, 6) AS rmse,
+             |  CAST(COUNT(rppm) AS BIGINT) AS n_mape,
+             |  CASE WHEN COUNT(rppm) > 0 THEN
+             |    CAST((SUM(rppm) * 2 + COUNT(rppm)) // (COUNT(rppm) * 2) AS DOUBLE)
+             |      / 1000000 END AS mape
+             |FROM e GROUP BY 1""".stripMargin)),
+
     // First-order Markov transition matrix over per-user event-type
     // sequences: handoff counts + row-normalized next-event probability.
     QueryDef("q_markov_transitions",

@@ -299,4 +299,44 @@ object Planners {
       round(when(sigma2 > 0, (ua - na * nb / 2) / sqrt(sigma2)), 6).as("z"),
       round(ua * 2 / (na * nb) - 1, 6).as("r_rb"))
   }
+
+  /**
+   * Two-proportion z-test between the success RATES of two groups — the
+   * conversion-rate A/B read-out completing [[welchT]] (means) and
+   * [[mannWhitneyU]] (distributions): pooled-variance z on binary
+   * outcomes, plus the absolute and relative lift the dashboard wants
+   * next to it. `successCol` is graded truthy as `boolean OR value <> 0`
+   * (so both flag and 0/1-count columns work); null outcomes are
+   * excluded from their group's denominator.
+   *
+   * ONE hash-aggregate pass (two (n, successes) pairs — map-side
+   * combined). z is null when a group is empty or the pooled rate is
+   * degenerate (0 or 1: no variance to scale by). Output: one row
+   * (n_a, n_b, p_a, p_b, lift_abs, lift_rel, z), rates 6 dp.
+   */
+  def proportionZTest(df: DataFrame, successCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val s = (col(successCol).cast("boolean") === true).cast("long")
+    val isa = col(groupCol) === groupA
+    val g = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(successCol).isNotNull)
+      .agg(
+        sum(when(isa, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isa, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isa, s).otherwise(0L)).as("__sa"),
+        sum(when(!isa, s).otherwise(0L)).as("__sb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    // every division sits behind a positivity guard (ANSI mode)
+    val pa = when(col("n_a") > 0, col("__sa") / na)
+    val pb = when(col("n_b") > 0, col("__sb") / nb)
+    val pp = (col("__sa") + col("__sb")) / (na + nb)
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    g.select(col("n_a"), col("n_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(pa - pb, 6).as("lift_abs"),
+      round(when(pb > 0, (pa - pb) / pb), 6).as("lift_rel"),
+      round(when(col("n_a") > 0 && col("n_b") > 0,
+        when(pp > 0 && pp < 1, (pa - pb) / se)), 6).as("z"))
+  }
 }

@@ -166,6 +166,34 @@ class PrepSpec extends SparkSpec {
     assert(Planners.welchT(same, "value", "grp", "a", "b").head().getDouble(4) == 0.0)
   }
 
+  test("proportionZTest: hand-computed z and lifts; degenerate rates null out") {
+    import graft.stats.Planners
+    // A: 6/10, B: 4/10 -> pooled 0.5, se = sqrt(0.25 * 0.2), z = 0.2/se
+    val rows = (1 to 10).map(i => (i <= 6, "a")) ++
+      (1 to 10).map(i => (i <= 4, "b")) ++
+      Seq((true, "c")) // third group must be ignored
+    val df = rows.toDF("ok", "grp")
+    val r = Planners.proportionZTest(df, "ok", "grp", "a", "b").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 0.6 && r.getDouble(3) == 0.4)
+    assert(r.getDouble(4) == 0.2 && r.getDouble(5) == 0.5)
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(r.getDouble(6) == r6(0.2 / math.sqrt(0.25 * 0.2)))
+    // all-failure pooled rate: z null, rates still reported
+    val flat = Seq((false, "a"), (false, "b")).toDF("ok", "grp")
+    val f = Planners.proportionZTest(flat, "ok", "grp", "a", "b").head()
+    assert(f.getDouble(2) == 0.0 && f.get(6) == null)
+    // empty group B: no crash, null rate and z
+    val one = Seq((true, "a")).toDF("ok", "grp")
+    val o = Planners.proportionZTest(one, "ok", "grp", "a", "b").head()
+    assert(o.getLong(1) == 0L && o.get(3) == null && o.get(6) == null)
+    // numeric success column grades nonzero as success
+    val num = Seq((1L, "a"), (0L, "a"), (1L, "b"), (1L, "b"))
+      .toDF("ok", "grp")
+    val n = Planners.proportionZTest(num, "ok", "grp", "a", "b").head()
+    assert(n.getDouble(2) == 0.5 && n.getDouble(3) == 1.0)
+  }
+
   test("mannWhitneyU: midrank ties, U_A + U_B = nA*nB, symmetric z, known example") {
     import graft.stats.Planners
     // A = {1, 2}, B = {2, 3}: pooled ranks 1, (2.5, 2.5), 4

@@ -352,6 +352,47 @@ class TemporalSpec extends SparkSpec {
       ramp.getAs[Boolean]("is_changepoint"))
   }
 
+  test("gapReport: only above-tolerance gaps, per key, first event exempt") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 01:00:00")),  // 1h gap: fine
+      (3L, 1L, ts("2024-01-01 05:00:00")),  // 4h gap: violation
+      (4L, 2L, ts("2024-01-02 00:00:00"))   // other key's first event
+    ).toDF("event_id", "user_id", "ts")
+    val out = Temporal.gapReport(ev, Seq("user_id"), "ts",
+      toleranceSec = 7200L, tiebreak = Seq("event_id")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("user_id") == 1L &&
+      out.head.getAs[Long]("gap_sec") == 14400L &&
+      out.head.getAs[java.sql.Timestamp]("prev_ts") == ts("2024-01-01 01:00:00"))
+  }
+
+  test("seasonalNaiveBacktest: equi-join survives holes; hand-computed errors") {
+    // key 1 daily series with a HOLE at day 8: day 7+t forecast by day t
+    val rows = Seq(
+      (1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 2L, 30.0),
+      (1L, 7L, 12.0),               // vs 10 -> err 2
+      (1L, 9L, 27.0),               // vs 30 wait: 9-7=2 -> vs 30 -> err -3
+      (1L, 8L, 100.0),              // 8-7=1 -> vs 20 -> err 80
+      // key 2: zero actual excluded from MAPE only
+      (2L, 0L, 5.0), (2L, 7L, 0.0)
+    ).toDF("user_id", "day", "v")
+    val out = Temporal.seasonalNaiveBacktest(rows, Seq("user_id"), "day",
+        "v", period = 7L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val k1 = out(1L)
+    assert(k1.getAs[Long]("n_scored") == 3L)
+    // errors 2, 80, 3 -> mae (2+80+3)/3; rmse sqrt((4+6400+9)/3)
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(k1.getAs[Double]("mae") == r6(85.0 / 3))
+    assert(k1.getAs[Double]("rmse") == r6(math.sqrt(6413.0 / 3)))
+    assert(k1.getAs[Long]("n_mape") == 3L)
+    val k2 = out(2L)
+    assert(k2.getAs[Long]("n_scored") == 1L && k2.getAs[Long]("n_mape") == 0L)
+    assert(k2.getAs[java.lang.Double]("mape") == null) // zero actual only
+    assert(k2.getAs[Double]("mae") == 5.0)
+  }
+
   test("downsample keeps exactly the last event per key-bucket") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 09:10:00"), 1.0),
