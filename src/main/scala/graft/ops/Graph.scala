@@ -275,4 +275,155 @@ object Graph {
           round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
   }
+
+  /** Symmetrized, de-duped, loop-free adjacency rows `(src, dst)` of an
+    * undirected edge list — the shared front door of the peel/propagate
+    * family below. */
+  private def symEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /**
+   * k-core peel with a FIXED round count: repeatedly drop vertices whose
+   * degree in the surviving induced subgraph is below `k`. The classic
+   * crawl-graph density signal — pages outside every 2-/3-core are
+   * isolated leaves and link chaff; in corpus curation the core number
+   * complements [[pageRank]] (mass) and [[triangleCounts]] (closure) as
+   * a cheap structural quality feature.
+   *
+   * Semantics are exact and engine-independent for ANY round count: both
+   * this and the DuckDB oracle run the SAME `rounds` peels, so results
+   * match even before fixpoint (the spec asserts the fixture converges —
+   * peel rounds needed is the graph's degeneracy ordering depth, small
+   * in practice; pass a generous `rounds` and the extra rounds are
+   * no-op joins on a shrunken vertex set).
+   *
+   * Scale shape: per round, two left-semi joins of the symmetric edge
+   * list against the (shrinking) survivor set plus one map-side-combined
+   * degree aggregate — the Pregel shuffle pattern; no driver graph, AQE
+   * handles hub skew, `checkpointEvery` truncates lineage on deep peels.
+   * Output: `(v, core_degree)` for vertices surviving all rounds, with
+   * their degree in the final induced subgraph.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int, checkpointEvery: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val sym = symEdges(edges, srcCol, dstCol)
+    var keep = sym.select(col("src").as("v")).distinct()
+    def induced(surv: DataFrame): DataFrame = sym
+      .join(surv.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(surv.select(col("v").as("dst")), Seq("dst"), "left_semi")
+    for (i <- 1 to rounds) {
+      keep = induced(keep)
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("v"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        keep = keep.localCheckpoint()
+    }
+    induced(keep)
+      .groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("v"), col("core_degree"))
+  }
+
+  /**
+   * Synchronous label propagation (Raghavan et al. 2007) with a fixed
+   * iteration count and a DETERMINISTIC tie rule: every vertex starts
+   * labeled by its own id; each iteration it adopts the most frequent
+   * label among its neighbors, ties broken by MINIMUM label (classic LPA
+   * breaks ties randomly — that's unreplayable across engines; the min
+   * rule makes the run a pure function of the graph). Isolated vertices
+   * keep their label. The community-detection complement of
+   * [[connectedComponents]]: components split along density boundaries,
+   * which in corpus curation means topical/near-dup neighborhoods a
+   * mixing policy can balance over.
+   *
+   * Scale shape: per iteration one equi-join of the symmetric edge list
+   * to the label vector plus one (vertex, label)-grain count and one
+   * min-struct argmax — all map-side combined; no driver graph.
+   * Output: `(v, label)` after `iterations` synchronous updates.
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val sym = symEdges(edges, srcCol, dstCol)
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    for (i <- 1 to iterations) {
+      val nbr = sym
+        .join(labels.select(col("v").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+      // argmax by count, min label on ties: lexicographic min over
+      // (-count, label) — one aggregate, no window
+      val best = nbr
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("b"))
+        .select(col("src").as("v"), col("b.l").as("__next"))
+      labels = labels.join(best, Seq("v"), "left")
+        .select(col("v"), coalesce(col("__next"), col("label")).as("label"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
+  /**
+   * Personalized PageRank with a fixed iteration count: teleport mass
+   * returns to a SEED set instead of uniformly —
+   * rank₀(v) = 1/|S| · [v ∈ S],
+   * rankᵢ₊₁(v) = (1−d)/|S| · [v ∈ S] + d · Σ_{u→v} rankᵢ(u)/outdeg(u).
+   * The seed-and-expand curation primitive (Eksombatchai et al. 2018
+   * use the random-walk view at Pinterest scale): start from a vetted
+   * domain list and rank the rest of the crawl by proximity — the graph
+   * analogue of [[Select]]'s DSIR importance weights. Dangling mass is
+   * dropped, matching [[pageRank]]'s simplified formulation.
+   *
+   * `seeds` is a one-column DataFrame of vertex ids (it may be large —
+   * a million-site allowlist — so it joins, never collects; |S| rides
+   * in as a broadcast one-row aggregate). Vertices = graph ∪ seeds, so
+   * seeds outside the edge list still hold their teleport share.
+   * Output: `(v, rank)` rounded to 1e-6.
+   */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iterations: Int,
+      damping: Double = 0.85, checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val s = seeds.toDF("v").distinct()
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).union(s.select(col("v")))
+      .distinct()
+    val nsDf = s.agg(count(lit(1)).as("ns"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val seeded = verts.join(s.withColumn("__seed", lit(true)), Seq("v"), "left")
+      .select(col("v"), coalesce(col("__seed"), lit(false)).as("__seed"))
+    def teleport(scale: Double) = when(col("__seed"),
+      lit(scale) / col("ns")).otherwise(lit(0.0))
+
+    var ranks = seeded.crossJoin(broadcast(nsDf))
+      .select(col("v"), teleport(1.0).as("rank"))
+    for (i <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("v"), (col("rank") / col("odeg")).as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("contrib"))
+      ranks = seeded.join(contribs, Seq("v"), "left")
+        .crossJoin(broadcast(nsDf))
+        .select(col("v"),
+          (teleport(1.0 - damping) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("v"), round(col("rank"), 6).as("rank"))
+  }
 }

@@ -884,4 +884,89 @@ object Temporal {
         col("mean_before"), col("mean_after"), col("score"),
         col("flat_shift"), col("is_changepoint")): _*)
   }
+
+  /**
+   * Holt double-exponential smoothing over a bounded trailing window —
+   * the trend-aware upgrade of [[ewma]]: per row, fold the last `window`
+   * observations through the coupled level/trend recurrences
+   * (l₁ = x₁, b₁ = 0; lᵢ = α·xᵢ + (1−α)(lᵢ₋₁+bᵢ₋₁);
+   * bᵢ = γ(lᵢ−lᵢ₋₁) + (1−γ)bᵢ₋₁) and emit the smoothed `level`,
+   * `trend`, and the one-step-ahead `forecast` = level + trend — the
+   * volume-forecast baseline a pipeline monitor alarms against when a
+   * source's ingest rate bends (where EWMA lags every ramp).
+   *
+   * Scale shape: identical to [[ewma]] — ONE shuffle on `keys` for the
+   * ordered window, a bounded `window`-element array per row, and a
+   * sequential `aggregate` fold (deterministic order, so both engines
+   * compute bit-identical sums before the 6-dp round). Nothing grows
+   * with history length.
+   */
+  def holtSmooth(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, alpha: Double, gamma: Double, window: Int = 10,
+      tiebreak: Seq[String] = Nil,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val xs = collect_list(col(valueCol).cast("double")).over(w)
+    val folded = aggregate(
+      expr(s"slice(_xs, 2, $window)"),
+      struct(element_at(col("_xs"), 1).as("l"), lit(0.0).as("b")),
+      (acc, x) => {
+        val newL = lit(alpha) * x +
+          lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
+        struct(newL.as("l"),
+          (lit(gamma) * (newL - acc.getField("l")) +
+            lit(1.0 - gamma) * acc.getField("b")).as("b"))
+      })
+    val keep = (keys ++ idCols).distinct.map(col)
+    df.withColumn("_xs", xs)
+      .withColumn("_hw", folded)
+      .select(keep ++ Seq(
+        round(col("_hw.l"), 6).as("level"),
+        round(col("_hw.b"), 6).as("trend"),
+        round(col("_hw.l") + col("_hw.b"), 6).as("forecast")): _*)
+  }
+
+  /**
+   * Two-sided CUSUM drift detector (Page 1954) per key: the sequential
+   * complement of [[meanShiftChangepoints]] — a local-window test sees a
+   * step, CUSUM accumulates a SLOW drift (a quality score sagging 0.1%
+   * per day clears every window test yet trips CUSUM within weeks).
+   * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack)),
+   * S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (target − slack − xᵢ)); alarm when either
+   * side crosses `h`. `target`/`slack`/`h` come from a reference period
+   * (e.g. [[graft.ops.Profile]] stats on last month's corpus).
+   *
+   * Scale shape — the reason this is NOT a fold: the clamped recurrence
+   * rewrites exactly as Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) over the prefix
+   * sums Pᵢ of the deviations, so the whole history-length series costs
+   * TWO running window aggregates (sum + min) on one shuffle by `keys` —
+   * no per-row array, no O(n²) re-fold, unbounded history for free.
+   */
+  def cusum(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, target: Double, slack: Double, h: Double,
+      tiebreak: Seq[String] = Nil,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(slack >= 0, "slack must be >= 0")
+    require(h > 0, "h must be > 0")
+    val run = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol).cast("double")
+    val pHi = sum(v - lit(target) - lit(slack)).over(run)
+    val pLo = sum(lit(target) - lit(slack) - v).over(run)
+    val keep = (keys ++ idCols).distinct.map(col)
+    df.withColumn("__ph", pHi).withColumn("__pl", pLo)
+      .withColumn("__sh", col("__ph") - least(lit(0.0), min(col("__ph")).over(run)))
+      .withColumn("__sl", col("__pl") - least(lit(0.0), min(col("__pl")).over(run)))
+      .select(keep ++ Seq(
+        round(col("__sh"), 6).as("cusum_hi"),
+        round(col("__sl"), 6).as("cusum_lo"),
+        (round(col("__sh"), 6) > h || round(col("__sl"), 6) > h)
+          .as("alarm")): _*)
+  }
 }

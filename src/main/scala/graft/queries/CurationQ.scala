@@ -894,7 +894,32 @@ object CurationQ extends QueryGroup {
           |    coalesce(string_agg(CASE WHEN n_chars >= 25 AND link_density <= 0.5
           |        THEN block_text END, chr(10) || chr(10) ORDER BY block_idx), '') AS tx
           |  FROM f GROUP BY doc_id),""".stripMargin + "\n" +
-        repetitionSignalsSql("mt")))
+        repetitionSignalsSql("mt"))),
+
+    // Chance-corrected agreement between two quality gates (a char-count
+    // gate and a token-count gate): Cohen's kappa separates real
+    // consensus from the agreement their acceptance rates force — the
+    // audit to run before treating "both gates passed" as evidence.
+    QueryDef("q_cohen_kappa",
+      (s, dir) => graft.ops.Agreement.cohenKappa(
+        Tables.load(s, dir, "documents")
+          .select((col("n_chars") > 300).cast("string").as("gate_a"),
+            (size(Text.tokens(col("text"))) > 55).cast("string").as("gate_b")),
+        "gate_a", "gate_b"),
+      Some("""WITH f AS (SELECT CAST(n_chars > 300 AS VARCHAR) AS a,
+             |    CAST(len(regexp_split_to_array(lower(text), '\s+')) > 55 AS VARCHAR) AS b
+             |  FROM documents),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM f),
+             |ma AS (SELECT a AS cat, COUNT(*) AS na FROM f GROUP BY 1),
+             |mb AS (SELECT b AS cat, COUNT(*) AS nb FROM f GROUP BY 1),
+             |pe AS (SELECT COALESCE(SUM(na * nb), 0) AS pe_num
+             |  FROM ma JOIN mb USING(cat)),
+             |s AS (SELECT n AS n_items, ROUND(agree * 1.0 / n, 6) AS po,
+             |    ROUND(pe_num * 1.0 / (n * n), 6) AS pe FROM tot CROSS JOIN pe)
+             |SELECT n_items, po, pe,
+             |  CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+             |FROM s""".stripMargin))
   )
 
   /** Shared fixture for the main-content pair: page chrome around the

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, Profile, QualityFilter, Search, SearchIndex, Select, Sketch, Sq, Text, Vectors}
+import graft.ops.{Bpe, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, Profile, QualityFilter, Rank, Search, SearchIndex, Select, Sketch, Sq, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -1839,6 +1839,122 @@ object LlmOps extends QueryGroup {
            |  ROUND(a3.auth, 6) AS auth
            |FROM verts JOIN h3 ON h3.v = verts.v JOIN a3 ON a3.v = verts.v"""
           .stripMargin
+      }),
+
+    // k-core peel over the undirected order–part graph: 4 fixed rounds
+    // at k = 3 strip low-degree leaves and everything stranded by their
+    // removal — the crawl-graph link-chaff filter. Both sides run the
+    // SAME round count, so results match even pre-fixpoint; the spec
+    // pins fixture convergence.
+    QueryDef("q_kcore",
+      (s, dir) => Graph.kCore(
+        Tables.load(s, dir, "lineitem").select(
+          concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")),
+        "src", "dst", k = 3, rounds = 4),
+      Some {
+        val iters = (1 to 4).map { i =>
+          s"""d$i AS (SELECT e.src AS v, COUNT(*) AS d FROM e
+             |  JOIN k${i - 1} x ON x.v = e.src
+             |  JOIN k${i - 1} y ON y.v = e.dst GROUP BY e.src),
+             |k$i AS (SELECT v FROM d$i WHERE d >= 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT
+           |    least('o' || l_orderkey, 'p' || l_partkey) AS a,
+           |    greatest('o' || l_orderkey, 'p' || l_partkey) AS b
+           |  FROM lineitem),
+           |e AS (SELECT a AS src, b AS dst FROM e0
+           |      UNION ALL SELECT b, a FROM e0),
+           |k0 AS (SELECT DISTINCT src AS v FROM e),
+           |$iters
+           |SELECT e.src AS v, CAST(COUNT(*) AS BIGINT) AS core_degree
+           |FROM e JOIN k4 x ON x.v = e.src JOIN k4 y ON y.v = e.dst
+           |GROUP BY 1""".stripMargin
+      }),
+
+    // Deterministic synchronous label propagation (min label among the
+    // most frequent neighbor labels) on the same graph: 3 iterations
+    // carve the bipartite order–part fabric into dense communities — the
+    // topical-neighborhood signal a mixing policy balances over.
+    QueryDef("q_label_prop",
+      (s, dir) => Graph.labelPropagation(
+        Tables.load(s, dir, "lineitem").select(
+          concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")),
+        "src", "dst", iterations = 3),
+      Some {
+        val iters = (1 to 3).map { i =>
+          s"""n$i AS (SELECT e.src AS v, l.lab, COUNT(*) AS c
+             |  FROM e JOIN l${i - 1} l ON l.v = e.dst GROUP BY 1, 2),
+             |b$i AS (SELECT v, MIN(lab) AS lab FROM (
+             |    SELECT v, lab, c, MAX(c) OVER (PARTITION BY v) AS mx
+             |    FROM n$i) WHERE c = mx GROUP BY v),
+             |l$i AS (SELECT p.v, COALESCE(b.lab, p.lab) AS lab
+             |  FROM l${i - 1} p LEFT JOIN b$i b ON b.v = p.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (SELECT DISTINCT
+           |    least('o' || l_orderkey, 'p' || l_partkey) AS a,
+           |    greatest('o' || l_orderkey, 'p' || l_partkey) AS b
+           |  FROM lineitem),
+           |e AS (SELECT a AS src, b AS dst FROM e0
+           |      UNION ALL SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM e),
+           |$iters
+           |SELECT v, lab AS label FROM l3""".stripMargin
+      }),
+
+    // Personalized PageRank over the doc near-dup graph, teleporting to
+    // the src0 seed docs — seed-and-expand curation: rank the rest of
+    // the corpus by graph proximity to a vetted subset. Seeds outside
+    // the pair graph still hold their teleport share (verts = graph ∪
+    // seeds); dangling mass drops, matching q_pagerank's formulation.
+    QueryDef("q_ppr",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          n = 3, tau = 0.4)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        Graph.personalizedPageRank(edges, "src", "dst",
+          docs.filter(col("source") === "src0").select(col("doc_id")),
+          iterations = 5)
+          .withColumnRenamed("v", "doc_id")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (SELECT sv.v,
+             |    CASE WHEN sv.is_seed THEN CAST(0.15 AS DOUBLE) / ns.n
+             |         ELSE 0.0 END
+             |      + CAST(0.85 AS DOUBLE) * COALESCE(SUM(p.rank / p.odeg), 0.0) AS rank
+             |  FROM sv CROSS JOIN ns
+             |  LEFT JOIN (SELECT e.dst, r.rank, od.odeg
+             |             FROM e JOIN r${i - 1} r ON r.v = e.src
+             |             JOIN od ON od.src = e.src) p ON p.dst = sv.v
+             |  GROUP BY sv.v, sv.is_seed, ns.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $shinglesCte,
+           |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+           |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+           |j AS (SELECT doc_a, doc_b,
+           |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+           |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |seeds AS (SELECT DISTINCT doc_id AS v FROM documents
+           |  WHERE source = 'src0'),
+           |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e
+           |  UNION SELECT v FROM seeds),
+           |ns AS (SELECT COUNT(*) AS n FROM seeds),
+           |sv AS (SELECT verts.v, (s.v IS NOT NULL) AS is_seed
+           |  FROM verts LEFT JOIN seeds s ON s.v = verts.v),
+           |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+           |r0 AS (SELECT sv.v,
+           |    CASE WHEN sv.is_seed THEN CAST(1.0 AS DOUBLE) / ns.n
+           |         ELSE 0.0 END AS rank
+           |  FROM sv CROSS JOIN ns),
+           |$iters
+           |SELECT v AS doc_id, ROUND(rank, 6) AS rank FROM r5""".stripMargin
       }),
 
     QueryDef("q_dedup_minhash_lsh",
@@ -3710,6 +3826,64 @@ object LlmOps extends QueryGroup {
              |JOIN (SELECT * FROM r WHERE rw = 1) w USING(prompt_id)
              |WHERE b.n >= 2 AND b.doc_id <> w.doc_id
              |  AND ROUND(b.s - w.s, 6) >= 0.0""".stripMargin)),
+
+    // Bradley–Terry strengths over pairwise outcomes (3 MM iterations,
+    // mean-1 rescale): the global ordering a preference corpus implies.
+    // Fixture comparisons: consecutive per-user events, winner = the
+    // event type holding the larger value (equal values/types skipped) —
+    // both sides derive the identical outcome table, then the oracle
+    // unrolls the MM updates as chained CTEs.
+    QueryDef("q_bradley_terry",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val o = Tables.load(s, dir, "events")
+          .withColumn("nt", lead(col("event_type"), 1).over(w))
+          .withColumn("nv", lead(col("value"), 1).over(w))
+          .filter(col("nt").isNotNull && col("value") =!= col("nv") &&
+            col("event_type") =!= col("nt"))
+          .select(
+            when(col("value") > col("nv"), col("event_type"))
+              .otherwise(col("nt")).as("winner"),
+            when(col("value") > col("nv"), col("nt"))
+              .otherwise(col("event_type")).as("loser"))
+        Rank.bradleyTerry(o, "winner", "loser", iterations = 3)
+      },
+      Some {
+        val iters = (1 to 3).map { i =>
+          s"""d$i AS (SELECT s.i AS id, SUM(s.n / (ti.th + tj.th)) AS d
+             |  FROM sym s JOIN t${i - 1} ti ON ti.id = s.i
+             |  JOIN t${i - 1} tj ON tj.id = s.j GROUP BY 1),
+             |r$i AS (SELECT w.id, CASE WHEN w.wins = 0 OR d.d IS NULL
+             |    THEN 0.0 ELSE w.wins / d.d END AS th
+             |  FROM wins w LEFT JOIN d$i d USING(id)),
+             |t$i AS (SELECT id,
+             |    th * (SELECT COUNT(*) * 1.0 / SUM(th) FROM r$i) AS th
+             |  FROM r$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH o AS (SELECT event_type, value,
+           |    LEAD(event_type) OVER w AS nt, LEAD(value) OVER w AS nv
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |ev AS (SELECT CASE WHEN value > nv THEN event_type ELSE nt END AS w,
+           |    CASE WHEN value > nv THEN nt ELSE event_type END AS l
+           |  FROM o WHERE nt IS NOT NULL AND value <> nv AND event_type <> nt),
+           |ents AS (SELECT DISTINCT w AS id FROM ev UNION SELECT l FROM ev),
+           |wins AS (SELECT e.id, CAST(COALESCE(x.c, 0) AS BIGINT) AS wins
+           |  FROM ents e LEFT JOIN (SELECT w AS id, COUNT(*) AS c FROM ev
+           |    GROUP BY 1) x USING(id)),
+           |p AS (SELECT least(w, l) AS a, greatest(w, l) AS b, COUNT(*) AS n
+           |  FROM ev GROUP BY 1, 2),
+           |sym AS (SELECT a AS i, b AS j, n FROM p
+           |        UNION ALL SELECT b, a, n FROM p),
+           |games AS (SELECT i AS id, CAST(SUM(n) AS BIGINT) AS games
+           |  FROM sym GROUP BY 1),
+           |t0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS th FROM ents),
+           |$iters
+           |SELECT t3.id AS entity, ROUND(t3.th, 6) AS strength,
+           |  wins.wins, games.games
+           |FROM t3 JOIN wins USING(id) JOIN games USING(id)""".stripMargin
+      }),
 
     // Count-min-sketch heavy hitters over the event stream's user keys:
     // depth-3 × width-256 salted-md5 sketch, estimate = min over rows,

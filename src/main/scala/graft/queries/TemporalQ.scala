@@ -670,6 +670,69 @@ object TemporalQ extends QueryGroup {
              |       ELSE (xs[len(xs) // 2] + xs[len(xs) // 2 + 1]) / 2.0 END AS rolling_median
              |FROM x""".stripMargin)),
 
+    // Holt double-exponential smoothing (trend-aware EWMA) per user over
+    // a bounded 8-row trailing frame: level/trend recurrences folded
+    // sequentially on both engines (bit-identical order), one-step
+    // forecast = level + trend. The oracle UNROLLS the 8-step fold as
+    // chained CTEs instead of a list_reduce struct lambda: DuckDB
+    // v1.0.0 evaluates the lambda's struct fields in place, so a field
+    // reading acc.l after the l field wrote it sees the NEW level —
+    // silently wrong trends (verified against a scalar reference).
+    QueryDef("q_holt_smooth",
+      (s, dir) => Temporal.holtSmooth(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        alpha = 0.3, gamma = 0.2, window = 8,
+        tiebreak = Seq("event_id"), idCols = Seq("event_id")),
+      Some {
+        val steps = (2 to 8).map { k =>
+          s"""s$k AS (SELECT user_id, event_id, xs,
+             |    CASE WHEN len(xs) >= $k THEN 0.2 * (l - pl) + 0.8 * b
+             |         ELSE b END AS b, l
+             |  FROM (SELECT user_id, event_id, xs,
+             |      CASE WHEN len(xs) >= $k THEN 0.3 * xs[$k] + 0.7 * (l + b)
+             |           ELSE l END AS l,
+             |      l AS pl, b
+             |    FROM s${k - 1}))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH x AS (SELECT user_id, event_id,
+           |    list(CAST(value AS DOUBLE))
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+           |  FROM events),
+           |s1 AS (SELECT user_id, event_id, xs, xs[1] AS l,
+           |    CAST(0.0 AS DOUBLE) AS b FROM x),
+           |$steps
+           |SELECT user_id, event_id, ROUND(l, 6) AS level,
+           |  ROUND(b, 6) AS trend, ROUND(l + b, 6) AS forecast
+           |FROM s8""".stripMargin
+      }),
+
+    // Two-sided CUSUM drift detector per user (target 50, slack 10,
+    // decision interval 150): the clamped recurrence rewritten as prefix
+    // sum minus running min, so unbounded history costs two running
+    // windows — both engines evaluate them sequentially in the same
+    // (ts, event_id) order.
+    QueryDef("q_cusum",
+      (s, dir) => Temporal.cusum(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        target = 50.0, slack = 10.0, h = 150.0,
+        tiebreak = Seq("event_id"), idCols = Seq("event_id")),
+      Some("""WITH p AS (SELECT user_id, event_id, ts,
+             |    SUM(CAST(value AS DOUBLE) - 50.0 - 10.0) OVER w AS ph,
+             |    SUM(50.0 - 10.0 - CAST(value AS DOUBLE)) OVER w AS pl
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |s AS (SELECT user_id, event_id,
+             |    ROUND(ph - LEAST(0.0, MIN(ph) OVER w2), 6) AS cusum_hi,
+             |    ROUND(pl - LEAST(0.0, MIN(pl) OVER w2), 6) AS cusum_lo
+             |  FROM p
+             |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, cusum_hi, cusum_lo,
+             |  (cusum_hi > 150.0 OR cusum_lo > 150.0) AS alarm
+             |FROM s""".stripMargin)),
+
     // Schema-on-read over the JSON props blob: extract + aggregate without
     // ever inferring (from_json under an enforced schema, null on parse
     // failure — the splittable-scan shape that survives a 100 TB log table).

@@ -492,6 +492,67 @@ object EventStream {
       }
   }
 
+  final case class CusumEv(key: String, ts_us: Long, event_id: Long, v: Double)
+  final case class CusumState(sh: Double, sl: Double, n: Long)
+  final case class CusumOut(key: String, n_events: Long,
+      cusum_hi: Double, cusum_lo: Double, alarm: Boolean)
+
+  /**
+   * Streaming two-sided CUSUM per key — the live twin of
+   * [[graft.ops.Temporal.cusum]] and the sequential complement of
+   * [[streamingPsi]] (PSI alarms on a window's distribution, CUSUM
+   * accumulates slow drift ACROSS windows). State per key is two
+   * doubles + a count; each micro-batch folds its events in
+   * (ts, event_id) order through the clamped recurrences
+   * S⁺ ← max(0, S⁺ + (x − target − slack)),
+   * S⁻ ← max(0, S⁻ + (target − slack − x)) and re-emits the key's
+   * updated statistics (Update semantics). Feeding the same events in
+   * one batch or many yields the same final state (a left fold splits
+   * over ordered batches) — parity with the batch operator's last row
+   * per key is spec-checked to 1e-6 (the batch form computes the
+   * algebraically-equal prefix-sum identity, which differs only in FP
+   * rounding order). Events inside a micro-batch are sorted before the
+   * fold (micro-batch iterators carry no order guarantee); ACROSS
+   * batches the source must deliver a key's events in time order —
+   * true for append-ordered monitors, the op's use case.
+   */
+  def streamingCusum(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String, idCol: String,
+      target: Double, slack: Double, h: Double,
+      stateTtl: Option[String] = None): Dataset[CusumOut] = {
+    import spark.implicits._
+    require(slack >= 0, "slack must be >= 0")
+    require(h > 0, "h must be > 0")
+    def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        col(valueCol).cast("double").as("v"))
+      .as[CusumEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[CusumEv], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val init = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L))
+            val folded = sorted.foldLeft(init) { (s, e) =>
+              CusumState(
+                math.max(0.0, s.sh + (e.v - target - slack)),
+                math.max(0.0, s.sl + (target - slack - e.v)),
+                s.n + 1)
+            }
+            state.update(folded)
+            stateTtl.foreach(state.setTimeoutDuration)
+            val (sh, sl) = (round6(folded.sh), round6(folded.sl))
+            Iterator.single(CusumOut(key, folded.n, sh, sl, sh > h || sl > h))
+          }
+      }
+  }
+
   final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
   final case class BucketState(members: List[(Long, Seq[Long])])
   final case class NearDup(doc_a: Long, doc_b: Long, band: Int, jhat: Double)

@@ -1914,6 +1914,107 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kCore: triangle survives the 2-core, pendant+chain peel off; fixpoint stable") {
+    import graft.ops.Graph
+    // triangle a-b-c, pendant d on a, chain e-f
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("e", "f"))
+      .toDF("s", "d")
+    def core(rounds: Int) = Graph.kCore(e, "s", "d", k = 2, rounds = rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 1 drops d/e/f (degree 1); triangle is 2-regular and stays
+    val got = core(2)
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // extra rounds are no-ops past the fixpoint
+    assert(core(5) == got)
+    // k above the max degree empties the core
+    assert(Graph.kCore(e, "s", "d", k = 4, rounds = 3).count() == 0L)
+  }
+
+  test("labelPropagation: bridged triangles split into two communities, min-label ties") {
+    import graft.ops.Graph
+    // two triangles joined by the bridge c-x; 3 deterministic sync
+    // rounds settle on {a,b,c}->a and {x,y,z}->c (hand-traced)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")).toDF("s", "d")
+    val got = Graph.labelPropagation(e, "s", "d", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"))
+    // an isolated self-paired vertex never appears (self-loops dropped),
+    // but a vertex whose only neighbor vanishes keeps its last label:
+    // single edge graph converges immediately to the min endpoint
+    val single = Seq(("p", "q")).toDF("s", "d")
+    val s1 = Graph.labelPropagation(single, "s", "d", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // sync update on an edge: each adopts the other's CURRENT label —
+    // p<->q swap forever under pure sync; round 2 restores identity
+    assert(s1 == Map("p" -> "p", "q" -> "q"))
+  }
+
+  test("personalizedPageRank: teleport to seeds only, isolated seed holds share") {
+    import graft.ops.Graph
+    val e = Seq(("a", "b")).toDF("s", "d")
+    val seeds1 = Seq("a").toDF("v")
+    val r2 = Graph.personalizedPageRank(e, "s", "d", seeds1, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // iter1: a = 0.15 (teleport), b = 0.85*1; iter2: b = 0.85*0.15
+    assert(r2 == Map("a" -> 0.15, "b" -> 0.1275))
+    // isolated seed s: in the vertex set, holds its teleport share; its
+    // rank mass dangles away (documented drop semantics)
+    val seeds2 = Seq("a", "s").toDF("v")
+    val r1 = Graph.personalizedPageRank(e, "s", "d", seeds2, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r1 == Map("a" -> 0.075, "s" -> 0.075, "b" -> 0.425))
+    // zero iterations: the seeded initial vector itself
+    val r0 = Graph.personalizedPageRank(e, "s", "d", seeds1, iterations = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r0 == Map("a" -> 1.0, "b" -> 0.0))
+  }
+
+  test("bradleyTerry: MM fixed point matches the MLE on hand cases") {
+    import graft.ops.Rank
+    // A beats B 2:1 -> MLE P(A>B) = 2/3 -> theta (4/3, 2/3) at mean 1;
+    // the MM update hits the fixed point on iteration 1 here
+    val o = Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("w", "l")
+    val got = Rank.bradleyTerry(o, "w", "l", iterations = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") == ((1.333333, 2L, 3L)))
+    assert(got("B") == ((0.666667, 1L, 3L)))
+    // zero-win entity pins to 0, winner absorbs the rescaled mass
+    val z = Seq(("A", "C"), ("A", "C")).toDF("w", "l")
+    val gz = Rank.bradleyTerry(z, "w", "l", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gz == Map("A" -> 2.0, "C" -> 0.0))
+    // symmetric record -> equal strengths at the mean
+    val s = Seq(("A", "B"), ("B", "A")).toDF("w", "l")
+    val gs = Rank.bradleyTerry(s, "w", "l", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gs == Map("A" -> 1.0, "B" -> 1.0))
+  }
+
+  test("cohenKappa: textbook 2x2 case, degenerate and disjoint raters") {
+    import graft.ops.Agreement
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    val df = rows.toDF("a", "b")
+    val r = Agreement.cohenKappa(df, "a", "b").head()
+    // po = 35/50 = 0.7; pe = (30*25 + 20*25)/2500 = 0.5; kappa = 0.4
+    assert(r.getLong(0) == 50L && r.getDouble(1) == 0.7 &&
+      r.getDouble(2) == 0.5 && r.getDouble(3) == 0.4)
+    // null ratings excluded from every term
+    val withNulls = df.unionByName(
+      Seq((null: String, "y"), ("y", null: String)).toDF("a", "b"))
+    assert(Agreement.cohenKappa(withNulls, "a", "b").head() == r)
+    // both raters constant-identical: pe = 1 -> kappa undefined (null)
+    val const = Seq.fill(5)(("y", "y")).toDF("a", "b")
+    assert(Agreement.cohenKappa(const, "a", "b").head().isNullAt(3))
+    // disjoint label use: pe = 0, po = 0 -> kappa 0
+    val disj = Seq.fill(5)(("y", "n")).toDF("a", "b")
+    val d = Agreement.cohenKappa(disj, "a", "b").head()
+    assert(d.getDouble(2) == 0.0 && d.getDouble(3) == 0.0)
+  }
+
   test("seasonalAnomalies: per-bucket z, zero-variance and thin buckets null out") {
     import graft.ops.Temporal
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

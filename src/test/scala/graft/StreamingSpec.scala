@@ -1101,4 +1101,47 @@ class StreamingSpec extends SparkSpec {
         s"stream-served top-k must equal the batch run (${got.size} vs ${want.size})")
     } finally q.stop()
   }
+
+  test("streaming CUSUM final state matches the batch detector per key") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.streamingCusum(spark,
+      EventStream.readEvents(spark, streamDir),
+      "user_id", "ts", "value", "event_id",
+      target = 50.0, slack = 10.0, h = 150.0)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cusum_stream").start()
+    try {
+      q.processAllAvailable()
+      // update mode re-emits per batch: max n_events per key is final
+      val fin = spark.sql(
+          "SELECT key, n_events, cusum_hi, cusum_lo, alarm FROM cusum_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))
+        .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      val ev = graft.core.Tables.load(spark, sf, "events")
+      // batch twin's LAST row per key (prefix-sum identity form)
+      val lastIds = ev.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"))
+      val batch = graft.ops.Temporal.cusum(ev, Seq("user_id"), "ts", "value",
+          target = 50.0, slack = 10.0, h = 150.0,
+          tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+        .join(lastIds, Seq("user_id", "event_id"))
+        .collect().map(r => r.getLong(0).toString ->
+          ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      assert(fin.keySet == batch.keySet && fin.nonEmpty)
+      fin.foreach { case (k, (_, _, sh, sl, alarm)) =>
+        val (bh, bl, balarm) = batch(k)
+        // the stream folds the recurrence directly, the batch computes
+        // the algebraically-equal prefix-sum form — identical up to FP
+        // rounding order
+        assert(math.abs(sh - bh) <= 1e-6 && math.abs(sl - bl) <= 1e-6,
+          s"key $k: stream ($sh,$sl) vs batch ($bh,$bl)")
+        if (math.abs(sh - 150.0) > 1e-3 && math.abs(sl - 150.0) > 1e-3)
+          assert(alarm == balarm, s"key $k alarm mismatch")
+      }
+      assert(fin.values.map(_._2).sum ==
+        ev.filter(col("value").isNotNull).count())
+    } finally q.stop()
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.core.Tables
 import graft.ops.Temporal
 
 /** Invariant specs for the temporal operators (as-of join, sessionize,
@@ -431,5 +432,79 @@ class TemporalSpec extends SparkSpec {
       1L -> ((12.0, "updated")),
       3L -> ((30.0, "carried")),
       4L -> ((40.0, "inserted"))))
+  }
+
+  test("holtSmooth: hand-computed level/trend/forecast, window truncation") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 14.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", col("event_id").cast("timestamp"))
+    val out = Temporal.holtSmooth(df, Seq("user_id"), "ts", "value",
+        alpha = 0.5, gamma = 0.5, window = 10,
+        tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // row 1: l=x1, b=0; row 2: l=.5*12+.5*10=11, b=.5*(11-10)=0.5;
+    // row 3: l=.5*14+.5*11.5=12.75, b=.5*1.75+.25=1.125
+    assert(out(1L) == ((10.0, 0.0, 10.0)))
+    assert(out(2L) == ((11.0, 0.5, 11.5)))
+    assert(out(3L) == ((12.75, 1.125, 13.875)))
+    // window=2 drops x1 from row 3's fold: init l=12,b=0 -> l=13, b=0.5
+    val w2 = Temporal.holtSmooth(df, Seq("user_id"), "ts", "value",
+        alpha = 0.5, gamma = 0.5, window = 2,
+        tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(w2(3L) == ((13.0, 0.5, 13.5)))
+  }
+
+  test("holtSmooth plan: one exchange, no join") {
+    val df = Tables.load(spark, sf, "events")
+    val out = Temporal.holtSmooth(df, Seq("user_id"), "ts", "value",
+      alpha = 0.3, gamma = 0.2, window = 8,
+      tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"holtSmooth must not join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("cusum: prefix-sum form equals the direct clamped recurrence") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 10.0, 10.0, 10.0, 0.0, 0.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", col("event_id").cast("timestamp"))
+    val (target, slack, h) = (3.0, 1.0, 5.0)
+    // direct recurrence reference
+    val ref = xs.scanLeft((0.0, 0.0)) { case ((sh, sl), x) =>
+      (math.max(0.0, sh + (x - target - slack)),
+        math.max(0.0, sl + (target - slack - x)))
+    }.tail
+    val out = Temporal.cusum(df, Seq("user_id"), "ts", "value",
+        target, slack, h, tiebreak = Seq("event_id"),
+        idCols = Seq("event_id"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    ref.zipWithIndex.foreach { case ((sh, sl), i) =>
+      val (gh, gl, alarm) = out(i.toLong)
+      assert(math.abs(gh - sh) < 1e-9 && math.abs(gl - sl) < 1e-9,
+        s"row $i: got ($gh,$gl) want ($sh,$sl)")
+      assert(alarm == (sh > h || sl > h), s"row $i alarm")
+    }
+    // both sides clamp at zero; the drift rows 3..5 trip the hi side
+    assert(out.values.forall { case (gh, gl, _) => gh >= 0 && gl >= 0 })
+    assert(out(3L)._3 && out(5L)._3 && !out(0L)._3)
+  }
+
+  test("cusum plan: one exchange, no join, unbounded history") {
+    val df = Tables.load(spark, sf, "events")
+    val out = Temporal.cusum(df, Seq("user_id"), "ts", "value",
+      target = 50.0, slack = 10.0, h = 150.0,
+      tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"cusum must not join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 }
