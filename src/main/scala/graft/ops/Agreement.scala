@@ -51,4 +51,59 @@ object Agreement {
         when(col("pe") < 1.0,
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
   }
+
+  /**
+   * Krippendorff's alpha, nominal metric (Krippendorff 2004, "Content
+   * Analysis" §11) — the agreement coefficient that handles ANY number
+   * of raters and MISSING ratings, which is what real annotation tables
+   * look like (each item labeled by whichever 2-of-N annotators drew
+   * it). Input is the long reliability table `(item, rater, label)`;
+   * the rater identity only establishes one-rating-per-slot — alpha
+   * itself is computed from the per-item label multiset:
+   *
+   *   A₀ = Σ_u Σ_c n_uc(n_uc−1)/(m_u−1) / n   (observed agreement)
+   *   Aₑ = Σ_c n_c(n_c−1) / (n(n−1))           (expected)
+   *   α  = (A₀ − Aₑ)/(1 − Aₑ)
+   *
+   * with n_uc the count of label c on item u, m_u the item's rating
+   * count, n_c / n the kept-item column totals. Items with a single
+   * rating carry no agreement signal and drop (the missing-data rule).
+   * α is null when Aₑ = 1 (one label universe) or n < 2.
+   *
+   * Scale shape: (item, label)-grain counts → item-grain sums → three
+   * one-row aggregates; the ratings table is touched once, everything
+   * downstream is statistic-sized.
+   *
+   * Output: one row `(n_items, n_ratings, ao, ae, alpha)` — rates 6-dp
+   * rounded, alpha computed from the rounded rates (cross-engine
+   * determinism, same convention as [[cohenKappa]]).
+   */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val r = df
+      .select(col(itemCol).cast("string").as("item"),
+        col(raterCol).cast("string").as("rater"),
+        col(labelCol).cast("string").as("lab"))
+      .filter(col("item").isNotNull && col("rater").isNotNull &&
+        col("lab").isNotNull)
+    val cell = r.groupBy(col("item"), col("lab"))
+      .agg(count(lit(1)).as("n_uc"))
+    val mu = cell.groupBy(col("item")).agg(sum(col("n_uc")).as("m"))
+      .filter(col("m") >= 2)
+    val kept = cell.join(mu, Seq("item"))
+    val obs = kept.agg(
+      coalesce(sum(col("n_uc") * (col("n_uc") - 1) / (col("m") - 1)), lit(0.0))
+        .as("occ"),
+      countDistinct(col("item")).as("n_items"))
+    val colTot = kept.groupBy(col("lab")).agg(sum(col("n_uc")).as("nc"))
+      .agg(coalesce(sum(col("nc")), lit(0L)).as("n"),
+        coalesce(sum(col("nc") * (col("nc") - 1)), lit(0L)).as("pair_num"))
+    obs.crossJoin(broadcast(colTot))
+      .select(col("n_items"), col("n").as("n_ratings"),
+        round(col("occ") / col("n"), 6).as("ao"),
+        round(col("pair_num") / (col("n") * (col("n") - 1)), 6).as("ae"))
+      .withColumn("alpha",
+        when(col("n_ratings") >= 2 && col("ae") < 1.0,
+          round((col("ao") - col("ae")) / (lit(1.0) - col("ae")), 6)))
+  }
 }

@@ -401,6 +401,49 @@ object Dedup {
   }
 
   /**
+   * ASYMMETRIC containment pairs: C(A→B) = |A∩B|/|A| over distinct word
+   * n-gram shingles — the excerpt detector symmetric Jaccard structurally
+   * misses. A 50-shingle quote lifted verbatim into a 5000-shingle article
+   * scores Jaccard ≈ 0.01 (invisible at any usable τ) but containment
+   * 1.0 from the quote's side; news-wire syndication, quote farms and
+   * doc-in-doc duplication all look exactly like this (the motivation for
+   * containment in Broder 1997, "On the resemblance and containment of
+   * documents"). Emits ORDERED pairs `(doc_a, doc_b, containment)` with
+   * containment = |A∩B|/|A| ≥ `tau` — doc_a is the (near-)contained side;
+   * a pair surviving in both directions is mutual containment (≈ exact
+   * dup at equal sizes).
+   *
+   * Same plan and skew story as [[ngramJaccardPairs]] (shared shingle
+   * front door, broadcast df-cap anti-join, ONE intersection join on
+   * unordered pairs then scored in both directions — join fan-out
+   * identical to the Jaccard variant, not doubled).
+   */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
+    val all = shingles(df, textCol, idCol, n)
+    val overCap = all.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_n"))
+      .filter(col("df_n") > maxShingleDf)
+      .select(col("shingle"))
+    val sh = all.join(broadcast(overCap), Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+    scored
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("sz_a"), 6).as("containment"))
+      .unionByName(scored.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b"),
+        round(col("inter").cast("double") / col("sz_b"), 6).as("containment")))
+      .filter(col("containment") >= tau)
+  }
+
+  /**
    * Resolve near-duplicate PAIRS into groups: connected components over
    * the pair graph, each doc labeled with the MINIMUM doc id of its
    * component (the canonical representative — the standard keep-one rule).

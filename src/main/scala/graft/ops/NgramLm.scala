@@ -46,7 +46,16 @@ final case class NgramLmModel(
    * (cross-engine double tolerance). Docs with fewer than two tokens
    * have no bigrams and are not emitted.
    */
-  def score(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def score(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    scoredBigrams(df, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("lp")), 6).as("avg_logp"))
+
+  /** (id, w1, w2, lp) per corpus bigram — the shared scoring stream of
+    * [[score]] and [[minKProb]]. */
+  private def scoredBigrams(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val ts = Text.tokens(col(textCol))
     val pairs = arrays_zip(
       slice(ts, lit(1), size(ts) - 1).as("w1"),
@@ -63,9 +72,52 @@ final case class NgramLmModel(
       .join(unigrams.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
       .join(unigrams.select(col("w").as("w2"), col("c1").as("c2")),
         Seq("w2"), "left")
+      .select(col(idCol), col("w1"), col("w2"), logp.as("lp"))
+  }
+
+  /**
+   * Min-K% Prob membership signal (Shi et al. 2024, "Detecting
+   * Pretraining Data from Large Language Models"): per document, the
+   * mean log-probability of its `kFrac` LEAST-likely bigrams. A text the
+   * model has effectively seen has no surprising spans, so even its
+   * tail log-probs sit high; novel text's tail dips. The contamination /
+   * memorization screen to run with [[graft.ops.Dedup]]'s
+   * decontamination — n-gram overlap catches verbatim leaks, min-k
+   * catches near-verbatim ones the tokenizer perturbed.
+   *
+   * Determinism across engines: per-bigram log-probs round to integer
+   * MICRO-nats before ranking (summation-order jitter at ~1e-15 must
+   * not reorder near-ties), the rank carries a (lp, w1, w2) tiebreak —
+   * rows tied at the cutoff have EQUAL quantized lp, so which of them
+   * lands inside the tail cannot change the sum — and the tail mean is
+   * an EXACT integer sum divided once, so no engine can land on the
+   * other side of a rounding boundary (an average of 6-dp doubles can:
+   * measured, 2 of 500 sf0.01 docs flip the 6th decimal).
+   *
+   * Scale shape: [[score]]'s exploded join stream plus one per-doc
+   * window (rank over the doc's own bigrams — bounded by doc length).
+   * Output: `(id, n_bigrams, n_tail, min_k_logp)`.
+   */
+  def minKProb(df: DataFrame, textCol: String, idCol: String,
+      kFrac: Double): DataFrame = {
+    require(kFrac > 0 && kFrac <= 1, "kFrac must be in (0, 1]")
+    val rows = scoredBigrams(df, textCol, idCol)
+      .select(col(idCol), col("w1"), col("w2"),
+        round(col("lp") * 1e6).cast("long").as("lpm"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("lpm").asc, col("w1").asc, col("w2").asc)
+    rows
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(ord))
+      .filter(col("rk") <= greatest(ceil(lit(kFrac) * col("n")), lit(1L)))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(logp), 6).as("avg_logp"))
+      .agg(max(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_tail"),
+        round(sum(col("lpm")).cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("min_k_logp"))
   }
 }
 

@@ -268,6 +268,54 @@ object Vectors {
   }
 
   /**
+   * Pairwise embedding drift between groups (sources, snapshots,
+   * clusters): for every group pair, the squared distance between mean
+   * embeddings — the linear-kernel MMD estimate (Gretton et al. 2012,
+   * "A Kernel Two-Sample Test", with k(x,y)=x·y the statistic reduces to
+   * ‖µ_a − µ_b‖²) — plus the mean-vector cosine and group sizes. The
+   * embedding-space counterpart of [[graft.ops.Profile.psi]]: PSI sees a
+   * scalar feature drift, this sees a SEMANTIC shift between corpus
+   * slices (new crawl snapshot vs old, source A vs source B) without
+   * any pairwise doc×doc work.
+   *
+   * Scale shape: vectors leave the plan at one posexplode; everything
+   * after is (group, dim)-grain — the pairwise join is over g·d rows
+   * (groups × dims, statistic-sized), never over documents. Mean cosine
+   * is null when either mean vector is all-zero.
+   *
+   * Output: `(grp_a, grp_b, n_a, n_b, mmd2, mean_cos)`, grp_a < grp_b,
+   * 6-dp rounded.
+   */
+  def embeddingDrift(df: DataFrame, vecCol: String,
+      groupCol: String): DataFrame = {
+    val ex = df.select(col(groupCol).cast("string").as("grp"),
+      posexplode(col(vecCol)).as(Seq("d", "v")))
+    val m = ex.groupBy(col("grp"), col("d"))
+      .agg(avg(col("v").cast("double")).as("m"))
+    val counts = df.select(col(groupCol).cast("string").as("grp"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val pair = m.select(col("grp").as("grp_a"), col("d"), col("m").as("ma"))
+      .join(m.select(col("grp").as("grp_b"), col("d"), col("m").as("mb")),
+        Seq("d"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("mmd2"),
+        sum(col("ma") * col("mb")).as("dab"),
+        sum(col("ma") * col("ma")).as("ssa"),
+        sum(col("mb") * col("mb")).as("ssb"))
+    pair
+      .join(counts.select(col("grp").as("grp_a"), col("n").as("n_a")),
+        Seq("grp_a"))
+      .join(counts.select(col("grp").as("grp_b"), col("n").as("n_b")),
+        Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        round(col("mmd2"), 6).as("mmd2"),
+        when(col("ssa") > 0 && col("ssb") > 0,
+          round(col("dab") / (sqrt(col("ssa")) * sqrt(col("ssb"))), 6))
+          .as("mean_cos"))
+  }
+
+  /**
    * Hard-negative mining for retrieval/embedding training: for each
    * query, the top-k most similar corpus items EXCLUDING its known
    * positives — the negatives that actually move a contrastive loss

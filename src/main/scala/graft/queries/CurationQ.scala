@@ -919,6 +919,50 @@ object CurationQ extends QueryGroup {
              |    ROUND(pe_num * 1.0 / (n * n), 6) AS pe FROM tot CROSS JOIN pe)
              |SELECT n_items, po, pe,
              |  CASE WHEN pe < 1.0 THEN ROUND((po - pe) / (1.0 - pe), 6) END AS kappa
+             |FROM s""".stripMargin)),
+
+    // Krippendorff's alpha (nominal) over a many-rater table with
+    // missing ratings: items = users, rater slots = event_id % 3, each
+    // slot's rating = its first event's type — single-rating items drop
+    // (no agreement signal), exactly the real annotation-table shape
+    // kappa can't handle.
+    QueryDef("q_krippendorff",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_id") % 3)
+          .orderBy(col("ts"), col("event_id"))
+        graft.ops.Agreement.krippendorffAlpha(
+          Tables.load(s, dir, "events")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("user_id").as("item"),
+              (col("event_id") % 3).as("rater"),
+              col("event_type").as("lab")),
+          "item", "rater", "lab")
+      },
+      Some("""WITH rt AS (SELECT user_id AS item, event_id % 3 AS rater,
+             |    event_type AS lab,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, event_id % 3
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |r AS (SELECT item, rater, lab FROM rt WHERE rn = 1),
+             |cell AS (SELECT item, lab, COUNT(*) AS n_uc FROM r GROUP BY 1, 2),
+             |mu AS (SELECT item, SUM(n_uc) AS m FROM cell GROUP BY 1
+             |  HAVING SUM(n_uc) >= 2),
+             |kept AS (SELECT cell.*, mu.m FROM cell JOIN mu USING(item)),
+             |obs AS (SELECT
+             |    COALESCE(SUM(n_uc * (n_uc - 1) * 1.0 / (m - 1)), 0.0) AS occ,
+             |    CAST(COUNT(DISTINCT item) AS BIGINT) AS n_items FROM kept),
+             |ct AS (SELECT CAST(COALESCE(SUM(nc), 0) AS BIGINT) AS n,
+             |    CAST(COALESCE(SUM(nc * (nc - 1)), 0) AS BIGINT) AS pair_num
+             |  FROM (SELECT lab, SUM(n_uc) AS nc FROM kept GROUP BY lab)),
+             |s AS (SELECT n_items, n AS n_ratings,
+             |    ROUND(occ / n, 6) AS ao,
+             |    ROUND(pair_num * 1.0 / (n * (n - 1)), 6) AS ae
+             |  FROM obs CROSS JOIN ct)
+             |SELECT n_items, n_ratings, ao, ae,
+             |  CASE WHEN n_ratings >= 2 AND ae < 1.0
+             |       THEN ROUND((ao - ae) / (1.0 - ae), 6) END AS alpha
              |FROM s""".stripMargin))
   )
 

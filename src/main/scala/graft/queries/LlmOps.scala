@@ -988,6 +988,46 @@ object LlmOps extends QueryGroup {
               |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
               |FROM d""".stripMargin)),
 
+    // Min-K% Prob membership signal (Shi et al. 2024): per doc, the mean
+    // log-prob of its 20% least-likely bigrams under the same backoff LM
+    // — the memorization/contamination screen next to n-gram overlap
+    // decontamination. Per-bigram lp quantizes to integer micro-nats
+    // BEFORE ranking on both sides (rank tiebreaks (lpm, w1, w2)), and
+    // the tail mean divides one EXACT integer sum — an average of 6-dp
+    // doubles flips the 6th decimal on 2/500 sf0.01 docs (measured).
+    QueryDef("q_min_k_prob",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        NgramLm.fit(docs.filter(col("doc_id") % 10 =!= 0), "text")
+          .minKProb(docs, "text", "doc_id", kFrac = 0.2)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+              |bg AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 1)) AS p, ts FROM t),
+              |cb AS (SELECT doc_id, ts[p] AS w1, ts[p+1] AS w2 FROM bg),
+              |u AS (SELECT w, COUNT(*) AS c1 FROM (
+              |    SELECT unnest(ts) AS w FROM t WHERE doc_id % 10 <> 0) GROUP BY w),
+              |nv AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM u),
+              |b AS (SELECT w1, w2, COUNT(*) AS c12 FROM cb
+              |  WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+              |sc AS (SELECT cb.doc_id, cb.w1, cb.w2,
+              |    CAST(ROUND(CASE WHEN b.c12 IS NOT NULL
+              |         THEN ln(CAST(b.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+              |         ELSE ln(CAST(0.4 AS DOUBLE) *
+              |           (CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE) /
+              |            CAST(nv.n + nv.v AS DOUBLE))) END * 1000000.0) AS BIGINT) AS lpm
+              |  FROM cb LEFT JOIN b USING(w1, w2)
+              |  LEFT JOIN u u1 ON u1.w = cb.w1
+              |  LEFT JOIN u u2 ON u2.w = cb.w2, nv),
+              |r AS (SELECT doc_id, lpm,
+              |    COUNT(*) OVER (PARTITION BY doc_id) AS n,
+              |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY lpm, w1, w2) AS rk
+              |  FROM sc),
+              |f AS (SELECT * FROM r WHERE rk <= GREATEST(CAST(ceil(0.2 * n) AS BIGINT), 1))
+              |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bigrams,
+              |  CAST(COUNT(*) AS BIGINT) AS n_tail,
+              |  ROUND(CAST(SUM(lpm) AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS min_k_logp
+              |FROM f GROUP BY doc_id""".stripMargin)),
+
     // C4-style line dedup: every doc becomes two lines (its own text +
     // a boilerplate footer on every 5th doc); the footer and any line
     // shared by >= 2 docs (exact-dup texts) are dropped, docs reassemble
@@ -1763,6 +1803,47 @@ object LlmOps extends QueryGroup {
               |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
               |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
               |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
+
+    // Asymmetric shingle containment |A∩B|/|A| >= 0.5 — the excerpt/
+    // quote-farm detector symmetric Jaccard misses (a short doc inside a
+    // long one). Ordered pairs; doc_a is the contained side.
+    QueryDef("q_dedup_containment",
+      (s, dir) => Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, tau = 0.5),
+      Some(s"""WITH $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |sc AS (SELECT doc_a, doc_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+              |dir2 AS (
+              |  SELECT doc_a, doc_b, ROUND(i * 1.0 / sz_a, 6) AS containment FROM sc
+              |  UNION ALL
+              |  SELECT doc_b, doc_a, ROUND(i * 1.0 / sz_b, 6) FROM sc)
+              |SELECT doc_a, doc_b, containment FROM dir2
+              |WHERE containment >= 0.5""".stripMargin)),
+
+    // Pairwise semantic drift between label slices of the embedding
+    // corpus: linear-kernel MMD (= squared distance of mean embeddings)
+    // + mean-vector cosine per group pair — the embedding-space PSI.
+    QueryDef("q_embedding_drift",
+      (s, dir) => Vectors.embeddingDrift(
+        Tables.load(s, dir, "embeddings"), "embedding", "label"),
+      Some("""WITH ex AS (SELECT CAST(label AS VARCHAR) AS grp, i, embedding[i]::DOUBLE AS v
+             |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+             |m AS (SELECT grp, i, AVG(v) AS m FROM ex GROUP BY 1, 2),
+             |c AS (SELECT CAST(label AS VARCHAR) AS grp,
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+             |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+             |    SUM((a.m - b.m) * (a.m - b.m)) AS mmd2,
+             |    SUM(a.m * b.m) AS dab, SUM(a.m * a.m) AS ssa,
+             |    SUM(b.m * b.m) AS ssb
+             |  FROM m a JOIN m b ON a.i = b.i AND a.grp < b.grp GROUP BY 1, 2)
+             |SELECT grp_a, grp_b, ca.n AS n_a, cb.n AS n_b,
+             |  ROUND(mmd2, 6) AS mmd2,
+             |  CASE WHEN ssa > 0 AND ssb > 0
+             |       THEN ROUND(dab / (SQRT(ssa) * SQRT(ssb)), 6) END AS mean_cos
+             |FROM p JOIN c ca ON ca.grp = p.grp_a
+             |JOIN c cb ON cb.grp = p.grp_b""".stripMargin)),
 
     // PageRank over the symmetrized near-dup graph (5 fixed iterations):
     // link centrality of documents inside duplicate clusters. The oracle

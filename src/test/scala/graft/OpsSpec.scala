@@ -2015,6 +2015,119 @@ class OpsSpec extends SparkSpec {
     assert(d.getDouble(2) == 0.0 && d.getDouble(3) == 0.0)
   }
 
+  test("krippendorffAlpha: hand case, reference formula, missing-data rule") {
+    import graft.ops.Agreement
+    // 3 items x 2 raters: (a,a), (b,b), (a,b)
+    // Ao = 4/6, Ae = (3*2 + 3*2)/(6*5) = 0.4, alpha = .266667/.6
+    val df = Seq((1L, 0, "a"), (1L, 1, "a"), (2L, 0, "b"), (2L, 1, "b"),
+      (3L, 0, "a"), (3L, 1, "b")).toDF("item", "rater", "lab")
+    val r = Agreement.krippendorffAlpha(df, "item", "rater", "lab").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 0.666667 && r.getDouble(3) == 0.4 &&
+      r.getDouble(4) == 0.444445)
+    // single-rating items carry no signal and must not change anything
+    val withSingles = df.unionByName(
+      Seq((9L, 0, "a"), (8L, 2, "b")).toDF("item", "rater", "lab"))
+    assert(Agreement.krippendorffAlpha(withSingles, "item", "rater", "lab")
+      .head() == r)
+    // perfect agreement on a mixed-label corpus -> alpha 1
+    val perfect = Seq((1L, 0, "a"), (1L, 1, "a"), (2L, 0, "b"), (2L, 1, "b"))
+      .toDF("item", "rater", "lab")
+    assert(Agreement.krippendorffAlpha(perfect, "item", "rater", "lab")
+      .head().getDouble(4) == 1.0)
+    // one-label universe: Ae = 1 -> alpha undefined
+    val onelab = Seq((1L, 0, "a"), (1L, 1, "a")).toDF("item", "rater", "lab")
+    assert(Agreement.krippendorffAlpha(onelab, "item", "rater", "lab")
+      .head().isNullAt(4))
+    // independent reference: alpha = 1 - Do/De over a 3-rater fixture
+    // with a missing cell (item 2 has 2 ratings)
+    val mix = Seq((1L, 0, "x"), (1L, 1, "x"), (1L, 2, "y"),
+      (2L, 0, "y"), (2L, 2, "y"), (3L, 0, "x"), (3L, 1, "y"), (3L, 2, "z"))
+      .toDF("item", "rater", "lab")
+    val got = Agreement.krippendorffAlpha(mix, "item", "rater", "lab")
+      .head().getDouble(4)
+    val items = Map(1L -> Seq("x", "x", "y"), 2L -> Seq("y", "y"),
+      3L -> Seq("x", "y", "z"))
+    val n = items.values.map(_.size).sum.toDouble
+    val doSum = items.values.map { ls =>
+      val dis = (for (i <- ls.indices; j <- ls.indices if i != j)
+        yield if (ls(i) != ls(j)) 1 else 0).sum
+      dis.toDouble / (ls.size - 1)
+    }.sum
+    val nc = items.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val deRate = 1.0 - nc.values.map(c => c.toDouble * (c - 1)).sum / (n * (n - 1))
+    val ref = 1.0 - (doSum / n) / deRate
+    assert(math.abs(got - ref) < 1e-5, s"alpha $got vs reference $ref")
+  }
+
+  test("containmentPairs: excerpt scores 1.0 one-way, mutual on exact dup") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // the excerpt
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"), // superset
+      (3L, "one two three four five six seven"),             // unrelated
+      (4L, "one two three four five six seven")              // exact dup of 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 1 fully inside 2 -> C(1->2) = 1.0; the reverse is 4/18 and filtered
+    assert(got((1L, 2L)) == 1.0 && !got.contains((2L, 1L)))
+    // exact dups contain each other
+    assert(got((3L, 4L)) == 1.0 && got((4L, 3L)) == 1.0)
+    // jaccard at the same tau misses the excerpt but keeps the dup
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == Set((3L, 4L)))
+  }
+
+  test("minKProb: kFrac=1 equals score; tail mean below doc mean; exact tail size") {
+    import graft.ops.NgramLm
+    val docs = graft.core.Tables.load(spark, sf, "documents").limit(60)
+    val lm = NgramLm.fit(docs.filter(col("doc_id") % 10 =!= 0), "text")
+    val full = lm.minKProb(docs, "text", "doc_id", kFrac = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val scored = lm.score(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(full.keySet == scored.keySet)
+    full.foreach { case (id, (nb, nt, mk)) =>
+      val (n2, avg) = scored(id)
+      assert(nb == n2 && nt == nb)
+      // per-bigram 6-dp rounding before averaging vs after: <= 1e-6 apart
+      assert(math.abs(mk - avg) <= 1e-5, s"doc $id: $mk vs $avg")
+    }
+    val tail = lm.minKProb(docs, "text", "doc_id", kFrac = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    tail.foreach { case (id, (nb, nt, mk)) =>
+      assert(nt == math.max(math.ceil(0.2 * nb).toLong, 1L), s"doc $id tail size")
+      assert(mk <= full(id)._3 + 1e-9, s"doc $id: tail mean must not exceed doc mean")
+    }
+  }
+
+  test("embeddingDrift: zero for identical groups, hand mmd2/cos, zero-mean null") {
+    import graft.ops.Vectors
+    val df = Seq(
+      ("x", Seq(1.0f, 0.0f)), ("x", Seq(1.0f, 0.0f)),
+      ("y", Seq(0.0f, 1.0f)),
+      ("w", Seq(1.0f, 0.0f)), ("w", Seq(1.0f, 0.0f)),
+      ("z", Seq(1.0f, -1.0f)), ("z", Seq(-1.0f, 1.0f))
+    ).toDF("grp", "vec")
+    val got = Vectors.embeddingDrift(df, "vec", "grp")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          Option(r.getAs[java.lang.Double]("mean_cos"))))).toMap
+    // identical distributions: mmd2 0, cosine 1
+    assert(got(("w", "x")) == ((2L, 2L, 0.0, Some(1.0))))
+    // means (1,0) vs (0,1): mmd2 = 2, cos = 0
+    assert(got(("x", "y")) == ((2L, 1L, 2.0, Some(0.0))))
+    // z's mean is the zero vector: cosine undefined (null), mmd2 = 1
+    assert(got(("x", "z")) == ((2L, 2L, 1.0, None)))
+    assert(got.size == 6)  // all C(4,2) pairs emitted
+  }
+
   test("seasonalAnomalies: per-bucket z, zero-variance and thin buckets null out") {
     import graft.ops.Temporal
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
