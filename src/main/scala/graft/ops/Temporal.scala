@@ -947,6 +947,118 @@ object Temporal {
    * TWO running window aggregates (sum + min) on one shuffle by `keys` —
    * no per-row array, no O(n²) re-fold, unbounded history for free.
    */
+  /**
+   * Kaplan–Meier survival estimator (Kaplan & Meier 1958) with right
+   * censoring, per group: Ŝ(t) = Π_{tⱼ ≤ t} (1 − dⱼ/nⱼ) over the
+   * group's distinct observed times, where dⱼ counts events at tⱼ and
+   * nⱼ the subjects still at risk (duration ≥ tⱼ). THE retention/churn
+   * curve: "what fraction of a cohort survives past day t", with
+   * still-active subjects entering as censored instead of being thrown
+   * away (the bias naive retention ratios carry). Input is one row per
+   * subject: a numeric `durationCol` and boolean `eventCol` (true =
+   * event observed, false = censored).
+   *
+   * Output: one row per (group, t) at every distinct observed time —
+   * `n_risk`, `n_events`, `n_censored`, `survival` (6 dp). Censor-only
+   * times carry factor 1 (the curve steps only at event times) but are
+   * emitted so the at-risk trajectory is complete.
+   *
+   * Determinism: the running product folds the per-time factors
+   * SEQUENTIALLY in time order on both engines (exp(Σln) would differ
+   * in the last ulp between libm implementations). Scale shape: one
+   * hash-aggregate to (group, t) grain, then windows over each group's
+   * distinct TIMES — day-grain durations give ≤ a few thousand rows per
+   * group no matter how many subjects; the fold array is bounded by
+   * that, not by cohort size.
+   */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      durationCol: String, eventCol: String): DataFrame = {
+    val g = df
+      .filter(col(durationCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(durationCol).as("t")): _*)
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col(eventCol), 0L).otherwise(1L)).as("n_censored"))
+    val grp = Window.partitionBy(groupCols.map(col): _*)
+    val ord = grp.orderBy(col("t").asc)
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leaving = col("n_events") + col("n_censored")
+    val factors = collect_list(
+      lit(1.0) - col("n_events") / col("n_risk")).over(upTo)
+    g.withColumn("n_risk",
+        sum(leaving).over(grp.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)) -
+          coalesce(sum(leaving).over(prior), lit(0L)))
+      .withColumn("_fs", factors)
+      .withColumn("survival",
+        round(aggregate(expr("slice(_fs, 2, size(_fs) - 1)"),
+          element_at(col("_fs"), 1), (acc, x) => acc * x), 6))
+      .select((groupCols.map(col) :+ col("t") :+ col("n_risk") :+
+        col("n_events") :+ col("n_censored") :+ col("survival")): _*)
+  }
+
+  /**
+   * Log-rank (Mantel–Cox) test between two right-censored survival
+   * curves — "did cohort A churn differently from cohort B", the
+   * significance test behind a [[kaplanMeier]] plot. At each distinct
+   * EVENT time: Oₐ = events in A, Eₐ = d·nₐ/n under the null of equal
+   * hazards, V the hypergeometric variance d·(nₐ/n)(1−nₐ/n)(n−d)/(n−1);
+   * the statistic (ΣOₐ − ΣEₐ)²/ΣV is χ²₁ under the null. Same
+   * reporting convention as [[graft.stats.Planners.welchT]]: the
+   * statistic IS the portable result (no p-value tables in SQL
+   * engines); χ²₁ critical values: 3.841 at 5%, 6.635 at 1%.
+   *
+   * Scale shape: one hash-aggregate to distinct-time grain, then
+   * windows + sums over that statistic-sized table (same global-window
+   * convention as [[graft.stats.Planners.mannWhitneyU]] — pre-quantize
+   * durations to day grain if genuinely continuous). Output: one row
+   * `(n_a, n_b, observed_a, expected_a, variance, chi2)` — chi2 null
+   * when the variance is 0 (no comparable event times).
+   */
+  def logRank(df: DataFrame, groupCol: String, groupA: String,
+      groupB: String, durationCol: String, eventCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(durationCol).isNotNull)
+      .select((col(groupCol) === groupA).as("isa"),
+        col(durationCol).as("t"), col(eventCol).cast("boolean").as("ev"))
+    val g = base.groupBy(col("t")).agg(
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("ev") && col("isa"), 1L).otherwise(0L)).as("d_a"),
+      count(lit(1)).as("leave"),
+      sum(when(col("isa"), 1L).otherwise(0L)).as("leave_a"))
+    val ord = Window.partitionBy(lit(1)).orderBy(col("t").asc)
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val frac = col("n_at") / col("n")
+    val r = g
+      .withColumn("n",
+        (sum(col("leave")).over(tot) -
+          coalesce(sum(col("leave")).over(prior), lit(0L))).cast("double"))
+      .withColumn("n_at",
+        (sum(col("leave_a")).over(tot) -
+          coalesce(sum(col("leave_a")).over(prior), lit(0L))).cast("double"))
+      .filter(col("d") >= 1)
+      .withColumn("e_t", col("d") * frac)
+      .withColumn("v_t", when(col("n") > 1,
+        col("d") * frac * (lit(1.0) - frac) *
+          (col("n") - col("d")) / (col("n") - 1)).otherwise(lit(0.0)))
+    val sums = r.agg(sum(col("d_a")).as("observed_a"),
+      sum(col("e_t")).as("__e"), sum(col("v_t")).as("__v"))
+    val counts = base.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("n_b"))
+    counts.crossJoin(broadcast(sums))
+      .select(col("n_a"), col("n_b"),
+        coalesce(col("observed_a"), lit(0L)).as("observed_a"),
+        round(coalesce(col("__e"), lit(0.0)), 6).as("expected_a"),
+        round(coalesce(col("__v"), lit(0.0)), 6).as("variance"),
+        when(col("__v") > 0,
+          round((col("observed_a") - col("__e")) *
+            (col("observed_a") - col("__e")) / col("__v"), 6)).as("chi2"))
+  }
+
   def cusum(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, target: Double, slack: Double, h: Double,
       tiebreak: Seq[String] = Nil,

@@ -707,6 +707,95 @@ object TemporalQ extends QueryGroup {
            |FROM s8""".stripMargin
       }),
 
+    // Kaplan-Meier time-to-first-purchase: per user the days from first
+    // event to first purchase (censored at last activity when none),
+    // cohorts = user_id % 3 — the right-censored retention curve naive
+    // conversion ratios get wrong. Sequential factor fold on both sides.
+    QueryDef("q_kaplan_meier",
+      (s, dir) => {
+        val subj = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("tmax"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+          .select((col("user_id") % 3).as("cohort"),
+            floor((unix_micros(coalesce(col("tp"), col("tmax"))) -
+              unix_micros(col("t0"))) / lit(86400000000L))
+              .cast("long").as("t"),
+            col("tp").isNotNull.as("ev"))
+        Temporal.kaplanMeier(subj, Seq("cohort"), "t", "ev")
+      },
+      Some("""WITH subj AS (SELECT user_id % 3 AS cohort,
+             |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+             |         THEN date_diff('microsecond', MIN(ts),
+             |              MIN(CASE WHEN event_type = 'purchase' THEN ts END)) // 86400000000
+             |         ELSE date_diff('microsecond', MIN(ts), MAX(ts)) // 86400000000 END AS t,
+             |    (MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL) AS ev
+             |  FROM events GROUP BY user_id),
+             |g AS (SELECT cohort, t,
+             |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+             |    CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+             |  FROM subj GROUP BY 1, 2),
+             |r AS (SELECT cohort, t, n_events, n_censored,
+             |    CAST(SUM(n_events + n_censored) OVER (PARTITION BY cohort)
+             |      - COALESCE(SUM(n_events + n_censored) OVER (PARTITION BY cohort
+             |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS n_risk
+             |  FROM g),
+             |f AS (SELECT cohort, t, n_risk, n_events, n_censored,
+             |    list(1.0 - n_events * 1.0 / n_risk) OVER (PARTITION BY cohort
+             |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+             |  FROM r)
+             |SELECT cohort, t, n_risk, n_events, n_censored,
+             |  ROUND(list_reduce(fs, (a, b) -> a * b), 6) AS survival
+             |FROM f""".stripMargin)),
+
+    // Log-rank test between the even/odd-user cohorts' time-to-first-
+    // purchase curves: chi-squared(1) statistic from per-event-time
+    // hypergeometric O-E/V sums — the significance test behind the
+    // q_kaplan_meier plot (expected near-null on this random split).
+    QueryDef("q_log_rank",
+      (s, dir) => {
+        val subj = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("tmax"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+          .select((col("user_id") % 2 === 0).cast("string").as("cohort"),
+            floor((unix_micros(coalesce(col("tp"), col("tmax"))) -
+              unix_micros(col("t0"))) / lit(86400000000L))
+              .cast("long").as("t"),
+            col("tp").isNotNull.as("ev"))
+        Temporal.logRank(subj, "cohort", "true", "false", "t", "ev")
+      },
+      Some("""WITH subj AS (SELECT (user_id % 2 = 0) AS isa,
+             |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+             |         THEN date_diff('microsecond', MIN(ts),
+             |              MIN(CASE WHEN event_type = 'purchase' THEN ts END)) // 86400000000
+             |         ELSE date_diff('microsecond', MIN(ts), MAX(ts)) // 86400000000 END AS t,
+             |    (MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL) AS ev
+             |  FROM events GROUP BY user_id),
+             |g AS (SELECT t,
+             |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             |    SUM(CASE WHEN ev AND isa THEN 1 ELSE 0 END) AS d_a,
+             |    COUNT(*) AS leave,
+             |    SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS leave_a
+             |  FROM subj GROUP BY t),
+             |r0 AS (SELECT *,
+             |    CAST(SUM(leave) OVER () - COALESCE(SUM(leave) OVER w, 0) AS DOUBLE) AS n,
+             |    CAST(SUM(leave_a) OVER () - COALESCE(SUM(leave_a) OVER w, 0) AS DOUBLE) AS n_at
+             |  FROM g WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |r AS (SELECT d_a, d * n_at / n AS e_t,
+             |    CASE WHEN n > 1 THEN d * (n_at / n) * (1.0 - n_at / n) * (n - d) / (n - 1)
+             |         ELSE 0.0 END AS v_t
+             |  FROM r0 WHERE d >= 1),
+             |sums AS (SELECT CAST(COALESCE(SUM(d_a), 0) AS BIGINT) AS observed_a,
+             |    COALESCE(SUM(e_t), 0.0) AS e, COALESCE(SUM(v_t), 0.0) AS v FROM r),
+             |counts AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b FROM subj)
+             |SELECT n_a, n_b, observed_a, ROUND(e, 6) AS expected_a,
+             |  ROUND(v, 6) AS variance,
+             |  CASE WHEN v > 0 THEN ROUND((observed_a - e) * (observed_a - e) / v, 6) END AS chi2
+             |FROM counts CROSS JOIN sums""".stripMargin)),
+
     // Two-sided CUSUM drift detector per user (target 50, slack 10,
     // decision interval 150): the clamped recurrence rewritten as prefix
     // sum minus running min, so unbounded history costs two running

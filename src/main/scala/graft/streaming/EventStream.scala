@@ -424,6 +424,52 @@ object EventStream {
       }
   }
 
+  final case class HoltOut(key: Long, id: Long, level: Double,
+      trend: Double, forecast: Double)
+
+  /**
+   * Streaming bounded-window Holt smoothing: the incremental twin of
+   * [[graft.ops.Temporal.holtSmooth]], with [[streamingEwma]]'s state
+   * contract — the most recent `window − 1` values per key; each arrival
+   * folds the level/trend recurrences over exactly the batch operator's
+   * trailing frame (seeded l = oldest, b = 0), so under event-time-
+   * ordered arrival the pre-rounding doubles are BIT-identical to the
+   * batch fold (parity spec-pinned). O(window) doubles per key.
+   */
+  def streamingHolt(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String, idCol: String,
+      alpha: Double, gamma: Double, window: Int = 10): Dataset[HoltOut] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    require(window >= 1, "window must be >= 1")
+    requireIntegralId(events, keyCol, "streamingHolt")
+    def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+    events.select(col(keyCol).cast("long").as("key"),
+        col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(valueCol).cast("double").as("value"))
+      .as[EwmaEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaState, HoltOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[EwmaEv], state: GroupState[EwmaState]) =>
+          var tail = state.getOption.map(_.tail).getOrElse(Nil)
+          val out = evs.toList.sortBy(e => (e.ts_us, e.id)).map { e =>
+            val frame = tail :+ e.value
+            val (l, b) = frame.tail.foldLeft((frame.head, 0.0)) {
+              case ((l0, b0), x) =>
+                val l1 = alpha * x + (1.0 - alpha) * (l0 + b0)
+                (l1, gamma * (l1 - l0) + (1.0 - gamma) * b0)
+            }
+            tail = frame.takeRight(window - 1)
+            HoltOut(key, e.id, round6(l), round6(b), round6(l + b))
+          }
+          state.update(EwmaState(tail))
+          out.iterator
+      }
+  }
+
   final case class PsiEv(wstart_us: Long, bin: Int)
   final case class PsiState(counts: Seq[Long])
   final case class PsiOut(window_start_us: Long, n_events: Long, psi: Double)

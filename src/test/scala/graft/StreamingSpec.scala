@@ -1102,6 +1102,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt equals the batch fold per row") {
+    val out = EventStream.streamingHolt(spark,
+      EventStream.readEvents(spark, streamDir),
+      "user_id", "ts", "value", "event_id",
+      alpha = 0.3, gamma = 0.2, window = 8)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("holt_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT key, id, level, trend, forecast FROM holt_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val batch = graft.ops.Temporal.holtSmooth(
+          graft.core.Tables.load(spark, sf, "events"),
+          Seq("user_id"), "ts", "value", alpha = 0.3, gamma = 0.2,
+          window = 8, tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got.keySet == batch.keySet && got.size == 1000)
+      // pre-rounding doubles are bit-identical (same fold); the two 6-dp
+      // rounders may disagree only exactly ON a tie, so allow 1e-6
+      got.foreach { case (k, (l, b, f)) =>
+        val (bl, bb, bf) = batch(k)
+        assert(math.abs(l - bl) <= 1e-6 && math.abs(b - bb) <= 1e-6 &&
+          math.abs(f - bf) <= 1e-6, s"$k: ($l,$b,$f) vs ($bl,$bb,$bf)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming CUSUM final state matches the batch detector per key") {
     import org.apache.spark.sql.functions._
     val out = EventStream.streamingCusum(spark,

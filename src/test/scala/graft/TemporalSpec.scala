@@ -497,6 +497,49 @@ class TemporalSpec extends SparkSpec {
     assert(out(3L)._3 && out(5L)._3 && !out(0L)._3)
   }
 
+  test("kaplanMeier: textbook curve with censoring; steps only at event times") {
+    import spark.implicits._
+    // durations 1e, 2c, 3e, 3e, 4c, 5e -> S: 5/6, 5/6, 5/12, 5/12, 0
+    val subj = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (4L, false), (5L, true))
+      .toDF("t", "ev").withColumn("cohort", lit("all"))
+    val out = Temporal.kaplanMeier(subj, Seq("cohort"), "t", "ev")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((6L, 1L, 0L, 0.833333)))
+    assert(out(2L) == ((5L, 0L, 1L, 0.833333)))  // censor: no step
+    assert(out(3L) == ((4L, 2L, 0L, 0.416667)))  // tied events at t=3
+    assert(out(4L) == ((2L, 0L, 1L, 0.416667)))
+    assert(out(5L) == ((1L, 1L, 0L, 0.0)))
+    // no censoring at all: survival equals the empirical tail fraction
+    val pure = Seq((1L, true), (2L, true), (3L, true), (4L, true))
+      .toDF("t", "ev").withColumn("cohort", lit("all"))
+    val p = Temporal.kaplanMeier(pure, Seq("cohort"), "t", "ev")
+      .collect().map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(p == Map(1L -> 0.75, 2L -> 0.5, 3L -> 0.25, 4L -> 0.0))
+  }
+
+  test("logRank: hand-computed O/E/V; identical curves score ~0") {
+    import spark.implicits._
+    // A: events at 1, 2; B: event at 1, censored at 3
+    // t=1: n=4, n_a=2, d=2, d_a=1 -> e=1, v=1/3
+    // t=2: n=2, n_a=1, d=1, d_a=1 -> e=1/2, v=1/4
+    val subj = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 1L, true), ("b", 3L, false)).toDF("g", "t", "ev")
+    val r = Temporal.logRank(subj, "g", "a", "b", "t", "ev").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.5 && r.getDouble(4) == 0.583333)
+    assert(r.getDouble(5) == 0.428571)  // (2-1.5)^2 / (7/12)
+    // two identical cohorts: O = E exactly, chi2 = 0
+    val same = Seq(("a", 1L, true), ("a", 2L, true),
+      ("b", 1L, true), ("b", 2L, true)).toDF("g", "t", "ev")
+    assert(Temporal.logRank(same, "g", "a", "b", "t", "ev")
+      .head().getDouble(5) == 0.0)
+    // no events at all: variance 0 -> chi2 undefined (null)
+    val cen = Seq(("a", 1L, false), ("b", 2L, false)).toDF("g", "t", "ev")
+    assert(Temporal.logRank(cen, "g", "a", "b", "t", "ev").head().isNullAt(5))
+  }
+
   test("cusum plan: one exchange, no join, unbounded history") {
     val df = Tables.load(spark, sf, "events")
     val out = Temporal.cusum(df, Seq("user_id"), "ts", "value",
