@@ -205,4 +205,45 @@ object Profile {
         max(when(col("__rn") === 1, col(catCol))).as("majority_cat"),
         round(max(when(col("__rn") === 1, col("__p"))), 6).as("majority_share"))
   }
+
+  /**
+   * Gini concentration coefficient over a non-negative measure — the
+   * Lorenz-curve inequality number: 0 = perfectly even, →1 = one unit
+   * holds everything. The corpus-mix diagnostic next to [[groupEntropy]]
+   * (entropy says "how many effective groups", Gini says "how lopsided
+   * is the mass"): token share across sources, spend across customers,
+   * traffic across hosts. Computed on the rank form
+   * G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over ascending xᵢ (ties broken by
+   * `idCol` — any total order over equal values gives the same sum).
+   *
+   * Exactness: the measure is taken in integer units (`valueCol` must
+   * be integral — pre-scale money to cents), so numerator and
+   * denominator are EXACT integer sums; the single division is the only
+   * floating-point op. One global sort-rank over the input — intended
+   * for GROUP-GRAIN tables (per-source/per-customer rollups), same
+   * statistic-sized-window convention as
+   * [[graft.stats.Planners.mannWhitneyU]].
+   *
+   * Output: one row `(n, total, gini)` — gini 6 dp, null when n = 0 or
+   * total = 0.
+   */
+  def gini(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol).cast("long")
+    val ord = Window.partitionBy(lit(1))
+      .orderBy(col("__x").asc, col(idCol).asc)
+    val all = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(x.isNotNull && x >= 0)
+      .select(col(idCol), x.as("__x"))
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__n", count(lit(1)).over(all))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        sum((lit(2L) * col("__i") - col("__n") - 1L) * col("__x"))
+          .as("__num"))
+      .select(col("n"), col("total"),
+        when(col("n") > 0 && col("total") > 0,
+          round(col("__num").cast("double") /
+            (col("n") * col("total")), 6)).as("gini"))
+  }
 }

@@ -243,6 +243,73 @@ object Analytics extends QueryGroup {
              |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
              |FROM customer""".stripMargin)),
 
+    // RFM segmentation at the prediction instant: quintile-scored
+    // recency/frequency/monetary (cents-exact) per user, 5 = best,
+    // classic rfm code. Same global-ntile convention as q_d11_ntile.
+    QueryDef("q_rfm",
+      (s, dir) => graft.analyze.Customer.rfm(Tables.load(s, dir, "events"),
+        "user_id", "ts", "value", predCol),
+      Some(s"""WITH pu AS (SELECT user_id AS entity,
+              |    CAST(date_diff('microsecond', MAX(ts), TIMESTAMP '$PredTs') // 86400000000 AS BIGINT) AS recency_days,
+              |    CAST(COUNT(*) AS BIGINT) AS frequency,
+              |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+              |  FROM events GROUP BY user_id)
+              |SELECT entity, recency_days, frequency, monetary_cents,
+              |  CAST(NTILE(5) OVER (ORDER BY recency_days DESC, entity) AS BIGINT) AS r_score,
+              |  CAST(NTILE(5) OVER (ORDER BY frequency, entity) AS BIGINT) AS f_score,
+              |  CAST(NTILE(5) OVER (ORDER BY monetary_cents, entity) AS BIGINT) AS m_score,
+              |  CAST(NTILE(5) OVER (ORDER BY recency_days DESC, entity) * 100
+              |    + NTILE(5) OVER (ORDER BY frequency, entity) * 10
+              |    + NTILE(5) OVER (ORDER BY monetary_cents, entity) AS BIGINT) AS rfm
+              |FROM pu""".stripMargin)),
+
+    // Cohort LTV triangle: users cohorted by first-event week (engine-
+    // neutral arithmetic week index), value accumulated per week of age
+    // — cumulative per-member LTV down each cohort row.
+    QueryDef("q_cohort_ltv",
+      (s, dir) => graft.analyze.Customer.cohortLtv(
+        Tables.load(s, dir, "events"), "user_id", "ts", "value"),
+      Some("""WITH fw AS (SELECT user_id AS entity,
+             |    MIN(date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) // 604800000000) AS cohort_week
+             |  FROM events GROUP BY user_id),
+             |nu AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users FROM fw GROUP BY 1),
+             |aged AS (SELECT f.cohort_week,
+             |    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', e.ts) // 604800000000
+             |      - f.cohort_week AS age_week,
+             |    e.user_id AS entity, CAST(round(e.value * 100) AS BIGINT) AS cents
+             |  FROM events e JOIN fw f ON f.entity = e.user_id),
+             |cell AS (SELECT cohort_week, age_week,
+             |    CAST(COUNT(DISTINCT entity) AS BIGINT) AS n_active,
+             |    CAST(SUM(cents) AS BIGINT) AS value_cents
+             |  FROM aged GROUP BY 1, 2)
+             |SELECT c.cohort_week, c.age_week, n.n_users, c.n_active, c.value_cents,
+             |  CAST(SUM(c.value_cents) OVER (PARTITION BY c.cohort_week ORDER BY c.age_week
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_value_cents,
+             |  ROUND(CAST(SUM(c.value_cents) OVER (PARTITION BY c.cohort_week ORDER BY c.age_week
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / n.n_users / 100.0, 6) AS cum_ltv
+             |FROM cell c JOIN nu n USING(cohort_week)""".stripMargin)),
+
+    // Gini concentration of per-user spend (integer-cents exact): the
+    // Lorenz inequality number next to groupEntropy — "how lopsided is
+    // the mass across units".
+    QueryDef("q_gini_spend",
+      (s, dir) => graft.ops.Profile.gini(
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("spend_cents")),
+        "spend_cents", "user_id"),
+      Some("""WITH pu AS (SELECT user_id AS id,
+             |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT id, x, ROW_NUMBER() OVER (ORDER BY x, id) AS i,
+             |    COUNT(*) OVER () AS n FROM pu)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS total,
+             |  CASE WHEN COUNT(*) > 0 AND SUM(x) > 0
+             |       THEN ROUND(SUM((2 * i - n - 1) * x) * 1.0 / (COUNT(*) * SUM(x)), 6)
+             |  END AS gini
+             |FROM r""".stripMargin)),
+
     // G2 sliding-window cutoffs (spark/preprocess.py:468-482)
     QueryDef("q_g2_sliding_cutoffs",
       (s, dir) => Planners.slidingCutoffs(Tables.load(s, dir, "events"), "ts",

@@ -2107,6 +2107,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("gini: known values — uniform 0, degenerate (n-1)/n, 1..4 gives 0.25") {
+    import graft.ops.Profile
+    def g(xs: Seq[Long]): Option[Double] = {
+      val r = Profile.gini(xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("id", "x"), "x", "id").head()
+      Option(r.getAs[java.lang.Double]("gini")).map(_.toDouble)
+    }
+    assert(g(Seq(10L, 10L, 10L, 10L)) == Some(0.0))
+    assert(g(Seq(0L, 0L, 0L, 12L)) == Some(0.75))   // (n-1)/n
+    assert(g(Seq(1L, 2L, 3L, 4L)) == Some(0.25))
+    assert(g(Seq(0L, 0L)) == None)                  // zero total: undefined
+  }
+
+  test("rfm: aligned quintiles give monotone codes; cents-exact monetary") {
+    import graft.analyze.Customer
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user k: k events of value k, last activity k days before Feb 1
+    val rows = for (k <- 1 to 5; j <- 1 to k) yield
+      (k.toLong, ts(f"2024-01-${31 - k + 1}%02d 00:00:00"), k.toDouble)
+    val ev = rows.toDF("user_id", "ts", "value")
+    val out = Customer.rfm(ev, "user_id", "ts", "value",
+        to_timestamp(lit("2024-02-01 00:00:00")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
+    assert(out(1L) == ((1L, 1L, 100L, 511L)))   // most recent, least active
+    assert(out(3L) == ((3L, 3L, 900L, 333L)))
+    assert(out(5L) == ((5L, 5L, 2500L, 155L)))  // stale but whale
+  }
+
+  test("cohortLtv: hand triangle — actives, cents, cumulative per-member LTV") {
+    import graft.analyze.Customer
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1.00),   // A week 0
+      (1L, ts("2024-01-08 09:00:00"), 2.00),   // A week 1
+      (2L, ts("2024-01-02 10:00:00"), 3.00)    // B week 0
+    ).toDF("user_id", "ts", "value")
+    val out = Customer.cohortLtv(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(out(0L) == ((2L, 2L, 400L, 400L, 2.0)))
+    assert(out(1L) == ((2L, 1L, 200L, 600L, 3.0)))
+  }
+
   test("embeddingDrift: zero for identical groups, hand mmd2/cos, zero-mean null") {
     import graft.ops.Vectors
     val df = Seq(
