@@ -1984,6 +1984,58 @@ object LlmOps extends QueryGroup {
            |SELECT v, lab AS label FROM l3""".stripMargin
       }),
 
+    // Modularity of the LPA-3 partition over the doc near-dup graph at
+    // tau = 0.2 (looser threshold -> connected neighborhoods worth
+    // scoring): Q in the exact-integer form (4m*e_in - sum Dc^2)/(4m^2),
+    // so both engines divide the same integers. The quality gate on any
+    // community structure before a mixing policy trusts it.
+    QueryDef("q_modularity",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, tau = 0.2)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val labels = Graph.labelPropagation(edges, "src", "dst", iterations = 3)
+        Graph.modularity(edges, "src", "dst", labels)
+      },
+      Some {
+        val iters = (1 to 3).map { i =>
+          s"""n$i AS (SELECT e.src AS v, l.lab, COUNT(*) AS c
+             |  FROM e JOIN l${i - 1} l ON l.v = e.dst GROUP BY 1, 2),
+             |b$i AS (SELECT v, MIN(lab) AS lab FROM (
+             |    SELECT v, lab, c, MAX(c) OVER (PARTITION BY v) AS mx
+             |    FROM n$i) WHERE c = mx GROUP BY v),
+             |l$i AS (SELECT p.v, COALESCE(b.lab, p.lab) AS lab
+             |  FROM l${i - 1} p LEFT JOIN b$i b ON b.v = p.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $shinglesCte,
+           |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+           |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+           |j AS (SELECT doc_a, doc_b,
+           |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+           |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+           |e0 AS (SELECT doc_a AS a, doc_b AS b FROM j WHERE jaccard >= 0.2),
+           |e AS (SELECT a AS src, b AS dst FROM e0
+           |      UNION ALL SELECT b, a FROM e0),
+           |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM e),
+           |$iters,
+           |le AS (SELECT e0.a, e0.b, la.lab AS la, lb.lab AS lb
+           |  FROM e0 JOIN l3 la ON la.v = e0.a JOIN l3 lb ON lb.v = e0.b),
+           |mm AS (SELECT COUNT(*) AS m,
+           |    SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS e_in FROM le),
+           |deg AS (SELECT v, l, COUNT(*) AS d FROM (
+           |    SELECT a AS v, la AS l FROM le
+           |    UNION ALL SELECT b, lb FROM le) GROUP BY 1, 2),
+           |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           |    SUM(dc * dc) AS dc2
+           |  FROM (SELECT l, SUM(d) AS dc FROM deg GROUP BY l))
+           |SELECT CAST(m AS BIGINT) AS m_edges, n_communities,
+           |  CAST(e_in AS BIGINT) AS internal_edges,
+           |  CASE WHEN m > 0 THEN ROUND(CAST(4 * m * e_in - dc2 AS DOUBLE)
+           |    / (4.0 * m * m), 6) END AS modularity
+           |FROM mm CROSS JOIN cm""".stripMargin
+      }),
+
     // Personalized PageRank over the doc near-dup graph, teleporting to
     // the src0 seed docs — seed-and-expand curation: rank the rest of
     // the corpus by graph proximity to a vetted subset. Seeds outside

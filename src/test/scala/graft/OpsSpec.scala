@@ -1951,6 +1951,31 @@ class OpsSpec extends SparkSpec {
     assert(s1 == Map("p" -> "p", "q" -> "q"))
   }
 
+  test("modularity: hand Q on bridged triangles, perfect split, one community") {
+    import graft.ops.Graph
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")).toDF("s", "d")
+    def labs(m: (String, String)*) = m.toSeq.toDF("v", "label")
+    // LPA-3's own partition: {a,b,c}->a, {x,y,z}->c
+    // m=7, e_in=6, D_a=7, D_c=7 -> Q = (4*7*6 - 98)/196 = 70/196
+    val part = labs("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c")
+    val r = Graph.modularity(e, "s", "d", part).head()
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 0.357143)
+    // two disjoint triangles, own communities: the textbook Q = 0.5
+    val e2 = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x")).toDF("s", "d")
+    assert(Graph.modularity(e2, "s", "d", part).head().getDouble(3) == 0.5)
+    // everything in one community: Q = 0 exactly
+    val one = labs("a" -> "1", "b" -> "1", "c" -> "1",
+      "x" -> "1", "y" -> "1", "z" -> "1")
+    assert(Graph.modularity(e, "s", "d", one).head().getDouble(3) == 0.0)
+    // LPA's own labels reproduce the hand partition's score
+    val lpa = Graph.labelPropagation(e, "s", "d", iterations = 3)
+    assert(Graph.modularity(e, "s", "d", lpa).head().getDouble(3) == 0.357143)
+  }
+
   test("personalizedPageRank: teleport to seeds only, isolated seed holds share") {
     import graft.ops.Graph
     val e = Seq(("a", "b")).toDF("s", "d")
