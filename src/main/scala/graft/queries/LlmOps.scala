@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ops.{Bpe, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, Profile, QualityFilter, Rank, Search, SearchIndex, Select, Sketch, Sq, Text, Vectors}
+import graft.ops.{Bpe, Calibrate, Chat, Dedup, Dsir, Graph, Multimodal, NgramLm, Pq, Profile, QualityFilter, Rank, Search, SearchIndex, Select, Sketch, Sq, Text, Vectors}
 
 /**
  * LLM training-data pipeline operators (SURVEY.md §7.5) with DuckDB oracles:
@@ -855,6 +855,40 @@ object LlmOps extends QueryGroup {
              |  ROUND(PERCENT_RANK() OVER (
              |    PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pct_rank
              |FROM documents""".stripMargin)),
+
+    // Isotonic calibration curve (PAV via the minimax characterization —
+    // a closed form both engines enumerate identically): score = n_chars
+    // decile, label = token gate with deterministic doc_id%11 noise so
+    // adjacent-violator pooling actually fires. The FIX next to the
+    // ECE/Brier calibration report.
+    QueryDef("q_isotonic",
+      (s, dir) => Calibrate.isotonicBins(
+        Tables.load(s, dir, "documents")
+          .withColumn("noisy_label",
+            (size(Text.tokens(col("text"))) > 55) =!= (col("doc_id") % 11 === 0)),
+        "n_chars", "noisy_label", "doc_id", buckets = 10),
+      Some("""WITH x AS (SELECT CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin,
+             |    ((len(regexp_split_to_array(lower(text), '\s+')) > 55)
+             |      <> (doc_id % 11 = 0)) AS y
+             |  FROM documents),
+             |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+             |  FROM x GROUP BY bin),
+             |cum AS (SELECT bin, n, pos,
+             |    CAST(SUM(n) OVER w AS BIGINT) AS cn,
+             |    CAST(SUM(pos) OVER w AS BIGINT) AS cp
+             |  FROM g WINDOW w AS (ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |segs AS (SELECT a.bin AS a, b.bin AS b,
+             |    CAST(b.cp - (a.cp - a.pos) AS DOUBLE) / (b.cn - (a.cn - a.n)) AS seg_avg
+             |  FROM cum a JOIN cum b ON a.bin <= b.bin),
+             |inner1 AS (SELECT g.bin AS i, s.a, MIN(s.seg_avg) AS m
+             |  FROM g JOIN segs s ON s.a <= g.bin AND g.bin <= s.b GROUP BY 1, 2),
+             |iso AS (SELECT i, MAX(m) AS iso FROM inner1 GROUP BY i)
+             |SELECT g.bin, g.n, g.pos,
+             |  ROUND(CAST(g.pos AS DOUBLE) / g.n, 6) AS raw_prob,
+             |  ROUND(iso.iso, 6) AS iso_prob
+             |FROM g JOIN iso ON iso.i = g.bin""".stripMargin)),
 
     // Bigram-LM fluency scoring (the CCNet / KenLM-style quality signal):
     // fit counts on the train slice (doc_id % 10 <> 0), stupid-backoff-

@@ -2132,6 +2132,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("isotonicBins: equals classic PAV; monotone; no-op on monotone input") {
+    import graft.ops.Calibrate
+    // classic pooling case: per-bin raw probs 0.1, 0.4, 0.3, 0.8 with
+    // equal weights -> PAV pools bins 2-3 to 0.35
+    def mk(probs: Seq[Double], per: Int) = {
+      val rows = probs.zipWithIndex.flatMap { case (p, b) =>
+        (0 until per).map { j =>
+          val id = b * per + j
+          (id.toLong, (b * per + j).toDouble, j < math.round(p * per))
+        }
+      }
+      rows.toDF("id", "score", "y")
+    }
+    val out = Calibrate.isotonicBins(mk(Seq(0.1, 0.4, 0.3, 0.8), 10),
+        "score", "y", "id", buckets = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((0.1, 0.1)))
+    assert(out(2L) == ((0.4, 0.35)) && out(3L) == ((0.3, 0.35)))
+    assert(out(4L) == ((0.8, 0.8)))
+    // classic-PAV reference on a harder shape (pool cascades left)
+    val probs = Seq(0.5, 0.2, 0.1, 0.6, 0.4, 0.9)
+    val got = Calibrate.isotonicBins(mk(probs, 10), "score", "y", "id",
+        buckets = 6)
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(4)).toSeq
+    // direct PAV: pool adjacent violators with weights
+    def pav(ys: Seq[(Double, Double)]): Seq[Double] = {
+      val pools = collection.mutable.ListBuffer.empty[(Double, Double)]
+      ys.foreach { y =>
+        pools += y
+        while (pools.length >= 2 &&
+            pools(pools.length - 2)._1 / pools(pools.length - 2)._2 >=
+            pools.last._1 / pools.last._2) {
+          val b = pools.remove(pools.length - 1)
+          val a = pools.remove(pools.length - 1)
+          pools += ((a._1 + b._1, a._2 + b._2))
+        }
+      }
+      pools.toSeq.flatMap { case (s, w) =>
+        Seq.fill(w.toInt)(s / w)
+      }
+    }
+    val ref = pav(probs.map(p => (math.round(p * 10) / 10.0, 1.0)))
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(math.abs(g - r) < 1e-6, s"bin ${i + 1}: $g vs $r")
+    }
+    // monotone everywhere, and a no-op when raw is already monotone
+    assert(got.zip(got.tail).forall { case (a, b) => a <= b + 1e-9 })
+    val mono = Calibrate.isotonicBins(mk(Seq(0.1, 0.3, 0.7), 10),
+        "score", "y", "id", buckets = 3)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(mono.forall { case (raw, iso) => raw == iso })
+  }
+
   test("gini: known values — uniform 0, degenerate (n-1)/n, 1..4 gives 0.25") {
     import graft.ops.Profile
     def g(xs: Seq[Long]): Option[Double] = {
