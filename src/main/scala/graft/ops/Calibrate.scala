@@ -66,4 +66,58 @@ object Calibrate {
         round(col("pos").cast("double") / col("n"), 6).as("raw_prob"),
         round(col("iso"), 6).as("iso_prob"))
   }
+
+  /**
+   * Split-conformal prediction interval (Vovk et al. 2005; the split
+   * form of Lei et al. 2018): from a CALIBRATION slice's absolute
+   * residuals |y − ŷ|, the q̂ = ⌈(n+1)(1−α)⌉-th smallest residual is a
+   * radius such that ŷ ± q̂ covers the true value with probability
+   * ≥ 1−α on exchangeable data — a DISTRIBUTION-FREE guarantee, no
+   * matter how bad the forecaster. Reports the radius and the realized
+   * coverage on the held-out test slice (should sit at or above the
+   * target; systematically below means the exchangeability assumption
+   * broke). `calibCol` marks calibration rows — split deterministically
+   * (an id-parity or hash split), never randomly.
+   *
+   * q̂ is null when ⌈(n+1)(1−α)⌉ > n_calib (too few calibration points
+   * for the requested level — the honest answer is "no finite radius").
+   *
+   * Scale shape: one filtered pass; the rank runs over the CALIBRATION
+   * slice only (the mannWhitneyU global-window convention — swap in
+   * approxQuantile at corpus scale); coverage is one aggregate.
+   * Output: one row
+   * `(n_calib, n_test, target_coverage, qhat, coverage)` (6 dp).
+   */
+  def splitConformal(df: DataFrame, predCol: String, actualCol: String,
+      calibCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val base = df
+      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .select(abs(col(actualCol).cast("double") -
+        col(predCol).cast("double")).as("nc"),
+        col(calibCol).cast("boolean").as("cal"))
+    val ord = Window.partitionBy(lit(1)).orderBy(col("nc").asc)
+    val counts = base.agg(
+      sum(when(col("cal"), 1L).otherwise(0L)).as("n_calib"),
+      sum(when(!col("cal"), 1L).otherwise(0L)).as("n_test"))
+    val kCol = ceil((col("n_calib") + 1) * lit(1.0 - alpha)).cast("long")
+    // the k-th smallest calibration residual; empty (-> null agg) when
+    // k exceeds the calibration size
+    val qAgg = base.filter(col("cal"))
+      .withColumn("rn", row_number().over(ord))
+      .crossJoin(broadcast(counts))
+      .filter(col("rn") === kCol)
+      .agg(max(col("nc")).as("__qhat"))
+    val covAgg = base.filter(!col("cal"))
+      .crossJoin(broadcast(qAgg))
+      .agg(sum(when(col("nc") <= col("__qhat"), 1L).otherwise(0L))
+        .as("__covered"))
+    counts.crossJoin(broadcast(qAgg)).crossJoin(broadcast(covAgg))
+      .select(col("n_calib"), col("n_test"),
+        lit(1.0 - alpha).as("target_coverage"),
+        round(col("__qhat"), 6).as("qhat"),
+        when(col("n_test") > 0 && col("__qhat").isNotNull,
+          round(coalesce(col("__covered"), lit(0L)).cast("double") /
+            col("n_test"), 6)).as("coverage"))
+  }
 }

@@ -18,6 +18,31 @@ object TemporalQ extends QueryGroup {
   private val TolSec = 7L * 86400L
   private val TolUs = TolSec * 1000000L
 
+  /** Shared oracle CTE chain: the unrolled 8-step Holt fold (alpha 0.3,
+    * gamma 0.2) over a trailing 8-row frame — `s8` holds (l, b) per
+    * (user_id, event_id). Unrolled because DuckDB v1.0.0 evaluates
+    * list_reduce struct-lambda fields in place (see q_holt_smooth). */
+  private val holtCte = {
+    val steps = (2 to 8).map { k =>
+      s"""s$k AS (SELECT user_id, event_id, xs,
+         |    CASE WHEN len(xs) >= $k THEN 0.2 * (l - pl) + 0.8 * b
+         |         ELSE b END AS b, l
+         |  FROM (SELECT user_id, event_id, xs,
+         |      CASE WHEN len(xs) >= $k THEN 0.3 * xs[$k] + 0.7 * (l + b)
+         |           ELSE l END AS l,
+         |      l AS pl, b
+         |    FROM s${k - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""x AS (SELECT user_id, event_id,
+       |    list(CAST(value AS DOUBLE))
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+       |  FROM events),
+       |s1 AS (SELECT user_id, event_id, xs, xs[1] AS l,
+       |    CAST(0.0 AS DOUBLE) AS b FROM x),
+       |$steps""".stripMargin
+  }
+
   /** Shared oracle CTE: per-event session ids at the 2-day gap. */
   private val sessionCte =
     s"""x AS (
@@ -683,29 +708,56 @@ object TemporalQ extends QueryGroup {
         keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
         alpha = 0.3, gamma = 0.2, window = 8,
         tiebreak = Seq("event_id"), idCols = Seq("event_id")),
-      Some {
-        val steps = (2 to 8).map { k =>
-          s"""s$k AS (SELECT user_id, event_id, xs,
-             |    CASE WHEN len(xs) >= $k THEN 0.2 * (l - pl) + 0.8 * b
-             |         ELSE b END AS b, l
-             |  FROM (SELECT user_id, event_id, xs,
-             |      CASE WHEN len(xs) >= $k THEN 0.3 * xs[$k] + 0.7 * (l + b)
-             |           ELSE l END AS l,
-             |      l AS pl, b
-             |    FROM s${k - 1}))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH x AS (SELECT user_id, event_id,
-           |    list(CAST(value AS DOUBLE))
-           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
-           |  FROM events),
-           |s1 AS (SELECT user_id, event_id, xs, xs[1] AS l,
-           |    CAST(0.0 AS DOUBLE) AS b FROM x),
-           |$steps
-           |SELECT user_id, event_id, ROUND(l, 6) AS level,
-           |  ROUND(b, 6) AS trend, ROUND(l + b, 6) AS forecast
-           |FROM s8""".stripMargin
-      }),
+      Some(s"""WITH $holtCte
+              |SELECT user_id, event_id, ROUND(l, 6) AS level,
+              |  ROUND(b, 6) AS trend, ROUND(l + b, 6) AS forecast
+              |FROM s8""".stripMargin)),
+
+    // Split-conformal interval around the Holt one-step forecast: the
+    // k-th-smallest calibration residual (k = ceil((n+1)(1-alpha)),
+    // alpha = 0.2) is a radius with distribution-free >= 80% coverage;
+    // held-out coverage reported next to it. Calibration split =
+    // event_id parity (deterministic, never random).
+    QueryDef("q_conformal_holt",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val holt = Temporal.holtSmooth(ev, Seq("user_id"), "ts", "value",
+          alpha = 0.3, gamma = 0.2, window = 8,
+          tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val nxt = ev.select(col("user_id"), col("event_id"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        val pairs = holt.join(nxt, Seq("user_id", "event_id"))
+          .filter(col("next_value").isNotNull)
+          .select(col("forecast").as("pred"),
+            col("next_value").as("actual"),
+            (col("event_id") % 2 === 0).as("cal"))
+        graft.ops.Calibrate.splitConformal(pairs, "pred", "actual", "cal",
+          alpha = 0.2)
+      },
+      Some(s"""WITH $holtCte,
+              |h AS (SELECT user_id, event_id, ROUND(l + b, 6) AS forecast FROM s8),
+              |nx AS (SELECT user_id, event_id,
+              |    LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+              |  FROM events),
+              |pr AS (SELECT ABS(CAST(nx.next_value AS DOUBLE) - h.forecast) AS nc,
+              |    (h.event_id % 2 = 0) AS cal
+              |  FROM h JOIN nx USING(user_id, event_id)
+              |  WHERE nx.next_value IS NOT NULL),
+              |counts AS (SELECT CAST(SUM(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT) AS n_calib,
+              |    CAST(SUM(CASE WHEN cal THEN 0 ELSE 1 END) AS BIGINT) AS n_test FROM pr),
+              |c AS (SELECT nc, ROW_NUMBER() OVER (ORDER BY nc) AS rn FROM pr WHERE cal),
+              |q AS (SELECT MAX(nc) AS qhat FROM c CROSS JOIN counts
+              |  WHERE rn = CAST(ceil((n_calib + 1) * 0.8) AS BIGINT)),
+              |cov AS (SELECT SUM(CASE WHEN nc <= q.qhat THEN 1 ELSE 0 END) AS covered
+              |  FROM pr CROSS JOIN q WHERE NOT cal)
+              |SELECT counts.n_calib, counts.n_test,
+              |  CAST(0.8 AS DOUBLE) AS target_coverage,
+              |  ROUND(q.qhat, 6) AS qhat,
+              |  CASE WHEN counts.n_test > 0 AND q.qhat IS NOT NULL
+              |    THEN ROUND(COALESCE(cov.covered, 0) * 1.0 / counts.n_test, 6) END AS coverage
+              |FROM counts CROSS JOIN q CROSS JOIN cov""".stripMargin)),
 
     // Kaplan-Meier time-to-first-purchase: per user the days from first
     // event to first purchase (censored at last activity when none),

@@ -2186,6 +2186,28 @@ class OpsSpec extends SparkSpec {
     assert(mono.forall { case (raw, iso) => raw == iso })
   }
 
+  test("splitConformal: order-statistic radius, held-out coverage, small-n null") {
+    import graft.ops.Calibrate
+    // calib residuals 1..9 at alpha=0.2: k = ceil(10*0.8) = 8 -> qhat 8
+    // test residuals 1, 8, 9, 10 -> covered 1 and 8 -> coverage 0.5
+    val rows = (1 to 9).map(i => (0.0, i.toDouble, true)) ++
+      Seq((0.0, 1.0, false), (0.0, 8.0, false),
+        (0.0, 9.0, false), (0.0, 10.0, false))
+    val df = rows.toDF("pred", "actual", "cal")
+    val r = Calibrate.splitConformal(df, "pred", "actual", "cal", alpha = 0.2)
+      .head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.8 && r.getDouble(3) == 8.0 &&
+      r.getDouble(4) == 0.5)
+    // 2 calibration points at alpha=0.1: k = ceil(3*0.9) = 3 > 2 -> no
+    // finite radius, qhat and coverage null
+    val tiny = Seq((0.0, 1.0, true), (0.0, 2.0, true), (0.0, 1.0, false))
+      .toDF("pred", "actual", "cal")
+    val t = Calibrate.splitConformal(tiny, "pred", "actual", "cal",
+      alpha = 0.1).head()
+    assert(t.isNullAt(3) && t.isNullAt(4))
+  }
+
   test("gini: known values — uniform 0, degenerate (n-1)/n, 1..4 gives 0.25") {
     import graft.ops.Profile
     def g(xs: Seq[Long]): Option[Double] = {
