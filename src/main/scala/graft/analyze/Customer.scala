@@ -36,12 +36,21 @@ object Customer {
         floor((unix_micros(predTs) - unix_micros(max(col(tsCol)))) /
           lit(86400000000L)).cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
-        sum(round(col(valueCol) * 100).cast("long")).as("monetary_cents"))
+        // all-null values -> 0 spend, not a NULL whose sort position
+        // differs between engines (Spark nulls-first vs DuckDB
+        // nulls-last under ASC would flip the quintile)
+        coalesce(sum(round(col(valueCol) * 100).cast("long")), lit(0L))
+          .as("monetary_cents"))
     // 5 = best: most recent last in DESC-recency order, most frequent /
-    // highest spend last in ASC order
-    val rW = Window.orderBy(col("recency_days").desc, col("entity").asc)
-    val fW = Window.orderBy(col("frequency").asc, col("entity").asc)
-    val mW = Window.orderBy(col("monetary_cents").asc, col("entity").asc)
+    // highest spend last in ASC order. Null orderings pinned to the
+    // DuckDB defaults (ASC nulls last, DESC nulls first) so a null-ts
+    // entity can't diverge either.
+    val rW = Window.orderBy(col("recency_days").desc_nulls_first,
+      col("entity").asc)
+    val fW = Window.orderBy(col("frequency").asc_nulls_last,
+      col("entity").asc)
+    val mW = Window.orderBy(col("monetary_cents").asc_nulls_last,
+      col("entity").asc)
     perUser
       .withColumn("r_score", ntile(buckets).over(rW).cast("long"))
       .withColumn("f_score", ntile(buckets).over(fW).cast("long"))
@@ -71,16 +80,21 @@ object Customer {
       valueCol: String): DataFrame = {
     val weekUs = 7L * 86400000000L
     val wk = (c: Column) => floor(unix_micros(c) / lit(weekUs)).cast("long")
-    val firstWeek = events.groupBy(col(entityCol).as("entity"))
-      .agg(min(wk(col(tsCol))).as("cohort_week"))
+    // project to internal names FIRST so the join can never collide with
+    // caller columns (an events frame carrying its own "entity" or
+    // "cohort_week" column, or entityCol named exactly that)
+    val slim = events.select(col(entityCol).as("__e"),
+      wk(col(tsCol)).as("__w"),
+      round(col(valueCol) * 100).cast("long").as("__cents"))
+    val firstWeek = slim.groupBy(col("__e"))
+      .agg(min(col("__w")).as("cohort_week"))
     val n = firstWeek.groupBy(col("cohort_week"))
       .agg(count(lit(1)).as("n_users"))
-    val aged = events
-      .join(firstWeek, col(entityCol) === col("entity"))
+    val aged = slim
+      .join(firstWeek, Seq("__e"))
       .select(col("cohort_week"),
-        (wk(col(tsCol)) - col("cohort_week")).as("age_week"),
-        col("entity"),
-        round(col(valueCol) * 100).cast("long").as("__cents"))
+        (col("__w") - col("cohort_week")).as("age_week"),
+        col("__e").as("entity"), col("__cents"))
     val cell = aged.groupBy(col("cohort_week"), col("age_week"))
       .agg(countDistinct(col("entity")).as("n_active"),
         sum(col("__cents")).as("value_cents"))

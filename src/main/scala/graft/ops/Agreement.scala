@@ -86,6 +86,12 @@ object Agreement {
         col(labelCol).cast("string").as("lab"))
       .filter(col("item").isNotNull && col("rater").isNotNull &&
         col("lab").isNotNull)
+      // ONE rating per (item, rater) slot — the reliability-matrix
+      // contract. Duplicate slot rows would silently inflate every
+      // count; resolve them deterministically to the MIN label (callers
+      // wanting a different rule — latest wins, majority — dedupe
+      // upstream, as q_krippendorff's first-event rule does).
+      .groupBy(col("item"), col("rater")).agg(min(col("lab")).as("lab"))
     val cell = r.groupBy(col("item"), col("lab"))
       .agg(count(lit(1)).as("n_uc"))
     val mu = cell.groupBy(col("item")).agg(sum(col("n_uc")).as("m"))

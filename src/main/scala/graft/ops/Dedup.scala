@@ -373,14 +373,21 @@ object Dedup {
    * a wash or slower (block-store writes outweigh the narrow re-scan)
    * while breaking whole-stage codegen fusion.
    */
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
+  /** Shared front end of the set-overlap pair family: distinct shingles
+    * with the df-cap skew guard applied, reduced to unordered-pair
+    * intersection counts joined with both per-doc set sizes
+    * `(doc_a < doc_b, inter, sz_a, sz_b)`. One copy of the cap logic so
+    * [[ngramJaccardPairs]] and [[containmentPairs]] cannot drift.
+    *
+    * No cache: the explode is a cheap codegen'd pass, and AQE's exchange
+    * reuse already dedupes the repeated count subtree at runtime —
+    * measured at sf0.1, caching either the exploded table or the
+    * over-cap list is a wash or slower than recomputing (block-store
+    * writes cost more than the narrow re-scan) while breaking codegen
+    * fusion. */
+  private def cappedShingleIntersections(df: DataFrame, textCol: String,
+      idCol: String, n: Int, maxShingleDf: Int): DataFrame = {
     val all = shingles(df, textCol, idCol, n)
-    // no cache: the explode is a cheap codegen'd pass, and AQE's exchange
-    // reuse already dedupes the repeated count subtree at runtime —
-    // measured at sf0.1, caching either the exploded table or the over-cap
-    // list is a wash or slower than recomputing (block-store writes cost
-    // more than the narrow re-scan) while breaking codegen fusion
     val overCap = all.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df_n"))
       .filter(col("df_n") > maxShingleDf)
@@ -389,16 +396,19 @@ object Dedup {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame =
+    cappedShingleIntersections(df, textCol, idCol, n, maxShingleDf)
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /**
    * ASYMMETRIC containment pairs: C(A→B) = |A∩B|/|A| over distinct word
@@ -420,20 +430,7 @@ object Dedup {
    */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
-    val all = shingles(df, textCol, idCol, n)
-    val overCap = all.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df_n"))
-      .filter(col("df_n") > maxShingleDf)
-      .select(col("shingle"))
-    val sh = all.join(broadcast(overCap), Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val scored = inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+    val scored = cappedShingleIntersections(df, textCol, idCol, n, maxShingleDf)
     scored
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("sz_a"), 6).as("containment"))

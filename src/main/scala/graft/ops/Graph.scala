@@ -412,15 +412,21 @@ object Graph {
     val deg = labeled.select(col("a").as("__v"), col("la").as("__l"))
       .unionAll(labeled.select(col("b").as("__v"), col("lb").as("__l")))
       .groupBy(col("__v"), col("__l")).agg(count(lit(1)).as("d"))
+    // dc² terms and 4·m·e_in exceed a long beyond ~1.5e9 edges (a crawl
+    // graph is bigger): aggregate and combine in decimal(38,0) — exact
+    // like DuckDB's HUGEINT — and divide once in double
     val comm = deg.groupBy(col("__l")).agg(sum(col("d")).as("dc"))
       .agg(count(lit(1)).as("n_communities"),
-        sum(col("dc") * col("dc")).as("__dc2"))
+        sum(col("dc").cast("decimal(19,0)") * col("dc").cast("decimal(19,0)"))
+          .as("__dc2"))
     m.crossJoin(broadcast(comm))
       .select(col("m").as("m_edges"), col("n_communities"),
         col("e_in").as("internal_edges"),
         when(col("m") > 0,
-          round((lit(4L) * col("m") * col("e_in") - col("__dc2"))
-            .cast("double") / (lit(4L) * col("m") * col("m")), 6))
+          round((lit(4L).cast("decimal(19,0)") *
+            col("m").cast("decimal(19,0)") * col("e_in").cast("decimal(19,0)")
+            - col("__dc2")).cast("double") /
+            (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6))
           .as("modularity"))
   }
 

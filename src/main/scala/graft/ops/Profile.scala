@@ -238,12 +238,19 @@ object Profile {
       .select(col(idCol), x.as("__x"))
       .withColumn("__i", row_number().over(ord).cast("long"))
       .withColumn("__n", count(lit(1)).over(all))
+      // each term |2i−n−1|·x fits a long (≤ n·x), but the SUM does not
+      // at the documented grain (1e8 units × 1e5 cents ≈ 1e21): sum in
+      // decimal(38,0) — exact like DuckDB's HUGEINT aggregate, no
+      // silent wraparound. The denominator likewise exceeds long, so it
+      // multiplies in double (exact integers → IEEE product, identical
+      // on both engines below 2^53, last-ulp at most above it — inside
+      // the 6-dp round).
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
-        sum((lit(2L) * col("__i") - col("__n") - 1L) * col("__x"))
-          .as("__num"))
+        sum(((lit(2L) * col("__i") - col("__n") - 1L) * col("__x"))
+          .cast("decimal(38,0)")).as("__num"))
       .select(col("n"), col("total"),
         when(col("n") > 0 && col("total") > 0,
           round(col("__num").cast("double") /
-            (col("n") * col("total")), 6)).as("gini"))
+            (col("n").cast("double") * col("total")), 6)).as("gini"))
   }
 }

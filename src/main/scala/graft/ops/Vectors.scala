@@ -288,11 +288,18 @@ object Vectors {
    */
   def embeddingDrift(df: DataFrame, vecCol: String,
       groupCol: String): DataFrame = {
-    val ex = df.select(col(groupCol).cast("string").as("grp"),
+    // n_a/n_b must count exactly the rows the means are computed from,
+    // so null-embedding rows are excluded from BOTH (a 40%-null group
+    // would otherwise report a mean over 60 vectors labeled n=100).
+    // Dims are matched by index: mixed-dimension corpora must be
+    // truncated/padded first ([[truncateDims]]) — a shorter vector's
+    // missing dims simply don't contribute to that group's mean.
+    val nn = df.filter(col(vecCol).isNotNull)
+    val ex = nn.select(col(groupCol).cast("string").as("grp"),
       posexplode(col(vecCol)).as(Seq("d", "v")))
     val m = ex.groupBy(col("grp"), col("d"))
       .agg(avg(col("v").cast("double")).as("m"))
-    val counts = df.select(col(groupCol).cast("string").as("grp"))
+    val counts = nn.select(col(groupCol).cast("string").as("grp"))
       .groupBy(col("grp")).agg(count(lit(1)).as("n"))
     val pair = m.select(col("grp").as("grp_a"), col("d"), col("m").as("ma"))
       .join(m.select(col("grp").as("grp_b"), col("d"), col("m").as("mb")),

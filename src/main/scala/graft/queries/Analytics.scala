@@ -252,7 +252,7 @@ object Analytics extends QueryGroup {
       Some(s"""WITH pu AS (SELECT user_id AS entity,
               |    CAST(date_diff('microsecond', MAX(ts), TIMESTAMP '$PredTs') // 86400000000 AS BIGINT) AS recency_days,
               |    CAST(COUNT(*) AS BIGINT) AS frequency,
-              |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+              |    CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)), 0) AS BIGINT) AS monetary_cents
               |  FROM events GROUP BY user_id)
               |SELECT entity, recency_days, frequency, monetary_cents,
               |  CAST(NTILE(5) OVER (ORDER BY recency_days DESC, entity) AS BIGINT) AS r_score,

@@ -1862,11 +1862,12 @@ object LlmOps extends QueryGroup {
     QueryDef("q_embedding_drift",
       (s, dir) => Vectors.embeddingDrift(
         Tables.load(s, dir, "embeddings"), "embedding", "label"),
-      Some("""WITH ex AS (SELECT CAST(label AS VARCHAR) AS grp, i, embedding[i]::DOUBLE AS v
-             |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+      Some("""WITH nn AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+             |ex AS (SELECT CAST(label AS VARCHAR) AS grp, i, embedding[i]::DOUBLE AS v
+             |  FROM nn, (SELECT unnest(generate_series(1, 64)) AS i)),
              |m AS (SELECT grp, i, AVG(v) AS m FROM ex GROUP BY 1, 2),
              |c AS (SELECT CAST(label AS VARCHAR) AS grp,
-             |    CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+             |    CAST(COUNT(*) AS BIGINT) AS n FROM nn GROUP BY 1),
              |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
              |    SUM((a.m - b.m) * (a.m - b.m)) AS mmd2,
              |    SUM(a.m * b.m) AS dab, SUM(a.m * a.m) AS ssa,

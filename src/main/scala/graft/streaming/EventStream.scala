@@ -402,7 +402,11 @@ object EventStream {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(window >= 1, "window must be >= 1")
     requireIntegralId(events, keyCol, "streamingEwma")
-    events.select(col(keyCol).cast("long").as("key"),
+    // a null value/ts row would throw at the non-nullable encoder and
+    // kill the stream; the batch twin's window skips nulls the same way
+    events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"),
         col(idCol).cast("long").as("id"),
         unix_micros(col(tsCol)).as("ts_us"),
         col(valueCol).cast("double").as("value"))
@@ -445,7 +449,11 @@ object EventStream {
     require(window >= 1, "window must be >= 1")
     requireIntegralId(events, keyCol, "streamingHolt")
     def round6(x: Double): Double = math.round(x * 1e6) / 1e6
-    events.select(col(keyCol).cast("long").as("key"),
+    // null guard: see streamingEwma — one null event must not kill the
+    // monitor at the non-nullable encoder
+    events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"),
         col(idCol).cast("long").as("id"),
         unix_micros(col(tsCol)).as("ts_us"),
         col(valueCol).cast("double").as("value"))

@@ -2055,6 +2055,13 @@ class OpsSpec extends SparkSpec {
       Seq((9L, 0, "a"), (8L, 2, "b")).toDF("item", "rater", "lab"))
     assert(Agreement.krippendorffAlpha(withSingles, "item", "rater", "lab")
       .head() == r)
+    // duplicate (item, rater) slot rows resolve to ONE rating (min
+    // label) instead of inflating the counts: an exact dup and a
+    // conflicting dup that loses the min rule both leave alpha unchanged
+    val withDups = df.unionByName(
+      Seq((1L, 0, "a"), (1L, 0, "b"), (3L, 1, "b")).toDF("item", "rater", "lab"))
+    assert(Agreement.krippendorffAlpha(withDups, "item", "rater", "lab")
+      .head() == r)
     // perfect agreement on a mixed-label corpus -> alpha 1
     val perfect = Seq((1L, 0, "a"), (1L, 1, "a"), (2L, 0, "b"), (2L, 1, "b"))
       .toDF("item", "rater", "lab")
