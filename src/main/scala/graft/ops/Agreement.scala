@@ -112,4 +112,44 @@ object Agreement {
         when(col("n_ratings") >= 2 && col("ae") < 1.0,
           round((col("ao") - col("ae")) / (lit(1.0) - col("ae")), 6)))
   }
+
+  /**
+   * McNemar's test (McNemar 1947) between two BINARY raters/gates on the
+   * same items — the difference test that completes [[cohenKappa]]'s
+   * agreement view: kappa asks "do they agree beyond chance", McNemar
+   * asks "when they disagree, is one SYSTEMATICALLY stricter". Only the
+   * discordant cells matter: b = A-pass/B-fail, c = A-fail/B-pass;
+   * χ²₁ = (b−c)²/(b+c), plus the continuity-corrected
+   * (|b−c|−1)²/(b+c) for small counts (Edwards 1948). Null when
+   * b + c = 0 (no disagreements — nothing to test). Same reporting
+   * convention as [[graft.stats.Planners.welchT]]: the statistic is the
+   * portable result (χ²₁ critical values 3.841 / 6.635).
+   *
+   * The curation use: after swapping a quality gate, run old vs new on
+   * the same corpus slice — McNemar on the keep verdicts says whether
+   * the new gate's extra drops are signal or symmetric churn.
+   *
+   * One aggregate pass. Output: one row
+   * `(n_items, both_pass, a_only, b_only, both_fail, chi2, chi2_cc)`.
+   */
+  def mcnemar(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val a = col(raterA).cast("boolean")
+    val b = col(raterB).cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(a && b, 1L).otherwise(0L)).as("both_pass"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("a_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("b_only"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("both_fail"))
+      .withColumn("chi2",
+        when(col("a_only") + col("b_only") > 0,
+          round((col("a_only") - col("b_only")) *
+            (col("a_only") - col("b_only")) /
+            (col("a_only") + col("b_only")).cast("double"), 6)))
+      .withColumn("chi2_cc",
+        when(col("a_only") + col("b_only") > 0,
+          round(pow(greatest(abs(col("a_only") - col("b_only")) - 1, lit(0L))
+            .cast("double"), 2) /
+            (col("a_only") + col("b_only")), 6)))
+  }
 }

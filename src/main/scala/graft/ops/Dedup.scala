@@ -441,6 +441,36 @@ object Dedup {
   }
 
   /**
+   * The apply side of [[containmentPairs]]: drop every document that is
+   * ≥ `tau` shingle-contained in a LARGER document (shingle-set size;
+   * equal sizes keep the smaller id — the exact-dup tiebreak), keep
+   * everything else. The excerpt/syndication cut: a quote page vanishes
+   * in favor of the article that contains it, where symmetric-Jaccard
+   * dedup would keep both. Chains are safe by construction: if A ⊂ B
+   * and B ⊂ C, A is dropped on the A–B verdict regardless of B's own
+   * fate, and C (the largest) always survives — one pass, no iteration.
+   *
+   * Same plan as [[containmentPairs]] (shared capped front end) plus a
+   * broadcast-friendly left-anti join of the drop list back onto the
+   * corpus — the corpus body itself never shuffles.
+   */
+  def dropContained(df: DataFrame, textCol: String, idCol: String,
+      n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
+    val scored = cappedShingleIntersections(df, textCol, idCol, n, maxShingleDf)
+    val dropA = scored
+      .filter(round(col("inter").cast("double") / col("sz_a"), 6) >= tau &&
+        (col("sz_a") < col("sz_b") ||
+          (col("sz_a") === col("sz_b") && col("doc_a") > col("doc_b"))))
+      .select(col("doc_a").as(idCol))
+    val dropB = scored
+      .filter(round(col("inter").cast("double") / col("sz_b"), 6) >= tau &&
+        (col("sz_b") < col("sz_a") ||
+          (col("sz_a") === col("sz_b") && col("doc_b") > col("doc_a"))))
+      .select(col("doc_b").as(idCol))
+    df.join(dropA.unionByName(dropB).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /**
    * Resolve near-duplicate PAIRS into groups: connected components over
    * the pair graph, each doc labeled with the MINIMUM doc id of its
    * component (the canonical representative — the standard keep-one rule).

@@ -963,7 +963,35 @@ object CurationQ extends QueryGroup {
              |SELECT n_items, n_ratings, ao, ae,
              |  CASE WHEN n_ratings >= 2 AND ae < 1.0
              |       THEN ROUND((ao - ae) / (1.0 - ae), 6) END AS alpha
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // McNemar's paired test between the same two gates q_cohen_kappa
+    // scores: kappa says whether they AGREE beyond chance; this says
+    // whether their disagreements are one-sided (is one gate
+    // systematically stricter). Only the discordant cells matter.
+    QueryDef("q_mcnemar",
+      (s, dir) => graft.ops.Agreement.mcnemar(
+        Tables.load(s, dir, "documents")
+          .select((col("n_chars") > 300).as("gate_a"),
+            (size(Text.tokens(col("text"))) > 55).as("gate_b")),
+        "gate_a", "gate_b"),
+      Some("""WITH f AS (SELECT (n_chars > 300) AS a,
+             |    (len(regexp_split_to_array(lower(text), '\s+')) > 55) AS b
+             |  FROM documents),
+             |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_pass,
+             |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+             |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+             |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS both_fail
+             |  FROM f)
+             |SELECT n_items, both_pass, a_only, b_only, both_fail,
+             |  CASE WHEN a_only + b_only > 0 THEN
+             |    ROUND((a_only - b_only) * (a_only - b_only)
+             |      / CAST(a_only + b_only AS DOUBLE), 6) END AS chi2,
+             |  CASE WHEN a_only + b_only > 0 THEN
+             |    ROUND(POW(CAST(GREATEST(ABS(a_only - b_only) - 1, 0) AS DOUBLE), 2)
+             |      / (a_only + b_only), 6) END AS chi2_cc
+             |FROM g""".stripMargin))
   )
 
   /** Shared fixture for the main-content pair: page chrome around the

@@ -1856,6 +1856,27 @@ object LlmOps extends QueryGroup {
               |SELECT doc_a, doc_b, containment FROM dir2
               |WHERE containment >= 0.5""".stripMargin)),
 
+    // The apply side: drop docs >= 0.5-contained in a LARGER doc (ties
+    // keep the smaller id) — the excerpt/syndication cut symmetric
+    // dedup misses; chains resolve in one pass (the largest always
+    // survives).
+    QueryDef("q_drop_contained",
+      (s, dir) => Dedup.dropContained(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, tau = 0.5).select(col("doc_id")),
+      Some(s"""WITH $shinglesCte,
+              |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+              |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+              |sc AS (SELECT doc_a, doc_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+              |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+              |drops AS (
+              |  SELECT doc_a AS d FROM sc WHERE ROUND(i * 1.0 / sz_a, 6) >= 0.5
+              |    AND (sz_a < sz_b OR (sz_a = sz_b AND doc_a > doc_b))
+              |  UNION
+              |  SELECT doc_b FROM sc WHERE ROUND(i * 1.0 / sz_b, 6) >= 0.5
+              |    AND (sz_b < sz_a OR (sz_a = sz_b AND doc_b > doc_a)))
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT d FROM drops)""".stripMargin)),
+
     // Pairwise semantic drift between label slices of the embedding
     // corpus: linear-kernel MMD (= squared distance of mean embeddings)
     // + mean-vector cosine per group pair — the embedding-space PSI.

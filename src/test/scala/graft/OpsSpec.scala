@@ -2193,6 +2193,40 @@ class OpsSpec extends SparkSpec {
     assert(mono.forall { case (raw, iso) => raw == iso })
   }
 
+  test("mcnemar: discordant-cell chi2 with continuity correction; no-disagreement null") {
+    import graft.ops.Agreement
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = Agreement.mcnemar(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 20L &&
+      r.getLong(2) == 10L && r.getLong(3) == 5L && r.getLong(4) == 15L)
+    assert(r.getDouble(5) == 1.666667)   // (10-5)^2 / 15
+    assert(r.getDouble(6) == 1.066667)   // (|10-5|-1)^2 / 15
+    // perfectly concordant raters: nothing to test
+    val conc = Seq((true, true), (false, false)).toDF("a", "b")
+    val c = Agreement.mcnemar(conc, "a", "b").head()
+    assert(c.isNullAt(5) && c.isNullAt(6))
+  }
+
+  test("dropContained: excerpt and exact-dup copies cut, containers survive") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(docs, "text", "doc_id", n = 3, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // 1 is contained in the larger 2 -> dropped; 3 == 4 -> keep min id
+    assert(kept == Set(2L, 3L))
+    // raising tau past the containment keeps everything except the dup
+    val loose = Dedup.dropContained(docs, "text", "doc_id", n = 3, tau = 1.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L, 3L, 4L))
+  }
+
   test("splitConformal: order-statistic radius, held-out coverage, small-n null") {
     import graft.ops.Calibrate
     // calib residuals 1..9 at alpha=0.2: k = ceil(10*0.8) = 8 -> qhat 8
