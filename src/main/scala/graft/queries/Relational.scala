@@ -414,11 +414,65 @@ object Relational extends QueryGroup {
         "event_type", "label"),
       Some("""WITH c AS (SELECT event_type AS a, user_id % 3 AS b, COUNT(*) AS o
              |  FROM events GROUP BY 1, 2),
+             |grid AS (SELECT xa.a, xb.b, COALESCE(c.o, 0) AS o
+             |  FROM (SELECT DISTINCT a FROM c) xa
+             |  CROSS JOIN (SELECT DISTINCT b FROM c) xb
+             |  LEFT JOIN c ON c.a = xa.a AND c.b = xb.b),
              |m AS (SELECT *, SUM(o) OVER (PARTITION BY a) AS ra,
-             |    SUM(o) OVER (PARTITION BY b) AS cb, SUM(o) OVER () AS n FROM c)
+             |    SUM(o) OVER (PARTITION BY b) AS cb, SUM(o) OVER () AS n FROM grid)
              |SELECT ROUND(SUM(POWER(o - ra*1.0*cb/n, 2) / (ra*1.0*cb/n)), 6) AS chi2,
              |  CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof
              |FROM m""".stripMargin)),
+
+    // Cramér's V: the 0-1 effect size the raw chi2 can't give (chi2
+    // grows with n) — lang vs source association on the doc corpus.
+    QueryDef("q_cramers_v",
+      (s, dir) => graft.stats.Planners.cramersV(
+        Tables.load(s, dir, "documents"), "lang", "source"),
+      Some("""WITH cells AS (SELECT lang, source, COUNT(*) AS o
+             |  FROM documents GROUP BY 1, 2),
+             |grid AS (SELECT xa.lang, xb.source, COALESCE(cells.o, 0) AS o
+             |  FROM (SELECT DISTINCT lang FROM cells) xa
+             |  CROSS JOIN (SELECT DISTINCT source FROM cells) xb
+             |  LEFT JOIN cells ON cells.lang = xa.lang AND cells.source = xb.source),
+             |m AS (SELECT o, SUM(o) OVER (PARTITION BY lang) AS ra,
+             |    SUM(o) OVER (PARTITION BY source) AS cb,
+             |    SUM(o) OVER () AS n FROM grid),
+             |x AS (SELECT MAX(n) AS n,
+             |    SUM(POW(o - ra * 1.0 * cb / n, 2) / (ra * 1.0 * cb / n)) AS chi2
+             |  FROM m),
+             |k AS (SELECT COUNT(DISTINCT lang) AS ka,
+             |    COUNT(DISTINCT source) AS kb FROM documents)
+             |SELECT CAST(x.n AS BIGINT) AS n, ROUND(x.chi2, 6) AS chi2,
+             |  CAST((k.ka - 1) * (k.kb - 1) AS BIGINT) AS dof,
+             |  CASE WHEN LEAST(k.ka, k.kb) > 1
+             |       THEN ROUND(SQRT(x.chi2 / (x.n * (LEAST(k.ka, k.kb) - 1))), 6)
+             |  END AS cramers_v
+             |FROM x CROSS JOIN k""".stripMargin)),
+
+    // Spearman rank correlation (average-rank ties): monotone
+    // association between doc length in chars and in tokens — the
+    // robust screen next to the Pearson q_corr_matrix.
+    QueryDef("q_spearman",
+      (s, dir) => graft.stats.Planners.spearman(
+        Tables.load(s, dir, "documents")
+          .select(col("n_chars"),
+            size(graft.ops.Text.tokens(col("text"))).as("n_tokens")),
+        "n_chars", "n_tokens"),
+      Some("""WITH f AS (SELECT CAST(n_chars AS DOUBLE) AS a,
+             |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS b
+             |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+             |r AS (SELECT
+             |    RANK() OVER (ORDER BY a) + (COUNT(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+             |    RANK() OVER (ORDER BY b) + (COUNT(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+             |  FROM f),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(ra) AS sa, SUM(rb) AS sb,
+             |    SUM(ra * ra) AS saa, SUM(rb * rb) AS sbb, SUM(ra * rb) AS sab FROM r)
+             |SELECT n,
+             |  CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+             |    ROUND((n * sab - sa * sb)
+             |      / SQRT((n * saa - sa * sa) * (n * sbb - sb * sb)), 6)
+             |  END AS spearman FROM s""".stripMargin)),
 
     // PSI drift between the first and second half of the month: the
     // monitoring alarm built from two k-row histogram aggregates.

@@ -121,11 +121,20 @@ object Planners {
    */
   def chi2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the FULL |A|x|B| grid, not just observed cells: an absent
+    // combination is an O=0 cell whose (0-E)^2/E term still counts —
+    // skipping it understates chi2 exactly when the association is
+    // strongest (a diagonal table would otherwise score half its true
+    // statistic). The grid is category-grain, so the cross join is tiny.
     val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val grid = df.select(col(aCol)).distinct()
+      .crossJoin(df.select(col(bCol)).distinct())
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
     val wa = Window.partitionBy(col(aCol))
     val wb = Window.partitionBy(col(bCol))
     val wall = Window.partitionBy()
-    val withE = cells
+    val withE = grid
       .withColumn("ra", sum(col("o")).over(wa))
       .withColumn("cb", sum(col("o")).over(wb))
       .withColumn("n", sum(col("o")).over(wall))
@@ -134,6 +143,83 @@ object Planners {
       round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
       ((countDistinct(col(aCol)) - 1) * (countDistinct(col(bCol)) - 1))
         .as("dof"))
+  }
+
+  /**
+   * Cramér's V effect size for the [[chi2]] pair:
+   * V = √(χ² / (n·(min(|A|,|B|)−1))) — χ² grows with n so it can't be
+   * compared across tables; V is the 0–1 association strength that can
+   * (the categorical analogue of |r|). Same plan as [[chi2]] (one
+   * contingency aggregate + windows over the cell table), reported
+   * together: `(n, chi2, dof, cramers_v)`. V is null for a degenerate
+   * table (a single row or column — no association to measure).
+   */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // full grid incl. zero cells — see [[chi2]]
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val grid = df.select(col(aCol)).distinct()
+      .crossJoin(df.select(col(bCol)).distinct())
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val wa = Window.partitionBy(col(aCol))
+    val wb = Window.partitionBy(col(bCol))
+    val wall = Window.partitionBy()
+    val withE = grid
+      .withColumn("ra", sum(col("o")).over(wa))
+      .withColumn("cb", sum(col("o")).over(wb))
+      .withColumn("n", sum(col("o")).over(wall))
+      .withColumn("e", col("ra").cast("double") * col("cb") / col("n"))
+    withE.agg(
+        max(col("n")).as("n"),
+        sum(pow(col("o") - col("e"), 2) / col("e")).as("__chi2"),
+        countDistinct(col(aCol)).as("__ka"),
+        countDistinct(col(bCol)).as("__kb"))
+      .select(col("n"),
+        round(col("__chi2"), 6).as("chi2"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
+        when(least(col("__ka"), col("__kb")) > 1,
+          round(sqrt(col("__chi2") /
+            (col("n") * (least(col("__ka"), col("__kb")) - 1))), 6))
+          .as("cramers_v"))
+  }
+
+  /**
+   * Spearman rank correlation: Pearson over AVERAGE ranks (the standard
+   * tie handling — rank() + (ties−1)/2), so monotone-but-nonlinear
+   * association registers where [[graft.ops.Profile.correlationMatrix]]'s
+   * Pearson underreads, and outliers can't dominate. Ranks are half-
+   * integers (exact in doubles), and the five Pearson sums are computed
+   * in one aggregate — both engines produce the same doubles up to
+   * partial-agg order at ~1e-15, inside the 6-dp round.
+   *
+   * Scale shape: two global rank windows (the mannWhitneyU statistic
+   * convention — pre-quantize genuinely continuous values at 100 TB),
+   * one aggregate. Output: one row `(n, spearman)` — null when either
+   * column is constant (zero rank variance).
+   */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = col(aCol).cast("double")
+    val b = col(bCol).cast("double")
+    def avgRank(c: org.apache.spark.sql.Column) =
+      rank().over(Window.partitionBy(lit(1)).orderBy(c.asc)).cast("double") +
+        (count(lit(1)).over(Window.partitionBy(c)) - 1) / lit(2.0)
+    val ranked = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.as("__a"), b.as("__b"))
+      .withColumn("ra", avgRank(col("__a")))
+      .withColumn("rb", avgRank(col("__b")))
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+      sum(col("ra") * col("ra")).as("saa"),
+      sum(col("rb") * col("rb")).as("sbb"),
+      sum(col("ra") * col("rb")).as("sab"))
+    val va = col("n") * col("saa") - col("sa") * col("sa")
+    val vb = col("n") * col("sbb") - col("sb") * col("sb")
+    s.select(col("n"),
+      when(va > 0 && vb > 0,
+        round((col("n") * col("sab") - col("sa") * col("sb")) /
+          sqrt(va * vb), 6)).as("spearman"))
   }
 
   /**

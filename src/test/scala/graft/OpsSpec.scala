@@ -2193,6 +2193,46 @@ class OpsSpec extends SparkSpec {
     assert(mono.forall { case (raw, iso) => raw == iso })
   }
 
+  test("spearman: monotone 1, reversed -1, average-rank ties, constant null") {
+    import graft.stats.Planners
+    // nonlinear but monotone: Pearson < 1, Spearman exactly 1
+    val mono = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 1000.0))
+      .toDF("a", "b")
+    assert(Planners.spearman(mono, "a", "b").head().getDouble(1) == 1.0)
+    val rev = Seq((1.0, 4.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0)).toDF("a", "b")
+    assert(Planners.spearman(rev, "a", "b").head().getDouble(1) == -1.0)
+    // tied pairs take average ranks on both sides -> still perfect
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0))
+      .toDF("a", "b")
+    val t = Planners.spearman(ties, "a", "b").head()
+    assert(t.getLong(0) == 4L && t.getDouble(1) == 1.0)
+    // constant column: zero rank variance -> undefined
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    assert(Planners.spearman(const, "a", "b").head().isNullAt(1))
+  }
+
+  test("cramersV: perfect association 1, independence 0, degenerate null") {
+    import graft.stats.Planners
+    // diagonal 2x2: chi2 = n, V = 1
+    val perfect = (Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v")))
+      .toDF("a", "b")
+    val p = Planners.cramersV(perfect, "a", "b").head()
+    assert(p.getLong(0) == 20L && p.getDouble(1) == 20.0 &&
+      p.getLong(2) == 1L && p.getDouble(3) == 1.0)
+    // uniform product table: observed == expected everywhere -> V = 0
+    val indep = (for (x <- Seq("x", "y"); u <- Seq("u", "v"); _ <- 1 to 5)
+      yield (x, u)).toDF("a", "b")
+    val i = Planners.cramersV(indep, "a", "b").head()
+    assert(i.getDouble(1) == 0.0 && i.getDouble(3) == 0.0)
+    // one-column table: nothing to associate
+    val degen = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    assert(Planners.cramersV(degen, "a", "b").head().isNullAt(3))
+    // chi2 must count ABSENT cells as O=0 (the zero-cell fix): the
+    // diagonal table's true chi2 is n, not n/2
+    val c = Planners.chi2(perfect, "a", "b").head()
+    assert(c.getDouble(0) == 20.0 && c.getLong(1) == 1L)
+  }
+
   test("mcnemar: discordant-cell chi2 with continuity correction; no-disagreement null") {
     import graft.ops.Agreement
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
