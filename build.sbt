@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to this process's stdout/stderr —
+// without this, sbt's logger prefixes every stdout line with "[info] ",
+// which breaks machine consumers of Bench/Verify's one-line JSON
+// (BENCH_r12.json recorded "parsed": null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

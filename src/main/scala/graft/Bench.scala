@@ -154,7 +154,38 @@ object Bench {
     "q_content_chunk_dedup", "q_attribution", "q_hits",
     // the gear boundary expression vs the windowed-md5 chunk scan: the
     // two chunkings of the same corpus price the O(1)-per-char claim
-    "q_content_chunks_gear", "q_content_chunks")
+    "q_content_chunks_gear", "q_content_chunks",
+    // round-21: the gear-fed chunk-DEDUP twin — same stats contract and
+    // boilerplate-seeded corpus as q_content_chunk_dedup, production
+    // boundary family; the pair prices the whole dedup path, not just
+    // the raw chunking
+    "q_content_chunk_dedup_gear")
+
+  /** Per-family groupings of the headline set: a regression localizes to
+    * a family subtotal instead of a 48-row per-query diff. Families are
+    * disjoint and cover every headline entry (asserted at startup);
+    * documented in BASELINE.md. */
+  val families: Seq[(String, Set[String])] = Seq(
+    "core" -> Set("q_pipeline_e2e", "q1_agg", "q_c1_rank", "q_e1_pivot",
+      "q_h2_normalize", "q_llm_e2e", "q_icp_order"),
+    "dedup" -> Set("q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_fast",
+      "q_dedup_minhash_admit", "q_dedup_simhash64", "q_text_simhash",
+      "q_para_dedup_cut", "q_winnow_overlap", "q_d4_pipeline",
+      "q_content_chunks", "q_content_chunks_gear", "q_content_chunk_dedup",
+      "q_content_chunk_dedup_gear"),
+    "ann" -> Set("q_ann_brute", "q_ann_lsh", "q_ann_ivfpq_residual",
+      "q_ann_binary_rerank"),
+    "retrieval" -> Set("q_bm25_search", "q_bm25_rm3", "q_bm25_prebuilt",
+      "q_bm25_rm3_prebuilt"),
+    "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
+      "q_attribution"),
+    "graph" -> Set("q_hits"),
+    "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
+      "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",
+      "q_text_keyword_tag", "q_text_fim", "q_text_wordpiece",
+      "q_text_unigram"),
+    "ml" -> Set("q_score_embeddings", "q_train_transformer",
+      "q_train_lstm_ae", "q_multimodal_meta", "q_multimodal_phash_dedup"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -253,6 +284,19 @@ object Bench {
       "q_ann_brute", "q_ann_lsh", "q_multimodal_meta", "q_score_embeddings",
       "q_train_transformer", "q_train_lstm_ae")
     val gate16Total = r3(results.filter(r => gate16(r._1)).map(_._2).filter(_ >= 0).sum)
+    // disjoint-and-covering is a startup invariant, not a hope: a new
+    // headline entry MUST be filed into exactly one family
+    locally {
+      val allFam = families.flatMap(_._2)
+      require(allFam.size == allFam.distinct.size,
+        "bench families overlap: " + allFam.diff(allFam.distinct).mkString(","))
+      val unfiled = headline.toSet.diff(allFam.toSet)
+      require(unfiled.isEmpty, "headline queries missing a family: " +
+        unfiled.mkString(","))
+    }
+    val famJson = families.map { case (f, qsIn) =>
+      s""""$f":${r3(results.filter(r => qsIn(r._1)).map(_._2).filter(_ >= 0).sum)}"""
+    }.mkString("{", ",", "}")
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     // baseline_ab: worst sentinel inflation vs the quiet-box references —
     // the same-window A/B of BASELINE.md:88-96 against a constant workload.
@@ -277,7 +321,7 @@ object Bench {
       s""""cpu_min":${r3(cpuS.min)},"cpu_max":${r3(cpuS.max)},""" +
       s""""par_min":${r3(parS.min)},"par_max":${r3(parS.max)},""" +
       s""""spark_min":${r3(sparkS.min)},"spark_max":${r3(sparkS.max)}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","gate16_total":$gate16Total,"queries":$qJson,"failed":$failedJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","gate16_total":$gate16Total,"family_totals":$famJson,"queries":$qJson,"failed":$failedJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}"""
     // belt-and-braces vs the driver's finite tail capture: the artifact
     // also lands in the repo, so the verdict never depends on the capture
     // window catching the whole stdout line

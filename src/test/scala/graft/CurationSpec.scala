@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.NfcNormalize
-import graft.ops.{Dedup, Fuzzy, Text, Urls}
+import graft.ops.{ChunkBoundary, Dedup, Fuzzy, Text, Urls}
 
 /** Invariant specs for the web-corpus curation operators (normalization,
   * markup strip, fuzzy consolidation, URL canonicalization, length
@@ -417,6 +417,65 @@ class CurationSpec extends SparkSpec {
       .collect().head.getSeq[Int](1)
     assert(viaSql.map(_.toLong + 1) == wantStarts.drop(1),
       "SQL-registered expression matches")
+  }
+
+  test("gear-fed chunk dedup family: dups/stats match a reference recomputation; incremental cut works") {
+    def rndText(seed: Long, n: Int): String = (1 to n).map { i =>
+      var z = (seed * 1000003L + i) * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 31); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 27)
+      val r = java.lang.Long.remainderUnsigned(z, 27)
+      if (r == 26) ' ' else ('a' + r).toChar
+    }.mkString
+    val gear = ChunkBoundary.Gear(16, 6)
+    // boilerplate-seeded corpus: every even doc shares the same block
+    val boiler = rndText(5L, 400)
+    val docs = (1L to 8L).map(d => d ->
+      (rndText(d * 17L, 600) + (if (d % 2 == 0) boiler else ""))).toDF("doc_id", "text")
+
+    // parity: the operators' join/agg machinery over gear boundaries
+    // equals a straight Scala recomputation from the gear chunk table
+    val table = Dedup.contentChunks(docs, "text", "doc_id", gear).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val canon = table.groupBy(_._5).map { case (h, rs) =>
+      h -> rs.map(r => (r._1, r._2)).min }
+    val wantDups = table.map { case (d, i, _, len, h) =>
+      val (cd, ci) = canon(h)
+      (d, i, len, h, cd != d || ci != i, cd, ci)
+    }.toSet
+    val gotDups = Dedup.contentChunkDups(docs, "text", "doc_id", gear).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6))).toSet
+    assert(gotDups == wantDups, "contentChunkDups(gear) parity")
+    assert(wantDups.exists(_._5), "fixture must contain gear-grain dups")
+
+    val wantStats = wantDups.toSeq.groupBy(_._1).map { case (d, rs) =>
+      val dupChars = rs.filter(_._5).map(_._3).sum
+      (d, rs.size.toLong, rs.count(_._5).toLong, dupChars,
+        math.round(dupChars.toDouble / rs.map(_._3).sum * 1e6) / 1e6)
+    }.toSet
+    val gotStats = Dedup.contentChunkStats(docs, "text", "doc_id", gear).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(gotStats == wantStats, "contentChunkStats(gear) parity")
+
+    // incremental: index the corpus, re-ingest one corpus doc + one fresh
+    val index = Dedup.contentChunkHashIndex(docs, "text", gear)
+    val fresh = rndText(999L, 600)
+    val batch = Seq((100L, rndText(2L * 17L, 600) + boiler), (101L, fresh))
+      .toDF("doc_id", "text") // doc 100 = corpus doc 2's exact text
+    val cut = Dedup.dropKnownChunks(batch, "text", "doc_id", index, gear)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cut(100L)._1 == "" && cut(100L)._2 == cut(100L)._3,
+      "a re-ingested doc loses every gear chunk")
+    assert(cut(101L) == ((fresh, cut(101L)._2, 0L)),
+      "fresh text passes through byte-identical under gear boundaries")
+    // Bloom twin: inserted chunks always cut (no false negatives on the
+    // known side); the re-ingested doc therefore empties here too
+    val bcut = Dedup.dropKnownChunksBloom(batch, "text", "doc_id", index,
+        gear, 0L, 0.01)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bcut(100L) == "", "bloom cut drops every indexed gear chunk")
   }
 
   test("paragraph dedup: cross-doc canonical pick, normalization, and cut") {

@@ -161,4 +161,79 @@ class SkewStressSpec extends SparkSpec {
     // combiner grain (one row per hash per map task), never corpus grain
     assert(mx < TaskCeiling, s"straggler task read $mx shuffle records")
   }
+
+  test("graph family hub skew: 100k-edge star + duplicate-heavy edge list complete bounded; closed-form semantics hold") {
+    // one celebrity vertex on 10^5 edges, every edge listed 3x (the
+    // duplicate-heavy crawl shape — distinct() must canonicalize, the
+    // score aggregates must map-side combine instead of funneling the
+    // hub's whole neighborhood through one reducer row stream)
+    val n = 100000L
+    val star = spark.range(1L, n + 1)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val dupStar = star.unionByName(star).unionByName(star)
+
+    // hits: the hub is the ONLY source, so after normalization hub(0)=1
+    // and every leaf holds auth 1/sqrt(n) — exact closed form
+    val (hitsRows, mxH) = withTaskBound {
+      graft.ops.Graph.hits(dupStar, "src", "dst", iterations = 2).collect()
+    }
+    assert(hitsRows.length == n + 1)
+    val hubRow = hitsRows.find(_.getLong(0) == 0L).get
+    assert(hubRow.getDouble(1) == 1.0 && hubRow.getDouble(2) == 0.0)
+    val leafAuth = math.rint(1.0 / math.sqrt(n.toDouble) * 1e6) / 1e6
+    assert(hitsRows.filter(_.getLong(0) != 0L).forall(r =>
+      r.getDouble(1) == 0.0 && r.getDouble(2) == leafAuth),
+      "every leaf: hub 0, auth 1/sqrt(n)")
+    assert(mxH < TaskCeiling, s"hits straggler read $mxH shuffle records")
+
+    // pageRank: nothing points at the hub -> rank(hub) = (1-d)/N; all
+    // leaves identical by symmetry
+    val (prRows, mxP) = withTaskBound {
+      graft.ops.Graph.pageRank(dupStar, "src", "dst", iterations = 2).collect()
+    }
+    assert(prRows.length == n + 1)
+    val pr = prRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hubRank = math.rint(0.15 / (n + 1).toDouble * 1e6) / 1e6
+    assert(pr(0L) == hubRank, s"hub rank ${pr(0L)} != closed form $hubRank")
+    assert(prRows.filter(_.getLong(0) != 0L).map(_.getDouble(1)).distinct.length == 1,
+      "all leaves must hold the same rank")
+    assert(mxP < TaskCeiling, s"pageRank straggler read $mxP shuffle records")
+
+    // kCore: every leaf has degree 1 -> the 2-core is empty
+    val (kc, mxK) = withTaskBound {
+      graft.ops.Graph.kCore(dupStar, "src", "dst", k = 2, rounds = 2).count()
+    }
+    assert(kc == 0L, "a star graph has no 2-core")
+    assert(mxK < TaskCeiling, s"kCore straggler read $mxK shuffle records")
+
+    // labelPropagation, 2 synchronous iterations: iter1 leaves adopt 0,
+    // hub adopts min leaf label 1; iter2 leaves adopt the hub's NEW
+    // label 1, hub adopts the leaves' iter1 label 0 — the classic
+    // bipartite oscillation, deterministic under the min tie rule
+    val (lpRows, mxL) = withTaskBound {
+      graft.ops.Graph.labelPropagation(dupStar, "src", "dst",
+        iterations = 2).collect()
+    }
+    val lp = lpRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp(0L) == 0L && (1L to n).forall(v => lp(v) == 1L),
+      "synchronous LPA oscillation state after 2 iterations")
+    assert(mxL < TaskCeiling, s"labelProp straggler read $mxL shuffle records")
+
+    // personalizedPageRank seeded on the hub: the hub holds exactly its
+    // teleport share (1-d)/|S| = 0.15 (nothing points at it), leaves all
+    // equal; and an empty seed set fails fast instead of null ranks
+    val seeds = Seq(0L).toDF("v")
+    val (pprRows, mxS) = withTaskBound {
+      graft.ops.Graph.personalizedPageRank(dupStar, "src", "dst", seeds,
+        iterations = 2).collect()
+    }
+    val ppr = pprRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr(0L) == 0.15, s"seed teleport share, got ${ppr(0L)}")
+    assert(pprRows.filter(_.getLong(0) != 0L).map(_.getDouble(1)).distinct.length == 1)
+    assert(mxS < TaskCeiling, s"PPR straggler read $mxS shuffle records")
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.personalizedPageRank(dupStar, "src", "dst",
+        seeds.limit(0), iterations = 1)
+    }
+  }
 }

@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming seasonal anomalies equal the batch operator row for row") {
+    val batchEv = graft.core.Tables.load(spark, sf, "events")
+    // threshold low enough that the fixture actually flags something
+    val thr = 1.5
+    val prof = graft.ops.Temporal.seasonalProfile(batchEv, "ts", "value")
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString).orNull,
+        r.getBoolean(3))
+    val out = EventStream.streamingSeasonalAnomalies(
+      EventStream.readEvents(spark, streamDir), "ts", "value", prof,
+      threshold = thr, idCols = Seq("event_id"))
+      .select("event_id", "season", "z", "is_anomaly")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("seasonal_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_id, season, z, is_anomaly FROM seasonal_stream")
+        .collect().map(tup).toSet
+      val batch = graft.ops.Temporal.seasonalAnomalies(batchEv, "ts", "value",
+          threshold = thr, idCols = Seq("event_id"))
+        .select("event_id", "season", "z", "is_anomaly")
+        .collect().map(tup).toSet
+      assert(got == batch && got.nonEmpty, "stream/batch parity")
+      assert(batch.exists(_._4), "fixture must flag at least one anomaly")
+    } finally q.stop()
+  }
+
   test("session windows over the stream match the batch session_window rows") {
     val stream = EventStream.sessionStats(
       EventStream.readEvents(spark, streamDir), gap = "6 hours")
