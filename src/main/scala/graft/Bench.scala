@@ -159,7 +159,11 @@ object Bench {
     // boilerplate-seeded corpus as q_content_chunk_dedup, production
     // boundary family; the pair prices the whole dedup path, not just
     // the raw chunking
-    "q_content_chunk_dedup_gear")
+    "q_content_chunk_dedup_gear",
+    // round-21 batch 2 (per-query only): eval-set decontamination scan
+    // (corpus n-gram explode + broadcast probe join) and Adamic–Adar
+    // link prediction (degree-capped wedge self-join)
+    "q_decontam", "q_adamic_adar")
 
   /** Per-family groupings of the headline set: a regression localizes to
     * a family subtotal instead of a 48-row per-query diff. Families are
@@ -172,14 +176,14 @@ object Bench {
       "q_dedup_minhash_admit", "q_dedup_simhash64", "q_text_simhash",
       "q_para_dedup_cut", "q_winnow_overlap", "q_d4_pipeline",
       "q_content_chunks", "q_content_chunks_gear", "q_content_chunk_dedup",
-      "q_content_chunk_dedup_gear"),
+      "q_content_chunk_dedup_gear", "q_decontam"),
     "ann" -> Set("q_ann_brute", "q_ann_lsh", "q_ann_ivfpq_residual",
       "q_ann_binary_rerank"),
     "retrieval" -> Set("q_bm25_search", "q_bm25_rm3", "q_bm25_prebuilt",
       "q_bm25_rm3_prebuilt"),
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
       "q_attribution"),
-    "graph" -> Set("q_hits"),
+    "graph" -> Set("q_hits", "q_adamic_adar"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",
       "q_text_keyword_tag", "q_text_fim", "q_text_wordpiece",

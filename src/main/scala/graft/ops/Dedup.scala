@@ -339,6 +339,48 @@ object Dedup {
       explode(graft.functions.WordShingles.wordShingles(col(textCol), n)).as("shingle"))
 
   /**
+   * Eval-set decontamination scan — the n-gram overlap rule of the
+   * GPT-3 appendix C / PaLM / Llama decontamination procedures: a
+   * training document is contaminated when it shares at least
+   * `minShared` word n-grams (n = 13 in the published recipes) with any
+   * document of a held-out benchmark probe set. Run it corpus × eval
+   * suite BEFORE training and drop (or flag) the hits, or the eval is
+   * measuring memorization. Reports every contaminated (doc, probe)
+   * pair with its overlap size — provenance for the scrub decision —
+   * NOT just a verdict bit; anti-join the doc ids to cut.
+   *
+   * Scale shape: the corpus side explodes to DISTINCT (doc, n-gram)
+   * rows (one narrow codegen'd projection — the [[shingles]] expression
+   * with a larger n); the probe side is EVAL-SUITE-sized (thousands of
+   * rows, not corpus-sized), so its exploded n-gram table broadcasts
+   * and the match is a broadcast hash join the 100 TB corpus streams
+   * through with NO shuffle of text or n-grams — the only exchange is
+   * the (doc, probe)-grain count aggregate over matched rows, which is
+   * hit-sized. A probe set too large to broadcast (full-corpus overlap)
+   * is [[ngramJaccardPairs]]/[[containmentPairs]]' job, not this one.
+   *
+   * Output: (doc_id, probe_id, shared_ngrams) for pairs with
+   * shared_ngrams >= minShared; `shared_ngrams` counts DISTINCT shared
+   * n-grams (both sides deduplicate before the join).
+   */
+  def probeContamination(corpus: DataFrame, textCol: String, idCol: String,
+      probes: DataFrame, probeTextCol: String, probeIdCol: String,
+      n: Int = 13, minShared: Int = 1): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minShared >= 1, "minShared must be >= 1")
+    val c = corpus.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordShingles.wordShingles(col(textCol), n))
+        .as("shingle"))
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+      explode(graft.functions.WordShingles.wordShingles(col(probeTextCol), n))
+        .as("shingle"))
+    c.join(broadcast(p), "shingle")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /**
    * N-gram Jaccard near-duplicate pairs: candidate pairs share >= 1 shingle
    * with document frequency <= `maxShingleDf` (equi-join on the shingle),
    * then J = |A∩B| / (|A|+|B|-|A∩B|) >= tau over the FULL shingle sets of

@@ -301,6 +301,49 @@ object Graph {
             (col("degree") * (col("degree") - 1)), 6)).as("clustering"))
   }
 
+  /**
+   * Adamic–Adar link prediction (Adamic & Adar 2003) over an undirected
+   * graph: for every vertex pair (a, b) at distance 2 with at least
+   * `minCommon` common neighbors, score(a,b) = Σ_{v ∈ N(a)∩N(b)}
+   * 1/ln(deg v) — common neighbors weighted by how SELECTIVE they are
+   * (two orders sharing a part bought by everyone says little; sharing
+   * a rare part says a lot). The classic "customers also bought" /
+   * related-document candidate generator next to [[triangleCounts]]
+   * (which scores CLOSED wedges; this scores the open ones).
+   *
+   * Scale shape: wedge generation is a self-equi-join of each CENTER
+   * vertex's adjacency rows — per-center fan-out is deg², so centers
+   * above `maxDegree` are SKIPPED (the df-cap approximation family:
+   * a 10⁷-degree hub would alone emit 5·10¹³ wedge rows, and its
+   * 1/ln(deg) weight is the least informative in the graph — same
+   * trade as [[Dedup.ngramJaccardPairs]]' maxShingleDf). Degree-1
+   * centers have no pairs; degree-0 can't exist post-canon. Everything
+   * else is hash aggregates on the wedge endpoints, map-side combined.
+   *
+   * Output: (v_a, v_b, common_neighbors, score) with v_a < v_b, score
+   * 6-dp rounded, only pairs with common_neighbors >= `minCommon`
+   * (>= 2 is the useful link-prediction grain — single shared neighbors
+   * are mostly noise and dominate the pair count).
+   */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 1000, minCommon: Int = 2): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val sym = symEdges(edges, srcCol, dstCol)
+      .select(col("src").as("v"), col("dst").as("nb"))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val ctr = sym.join(deg, Seq("v"))
+      .filter(col("d") >= 2 && col("d") <= maxDegree)
+    val wedges = ctr.alias("l").join(ctr.alias("r"),
+        col("l.v") === col("r.v") && col("l.nb") < col("r.nb"))
+      .select(col("l.nb").as("v_a"), col("r.nb").as("v_b"),
+        (lit(1.0) / log(col("l.d"))).as("__w"))
+    wedges.groupBy(col("v_a"), col("v_b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        round(sum(col("__w")), 6).as("score"))
+      .filter(col("common_neighbors") >= minCommon)
+  }
+
   /** Symmetrized, de-duped, loop-free adjacency rows `(src, dst)` of an
     * undirected edge list — the shared front door of the peel/propagate
     * family below. */

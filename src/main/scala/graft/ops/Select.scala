@@ -222,4 +222,5 @@ object Select {
       .select(col(idCol), col(keyCol), col("rn"),
         round((col("rn") - lit(0.5)) / col("q"), 6).as("sort_key"))
   }
+
 }

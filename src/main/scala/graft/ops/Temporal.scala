@@ -959,6 +959,154 @@ object Temporal {
   }
 
   /**
+   * Holt–Winters ADDITIVE seasonal smoothing over a bounded trailing
+   * window — the seasonal completion of the forecasting trio
+   * ([[ewma]] level, [[holtSmooth]] level+trend, this level+trend+
+   * season): per row, fold the last `window` observations through
+   *   lₜ = α(xₜ − s₍ₜ₋ₘ₎) + (1−α)(lₜ₋₁ + bₜ₋₁)
+   *   bₜ = γ(lₜ − lₜ₋₁) + (1−γ)bₜ₋₁
+   *   sₜ = δ(xₜ − lₜ) + (1−δ)s₍ₜ₋ₘ₎
+   * with l₁ = x₁, b₁ = 0, seasons initialized to 0, and emit the
+   * smoothed `level`, `trend`, the next step's seasonal term `season`,
+   * and `forecast` = level + trend + season — the daily/weekly-cycle-
+   * aware volume baseline [[graft.ops.Temporal.seasonalAnomalies]]'s
+   * static profile can't give a TRENDING series.
+   *
+   * Season slots index by POSITION IN THE WINDOW mod `period` (the
+   * bounded-window fold restarts per row) — resample the series to even
+   * spacing first, exactly as for [[holtSmooth]]. The fold order is
+   * fixed, so results are bit-identical across IEEE engines for ANY
+   * params; for ORACLE fixtures prefer non-dyadic α/γ/δ — dyadic params
+   * on low-precision inputs land folded values exactly on decimal
+   * .5e-6 boundaries, where decimal-string rounding (Spark) and
+   * binary-scaling rounding (DuckDB) disagree.
+   *
+   * Scale shape: identical to [[ewma]]/[[holtSmooth]] — ONE shuffle on
+   * `keys`, then a row-local O(window · period) array fold; state per
+   * row is (l, b, period doubles). Nothing grows with history.
+   */
+  def holtWinters(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, period: Int, alpha: Double = 0.5,
+      gamma: Double = 0.25, delta: Double = 0.5, window: Int = 12,
+      tiebreak: Seq[String] = Nil, idCols: Seq[String] = Nil): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    require(window >= period, "window must be >= period")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(gamma > 0 && gamma <= 1, "gamma must be in (0, 1]")
+    require(delta > 0 && delta <= 1, "delta must be in (0, 1]")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val xs = collect_list(col(valueCol).cast("double")).over(w)
+    val n = size(col("_xs"))
+    def x(k: Column) = element_at(col("_xs"), k.cast("int"))
+    val init = struct(element_at(col("_xs"), 1).as("l"), lit(0.0).as("b"),
+      array_repeat(lit(0.0), period).as("s"))
+    // sequence(2, n) DESCENDS when n = 1 — guard the first row per key
+    val folded = when(n === 1, init).otherwise(
+      aggregate(sequence(lit(2), n), init, (acc, k) => {
+        val sIdx = pmod(k - 1, lit(period)) + 1
+        val sPrev = element_at(acc.getField("s"), sIdx.cast("int"))
+        val lN = lit(alpha) * (x(k) - sPrev) +
+          lit(1.0 - alpha) * (acc.getField("l") + acc.getField("b"))
+        val bN = lit(gamma) * (lN - acc.getField("l")) +
+          lit(1.0 - gamma) * acc.getField("b")
+        val sN = lit(delta) * (x(k) - lN) + lit(1.0 - delta) * sPrev
+        struct(lN.as("l"), bN.as("b"),
+          transform(sequence(lit(1), lit(period)), j =>
+            when(j === sIdx, sN)
+              .otherwise(element_at(acc.getField("s"), j.cast("int"))))
+            .as("s"))
+      }))
+    // the NEXT observation lands in window position n+1 -> slot n%m + 1
+    val sNext = element_at(col("_hw.s"), (pmod(n, lit(period)) + 1).cast("int"))
+    val keep = (keys ++ idCols).distinct.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("_xs", xs)
+      .withColumn("_hw", folded)
+      .select(keep ++ Seq(
+        round(col("_hw.l"), 6).as("level"),
+        round(col("_hw.b"), 6).as("trend"),
+        round(sNext, 6).as("season"),
+        round(col("_hw.l") + col("_hw.b") + sNext, 6).as("forecast")): _*)
+  }
+
+  /**
+   * Mann–Kendall trend test + Sen's slope per key over each key's last
+   * `window` observations (Mann 1945; Kendall 1975; Sen 1968) — the
+   * standard distribution-free "is this series monotonically trending"
+   * monitor, robust where a least-squares slope is wrecked by one
+   * outlier. S = Σ_{i<j} sgn(xⱼ − xᵢ); Var(S) tie-corrected:
+   * [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 over tie groups of size t;
+   * z is the continuity-corrected normal score ((S∓1)/√Var, 0 at S=0).
+   * `sen_slope` = median of the n(n−1)/2 pairwise slopes
+   * (xⱼ − xᵢ)/(j − i) over observation INDEX (the evenly-spaced form;
+   * resample first if the series isn't). Complements the monitor
+   * family: [[ewma]]/[[holtSmooth]] track level, [[cusum]] accumulates
+   * drift vs a target, this TESTS for trend with a significance score
+   * and estimates its rate.
+   *
+   * Scale shape: one shuffle on `keys` (window row_number to take the
+   * last `window` points + one collect_list aggregate), then ALL pair
+   * work is row-local array HOFs over a <= `window`-length array —
+   * O(window²) arithmetic per key, zero further exchanges; fine for the
+   * monitor-sized windows this is for (the classic test is quadratic by
+   * definition). Keys with fewer than 2 points report null statistics;
+   * all-tied windows report Var 0 and null z.
+   *
+   * Output: keys, `n`, `s`, `var_s` (6 dp), `z` (6 dp), `sen_slope`
+   * (6 dp) — one row per key.
+   */
+  def mannKendall(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, window: Int = 20,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.desc): _*)
+    // rk 1 = newest; sorting struct(-rk, v) ascending restores time order
+    val g = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rk", row_number().over(ord))
+      .filter(col("__rk") <= window)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct((-col("__rk")).as("k"),
+        col(valueCol).cast("double").as("v")))).as("__a"))
+      .withColumn("__xs", transform(col("__a"), e => e.getField("v")))
+    val n = size(col("__xs"))
+    def x(i: Column) = element_at(col("__xs"), i)
+    // sequence(2, n) DESCENDS when n < 2 — guard the degenerate key
+    val s = when(n >= 2, aggregate(sequence(lit(2), n), lit(0L), (acc, j) =>
+      acc + aggregate(sequence(lit(1), j - 1), lit(0L), (a2, i) =>
+        a2 + when(x(j) > x(i), 1L).when(x(j) < x(i), -1L).otherwise(0L))))
+    // each member of a tie group of size t contributes (t-1)(2t+5), so
+    // the group totals the textbook t(t-1)(2t+5) without a distinct pass
+    val tieTerm = aggregate(col("__xs"), lit(0L), (acc, v0) => {
+      val c = size(filter(col("__xs"), u => u === v0)).cast("long")
+      acc + (c - 1L) * (lit(2L) * c + 5L)
+    })
+    val varS = when(n >= 2,
+      (n.cast("long") * (n - 1) * (lit(2L) * n + 5) - tieTerm).cast("double")
+        / 18.0)
+    val z = when(varS > 0,
+      when(col("__s") > 0, (col("__s") - 1) / sqrt(col("__var")))
+        .when(col("__s") < 0, (col("__s") + 1) / sqrt(col("__var")))
+        .otherwise(lit(0.0)))
+    val slopes = when(n >= 2, array_sort(flatten(
+      transform(sequence(lit(2), n), j =>
+        transform(sequence(lit(1), j - 1), i =>
+          (x(j) - x(i)) / (j - i).cast("double"))))))
+    val m = size(col("__sl"))
+    val sen = when(m >= 1,
+      when(m % 2 === 1, element_at(col("__sl"), ((m + 1) / 2).cast("int")))
+        .otherwise((element_at(col("__sl"), (m / 2).cast("int")) +
+          element_at(col("__sl"), (m / 2).cast("int") + 1)) / 2.0))
+    g.withColumn("__s", s).withColumn("__var", varS).withColumn("__sl", slopes)
+      .select(keys.map(col) ++ Seq(
+        n.cast("long").as("n"), col("__s").as("s"),
+        round(col("__var"), 6).as("var_s"), round(z, 6).as("z"),
+        round(sen, 6).as("sen_slope")): _*)
+  }
+
+  /**
    * Kaplan–Meier survival estimator (Kaplan & Meier 1958) with right
    * censoring, per group: Ŝ(t) = Π_{tⱼ ≤ t} (1 − dⱼ/nⱼ) over the
    * group's distinct observed times, where dⱼ counts events at tⱼ and

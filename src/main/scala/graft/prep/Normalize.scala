@@ -100,4 +100,69 @@ object Normalize {
     }
     df.withColumns(cols.zip(exprs).toMap)
   }
+
+  /**
+   * Cross-source quantile normalization: map each source's score
+   * distribution onto the GLOBAL distribution, so one threshold means
+   * the same thing on every source — the calibration step before a
+   * corpus-mixing policy compares quality scores produced by different
+   * scorers/domains (source A's 0.7 and source B's 0.7 rarely denote
+   * the same quality; their 90th percentiles do). Each row's
+   * within-source percent rank r = |{v' < v}| / (nₛ − 1) is pushed
+   * through the inverse of the global empirical CDF, linearly
+   * interpolated on a `q`-point percentile grid (classic microarray
+   * quantile normalization, Bolstad et al. 2003, at grid resolution).
+   *
+   * Determinism: ties share a rank (strict-less count), the grid comes
+   * from one exact `percentile` aggregate, interpolation is plain
+   * arithmetic — every step replays identically in SQL. Single-row
+   * sources define r = 0. Null values pass through with null output.
+   *
+   * Scale shape: NO row-grain sort/window — the rank aggregates to
+   * (source, value) DISTINCT grain first (the Mann–Whitney trick), runs
+   * the cumulative window over distinct values only, and joins back on
+   * (source, value); the global grid is one broadcast percentile-array
+   * row. At 100 TB quantize continuous scores to a fixed grid first so
+   * the distinct grain stays bounded (documented on the rank tests).
+   *
+   * Output: idCols ++ (sourceCol, valueCol, `src_rank`, `normalized`),
+   * 6-dp rounded.
+   */
+  def quantileNormalize(df: DataFrame, sourceCol: String, valueCol: String,
+      q: Int = 101, idCols: Seq[String] = Nil): DataFrame = {
+    require(q >= 2, "q must be >= 2")
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull)
+      .select((idCols.map(col) :+ col(sourceCol).as("__src") :+
+        v.as("__v")): _*)
+    val sv = rows.groupBy(col("__src"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wLt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__src")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = sv
+      .withColumn("__lt", coalesce(sum(col("__c")).over(wLt), lit(0L)))
+    val nSrc = rows.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val pcts = (0 until q).map(j => j.toDouble / (q - 1))
+    val grid = rows.agg(percentile(col("__v"),
+      array(pcts.map(lit): _*)).as("__gq"))
+    val r = when(col("__n") > 1, col("__lt").cast("double") / (col("__n") - 1))
+      .otherwise(lit(0.0))
+    val idx = r * (q - 1)
+    val lo = floor(idx).cast("int")
+    val frac = idx - lo
+    val norm = when(col("__lo") >= q - 1, element_at(col("__gq"), q))
+      .otherwise(element_at(col("__gq"), col("__lo") + 1) * (lit(1.0) - col("__fr")) +
+        element_at(col("__gq"), col("__lo") + 2) * col("__fr"))
+    rows
+      .join(ranked, Seq("__src", "__v"))
+      .join(nSrc, Seq("__src"))
+      .crossJoin(broadcast(grid))
+      .withColumn("__r", r)
+      .withColumn("__lo", lo).withColumn("__fr", frac)
+      .select(idCols.map(col) ++ Seq(
+        col("__src").as(sourceCol), col("__v").as(valueCol),
+        round(col("__r"), 6).as("src_rank"),
+        round(norm, 6).as("normalized")): _*)
+  }
 }

@@ -86,6 +86,32 @@ object Analytics extends QueryGroup {
              |       ELSE ROUND((value - med) / (1.4826 * mad), 6) END AS robust_z
              |FROM events, m, d""".stripMargin)),
 
+    // Cross-source quantile normalization (Bolstad 2003 at a 5-point
+    // grid): per-event-type score distributions mapped onto the global
+    // distribution via distinct-value ranks + one exact percentile-array
+    // aggregate — the calibration step before one threshold is applied
+    // across heterogeneous sources.
+    QueryDef("q_quantile_normalize",
+      (s, dir) => graft.prep.Normalize.quantileNormalize(
+        Tables.load(s, dir, "events"), "event_type", "value",
+        q = 5, idCols = Seq("event_id")),
+      Some("""WITH rws AS (SELECT event_id, event_type AS src, CAST(value AS DOUBLE) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |sv AS (SELECT src, v, COUNT(*) AS c FROM rws GROUP BY 1, 2),
+             |rk AS (SELECT src, v, COALESCE(SUM(c) OVER (PARTITION BY src ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt FROM sv),
+             |ns AS (SELECT src, COUNT(*) AS n FROM rws GROUP BY 1),
+             |gq AS (SELECT quantile_cont(v, [0.0, 0.25, 0.5, 0.75, 1.0]) AS g FROM rws),
+             |j AS (SELECT rws.event_id, rws.src, rws.v,
+             |    CASE WHEN n > 1 THEN CAST(lt AS DOUBLE)/(n-1) ELSE 0.0 END AS r, g
+             |  FROM rws JOIN rk USING (src, v) JOIN ns USING (src) CROSS JOIN gq),
+             |k AS (SELECT event_id, src, v, r, g,
+             |    CAST(floor(r*4) AS INT) AS lo, r*4 - floor(r*4) AS fr FROM j)
+             |SELECT event_id, src AS event_type, v AS value, ROUND(r, 6) AS src_rank,
+             |  ROUND(CASE WHEN lo >= 4 THEN g[5]
+             |        ELSE g[lo+1] * (1.0 - fr) + g[lo+2] * fr END, 6) AS normalized
+             |FROM k""".stripMargin)),
+
     // B2 window filter with grace period (preprocess.py:90-92):
     // keep ts in [cutoff - grace - history, cutoff - grace], inclusive
     QueryDef("q_b2_grace_filter",

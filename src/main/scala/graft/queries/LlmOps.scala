@@ -1838,6 +1838,27 @@ object LlmOps extends QueryGroup {
               |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
               |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.4""".stripMargin)),
 
+    // Eval-set decontamination (the 13-gram rule at fixture scale n=8):
+    // every 50th doc doubles as a benchmark probe; the scan reports each
+    // (corpus doc, probe) pair sharing >= 1 distinct 8-gram — probes
+    // self-match and the corpus's planted near-dups cross-match. Probe
+    // side broadcasts; the corpus never shuffles.
+    QueryDef("q_decontam",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.probeContamination(docs, "text", "doc_id",
+          docs.filter(col("doc_id") % 50 === 0)
+            .select(col("doc_id").as("probe_id"), col("text")),
+          "text", "probe_id", n = 8, minShared = 1)
+      },
+      Some("""WITH ct AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ts FROM documents),
+             |ci AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS i FROM ct),
+             |cg AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS g FROM ci),
+             |pg AS (SELECT DISTINCT doc_id AS probe_id, g FROM (
+             |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g FROM ci WHERE doc_id % 50 = 0))
+             |SELECT doc_id, probe_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+             |FROM cg JOIN pg USING (g) GROUP BY 1, 2 HAVING COUNT(*) >= 1""".stripMargin)),
+
     // Asymmetric shingle containment |A∩B|/|A| >= 0.5 — the excerpt/
     // quote-farm detector symmetric Jaccard misses (a short doc inside a
     // long one). Ordered pairs; doc_a is the contained side.
@@ -1977,6 +1998,32 @@ object LlmOps extends QueryGroup {
            |FROM verts JOIN h3 ON h3.v = verts.v JOIN a3 ON a3.v = verts.v"""
           .stripMargin
       }),
+
+    // Adamic–Adar link prediction over a quarter of the order–part
+    // graph: order pairs sharing >= 2 parts (and part pairs sharing
+    // >= 2 orders), each common neighbor weighted 1/ln(degree) — rare
+    // shared neighbors dominate. maxDegree 40 caps the wedge fan-out
+    // (the df-cap family); the oracle replays the same cap.
+    QueryDef("q_adamic_adar",
+      (s, dir) => Graph.adamicAdar(
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(concat(lit("o"), col("l_orderkey")).as("src"),
+            concat(lit("p"), col("l_partkey")).as("dst")),
+        "src", "dst", maxDegree = 40, minCommon = 2),
+      Some("""WITH e0 AS (SELECT DISTINCT
+             |    least('o' || l_orderkey, 'p' || l_partkey) AS a,
+             |    greatest('o' || l_orderkey, 'p' || l_partkey) AS b
+             |  FROM lineitem WHERE l_orderkey % 4 = 0),
+             |sym AS (SELECT a AS v, b AS nb FROM e0 UNION ALL SELECT b, a FROM e0),
+             |deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+             |ctr AS (SELECT s.v, s.nb, deg.d FROM sym s JOIN deg ON deg.v = s.v
+             |  WHERE deg.d BETWEEN 2 AND 40)
+             |SELECT l.nb AS v_a, r.nb AS v_b,
+             |  CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             |  ROUND(SUM(1.0 / ln(l.d)), 6) AS score
+             |FROM ctr l JOIN ctr r ON l.v = r.v AND l.nb < r.nb
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
 
     // k-core peel over the undirected order–part graph: 4 fixed rounds
     // at k = 3 strip low-degree leaves and everything stranded by their

@@ -43,6 +43,43 @@ object TemporalQ extends QueryGroup {
        |$steps""".stripMargin
   }
 
+  /** Oracle CTE for q_holt_winters: the additive level/trend/season fold
+    * (alpha 0.5, gamma 0.25, delta 0.5; period 4, window 12) unrolled as
+    * one CTE step per window position, season slots s1..s4 as columns —
+    * the holtCte pattern with a seasonal state. */
+  private val holtWintersCte = {
+    val all = (1 to 4).map(j => s"s$j")
+    val steps = (2 to 12).map { k =>
+      val si = (k - 1) % 4 + 1
+      val sCols = all.map { sj =>
+        if (sj == s"s$si")
+          s"""CASE WHEN len(xs) >= $k
+             |      THEN 0.3 * (xs[$k] - ln) + 0.7 * $sj ELSE $sj END AS $sj"""
+            .stripMargin
+        else sj
+      }.mkString(",\n    ")
+      s"""hw$k AS (SELECT user_id, event_id, xs,
+         |    CASE WHEN len(xs) >= $k THEN 0.2 * (ln - l) + 0.8 * b
+         |         ELSE b END AS b,
+         |    ln AS l,
+         |    $sCols
+         |  FROM (SELECT user_id, event_id, xs, l, b, s1, s2, s3, s4,
+         |      CASE WHEN len(xs) >= $k THEN 0.3 * (xs[$k] - s$si) + 0.7 * (l + b)
+         |           ELSE l END AS ln
+         |    FROM hw${k - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""x AS (SELECT user_id, event_id,
+       |    list(CAST(value AS DOUBLE))
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS xs
+       |  FROM events WHERE value IS NOT NULL),
+       |hw1 AS (SELECT user_id, event_id, xs, xs[1] AS l,
+       |    CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s1,
+       |    CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+       |    CAST(0.0 AS DOUBLE) AS s4 FROM x),
+       |$steps""".stripMargin
+  }
+
   /** Shared oracle CTE: per-event session ids at the 2-day gap. */
   private val sessionCte =
     s"""x AS (
@@ -663,6 +700,70 @@ object TemporalQ extends QueryGroup {
              |  AND (valid_to IS NULL
              |       OR valid_to > TIMESTAMP '2024-01-15 00:00:00')"""
         .stripMargin)),
+
+    // Holt–Winters additive seasonal smoothing per user (period 4,
+    // window 12): level + trend + next-step season + forecast, folded
+    // in identical IEEE order on both engines. Non-dyadic alpha/gamma/
+    // delta (0.3/0.2/0.3, the q_holt_smooth precedent) keep folded
+    // values OFF exact decimal .5e-6 boundaries, where Spark's
+    // decimal-string ROUND and DuckDB's binary*1e6 ROUND disagree —
+    // dyadic params on 2-decimal inputs land there constantly.
+    QueryDef("q_holt_winters",
+      (s, dir) => Temporal.holtWinters(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        period = 4, alpha = 0.3, gamma = 0.2, delta = 0.3, window = 12,
+        tiebreak = Seq("event_id"), idCols = Seq("event_id")),
+      Some(s"""WITH $holtWintersCte
+              |SELECT user_id, event_id, ROUND(l, 6) AS level,
+              |  ROUND(b, 6) AS trend,
+              |  ROUND(CASE len(xs) % 4 WHEN 0 THEN s1 WHEN 1 THEN s2
+              |        WHEN 2 THEN s3 ELSE s4 END, 6) AS season,
+              |  ROUND(l + b + CASE len(xs) % 4 WHEN 0 THEN s1 WHEN 1 THEN s2
+              |        WHEN 2 THEN s3 ELSE s4 END, 6) AS forecast
+              |FROM hw12""".stripMargin)),
+
+    // Mann–Kendall trend test + Sen's slope per user over the last 10
+    // observations: the distribution-free "is this series trending"
+    // verdict (S statistic, tie-corrected variance, continuity-corrected
+    // z) plus the robust median-of-pairwise-slopes rate. All pair work
+    // is row-local over the bounded window on both engines.
+    QueryDef("q_mann_kendall",
+      (s, dir) => Temporal.mannKendall(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        window = 10, tiebreak = Seq("event_id")),
+      Some("""WITH o AS (SELECT user_id, CAST(value AS DOUBLE) AS v,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rk
+             |  FROM events WHERE value IS NOT NULL),
+             |w AS (SELECT user_id, list(v ORDER BY rk DESC) AS xs
+             |  FROM o WHERE rk <= 10 GROUP BY user_id),
+             |c AS (SELECT user_id, len(xs) AS n,
+             |    CASE WHEN len(xs) >= 2 THEN
+             |      list_sum(list_transform(generate_series(2, len(xs)), j ->
+             |        list_sum(list_transform(generate_series(1, j-1), i ->
+             |          CASE WHEN xs[j] > xs[i] THEN 1
+             |               WHEN xs[j] < xs[i] THEN -1 ELSE 0 END)))) END AS s,
+             |    list_sum(list_transform(xs, v0 ->
+             |      (len(list_filter(xs, u -> u = v0)) - 1) *
+             |      (2 * len(list_filter(xs, u -> u = v0)) + 5))) AS tie,
+             |    CASE WHEN len(xs) >= 2 THEN
+             |      list_sort(flatten(list_transform(generate_series(2, len(xs)), j ->
+             |        list_transform(generate_series(1, j-1), i ->
+             |          (xs[j]-xs[i]) / CAST(j-i AS DOUBLE))))) END AS sl
+             |  FROM w),
+             |f AS (SELECT user_id, n, s, sl, len(sl) AS m,
+             |    CASE WHEN n >= 2
+             |      THEN (CAST(n AS BIGINT)*(n-1)*(2*n+5) - tie) / 18.0 END AS var_s
+             |  FROM c)
+             |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+             |  ROUND(var_s, 6) AS var_s,
+             |  ROUND(CASE WHEN var_s > 0 THEN
+             |    CASE WHEN s > 0 THEN (s-1)/sqrt(var_s)
+             |         WHEN s < 0 THEN (s+1)/sqrt(var_s) ELSE 0.0 END END, 6) AS z,
+             |  ROUND(CASE WHEN m >= 1 THEN
+             |    CASE WHEN m % 2 = 1 THEN sl[(m+1)//2]
+             |         ELSE (sl[m//2] + sl[m//2+1])/2.0 END END, 6) AS sen_slope
+             |FROM f""".stripMargin)),
 
     // Bounded-window EWMA per user (alpha and 1-alpha chosen dyadic so the
     // fold literals are bit-identical across engines).

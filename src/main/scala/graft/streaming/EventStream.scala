@@ -607,6 +607,80 @@ object EventStream {
       }
   }
 
+  final case class MkEv(key: String, ts_us: Long, event_id: Long, v: Double)
+  final case class MkState(buf: Seq[(Long, Long, Double)])
+  final case class MkOut(key: String, n: Long, s: Option[Long],
+      var_s: Option[Double], z: Option[Double], sen_slope: Option[Double])
+
+  /**
+   * Streaming Mann–Kendall trend monitor per key — the live twin of
+   * [[graft.ops.Temporal.mannKendall]]: state per key is the last
+   * `window` (ts, id, value) triples (BOUNDED — the monitor-window
+   * grain, nothing grows with history); each micro-batch merges its
+   * events into the buffer in (ts, event_id) order, keeps the newest
+   * `window`, and re-emits the key's S / tie-corrected Var(S) /
+   * continuity-corrected z / Sen's slope (Update semantics). The math
+   * mirrors the batch operator's expression tree operation-for-
+   * operation (including Spark's decimal-string HALF_UP rounding), so
+   * once the stream has seen a key's full window the emission equals
+   * the batch row BIT-FOR-BIT — spec-checked. Late events older than
+   * the buffer's evicted horizon are dropped by construction (they
+   * would not be in the batch's last-`window` slice either).
+   */
+  def streamingMannKendall(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String, idCol: String,
+      window: Int, stateTtl: Option[String] = None): Dataset[MkOut] = {
+    import spark.implicits._
+    require(window >= 2, "window must be >= 2")
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def stats(key: String, xs: Seq[Double]): MkOut = {
+      val n = xs.length
+      if (n < 2) return MkOut(key, n.toLong, None, None, None, None)
+      var s = 0L
+      for (j <- 2 to n; i <- 1 until j) {
+        val d = xs(j - 1) - xs(i - 1)
+        if (d > 0) s += 1 else if (d < 0) s -= 1
+      }
+      val tie = xs.map { v0 =>
+        val c = xs.count(_ == v0).toLong
+        (c - 1L) * (2L * c + 5L)
+      }.sum
+      val varS = (n.toLong * (n - 1) * (2L * n + 5) - tie).toDouble / 18.0
+      val z = if (varS > 0) Some(r6(
+        if (s > 0) (s - 1).toDouble / math.sqrt(varS)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(varS)
+        else 0.0)) else None
+      val slopes = (for (j <- 2 to n; i <- 1 until j)
+        yield (xs(j - 1) - xs(i - 1)) / (j - i).toDouble).sorted
+      val m = slopes.length
+      val sen = if (m % 2 == 1) slopes((m + 1) / 2 - 1)
+        else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+      MkOut(key, n.toLong, Some(s), Some(r6(varS)), z, Some(r6(sen)))
+    }
+    events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        col(valueCol).cast("double").as("v"))
+      .as[MkEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MkState, MkOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[MkEv], state: GroupState[MkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val merged = (state.getOption.map(_.buf).getOrElse(Seq.empty) ++
+              evs.map(e => (e.ts_us, e.event_id, e.v)))
+              .sortBy(t => (t._1, t._2)).takeRight(window)
+            state.update(MkState(merged))
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(stats(key, merged.map(_._3)))
+          }
+      }
+  }
+
   /**
    * Streaming seasonal-baseline anomaly scoring — the live twin of
    * [[graft.ops.Temporal.seasonalAnomalies]], completing the monitor

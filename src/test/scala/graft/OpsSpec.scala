@@ -2549,4 +2549,115 @@ class OpsSpec extends SparkSpec {
       s"greedy chain ($chained) must not lose to id order ($idOrder)")
     emb.unpersist()
   }
+
+  test("mannKendall: closed-form S/var/z/sen on monotone, tied, and short series; window cut applies") {
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val rows =
+      (1 to 3).map(i => ("up", ts(i), i.toLong, i.toDouble)) ++
+      (1 to 3).map(i => ("flat", ts(i), i.toLong, 5.0)) ++
+      (1 to 3).map(i => ("down", ts(i), i.toLong, (4 - i).toDouble)) ++
+      Seq(("one", ts(1), 1L, 7.0)) ++
+      // 4 points, window 3: the leading 100.0 must fall outside
+      Seq(("cut", ts(1), 1L, 100.0)) ++
+        (2 to 4).map(i => ("cut", ts(i), i.toLong, i.toDouble))
+    val df = rows.toDF("k", "ts", "event_id", "value")
+    val out = graft.ops.Temporal.mannKendall(df, Seq("k"), "ts", "value",
+        window = 3, tiebreak = Seq("event_id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int): java.lang.Double =
+      if (r.isNullAt(i)) null else r.getDouble(i)
+    // strictly increasing n=3: S=3, var=3*2*11/18, z=2/sqrt(var), sen=1
+    val v3 = 3.0 * 2 * 11 / 18
+    val z3 = math.rint(2.0 / math.sqrt(v3) * 1e6) / 1e6
+    assert(out("up").getLong(2) == 3L && d(out("up"), 3) == math.rint(v3 * 1e6) / 1e6)
+    assert(d(out("up"), 4) == z3 && d(out("up"), 5) == 1.0)
+    assert(out("down").getLong(2) == -3L && d(out("down"), 4) == -z3 &&
+      d(out("down"), 5) == -1.0)
+    // all-tied: S=0, tie term cancels var to 0, z null, sen 0
+    assert(out("flat").getLong(2) == 0L && d(out("flat"), 3) == 0.0 &&
+      d(out("flat"), 4) == null && d(out("flat"), 5) == 0.0)
+    // single point: null statistics
+    assert(out("one").getLong(1) == 1L && out("one").isNullAt(2) &&
+      d(out("one"), 4) == null && d(out("one"), 5) == null)
+    // window cut: last 3 points are 2,3,4 -> same closed form as "up"
+    assert(out("cut").getLong(2) == 3L && d(out("cut"), 4) == z3 &&
+      d(out("cut"), 5) == 1.0)
+  }
+
+  test("holtWinters: expression fold matches a direct Scala reference; season slots cycle") {
+    val xs = Seq(3.0, 5.0, 2.0, 6.0, 4.0, 7.0, 1.0, 8.0)
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("k", ts(i + 1), (i + 1).toLong, v) }.toDF("k", "ts", "event_id", "value")
+    val out = graft.ops.Temporal.holtWinters(df, Seq("k"), "ts", "value",
+        period = 3, alpha = 0.5, gamma = 0.25, delta = 0.5, window = 8,
+        tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // mirror Spark's Round EXACTLY: BigDecimal.valueOf goes through
+    // Double.toString (shortest repr), then HALF_UP — dyadic params land
+    // values on the 5e-7 boundary where both rint (HALF_EVEN) and the
+    // exact-binary BigDecimal constructor disagree with it
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def ref(prefix: Seq[Double], m: Int) = {
+      var l = prefix.head; var b = 0.0; val s = Array.fill(m)(0.0)
+      for (k <- 2 to prefix.length) {
+        val si = (k - 1) % m
+        val lN = 0.5 * (prefix(k - 1) - s(si)) + 0.5 * (l + b)
+        b = 0.25 * (lN - l) + 0.75 * b
+        s(si) = 0.5 * (prefix(k - 1) - lN) + 0.5 * s(si)
+        l = lN
+      }
+      val sn = s(prefix.length % m)
+      (r6(l), r6(b), r6(sn), r6(l + b + sn))
+    }
+    for (i <- 1 to xs.length)
+      assert(out(i.toLong) == ref(xs.take(i), 3), s"row $i")
+  }
+
+  test("probeContamination: shared n-gram counts, minShared filter, probe side distinct") {
+    val corpus = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y z w v"),
+      (3L, "")).toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "b c d q"),        // shares "b c d" with doc 1
+      (11L, "a b c d"),        // shares "a b c" + "b c d" with doc 1
+      (12L, "no overlap here")).toDF("probe_id", "text")
+    def run(minShared: Int) =
+      Dedup.probeContamination(corpus, "text", "doc_id",
+        probes, "text", "probe_id", n = 3, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == Set((1L, 10L, 1L), (1L, 11L, 2L)))
+    assert(run(2) == Set((1L, 11L, 2L)), "minShared filters the single hit")
+    // n-grams are DISTINCT per side: a repeated n-gram in the probe must
+    // not double-count
+    val rep = Seq((20L, "b c d b c d")).toDF("probe_id", "text")
+    val got = Dedup.probeContamination(corpus, "text", "doc_id",
+      rep, "text", "probe_id", n = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 20L, 1L)), s"distinct grain, got $got")
+  }
+
+  test("adamicAdar: 1/ln(deg) weighting, minCommon cut, maxDegree skips hub centers") {
+    val edges = Seq(
+      ("c1", "a"), ("c1", "b"), ("c1", "x"), // c1: deg 3
+      ("c2", "a"), ("c2", "b")               // c2: deg 2
+    ).toDF("src", "dst")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = graft.ops.Graph.adamicAdar(edges, "src", "dst",
+        maxDegree = 1000, minCommon = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    // (a,b) via c1 (deg 3) + c2 (deg 2); (c1,c2) via a (deg 2) + b (deg 2)
+    assert(got == Set(
+      ("a", "b", 2L, r6(1 / math.log(3) + 1 / math.log(2))),
+      ("c1", "c2", 2L, r6(2 / math.log(2)))), s"got $got")
+    // capping c1 out as a center removes (a,b)'s second witness
+    val capped = graft.ops.Graph.adamicAdar(edges, "src", "dst",
+        maxDegree = 2, minCommon = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("c1", "c2")), s"capped got $capped")
+  }
 }

@@ -234,4 +234,33 @@ class PrepSpec extends SparkSpec {
     assert(rows(0L) == ((2L, 0.1, 0.5, 0.4, ece, 0.15)))
     assert(rows(1L) == ((3L, r6(conf1), 1.0, r6(1.0 - conf1), ece, 0.15)))
   }
+
+  test("quantileNormalize: hand grid, cross-source median alignment, ties, singleton, nulls") {
+    // global sorted values: [1,2,3,4,5,7,7,10,20,30,100] (n=11); grid q=5
+    // at positions p*(11-1): g = [1, 3+0.5=3.5, 7, 10+0.5*10=15, 100]
+    val df = Seq(
+      ("A", 1L, Some(1.0)), ("A", 2L, Some(2.0)), ("A", 3L, Some(3.0)),
+      ("A", 4L, Some(4.0)), ("A", 5L, Some(5.0)),
+      ("B", 6L, Some(10.0)), ("B", 7L, Some(20.0)), ("B", 8L, Some(30.0)),
+      ("C", 9L, Some(7.0)), ("C", 10L, Some(7.0)),
+      ("D", 11L, Some(100.0)),
+      ("A", 12L, None)
+    ).toDF("src", "id", "value")
+    val out = Normalize.quantileNormalize(df, "src", "value", q = 5,
+        idCols = Seq("id")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(!out.contains(12L), "null value rows drop")
+    // A (n=5): ranks 0,.25,.5,.75,1 -> idx 0..4 over g
+    assert(out(1L) == ((0.0, 1.0)))
+    assert(out(2L) == ((0.25, 3.5)))
+    assert(out(3L) == ((0.5, 7.0)))
+    assert(out(4L) == ((0.75, 15.0)))
+    assert(out(5L) == ((1.0, 100.0)))
+    // B (n=3): the source median lands on the global median, like A's
+    assert(out(7L) == ((0.5, 7.0)), "medians align across sources")
+    assert(out(6L) == ((0.0, 1.0)) && out(8L) == ((1.0, 100.0)))
+    // ties share the strict-less rank; singleton source defines r = 0
+    assert(out(9L) == ((0.0, 1.0)) && out(10L) == ((0.0, 1.0)))
+    assert(out(11L) == ((0.0, 1.0)))
+  }
 }

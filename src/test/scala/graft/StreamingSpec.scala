@@ -121,6 +121,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Mann-Kendall final state equals the batch operator bit-for-bit") {
+    val out = EventStream.streamingMannKendall(spark,
+      EventStream.readEvents(spark, streamDir),
+      "user_id", "ts", "value", "event_id", window = 10)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("mk_stream").start()
+    try {
+      q.processAllAvailable()
+      def od(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      // update mode re-emits per batch: max n per key is final
+      val fin = spark.sql(
+          "SELECT key, n, s, var_s, z, sen_slope FROM mk_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          od(r, 3), od(r, 4), od(r, 5)))
+        .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      val batch = graft.ops.Temporal.mannKendall(
+          graft.core.Tables.load(spark, sf, "events"),
+          Seq("user_id"), "ts", "value", window = 10,
+          tiebreak = Seq("event_id"))
+        .collect().map(r => r.getLong(0).toString -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          od(r, 3), od(r, 4), od(r, 5)))).toMap
+      assert(fin.keySet == batch.keySet && fin.nonEmpty)
+      fin.foreach { case (k, (_, n, s, v, z, sen)) =>
+        assert((n, s, v, z, sen) == batch(k), s"key $k")
+      }
+    } finally q.stop()
+  }
+
   test("streaming seasonal anomalies equal the batch operator row for row") {
     val batchEv = graft.core.Tables.load(spark, sf, "events")
     // threshold low enough that the fixture actually flags something
