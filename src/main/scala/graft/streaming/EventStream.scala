@@ -607,6 +607,100 @@ object EventStream {
       }
   }
 
+  final case class CpEv(key: String, ts_us: Long, event_id: Long, v: Double)
+  final case class CpState(buf: Seq[(Long, Long, Double)],
+      emittedTs: Long, emittedId: Long)
+  final case class CpOut(key: String, ts_us: Long, event_id: Long,
+      mean_before: Double, mean_after: Double, score: Option[Double],
+      flat_shift: Boolean, is_changepoint: Boolean)
+
+  /**
+   * Streaming mean-shift changepoint detector per key — the live twin
+   * of [[graft.ops.Temporal.meanShiftChangepoints]]: a point is scored
+   * once `w` points exist on BOTH sides (|Δmean| over the pooled sd of
+   * the two flanking windows), so the stream must buffer a LOOKAHEAD —
+   * state per key is the last 2w (ts, id, value) triples plus the
+   * emitted-horizon marker (BOUNDED; nothing grows with history). Each
+   * micro-batch merges its events in (ts, event_id) order and emits
+   * every newly-completed center exactly once (Update semantics, but
+   * each center appears in exactly one batch's output — the
+   * emitted-horizon marker makes re-emission impossible).
+   *
+   * Arithmetic mirrors the batch operator's aggregates operation-for-
+   * operation — ordered sum/count for the means, Welford's recurrence
+   * for `var_samp` (Spark's CentralMomentAgg), Spark's decimal-string
+   * HALF_UP rounding — so emissions equal the batch rows BIT-FOR-BIT
+   * (spec-checked). Caveat shared with every lookahead monitor: the
+   * last w−1 points of the stream stay unscored until more data
+   * arrives, exactly as the batch operator never scores them.
+   */
+  def streamingChangepoints(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String, idCol: String,
+      w: Int, threshold: Double,
+      stateTtl: Option[String] = None): Dataset[CpOut] = {
+    import spark.implicits._
+    require(w >= 2, "w must be >= 2 (sample variance needs 2 points)")
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // Spark's var_samp is CentralMomentAgg: Welford in frame order
+    def varSamp(xs: Seq[Double]): Double = {
+      var n = 0.0; var avg = 0.0; var m2 = 0.0
+      xs.foreach { v =>
+        n += 1.0
+        val delta = v - avg
+        avg += delta / n
+        m2 += delta * (v - avg)
+      }
+      m2 / (n - 1.0)
+    }
+    def mean(xs: Seq[Double]): Double = xs.sum / xs.length
+    // null values still occupy FRAME POSITIONS in the batch operator's
+    // row-based windows (the count filter then drops any center whose
+    // flank contains one) — encode them as NaN so the buffer preserves
+    // positions and the NaN check reproduces the count-< w drop exactly
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)).as("v"))
+      .as[CpEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CpState, CpOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[CpEv], state: GroupState[CpState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(CpState(Seq.empty,
+              Long.MinValue, Long.MinValue))
+            val merged = (st.buf ++ evs.map(e => (e.ts_us, e.event_id, e.v)))
+              .sortBy(t => (t._1, t._2))
+            // centers with w points strictly before AND w from them on
+            val outs = (w until (merged.length - w + 1)).iterator.flatMap { i =>
+              val c = merged(i)
+              val before = merged.slice(i - w, i).map(_._3)
+              val after = merged.slice(i, i + w).map(_._3)
+              if (before.exists(_.isNaN) || after.exists(_.isNaN)) None
+              else {
+                val pooled = math.sqrt((varSamp(before) + varSamp(after)) / 2)
+                val delta = math.abs(mean(after) - mean(before))
+                val score = if (pooled > 0) Some(r6(delta / pooled)) else None
+                val flat = pooled == 0 && delta > 0
+                Some(CpOut(key, c._1, c._2, r6(mean(before)), r6(mean(after)),
+                  score, flat, score.exists(_ > threshold) || flat))
+              }
+            }.filter(o => o.ts_us > st.emittedTs ||
+              (o.ts_us == st.emittedTs && o.event_id > st.emittedId)).toVector
+            val horizon = if (outs.isEmpty) (st.emittedTs, st.emittedId)
+              else (outs.last.ts_us, outs.last.event_id)
+            state.update(CpState(merged.takeRight(2 * w),
+              horizon._1, horizon._2))
+            stateTtl.foreach(state.setTimeoutDuration)
+            outs.iterator
+          }
+      }
+  }
+
   final case class MkEv(key: String, ts_us: Long, event_id: Long, v: Double)
   final case class MkState(buf: Seq[(Long, Long, Double)])
   final case class MkOut(key: String, n: Long, s: Option[Long],

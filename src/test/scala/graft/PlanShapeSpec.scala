@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowGroupLimitExec
 
 /**
@@ -590,5 +590,58 @@ class PlanShapeSpec extends SparkSpec {
       kp.toString.contains("partial count") ||
       kp.toString.contains("HashAggregate(keys=[c_nationkey"),
       s"class counts must map-side combine:\n$kp")
+  }
+
+  test("q_decontam: probe n-grams broadcast; the corpus never shuffles its n-grams") {
+    val p = plan("q_decontam")
+    // the probe side is the ONLY broadcast; the corpus streams through it
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 1,
+      s"expected exactly one broadcast probe join:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "probe join degraded to sort-merge — corpus n-grams would shuffle")
+    // the only bulk exchange is the hit-sized (doc, probe) count; its rows
+    // carry no n-gram/text column
+    val bulk = shuffles(p).filterNot(underBroadcast(p))
+    assert(bulk.size == 1, s"expected one hit-grain exchange:\n$p")
+    assert(!bulk.head.child.output.exists(a =>
+      a.name == "shingle" || a.name == "text"),
+      s"n-grams/text must not shuffle, got: ${bulk.head.child.output}")
+  }
+
+  test("q_adamic_adar: wedge join stays hash-keyed on the center; aggregates map-side combine") {
+    val p = plan("q_adamic_adar")
+    assert(p.collect { case s: SortMergeJoinExec => s }.nonEmpty ||
+      p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"expected an equi-join wedge plan:\n$p")
+    assert(!p.toString.contains("NestedLoop"),
+      "wedge generation must never be a nested-loop join")
+    // pair scoring partial-aggregates before its exchange
+    assert(p.toString.contains("partial_count") ||
+      p.toString.contains("partial count") ||
+      p.toString.contains("Partial"),
+      s"pair scores must map-side combine:\n$p")
+  }
+
+  test("q_mann_kendall / q_holt_winters: one key exchange, all pair work row-local (no joins)") {
+    for (name <- Seq("q_mann_kendall", "q_holt_winters")) {
+      val p = plan(name)
+      assert(!p.toString.contains("Join"), s"$name must be join-free:\n$p")
+      val bulk = shuffles(p).filterNot(underBroadcast(p))
+      assert(bulk.nonEmpty && bulk.forall(e => keyedOn(e, "user_id")),
+        s"$name: every bulk exchange must key on user_id:\n$p")
+    }
+  }
+
+  test("q_quantile_normalize: rank runs at distinct-value grain; grid broadcasts") {
+    val p = plan("q_quantile_normalize")
+    // the global percentile grid reaches the rows as a broadcast (the
+    // nested-loop is the 1-row cross join — the one sanctioned case)
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.size == 1,
+      s"expected the 1-row grid broadcast:\n$p")
+    // no exchange carries the raw row stream ordered by value — the only
+    // window sort happens at (source, value) DISTINCT grain, below a
+    // distinct aggregate
+    assert(p.toString.contains("HashAggregate"),
+      s"distinct-grain aggregate missing:\n$p")
   }
 }

@@ -121,6 +121,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming changepoints equal the batch operator bit-for-bit, each center emitted once") {
+    val out = EventStream.streamingChangepoints(spark,
+      EventStream.readEvents(spark, streamDir),
+      "user_id", "ts", "value", "event_id", w = 5, threshold = 1.0)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cp_stream").start()
+    try {
+      q.processAllAvailable()
+      def od(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val got = spark.sql("""SELECT key, event_id, mean_before, mean_after,
+          score, flat_shift, is_changepoint FROM cp_stream""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), od(r, 4), r.getBoolean(5), r.getBoolean(6)))
+      // emitted-horizon guarantee: every center appears exactly once
+      assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+        "a center was re-emitted across batches")
+      val batch = graft.ops.Temporal.meanShiftChangepoints(
+          graft.core.Tables.load(spark, sf, "events"),
+          Seq("user_id"), "ts", "value", w = 5, threshold = 1.0,
+          tiebreak = Seq("event_id"))
+        .collect().map(r => (r.getLong(0).toString, r.getLong(2),
+          r.getDouble(3), r.getDouble(4), od(r, 5), r.getBoolean(6),
+          r.getBoolean(7))).toSet
+      assert(got.toSet == batch && got.nonEmpty,
+        s"stream/batch mismatch: ${(got.toSet -- batch).take(3)} vs ${(batch -- got.toSet).take(3)}")
+      assert(batch.exists(_._7), "fixture must flag at least one changepoint")
+    } finally q.stop()
+  }
+
+  test("streaming changepoints across real micro-batches: centers complete at boundaries, no re-emission, parity holds") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    // three time slices; per key the arrival order respects time order
+    val Array(t1, t2) = ev.selectExpr("CAST(ts AS DOUBLE)")
+      .stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val dir = Files.createTempDirectory("graft_cp_batches")
+    def writeSlice(name: String, pred: org.apache.spark.sql.Column): Unit = {
+      val stage = Files.createTempDirectory("graft_cp_stage")
+      ev.filter(pred).coalesce(1).write.parquet(s"$stage/out")
+      val part = Files.list(Paths.get(s"$stage/out")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tsd = col("ts").cast("double")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .parquet(dir.toString)
+    writeSlice("b1", tsd < t1)
+    val q = EventStream.streamingChangepoints(spark, stream,
+        "user_id", "ts", "value", "event_id", w = 5, threshold = 1.0)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cp_batches").start()
+    try {
+      q.processAllAvailable()
+      writeSlice("b2", tsd >= t1 && tsd < t2)
+      q.processAllAvailable()
+      writeSlice("b3", tsd >= t2)
+      q.processAllAvailable()
+      def od(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val got = spark.sql("""SELECT key, event_id, mean_before, mean_after,
+          score, flat_shift, is_changepoint FROM cp_batches""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), od(r, 4), r.getBoolean(5), r.getBoolean(6)))
+      assert(got.map(t => (t._1, t._2)).distinct.length == got.length,
+        "a center was re-emitted across micro-batches")
+      val batch = graft.ops.Temporal.meanShiftChangepoints(ev,
+          Seq("user_id"), "ts", "value", w = 5, threshold = 1.0,
+          tiebreak = Seq("event_id"))
+        .collect().map(r => (r.getLong(0).toString, r.getLong(2),
+          r.getDouble(3), r.getDouble(4), od(r, 5), r.getBoolean(6),
+          r.getBoolean(7))).toSet
+      assert(got.toSet == batch && got.nonEmpty,
+        "multi-batch emissions must equal the batch operator")
+    } finally q.stop()
+  }
+
   test("streaming Mann-Kendall final state equals the batch operator bit-for-bit") {
     val out = EventStream.streamingMannKendall(spark,
       EventStream.readEvents(spark, streamDir),
