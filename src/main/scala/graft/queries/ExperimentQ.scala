@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.Experiment
+
+/**
+ * Experimentation / causal-inference readouts (`graft.ops.Experiment`)
+ * over the events stream, each hash-checked against a DuckDB oracle.
+ *
+ * Shared fixture derivations (both engines, identically):
+ *  - treatment arm: the md5 16-bit hash-split family (hv < 32768 →
+ *    'treatment'), salted only by user_id — deterministic assignment;
+ *  - pre/post boundary: 2024-01-16 00:00:00 splits the 30-day window;
+ *  - per-user period metrics go through INTEGER CENTS (value is
+ *    2-decimal): sums are exact longs, the mean is one double division —
+ *    so the per-unit inputs to the estimators are bit-identical across
+ *    engines and no unit can swap strata on a last-ulp mean.
+ */
+object ExperimentQ extends QueryGroup {
+
+  private val Cut = "2024-01-16 00:00:00"
+
+  /** md5 16-bit value of an id expression, DuckDB side (LlmOps twin). */
+  private def md5Val16Sql(idExpr: String): String = {
+    val h = s"md5(CAST($idExpr AS VARCHAR))"
+    def nib(k: Int) = s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1)"
+    s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+  }
+
+  /** md5 16-bit value, Spark side. */
+  private def md5Val16(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Per-user (arm, pre, post) units table: exact-cents period means. */
+  private def units(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+      .withColumn("__pre", col("ts") < lit(Cut).cast("timestamp"))
+    ev.groupBy("user_id")
+      .agg(
+        sum(when(col("__pre"), col("__cents"))).as("__pc"),
+        sum(when(col("__pre"), 1L).otherwise(0L)).as("__pn"),
+        sum(when(!col("__pre"), col("__cents"))).as("__oc"),
+        sum(when(!col("__pre"), 1L).otherwise(0L)).as("__on"))
+      .filter(col("__pn") > 0 && col("__on") > 0)
+      .select(col("user_id"),
+        when(md5Val16(col("user_id")) < 32768, lit("treatment"))
+          .otherwise(lit("control")).as("arm"),
+        (col("__pc") / lit(100.0) / col("__pn")).as("pre"),
+        (col("__oc") / lit(100.0) / col("__on")).as("post"),
+        col("__pc").as("score"))
+  }
+
+  /** The same units table, DuckDB side. */
+  private val unitsSql =
+    s"""c AS (SELECT user_id,
+       |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+       |    ts < TIMESTAMP '$Cut' AS pre
+       |  FROM events WHERE value IS NOT NULL),
+       |u AS (SELECT user_id,
+       |    CAST(SUM(CASE WHEN pre THEN cents END) AS BIGINT) AS pc,
+       |    CAST(SUM(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS pn,
+       |    CAST(SUM(CASE WHEN NOT pre THEN cents END) AS BIGINT) AS oc,
+       |    CAST(SUM(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT) AS onn
+       |  FROM c GROUP BY 1),
+       |m AS (SELECT user_id,
+       |    CASE WHEN ${md5Val16Sql("user_id")} < 32768
+       |         THEN 'treatment' ELSE 'control' END AS arm,
+       |    CAST(pc AS DOUBLE) / 100.0 / pn AS pre,
+       |    CAST(oc AS DOUBLE) / 100.0 / onn AS post,
+       |    pc AS score
+       |  FROM u WHERE pn > 0 AND onn > 0)""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // CUPED variance reduction (Deng et al. 2013): pooled theta over the
+    // per-user pre/post means, per-arm raw vs adjusted variance. The
+    // one-row fit broadcasts back; nothing unit-grain shuffles twice.
+    QueryDef("q_cuped",
+      (s, dir) => Experiment.cuped(units(s, dir), "arm", "pre", "post"),
+      Some(s"""WITH $unitsSql,
+              |f AS (SELECT covar_samp(pre, post) AS cov,
+              |    var_samp(pre) AS varx, AVG(pre) AS mx FROM m),
+              |a AS (SELECT m.arm, m.post,
+              |    m.post - (f.cov / f.varx) * (m.pre - f.mx) AS adj,
+              |    f.cov / f.varx AS theta
+              |  FROM m CROSS JOIN f)
+              |SELECT arm, COUNT(*) AS n,
+              |  ROUND(AVG(post), 6) AS mean_post,
+              |  ROUND(AVG(adj), 6) AS mean_cuped,
+              |  ROUND(var_samp(post), 6) AS var_post,
+              |  ROUND(var_samp(adj), 6) AS var_cuped,
+              |  ROUND(ANY_VALUE(theta), 6) AS theta,
+              |  ROUND(1.0 - var_samp(adj) / var_samp(post), 6)
+              |    AS var_reduction
+              |FROM a GROUP BY arm""".stripMargin)),
+
+    // Wald SPRT per event_type on the Bernoulli stream value > 50: the
+    // cumulative LLR is pos·c1 + neg·c0 with the constants computed once
+    // in the JVM and INJECTED into this SQL as 17-digit literals — both
+    // engines multiply identical doubles, no libm ln in the data path.
+    QueryDef("q_sprt", (s, dir) =>
+      Experiment.sprt(Tables.load(s, dir, "events")
+          .withColumn("__x", col("value") > 50.0),
+        keys = Seq("event_type"), tsCol = "ts", outcomeCol = "__x",
+        p0 = 0.4, p1 = 0.5, alpha = 0.05, beta = 0.05,
+        tiebreak = Seq("event_id")), {
+      val (c1, c0) = Experiment.sprtLlrConstants(0.4, 0.5)
+      val (lo, hi) = Experiment.sprtBounds(0.05, 0.05)
+      Some(s"""WITH o AS (SELECT event_type, ts, event_id,
+              |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS x
+              |  FROM events),
+              |r AS (SELECT event_type,
+              |    ROW_NUMBER() OVER w AS i,
+              |    SUM(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos
+              |  FROM o
+              |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+              |l AS (SELECT event_type, i,
+              |    pos * CAST(${f"$c1%.17g"} AS DOUBLE) +
+              |    (i - pos) * CAST(${f"$c0%.17g"} AS DOUBLE) AS llr
+              |  FROM r),
+              |d AS (SELECT event_type, i, llr,
+              |    CASE WHEN llr >= CAST(${f"$hi%.17g"} AS DOUBLE) THEN 'accept_h1'
+              |         WHEN llr <= CAST(${f"$lo%.17g"} AS DOUBLE) THEN 'accept_h0' END AS dec
+              |  FROM l),
+              |g AS (SELECT event_type, i, llr, dec,
+              |    MAX(i) OVER (PARTITION BY event_type) AS n,
+              |    MIN(CASE WHEN dec IS NOT NULL THEN i END)
+              |      OVER (PARTITION BY event_type) AS hit
+              |  FROM d)
+              |SELECT event_type, CAST(n AS BIGINT) AS n_total,
+              |  CAST(i AS BIGINT) AS n_decision,
+              |  ROUND(llr, 6) AS llr,
+              |  COALESCE(dec, 'continue') AS decision
+              |FROM g WHERE i = COALESCE(hit, n)""".stripMargin)
+    }),
+
+    // 2x2 difference-in-differences at event grain: hash-assigned
+    // "rollout" arm x the Jan-16 pre/post boundary; one conditional
+    // aggregate pass, one-row output.
+    QueryDef("q_diff_in_diff",
+      (s, dir) => Experiment.diffInDiff(
+        Tables.load(s, dir, "events")
+          .withColumn("treated", md5Val16(col("user_id")) < 32768)
+          .withColumn("post", col("ts") >= lit(Cut).cast("timestamp")),
+        "treated", "post", "value"),
+      Some(s"""WITH e AS (SELECT value,
+              |    ${md5Val16Sql("user_id")} < 32768 AS t,
+              |    ts >= TIMESTAMP '$Cut' AS p
+              |  FROM events WHERE value IS NOT NULL),
+              |g AS (SELECT
+              |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_pre,
+              |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_treat_post,
+              |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_pre,
+              |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl_post,
+              |    AVG(CASE WHEN t AND NOT p THEN value END) AS mtp,
+              |    AVG(CASE WHEN t AND p THEN value END) AS mto,
+              |    AVG(CASE WHEN NOT t AND NOT p THEN value END) AS mcp,
+              |    AVG(CASE WHEN NOT t AND p THEN value END) AS mco,
+              |    var_samp(CASE WHEN t AND NOT p THEN value END) AS vtp,
+              |    var_samp(CASE WHEN t AND p THEN value END) AS vto,
+              |    var_samp(CASE WHEN NOT t AND NOT p THEN value END) AS vcp,
+              |    var_samp(CASE WHEN NOT t AND p THEN value END) AS vco
+              |  FROM e)
+              |SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+              |  ROUND(mtp, 6) AS mean_treat_pre,
+              |  ROUND(mto, 6) AS mean_treat_post,
+              |  ROUND(mcp, 6) AS mean_ctrl_pre,
+              |  ROUND(mco, 6) AS mean_ctrl_post,
+              |  ROUND((mto - mtp) - (mco - mcp), 6) AS did,
+              |  ROUND(sqrt(vto / n_treat_post + vtp / n_treat_pre +
+              |             vco / n_ctrl_post + vcp / n_ctrl_pre), 6) AS se,
+              |  ROUND(((mto - mtp) - (mco - mcp)) /
+              |    sqrt(vto / n_treat_post + vtp / n_treat_pre +
+              |         vco / n_ctrl_post + vcp / n_ctrl_pre), 6) AS t_stat
+              |FROM g""".stripMargin)),
+
+    // Propensity-stratified ATT (Rosenbaum-Rubin subclassification,
+    // Cochran's 5 strata): score = exact pre-period cents (a long, so
+    // the ntile order is bit-stable), outcome = post-period mean.
+    QueryDef("q_att_strata",
+      (s, dir) => Experiment.attStrata(
+        units(s, dir).withColumn("treated", col("arm") === "treatment"),
+        scoreCol = "score", treatedCol = "treated",
+        outcomeCol = "post", strata = 5, tiebreak = Seq("user_id")),
+      Some(s"""WITH $unitsSql,
+              |b AS (SELECT user_id, arm, post,
+              |    CAST(NTILE(5) OVER (ORDER BY score, user_id) AS BIGINT)
+              |      AS stratum
+              |  FROM m),
+              |s AS (SELECT stratum,
+              |    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+              |    CAST(SUM(CASE WHEN arm <> 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+              |    AVG(CASE WHEN arm = 'treatment' THEN post END) AS mt,
+              |    AVG(CASE WHEN arm <> 'treatment' THEN post END) AS mc
+              |  FROM b GROUP BY 1)
+              |SELECT stratum, n_treat, n_ctrl,
+              |  ROUND(mt, 6) AS mean_treat,
+              |  ROUND(mc, 6) AS mean_ctrl,
+              |  ROUND(mt - mc, 6) AS diff,
+              |  ROUND(
+              |    SUM(CASE WHEN n_treat > 0 AND n_ctrl > 0
+              |             THEN (mt - mc) * n_treat END) OVER () /
+              |    SUM(CASE WHEN n_treat > 0 AND n_ctrl > 0
+              |             THEN n_treat END) OVER (), 6) AS att
+              |FROM s""".stripMargin))
+  )
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Experiment
+
+/** Experimentation/causal readouts: hand-computed CUPED, SPRT stopping
+  * semantics, the 2x2 DiD identity, stratified-ATT weighting. */
+class ExperimentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cuped: theta and adjusted means match the closed form; reduction >= 0") {
+    // y = 2x + arm effect + small noise-free residual => cov/var = 2 exactly.
+    val rows = Seq(
+      ("t", 1.0, 12.0), ("t", 2.0, 14.0), ("t", 3.0, 16.0),
+      ("c", 1.0, 2.0), ("c", 2.0, 4.0), ("c", 3.0, 6.0))
+    val out = Experiment.cuped(rows.toDF("arm", "pre", "post"),
+      "arm", "pre", "post").collect().map(r =>
+      r.getAs[String]("arm") -> r).toMap
+    // Pooled: cov(x,y)=2*var(x) exactly (y-arm-offset = 2x), theta = 2.
+    assert(math.abs(out("t").getAs[Double]("theta") - 2.0) < 1e-9)
+    // Adjusted metric removes ALL within-arm variance here (y = 2x + c).
+    assert(out("t").getAs[Double]("var_cuped") < 1e-9)
+    assert(out("c").getAs[Double]("var_cuped") < 1e-9)
+    assert(out("t").getAs[Double]("var_reduction") > 0.99)
+    // x̄ = 2, so the adjusted mean equals the raw mean at x̄: 14 and 4.
+    assert(math.abs(out("t").getAs[Double]("mean_cuped") - 14.0) < 1e-9)
+    assert(math.abs(out("c").getAs[Double]("mean_cuped") - 4.0) < 1e-9)
+  }
+
+  test("sprt: stops at the first crossing, not the extremum; continue otherwise") {
+    val (c1, c0) = Experiment.sprtLlrConstants(0.2, 0.8)
+    val (_, hi) = Experiment.sprtBounds(0.05, 0.05)
+    // All successes: llr after n obs = n*c1; first n with n*c1 >= hi.
+    val nHit = Iterator.from(1).find(_ * c1 >= hi).get
+    val df = (1 to 20).map(i => ("k", i, true)).toDF("key", "i", "x")
+    val out = Experiment.sprt(df, Seq("key"), "i", "x",
+      p0 = 0.2, p1 = 0.8).collect().head
+    assert(out.getAs[String]("decision") == "accept_h1")
+    assert(out.getAs[Long]("n_decision") == nHit)
+    assert(out.getAs[Long]("n_total") == 20)
+    // Alternating outcomes never leave the band at these params: continue,
+    // reported at the final observation.
+    val alt = (1 to 20).map(i => ("k", i, i % 2 == 0)).toDF("key", "i", "x")
+    val cont = Experiment.sprt(alt, Seq("key"), "i", "x",
+      p0 = 0.45, p1 = 0.55).collect().head
+    assert(cont.getAs[String]("decision") == "continue")
+    assert(cont.getAs[Long]("n_decision") == 20)
+  }
+
+  test("diffInDiff: recovers a constructed effect with parallel trends") {
+    // ctrl: pre 10 post 12 (trend +2); treat: pre 20 post 27 (trend+effect).
+    def cell(t: Boolean, p: Boolean, m: Double) =
+      (1 to 50).map(i => (t, p, m + (i % 5) * 0.1))
+    val df = (cell(true, false, 20) ++ cell(true, true, 27) ++
+      cell(false, false, 10) ++ cell(false, true, 12))
+      .toDF("treated", "post", "value")
+    val out = Experiment.diffInDiff(df, "treated", "post", "value")
+      .collect().head
+    assert(math.abs(out.getAs[Double]("did") - 5.0) < 1e-9)
+    assert(out.getAs[Long]("n_treat_pre") == 50)
+    // Identical within-cell spreads => se > 0 and t enormous.
+    assert(out.getAs[Double]("se") > 0)
+    assert(out.getAs[Double]("t_stat") > 100)
+  }
+
+  test("attStrata: ATT weights per-stratum contrasts by treated count") {
+    // Stratum structure by score; within-stratum lift = 1.0 in low,
+    // 3.0 in high; treated counts 1 vs 3 => ATT = (1*1 + 3*3)/4 = 2.5.
+    val rows = Seq(
+      // low-score stratum (ntile(2) over 8 rows -> first 4): 1 treated, 3 ctrl
+      (1, 0.1, true, 11.0), (2, 0.2, false, 10.0), (3, 0.3, false, 10.0),
+      (8, 0.35, false, 10.0),
+      // high-score stratum: 3 treated, 1 ctrl
+      (4, 0.7, true, 23.0), (5, 0.8, true, 23.0), (6, 0.9, true, 23.0),
+      (7, 0.95, false, 20.0))
+    val df = rows.toDF("id", "score", "treated", "y")
+    val out = Experiment.attStrata(df, "score", "treated", "y",
+      strata = 2, tiebreak = Seq("id")).collect()
+    assert(out.length == 2)
+    val att = out.head.getAs[Double]("att")
+    assert(math.abs(att - 2.5) < 1e-6)
+    assert(out.forall(r => math.abs(r.getAs[Double]("att") - att) < 1e-12))
+  }
+}
