@@ -1256,4 +1256,102 @@ object Temporal {
         (round(col("__sh"), 6) > h || round(col("__sl"), 6) > h)
           .as("alarm")): _*)
   }
+
+  /**
+   * Page–Hinkley drift test (Page 1954; the PH variant Gama et al. 2014
+   * survey as THE streaming-drift baseline) per key: monitors
+   * mₜ = Σᵢ≤ₜ (xᵢ − x̄ᵢ − δ) against its running minimum, where x̄ᵢ is
+   * the RUNNING mean up to i — so unlike [[cusum]] no reference `target`
+   * is needed; the series is its own baseline and the detector fires on
+   * sustained upward deviation from wherever the series has been.
+   * `ph = mₜ − min_{i≤t} mᵢ`, alarm when ph > lambda.
+   *
+   * Scale shape — the [[cusum]] family: THREE running window aggregates
+   * on ONE shuffle by `keys` (cumulative sum+count for the running mean,
+   * cumulative sum for m, running min for the envelope). No per-row
+   * array, no O(n²) re-fold; unbounded history for free. The streaming
+   * twin ([[graft.streaming.EventStream.streamingPageHinkley]]) carries
+   * the same four scalars as its whole per-key state.
+   */
+  def pageHinkley(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, delta: Double, lambda: Double,
+      tiebreak: Seq[String] = Nil,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(delta >= 0, "delta must be >= 0")
+    require(lambda > 0, "lambda must be > 0")
+    val run = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol).cast("double")
+    val keep = (keys ++ idCols).distinct.map(col)
+    // Null values are dropped up front (not carried as rows): a null
+    // contributes nothing to the running mean, so keeping the row would
+    // add a duplicate mean term to the m prefix — and the streaming twin
+    // must see the identical event set to stay bit-for-bit.
+    df.filter(v.isNotNull)
+      .withColumn("__mean", sum(v).over(run) / count(v).over(run))
+      .withColumn("__m", sum(v - lit(delta)).over(run) -
+        sum(col("__mean")).over(run))
+      .withColumn("__ph", col("__m") - min(col("__m")).over(run))
+      .select(keep ++ Seq(
+        round(col("__mean"), 6).as("run_mean"),
+        round(col("__ph"), 6).as("ph_stat"),
+        (round(col("__ph"), 6) > lambda).as("alarm")): _*)
+  }
+
+  /**
+   * Classical additive seasonal decomposition (the moving-average
+   * method STL refines; Kendall & Stuart's "ratio-to-moving-average"
+   * in additive form): x = trend + seasonal + remainder, per key.
+   *  - trend: centered moving average of length `period` (odd periods
+   *    only — an even period needs the 2×p double MA; weekly=7 and
+   *    monthly-by-day grains are odd), null where the window is
+   *    incomplete (the first/last (p−1)/2 points);
+   *  - seasonal: the per-phase mean of the detrended series, re-centered
+   *    to sum to zero over one cycle (so trend keeps the level);
+   *  - remainder: x − trend − seasonal.
+   *
+   * The monitor decomposition: alarm on `remainder` (vs
+   * [[seasonalAnomalies]] which scores against a STATIC per-season
+   * profile — this one removes a MOVING trend first, so a series that
+   * grows 5% weekly doesn't drown the seasonal signal).
+   *
+   * Scale shape: ONE shuffle by `keys` for the centered-MA window, one
+   * aggregate to (key, phase) grain — ≤ `period` rows per key — joined
+   * back broadcast-style by Catalyst (the phase table is tiny), then a
+   * narrow projection. Nothing row-grain is sorted twice.
+   */
+  def decompose(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, period: Int, tiebreak: Seq[String] = Nil,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      "period must be odd and >= 3 (even periods need the 2xp double MA)")
+    val h = (period - 1) / 2
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    val ctr = ord.rowsBetween(-h, h)
+    val v = col(valueCol).cast("double")
+    val keep = (keys ++ idCols).distinct.map(col)
+    val base = df
+      .withColumn("__phase", ((row_number().over(ord) - 1) % period).cast("long"))
+      .withColumn("__trend",
+        when(count(v).over(ctr) === period, sum(v).over(ctr) / period))
+      .withColumn("__det", v - col("__trend"))
+    // Phase means of the detrended series at (key, phase) grain —
+    // ≤ `period` rows per key — re-centered per key by the UNWEIGHTED
+    // mean of the phase means (the classical convention), then joined
+    // back onto the rows.
+    val kp = Window.partitionBy(keys.map(col): _*)
+    val season = base
+      .groupBy((keys :+ "__phase").map(col): _*)
+      .agg(avg(col("__det")).as("__pm"))
+      .withColumn("__season", col("__pm") - avg(col("__pm")).over(kp))
+      .select((keys :+ "__phase").map(col) :+ col("__season"): _*)
+    base.join(season, keys :+ "__phase")
+      .select(keep ++ Seq(
+        col("__phase").as("phase"),
+        round(col("__trend"), 6).as("trend"),
+        round(col("__season"), 6).as("seasonal"),
+        round(v - col("__trend") - col("__season"), 6).as("remainder")): _*)
+  }
 }

@@ -975,6 +975,72 @@ object TemporalQ extends QueryGroup {
              |  (cusum_hi > 150.0 OR cusum_lo > 150.0) AS alarm
              |FROM s""".stripMargin)),
 
+    // Page-Hinkley drift test: self-baselined (running mean), so unlike
+    // CUSUM no reference target — m_t = sum(v - delta) - sum(running
+    // mean) against its running minimum. Three running windows on one
+    // shuffle. run_mean is projected OUT of the oracle check: it is an
+    // integer-grid sum over n, which lands exactly on the half-micro
+    // rounding grid (the q_seasonal_naive finding) — ph_stat's mean-sum
+    // denominators are lcm(1..n)-sized, safely off the grid.
+    QueryDef("q_page_hinkley",
+      (s, dir) => Temporal.pageHinkley(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        delta = 2.0, lambda = 400.0,
+        tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+        .drop("run_mean"),
+      Some("""WITH b AS (SELECT user_id, event_id, ts,
+             |    CAST(value AS DOUBLE) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (SELECT user_id, event_id, ts, v,
+             |    SUM(v) OVER w / COUNT(v) OVER w AS mean
+             |  FROM b
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |m AS (SELECT user_id, event_id, ts, mean,
+             |    SUM(v - 2.0) OVER w2 - SUM(mean) OVER w2 AS m
+             |  FROM r
+             |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |p AS (SELECT user_id, event_id,
+             |    m - MIN(m) OVER w3 AS ph
+             |  FROM m
+             |  WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id,
+             |  ROUND(ph, 6) AS ph_stat, ROUND(ph, 6) > 400.0 AS alarm
+             |FROM p""".stripMargin)),
+
+    // Classical additive decomposition (period 7): centered-MA trend,
+    // re-centered per-phase seasonal means, remainder. The monitor
+    // decomposition that removes a MOVING trend before scoring.
+    QueryDef("q_decompose",
+      (s, dir) => Temporal.decompose(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        period = 7, tiebreak = Seq("event_id"), idCols = Seq("event_id")),
+      Some("""WITH b AS (SELECT user_id, event_id, ts,
+             |    CAST(value AS DOUBLE) AS v FROM events),
+             |o AS (SELECT user_id, event_id, v,
+             |    (ROW_NUMBER() OVER w - 1) % 7 AS phase,
+             |    CASE WHEN COUNT(v) OVER c = 7
+             |         THEN SUM(v) OVER c / 7 END AS trend
+             |  FROM b
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |    c AS (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |d AS (SELECT user_id, event_id, v, phase, trend,
+             |    v - trend AS det FROM o),
+             |p AS (SELECT user_id, phase, AVG(det) AS pm
+             |  FROM d GROUP BY 1, 2),
+             |ps AS (SELECT user_id, phase,
+             |    pm - AVG(pm) OVER (PARTITION BY user_id) AS season
+             |  FROM p)
+             |SELECT d.user_id, d.event_id, CAST(d.phase AS BIGINT) AS phase,
+             |  ROUND(d.trend, 6) AS trend,
+             |  ROUND(ps.season, 6) AS seasonal,
+             |  ROUND(d.v - d.trend - ps.season, 6) AS remainder
+             |FROM d JOIN ps ON d.user_id = ps.user_id AND d.phase = ps.phase"""
+        .stripMargin)),
+
     // Schema-on-read over the JSON props blob: extract + aggregate without
     // ever inferring (from_json under an enforced schema, null on parse
     // failure — the splittable-scan shape that survives a 100 TB log table).

@@ -607,6 +607,70 @@ object EventStream {
       }
   }
 
+  final case class PhEv(key: String, ts_us: Long, event_id: Long, v: Double)
+  final case class PhState(n: Long, sV: Double, sA: Double, sB: Double,
+      minM: Double)
+  final case class PhOut(key: String, n_events: Long, run_mean: Double,
+      ph_stat: Double, alarm: Boolean)
+
+  /**
+   * Streaming Page–Hinkley drift test per key — the live twin of
+   * [[graft.ops.Temporal.pageHinkley]], completing the self-baselined
+   * end of the monitor family ([[streamingCusum]] needs a reference
+   * `target`; PH baselines against the series' own running mean).
+   * State per key is FOUR doubles + a count: the cumulative value sum
+   * (for the running mean), the two prefix sums whose difference is
+   * mₜ — kept SEPARATE, mirroring the batch operator's
+   * `sum(v−δ) − sum(mean)` prefix-sum identity so the fold reproduces
+   * Spark's left-folded running-frame arithmetic operation-for-
+   * operation — and the running minimum of m. Emissions match the
+   * batch operator's last row per key bit-for-bit (spec-checked),
+   * including the decimal-string HALF_UP 6-dp round. Same ordering
+   * contract as [[streamingCusum]]: in-batch events are sorted, across
+   * batches the source must be time-ordered per key.
+   */
+  def streamingPageHinkley(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String, idCol: String,
+      delta: Double, lambda: Double,
+      stateTtl: Option[String] = None): Dataset[PhOut] = {
+    import spark.implicits._
+    require(delta >= 0, "delta must be >= 0")
+    require(lambda > 0, "lambda must be > 0")
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        col(valueCol).cast("double").as("v"))
+      .as[PhEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[PhEv], state: GroupState[PhState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val init = state.getOption
+              .getOrElse(PhState(0L, 0.0, 0.0, 0.0, Double.MaxValue))
+            val folded = sorted.foldLeft(init) { (s, e) =>
+              val n = s.n + 1
+              val sV = s.sV + e.v
+              val sA = s.sA + (e.v - delta)
+              val sB = s.sB + sV / n
+              val m = sA - sB
+              PhState(n, sV, sA, sB, math.min(s.minM, m))
+            }
+            state.update(folded)
+            stateTtl.foreach(state.setTimeoutDuration)
+            val ph = r6((folded.sA - folded.sB) - folded.minM)
+            Iterator.single(PhOut(key, folded.n, r6(folded.sV / folded.n),
+              ph, ph > lambda))
+          }
+      }
+  }
+
   final case class CpEv(key: String, ts_us: Long, event_id: Long, v: Double)
   final case class CpState(buf: Seq[(Long, Long, Double)],
       emittedTs: Long, emittedId: Long)

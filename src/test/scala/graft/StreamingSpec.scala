@@ -1313,4 +1313,76 @@ class StreamingSpec extends SparkSpec {
         ev.filter(col("value").isNotNull).count())
     } finally q.stop()
   }
+
+  test("streaming Page-Hinkley final state matches the batch detector per key") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.streamingPageHinkley(spark,
+      EventStream.readEvents(spark, streamDir),
+      "user_id", "ts", "value", "event_id", delta = 2.0, lambda = 400.0)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ph_stream").start()
+    try {
+      q.processAllAvailable()
+      val fin = spark.sql(
+          "SELECT key, n_events, run_mean, ph_stat, alarm FROM ph_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))
+        .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      val ev = graft.core.Tables.load(spark, sf, "events")
+      val lastIds = ev.filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"))
+      val batch = graft.ops.Temporal.pageHinkley(ev, Seq("user_id"), "ts",
+          "value", delta = 2.0, lambda = 400.0,
+          tiebreak = Seq("event_id"), idCols = Seq("event_id"))
+        .join(lastIds, Seq("user_id", "event_id"))
+        .collect().map(r => r.getLong(0).toString ->
+          ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+      assert(fin.keySet == batch.keySet && fin.nonEmpty)
+      fin.foreach { case (k, (_, _, m, ph, alarm)) =>
+        val (bm, bph, balarm) = batch(k)
+        // the state fold mirrors the batch prefix-sum identity term for
+        // term (sA - sB, left-folded), so only the two 6-dp rounders on
+        // an exact tie can differ
+        assert(math.abs(m - bm) <= 1e-6 && math.abs(ph - bph) <= 1e-6,
+          s"key $k: stream ($m,$ph) vs batch ($bm,$bph)")
+        if (math.abs(ph - 400.0) > 1e-3) assert(alarm == balarm)
+      }
+    } finally q.stop()
+  }
+
+  test("streaming Page-Hinkley: split micro-batches equal the one-batch fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one key, strictly increasing ts, a drifting series crossing lambda
+    val evs = (1 to 60).map(i =>
+      ("k", 1700000000000000L + i * 1000000L, i.toLong,
+        if (i <= 30) 10.0 else 10.0 + i))
+    def run(data: Seq[Seq[(String, Long, Long, Double)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long, Double)]
+      val df = mem.toDF().toDF("k", "ts_us", "event_id", "v")
+        .select(col("k"), expr("timestamp_micros(ts_us)").as("ts"),
+          col("event_id"), col("v"))
+      val q = EventStream.streamingPageHinkley(spark, df,
+          "k", "ts", "v", "event_id", delta = 0.5, lambda = 50.0)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        data.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT n_events, run_mean, ph_stat, alarm FROM $name " +
+            "ORDER BY n_events DESC LIMIT 1")
+          .collect().head
+      } finally q.stop()
+    }
+    val whole = run(Seq(evs), "ph_one")
+    val split = run(Seq(evs.take(13), evs.slice(13, 40), evs.drop(40)), "ph_three")
+    // identical left fold regardless of batch boundaries: bit-for-bit
+    assert(whole.getLong(0) == 60 && split.getLong(0) == 60)
+    assert(whole.getDouble(1) == split.getDouble(1))
+    assert(whole.getDouble(2) == split.getDouble(2))
+    assert(whole.getBoolean(3) && split.getBoolean(3))
+  }
 }

@@ -540,6 +540,49 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.logRank(cen, "g", "a", "b", "t", "ev").head().isNullAt(5))
   }
 
+  test("pageHinkley: self-baselined drift fires on the shifted arm only") {
+    import org.apache.spark.sql.functions._
+    // flat series never alarms; a level shift after 20 points does
+    val flat = (1 to 40).map(i => ("flat", i.toLong, 10.0))
+    val shift = (1 to 40).map(i => ("up", i.toLong, if (i <= 20) 10.0 else 30.0))
+    val df = (flat ++ shift).toDF("k", "t", "v")
+    val out = Temporal.pageHinkley(df, Seq("k"), "t", "v",
+      delta = 0.5, lambda = 30.0, idCols = Seq("t"))
+    // columns: k, t, run_mean, ph_stat, alarm
+    val byKey = out.collect().groupBy(_.getString(0))
+    assert(byKey("flat").forall(!_.getBoolean(4)))
+    assert(byKey("up").exists(_.getBoolean(4)))
+    // ph is a distance above a running min: nonneg everywhere, 0 at t=1
+    assert(out.collect().forall(_.getDouble(3) >= 0.0))
+    assert(byKey("up").minBy(_.getLong(1)).getDouble(3) == 0.0)
+  }
+
+  test("decompose: additivity, zero-sum seasonal, edge-null trend") {
+    import org.apache.spark.sql.functions._
+    // period-5 sawtooth on a linear trend, 40 points, one key
+    val df = (1 to 40).map(i => ("k", i.toLong, i * 0.5 + (i % 5) * 2.0))
+      .toDF("k", "t", "v")
+    val out = Temporal.decompose(df, Seq("k"), "t", "v", period = 5,
+      idCols = Seq("t")).collect()
+    val byT = out.map(r => r.getLong(1) -> r).toMap
+    // trend null exactly on the first/last (p-1)/2 rows
+    assert(Seq(1L, 2L, 39L, 40L).forall(t => byT(t).isNullAt(3)))
+    assert((3L to 38L).forall(t => !byT(t).isNullAt(3)))
+    // seasonal sums to ~0 over the 5 phases
+    val sByPhase = out.map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(sByPhase.size == 5 && math.abs(sByPhase.values.sum) < 1e-5)
+    // additivity where trend exists: v = trend + seasonal + remainder
+    (3L to 38L).foreach { t =>
+      val r = byT(t)
+      val v = t * 0.5 + (t % 5) * 2.0
+      assert(math.abs(r.getDouble(3) + r.getDouble(4) + r.getDouble(5) - v)
+        < 2e-6, s"t=$t")
+    }
+    // the sawtooth is period-5 on a LINEAR trend: centered MA recovers the
+    // trend up to the constant seasonal mean, so remainder ~ 0 everywhere
+    (3L to 38L).foreach(t => assert(math.abs(byT(t).getDouble(5)) < 1e-5))
+  }
+
   test("cusum plan: one exchange, no join, unbounded history") {
     val df = Tables.load(spark, sf, "events")
     val out = Temporal.cusum(df, Seq("user_id"), "ts", "value",
