@@ -10,7 +10,7 @@ object SparkEntry {
 
   private def groups: Seq[QueryGroup] =
     Seq(Relational, Analytics, TemporalQ, LlmOps, CurationQ, TokenizerQ,
-      PipelineQ, MlOps, ExperimentQ)
+      PipelineQ, MlOps, ExperimentQ, MiningQ)
 
   private lazy val catalog: Seq[QueryDef] = {
     val all = groups.flatMap(_.queries)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -1763,5 +1764,69 @@ object Text {
       when(col("__ap"), col("__lo")).otherwise(col("__n")).as("n_prefix"),
       when(col("__ap"), col("__hi") - col("__lo")).otherwise(lit(0L)).as("n_middle"),
       when(col("__ap"), col("__n") - col("__hi")).otherwise(lit(0L)).as("n_suffix"))
+  }
+
+  /**
+   * Jensen–Shannon divergence of each group's unigram distribution from
+   * the corpus distribution (Lin 1991) — the symmetric, bounded
+   * ([0, ln 2]) "how far is this source's language from the mix"
+   * monitor: [[graft.ops.Select]]'s mixing weights move it, a crawl
+   * source going off-distribution spikes it, and unlike PSI it needs no
+   * binning and unlike KL it is finite when a source misses terms.
+   *
+   * Computed over the terms PRESENT in each group plus a closed-form
+   * absent-mass correction: for a term the group lacks, p = 0 and the
+   * M = q/2 midpoint makes its contribution exactly ½·q·ln 2 — so
+   * JSD = ½Σ_present[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] + ½·ln2·(1−Σ_present q),
+   * and NO group×vocab outer join is ever materialized.
+   *
+   * `minDf` caps the vocabulary by global term count (rare terms carry
+   * ~zero JSD mass but dominate the join width); probabilities are
+   * renormalized over the kept vocabulary on both sides.
+   *
+   * Output: one row per group — group, n_tokens (kept-vocab tokens),
+   * n_terms (distinct kept terms in the group), jsd, jsd_norm = jsd/ln2
+   * (6 dp). Scale shape: one aggregate to (group, term), one to term
+   * grain, an equi-join on term (vocab-sized), one aggregate to group
+   * grain. Nothing document-grain crosses a shuffle after tokenize.
+   */
+  def jsDivergence(df: DataFrame, textCol: String, groupCol: String,
+      minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    val tok = df.select(col(groupCol).as("group"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val global = tok.groupBy("term").agg(count(lit(1)).as("__ct"))
+      .filter(col("__ct") >= minDf)
+    val kept = tok.join(global, "term")
+    val byGroup = kept.groupBy("group", "term")
+      .agg(count(lit(1)).as("__cgt"), first(col("__ct")).as("__ct"))
+    val all = Window.partitionBy()
+    val wg = Window.partitionBy(col("group"))
+    val scored = byGroup
+      // total kept tokens: sum __ct once per term — attribute to the
+      // first group row of each term
+      .withColumn("__rt", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("group"))))
+      .withColumn("__tg", sum(col("__cgt")).over(wg).cast("double"))
+      .withColumn("__t",
+        sum(when(col("__rt") === 1, col("__ct"))).over(all).cast("double"))
+      .withColumn("__p", col("__cgt") / col("__tg"))
+      .withColumn("__q", col("__ct") / col("__t"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .withColumn("__term_jsd",
+        (col("__p") * log(col("__p") / col("__m")) +
+          col("__q") * log(col("__q") / col("__m"))) / 2)
+    scored.groupBy("group")
+      .agg(sum(col("__cgt")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(col("__term_jsd")).as("__present"),
+        sum(col("__q")).as("__qsum"))
+      .select(col("group"), col("n_tokens"), col("n_terms"),
+        round(col("__present") +
+          (lit(1.0) - col("__qsum")) * lit(math.log(2.0) / 2), 6).as("jsd"),
+        round((col("__present") +
+          (lit(1.0) - col("__qsum")) * lit(math.log(2.0) / 2)) /
+          lit(math.log(2.0)), 6).as("jsd_norm"))
   }
 }

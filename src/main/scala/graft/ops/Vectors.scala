@@ -155,6 +155,39 @@ object Vectors {
     df.withColumn(vecCol, slice(col(vecCol), 1, dims))
   }
 
+  /**
+   * Matryoshka truncation SERVED as unit vectors: [[truncateDims]] plus
+   * the explicit L2 re-normalization a dot-product index (PQ, SQ8, the
+   * packed layout) needs when it cannot rely on cosine's implicit
+   * rescale, and the `norm_kept` diagnostic = ‖prefix‖/‖full‖ — how much
+   * of each vector's energy the first `dims` components carry (MRL-
+   * trained models front-load it; if the corpus median is low, the cut
+   * is eating signal and the recall report will say so).
+   *
+   * Output: UNPIVOTED (id, dim_idx, val, norm_kept) rows — dim-grain so
+   * the result is engine-comparable value by value. Zero-norm prefixes
+   * emit val 0 and norm_kept 0. Scale shape: a narrow projection +
+   * posexplode; the fold for the two norms is a sequential array
+   * `aggregate` (deterministic order), nothing shuffles.
+   */
+  def matryoshkaNormalize(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val full = transform(col(vecCol), x => x.cast("double"))
+    val pre = slice(full, 1, dims)
+    def l2(a: Column): Column =
+      sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    df.select(col(idCol), pre.as("__p"),
+        l2(pre).as("__nt"), l2(full).as("__nf"))
+      .select(col(idCol), col("__nt"), col("__nf"),
+        posexplode(col("__p")).as(Seq("dim_idx", "__x")))
+      .select(col(idCol), col("dim_idx").cast("long").as("dim_idx"),
+        round(when(col("__nt") > 0, col("__x") / col("__nt"))
+          .otherwise(lit(0.0)), 6).as("val"),
+        round(when(col("__nf") > 0, col("__nt") / col("__nf"))
+          .otherwise(lit(0.0)), 6).as("norm_kept"))
+  }
+
   /** One MMR input candidate: query, candidate, relevance, embedding. */
   final case class MmrCand(qid: Long, cid: Long, rel: Double,
       embedding: Seq[Float])

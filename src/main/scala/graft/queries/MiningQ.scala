@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Cf, Text, Vectors}
+import graft.stats.Planners
+
+/**
+ * Distribution/feature mining + collaborative filtering
+ * (`graft.stats.Planners` additions, `graft.ops.{Cf, Text, Vectors}`),
+ * each hash-checked against a DuckDB oracle. Conventions follow the
+ * stats family: sample moments, 6-dp rounding on float-derived values,
+ * exact-integer scores wherever an ORDER feeds a rank.
+ */
+object MiningQ extends QueryGroup {
+
+  /** Events CF fixture: item = the JSON props "k" field (0..99). */
+  private val ItemSql = "CAST(props->>'k' AS BIGINT)"
+
+  /** The q_item_cf oracle CTE chain, shared by q_item_recs. */
+  private val cfSql =
+    s"""r AS (SELECT DISTINCT user_id AS u, $ItemSql AS i
+       |  FROM events WHERE props->>'k' IS NOT NULL),
+       |cap AS (SELECT u, i FROM (SELECT u, i,
+       |    COUNT(*) OVER (PARTITION BY u) AS ui FROM r) WHERE ui <= 100),
+       |nn AS (SELECT i, COUNT(*) AS ni FROM cap GROUP BY 1),
+       |p AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS n_common
+       |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2),
+       |s AS (SELECT ia, ib, n_common,
+       |    CAST(n_common AS DOUBLE) / sqrt(CAST(na.ni * nb.ni AS DOUBLE)) AS cos
+       |  FROM p JOIN nn na ON na.i = p.ia JOIN nn nb ON nb.i = p.ib),
+       |uu AS (SELECT ia AS item, ib AS neighbor, n_common, cos FROM s
+       |  UNION ALL SELECT ib, ia, n_common, cos FROM s),
+       |kk AS (SELECT item, neighbor, n_common, cos, ROW_NUMBER() OVER (
+       |    PARTITION BY item ORDER BY cos DESC, neighbor ASC) AS rnk
+       |  FROM uu)""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // Mutual information lang x source on documents: the dependence
+    // STRENGTH the chi2 family only tests; everything after the first
+    // aggregate is contingency-sized.
+    QueryDef("q_mutual_info",
+      (s, dir) => Planners.mutualInfo(
+        Tables.load(s, dir, "documents"), "lang", "source"),
+      Some("""WITH c AS (SELECT lang AS a, source AS b, COUNT(*) AS c
+             |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+             |  GROUP BY 1, 2),
+             |t AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM c),
+             |ma AS (SELECT a, CAST(SUM(c) AS DOUBLE) AS ca FROM c GROUP BY 1),
+             |mb AS (SELECT b, CAST(SUM(c) AS DOUBLE) AS cb FROM c GROUP BY 1),
+             |mi AS (SELECT SUM((c.c / t.n) * ln(t.n * c.c / (ma.ca * mb.cb)))
+             |    AS mi
+             |  FROM c JOIN ma USING(a) JOIN mb USING(b) CROSS JOIN t),
+             |ha AS (SELECT SUM(-(ca / t.n) * ln(ca / t.n)) AS h
+             |  FROM ma CROSS JOIN t),
+             |hb AS (SELECT SUM(-(cb / t.n) * ln(cb / t.n)) AS h
+             |  FROM mb CROSS JOIN t)
+             |SELECT CAST(t.n AS BIGINT) AS n,
+             |  (SELECT COUNT(*) FROM ma) AS n_a,
+             |  (SELECT COUNT(*) FROM mb) AS n_b,
+             |  ROUND(mi.mi, 6) AS mi,
+             |  ROUND(CASE WHEN ha.h > 0 AND hb.h > 0
+             |        THEN mi.mi / sqrt(ha.h * hb.h) END, 6) AS nmi
+             |FROM t CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
+        .stripMargin)),
+
+    // Simpson's-paradox scan on lineitem: per-returnflag OLS slope of
+    // extendedprice on quantity vs the pooled slope.
+    QueryDef("q_simpson_scan",
+      (s, dir) => Planners.simpsonScan(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice"),
+      Some("""WITH r AS (SELECT l_returnflag AS segment,
+             |    CAST(l_quantity AS DOUBLE) AS x,
+             |    CAST(l_extendedprice AS DOUBLE) AS y
+             |  FROM lineitem WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL),
+             |p AS (SELECT covar_samp(x, y) / var_samp(x) AS ps FROM r),
+             |g AS (SELECT segment, COUNT(*) AS n,
+             |    covar_samp(x, y) / var_samp(x) AS s
+             |  FROM r GROUP BY 1)
+             |SELECT segment, n, ROUND(s, 6) AS slope,
+             |  ROUND(ps, 6) AS pooled_slope,
+             |  (ROUND(s, 6) IS NOT NULL AND ROUND(ps, 6) IS NOT NULL
+             |   AND ROUND(s, 6) <> 0 AND ROUND(ps, 6) <> 0
+             |   AND (ROUND(s, 6) > 0) <> (ROUND(ps, 6) > 0)) AS flipped
+             |FROM g CROSS JOIN p""".stripMargin)),
+
+    // Winsorize events.value at the per-type exact p05/p95 (type-7
+    // interpolation on both engines); keeps every row, flags the clamps.
+    QueryDef("q_winsorize",
+      (s, dir) => Planners.winsorize(Tables.load(s, dir, "events"),
+        keys = Seq("event_type"), valueCol = "value",
+        pLo = 0.05, pHi = 0.95, idCols = Seq("event_id")),
+      Some("""WITH q AS (SELECT event_type,
+             |    quantile_cont(value, 0.05) AS lo,
+             |    quantile_cont(value, 0.95) AS hi
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+             |SELECT e.event_type, e.event_id,
+             |  CAST(e.value AS DOUBLE) AS value,
+             |  ROUND(LEAST(GREATEST(e.value, q.lo), q.hi), 6) AS value_w,
+             |  (e.value < q.lo OR e.value > q.hi) AS clipped
+             |FROM events e JOIN q USING(event_type)
+             |WHERE e.value IS NOT NULL""".stripMargin)),
+
+    // Matryoshka serving cut: first 16 dims, re-normalized to unit L2,
+    // unpivoted to dim grain, with the energy-kept diagnostic.
+    QueryDef("q_matryoshka",
+      (s, dir) => Vectors.matryoshkaNormalize(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", dims = 16),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |n AS (SELECT vec_id, v,
+             |    sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS nt,
+             |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nf
+             |  FROM e),
+             |x AS (SELECT vec_id, i - 1 AS dim_idx,
+             |    v[CAST(i AS INT)] AS val, nt, nf
+             |  FROM n CROSS JOIN (SELECT unnest(range(1, 17)) AS i))
+             |SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+             |  ROUND(CASE WHEN nt > 0 THEN val / nt ELSE 0.0 END, 6) AS val,
+             |  ROUND(CASE WHEN nf > 0 THEN nt / nf ELSE 0.0 END, 6)
+             |    AS norm_kept
+             |FROM x""".stripMargin)),
+
+    // Jensen-Shannon divergence of each source's unigram distribution
+    // from the corpus mix (minDf 5): present-terms sum + the closed-form
+    // absent-mass ln2 correction, no group x vocab outer join. The two
+    // ln2-derived constants are JVM-computed and injected as literals.
+    QueryDef("q_js_divergence", (s, dir) =>
+      Text.jsDivergence(Tables.load(s, dir, "documents"),
+        "text", "source", minDf = 5L), {
+      val half = math.log(2.0) / 2
+      val ln2 = math.log(2.0)
+      Some(s"""WITH tk AS (SELECT source, unnest(list_filter(
+              |    regexp_split_to_array(lower(text), '\\s+'),
+              |    x -> x <> '')) AS term FROM documents),
+              |g AS (SELECT term, COUNT(*) AS ct FROM tk GROUP BY 1
+              |  HAVING COUNT(*) >= 5),
+              |bg AS (SELECT tk.source, tk.term, COUNT(*) AS cgt
+              |  FROM tk JOIN g USING(term) GROUP BY 1, 2),
+              |tg AS (SELECT source, CAST(SUM(cgt) AS DOUBLE) AS tgn
+              |  FROM bg GROUP BY 1),
+              |tt AS (SELECT CAST(SUM(ct) AS DOUBLE) AS t FROM g),
+              |sc AS (SELECT bg.source, bg.cgt,
+              |    CAST(bg.cgt AS DOUBLE) / tg.tgn AS p,
+              |    CAST(g.ct AS DOUBLE) / tt.t AS q
+              |  FROM bg JOIN g USING(term)
+              |  JOIN tg ON tg.source = bg.source CROSS JOIN tt)
+              |SELECT source AS "group",
+              |  CAST(SUM(cgt) AS BIGINT) AS n_tokens,
+              |  COUNT(*) AS n_terms,
+              |  ROUND(SUM((p * ln(p / ((p + q) / 2)) +
+              |             q * ln(q / ((p + q) / 2))) / 2) +
+              |    (1.0 - SUM(q)) * CAST(${f"$half%.17g"} AS DOUBLE), 6)
+              |    AS jsd,
+              |  ROUND((SUM((p * ln(p / ((p + q) / 2)) +
+              |              q * ln(q / ((p + q) / 2))) / 2) +
+              |    (1.0 - SUM(q)) * CAST(${f"$half%.17g"} AS DOUBLE)) /
+              |    CAST(${f"$ln2%.17g"} AS DOUBLE), 6) AS jsd_norm
+              |FROM sc GROUP BY 1""".stripMargin)
+    }),
+
+    // Item-item CF neighbors over the events (user, json-k item) pairs:
+    // capped co-occurrence self-join, cosine, top-5 per item.
+    QueryDef("q_item_cf",
+      (s, dir) => Cf.itemCosineNeighbors(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", k = 5, maxUserItems = 100),
+      Some(s"""WITH $cfSql
+              |SELECT item, neighbor, CAST(n_common AS BIGINT) AS n_common,
+              |  ROUND(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
+              |FROM kk WHERE rnk <= 5""".stripMargin)),
+
+    // Serve recommendations through the item graph: summed exact
+    // micro-unit neighbor similarity over each user's history,
+    // already-seen items excluded, top-3 per user.
+    QueryDef("q_item_recs",
+      (s, dir) => {
+        val ratings = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+        val nbrs = Cf.itemCosineNeighbors(ratings, "user_id", "item",
+          k = 5, maxUserItems = 100)
+        Cf.recommendForUsers(ratings, nbrs, "user_id", "item", n = 3)
+      },
+      Some(s"""WITH $cfSql,
+              |nb AS (SELECT item, neighbor,
+              |    CAST(ROUND(ROUND(cos, 6) * 1e6) AS BIGINT) AS cu
+              |  FROM kk WHERE rnk <= 5),
+              |cand AS (SELECT r.u AS usr, nb.neighbor AS candidate,
+              |    COUNT(*) AS n_paths, SUM(nb.cu) AS su
+              |  FROM r JOIN nb ON nb.item = r.i GROUP BY 1, 2),
+              |filt AS (SELECT c.* FROM cand c
+              |  LEFT JOIN r h ON h.u = c.usr AND h.i = c.candidate
+              |  WHERE h.u IS NULL),
+              |rk AS (SELECT usr, candidate, n_paths, su, ROW_NUMBER() OVER (
+              |    PARTITION BY usr ORDER BY su DESC, candidate ASC) AS rnk
+              |  FROM filt)
+              |SELECT usr AS "user", candidate,
+              |  CAST(n_paths AS BIGINT) AS n_paths,
+              |  CAST(su AS DOUBLE) / 1e6 AS score,
+              |  CAST(rnk AS BIGINT) AS rank
+              |FROM rk WHERE rnk <= 3""".stripMargin))
+  )
+}

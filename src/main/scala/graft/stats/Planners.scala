@@ -1,6 +1,7 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -424,5 +425,122 @@ object Planners {
       round(when(pb > 0, (pa - pb) / pb), 6).as("lift_rel"),
       round(when(col("n_a") > 0 && col("n_b") > 0,
         when(pp > 0 && pp < 1, (pa - pb) / se)), 6).as("z"))
+  }
+
+  /**
+   * Mutual information between two categorical columns — the
+   * dependence-strength readout that [[chi2]] only tests: MI =
+   * Σ (nₓᵧ/N)·ln(N·nₓᵧ / (nₓ·nᵧ)) in nats, plus the normalized form
+   * NMI = MI / √(H(X)·H(Y)) ∈ [0,1] — the feature-selection score
+   * ("does this attribute predict the label") and the cluster-vs-label
+   * agreement metric, comparable across tables where raw MI is not.
+   *
+   * Output: one row — n, n_a, n_b (distinct levels), mi, nmi (6 dp;
+   * nmi null when either marginal entropy is 0, i.e. a constant column
+   * carries no information to normalize by).
+   *
+   * Scale shape: ONE hash-aggregate to (a, b) cell grain; marginals and
+   * entropies are window sums over the CELL table (|A|·|B| rows, not
+   * data rows) — everything after the first aggregate is
+   * contingency-sized, the [[chi2]] family shape.
+   */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val all = Window.partitionBy()
+    val wa = Window.partitionBy(col("__a"))
+    val wb = Window.partitionBy(col("__b"))
+    val n = sum(col("__c")).over(all).cast("double")
+    val ca = sum(col("__c")).over(wa).cast("double")
+    val cb = sum(col("__c")).over(wb).cast("double")
+    val c = col("__c").cast("double")
+    val scored = cells
+      .withColumn("__mi_t", (c / n) * log(n * c / (ca * cb)))
+      // marginal entropy terms, attributed once per marginal cell: the
+      // (a, b) row with the first b per a carries a's -pa·ln(pa), etc.
+      .withColumn("__ra", row_number().over(wa.orderBy(col("__b"))))
+      .withColumn("__rb", row_number().over(wb.orderBy(col("__a"))))
+      .withColumn("__ha_t", when(col("__ra") === 1, -(ca / n) * log(ca / n))
+        .otherwise(lit(0.0)))
+      .withColumn("__hb_t", when(col("__rb") === 1, -(cb / n) * log(cb / n))
+        .otherwise(lit(0.0)))
+    scored.agg(
+      sum(col("__c")).as("n"),
+      countDistinct(col("__a")).as("n_a"),
+      countDistinct(col("__b")).as("n_b"),
+      sum(col("__mi_t")).as("__mi"),
+      sum(col("__ha_t")).as("__ha"),
+      sum(col("__hb_t")).as("__hb"))
+    .select(col("n"), col("n_a"), col("n_b"),
+      round(col("__mi"), 6).as("mi"),
+      round(when(col("__ha") > 0 && col("__hb") > 0,
+        col("__mi") / sqrt(col("__ha") * col("__hb"))), 6).as("nmi"))
+  }
+
+  /**
+   * Simpson's-paradox scan (Simpson 1951; Pearl's canonical
+   * confounding example): the pooled OLS slope of y on x versus each
+   * segment's own slope (slope = cov(x,y)/var(x), sample moments).
+   * A segment whose slope SIGN disagrees with the pooled sign is the
+   * aggregation trap — "discount correlates with revenue overall but
+   * within every region it doesn't" — the first thing to scan for
+   * before trusting any pooled correlation on segmented data.
+   *
+   * Output: one row per segment — n, slope, pooled_slope (repeated),
+   * flipped (both slopes non-null/non-zero at 6 dp and opposite sign).
+   * Scale shape: one aggregate pass to segment grain + a one-row pooled
+   * fit broadcast back via crossJoin; nothing row-grain survives the
+   * first aggregate.
+   */
+  def simpsonScan(df: DataFrame, segCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val rows = df.filter(x.isNotNull && y.isNotNull)
+    val pooled = rows.agg(
+      (covar_samp(x, y) / var_samp(x)).as("__ps"))
+    val seg = rows.groupBy(col(segCol).as("segment"))
+      .agg(count(lit(1)).as("n"),
+        (covar_samp(x, y) / var_samp(x)).as("__s"))
+    val sR = round(col("__s"), 6)
+    val pR = round(col("__ps"), 6)
+    seg.crossJoin(broadcast(pooled))
+      .select(col("segment"), col("n"),
+        sR.as("slope"), pR.as("pooled_slope"),
+        (sR.isNotNull && pR.isNotNull && sR =!= 0 && pR =!= 0 &&
+          (sR > 0) =!= (pR > 0)).as("flipped"))
+  }
+
+  /**
+   * Winsorization at per-group exact percentiles: clamp `valueCol` into
+   * [q(pLo), q(pHi)] of its OWN group — the outlier treatment that
+   * keeps the row (unlike the B5 drop family) and so preserves counts
+   * and joins; the standard pre-step before means/regressions on
+   * heavy-tailed metrics. Exact type-7 interpolation (Spark
+   * `percentile` = DuckDB `quantile_cont`), computed once per group and
+   * joined back broadcast-sized.
+   *
+   * Output: keys ++ idCols, value, value_w (6 dp), clipped. Scale
+   * shape: one aggregate to GROUP grain for the two quantiles (exact
+   * percentile holds group values in memory per group — at 100 TB per-
+   * group cardinality swap in approx_percentile, same plan otherwise),
+   * one broadcast join back, narrow clamp projection.
+   */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull)
+    val qs = rows.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $pLo)").as("__lo"),
+        expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    val clamped = least(greatest(v, col("__lo")), col("__hi"))
+    rows.join(broadcast(qs), keys)
+      .select((keys ++ idCols).distinct.map(col) ++ Seq(
+        v.as("value"),
+        round(clamped, 6).as("value_w"),
+        (v < col("__lo") || v > col("__hi")).as("clipped")): _*)
   }
 }

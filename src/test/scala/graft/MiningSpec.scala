@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Cf, Text, Vectors}
+import graft.stats.Planners
+
+/** Distribution mining + CF: hand-computed MI, constructed Simpson flip,
+  * winsorize bounds, matryoshka unit norms, JSD identities, CF cosine. */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mutualInfo: independent -> 0; determined -> NMI 1; constant -> null") {
+    // perfectly dependent: b == a
+    val dep = Seq(("x", "x"), ("y", "y"), ("x", "x"), ("y", "y"))
+      .toDF("a", "b")
+    val d = Planners.mutualInfo(dep, "a", "b").collect().head
+    assert(math.abs(d.getAs[Double]("mi") - math.log(2.0)) < 1e-6)
+    assert(math.abs(d.getAs[Double]("nmi") - 1.0) < 1e-6)
+    // independent uniform 2x2: every cell n/4 -> MI 0
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    val i = Planners.mutualInfo(ind, "a", "b").collect().head
+    assert(math.abs(i.getAs[Double]("mi")) < 1e-9)
+    // constant column: H = 0 -> nmi null, mi 0
+    val const = Seq(("x", "u"), ("x", "v")).toDF("a", "b")
+    val c = Planners.mutualInfo(const, "a", "b").collect().head
+    assert(c.getAs[Double]("mi") == 0.0 && c.isNullAt(c.fieldIndex("nmi")))
+  }
+
+  test("simpsonScan: constructed reversal flips every segment") {
+    // within each segment y falls with x; across segments both rise
+    def seg(name: String, x0: Double, y0: Double) =
+      (0 to 9).map(i => (name, x0 + i, y0 - i))
+    val df = (seg("a", 0, 10) ++ seg("b", 20, 100) ++ seg("c", 40, 190))
+      .toDF("s", "x", "y")
+    val out = Planners.simpsonScan(df, "s", "x", "y").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Double]("slope") == -1.0))
+    assert(out.forall(_.getAs[Double]("pooled_slope") > 0))
+    assert(out.forall(_.getAs[Boolean]("flipped")))
+  }
+
+  test("winsorize: bounds hold, counts preserved, interior untouched") {
+    val df = ((1 to 98).map(i => ("g", i, i.toDouble)) ++
+      Seq(("g", 99, 1000.0), ("g", 100, -1000.0))).toDF("g", "id", "v")
+    val out = Planners.winsorize(df, Seq("g"), "v", 0.05, 0.95,
+      idCols = Seq("id"))
+    val rows = out.collect()
+    assert(rows.length == 100)
+    val ws = rows.map(_.getAs[Double]("value_w"))
+    // p95 of {1..98, +-1000} sits just above 95; p05 just below 6
+    assert(ws.max <= 96.0 && ws.min >= 4.0)
+    assert(rows.count(_.getAs[Boolean]("clipped")) >= 2)
+    // the median row is untouched
+    val mid = rows.find(_.getAs[Int]("id") == 50).get
+    assert(mid.getAs[Double]("value_w") == 50.0 && !mid.getAs[Boolean]("clipped"))
+  }
+
+  test("matryoshka: truncated vectors are unit L2; norm_kept in (0, 1]") {
+    val df = Tables.load(spark, sf, "embeddings")
+    val out = Vectors.matryoshkaNormalize(df, "vec_id", "embedding", 16)
+    val norms = out.groupBy("vec_id")
+      .agg(sum(col("val") * col("val")).as("ss"),
+        first(col("norm_kept")).as("nk"),
+        count(lit(1)).as("d")).collect()
+    assert(norms.nonEmpty && norms.forall(_.getAs[Long]("d") == 16))
+    norms.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ss") - 1.0) < 1e-3) // 6-dp rounded vals
+      val nk = r.getAs[Double]("nk")
+      assert(nk > 0 && nk <= 1.0 + 1e-9)
+    }
+  }
+
+  test("jsDivergence: identical distributions -> 0; disjoint vocab -> ln 2") {
+    val same = Seq(("a", "x y z"), ("b", "x y z"), ("a", "x y z"),
+      ("b", "x y z")).toDF("src", "text")
+    val s = Text.jsDivergence(same, "text", "src", minDf = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("jsd")).toMap
+    assert(s.values.forall(v => math.abs(v) < 1e-9))
+    // two sources with disjoint vocab, equal sizes: each source's P and
+    // the mix M = (P + Q)/2 give JSD = ln 2 * ... for Q = global (half
+    // own terms, half other): jsd_norm must land strictly inside (0, 1)
+    val disj = Seq(("a", "x x x"), ("b", "y y y")).toDF("src", "text")
+    val d = Text.jsDivergence(disj, "text", "src", minDf = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("jsd_norm")).toMap
+    d.values.foreach(v => assert(v > 0.2 && v < 1.0))
+    assert(math.abs(d("a") - d("b")) < 1e-9) // symmetric construction
+  }
+
+  test("itemCosineNeighbors: hand cosine, cap drops the bot user") {
+    // u1: {1,2}, u2: {1,2}, u3: {1,3} -> n1=3, n2=2, n3=1
+    // c(1,2)=2 -> cos = 2/sqrt(6); c(1,3)=1 -> 1/sqrt(3)
+    val r = Seq((1, 1L), (1, 2L), (2, 1L), (2, 2L), (3, 1L), (3, 3L))
+      .toDF("u", "i")
+    val out = Cf.itemCosineNeighbors(r, "u", "i", k = 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("cos")).toMap
+    assert(math.abs(out((1L, 2L)) - 2.0 / math.sqrt(6)) < 1e-6)
+    assert(math.abs(out((1L, 3L)) - 1.0 / math.sqrt(3)) < 1e-6)
+    assert(!out.contains((2L, 3L))) // no co-occurrence
+    // a bot user touching everything would connect 2 and 3; the cap
+    // removes it AND its contribution to item counts
+    val bot = r.union(Seq((9, 1L), (9, 2L), (9, 3L), (9, 4L)).toDF("u", "i"))
+    val capped = Cf.itemCosineNeighbors(bot, "u", "i", k = 5,
+      maxUserItems = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getAs[Double]("cos")).toMap
+    assert(capped == out)
+  }
+
+  test("recommendForUsers: seen items excluded, score sums micro-cos") {
+    val r = Seq((1, 1L), (1, 2L), (2, 1L), (2, 2L), (3, 1L), (3, 3L))
+      .toDF("u", "i")
+    val nbrs = Cf.itemCosineNeighbors(r, "u", "i", k = 5)
+    val recs = Cf.recommendForUsers(r, nbrs, "u", "i", n = 3).collect()
+    // u1 has {1,2}: only unseen reachable item is 3 (via 1)
+    val u1 = recs.filter(_.getInt(0) == 1)
+    assert(u1.length == 1 && u1.head.getLong(1) == 3L)
+    assert(math.abs(u1.head.getAs[Double]("score") -
+      math.round(1.0 / math.sqrt(3) * 1e6) / 1e6) < 1e-9)
+    // nobody is ever recommended an item they already have
+    val hist = r.collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+    assert(recs.forall(x => !hist.contains((x.getInt(0), x.getLong(1)))))
+  }
+}
