@@ -138,6 +138,100 @@ object Experiment {
     (math.log(beta / (1 - alpha)), math.log((1 - beta) / alpha))
 
   /**
+   * Sample-ratio-mismatch check (Fabijan et al. 2019 call SRM "the most
+   * actionable A/B guardrail"): observed arm counts vs the DECLARED
+   * allocation, with the goodness-of-fit χ² = Σ(o−e)²/e. A significant
+   * SRM means the assignment or logging pipeline is broken and every
+   * downstream readout ([[cuped]], [[diffInDiff]], [[sprt]]) is void —
+   * run this first. Arms observed outside `expected` are ignored by the
+   * χ² but surface via n_total (their rows still count the experiment's
+   * traffic only if declared; the standard contract).
+   *
+   * Output: one row per declared arm — arm, n_obs, expected (6 dp),
+   * ratio_obs (6 dp), plus the shared chi2 (6 dp) and dof repeated.
+   * Scale shape: ONE hash-aggregate to arm grain; everything after is
+   * arms-sized window arithmetic. Expected shares are plan literals.
+   */
+  def srmCheck(df: DataFrame, armCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.size >= 2, "need >= 2 declared arms")
+    require(expected.forall(_._2 > 0), "shares must be positive")
+    val total = expected.map(_._2).sum
+    val counts = df.filter(col(armCol).isin(expected.map(_._1): _*))
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n_obs"))
+    val share = expected.tail.foldLeft(
+      when(col("arm") === expected.head._1, lit(expected.head._2 / total))) {
+      case (acc, (name, w)) => acc.when(col("arm") === name, lit(w / total))
+    }
+    val all = Window.partitionBy()
+    counts
+      .withColumn("__n", sum(col("n_obs")).over(all))
+      .withColumn("__e", col("__n") * share)
+      .withColumn("__chi", (col("n_obs") - col("__e")) *
+        (col("n_obs") - col("__e")) / col("__e"))
+      .select(col("arm"), col("n_obs"),
+        round(col("__e"), 6).as("expected"),
+        round(col("n_obs") / col("__n").cast("double"), 6).as("ratio_obs"),
+        round(sum(col("__chi")).over(all), 6).as("chi2"),
+        lit(expected.size - 1).cast("long").as("dof"))
+  }
+
+  /**
+   * Uplift / Qini curve (Radcliffe 2007): rank units by a targeting
+   * score (best-first), cut into `buckets` equal-count bins, and report
+   * the CUMULATIVE treated-vs-control response contrast at each depth —
+   * uplift@k = S_t/N_t − S_c/N_c and the Qini statistic
+   * S_t − S_c·N_t/N_c (incremental responses vs a control scaled to the
+   * treated count). THE model-quality readout for "whom should we
+   * treat": a useful score front-loads uplift; a useless one gives a
+   * flat diagonal.
+   *
+   * Determinism: the ntile order is (score DESC, tiebreak) — pass an
+   * exact-typed score (the [[attStrata]] contract); cumulative sums of
+   * integer outcomes stay exact.
+   *
+   * Output: one row per bucket — bucket, the four cumulative counts/
+   * sums, uplift (6 dp), qini (6 dp). Scale shape: one global-order
+   * ntile (same caveat as [[attStrata]]: swap in approx-quantile bucket
+   * bounds at 100 TB), one aggregate to bucket grain, windows over
+   * ≤ `buckets` rows.
+   */
+  def upliftCurve(df: DataFrame, scoreCol: String, treatedCol: String,
+      outcomeCol: String, buckets: Int = 10,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(buckets >= 2, "need >= 2 buckets")
+    val y = col(outcomeCol).cast("double")
+    val t = col(treatedCol).cast("boolean")
+    val order = Window.orderBy(
+      (Seq(col(scoreCol).desc) ++ tiebreak.map(col(_).asc)): _*)
+    val binned = df.filter(y.isNotNull && col(scoreCol).isNotNull)
+      .withColumn("bucket", ntile(buckets).over(order).cast("long"))
+    val byBucket = binned.groupBy("bucket").agg(
+      sum(when(t, 1L).otherwise(0L)).as("__nt"),
+      sum(when(!t, 1L).otherwise(0L)).as("__nc"),
+      sum(when(t, y)).as("__st"),
+      sum(when(!t, y)).as("__sc"))
+    val run = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      .withColumn("n_treat_cum", sum(col("__nt")).over(run))
+      .withColumn("n_ctrl_cum", sum(col("__nc")).over(run))
+      .withColumn("resp_treat_cum", sum(col("__st")).over(run))
+      .withColumn("resp_ctrl_cum", sum(col("__sc")).over(run))
+      .select(col("bucket"), col("n_treat_cum"), col("n_ctrl_cum"),
+        round(col("resp_treat_cum"), 6).as("resp_treat_cum"),
+        round(col("resp_ctrl_cum"), 6).as("resp_ctrl_cum"),
+        round(when(col("n_treat_cum") > 0 && col("n_ctrl_cum") > 0,
+          col("resp_treat_cum") / col("n_treat_cum") -
+            col("resp_ctrl_cum") / col("n_ctrl_cum")), 6).as("uplift"),
+        round(when(col("n_ctrl_cum") > 0,
+          col("resp_treat_cum") - col("resp_ctrl_cum") *
+            (col("n_treat_cum").cast("double") / col("n_ctrl_cum"))), 6)
+          .as("qini"))
+  }
+
+  /**
    * 2×2 difference-in-differences (Card & Krueger 1994 is the canonical
    * applied reference): with a treated flag and a pre/post flag,
    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — the

@@ -178,6 +178,75 @@ object ExperimentQ extends QueryGroup {
               |         vco / n_ctrl_post + vcp / n_ctrl_pre), 6) AS t_stat
               |FROM g""".stripMargin)),
 
+    // Sample-ratio-mismatch guardrail: observed md5-split arm counts vs
+    // a DELIBERATELY skewed declared 55/45 allocation — the chi2 should
+    // scream, which is the point: SRM must fire when config and
+    // assignment disagree. Expected shares are injected as literals.
+    QueryDef("q_srm", (s, dir) =>
+      Experiment.srmCheck(Tables.load(s, dir, "events")
+          .withColumn("arm",
+            when(md5Val16(col("user_id")) < 32768, lit("treatment"))
+              .otherwise(lit("control"))),
+        "arm", Seq("treatment" -> 0.55, "control" -> 0.45)), {
+      Some(s"""WITH a AS (SELECT CASE WHEN ${md5Val16Sql("user_id")} < 32768
+              |    THEN 'treatment' ELSE 'control' END AS arm FROM events),
+              |c AS (SELECT arm, COUNT(*) AS n_obs FROM a GROUP BY 1),
+              |w AS (SELECT arm, CAST(n_obs AS BIGINT) AS n_obs,
+              |    CAST(SUM(n_obs) OVER () AS DOUBLE) AS n FROM c),
+              |e AS (SELECT arm, n_obs, n,
+              |    n * (CASE WHEN arm = 'treatment'
+              |         THEN CAST(${f"${0.55}%.17g"} AS DOUBLE)
+              |         ELSE CAST(${f"${0.45}%.17g"} AS DOUBLE) END) AS ex
+              |  FROM w)
+              |SELECT arm, n_obs, ROUND(ex, 6) AS expected,
+              |  ROUND(n_obs / n, 6) AS ratio_obs,
+              |  ROUND(SUM((n_obs - ex) * (n_obs - ex) / ex) OVER (), 6)
+              |    AS chi2,
+              |  CAST(1 AS BIGINT) AS dof
+              |FROM e""".stripMargin)
+    }),
+
+    // Uplift/Qini curve over score deciles (score = exact pre-period
+    // cents, best-first; outcome = "post-period mean rose"): cumulative
+    // treated-vs-control contrast at each targeting depth.
+    QueryDef("q_uplift_curve",
+      (s, dir) => Experiment.upliftCurve(
+        units(s, dir)
+          .withColumn("treated", col("arm") === "treatment")
+          .withColumn("y", when(col("post") > col("pre"), 1L).otherwise(0L)),
+        scoreCol = "score", treatedCol = "treated", outcomeCol = "y",
+        buckets = 10, tiebreak = Seq("user_id")),
+      Some(s"""WITH $unitsSql,
+              |b AS (SELECT user_id,
+              |    arm = 'treatment' AS t,
+              |    CASE WHEN post > pre THEN 1 ELSE 0 END AS y,
+              |    CAST(NTILE(10) OVER (ORDER BY score DESC, user_id)
+              |      AS BIGINT) AS bucket
+              |  FROM m),
+              |g AS (SELECT bucket,
+              |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+              |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+              |    CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS st,
+              |    CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS sc
+              |  FROM b GROUP BY 1),
+              |r AS (SELECT bucket,
+              |    CAST(SUM(nt) OVER w AS BIGINT) AS n_treat_cum,
+              |    CAST(SUM(nc) OVER w AS BIGINT) AS n_ctrl_cum,
+              |    CAST(SUM(st) OVER w AS DOUBLE) AS rt,
+              |    CAST(SUM(sc) OVER w AS DOUBLE) AS rc
+              |  FROM g
+              |  WINDOW w AS (ORDER BY bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              |SELECT bucket, n_treat_cum, n_ctrl_cum,
+              |  ROUND(rt, 6) AS resp_treat_cum,
+              |  ROUND(rc, 6) AS resp_ctrl_cum,
+              |  ROUND(CASE WHEN n_treat_cum > 0 AND n_ctrl_cum > 0
+              |    THEN rt / n_treat_cum - rc / n_ctrl_cum END, 6) AS uplift,
+              |  ROUND(CASE WHEN n_ctrl_cum > 0
+              |    THEN rt - rc * (CAST(n_treat_cum AS DOUBLE) / n_ctrl_cum)
+              |    END, 6) AS qini
+              |FROM r""".stripMargin)),
+
     // Propensity-stratified ATT (Rosenbaum-Rubin subclassification,
     // Cochran's 5 strata): score = exact pre-period cents (a long, so
     // the ntile order is bit-stable), outcome = post-period mean.

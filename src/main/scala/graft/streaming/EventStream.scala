@@ -671,6 +671,71 @@ object EventStream {
       }
   }
 
+  final case class SprtEv(key: String, ts_us: Long, event_id: Long,
+      x: Boolean)
+  final case class SprtState(n: Long, pos: Long, decided: Boolean,
+      nDec: Long, llrDec: Double, label: String)
+  final case class SprtOut(key: String, n_total: Long, n_decision: Long,
+      llr: Double, decision: String)
+
+  /**
+   * Streaming Wald SPRT per key — the live twin of
+   * [[graft.ops.Experiment.sprt]], and the op the TEST WAS INVENTED
+   * FOR: monitor the experiment as exposures arrive and stop the
+   * moment the boundary is crossed instead of re-reading history every
+   * night. State per key is two counts + the frozen decision (a
+   * decision, once made, never unmakes — later data updates n_total
+   * only, exactly like the batch operator's first-crossing semantics).
+   * The LLR is pos·c1 + neg·c0 with JVM-computed constants, so
+   * emissions match the batch rows BIT-FOR-BIT including the 6-dp
+   * round — integer counts times shared literals, no float fold at
+   * all. Same ordering contract as the other monitors: in-batch events
+   * are sorted, across batches the source is time-ordered per key.
+   */
+  def streamingSprt(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, outcomeCol: String, idCol: String,
+      p0: Double, p1: Double, alpha: Double = 0.05, beta: Double = 0.05,
+      stateTtl: Option[String] = None): Dataset[SprtOut] = {
+    import spark.implicits._
+    val (c1, c0) = graft.ops.Experiment.sprtLlrConstants(p0, p1)
+    val (lo, hi) = graft.ops.Experiment.sprtBounds(alpha, beta)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        coalesce(col(outcomeCol).cast("boolean"), lit(false)).as("x"))
+      .as[SprtEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SprtState, SprtOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[SprtEv], state: GroupState[SprtState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val init = state.getOption
+              .getOrElse(SprtState(0L, 0L, false, 0L, 0.0, "continue"))
+            val folded = sorted.foldLeft(init) { (s, e) =>
+              val n = s.n + 1
+              val pos = s.pos + (if (e.x) 1L else 0L)
+              if (s.decided) s.copy(n = n, pos = pos)
+              else {
+                val llr = pos * c1 + (n - pos) * c0
+                if (llr >= hi) SprtState(n, pos, true, n, llr, "accept_h1")
+                else if (llr <= lo) SprtState(n, pos, true, n, llr, "accept_h0")
+                else SprtState(n, pos, false, n, llr, "continue")
+              }
+            }
+            state.update(folded)
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(SprtOut(key, folded.n, folded.nDec,
+              r6(folded.llrDec), folded.label))
+          }
+      }
+  }
+
   final case class CpEv(key: String, ts_us: Long, event_id: Long, v: Double)
   final case class CpState(buf: Seq[(Long, Long, Double)],
       emittedTs: Long, emittedId: Long)

@@ -63,6 +63,48 @@ class ExperimentSpec extends SparkSpec {
     assert(out.getAs[Double]("t_stat") > 100)
   }
 
+  test("srmCheck: hand chi2; balanced allocation passes, skewed flags") {
+    // 60/40 observed vs declared 50/50: e = 50 each,
+    // chi2 = (60-50)^2/50 + (40-50)^2/50 = 4
+    val df = ((1 to 60).map(_ => "a") ++ (1 to 40).map(_ => "b")).toDF("arm")
+    val out = Experiment.srmCheck(df, "arm", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(out("a").getAs[Long]("n_obs") == 60)
+    assert(out("a").getAs[Double]("expected") == 50.0)
+    assert(out.values.forall(_.getAs[Double]("chi2") == 4.0))
+    assert(out.values.forall(_.getAs[Long]("dof") == 1L))
+    // declared 60/40 matches observed exactly: chi2 = 0
+    val ok = Experiment.srmCheck(df, "arm", Seq("a" -> 0.6, "b" -> 0.4))
+      .collect()
+    assert(ok.forall(_.getAs[Double]("chi2") == 0.0))
+    // undeclared arms are ignored by the chi2
+    val extra = df.union(Seq("zzz").toDF("arm"))
+    assert(Experiment.srmCheck(extra, "arm", Seq("a" -> 0.6, "b" -> 0.4))
+      .collect().forall(_.getAs[Double]("chi2") == 0.0))
+  }
+
+  test("upliftCurve: a perfect targeting score front-loads all the uplift") {
+    // units 1..100 by score desc; treated responds ONLY in the top 20.
+    val rows = (1 to 100).flatMap { i =>
+      val resp = if (i <= 20) 1L else 0L
+      Seq((i, 1000 - i, true, resp), (i + 1000, 1000 - i, false, 0L))
+    }
+    val df = rows.toDF("id", "score", "treated", "y")
+    val out = Experiment.upliftCurve(df, "score", "treated", "y",
+      buckets = 10, tiebreak = Seq("id")).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out.size == 10)
+    // bucket 1 = top 10% (20 units, 10 treated, all respond): uplift 1.0
+    assert(out(1L).getAs[Double]("uplift") == 1.0)
+    assert(out(1L).getAs[Double]("qini") == 10.0)
+    // full depth: 20 responders over 100 treated, control 0: uplift 0.2
+    assert(out(10L).getAs[Double]("uplift") == 0.2)
+    assert(out(10L).getAs[Double]("qini") == 20.0)
+    // qini is monotone nondecreasing for this construction
+    val qs = (1L to 10L).map(out(_).getAs[Double]("qini"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a })
+  }
+
   test("attStrata: ATT weights per-stratum contrasts by treated count") {
     // Stratum structure by score; within-stratum lift = 1.0 in low,
     // 3.0 in high; treated counts 1 vs 3 => ATT = (1*1 + 3*3)/4 = 2.5.

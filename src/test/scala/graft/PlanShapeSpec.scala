@@ -632,6 +632,53 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_page_hinkley / q_sprt: join-free, one key exchange (the cusum family)") {
+    for ((name, key) <- Seq("q_page_hinkley" -> "user_id",
+        "q_sprt" -> "event_type")) {
+      val p = plan(name)
+      assert(!p.toString.contains("Join"), s"$name must be join-free:\n$p")
+      val bulk = shuffles(p).filterNot(underBroadcast(p))
+      assert(bulk.nonEmpty && bulk.forall(e => keyedOn(e, key)),
+        s"$name: every bulk exchange must key on $key:\n$p")
+    }
+  }
+
+  test("q_cuped / q_diff_in_diff: the fit is a broadcast one-row aggregate") {
+    // CUPED's theta reaches the unit rows via the sanctioned 1-row
+    // broadcast cross join; nothing unit-grain shuffles twice
+    val c = plan("q_cuped")
+    assert(c.collect { case b: BroadcastNestedLoopJoinExec => b }.size == 1,
+      s"expected the 1-row theta broadcast:\n$c")
+    // DiD is a single conditional-aggregate pass: no join at all
+    val d = plan("q_diff_in_diff")
+    assert(!d.toString.contains("Join"), s"q_diff_in_diff must be join-free:\n$d")
+  }
+
+  test("q_item_cf: the co-occurrence self-join stays an equi-join on the user") {
+    val p = plan("q_item_cf")
+    assert(p.collect { case s: SortMergeJoinExec => s }.nonEmpty ||
+      p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"expected an equi-join pair generator:\n$p")
+    assert(!p.toString.contains("NestedLoop"),
+      s"pair generation must never be a nested-loop join:\n$p")
+  }
+
+  test("q_js_divergence: no group x vocab outer join; term join stays keyed") {
+    val p = plan("q_js_divergence")
+    assert(!p.toString.contains("FullOuter") && !p.toString.contains("LeftOuter"),
+      s"JSD must use the closed-form absent-mass correction, not an outer join:\n$p")
+    assert(!p.toString.contains("NestedLoop"),
+      s"the vocab join must stay an equi-join:\n$p")
+  }
+
+  test("q_winsorize: the per-group quantiles come back as a broadcast join") {
+    val p = plan("q_winsorize")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 1,
+      s"expected the group-grain quantile table broadcast back:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      s"the quantile join must not degrade to sort-merge:\n$p")
+  }
+
   test("q_quantile_normalize: rank runs at distinct-value grain; grid broadcasts") {
     val p = plan("q_quantile_normalize")
     // the global percentile grid reaches the rows as a broadcast (the

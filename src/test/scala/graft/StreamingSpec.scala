@@ -1352,6 +1352,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SPRT matches the batch test per key; decisions freeze") {
+    import org.apache.spark.sql.functions._
+    val ev = EventStream.readEvents(spark, streamDir)
+      .withColumn("x", col("value") > 50.0)
+    val out = EventStream.streamingSprt(spark, ev,
+      "event_type", "ts", "x", "event_id", p0 = 0.4, p1 = 0.5)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sprt_stream").start()
+    try {
+      q.processAllAvailable()
+      val fin = spark.sql(
+          "SELECT key, n_total, n_decision, llr, decision FROM sprt_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getString(4)))
+        .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      val batch = graft.ops.Experiment.sprt(
+          graft.core.Tables.load(spark, sf, "events")
+            .withColumn("x", col("value") > 50.0),
+          Seq("event_type"), "ts", "x", p0 = 0.4, p1 = 0.5,
+          tiebreak = Seq("event_id"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+        .toMap
+      assert(fin.keySet == batch.keySet && fin.nonEmpty)
+      // integer counts x shared literals: bit-for-bit, including rounding
+      fin.foreach { case (k, (_, n, nd, llr, dec)) =>
+        val (bn, bnd, bllr, bdec) = batch(k)
+        assert(n == bn && nd == bnd && llr == bllr && dec == bdec,
+          s"key $k: stream ($n,$nd,$llr,$dec) vs batch ($bn,$bnd,$bllr,$bdec)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming Page-Hinkley: split micro-batches equal the one-batch fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
