@@ -163,7 +163,11 @@ object Bench {
     // round-21 batch 2 (per-query only): eval-set decontamination scan
     // (corpus n-gram explode + broadcast probe join) and Adamic–Adar
     // link prediction (degree-capped wedge self-join)
-    "q_decontam", "q_adamic_adar")
+    "q_decontam", "q_adamic_adar",
+    // round-13: experimentation readouts (events-grain conditional
+    // aggregates + the cusum-family drift window) and item-item CF
+    // (the capped co-occurrence self-join)
+    "q_cuped", "q_page_hinkley", "q_item_cf")
 
   /** Per-family groupings of the headline set: a regression localizes to
     * a family subtotal instead of a 48-row per-query diff. Families are
@@ -182,7 +186,9 @@ object Bench {
     "retrieval" -> Set("q_bm25_search", "q_bm25_rm3", "q_bm25_prebuilt",
       "q_bm25_rm3_prebuilt"),
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
-      "q_attribution"),
+      "q_attribution", "q_page_hinkley"),
+    "experiment" -> Set("q_cuped"),
+    "mining" -> Set("q_item_cf"),
     "graph" -> Set("q_hits", "q_adamic_adar"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",

@@ -72,6 +72,60 @@ object Fuzzy {
   }
 
   /**
+   * Fellegi–Sunter record-linkage scoring (Fellegi & Sunter 1969, the
+   * probabilistic-matching standard behind every serious MDM/ER
+   * system): given candidate pairs with per-field agreement flags and
+   * DECLARED (m, u) probabilities per field — m = P(agree | match),
+   * u = P(agree | non-match), from labeled data or domain priors — the
+   * match weight is Σ over fields of ln(m/u) on agreement and
+   * ln((1−m)/(1−u)) on disagreement (null agreement contributes 0, the
+   * standard missing-field convention), classified against the
+   * (lower, upper) decision bounds into 'non_match' / 'possible' /
+   * 'match'.
+   *
+   * Deliberately the DECLARED-parameter form, not EM: deterministic,
+   * oracle-checkable, and what production linkage runs once m/u are
+   * calibrated; the per-field log-weights are computed HERE (one JVM)
+   * and exposed via [[fsWeights]] so an external oracle applies the
+   * identical literals — no libm ln in the data path, the
+   * [[graft.ops.Experiment.sprt]] contract.
+   *
+   * Scale shape: a narrow projection over the candidate-pair stream —
+   * the expensive part is pair GENERATION, which stays with the capped
+   * blocking joins ([[fuzzyPairs]], [[Dedup]] LSH). Composes:
+   * fuzzyPairs → attribute join → fsScore → [[Dedup.dedupGroups]] on
+   * the accepted matches → [[goldenRecord]].
+   */
+  def fsScore(pairs: DataFrame, fields: Seq[(String, Double, Double)],
+      lower: Double, upper: Double): DataFrame = {
+    require(lower <= upper, "need lower <= upper")
+    val ws = fsWeights(fields)
+    val weight = fields.zip(ws).map { case ((c, _, _), (wa, wd)) =>
+      when(col(c) === true, lit(wa))
+        .when(col(c) === false, lit(wd))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    pairs.withColumn("fs_weight", round(weight, 6))
+      .withColumn("fs_class",
+        when(col("fs_weight") >= upper, lit("match"))
+          .when(col("fs_weight") < lower, lit("non_match"))
+          .otherwise(lit("possible")))
+  }
+
+  /** The per-field (agree, disagree) log-weights of [[fsScore]] —
+    * shared with external oracles so both engines sum identical
+    * literals. */
+  def fsWeights(fields: Seq[(String, Double, Double)]): Seq[(Double, Double)] = {
+    fields.foreach { case (c, m, u) =>
+      require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+        s"field $c: need 0 < u < m < 1")
+    }
+    fields.map { case (_, m, u) =>
+      (math.log(m / u), math.log((1 - m) / (1 - u)))
+    }
+  }
+
+  /**
    * Golden-record survivorship: collapse the duplicate rows of an
    * entity into ONE canonical row with per-field conflict resolution —
    * the merge step that follows [[canonicalize]] / [[Dedup.dedupGroups]]

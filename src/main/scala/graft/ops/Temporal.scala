@@ -660,6 +660,54 @@ object Temporal {
   }
 
   /**
+   * Backtest the first-order Markov next-event model: fit
+   * [[markovTransitions]] on a FIT slice (typically the earlier
+   * period), predict each state's most likely successor, and score
+   * top-1 accuracy over the SCORE slice's actual handoffs — the
+   * honesty check a journey model owes its users before its
+   * probabilities drive anything ("does 'view→purchase is most likely'
+   * actually hold out of sample"). The argmax breaks ties on the
+   * exact COUNT (not the rounded probability) then min to_state, so
+   * the predicted table is engine-stable.
+   *
+   * Output: one row per from_state seen in the score slice —
+   * `from_state, predicted, n_scored, n_hits, accuracy` (6 dp;
+   * predicted/hits null/0 for states absent from the fit slice).
+   * Scale shape: two lead windows (one per slice, each ONE key
+   * shuffle), the model is state²-grain and broadcasts back onto the
+   * state-grain scored aggregate.
+   */
+  def markovBacktest(fit: DataFrame, score: DataFrame, keys: Seq[String],
+      tsCol: String, stateCol: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val model = markovTransitions(fit, keys, tsCol, stateCol, tiebreak)
+    val best = Window.partitionBy(col("from_state"))
+      .orderBy(col("n").desc, col("to_state").asc)
+    val predicted = model
+      .withColumn("__r", row_number().over(best))
+      .filter(col("__r") === 1)
+      .select(col("from_state"), col("to_state").as("predicted"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    val handoffs = score
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull && col(stateCol).isNotNull)
+      .select(col(stateCol).as("from_state"), col("__next"))
+    handoffs.join(broadcast(predicted), Seq("from_state"), "left")
+      .groupBy(col("from_state"))
+      .agg(first(col("predicted")).as("predicted"),
+        count(lit(1)).as("n_scored"),
+        sum(when(col("__next") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hits"))
+      // hits/scored is an integer-grid ratio: quantize half-up in exact
+      // integer arithmetic (the seasonalNaiveBacktest pattern) — a double
+      // round hits the half-micro boundary with probability ~1/n
+      .withColumn("accuracy",
+        expr("(n_hits * 2000000 + n_scored) div (n_scored * 2)")
+          .cast("double") / 1e6)
+  }
+
+  /**
    * Frequent event n-grams: every length-`n` run of consecutive states
    * per entity, counted corpus-wide — the sequence-mining complement of
    * [[markovTransitions]] (n = 2 recovers its counts). `minCount`

@@ -174,6 +174,53 @@ object MiningQ extends QueryGroup {
               |  ROUND(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
               |FROM kk WHERE rnk <= 5""".stripMargin)),
 
+    // Fellegi-Sunter record-linkage scoring over fuzzy name pairs:
+    // declared (m, u) per field, per-field log-weights JVM-computed and
+    // injected into the oracle as literals (the SPRT contract). The
+    // oracle regenerates the candidate pairs by brute levenshtein - the
+    // Spark side's length blocking is an optimization, not a semantic.
+    QueryDef("q_fs_score", (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      val pairs = graft.ops.Fuzzy.fuzzyPairs(cust, "c_name", 1)
+      val a = cust.select(col("c_name").as("name_a"),
+        col("c_nationkey").as("__na"), col("c_mktsegment").as("__sa"))
+      val b = cust.select(col("c_name").as("name_b"),
+        col("c_nationkey").as("__nb"), col("c_mktsegment").as("__sb"))
+      graft.ops.Fuzzy.fsScore(
+        pairs.join(a, "name_a").join(b, "name_b")
+          .withColumn("nation_agree", col("__na") === col("__nb"))
+          .withColumn("segment_agree", col("__sa") === col("__sb")),
+        Seq(("nation_agree", 0.95, 0.04), ("segment_agree", 0.9, 0.2)),
+        lower = 0.0, upper = 3.0)
+        .select("name_a", "name_b", "nation_agree", "segment_agree",
+          "fs_weight", "fs_class")
+    }, {
+      val Seq((wa1, wd1), (wa2, wd2)) = graft.ops.Fuzzy.fsWeights(
+        Seq(("nation_agree", 0.95, 0.04), ("segment_agree", 0.9, 0.2)))
+      Some(s"""WITH c AS (SELECT c_name, c_nationkey, c_mktsegment
+              |  FROM customer),
+              |p AS (SELECT a.c_name AS name_a, b.c_name AS name_b,
+              |    a.c_nationkey = b.c_nationkey AS nation_agree,
+              |    a.c_mktsegment = b.c_mktsegment AS segment_agree
+              |  FROM c a JOIN c b ON a.c_name < b.c_name
+              |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+              |w AS (SELECT *, ROUND(
+              |    (CASE WHEN nation_agree
+              |          THEN CAST(${f"$wa1%.17g"} AS DOUBLE)
+              |          ELSE CAST(${f"$wd1%.17g"} AS DOUBLE) END) +
+              |    (CASE WHEN segment_agree
+              |          THEN CAST(${f"$wa2%.17g"} AS DOUBLE)
+              |          ELSE CAST(${f"$wd2%.17g"} AS DOUBLE) END), 6)
+              |    AS fs_weight
+              |  FROM p)
+              |SELECT name_a, name_b, nation_agree, segment_agree, fs_weight,
+              |  CASE WHEN fs_weight >= 3.0 THEN 'match'
+              |       WHEN fs_weight < 0.0 THEN 'non_match'
+              |       ELSE 'possible' END AS fs_class
+              |FROM w""".stripMargin)
+    }),
+
     // Serve recommendations through the item graph: summed exact
     // micro-unit neighbor similarity over each user's history,
     // already-seen items excluded, top-3 per user.

@@ -1010,6 +1010,41 @@ object TemporalQ extends QueryGroup {
              |  ROUND(ph, 6) AS ph_stat, ROUND(ph, 6) > 400.0 AS alarm
              |FROM p""".stripMargin)),
 
+    // Markov next-event backtest: fit the transition matrix on the first
+    // half of January, score top-1 accuracy on the second half. Argmax
+    // ties break on the exact count then min successor.
+    QueryDef("q_markov_backtest",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        Temporal.markovBacktest(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          keys = Seq("user_id"), tsCol = "ts", stateCol = "event_type",
+          tiebreak = Seq("event_id"))
+      },
+      Some("""WITH ft AS (SELECT event_type AS a,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS b
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+             |c AS (SELECT a, b, COUNT(*) AS n FROM ft
+             |  WHERE b IS NOT NULL GROUP BY 1, 2),
+             |pr AS (SELECT a, b FROM (SELECT a, b, ROW_NUMBER() OVER (
+             |    PARTITION BY a ORDER BY n DESC, b ASC) AS r FROM c)
+             |  WHERE r = 1),
+             |st AS (SELECT event_type AS a,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS b
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+             |h AS (SELECT a, b FROM st WHERE b IS NOT NULL)
+             |SELECT h.a AS from_state, ANY_VALUE(pr.b) AS predicted,
+             |  COUNT(*) AS n_scored,
+             |  CAST(SUM(CASE WHEN h.b = pr.b THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_hits,
+             |  CAST((SUM(CASE WHEN h.b = pr.b THEN 1 ELSE 0 END) * 2000000
+             |        + COUNT(*)) // (COUNT(*) * 2) AS DOUBLE) / 1e6
+             |    AS accuracy
+             |FROM h LEFT JOIN pr ON pr.a = h.a GROUP BY 1""".stripMargin)),
+
     // Classical additive decomposition (period 7): centered-MA trend,
     // re-centered per-phase seasonal means, remainder. The monitor
     // decomposition that removes a MOVING trend before scoring.

@@ -107,6 +107,26 @@ class MiningSpec extends SparkSpec {
     assert(capped == out)
   }
 
+  test("fsScore: hand weights, missing fields contribute zero, classes split") {
+    import graft.ops.Fuzzy
+    val fields = Seq(("f1", 0.9, 0.1), ("f2", 0.8, 0.2))
+    val Seq((wa1, wd1), (wa2, wd2)) = Fuzzy.fsWeights(fields)
+    assert(math.abs(wa1 - math.log(9.0)) < 1e-12)
+    assert(math.abs(wd1 - math.log(0.1 / 0.9)) < 1e-12)
+    val pairs = Seq(
+      (1, Some(true), Some(true)),   // both agree: wa1+wa2 ~ 3.58 -> match
+      (2, Some(true), Some(false)),  // 2.197 - 1.386 ~ 0.81 -> possible
+      (3, Some(false), Some(false)), // ~ -3.58 -> non_match
+      (4, None, Some(true)))         // missing f1 -> just wa2 ~ 1.386
+      .toDF("id", "f1", "f2")
+    val out = Fuzzy.fsScore(pairs, fields, lower = 0.0, upper = 3.0)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getAs[Double]("fs_weight"), r.getAs[String]("fs_class")))).toMap
+    assert(math.abs(out(1)._1 - (wa1 + wa2)) < 1e-6 && out(1)._2 == "match")
+    assert(out(2)._2 == "possible" && out(3)._2 == "non_match")
+    assert(math.abs(out(4)._1 - wa2) < 1e-6 && out(4)._2 == "possible")
+  }
+
   test("recommendForUsers: seen items excluded, score sums micro-cos") {
     val r = Seq((1, 1L), (1, 2L), (2, 1L), (2, 2L), (3, 1L), (3, 3L))
       .toDF("u", "i")

@@ -540,6 +540,27 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.logRank(cen, "g", "a", "b", "t", "ev").head().isNullAt(5))
   }
 
+  test("markovBacktest: argmax on counts, out-of-sample accuracy, unseen states") {
+    import org.apache.spark.sql.functions._
+    // fit: a->b twice, a->c once => predicted(a)=b; b->a always
+    val fit = Seq(("k", 1, "a"), ("k", 2, "b"), ("k", 3, "a"), ("k", 4, "b"),
+      ("k", 5, "a"), ("k", 6, "c")).toDF("k", "t", "s")
+    // score: a->b, a->c, b->a; also a state z the fit never saw: z->a
+    val score = Seq(("k", 1, "a"), ("k", 2, "b"), ("k", 3, "a"), ("k", 4, "c"),
+      ("k2", 1, "z"), ("k2", 2, "a"))
+      .toDF("k", "t", "s")
+    val out = graft.ops.Temporal.markovBacktest(fit, score, Seq("k"), "t", "s")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[String]("predicted") == "b")
+    // a's handoffs in score: a->b (hit), a->c (miss), a->z? no: k2 a is last
+    assert(out("a").getAs[Long]("n_scored") == 2)
+    assert(out("a").getAs[Long]("n_hits") == 1)
+    assert(out("a").getAs[Double]("accuracy") == 0.5)
+    // unseen state z: no prediction, zero hits, accuracy 0
+    assert(out("z").isNullAt(out("z").fieldIndex("predicted")))
+    assert(out("z").getAs[Long]("n_hits") == 0)
+  }
+
   test("pageHinkley: self-baselined drift fires on the shifted arm only") {
     import org.apache.spark.sql.functions._
     // flat series never alarms; a level shift after 20 points does
