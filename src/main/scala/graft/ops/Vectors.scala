@@ -188,6 +188,51 @@ object Vectors {
           .otherwise(lit(0.0)), 6).as("norm_kept"))
   }
 
+  /**
+   * Nearest-centroid (Rocchio) classification over an embedding column:
+   * fit = one dimension-wise mean per label, predict = cosine argmax
+   * against the ≤|labels| centroids — the fastest useful baseline for
+   * "label the corpus by embedding" (weak-supervision seed labels,
+   * drift-audit of a trained classifier, per-cluster naming), and at
+   * 100 TB the fit is ONE aggregate pass and serving is a broadcast of
+   * a labels×dim table onto a narrow scan — no per-pair join at all.
+   *
+   * Determinism: centroid components round to 6 dp BEFORE scoring
+   * (partial-agg mean order differs in the last ulp across engines; the
+   * rounded fit is the shared artifact — the [[icpOrderInBuckets]]
+   * contract), the argmax orders on the ROUNDED cosine with a label
+   * tiebreak, and degenerate zero-norm scores sort below every real one.
+   *
+   * Output: one row per test vector — idCol, `label` (true), `predicted`,
+   * `cos` (6 dp; null when either norm is 0).
+   */
+  def nearestCentroid(train: DataFrame, test: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val dimsOf = (df: DataFrame) => df.select(col(labelCol).as("__lbl"),
+      posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("__d", "__x")))
+    val cents = dimsOf(train)
+      .groupBy(col("__lbl"), col("__d"))
+      .agg(round(avg(col("__x")), 6).as("__c"))
+      .groupBy(col("__lbl"))
+      .agg(transform(sort_array(collect_list(struct(col("__d"), col("__c")))),
+        s => s.getField("__c")).as("__cv"))
+    val te = test.select(col(idCol),
+      col(labelCol).cast("long").as("label"),
+      transform(col(vecCol), x => x.cast("double")).as("__tv"))
+    val cosR = round(dot(col("__tv"), col("__cv")) /
+      (norm(col("__tv")) * norm(col("__cv"))), 6)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(coalesce(col("__cos"), lit(-2.0)).desc, col("__lbl").asc)
+    te.crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        when(norm(col("__tv")) > 0 && norm(col("__cv")) > 0, cosR))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("label"),
+        col("__lbl").cast("long").as("predicted"), col("__cos").as("cos"))
+  }
+
   /** One MMR input candidate: query, candidate, relevance, embedding. */
   final case class MmrCand(qid: Long, cid: Long, rel: Double,
       embedding: Seq[Float])

@@ -174,6 +174,44 @@ object MiningQ extends QueryGroup {
               |  ROUND(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
               |FROM kk WHERE rnk <= 5""".stripMargin)),
 
+    // Nearest-centroid (Rocchio) classification: fit on the 4/5 train
+    // split, cosine-argmax the held-out fifth against the 10 label
+    // centroids (components rounded 6 dp BEFORE scoring on both engines,
+    // so the argmax order is engine-stable).
+    QueryDef("q_nearest_centroid",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Vectors.nearestCentroid(
+          e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", "label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    embedding::DOUBLE[] AS v FROM embeddings),
+             |tr AS (SELECT label, i - 1 AS d, v[CAST(i AS INT)] AS x
+             |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+             |  WHERE vec_id % 5 <> 0),
+             |c AS (SELECT label AS cand, d, ROUND(AVG(x), 6) AS cv
+             |  FROM tr GROUP BY 1, 2),
+             |td AS (SELECT vec_id, label, i - 1 AS d,
+             |    v[CAST(i AS INT)] AS x
+             |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+             |  WHERE vec_id % 5 = 0),
+             |sc AS (SELECT td.vec_id, td.label, c.cand,
+             |    SUM(td.x * c.cv) AS dp,
+             |    sqrt(SUM(td.x * td.x)) AS nt, sqrt(SUM(c.cv * c.cv)) AS nc
+             |  FROM td JOIN c USING(d) GROUP BY 1, 2, 3),
+             |r AS (SELECT vec_id, label, cand,
+             |    CASE WHEN nt > 0 AND nc > 0
+             |         THEN ROUND(dp / (nt * nc), 6) END AS cos,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+             |      COALESCE(CASE WHEN nt > 0 AND nc > 0
+             |               THEN ROUND(dp / (nt * nc), 6) END, -2.0) DESC,
+             |      cand ASC) AS rnk
+             |  FROM sc)
+             |SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |  CAST(cand AS BIGINT) AS predicted, cos
+             |FROM r WHERE rnk = 1""".stripMargin)),
+
     // Fellegi-Sunter record-linkage scoring over fuzzy name pairs:
     // declared (m, u) per field, per-field log-weights JVM-computed and
     // injected into the oracle as literals (the SPRT contract). The

@@ -529,15 +529,34 @@ object Planners {
    */
   def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95,
-      idCols: Seq[String] = Nil): DataFrame = {
+      idCols: Seq[String] = Nil): DataFrame =
+    winsorizeApply(df, winsorizeFit(df, keys, valueCol, pLo, pHi),
+      keys, valueCol, idCols)
+
+  /** The [[winsorize]] fit artifact: one (keys, lo, hi) row per group —
+    * persist it and serve live data through [[winsorizeApply]] /
+    * [[graft.streaming.EventStream.streamingWinsorize]] (the
+    * seasonalProfile/seasonalScore pattern: fit offline, clamp on the
+    * stream with ZERO state). */
+  def winsorizeFit(df: DataFrame, keys: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
     val v = col(valueCol).cast("double")
-    val rows = df.filter(v.isNotNull)
-    val qs = rows.groupBy(keys.map(col): _*)
-      .agg(expr(s"percentile($valueCol, $pLo)").as("__lo"),
-        expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    df.filter(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
+        expr(s"percentile($valueCol, $pHi)").as("hi"))
+  }
+
+  /** Clamp rows against a [[winsorizeFit]] bounds table — a broadcast
+    * join + narrow projection, append-mode legal on a stream. */
+  def winsorizeApply(df: DataFrame, bounds: DataFrame, keys: Seq[String],
+      valueCol: String, idCols: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val qs = bounds.select(keys.map(col) ++
+      Seq(col("lo").as("__lo"), col("hi").as("__hi")): _*)
     val clamped = least(greatest(v, col("__lo")), col("__hi"))
-    rows.join(broadcast(qs), keys)
+    df.filter(v.isNotNull).join(broadcast(qs), keys)
       .select((keys ++ idCols).distinct.map(col) ++ Seq(
         v.as("value"),
         round(clamped, 6).as("value_w"),

@@ -934,6 +934,22 @@ object EventStream {
     graft.ops.Temporal.seasonalScore(events, tsCol, valueCol, profile,
       threshold, minBucket, idCols)
 
+  /**
+   * Streaming winsorization against a FROZEN [[graft.stats.Planners
+   * .winsorizeFit]] bounds table — the live clamp gate: fit the
+   * per-group p05/p95 on a reference period offline, persist it, and
+   * clamp arriving metrics with ZERO state (stream-static broadcast
+   * join + narrow projection, append-mode legal — the
+   * [[streamingSeasonalAnomalies]] pattern). Batch parity with
+   * [[graft.stats.Planners.winsorizeApply]] is structural: it IS the
+   * same operator applied to the stream.
+   */
+  def streamingWinsorize(events: DataFrame, bounds: DataFrame,
+      keys: Seq[String], valueCol: String,
+      idCols: Seq[String] = Nil): DataFrame =
+    graft.stats.Planners.winsorizeApply(events, bounds, keys, valueCol,
+      idCols)
+
   final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
   final case class BucketState(members: List[(Long, Seq[Long])])
   final case class NearDup(doc_a: Long, doc_b: Long, band: Int, jhat: Double)

@@ -107,6 +107,34 @@ class MiningSpec extends SparkSpec {
     assert(capped == out)
   }
 
+  test("nearestCentroid: separable clusters classify perfectly; ties break on label") {
+    import graft.ops.Vectors
+    // two orthogonal clusters with small within-cluster jitter
+    def v(main: Int, eps: Float) = {
+      val a = Array.fill(4)(0.0f); a(main) = 1.0f; a(3) = eps; a.toSeq
+    }
+    val train = Seq((1L, 0L, v(0, 0.1f)), (2L, 0L, v(0, -0.1f)),
+      (3L, 1L, v(1, 0.1f)), (4L, 1L, v(1, -0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val test = Seq((10L, 0L, v(0, 0.05f)), (11L, 1L, v(1, 0.02f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Vectors.nearestCentroid(train, test, "vec_id", "embedding",
+      "label").collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getAs[Double]("cos")))).toMap
+    assert(out(10L)._1 == 0L && out(10L)._2 == 0L)
+    assert(out(11L)._1 == 1L && out(11L)._2 == 1L)
+    assert(out.values.forall(_._3 > 0.9))
+    // a test vector equidistant from both centroids ties -> min label wins
+    val mid = Seq((20L, 9L, Seq(0.5f, 0.5f, 0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val tie = Vectors.nearestCentroid(
+      Seq((1L, 0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+        (2L, 1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "label", "embedding"),
+      mid, "vec_id", "embedding", "label").collect().head
+    assert(tie.getLong(2) == 0L)
+  }
+
   test("fsScore: hand weights, missing fields contribute zero, classes split") {
     import graft.ops.Fuzzy
     val fields = Seq(("f1", 0.9, 0.1), ("f2", 0.8, 0.2))

@@ -260,6 +260,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming winsorize against frozen bounds equals the batch clamp") {
+    import graft.stats.Planners
+    val batchEv = graft.core.Tables.load(spark, sf, "events")
+    val bounds = Planners.winsorizeFit(batchEv, Seq("event_type"), "value",
+      0.05, 0.95)
+    val out = EventStream.streamingWinsorize(
+      EventStream.readEvents(spark, streamDir), bounds,
+      Seq("event_type"), "value", idCols = Seq("event_id"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wins_stream").start()
+    try {
+      q.processAllAvailable()
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+      val got = spark.sql(
+        "SELECT event_id, value, value_w, clipped FROM wins_stream")
+        .collect().map(tup).toSet
+      val batch = Planners.winsorizeApply(batchEv, bounds,
+          Seq("event_type"), "value", idCols = Seq("event_id"))
+        .select("event_id", "value", "value_w", "clipped")
+        .collect().map(tup).toSet
+      assert(got == batch && got.nonEmpty, "stream/batch parity")
+      assert(batch.exists(_._4), "fixture must clip at least one row")
+    } finally q.stop()
+  }
+
   test("session windows over the stream match the batch session_window rows") {
     val stream = EventStream.sessionStats(
       EventStream.readEvents(spark, streamDir), gap = "6 hours")
