@@ -50,8 +50,12 @@ object Experiment {
     val fit = units.agg(
       covar_samp(x, y).as("__cov"), var_samp(x).as("__varx"),
       avg(x).as("__mx"))
+    // A constant pre-metric carries no information: theta degrades to 0
+    // (no adjustment) instead of a null-propagating 0/0.
     val withTheta = units.crossJoin(broadcast(fit))
-      .withColumn("__theta", col("__cov") / col("__varx"))
+      .withColumn("__theta",
+        when(col("__varx") > 0, col("__cov") / col("__varx"))
+          .otherwise(lit(0.0)))
       .withColumn("__adj", y - col("__theta") * (x - col("__mx")))
     withTheta.groupBy(col(armCol).as("arm"))
       .agg(

@@ -84,8 +84,10 @@ object ExperimentQ extends QueryGroup {
               |f AS (SELECT covar_samp(pre, post) AS cov,
               |    var_samp(pre) AS varx, AVG(pre) AS mx FROM m),
               |a AS (SELECT m.arm, m.post,
-              |    m.post - (f.cov / f.varx) * (m.pre - f.mx) AS adj,
-              |    f.cov / f.varx AS theta
+              |    m.post - (CASE WHEN f.varx > 0 THEN f.cov / f.varx
+              |              ELSE 0.0 END) * (m.pre - f.mx) AS adj,
+              |    CASE WHEN f.varx > 0 THEN f.cov / f.varx
+              |         ELSE 0.0 END AS theta
               |  FROM m CROSS JOIN f)
               |SELECT arm, COUNT(*) AS n,
               |  ROUND(AVG(post), 6) AS mean_post,

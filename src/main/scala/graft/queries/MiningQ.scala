@@ -17,6 +17,17 @@ object MiningQ extends QueryGroup {
   /** Events CF fixture: item = the JSON props "k" field (0..99). */
   private val ItemSql = "CAST(props->>'k' AS BIGINT)"
 
+  /** md5 16-bit value of an id expression, DuckDB side (LlmOps twin). */
+  private def md5Val16Sql(idExpr: String): String = {
+    val h = s"md5(CAST($idExpr AS VARCHAR))"
+    def nib(k: Int) = s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1)"
+    s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+  }
+
+  /** md5 16-bit value, Spark side. */
+  private def md5Val16(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+
   /** The q_item_cf oracle CTE chain, shared by q_item_recs. */
   private val cfSql =
     s"""r AS (SELECT DISTINCT user_id AS u, $ItemSql AS i
@@ -173,6 +184,41 @@ object MiningQ extends QueryGroup {
               |SELECT item, neighbor, CAST(n_common AS BIGINT) AS n_common,
               |  ROUND(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
               |FROM kk WHERE rnk <= 5""".stripMargin)),
+
+    // Benjamini-Hochberg FDR over a 200-hypothesis battery: uniform
+    // hash-derived p-values with every 10th hypothesis planted 1000x
+    // stronger, so the step-up rule has real rejections to make. The
+    // q-values round to 6 dp before the alpha comparison on BOTH
+    // engines, so a verdict cannot flip on a last-ulp product.
+    QueryDef("q_bh_fdr",
+      (s, dir) => Planners.bhFdr(
+        Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select(col("c_custkey").as("test_id"),
+            (md5Val16(concat(col("c_custkey").cast("string"), lit("#p")))
+              .cast("double") / lit(65536.0) /
+              when(col("c_custkey") % 10 === 0, lit(1000.0))
+                .otherwise(lit(1.0))).as("p_value")),
+        "test_id", "p_value", alpha = 0.05),
+      Some(s"""WITH h AS (SELECT c_custkey AS test_id,
+              |    (${md5Val16Sql("CAST(c_custkey AS VARCHAR) || '#p'")}
+              |     / 65536.0) /
+              |    (CASE WHEN c_custkey % 10 = 0 THEN 1000.0 ELSE 1.0 END)
+              |      AS p
+              |  FROM customer WHERE c_custkey <= 200),
+              |r AS (SELECT test_id, p,
+              |    CAST(ROW_NUMBER() OVER (ORDER BY p, test_id) AS BIGINT)
+              |      AS rank,
+              |    COUNT(*) OVER () AS n
+              |  FROM h),
+              |q AS (SELECT test_id, p, rank,
+              |    ROUND(LEAST(MIN(p * n / rank) OVER (ORDER BY rank DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |      1.0), 6) AS q
+              |  FROM r)
+              |SELECT test_id, ROUND(p, 6) AS p, rank, q,
+              |  q <= 0.05 AS reject
+              |FROM q""".stripMargin)),
 
     // Nearest-centroid (Rocchio) classification: fit on the 4/5 train
     // split, cosine-argmax the held-out fifth against the 10 label

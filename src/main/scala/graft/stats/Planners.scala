@@ -548,6 +548,43 @@ object Planners {
         expr(s"percentile($valueCol, $pHi)").as("hi"))
   }
 
+  /**
+   * Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995) over
+   * a battery of p-values — the multiple-testing closer for this stats
+   * family: once [[welchT]]/[[chi2]]/[[mannWhitneyU]]/
+   * [[graft.ops.Experiment.srmCheck]] run per segment×metric, dozens of
+   * raw p < 0.05 "findings" are expected under the null; BH controls
+   * the expected FALSE-DISCOVERY fraction instead. q_i =
+   * min_{j ≥ i}(p_(j)·n/j) over the ascending-p ranks, reject when
+   * q ≤ alpha (the step-up rule, in its monotone adjusted-q form).
+   *
+   * Determinism: rank breaks p-ties on `idCol`; q rounds to 6 dp before
+   * the alpha comparison so the verdict cannot flip on a last-ulp
+   * product difference. Output: idCol, p, rank, q (6 dp), reject.
+   *
+   * Scale shape: a battery is hypotheses-grain (thousands of rows at
+   * most) — one global-order window pass (ascending for ranks, a
+   * cumulative min taken from the tail) is the entire job.
+   */
+  def bhFdr(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val p = col(pCol).cast("double")
+    val rows = df.filter(p.isNotNull)
+    val up = Window.orderBy(p.asc, col(idCol).asc)
+    val fromTail = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    rows
+      .withColumn("rank", row_number().over(up).cast("long"))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__raw", p * col("__n") / col("rank"))
+      .withColumn("q", round(least(min(col("__raw")).over(fromTail),
+        lit(1.0)), 6))
+      .select(col(idCol), round(p, 6).as("p"), col("rank"), col("q"),
+        (col("q") <= alpha).as("reject"))
+  }
+
   /** Clamp rows against a [[winsorizeFit]] bounds table — a broadcast
     * join + narrow projection, append-mode legal on a stream. */
   def winsorizeApply(df: DataFrame, bounds: DataFrame, keys: Seq[String],

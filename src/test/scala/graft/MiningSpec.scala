@@ -107,6 +107,29 @@ class MiningSpec extends SparkSpec {
     assert(capped == out)
   }
 
+  test("bhFdr: hand-computed q-values, monotone, planted signals reject") {
+    // classic worked example: p = .01, .02, .03, .04, .05 over n=5
+    // raw = .05, .05, .05, .05, .05 -> q all .05, all reject at alpha=.05
+    val even = (1 to 5).map(i => (i, i * 0.01)).toDF("id", "p")
+    val out1 = Planners.bhFdr(even, "id", "p", alpha = 0.05).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out1.values.forall(_.getAs[Double]("q") == 0.05))
+    assert(out1.values.forall(_.getAs[Boolean]("reject")))
+    // one strong signal among uniform noise: only it survives
+    val mixed = (Seq((0, 0.0001)) ++ (1 to 9).map(i => (i, 0.1 * i)))
+      .toDF("id", "p")
+    val out2 = Planners.bhFdr(mixed, "id", "p", alpha = 0.05).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out2(0).getAs[Boolean]("reject"))
+    assert(math.abs(out2(0).getAs[Double]("q") - 0.001) < 1e-9)
+    assert((1 to 9).forall(i => !out2(i).getAs[Boolean]("reject")))
+    // q is monotone nondecreasing in rank and capped at 1
+    val qs = out2.values.toSeq.sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Double]("q"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a })
+    assert(qs.forall(_ <= 1.0))
+  }
+
   test("nearestCentroid: separable clusters classify perfectly; ties break on label") {
     import graft.ops.Vectors
     // two orthogonal clusters with small within-cluster jitter
