@@ -207,17 +207,33 @@ object Vectors {
    * `cos` (6 dp; null when either norm is 0).
    */
   def nearestCentroid(train: DataFrame, test: DataFrame, idCol: String,
-      vecCol: String, labelCol: String): DataFrame = {
-    val dimsOf = (df: DataFrame) => df.select(col(labelCol).as("__lbl"),
-      posexplode(transform(col(vecCol), x => x.cast("double")))
-        .as(Seq("__d", "__x")))
-    val cents = dimsOf(train)
-      .groupBy(col("__lbl"), col("__d"))
+      vecCol: String, labelCol: String): DataFrame =
+    centroidApply(test, centroidFit(train, vecCol, labelCol),
+      idCol, vecCol, labelCol)
+
+  /** The [[nearestCentroid]] fit artifact: one (`label`, `centroid`)
+    * row per label, components 6-dp rounded — persist it and serve live
+    * vectors through [[centroidApply]] /
+    * [[graft.streaming.EventStream.streamingClassify]] with ZERO state
+    * (the winsorizeFit / seasonalProfile pattern). */
+  def centroidFit(train: DataFrame, vecCol: String,
+      labelCol: String): DataFrame =
+    train.select(col(labelCol).as("label"),
+        posexplode(transform(col(vecCol), x => x.cast("double")))
+          .as(Seq("__d", "__x")))
+      .groupBy(col("label"), col("__d"))
       .agg(round(avg(col("__x")), 6).as("__c"))
-      .groupBy(col("__lbl"))
+      .groupBy(col("label"))
       .agg(transform(sort_array(collect_list(struct(col("__d"), col("__c")))),
-        s => s.getField("__c")).as("__cv"))
-    val te = test.select(col(idCol),
+        s => s.getField("__c")).as("centroid"))
+
+  /** Cosine-argmax rows against a [[centroidFit]] table — a labels-sized
+    * broadcast + narrow scoring projection, append-mode legal. */
+  def centroidApply(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val cents = centroids.select(col("label").as("__lbl"),
+      col("centroid").as("__cv"))
+    val te = df.select(col(idCol),
       col(labelCol).cast("long").as("label"),
       transform(col(vecCol), x => x.cast("double")).as("__tv"))
     val cosR = round(dot(col("__tv"), col("__cv")) /

@@ -950,6 +950,49 @@ object EventStream {
     graft.stats.Planners.winsorizeApply(events, bounds, keys, valueCol,
       idCols)
 
+  /**
+   * Streaming nearest-centroid classification against a FROZEN
+   * [[graft.ops.Vectors.centroidFit]] artifact, collected to the driver
+   * (labels×dim — a bounded fit table, the sanctioned collect) and
+   * embedded as plan literals: the batch twin's per-id argmax WINDOW is
+   * not append-legal on a stream, so the argmax folds over the literal
+   * centroid list row-locally instead (the seedAssignLiteral precedent —
+   * label count is serving-catalog-sized). Iteration runs in ascending
+   * label order with strict-greater replacement, so ties keep the
+   * smallest label exactly like the batch tie-break; zero-norm scores
+   * enter as −2 exactly like the batch coalesce. Batch parity is
+   * spec-checked row for row.
+   */
+  def streamingClassify(df: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], idCol: String, vecCol: String,
+      labelCol: Option[String] = None): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    import graft.ops.Vectors.{dot, norm}
+    val sorted = centroids.sortBy(_._1)
+    val tv = transform(col(vecCol), x => x.cast("double"))
+    def scoreOf(cv: Seq[Double]): org.apache.spark.sql.Column = {
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      val c = lit(cv.toArray)
+      if (n == 0) lit(-2.0)
+      else coalesce(
+        when(norm(tv) > 0, round(dot(tv, c) / (norm(tv) * lit(n)), 6)),
+        lit(-2.0))
+    }
+    val best = sorted.tail.foldLeft(
+      struct(lit(sorted.head._1).as("l"), scoreOf(sorted.head._2).as("c"))) {
+      case (acc, (lbl, cv)) =>
+        val s = scoreOf(cv)
+        when(s > acc.getField("c"),
+          struct(lit(lbl).as("l"), s.as("c"))).otherwise(acc)
+    }
+    val keep = Seq(col(idCol)) ++
+      labelCol.map(c => col(c).cast("long").as("label")).toSeq
+    df.withColumn("__best", best)
+      .select(keep ++ Seq(
+        col("__best.l").cast("long").as("predicted"),
+        when(col("__best.c") > -2.0, col("__best.c")).as("cos")): _*)
+  }
+
   final case class BandDoc(doc_id: Long, bkey: String, minhash: Seq[Long])
   final case class BucketState(members: List[(Long, Seq[Long])])
   final case class NearDup(doc_a: Long, doc_b: Long, band: Int, jhat: Double)

@@ -679,6 +679,24 @@ class PlanShapeSpec extends SparkSpec {
       s"the quantile join must not degrade to sort-merge:\n$p")
   }
 
+  test("q_nearest_centroid: the labels x dim fit broadcasts; no per-pair shuffle join") {
+    val p = plan("q_nearest_centroid")
+    // the centroid table reaches the test vectors as the sanctioned
+    // category-grain broadcast cross join
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.size == 1,
+      s"expected the centroid-table broadcast:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      s"scoring must never shuffle test vectors against centroids:\n$p")
+  }
+
+  test("q_markov_backtest: the state-square model broadcasts onto the handoffs") {
+    val p = plan("q_markov_backtest")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 1,
+      s"expected the predicted-successor table broadcast:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      s"the model join must not sort-merge the handoff stream:\n$p")
+  }
+
   test("q_quantile_normalize: rank runs at distinct-value grain; grid broadcasts") {
     val p = plan("q_quantile_normalize")
     // the global percentile grid reaches the rows as a broadcast (the

@@ -1378,6 +1378,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming nearest-centroid serve equals the batch classifier row for row") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Vectors
+    val emb = graft.core.Tables.load(spark, sf, "embeddings")
+    val fit = Vectors.centroidFit(emb.filter(col("vec_id") % 5 =!= 0),
+      "embedding", "label")
+    // the frozen fit collects to labels x dim — the bounded artifact
+    val cents = fit.collect().map(r =>
+      r.getAs[Number](0).longValue -> r.getSeq[Double](1)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_emb_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val stream = spark.readStream.schema(emb.schema)
+      .parquet(dir.toString).filter(col("vec_id") % 5 === 0)
+    val out = EventStream.streamingClassify(stream, cents,
+      "vec_id", "embedding", labelCol = Some("label"))
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("classify_stream").start()
+    try {
+      q.processAllAvailable()
+      def tup(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), Option(r.get(3)).map(_.toString).orNull)
+      val got = spark.sql(
+        "SELECT vec_id, label, predicted, cos FROM classify_stream")
+        .collect().map(tup).toSet
+      val batch = Vectors.centroidApply(emb.filter(col("vec_id") % 5 === 0),
+          fit, "vec_id", "embedding", "label")
+        .collect().map(tup).toSet
+      assert(got == batch && got.nonEmpty, "stream/batch parity")
+    } finally q.stop()
+  }
+
   test("streaming SPRT matches the batch test per key; decisions freeze") {
     import org.apache.spark.sql.functions._
     val ev = EventStream.readEvents(spark, streamDir)
