@@ -660,6 +660,95 @@ object Temporal {
   }
 
   /**
+   * Exact Shapley-value channel attribution (Shapley 1953; the
+   * data-driven attribution standard — position rules like
+   * [[attribution]]'s first/last/linear/decay answer "who touched",
+   * Shapley answers "who CAUSED", crediting each channel its average
+   * marginal contribution over every coalition order). The
+   * characteristic function is the standard journey-subset form:
+   * v(S) = number of conversions whose pre-conversion touched-channel
+   * set ⊆ S, so φᵢ = Σ_{S ∌ i} |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)).
+   *
+   * EXACT, not sampled — and still cheap, because the 2ⁿ enumeration
+   * happens over the CHANNEL universe (marketing channels are ≤ ~10),
+   * not the data: journeys aggregate to at most 2ⁿ set-count rows, the
+   * subset lattice and the factorial weights are built in the JVM and
+   * enter the plan as literal tables, and everything after the one
+   * event-grain aggregate is 2ⁿ-sized arithmetic. Conversions with no
+   * prior touches add the same constant to every v(S), so the marginal
+   * differences — and therefore every φᵢ — are unchanged whether they
+   * are counted or (as here) dropped at the touch filter.
+   *
+   * Output: one row per channel — `channel`, `touched_conversions`
+   * (conversions whose journey contains it), `shapley` (6 dp),
+   * `share` (6 dp; of the total attributable v(full) − v(∅), by the
+   * efficiency axiom = Σφ). Scale shape: one filtered distinct to
+   * (user, channel), one aggregate to set-bitmask grain, then literal
+   * joins on ≤ 2ⁿ rows. Nothing event-grain survives the first
+   * aggregate.
+   */
+  def shapleyAttribution(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, channels: Seq[String], convType: String): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 12,
+      "channels must be 1..12 (2^n subset lattice is a plan literal)")
+    require(!channels.contains(convType),
+      "the conversion type is not a touch channel")
+    val n = channels.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    // first conversion instant per user
+    val conv = df.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__cts"))
+    // touched-channel bitmask of each converting journey (distinct
+    // channels strictly before the first conversion)
+    val bitOf = channels.zipWithIndex.tail.foldLeft(
+      when(col(typeCol) === channels.head, lit(1L))) {
+      case (acc, (c, i)) => acc.when(col(typeCol) === c, lit(1L << i))
+    }
+    val masks = df.join(conv, col(userCol) === col("__u"))
+      .filter(col(tsCol) < col("__cts") && col(typeCol).isin(channels: _*))
+      .select(col("__u"), bitOf.as("__bit"))
+      .distinct()
+      .groupBy(col("__u")).agg(sum(col("__bit")).as("__mask"))
+    val setCounts = masks.groupBy(col("__mask")).agg(count(lit(1)).as("__c"))
+    // v(S) over the literal subset lattice: v = sum of counts of sets
+    // T with T AND S = T
+    val lattice = (0 until (1 << n)).map(_.toLong).toDF("__s")
+    val v = lattice.join(setCounts, (col("__mask")
+        .bitwiseAND(col("__s")) === col("__mask")), "left")
+      .groupBy(col("__s")).agg(coalesce(sum(col("__c")), lit(0L)).as("__v"))
+    // (channel, S, S∪{i}, weight) rows — factorial weights in the JVM
+    def fact(k: Int): Double = (1 to k).foldLeft(1.0)(_ * _)
+    val pairs = (for {
+      (c, i) <- channels.zipWithIndex
+      s <- 0 until (1 << n) if (s & (1 << i)) == 0
+    } yield {
+      val size = java.lang.Long.bitCount(s.toLong)
+      (c, s.toLong, (s | (1 << i)).toLong,
+        fact(size) * fact(n - 1 - size) / fact(n))
+    }).toDF("channel", "__s", "__si", "__w")
+    val phi = pairs
+      .join(v.select(col("__s"), col("__v").as("__vs")), "__s")
+      .join(v.select(col("__s").as("__si"), col("__v").as("__vsi")), "__si")
+      .groupBy(col("channel"))
+      .agg(sum(col("__w") * (col("__vsi") - col("__vs"))).as("__phi"))
+    // per-channel touched counts + the efficiency-axiom total
+    val touchCounts = channels.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }.toDF("channel", "__cbit")
+      .join(setCounts, col("__cbit").bitwiseAND(col("__mask")) =!= 0, "left")
+      .groupBy(col("channel"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("touched_conversions"))
+    val total = Window.partitionBy()
+    phi.join(touchCounts, "channel")
+      .withColumn("__tot", sum(col("__phi")).over(total))
+      .select(col("channel"), col("touched_conversions"),
+        round(col("__phi"), 6).as("shapley"),
+        round(when(col("__tot") > 0, col("__phi") / col("__tot")), 6)
+          .as("share"))
+  }
+
+  /**
    * Backtest the first-order Markov next-event model: fit
    * [[markovTransitions]] on a FIT slice (typically the earlier
    * period), predict each state's most likely successor, and score

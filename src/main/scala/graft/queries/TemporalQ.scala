@@ -1010,6 +1010,66 @@ object TemporalQ extends QueryGroup {
              |  ROUND(ph, 6) AS ph_stat, ROUND(ph, 6) > 400.0 AS alarm
              |FROM p""".stripMargin)),
 
+    // Exact Shapley channel attribution over the 4 touch channels (2^4
+    // subset lattice + factorial weights are JVM-built plan literals,
+    // injected into the oracle as VALUES rows): average marginal
+    // contribution of each channel to pre-purchase journeys.
+    QueryDef("q_shapley_attribution", (s, dir) =>
+      Temporal.shapleyAttribution(Tables.load(s, dir, "events"),
+        userCol = "user_id", tsCol = "ts", typeCol = "event_type",
+        channels = Seq("click", "view", "signup", "error"),
+        convType = "purchase"), {
+      val chans = Seq("click", "view", "signup", "error")
+      val nCh = chans.size
+      def fact(k: Int): Double = (1 to k).foldLeft(1.0)(_ * _)
+      val pairRows = (for {
+        (c, i) <- chans.zipWithIndex
+        sub <- 0 until (1 << nCh) if (sub & (1 << i)) == 0
+      } yield {
+        val size = Integer.bitCount(sub)
+        val w = fact(size) * fact(nCh - 1 - size) / fact(nCh)
+        s"('$c', $sub, ${sub | (1 << i)}, CAST(${f"$w%.17g"} AS DOUBLE))"
+      }).mkString(",\n              |    ")
+      val bitCase = chans.zipWithIndex.map { case (c, i) =>
+        s"WHEN '$c' THEN ${1L << i}"
+      }.mkString(" ")
+      val chanBits = chans.zipWithIndex.map { case (c, i) =>
+        s"('$c', ${1L << i})"
+      }.mkString(", ")
+      Some(s"""WITH conv AS (SELECT user_id AS u, MIN(ts) AS cts
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |tch AS (SELECT DISTINCT e.user_id AS u,
+              |    CASE e.event_type $bitCase END AS bit
+              |  FROM events e JOIN conv ON conv.u = e.user_id
+              |  WHERE e.ts < conv.cts
+              |    AND e.event_type IN (${chans.map("'" + _ + "'").mkString(", ")})),
+              |mk AS (SELECT u, CAST(SUM(bit) AS BIGINT) AS mask
+              |  FROM tch GROUP BY 1),
+              |sc AS (SELECT mask, COUNT(*) AS c FROM mk GROUP BY 1),
+              |lat AS (SELECT unnest(range(0, ${1 << nCh})) AS s),
+              |v AS (SELECT lat.s,
+              |    CAST(COALESCE(SUM(sc.c), 0) AS DOUBLE) AS v
+              |  FROM lat LEFT JOIN sc ON (sc.mask & lat.s) = sc.mask
+              |  GROUP BY 1),
+              |pairs(channel, s, si, w) AS (VALUES
+              |    $pairRows),
+              |phi AS (SELECT channel, SUM(w * (vi.v - vs.v)) AS phi
+              |  FROM pairs JOIN v vs ON vs.s = pairs.s
+              |  JOIN v vi ON vi.s = pairs.si GROUP BY 1),
+              |tc AS (SELECT ch.channel,
+              |    CAST(COALESCE(SUM(sc.c), 0) AS BIGINT)
+              |      AS touched_conversions
+              |  FROM (VALUES $chanBits) ch(channel, bit)
+              |  LEFT JOIN sc ON (sc.mask & ch.bit) <> 0 GROUP BY 1)
+              |SELECT phi.channel, tc.touched_conversions,
+              |  ROUND(phi.phi, 6) AS shapley,
+              |  ROUND(CASE WHEN t.tot > 0 THEN phi.phi / t.tot END, 6)
+              |    AS share
+              |FROM phi JOIN tc ON tc.channel = phi.channel
+              |CROSS JOIN (SELECT SUM(phi) AS tot FROM phi) t"""
+        .stripMargin)
+    }),
+
     // Markov next-event backtest: fit the transition matrix on the first
     // half of January, score top-1 accuracy on the second half. Argmax
     // ties break on the exact count then min successor.

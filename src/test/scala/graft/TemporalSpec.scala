@@ -540,6 +540,31 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.logRank(cen, "g", "a", "b", "t", "ev").head().isNullAt(5))
   }
 
+  test("shapleyAttribution: hand values, efficiency axiom, null player, post-conversion ignored") {
+    // journeys: u1 {A} -> conv, u2 {A} -> conv, u3 {A,B} -> conv,
+    // u4 {B} -> conv; u5 never converts; u6 touches AFTER converting.
+    // v(A)=2, v(B)=1, v(AB)=4 => phi_A = 2.5, phi_B = 1.5; C untouched.
+    val ev = Seq(
+      (1, 1L, "A"), (1, 2L, "P"),
+      (2, 1L, "A"), (2, 2L, "P"),
+      (3, 1L, "A"), (3, 2L, "B"), (3, 3L, "P"),
+      (4, 1L, "B"), (4, 2L, "P"),
+      (5, 1L, "A"),
+      (6, 1L, "P"), (6, 2L, "A")).toDF("u", "t", "typ")
+    val out = graft.ops.Temporal.shapleyAttribution(ev, "u", "t", "typ",
+      channels = Seq("A", "B", "C"), convType = "P")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("A").getAs[Double]("shapley") - 2.5) < 1e-9)
+    assert(math.abs(out("B").getAs[Double]("shapley") - 1.5) < 1e-9)
+    assert(out("C").getAs[Double]("shapley") == 0.0) // null player
+    // efficiency: shares sum to 1 over the attributable total v(full)=4
+    assert(math.abs(out("A").getAs[Double]("share") - 0.625) < 1e-9)
+    assert(math.abs(out("B").getAs[Double]("share") - 0.375) < 1e-9)
+    assert(out("A").getAs[Long]("touched_conversions") == 3)
+    assert(out("B").getAs[Long]("touched_conversions") == 2)
+    assert(out("C").getAs[Long]("touched_conversions") == 0)
+  }
+
   test("markovBacktest: argmax on counts, out-of-sample accuracy, unseen states") {
     import org.apache.spark.sql.functions._
     // fit: a->b twice, a->c once => predicted(a)=b; b->a always
