@@ -660,6 +660,63 @@ object Temporal {
   }
 
   /**
+   * Lagged cross-correlation between two event-type intensities — the
+   * lead/lag probe "does A lead B by k buckets" ([[autocorrelation]]'s
+   * two-series sibling; the readout behind 'clicks lead purchases by
+   * 2 days', which sets attribution windows and forecast features).
+   * Per key the two series are the per-bucket counts of `typeA` and
+   * `typeB` (day grain); ccf(k) = Pearson corr(a_t, b_{t+k}) pooled
+   * over all keys, with the lag taken over each key's OBSERVED bucket
+   * sequence in order (gap buckets are absent rows, not zeros — the
+   * sessionized-activity convention; densify upstream if calendar lags
+   * are wanted).
+   *
+   * Determinism: both series are integer counts, every corr enters
+   * through exact long sums (Σa, Σb, Σab, Σa², Σb² per lag), and the
+   * only division is the final closed form — bit-identical across
+   * engines before the 6-dp round.
+   *
+   * Output: one row per lag 0..maxLag — `lag`, `n_pairs`, `ccf` (6 dp;
+   * null when either pooled series is constant). Scale shape: ONE
+   * aggregate to (key, bucket) grain, one key-ordered window for the
+   * ≤ maxLag+1 leads, an in-row lag unpivot, and a lag-grain aggregate
+   * — nothing event-grain crosses a second shuffle.
+   */
+  def crossCorrelation(df: DataFrame, keys: Seq[String], tsCol: String,
+      typeCol: String, typeA: String, typeB: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 60, "maxLag in [0, 60]")
+    val day = date_trunc("DAY", col(tsCol).cast("timestamp"))
+    val series = df.filter(col(typeCol).isin(typeA, typeB))
+      .groupBy((keys.map(col) :+ day.as("__d")): _*)
+      .agg(sum(when(col(typeCol) === typeA, 1L).otherwise(0L)).as("__a"),
+        sum(when(col(typeCol) === typeB, 1L).otherwise(0L)).as("__b"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__d").asc)
+    val withLeads = (0 to maxLag).foldLeft(series) { (acc, k) =>
+      acc.withColumn(s"__b$k", lead(col("__b"), k).over(w))
+    }
+    val lagStructs = array((0 to maxLag).map(k =>
+      struct(lit(k.toLong).as("lag"), col(s"__b$k").as("bk"))): _*)
+    withLeads
+      .select(col("__a"), explode(lagStructs).as("__l"))
+      .select(col("__l.lag").as("lag"), col("__a"), col("__l.bk").as("__bk"))
+      .filter(col("__bk").isNotNull)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__a")).as("__sa"), sum(col("__bk")).as("__sb"),
+        sum(col("__a") * col("__a")).as("__saa"),
+        sum(col("__bk") * col("__bk")).as("__sbb"),
+        sum(col("__a") * col("__bk")).as("__sab"))
+      .select(col("lag"), col("n_pairs"), {
+        val n = col("n_pairs").cast("double")
+        val num = n * col("__sab") - col("__sa") * col("__sb")
+        val da = n * col("__saa") - col("__sa") * col("__sa")
+        val db = n * col("__sbb") - col("__sb") * col("__sb")
+        round(when(da > 0 && db > 0, num / sqrt(da * db)), 6).as("ccf")
+      })
+  }
+
+  /**
    * Exact Shapley-value channel attribution (Shapley 1953; the
    * data-driven attribution standard — position rules like
    * [[attribution]]'s first/last/linear/decay answer "who touched",

@@ -1010,6 +1010,41 @@ object TemporalQ extends QueryGroup {
              |  ROUND(ph, 6) AS ph_stat, ROUND(ph, 6) > 400.0 AS alarm
              |FROM p""".stripMargin)),
 
+    // Lagged cross-correlation: does click intensity lead purchase
+    // intensity by k days, pooled over users? Integer count sums keep
+    // every corr input exact on both engines.
+    QueryDef("q_cross_correlation", (s, dir) =>
+      Temporal.crossCorrelation(Tables.load(s, dir, "events"),
+        keys = Seq("user_id"), tsCol = "ts", typeCol = "event_type",
+        typeA = "click", typeB = "purchase", maxLag = 5), {
+      val branches = (0 to 5).map(k =>
+        s"""SELECT $k AS lag, a, LEAD(b, $k) OVER
+           |    (PARTITION BY user_id ORDER BY d) AS bk FROM s"""
+          .stripMargin).mkString("\n              |  UNION ALL ")
+      Some(s"""WITH s AS (SELECT user_id, date_trunc('day', ts) AS d,
+              |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS a,
+              |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS b
+              |  FROM events WHERE event_type IN ('click', 'purchase')
+              |  GROUP BY 1, 2),
+              |l AS (
+              |  $branches),
+              |g AS (SELECT lag, COUNT(*) AS n,
+              |    CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(bk) AS DOUBLE) AS sb,
+              |    CAST(SUM(a * a) AS DOUBLE) AS saa,
+              |    CAST(SUM(bk * bk) AS DOUBLE) AS sbb,
+              |    CAST(SUM(a * bk) AS DOUBLE) AS sab
+              |  FROM l WHERE bk IS NOT NULL GROUP BY 1)
+              |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+              |  ROUND(CASE WHEN (n * saa - sa * sa) > 0
+              |              AND (n * sbb - sb * sb) > 0
+              |    THEN (n * sab - sa * sb) /
+              |      sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) END, 6)
+              |    AS ccf
+              |FROM g""".stripMargin)
+    }),
+
     // Exact Shapley channel attribution over the 4 touch channels (2^4
     // subset lattice + factorial weights are JVM-built plan literals,
     // injected into the oracle as VALUES rows): average marginal

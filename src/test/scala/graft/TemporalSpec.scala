@@ -540,6 +540,31 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.logRank(cen, "g", "a", "b", "t", "ev").head().isNullAt(5))
   }
 
+  test("crossCorrelation: a planted 2-day lead peaks at lag 2; constant series null") {
+    import org.apache.spark.sql.functions._
+    // per day t: a_t = 1 + (t % 4) A-events; b_t = a_{t-2} B-events
+    def day(t: Int) = java.sql.Timestamp.valueOf(f"2024-01-$t%02d 00:00:00")
+    def aOf(t: Int) = 1 + (t % 4)
+    val rows = (1 to 24).flatMap { t =>
+      Seq.fill(aOf(t))(("u", day(t), "A")) ++
+        (if (t >= 3) Seq.fill(aOf(t - 2))(("u", day(t), "B")) else Nil)
+    }
+    val df = rows.toDF("u", "ts", "typ")
+    val out = graft.ops.Temporal.crossCorrelation(df, Seq("u"), "ts", "typ",
+      "A", "B", maxLag = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getAs[Double]("ccf") == 1.0) // exact planted lead
+    assert(out(0L).getAs[Double]("ccf") < 0.5)  // phase-shifted sawtooth
+    assert(out(2L).getAs[Long]("n_pairs") == 22)
+    // a constant B series has zero variance: ccf null at every lag
+    val const = (1 to 10).flatMap(t =>
+      Seq.fill(aOf(t))(("u", day(t), "A")) :+ (("u", day(t), "B")))
+      .toDF("u", "ts", "typ")
+    val cOut = graft.ops.Temporal.crossCorrelation(const, Seq("u"), "ts",
+      "typ", "A", "B", maxLag = 2).collect()
+    assert(cOut.forall(_.isNullAt(2)))
+  }
+
   test("shapleyAttribution: hand values, efficiency axiom, null player, post-conversion ignored") {
     // journeys: u1 {A} -> conv, u2 {A} -> conv, u3 {A,B} -> conv,
     // u4 {B} -> conv; u5 never converts; u6 touches AFTER converting.
