@@ -54,6 +54,65 @@ object Fuzzy {
       .filter(col("name_a") < col("name_b"))
 
   /**
+   * Near-duplicate value pairs via SYMMETRIC-DELETE blocking (Garbe's
+   * SymSpell): every distinct value emits itself plus its delete-1
+   * (and, for maxDist 2, delete-2) variants as blocking keys; any two
+   * strings within edit distance d share at least one key, so the
+   * candidate set is exact — candidates then verify with one
+   * levenshtein. Same output contract as [[fuzzyPairs]] (and
+   * spec-checked EQUAL to it): `(name_a, name_b, dist)`, canonical
+   * `name_a < name_b`.
+   *
+   * This is the UNIFORM-LENGTH antidote: [[fuzzyPairs]] blocks on
+   * length, which degenerates to ONE block when every key has the same
+   * length — 15k same-length ids meant 225M candidate levenshteins;
+   * deletion keys block on CONTENT (~L keys per value at d=1,
+   * ~L²/2 at d=2), so candidates are only pairs that actually share a
+   * near-identical spelling. `maxBucket` caps pathological key groups
+   * (the shingle-df-cap family — a bucket that large means a degenerate
+   * id scheme, and its pairs still surface via their other keys unless
+   * every shared key is hot).
+   */
+  def fuzzyPairsDeletes(df: DataFrame, keyCol: String, maxDist: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"symmetric-delete blocking supports maxDist 1..2, got $maxDist")
+    val values = df.select(col(keyCol).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val s = col("name")
+    val L = length(s)
+    def del1(str: Column, len: Column): Column =
+      transform(sequence(lit(1), len),
+        i => concat(str.substr(lit(1), i - 1), str.substr(i + 1, len)))
+    val d1 = when(L >= 1, del1(s, L)).otherwise(array().cast("array<string>"))
+    // delete-2: remove positions i < j in one expression pass
+    val d2 =
+      if (maxDist < 2) array().cast("array<string>")
+      else when(L >= 2, flatten(transform(sequence(lit(1), L - 1), i =>
+        transform(sequence(i + 1, L), j =>
+          concat(s.substr(lit(1), i - 1),
+            s.substr(i + 1, j - i - 1),
+            s.substr(j + 1, L))))))
+        .otherwise(array().cast("array<string>"))
+    val keyed = values
+      .select(s, explode(array_distinct(
+        concat(array(s), d1, d2))).as("__k"))
+    val capped = keyed
+      .withColumn("__bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))
+      .filter(col("__bc") <= maxBucket)
+      .select(col("name"), col("__k"))
+    val a = capped.select(col("name").as("name_a"), col("__k"))
+    val b = capped.select(col("name").as("name_b"), col("__k"))
+    a.join(b, "__k")
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /**
    * Fuzzy consolidation: map every distinct value to the canonical
    * (lexicographically minimum) representative of its near-duplicate
    * cluster — single-link over [[fuzzyPairs]] edges, components resolved

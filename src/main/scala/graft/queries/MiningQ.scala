@@ -266,7 +266,12 @@ object MiningQ extends QueryGroup {
     QueryDef("q_fs_score", (s, dir) => {
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-      val pairs = graft.ops.Fuzzy.fuzzyPairs(cust, "c_name", 1)
+      // symmetric-delete blocking: every c_name has the SAME length, so
+      // fuzzyPairs' length blocking would degenerate to one all-pairs
+      // block (measured 712 s at sf0.1); deletion keys block on content.
+      // The oracle regenerates candidates by brute levenshtein, so the
+      // generator swap stays hash-verified pair for pair.
+      val pairs = graft.ops.Fuzzy.fuzzyPairsDeletes(cust, "c_name", 1)
       val a = cust.select(col("c_name").as("name_a"),
         col("c_nationkey").as("__na"), col("c_mktsegment").as("__sa"))
       val b = cust.select(col("c_name").as("name_b"),

@@ -158,6 +158,26 @@ class MiningSpec extends SparkSpec {
     assert(tie.getLong(2) == 0L)
   }
 
+  test("fuzzyPairsDeletes: exact same pair set as length-blocked fuzzyPairs") {
+    import graft.ops.Fuzzy
+    // substitutions (same length), inserts/deletes (length +-1), a
+    // transposition (lev 2), unrelated values, and uniform-length ids
+    // (the case where length blocking degenerates)
+    val vals = Seq("alpha", "alphb", "alpa", "alphax", "beta", "ebta",
+      "id0001", "id0002", "id0010", "id9999", "zzz").toDF("v")
+    for (d <- Seq(1, 2)) {
+      def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = toSet(Fuzzy.fuzzyPairs(vals, "v", d))
+      val got = toSet(Fuzzy.fuzzyPairsDeletes(vals, "v", d))
+      assert(got == want && want.nonEmpty, s"d=$d: $got vs $want")
+    }
+    // sanity: the d=1 set contains the planted substitution and insert
+    val p1 = Fuzzy.fuzzyPairsDeletes(vals, "v", 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(p1.contains(("alpha", "alphb")) && p1.contains(("alpha", "alphax")))
+  }
+
   test("fsScore: hand weights, missing fields contribute zero, classes split") {
     import graft.ops.Fuzzy
     val fields = Seq(("f1", 0.9, 0.1), ("f2", 0.8, 0.2))
