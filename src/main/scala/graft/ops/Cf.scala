@@ -114,4 +114,163 @@ object Cf {
         (col("__su").cast("double") / 1e6).as("score"),
         col("rank").cast("long").as("rank"))
   }
+
+  /**
+   * Persisted incremental-CF state (the [[graft.ops.Dedup.hashIndex]] /
+   * `contentChunkHashIndex` maintenance pattern applied to
+   * co-occurrence): `ratings` = every distinct (u, i) ever seen (the
+   * dedup + cross-batch pairing base), `pairs` = (ia < ib, n_common)
+   * and `items` = (i, n) restricted to users at-or-under the cap.
+   * All three are plain DataFrames — persist them as parquet and feed
+   * the next delta through [[Cf.cfMerge]]; co-occurrence counts are
+   * ADDITIVE, so a 100 TB events table never re-runs the full
+   * self-join (the anti-pattern at that scale is exactly the nightly
+   * full recompute this replaces).
+   */
+  final case class CfState(ratings: DataFrame, pairs: DataFrame,
+      items: DataFrame)
+
+  private def distinctRatings(df: DataFrame, userCol: String,
+      itemCol: String): DataFrame = df
+    .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+    .select(col(userCol).as("__u"), col(itemCol).as("__i"))
+    .distinct()
+
+  /** (u-keyed self-join) → canonical (ia < ib) pair counts. Both sides
+    * carry ≤ cap items per user by construction at every call site, so
+    * the per-key fanout is bounded — the [[itemCosineNeighbors]] skew
+    * contract. */
+  private def pairDeltas(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("__u"), col("__i").as("__x"))
+      .join(b.select(col("__u"), col("__i").as("__y")), Seq("__u"))
+      .filter(col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("__ia"),
+        greatest(col("__x"), col("__y")).as("__ib"))
+
+  /**
+   * Build the initial [[CfState]] from scratch — same capped-user
+   * semantics as [[itemCosineNeighbors]] (a user over `maxUserItems`
+   * contributes to NEITHER pair nor item counts, but their ratings are
+   * kept: the cap must keep holding as deltas arrive).
+   */
+  def cfFit(df: DataFrame, userCol: String, itemCol: String,
+      maxUserItems: Int = 1000): CfState = {
+    require(maxUserItems >= 2, "maxUserItems must be >= 2 (pairs need 2)")
+    val ratings = distinctRatings(df, userCol, itemCol)
+    val capped = ratings
+      .withColumn("__ui", count(lit(1)).over(Window.partitionBy(col("__u"))))
+      .filter(col("__ui") <= maxUserItems)
+      .select(col("__u"), col("__i"))
+    val items = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = capped.select(col("__u"), col("__i").as("__ia"))
+      .join(capped.select(col("__u"), col("__i").as("__ib")), Seq("__u"))
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("n_common"))
+    CfState(ratings, pairs, items)
+  }
+
+  /**
+   * Fold a delta batch of interactions into a [[CfState]] — the
+   * incremental maintenance step. Exactly equivalent to refitting on
+   * the union (spec-checked, and `q_item_cf_incremental`'s oracle IS
+   * the full recompute), but the work is delta-sized:
+   *
+   *   1. new distinct (u, i) rows = delta ANTI-JOIN known ratings;
+   *   2. users still at-or-under the cap ADD within-delta pairs plus
+   *      delta×known cross pairs (the cross-batch term a naive
+   *      "pair counts are additive" union would miss);
+   *   3. users the delta pushes OVER the cap RETRACT their previously
+   *      counted pairs/items (the batch cap drops such users entirely,
+   *      so equivalence demands the negative delta — their old item
+   *      set is ≤ cap rows, so the retraction self-join is bounded);
+   *   4. users already over the cap contribute nothing (they were
+   *      retracted when they crossed), but their rows still land in
+   *      `ratings` so re-sends stay deduplicated.
+   *
+   * Every join is keyed on user with per-key width ≤ `maxUserItems`;
+   * the merge aggregates are pair-grain sums. Re-derive serving lists
+   * with [[cfTopK]] — only for TOUCHED items if you track them (an
+   * item's list changes only when one of its pair or item counts did).
+   */
+  def cfMerge(state: CfState, delta: DataFrame, userCol: String,
+      itemCol: String, maxUserItems: Int = 1000): CfState = {
+    require(maxUserItems >= 2, "maxUserItems must be >= 2 (pairs need 2)")
+    val dR = distinctRatings(delta, userCol, itemCol)
+      .join(state.ratings, Seq("__u", "__i"), "left_anti")
+    val oldCnt = state.ratings.groupBy(col("__u"))
+      .agg(count(lit(1)).as("__co"))
+    val cats = dR.groupBy(col("__u")).agg(count(lit(1)).as("__cd"))
+      .join(oldCnt, Seq("__u"), "left")
+      .withColumn("__co", coalesce(col("__co"), lit(0L)))
+      .withColumn("__cn", col("__co") + col("__cd"))
+    val under = cats.filter(col("__cn") <= maxUserItems).select("__u")
+    val newlyOver = cats.filter(col("__co") <= maxUserItems &&
+      col("__cn") > maxUserItems).select("__u")
+    val dAdd = dR.join(under, Seq("__u"))
+    val oldOfAdd = state.ratings.join(under, Seq("__u"))
+    val oldOfOver = state.ratings.join(newlyOver, Seq("__u"))
+    // within-delta: ordered self-join counts each unordered pair once;
+    // delta×known: the sets are disjoint (anti-join above), so the
+    // canonicalized cross join emits each unordered pair exactly once
+    val withinPairs = dAdd.select(col("__u"), col("__i").as("__ia"))
+      .join(dAdd.select(col("__u"), col("__i").as("__ib")), Seq("__u"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia"), col("__ib"))
+    val posPairs = withinPairs
+      .unionByName(pairDeltas(dAdd, oldOfAdd))
+      .select(col("__ia"), col("__ib"), lit(1L).as("__d"))
+    val negPairs = oldOfOver.select(col("__u"), col("__i").as("__ia"))
+      .join(oldOfOver.select(col("__u"), col("__i").as("__ib")), Seq("__u"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia"), col("__ib"), lit(-1L).as("__d"))
+    val pairs = state.pairs
+      .select(col("__ia"), col("__ib"), col("n_common").as("__d"))
+      .unionByName(posPairs).unionByName(negPairs)
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(sum(col("__d")).as("n_common"))
+      .filter(col("n_common") > 0)
+    val items = state.items.select(col("__i"), col("__n").as("__d"))
+      .unionByName(dAdd.select(col("__i"), lit(1L).as("__d")))
+      .unionByName(oldOfOver.select(col("__i"), lit(-1L).as("__d")))
+      .groupBy(col("__i")).agg(sum(col("__d")).as("__n"))
+      .filter(col("__n") > 0)
+    CfState(state.ratings.unionByName(dR), pairs, items)
+  }
+
+  /**
+   * Derive the [[itemCosineNeighbors]] serving table from a
+   * [[CfState]] — identical schema and values to the from-scratch
+   * operator on the same cumulative data (cos is a ratio of the SAME
+   * exact integers, so even tie-breaks agree). Pass `onlyItems` (a
+   * one-column `item` DataFrame) to re-rank just the lists a merge
+   * touched: an item's list changes only if one of its pair counts or
+   * either endpoint's item count moved, so the touched set is the
+   * delta's items plus their pair partners.
+   */
+  def cfTopK(state: CfState, k: Int,
+      onlyItems: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val scored = state.pairs
+      .join(state.items.select(col("__i").as("__ia"),
+        col("__n").as("__na")), "__ia")
+      .join(state.items.select(col("__i").as("__ib"),
+        col("__n").as("__nb")), "__ib")
+      .withColumn("__cos", col("n_common") / sqrt(col("__na") * col("__nb")))
+    val sym = scored.select(col("__ia").as("item"),
+        col("__ib").as("neighbor"), col("n_common"), col("__cos"))
+      .unionByName(scored.select(col("__ib").as("item"),
+        col("__ia").as("neighbor"), col("n_common"), col("__cos")))
+    val focused = onlyItems match {
+      case Some(keep) => sym.join(
+        broadcast(keep.select(col("item")).distinct()), Seq("item"))
+      case None => sym
+    }
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("__cos").desc, col("neighbor").asc)
+    focused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("neighbor"), col("n_common"),
+        round(col("__cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
+  }
 }

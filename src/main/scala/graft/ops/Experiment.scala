@@ -153,25 +153,30 @@ object Experiment {
    *
    * Output: one row per declared arm — arm, n_obs, expected (6 dp),
    * ratio_obs (6 dp), plus the shared chi2 (6 dp) and dof repeated.
-   * Scale shape: ONE hash-aggregate to arm grain; everything after is
-   * arms-sized window arithmetic. Expected shares are plan literals.
+   * A declared arm with ZERO observed rows still emits its row (n_obs =
+   * 0) and contributes its full (0−e)²/e term — an arm that logs
+   * nothing is the worst SRM, not a no-op; the declared list is a local
+   * relation left-joined against the observed counts so absence can't
+   * silently drop the term. Scale shape: ONE hash-aggregate to arm
+   * grain; everything after is arms-sized window arithmetic.
    */
   def srmCheck(df: DataFrame, armCol: String,
       expected: Seq[(String, Double)]): DataFrame = {
     require(expected.size >= 2, "need >= 2 declared arms")
     require(expected.forall(_._2 > 0), "shares must be positive")
     val total = expected.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val declared = expected.map { case (a, w) => (a, w / total) }
+      .toDF("arm", "__share")
     val counts = df.filter(col(armCol).isin(expected.map(_._1): _*))
-      .groupBy(col(armCol).as("arm"))
-      .agg(count(lit(1)).as("n_obs"))
-    val share = expected.tail.foldLeft(
-      when(col("arm") === expected.head._1, lit(expected.head._2 / total))) {
-      case (acc, (name, w)) => acc.when(col("arm") === name, lit(w / total))
-    }
+      .groupBy(col(armCol).as("__obs"))
+      .agg(count(lit(1)).as("__n_obs"))
     val all = Window.partitionBy()
-    counts
+    declared.join(counts, col("arm") === col("__obs"), "left")
+      .withColumn("n_obs", coalesce(col("__n_obs"), lit(0L)))
       .withColumn("__n", sum(col("n_obs")).over(all))
-      .withColumn("__e", col("__n") * share)
+      .withColumn("__e", col("__n") * col("__share"))
       .withColumn("__chi", (col("n_obs") - col("__e")) *
         (col("n_obs") - col("__e")) / col("__e"))
       .select(col("arm"), col("n_obs"),
@@ -214,8 +219,10 @@ object Experiment {
     val byBucket = binned.groupBy("bucket").agg(
       sum(when(t, 1L).otherwise(0L)).as("__nt"),
       sum(when(!t, 1L).otherwise(0L)).as("__nc"),
-      sum(when(t, y)).as("__st"),
-      sum(when(!t, y)).as("__sc"))
+      // otherwise(0): a bucket (or prefix) with no treated/control units
+      // must cumulate to 0, not null — the oracle's SUM(CASE…ELSE 0 END).
+      sum(when(t, y).otherwise(lit(0.0))).as("__st"),
+      sum(when(!t, y).otherwise(lit(0.0))).as("__sc"))
     val run = Window.orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byBucket

@@ -805,6 +805,117 @@ object Temporal {
           .as("share"))
   }
 
+  /** Seeded Fisher–Yates channel permutations for [[shapleySampled]];
+    * element j of each row = the POSITION of channel j in that
+    * permutation. Public so an oracle can inject the identical sample
+    * as a literal table. */
+  def sampledPermutations(n: Int, nPerms: Int,
+      seed: Long): Seq[Seq[Int]] = {
+    val rnd = new java.util.Random(seed)
+    (0 until nPerms).map { _ =>
+      val a = Array.range(0, n)
+      var i = n - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = a(i); a(i) = a(j); a(j) = t
+        i -= 1
+      }
+      val pos = new Array[Int](n)
+      a.zipWithIndex.foreach { case (ch, p) => pos(ch) = p }
+      pos.toSeq
+    }
+  }
+
+  /**
+   * Permutation-sampling Shapley attribution (Castro, Gómez & Tejada
+   * 2009, "Polynomial calculation of the Shapley value based on
+   * sampling") — the >12-channel extension of [[shapleyAttribution]],
+   * whose exact 2ⁿ lattice is require-capped. Real attribution setups
+   * run 20–50 channels; the sampled estimator is unbiased with
+   * O(1/√m) error and here stays fully deterministic AND
+   * engine-checkable: the m permutations come from a seeded
+   * Fisher–Yates ([[sampledPermutations]] — inject the same sample
+   * into an oracle as a literal table), and the estimate reduces to
+   * EXACT INTEGER counts divided by m.
+   *
+   * The key identity: under the journey-subset characteristic function
+   * v(S) = #conversions with touched-set ⊆ S, a channel's marginal
+   * contribution in a permutation π is v(Pᵢ ∪ {i}) − v(Pᵢ) =
+   * #journeys T whose π-LAST channel is i. So each journey credits
+   * exactly ONE channel per permutation — φ̂ᵢ = Σ_π (count of journeys
+   * last-touching i in π) / m — and the efficiency axiom
+   * Σφ̂ = v(full) − v(∅) holds EXACTLY, not just in expectation. With
+   * the full n! permutation set the estimate IS the exact Shapley
+   * value (spec-checked against [[shapleyAttribution]] via
+   * `permsOverride`).
+   *
+   * Scale shape: identical event-grain prefix to the exact operator
+   * (one filtered distinct, one aggregate to journey-set grain); then
+   * set-counts × m broadcast permutation rows with an O(n) codegen'd
+   * argmax per row — never 2ⁿ, never event-grain. Output matches the
+   * exact operator: channel, touched_conversions, shapley (6 dp),
+   * share (6 dp).
+   */
+  def shapleySampled(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, channels: Seq[String], convType: String,
+      nPerms: Int = 200, seed: Long = 42L,
+      permsOverride: Option[Seq[Seq[Int]]] = None): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 62,
+      "channels must be 1..62 (journey sets pack into a long bitmask)")
+    require(!channels.contains(convType),
+      "the conversion type is not a touch channel")
+    require(nPerms >= 1, "nPerms must be >= 1")
+    val n = channels.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conv = df.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__cts"))
+    val bitOf = channels.zipWithIndex.tail.foldLeft(
+      when(col(typeCol) === channels.head, lit(1L))) {
+      case (acc, (c, i)) => acc.when(col(typeCol) === c, lit(1L << i))
+    }
+    val setCounts = df.join(conv, col(userCol) === col("__u"))
+      .filter(col(tsCol) < col("__cts") && col(typeCol).isin(channels: _*))
+      .select(col("__u"), bitOf.as("__bit"))
+      .distinct()
+      .groupBy(col("__u")).agg(sum(col("__bit")).as("__mask"))
+      .groupBy(col("__mask")).agg(count(lit(1)).as("__c"))
+    val perms = permsOverride.getOrElse(sampledPermutations(n, nPerms, seed))
+    require(perms.nonEmpty && perms.forall(_.length == n),
+      "each permutation must carry one position per channel")
+    val m = perms.length
+    val permDf = perms.zipWithIndex.map { case (p, id) => (id.toLong, p) }
+      .toDF("__perm", "__pos")
+    // π-last channel of each journey set: encode pos*64+idx so one
+    // array_max both selects the max position and carries its index
+    val winner = expr(
+      s"array_max(transform(filter(sequence(0, ${n - 1}), " +
+        "j -> ((__mask >> j) & 1) = 1), " +
+        "j -> element_at(__pos, j + 1) * 64 + j))")
+    val contrib = setCounts.crossJoin(broadcast(permDf))
+      .withColumn("__ci", (winner % 64).cast("int"))
+      .groupBy(col("__ci")).agg(sum(col("__c")).as("__s"))
+    val chanDf = channels.zipWithIndex
+      .map { case (c, i) => (c, i, 1L << i) }
+      .toDF("channel", "__ci", "__cbit")
+    val touchCounts = chanDf.select(col("channel"), col("__cbit"))
+      .join(setCounts, col("__cbit").bitwiseAND(col("__mask")) =!= 0, "left")
+      .groupBy(col("channel"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("touched_conversions"))
+    val total = Window.partitionBy()
+    chanDf.select(col("channel"), col("__ci"))
+      .join(contrib, Seq("__ci"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(0L)))
+      .withColumn("__tot", sum(col("__s")).over(total))
+      .join(touchCounts, "channel")
+      .select(col("channel"), col("touched_conversions"),
+        round(col("__s").cast("double") / lit(m.toDouble), 6).as("shapley"),
+        round(when(col("__tot") > 0,
+          col("__s").cast("double") / col("__tot").cast("double")), 6)
+          .as("share"))
+  }
+
   /**
    * Backtest the first-order Markov next-event model: fit
    * [[markovTransitions]] on a FIT slice (typically the earlier

@@ -228,9 +228,23 @@ object Vectors {
         s => s.getField("__c")).as("centroid"))
 
   /** Cosine-argmax rows against a [[centroidFit]] table — a labels-sized
-    * broadcast + narrow scoring projection, append-mode legal. */
+    * broadcast + narrow scoring projection, append-mode legal. Labels
+    * must be NUMERIC on both sides (they are cast to long in the
+    * output, matching [[graft.streaming.EventStream.streamingClassify]]'s
+    * `Long` state key); a string-labeled fit table would otherwise cast
+    * to null silently, so it is rejected here. */
   def centroidApply(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, labelCol: String): DataFrame = {
+    require(df.schema(labelCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"centroidApply: label column '$labelCol' must be numeric " +
+        s"(got ${df.schema(labelCol).dataType.simpleString}); " +
+        "labels are cast to long in the output")
+    require(centroids.schema("label").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "centroidApply: centroid table 'label' must be numeric (got " +
+        s"${centroids.schema("label").dataType.simpleString}); " +
+        "fit with a numeric label or encode first (Encoding.fit/apply)")
     val cents = centroids.select(col("label").as("__lbl"),
       col("centroid").as("__cv"))
     val te = df.select(col(idCol),

@@ -193,13 +193,15 @@ object ExperimentQ extends QueryGroup {
       Some(s"""WITH a AS (SELECT CASE WHEN ${md5Val16Sql("user_id")} < 32768
               |    THEN 'treatment' ELSE 'control' END AS arm FROM events),
               |c AS (SELECT arm, COUNT(*) AS n_obs FROM a GROUP BY 1),
-              |w AS (SELECT arm, CAST(n_obs AS BIGINT) AS n_obs,
-              |    CAST(SUM(n_obs) OVER () AS DOUBLE) AS n FROM c),
-              |e AS (SELECT arm, n_obs, n,
-              |    n * (CASE WHEN arm = 'treatment'
-              |         THEN CAST(${f"${0.55}%.17g"} AS DOUBLE)
-              |         ELSE CAST(${f"${0.45}%.17g"} AS DOUBLE) END) AS ex
-              |  FROM w)
+              |d AS (SELECT * FROM (VALUES
+              |    ('treatment', CAST(${f"${0.55}%.17g"} AS DOUBLE)),
+              |    ('control',   CAST(${f"${0.45}%.17g"} AS DOUBLE)))
+              |  AS t(arm, share)),
+              |j AS (SELECT d.arm, COALESCE(c.n_obs, 0) AS n_obs, d.share
+              |  FROM d LEFT JOIN c ON d.arm = c.arm),
+              |w AS (SELECT arm, CAST(n_obs AS BIGINT) AS n_obs, share,
+              |    CAST(SUM(n_obs) OVER () AS DOUBLE) AS n FROM j),
+              |e AS (SELECT arm, n_obs, n, n * share AS ex FROM w)
               |SELECT arm, n_obs, ROUND(ex, 6) AS expected,
               |  ROUND(n_obs / n, 6) AS ratio_obs,
               |  ROUND(SUM((n_obs - ex) * (n_obs - ex) / ex) OVER (), 6)

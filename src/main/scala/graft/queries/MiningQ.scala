@@ -28,12 +28,15 @@ object MiningQ extends QueryGroup {
   private def md5Val16(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
 
-  /** The q_item_cf oracle CTE chain, shared by q_item_recs. */
-  private val cfSql =
+  /** The q_item_cf oracle CTE chain, shared by q_item_recs and (at a
+    * tighter cap) q_item_cf_incremental — the incremental query's
+    * oracle IS the full recompute, which is exactly the equivalence
+    * the state-merge contract promises. */
+  private def cfSqlAt(cap: Int): String =
     s"""r AS (SELECT DISTINCT user_id AS u, $ItemSql AS i
        |  FROM events WHERE props->>'k' IS NOT NULL),
        |cap AS (SELECT u, i FROM (SELECT u, i,
-       |    COUNT(*) OVER (PARTITION BY u) AS ui FROM r) WHERE ui <= 100),
+       |    COUNT(*) OVER (PARTITION BY u) AS ui FROM r) WHERE ui <= $cap),
        |nn AS (SELECT i, COUNT(*) AS ni FROM cap GROUP BY 1),
        |p AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS n_common
        |  FROM cap a JOIN cap b ON a.u = b.u AND a.i < b.i GROUP BY 1, 2),
@@ -180,7 +183,30 @@ object MiningQ extends QueryGroup {
           .select(col("user_id"),
             get_json_object(col("props"), "$.k").cast("long").as("item")),
         "user_id", "item", k = 5, maxUserItems = 100),
-      Some(s"""WITH $cfSql
+      Some(s"""WITH ${cfSqlAt(100)}
+              |SELECT item, neighbor, CAST(n_common AS BIGINT) AS n_common,
+              |  ROUND(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
+              |FROM kk WHERE rnk <= 5""".stripMargin)),
+
+    // Incremental item-CF refresh: fit state on even event_ids, merge
+    // the odd half as a delta batch, re-derive top-5. The cap (50) is
+    // sized so ~a third of the users CROSS it during the merge -- the
+    // retraction path runs for real, not just the additive one. The
+    // oracle is the FULL recompute over all events: equivalence with
+    // from-scratch IS the incremental-maintenance contract.
+    QueryDef("q_item_cf_incremental",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .filter(get_json_object(col("props"), "$.k").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+        val state = Cf.cfFit(ev.filter(col("event_id") % 2 === 0),
+          "user_id", "item", maxUserItems = 50)
+        val merged = Cf.cfMerge(state, ev.filter(col("event_id") % 2 === 1),
+          "user_id", "item", maxUserItems = 50)
+        Cf.cfTopK(merged, k = 5)
+      },
+      Some(s"""WITH ${cfSqlAt(50)}
               |SELECT item, neighbor, CAST(n_common AS BIGINT) AS n_common,
               |  ROUND(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
               |FROM kk WHERE rnk <= 5""".stripMargin)),
@@ -322,7 +348,7 @@ object MiningQ extends QueryGroup {
           k = 5, maxUserItems = 100)
         Cf.recommendForUsers(ratings, nbrs, "user_id", "item", n = 3)
       },
-      Some(s"""WITH $cfSql,
+      Some(s"""WITH ${cfSqlAt(100)},
               |nb AS (SELECT item, neighbor,
               |    CAST(ROUND(ROUND(cos, 6) * 1e6) AS BIGINT) AS cu
               |  FROM kk WHERE rnk <= 5),

@@ -1105,6 +1105,61 @@ object TemporalQ extends QueryGroup {
         .stripMargin)
     }),
 
+    // Permutation-sampling Shapley (the >12-channel path): 60 seeded
+    // Fisher-Yates permutations, each journey crediting its pi-last
+    // channel -- integer counts / m, so the oracle replays the EXACT
+    // same sample from an injected literal permutation table.
+    QueryDef("q_shapley_sampled", (s, dir) =>
+      Temporal.shapleySampled(Tables.load(s, dir, "events"),
+        userCol = "user_id", tsCol = "ts", typeCol = "event_type",
+        channels = Seq("click", "view", "signup", "error"),
+        convType = "purchase", nPerms = 60, seed = 7L), {
+      val chans = Seq("click", "view", "signup", "error")
+      val nCh = chans.size
+      val perms = Temporal.sampledPermutations(nCh, 60, 7L)
+      val permRows = perms.zipWithIndex.flatMap { case (pos, id) =>
+        pos.zipWithIndex.map { case (p, j) => s"($id, $j, $p)" }
+      }.mkString(",\n              |    ")
+      val bitCase = chans.zipWithIndex.map { case (c, i) =>
+        s"WHEN '$c' THEN ${1L << i}"
+      }.mkString(" ")
+      val chanRows = chans.zipWithIndex.map { case (c, i) =>
+        s"('$c', $i, ${1L << i})"
+      }.mkString(", ")
+      Some(s"""WITH conv AS (SELECT user_id AS u, MIN(ts) AS cts
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |tch AS (SELECT DISTINCT e.user_id AS u,
+              |    CASE e.event_type $bitCase END AS bit
+              |  FROM events e JOIN conv ON conv.u = e.user_id
+              |  WHERE e.ts < conv.cts
+              |    AND e.event_type IN (${chans.map("'" + _ + "'").mkString(", ")})),
+              |mk AS (SELECT u, CAST(SUM(bit) AS BIGINT) AS mask
+              |  FROM tch GROUP BY 1),
+              |sc AS (SELECT mask, COUNT(*) AS c FROM mk GROUP BY 1),
+              |perms(perm_id, idx, pos) AS (VALUES
+              |    $permRows),
+              |w AS (SELECT sc.mask, sc.c, p.perm_id, p.idx,
+              |    ROW_NUMBER() OVER (PARTITION BY sc.mask, p.perm_id
+              |      ORDER BY p.pos DESC) AS r
+              |  FROM sc JOIN perms p ON ((sc.mask >> p.idx) & 1) = 1),
+              |contrib AS (SELECT idx, CAST(SUM(c) AS BIGINT) AS s
+              |  FROM w WHERE r = 1 GROUP BY 1),
+              |ch(channel, idx, bit) AS (VALUES $chanRows),
+              |phi AS (SELECT ch.channel, COALESCE(contrib.s, 0) AS s
+              |  FROM ch LEFT JOIN contrib USING (idx)),
+              |tc AS (SELECT ch.channel,
+              |    CAST(COALESCE(SUM(sc.c), 0) AS BIGINT)
+              |      AS touched_conversions
+              |  FROM ch LEFT JOIN sc ON (sc.mask & ch.bit) <> 0 GROUP BY 1)
+              |SELECT phi.channel, tc.touched_conversions,
+              |  ROUND(CAST(phi.s AS DOUBLE) / 60, 6) AS shapley,
+              |  ROUND(CASE WHEN t.tot > 0
+              |    THEN CAST(phi.s AS DOUBLE) / t.tot END, 6) AS share
+              |FROM phi JOIN tc ON tc.channel = phi.channel
+              |CROSS JOIN (SELECT CAST(SUM(s) AS DOUBLE) AS tot FROM phi) t"""
+        .stripMargin)
+    }),
+
     // Markov next-event backtest: fit the transition matrix on the first
     // half of January, score top-1 accuracy on the second half. Argmax
     // ties break on the exact count then min successor.

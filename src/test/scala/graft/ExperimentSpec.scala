@@ -81,6 +81,17 @@ class ExperimentSpec extends SparkSpec {
     val extra = df.union(Seq("zzz").toDF("arm"))
     assert(Experiment.srmCheck(extra, "arm", Seq("a" -> 0.6, "b" -> 0.4))
       .collect().forall(_.getAs[Double]("chi2") == 0.0))
+    // a declared arm with ZERO observed rows (the worst SRM: an arm that
+    // logs nothing) still emits its row and its full (0-e)^2/e term:
+    // 100 obs all in 'a', declared 50/50 -> e = 50 each,
+    // chi2 = (100-50)^2/50 + (0-50)^2/50 = 100
+    val oneArm = (1 to 100).map(_ => "a").toDF("arm")
+    val ghost = Experiment.srmCheck(oneArm, "arm", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(ghost.size == 2)
+    assert(ghost("b").getAs[Long]("n_obs") == 0L)
+    assert(ghost("b").getAs[Double]("ratio_obs") == 0.0)
+    assert(ghost.values.forall(_.getAs[Double]("chi2") == 100.0))
   }
 
   test("upliftCurve: a perfect targeting score front-loads all the uplift") {
@@ -103,6 +114,23 @@ class ExperimentSpec extends SparkSpec {
     // qini is monotone nondecreasing for this construction
     val qs = (1L to 10L).map(out(_).getAs[Double]("qini"))
     assert(qs.zip(qs.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("upliftCurve: an all-treated prefix reports 0 control response, not null") {
+    // top half all treated, bottom half all control -> early buckets have
+    // zero control units; cumulative control response must be 0 (the
+    // oracle's SUM(CASE ... ELSE 0 END)), never null, and uplift stays
+    // null until both arms appear.
+    val rows = (1 to 40).map(i => (i, 100 - i, i <= 20, 1L))
+    val out = Experiment.upliftCurve(rows.toDF("id", "score", "treated", "y"),
+      "score", "treated", "y", buckets = 4, tiebreak = Seq("id")).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out(1L).getAs[Double]("resp_ctrl_cum") == 0.0)
+    assert(!out(1L).isNullAt(out(1L).fieldIndex("resp_ctrl_cum")))
+    assert(out(1L).isNullAt(out(1L).fieldIndex("uplift")))
+    assert(out(4L).getAs[Double]("resp_treat_cum") == 20.0)
+    assert(out(4L).getAs[Double]("resp_ctrl_cum") == 20.0)
+    assert(out(4L).getAs[Double]("uplift") == 0.0)
   }
 
   test("attStrata: ATT weights per-stratum contrasts by treated count") {

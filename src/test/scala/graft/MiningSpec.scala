@@ -107,6 +107,38 @@ class MiningSpec extends SparkSpec {
     assert(capped == out)
   }
 
+  test("cfMerge: state merge equals full recompute, incl. cap crossing and dedup") {
+    // base: three normal users + u9 at 2 items (under cap 3).
+    // delta: new pairs for u1 (cross-batch), a brand-new user u4, a
+    // re-send of an existing (u2, 1) row (must dedup), and two more
+    // items for u9 -> 4 items total, CROSSING the cap: its base
+    // contribution must be retracted.
+    val base = Seq((1, 1L), (1, 2L), (2, 1L), (2, 2L), (3, 1L), (3, 3L),
+      (9, 1L), (9, 2L)).toDF("u", "i")
+    val delta = Seq((1, 3L), (2, 1L), (4, 2L), (4, 3L), (9, 3L), (9, 4L))
+      .toDF("u", "i")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Double]("cos"),
+        r.getAs[Long]("rank"))).toSet
+    val full = Cf.itemCosineNeighbors(base.union(delta), "u", "i",
+      k = 5, maxUserItems = 3)
+    val merged = Cf.cfMerge(Cf.cfFit(base, "u", "i", maxUserItems = 3),
+      delta, "u", "i", maxUserItems = 3)
+    assert(canon(Cf.cfTopK(merged, 5)) == canon(full))
+    // sanity: the crossing really happened (u9 has 4 distinct items)
+    assert(merged.ratings.filter(col("__u") === 9).count() == 4)
+    // and state items exclude u9's contribution: item 4 only ever
+    // touched by u9 -> absent from counts
+    assert(merged.items.filter(col("__i") === 4L).isEmpty)
+    // a second merge of the SAME delta is a no-op (dedup via ratings)
+    val again = Cf.cfMerge(merged, delta, "u", "i", maxUserItems = 3)
+    assert(canon(Cf.cfTopK(again, 5)) == canon(full))
+    // touched-only re-rank agrees with the full derivation on that slice
+    val touched = Seq(1L, 2L, 3L).toDF("item")
+    assert(canon(Cf.cfTopK(merged, 5, Some(touched))) ==
+      canon(full.filter(col("item").isin(1L, 2L, 3L))))
+  }
+
   test("bhFdr: hand-computed q-values, monotone, planted signals reject") {
     // classic worked example: p = .01, .02, .03, .04, .05 over n=5
     // raw = .05, .05, .05, .05, .05 -> q all .05, all reject at alpha=.05
@@ -156,6 +188,14 @@ class MiningSpec extends SparkSpec {
         .toDF("vec_id", "label", "embedding"),
       mid, "vec_id", "embedding", "label").collect().head
     assert(tie.getLong(2) == 0L)
+    // string labels would cast to null silently downstream -> rejected
+    val strTrain = Seq((1L, "pos", v(0, 0.1f)))
+      .toDF("vec_id", "label", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Vectors.nearestCentroid(strTrain,
+        test.withColumn("label", lit("pos")), "vec_id", "embedding", "label")
+    }
+    assert(err.getMessage.contains("must be numeric"))
   }
 
   test("fuzzyPairsDeletes: exact same pair set as length-blocked fuzzyPairs") {

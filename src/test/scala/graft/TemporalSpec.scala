@@ -590,6 +590,49 @@ class TemporalSpec extends SparkSpec {
     assert(out("C").getAs[Long]("touched_conversions") == 0)
   }
 
+  test("shapleySampled: full permutation set equals exact; seeded sample is deterministic and efficient") {
+    val ev = Seq(
+      (1, 1L, "A"), (1, 2L, "P"),
+      (2, 1L, "A"), (2, 2L, "P"),
+      (3, 1L, "A"), (3, 2L, "B"), (3, 3L, "P"),
+      (4, 1L, "B"), (4, 2L, "P"),
+      (5, 1L, "A"),
+      (6, 1L, "P"), (6, 2L, "A")).toDF("u", "t", "typ")
+    val chans = Seq("A", "B", "C")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("touched_conversions"),
+        r.getAs[Double]("shapley"), r.getAs[Double]("share")))).toMap
+    // with ALL n! permutations the estimator IS the exact Shapley value
+    val allPerms = chans.indices.permutations.map { p =>
+      val pos = new Array[Int](chans.size)
+      p.zipWithIndex.foreach { case (ch, k) => pos(ch) = k }
+      pos.toSeq
+    }.toSeq
+    val full = rows(graft.ops.Temporal.shapleySampled(ev, "u", "t", "typ",
+      chans, "P", permsOverride = Some(allPerms)))
+    val exact = rows(graft.ops.Temporal.shapleyAttribution(ev, "u", "t",
+      "typ", chans, "P"))
+    chans.foreach { c =>
+      assert(full(c)._1 == exact(c)._1)
+      assert(math.abs(full(c)._2 - exact(c)._2) < 1e-9, s"$c: $full vs $exact")
+      assert(math.abs(full(c)._3 - exact(c)._3) < 1e-9)
+    }
+    // seeded sample: deterministic across runs, efficiency axiom holds
+    // EXACTLY (each journey credits exactly one channel per permutation)
+    val s1 = rows(graft.ops.Temporal.shapleySampled(ev, "u", "t", "typ",
+      chans, "P", nPerms = 40, seed = 11L))
+    val s2 = rows(graft.ops.Temporal.shapleySampled(ev, "u", "t", "typ",
+      chans, "P", nPerms = 40, seed = 11L))
+    assert(s1 == s2)
+    assert(math.abs(chans.map(s1(_)._2).sum - 4.0) < 1e-6) // v(full)-v(empty)=4
+    assert(s1("C")._2 == 0.0) // null player stays null under sampling
+    // sampling converges: 400 perms land within 0.15 of exact
+    val big = rows(graft.ops.Temporal.shapleySampled(ev, "u", "t", "typ",
+      chans, "P", nPerms = 400, seed = 3L))
+    chans.foreach(c => assert(math.abs(big(c)._2 - exact(c)._2) < 0.15,
+      s"$c: ${big(c)._2} vs ${exact(c)._2}"))
+  }
+
   test("markovBacktest: argmax on counts, out-of-sample accuracy, unseen states") {
     import org.apache.spark.sql.functions._
     // fit: a->b twice, a->c once => predicted(a)=b; b->a always
