@@ -67,36 +67,51 @@ object Fuzzy {
    * length, which degenerates to ONE block when every key has the same
    * length — 15k same-length ids meant 225M candidate levenshteins;
    * deletion keys block on CONTENT (~L keys per value at d=1,
-   * ~L²/2 at d=2), so candidates are only pairs that actually share a
-   * near-identical spelling. `maxBucket` caps pathological key groups
+   * ~L²/2 at d=2, with L capped at `prefixLen` by SymSpell prefix
+   * truncation so long keys cannot blow up the key table), so
+   * candidates are only pairs that actually share a near-identical
+   * spelling. `maxBucket` caps pathological key groups
    * (the shingle-df-cap family — a bucket that large means a degenerate
    * id scheme, and its pairs still surface via their other keys unless
    * every shared key is hot).
    */
   def fuzzyPairsDeletes(df: DataFrame, keyCol: String, maxDist: Int,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, prefixLen: Int = 24): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"symmetric-delete blocking supports maxDist 1..2, got $maxDist")
+    require(prefixLen > 2 * maxDist,
+      s"prefixLen must exceed 2*maxDist, got $prefixLen")
     val values = df.select(col(keyCol).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
     val s = col("name")
-    val L = length(s)
+    // SymSpell prefix truncation (Garbe): deletion keys derive from the
+    // first `prefixLen` chars ONLY. Without it a V-char value emits
+    // ~V^2/2 keys of ~V bytes at d=2 (quadratic rows, CUBIC bytes) —
+    // fine for the ids/names this targets, catastrophic if pointed at
+    // document text. With it the fanout is a constant <= P^2/2 keys of
+    // <= P bytes per value. Completeness holds (an edit beyond the
+    // prefix leaves both prefixes equal -> shared self-key; an edit
+    // inside it survives as a shared <=d-deletion of the prefixes —
+    // the standard SymSpell argument), and the levenshtein verification
+    // filters the extra shared-prefix candidates truncation admits.
+    val p = s.substr(lit(1), lit(prefixLen))
+    val L = least(length(s), lit(prefixLen))
     def del1(str: Column, len: Column): Column =
       transform(sequence(lit(1), len),
         i => concat(str.substr(lit(1), i - 1), str.substr(i + 1, len)))
-    val d1 = when(L >= 1, del1(s, L)).otherwise(array().cast("array<string>"))
+    val d1 = when(L >= 1, del1(p, L)).otherwise(array().cast("array<string>"))
     // delete-2: remove positions i < j in one expression pass
     val d2 =
       if (maxDist < 2) array().cast("array<string>")
       else when(L >= 2, flatten(transform(sequence(lit(1), L - 1), i =>
         transform(sequence(i + 1, L), j =>
-          concat(s.substr(lit(1), i - 1),
-            s.substr(i + 1, j - i - 1),
-            s.substr(j + 1, L))))))
+          concat(p.substr(lit(1), i - 1),
+            p.substr(i + 1, j - i - 1),
+            p.substr(j + 1, L))))))
         .otherwise(array().cast("array<string>"))
     val keyed = values
       .select(s, explode(array_distinct(
-        concat(array(s), d1, d2))).as("__k"))
+        concat(array(p), d1, d2))).as("__k"))
     val capped = keyed
       .withColumn("__bc", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))

@@ -89,12 +89,17 @@ object Graph {
    * un-normalized scores before the norm, which both flattens the plan
    * (each iteration is one checkpoint deep) and computes every score
    * vector exactly once (a cluster run would checkpoint to reliable
-   * storage the same way). `checkpointEvery` is kept for signature
-   * compatibility; the per-half-iteration checkpoint is unconditional.
+   * storage the same way). `checkpointEvery` follows the family
+   * contract ([[pageRank]]/[[kCore]]/[[labelPropagation]]): counted in
+   * HALF-iterations here (each norm is one), default 1 = checkpoint
+   * every half, 0 = never — tiny-graph escape hatch ONLY, since every
+   * un-checkpointed half more than DOUBLES the plan (the norm's double
+   * subtree reference), so 3 iterations ≈ a 2⁶-deep recompute.
    */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
     // The edge list feeds EVERY half-iteration's join — materialize it
     // once instead of re-scanning + re-distincting the source per
     // reference. (A pre-partitioned copy per join key would also elide
@@ -104,8 +109,13 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
 
+    var half = 0
     def l2norm(scores: DataFrame, c: String): DataFrame = {
-      val snap = scores.localCheckpoint()
+      half += 1
+      val snap =
+        if (checkpointEvery > 0 && half % checkpointEvery == 0)
+          scores.localCheckpoint()
+        else scores
       val nrm = snap.agg(sqrt(sum(col(c) * col(c))).as("_n"))
       snap.crossJoin(broadcast(nrm))
         .select(col("v"),

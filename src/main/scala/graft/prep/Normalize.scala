@@ -129,7 +129,32 @@ object Normalize {
    * 6-dp rounded.
    */
   def quantileNormalize(df: DataFrame, sourceCol: String, valueCol: String,
-      q: Int = 101, idCols: Seq[String] = Nil): DataFrame = {
+      q: Int = 101, idCols: Seq[String] = Nil): DataFrame =
+    quantileNormalizeImpl(df, sourceCol, valueCol, q, idCols, None)
+
+  /**
+   * The 100 TB production twin of [[quantileNormalize]]: identical rank
+   * side (already distinct-value grain), but the global percentile grid
+   * comes from `approx_percentile` (mergeable Greenwald–Khanna sketch,
+   * O(accuracy) heap) instead of the exact `percentile` array whose
+   * heap holds every distinct value. Each grid point is an observed
+   * value within ±1/`accuracy` of its quantile rank, so a normalized
+   * score differs from the exact operator by at most the local grid
+   * gap around its rank (spec-bounded on the fixture: max deviation ≤
+   * the exact grid's own max adjacent gap). `src_rank` is unchanged —
+   * bit-equal to the exact twin. Keep the exact form as the oracle
+   * fixture.
+   */
+  def quantileNormalizeApprox(df: DataFrame, sourceCol: String,
+      valueCol: String, q: Int = 101, idCols: Seq[String] = Nil,
+      accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 100, "accuracy must be >= 100 (rank error 1/accuracy)")
+    quantileNormalizeImpl(df, sourceCol, valueCol, q, idCols, Some(accuracy))
+  }
+
+  private def quantileNormalizeImpl(df: DataFrame, sourceCol: String,
+      valueCol: String, q: Int, idCols: Seq[String],
+      approxAccuracy: Option[Int]): DataFrame = {
     require(q >= 2, "q must be >= 2")
     val v = col(valueCol).cast("double")
     val rows = df.filter(v.isNotNull)
@@ -144,8 +169,13 @@ object Normalize {
       .withColumn("__lt", coalesce(sum(col("__c")).over(wLt), lit(0L)))
     val nSrc = rows.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
     val pcts = (0 until q).map(j => j.toDouble / (q - 1))
-    val grid = rows.agg(percentile(col("__v"),
-      array(pcts.map(lit): _*)).as("__gq"))
+    val grid = approxAccuracy match {
+      case None => rows.agg(percentile(col("__v"),
+        array(pcts.map(lit): _*)).as("__gq"))
+      case Some(acc) => rows.agg(expr(
+        s"approx_percentile(__v, array(${pcts.mkString(", ")}), $acc)")
+        .cast("array<double>").as("__gq"))
+    }
     val r = when(col("__n") > 1, col("__lt").cast("double") / (col("__n") - 1))
       .otherwise(lit(0.0))
     val idx = r * (q - 1)

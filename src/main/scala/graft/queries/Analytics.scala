@@ -112,6 +112,17 @@ object Analytics extends QueryGroup {
              |        ELSE g[lo+1] * (1.0 - fr) + g[lo+2] * fr END, 6) AS normalized
              |FROM k""".stripMargin)),
 
+    // The 100 TB production twin: same distinct-grain ranks, but the
+    // global grid from the approx_percentile sketch (O(accuracy) heap
+    // vs exact percentile's every-distinct-value heap). Sketch output
+    // is engine-specific -> rows-only by design; PrepSpec bounds the
+    // deviation from the exact twin by the grid's own max gap.
+    QueryDef("q_quantile_normalize_approx",
+      (s, dir) => graft.prep.Normalize.quantileNormalizeApprox(
+        Tables.load(s, dir, "events"), "event_type", "value",
+        q = 101, idCols = Seq("event_id"), accuracy = 10000),
+      None),
+
     // B2 window filter with grace period (preprocess.py:90-92):
     // keep ts in [cutoff - grace - history, cutoff - grace], inclusive
     QueryDef("q_b2_grace_filter",

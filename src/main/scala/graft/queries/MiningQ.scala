@@ -117,6 +117,19 @@ object MiningQ extends QueryGroup {
              |FROM events e JOIN q USING(event_type)
              |WHERE e.value IS NOT NULL""".stripMargin)),
 
+    // The 100 TB production twin: bounds from the approx_percentile
+    // sketch (mergeable, O(accuracy) heap) served through the same
+    // winsorizeApply. Sketch output is engine-specific -> rows-only by
+    // design; MiningSpec bounds each cut's quantile-rank error.
+    QueryDef("q_winsorize_approx",
+      (s, dir) => Planners.winsorizeApply(Tables.load(s, dir, "events"),
+        Planners.winsorizeFitApprox(Tables.load(s, dir, "events"),
+          Seq("event_type"), "value", pLo = 0.05, pHi = 0.95,
+          accuracy = 10000),
+        keys = Seq("event_type"), valueCol = "value",
+        idCols = Seq("event_id")),
+      None),
+
     // Matryoshka serving cut: first 16 dims, re-normalized to unit L2,
     // unpivoted to dim grain, with the energy-kept diagnostic.
     QueryDef("q_matryoshka",

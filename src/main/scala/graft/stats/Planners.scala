@@ -549,6 +549,35 @@ object Planners {
   }
 
   /**
+   * The 100 TB production twin of [[winsorizeFit]]: same (keys, lo, hi)
+   * artifact from `approx_percentile` (Greenwald–Khanna sketch, merge-
+   * able partials, O(accuracy) heap per group) instead of exact
+   * `percentile` (an imperative aggregate whose heap holds every
+   * distinct value of the group — the one memory-unbounded fit shape
+   * at raw-double grain). Guarantee: each bound sits within
+   * ±1/`accuracy` of the requested QUANTILE RANK (plus the 1/n
+   * discreteness of small groups); the returned bound is an observed
+   * value, not an interpolation, so the clamp can only be off by the
+   * local value gap at the tail cut — spec-bounded on the fixture.
+   * Serve through the same [[winsorizeApply]] /
+   * [[graft.streaming.EventStream.streamingWinsorize]]; keep the exact
+   * fit as the oracle fixture.
+   */
+  def winsorizeFitApprox(df: DataFrame, keys: Seq[String],
+      valueCol: String, pLo: Double = 0.05, pHi: Double = 0.95,
+      accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    require(accuracy >= 100, "accuracy must be >= 100 (rank error 1/accuracy)")
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"approx_percentile($valueCol, $pLo, $accuracy)")
+          .cast("double").as("lo"),
+        expr(s"approx_percentile($valueCol, $pHi, $accuracy)")
+          .cast("double").as("hi"))
+  }
+
+  /**
    * Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995) over
    * a battery of p-values — the multiple-testing closer for this stats
    * family: once [[welchT]]/[[chi2]]/[[mannWhitneyU]]/

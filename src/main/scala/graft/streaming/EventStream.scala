@@ -830,6 +830,122 @@ object EventStream {
       }
   }
 
+  final case class AttrEv(key: String, ts_us: Long, side: Int,
+      ch: String, tb: Long)
+  final case class AttrState(pending: Seq[(Long, String, Long)])
+  final case class AttrOut(key: String, conv_ts_us: Long, channel: String,
+      touch_ts_us: Long, event_id: Long, touch_rank: Long, n_touches: Long,
+      credit_first: Double, credit_last: Double, credit_linear: Double,
+      credit_position: Double, credit_time_decay: Option[Double])
+
+  /**
+   * Streaming multi-touch attribution per key — the live twin of
+   * [[graft.ops.Temporal.attribution]], and the operator a marketing
+   * pipeline actually runs CONTINUOUSLY (batch re-credits the whole
+   * history nightly; the stream credits each journey the moment its
+   * conversion lands). State per key is the touches since the last
+   * conversion — the natural bounded formulation: with `lookbackSec`
+   * set, touches older than the lookback horizon are evicted at every
+   * batch (they can never earn credit: any future conversion is newer
+   * still), so state is O(touch rate × lookback), independent of
+   * history.
+   *
+   * Semantics mirror the batch operator exactly: a touch credits the
+   * EARLIEST conversion at-or-after it (a conversion FLUSHES the
+   * pending buffer as one journey), a same-instant touch belongs to
+   * that conversion (in-batch events sort touches before conversions
+   * at equal ts), lookback-expired touches are dropped from the
+   * journey BEFORE ranks are assigned, and all credit models
+   * (first/last/linear/position, plus time-decay when `halfLifeSec`
+   * is set) use the same arithmetic and Spark's decimal-string
+   * HALF_UP 6-dp round — emissions equal the batch rows bit-for-bit
+   * (spec-checked), each journey emitted exactly once. Ordering
+   * contract as the other monitors: in-batch events are sorted;
+   * across batches the source must deliver a key's events in time
+   * order. Touches after the last conversion stay pending (the batch
+   * operator never credits them either) until lookback/TTL eviction.
+   */
+  def streamingAttribution(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, typeCol: String,
+      conversionType: String, channelCol: String, idCol: String,
+      lookbackSec: Option[Long] = None, halfLifeSec: Option[Long] = None,
+      stateTtl: Option[String] = None): Dataset[AttrOut] = {
+    import spark.implicits._
+    halfLifeSec.foreach(hl => require(hl >= 1, "halfLifeSec must be >= 1"))
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        when(col(typeCol) === conversionType, 0).otherwise(1).as("side"),
+        when(col(typeCol) =!= conversionType,
+          col(channelCol).cast("string")).as("ch"),
+        col(idCol).cast("long").as("tb"))
+      .as[AttrEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[AttrEv], state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // touches sort BEFORE conversions at the same instant, so a
+            // same-instant touch is already pending when the flush runs
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, -e.side, e.tb))
+            var pending = state.getOption.map(_.pending.toVector)
+              .getOrElse(Vector.empty)
+            val out = Vector.newBuilder[AttrOut]
+            var maxTs = Long.MinValue
+            sorted.foreach { e =>
+              maxTs = math.max(maxTs, e.ts_us)
+              if (e.side == 1) pending :+= ((e.ts_us, e.ch, e.tb))
+              else {
+                val journey = (lookbackSec match {
+                  case Some(lb) =>
+                    pending.filter(t => e.ts_us - t._1 <= lb * 1000000L)
+                  case None => pending
+                }).sortBy(t => (t._1, t._3))
+                val n = journey.length
+                val decayDen = halfLifeSec.map { hl =>
+                  journey.foldLeft(0.0) { (acc, t) =>
+                    acc + math.pow(0.5,
+                      (e.ts_us - t._1).toDouble / 1000000.0 / hl)
+                  }
+                }
+                journey.zipWithIndex.foreach { case ((tts, ch, tb), i) =>
+                  val rk = i + 1
+                  val positional =
+                    if (n == 1) 1.0
+                    else if (n == 2) 0.5
+                    else if (rk == 1 || rk == n) 0.4
+                    else 0.2 / (n - 2)
+                  val decay = (halfLifeSec, decayDen) match {
+                    case (Some(hl), Some(den)) => Some(r6(math.pow(0.5,
+                      (e.ts_us - tts).toDouble / 1000000.0 / hl) / den))
+                    case _ => None
+                  }
+                  out += AttrOut(key, e.ts_us, ch, tts, tb, rk.toLong,
+                    n.toLong,
+                    if (rk == 1) 1.0 else 0.0,
+                    if (rk == n) 1.0 else 0.0,
+                    r6(1.0 / n), r6(positional), decay)
+                }
+                pending = Vector.empty
+              }
+            }
+            // bounded state: expire touches beyond the lookback horizon
+            val trimmed = lookbackSec match {
+              case Some(lb) if maxTs > Long.MinValue =>
+                pending.filter(t => maxTs - t._1 <= lb * 1000000L)
+              case _ => pending
+            }
+            state.update(AttrState(trimmed))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class MkEv(key: String, ts_us: Long, event_id: Long, v: Double)
   final case class MkState(buf: Seq[(Long, Long, Double)])
   final case class MkOut(key: String, n: Long, s: Option[Long],

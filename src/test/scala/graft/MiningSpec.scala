@@ -139,6 +139,41 @@ class MiningSpec extends SparkSpec {
       canon(full.filter(col("item").isin(1L, 2L, 3L))))
   }
 
+  test("winsorizeFitApprox: each bound lands in the sketch's rank band; serves through the same apply") {
+    val ev = Tables.load(spark, sf, "events")
+    val approx = Planners.winsorizeFitApprox(ev, Seq("event_type"), "value",
+      pLo = 0.05, pHi = 0.95, accuracy = 10000).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = Planners.winsorizeFit(ev, Seq("event_type"), "value")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    val vals = ev.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("double")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    approx.foreach { case (k, (lo, hi)) =>
+      assert(lo <= hi)
+      val xs = vals(k); val n = xs.length.toDouble
+      // rank error: 1/accuracy from the sketch + discreteness of n
+      val tol = 1.0 / 10000 + 2.0 / n
+      assert(xs.count(_ < lo) / n <= 0.05 + tol, s"$k lo rank high")
+      assert(xs.count(_ <= lo) / n >= 0.05 - tol, s"$k lo rank low")
+      assert(xs.count(_ < hi) / n <= 0.95 + tol, s"$k hi rank high")
+      assert(xs.count(_ <= hi) / n >= 0.95 - tol, s"$k hi rank low")
+      // the sketch returns observed values, never interpolations
+      assert(xs.contains(lo) && xs.contains(hi), s"$k not observed")
+    }
+    // the approx artifact serves through the SAME apply: counts kept,
+    // every served value inside its group's bounds
+    val served = Planners.winsorizeApply(ev,
+      Planners.winsorizeFitApprox(ev, Seq("event_type"), "value"),
+      Seq("event_type"), "value", Seq("event_id"))
+    assert(served.count() == ev.filter(col("value").isNotNull).count())
+    assert(served.filter(col("value_w") < lit(-1e12) ||
+      col("value_w") > lit(1e12)).isEmpty)
+  }
+
   test("bhFdr: hand-computed q-values, monotone, planted signals reject") {
     // classic worked example: p = .01, .02, .03, .04, .05 over n=5
     // raw = .05, .05, .05, .05, .05 -> q all .05, all reject at alpha=.05
@@ -216,6 +251,26 @@ class MiningSpec extends SparkSpec {
     val p1 = Fuzzy.fuzzyPairsDeletes(vals, "v", 1).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(p1.contains(("alpha", "alphb")) && p1.contains(("alpha", "alphax")))
+    // long keys: SymSpell prefix truncation (prefixLen = 8 here) must
+    // keep the pair set EXACT -- edits beyond the prefix (equal
+    // prefixes -> shared self-key), inside it, and straddling the
+    // boundary (insert/delete at position <= P shifts the suffix)
+    val base = "abcdefghijklmnopqrst" // 20 chars, prefix cut at 8
+    val longs = Seq(
+      base,
+      base.dropRight(1) + "x",          // substitution at position 20
+      base + "zz",                      // two appends (lev 2)
+      base.take(4) + "X" + base.drop(5),// substitution inside prefix
+      base.take(8) + "Q" + base.drop(8),// insertion AT the boundary
+      base.drop(1),                     // deletion at position 1
+      "totally-unrelated-key-00").toDF("v")
+    for (d <- Seq(1, 2)) {
+      def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val want = toSet(Fuzzy.fuzzyPairs(longs, "v", d))
+      val got = toSet(Fuzzy.fuzzyPairsDeletes(longs, "v", d, prefixLen = 8))
+      assert(got == want && want.nonEmpty, s"long d=$d: $got vs $want")
+    }
   }
 
   test("fsScore: hand weights, missing fields contribute zero, classes split") {

@@ -1883,6 +1883,16 @@ class OpsSpec extends SparkSpec {
     assert(Graph.hits(dup, "src", "dst", iterations = 2)
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
       .toMap == score(2))
+    // checkpointEvery is honored, not decorative: 0 (never, the
+    // tiny-graph escape hatch) and 2 (every other half) both reproduce
+    // the default's scores exactly
+    for (ce <- Seq(0, 2)) {
+      val alt = Graph.hits(g, "src", "dst", iterations = 2,
+          checkpointEvery = ce)
+        .collect().map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(alt == score(2), s"checkpointEvery=$ce diverged")
+    }
   }
 
   test("triangleCounts: square+diagonal hand-count; canon kills dups/loops/reversals") {

@@ -235,6 +235,31 @@ class PrepSpec extends SparkSpec {
     assert(rows(1L) == ((3L, r6(conf1), 1.0, r6(1.0 - conf1), ece, 0.15)))
   }
 
+  test("quantileNormalizeApprox: ranks bit-equal to exact, normalized within the grid's own max gap") {
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Double]("src_rank"), r.getAs[Double]("normalized")))).toMap
+    val exact = keyed(Normalize.quantileNormalize(ev, "event_type", "value",
+      q = 101, idCols = Seq("event_id")))
+    val approx = keyed(Normalize.quantileNormalizeApprox(ev, "event_type",
+      "value", q = 101, idCols = Seq("event_id"), accuracy = 10000))
+    assert(approx.keySet == exact.keySet && approx.size > 100)
+    // the exact grid's max adjacent gap bounds how far a sketch grid
+    // point (rank error 1e-4) can displace an interpolated score
+    val grid = ev.filter(col("value").isNotNull)
+      .agg(percentile(col("value").cast("double"),
+        array((0 until 101).map(j => lit(j / 100.0)): _*)))
+      .head().getSeq[Double](0)
+    val maxGap = grid.sliding(2).map(p => p(1) - p(0)).max
+    approx.foreach { case (k, (r, nv)) =>
+      val (er, env) = exact(k)
+      assert(r == er, s"$k: rank $r vs $er") // rank side is untouched
+      assert(math.abs(nv - env) <= 2 * maxGap + 1e-6,
+        s"$k: $nv vs $env (maxGap $maxGap)")
+    }
+  }
+
   test("quantileNormalize: hand grid, cross-source median alignment, ties, singleton, nulls") {
     // global sorted values: [1,2,3,4,5,7,7,10,20,30,100] (n=11); grid q=5
     // at positions p*(11-1): g = [1, 3+0.5=3.5, 7, 10+0.5*10=15, 100]

@@ -1477,4 +1477,89 @@ class StreamingSpec extends SparkSpec {
     assert(whole.getDouble(2) == split.getDouble(2))
     assert(whole.getBoolean(3) && split.getBoolean(3))
   }
+
+  test("streaming attribution equals the batch operator across all credit models") {
+    import org.apache.spark.sql.functions._
+    val lb = Some(12 * 3600L); val hl = Some(3600L)
+    val out = EventStream.streamingAttribution(spark,
+      EventStream.readEvents(spark, streamDir),
+      "user_id", "ts", "event_type", "purchase", "event_type", "event_id",
+      lookbackSec = lb, halfLifeSec = hl)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("attr_stream").start()
+    try {
+      q.processAllAvailable()
+      def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4)) -> ((r.getLong(5), r.getLong(6), r.getDouble(7),
+          r.getDouble(8), r.getDouble(9), r.getDouble(10),
+          r.getDouble(11)))).toMap
+      val got = toMap(spark.sql(
+        """SELECT key, conv_ts_us, channel, touch_ts_us, event_id,
+          touch_rank, n_touches, credit_first, credit_last, credit_linear,
+          credit_position, credit_time_decay FROM attr_stream""").collect())
+      val batch = toMap(graft.ops.Temporal.attribution(
+          graft.core.Tables.load(spark, sf, "events"),
+          Seq("user_id"), "ts", "event_type", conversionType = "purchase",
+          channelCol = "event_type", tiebreakCol = "event_id",
+          lookbackSec = lb, halfLifeSec = hl)
+        .select(col("user_id").cast("string"), unix_micros(col("conv_ts")),
+          col("event_type"), unix_micros(col("touch_ts")), col("event_id"),
+          col("touch_rank"), col("n_touches"), col("credit_first"),
+          col("credit_last"), col("credit_linear"), col("credit_position"),
+          col("credit_time_decay")).collect())
+      assert(got.keySet == batch.keySet && got.nonEmpty,
+        s"key sets differ: ${(got.keySet -- batch.keySet).take(3)} vs " +
+          s"${(batch.keySet -- got.keySet).take(3)}")
+      got.foreach { case (k, (rk, n, cf, cl, clin, cpos, cdec)) =>
+        val (brk, bn, bcf, bcl, bclin, bcpos, bcdec) = batch(k)
+        assert(rk == brk && n == bn && cf == bcf && cl == bcl, s"$k")
+        // same arithmetic, same fold order; the two 6-dp rounders can
+        // disagree only exactly ON a tie
+        assert(math.abs(clin - bclin) <= 1e-6 &&
+          math.abs(cpos - bcpos) <= 1e-6 &&
+          math.abs(cdec - bcdec) <= 1e-6, s"$k: ($clin,$cpos,$cdec)")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming attribution: split batches equal one batch; same-instant and lookback rules hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // A@1s B@2s conv@2s (same-instant B credits it) | C@3s D@8s
+    // conv@10s lookback 5s (C expired, D kept) | E@11s stays pending
+    val evs = Seq(
+      ("k", 1000000L, "A", 1L), ("k", 2000000L, "B", 2L),
+      ("k", 2000000L, "P", 3L), ("k", 3000000L, "C", 4L),
+      ("k", 8000000L, "D", 5L), ("k", 10000000L, "P", 6L),
+      ("k", 11000000L, "E", 7L))
+    def run(data: Seq[Seq[(String, Long, String, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long, String, Long)]
+      val df = mem.toDF().toDF("k", "ts_us", "typ", "event_id")
+        .select(col("k"), expr("timestamp_micros(ts_us)").as("ts"),
+          col("typ"), col("event_id"))
+      val q = EventStream.streamingAttribution(spark, df,
+          "k", "ts", "typ", "P", "typ", "event_id",
+          lookbackSec = Some(5L))
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        data.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT channel, conv_ts_us, touch_rank, n_touches, " +
+            s"credit_first, credit_last FROM $name")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+      } finally q.stop()
+    }
+    val whole = run(Seq(evs), "attr_one")
+    val split = run(Seq(evs.take(3), evs.slice(3, 5), evs.drop(5)),
+      "attr_three")
+    assert(whole == split)
+    assert(whole == Set(
+      ("A", 2000000L, 1L, 2L, 1.0, 0.0),
+      ("B", 2000000L, 2L, 2L, 0.0, 1.0),  // same-instant touch credits
+      ("D", 10000000L, 1L, 1L, 1.0, 1.0))) // C expired by lookback; E pending
+  }
 }
