@@ -148,13 +148,15 @@ object Bench {
     // front door (WARC on disk -> re-read -> mojibake repair -> strip ->
     // script gate -> normalize; the write re-runs each pass by design)
     "q_web_ingest_e2e",
-    // round-20 (per-query only): content-defined chunk dedup (the
-    // O(len) windowed-hash scan is the cost driver), multi-touch
-    // attribution (union+carry journey scan), HITS link analysis
-    "q_content_chunk_dedup", "q_attribution", "q_hits",
-    // the gear boundary expression vs the windowed-md5 chunk scan: the
-    // two chunkings of the same corpus price the O(1)-per-char claim
-    "q_content_chunks_gear", "q_content_chunks",
+    // round-20 (per-query only): multi-touch attribution (union+carry
+    // journey scan), HITS link analysis
+    "q_attribution", "q_hits",
+    // content-defined chunking: the GEAR production boundary is the
+    // headline; the windowed-md5 ORACLE FIXTURES (q_content_chunks,
+    // q_content_chunk_dedup) moved to `spotCheck` in round 14 — they
+    // were ~20% of bench wall-clock spent timing a fixture whose only
+    // job is anchoring the gear parity specs
+    "q_content_chunks_gear",
     // round-21: the gear-fed chunk-DEDUP twin — same stats contract and
     // boilerplate-seeded corpus as q_content_chunk_dedup, production
     // boundary family; the pair prices the whole dedup path, not just
@@ -167,7 +169,21 @@ object Bench {
     // round-13: experimentation readouts (events-grain conditional
     // aggregates + the cusum-family drift window) and item-item CF
     // (the capped co-occurrence self-join)
-    "q_cuped", "q_page_hinkley", "q_item_cf")
+    "q_cuped", "q_page_hinkley", "q_item_cf",
+    // round-14 (per-query only): incremental CF state merge (the
+    // delta-sized maintenance path incl. cap-crossing retraction),
+    // permutation-sampling Shapley, and the approx-percentile
+    // production twins of the two exact-percentile fits
+    "q_item_cf_incremental", "q_shapley_sampled",
+    "q_winsorize_approx", "q_quantile_normalize_approx")
+
+  /** Oracle fixtures priced OUTSIDE the timed headline: one single
+    * sample after the timed passes, reported under `spot_check`,
+    * excluded from total/gate/family sums. These anchor correctness
+    * specs (the gear twins above are the production path); their
+    * timings only need to stay sane, not to tax every round's bench. */
+  val spotCheck: Seq[String] = Seq("q_content_chunks",
+    "q_content_chunk_dedup")
 
   /** Per-family groupings of the headline set: a regression localizes to
     * a family subtotal instead of a 48-row per-query diff. Families are
@@ -179,16 +195,16 @@ object Bench {
     "dedup" -> Set("q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash_fast",
       "q_dedup_minhash_admit", "q_dedup_simhash64", "q_text_simhash",
       "q_para_dedup_cut", "q_winnow_overlap", "q_d4_pipeline",
-      "q_content_chunks", "q_content_chunks_gear", "q_content_chunk_dedup",
-      "q_content_chunk_dedup_gear", "q_decontam"),
+      "q_content_chunks_gear", "q_content_chunk_dedup_gear", "q_decontam"),
     "ann" -> Set("q_ann_brute", "q_ann_lsh", "q_ann_ivfpq_residual",
       "q_ann_binary_rerank"),
     "retrieval" -> Set("q_bm25_search", "q_bm25_rm3", "q_bm25_prebuilt",
       "q_bm25_rm3_prebuilt"),
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
       "q_attribution", "q_page_hinkley"),
-    "experiment" -> Set("q_cuped"),
-    "mining" -> Set("q_item_cf"),
+    "experiment" -> Set("q_cuped", "q_shapley_sampled"),
+    "mining" -> Set("q_item_cf", "q_item_cf_incremental",
+      "q_winsorize_approx", "q_quantile_normalize_approx"),
     "graph" -> Set("q_hits", "q_adamic_adar"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",
@@ -331,7 +347,18 @@ object Bench {
       s""""cpu_min":${r3(cpuS.min)},"cpu_max":${r3(cpuS.max)},""" +
       s""""par_min":${r3(parS.min)},"par_max":${r3(parS.max)},""" +
       s""""spark_min":${r3(sparkS.min)},"spark_max":${r3(sparkS.max)}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","gate16_total":$gate16Total,"family_totals":$famJson,"queries":$qJson,"failed":$failedJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}"""
+    // oracle-fixture spot checks: ONE untimed-warm-up-free sample each,
+    // outside total/gate/family sums (their warm-up happened implicitly
+    // if they share scans with headline queries; a single sample is all
+    // a sanity floor needs)
+    val spotJson = spotCheck.filter(SparkEntry.queries.contains).map { n =>
+      val t = try r3(runOnce(n)) catch { case e: Throwable =>
+        System.err.println(s"[bench] spot-check $n failed: ${e.getMessage}")
+        -1.0
+      }
+      s""""$n":$t"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","gate16_total":$gate16Total,"family_totals":$famJson,"queries":$qJson,"failed":$failedJson,"spot_check":$spotJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}"""
     // belt-and-braces vs the driver's finite tail capture: the artifact
     // also lands in the repo, so the verdict never depends on the capture
     // window catching the whole stdout line
