@@ -340,4 +340,170 @@ object Experiment {
         round(col("__diff"), 6).as("diff"),
         round(col("__att"), 6).as("att"))
   }
+
+  /**
+   * Standard-normal quantile Φ⁻¹(p) — Acklam's rational approximation
+   * (peter.acklam 2003, |relative error| < 1.15e-9; the public-domain
+   * algorithm every stats library without erfinv ships). Computed in
+   * the JVM and injected into plans/oracles as a literal — the
+   * [[sprtLlrConstants]] contract: no libm in the data path.
+   */
+  def zQuantile(p: Double): Double = {
+    require(p > 0 && p < 1, "p in (0,1)")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    }
+  }
+
+  /**
+   * Minimum-detectable-effect / required-sample-size readout — the
+   * experiment-PLANNING complement of [[cuped]]/[[sprt]]/[[diffInDiff]]
+   * (those read out a finished test; this answers "is the test worth
+   * running, and for how long" BEFORE assignment). Two-sample
+   * normal-approximation power algebra:
+   *
+   *   MDE = (z₁₋α/₂ + z_power) · √(s²_t/n_t + s²_c/n_c)
+   *   n_req/arm = (z₁₋α/₂ + z_power)² · (s²_t + s²_c) / Δ²
+   *
+   * with Δ = `targetRelEffect` × the control mean, and per-arm sample
+   * variances from the historical metric (the standard pre-experiment
+   * sizing from logged data). The z quantiles are [[zQuantile]] JVM
+   * literals — oracle-injectable, no libm in the plan.
+   *
+   * Output: ONE row — per-arm n/mean/variance (6 dp), `mde_abs` /
+   * `mde_rel` (6 dp; null when a variance or the control mean is
+   * degenerate), `n_required_per_arm` (ceil, null when Δ = 0). Scale
+   * shape: one conditional hash-aggregate pass, then one-row
+   * arithmetic — the [[diffInDiff]] shape.
+   */
+  def mdeReadout(df: DataFrame, armCol: String, valueCol: String,
+      treatArm: String, ctrlArm: String, alpha: Double = 0.05,
+      power: Double = 0.8, targetRelEffect: Double = 0.02): DataFrame = {
+    require(alpha > 0 && alpha < 1 && power > 0 && power < 1,
+      "alpha and power in (0,1)")
+    require(targetRelEffect > 0, "targetRelEffect must be > 0")
+    val zSum = zQuantile(1 - alpha / 2) + zQuantile(power)
+    val v = col(valueCol).cast("double")
+    val t = col(armCol) === treatArm
+    val c = col(armCol) === ctrlArm
+    val g = df.filter(v.isNotNull && (t || c)).agg(
+      sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(c, 1L).otherwise(0L)).as("n_ctrl"),
+      avg(when(t, v)).as("__mt"), avg(when(c, v)).as("__mc"),
+      var_samp(when(t, v)).as("__vt"), var_samp(when(c, v)).as("__vc"))
+    val mde = lit(zSum) * sqrt(col("__vt") / col("n_treat") +
+      col("__vc") / col("n_ctrl"))
+    val delta = lit(targetRelEffect) * col("__mc")
+    g.select(col("n_treat"), col("n_ctrl"),
+      round(col("__mt"), 6).as("mean_treat"),
+      round(col("__mc"), 6).as("mean_ctrl"),
+      round(col("__vt"), 6).as("var_treat"),
+      round(col("__vc"), 6).as("var_ctrl"),
+      round(when(col("n_treat") > 1 && col("n_ctrl") > 1, mde), 6)
+        .as("mde_abs"),
+      round(when(col("n_treat") > 1 && col("n_ctrl") > 1 &&
+        col("__mc") =!= 0, mde / col("__mc")), 6).as("mde_rel"),
+      when(col("__mc") =!= 0 && col("n_treat") > 1 && col("n_ctrl") > 1,
+        ceil(lit(zSum * zSum) * (col("__vt") + col("__vc")) /
+          (delta * delta)).cast("long")).as("n_required_per_arm"))
+  }
+
+  /**
+   * Off-policy REPLAY evaluation (Li, Chu, Langford & Wang, WSDM 2011,
+   * "Unbiased offline evaluation of contextual-bandit-based news
+   * article recommendation algorithms"): score a target policy from
+   * LOGGED (context, arm, reward) data by keeping exactly the rows
+   * where the logged arm equals the policy's arm — under uniform
+   * logging the matched rows' mean reward is an unbiased estimate of
+   * the policy's online reward. THE standard "would this targeting
+   * rule beat what we shipped" readout before an A/B slot is spent.
+   *
+   * `policy` is a (ctx, arm) mapping table — deterministic, e.g.
+   * [[greedyPolicy]] fitted on an earlier slice. Output: ONE row —
+   * `n_logged`, `n_matched`, `match_rate` (6 dp), `reward_policy`
+   * (matched-rows mean, 6 dp; null when nothing matched),
+   * `reward_logged` (all-rows mean, the shipped baseline, 6 dp).
+   * Scale shape: one broadcast join of the ctx-grain policy onto the
+   * log scan, one conditional aggregate — nothing log-grain survives.
+   */
+  def replayEval(logs: DataFrame, ctxCol: String, armCol: String,
+      rewardCol: String, policy: DataFrame): DataFrame = {
+    val r = col(rewardCol).cast("double")
+    val pol = policy.select(col("ctx").as("__ctx"), col("arm").as("__parm"))
+    // All three emitted ratios are integer-grid sums over a row count —
+    // exactly the midpoint-rounding trap (a double ROUND lands ON the
+    // half-micro boundary with probability ~1/n, where engines
+    // disagree) — so each quantizes half-up in EXACT integer
+    // arithmetic: round6(s/n) = (2s + n) div 2n at micro grain (the
+    // seasonalNaiveBacktest pattern; rewards expected >= 0 at <= 6-dp
+    // grain, the regime where the micro-unit quantization is exact).
+    logs.filter(r.isNotNull && col(ctxCol).isNotNull && col(armCol).isNotNull)
+      .join(broadcast(pol), col(ctxCol) === col("__ctx"), "left")
+      .withColumn("__hit", col("__parm").isNotNull &&
+        col(armCol) === col("__parm"))
+      .withColumn("__ru", round(r * 1e6).cast("long"))
+      .agg(count(lit(1)).as("n_logged"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("__hit"), col("__ru"))).as("__sp"),
+        sum(col("__ru")).as("__sl"))
+      .select(col("n_logged"), col("n_matched"),
+        (expr("(n_matched * 2000000 + n_logged) div (2 * n_logged)")
+          .cast("double") / 1e6).as("match_rate"),
+        when(col("n_matched") > 0,
+          expr("(__sp * 2 + n_matched) div (2 * n_matched)")
+            .cast("double") / 1e6).as("reward_policy"),
+        (expr("(__sl * 2 + n_logged) div (2 * n_logged)")
+          .cast("double") / 1e6).as("reward_logged"))
+  }
+
+  /**
+   * Greedy policy fit for [[replayEval]]: per context, the arm with the
+   * best historical mean reward — the argmax orders on EXACT integer
+   * micro-unit sums cross-multiplied (sum_a·n_b vs sum_b·n_a, no
+   * division) with a min-arm tiebreak, so the fitted table is
+   * engine-stable. One hash-aggregate to (ctx, arm) grain, one window
+   * over arms per ctx.
+   */
+  def greedyPolicy(fit: DataFrame, ctxCol: String, armCol: String,
+      rewardCol: String): DataFrame = {
+    val r = col(rewardCol).cast("double")
+    val g = fit
+      .filter(r.isNotNull && col(ctxCol).isNotNull && col(armCol).isNotNull)
+      .groupBy(col(ctxCol).as("ctx"), col(armCol).as("arm"))
+      .agg(sum(round(r * 1e6).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+    // the argmax key is a DOUBLE DIVISION OF EXACT INTEGERS — IEEE
+    // division is bit-identical across engines, so the order (and the
+    // min-arm tiebreak after it) replays exactly in the oracle
+    val w = Window.partitionBy(col("ctx")).orderBy(
+      (col("__s").cast("double") / col("__n")).desc,
+      col("__s").desc, col("arm").asc)
+    g.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("ctx"), col("arm"),
+        round(col("__s").cast("double") / 1e6 / col("__n"), 6)
+          .as("mean_reward"), col("__n").as("n_fit"))
+  }
 }

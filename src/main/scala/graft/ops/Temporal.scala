@@ -1264,6 +1264,62 @@ object Temporal {
   }
 
   /**
+   * Croston's method for INTERMITTENT demand (Croston 1972, "Forecasting
+   * and stock control for intermittent demands") — the forecaster for
+   * series that are mostly ZEROS with occasional spikes (per-SKU
+   * purchases, rare event types, incident counts), where [[ewma]]/
+   * [[holtSmooth]] systematically lag: smooth the nonzero demand SIZES
+   * and the INTER-DEMAND INTERVALS separately (both plain SES), and
+   * forecast their ratio ẑ/p̂ = expected demand per bucket.
+   *
+   * Input is a REGULAR (key, bucket, value) grid with explicit zeros
+   * (run [[resampleFfill]]/[[downsample]] first — the zeros ARE the
+   * signal here). Per row, the last `window` buckets fold; the first
+   * interval is the position of the first demand in the window (the
+   * classic initialization), ẑ₀ = the first demand. Rows whose window
+   * holds no demand emit nulls. Engine-portable determinism: both
+   * recursions are SINGLE-SCALAR left folds over derived lists (no
+   * struct state — the q_holt_smooth DuckDB lambda caveat never
+   * arises), so a dyadic `alpha` makes them bit-identical in SQL.
+   *
+   * Output: keys ++ idCols, `n_demands`, `z_hat`/`p_hat`/`forecast`
+   * (6 dp; null when the window has no demand). Scale shape: ONE key
+   * shuffle for the trailing window; the folds are O(window) codegen'd
+   * higher-order functions per row, no joins, no state.
+   */
+  def croston(df: DataFrame, keys: Seq[String], bucketCol: String,
+      valueCol: String, alpha: Double, window: Int,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(bucketCol).asc)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val xs = collect_list(coalesce(col(valueCol).cast("double"), lit(0.0)))
+      .over(w)
+    def ses(arr: Column): Column = aggregate(
+      slice(arr, 2, window), element_at(arr, 1),
+      (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc)
+    val pos = filter(sequence(lit(1), size(col("_xs"))),
+      i => element_at(col("_xs"), i) > 0)
+    val ds = transform(col("_pos"), i => element_at(col("_xs"), i))
+    val ivs = transform(sequence(lit(1), size(col("_pos"))), k =>
+      when(k === 1, element_at(col("_pos"), 1).cast("double"))
+        .otherwise((element_at(col("_pos"), k) -
+          element_at(col("_pos"), k - 1)).cast("double")))
+    val keep = (keys ++ idCols).distinct.map(col)
+    df.withColumn("_xs", xs)
+      .withColumn("_pos", pos)
+      .withColumn("_z", when(size(col("_pos")) > 0, ses(ds)))
+      .withColumn("_p", when(size(col("_pos")) > 0, ses(ivs)))
+      .select(keep ++ Seq(
+        size(col("_pos")).cast("long").as("n_demands"),
+        round(col("_z"), 6).as("z_hat"),
+        round(col("_p"), 6).as("p_hat"),
+        round(col("_z") / col("_p"), 6).as("forecast")): _*)
+  }
+
+  /**
    * Holt–Winters ADDITIVE seasonal smoothing over a bounded trailing
    * window — the seasonal completion of the forecasting trio
    * ([[ewma]] level, [[holtSmooth]] level+trend, this level+trend+

@@ -279,6 +279,92 @@ object ExperimentQ extends QueryGroup {
               |             THEN (mt - mc) * n_treat END) OVER () /
               |    SUM(CASE WHEN n_treat > 0 AND n_ctrl > 0
               |             THEN n_treat END) OVER (), 6) AS att
-              |FROM s""".stripMargin))
+              |FROM s""".stripMargin)),
+
+    // Experiment SIZING before a test runs: MDE and required n per arm
+    // from the historical metric's per-arm variance, at alpha=0.05 /
+    // power=0.8 for a 2% relative target. The Phi^-1 quantile sum is a
+    // JVM Acklam literal injected into both plans (no libm data path).
+    QueryDef("q_mde", (s, dir) =>
+      Experiment.mdeReadout(Tables.load(s, dir, "events")
+          .withColumn("arm",
+            when(md5Val16(col("user_id")) < 32768, lit("treatment"))
+              .otherwise(lit("control"))),
+        "arm", "value", treatArm = "treatment", ctrlArm = "control",
+        alpha = 0.05, power = 0.8, targetRelEffect = 0.02), {
+      val zSum = Experiment.zQuantile(0.975) + Experiment.zQuantile(0.8)
+      Some(s"""WITH a AS (SELECT
+              |    ${md5Val16Sql("user_id")} < 32768 AS t,
+              |    CAST(value AS DOUBLE) AS v
+              |  FROM events WHERE value IS NOT NULL),
+              |g AS (SELECT
+              |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+              |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+              |    AVG(CASE WHEN t THEN v END) AS mt,
+              |    AVG(CASE WHEN NOT t THEN v END) AS mc,
+              |    var_samp(CASE WHEN t THEN v END) AS vt,
+              |    var_samp(CASE WHEN NOT t THEN v END) AS vc
+              |  FROM a),
+              |z AS (SELECT *, CAST(${f"$zSum%.17g"} AS DOUBLE) AS zs,
+              |    zs * sqrt(vt / nt + vc / nc) AS mde FROM g)
+              |SELECT nt AS n_treat, nc AS n_ctrl,
+              |  ROUND(mt, 6) AS mean_treat, ROUND(mc, 6) AS mean_ctrl,
+              |  ROUND(vt, 6) AS var_treat, ROUND(vc, 6) AS var_ctrl,
+              |  ROUND(CASE WHEN nt > 1 AND nc > 1 THEN mde END, 6) AS mde_abs,
+              |  ROUND(CASE WHEN nt > 1 AND nc > 1 AND mc <> 0
+              |    THEN mde / mc END, 6) AS mde_rel,
+              |  CASE WHEN mc <> 0 AND nt > 1 AND nc > 1
+              |    THEN CAST(ceil(zs * zs * (vt + vc) /
+              |      ((0.02 * mc) * (0.02 * mc))) AS BIGINT)
+              |    END AS n_required_per_arm
+              |FROM z""".stripMargin)
+    }),
+
+    // Off-policy REPLAY evaluation (Li et al. WSDM 2011): greedy policy
+    // fitted on the pre-period per (user segment, pseudo-random logged
+    // arm), replayed on the post-period — the matched rows' mean reward
+    // estimates the policy's online value under uniform logging. Arm =
+    // md5(event_id) % 4 so logging really is arm-uniform; argmax ranks
+    // on an IEEE double ratio of exact micro-sums (engine-identical).
+    QueryDef("q_replay_eval", (s, dir) => {
+      val cut = lit(Cut).cast("timestamp")
+      val l = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("ctx", col("user_id") % 10)
+        .withColumn("armL", md5Val16(col("event_id")) % 4)
+      val policy = Experiment.greedyPolicy(
+        l.filter(col("ts") < cut), "ctx", "armL", "value")
+      Experiment.replayEval(
+        l.filter(col("ts") >= cut), "ctx", "armL", "value", policy)
+    },
+      Some(s"""WITH l AS (SELECT user_id % 10 AS ctx,
+              |    ${md5Val16Sql("event_id")} % 4 AS arm,
+              |    CAST(value AS DOUBLE) AS r, ts
+              |  FROM events WHERE value IS NOT NULL),
+              |f AS (SELECT ctx, arm,
+              |    CAST(SUM(CAST(ROUND(r * 1000000) AS BIGINT)) AS BIGINT) AS s,
+              |    COUNT(*) AS n
+              |  FROM l WHERE ts < TIMESTAMP '$Cut' GROUP BY 1, 2),
+              |pol AS (SELECT ctx, arm FROM (SELECT ctx, arm,
+              |    ROW_NUMBER() OVER (PARTITION BY ctx
+              |      ORDER BY CAST(s AS DOUBLE) / n DESC, s DESC, arm ASC)
+              |      AS rk FROM f) WHERE rk = 1),
+              |e AS (SELECT CAST(ROUND(l.r * 1000000) AS BIGINT) AS ru,
+              |    (pol.arm IS NOT NULL AND l.arm = pol.arm) AS hit
+              |  FROM l LEFT JOIN pol ON pol.ctx = l.ctx
+              |  WHERE l.ts >= TIMESTAMP '$Cut'),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
+              |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+              |    SUM(CASE WHEN hit THEN ru END) AS sp, SUM(ru) AS sl
+              |  FROM e)
+              |SELECT nl AS n_logged, nm AS n_matched,
+              |  CAST((nm * 2000000 + nl) // (2 * nl) AS DOUBLE) / 1e6
+              |    AS match_rate,
+              |  CASE WHEN nm > 0
+              |    THEN CAST((sp * 2 + nm) // (2 * nm) AS DOUBLE) / 1e6
+              |    END AS reward_policy,
+              |  CAST((sl * 2 + nl) // (2 * nl) AS DOUBLE) / 1e6
+              |    AS reward_logged
+              |FROM g""".stripMargin))
   )
 }

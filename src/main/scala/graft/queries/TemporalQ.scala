@@ -780,6 +780,59 @@ object TemporalQ extends QueryGroup {
              |  list_reduce(xs, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
              |FROM x""".stripMargin)),
 
+    // Croston intermittent-demand forecast on per-user daily PURCHASE
+    // counts over the January calendar grid (explicit zeros -- the
+    // zeros ARE the signal): SES on nonzero sizes and on inter-demand
+    // intervals, forecast = z/p. Both recursions are single-scalar
+    // list folds with a dyadic alpha, so the DuckDB replay is
+    // bit-identical (and the q_holt_smooth struct-lambda caveat never
+    // arises).
+    QueryDef("q_croston", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val days = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-31")))).as("day"))
+      val dem = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("demand"))
+      val grid = users.crossJoin(days)
+        .join(dem, Seq("user_id", "day"), "left")
+        .withColumn("demand", coalesce(col("demand"), lit(0.0)))
+      Temporal.croston(grid, Seq("user_id"), "day", "demand",
+        alpha = 0.25, window = 31, idCols = Seq("day"))
+    },
+      Some("""WITH days AS (SELECT unnest(generate_series(
+             |      DATE '2024-01-01', DATE '2024-01-31',
+             |      INTERVAL 1 DAY))::DATE AS day),
+             |u AS (SELECT DISTINCT user_id FROM events),
+             |d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS DOUBLE) AS dem
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |g AS (SELECT u.user_id, days.day, COALESCE(d.dem, 0.0) AS dem
+             |  FROM u CROSS JOIN days
+             |  LEFT JOIN d ON d.user_id = u.user_id AND d.day = days.day),
+             |x AS (SELECT user_id, day,
+             |    list(dem) OVER (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN 30 PRECEDING AND CURRENT ROW) AS xs
+             |  FROM g),
+             |y AS (SELECT user_id, day, xs,
+             |    list_filter(range(1, len(xs) + 1), i -> xs[i] > 0) AS pos
+             |  FROM x),
+             |z AS (SELECT user_id, day, pos,
+             |    CASE WHEN len(pos) > 0 THEN list_reduce(
+             |      list_transform(pos, i -> xs[i]),
+             |      (a, v) -> 0.25 * v + 0.75 * a) END AS zh,
+             |    CASE WHEN len(pos) > 0 THEN list_reduce(
+             |      list_transform(range(1, len(pos) + 1),
+             |        k -> CASE WHEN k = 1 THEN CAST(pos[1] AS DOUBLE)
+             |             ELSE CAST(pos[k] - pos[k-1] AS DOUBLE) END),
+             |      (a, v) -> 0.25 * v + 0.75 * a) END AS ph
+             |  FROM y)
+             |SELECT user_id, day, CAST(len(pos) AS BIGINT) AS n_demands,
+             |  ROUND(zh, 6) AS z_hat, ROUND(ph, 6) AS p_hat,
+             |  ROUND(zh / ph, 6) AS forecast
+             |FROM z""".stripMargin)),
+
     // Rolling median per user over a bounded 11-row trailing frame — the
     // robust twin of q_rolling_zscore; sort + middle-pick is bit-exact in
     // both engines, so no rounding.

@@ -133,6 +133,57 @@ class ExperimentSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("uplift") == 0.0)
   }
 
+  test("zQuantile: Acklam inverse normal hits the textbook quantiles") {
+    assert(math.abs(Experiment.zQuantile(0.975) - 1.959963984540054) < 1e-8)
+    assert(math.abs(Experiment.zQuantile(0.8) - 0.8416212335729143) < 1e-8)
+    assert(Experiment.zQuantile(0.5) == 0.0)
+    // symmetry, including through the tail branches
+    assert(math.abs(Experiment.zQuantile(0.2) +
+      Experiment.zQuantile(0.8)) < 1e-9)
+    assert(math.abs(Experiment.zQuantile(0.001) +
+      Experiment.zQuantile(0.999)) < 1e-8)
+  }
+
+  test("mdeReadout: closed-form MDE and required n from hand variances") {
+    // treat {10,12}: mean 11, var 2; ctrl {10,14}: mean 12, var 8
+    val df = Seq(("t", 10.0), ("t", 12.0), ("c", 10.0), ("c", 14.0))
+      .toDF("arm", "v")
+    val out = Experiment.mdeReadout(df, "arm", "v", "t", "c",
+      alpha = 0.05, power = 0.8, targetRelEffect = 0.02).collect().head
+    val zs = Experiment.zQuantile(0.975) + Experiment.zQuantile(0.8)
+    assert(out.getAs[Long]("n_treat") == 2 && out.getAs[Long]("n_ctrl") == 2)
+    assert(out.getAs[Double]("mean_ctrl") == 12.0)
+    assert(out.getAs[Double]("var_treat") == 2.0)
+    assert(out.getAs[Double]("var_ctrl") == 8.0)
+    val mde = zs * math.sqrt(2.0 / 2 + 8.0 / 2)
+    assert(math.abs(out.getAs[Double]("mde_abs") - mde) < 1e-6)
+    assert(math.abs(out.getAs[Double]("mde_rel") - mde / 12.0) < 1e-6)
+    assert(out.getAs[Long]("n_required_per_arm") ==
+      math.ceil(zs * zs * 10.0 / math.pow(0.02 * 12.0, 2)).toLong)
+  }
+
+  test("replayEval: greedy policy, only matched rows score, unseen ctx never matches") {
+    val fit = Seq(("A", 0L, 1.0), ("A", 0L, 1.0), ("A", 1L, 2.0))
+      .toDF("ctx", "armL", "v")
+    val pol = Experiment.greedyPolicy(fit, "ctx", "armL", "v")
+      .collect().map(r => r.getAs[String]("ctx") ->
+        ((r.getAs[Long]("arm"), r.getAs[Double]("mean_reward")))).toMap
+    assert(pol("A") == ((1L, 2.0))) // higher mean wins over more rows
+    val eval = Seq(("A", 1L, 5.0), ("A", 0L, 1.0), ("B", 0L, 3.0))
+      .toDF("ctx", "armL", "v")
+    val out = Experiment.replayEval(eval, "ctx", "armL", "v",
+      Experiment.greedyPolicy(fit, "ctx", "armL", "v")).collect().head
+    assert(out.getAs[Long]("n_logged") == 3)
+    assert(out.getAs[Long]("n_matched") == 1)
+    assert(out.getAs[Double]("match_rate") == 0.333333) // half-up int grid
+    assert(out.getAs[Double]("reward_policy") == 5.0)
+    assert(out.getAs[Double]("reward_logged") == 3.0)
+    // tiebreak: equal means -> min arm
+    val tie = Seq(("C", 3L, 1.0), ("C", 1L, 1.0)).toDF("ctx", "armL", "v")
+    assert(Experiment.greedyPolicy(tie, "ctx", "armL", "v")
+      .collect().head.getAs[Long]("arm") == 1L)
+  }
+
   test("attStrata: ATT weights per-stratum contrasts by treated count") {
     // Stratum structure by score; within-stratum lift = 1.0 in low,
     // 3.0 in high; treated counts 1 vs 3 => ATT = (1*1 + 3*3)/4 = 2.5.

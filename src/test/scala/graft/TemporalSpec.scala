@@ -633,6 +633,33 @@ class TemporalSpec extends SparkSpec {
       s"$c: ${big(c)._2} vs ${exact(c)._2}"))
   }
 
+  test("croston: hand SES on sizes and intervals; zero-demand windows emit null") {
+    // key k: demands at buckets 2 (size 2) and 5 (size 3); alpha 0.5
+    val rows = Seq(("k", 1, 0.0), ("k", 2, 2.0), ("k", 3, 0.0),
+      ("k", 4, 0.0), ("k", 5, 3.0), ("k", 6, 0.0),
+      ("z", 1, 0.0), ("z", 2, 0.0))
+    val out = graft.ops.Temporal.croston(rows.toDF("k", "b", "d"),
+      Seq("k"), "b", "d", alpha = 0.5, window = 6, idCols = Seq("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    // bucket 2: one demand -> z=2, p=2 (first interval = position), f=1
+    val b2 = out(("k", 2))
+    assert(b2.getAs[Long]("n_demands") == 1)
+    assert(b2.getAs[Double]("z_hat") == 2.0)
+    assert(b2.getAs[Double]("p_hat") == 2.0)
+    assert(b2.getAs[Double]("forecast") == 1.0)
+    // bucket 6 (full window): ds=[2,3] -> z = .5*3+.5*2 = 2.5;
+    // intervals=[2,3] -> p = 2.5; forecast = 1.0
+    val b6 = out(("k", 6))
+    assert(b6.getAs[Long]("n_demands") == 2)
+    assert(b6.getAs[Double]("z_hat") == 2.5)
+    assert(b6.getAs[Double]("p_hat") == 2.5)
+    assert(b6.getAs[Double]("forecast") == 1.0)
+    // bucket 1 and the all-zero key: no demand in window -> nulls
+    assert(out(("k", 1)).isNullAt(out(("k", 1)).fieldIndex("z_hat")))
+    assert(out(("z", 2)).getAs[Long]("n_demands") == 0)
+    assert(out(("z", 2)).isNullAt(out(("z", 2)).fieldIndex("forecast")))
+  }
+
   test("markovBacktest: argmax on counts, out-of-sample accuracy, unseen states") {
     import org.apache.spark.sql.functions._
     // fit: a->b twice, a->c once => predicted(a)=b; b->a always
