@@ -709,4 +709,63 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toString.contains("HashAggregate"),
       s"distinct-grain aggregate missing:\n$p")
   }
+
+  test("q_quantile_normalize_approx: sketch grid keeps the exact twin's shape") {
+    val p = plan("q_quantile_normalize_approx")
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.size == 1,
+      s"expected the 1-row sketch-grid broadcast:\n$p")
+    assert(p.toString.contains("HashAggregate"),
+      s"distinct-grain aggregate missing:\n$p")
+  }
+
+  test("q_winsorize_approx: the sketch bounds broadcast back like the exact fit") {
+    val p = plan("q_winsorize_approx")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 1,
+      s"expected the group-grain sketch-bounds broadcast:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      s"the bounds join must not degrade to sort-merge:\n$p")
+  }
+
+  test("q_item_cf_incremental: merge stays user-keyed equi-joins, never nested-loop") {
+    val p = plan("q_item_cf_incremental")
+    assert(!p.toString.contains("NestedLoop") &&
+      !p.toString.contains("CartesianProduct"),
+      s"state merge must never cross unkeyed:\n$p")
+    // the dedup step is a real anti-join, not a filter re-derivation
+    assert(p.toString.contains("LeftAnti"),
+      s"expected the known-ratings anti-join:\n$p")
+  }
+
+  test("q_shapley_sampled: permutations broadcast onto set counts; no unkeyed shuffle pairing") {
+    val p = plan("q_shapley_sampled")
+    // the m-permutation literal table and the channel/touch theta joins
+    // are all broadcasts; the only equi-joins are the user-keyed conv
+    // join and the channel-grain assembly
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
+      s"expected the broadcast permutation table:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"set-count x perm pairing must ride a broadcast:\n$p")
+  }
+
+  test("q_replay_eval: the ctx-grain policy broadcasts onto the log scan") {
+    val p = plan("q_replay_eval")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"expected the policy broadcast join:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      s"the policy join must never shuffle the log:\n$p")
+  }
+
+  test("q_mde: one conditional-aggregate pass, join-free") {
+    val p = plan("q_mde")
+    assert(!p.toString.contains("Join"), s"q_mde must be join-free:\n$p")
+  }
+
+  test("q_croston: fold-in-window, the only nested-loop is the calendar-grid broadcast") {
+    val p = plan("q_croston")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"the day grid must ride a broadcast:\n$p")
+    // the croston folds themselves add NO join beyond the grid assembly:
+    // one window sort keyed on the entity, higher-order folds per row
+    assert(p.toString.contains("Window"), s"expected the trailing window:\n$p")
+  }
 }
