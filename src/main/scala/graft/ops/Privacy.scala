@@ -135,4 +135,39 @@ object Privacy {
       coalesce(sum(when(col("__tv") > t, lit(1L)).otherwise(lit(0L))), lit(0L))
         .as("n_violating_classes"))
   }
+
+  /**
+   * ε-differentially-private count release (Dwork et al. 2006, the
+   * Laplace mechanism): per group, `count + Laplace(Δf/ε)` with
+   * sensitivity Δf = 1 — the mechanism behind every published DP
+   * statistics release, and the ACTIVE privacy complement of the audit
+   * family above (k-anonymity measures a table you release as-is; DP
+   * noise lets you release the aggregate itself).
+   *
+   * The noise is SEEDED: u ∈ (−½, ½) derives from a 16-bit md5 of
+   * (group key, seed) and maps through the inverse Laplace CDF
+   * `−(Δ/ε)·sgn(u)·ln(1 − 2|u|)` — the standard reproducible-release
+   * practice (DP libraries pin the RNG seed so a rerun publishes the
+   * SAME numbers; re-releasing under fresh seeds would compose ε).
+   * Rotate `seed` only when you intend to spend more budget.
+   *
+   * Output: groupCols, `n_noisy` (6 dp, can be negative — clamping
+   * would bias the release), `epsilon`. True counts are deliberately
+   * NOT emitted. Scale shape: ONE hash aggregate to group grain; the
+   * noise is a narrow projection on group-sized rows.
+   */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      seed: Long = 0L): DataFrame = {
+    require(epsilon > 0, "epsilon must be > 0")
+    val g = df.groupBy(qi(groupCols): _*).agg(count(lit(1)).as("__n"))
+    val keyStr = concat_ws("\u0001",
+      groupCols.map(c => col(c).cast("string")) :+ lit(seed.toString): _*)
+    val v = conv(substring(md5(keyStr), 1, 4), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / 65536.0 - 0.5
+    val lap = -signum(u) * lit(1.0 / epsilon) *
+      log(lit(1.0) - lit(2.0) * abs(u))
+    g.select(groupCols.map(col) :+
+      round(col("__n") + lap, 6).as("n_noisy") :+
+      lit(epsilon).as("epsilon"): _*)
+  }
 }

@@ -224,6 +224,53 @@ object MiningQ extends QueryGroup {
               |  ROUND(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
               |FROM kk WHERE rnk <= 5""".stripMargin)),
 
+    // Poisson-bootstrap CI for the mean of events.value: 100 seeded
+    // hash-derived Poisson(1)-weighted resamples, percentile interval
+    // from the order statistics. Draws compare integer hash values
+    // against integer CDF thresholds (JVM literals) and sums run in
+    // micro-unit longs, so the whole chain replays bit-for-bit in SQL.
+    QueryDef("q_bootstrap_ci",
+      (s, dir) => Planners.bootstrapCi(Tables.load(s, dir, "events"),
+        idCol = "event_id", valueCol = "value",
+        b = 100, seed = 42L, alpha = 0.05), {
+      val ts = Planners.poissonThresholds16
+      val kLo = math.max(1, math.ceil(100 * 0.05 / 2 - 1e-9).toInt)
+      val kHi = math.min(100, math.ceil(100 * (1 - 0.05 / 2) - 1e-9).toInt)
+      val wCase = (s"WHEN hv < ${ts.head} THEN 0" +:
+        ts.zipWithIndex.tail.map { case (t, k) => s"WHEN hv < $t THEN $k" })
+        .mkString(" ")
+      Some(s"""WITH r AS (SELECT CAST(event_id AS VARCHAR) AS id,
+              |    CAST(ROUND(value * 1000000) AS BIGINT) AS xu
+              |  FROM events WHERE value IS NOT NULL),
+              |e AS (SELECT id, xu, unnest(range(1, 101)) AS b FROM r),
+              |h AS (SELECT xu, b,
+              |    md5(id || '#' || CAST(b AS VARCHAR) || '#' || '42') AS hx
+              |  FROM e),
+              |v AS (SELECT xu, b,
+              |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+              |    (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+              |    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+              |    (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS hv
+              |  FROM h),
+              |w AS (SELECT xu, b,
+              |    CASE $wCase ELSE ${ts.length} END AS w FROM v),
+              |m AS (SELECT b, CAST(SUM(w * xu) AS DOUBLE) / SUM(w) / 1e6 AS m
+              |  FROM w GROUP BY 1 HAVING SUM(w) > 0),
+              |rk AS (SELECT m, b, ROW_NUMBER() OVER (ORDER BY m, b) AS rn
+              |  FROM m),
+              |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_resamples,
+              |    MAX(CASE WHEN rn = $kLo THEN m END) AS ci_lo,
+              |    MAX(CASE WHEN rn = $kHi THEN m END) AS ci_hi,
+              |    ROUND(stddev_samp(m), 6) AS se_boot FROM rk),
+              |ba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |    SUM(xu) AS sx FROM r)
+              |SELECT n_rows, b_resamples,
+              |  CAST((sx * 2 + n_rows) // (2 * n_rows) AS DOUBLE) / 1e6
+              |    AS mean,
+              |  ci_lo, ci_hi, se_boot
+              |FROM ba CROSS JOIN st""".stripMargin)
+    }),
+
     // Benjamini-Hochberg FDR over a 200-hypothesis battery: uniform
     // hash-derived p-values with every 10th hypothesis planted 1000x
     // stronger, so the step-up rule has real rejections to make. The

@@ -51,6 +51,35 @@ object Relational extends QueryGroup {
              |    PARTITION BY c_nationkey, c_mktsegment) AS n FROM customer)
              |WHERE n >= 3""".stripMargin)),
 
+    // Laplace-mechanism DP count release over the same quasi-identifier
+    // classes: count + Laplace(1/eps) with SEEDED noise (16-bit md5 of
+    // the group key + seed through the inverse Laplace CDF) -- the
+    // reproducible-release practice, replayed identically by the
+    // oracle. True counts are deliberately absent from the output.
+    QueryDef("q_dp_counts",
+      (s, dir) => graft.ops.Privacy.dpCounts(
+        Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), epsilon = 0.5, seed = 7L),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |h AS (SELECT *,
+             |    md5(CAST(c_nationkey AS VARCHAR) || chr(1) ||
+             |        c_mktsegment || chr(1) || '7') AS hx
+             |  FROM g),
+             |v AS (SELECT c_nationkey, c_mktsegment, n,
+             |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+             |    (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+             |    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+             |    (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS hv
+             |  FROM h),
+             |u AS (SELECT c_nationkey, c_mktsegment, n,
+             |    (hv + 0.5) / 65536.0 - 0.5 AS uu FROM v)
+             |SELECT c_nationkey, c_mktsegment,
+             |  ROUND(n + (-sign(uu)) * 2.0 * ln(1.0 - 2.0 * abs(uu)), 6)
+             |    AS n_noisy,
+             |  CAST(0.5 AS DOUBLE) AS epsilon
+             |FROM u""".stripMargin)),
+
     // Distinct l-diversity over an account-balance bucket as the
     // sensitive attribute: a k-anonymous class can still leak a shared
     // sensitive value (the homogeneity attack); the report measures it.

@@ -614,6 +614,87 @@ object Planners {
         (col("q") <= alpha).as("reject"))
   }
 
+  /**
+   * Poisson-bootstrap confidence interval for the mean (Efron 1979 via
+   * the Poisson approximation — Chamandy et al. 2012, "Estimating
+   * uncertainty for massive data streams", the standard DISTRIBUTED
+   * bootstrap: multinomial resampling needs global coordination,
+   * Poisson(1) weights are independent per (row, resample) and keep
+   * the expected resample size at n). Each of the `b` resamples weighs
+   * every row by a seeded hash-derived Poisson(1) draw; the percentile
+   * interval is the (⌈b·α/2⌉, ⌈b·(1−α/2)⌉) order statistics of the
+   * resample means.
+   *
+   * Engine-portable determinism, end to end: the draw compares a
+   * 16-bit md5 of (id, resample, seed) against INTEGER Poisson-CDF
+   * thresholds (JVM literals — zero FP in the sampling), resample sums
+   * run in exact micro-unit longs, each mean is one IEEE division of
+   * exact integers, and the order statistics rank with a resample-id
+   * tiebreak. Values expected at ≤ 6-dp grain (the micro-unit regime).
+   *
+   * Output: ONE row — `n_rows`, `b_resamples`, `mean` (half-up
+   * integer-quantized), `ci_lo`/`ci_hi`, `se_boot` (6 dp). Scale
+   * shape: a b× row explosion (narrow, codegen'd) into ONE hash
+   * aggregate at resample grain, then b-sized window arithmetic — at
+   * 100 TB budget b accordingly (b=20 answers most "is this moving"
+   * questions) or pre-aggregate to a keyed grain first.
+   */
+  def bootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 100, seed: Long = 42L, alpha: Double = 0.05): DataFrame = {
+    require(b >= 20, "b must be >= 20 (order statistics need tail mass)")
+    require(alpha > 0 && alpha < 0.5, "alpha in (0, 0.5)")
+    // Poisson(1) CDF at 16-bit grain: tk = floor(cdf(k) * 65536); a
+    // draw v < t0 -> weight 0, t0 <= v < t1 -> 1, ..., else 7
+    val thresholds = poissonThresholds16
+    val kLo = math.max(1, math.ceil(b * alpha / 2 - 1e-9).toInt)
+    val kHi = math.min(b, math.ceil(b * (1 - alpha / 2) - 1e-9).toInt)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        round(col(valueCol).cast("double") * 1e6).cast("long").as("__xu"))
+    val v = conv(substring(md5(concat_ws("#", col("__id"),
+      col("__b").cast("string"), lit(seed.toString))), 1, 4), 16, 10)
+      .cast("long")
+    val w = thresholds.zipWithIndex.tail.foldLeft(
+      when(v < thresholds.head, lit(0L))) {
+      case (acc, (t, k)) => acc.when(v < t, lit(k.toLong))
+    }.otherwise(lit(thresholds.length.toLong))
+    val means = rows
+      .select(col("__id"), col("__xu"),
+        explode(sequence(lit(1), lit(b))).as("__b"))
+      .withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__xu")).as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .select(col("__b"),
+        (col("__swx").cast("double") / col("__sw") / 1e6).as("__m"))
+    val ord = Window.orderBy(col("__m").asc, col("__b").asc)
+    val stats = means
+      .withColumn("__rn", row_number().over(ord))
+      .agg(count(lit(1)).as("b_resamples"),
+        max(when(col("__rn") === kLo, col("__m"))).as("ci_lo"),
+        max(when(col("__rn") === kHi, col("__m"))).as("ci_hi"),
+        round(stddev_samp(col("__m")), 6).as("se_boot"))
+    val base = rows.agg(count(lit(1)).as("n_rows"), sum(col("__xu")).as("__sx"))
+    base.crossJoin(broadcast(stats))
+      .select(col("n_rows"), col("b_resamples"),
+        (expr("(__sx * 2 + n_rows) div (2 * n_rows)")
+          .cast("double") / 1e6).as("mean"),
+        col("ci_lo"), col("ci_hi"), col("se_boot"))
+  }
+
+  /** Poisson(1) CDF thresholds at 16-bit hash grain (weights 0..7),
+    * shared with oracles so the draws replay in integer arithmetic. */
+  def poissonThresholds16: Seq[Long] = {
+    val e = math.exp(-1.0)
+    var fact = 1.0
+    val cdf = (0 to 6).map { k =>
+      if (k > 0) fact *= k
+      e / fact
+    }.scanLeft(0.0)(_ + _).tail
+    cdf.map(c => math.floor(c * 65536).toLong)
+  }
+
   /** Clamp rows against a [[winsorizeFit]] bounds table — a broadcast
     * join + narrow projection, append-mode legal on a stream. */
   def winsorizeApply(df: DataFrame, bounds: DataFrame, keys: Seq[String],

@@ -946,6 +946,71 @@ object EventStream {
       }
   }
 
+  final case class CrEv(key: String, bucket: Long, d: Double)
+  final case class CrState(buf: Seq[(Long, Double)])
+  final case class CrOut(key: String, n_buckets: Long, n_demands: Long,
+      z_hat: Option[Double], p_hat: Option[Double],
+      forecast: Option[Double])
+
+  /**
+   * Streaming Croston intermittent-demand monitor per key — the live
+   * twin of [[graft.ops.Temporal.croston]]: state per key is the last
+   * `window` (bucket, demand) pairs (BOUNDED — the forecast-window
+   * grain), merged in bucket order each micro-batch; the key's current
+   * ẑ/p̂/forecast re-emits per batch (Update semantics, latest wins —
+   * the [[streamingMannKendall]] contract). Buckets are LONGS (epoch
+   * days / grid indices) and must be unique per key (the regular-grid
+   * contract the batch operator shares). The two SES folds replay the
+   * batch operator's `aggregate` expression operation-for-operation,
+   * so once the stream has seen a key's trailing window the emission
+   * equals the batch row at that bucket BIT-FOR-BIT (spec-checked).
+   */
+  def streamingCroston(spark: SparkSession, events: DataFrame,
+      keyCol: String, bucketCol: String, valueCol: String,
+      alpha: Double, window: Int,
+      stateTtl: Option[String] = None): Dataset[CrOut] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(window >= 1, "window must be >= 1")
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def ses(xs: Seq[Double]): Double =
+      xs.tail.foldLeft(xs.head)((acc, x) => alpha * x + (1.0 - alpha) * acc)
+    events
+      .filter(col(bucketCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        col(bucketCol).cast("long").as("bucket"),
+        coalesce(col(valueCol).cast("double"), lit(0.0)).as("d"))
+      .as[CrEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CrState, CrOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[CrEv], state: GroupState[CrState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val merged = (state.getOption.map(_.buf).getOrElse(Seq.empty) ++
+              evs.map(e => (e.bucket, e.d))).sortBy(_._1).takeRight(window)
+            state.update(CrState(merged))
+            stateTtl.foreach(state.setTimeoutDuration)
+            val pos = merged.zipWithIndex.collect {
+              case ((_, d), i) if d > 0 => (i + 1, d)
+            }
+            if (pos.isEmpty)
+              Iterator.single(CrOut(key, merged.length.toLong, 0L,
+                None, None, None))
+            else {
+              val z = ses(pos.map(_._2))
+              val ivs = pos.map(_._1).zip(0 +: pos.map(_._1).dropRight(1))
+                .map { case (cur, prev) => (cur - prev).toDouble }
+              val p = ses(ivs)
+              Iterator.single(CrOut(key, merged.length.toLong,
+                pos.length.toLong, Some(r6(z)), Some(r6(p)),
+                Some(r6(z / p))))
+            }
+          }
+      }
+  }
+
   final case class MkEv(key: String, ts_us: Long, event_id: Long, v: Double)
   final case class MkState(buf: Seq[(Long, Long, Double)])
   final case class MkOut(key: String, n: Long, s: Option[Long],

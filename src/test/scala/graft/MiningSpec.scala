@@ -139,6 +139,31 @@ class MiningSpec extends SparkSpec {
       canon(full.filter(col("item").isin(1L, 2L, 3L))))
   }
 
+  test("bootstrapCi: degenerate on constants, brackets the true mean, deterministic") {
+    // constant column: every resample mean IS the constant
+    val const = (1 to 50).map(i => (i.toLong, 7.5)).toDF("id", "v")
+    val c = Planners.bootstrapCi(const, "id", "v", b = 40, seed = 1L).head()
+    assert(c.getAs[Long]("n_rows") == 50)
+    assert(c.getAs[Long]("b_resamples") == 40)
+    assert(c.getAs[Double]("mean") == 7.5)
+    assert(c.getAs[Double]("ci_lo") == 7.5 && c.getAs[Double]("ci_hi") == 7.5)
+    assert(c.getAs[Double]("se_boot") == 0.0)
+    // a spread sample: interval is proper, contains the sample mean,
+    // and the same seed reproduces it exactly
+    val spread = (1 to 400).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val s1 = Planners.bootstrapCi(spread, "id", "v", b = 60, seed = 9L).head()
+    val s2 = Planners.bootstrapCi(spread, "id", "v", b = 60, seed = 9L).head()
+    assert(s1 == s2)
+    val (lo, hi, m) = (s1.getAs[Double]("ci_lo"), s1.getAs[Double]("ci_hi"),
+      s1.getAs[Double]("mean"))
+    assert(lo < m && m < hi, s"($lo, $m, $hi)")
+    assert(m == 200.5)
+    // CI width is in the CLT ballpark: se(mean) = sd/sqrt(n) ~ 5.78;
+    // the 95% percentile interval should land within (1x, 8x) of it
+    assert(hi - lo > 5.78 && hi - lo < 8 * 5.78, s"width ${hi - lo}")
+    assert(s1.getAs[Double]("se_boot") > 1.0)
+  }
+
   test("winsorizeFitApprox: each bound lands in the sketch's rank band; serves through the same apply") {
     val ev = Tables.load(spark, sf, "events")
     val approx = Planners.winsorizeFitApprox(ev, Seq("event_type"), "value",

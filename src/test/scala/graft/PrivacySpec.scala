@@ -17,6 +17,45 @@ class PrivacySpec extends SparkSpec {
     (7L, "us", "corp", 3L)
   ).toDF("id", "region", "segment", "bucket")
 
+  test("dpCounts: seeded Laplace noise is reproducible, unbiased-shaped, and hides true counts") {
+    val out = Privacy.dpCounts(people, Seq("region", "segment"),
+      epsilon = 0.5, seed = 7L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("n_noisy")).toMap
+    assert(out.size == 4) // one release row per class
+    // reproducible: the same seed publishes the same numbers
+    val again = Privacy.dpCounts(people, Seq("region", "segment"),
+      epsilon = 0.5, seed = 7L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("n_noisy")).toMap
+    assert(out == again)
+    // a different seed is a different release
+    val other = Privacy.dpCounts(people, Seq("region", "segment"),
+      epsilon = 0.5, seed = 8L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("n_noisy")).toMap
+    assert(out != other)
+    // noise magnitude is Laplace(1/eps)-scale: |noise| < 2/eps ln(65536)
+    // hard bound from the 16-bit grain; and at least one class is
+    // actually perturbed away from its integer count
+    val trueCounts = Map(("eu", "retail") -> 3.0, ("eu", "corp") -> 1.0,
+      ("us", "retail") -> 2.0, ("us", "corp") -> 1.0)
+    out.foreach { case (k, noisy) =>
+      assert(math.abs(noisy - trueCounts(k)) <
+        2.0 / 0.5 * math.log(65536.0), s"$k")
+    }
+    assert(out.exists { case (k, noisy) => noisy != trueCounts(k) })
+    // tighter eps (more privacy) means wider noise on the same seed
+    val loose = Privacy.dpCounts(people, Seq("region", "segment"),
+      epsilon = 5.0, seed = 7L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("n_noisy")).toMap
+    out.foreach { case (k, noisy) =>
+      assert(math.abs(noisy - trueCounts(k)) >=
+        math.abs(loose(k) - trueCounts(k)) - 1e-5, s"$k scale")
+    }
+  }
+
   test("kAnonymityReport: class structure and violation counts, hand-computed") {
     // classes: (eu,retail)=3, (eu,corp)=1, (us,retail)=2, (us,corp)=1
     val r = Privacy.kAnonymityReport(people, Seq("region", "segment"), k = 2).head()

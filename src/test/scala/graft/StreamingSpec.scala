@@ -1478,6 +1478,48 @@ class StreamingSpec extends SparkSpec {
     assert(whole.getBoolean(3) && split.getBoolean(3))
   }
 
+  test("streaming croston equals the batch operator at each key's final bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Seq(("k", 1L, 0.0), ("k", 2L, 2.0), ("k", 3L, 0.0),
+      ("k", 4L, 0.0), ("k", 5L, 3.0), ("k", 6L, 0.0),
+      ("z", 1L, 0.0), ("z", 2L, 5.0))
+    def run(data: Seq[Seq[(String, Long, Double)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Double)]
+      val q = EventStream.streamingCroston(spark,
+          mem.toDF().toDF("k", "b", "d"), "k", "b", "d",
+          alpha = 0.5, window = 6)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        data.foreach { x => mem.addData(x: _*); q.processAllAvailable() }
+        // Update mode re-emits per batch: max n_buckets per key is final
+        spark.sql(s"""SELECT key, n_buckets, n_demands, z_hat, p_hat,
+            forecast FROM $name""").collect()
+          .groupBy(_.getString(0))
+          .map { case (k, rows) => k -> rows.maxBy(_.getLong(1)) }
+      } finally q.stop()
+    }
+    val whole = run(Seq(evs), "cr_one")
+    val split = run(Seq(evs.take(3), evs.slice(3, 7), evs.drop(7)), "cr_three")
+    val batch = graft.ops.Temporal.croston(evs.toDF("k", "b", "d"),
+        Seq("k"), "b", "d", alpha = 0.5, window = 6, idCols = Seq("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    for ((k, fin) <- Seq("k" -> 6L, "z" -> 2L)) {
+      val b = batch((k, fin))
+      for (got <- Seq(whole(k), split(k))) {
+        assert(got.getLong(2) == b.getAs[Long]("n_demands"), s"$k demands")
+        assert(got.getDouble(3) == b.getAs[Double]("z_hat"), s"$k z")
+        assert(got.getDouble(4) == b.getAs[Double]("p_hat"), s"$k p")
+        assert(got.getDouble(5) == b.getAs[Double]("forecast"), s"$k f")
+      }
+    }
+    // hand values: k sees demands 2@2, 3@5 -> z = p = 2.5, forecast 1
+    assert(whole("k").getDouble(3) == 2.5 && whole("k").getDouble(4) == 2.5)
+    assert(whole("z").getDouble(5) == 2.5) // z: one demand 5 at bucket 2
+  }
+
   test("streaming attribution equals the batch operator across all credit models") {
     import org.apache.spark.sql.functions._
     val lb = Some(12 * 3600L); val hl = Some(3600L)
