@@ -172,10 +172,13 @@ object Bench {
     "q_cuped", "q_page_hinkley", "q_item_cf",
     // round-14 (per-query only): incremental CF state merge (the
     // delta-sized maintenance path incl. cap-crossing retraction),
-    // permutation-sampling Shapley, and the approx-percentile
-    // production twins of the two exact-percentile fits
+    // permutation-sampling Shapley, the approx-percentile production
+    // twins of the two exact-percentile fits, and the xxhash64
+    // Poisson-bootstrap draw (the md5 q_bootstrap_ci is a verify-only
+    // oracle fixture, 4.8x slower by hash cost alone)
     "q_item_cf_incremental", "q_shapley_sampled",
-    "q_winsorize_approx", "q_quantile_normalize_approx")
+    "q_winsorize_approx", "q_quantile_normalize_approx",
+    "q_bootstrap_ci_fast")
 
   /** Oracle fixtures priced OUTSIDE the timed headline: one single
     * sample after the timed passes, reported under `spot_check`,
@@ -204,7 +207,8 @@ object Bench {
       "q_attribution", "q_page_hinkley"),
     "experiment" -> Set("q_cuped", "q_shapley_sampled"),
     "mining" -> Set("q_item_cf", "q_item_cf_incremental",
-      "q_winsorize_approx", "q_quantile_normalize_approx"),
+      "q_winsorize_approx", "q_quantile_normalize_approx",
+      "q_bootstrap_ci_fast"),
     "graph" -> Set("q_hits", "q_adamic_adar"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",

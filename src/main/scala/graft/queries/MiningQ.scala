@@ -271,6 +271,15 @@ object MiningQ extends QueryGroup {
               |FROM ba CROSS JOIN st""".stripMargin)
     }),
 
+    // The production draw: same Poisson thresholds over codegen'd
+    // xxhash64 (not replayable in SQL -> rows-only by design; the spec
+    // pins determinism, the degenerate case, and CLT-scale width).
+    QueryDef("q_bootstrap_ci_fast",
+      (s, dir) => Planners.bootstrapCi(Tables.load(s, dir, "events"),
+        idCol = "event_id", valueCol = "value",
+        b = 100, seed = 42L, alpha = 0.05, fastHash = true),
+      None),
+
     // Benjamini-Hochberg FDR over a 200-hypothesis battery: uniform
     // hash-derived p-values with every 10th hypothesis planted 1000x
     // stronger, so the step-up rule has real rejections to make. The

@@ -640,7 +640,8 @@ object Planners {
    * questions) or pre-aggregate to a keyed grain first.
    */
   def bootstrapCi(df: DataFrame, idCol: String, valueCol: String,
-      b: Int = 100, seed: Long = 42L, alpha: Double = 0.05): DataFrame = {
+      b: Int = 100, seed: Long = 42L, alpha: Double = 0.05,
+      fastHash: Boolean = false): DataFrame = {
     require(b >= 20, "b must be >= 20 (order statistics need tail mass)")
     require(alpha > 0 && alpha < 0.5, "alpha in (0, 0.5)")
     // Poisson(1) CDF at 16-bit grain: tk = floor(cdf(k) * 65536); a
@@ -651,9 +652,15 @@ object Planners {
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         round(col(valueCol).cast("double") * 1e6).cast("long").as("__xu"))
-    val v = conv(substring(md5(concat_ws("#", col("__id"),
-      col("__b").cast("string"), lit(seed.toString))), 1, 4), 16, 10)
-      .cast("long")
+    // fastHash: the production draw (codegen'd xxhash64 — ~5x the md5
+    // fixture's throughput; same Poisson thresholds, not SQL-replayable
+    // — the minhashSigsFast contract)
+    val v =
+      if (fastHash)
+        pmod(xxhash64(col("__id"), col("__b"), lit(seed)), lit(65536L))
+      else conv(substring(md5(concat_ws("#", col("__id"),
+        col("__b").cast("string"), lit(seed.toString))), 1, 4), 16, 10)
+        .cast("long")
     val w = thresholds.zipWithIndex.tail.foldLeft(
       when(v < thresholds.head, lit(0L))) {
       case (acc, (t, k)) => acc.when(v < t, lit(k.toLong))

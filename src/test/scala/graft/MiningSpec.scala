@@ -162,6 +162,16 @@ class MiningSpec extends SparkSpec {
     // the 95% percentile interval should land within (1x, 8x) of it
     assert(hi - lo > 5.78 && hi - lo < 8 * 5.78, s"width ${hi - lo}")
     assert(s1.getAs[Double]("se_boot") > 1.0)
+    // production xxhash64 draw: same invariants, same determinism
+    val f1 = Planners.bootstrapCi(spread, "id", "v", b = 60, seed = 9L,
+      fastHash = true).head()
+    val f2 = Planners.bootstrapCi(spread, "id", "v", b = 60, seed = 9L,
+      fastHash = true).head()
+    assert(f1 == f2)
+    assert(f1.getAs[Double]("ci_lo") < 200.5 &&
+      200.5 < f1.getAs[Double]("ci_hi"))
+    val fw = f1.getAs[Double]("ci_hi") - f1.getAs[Double]("ci_lo")
+    assert(fw > 5.78 && fw < 8 * 5.78, s"fast width $fw")
   }
 
   test("winsorizeFitApprox: each bound lands in the sketch's rank band; serves through the same apply") {
