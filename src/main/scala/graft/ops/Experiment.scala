@@ -431,6 +431,61 @@ object Experiment {
   }
 
   /**
+   * Inverse-propensity-weighted ATE (Horvitz–Thompson 1952 weighting,
+   * Hájek-normalized — the ratio form every production causal library
+   * defaults to because it tolerates weight noise): with a DECLARED
+   * propensity e(x) per unit, μ̂₁ = Σ t·y/e ÷ Σ t/e,
+   * μ̂₀ = Σ (1−t)·y/(1−e) ÷ Σ (1−t)/(1−e), ATE = μ̂₁ − μ̂₀. The
+   * observational complement of [[attStrata]]: stratification buckets
+   * the score, IPW uses it at full resolution. Deliberately the
+   * declared-propensity form (fit upstream — logistic, gradient
+   * boosting, whatever); estimation stays deterministic and
+   * oracle-checkable.
+   *
+   * `clipLo`/`clipHi` clip the propensity before weighting (the
+   * standard positivity guard — a unit with e ≈ 0 otherwise dominates
+   * the whole estimate), and the output carries the Kish effective
+   * sample sizes (Σw)²/Σw² per arm — THE overlap diagnostic: ESS far
+   * below n means the weights concentrated and the estimate is
+   * fragile.
+   *
+   * Output: ONE row — n, n_treat, n_ctrl, mu_treat, mu_ctrl, ate,
+   * ess_treat, ess_ctrl (6 dp). Scale shape: one conditional
+   * hash-aggregate pass, then one-row arithmetic (the [[diffInDiff]]
+   * shape).
+   */
+  def ipwAte(df: DataFrame, treatedCol: String, outcomeCol: String,
+      propensityCol: String, clipLo: Double = 0.05,
+      clipHi: Double = 0.95): DataFrame = {
+    require(clipLo > 0 && clipLo < clipHi && clipHi < 1,
+      "need 0 < clipLo < clipHi < 1")
+    val t = col(treatedCol).cast("boolean")
+    val y = col(outcomeCol).cast("double")
+    val e = least(greatest(col(propensityCol).cast("double"),
+      lit(clipLo)), lit(clipHi))
+    val wt = when(t, lit(1.0) / e)
+    val wc = when(!t, lit(1.0) / (lit(1.0) - e))
+    df.filter(y.isNotNull && t.isNotNull &&
+        col(propensityCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_ctrl"),
+        sum(wt).as("__swt"), sum(wt * y).as("__swty"),
+        sum(wt * wt).as("__swt2"),
+        sum(wc).as("__swc"), sum(wc * y).as("__swcy"),
+        sum(wc * wc).as("__swc2"))
+      .select(col("n"), col("n_treat"), col("n_ctrl"),
+        round(col("__swty") / col("__swt"), 6).as("mu_treat"),
+        round(col("__swcy") / col("__swc"), 6).as("mu_ctrl"),
+        round(col("__swty") / col("__swt") -
+          col("__swcy") / col("__swc"), 6).as("ate"),
+        round(col("__swt") * col("__swt") / col("__swt2"), 6)
+          .as("ess_treat"),
+        round(col("__swc") * col("__swc") / col("__swc2"), 6)
+          .as("ess_ctrl"))
+  }
+
+  /**
    * Off-policy REPLAY evaluation (Li, Chu, Langford & Wang, WSDM 2011,
    * "Unbiased offline evaluation of contextual-bandit-based news
    * article recommendation algorithms"): score a target policy from

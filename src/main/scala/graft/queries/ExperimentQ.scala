@@ -281,6 +281,47 @@ object ExperimentQ extends QueryGroup {
               |             THEN n_treat END) OVER (), 6) AS att
               |FROM s""".stripMargin)),
 
+    // Hajek-normalized IPW ATE on the units fixture with a declared
+    // hash-derived propensity in [0.25, 0.75] (clip bounds 0.05/0.95
+    // never bind here -- the clip path is spec-pinned instead): one
+    // conditional-aggregate pass, 6-dp readouts, Kish ESS per arm.
+    QueryDef("q_ipw_ate", (s, dir) =>
+      Experiment.ipwAte(units(s, dir)
+          .withColumn("treated", col("arm") === "treatment")
+          .withColumn("prop", lit(0.25) + lit(0.5) *
+            md5Val16(concat(col("user_id").cast("string"), lit("#e")))
+              .cast("double") / 65536.0),
+        "treated", "post", "prop"),
+      Some(s"""WITH $unitsSql,
+              |pw AS (SELECT arm = 'treatment' AS t, post AS y,
+              |    0.25 + 0.5 *
+              |      (${md5Val16Sql("CAST(user_id AS VARCHAR) || '#e'")})
+              |      / 65536.0 AS e0
+              |  FROM m),
+              |cw AS (SELECT t, y,
+              |    LEAST(GREATEST(e0, 0.05), 0.95) AS e FROM pw),
+              |gw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_treat,
+              |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_ctrl,
+              |    SUM(CASE WHEN t THEN 1.0 / e END) AS swt,
+              |    SUM(CASE WHEN t THEN (1.0 / e) * y END) AS swty,
+              |    SUM(CASE WHEN t THEN (1.0 / e) * (1.0 / e) END) AS swt2,
+              |    SUM(CASE WHEN NOT t THEN 1.0 / (1.0 - e) END) AS swc,
+              |    SUM(CASE WHEN NOT t THEN (1.0 / (1.0 - e)) * y END) AS swcy,
+              |    SUM(CASE WHEN NOT t
+              |        THEN (1.0 / (1.0 - e)) * (1.0 / (1.0 - e)) END)
+              |      AS swc2
+              |  FROM cw)
+              |SELECT n, n_treat, n_ctrl,
+              |  ROUND(swty / swt, 6) AS mu_treat,
+              |  ROUND(swcy / swc, 6) AS mu_ctrl,
+              |  ROUND(swty / swt - swcy / swc, 6) AS ate,
+              |  ROUND(swt * swt / swt2, 6) AS ess_treat,
+              |  ROUND(swc * swc / swc2, 6) AS ess_ctrl
+              |FROM gw""".stripMargin)),
+
     // Experiment SIZING before a test runs: MDE and required n per arm
     // from the historical metric's per-arm variance, at alpha=0.05 /
     // power=0.8 for a 2% relative target. The Phi^-1 quantile sum is a

@@ -946,6 +946,63 @@ object EventStream {
       }
   }
 
+  final case class GapEv(key: String, ts_us: Long, tb: Long)
+  final case class GapState(lastTs: Long, lastTb: Long)
+  final case class GapOut(key: String, prev_ts_us: Long, ts_us: Long,
+      gap_sec: Long)
+
+  /**
+   * Streaming cadence-gap monitor per key — the live twin of
+   * [[graft.ops.Temporal.gapReport]], and the monitor you actually want
+   * LIVE: the batch form can only report yesterday's outage; the
+   * stream emits the violation the moment the feed's next event
+   * reveals it. State per key is ONE (ts, tiebreak) pair — the
+   * smallest state of any twin in this file. In-batch events sort on
+   * (ts, tiebreak); each consecutive gap over `toleranceSec` emits one
+   * violation row, exactly the batch operator's rows (spec-checked,
+   * whole or split across micro-batches). Note the inherent
+   * half-silence both forms share: a feed that stops and never
+   * resumes emits nothing — pair with a freshness check
+   * ([[graft.ops.Expect.freshness]]) for the open-ended case, or a
+   * stateTtl whose timeout you alert on.
+   */
+  def streamingGapReport(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, idCol: String, toleranceSec: Long,
+      stateTtl: Option[String] = None): Dataset[GapOut] = {
+    import spark.implicits._
+    require(toleranceSec >= 1, "toleranceSec must be >= 1")
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("tb"))
+      .as[GapEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[GapEv], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.tb))
+            var last = state.getOption
+            val out = Vector.newBuilder[GapOut]
+            sorted.foreach { e =>
+              last.foreach { p =>
+                // the batch form divides in double then truncates —
+                // replay the same arithmetic
+                val gap = ((e.ts_us - p.lastTs).toDouble / 1000000.0).toLong
+                if (gap > toleranceSec)
+                  out += GapOut(key, p.lastTs, e.ts_us, gap)
+              }
+              last = Some(GapState(e.ts_us, e.tb))
+            }
+            last.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class CrEv(key: String, bucket: Long, d: Double)
   final case class CrState(buf: Seq[(Long, Double)])
   final case class CrOut(key: String, n_buckets: Long, n_demands: Long,

@@ -162,6 +162,27 @@ class ExperimentSpec extends SparkSpec {
       math.ceil(zs * zs * 10.0 / math.pow(0.02 * 12.0, 2)).toLong)
   }
 
+  test("ipwAte: hand Hajek weights, Kish ESS, clipping binds extreme propensities") {
+    // treated (y, e): (3, .5) w=2, (1, .25) w=4 -> mu_t = 10/6
+    // control (y, e): (1, .5) w=2, (2, .75) w=4 -> mu_c = 10/6 -> ate 0
+    val df = Seq((true, 3.0, 0.5), (true, 1.0, 0.25),
+      (false, 1.0, 0.5), (false, 2.0, 0.75)).toDF("t", "y", "e")
+    val out = Experiment.ipwAte(df, "t", "y", "e").collect().head
+    assert(out.getAs[Long]("n") == 4)
+    assert(math.abs(out.getAs[Double]("mu_treat") - 10.0 / 6) < 1e-6)
+    assert(math.abs(out.getAs[Double]("mu_ctrl") - 10.0 / 6) < 1e-6)
+    assert(out.getAs[Double]("ate") == 0.0)
+    // ESS = (2+4)^2 / (4+16) = 1.8 on both arms
+    assert(out.getAs[Double]("ess_treat") == 1.8)
+    assert(out.getAs[Double]("ess_ctrl") == 1.8)
+    // a degenerate e = 0.001 clips to clipLo: the weight is bounded at
+    // 1/0.05 = 20, so the unit cannot dominate the arm
+    val ext = df.union(Seq((true, 100.0, 0.001)).toDF("t", "y", "e"))
+    val clipped = Experiment.ipwAte(ext, "t", "y", "e").collect().head
+    // with clipping mu_t = (2*3 + 4*1 + 20*100) / 26 = 2010/26
+    assert(math.abs(clipped.getAs[Double]("mu_treat") - 2010.0 / 26) < 1e-6)
+  }
+
   test("replayEval: greedy policy, only matched rows score, unseen ctx never matches") {
     val fit = Seq(("A", 0L, 1.0), ("A", 0L, 1.0), ("A", 1L, 2.0))
       .toDF("ctx", "armL", "v")

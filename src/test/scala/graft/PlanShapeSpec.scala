@@ -760,6 +760,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toString.contains("Join"), s"q_mde must be join-free:\n$p")
   }
 
+  test("q_ipw_ate / q_dp_counts: single-aggregate shapes, join-free past the unit build") {
+    // IPW is one conditional aggregate over the units table (whose only
+    // joins are the fixture's own); the estimator adds NO join
+    val p = plan("q_ipw_ate")
+    assert(!p.toString.contains("Join"), s"q_ipw_ate must be join-free:\n$p")
+    // the DP release is one hash aggregate + a narrow noise projection
+    val d = plan("q_dp_counts")
+    assert(!d.toString.contains("Join"), s"q_dp_counts must be join-free:\n$d")
+    assert(d.toString.contains("HashAggregate"), s"group aggregate missing:\n$d")
+  }
+
+  test("q_bootstrap_ci_fast: explode -> one resample-grain aggregate, no joins before it") {
+    val p = plan("q_bootstrap_ci_fast")
+    // the only join is the sanctioned 1-row stats broadcast at the end
+    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.size == 1,
+      s"expected exactly the final 1-row assembly broadcast:\n$p")
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"the resample explosion must never join:\n$p")
+  }
+
   test("q_croston: fold-in-window, the only nested-loop is the calendar-grid broadcast") {
     val p = plan("q_croston")
     assert(!p.toString.contains("CartesianProduct"),

@@ -1478,6 +1478,55 @@ class StreamingSpec extends SparkSpec {
     assert(whole.getBoolean(3) && split.getBoolean(3))
   }
 
+  test("streaming gap report emits exactly the batch violations; gaps straddle batches") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.streamingGapReport(spark,
+      EventStream.readEvents(spark, streamDir),
+      "user_id", "ts", "event_id", toleranceSec = 172800L)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("gap_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT key, prev_ts_us, ts_us, gap_sec FROM gap_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = graft.ops.Temporal.gapReport(
+          graft.core.Tables.load(spark, sf, "events"),
+          Seq("user_id"), "ts", toleranceSec = 172800L,
+          tiebreak = Seq("event_id"))
+        .select(col("user_id").cast("string"), unix_micros(col("prev_ts")),
+          unix_micros(col("ts")), col("gap_sec"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == batch && got.nonEmpty,
+        s"${(got -- batch).take(3)} vs ${(batch -- got).take(3)}")
+    } finally q.stop()
+    // a gap WHOSE ENDPOINTS land in different micro-batches still fires:
+    // the one-pair state carries the previous timestamp across batches
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val df = mem.toDF().toDF("k", "ts_us", "event_id")
+      .select(col("k"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("event_id"))
+    val q2 = EventStream.streamingGapReport(spark, df, "k", "ts",
+        "event_id", toleranceSec = 10L)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("gap_split").start()
+    try {
+      mem.addData(("k", 1000000L, 1L), ("k", 5000000L, 2L))
+      q2.processAllAvailable()
+      mem.addData(("k", 20000000L, 3L)) // 15 s after batch-1's last
+      q2.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT prev_ts_us, ts_us, gap_sec FROM gap_split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((5000000L, 20000000L, 15L)))
+    } finally q2.stop()
+  }
+
   test("streaming croston equals the batch operator at each key's final bucket") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
