@@ -486,6 +486,55 @@ object Experiment {
   }
 
   /**
+   * Doubly-robust / AIPW ATE (Robins, Rotnitzky & Zhao 1994; the
+   * augmented inverse-propensity estimator): with DECLARED propensity
+   * e(x) AND declared outcome-model predictions μ̂₁(x), μ̂₀(x), the
+   * per-unit influence contribution is
+   *
+   *   ψ = [ t·(y − μ̂₁)/e + μ̂₁ ] − [ (1−t)·(y − μ̂₀)/(1−e) + μ̂₀ ]
+   *
+   * and ATE = mean(ψ). Consistent if EITHER model is right (the
+   * "double robustness") — the estimator the causal-ML stack
+   * (TMLE/DML) reduces to once nuisance models are fitted upstream.
+   * Completes the observational family: [[attStrata]] (bucketed
+   * score) → [[ipwAte]] (weights only) → this (weights + outcome
+   * model). Same positivity clipping; same declared-nuisance
+   * philosophy — fitting stays upstream, estimation stays
+   * deterministic and oracle-checkable.
+   *
+   * Output: ONE row — n, mu_treat, mu_ctrl, ate, se (influence-curve
+   * standard error sd(ψ)/√n), t_stat (6 dp). Scale shape: one
+   * aggregate pass, one-row arithmetic (the [[diffInDiff]] shape).
+   */
+  def aipwAte(df: DataFrame, treatedCol: String, outcomeCol: String,
+      propensityCol: String, mu1Col: String, mu0Col: String,
+      clipLo: Double = 0.05, clipHi: Double = 0.95): DataFrame = {
+    require(clipLo > 0 && clipLo < clipHi && clipHi < 1,
+      "need 0 < clipLo < clipHi < 1")
+    val t = col(treatedCol).cast("boolean")
+    val y = col(outcomeCol).cast("double")
+    val m1 = col(mu1Col).cast("double")
+    val m0 = col(mu0Col).cast("double")
+    val e = least(greatest(col(propensityCol).cast("double"),
+      lit(clipLo)), lit(clipHi))
+    val termT = when(t, (y - m1) / e).otherwise(lit(0.0)) + m1
+    val termC = when(!t, (y - m0) / (lit(1.0) - e)).otherwise(lit(0.0)) + m0
+    val psi = termT - termC
+    df.filter(y.isNotNull && t.isNotNull && col(propensityCol).isNotNull &&
+        m1.isNotNull && m0.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        avg(termT).as("__mt"), avg(termC).as("__mc"),
+        avg(psi).as("__ate"), stddev_samp(psi).as("__sd"))
+      .select(col("n"),
+        round(col("__mt"), 6).as("mu_treat"),
+        round(col("__mc"), 6).as("mu_ctrl"),
+        round(col("__ate"), 6).as("ate"),
+        round(col("__sd") / sqrt(col("n")), 6).as("se"),
+        round(when(col("__sd") > 0,
+          col("__ate") / (col("__sd") / sqrt(col("n")))), 6).as("t_stat"))
+  }
+
+  /**
    * Off-policy REPLAY evaluation (Li, Chu, Langford & Wang, WSDM 2011,
    * "Unbiased offline evaluation of contextual-bandit-based news
    * article recommendation algorithms"): score a target policy from

@@ -322,6 +322,43 @@ object ExperimentQ extends QueryGroup {
               |  ROUND(swc * swc / swc2, 6) AS ess_ctrl
               |FROM gw""".stripMargin)),
 
+    // Doubly-robust AIPW ATE on the same units/propensity fixture, with
+    // the naive "post ~ pre" outcome model declared per arm (mu1 =
+    // 1.02*pre, mu0 = pre): influence-curve mean + se, one pass.
+    QueryDef("q_aipw_ate", (s, dir) =>
+      Experiment.aipwAte(units(s, dir)
+          .withColumn("treated", col("arm") === "treatment")
+          .withColumn("prop", lit(0.25) + lit(0.5) *
+            md5Val16(concat(col("user_id").cast("string"), lit("#e")))
+              .cast("double") / 65536.0)
+          .withColumn("mu1", col("pre") * 1.02)
+          .withColumn("mu0", col("pre")),
+        "treated", "post", "prop", "mu1", "mu0"),
+      Some(s"""WITH $unitsSql,
+              |pw AS (SELECT arm = 'treatment' AS t, post AS y,
+              |    pre * 1.02 AS m1, pre AS m0,
+              |    0.25 + 0.5 *
+              |      (${md5Val16Sql("CAST(user_id AS VARCHAR) || '#e'")})
+              |      / 65536.0 AS e0
+              |  FROM m),
+              |cw AS (SELECT t, y, m1, m0,
+              |    LEAST(GREATEST(e0, 0.05), 0.95) AS e FROM pw),
+              |ps AS (SELECT
+              |    (CASE WHEN t THEN (y - m1) / e ELSE 0.0 END) + m1 AS tt,
+              |    (CASE WHEN NOT t THEN (y - m0) / (1.0 - e) ELSE 0.0 END)
+              |      + m0 AS tc
+              |  FROM cw),
+              |gw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    AVG(tt) AS mt, AVG(tc) AS mc,
+              |    AVG(tt - tc) AS a, stddev_samp(tt - tc) AS sd
+              |  FROM ps)
+              |SELECT n, ROUND(mt, 6) AS mu_treat, ROUND(mc, 6) AS mu_ctrl,
+              |  ROUND(a, 6) AS ate,
+              |  ROUND(sd / sqrt(n), 6) AS se,
+              |  ROUND(CASE WHEN sd > 0 THEN a / (sd / sqrt(n)) END, 6)
+              |    AS t_stat
+              |FROM gw""".stripMargin)),
+
     // Experiment SIZING before a test runs: MDE and required n per arm
     // from the historical metric's per-arm variance, at alpha=0.05 /
     // power=0.8 for a 2% relative target. The Phi^-1 quantile sum is a

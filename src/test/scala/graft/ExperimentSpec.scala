@@ -183,6 +183,27 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(clipped.getAs[Double]("mu_treat") - 2010.0 / 26) < 1e-6)
   }
 
+  test("aipwAte: perfect outcome model zeroes the correction; zero model reduces to HT") {
+    // perfect mu: psi = mu1 - mu0 exactly, per row, regardless of e
+    val perfect = Seq((true, 5.0, 0.3, 5.0, 2.0), (true, 5.0, 0.8, 5.0, 2.0),
+      (false, 2.0, 0.4, 5.0, 2.0), (false, 2.0, 0.6, 5.0, 2.0))
+      .toDF("t", "y", "e", "m1", "m0")
+    val p = Experiment.aipwAte(perfect, "t", "y", "e", "m1", "m0")
+      .collect().head
+    assert(p.getAs[Double]("ate") == 3.0)
+    assert(p.getAs[Double]("mu_treat") == 5.0)
+    assert(p.getAs[Double]("mu_ctrl") == 2.0)
+    assert(p.getAs[Double]("se") == 0.0)
+    assert(p.isNullAt(p.fieldIndex("t_stat"))) // sd = 0 -> no t
+    // zero outcome model: AIPW = unnormalized Horvitz-Thompson
+    val ht = Seq((true, 3.0, 0.5, 0.0, 0.0), (false, 1.0, 0.5, 0.0, 0.0))
+      .toDF("t", "y", "e", "m1", "m0")
+    val h = Experiment.aipwAte(ht, "t", "y", "e", "m1", "m0").collect().head
+    assert(h.getAs[Double]("mu_treat") == 3.0) // (3/.5 + 0)/2
+    assert(h.getAs[Double]("mu_ctrl") == 1.0)  // (0 + 1/.5)/2
+    assert(h.getAs[Double]("ate") == 2.0)
+  }
+
   test("replayEval: greedy policy, only matched rows score, unseen ctx never matches") {
     val fit = Seq(("A", 0L, 1.0), ("A", 0L, 1.0), ("A", 1L, 2.0))
       .toDF("ctx", "armL", "v")
