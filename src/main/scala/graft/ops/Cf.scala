@@ -39,39 +39,13 @@ object Cf {
    * ever collected or crossed unkeyed.
    */
   def itemCosineNeighbors(df: DataFrame, userCol: String, itemCol: String,
-      k: Int, maxUserItems: Int = 1000): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(maxUserItems >= 2, "maxUserItems must be >= 2 (pairs need 2)")
-    val ratings = df
-      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(userCol).as("__u"), col(itemCol).as("__i"))
-      .distinct()
-    val capped = ratings
-      .withColumn("__ui", count(lit(1)).over(Window.partitionBy(col("__u"))))
-      .filter(col("__ui") <= maxUserItems)
-      .select(col("__u"), col("__i"))
-    val itemN = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
-    val a = capped.select(col("__u"), col("__i").as("__ia"))
-    val b = capped.select(col("__u"), col("__i").as("__ib"))
-    val pairs = a.join(b, Seq("__u"))
-      .filter(col("__ia") < col("__ib"))
-      .groupBy(col("__ia"), col("__ib"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(itemN.select(col("__i").as("__ia"), col("__n").as("__na")), "__ia")
-      .join(itemN.select(col("__i").as("__ib"), col("__n").as("__nb")), "__ib")
-      .withColumn("__cos",
-        col("n_common") / sqrt(col("__na") * col("__nb")))
-    val sym = pairs.select(col("__ia").as("item"), col("__ib").as("neighbor"),
-        col("n_common"), col("__cos"))
-      .unionByName(pairs.select(col("__ib").as("item"),
-        col("__ia").as("neighbor"), col("n_common"), col("__cos")))
-    val w = Window.partitionBy(col("item"))
-      .orderBy(col("__cos").desc, col("neighbor").asc)
-    sym.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("item"), col("neighbor"), col("n_common"),
-        round(col("__cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
-  }
+      k: Int, maxUserItems: Int = 1000): DataFrame =
+    // DEFINED AS the incremental pipeline's from-scratch case, not a
+    // parallel implementation: cfTopK's "identical values to the
+    // from-scratch operator" contract (and q_item_cf_incremental's
+    // full-recompute oracle) must hold structurally, not by keeping two
+    // copies of the distinct/cap/self-join/cosine/rank chain in sync.
+    cfTopK(cfFit(df, userCol, itemCol, maxUserItems), k)
 
   /**
    * Score candidate items for each user by summed neighbor similarity:

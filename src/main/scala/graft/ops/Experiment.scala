@@ -176,12 +176,17 @@ object Experiment {
     declared.join(counts, col("arm") === col("__obs"), "left")
       .withColumn("n_obs", coalesce(col("__n_obs"), lit(0L)))
       .withColumn("__n", sum(col("n_obs")).over(all))
-      .withColumn("__e", col("__n") * col("__share"))
+      // ZERO observed rows total (mismatched arm labels, an empty
+      // slice) must read as null, never as 0/0 = NaN — a NaN chi2
+      // silently passes every `chi2 > critical` guardrail, hiding the
+      // worst possible SRM (nothing logged at all)
+      .withColumn("__e", when(col("__n") > 0, col("__n") * col("__share")))
       .withColumn("__chi", (col("n_obs") - col("__e")) *
         (col("n_obs") - col("__e")) / col("__e"))
       .select(col("arm"), col("n_obs"),
         round(col("__e"), 6).as("expected"),
-        round(col("n_obs") / col("__n").cast("double"), 6).as("ratio_obs"),
+        round(when(col("__n") > 0,
+          col("n_obs") / col("__n").cast("double")), 6).as("ratio_obs"),
         round(sum(col("__chi")).over(all), 6).as("chi2"),
         lit(expected.size - 1).cast("long").as("dof"))
   }
@@ -559,10 +564,11 @@ object Experiment {
     // All three emitted ratios are integer-grid sums over a row count —
     // exactly the midpoint-rounding trap (a double ROUND lands ON the
     // half-micro boundary with probability ~1/n, where engines
-    // disagree) — so each quantizes half-up in EXACT integer
-    // arithmetic: round6(s/n) = (2s + n) div 2n at micro grain (the
-    // seasonalNaiveBacktest pattern; rewards expected >= 0 at <= 6-dp
-    // grain, the regime where the micro-unit quantization is exact).
+    // disagree) — so each quantizes half-AWAY-FROM-ZERO in EXACT
+    // integer arithmetic: |s| through (2|s| + n) div 2n, sign restored
+    // (the plain (2s+n) div 2n form is truncation-vs-floor divergent
+    // across engines for NEGATIVE sums — rewards are allowed to be
+    // costs). Values expected at <= 6-dp grain (the micro-unit regime).
     logs.filter(r.isNotNull && col(ctxCol).isNotNull && col(armCol).isNotNull)
       .join(broadcast(pol), col(ctxCol) === col("__ctx"), "left")
       .withColumn("__hit", col("__parm").isNotNull &&
@@ -576,10 +582,14 @@ object Experiment {
         (expr("(n_matched * 2000000 + n_logged) div (2 * n_logged)")
           .cast("double") / 1e6).as("match_rate"),
         when(col("n_matched") > 0,
-          expr("(__sp * 2 + n_matched) div (2 * n_matched)")
-            .cast("double") / 1e6).as("reward_policy"),
-        (expr("(__sl * 2 + n_logged) div (2 * n_logged)")
-          .cast("double") / 1e6).as("reward_logged"))
+          expr("""CASE WHEN __sp >= 0
+                  THEN (__sp * 2 + n_matched) div (2 * n_matched)
+                  ELSE -(((-__sp) * 2 + n_matched) div (2 * n_matched))
+                  END""").cast("double") / 1e6).as("reward_policy"),
+        (expr("""CASE WHEN __sl >= 0
+                 THEN (__sl * 2 + n_logged) div (2 * n_logged)
+                 ELSE -(((-__sl) * 2 + n_logged) div (2 * n_logged))
+                 END""").cast("double") / 1e6).as("reward_logged"))
   }
 
   /**

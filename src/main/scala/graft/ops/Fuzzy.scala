@@ -67,10 +67,11 @@ object Fuzzy {
    * length, which degenerates to ONE block when every key has the same
    * length — 15k same-length ids meant 225M candidate levenshteins;
    * deletion keys block on CONTENT (~L keys per value at d=1,
-   * ~L²/2 at d=2, with L capped at `prefixLen` by SymSpell prefix
-   * truncation so long keys cannot blow up the key table), so
-   * candidates are only pairs that actually share a near-identical
-   * spelling. `maxBucket` caps pathological key groups
+   * ~L²/2 at d=2, with L capped at `prefixLen` by TWO-WINDOW SymSpell
+   * truncation — tagged first-P and last-P windows — so long keys
+   * cannot blow up the key table AND a shared prefix cannot collapse
+   * the blocking), so candidates are only pairs that actually share a
+   * near-identical spelling. `maxBucket` caps pathological key groups
    * (the shingle-df-cap family — a bucket that large means a degenerate
    * id scheme, and its pairs still surface via their other keys unless
    * every shared key is hot).
@@ -84,34 +85,51 @@ object Fuzzy {
     val values = df.select(col(keyCol).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
     val s = col("name")
-    // SymSpell prefix truncation (Garbe): deletion keys derive from the
-    // first `prefixLen` chars ONLY. Without it a V-char value emits
-    // ~V^2/2 keys of ~V bytes at d=2 (quadratic rows, CUBIC bytes) —
-    // fine for the ids/names this targets, catastrophic if pointed at
-    // document text. With it the fanout is a constant <= P^2/2 keys of
-    // <= P bytes per value. Completeness holds (an edit beyond the
-    // prefix leaves both prefixes equal -> shared self-key; an edit
-    // inside it survives as a shared <=d-deletion of the prefixes —
-    // the standard SymSpell argument), and the levenshtein verification
-    // filters the extra shared-prefix candidates truncation admits.
-    val p = s.substr(lit(1), lit(prefixLen))
-    val L = least(length(s), lit(prefixLen))
-    def del1(str: Column, len: Column): Column =
-      transform(sequence(lit(1), len),
-        i => concat(str.substr(lit(1), i - 1), str.substr(i + 1, len)))
-    val d1 = when(L >= 1, del1(p, L)).otherwise(array().cast("array<string>"))
-    // delete-2: remove positions i < j in one expression pass
-    val d2 =
-      if (maxDist < 2) array().cast("array<string>")
-      else when(L >= 2, flatten(transform(sequence(lit(1), L - 1), i =>
-        transform(sequence(i + 1, L), j =>
-          concat(p.substr(lit(1), i - 1),
-            p.substr(i + 1, j - i - 1),
-            p.substr(j + 1, L))))))
+    // TWO-WINDOW SymSpell truncation: deletion keys derive from the
+    // FIRST `prefixLen` chars and (for longer values) the LAST
+    // `prefixLen` chars, tagged per window. Full-string keys would emit
+    // ~V^2/2 keys of ~V bytes at d=2 (quadratic rows, CUBIC bytes —
+    // catastrophic on document text); one window alone is bounded but
+    // COLLAPSES on shared-prefix corpora (URL-style ids: every true
+    // pair's keys derive from the common prefix, so the whole group
+    // lands in maxBucket-hot buckets and pairs are dropped). Two
+    // windows keep the bound (<= P^2 keys of <= P bytes) AND the
+    // discriminating content: any single edit touches at most one
+    // window in its own alignment (front = left-aligned, back =
+    // right-aligned), so a pair within distance d shares either an
+    // untouched window's self-key or a <=d-deletion key of the edited
+    // window — the standard SymSpell argument per window. When a
+    // shared-prefix group makes the FRONT buckets hot, the cap drops
+    // them and the BACK keys still carry every true pair (and vice
+    // versa); only a corpus hot in BOTH windows at once (> 2P-char
+    // strings differing only in the middle) degrades, which is the
+    // documented residual. The levenshtein verification filters the
+    // extra candidates truncation admits.
+    def windowKeys(win: Column, tag: String): Column = {
+      val L = length(win)
+      def del1(str: Column, len: Column): Column =
+        transform(sequence(lit(1), len),
+          i => concat(str.substr(lit(1), i - 1), str.substr(i + 1, len)))
+      val d1 = when(L >= 1, del1(win, L))
         .otherwise(array().cast("array<string>"))
+      // delete-2: remove positions i < j in one expression pass
+      val d2 =
+        if (maxDist < 2) array().cast("array<string>")
+        else when(L >= 2, flatten(transform(sequence(lit(1), L - 1), i =>
+          transform(sequence(i + 1, L), j =>
+            concat(win.substr(lit(1), i - 1),
+              win.substr(i + 1, j - i - 1),
+              win.substr(j + 1, L))))))
+          .otherwise(array().cast("array<string>"))
+      transform(array_distinct(concat(array(win), d1, d2)),
+        k => concat(lit(tag), k))
+    }
+    val front = windowKeys(s.substr(lit(1), lit(prefixLen)), "F:")
+    val back = when(length(s) > prefixLen,
+      windowKeys(s.substr(length(s) - prefixLen + 1, lit(prefixLen)), "B:"))
+      .otherwise(array().cast("array<string>"))
     val keyed = values
-      .select(s, explode(array_distinct(
-        concat(array(p), d1, d2))).as("__k"))
+      .select(s, explode(concat(front, back)).as("__k"))
     val capped = keyed
       .withColumn("__bc", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))

@@ -160,8 +160,14 @@ object Privacy {
       seed: Long = 0L): DataFrame = {
     require(epsilon > 0, "epsilon must be > 0")
     val g = df.groupBy(qi(groupCols): _*).agg(count(lit(1)).as("__n"))
+    // NULL group values must stay distinguishable: concat_ws SKIPS
+    // nulls, which would give (NULL,'X') and ('X',NULL) the SAME noise
+    // draw -- correlated noise across released classes breaks the
+    // per-class independence a DP release assumes. Coalesce each part
+    // to an explicit sentinel instead.
     val keyStr = concat_ws("\u0001",
-      groupCols.map(c => col(c).cast("string")) :+ lit(seed.toString): _*)
+      groupCols.map(c => coalesce(col(c).cast("string"),
+        lit("\u0000null"))) :+ lit(seed.toString): _*)
     val v = conv(substring(md5(keyStr), 1, 4), 16, 10).cast("long")
     val u = (v.cast("double") + 0.5) / 65536.0 - 0.5
     val lap = -signum(u) * lit(1.0 / epsilon) *

@@ -439,10 +439,14 @@ object ExperimentQ extends QueryGroup {
               |  CAST((nm * 2000000 + nl) // (2 * nl) AS DOUBLE) / 1e6
               |    AS match_rate,
               |  CASE WHEN nm > 0
-              |    THEN CAST((sp * 2 + nm) // (2 * nm) AS DOUBLE) / 1e6
+              |    THEN CAST(CASE WHEN sp >= 0
+              |        THEN (sp * 2 + nm) // (2 * nm)
+              |        ELSE -(((-sp) * 2 + nm) // (2 * nm)) END AS DOUBLE)
+              |      / 1e6
               |    END AS reward_policy,
-              |  CAST((sl * 2 + nl) // (2 * nl) AS DOUBLE) / 1e6
-              |    AS reward_logged
+              |  CAST(CASE WHEN sl >= 0 THEN (sl * 2 + nl) // (2 * nl)
+              |       ELSE -(((-sl) * 2 + nl) // (2 * nl)) END AS DOUBLE)
+              |    / 1e6 AS reward_logged
               |FROM g""".stripMargin))
   )
 }

@@ -265,8 +265,9 @@ object MiningQ extends QueryGroup {
               |ba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
               |    SUM(xu) AS sx FROM r)
               |SELECT n_rows, b_resamples,
-              |  CAST((sx * 2 + n_rows) // (2 * n_rows) AS DOUBLE) / 1e6
-              |    AS mean,
+              |  CAST(CASE WHEN sx >= 0 THEN (sx * 2 + n_rows) // (2 * n_rows)
+              |       ELSE -(((-sx) * 2 + n_rows) // (2 * n_rows)) END
+              |    AS DOUBLE) / 1e6 AS mean,
               |  ci_lo, ci_hi, se_boot
               |FROM ba CROSS JOIN st""".stripMargin)
     }),

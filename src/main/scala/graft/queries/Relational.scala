@@ -63,8 +63,10 @@ object Relational extends QueryGroup {
       Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
              |  FROM customer GROUP BY 1, 2),
              |h AS (SELECT *,
-             |    md5(CAST(c_nationkey AS VARCHAR) || chr(1) ||
-             |        c_mktsegment || chr(1) || '7') AS hx
+             |    md5(COALESCE(CAST(c_nationkey AS VARCHAR), chr(0) || 'null')
+             |        || chr(1) ||
+             |        COALESCE(c_mktsegment, chr(0) || 'null')
+             |        || chr(1) || '7') AS hx
              |  FROM g),
              |v AS (SELECT c_nationkey, c_mktsegment, n,
              |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +

@@ -685,8 +685,12 @@ object Planners {
     val base = rows.agg(count(lit(1)).as("n_rows"), sum(col("__xu")).as("__sx"))
     base.crossJoin(broadcast(stats))
       .select(col("n_rows"), col("b_resamples"),
-        (expr("(__sx * 2 + n_rows) div (2 * n_rows)")
-          .cast("double") / 1e6).as("mean"),
+        // half-away-from-zero via |s|: the plain (2s+n) div 2n form is
+        // truncation-vs-floor divergent across engines for negative sums
+        (expr("""CASE WHEN __sx >= 0
+                 THEN (__sx * 2 + n_rows) div (2 * n_rows)
+                 ELSE -(((-__sx) * 2 + n_rows) div (2 * n_rows))
+                 END""").cast("double") / 1e6).as("mean"),
         col("ci_lo"), col("ci_hi"), col("se_boot"))
   }
 

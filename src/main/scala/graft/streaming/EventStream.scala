@@ -858,8 +858,12 @@ object EventStream {
    * journey BEFORE ranks are assigned, and all credit models
    * (first/last/linear/position, plus time-decay when `halfLifeSec`
    * is set) use the same arithmetic and Spark's decimal-string
-   * HALF_UP 6-dp round — emissions equal the batch rows bit-for-bit
-   * (spec-checked), each journey emitted exactly once. Ordering
+   * HALF_UP 6-dp round. Parity contract (spec-checked): the four
+   * position models are exact; `credit_time_decay` agrees at the 6-dp
+   * rounder (≤ 1e-6) — its batch denominator is a window-frame double
+   * sum whose fold order Spark does not pin, so the last ulp can land
+   * differently ON a rounding tie. Each journey is emitted exactly
+   * once. Ordering
    * contract as the other monitors: in-batch events are sorted;
    * across batches the source must deliver a key's events in time
    * order. Touches after the last conversion stay pending (the batch

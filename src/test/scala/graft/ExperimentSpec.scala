@@ -92,6 +92,17 @@ class ExperimentSpec extends SparkSpec {
     assert(ghost("b").getAs[Long]("n_obs") == 0L)
     assert(ghost("b").getAs[Double]("ratio_obs") == 0.0)
     assert(ghost.values.forall(_.getAs[Double]("chi2") == 100.0))
+    // ZERO observed rows total (mislabeled arms / empty slice): chi2
+    // must be NULL, never NaN — NaN silently passes `chi2 > critical`
+    val wrongLabels = Seq("Treatment", "Control").toDF("arm")
+    val none = Experiment.srmCheck(wrongLabels, "arm",
+      Seq("a" -> 0.5, "b" -> 0.5)).collect()
+    assert(none.length == 2)
+    none.foreach { r =>
+      assert(r.getAs[Long]("n_obs") == 0L)
+      assert(r.isNullAt(r.fieldIndex("chi2")), "chi2 must be null, not NaN")
+      assert(r.isNullAt(r.fieldIndex("ratio_obs")))
+    }
   }
 
   test("upliftCurve: a perfect targeting score front-loads all the uplift") {

@@ -306,6 +306,39 @@ class MiningSpec extends SparkSpec {
       val got = toSet(Fuzzy.fuzzyPairsDeletes(longs, "v", d, prefixLen = 8))
       assert(got == want && want.nonEmpty, s"long d=$d: $got vs $want")
     }
+    // shared-prefix corpus (URL-style ids): every value shares the
+    // first-window content, so FRONT buckets exceed a small maxBucket
+    // and get dropped — the BACK-window keys must still carry every
+    // true pair (suffix edits at d=1 and d=2, incl. length changes)
+    val urls = ((0 until 30).map(i => f"https://cdn.example.com/item-$i%04d")
+      ++ Seq("https://cdn.example.com/item-0000x",   // insert at end
+        "https://cdn.example.com/item-9999"))         // far id, no pair
+      .toDF("v")
+    def toSetU(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // d=1 with maxBucket 20: every FRONT bucket (all 32 values share
+    // the first window) is hot and DROPPED; the ~11-member back-window
+    // buckets must still carry every true pair — the two-window rescue
+    val want1 = toSetU(Fuzzy.fuzzyPairs(urls, "v", 1))
+    val got1 = toSetU(Fuzzy.fuzzyPairsDeletes(urls, "v", 1,
+      maxBucket = 20, prefixLen = 8))
+    assert(got1 == want1 && want1.nonEmpty, s"url d=1: missing " +
+      s"${(want1 -- got1).take(5)} extra ${(got1 -- want1).take(5)}")
+    // d=2: ids differing at BOTH discriminating digits share only the
+    // group-sized remainder key ("tem-00" x 30) — the documented
+    // residual: such a corpus needs the cap above the group size (the
+    // bounded full-block), at which point the pair set is exact again
+    val want2 = toSetU(Fuzzy.fuzzyPairs(urls, "v", 2))
+    val got2 = toSetU(Fuzzy.fuzzyPairsDeletes(urls, "v", 2,
+      maxBucket = 40, prefixLen = 8))
+    assert(got2 == want2 && want2.nonEmpty, s"url d=2: missing " +
+      s"${(want2 -- got2).take(5)} extra ${(got2 -- want2).take(5)}")
+    // and under the tight cap the result is a SUBSET (candidates only
+    // drop, never appear from nowhere), still containing every pair
+    // with a surviving discriminating key
+    val tight2 = toSetU(Fuzzy.fuzzyPairsDeletes(urls, "v", 2,
+      maxBucket = 20, prefixLen = 8))
+    assert(tight2.subsetOf(want2) && tight2.nonEmpty)
   }
 
   test("fsScore: hand weights, missing fields contribute zero, classes split") {
