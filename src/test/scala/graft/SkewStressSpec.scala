@@ -236,4 +236,36 @@ class SkewStressSpec extends SparkSpec {
         seeds.limit(0), iterations = 1)
     }
   }
+
+  test("cfMerge bot-user skew: over-cap users never pair; merge equals clean recompute; no straggler") {
+    import graft.ops.Cf
+    // a 15k-item bot user in the base (over cap 100 -> contributes
+    // NOTHING to pair/item counts, but its ratings persist for dedup),
+    // plus a 5k-item delta for the same bot (already-over: absorbed
+    // into state, never joined). An uncapped self-join would funnel
+    // ~15k^2/2 = 1.1e8 pair rows through the bot's key.
+    val cleanR = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L)).toDF("u", "i")
+    val botBase = spark.range(15000L)
+      .select(lit(99L).as("u"), (col("id") + 1000L).as("i"))
+    val base = cleanR.filter(col("u") <= 2).unionByName(botBase)
+    val delta = cleanR.filter(col("u") === 3).unionByName(
+      spark.range(5000L)
+        .select(lit(99L).as("u"), (col("id") + 100000L).as("i")))
+    def topSet(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("cos"))).toSet
+    val (got, mx) = withTaskBound {
+      val st = Cf.cfMerge(
+        Cf.cfFit(base, "u", "i", maxUserItems = 100),
+        delta, "u", "i", maxUserItems = 100)
+      topSet(Cf.cfTopK(st, 5))
+    }
+    // cap semantics: merged state = from-scratch on the union = the
+    // clean corpus alone (the bot contributes nothing anywhere)
+    assert(got == topSet(Cf.itemCosineNeighbors(cleanR, "u", "i",
+      k = 5, maxUserItems = 100)), s"got $got")
+    assert(got.nonEmpty)
+    assert(mx < TaskCeiling, s"cfMerge straggler read $mx shuffle records")
+  }
 }
