@@ -660,6 +660,40 @@ object Temporal {
   }
 
   /**
+   * Score each observed handoff against a [[markovTransitions]] model —
+   * the journey ANOMALY detector ([[markovBacktest]] asks "is the
+   * model good"; this asks "is the TRAFFIC normal"): a session taking
+   * transitions the model rates improbable is bot traffic, a broken
+   * funnel, or an instrumentation bug. A handoff whose (from, to) the
+   * model never saw scores null p and is flagged (the strictest
+   * reading: unseen IS improbable).
+   *
+   * Output: keys ++ tiebreak, `tsCol`, `from_state`, `to_state`, `p`
+   * (the model's 6-dp row), `is_improbable` (p < minP OR unseen).
+   * Scale shape: ONE key shuffle for the lead window; the state²-grain
+   * model broadcasts onto the handoff stream (the [[markovBacktest]]
+   * plan). Streaming twin:
+   * [[graft.streaming.EventStream.streamingMarkovScore]].
+   */
+  def markovScoreHandoffs(df: DataFrame, keys: Seq[String], tsCol: String,
+      stateCol: String, model: DataFrame, minP: Double,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(minP > 0 && minP < 1, "minP in (0,1)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    val handoffs = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull && col(stateCol).isNotNull)
+      .select((keys ++ tiebreak).map(col) ++ Seq(col(tsCol),
+        col(stateCol).as("from_state"), col("__next").as("to_state")): _*)
+    handoffs.join(broadcast(model.select(col("from_state"),
+        col("to_state"), col("p"))), Seq("from_state", "to_state"), "left")
+      .select((keys ++ tiebreak).map(col) ++ Seq(col(tsCol),
+        col("from_state"), col("to_state"), col("p"),
+        coalesce(col("p") < minP, lit(true)).as("is_improbable")): _*)
+  }
+
+  /**
    * Lagged cross-correlation between two event-type intensities — the
    * lead/lag probe "does A lead B by k buckets" ([[autocorrelation]]'s
    * two-series sibling; the readout behind 'clicks lead purchases by

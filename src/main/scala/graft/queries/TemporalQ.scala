@@ -1213,6 +1213,40 @@ object TemporalQ extends QueryGroup {
         .stripMargin)
     }),
 
+    // Journey-anomaly scoring: every second-half handoff scored against
+    // the first-half transition model -- unseen transitions flag, seen
+    // ones flag when the model's 6-dp probability is under 2%.
+    QueryDef("q_markov_score",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        Temporal.markovScoreHandoffs(ev.filter(col("ts") >= cut),
+          keys = Seq("user_id"), tsCol = "ts", stateCol = "event_type",
+          model = Temporal.markovTransitions(ev.filter(col("ts") < cut),
+            Seq("user_id"), "ts", "event_type", Seq("event_id")),
+          minP = 0.02, tiebreak = Seq("event_id"))
+      },
+      Some("""WITH ft AS (SELECT event_type AS a,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS b
+             |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+             |md AS (SELECT a, b, COUNT(*) AS n FROM ft
+             |  WHERE b IS NOT NULL GROUP BY 1, 2),
+             |pm AS (SELECT a, b,
+             |    ROUND(CAST(n AS DOUBLE) /
+             |      SUM(n) OVER (PARTITION BY a), 6) AS p FROM md),
+             |sc AS (SELECT user_id, ts, event_id,
+             |    event_type AS from_state,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_state
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+             |SELECT sc.user_id, sc.event_id, sc.ts,
+             |  sc.from_state, sc.to_state, pm.p,
+             |  COALESCE(pm.p < 0.02, TRUE) AS is_improbable
+             |FROM sc LEFT JOIN pm
+             |  ON pm.a = sc.from_state AND pm.b = sc.to_state
+             |WHERE sc.to_state IS NOT NULL""".stripMargin)),
+
     // Markov next-event backtest: fit the transition matrix on the first
     // half of January, score top-1 accuracy on the second half. Argmax
     // ties break on the exact count then min successor.

@@ -950,6 +950,70 @@ object EventStream {
       }
   }
 
+  final case class MkScEv(key: String, ts_us: Long, tb: Long, st: String)
+  final case class MkScState(lastState: String, lastTs: Long, lastTb: Long)
+  // ts_us/tb are the FROM event's (the batch operator's lead-window row
+  // is the from-event's row)
+  final case class MkScOut(key: String, ts_us: Long, tb: Long,
+      from_state: String, to_state: String, p: Option[Double],
+      is_improbable: Boolean)
+
+  /**
+   * Streaming journey-anomaly scorer — the live twin of
+   * [[graft.ops.Temporal.markovScoreHandoffs]]: each arriving event
+   * closes a handoff from the key's previous state and scores it
+   * against a FROZEN [[graft.ops.Temporal.markovTransitions]] model
+   * (fit offline, refreshed offline — the winsorizeFit/seasonalProfile
+   * frozen-artifact pattern). The model is state²-grain, so it ships
+   * as a closure map; per-key state is ONE string. A handoff the model
+   * never saw scores null and flags (unseen IS improbable — the batch
+   * contract). Emissions equal the batch rows exactly (spec-checked),
+   * each handoff emitted once; the usual ordering contract applies.
+   */
+  def streamingMarkovScore(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, stateCol: String, idCol: String,
+      model: DataFrame, minP: Double,
+      stateTtl: Option[String] = None): Dataset[MkScOut] = {
+    import spark.implicits._
+    require(minP > 0 && minP < 1, "minP in (0,1)")
+    // state²-grain fit artifact -> bounded driver collect (the
+    // sanctioned fit-statistic shape)
+    val probs: Map[(String, String), Double] = model
+      .select(col("from_state").cast("string"),
+        col("to_state").cast("string"), col("p").cast("double"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    events
+      .filter(col(tsCol).isNotNull && col(stateCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("tb"),
+        col(stateCol).cast("string").as("st"))
+      .as[MkScEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MkScState, MkScOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[MkScEv], state: GroupState[MkScState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.tb))
+            var last = state.getOption
+            val out = Vector.newBuilder[MkScOut]
+            sorted.foreach { e =>
+              last.foreach { prev =>
+                val p = probs.get((prev.lastState, e.st))
+                out += MkScOut(key, prev.lastTs, prev.lastTb,
+                  prev.lastState, e.st, p, p.forall(_ < minP))
+              }
+              last = Some(MkScState(e.st, e.ts_us, e.tb))
+            }
+            last.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class GapEv(key: String, ts_us: Long, tb: Long)
   final case class GapState(lastTs: Long, lastTb: Long)
   final case class GapOut(key: String, prev_ts_us: Long, ts_us: Long,

@@ -1478,6 +1478,43 @@ class StreamingSpec extends SparkSpec {
     assert(whole.getBoolean(3) && split.getBoolean(3))
   }
 
+  test("streaming markov score equals the batch handoff scorer against a frozen model") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val model = graft.ops.Temporal.markovTransitions(
+      ev.filter(col("ts") < cut), Seq("user_id"), "ts", "event_type",
+      Seq("event_id"))
+    val out = EventStream.streamingMarkovScore(spark,
+      EventStream.readEvents(spark, streamDir)
+        .filter(col("ts") >= cut),
+      "user_id", "ts", "event_type", "event_id", model, minP = 0.19)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("mks_stream").start()
+    try {
+      q.processAllAvailable()
+      def od(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val got = spark.sql("""SELECT key, ts_us, tb, from_state, to_state,
+          p, is_improbable FROM mks_stream""").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), od(r, 5), r.getBoolean(6))).toSet
+      val batch = graft.ops.Temporal.markovScoreHandoffs(
+          ev.filter(col("ts") >= cut), Seq("user_id"), "ts", "event_type",
+          model, minP = 0.19, tiebreak = Seq("event_id"))
+        .select(col("user_id").cast("string"), unix_micros(col("ts")),
+          col("event_id"), col("from_state"), col("to_state"), col("p"),
+          col("is_improbable"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), od(r, 5), r.getBoolean(6))).toSet
+      assert(got == batch && got.nonEmpty,
+        s"${(got -- batch).take(3)} vs ${(batch -- got).take(3)}")
+      // the fixture must exercise both verdicts
+      assert(got.exists(_._7) && got.exists(!_._7))
+    } finally q.stop()
+  }
+
   test("streaming gap report emits exactly the batch violations; gaps straddle batches") {
     import org.apache.spark.sql.functions._
     val out = EventStream.streamingGapReport(spark,

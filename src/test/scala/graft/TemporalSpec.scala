@@ -660,6 +660,33 @@ class TemporalSpec extends SparkSpec {
     assert(out(("z", 2)).isNullAt(out(("z", 2)).fieldIndex("forecast")))
   }
 
+  test("markovScoreHandoffs: seen handoffs score the model p, unseen flag, threshold splits") {
+    import org.apache.spark.sql.functions._
+    // fit handoffs: a->b x5 (3 on k + 1 each on k2/k3), a->c x1
+    // => p(a,b) = 5/6, p(a,c) = 1/6; b->a always => 1.0
+    val fit = Seq(("k", 1, "a"), ("k", 2, "b"), ("k", 3, "a"), ("k", 4, "b"),
+      ("k", 5, "a"), ("k", 6, "c"), ("k", 7, "a"), ("k", 8, "b"),
+      ("k2", 1, "b"), ("k2", 2, "a"), ("k2", 3, "b"), ("k2", 4, "a"),
+      ("k3", 1, "b"), ("k3", 2, "a"), ("k3", 3, "b"), ("k3", 4, "a"))
+      .toDF("k", "t", "s")
+    val model = graft.ops.Temporal.markovTransitions(fit, Seq("k"), "t", "s")
+    // score handoffs: a->c (rare, .166667 < minP), c->a (1.0, fine),
+    // a->b (.833333, fine), b->c (UNSEEN from b -> flags)
+    val score = Seq(("u", 1, "a"), ("u", 2, "c"), ("u", 3, "a"),
+      ("u", 4, "b"), ("u", 5, "c"))
+      .toDF("k", "t", "s")
+    val out = graft.ops.Temporal.markovScoreHandoffs(score, Seq("k"), "t",
+        "s", model, minP = 0.3).collect()
+      .map(r => (r.getAs[String]("from_state"), r.getAs[String]("to_state"))
+        -> ((Option(r.getAs[java.lang.Double]("p")).map(_.toDouble),
+          r.getAs[Boolean]("is_improbable")))).toMap
+    assert(out(("a", "b")) == ((Some(0.833333), false)))
+    assert(out(("a", "c")) == ((Some(0.166667), true))) // below minP 0.3
+    assert(out(("b", "c")) == ((None, true)))           // unseen transition
+    assert(out(("c", "a")) == ((Some(1.0), false)))
+    assert(out.size == 4)
+  }
+
   test("markovBacktest: argmax on counts, out-of-sample accuracy, unseen states") {
     import org.apache.spark.sql.functions._
     // fit: a->b twice, a->c once => predicted(a)=b; b->a always
