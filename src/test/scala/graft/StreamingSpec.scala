@@ -1478,6 +1478,39 @@ class StreamingSpec extends SparkSpec {
     assert(whole.getBoolean(3) && split.getBoolean(3))
   }
 
+  test("replayEval is stream-legal as-is: stream-static policy join + one agg equals the batch row") {
+    import org.apache.spark.sql.functions._
+    // the batch operator's shape (broadcast ctx-grain policy join into a
+    // single aggregate) is ALREADY a legal streaming plan in Complete
+    // mode — no twin needed; this pins that contract
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    def derive(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("value").isNotNull)
+      .withColumn("ctx", col("user_id") % 10)
+      .withColumn("armL",
+        conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 4)
+    val batchEv = derive(graft.core.Tables.load(spark, sf, "events"))
+    val policy = graft.ops.Experiment.greedyPolicy(
+      batchEv.filter(col("ts") < cut), "ctx", "armL", "value")
+    val out = graft.ops.Experiment.replayEval(
+      derive(EventStream.readEvents(spark, streamDir))
+        .filter(col("ts") >= cut),
+      "ctx", "armL", "value", policy)
+    val q = out.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("replay_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("""SELECT n_logged, n_matched, match_rate,
+          reward_policy, reward_logged FROM replay_stream""").collect()
+      assert(got.length == 1)
+      val batch = graft.ops.Experiment.replayEval(
+        batchEv.filter(col("ts") >= cut), "ctx", "armL", "value", policy)
+        .collect().head
+      assert(got.head == batch, s"${got.head} vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming markov score equals the batch handoff scorer against a frozen model") {
     import org.apache.spark.sql.functions._
     val ev = graft.core.Tables.load(spark, sf, "events")
