@@ -105,7 +105,7 @@ object Fuzzy {
     // strings differing only in the middle) degrades, which is the
     // documented residual. The levenshtein verification filters the
     // extra candidates truncation admits.
-    def windowKeys(win: Column, tag: String): Column = {
+    def windowKeys(win: Column): Column = {
       val L = length(win)
       def del1(str: Column, len: Column): Column =
         transform(sequence(lit(1), len),
@@ -121,15 +121,23 @@ object Fuzzy {
               win.substr(i + 1, j - i - 1),
               win.substr(j + 1, L))))))
           .otherwise(array().cast("array<string>"))
-      transform(array_distinct(concat(array(win), d1, d2)),
-        k => concat(lit(tag), k))
+      concat(array(win), d1, d2)
     }
-    val front = windowKeys(s.substr(lit(1), lit(prefixLen)), "F:")
-    val back = when(length(s) > prefixLen,
-      windowKeys(s.substr(length(s) - prefixLen + 1, lit(prefixLen)), "B:"))
-      .otherwise(array().cast("array<string>"))
+    val front = windowKeys(s.substr(lit(1), lit(prefixLen)))
+    // back keys emit UNCONDITIONALLY (for a value <= P chars the back
+    // window IS the whole value, and the shared array_distinct below
+    // collapses the duplicate set — short values pay NOTHING): a short
+    // value in a shared-prefix corpus would otherwise have only
+    // hot-capped front keys while its longer near-duplicates carry
+    // discriminating back keys. Keys are deliberately UNTAGGED so a
+    // short value's whole-string keys can meet a long value's
+    // back-window keys; cross-window coincidences only ADD candidates,
+    // which the levenshtein verification filters and maxBucket caps.
+    val back = windowKeys(
+      s.substr(greatest(length(s) - prefixLen + 1, lit(1)),
+        lit(prefixLen)))
     val keyed = values
-      .select(s, explode(concat(front, back)).as("__k"))
+      .select(s, explode(array_distinct(concat(front, back))).as("__k"))
     val capped = keyed
       .withColumn("__bc", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))

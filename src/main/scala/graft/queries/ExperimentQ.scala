@@ -201,9 +201,10 @@ object ExperimentQ extends QueryGroup {
               |  FROM d LEFT JOIN c ON d.arm = c.arm),
               |w AS (SELECT arm, CAST(n_obs AS BIGINT) AS n_obs, share,
               |    CAST(SUM(n_obs) OVER () AS DOUBLE) AS n FROM j),
-              |e AS (SELECT arm, n_obs, n, n * share AS ex FROM w)
+              |e AS (SELECT arm, n_obs, n,
+              |    CASE WHEN n > 0 THEN n * share END AS ex FROM w)
               |SELECT arm, n_obs, ROUND(ex, 6) AS expected,
-              |  ROUND(n_obs / n, 6) AS ratio_obs,
+              |  ROUND(CASE WHEN n > 0 THEN n_obs / n END, 6) AS ratio_obs,
               |  ROUND(SUM((n_obs - ex) * (n_obs - ex) / ex) OVER (), 6)
               |    AS chi2,
               |  CAST(1 AS BIGINT) AS dof

@@ -967,8 +967,12 @@ object EventStream {
    * frozen-artifact pattern). The model is state²-grain, so it ships
    * as a closure map; per-key state is ONE string. A handoff the model
    * never saw scores null and flags (unseen IS improbable — the batch
-   * contract). Emissions equal the batch rows exactly (spec-checked),
-   * each handoff emitted once; the usual ordering contract applies.
+   * contract). Null STATES follow the batch semantics exactly: a
+   * null-state event OCCUPIES the handoff slot (both the handoff into
+   * it and out of it are dropped, but the chain does not skip over
+   * it). Emissions equal the batch rows exactly (spec-checked), each
+   * handoff emitted once; the usual ordering contract applies, and
+   * `tsCol` must be non-null (the ordered-source requirement).
    */
   def streamingMarkovScore(spark: SparkSession, events: DataFrame,
       keyCol: String, tsCol: String, stateCol: String, idCol: String,
@@ -984,7 +988,7 @@ object EventStream {
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         r.getDouble(2)).toMap
     events
-      .filter(col(tsCol).isNotNull && col(stateCol).isNotNull)
+      .filter(col(tsCol).isNotNull)
       .select(col(keyCol).cast("string").as("key"),
         unix_micros(col(tsCol)).as("ts_us"),
         col(idCol).cast("long").as("tb"),
@@ -1000,10 +1004,14 @@ object EventStream {
             var last = state.getOption
             val out = Vector.newBuilder[MkScOut]
             sorted.foreach { e =>
+              // a null state occupies the slot but emits no handoff on
+              // either side — the batch lead-window semantics
               last.foreach { prev =>
-                val p = probs.get((prev.lastState, e.st))
-                out += MkScOut(key, prev.lastTs, prev.lastTb,
-                  prev.lastState, e.st, p, p.forall(_ < minP))
+                if (prev.lastState != null && e.st != null) {
+                  val p = probs.get((prev.lastState, e.st))
+                  out += MkScOut(key, prev.lastTs, prev.lastTb,
+                    prev.lastState, e.st, p, p.forall(_ < minP))
+                }
               }
               last = Some(MkScState(e.st, e.ts_us, e.tb))
             }

@@ -339,6 +339,20 @@ class MiningSpec extends SparkSpec {
     val tight2 = toSetU(Fuzzy.fuzzyPairsDeletes(urls, "v", 2,
       maxBucket = 20, prefixLen = 8))
     assert(tight2.subsetOf(want2) && tight2.nonEmpty)
+    // boundary: a value of length EXACTLY prefixLen in a shared-prefix
+    // corpus has no content beyond the front window — its back keys
+    // (the whole value, right-aligned) must still rescue its pair with
+    // a longer near-duplicate when the hot front buckets are capped
+    val shortie = ((0 until 25).map(i => f"abcdefg$i%02d") // 9 chars, same 7-prefix
+      ++ Seq("abcdefgh",      // length == prefixLen exactly
+        "abcdefghX"))         // its d=1 partner (append)
+      .toDF("v")
+    val wantS = toSetU(Fuzzy.fuzzyPairs(shortie, "v", 1))
+    val gotS = toSetU(Fuzzy.fuzzyPairsDeletes(shortie, "v", 1,
+      maxBucket = 20, prefixLen = 8))
+    assert(gotS == wantS && wantS.exists(p =>
+      p._1 == "abcdefgh" && p._2 == "abcdefghX"),
+      s"short-boundary: missing ${(wantS -- gotS).take(5)}")
   }
 
   test("fsScore: hand weights, missing fields contribute zero, classes split") {

@@ -1546,6 +1546,29 @@ class StreamingSpec extends SparkSpec {
       // the fixture must exercise both verdicts
       assert(got.exists(_._7) && got.exists(!_._7))
     } finally q.stop()
+    // null-state events OCCUPY the handoff slot (the batch lead-window
+    // semantics): (a, null, b) emits NOTHING, (b, a) then emits
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Option[String])]
+    val df = mem.toDF().toDF("k", "ts_us", "event_id", "s")
+      .select(col("k"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("event_id"), col("s"))
+    val q2 = EventStream.streamingMarkovScore(spark, df, "k", "ts", "s",
+        "event_id", model.limit(0), minP = 0.5)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("mks_nulls").start()
+    try {
+      mem.addData(("k", 1L, 1L, Some("a")), ("k", 2L, 2L, None),
+        ("k", 3L, 3L, Some("b")), ("k", 4L, 4L, Some("a")))
+      q2.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT from_state, to_state FROM mks_nulls").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // a->null and null->b are dropped; only b->a survives
+      assert(rows == Set(("b", "a")), s"got $rows")
+    } finally q2.stop()
   }
 
   test("streaming gap report emits exactly the batch violations; gaps straddle batches") {
