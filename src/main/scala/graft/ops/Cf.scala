@@ -126,15 +126,25 @@ object Cf {
    * semantics as [[itemCosineNeighbors]] (a user over `maxUserItems`
    * contributes to NEITHER pair nor item counts, but their ratings are
    * kept: the cap must keep holding as deltas arrive).
+   *
+   * The cap counts with a groupBy (partial hash-agg below the exchange:
+   * a 10⁸-row bot user pre-combines to one row per input partition) and
+   * removes the over-cap user list — at most totalRatings/cap entries —
+   * via a broadcast anti-join, the r11-hardened shingle-df-cap shape
+   * and the same groupBy counting [[cfMerge]] already uses. A window
+   * count would funnel a bot user's ENTIRE row set into one task before
+   * the filter. Exchange reuse dedupes the shared distinct subtree at
+   * runtime, so the count branch costs no second shuffle of the corpus.
    */
   def cfFit(df: DataFrame, userCol: String, itemCol: String,
       maxUserItems: Int = 1000): CfState = {
     require(maxUserItems >= 2, "maxUserItems must be >= 2 (pairs need 2)")
     val ratings = distinctRatings(df, userCol, itemCol)
-    val capped = ratings
-      .withColumn("__ui", count(lit(1)).over(Window.partitionBy(col("__u"))))
-      .filter(col("__ui") <= maxUserItems)
-      .select(col("__u"), col("__i"))
+    val overCap = ratings.groupBy(col("__u"))
+      .agg(count(lit(1)).as("__ui"))
+      .filter(col("__ui") > maxUserItems)
+      .select(col("__u"))
+    val capped = ratings.join(broadcast(overCap), Seq("__u"), "left_anti")
     val items = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val pairs = capped.select(col("__u"), col("__i").as("__ia"))
       .join(capped.select(col("__u"), col("__i").as("__ib")), Seq("__u"))

@@ -164,6 +164,10 @@ object Experiment {
       expected: Seq[(String, Double)]): DataFrame = {
     require(expected.size >= 2, "need >= 2 declared arms")
     require(expected.forall(_._2 > 0), "shares must be positive")
+    // a duplicated arm name would left-join the same observed count
+    // twice, double-counting n_obs in the window total and its chi2 term
+    require(expected.map(_._1).distinct.size == expected.size,
+      "arm names must be distinct")
     val total = expected.map(_._2).sum
     val spark = df.sparkSession
     import spark.implicits._
@@ -619,5 +623,71 @@ object Experiment {
       .select(col("ctx"), col("arm"),
         round(col("__s").cast("double") / 1e6 / col("__n"), 6)
           .as("mean_reward"), col("__n").as("n_fit"))
+  }
+
+  /**
+   * DOUBLY-ROBUST off-policy evaluation (Dudík, Langford & Li, ICML
+   * 2011, "Doubly Robust Policy Evaluation and Learning") — the
+   * estimator [[replayEval]] graduates to the moment logging isn't
+   * uniform: per logged row,
+   *
+   *   ψ = μ̂(x, π(x)) + 1{a = π(x)} · (r − μ̂(x, a)) / p(a|x)
+   *
+   * and V̂_DR = mean(ψ), where π is the deterministic target `policy`
+   * (ctx → arm), p is the DECLARED logging propensity of the row's OWN
+   * logged arm, and μ̂ is a DECLARED reward model at (ctx, arm) grain —
+   * the [[aipwAte]] declared-nuisance philosophy (fit upstream, keep
+   * the estimation deterministic and oracle-checkable). Unbiased if
+   * EITHER the propensities or the reward model is right; the model
+   * term kills the IPS variance on unmatched rows.
+   *
+   * Coverage contracts: rows whose ctx the policy does not cover are
+   * DROPPED (DR needs μ̂ at the policy's arm, so the estimand is the
+   * policy's value over covered contexts — [[replayEval]] instead
+   * counts them as unmatched because its estimand never consults a
+   * model); a MISSING model cell contributes μ̂ = 0, degrading that row
+   * to pure IPS (the paper's μ̂ ≡ 0 special case), so an EMPTY model
+   * table turns the whole estimator into clipped IPS. `clipLo` floors
+   * the propensity (positivity guard, the [[ipwAte]] convention).
+   *
+   * Output: ONE row — n_logged (covered rows), n_matched, match_rate
+   * (exact integer half-up quantization, the [[replayEval]] contract),
+   * value_model (mean μ̂ at the policy arm), value_dr, se
+   * (influence-curve sd(ψ)/√n, 6 dp). Scale shape: the ctx-grain
+   * policy and the (ctx × arms)-grain model both broadcast onto ONE
+   * log scan; one aggregate — nothing log-grain survives.
+   */
+  def drReplay(logs: DataFrame, ctxCol: String, armCol: String,
+      rewardCol: String, propensityCol: String, policy: DataFrame,
+      model: DataFrame, clipLo: Double = 0.01): DataFrame = {
+    require(clipLo > 0 && clipLo < 1, "need 0 < clipLo < 1")
+    val r = col(rewardCol).cast("double")
+    val pol = policy.select(col("ctx").as("__ctx"), col("arm").as("__parm"))
+    val mPi = model.select(col("ctx").as("__mc1"), col("arm").as("__ma1"),
+      col("mu").cast("double").as("__mu_pi"))
+    val mA = model.select(col("ctx").as("__mc2"), col("arm").as("__ma2"),
+      col("mu").cast("double").as("__mu_a"))
+    val p = greatest(col(propensityCol).cast("double"), lit(clipLo))
+    logs.filter(r.isNotNull && col(ctxCol).isNotNull &&
+        col(armCol).isNotNull && col(propensityCol).isNotNull)
+      .join(broadcast(pol), col(ctxCol) === col("__ctx"))
+      .join(broadcast(mPi), col(ctxCol) === col("__mc1") &&
+        col("__parm") === col("__ma1"), "left")
+      .join(broadcast(mA), col(ctxCol) === col("__mc2") &&
+        col(armCol) === col("__ma2"), "left")
+      .withColumn("__hit", col(armCol) === col("__parm"))
+      .withColumn("__mp", coalesce(col("__mu_pi"), lit(0.0)))
+      .withColumn("__psi", col("__mp") + when(col("__hit"),
+        (r - coalesce(col("__mu_a"), lit(0.0))) / p).otherwise(lit(0.0)))
+      .agg(count(lit(1)).as("n_logged"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_matched"),
+        avg(col("__mp")).as("__vm"), avg(col("__psi")).as("__vd"),
+        stddev_samp(col("__psi")).as("__sd"))
+      .select(col("n_logged"), col("n_matched"),
+        (expr("(n_matched * 2000000 + n_logged) div (2 * n_logged)")
+          .cast("double") / 1e6).as("match_rate"),
+        round(col("__vm"), 6).as("value_model"),
+        round(col("__vd"), 6).as("value_dr"),
+        round(col("__sd") / sqrt(col("n_logged")), 6).as("se"))
   }
 }

@@ -68,13 +68,17 @@ object Fuzzy {
    * length — 15k same-length ids meant 225M candidate levenshteins;
    * deletion keys block on CONTENT (~L keys per value at d=1,
    * ~L²/2 at d=2, with L capped at `prefixLen` by TWO-WINDOW SymSpell
-   * truncation — tagged first-P and last-P windows — so long keys
+   * truncation — untagged first-P and last-P windows — so long keys
    * cannot blow up the key table AND a shared prefix cannot collapse
    * the blocking), so candidates are only pairs that actually share a
    * near-identical spelling. `maxBucket` caps pathological key groups
    * (the shingle-df-cap family — a bucket that large means a degenerate
    * id scheme, and its pairs still surface via their other keys unless
-   * every shared key is hot).
+   * every shared key is hot); the cap is counted with a groupBy
+   * (partial agg below the exchange) and applied as a broadcast
+   * anti-join of the tiny over-cap key list — the r11-hardened shape,
+   * never a window that would funnel a hot key's occurrence list into
+   * one task.
    */
   def fuzzyPairsDeletes(df: DataFrame, keyCol: String, maxDist: Int,
       maxBucket: Int = 10000, prefixLen: Int = 24): DataFrame = {
@@ -138,10 +142,16 @@ object Fuzzy {
         lit(prefixLen)))
     val keyed = values
       .select(s, explode(array_distinct(concat(front, back))).as("__k"))
-    val capped = keyed
-      .withColumn("__bc", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))))
-      .filter(col("__bc") <= maxBucket)
+    // hot-key cap: groupBy-count (a hot deletion key pre-combines map-side,
+    // never funneling its full occurrence list into one task) + broadcast
+    // anti-join of the over-cap list (≤ totalKeys/maxBucket entries by
+    // construction). Exchange reuse dedupes the shared distinct+explode
+    // subtree between the count branch and the join branch at runtime.
+    val overCap = keyed.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket)
+      .select(col("__k"))
+    val capped = keyed.join(broadcast(overCap), Seq("__k"), "left_anti")
       .select(col("name"), col("__k"))
     val a = capped.select(col("name").as("name_a"), col("__k"))
     val b = capped.select(col("name").as("name_b"), col("__k"))

@@ -54,15 +54,30 @@ object Privacy {
    * quasi-identifier equivalence class has at least `k` members — the
    * release-gate complement of [[kAnonymityReport]] (generalization,
    * the other classic mechanism, is a modeling choice left to the
-   * caller: bucket the columns first, then suppress). One window count
-   * over the class key; rows pass through unchanged.
+   * caller: bucket the columns first, then suppress). Rows pass through
+   * unchanged.
+   *
+   * The under-k class list is counted with a groupBy (partial hash-agg
+   * below the exchange — the MOST COMMON class is by definition the
+   * hottest key, and it pre-combines to one row per input partition)
+   * and removed via a broadcast anti-join: the r11-hardened
+   * shingle-df-cap shape. A window count would funnel the biggest
+   * class's entire row set into one task before the filter. The drop
+   * list is class-grain (under-k classes only), the grain anonymization
+   * was defined at — if it were row-sized, nothing was k-anonymous to
+   * begin with. Join keys use null-safe equality because a NULL
+   * quasi-identifier value forms its own class (groupBy semantics),
+   * which a null-unsafe join would silently always keep.
    */
   def suppressRare(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val w = Window.partitionBy(qi(quasiCols): _*)
-    df.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") >= k)
-      .drop("__n")
+    val rare = df.groupBy(qi(quasiCols): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") < k)
+      .select(quasiCols.map(c => col(c).as(s"__rare_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__rare_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(rare), cond, "left_anti")
   }
 
   /**
@@ -146,10 +161,28 @@ object Privacy {
    *
    * The noise is SEEDED: u ∈ (−½, ½) derives from a 16-bit md5 of
    * (group key, seed) and maps through the inverse Laplace CDF
-   * `−(Δ/ε)·sgn(u)·ln(1 − 2|u|)` — the standard reproducible-release
-   * practice (DP libraries pin the RNG seed so a rerun publishes the
-   * SAME numbers; re-releasing under fresh seeds would compose ε).
-   * Rotate `seed` only when you intend to spend more budget.
+   * `−(Δ/ε)·sgn(u)·ln(1 − 2|u|)` — the reproducible-release practice
+   * (pin the seed so a rerun publishes the SAME numbers; re-releasing
+   * under fresh seeds would compose ε). Rotate `seed` only when you
+   * intend to spend more budget.
+   *
+   * SECURITY CONTRACT — the ε guarantee holds ONLY if `seed` is a
+   * SECRET, high-entropy value: the noise is a deterministic function
+   * of (group key, seed), so anyone who learns the seed recomputes the
+   * noise exactly and recovers the true counts — a disclosed seed
+   * (committed to a repo, logged, reused from an example) voids the
+   * guarantee ENTIRELY. There is deliberately NO default seed for this
+   * reason; callers must supply their own. Two further caveats of the
+   * replayable formulation: the draw is DISCRETIZED to a 16-bit grid
+   * (u has 65536 values, so the release is (ε, δ)-like with a small
+   * granularity defect rather than textbook pure-DP — a discrete
+   * Laplace/geometric mechanism is the formal fix), and the noise is
+   * BOUNDED at ±(Δ/ε)·ln(65536) ≈ ±11.09/ε because |u| never reaches
+   * ½ on the half-offset grid — true Laplace tails are unbounded, so
+   * extreme-tail plausible deniability is truncated. Both defects are
+   * inherent to hash-replayable noise; a production release wanting
+   * textbook pure-DP should draw real Laplace noise and archive it
+   * instead of re-deriving it.
    *
    * Output: groupCols, `n_noisy` (6 dp, can be negative — clamping
    * would bias the release), `epsilon`. True counts are deliberately
@@ -157,7 +190,7 @@ object Privacy {
    * noise is a narrow projection on group-sized rows.
    */
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
-      seed: Long = 0L): DataFrame = {
+      seed: Long): DataFrame = {
     require(epsilon > 0, "epsilon must be > 0")
     val g = df.groupBy(qi(groupCols): _*).agg(count(lit(1)).as("__n"))
     // NULL group values must stay distinguishable: concat_ws SKIPS

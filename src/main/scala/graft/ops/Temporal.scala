@@ -1316,6 +1316,13 @@ object Temporal {
    * struct state — the q_holt_smooth DuckDB lambda caveat never
    * arises), so a dyadic `alpha` makes them bit-identical in SQL.
    *
+   * `sba = true` applies the Syntetos–Boylan (2005, "The accuracy of
+   * intermittent demand estimates") approximation: Croston's ẑ/p̂ is
+   * biased HIGH (E[ẑ/p̂] > E[z]/E[p] by Jensen), and multiplying the
+   * forecast by (1 − α/2) removes the first-order term — the
+   * correction production intermittent-demand systems actually ship.
+   * ẑ and p̂ themselves are unchanged; only `forecast` scales.
+   *
    * Output: keys ++ idCols, `n_demands`, `z_hat`/`p_hat`/`forecast`
    * (6 dp; null when the window has no demand). Scale shape: ONE key
    * shuffle for the trailing window; the folds are O(window) codegen'd
@@ -1323,7 +1330,7 @@ object Temporal {
    */
   def croston(df: DataFrame, keys: Seq[String], bucketCol: String,
       valueCol: String, alpha: Double, window: Int,
-      idCols: Seq[String] = Nil): DataFrame = {
+      idCols: Seq[String] = Nil, sba: Boolean = false): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(window >= 1, "window must be >= 1")
     val w = Window.partitionBy(keys.map(col): _*)
@@ -1342,6 +1349,12 @@ object Temporal {
         .otherwise((element_at(col("_pos"), k) -
           element_at(col("_pos"), k - 1)).cast("double")))
     val keep = (keys ++ idCols).distinct.map(col)
+    // sba multiplies the ratio by the JVM-literal (1 - alpha/2) BEFORE
+    // the division ((c * z) / p), so the oracle replays the exact op
+    // shape; the plain path keeps its original z / p expression
+    val fc =
+      if (sba) round((lit(1.0 - alpha / 2) * col("_z")) / col("_p"), 6)
+      else round(col("_z") / col("_p"), 6)
     df.withColumn("_xs", xs)
       .withColumn("_pos", pos)
       .withColumn("_z", when(size(col("_pos")) > 0, ses(ds)))
@@ -1350,7 +1363,7 @@ object Temporal {
         size(col("_pos")).cast("long").as("n_demands"),
         round(col("_z"), 6).as("z_hat"),
         round(col("_p"), 6).as("p_hat"),
-        round(col("_z") / col("_p"), 6).as("forecast")): _*)
+        fc.as("forecast")): _*)
   }
 
   /**

@@ -667,10 +667,16 @@ object Vectors {
   /**
    * Banded sign-LSH bucket assignment: one (id, band, bucket) row per
    * (vector, band), with bucket groups larger than `maxBucket` dropped — the
-   * same OR-construction + fan-out guard as [[Dedup.minhashLshPairs]]. The
-   * cap is a `count(*) OVER (PARTITION BY band, bucket)` window on the
-   * exploded table, shuffled on the same (band, bucket) key the candidate
-   * self-join needs, so the guard costs no extra shuffle.
+   * same OR-construction + fan-out guard as [[Dedup.minhashLshPairs]], in
+   * the same r11-hardened shape: the cap counts with a groupBy (partial
+   * hash-agg below the exchange, so a degenerate bucket — all-zero or
+   * boilerplate embeddings — pre-combines map-side instead of funneling
+   * its entire membership into one window task) and removes the tiny
+   * over-cap (band, bucket) list via a broadcast anti-join. The bucket
+   * projection is a narrow codegen'd sign-bit expression, so the count
+   * branch's recompute of it is cheap (the minhash cap caches because its
+   * signatures come from a k-hash AGGREGATION; here there is nothing
+   * worth caching).
    */
   def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
       nBands: Int, nPlanes: Int, dim: Int, maxBucket: Int,
@@ -679,12 +685,14 @@ object Vectors {
       case (prs, b) =>
         struct(lit(b).as("band"), bandBucket(col(vecCol), prs).as("bucket"))
     }
-    df.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    val exploded = df
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val overCap = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("band"), col("bucket"))
+    exploded.join(broadcast(overCap), Seq("band", "bucket"), "left_anti")
   }
 
   /**

@@ -448,6 +448,74 @@ object ExperimentQ extends QueryGroup {
               |  CAST(CASE WHEN sl >= 0 THEN (sl * 2 + nl) // (2 * nl)
               |       ELSE -(((-sl) * 2 + nl) // (2 * nl)) END AS DOUBLE)
               |    / 1e6 AS reward_logged
+              |FROM g""".stripMargin)),
+
+    // DOUBLY-ROBUST off-policy evaluation (Dudik, Langford & Li 2011)
+    // on the replay fixture, with non-uniform DECLARED logging
+    // propensities (hash-derived in [0.1, 0.5]) and the pre-period
+    // per-(ctx, arm) mean-reward table as the declared reward model:
+    // psi = mu(ctx, pi(ctx)) + 1{match} (r - mu(ctx, arm)) / p. The
+    // model mean is an IEEE division of exact micro-sums, so both
+    // engines replay psi operation-for-operation; readouts at 6 dp
+    // (the aipw convention).
+    QueryDef("q_dr_replay", (s, dir) => {
+      val cut = lit(Cut).cast("timestamp")
+      val l = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("ctx", col("user_id") % 10)
+        .withColumn("armL", md5Val16(col("event_id")) % 4)
+        .withColumn("prop", lit(0.1) + lit(0.4) *
+          md5Val16(concat(col("event_id").cast("string"), lit("#p")))
+            .cast("double") / 65536.0)
+      val pre = l.filter(col("ts") < cut)
+      val policy = Experiment.greedyPolicy(pre, "ctx", "armL", "value")
+      val model = pre
+        .groupBy(col("ctx"), col("armL").as("arm"))
+        .agg(sum(round(col("value") * 1e6).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("ctx"), col("arm"),
+          (col("__s").cast("double") / col("__n") / 1e6).as("mu"))
+      Experiment.drReplay(l.filter(col("ts") >= cut), "ctx", "armL",
+        "value", "prop", policy, model)
+    },
+      Some(s"""WITH l AS (SELECT user_id % 10 AS ctx,
+              |    ${md5Val16Sql("event_id")} % 4 AS arm,
+              |    CAST(value AS DOUBLE) AS r, ts,
+              |    0.1 + 0.4 *
+              |      (${md5Val16Sql("CAST(event_id AS VARCHAR) || '#p'")})
+              |      / 65536.0 AS p0
+              |  FROM events WHERE value IS NOT NULL),
+              |f AS (SELECT ctx, arm,
+              |    CAST(SUM(CAST(ROUND(r * 1000000) AS BIGINT)) AS BIGINT) AS s,
+              |    COUNT(*) AS n
+              |  FROM l WHERE ts < TIMESTAMP '$Cut' GROUP BY 1, 2),
+              |mdl AS (SELECT ctx, arm, CAST(s AS DOUBLE) / n / 1e6 AS mu
+              |  FROM f),
+              |pol AS (SELECT ctx, arm FROM (SELECT ctx, arm,
+              |    ROW_NUMBER() OVER (PARTITION BY ctx
+              |      ORDER BY CAST(s AS DOUBLE) / n DESC, s DESC, arm ASC)
+              |      AS rk FROM f) WHERE rk = 1),
+              |e AS (SELECT l.r,
+              |    GREATEST(l.p0, CAST(0.01 AS DOUBLE)) AS p,
+              |    (l.arm = pol.arm) AS hit,
+              |    COALESCE(m1.mu, 0.0) AS mp, COALESCE(m2.mu, 0.0) AS ma
+              |  FROM l JOIN pol ON pol.ctx = l.ctx
+              |  LEFT JOIN mdl m1 ON m1.ctx = l.ctx AND m1.arm = pol.arm
+              |  LEFT JOIN mdl m2 ON m2.ctx = l.ctx AND m2.arm = l.arm
+              |  WHERE l.ts >= TIMESTAMP '$Cut'),
+              |ps AS (SELECT hit, mp,
+              |    mp + (CASE WHEN hit THEN (r - ma) / p ELSE 0.0 END) AS psi
+              |  FROM e),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
+              |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+              |    AVG(mp) AS vm, AVG(psi) AS vd, stddev_samp(psi) AS sd
+              |  FROM ps)
+              |SELECT nl AS n_logged, nm AS n_matched,
+              |  CAST((nm * 2000000 + nl) // (2 * nl) AS DOUBLE) / 1e6
+              |    AS match_rate,
+              |  ROUND(vm, 6) AS value_model,
+              |  ROUND(vd, 6) AS value_dr,
+              |  ROUND(sd / sqrt(nl), 6) AS se
               |FROM g""".stripMargin))
   )
 }

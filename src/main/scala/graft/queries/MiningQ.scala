@@ -224,6 +224,50 @@ object MiningQ extends QueryGroup {
               |  ROUND(cos, 6) AS cos, CAST(rnk AS BIGINT) AS rank
               |FROM kk WHERE rnk <= 5""".stripMargin)),
 
+    // Touched-only serving re-rank — the delta-sized refresh claim made
+    // executable: after a merge, only lists whose pair/item counts
+    // moved can change, and that set is the delta's items plus their
+    // pair partners. cfTopK(onlyItems = touched) must equal the FULL
+    // recompute restricted to the same set (cfMerge prunes zero-count
+    // pairs, so partners-in-merged-state == partners-in-full-state and
+    // the two sides derive the identical item set). Cap 100: the
+    // retraction path is q_item_cf_incremental's concern; this one
+    // pins the serving slice.
+    QueryDef("q_item_cf_touched",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .filter(get_json_object(col("props"), "$.k").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+        val state = Cf.cfFit(ev.filter(col("event_id") % 2 === 0),
+          "user_id", "item", maxUserItems = 100)
+        val merged = Cf.cfMerge(state, ev.filter(col("event_id") % 2 === 1),
+          "user_id", "item", maxUserItems = 100)
+        val deltaItems = ev.filter(col("event_id") % 2 === 1)
+          .select(col("item")).distinct()
+        val partners = merged.pairs
+          .join(broadcast(deltaItems.select(col("item").as("__ia"))),
+            Seq("__ia"))
+          .select(col("__ib").as("item"))
+          .unionByName(merged.pairs
+            .join(broadcast(deltaItems.select(col("item").as("__ib"))),
+              Seq("__ib"))
+            .select(col("__ia").as("item")))
+        val touched = deltaItems.unionByName(partners).distinct()
+        Cf.cfTopK(merged, k = 5, Some(touched))
+      },
+      Some(s"""WITH ${cfSqlAt(100)},
+              |di AS (SELECT DISTINCT $ItemSql AS item FROM events
+              |  WHERE props->>'k' IS NOT NULL AND event_id % 2 = 1),
+              |tch AS (SELECT item FROM di
+              |  UNION SELECT p.ib AS item FROM p JOIN di ON p.ia = di.item
+              |  UNION SELECT p.ia AS item FROM p JOIN di ON p.ib = di.item)
+              |SELECT kk.item, kk.neighbor,
+              |  CAST(kk.n_common AS BIGINT) AS n_common,
+              |  ROUND(kk.cos, 6) AS cos, CAST(kk.rnk AS BIGINT) AS rank
+              |FROM kk JOIN tch ON tch.item = kk.item
+              |WHERE kk.rnk <= 5""".stripMargin)),
+
     // Poisson-bootstrap CI for the mean of events.value: 100 seeded
     // hash-derived Poisson(1)-weighted resamples, percentile interval
     // from the order statistics. Draws compare integer hash values
@@ -234,8 +278,13 @@ object MiningQ extends QueryGroup {
         idCol = "event_id", valueCol = "value",
         b = 100, seed = 42L, alpha = 0.05), {
       val ts = Planners.poissonThresholds16
-      val kLo = math.max(1, math.ceil(100 * 0.05 / 2 - 1e-9).toInt)
-      val kHi = math.min(100, math.ceil(100 * (1 - 0.05 / 2) - 1e-9).toInt)
+      // ranks derive from the SURVIVING count bn (the operator's
+      // dropped-resample contract); at this fixture no resample drops,
+      // so bn = 100 and the interval is unchanged
+      val kLo = "GREATEST(1, CAST(CEIL(bn * CAST(0.05 AS DOUBLE) / 2" +
+        " - 1e-9) AS BIGINT))"
+      val kHi = "LEAST(bn, CAST(CEIL(bn * CAST(0.975 AS DOUBLE)" +
+        " - 1e-9) AS BIGINT))"
       val wCase = (s"WHEN hv < ${ts.head} THEN 0" +:
         ts.zipWithIndex.tail.map { case (t, k) => s"WHEN hv < $t THEN $k" })
         .mkString(" ")
@@ -256,7 +305,8 @@ object MiningQ extends QueryGroup {
               |    CASE $wCase ELSE ${ts.length} END AS w FROM v),
               |m AS (SELECT b, CAST(SUM(w * xu) AS DOUBLE) / SUM(w) / 1e6 AS m
               |  FROM w GROUP BY 1 HAVING SUM(w) > 0),
-              |rk AS (SELECT m, b, ROW_NUMBER() OVER (ORDER BY m, b) AS rn
+              |rk AS (SELECT m, b, ROW_NUMBER() OVER (ORDER BY m, b) AS rn,
+              |    COUNT(*) OVER () AS bn
               |  FROM m),
               |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_resamples,
               |    MAX(CASE WHEN rn = $kLo THEN m END) AS ci_lo,

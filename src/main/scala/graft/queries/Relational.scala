@@ -56,6 +56,11 @@ object Relational extends QueryGroup {
     // the group key + seed through the inverse Laplace CDF) -- the
     // reproducible-release practice, replayed identically by the
     // oracle. True counts are deliberately absent from the output.
+    // NOTE: seed=7 here is a TEST FIXTURE published with the oracle --
+    // which, per the dpCounts security contract, voids the eps
+    // guarantee for THIS fixture (a disclosed seed lets anyone undo the
+    // noise). The operator itself takes no default seed; real releases
+    // must supply a secret one.
     QueryDef("q_dp_counts",
       (s, dir) => graft.ops.Privacy.dpCounts(
         Tables.load(s, dir, "customer"),

@@ -833,6 +833,58 @@ object TemporalQ extends QueryGroup {
              |  ROUND(zh / ph, 6) AS forecast
              |FROM z""".stripMargin)),
 
+    // Syntetos-Boylan approximation twin of q_croston: Croston's z/p
+    // is biased high (Jensen); SBA multiplies the forecast by
+    // (1 - alpha/2) = 0.875 — the correction production
+    // intermittent-demand systems ship. Same fixture, same folds;
+    // only the forecast column scales ((c * z) / p in that exact op
+    // order on both engines; 0.875 is dyadic, so no new FP surface).
+    QueryDef("q_croston_sba", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val days = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-01")), to_date(lit("2024-01-31")))).as("day"))
+      val dem = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("demand"))
+      val grid = users.crossJoin(days)
+        .join(dem, Seq("user_id", "day"), "left")
+        .withColumn("demand", coalesce(col("demand"), lit(0.0)))
+      Temporal.croston(grid, Seq("user_id"), "day", "demand",
+        alpha = 0.25, window = 31, idCols = Seq("day"), sba = true)
+    },
+      Some("""WITH days AS (SELECT unnest(generate_series(
+             |      DATE '2024-01-01', DATE '2024-01-31',
+             |      INTERVAL 1 DAY))::DATE AS day),
+             |u AS (SELECT DISTINCT user_id FROM events),
+             |d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(COUNT(*) AS DOUBLE) AS dem
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |g AS (SELECT u.user_id, days.day, COALESCE(d.dem, 0.0) AS dem
+             |  FROM u CROSS JOIN days
+             |  LEFT JOIN d ON d.user_id = u.user_id AND d.day = days.day),
+             |x AS (SELECT user_id, day,
+             |    list(dem) OVER (PARTITION BY user_id ORDER BY day
+             |      ROWS BETWEEN 30 PRECEDING AND CURRENT ROW) AS xs
+             |  FROM g),
+             |y AS (SELECT user_id, day, xs,
+             |    list_filter(range(1, len(xs) + 1), i -> xs[i] > 0) AS pos
+             |  FROM x),
+             |z AS (SELECT user_id, day, pos,
+             |    CASE WHEN len(pos) > 0 THEN list_reduce(
+             |      list_transform(pos, i -> xs[i]),
+             |      (a, v) -> 0.25 * v + 0.75 * a) END AS zh,
+             |    CASE WHEN len(pos) > 0 THEN list_reduce(
+             |      list_transform(range(1, len(pos) + 1),
+             |        k -> CASE WHEN k = 1 THEN CAST(pos[1] AS DOUBLE)
+             |             ELSE CAST(pos[k] - pos[k-1] AS DOUBLE) END),
+             |      (a, v) -> 0.25 * v + 0.75 * a) END AS ph
+             |  FROM y)
+             |SELECT user_id, day, CAST(len(pos) AS BIGINT) AS n_demands,
+             |  ROUND(zh, 6) AS z_hat, ROUND(ph, 6) AS p_hat,
+             |  ROUND((CAST(0.875 AS DOUBLE) * zh) / ph, 6) AS forecast
+             |FROM z""".stripMargin)),
+
     // Rolling median per user over a bounded 11-row trailing frame — the
     // robust twin of q_rolling_zscore; sort + middle-pick is bit-exact in
     // both engines, so no rounding.

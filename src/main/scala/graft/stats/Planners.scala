@@ -647,8 +647,6 @@ object Planners {
     // Poisson(1) CDF at 16-bit grain: tk = floor(cdf(k) * 65536); a
     // draw v < t0 -> weight 0, t0 <= v < t1 -> 1, ..., else 7
     val thresholds = poissonThresholds16
-    val kLo = math.max(1, math.ceil(b * alpha / 2 - 1e-9).toInt)
-    val kHi = math.min(b, math.ceil(b * (1 - alpha / 2) - 1e-9).toInt)
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         round(col(valueCol).cast("double") * 1e6).cast("long").as("__xu"))
@@ -676,8 +674,20 @@ object Planners {
       .select(col("__b"),
         (col("__swx").cast("double") / col("__sw") / 1e6).as("__m"))
     val ord = Window.orderBy(col("__m").asc, col("__b").asc)
+    // order-statistic ranks derive from the SURVIVING resample count,
+    // not the declared b: at tiny n a resample can draw all-zero
+    // weights and be dropped (prob ~ e^-n per resample), and ranking
+    // against b would then silently null ci_hi / shift coverage. The
+    // count is a window over the means table — resample grain, <= b
+    // rows, not a skew surface.
+    val bn = count(lit(1)).over(Window.partitionBy())
+    val kLo = greatest(lit(1L),
+      ceil(col("__bn").cast("double") * lit(alpha) / lit(2.0) - lit(1e-9)))
+    val kHi = least(col("__bn"),
+      ceil(col("__bn").cast("double") * lit(1 - alpha / 2) - lit(1e-9)))
     val stats = means
       .withColumn("__rn", row_number().over(ord))
+      .withColumn("__bn", bn)
       .agg(count(lit(1)).as("b_resamples"),
         max(when(col("__rn") === kLo, col("__m"))).as("ci_lo"),
         max(when(col("__rn") === kHi, col("__m"))).as("ci_hi"),

@@ -879,7 +879,11 @@ object EventStream {
     def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     events
-      .filter(col(tsCol).isNotNull)
+      // typeCol.isNotNull: batch attribution drops null-type rows on BOTH
+      // sides (===/=!= are null-unsafe, so a null type is neither a
+      // conversion nor a touch); without this filter the when/otherwise
+      // below would send nulls to the touch branch and break parity
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .select(col(keyCol).cast("string").as("key"),
         unix_micros(col(tsCol)).as("ts_us"),
         when(col(typeCol) === conversionType, 0).otherwise(1).as("side"),
@@ -1101,7 +1105,8 @@ object EventStream {
   def streamingCroston(spark: SparkSession, events: DataFrame,
       keyCol: String, bucketCol: String, valueCol: String,
       alpha: Double, window: Int,
-      stateTtl: Option[String] = None): Dataset[CrOut] = {
+      stateTtl: Option[String] = None,
+      sba: Boolean = false): Dataset[CrOut] = {
     import spark.implicits._
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     require(window >= 1, "window must be >= 1")
@@ -1136,9 +1141,12 @@ object EventStream {
               val ivs = pos.map(_._1).zip(0 +: pos.map(_._1).dropRight(1))
                 .map { case (cur, prev) => (cur - prev).toDouble }
               val p = ses(ivs)
+              // sba: (c * z) / p in that order — the batch twin's
+              // Syntetos-Boylan op shape, so parity stays bit-for-bit
+              val fc = if (sba) (1.0 - alpha / 2) * z / p else z / p
               Iterator.single(CrOut(key, merged.length.toLong,
                 pos.length.toLong, Some(r6(z)), Some(r6(p)),
-                Some(r6(z / p))))
+                Some(r6(fc))))
             }
           }
       }

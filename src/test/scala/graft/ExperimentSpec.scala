@@ -103,6 +103,11 @@ class ExperimentSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("chi2")), "chi2 must be null, not NaN")
       assert(r.isNullAt(r.fieldIndex("ratio_obs")))
     }
+    // duplicate declared arm names would double-count that arm's rows
+    // in n_obs and the chi2 term — rejected up front
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(df, "arm", Seq("a" -> 0.3, "a" -> 0.2, "b" -> 0.5))
+    }
   }
 
   test("upliftCurve: a perfect targeting score front-loads all the uplift") {
@@ -235,6 +240,48 @@ class ExperimentSpec extends SparkSpec {
     val tie = Seq(("C", 3L, 1.0), ("C", 1L, 1.0)).toDF("ctx", "armL", "v")
     assert(Experiment.greedyPolicy(tie, "ctx", "armL", "v")
       .collect().head.getAs[Long]("arm") == 1L)
+  }
+
+  test("drReplay: zero model reduces to clipped IPS (= replayEval under constant p); perfect model kills the correction; uncovered ctx dropped") {
+    val fit = Seq(("A", 0L, 1.0), ("A", 1L, 2.0), ("B", 0L, 4.0),
+      ("B", 1L, 1.0)).toDF("ctx", "armL", "v")
+    val policy = Experiment.greedyPolicy(fit, "ctx", "armL", "v") // A→1, B→0
+    val logs = Seq(
+      ("A", 1L, 5.0, 0.5), ("A", 0L, 1.0, 0.5),
+      ("B", 0L, 3.0, 0.5), ("B", 1L, 2.0, 0.5))
+      .toDF("ctx", "armL", "v", "p")
+    // μ̂ ≡ 0 (empty model): ψ = 1{hit}·r/p — pure clipped IPS; with
+    // constant p = n_matched/n_logged this equals replayEval's
+    // matched-mean exactly (the Dudík et al. special case)
+    val empty = Seq.empty[(String, Long, Double)].toDF("ctx", "arm", "mu")
+    val ips = Experiment.drReplay(logs, "ctx", "armL", "v", "p",
+      policy, empty).collect().head
+    assert(ips.getAs[Long]("n_logged") == 4 &&
+      ips.getAs[Long]("n_matched") == 2)
+    assert(ips.getAs[Double]("match_rate") == 0.5)
+    assert(ips.getAs[Double]("value_model") == 0.0)
+    assert(ips.getAs[Double]("value_dr") == 4.0) // mean(10, 0, 6, 0)
+    val re = Experiment.replayEval(logs, "ctx", "armL", "v", policy)
+      .collect().head
+    assert(re.getAs[Double]("reward_policy") == 4.0)
+    // perfect model (μ̂ = the realized reward at every logged cell):
+    // matched corrections vanish, value_dr = value_model = mean μ̂(π)
+    val model = Seq(("A", 0L, 1.0), ("A", 1L, 5.0), ("B", 0L, 3.0),
+      ("B", 1L, 2.0)).toDF("ctx", "arm", "mu")
+    val pm = Experiment.drReplay(logs, "ctx", "armL", "v", "p",
+      policy, model).collect().head
+    assert(pm.getAs[Double]("value_model") == 4.0) // mean(5, 5, 3, 3)
+    assert(pm.getAs[Double]("value_dr") == 4.0)
+    // a ctx the policy does not cover is dropped (the estimand is the
+    // policy's value over covered contexts)
+    val logs2 = logs.unionByName(
+      Seq(("C", 0L, 9.0, 0.5)).toDF("ctx", "armL", "v", "p"))
+    assert(Experiment.drReplay(logs2, "ctx", "armL", "v", "p",
+      policy, model).collect().head.getAs[Long]("n_logged") == 4)
+    // positivity clip: p = 0.001 floors at clipLo = 0.01
+    val tiny = Seq(("A", 1L, 1.0, 0.001)).toDF("ctx", "armL", "v", "p")
+    assert(Experiment.drReplay(tiny, "ctx", "armL", "v", "p",
+      policy, empty).collect().head.getAs[Double]("value_dr") == 100.0)
   }
 
   test("attStrata: ATT weights per-stratum contrasts by treated count") {

@@ -172,6 +172,17 @@ class MiningSpec extends SparkSpec {
       200.5 < f1.getAs[Double]("ci_hi"))
     val fw = f1.getAs[Double]("ci_hi") - f1.getAs[Double]("ci_lo")
     assert(fw > 5.78 && fw < 8 * 5.78, s"fast width $fw")
+    // dropped resamples (n = 1: each resample is a single Poisson(1)
+    // draw, so ~e^-1 of them have zero weight and are filtered): the
+    // order-statistic ranks must follow the SURVIVING count — ranking
+    // against the declared b would null ci_hi here
+    val one = Seq((1L, 3.0)).toDF("id", "v")
+    val d = Planners.bootstrapCi(one, "id", "v", b = 40, seed = 5L).head()
+    assert(d.getAs[Long]("b_resamples") < 40,
+      s"expected drops, got ${d.getAs[Long]("b_resamples")}")
+    assert(d.getAs[Long]("b_resamples") >= 20)
+    assert(d.getAs[Double]("ci_lo") == 3.0 && d.getAs[Double]("ci_hi") == 3.0)
+    assert(d.getAs[Double]("mean") == 3.0)
   }
 
   test("winsorizeFitApprox: each bound lands in the sketch's rank band; serves through the same apply") {

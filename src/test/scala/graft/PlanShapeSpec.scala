@@ -788,4 +788,47 @@ class PlanShapeSpec extends SparkSpec {
     // one window sort keyed on the entity, higher-order folds per row
     assert(p.toString.contains("Window"), s"expected the trailing window:\n$p")
   }
+
+  /** The r11 skew-cap doctrine, frozen for the four r15-hardened sites:
+    * every hot-key cap counts with a groupBy (partial agg below the
+    * exchange) and removes the over-cap list via a broadcast LeftAnti —
+    * never a `count(*) OVER (PARTITION BY key)` window that funnels a hot
+    * key's entire occurrence list into one task. */
+  private def assertAntiCapNoWindow(p: SparkPlan, what: String): Unit = {
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      s"$what cap must not be a window, plan:\n$p")
+    val anti = p.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j }
+    assert(anti.nonEmpty, s"$what over-cap list must broadcast-anti-join:\n$p")
+  }
+
+  test("q_fs_score: deletion-key bucket cap is groupBy + broadcast anti-join, zero windows") {
+    assertAntiCapNoWindow(plan("q_fs_score"), "fuzzyPairsDeletes maxBucket")
+  }
+
+  test("q_dedup_embed_cosine_lsh: band-bucket cap is groupBy + broadcast anti-join, zero windows") {
+    assertAntiCapNoWindow(plan("q_dedup_embed_cosine_lsh"),
+      "bandedBuckets maxBucket")
+  }
+
+  test("q_privacy_suppress: under-k class removal is groupBy + broadcast anti-join, zero windows") {
+    assertAntiCapNoWindow(plan("q_privacy_suppress"), "suppressRare k")
+  }
+
+  test("q_item_cf: the per-user cap never windows on __u; over-cap users broadcast-anti-join") {
+    val p = plan("q_item_cf")
+    // cfTopK's per-ITEM rank window is aggregate-grain and stays; the
+    // USER-keyed cap (the bot-user funnel) must not be a window
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.forall(w =>
+      !w.partitionSpec.flatMap(_.references).exists(_.name == "__u")),
+      s"cfFit cap must not window on __u, plan:\n$p")
+    val anti = p.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j }
+    assert(anti.nonEmpty, s"over-cap users must broadcast-anti-join:\n$p")
+  }
 }

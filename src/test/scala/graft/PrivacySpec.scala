@@ -77,6 +77,15 @@ class PrivacySpec extends SparkSpec {
       Privacy.suppressRare(people, Seq("region", "segment"), k = 2),
       Seq("region", "segment"), k = 2).head()
     assert(again.getLong(2) >= 2L && again.getLong(3) == 0L)
+    // NULL quasi-identifiers form their own class (groupBy semantics):
+    // the anti-join must match them null-safely — an under-k null class
+    // is DROPPED, an at-k one is KEPT
+    val withNulls = Seq((1L, null, "a"), (2L, null, "a"), (3L, null, "b"),
+      (4L, "x", "a"), (5L, "x", "a")).toDF("id", "region", "segment")
+    val keptN = Privacy.suppressRare(withNulls, Seq("region", "segment"),
+      k = 2).select("id").as[Long].collect().sorted.toSeq
+    assert(keptN == Seq(1L, 2L, 4L, 5L),
+      s"null class of 2 kept, null singleton dropped, got $keptN")
   }
 
   test("lDiversityReport: distinct sensitive values per class, hand-computed") {

@@ -237,6 +237,97 @@ class SkewStressSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairsDeletes shared-prefix flood: hot front-window keys capped; back-window pair survives; no straggler") {
+    import graft.ops.Fuzzy
+    // 20k DISTINCT values sharing one 24-char prefix (the prefixLen
+    // window): every front-window deletion key has df = 20k — an
+    // uncapped blocking join would emit ~2·10⁸ candidate rows through
+    // those keys. Suffixes are doubled-digit codes ("004411…"), so
+    // distinct clones sit at pairwise edit distance >= 2 and admit NO
+    // true pairs at maxDist 1. The planted pair differs by ONE char in
+    // the suffix — only its BACK-window keys can carry it once the
+    // front buckets drop.
+    val prefix = "shared-prefix-0123456789" // 24 chars
+    assert(prefix.length == 24)
+    val clones = spark.range(nClones.toLong).select(
+      concat(lit(prefix), regexp_replace(
+        format_string("%06d", col("id")), "(.)", "$1$1")).as("v"))
+    val planted = Seq(prefix + "zzqqkkzzqqkx", prefix + "zzqqkkzzqqky")
+      .toDF("v")
+    val all = clones.unionByName(planted)
+    val (got, mx) = withTaskBound {
+      Fuzzy.fuzzyPairsDeletes(all, "v", maxDist = 1,
+          maxBucket = 100, prefixLen = 24)
+        .select("name_a", "name_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    assert(got == Set((prefix + "zzqqkkzzqqkx", prefix + "zzqqkkzzqqky")),
+      s"only the planted suffix pair may survive, got ${got.size} pairs")
+    assert(mx < TaskCeiling, s"straggler task read $mx shuffle records")
+  }
+
+  test("cosineDupPairs degenerate bucket: 20k identical vectors capped away; opposite-direction planted pair survives; no straggler") {
+    import graft.ops.Vectors
+    // 20k byte-identical embeddings land in the SAME (band, bucket) for
+    // all 20 bands — the zero-entropy corpus that would funnel ~2·10⁸
+    // candidate rows without the cap (the documented pipeline order is
+    // exact dedup first; the cap makes the degenerate corpus survivable,
+    // not correct). The planted near-dup pair points the OTHER way, so
+    // its sign pattern differs from the clone bucket in (deterministic
+    // plane family) enough bands to collide with each other only.
+    val cloneVec = array((0 until 16).map(i =>
+      lit(if (i == 0) 1.0f else 0.1f)): _*)
+    val clones = spark.range(nClones.toLong)
+      .select((col("id") + 100000L).as("id"), cloneVec.as("embedding"))
+    val plantedBase = Array(-1.0f, -0.2f, 0.3f, -0.4f, 0.5f, -0.6f,
+      0.7f, -0.8f, -0.9f, 0.2f, -0.3f, 0.4f, -0.5f, 0.6f, -0.7f, 0.8f)
+    val planted = Seq(
+      (1L, plantedBase),
+      (2L, plantedBase.updated(15, 0.79f)))
+      .toDF("id", "embedding")
+    val all = clones.unionByName(planted)
+    val (got, mx) = withTaskBound {
+      Vectors.cosineDupPairs(all, "id", "embedding", tau = 0.9,
+          bucketed = true, nBands = 20, nPlanes = 4, maxBucket = 100,
+          dim = 16)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == Set((1L, 2L)),
+      s"clone clique must be capped away, got ${got.size} pairs")
+    assert(mx < TaskCeiling, s"straggler task read $mx shuffle records")
+  }
+
+  test("suppressRare hot class: 200k-row majority class partial-aggregates; verdicts exact; no straggler") {
+    import graft.ops.Privacy
+    // the most common class is BY DEFINITION the hottest key: 200k rows
+    // in one (qi1, qi2) class (kept), plus 50 singleton classes
+    // (suppressed) and one null-QI pair class of 2 (kept at k=2 —
+    // null-safe join must treat NULL as its own class, groupBy
+    // semantics). The old window shape funneled all 200k rows of the
+    // majority class through ONE task before the filter; the groupBy
+    // count pre-combines map-side, so no task reads class-grain rows.
+    val nHot = 200000L
+    val hot = spark.range(nHot)
+      .select(col("id"), lit("adult").as("qi1"), lit("metro").as("qi2"))
+    val rare = spark.range(50L)
+      .select((col("id") + nHot).as("id"),
+        concat(lit("age"), col("id")).as("qi1"), lit("rural").as("qi2"))
+    val nulls = spark.range(2L)
+      .select((col("id") + nHot + 100L).as("id"),
+        lit(null).cast("string").as("qi1"), lit("metro").as("qi2"))
+    val df = hot.unionByName(rare).unionByName(nulls)
+    val (res, mx) = withTaskBound {
+      val kept = Privacy.suppressRare(df, Seq("qi1", "qi2"), k = 2)
+      (kept.count(), kept.filter(col("qi1").isNull).count())
+    }
+    assert(res._1 == nHot + 2L,
+      s"exactly the hot class + the null pair survive, got ${res._1}")
+    assert(res._2 == 2L, "the null-QI class of 2 must be KEPT at k=2")
+    // combiner-grain ceiling: way below the 200k the window would funnel
+    assert(mx < 100000L, s"straggler task read $mx shuffle records")
+  }
+
   test("cfMerge bot-user skew: over-cap users never pair; merge equals clean recompute; no straggler") {
     import graft.ops.Cf
     // a 15k-item bot user in the base (over cap 100 -> contributes

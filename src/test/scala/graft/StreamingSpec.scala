@@ -1660,6 +1660,29 @@ class StreamingSpec extends SparkSpec {
     // hand values: k sees demands 2@2, 3@5 -> z = p = 2.5, forecast 1
     assert(whole("k").getDouble(3) == 2.5 && whole("k").getDouble(4) == 2.5)
     assert(whole("z").getDouble(5) == 2.5) // z: one demand 5 at bucket 2
+
+    // Syntetos–Boylan twin: same folds, forecast scaled by (1 − α/2)
+    // in the batch operator's exact op order — parity stays bit-for-bit
+    val memS = MemoryStream[(String, Long, Double)]
+    val qS = EventStream.streamingCroston(spark,
+        memS.toDF().toDF("k", "b", "d"), "k", "b", "d",
+        alpha = 0.5, window = 6, sba = true)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cr_sba").start()
+    val sbaGot = try {
+      memS.addData(evs: _*); qS.processAllAvailable()
+      spark.sql("""SELECT key, n_buckets, forecast FROM cr_sba""").collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rows) => k -> rows.maxBy(_.getLong(1)) }
+    } finally qS.stop()
+    val sbaBatch = graft.ops.Temporal.croston(evs.toDF("k", "b", "d"),
+        Seq("k"), "b", "d", alpha = 0.5, window = 6, idCols = Seq("b"),
+        sba = true)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    for ((k, fin) <- Seq("k" -> 6L, "z" -> 2L))
+      assert(sbaGot(k).getDouble(2) ==
+        sbaBatch((k, fin)).getAs[Double]("forecast"), s"$k sba forecast")
+    assert(sbaGot("k").getDouble(2) == 0.75) // 0.75 * 2.5 / 2.5
   }
 
   test("streaming attribution equals the batch operator across all credit models") {
@@ -1713,9 +1736,13 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // A@1s B@2s conv@2s (same-instant B credits it) | C@3s D@8s
-    // conv@10s lookback 5s (C expired, D kept) | E@11s stays pending
+    // conv@10s lookback 5s (C expired, D kept) | E@11s stays pending.
+    // The null-typed event at 1.5s must be DROPPED (batch ===/=!= are
+    // null-unsafe on both sides) — if it leaked into the touch branch
+    // it would credit conv@2s as a null channel and break the set below
     val evs = Seq(
-      ("k", 1000000L, "A", 1L), ("k", 2000000L, "B", 2L),
+      ("k", 1000000L, "A", 1L), ("k", 1500000L, null: String, 8L),
+      ("k", 2000000L, "B", 2L),
       ("k", 2000000L, "P", 3L), ("k", 3000000L, "C", 4L),
       ("k", 8000000L, "D", 5L), ("k", 10000000L, "P", 6L),
       ("k", 11000000L, "E", 7L))

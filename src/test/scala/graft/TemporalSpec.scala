@@ -658,6 +658,18 @@ class TemporalSpec extends SparkSpec {
     assert(out(("k", 1)).isNullAt(out(("k", 1)).fieldIndex("z_hat")))
     assert(out(("z", 2)).getAs[Long]("n_demands") == 0)
     assert(out(("z", 2)).isNullAt(out(("z", 2)).fieldIndex("forecast")))
+    // Syntetos–Boylan correction: z_hat/p_hat unchanged, forecast
+    // scales by (1 − α/2) = 0.75; the zero-demand null propagates
+    val sba = graft.ops.Temporal.croston(rows.toDF("k", "b", "d"),
+      Seq("k"), "b", "d", alpha = 0.5, window = 6, idCols = Seq("b"),
+      sba = true)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    val s6 = sba(("k", 6))
+    assert(s6.getAs[Double]("z_hat") == 2.5 &&
+      s6.getAs[Double]("p_hat") == 2.5)
+    assert(s6.getAs[Double]("forecast") == 0.75) // 0.75 * 2.5 / 2.5
+    assert(sba(("k", 2)).getAs[Double]("forecast") == 0.75)
+    assert(sba(("z", 2)).isNullAt(s6.fieldIndex("forecast")))
   }
 
   test("markovScoreHandoffs: seen handoffs score the model p, unseen flag, threshold splits") {
