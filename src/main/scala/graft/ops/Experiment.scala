@@ -626,6 +626,155 @@ object Experiment {
   }
 
   /**
+   * Delta-method ratio-metric test (Deng, Knoblich & Lu, KDD 2018,
+   * "Applying the Delta Method in Metric Analytics") — the correct
+   * variance for EVENT-grain ratio metrics under CLUSTER-grain
+   * randomization, the single most common analysis bug in
+   * experimentation: revenue-per-event, CTR, items-per-session are
+   * ratios of sums whose terms are correlated WITHIN a user, so the
+   * naive event-grain t-test understates variance (users are the
+   * i.i.d. units, not events). Per arm, with per-cluster sums
+   * (x_i, y_i) over n clusters and R = Σx/Σy:
+   *
+   *   Var(R) ≈ (s_xx − 2·R·s_xy + R²·s_yy) / (n · ȳ²)
+   *
+   * (sample (co)variances of the cluster sums; ȳ = Σy/n), and the
+   * two-arm z is (R_t − R_c)/√(Var_t + Var_c). Also the SWITCHBACK
+   * analysis: randomize time buckets instead of users and pass the
+   * bucket as the cluster — same estimator, clusters = time units.
+   *
+   * Output: ONE row — n_treat / n_ctrl (clusters), r_treat, r_ctrl,
+   * diff, se, z_stat (6 dp; null se/z when a side has < 2 clusters or
+   * zero denominator). Scale shape: one hash aggregate to cluster
+   * grain, one to arm grain, one-row arithmetic — the [[diffInDiff]]
+   * shape. Feed exact integer units (cents/micros) as `numCol` so the
+   * cluster sums are engine-identical.
+   */
+  def deltaMethodRatio(df: DataFrame, armCol: String,
+      clusterCols: Seq[String], numCol: String, denCol: String,
+      treatArm: String, ctrlArm: String): DataFrame = {
+    require(treatArm != ctrlArm, "arms must differ")
+    val arm = col(armCol).cast("string")
+    val byCluster = df
+      .filter(col(numCol).isNotNull && col(denCol).isNotNull &&
+        arm.isin(treatArm, ctrlArm))
+      .groupBy(clusterCols.map(col) :+ arm.as("__arm"): _*)
+      .agg(sum(col(numCol).cast("double")).as("__x"),
+        sum(col(denCol).cast("double")).as("__y"))
+    val t = col("__arm") === treatArm
+    def s(p: Column, c: Column) = sum(when(p, c))
+    val g = byCluster.agg(
+      sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(!t, 1L).otherwise(0L)).as("n_ctrl"),
+      s(t, col("__x")).as("sxt"), s(t, col("__y")).as("syt"),
+      s(t, col("__x") * col("__x")).as("sxxt"),
+      s(t, col("__x") * col("__y")).as("sxyt"),
+      s(t, col("__y") * col("__y")).as("syyt"),
+      s(!t, col("__x")).as("sxc"), s(!t, col("__y")).as("syc"),
+      s(!t, col("__x") * col("__x")).as("sxxc"),
+      s(!t, col("__x") * col("__y")).as("sxyc"),
+      s(!t, col("__y") * col("__y")).as("syyc"))
+    def side(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column): (Column, Column) = {
+      val nd = n.cast("double")
+      val r = when(sy =!= 0.0, sx / sy)
+      val sXX = (sxx - sx * sx / nd) / (nd - lit(1.0))
+      val sXY = (sxy - sx * sy / nd) / (nd - lit(1.0))
+      val sYY = (syy - sy * sy / nd) / (nd - lit(1.0))
+      val yBar = sy / nd
+      val v = when(n >= 2 && sy =!= 0.0,
+        (sXX - lit(2.0) * r * sXY + r * r * sYY) / (nd * (yBar * yBar)))
+      (r, v)
+    }
+    val (rt, vt) = side(col("n_treat"), col("sxt"), col("syt"),
+      col("sxxt"), col("sxyt"), col("syyt"))
+    val (rc, vc) = side(col("n_ctrl"), col("sxc"), col("syc"),
+      col("sxxc"), col("sxyc"), col("syyc"))
+    val se = sqrt(vt + vc)
+    g.select(col("n_treat"), col("n_ctrl"),
+      round(rt, 6).as("r_treat"), round(rc, 6).as("r_ctrl"),
+      round(rt - rc, 6).as("diff"),
+      round(se, 6).as("se"),
+      round(when(se > 0, (rt - rc) / se), 6).as("z_stat"))
+  }
+
+  /**
+   * Sharp regression-discontinuity effect (Thistlethwaite & Campbell
+   * 1960; Imbens & Lemieux 2008 practitioner form): units just below
+   * and just above an assignment `cutoff` on a running variable are
+   * locally comparable, so the treatment effect at the threshold is
+   * the JUMP between two local linear fits — OLS of outcome on
+   * (running − cutoff), fitted separately within `bandwidth` on each
+   * side, effect = intercept_right − intercept_left. Completes the
+   * observational family ([[diffInDiff]] parallel trends, [[attStrata]]
+   * / [[ipwAte]] / [[aipwAte]] unconfoundedness, this one exploits the
+   * assignment RULE itself — the design behind every score-threshold
+   * rollout readout).
+   *
+   * Deliberately the closed-form uniform-kernel OLS (slopes and
+   * intercepts from the five sufficient sums per side): deterministic,
+   * one aggregate pass, SQL-replayable — triangular kernels and
+   * data-driven bandwidths are a modeling layer the caller owns.
+   * Intercept standard errors use the textbook homoskedastic form
+   * s²(1/n + x̄²/Sxx); se(effect) = √(se_L² + se_R²). Sides with < 3
+   * units or zero x-variance emit null fit columns (and a null
+   * effect): a vertical or underdetermined fit must not read as a
+   * finding.
+   *
+   * Output: ONE row — n_left, n_right, int_left, slope_left,
+   * int_right, slope_right, effect, se, t_stat (6 dp). Scale shape:
+   * ONE conditional hash-aggregate pass over the bandwidth window
+   * (filter pushed to the scan), then one-row arithmetic — the
+   * [[diffInDiff]] shape.
+   */
+  def regressionDiscontinuity(df: DataFrame, runningCol: String,
+      outcomeCol: String, cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, "bandwidth must be > 0")
+    val xr = col(runningCol).cast("double") - lit(cutoff)
+    val y = col(outcomeCol).cast("double")
+    val in = df.filter(y.isNotNull && col(runningCol).isNotNull &&
+      abs(col(runningCol).cast("double") - lit(cutoff)) <= lit(bandwidth))
+    val right = xr >= 0
+    def s(p: Column, c: Column) = sum(when(p, c))
+    val g = in.agg(
+      sum(when(right, 1L).otherwise(0L)).as("n_right"),
+      sum(when(!right, 1L).otherwise(0L)).as("n_left"),
+      s(right, xr).as("sxr"), s(right, y).as("syr"),
+      s(right, xr * xr).as("sxxr"), s(right, xr * y).as("sxyr"),
+      s(right, y * y).as("syyr"),
+      s(!right, xr).as("sxl"), s(!right, y).as("syl"),
+      s(!right, xr * xr).as("sxxl"), s(!right, xr * y).as("sxyl"),
+      s(!right, y * y).as("syyl"))
+    def fit(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column): (Column, Column, Column) = {
+      val nd = n.cast("double")
+      val den = nd * sxx - sx * sx
+      val ok = n >= 3 && den > 0
+      val slope = when(ok, (nd * sxy - sx * sy) / den)
+      val icept = when(ok, (sy - slope * sx) / nd)
+      // computational-form residual SS can land an ulp below zero on a
+      // perfect fit — clamp (mirrored in the oracle)
+      val rss = greatest(syy - icept * sy - slope * sxy, lit(0.0))
+      val s2 = rss / (nd - lit(2.0))
+      val sxxC = sxx - sx * sx / nd
+      val seI = when(ok,
+        sqrt(s2 * (lit(1.0) / nd + (sx / nd) * (sx / nd) / sxxC)))
+      (icept, slope, seI)
+    }
+    val (il, sl, seL) = fit(col("n_left"), col("sxl"), col("syl"),
+      col("sxxl"), col("sxyl"), col("syyl"))
+    val (ir, sr, seR) = fit(col("n_right"), col("sxr"), col("syr"),
+      col("sxxr"), col("sxyr"), col("syyr"))
+    val eff = ir - il
+    val se = sqrt(seL * seL + seR * seR)
+    g.select(col("n_left"), col("n_right"),
+      round(il, 6).as("int_left"), round(sl, 6).as("slope_left"),
+      round(ir, 6).as("int_right"), round(sr, 6).as("slope_right"),
+      round(eff, 6).as("effect"), round(se, 6).as("se"),
+      round(when(se > 0, eff / se), 6).as("t_stat"))
+  }
+
+  /**
    * DOUBLY-ROBUST off-policy evaluation (Dudík, Langford & Li, ICML
    * 2011, "Doubly Robust Policy Evaluation and Learning") — the
    * estimator [[replayEval]] graduates to the moment logging isn't

@@ -33,6 +33,52 @@ object ExperimentQ extends QueryGroup {
   private def md5Val16(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** Delta-method arm moments over a (cluster, arm, x, y) CTE — the
+    * DuckDB replay of [[graft.ops.Experiment.deltaMethodRatio]]'s
+    * exact op shapes (same parenthesization, same guards). */
+  private def deltaSql(src: String): String =
+    s"""dg AS (SELECT
+       |    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nt,
+       |    CAST(SUM(CASE WHEN arm <> 'treatment' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nc,
+       |    SUM(CASE WHEN arm = 'treatment' THEN x END) AS sxt,
+       |    SUM(CASE WHEN arm = 'treatment' THEN y END) AS syt,
+       |    SUM(CASE WHEN arm = 'treatment' THEN x * x END) AS sxxt,
+       |    SUM(CASE WHEN arm = 'treatment' THEN x * y END) AS sxyt,
+       |    SUM(CASE WHEN arm = 'treatment' THEN y * y END) AS syyt,
+       |    SUM(CASE WHEN arm <> 'treatment' THEN x END) AS sxc,
+       |    SUM(CASE WHEN arm <> 'treatment' THEN y END) AS syc,
+       |    SUM(CASE WHEN arm <> 'treatment' THEN x * x END) AS sxxc,
+       |    SUM(CASE WHEN arm <> 'treatment' THEN x * y END) AS sxyc,
+       |    SUM(CASE WHEN arm <> 'treatment' THEN y * y END) AS syyc
+       |  FROM $src),
+       |dr AS (SELECT *,
+       |    CASE WHEN syt <> 0 THEN sxt / syt END AS rt,
+       |    CASE WHEN syc <> 0 THEN sxc / syc END AS rc,
+       |    CAST(nt AS DOUBLE) AS ndt, CAST(nc AS DOUBLE) AS ndc
+       |  FROM dg),
+       |dv AS (SELECT *,
+       |    CASE WHEN nt >= 2 AND syt <> 0 THEN
+       |      (((sxxt - sxt * sxt / ndt) / (ndt - 1.0)) -
+       |       2.0 * rt * ((sxyt - sxt * syt / ndt) / (ndt - 1.0)) +
+       |       rt * rt * ((syyt - syt * syt / ndt) / (ndt - 1.0))) /
+       |      (ndt * ((syt / ndt) * (syt / ndt))) END AS vt,
+       |    CASE WHEN nc >= 2 AND syc <> 0 THEN
+       |      (((sxxc - sxc * sxc / ndc) / (ndc - 1.0)) -
+       |       2.0 * rc * ((sxyc - sxc * syc / ndc) / (ndc - 1.0)) +
+       |       rc * rc * ((syyc - syc * syc / ndc) / (ndc - 1.0))) /
+       |      (ndc * ((syc / ndc) * (syc / ndc))) END AS vv
+       |  FROM dr),
+       |ds AS (SELECT *, sqrt(vt + vv) AS se FROM dv)""".stripMargin
+
+  private val deltaOutSql =
+    """SELECT nt AS n_treat, nc AS n_ctrl,
+      |  ROUND(rt, 6) AS r_treat, ROUND(rc, 6) AS r_ctrl,
+      |  ROUND(rt - rc, 6) AS diff, ROUND(se, 6) AS se,
+      |  ROUND(CASE WHEN se > 0 THEN (rt - rc) / se END, 6) AS z_stat
+      |FROM ds""".stripMargin
+
   /** Per-user (arm, pre, post) units table: exact-cents period means. */
   private def units(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
@@ -516,6 +562,146 @@ object ExperimentQ extends QueryGroup {
               |  ROUND(vm, 6) AS value_model,
               |  ROUND(vd, 6) AS value_dr,
               |  ROUND(sd / sqrt(nl), 6) AS se
-              |FROM g""".stripMargin))
+              |FROM g""".stripMargin)),
+
+    // Delta-method ratio-metric test (Deng et al. 2018): revenue per
+    // event under USER-level randomization — events within a user are
+    // correlated, so the variance comes from per-user (cents, events)
+    // sums, not from event rows. Cluster sums are exact integers in
+    // doubles; arm-level moments round at 6 dp.
+    QueryDef("q_ratio_delta", (s, dir) =>
+      Experiment.deltaMethodRatio(Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .withColumn("arm",
+            when(md5Val16(col("user_id")) < 32768, lit("treatment"))
+              .otherwise(lit("control")))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("one", lit(1L)),
+        "arm", Seq("user_id"), "cents", "one", "treatment", "control"),
+      Some(s"""WITH e AS (SELECT user_id,
+              |    CASE WHEN ${md5Val16Sql("user_id")} < 32768
+              |      THEN 'treatment' ELSE 'control' END AS arm,
+              |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+              |  FROM events WHERE value IS NOT NULL),
+              |bc AS (SELECT user_id, arm,
+              |    CAST(SUM(cents) AS DOUBLE) AS x,
+              |    CAST(COUNT(*) AS DOUBLE) AS y
+              |  FROM e GROUP BY 1, 2),
+              |${deltaSql("bc")}
+              |$deltaOutSql""".stripMargin)),
+
+    // SWITCHBACK analysis via the same delta-method estimator: the
+    // randomization unit is the UTC HOUR (hash-assigned), so the hour
+    // buckets are the clusters — the time-randomized design used when
+    // user-level assignment leaks through shared inventory/marketplace
+    // state.
+    QueryDef("q_switchback", (s, dir) =>
+      Experiment.deltaMethodRatio(Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
+          .withColumn("arm",
+            when(md5Val16(col("hb")) < 32768, lit("treatment"))
+              .otherwise(lit("control")))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("one", lit(1L)),
+        "arm", Seq("hb"), "cents", "one", "treatment", "control"),
+      Some(s"""WITH e AS (SELECT
+              |    epoch_us(ts) // 3600000000 AS hb,
+              |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+              |  FROM events WHERE value IS NOT NULL),
+              |e2 AS (SELECT hb,
+              |    CASE WHEN ${md5Val16Sql("hb")} < 32768
+              |      THEN 'treatment' ELSE 'control' END AS arm, cents
+              |  FROM e),
+              |bc AS (SELECT hb, arm,
+              |    CAST(SUM(cents) AS DOUBLE) AS x,
+              |    CAST(COUNT(*) AS DOUBLE) AS y
+              |  FROM e2 GROUP BY 1, 2),
+              |${deltaSql("bc")}
+              |$deltaOutSql""".stripMargin)),
+
+    // Sharp regression discontinuity at an account-balance threshold:
+    // local linear fits (closed-form OLS from the five sufficient sums
+    // per side) within the bandwidth, effect = intercept jump at the
+    // cutoff. Outcome = the customer's total order spend (exact integer
+    // cents on both engines) — a known-null effect with a real standard
+    // error, the estimator-correctness fixture.
+    QueryDef("q_rdd", (s, dir) => {
+      val spend = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("__cents"))
+      Experiment.regressionDiscontinuity(
+        Tables.load(s, dir, "customer")
+          .join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .withColumn("y",
+            coalesce(col("__cents"), lit(0L)).cast("double") / 100.0),
+        "c_acctbal", "y", cutoff = 4500.0, bandwidth = 3000.0)
+    },
+      Some("""WITH sp AS (SELECT o_custkey,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |w AS (SELECT
+             |    CAST(c_acctbal AS DOUBLE) - 4500.0 AS x,
+             |    CAST(COALESCE(sp.cents, 0) AS DOUBLE) / 100.0 AS y
+             |  FROM customer LEFT JOIN sp ON sp.o_custkey = c_custkey
+             |  WHERE c_acctbal IS NOT NULL
+             |    AND abs(CAST(c_acctbal AS DOUBLE) - 4500.0) <= 3000.0),
+             |g AS (SELECT
+             |    CAST(SUM(CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nr,
+             |    CAST(SUM(CASE WHEN NOT (x >= 0) THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nl,
+             |    SUM(CASE WHEN x >= 0 THEN x END) AS sxr,
+             |    SUM(CASE WHEN x >= 0 THEN y END) AS syr,
+             |    SUM(CASE WHEN x >= 0 THEN x * x END) AS sxxr,
+             |    SUM(CASE WHEN x >= 0 THEN x * y END) AS sxyr,
+             |    SUM(CASE WHEN x >= 0 THEN y * y END) AS syyr,
+             |    SUM(CASE WHEN NOT (x >= 0) THEN x END) AS sxl,
+             |    SUM(CASE WHEN NOT (x >= 0) THEN y END) AS syl,
+             |    SUM(CASE WHEN NOT (x >= 0) THEN x * x END) AS sxxl,
+             |    SUM(CASE WHEN NOT (x >= 0) THEN x * y END) AS sxyl,
+             |    SUM(CASE WHEN NOT (x >= 0) THEN y * y END) AS syyl
+             |  FROM w),
+             |fl AS (SELECT *, CAST(nl AS DOUBLE) AS nd,
+             |    CAST(nl AS DOUBLE) * sxxl - sxl * sxl AS den FROM g),
+             |f2 AS (SELECT *,
+             |    CASE WHEN nl >= 3 AND den > 0
+             |      THEN (nd * sxyl - sxl * syl) / den END AS sll FROM fl),
+             |f3 AS (SELECT *,
+             |    CASE WHEN nl >= 3 AND den > 0
+             |      THEN (syl - sll * sxl) / nd END AS ill FROM f2),
+             |f4 AS (SELECT *,
+             |    GREATEST(syyl - ill * syl - sll * sxyl, 0.0) AS rssl,
+             |    sxxl - sxl * sxl / nd AS sxxcl FROM f3),
+             |f5 AS (SELECT *,
+             |    CASE WHEN nl >= 3 AND den > 0
+             |      THEN sqrt(rssl / (nd - 2.0) * (1.0 / nd +
+             |        (sxl / nd) * (sxl / nd) / sxxcl)) END AS sel,
+             |    CAST(nr AS DOUBLE) AS ndr,
+             |    CAST(nr AS DOUBLE) * sxxr - sxr * sxr AS denr FROM f4),
+             |f6 AS (SELECT *,
+             |    CASE WHEN nr >= 3 AND denr > 0
+             |      THEN (ndr * sxyr - sxr * syr) / denr END AS slr FROM f5),
+             |f7 AS (SELECT *,
+             |    CASE WHEN nr >= 3 AND denr > 0
+             |      THEN (syr - slr * sxr) / ndr END AS ilr FROM f6),
+             |f8 AS (SELECT *,
+             |    GREATEST(syyr - ilr * syr - slr * sxyr, 0.0) AS rssr,
+             |    sxxr - sxr * sxr / ndr AS sxxcr FROM f7),
+             |f9 AS (SELECT *,
+             |    CASE WHEN nr >= 3 AND denr > 0
+             |      THEN sqrt(rssr / (ndr - 2.0) * (1.0 / ndr +
+             |        (sxr / ndr) * (sxr / ndr) / sxxcr)) END AS ser
+             |  FROM f8),
+             |fa AS (SELECT *, ilr - ill AS eff,
+             |    sqrt(sel * sel + ser * ser) AS se FROM f9)
+             |SELECT nl AS n_left, nr AS n_right,
+             |  ROUND(ill, 6) AS int_left, ROUND(sll, 6) AS slope_left,
+             |  ROUND(ilr, 6) AS int_right, ROUND(slr, 6) AS slope_right,
+             |  ROUND(eff, 6) AS effect, ROUND(se, 6) AS se,
+             |  ROUND(CASE WHEN se > 0 THEN eff / se END, 6) AS t_stat
+             |FROM fa""".stripMargin))
   )
 }

@@ -331,6 +331,41 @@ object MiningQ extends QueryGroup {
         b = 100, seed = 42L, alpha = 0.05, fastHash = true),
       None),
 
+    // Empirical-Bayes shrinkage of per-user purchase rates
+    // (beta-binomial moment matching): the Beta prior is fitted across
+    // users from the raw-rate mean/variance, and each user's posterior
+    // mean (s + a)/(n + a + b) pulls small-n users toward the global
+    // rate — the leaderboard fix for tiny denominators. One hash agg
+    // to user grain, a one-row prior broadcast back.
+    QueryDef("q_eb_rate", (s, dir) =>
+      Planners.ebShrinkRates(Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("succ"),
+            lit(1L).as("tri")),
+        Seq("user_id"), "succ", "tri"),
+      Some("""WITH bk AS (SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS successes,
+             |    CAST(COUNT(*) AS BIGINT) AS trials
+             |  FROM events GROUP BY 1),
+             |br AS (SELECT *,
+             |    CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS r
+             |  FROM bk),
+             |pr AS (SELECT AVG(r) AS m, var_samp(r) AS v FROM br),
+             |ab AS (SELECT
+             |    CASE WHEN v > 0 AND v < m * (1.0 - m)
+             |      THEN m * (m * (1.0 - m) / v - 1.0) END AS a,
+             |    CASE WHEN v > 0 AND v < m * (1.0 - m)
+             |      THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END AS b
+             |  FROM pr)
+             |SELECT user_id, trials, successes,
+             |  ROUND(r, 6) AS rate,
+             |  ROUND((CAST(successes AS DOUBLE) + a) /
+             |    (CAST(trials AS DOUBLE) + a + b), 6) AS shrunk_rate,
+             |  ROUND(a, 6) AS alpha, ROUND(b, 6) AS beta
+             |FROM br CROSS JOIN ab""".stripMargin)),
+
     // Benjamini-Hochberg FDR over a 200-hypothesis battery: uniform
     // hash-derived p-values with every 10th hypothesis planted 1000x
     // stronger, so the step-up rule has real rejections to make. The

@@ -716,6 +716,61 @@ object Planners {
     cdf.map(c => math.floor(c * 65536).toLong)
   }
 
+  /**
+   * Empirical-Bayes rate shrinkage (beta-binomial, method of moments —
+   * the Robbins 1956 / Efron–Morris 1975 program in its standard
+   * industrial form, e.g. the "batting average" construction): per
+   * key, successes s and trials n give a raw rate s/n that is
+   * WORTHLESS at small n (1/1 ≠ a 100% CTR). Fit a Beta(α, β) prior
+   * across keys by moment matching on the raw rates — with m = mean
+   * and v = var_samp of the per-key rates, k = m(1−m)/v − 1, α = m·k,
+   * β = (1−m)·k — and serve the posterior mean
+   * (s + α)/(n + α + β): small-n keys shrink toward the global mean,
+   * high-n keys keep their own signal. THE fix for "sort by rate"
+   * leaderboards dominated by tiny denominators.
+   *
+   * Prior guard: v must be in (0, m(1−m)) for a proper Beta (v ≥
+   * m(1−m) means the rates are MORE dispersed than any Beta allows —
+   * bimodal 0/1 rates; v = 0 means nothing to shrink). Outside it,
+   * α/β/shrunk_rate emit null and the raw rates stand — a degenerate
+   * prior must not silently rewrite every key.
+   *
+   * Output: per key — trials, successes, rate (6 dp), shrunk_rate
+   * (6 dp), plus the shared alpha/beta (6 dp) repeated. Scale shape:
+   * ONE hash aggregate to key grain, a one-row prior fit broadcast
+   * back — nothing unit-grain survives; the moment fit is a plain
+   * avg/var over key-grain rows.
+   */
+  def ebShrinkRates(df: DataFrame, keys: Seq[String], successCol: String,
+      trialCol: String): DataFrame = {
+    val kc = keys.map(col)
+    val byKey = df
+      .filter(col(successCol).isNotNull && col(trialCol).isNotNull)
+      .groupBy(kc: _*)
+      .agg(sum(col(successCol).cast("long")).as("successes"),
+        sum(col(trialCol).cast("long")).as("trials"))
+      .filter(col("trials") > 0)
+      .withColumn("__r",
+        col("successes").cast("double") / col("trials").cast("double"))
+    val prior = byKey.agg(avg(col("__r")).as("__m"),
+        var_samp(col("__r")).as("__v"))
+      .withColumn("__ok", col("__v") > 0 &&
+        col("__v") < col("__m") * (lit(1.0) - col("__m")))
+      .withColumn("__k", when(col("__ok"),
+        col("__m") * (lit(1.0) - col("__m")) / col("__v") - lit(1.0)))
+      .select(when(col("__ok"), col("__m") * col("__k")).as("__a"),
+        when(col("__ok"),
+          (lit(1.0) - col("__m")) * col("__k")).as("__b"))
+    byKey.crossJoin(broadcast(prior))
+      .select(kc ++ Seq(col("trials"), col("successes"),
+        round(col("__r"), 6).as("rate"),
+        round((col("successes").cast("double") + col("__a")) /
+          (col("trials").cast("double") + col("__a") + col("__b")), 6)
+          .as("shrunk_rate"),
+        round(col("__a"), 6).as("alpha"),
+        round(col("__b"), 6).as("beta")): _*)
+  }
+
   /** Clamp rows against a [[winsorizeFit]] bounds table — a broadcast
     * join + narrow projection, append-mode legal on a stream. */
   def winsorizeApply(df: DataFrame, bounds: DataFrame, keys: Seq[String],

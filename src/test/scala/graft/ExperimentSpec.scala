@@ -284,6 +284,69 @@ class ExperimentSpec extends SparkSpec {
       policy, empty).collect().head.getAs[Double]("value_dr") == 100.0)
   }
 
+  test("deltaMethodRatio: hand-computed cluster variances; event-grain rows never count as units") {
+    // treatment clusters: t1 sums (6, 2), t2 (2, 1) -> R_t = 8/3,
+    // Var_t = (8 - 2·(8/3)·2 + (8/3)²·0.5) / (2·1.5²) = (8/9)/4.5;
+    // control: c1 (1, 1), c2 (3, 2) -> R_c = 4/3, Var_c = (2/9)/4.5
+    val rows = Seq(
+      ("t", "t1", 2.0, 1L), ("t", "t1", 4.0, 1L), ("t", "t2", 2.0, 1L),
+      ("c", "c1", 1.0, 1L), ("c", "c2", 3.0, 1L), ("c", "c2", 0.0, 1L))
+      .toDF("arm", "u", "x", "y")
+    val r = Experiment.deltaMethodRatio(rows, "arm", Seq("u"),
+      "x", "y", treatArm = "t", ctrlArm = "c").collect().head
+    assert(r.getAs[Long]("n_treat") == 2 && r.getAs[Long]("n_ctrl") == 2)
+    assert(r.getAs[Double]("r_treat") == 2.666667)
+    assert(r.getAs[Double]("r_ctrl") == 1.333333)
+    assert(r.getAs[Double]("diff") == 1.333333)
+    val seExp = math.sqrt(8.0 / 9 / 4.5 + 2.0 / 9 / 4.5)
+    assert(math.abs(r.getAs[Double]("se") - seExp) < 1e-6,
+      s"se ${r.getAs[Double]("se")} vs $seExp")
+    assert(math.abs(r.getAs[Double]("z_stat") -
+      (4.0 / 3) / seExp) < 1e-5)
+    // one cluster on a side -> variance undefined -> null se/z
+    val thin = rows.filter(col("u") =!= "t2")
+    val rt = Experiment.deltaMethodRatio(thin, "arm", Seq("u"),
+      "x", "y", "t", "c").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("se")))
+    assert(!rt.isNullAt(rt.fieldIndex("r_treat"))) // ratio still reported
+  }
+
+  test("regressionDiscontinuity: exact lines recover intercepts/slopes; jump = effect; thin sides null out") {
+    // left: y = 10 + 1·x on x ∈ {-3,-2,-1}; right: y = 20 + 2·x on
+    // x ∈ {0,1,2} — perfect fits, so the intercept jump is exactly 10
+    // and the homoskedastic se collapses to 0 (t_stat null, not ∞)
+    val pts = Seq((-3.0, 7.0), (-2.0, 8.0), (-1.0, 9.0),
+      (0.0, 20.0), (1.0, 22.0), (2.0, 24.0)).toDF("x", "y")
+    val r = Experiment.regressionDiscontinuity(pts, "x", "y",
+      cutoff = 0.0, bandwidth = 5.0).collect().head
+    assert(r.getAs[Long]("n_left") == 3 && r.getAs[Long]("n_right") == 3)
+    assert(r.getAs[Double]("int_left") == 10.0)
+    assert(r.getAs[Double]("slope_left") == 1.0)
+    assert(r.getAs[Double]("int_right") == 20.0)
+    assert(r.getAs[Double]("slope_right") == 2.0)
+    assert(r.getAs[Double]("effect") == 10.0)
+    assert(r.getAs[Double]("se") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+    // noise on one side -> a real se and t
+    val noisy = pts.unionByName(Seq((-2.5, 9.0)).toDF("x", "y"))
+    val rn = Experiment.regressionDiscontinuity(noisy, "x", "y",
+      cutoff = 0.0, bandwidth = 5.0).collect().head
+    assert(rn.getAs[Double]("se") > 0)
+    assert(!rn.isNullAt(rn.fieldIndex("t_stat")))
+    // a side with < 3 points is underdetermined: fit columns null
+    val thin = Seq((-1.0, 1.0), (-2.0, 2.0), (0.0, 5.0), (1.0, 6.0),
+      (2.0, 7.0)).toDF("x", "y")
+    val rt = Experiment.regressionDiscontinuity(thin, "x", "y",
+      cutoff = 0.0, bandwidth = 5.0).collect().head
+    assert(rt.isNullAt(rt.fieldIndex("int_left")))
+    assert(rt.isNullAt(rt.fieldIndex("effect")))
+    // bandwidth filters: far points don't enter the risk sums
+    val far = pts.unionByName(Seq((100.0, 999.0)).toDF("x", "y"))
+    assert(Experiment.regressionDiscontinuity(far, "x", "y",
+      cutoff = 0.0, bandwidth = 5.0).collect().head
+      .getAs[Long]("n_right") == 3)
+  }
+
   test("attStrata: ATT weights per-stratum contrasts by treated count") {
     // Stratum structure by score; within-stratum lift = 1.0 in low,
     // 3.0 in high; treated counts 1 vs 3 => ATT = (1*1 + 3*3)/4 = 2.5.

@@ -185,6 +185,43 @@ class MiningSpec extends SparkSpec {
     assert(d.getAs[Double]("mean") == 3.0)
   }
 
+  test("ebShrinkRates: small-n rates shrink to the global mean; leaderboard order flips; degenerate prior nulls out") {
+    // unit rows: (key, success, trial=1). Raw rates: A 1/1, B 0/1,
+    // C 5/10, D 50/100, E 9/10, F 1/10 -> m = 0.5, v = 0.164,
+    // k = 0.25/0.164 - 1, alpha = beta = 0.5k ~ 0.2622
+    val rows = Seq(("A", 1, 1)) ++ Seq(("B", 0, 1)) ++
+      (1 to 10).map(i => ("C", if (i <= 5) 1 else 0, 1)) ++
+      (1 to 100).map(i => ("D", if (i <= 50) 1 else 0, 1)) ++
+      (1 to 10).map(i => ("E", if (i <= 9) 1 else 0, 1)) ++
+      (1 to 10).map(i => ("F", if (i <= 1) 1 else 0, 1))
+    val out = Planners.ebShrinkRates(rows.toDF("k", "s", "t"),
+      Seq("k"), "s", "t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 6)
+    val a = out("A")
+    assert(a.getAs[Double]("rate") == 1.0)
+    assert(a.getAs[Double]("alpha") > 0 &&
+      a.getAs[Double]("alpha") == a.getAs[Double]("beta")) // m = 0.5
+    val shrunkA = a.getAs[Double]("shrunk_rate")
+    assert(shrunkA > 0.5 && shrunkA < 1.0, s"A pulled inward: $shrunkA")
+    // the leaderboard fix: 1/1 raw beats 9/10 raw, but shrunk it loses
+    assert(shrunkA < out("E").getAs[Double]("shrunk_rate"))
+    // high-n keys barely move
+    assert(math.abs(out("D").getAs[Double]("shrunk_rate") - 0.5) < 0.001)
+    // symmetric pair shrinks symmetrically around the mean
+    assert(math.abs((shrunkA - 0.5) -
+      (0.5 - out("B").getAs[Double]("shrunk_rate"))) < 1e-9)
+    // degenerate prior (rates more dispersed than any Beta): v >= m(1-m)
+    // -> alpha/shrunk null, raw rates intact
+    val bimodal = (1 to 3).map(i => ("X", 1, 1)) ++
+      (1 to 3).map(i => ("Y", 0, 1))
+    val deg = Planners.ebShrinkRates(bimodal.toDF("k", "s", "t"),
+      Seq("k"), "s", "t").collect().map(r => r.getString(0) -> r).toMap
+    assert(deg("X").getAs[Double]("rate") == 1.0)
+    assert(deg("X").isNullAt(deg("X").fieldIndex("shrunk_rate")))
+    assert(deg("X").isNullAt(deg("X").fieldIndex("alpha")))
+  }
+
   test("winsorizeFitApprox: each bound lands in the sketch's rank band; serves through the same apply") {
     val ev = Tables.load(spark, sf, "events")
     val approx = Planners.winsorizeFitApprox(ev, Seq("event_type"), "value",

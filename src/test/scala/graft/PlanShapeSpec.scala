@@ -804,6 +804,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(anti.nonEmpty, s"$what over-cap list must broadcast-anti-join:\n$p")
   }
 
+  test("q_rdd / q_eb_rate: estimator shapes stay aggregate-grain; one-row prior broadcasts, no cartesian") {
+    val p1 = plan("q_rdd")
+    assert(!p1.toString.contains("CartesianProduct"),
+      s"rdd must be one conditional-aggregate pass:\n$p1")
+    val p2 = plan("q_eb_rate")
+    assert(!p2.toString.contains("CartesianProduct"),
+      s"the one-row prior must ride a broadcast:\n$p2")
+    assert(p2.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"expected the prior BroadcastExchange:\n$p2")
+    // delta-method ratio test: two chained hash aggregates, JOIN-FREE
+    val p3 = plan("q_ratio_delta")
+    assert(p3.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"delta-method must be pure aggregation:\n$p3")
+  }
+
   test("q_fs_score: deletion-key bucket cap is groupBy + broadcast anti-join, zero windows") {
     assertAntiCapNoWindow(plan("q_fs_score"), "fuzzyPairsDeletes maxBucket")
   }
