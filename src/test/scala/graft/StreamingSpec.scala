@@ -1511,6 +1511,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drReplay is stream-legal as-is: policy + model ride stream-static broadcasts into one agg") {
+    import org.apache.spark.sql.functions._
+    // same contract as the replayEval case: the batch shape (two
+    // ctx-grain broadcast joins + a single aggregate) is already a
+    // legal streaming plan in Complete mode — no twin needed
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    def derive(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("value").isNotNull)
+      .withColumn("ctx", col("user_id") % 10)
+      .withColumn("armL",
+        conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 4)
+      .withColumn("prop", lit(0.25))
+    val batchEv = derive(graft.core.Tables.load(spark, sf, "events"))
+    val pre = batchEv.filter(col("ts") < cut)
+    val policy = graft.ops.Experiment.greedyPolicy(pre, "ctx", "armL", "value")
+    val model = pre.groupBy(col("ctx"), col("armL").as("arm"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("ctx"), col("arm"),
+        (col("__s").cast("double") / col("__n") / 1e6).as("mu"))
+    val out = graft.ops.Experiment.drReplay(
+      derive(EventStream.readEvents(spark, streamDir))
+        .filter(col("ts") >= cut),
+      "ctx", "armL", "value", "prop", policy, model)
+    val q = out.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("dr_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("""SELECT n_logged, n_matched, match_rate,
+          value_model, value_dr, se FROM dr_stream""").collect()
+      assert(got.length == 1)
+      val batch = graft.ops.Experiment.drReplay(
+        batchEv.filter(col("ts") >= cut), "ctx", "armL", "value", "prop",
+        policy, model).collect().head
+      assert(got.head == batch, s"${got.head} vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming markov score equals the batch handoff scorer against a frozen model") {
     import org.apache.spark.sql.functions._
     val ev = graft.core.Tables.load(spark, sf, "events")
