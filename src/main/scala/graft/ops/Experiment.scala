@@ -682,8 +682,14 @@ object Experiment {
       val sXY = (sxy - sx * sy / nd) / (nd - lit(1.0))
       val sYY = (syy - sy * sy / nd) / (nd - lit(1.0))
       val yBar = sy / nd
+      // the quadratic form is >= 0 analytically but catastrophic
+      // cancellation can land it an ulp below zero when x/y is
+      // (near-)constant per cluster (true Var = 0) — clamp, or Spark
+      // emits se = NaN and other engines' sqrt throws (mirrored in the
+      // oracle; the regressionDiscontinuity rss clamp convention)
       val v = when(n >= 2 && sy =!= 0.0,
-        (sXX - lit(2.0) * r * sXY + r * r * sYY) / (nd * (yBar * yBar)))
+        greatest(sXX - lit(2.0) * r * sXY + r * r * sYY, lit(0.0)) /
+          (nd * (yBar * yBar)))
       (r, v)
     }
     val (rt, vt) = side(col("n_treat"), col("sxt"), col("syt"),
@@ -757,7 +763,11 @@ object Experiment {
       val rss = greatest(syy - icept * sy - slope * sxy, lit(0.0))
       val s2 = rss / (nd - lit(2.0))
       val sxxC = sxx - sx * sx / nd
-      val seI = when(ok,
+      // sxxC is a differently-rounded den/nd: with razor-thin x-variance
+      // it can land at 0 or an ulp below while den > 0 still passes —
+      // guard it, or the se term divides by <= 0 (Inf/NaN instead of the
+      // documented null-on-underdetermined contract)
+      val seI = when(ok && sxxC > 0,
         sqrt(s2 * (lit(1.0) / nd + (sx / nd) * (sx / nd) / sxxC)))
       (icept, slope, seI)
     }

@@ -60,14 +60,20 @@ object Privacy {
    * The under-k class list is counted with a groupBy (partial hash-agg
    * below the exchange — the MOST COMMON class is by definition the
    * hottest key, and it pre-combines to one row per input partition)
-   * and removed via a broadcast anti-join: the r11-hardened
-   * shingle-df-cap shape. A window count would funnel the biggest
-   * class's entire row set into one task before the filter. The drop
-   * list is class-grain (under-k classes only), the grain anonymization
-   * was defined at — if it were row-sized, nothing was k-anonymous to
-   * begin with. Join keys use null-safe equality because a NULL
-   * quasi-identifier value forms its own class (groupBy semantics),
-   * which a null-unsafe join would silently always keep.
+   * and removed via an anti-join: the r11-hardened shingle-df-cap
+   * shape. A window count would funnel the biggest class's entire row
+   * set into one task before the filter. Unlike the other hardened cap
+   * sites, the drop list here is NOT small by construction — under-k
+   * classes can approach row count when the quasi-identifiers are
+   * unbucketed (exactly the release this gate exists to catch) — so
+   * the join strategy is deliberately LEFT TO THE PLANNER: AQE
+   * broadcasts a small list at runtime, falls back to a shuffle join
+   * for a huge one (where its skew-split handles the hot class — the
+   * split a window partition can never get), and a forced broadcast
+   * would OOM the driver on precisely the worst-case input. Join keys
+   * use null-safe equality because a NULL quasi-identifier value forms
+   * its own class (groupBy semantics), which a null-unsafe join would
+   * silently always keep.
    */
   def suppressRare(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -77,7 +83,7 @@ object Privacy {
       .select(quasiCols.map(c => col(c).as(s"__rare_$c")): _*)
     val cond = quasiCols.map(c => col(c) <=> col(s"__rare_$c"))
       .reduce(_ && _)
-    df.join(broadcast(rare), cond, "left_anti")
+    df.join(rare, cond, "left_anti")
   }
 
   /**

@@ -60,14 +60,14 @@ object ExperimentQ extends QueryGroup {
        |  FROM dg),
        |dv AS (SELECT *,
        |    CASE WHEN nt >= 2 AND syt <> 0 THEN
-       |      (((sxxt - sxt * sxt / ndt) / (ndt - 1.0)) -
+       |      GREATEST(((sxxt - sxt * sxt / ndt) / (ndt - 1.0)) -
        |       2.0 * rt * ((sxyt - sxt * syt / ndt) / (ndt - 1.0)) +
-       |       rt * rt * ((syyt - syt * syt / ndt) / (ndt - 1.0))) /
+       |       rt * rt * ((syyt - syt * syt / ndt) / (ndt - 1.0)), 0.0) /
        |      (ndt * ((syt / ndt) * (syt / ndt))) END AS vt,
        |    CASE WHEN nc >= 2 AND syc <> 0 THEN
-       |      (((sxxc - sxc * sxc / ndc) / (ndc - 1.0)) -
+       |      GREATEST(((sxxc - sxc * sxc / ndc) / (ndc - 1.0)) -
        |       2.0 * rc * ((sxyc - sxc * syc / ndc) / (ndc - 1.0)) +
-       |       rc * rc * ((syyc - syc * syc / ndc) / (ndc - 1.0))) /
+       |       rc * rc * ((syyc - syc * syc / ndc) / (ndc - 1.0)), 0.0) /
        |      (ndc * ((syc / ndc) * (syc / ndc))) END AS vv
        |  FROM dr),
        |ds AS (SELECT *, sqrt(vt + vv) AS se FROM dv)""".stripMargin
@@ -527,7 +527,7 @@ object ExperimentQ extends QueryGroup {
       Some(s"""WITH l AS (SELECT user_id % 10 AS ctx,
               |    ${md5Val16Sql("event_id")} % 4 AS arm,
               |    CAST(value AS DOUBLE) AS r, ts,
-              |    0.1 + 0.4 *
+              |    CAST(0.1 AS DOUBLE) + CAST(0.4 AS DOUBLE) *
               |      (${md5Val16Sql("CAST(event_id AS VARCHAR) || '#p'")})
               |      / 65536.0 AS p0
               |  FROM events WHERE value IS NOT NULL),
@@ -598,7 +598,12 @@ object ExperimentQ extends QueryGroup {
     QueryDef("q_switchback", (s, dir) =>
       Experiment.deltaMethodRatio(Tables.load(s, dir, "events")
           .filter(col("value").isNotNull)
-          .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
+          // FLOOR division via pmod (div truncates toward zero; a
+          // pre-1970 glitch timestamp would otherwise land in a
+          // different bucket than the oracle's floor `//` — and merge
+          // two half-hours into bucket 0 analytically)
+          .withColumn("hb", expr("(unix_micros(ts) - " +
+            "pmod(unix_micros(ts), 3600000000)) div 3600000000"))
           .withColumn("arm",
             when(md5Val16(col("hb")) < 32768, lit("treatment"))
               .otherwise(lit("control")))
@@ -676,7 +681,7 @@ object ExperimentQ extends QueryGroup {
              |    GREATEST(syyl - ill * syl - sll * sxyl, 0.0) AS rssl,
              |    sxxl - sxl * sxl / nd AS sxxcl FROM f3),
              |f5 AS (SELECT *,
-             |    CASE WHEN nl >= 3 AND den > 0
+             |    CASE WHEN nl >= 3 AND den > 0 AND sxxcl > 0
              |      THEN sqrt(rssl / (nd - 2.0) * (1.0 / nd +
              |        (sxl / nd) * (sxl / nd) / sxxcl)) END AS sel,
              |    CAST(nr AS DOUBLE) AS ndr,
@@ -691,7 +696,7 @@ object ExperimentQ extends QueryGroup {
              |    GREATEST(syyr - ilr * syr - slr * sxyr, 0.0) AS rssr,
              |    sxxr - sxr * sxr / ndr AS sxxcr FROM f7),
              |f9 AS (SELECT *,
-             |    CASE WHEN nr >= 3 AND denr > 0
+             |    CASE WHEN nr >= 3 AND denr > 0 AND sxxcr > 0
              |      THEN sqrt(rssr / (ndr - 2.0) * (1.0 / ndr +
              |        (sxr / ndr) * (sxr / ndr) / sxxcr)) END AS ser
              |  FROM f8),

@@ -736,7 +736,11 @@ object Planners {
    * prior must not silently rewrite every key.
    *
    * Output: per key — trials, successes, rate (6 dp), shrunk_rate
-   * (6 dp), plus the shared alpha/beta (6 dp) repeated. Scale shape:
+   * (6 dp), plus the shared alpha/beta (6 dp) repeated. The prior's
+   * moment estimates are quantized at 6 dp before deriving α/β (the
+   * avg/var fold order is the one unpinned double reduction here; the
+   * quantization makes the whole serving table a pure IEEE function
+   * of two pinned statistics). Scale shape:
    * ONE hash aggregate to key grain, a one-row prior fit broadcast
    * back — nothing unit-grain survives; the moment fit is a plain
    * avg/var over key-grain rows.
@@ -752,8 +756,14 @@ object Planners {
       .filter(col("trials") > 0)
       .withColumn("__r",
         col("successes").cast("double") / col("trials").cast("double"))
-    val prior = byKey.agg(avg(col("__r")).as("__m"),
-        var_samp(col("__r")).as("__v"))
+    // the prior moments are the ONE unpinned double fold in this
+    // operator (avg/var_samp partial-agg order differs across engines
+    // and runs) — quantize them at 6 dp BEFORE deriving the prior, so
+    // alpha/beta (and through them every key's shrunk rate) are a pure
+    // IEEE function of two pinned statistics rather than of an
+    // engine-specific last ulp
+    val prior = byKey.agg(round(avg(col("__r")), 6).as("__m"),
+        round(var_samp(col("__r")), 6).as("__v"))
       .withColumn("__ok", col("__v") > 0 &&
         col("__v") < col("__m") * (lit(1.0) - col("__m")))
       .withColumn("__k", when(col("__ok"),

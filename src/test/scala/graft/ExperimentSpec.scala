@@ -309,6 +309,18 @@ class ExperimentSpec extends SparkSpec {
       "x", "y", "t", "c").collect().head
     assert(rt.isNullAt(rt.fieldIndex("se")))
     assert(!rt.isNullAt(rt.fieldIndex("r_treat"))) // ratio still reported
+    // constant x/y ratio in every cluster: true variance is 0 and the
+    // quadratic form can cancel an ulp below zero — the clamp keeps
+    // sqrt() real (se >= 0, never NaN)
+    val const = Seq(
+      ("t", "t1", 1.0, 2L), ("t", "t1", 2.0, 4L), ("t", "t2", 3.0, 6L),
+      ("c", "c1", 0.5, 1L), ("c", "c2", 1.0, 2L))
+      .toDF("arm", "u", "x", "y")
+    val rcn = Experiment.deltaMethodRatio(const, "arm", Seq("u"),
+      "x", "y", "t", "c").collect().head
+    assert(rcn.getAs[Double]("diff") == 0.0)
+    val seC = rcn.getAs[Double]("se")
+    assert(!seC.isNaN && seC >= 0.0, s"clamped se, got $seC")
   }
 
   test("regressionDiscontinuity: exact lines recover intercepts/slopes; jump = effect; thin sides null out") {
@@ -345,6 +357,16 @@ class ExperimentSpec extends SparkSpec {
     assert(Experiment.regressionDiscontinuity(far, "x", "y",
       cutoff = 0.0, bandwidth = 5.0).collect().head
       .getAs[Long]("n_right") == 3)
+    // razor-thin x-variance on one side: sxxC can round to <= 0 while
+    // den > 0 — the guard must emit null se, never Inf/NaN
+    val razor = Seq((1.0, 5.0), (1.0 + 1e-12, 6.0), (1.0 - 1e-12, 7.0),
+      (-1.0, 1.0), (-2.0, 2.0), (-3.0, 3.0)).toDF("x", "y")
+    val rz = Experiment.regressionDiscontinuity(razor, "x", "y",
+      cutoff = 0.0, bandwidth = 5.0).collect().head
+    if (!rz.isNullAt(rz.fieldIndex("se"))) {
+      val s = rz.getAs[Double]("se")
+      assert(!s.isNaN && !s.isInfinity, s"se must be finite or null: $s")
+    }
   }
 
   test("attStrata: ATT weights per-stratum contrasts by treated count") {

@@ -829,8 +829,18 @@ class PlanShapeSpec extends SparkSpec {
       "bandedBuckets maxBucket")
   }
 
-  test("q_privacy_suppress: under-k class removal is groupBy + broadcast anti-join, zero windows") {
-    assertAntiCapNoWindow(plan("q_privacy_suppress"), "suppressRare k")
+  test("q_privacy_suppress: under-k class removal is groupBy + anti-join, zero windows") {
+    // unlike the bounded over-cap lists, the under-k class list can be
+    // huge (unbucketed QIs) — the join strategy is deliberately left to
+    // the planner/AQE, so freeze only: no window funnel + a LeftAnti
+    val p = plan("q_privacy_suppress")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      s"suppressRare must not window on the class key, plan:\n$p")
+    val anti = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j }
+    assert(anti.nonEmpty, s"under-k classes must remove via anti-join:\n$p")
   }
 
   test("q_item_cf: the per-user cap never windows on __u; over-cap users broadcast-anti-join") {
