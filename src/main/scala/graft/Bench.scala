@@ -178,7 +178,15 @@ object Bench {
     // oracle fixture, 4.8x slower by hash cost alone)
     "q_item_cf_incremental", "q_shapley_sampled",
     "q_winsorize_approx", "q_quantile_normalize_approx",
-    "q_bootstrap_ci_fast")
+    "q_bootstrap_ci_fast",
+    // round-15 catalog additions (per-query only): doubly-robust replay,
+    // Syntetos–Boylan Croston, regression discontinuity, delta-method
+    // ratio test (the switchback twin shares the estimator; one entry
+    // prices it), EB beta-binomial rate shrinkage. q_item_cf_touched is
+    // deliberately NOT priced: its 50/50 fixture re-runs the merge, so
+    // its wall-clock is q_item_cf_incremental's (already priced) plus a
+    // filter — BenchOne-probed at 4.7 s, serving value is delta << corpus
+    "q_dr_replay", "q_croston_sba", "q_rdd", "q_ratio_delta", "q_eb_rate")
 
   /** Oracle fixtures priced OUTSIDE the timed headline: one single
     * sample after the timed passes, reported under `spot_check`,
@@ -204,11 +212,12 @@ object Bench {
     "retrieval" -> Set("q_bm25_search", "q_bm25_rm3", "q_bm25_prebuilt",
       "q_bm25_rm3_prebuilt"),
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
-      "q_attribution", "q_page_hinkley"),
-    "experiment" -> Set("q_cuped", "q_shapley_sampled"),
+      "q_attribution", "q_page_hinkley", "q_croston_sba"),
+    "experiment" -> Set("q_cuped", "q_shapley_sampled", "q_dr_replay",
+      "q_rdd", "q_ratio_delta"),
     "mining" -> Set("q_item_cf", "q_item_cf_incremental",
       "q_winsorize_approx", "q_quantile_normalize_approx",
-      "q_bootstrap_ci_fast"),
+      "q_bootstrap_ci_fast", "q_eb_rate"),
     "graph" -> Set("q_hits", "q_adamic_adar"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",
