@@ -186,7 +186,10 @@ object Bench {
     // deliberately NOT priced: its 50/50 fixture re-runs the merge, so
     // its wall-clock is q_item_cf_incremental's (already priced) plus a
     // filter — BenchOne-probed at 4.7 s, serving value is delta << corpus
-    "q_dr_replay", "q_croston_sba", "q_rdd", "q_ratio_delta", "q_eb_rate")
+    "q_dr_replay", "q_croston_sba", "q_rdd", "q_ratio_delta", "q_eb_rate",
+    // round-15 batch 2 (per-query only): mixture-SPRT always-valid
+    // sequential monitor (the peeking-legal test)
+    "q_msprt")
 
   /** Oracle fixtures priced OUTSIDE the timed headline: one single
     * sample after the timed passes, reported under `spot_check`,
@@ -214,7 +217,7 @@ object Bench {
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
       "q_attribution", "q_page_hinkley", "q_croston_sba"),
     "experiment" -> Set("q_cuped", "q_shapley_sampled", "q_dr_replay",
-      "q_rdd", "q_ratio_delta"),
+      "q_rdd", "q_ratio_delta", "q_msprt"),
     "mining" -> Set("q_item_cf", "q_item_cf_incremental",
       "q_winsorize_approx", "q_quantile_normalize_approx",
       "q_bootstrap_ci_fast", "q_eb_rate"),

@@ -564,6 +564,54 @@ object ExperimentQ extends QueryGroup {
               |  ROUND(sd / sqrt(nl), 6) AS se
               |FROM g""".stripMargin)),
 
+    // Mixture-SPRT / always-valid p-value per event_type (Johari et
+    // al. 2017): the sequential monitor that stays valid under
+    // peeking — N(0, tau^2)-mixed likelihood ratio on value vs the
+    // declared null mean, reject when the running max of ln(Lambda)
+    // crosses ln(1/alpha). Constants (sigma^2=841, tau^2=25, mu0=50,
+    // the bound) are JVM literals injected into BOTH plans; the
+    // verdict compares 6-dp-rounded ln(Lambda) on both engines.
+    QueryDef("q_msprt", (s, dir) =>
+      Experiment.msprt(Tables.load(s, dir, "events"),
+        keys = Seq("event_type"), tsCol = "ts", valueCol = "value",
+        mu0 = 50.0, sigma = 29.0, tau = 5.0, alpha = 0.05,
+        tiebreak = Seq("event_id")), {
+      val bound = math.log(1.0 / 0.05)
+      Some(s"""WITH o AS (SELECT event_type, ts, event_id,
+              |    CAST(value AS DOUBLE) AS x
+              |  FROM events WHERE value IS NOT NULL),
+              |r AS (SELECT event_type,
+              |    ROW_NUMBER() OVER w AS i,
+              |    SUM(x - CAST(50.0 AS DOUBLE)) OVER (
+              |      PARTITION BY event_type ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+              |  FROM o
+              |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+              |l AS (SELECT event_type, i,
+              |    0.5 * ln(CAST(841.0 AS DOUBLE) / (841.0 + i * 25.0)) +
+              |    (25.0 * s * s) / (2.0 * 841.0 * (841.0 + i * 25.0)) AS lnl
+              |  FROM r),
+              |mm AS (SELECT event_type, i,
+              |    MAX(lnl) OVER (PARTITION BY event_type ORDER BY i
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+              |  FROM l),
+              |d AS (SELECT *, CASE WHEN ROUND(mx, 6) >=
+              |      CAST(${f"$bound%.17g"} AS DOUBLE) THEN 'reject' END
+              |      AS dec
+              |  FROM mm),
+              |g AS (SELECT *,
+              |    MAX(i) OVER (PARTITION BY event_type) AS n,
+              |    MIN(CASE WHEN dec IS NOT NULL THEN i END)
+              |      OVER (PARTITION BY event_type) AS hit
+              |  FROM d)
+              |SELECT event_type, CAST(n AS BIGINT) AS n_total,
+              |  CAST(i AS BIGINT) AS n_decision,
+              |  ROUND(mx, 6) AS log_lambda,
+              |  ROUND(LEAST(1.0, exp(-mx)), 6) AS p_always_valid,
+              |  COALESCE(dec, 'continue') AS decision
+              |FROM g WHERE i = COALESCE(hit, n)""".stripMargin)
+    }),
+
     // Delta-method ratio-metric test (Deng et al. 2018): revenue per
     // event under USER-level randomization — events within a user are
     // correlated, so the variance comes from per-user (cents, events)

@@ -284,6 +284,33 @@ class ExperimentSpec extends SparkSpec {
       policy, empty).collect().head.getAs[Double]("value_dr") == 100.0)
   }
 
+  test("msprt: always-valid mixture test crosses at the hand-computed step; null data never rejects (p = 1)") {
+    // sigma = tau = 5, mu0 = 50. Key A observes 60s: S_n = 10n, so
+    // lnL_n = ½ln(1/(1+n)) + 2n²/(1+n) — 2.1174 at n=2 (< ln 20 =
+    // 2.9957), 3.8069 at n=3 (crossing). Key B sits exactly on the
+    // null: S = 0, lnL < 0 for all n, running max = ½ln(½) -> p = 1.
+    val rows = Seq(
+      ("A", 1L, 60.0), ("A", 2L, 60.0), ("A", 3L, 60.0),
+      ("A", 4L, 60.0), ("A", 5L, 60.0),
+      ("B", 1L, 50.0), ("B", 2L, 50.0), ("B", 3L, 50.0), ("B", 4L, 50.0))
+      .toDF("k", "t", "v")
+    val out = Experiment.msprt(rows, Seq("k"), "t", "v",
+      mu0 = 50.0, sigma = 5.0, tau = 5.0, alpha = 0.05).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert(a.getAs[String]("decision") == "reject")
+    assert(a.getAs[Long]("n_total") == 5)
+    assert(a.getAs[Long]("n_decision") == 3, "first crossing, not the max")
+    val expected = BigDecimal(4.5 - 0.5 * math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getAs[Double]("log_lambda") == expected)
+    assert(a.getAs[Double]("p_always_valid") < 0.05)
+    val b = out("B")
+    assert(b.getAs[String]("decision") == "continue")
+    assert(b.getAs[Long]("n_decision") == 4)
+    assert(b.getAs[Double]("p_always_valid") == 1.0)
+  }
+
   test("deltaMethodRatio: hand-computed cluster variances; event-grain rows never count as units") {
     // treatment clusters: t1 sums (6, 2), t2 (2, 1) -> R_t = 8/3,
     // Var_t = (8 - 2·(8/3)·2 + (8/3)²·0.5) / (2·1.5²) = (8/9)/4.5;

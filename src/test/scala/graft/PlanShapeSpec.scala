@@ -632,9 +632,9 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_page_hinkley / q_sprt: join-free, one key exchange (the cusum family)") {
+  test("q_page_hinkley / q_sprt / q_msprt: join-free, one key exchange (the cusum family)") {
     for ((name, key) <- Seq("q_page_hinkley" -> "user_id",
-        "q_sprt" -> "event_type")) {
+        "q_sprt" -> "event_type", "q_msprt" -> "event_type")) {
       val p = plan(name)
       assert(!p.toString.contains("Join"), s"$name must be join-free:\n$p")
       val bulk = shuffles(p).filterNot(underBroadcast(p))
