@@ -106,7 +106,6 @@ object Experiment {
       .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val xi = when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L)
-    val wk = Window.partitionBy(keys.map(col): _*)
     val withLlr = df
       .withColumn("__i", row_number().over(w))
       .withColumn("__pos", sum(xi).over(run))
@@ -115,19 +114,27 @@ object Experiment {
       .withColumn("__dec",
         when(col("__llr") >= hi, lit("accept_h1"))
           .when(col("__llr") <= lo, lit("accept_h0")))
-    // The report row per key is the FIRST crossing, or the last
-    // observation if the test never decides — one unpartitioned-free
-    // window pass, no self-join.
-    withLlr
-      .withColumn("__n", max(col("__i")).over(wk))
+    reportFirstCrossing(withLlr, keys, Seq(round(col("__llr"), 6).as("llr")))
+  }
+
+  /** Report row per key at the FIRST crossing — or the last
+    * observation when the monitor never decides: one key-window pass,
+    * no self-join. Shared by the sequential monitors ([[sprt]],
+    * [[msprt]]); expects `__i` (step index) and `__dec` (nullable
+    * decision label) on the input, emits keys ++ (n_total, n_decision)
+    * ++ payload ++ decision (null → 'continue'). */
+  private def reportFirstCrossing(df: DataFrame, keys: Seq[String],
+      payload: Seq[Column]): DataFrame = {
+    val wk = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__n", max(col("__i")).over(wk))
       .withColumn("__hit",
         min(when(col("__dec").isNotNull, col("__i"))).over(wk))
       .filter(col("__i") === coalesce(col("__hit"), col("__n")))
       .select(
-        (keys.map(col) :+
+        ((keys.map(col) :+
           col("__n").cast("long").as("n_total") :+
-          col("__i").cast("long").as("n_decision") :+
-          round(col("__llr"), 6).as("llr") :+
+          col("__i").cast("long").as("n_decision")) ++
+          payload :+
           coalesce(col("__dec"), lit("continue")).as("decision")): _*)
   }
 
@@ -151,8 +158,12 @@ object Experiment {
    * and p_n = min(1, 1/max_{m≤n} Λ_m); reject when the RUNNING MAX of
    * ln Λ crosses ln(1/α). The verdict compares 6-dp-ROUNDED ln Λ
    * against the JVM-literal bound on both engines (the bhFdr
-   * round-before-verdict convention), so a last-ulp libm ln cannot
-   * flip a decision across engines.
+   * round-before-verdict convention). Honest caveat: S_n is a double
+   * window fold and ln is libm, so engines can differ in the last
+   * ulps — the rounding makes a verdict flip possible only when ln Λ
+   * at a crossing row lands exactly ON a 6-dp rounding midpoint
+   * adjacent to the bound (the documented bhFdr residual class), not
+   * on every last-ulp wobble.
    *
    * Output: one row per key at the FIRST crossing (or the last
    * observation when the test never rejects) — n_total, n_decision,
@@ -171,7 +182,6 @@ object Experiment {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wk = Window.partitionBy(keys.map(col): _*)
     val x = col(valueCol).cast("double")
     val denom = lit(s2) + col("__i") * lit(t2)
     val withL = df.filter(x.isNotNull)
@@ -183,19 +193,9 @@ object Experiment {
       .withColumn("__mx", max(col("__ln")).over(run))
       .withColumn("__dec",
         when(round(col("__mx"), 6) >= lit(bound), lit("reject")))
-    withL
-      .withColumn("__n", max(col("__i")).over(wk))
-      .withColumn("__hit",
-        min(when(col("__dec").isNotNull, col("__i"))).over(wk))
-      .filter(col("__i") === coalesce(col("__hit"), col("__n")))
-      .select(
-        (keys.map(col) :+
-          col("__n").cast("long").as("n_total") :+
-          col("__i").cast("long").as("n_decision") :+
-          round(col("__mx"), 6).as("log_lambda") :+
-          round(least(lit(1.0), exp(-col("__mx"))), 6)
-            .as("p_always_valid") :+
-          coalesce(col("__dec"), lit("continue")).as("decision")): _*)
+    reportFirstCrossing(withL, keys, Seq(
+      round(col("__mx"), 6).as("log_lambda"),
+      round(least(lit(1.0), exp(-col("__mx"))), 6).as("p_always_valid")))
   }
 
   /** The two SPRT per-observation LLR increments (success, failure) —

@@ -352,8 +352,8 @@ object MiningQ extends QueryGroup {
              |br AS (SELECT *,
              |    CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS r
              |  FROM bk),
-             |pr AS (SELECT ROUND(AVG(r), 6) AS m,
-             |    ROUND(var_samp(r), 6) AS v FROM br),
+             |pr AS (SELECT ROUND(AVG(r), 12) AS m,
+             |    ROUND(var_samp(r), 12) AS v FROM br),
              |ab AS (SELECT
              |    CASE WHEN v > 0 AND v < m * (1.0 - m)
              |      THEN m * (m * (1.0 - m) / v - 1.0) END AS a,

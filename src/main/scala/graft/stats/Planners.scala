@@ -737,10 +737,12 @@ object Planners {
    *
    * Output: per key — trials, successes, rate (6 dp), shrunk_rate
    * (6 dp), plus the shared alpha/beta (6 dp) repeated. The prior's
-   * moment estimates are quantized at 6 dp before deriving α/β (the
+   * moment estimates are quantized at 12 dp before deriving α/β (the
    * avg/var fold order is the one unpinned double reduction here; the
    * quantization makes the whole serving table a pure IEEE function
-   * of two pinned statistics). Scale shape:
+   * of two pinned statistics, and the fine grid keeps k = m(1−m)/v
+   * faithful even for tight-rate populations with v near 1e-7).
+   * Scale shape:
    * ONE hash aggregate to key grain, a one-row prior fit broadcast
    * back — nothing unit-grain survives; the moment fit is a plain
    * avg/var over key-grain rows.
@@ -758,12 +760,19 @@ object Planners {
         col("successes").cast("double") / col("trials").cast("double"))
     // the prior moments are the ONE unpinned double fold in this
     // operator (avg/var_samp partial-agg order differs across engines
-    // and runs) — quantize them at 6 dp BEFORE deriving the prior, so
+    // and runs) — quantize them BEFORE deriving the prior, so
     // alpha/beta (and through them every key's shrunk rate) are a pure
     // IEEE function of two pinned statistics rather than of an
-    // engine-specific last ulp
-    val prior = byKey.agg(round(avg(col("__r")), 6).as("__m"),
-        round(var_samp(col("__r")), 6).as("__v"))
+    // engine-specific last ulp. The grid is 12 dp, NOT the usual 6:
+    // k = m(1−m)/v is hyperbolic in v, so a coarse grid would distort
+    // the prior near its floor and null it entirely for tight-rate
+    // populations (true var < 5e-7 — CTRs agreeing to 4 decimals —
+    // is exactly where shrinkage matters most); at 1e-12 the grid
+    // still absorbs the ~1e-16-relative fold noise with orders of
+    // magnitude to spare, and only genuinely zero-variance rate sets
+    // (identical to ~6 digits) null out
+    val prior = byKey.agg(round(avg(col("__r")), 12).as("__m"),
+        round(var_samp(col("__r")), 12).as("__v"))
       .withColumn("__ok", col("__v") > 0 &&
         col("__v") < col("__m") * (lit(1.0) - col("__m")))
       .withColumn("__k", when(col("__ok"),

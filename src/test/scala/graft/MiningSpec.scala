@@ -220,6 +220,18 @@ class MiningSpec extends SparkSpec {
     assert(deg("X").getAs[Double]("rate") == 1.0)
     assert(deg("X").isNullAt(deg("X").fieldIndex("shrunk_rate")))
     assert(deg("X").isNullAt(deg("X").fieldIndex("alpha")))
+    // tight-rate population (true var ~5e-11, far below a 6-dp grid but
+    // well above the 12-dp one): the prior must still FIT — a coarse
+    // moment grid would round v to 0 and null the shrinkage exactly
+    // where it matters most. Pre-aggregated (success, trial) rows are
+    // legal input: the operator sums them per key.
+    val tight = Seq(("P", 50001, 100000), ("Q", 49999, 100000),
+      ("R", 50000, 100000)).toDF("k", "s", "t")
+    val tr = Planners.ebShrinkRates(tight, Seq("k"), "s", "t").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!tr("P").isNullAt(tr("P").fieldIndex("alpha")),
+      "tight-rate prior must fit at the 12-dp grid")
+    assert(tr("P").getAs[Double]("alpha") > 0)
   }
 
   test("winsorizeFitApprox: each bound lands in the sketch's rank band; serves through the same apply") {
