@@ -129,12 +129,15 @@ object Cf {
    *
    * The cap counts with a groupBy (partial hash-agg below the exchange:
    * a 10⁸-row bot user pre-combines to one row per input partition) and
-   * removes the over-cap user list — at most totalRatings/cap entries —
-   * via a broadcast anti-join, the r11-hardened shingle-df-cap shape
-   * and the same groupBy counting [[cfMerge]] already uses. A window
-   * count would funnel a bot user's ENTIRE row set into one task before
-   * the filter. Exchange reuse dedupes the shared distinct subtree at
-   * runtime, so the count branch costs no second shuffle of the corpus.
+   * removes the over-cap user list via an anti-join whose strategy is
+   * left to the planner/AQE — the list is bounded by totalRatings/cap
+   * entries, which at a small cap over a 10⁹-row corpus is MILLIONS of
+   * user ids, too large to force onto the driver (the
+   * [[graft.ops.Privacy]] suppressRare convention: broadcast when small
+   * at runtime, skew-split shuffle join when not). A window count would
+   * funnel a bot user's ENTIRE row set into one task before the filter.
+   * Exchange reuse dedupes the shared distinct subtree at runtime, so
+   * the count branch costs no second shuffle of the corpus.
    */
   def cfFit(df: DataFrame, userCol: String, itemCol: String,
       maxUserItems: Int = 1000): CfState = {
@@ -144,7 +147,7 @@ object Cf {
       .agg(count(lit(1)).as("__ui"))
       .filter(col("__ui") > maxUserItems)
       .select(col("__u"))
-    val capped = ratings.join(broadcast(overCap), Seq("__u"), "left_anti")
+    val capped = ratings.join(overCap, Seq("__u"), "left_anti")
     val items = capped.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val pairs = capped.select(col("__u"), col("__i").as("__ia"))
       .join(capped.select(col("__u"), col("__i").as("__ib")), Seq("__u"))

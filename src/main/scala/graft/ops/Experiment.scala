@@ -263,6 +263,74 @@ object Experiment {
   }
 
   /**
+   * SEQUENTIAL sample-ratio-mismatch guardrail — [[msprt]] composed
+   * over the arm-assignment indicator, so a broken ramp is caught
+   * MID-FLIGHT instead of at [[srmCheck]]'s fixed-horizon readout (and
+   * peeking at every micro-batch stays legal: the mixture construction
+   * keeps P(any false alarm) ≤ α). For each DECLARED arm a with
+   * normalized share q_a, the indicator xᵢ = 1{armᵢ = a} is
+   * Bernoulli(q_a) under "the ramp is what we declared", so the
+   * per-arm monitor runs the mSPRT with μ0 = q_a, σ² = q_a(1 − q_a):
+   * S_n = pos_n − n·q_a is an integer count minus a count-times-literal
+   * product (bit-exact on any engine), and ln Λ_n is the [[msprt]]
+   * formula with the per-arm σ² joined in from the declared table. A
+   * rejection on ANY arm's row is the alarm; drift in either direction
+   * (over- or under-assignment) is caught by the squared S_n.
+   *
+   * Output: one row per declared arm at its FIRST crossing (or the
+   * last observation) — arm, share (the declared fraction, 6 dp),
+   * n_total, n_decision, log_lambda (running max, 6 dp),
+   * p_always_valid (6 dp), decision 'reject'/'continue'. Scale shape:
+   * the |arms|-row declared table broadcasts onto one assignment-log
+   * scan; each arm's monitor is one ordered window pass over the log
+   * (the sequence IS the statistic — the [[sprt]]/[[msprt]] inherent
+   * shape; |arms| parallel window partitions, no joins after the
+   * broadcast).
+   */
+  def srmSequential(df: DataFrame, armCol: String, tsCol: String,
+      expected: Seq[(String, Double)], tau: Double,
+      alpha: Double = 0.05, tiebreak: Seq[String] = Nil): DataFrame = {
+    require(expected.size >= 2, "need >= 2 declared arms")
+    require(expected.forall(_._2 > 0), "shares must be positive")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "arm names must be distinct")
+    require(tau > 0, "tau must be > 0")
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    val total = expected.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    // shares and σ² computed ONCE in the JVM — both engines join the
+    // same double literals, no per-row float derivation can drift
+    val declared = expected.map { case (a, w) =>
+      val q = w / total; (a, q, q * (1.0 - q))
+    }.toDF("__arm", "__share", "__s2")
+    val t2 = tau * tau
+    val bound = math.log(1.0 / alpha)
+    val w = Window.partitionBy(col("__arm"))
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val denom = col("__s2") + col("__i") * lit(t2)
+    val withL = df
+      .filter(col(armCol).isin(expected.map(_._1): _*))
+      .crossJoin(broadcast(declared))
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__pos",
+        sum(when(col(armCol) === col("__arm"), 1L).otherwise(0L)).over(run))
+      .withColumn("__s", col("__pos") - col("__i") * col("__share"))
+      .withColumn("__ln", lit(0.5) * log(col("__s2") / denom) +
+        (lit(t2) * col("__s") * col("__s")) /
+          (lit(2.0) * col("__s2") * denom))
+      .withColumn("__mx", max(col("__ln")).over(run))
+      .withColumn("__dec",
+        when(round(col("__mx"), 6) >= lit(bound), lit("reject")))
+      .withColumn("arm", col("__arm"))
+      .withColumn("share", round(col("__share"), 6))
+    reportFirstCrossing(withL, Seq("arm", "share"), Seq(
+      round(col("__mx"), 6).as("log_lambda"),
+      round(least(lit(1.0), exp(-col("__mx"))), 6).as("p_always_valid")))
+  }
+
+  /**
    * Uplift / Qini curve (Radcliffe 2007): rank units by a targeting
    * score (best-first), cut into `buckets` equal-count bins, and report
    * the CUMULATIVE treated-vs-control response contrast at each depth —
@@ -646,7 +714,9 @@ object Experiment {
         col(armCol) === col("__parm"))
       .withColumn("__ru", round(r * 1e6).cast("long"))
       .agg(count(lit(1)).as("n_logged"),
-        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_matched"),
+        // empty log slice: 0 matched, not NULL-as-unknown
+        coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+          .as("n_matched"),
         sum(when(col("__hit"), col("__ru"))).as("__sp"),
         sum(col("__ru")).as("__sl"))
       .select(col("n_logged"), col("n_matched"),
@@ -730,9 +800,12 @@ object Experiment {
         sum(col(denCol).cast("double")).as("__y"))
     val t = col("__arm") === treatArm
     def s(p: Column, c: Column) = sum(when(p, c))
+    // coalesce the cluster counts: a sum over an EMPTY relation (zero
+    // rows surviving the arm/null filter) is NULL, which would read as
+    // "unknown" where the natural answer is 0 clusters
     val g = byCluster.agg(
-      sum(when(t, 1L).otherwise(0L)).as("n_treat"),
-      sum(when(!t, 1L).otherwise(0L)).as("n_ctrl"),
+      coalesce(sum(when(t, 1L).otherwise(0L)), lit(0L)).as("n_treat"),
+      coalesce(sum(when(!t, 1L).otherwise(0L)), lit(0L)).as("n_ctrl"),
       s(t, col("__x")).as("sxt"), s(t, col("__y")).as("syt"),
       s(t, col("__x") * col("__x")).as("sxxt"),
       s(t, col("__x") * col("__y")).as("sxyt"),
@@ -906,7 +979,9 @@ object Experiment {
       .withColumn("__psi", col("__mp") + when(col("__hit"),
         (r - coalesce(col("__mu_a"), lit(0.0))) / p).otherwise(lit(0.0)))
       .agg(count(lit(1)).as("n_logged"),
-        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_matched"),
+        // empty covered slice: 0 matched, not NULL-as-unknown
+        coalesce(sum(when(col("__hit"), 1L).otherwise(0L)), lit(0L))
+          .as("n_matched"),
         avg(col("__mp")).as("__vm"), avg(col("__psi")).as("__vd"),
         stddev_samp(col("__psi")).as("__sd"))
       .select(col("n_logged"), col("n_matched"),

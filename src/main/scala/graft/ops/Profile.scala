@@ -213,16 +213,26 @@ object Profile {
    * (entropy says "how many effective groups", Gini says "how lopsided
    * is the mass"): token share across sources, spend across customers,
    * traffic across hosts. Computed on the rank form
-   * G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over ascending xᵢ (ties broken by
-   * `idCol` — any total order over equal values gives the same sum).
+   * G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over ascending xᵢ, aggregated to
+   * VALUE GRAIN: a run of c tied values with C rows strictly below
+   * contributes Σ(2i − n − 1) = c·(2C + c − n) whatever the intra-tie
+   * order (`idCol` is kept for signature stability but never consulted
+   * — any total order over equal values yields the same sum), so
+   * num = Σ_v x·c·(2C + c) − n·total needs ONE cumulative-count window
+   * over the distinct-value table, never a row-grain rank.
    *
    * Exactness: the measure is taken in integer units (`valueCol` must
    * be integral — pre-scale money to cents), so numerator and
-   * denominator are EXACT integer sums; the single division is the only
-   * floating-point op. One global sort-rank over the input — intended
-   * for GROUP-GRAIN tables (per-source/per-customer rollups), same
-   * statistic-sized-window convention as
-   * [[graft.stats.Planners.mannWhitneyU]].
+   * denominator are EXACT integer sums (algebraically identical to the
+   * row-grain rank form — oracle hashes unchanged); the single division
+   * is the only floating-point op. Scale shape: one hash-aggregate to
+   * distinct values, then the cumulative window scans the
+   * |distinct|-row value table — the
+   * [[graft.stats.Planners.mannWhitneyU]] statistic-sized-window
+   * convention, now actually holding here (the previous row-grain
+   * rank funneled the ENTIRE input through one window task). Integer
+   * cents already bound |distinct|; pre-quantize any genuinely
+   * continuous measure to a grid first.
    *
    * Output: one row `(n, total, gini)` — gini 6 dp, null when n = 0 or
    * total = 0.
@@ -230,27 +240,28 @@ object Profile {
   def gini(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val x = col(valueCol).cast("long")
-    val ord = Window.partitionBy(lit(1))
-      .orderBy(col("__x").asc, col(idCol).asc)
-    val all = Window.partitionBy(lit(1)).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
+    val below = Window.orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     df.filter(x.isNotNull && x >= 0)
-      .select(col(idCol), x.as("__x"))
-      .withColumn("__i", row_number().over(ord).cast("long"))
-      .withColumn("__n", count(lit(1)).over(all))
-      // each term |2i−n−1|·x fits a long (≤ n·x), but the SUM does not
-      // at the documented grain (1e8 units × 1e5 cents ≈ 1e21): sum in
-      // decimal(38,0) — exact like DuckDB's HUGEINT aggregate, no
-      // silent wraparound. The denominator likewise exceeds long, so it
-      // multiplies in double (exact integers → IEEE product, identical
-      // on both engines below 2^53, last-ulp at most above it — inside
-      // the 6-dp round).
-      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
-        sum(((lit(2L) * col("__i") - col("__n") - 1L) * col("__x"))
-          .cast("decimal(38,0)")).as("__num"))
+      .select(x.as("__x"))
+      .groupBy(col("__x")).agg(count(lit(1)).as("__c"))
+      .withColumn("__b", coalesce(sum(col("__c")).over(below), lit(0L)))
+      // per-term x·c·(2C + c) reaches n²·x when one value dominates
+      // (1e16 ties × 1e5 cents ≈ 1e21 at the documented grain) — cast
+      // to decimal(38,0) BEFORE multiplying so the product never passes
+      // through a long; the sum is exact like DuckDB's HUGEINT
+      // aggregate, and the n·total subtraction stays in decimal for the
+      // same reason. The denominator multiplies in double (exact
+      // integers → IEEE product, identical on both engines below 2^53,
+      // last-ulp at most above it — inside the 6-dp round).
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n"),
+        sum(col("__x") * col("__c")).as("total"),
+        sum(col("__x").cast("decimal(38,0)") * col("__c") *
+          (lit(2L) * col("__b") + col("__c"))).as("__m"))
       .select(col("n"), col("total"),
         when(col("n") > 0 && col("total") > 0,
-          round(col("__num").cast("double") /
+          round((col("__m") - col("n").cast("decimal(38,0)") *
+              col("total").cast("decimal(38,0)")).cast("double") /
             (col("n").cast("double") * col("total")), 6)).as("gini"))
   }
 }

@@ -379,10 +379,13 @@ object Text {
    * Exact and engine-replayable: a term's first-occurrence doc is a
    * min-aggregate, so vocab-at-checkpoint is just a count of terms with
    * first_doc <= the checkpoint's max id — no iterative scan. The doc
-   * ntile is a global window over the per-DOC token-count table (one row
-   * per doc); at 100 TB checkpoint on fixed id ranges instead. Docs with
-   * zero non-empty tokens carry no vocabulary and are excluded from the
-   * document ordering.
+   * checkpoint assignment is [[graft.ops.Select.ntileBuckets]] — exact
+   * SQL NTILE semantics computed by range-partition + per-partition
+   * offsets, so the per-DOC token-count table is never funneled through
+   * a single global window task (doc grain is billions of rows at
+   * corpus scale; the checkpoint and cumulative aggregates after it are
+   * checkpoint-grain). Docs with zero non-empty tokens carry no
+   * vocabulary and are excluded from the document ordering.
    *
    * Output: (checkpoint, max_doc, cum_docs, cum_tokens, vocab).
    */
@@ -392,10 +395,10 @@ object Text {
     val ex = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
     val docTok = ex.groupBy(col(idCol)).agg(count(lit(1)).as("nt"))
-    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     val run = org.apache.spark.sql.expressions.Window.orderBy(col("ck"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = docTok.withColumn("ck", ntile(nCheckpoints).over(wOrd))
+    val cum = graft.ops.Select.ntileBuckets(docTok, Seq(col(idCol)),
+        nCheckpoints, bucketCol = "ck")
       .groupBy(col("ck"))
       .agg(count(lit(1)).as("n_docs"), max(col(idCol)).as("max_doc"),
         sum(col("nt")).as("toks"))

@@ -38,10 +38,10 @@ object ExperimentQ extends QueryGroup {
     * exact op shapes (same parenthesization, same guards). */
   private def deltaSql(src: String): String =
     s"""dg AS (SELECT
-       |    CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS nt,
-       |    CAST(SUM(CASE WHEN arm <> 'treatment' THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS nc,
+       |    CAST(COALESCE(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END),
+       |      0) AS BIGINT) AS nt,
+       |    CAST(COALESCE(SUM(CASE WHEN arm <> 'treatment' THEN 1 ELSE 0 END),
+       |      0) AS BIGINT) AS nc,
        |    SUM(CASE WHEN arm = 'treatment' THEN x END) AS sxt,
        |    SUM(CASE WHEN arm = 'treatment' THEN y END) AS syt,
        |    SUM(CASE WHEN arm = 'treatment' THEN x * x END) AS sxxt,
@@ -479,7 +479,8 @@ object ExperimentQ extends QueryGroup {
               |  FROM l LEFT JOIN pol ON pol.ctx = l.ctx
               |  WHERE l.ts >= TIMESTAMP '$Cut'),
               |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
-              |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+              |    CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0)
+              |      AS BIGINT) AS nm,
               |    SUM(CASE WHEN hit THEN ru END) AS sp, SUM(ru) AS sl
               |  FROM e)
               |SELECT nl AS n_logged, nm AS n_matched,
@@ -553,7 +554,77 @@ object ExperimentQ extends QueryGroup {
               |    mp + (CASE WHEN hit THEN (r - ma) / p ELSE 0.0 END) AS psi
               |  FROM e),
               |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
-              |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+              |    CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0)
+              |      AS BIGINT) AS nm,
+              |    AVG(mp) AS vm, AVG(psi) AS vd, stddev_samp(psi) AS sd
+              |  FROM ps)
+              |SELECT nl AS n_logged, nm AS n_matched,
+              |  CAST((nm * 2000000 + nl) // (2 * nl) AS DOUBLE) / 1e6
+              |    AS match_rate,
+              |  ROUND(vm, 6) AS value_model,
+              |  ROUND(vd, 6) AS value_dr,
+              |  ROUND(sd / sqrt(nl), 6) AS se
+              |FROM g""".stripMargin)),
+
+    // The fit->evaluate WORKFLOW under a hash split (the q_dr_replay
+    // fixture splits on time; this one splits on a salted event hash,
+    // the cross-validation shape a policy study actually runs): greedy
+    // policy + reward model fitted on the even half, DR-evaluated on
+    // the odd half, the same pinned micro-unit quantization end to end.
+    QueryDef("q_dr_replay_e2e", (s, dir) => {
+      val half = md5Val16(concat(col("event_id").cast("string"),
+        lit("#s"))) < 32768
+      val l = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("ctx", col("user_id") % 10)
+        .withColumn("armL", md5Val16(col("event_id")) % 4)
+        .withColumn("prop", lit(0.1) + lit(0.4) *
+          md5Val16(concat(col("event_id").cast("string"), lit("#p")))
+            .cast("double") / 65536.0)
+      val fit = l.filter(half)
+      val policy = Experiment.greedyPolicy(fit, "ctx", "armL", "value")
+      val model = fit
+        .groupBy(col("ctx"), col("armL").as("arm"))
+        .agg(sum(round(col("value") * 1e6).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("ctx"), col("arm"),
+          (col("__s").cast("double") / col("__n") / 1e6).as("mu"))
+      Experiment.drReplay(l.filter(!half), "ctx", "armL",
+        "value", "prop", policy, model)
+    },
+      Some(s"""WITH l AS (SELECT user_id % 10 AS ctx,
+              |    ${md5Val16Sql("event_id")} % 4 AS arm,
+              |    CAST(value AS DOUBLE) AS r,
+              |    (${md5Val16Sql("CAST(event_id AS VARCHAR) || '#s'")})
+              |      < 32768 AS half,
+              |    CAST(0.1 AS DOUBLE) + CAST(0.4 AS DOUBLE) *
+              |      (${md5Val16Sql("CAST(event_id AS VARCHAR) || '#p'")})
+              |      / 65536.0 AS p0
+              |  FROM events WHERE value IS NOT NULL),
+              |f AS (SELECT ctx, arm,
+              |    CAST(SUM(CAST(ROUND(r * 1000000) AS BIGINT)) AS BIGINT) AS s,
+              |    COUNT(*) AS n
+              |  FROM l WHERE half GROUP BY 1, 2),
+              |mdl AS (SELECT ctx, arm, CAST(s AS DOUBLE) / n / 1e6 AS mu
+              |  FROM f),
+              |pol AS (SELECT ctx, arm FROM (SELECT ctx, arm,
+              |    ROW_NUMBER() OVER (PARTITION BY ctx
+              |      ORDER BY CAST(s AS DOUBLE) / n DESC, s DESC, arm ASC)
+              |      AS rk FROM f) WHERE rk = 1),
+              |e AS (SELECT l.r,
+              |    GREATEST(l.p0, CAST(0.01 AS DOUBLE)) AS p,
+              |    (l.arm = pol.arm) AS hit,
+              |    COALESCE(m1.mu, 0.0) AS mp, COALESCE(m2.mu, 0.0) AS ma
+              |  FROM l JOIN pol ON pol.ctx = l.ctx
+              |  LEFT JOIN mdl m1 ON m1.ctx = l.ctx AND m1.arm = pol.arm
+              |  LEFT JOIN mdl m2 ON m2.ctx = l.ctx AND m2.arm = l.arm
+              |  WHERE NOT l.half),
+              |ps AS (SELECT hit, mp,
+              |    mp + (CASE WHEN hit THEN (r - ma) / p ELSE 0.0 END) AS psi
+              |  FROM e),
+              |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl,
+              |    CAST(COALESCE(SUM(CASE WHEN hit THEN 1 ELSE 0 END), 0)
+              |      AS BIGINT) AS nm,
               |    AVG(mp) AS vm, AVG(psi) AS vd, stddev_samp(psi) AS sd
               |  FROM ps)
               |SELECT nl AS n_logged, nm AS n_matched,
@@ -612,6 +683,69 @@ object ExperimentQ extends QueryGroup {
               |FROM g WHERE i = COALESCE(hit, n)""".stripMargin)
     }),
 
+    // Sequential SRM guardrail: the mSPRT composed over the per-arm
+    // assignment indicator (mu0 = declared share, sigma^2 = q(1-q)),
+    // so a mid-ramp assignment bug alarms IN-FLIGHT instead of at the
+    // fixed-horizon srmCheck readout. Fixture: hash-assignment whose
+    // treatment threshold silently drops from 50% to ~35% at the
+    // mid-month cut — the monitor must cross on both arms at a pinned
+    // n. tau = 0.5 so tau^2 = 0.25 is IEEE-exact; S_n is an integer
+    // count minus count x literal, bit-identical across engines.
+    QueryDef("q_srm_sequential", (s, dir) =>
+      Experiment.srmSequential(Tables.load(s, dir, "events")
+          .withColumn("arm_obs",
+            when(md5Val16(col("event_id")) <
+                when(col("ts") < lit(Cut).cast("timestamp"), 32768L)
+                  .otherwise(22938L),
+              lit("treatment")).otherwise(lit("control"))),
+        "arm_obs", "ts", Seq("treatment" -> 0.5, "control" -> 0.5),
+        tau = 0.5, alpha = 0.05, tiebreak = Seq("event_id")), {
+      val bound = math.log(1.0 / 0.05)
+      Some(s"""WITH o AS (SELECT ts, event_id,
+              |    CASE WHEN ${md5Val16Sql("event_id")} <
+              |        (CASE WHEN ts < TIMESTAMP '$Cut'
+              |         THEN 32768 ELSE 22938 END)
+              |      THEN 'treatment' ELSE 'control' END AS arm_obs
+              |  FROM events),
+              |dd (arm, share, s2) AS (VALUES
+              |  ('treatment', CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+              |  ('control', CAST(0.5 AS DOUBLE), CAST(0.25 AS DOUBLE))),
+              |r AS (SELECT dd.arm, dd.share, dd.s2,
+              |    ROW_NUMBER() OVER w AS i,
+              |    SUM(CASE WHEN o.arm_obs = dd.arm THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY dd.arm ORDER BY o.ts, o.event_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS pos
+              |  FROM o CROSS JOIN dd
+              |  WINDOW w AS (PARTITION BY dd.arm ORDER BY o.ts, o.event_id)),
+              |l AS (SELECT arm, share, i,
+              |    0.5 * ln(s2 / (s2 + i * CAST(0.25 AS DOUBLE))) +
+              |    (CAST(0.25 AS DOUBLE) * (pos - i * share) *
+              |      (pos - i * share)) /
+              |      (2.0 * s2 * (s2 + i * CAST(0.25 AS DOUBLE))) AS lnl
+              |  FROM r),
+              |mm AS (SELECT arm, share, i,
+              |    MAX(lnl) OVER (PARTITION BY arm ORDER BY i
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+              |  FROM l),
+              |d2 AS (SELECT *, CASE WHEN ROUND(mx, 6) >=
+              |      CAST(${f"$bound%.17g"} AS DOUBLE) THEN 'reject' END
+              |      AS dec
+              |  FROM mm),
+              |g AS (SELECT *,
+              |    MAX(i) OVER (PARTITION BY arm) AS n,
+              |    MIN(CASE WHEN dec IS NOT NULL THEN i END)
+              |      OVER (PARTITION BY arm) AS hit
+              |  FROM d2)
+              |SELECT arm, ROUND(share, 6) AS share,
+              |  CAST(n AS BIGINT) AS n_total,
+              |  CAST(i AS BIGINT) AS n_decision,
+              |  ROUND(mx, 6) AS log_lambda,
+              |  ROUND(LEAST(1.0, exp(-mx)), 6) AS p_always_valid,
+              |  COALESCE(dec, 'continue') AS decision
+              |FROM g WHERE i = COALESCE(hit, n)""".stripMargin)
+    }),
+
     // Delta-method ratio-metric test (Deng et al. 2018): revenue per
     // event under USER-level randomization — events within a user are
     // correlated, so the variance comes from per-user (cents, events)
@@ -646,12 +780,13 @@ object ExperimentQ extends QueryGroup {
     QueryDef("q_switchback", (s, dir) =>
       Experiment.deltaMethodRatio(Tables.load(s, dir, "events")
           .filter(col("value").isNotNull)
-          // FLOOR division via pmod (div truncates toward zero; a
-          // pre-1970 glitch timestamp would otherwise land in a
-          // different bucket than the oracle's floor `//` — and merge
-          // two half-hours into bucket 0 analytically)
-          .withColumn("hb", expr("(unix_micros(ts) - " +
-            "pmod(unix_micros(ts), 3600000000)) div 3600000000"))
+          // plain truncating `div`, matching DuckDB `//` for ALL signs
+          // (verified on duckdb 1.0.0: (-7) // 2 = -3, i.e. `//`
+          // truncates toward zero exactly like Spark `div` — the
+          // earlier "DuckDB floors" belief was wrong, and the pmod
+          // floor-bucket built to match it actually DIVERGED from the
+          // oracle for pre-1970 timestamps)
+          .withColumn("hb", expr("unix_micros(ts) div 3600000000"))
           .withColumn("arm",
             when(md5Val16(col("hb")) < 32768, lit("treatment"))
               .otherwise(lit("control")))

@@ -367,6 +367,48 @@ object MiningQ extends QueryGroup {
              |  ROUND(a, 6) AS alpha, ROUND(b, 6) AS beta
              |FROM br CROSS JOIN ab""".stripMargin)),
 
+    // The sampling-noise-corrected prior on the same fixture: the raw
+    // rates' variance conflates true prior variance with binomial
+    // noise E[(m(1-m)-v)/n], so the plain MoM under-shrinks small-n
+    // keys; the correction inverts v_raw = v(1-H) + m(1-m)H with
+    // H = avg(1/trials), all three moments pinned at 12 dp on both
+    // engines before the (hyperbolic) k derivation.
+    QueryDef("q_eb_rate_corrected", (s, dir) =>
+      Planners.ebShrinkRatesCorrected(Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("succ"),
+            lit(1L).as("tri")),
+        Seq("user_id"), "succ", "tri"),
+      Some("""WITH bk AS (SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS successes,
+             |    CAST(COUNT(*) AS BIGINT) AS trials
+             |  FROM events GROUP BY 1),
+             |br AS (SELECT *,
+             |    CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS r
+             |  FROM bk),
+             |pr AS (SELECT ROUND(AVG(r), 12) AS m,
+             |    ROUND(var_samp(r), 12) AS vr,
+             |    ROUND(AVG(1.0 / CAST(trials AS DOUBLE)), 12) AS h
+             |  FROM br),
+             |pc AS (SELECT m,
+             |    CASE WHEN h < 1.0
+             |      THEN (vr - m * (1.0 - m) * h) / (1.0 - h) END AS v
+             |  FROM pr),
+             |ab AS (SELECT
+             |    CASE WHEN v > 0 AND v < m * (1.0 - m)
+             |      THEN m * (m * (1.0 - m) / v - 1.0) END AS a,
+             |    CASE WHEN v > 0 AND v < m * (1.0 - m)
+             |      THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0) END AS b
+             |  FROM pc)
+             |SELECT user_id, trials, successes,
+             |  ROUND(r, 6) AS rate,
+             |  ROUND((CAST(successes AS DOUBLE) + a) /
+             |    (CAST(trials AS DOUBLE) + a + b), 6) AS shrunk_rate,
+             |  ROUND(a, 6) AS alpha, ROUND(b, 6) AS beta
+             |FROM br CROSS JOIN ab""".stripMargin)),
+
     // Benjamini-Hochberg FDR over a 200-hypothesis battery: uniform
     // hash-derived p-values with every 10th hypothesis planted 1000x
     // stronger, so the step-up rule has real rejections to make. The

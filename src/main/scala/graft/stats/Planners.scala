@@ -194,27 +194,44 @@ object Planners {
    * in one aggregate — both engines produce the same doubles up to
    * partial-agg order at ~1e-15, inside the 6-dp round.
    *
-   * Scale shape: two global rank windows (the mannWhitneyU statistic
-   * convention — pre-quantize genuinely continuous values at 100 TB),
-   * one aggregate. Output: one row `(n, spearman)` — null when either
-   * column is constant (zero rank variance).
+   * Scale shape: midranks at VALUE GRAIN — the midrank of value v is
+   * (rows strictly below) + (ties + 1)/2, a pure function of the
+   * distinct-value count table, so each column needs one hash-aggregate
+   * plus a cumulative window over its |distinct|-row value table (the
+   * mannWhitneyU statistic convention — pre-quantize genuinely
+   * continuous values at 100 TB so |distinct| stays bounded), joined
+   * back onto the (a, b)-pair count table; never a row-grain global
+   * rank (which would sort the entire input in one window task). The
+   * five Pearson sums weight by the pair counts — identical per-row
+   * values to the unit-grain form, so oracle hashes are unchanged.
+   * Output: one row `(n, spearman)` — null when either column is
+   * constant (zero rank variance).
    */
   def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = col(aCol).cast("double")
     val b = col(bCol).cast("double")
-    def avgRank(c: org.apache.spark.sql.Column) =
-      rank().over(Window.partitionBy(lit(1)).orderBy(c.asc)).cast("double") +
-        (count(lit(1)).over(Window.partitionBy(c)) - 1) / lit(2.0)
-    val ranked = df.filter(a.isNotNull && b.isNotNull)
+    val pairs = df.filter(a.isNotNull && b.isNotNull)
       .select(a.as("__a"), b.as("__b"))
-      .withColumn("ra", avgRank(col("__a")))
-      .withColumn("rb", avgRank(col("__b")))
-    val s = ranked.agg(count(lit(1)).as("n"),
-      sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
-      sum(col("ra") * col("ra")).as("saa"),
-      sum(col("rb") * col("rb")).as("sbb"),
-      sum(col("ra") * col("rb")).as("sab"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__k"))
+    def midranks(vCol: String, out: String) = {
+      val below = Window.orderBy(col(vCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      pairs.groupBy(col(vCol)).agg(sum(col("__k")).as("__c"))
+        .withColumn(out,
+          coalesce(sum(col("__c")).over(below), lit(0L)).cast("double") +
+            (col("__c") + 1L) / lit(2.0))
+        .select(col(vCol), col(out))
+    }
+    val ranked = pairs
+      .join(midranks("__a", "ra"), Seq("__a"))
+      .join(midranks("__b", "rb"), Seq("__b"))
+    val k = col("__k").cast("double")
+    val s = ranked.agg(coalesce(sum(col("__k")), lit(0L)).as("n"),
+      sum(k * col("ra")).as("sa"), sum(k * col("rb")).as("sb"),
+      sum(k * col("ra") * col("ra")).as("saa"),
+      sum(k * col("rb") * col("rb")).as("sbb"),
+      sum(k * col("ra") * col("rb")).as("sab"))
     val va = col("n") * col("saa") - col("sa") * col("sa")
     val vb = col("n") * col("sbb") - col("sb") * col("sb")
     s.select(col("n"),
@@ -748,7 +765,31 @@ object Planners {
    * avg/var over key-grain rows.
    */
   def ebShrinkRates(df: DataFrame, keys: Seq[String], successCol: String,
-      trialCol: String): DataFrame = {
+      trialCol: String): DataFrame =
+    ebShrinkRatesImpl(df, keys, successCol, trialCol, correctedPrior = false)
+
+  /**
+   * [[ebShrinkRates]] with the SAMPLING-NOISE-CORRECTED moment prior.
+   * The plain MoM fits the prior on raw per-key rates, whose variance
+   * conflates the true prior variance with binomial sampling noise:
+   * Var(r̂ᵢ) = v + (m(1−m) − v)/nᵢ, so across keys
+   * v_raw ≈ v·(1 − H) + m(1−m)·H with H = avg(1/nᵢ) — the plain fit
+   * OVERSTATES v and therefore UNDER-shrinks exactly the small-n keys
+   * the operator exists for. The corrected estimate inverts that:
+   * v = (v_raw − m(1−m)·H) / (1 − H), then the usual proper-Beta guard
+   * (0 < v < m(1−m), plus H < 1 — all-singleton keys leave the
+   * correction undefined). Outside the guard the prior nulls and raw
+   * rates stand, the [[ebShrinkRates]] degenerate-prior contract.
+   * H quantizes at the same 12-dp grid as m and v_raw (one more
+   * unpinned avg fold; k = m(1−m)/v − 1 is hyperbolic downstream).
+   */
+  def ebShrinkRatesCorrected(df: DataFrame, keys: Seq[String],
+      successCol: String, trialCol: String): DataFrame =
+    ebShrinkRatesImpl(df, keys, successCol, trialCol, correctedPrior = true)
+
+  private def ebShrinkRatesImpl(df: DataFrame, keys: Seq[String],
+      successCol: String, trialCol: String,
+      correctedPrior: Boolean): DataFrame = {
     val kc = keys.map(col)
     val byKey = df
       .filter(col(successCol).isNotNull && col(trialCol).isNotNull)
@@ -772,7 +813,15 @@ object Planners {
     // magnitude to spare, and only genuinely zero-variance rate sets
     // (identical to ~6 digits) null out
     val prior = byKey.agg(round(avg(col("__r")), 12).as("__m"),
-        round(var_samp(col("__r")), 12).as("__v"))
+        round(var_samp(col("__r")), 12).as("__vr"),
+        round(avg(lit(1.0) / col("trials").cast("double")), 12).as("__h"))
+      // corrected: invert v_raw = v(1−H) + m(1−m)H (Var(r̂) = v +
+      // (m(1−m) − v)/n per key) — all three inputs are 12-dp-pinned,
+      // so the correction is a pure IEEE function of pinned statistics
+      .withColumn("__v", if (!correctedPrior) col("__vr") else
+        when(col("__h") < 1.0,
+          (col("__vr") - col("__m") * (lit(1.0) - col("__m")) * col("__h")) /
+            (lit(1.0) - col("__h"))))
       .withColumn("__ok", col("__v") > 0 &&
         col("__v") < col("__m") * (lit(1.0) - col("__m")))
       .withColumn("__k", when(col("__ok"),

@@ -736,6 +736,86 @@ object EventStream {
       }
   }
 
+  final case class MsprtEv(key: String, ts_us: Long, event_id: Long,
+      v: Double)
+  final case class MsprtState(n: Long, s: Double, mx: Double,
+      decided: Boolean, nDec: Long, mxDec: Double)
+  final case class MsprtOut(key: String, n_total: Long, n_decision: Long,
+      log_lambda: Double, p_always_valid: Double, decision: String)
+
+  /**
+   * Streaming mixture SPRT per key — the live twin of
+   * [[graft.ops.Experiment.msprt]], and THE operator invented for
+   * continuous monitoring (the always-valid p-value process is what
+   * makes peeking at every micro-batch legal; a streaming deployment
+   * that only had [[streamingSprt]]'s point alternative was the gap).
+   * State per key is three scalars — n, S_n = Σ(x − μ0), and the
+   * running max of ln Λ — plus the frozen first-crossing marker (a
+   * rejection, once made, never unmakes; later data advances n_total
+   * only, the batch first-crossing semantics).
+   *
+   * Parity: the fold replays the batch operator's EXACT op shapes —
+   * S_n is the same in-order double accumulation the batch running
+   * window computes, ln Λ = 0.5·ln(σ²/(σ²+n·τ²)) + (τ²·S·S)/(2σ²·(σ²+n·τ²))
+   * with identical literal parenthesization, the verdict compares
+   * 6-dp-rounded running max against the same JVM bound — so
+   * emissions at the final micro-batch equal the batch first-crossing
+   * rows bit-for-bit on any batch split (spec-checked; both sides use
+   * one JVM's libm for ln/exp).
+   */
+  def streamingMsprt(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String, idCol: String,
+      mu0: Double, sigma: Double, tau: Double, alpha: Double = 0.05,
+      stateTtl: Option[String] = None): Dataset[MsprtOut] = {
+    require(sigma > 0 && tau > 0, "sigma and tau must be > 0")
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    import spark.implicits._
+    val s2 = sigma * sigma
+    val t2 = tau * tau
+    val bound = math.log(1.0 / alpha)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        col(valueCol).cast("double").as("v"))
+      .as[MsprtEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MsprtState, MsprtOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[MsprtEv], state: GroupState[MsprtState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val init = state.getOption
+              .getOrElse(MsprtState(0L, 0.0, Double.NegativeInfinity,
+                false, 0L, 0.0))
+            val folded = sorted.foldLeft(init) { (st, e) =>
+              val n = st.n + 1
+              val s = st.s + (e.v - mu0)
+              // batch op shapes verbatim: denom = σ² + i·τ² (i as
+              // double), 0.5·ln(σ²/denom) + (τ²·S·S)/(2.0·σ²·denom)
+              val denom = s2 + n.toDouble * t2
+              val ln = 0.5 * math.log(s2 / denom) +
+                (t2 * s * s) / (2.0 * s2 * denom)
+              val mx = math.max(st.mx, ln)
+              if (st.decided) st.copy(n = n, s = s, mx = mx)
+              else if (r6(mx) >= bound)
+                MsprtState(n, s, mx, true, n, mx)
+              else MsprtState(n, s, mx, false, n, mx)
+            }
+            state.update(folded)
+            stateTtl.foreach(state.setTimeoutDuration)
+            val mxOut = if (folded.decided) folded.mxDec else folded.mx
+            Iterator.single(MsprtOut(key, folded.n, folded.nDec,
+              r6(mxOut), r6(math.min(1.0, math.exp(-mxOut))),
+              if (folded.decided) "reject" else "continue"))
+          }
+      }
+  }
+
   final case class CpEv(key: String, ts_us: Long, event_id: Long, v: Double)
   final case class CpState(buf: Seq[(Long, Long, Double)],
       emittedTs: Long, emittedId: Long)

@@ -311,6 +311,52 @@ class ExperimentSpec extends SparkSpec {
     assert(b.getAs[Double]("p_always_valid") == 1.0)
   }
 
+  test("srmSequential: equals msprt on the per-arm indicator; balanced ramp continues, flipped ramp rejects in-flight") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 40 alternating rows (perfect 50/50), then 60 rows of pure 'a' —
+    // the mid-stream ramp bug a fixed-horizon check only sees at the end
+    val rows = (1 to 100).map(i =>
+      (if (i <= 40) (if (i % 2 == 0) "a" else "b") else "a", i.toLong))
+      .toDF("arm", "t")
+    val out = Experiment.srmSequential(rows, "arm", "t",
+        Seq("a" -> 0.5, "b" -> 0.5), tau = 0.5, alpha = 0.05,
+        tiebreak = Seq("t")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    assert(out("a").getAs[String]("decision") == "reject" &&
+      out("b").getAs[String]("decision") == "reject",
+      s"both monitors must alarm on the flip: $out")
+    val nDec = out("a").getAs[Long]("n_decision")
+    assert(nDec > 40 && nDec < 100,
+      s"must cross after the flip, before the horizon: $nDec")
+    assert(out("a").getAs[Double]("share") == 0.5)
+    // composition contract: the arm-a monitor IS msprt on the indicator
+    // with mu0 = q, sigma^2 = q(1-q)
+    val viaMsprt = Experiment.msprt(
+      rows.withColumn("x", when(col("arm") === "a", 1.0).otherwise(0.0))
+        .withColumn("k", lit("a")),
+      Seq("k"), "t", "x", mu0 = 0.5, sigma = 0.5, tau = 0.5,
+      alpha = 0.05, tiebreak = Seq("t")).collect().head
+    assert(viaMsprt.getAs[Long]("n_decision") == nDec &&
+      viaMsprt.getAs[Double]("log_lambda") ==
+        out("a").getAs[Double]("log_lambda"),
+      s"srmSequential(a) $out vs msprt-on-indicator $viaMsprt")
+    // a ramp that matches its declaration never alarms
+    val ok = Experiment.srmSequential(rows.filter(col("t") <= 40),
+        "arm", "t", Seq("a" -> 0.5, "b" -> 0.5), tau = 0.5,
+        tiebreak = Seq("t")).collect()
+    assert(ok.forall(_.getAs[String]("decision") == "continue"), ok.toSeq.toString)
+    // undeclared arms are ignored (the srmCheck contract)
+    val extra = rows.unionByName(Seq(("ghost", 101L)).toDF("arm", "t"))
+    assert(Experiment.srmSequential(extra, "arm", "t",
+        Seq("a" -> 0.5, "b" -> 0.5), tau = 0.5, tiebreak = Seq("t"))
+      .collect().map(_.getAs[Long]("n_total")).forall(_ == 100L))
+    intercept[IllegalArgumentException] {
+      Experiment.srmSequential(rows, "arm", "t",
+        Seq("a" -> 0.5, "a" -> 0.5), tau = 0.5)
+    }
+  }
+
   test("deltaMethodRatio: hand-computed cluster variances; event-grain rows never count as units") {
     // treatment clusters: t1 sums (6, 2), t2 (2, 1) -> R_t = 8/3,
     // Var_t = (8 - 2·(8/3)·2 + (8/3)²·0.5) / (2·1.5²) = (8/9)/4.5;

@@ -234,6 +234,56 @@ class MiningSpec extends SparkSpec {
     assert(tr("P").getAs[Double]("alpha") > 0)
   }
 
+  test("ebShrinkRatesCorrected: noise-corrected prior shrinks HARDER on a mixed-n fixture; hand-computed; all-singleton and under-dispersed inputs null") {
+    // three small-n keys (n = 4) and three large-n (n = 1000), rates
+    // 0.25/0.75/0.5 in both groups: m = 0.5, v_raw = 0.05,
+    // H = avg(1/n) = (3·0.25 + 3·0.001)/6. The raw variance includes
+    // binomial noise m(1−m)·H ≈ 0.031, so the corrected prior variance
+    // v = (0.05 − 0.25·H)/(1 − H) ≈ 0.0213 is ~2.3x smaller -> k jumps
+    // from 4 to ~10.7 and every small-n key shrinks harder.
+    val rows = Seq(("A", 1, 4), ("B", 3, 4), ("E", 2, 4),
+      ("C", 250, 1000), ("D", 750, 1000), ("F", 500, 1000))
+      .toDF("k", "s", "t")
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r).toMap
+    val plain = grab(Planners.ebShrinkRates(rows, Seq("k"), "s", "t"))
+    val corr = grab(Planners.ebShrinkRatesCorrected(rows, Seq("k"), "s", "t"))
+    // hand computation with the operator's own pinned-moment op shapes
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = 0.5; val vr = 0.05
+    val h = r12((0.25 + 0.25 + 0.25 + 0.001 + 0.001 + 0.001) / 6)
+    val vC = (vr - m * (1.0 - m) * h) / (1.0 - h)
+    def ab(v: Double) = { val k = m * (1.0 - m) / v - 1.0; (m * k, (1.0 - m) * k) }
+    val (aP, bP) = ab(vr); val (aC, bC) = ab(vC)
+    assert(plain("A").getAs[Double]("alpha") == r6(aP) &&
+      corr("A").getAs[Double]("alpha") == r6(aC),
+      s"priors: plain ${plain("A").getAs[Double]("alpha")} vs ${r6(aP)}, " +
+        s"corrected ${corr("A").getAs[Double]("alpha")} vs ${r6(aC)}")
+    assert(aC > aP, "corrected prior must be tighter (more pseudo-counts)")
+    assert(corr("A").getAs[Double]("shrunk_rate") ==
+      r6((1.0 + aC) / (4.0 + aC + bC)))
+    // shrinks HARDER: every small-n key lands closer to m
+    for (k <- Seq("A", "B")) {
+      val dP = math.abs(plain(k).getAs[Double]("shrunk_rate") - m)
+      val dC = math.abs(corr(k).getAs[Double]("shrunk_rate") - m)
+      assert(dC < dP, s"key $k: corrected $dC must shrink harder than $dP")
+    }
+    // large-n keys stay close to their own rate under both priors
+    assert(math.abs(corr("D").getAs[Double]("shrunk_rate") - 0.75) < 0.01)
+    // all-singleton trials: H = 1 leaves the correction undefined -> null
+    val singles = Seq(("X", 1, 1), ("Y", 0, 1), ("Z", 1, 1)).toDF("k", "s", "t")
+    val sOut = grab(Planners.ebShrinkRatesCorrected(singles, Seq("k"), "s", "t"))
+    assert(sOut("X").isNullAt(sOut("X").fieldIndex("alpha")))
+    // under-dispersed (raw variance below the noise floor -> v <= 0):
+    // homogeneous keys must null the prior, not fabricate shrinkage
+    val homo = Seq(("P", 2, 4), ("Q", 2, 4), ("R", 2, 4)).toDF("k", "s", "t")
+    val hOut = grab(Planners.ebShrinkRatesCorrected(homo, Seq("k"), "s", "t"))
+    assert(hOut("P").isNullAt(hOut("P").fieldIndex("shrunk_rate")))
+  }
+
   test("winsorizeFitApprox: each bound lands in the sketch's rank band; serves through the same apply") {
     val ev = Tables.load(spark, sf, "events")
     val approx = Planners.winsorizeFitApprox(ev, Seq("event_type"), "value",

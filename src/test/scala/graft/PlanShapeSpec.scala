@@ -820,6 +820,39 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, s"delta-method must be pure aggregation:\n$p3")
   }
 
+  test("q_gini_spend / q_spearman: every window consumes the value-COUNT table, never unit rows") {
+    // the r15 demerit class, closed: a statistic's global-order window
+    // must scan the |distinct|-row value table (below it: the hash
+    // aggregate producing the tie counts __c), never the input rows —
+    // the mannWhitneyU convention, now frozen for the last two holdouts
+    for (name <- Seq("q_gini_spend", "q_spearman")) {
+      val p = plan(name)
+      val wins = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.nonEmpty, s"$name: expected the value-grain window:\n$p")
+      wins.foreach { w =>
+        assert(w.child.output.exists(_.name == "__c"),
+          s"$name: window must read the value-count table " +
+            s"(got ${w.child.output.map(_.name)}):\n$p")
+      }
+    }
+  }
+
+  test("q_text_vocab_growth: no doc-grain window; the only window runs at checkpoint grain") {
+    // the checkpoint assignment is Select.ntileBuckets (range-partition
+    // + per-partition offsets, no WindowExec at all); the surviving
+    // window is the cumulative sum over <= nCheckpoints rows
+    val p = plan("q_text_vocab_growth")
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    wins.foreach { w =>
+      val ordRefs = w.orderSpec.flatMap(_.references).map(_.name)
+      assert(ordRefs.forall(_ == "ck"),
+        s"vocabGrowth window must order on checkpoint grain only, " +
+          s"got $ordRefs:\n$p")
+    }
+  }
+
   test("q_fs_score: deletion-key bucket cap is groupBy + broadcast anti-join, zero windows") {
     assertAntiCapNoWindow(plan("q_fs_score"), "fuzzyPairsDeletes maxBucket")
   }

@@ -359,4 +359,49 @@ class SkewStressSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(mx < TaskCeiling, s"cfMerge straggler read $mx shuffle records")
   }
+
+  test("gini value-grain: 500k rows through a 100-value table, no row-grain window funnel; closed form exact") {
+    // two-value distribution: p rows of a, q rows of b (a < b) gives
+    // num = Σ(2i−n−1)x = p·q·(b−a) and gini = pq(b−a)/(n(pa+qb)) —
+    // exact integers end to end. The r15 row-grain rank would funnel
+    // all 500k rows through ONE window task (shuffle-read = n); the
+    // value-grain shape's widest shuffle is the 100-value table.
+    val p = 400000L; val q = 100000L; val a = 100L; val b = 5000L
+    val rows = spark.range(p).select(lit(a).as("x"), col("id"))
+      .unionByName(spark.range(q).select(lit(b).as("x"),
+        (col("id") + p).as("id")))
+      // spread across 98 more distinct values to make the value table
+      // real (they carry zero mass, so the closed form is unchanged)
+      .unionByName(spark.range(98L).select(lit(0L).as("x"),
+        (col("id") + 900000L).as("id")))
+    val n = p + q + 98L
+    val tot = p * a + q * b
+    // zero-mass values contribute nothing to num: x = 0 terms vanish,
+    // and a/b runs shift by the 98 zero ranks — recompute directly:
+    // num = a·p·(2·98 + p − n) + b·q·(2·(98+p) + q − n)
+    val num = a * p * (2 * 98 + p - n) + b * q * (2 * (98 + p) + q - n)
+    val expect = BigDecimal(num.toDouble / (n.toDouble * tot.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (row, mx) = withTaskBound(
+      graft.ops.Profile.gini(rows, "x", "id").head())
+    assert(row.getLong(0) == n && row.getLong(1) == tot)
+    assert(row.getDouble(2) == expect,
+      s"gini ${row.getDouble(2)} vs closed form $expect")
+    assert(mx < 100000L,
+      s"value-grain gini must never shuffle row grain; task read $mx")
+  }
+
+  test("spearman value-grain: 500k tied rows, midranks from the count table, no row-grain window funnel") {
+    // b = 99 − a value-for-value: a perfect monotone DECREASE at value
+    // grain with massive ties — spearman is exactly −1 whatever the
+    // tie pattern, and the only window input is the 100-value table
+    val rows = spark.range(500000L)
+      .select((col("id") % 100).as("a"), (lit(99L) - col("id") % 100).as("b"))
+    val (res, mx) = withTaskBound(
+      graft.stats.Planners.spearman(rows, "a", "b").head())
+    assert(res.getLong(0) == 500000L && res.getDouble(1) == -1.0,
+      s"expected perfect reversal, got $res")
+    assert(mx < 100000L,
+      s"value-grain spearman must never shuffle row grain; task read $mx")
+  }
 }

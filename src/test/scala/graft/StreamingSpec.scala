@@ -1444,6 +1444,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming mSPRT matches the batch first-crossing rows per key") {
+    import org.apache.spark.sql.functions._
+    val ev = EventStream.readEvents(spark, streamDir)
+    val out = EventStream.streamingMsprt(spark, ev,
+      "event_type", "ts", "value", "event_id",
+      mu0 = 50.0, sigma = 29.0, tau = 5.0, alpha = 0.05)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("msprt_stream").start()
+    try {
+      q.processAllAvailable()
+      val fin = spark.sql("SELECT key, n_total, n_decision, log_lambda, " +
+          "p_always_valid, decision FROM msprt_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getString(5)))
+        .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      val batch = graft.ops.Experiment.msprt(
+          graft.core.Tables.load(spark, sf, "events"),
+          Seq("event_type"), "ts", "value",
+          mu0 = 50.0, sigma = 29.0, tau = 5.0, alpha = 0.05,
+          tiebreak = Seq("event_id"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getString(5))))
+        .toMap
+      assert(fin.keySet == batch.keySet && fin.nonEmpty)
+      // the fold replays the batch window's in-order double accumulation
+      // and both sides share one JVM's libm — bit-for-bit incl. rounding
+      fin.foreach { case (k, (_, n, nd, ll, p, dec)) =>
+        val (bn, bnd, bll, bp, bdec) = batch(k)
+        assert(n == bn && nd == bnd && ll == bll && p == bp && dec == bdec,
+          s"key $k: stream ($n,$nd,$ll,$p,$dec) vs batch ($bn,$bnd,$bll,$bp,$bdec)")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming mSPRT: split micro-batches equal the one-batch fold; decision freezes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // one key, strictly increasing ts; mean shifts +20 after i=30 so the
+    // running max crosses ln(1/alpha) mid-stream and the decision freezes
+    val evs = (1 to 60).map(i =>
+      ("k", 1700000000000000L + i * 1000000L, i.toLong,
+        if (i <= 30) 50.0 else 90.0 + (i % 3)))
+    def run(data: Seq[Seq[(String, Long, Long, Double)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long, Double)]
+      val df = mem.toDF().toDF("k", "ts_us", "event_id", "v")
+        .select(col("k"), expr("timestamp_micros(ts_us)").as("ts"),
+          col("event_id"), col("v"))
+      val q = EventStream.streamingMsprt(spark, df,
+          "k", "ts", "v", "event_id",
+          mu0 = 50.0, sigma = 29.0, tau = 5.0, alpha = 0.05)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        data.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT n_total, n_decision, log_lambda, " +
+            s"p_always_valid, decision FROM $name " +
+            "ORDER BY n_total DESC LIMIT 1")
+          .collect().head
+      } finally q.stop()
+    }
+    val one = run(Seq(evs), "msprt_one")
+    val split = run(Seq(evs.take(17), evs.slice(17, 40), evs.drop(40)),
+      "msprt_split")
+    assert(one == split, s"one-batch $one vs split $split")
+    assert(one.getString(4) == "reject" && one.getLong(0) == 60 &&
+      one.getLong(1) < 60, s"decision should freeze mid-stream: $one")
+    // and the frozen row equals the batch operator's first-crossing row
+    val batchDf = evs.toDF("k", "ts_us", "event_id", "v")
+      .select(col("k"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("event_id"), col("v"))
+    val b = graft.ops.Experiment.msprt(batchDf, Seq("k"), "ts", "v",
+      mu0 = 50.0, sigma = 29.0, tau = 5.0, alpha = 0.05,
+      tiebreak = Seq("event_id")).collect().head
+    assert(b.getLong(2) == one.getLong(1) &&
+      b.getDouble(3) == one.getDouble(2) && b.getString(5) == "reject",
+      s"batch crossing $b vs stream $one")
+  }
+
   test("streaming Page-Hinkley: split micro-batches equal the one-batch fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
