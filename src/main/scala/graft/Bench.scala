@@ -189,7 +189,37 @@ object Bench {
     "q_dr_replay", "q_croston_sba", "q_rdd", "q_ratio_delta", "q_eb_rate",
     // round-15 batch 2 (per-query only): mixture-SPRT always-valid
     // sequential monitor (the peeking-legal test)
-    "q_msprt")
+    "q_msprt",
+    // round-16 batch (per-query only): sequential SRM guardrail (mSPRT
+    // over the assignment indicator, two |arms| window passes over the
+    // log). q_eb_rate_corrected and q_dr_replay_e2e are deliberately
+    // NOT priced: each re-runs an already-priced plan plus one extra
+    // tiny aggregate/split predicate
+    "q_srm_sequential")
+
+  /**
+   * Contamination self-healing (pure decision logic, spec-covered):
+   * given the best-of-two-passes measurement `(oldSec, oldAb)` and an
+   * end-of-run quiet-retry `(retrySec, retryAb)`, pick the reported
+   * (seconds, bracketAb). Contention only ever INFLATES a wall-clock
+   * sample, so:
+   *  - retry faster -> the retry is the better sample; report it with
+   *    its own bracket;
+   *  - retry slower but CLEAN-bracketed -> the original minimum was
+   *    real (a quiet box could not beat it), so its time stands and
+   *    the clean re-bracket clears the flag;
+   *  - retry slower and ALSO hot -> keep the original pair; the query
+   *    stays flagged (`contaminated` survives only when the re-run
+   *    confirms the box was still loaded).
+   */
+  def adjudicate(oldSec: Double, oldAb: Double,
+      retrySec: Double, retryAb: Double): (Double, Double) =
+    if (retrySec < oldSec) (retrySec, retryAb)
+    else (oldSec, math.min(oldAb, retryAb))
+
+  /** Bracket threshold above which a query's best sample counts as
+    * host-contaminated (both passes inflated). */
+  val ContaminatedAb = 1.5
 
   /** Oracle fixtures priced OUTSIDE the timed headline: one single
     * sample after the timed passes, reported under `spot_check`,
@@ -217,7 +247,7 @@ object Bench {
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
       "q_attribution", "q_page_hinkley", "q_croston_sba"),
     "experiment" -> Set("q_cuped", "q_shapley_sampled", "q_dr_replay",
-      "q_rdd", "q_ratio_delta", "q_msprt"),
+      "q_rdd", "q_ratio_delta", "q_msprt", "q_srm_sequential"),
     "mining" -> Set("q_item_cf", "q_item_cf_incremental",
       "q_winsorize_approx", "q_quantile_normalize_approx",
       "q_bootstrap_ci_fast", "q_eb_rate"),
@@ -310,6 +340,31 @@ object Bench {
       }
       sampleSentinels() // between passes / after pass 2
     }
+    // Self-healing pass: any query whose BEST sample was bracketed hot
+    // (ab >= threshold in both passes) gets ONE quiet retry at end-of-run,
+    // re-bracketed by fresh sentinels; `adjudicate` keeps the better
+    // measurement and the flag survives only if the retry also brackets
+    // hot. r14 shipped 5 flagged queries and r15 one (q_bm25_rm3) that
+    // each needed a manual judge re-run — this is that re-run, automated,
+    // inside the same artifact.
+    val hot = qs.filterNot(failed).filter(n => best(n)._2 >= ContaminatedAb)
+    if (hot.nonEmpty) {
+      var prevSent = Sentinel.sparkSec(spark); sparkS += prevSent
+      hot.foreach { n =>
+        try {
+          val t = runOnce(n)
+          val nextSent = Sentinel.sparkSec(spark); sparkS += nextSent
+          val ab = math.max(prevSent, nextSent) / Sentinel.SparkRefSec
+          prevSent = nextSent
+          best(n) = adjudicate(best(n)._1, best(n)._2, t, ab)
+        } catch { case e: Throwable =>
+          // the retry is opportunistic: a crash here must not fail a
+          // query that already has two good samples
+          System.err.println(s"[bench] retry $n failed: ${e.getMessage}")
+          prevSent = Sentinel.sparkSec(spark); sparkS += prevSent
+        }
+      }
+    }
     // a query that failed in EITHER pass reports -1.0 and never contributes
     // to the total — a flaky query must not inflate the headline with a
     // single-sample time while also flagging failure
@@ -347,17 +402,17 @@ object Bench {
     val ab = Seq(cpuS.min / Sentinel.CpuRefSec, parS.min / Sentinel.ParRefSec,
       sparkS.min / Sentinel.SparkRefSec).max
     // Self-adjudication: a query is contaminated when BOTH passes' brackets
-    // were inflated (its best sample has bracket ab above the loaded-box
-    // threshold) — its time must be adjudicated by a quiet re-run, never
-    // read as a regression. `contaminated` = the artifact contains at
-    // least one such query.
+    // were inflated AND the end-of-run quiet retry above also bracketed hot
+    // — its time must be adjudicated by a manual quiet re-run, never read
+    // as a regression. `contaminated` = the artifact contains at least one
+    // such query.
     val qAb = qs.filterNot(failed).map(n => n -> r3(best(n)._2))
     // shrink: only report brackets that show inflation (>= 1.2); a clean
     // bracket carries no information and the r11 artifact got truncated by
     // the driver's tail capture precisely because the line had grown
     val qAbJson = qAb.filter(_._2 >= 1.2)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val contaminatedQs = qAb.filter(_._2 >= 1.5).map(_._1)
+    val contaminatedQs = qAb.filter(_._2 >= ContaminatedAb).map(_._1)
     val contamJson = contaminatedQs.map(n => s""""$n"""").mkString("[", ",", "]")
     val sentJson =
       s""""cpu_min":${r3(cpuS.min)},"cpu_max":${r3(cpuS.max)},""" +

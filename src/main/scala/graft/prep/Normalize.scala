@@ -145,6 +145,55 @@ object Normalize {
    * bit-equal to the exact twin. Keep the exact form as the oracle
    * fixture.
    */
+  /**
+   * Observed rank error of the [[quantileNormalizeApprox]] sketch grid
+   * — the declared-accuracy contract emitted as DATA (one row), so the
+   * rows-only production twin carries a bounded quantitative signal.
+   * Grid point g_j targets quantile p_j = j/(q−1) and occupies the
+   * empirical rank band [F_lt(g_j), F_le(g_j)]; the observed error is
+   * the distance from p_j to that band, maxed over the grid.
+   *
+   * Scale shape: ONE data pass tags each row with its strict/non-strict
+   * grid-insertion index via an in-row `aggregate` fold over the
+   * broadcast q-element grid (codegen'd, zero UDF); the two index
+   * histograms are ≤ q+1 rows, and every join after the scan is
+   * grid-sized. Output: (max_rank_err 6 dp, declared_err, rank_err_ok).
+   */
+  def quantileGridRankError(df: DataFrame, valueCol: String,
+      q: Int = 101, accuracy: Int = 10000): DataFrame = {
+    require(q >= 2 && accuracy >= 100, "q >= 2, accuracy >= 100")
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull).select(v.as("__v"))
+    val pcts = (0 until q).map(j => j.toDouble / (q - 1))
+    val grid = rows.agg(expr(
+      s"approx_percentile(__v, array(${pcts.mkString(", ")}), $accuracy)")
+      .cast("array<double>").as("__gq"))
+    val tagged = rows.crossJoin(broadcast(grid)).select(
+      expr("aggregate(__gq, 0, (a, x) -> a + IF(x < __v, 1, 0))").as("__lt"),
+      expr("aggregate(__gq, 0, (a, x) -> a + IF(x <= __v, 1, 0))").as("__le"))
+    // F_le(g_j)·n = #rows with (#grid < v) <= j; F_lt(g_j)·n = #rows
+    // with (#grid <= v) <= j — suffix counts over the index histograms
+    val hLt = tagged.groupBy(col("__lt").as("__i"))
+      .agg(count(lit(1)).as("__c1"))
+    val hLe = tagged.groupBy(col("__le").as("__i2"))
+      .agg(count(lit(1)).as("__c2"))
+    val js = grid.select(explode(sequence(lit(0), lit(q - 1))).as("__j"))
+    val fle = js.join(broadcast(hLt), col("__i") <= col("__j"), "left")
+      .groupBy(col("__j")).agg(coalesce(sum(col("__c1")), lit(0L)).as("__fle"))
+    val flt = js.join(broadcast(hLe), col("__i2") <= col("__j"), "left")
+      .groupBy(col("__j")).agg(coalesce(sum(col("__c2")), lit(0L)).as("__flt"))
+    val n = rows.agg(count(lit(1)).as("__n"))
+    fle.join(flt, Seq("__j")).crossJoin(broadcast(n))
+      .select((col("__j").cast("double") / (q - 1)).as("__p"),
+        (col("__fle").cast("double") / col("__n")).as("__fleR"),
+        (col("__flt").cast("double") / col("__n")).as("__fltR"))
+      .agg(round(max(greatest(col("__p") - col("__fleR"),
+        col("__fltR") - col("__p"), lit(0.0))), 6).as("max_rank_err"))
+      .select(col("max_rank_err"),
+        lit(1.0 / accuracy).as("declared_err"),
+        (col("max_rank_err") <= 1.0 / accuracy).as("rank_err_ok"))
+  }
+
   def quantileNormalizeApprox(df: DataFrame, sourceCol: String,
       valueCol: String, q: Int = 101, idCols: Seq[String] = Nil,
       accuracy: Int = 10000): DataFrame = {

@@ -116,11 +116,19 @@ object Analytics extends QueryGroup {
     // global grid from the approx_percentile sketch (O(accuracy) heap
     // vs exact percentile's every-distinct-value heap). Sketch output
     // is engine-specific -> rows-only by design; PrepSpec bounds the
-    // deviation from the exact twin by the grid's own max gap.
+    // deviation from the exact twin by the grid's own max gap, and the
+    // output CARRIES the grid's observed max rank error vs the declared
+    // 1/accuracy as constant audit columns — a quantitative signal in
+    // the driver's rows-check.
     QueryDef("q_quantile_normalize_approx",
-      (s, dir) => graft.prep.Normalize.quantileNormalizeApprox(
-        Tables.load(s, dir, "events"), "event_type", "value",
-        q = 101, idCols = Seq("event_id"), accuracy = 10000),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        graft.prep.Normalize.quantileNormalizeApprox(ev,
+            "event_type", "value",
+            q = 101, idCols = Seq("event_id"), accuracy = 10000)
+          .crossJoin(broadcast(graft.prep.Normalize.quantileGridRankError(
+            ev, "value", q = 101, accuracy = 10000)))
+      },
       None),
 
     // B2 window filter with grace period (preprocess.py:90-92):

@@ -120,14 +120,24 @@ object MiningQ extends QueryGroup {
     // The 100 TB production twin: bounds from the approx_percentile
     // sketch (mergeable, O(accuracy) heap) served through the same
     // winsorizeApply. Sketch output is engine-specific -> rows-only by
-    // design; MiningSpec bounds each cut's quantile-rank error.
+    // design; MiningSpec bounds each cut's quantile-rank error, and the
+    // output CARRIES the observed max rank error vs the declared
+    // 1/accuracy as data (constant audit columns), so the driver's
+    // rows-check records a quantitative contract, not a bare count.
     QueryDef("q_winsorize_approx",
-      (s, dir) => Planners.winsorizeApply(Tables.load(s, dir, "events"),
-        Planners.winsorizeFitApprox(Tables.load(s, dir, "events"),
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val bounds = Planners.winsorizeFitApprox(ev,
           Seq("event_type"), "value", pLo = 0.05, pHi = 0.95,
-          accuracy = 10000),
-        keys = Seq("event_type"), valueCol = "value",
-        idCols = Seq("event_id")),
+          accuracy = 10000)
+        val audit = Planners.winsorizeApproxRankError(ev, bounds,
+          Seq("event_type"), "value", pLo = 0.05, pHi = 0.95,
+          accuracy = 10000)
+        Planners.winsorizeApply(ev, bounds,
+            keys = Seq("event_type"), valueCol = "value",
+            idCols = Seq("event_id"))
+          .crossJoin(broadcast(audit))
+      },
       None),
 
     // Matryoshka serving cut: first 16 dims, re-normalized to unit L2,

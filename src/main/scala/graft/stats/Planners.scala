@@ -595,6 +595,43 @@ object Planners {
   }
 
   /**
+   * Observed rank error of a [[winsorizeFitApprox]] bounds table — the
+   * quantitative teeth behind the sketch's declared 1/accuracy
+   * contract, emitted as DATA so a rows-only correctness check carries
+   * a bounded signal instead of a bare row count. For each key and each
+   * cut c at target quantile p, the cut occupies the empirical rank
+   * band [F_lt(c), F_le(c)] (ties widen the band); the observed error
+   * is the distance from p to that band:
+   * max(0, p − F_le(c), F_lt(c) − p). One row out:
+   * (max_rank_err 6 dp, declared_err, rank_err_ok). Scale shape: the
+   * key-grain bounds broadcast onto ONE conditional-count pass over the
+   * data; everything after is key-grain arithmetic.
+   */
+  def winsorizeApproxRankError(df: DataFrame, bounds: DataFrame,
+      keys: Seq[String], valueCol: String, pLo: Double, pHi: Double,
+      accuracy: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val b = bounds.select(keys.map(col) :+ col("lo").as("__lo") :+
+      col("hi").as("__hi"): _*)
+    def bandErr(p: Double, cut: Column) = {
+      val fLt = sum(when(v < cut, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))
+      val fLe = sum(when(v <= cut, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))
+      greatest(lit(p) - fLe, fLt - lit(p), lit(0.0))
+    }
+    df.filter(v.isNotNull).join(broadcast(b), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(bandErr(pLo, col("__lo")).as("__eLo"),
+        bandErr(pHi, col("__hi")).as("__eHi"))
+      .agg(round(max(greatest(col("__eLo"), col("__eHi"))), 6)
+        .as("max_rank_err"))
+      .select(col("max_rank_err"),
+        lit(1.0 / accuracy).as("declared_err"),
+        (col("max_rank_err") <= 1.0 / accuracy).as("rank_err_ok"))
+  }
+
+  /**
    * Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995) over
    * a battery of p-values — the multiple-testing closer for this stats
    * family: once [[welchT]]/[[chi2]]/[[mannWhitneyU]]/

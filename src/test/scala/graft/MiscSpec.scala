@@ -115,4 +115,23 @@ class MiscSpec extends SparkSpec {
     while (extra.nonEmpty && System.nanoTime < deadline) Thread.sleep(50)
     assert(extra.isEmpty, "pre-binding consumer did not release the cache block")
   }
+
+  test("Bench.adjudicate: quiet retry heals a load spike; flag survives only a confirmed-hot retry") {
+    import graft.Bench.{adjudicate, ContaminatedAb}
+    // mid-run load spike: both passes inflated (8.0s @ ab 2.1), the
+    // end-of-run retry runs quiet and faster -> the retry's sample and
+    // CLEAN bracket are reported; contaminated_queries drops the query
+    assert(adjudicate(8.0, 2.1, 5.1, 1.05) == ((5.1, 1.05)))
+    assert(adjudicate(8.0, 2.1, 5.1, 1.05)._2 < ContaminatedAb)
+    // retry slower but clean-bracketed: contention only inflates, so the
+    // original minimum was real — time stands, clean bracket clears flag
+    assert(adjudicate(5.0, 1.8, 5.6, 1.1) == ((5.0, 1.1)))
+    // retry ALSO hot: nothing learned — original pair kept, flag survives
+    val (t, ab) = adjudicate(8.0, 2.1, 9.0, 2.4)
+    assert(t == 8.0 && ab == 2.1 && ab >= ContaminatedAb,
+      "a confirmed-hot retry must keep the query flagged")
+    // retry faster but itself hot-bracketed: better sample still wins,
+    // and its hot bracket honestly keeps the flag
+    assert(adjudicate(8.0, 2.1, 7.0, 1.9) == ((7.0, 1.9)))
+  }
 }

@@ -710,20 +710,30 @@ class PlanShapeSpec extends SparkSpec {
       s"distinct-grain aggregate missing:\n$p")
   }
 
-  test("q_quantile_normalize_approx: sketch grid keeps the exact twin's shape") {
+  test("q_quantile_normalize_approx: sketch grid keeps the exact twin's shape; audit joins stay broadcast") {
     val p = plan("q_quantile_normalize_approx")
-    assert(p.collect { case b: BroadcastNestedLoopJoinExec => b }.size == 1,
-      s"expected the 1-row sketch-grid broadcast:\n$p")
+    // the serving side's 1-row grid broadcast, plus the rank-error
+    // audit's broadcasts (its 1-row grid/count rows and the two
+    // grid-sized <= joins) — every nested-loop must ride a broadcast
+    val bnl = p.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnl.nonEmpty, s"expected the 1-row sketch-grid broadcast:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty &&
+      !p.toString.contains("CartesianProduct"),
+      s"grid/audit joins must all be broadcasts:\n$p")
     assert(p.toString.contains("HashAggregate"),
       s"distinct-grain aggregate missing:\n$p")
   }
 
-  test("q_winsorize_approx: the sketch bounds broadcast back like the exact fit") {
+  test("q_winsorize_approx: the sketch bounds broadcast back like the exact fit; audit pass broadcasts the bounds") {
     val p = plan("q_winsorize_approx")
-    assert(p.collect { case b: BroadcastHashJoinExec => b }.size == 1,
-      s"expected the group-grain sketch-bounds broadcast:\n$p")
+    // serving join + the rank-error audit's conditional-count join:
+    // both broadcast the key-grain bounds, and the 1-row audit result
+    // rides a broadcast nested loop onto the output
+    val bhj = p.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size == 2,
+      s"expected serve + audit bounds broadcasts, got ${bhj.size}:\n$p")
     assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
-      s"the bounds join must not degrade to sort-merge:\n$p")
+      s"the bounds joins must not degrade to sort-merge:\n$p")
   }
 
   test("q_item_cf_incremental: merge stays user-keyed equi-joins, never nested-loop") {
