@@ -195,7 +195,12 @@ object Bench {
     // log). q_eb_rate_corrected and q_dr_replay_e2e are deliberately
     // NOT priced: each re-runs an already-priced plan plus one extra
     // tiny aggregate/split predicate
-    "q_srm_sequential")
+    "q_srm_sequential",
+    // round-16 batch 2 (per-query only): Dirichlet query-likelihood
+    // retrieval (inline + served from the saved index), Theta-method
+    // forecast (SES + halved OLS drift window folds), one-way ANOVA F
+    // (one conditional hash-aggregate pass)
+    "q_ql_search", "q_ql_prebuilt", "q_theta_forecast", "q_anova_f")
 
   /**
    * Contamination self-healing (pure decision logic, spec-covered):
@@ -243,14 +248,15 @@ object Bench {
     "ann" -> Set("q_ann_brute", "q_ann_lsh", "q_ann_ivfpq_residual",
       "q_ann_binary_rerank"),
     "retrieval" -> Set("q_bm25_search", "q_bm25_rm3", "q_bm25_prebuilt",
-      "q_bm25_rm3_prebuilt"),
+      "q_bm25_rm3_prebuilt", "q_ql_search", "q_ql_prebuilt"),
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
-      "q_attribution", "q_page_hinkley", "q_croston_sba"),
+      "q_attribution", "q_page_hinkley", "q_croston_sba",
+      "q_theta_forecast"),
     "experiment" -> Set("q_cuped", "q_shapley_sampled", "q_dr_replay",
       "q_rdd", "q_ratio_delta", "q_msprt", "q_srm_sequential"),
     "mining" -> Set("q_item_cf", "q_item_cf_incremental",
       "q_winsorize_approx", "q_quantile_normalize_approx",
-      "q_bootstrap_ci_fast", "q_eb_rate"),
+      "q_bootstrap_ci_fast", "q_eb_rate", "q_anova_f"),
     "graph" -> Set("q_hits", "q_adamic_adar"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",

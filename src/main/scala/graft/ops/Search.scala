@@ -180,6 +180,86 @@ object Search {
   }
 
   /**
+   * Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+   * 1998; Zhai & Lafferty 2001, "A study of smoothing methods for
+   * language models applied to ad hoc information retrieval") — the
+   * language-modeling ranking family next to [[bm25TopK]]'s
+   * probabilistic one (the other default in Lucene/Anserini; Dirichlet
+   * usually edges BM25 on verbose queries). Scored in the standard
+   * rank-equivalent candidate form
+   *
+   *   score(q,d) = Σ_{t ∈ q∩d} c(t,q)·ln(1 + tf(t,d)·T/(μ·cf_t))
+   *                + m_q·ln(μ/(dl_d + μ))
+   *
+   * where cf_t is the collection frequency, T the total corpus token
+   * count, and m_q the query length counted over terms THE CORPUS
+   * CONTAINS (an out-of-vocabulary term has p(t|C) = 0 and is dropped —
+   * the standard convention; docs matching no query term are not
+   * candidates, as in [[bm25TopK]]).
+   *
+   * Scale shape: identical to [[bm25TopK]] — the query batch broadcasts,
+   * postings are pruned to query terms BEFORE any aggregation, and
+   * cf_t is exact on the pruned side (the prune keeps every posting of
+   * a matched term). T = n_docs·avgdl from the broadcast stats row.
+   * Scores round to 1e-6 before ranking, doc-id tiebreak.
+   *
+   * Output: (query_id, doc_id, score, rk).
+   */
+  def qlTopK(docs: DataFrame, textCol: String, idCol: String,
+      queryBatch: Seq[(Int, String)], k: Int, mu: Double = 2000.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    qlCore(InlineSource(docs, textCol, idCol),
+      queryBatch.toDF("query_id", "qtext"), k, mu)
+  }
+
+  /** [[qlTopK]] with the query batch as a (query_id, qtext) DataFrame. */
+  def qlTopKDf(docs: DataFrame, textCol: String, idCol: String,
+      queryDf: DataFrame, k: Int, mu: Double = 2000.0): DataFrame =
+    qlCore(InlineSource(docs, textCol, idCol), queryDf, k, mu)
+
+  /** [[qlTopK]] against a PREBUILT [[SearchIndex]] — identical results
+    * to the inline build (the [[bm25TopKIdx]] serving shape). */
+  def qlTopKIdx(index: SearchIndex, queryDf: DataFrame, k: Int,
+      mu: Double = 2000.0): DataFrame =
+    qlCore(IndexSource(index), queryDf, k, mu)
+
+  private def qlCore(src: PostingsSource, queryDf: DataFrame, k: Int,
+      mu: Double): DataFrame = {
+    require(k >= 1 && mu > 0, "need k >= 1, mu > 0")
+    val stats = src.stats
+    // QL needs query-term COUNTS (c(t,q)), not the distinct set BM25 uses
+    val qtf = queryDf
+      .select(col("query_id"),
+        explode(array_remove(split(lower(col("qtext")), "\\s+"), ""))
+          .as("term"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("qtf"))
+    val qset = qtf.select(col("term")).distinct()
+    val cand = src.byTerms(qset)
+    // exact collection frequency of matched terms (prune keeps all their
+    // postings); an OOV query term has no postings row and drops out here
+    val cfT = cand.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
+    val mq = qtf.join(cfT, Seq("term"))
+      .groupBy(col("query_id")).agg(sum(col("qtf")).as("m_q"))
+    val matchTerm = col("qtf") * log(lit(1.0) +
+      col("tf") * (col("n_docs") * col("avgdl")) / (lit(mu) * col("cf_t")))
+    val part = cand
+      .join(broadcast(qtf), "term")
+      .join(broadcast(cfT), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(matchTerm).as("__s1"), max(col("dl")).as("__dl"))
+    val scored = part.join(broadcast(mq), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("__s1") +
+          col("m_q") * log(lit(mu) / (col("__dl") + lit(mu))), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /**
    * RM3 pseudo-relevance feedback (Lavrenko & Croft 2001, as popularized
    * by Anserini's default expansion): run BM25, build a relevance-model
    * term distribution from the top-`f` feedback documents, interpolate

@@ -75,7 +75,7 @@ object Temporal {
       lit(1).as("_side"),
       lit(null).cast(rTagged.schema("_tb").dataType).as("_tb"),
       lit(null).cast(rTagged.schema("_r").dataType).as("_r"),
-      struct(left.columns.map(col): _*).as("_l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_l"))
     val unioned = lTagged.unionByName(
       rTagged.withColumn("_l", lit(null).cast(lTagged.schema("_l").dataType)))
 
@@ -1295,6 +1295,75 @@ object Temporal {
         round(col("_hw.l"), 6).as("level"),
         round(col("_hw.b"), 6).as("trend"),
         round(col("_hw.l") + col("_hw.b"), 6).as("forecast")): _*)
+  }
+
+  /**
+   * Theta-method forecast (Assimakopoulos & Nikolopoulos 2000; Hyndman
+   * & Billah 2003 showed Theta(0,2) ≡ SES-with-drift) — the M3
+   * forecasting-competition winner, in its closed equivalent form: over
+   * the trailing `window` observations,
+   *
+   *   forecast_h = SES_level + (b̂/2)·((h−1) + (1 − (1−α)ⁿ)/α)
+   *
+   * where SES_level is the [[ewma]] recursion's final level and b̂ the
+   * OLS slope of the window against positions 1..n — the "halved
+   * linear-trend on top of SES" that beat every entrant on M3's 3003
+   * series. Sits between [[ewma]] (no trend: lags every ramp) and
+   * [[holtSmooth]] (full trend: overshoots at horizon): Theta damps the
+   * trend by half, which is empirically where monthly/weekly business
+   * series live.
+   *
+   * Determinism: the SES level and both OLS sums are SINGLE-SCALAR left
+   * folds over the bounded frame (the [[croston]] convention — no
+   * struct-lambda state). `level` and `slope` are emitted RAW (the
+   * [[ewma]] convention: with a dyadic α the fold is bit-identical in
+   * any IEEE engine, and its exact dyadic results LAND on decimal .5
+   * boundaries where engines' rounding modes disagree — verified on
+   * the fixture: 77.2034375 flipped the 6-dp hash); `forecast` carries
+   * the one libm pow ((1−α)ⁿ), whose last-ulp engine spread the 6-dp
+   * round absorbs (it is never dyadic when a slope exists, so no
+   * midpoint lands on the grid). A window with one observation has no
+   * slope (null; forecast falls back to the SES level, 2-decimal input
+   * — midpoint-free).
+   *
+   * Output: keys ++ idCols, `level` (raw), `slope` (raw), `forecast`
+   * (6 dp). Scale shape: identical to [[ewma]] — ONE key shuffle, an
+   * O(window) array per row, codegen'd folds, no joins.
+   */
+  def thetaForecast(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, alpha: Double, window: Int = 10, h: Int = 1,
+      tiebreak: Seq[String] = Nil,
+      idCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(window >= 1 && h >= 1, "window and h must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(tsCol)) ++ tiebreak.map(col)).map(_.asc): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val xs = collect_list(col(valueCol).cast("double")).over(w)
+    def foldSum(c: Column) = aggregate(
+      slice(c, 2, window), element_at(c, 1), (a, x) => a + x)
+    val level = aggregate(
+      expr(s"slice(_xs, 2, $window)"),
+      element_at(col("_xs"), 1),
+      (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc)
+    val nd = size(col("_xs")).cast("double")
+    val si = nd * (nd + lit(1.0)) / lit(2.0)
+    val sii = nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) / lit(6.0)
+    val sx = foldSum(col("_xs"))
+    val sxy = foldSum(zip_with(col("_xs"),
+      sequence(lit(1), size(col("_xs"))), (x, i) => x * i))
+    val b = when(size(col("_xs")) >= 2,
+      (nd * sxy - si * sx) / (nd * sii - si * si))
+    val drift = (col("_b") / lit(2.0)) * (lit(h - 1.0) +
+      (lit(1.0) - pow(lit(1.0 - alpha), nd)) / lit(alpha))
+    val keep = (keys ++ idCols).distinct.map(col)
+    df.withColumn("_xs", xs)
+      .withColumn("_lv", level)
+      .withColumn("_b", b)
+      .select(keep ++ Seq(
+        col("_lv").as("level"),
+        col("_b").as("slope"),
+        round(col("_lv") + coalesce(drift, lit(0.0)), 6).as("forecast")): _*)
   }
 
   /**

@@ -832,7 +832,7 @@ object Vectors {
       struct(nanvl(c, lit(Double.NegativeInfinity)).as("key"),
         lit(-i).as("nr"), c.as("c"), lit(r.get(0)).as("s"))
     }
-    val best = array_max(array(entries: _*))
+    val best = array_max(array(entries.toIndexedSeq: _*))
     df.select(col(idCol), col(vecCol),
       best.getField("s").as("cluster"), best.getField("c").as("proto_cos"))
   }

@@ -511,6 +511,40 @@ object Analytics extends QueryGroup {
              |    (POWER(va / n_a, 2) / (n_a - 1) + POWER(vb / n_b, 2) / (n_b - 1)), 6) AS dof
              |FROM a""".stripMargin)),
 
+    // One-way ANOVA F across ALL five event families: the k-sample
+    // screening test before pairwise Welch/BH — per-group sufficient
+    // sums in exact integer cents, quadratic forms clamped, and only
+    // the scale-free ratios emitted (raw SS sit at cents^2*n magnitude
+    // where double fold-order noise exceeds any rounding grid).
+    QueryDef("q_anova_f",
+      (s, dir) => Planners.anovaF(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "event_type", "cents"),
+      Some("""WITH g AS (SELECT event_type,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |p AS (SELECT event_type, COUNT(*) AS ng,
+             |    CAST(SUM(x) AS BIGINT) AS sg,
+             |    SUM(CAST(x AS HUGEINT) * x) AS ssg
+             |  FROM g GROUP BY 1),
+             |a AS (SELECT CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(sg) AS BIGINT) AS s,
+             |    SUM(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / ng)
+             |      AS ssw0,
+             |    SUM(CAST(sg AS DOUBLE) * sg / ng) AS sb0
+             |  FROM p),
+             |b AS (SELECT n, k,
+             |    GREATEST(sb0 - CAST(s AS DOUBLE) * s / n, 0.0) AS ssb,
+             |    GREATEST(ssw0, 0.0) AS ssw
+             |  FROM a)
+             |SELECT n, k, k - 1 AS dof1, n - k AS dof2,
+             |  ROUND(CASE WHEN k >= 2 AND n > k AND ssw > 0
+             |    THEN (ssb / (k - 1)) / (ssw / (n - k)) END, 6) AS f_stat,
+             |  ROUND(CASE WHEN ssb + ssw > 0
+             |    THEN ssb / (ssb + ssw) END, 6) AS eta_sq
+             |FROM b""".stripMargin)),
+
     // Mann–Whitney U (rank-sum, midrank ties, tie-corrected z) between
     // the same two families: the nonparametric location test — ranks
     // computed on the DISTINCT-value table via running sums, the KS scan

@@ -3516,6 +3516,27 @@ object LlmOps extends QueryGroup {
       },
       Some(bm25OracleSql)),
 
+    // Dirichlet query-likelihood retrieval (Zhai-Lafferty 2001): the
+    // language-modeling ranking family next to BM25 — candidate form
+    // sum qtf*ln(1 + tf*T/(mu*cf)) + m_q*ln(mu/(dl+mu)), OOV query
+    // terms dropped (p(t|C) = 0, the standard convention). Same pruned-
+    // postings scale shape as BM25; the oracle replays the formula
+    // term for term.
+    QueryDef("q_ql_search",
+      (s, dir) => Search.qlTopK(Tables.load(s, dir, "documents"),
+        "text", "doc_id", Bm25Queries, k = 10),
+      Some(qlOracleSql)),
+
+    // QL served from the saved SearchIndex (see q_bm25_prebuilt) —
+    // identical results, same oracle.
+    QueryDef("q_ql_prebuilt",
+      (s, dir) => {
+        import s.implicits._
+        Search.qlTopKIdx(prebuiltIndex(s, dir),
+          Bm25Queries.toDF("query_id", "qtext"), k = 10)
+      },
+      Some(qlOracleSql)),
+
     // RM3 pseudo-relevance feedback: BM25 pass-1 -> RM1 term weights from
     // the top-5 feedback docs (rounded before the top-3 cut, so the
     // selection is engine-stable) -> lambda-interpolated weighted
@@ -4199,6 +4220,36 @@ object LlmOps extends QueryGroup {
        |  FROM cand c JOIN qt ON qt.term = c.term JOIN dft d ON d.term = c.term
        |  CROSS JOIN stats s
        |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, doc_id, score, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10""".stripMargin
+  }
+
+  private def qlOracleSql: String = {
+    val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, qtext) AS (VALUES $vals),
+       |qt AS (SELECT query_id, term, CAST(COUNT(*) AS BIGINT) AS qtf
+       |  FROM (SELECT query_id,
+       |      unnest(list_filter(regexp_split_to_array(lower(qtext), '\\s+'), x -> x <> '')) AS term
+       |    FROM q) GROUP BY 1, 2),
+       |base AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(ts)) AS avgdl FROM base),
+       |post0 AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+       |p AS (SELECT term, doc_id, dl, COUNT(*) AS tf FROM post0 GROUP BY 1, 2, 3),
+       |cand AS (SELECT * FROM p WHERE term IN (SELECT term FROM qt)),
+       |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf_t FROM cand GROUP BY 1),
+       |mq AS (SELECT qt.query_id, CAST(SUM(qt.qtf) AS BIGINT) AS m_q
+       |  FROM qt JOIN cf USING(term) GROUP BY 1),
+       |g AS (SELECT qt.query_id, c.doc_id, MAX(c.dl) AS dl,
+       |    SUM(qt.qtf * ln(1.0 + c.tf * (s.n_docs * s.avgdl) / (2000.0 * cf.cf_t))) AS s1
+       |  FROM cand c JOIN qt ON qt.term = c.term JOIN cf ON cf.term = c.term
+       |  CROSS JOIN stats s GROUP BY 1, 2),
+       |sc AS (SELECT g.query_id, g.doc_id,
+       |    ROUND(g.s1 + m.m_q * ln(2000.0 / (g.dl + 2000.0)), 6) AS score
+       |  FROM g JOIN mq m ON m.query_id = g.query_id),
        |r AS (SELECT query_id, doc_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
        |  FROM sc)

@@ -780,6 +780,45 @@ object TemporalQ extends QueryGroup {
              |  list_reduce(xs, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
              |FROM x""".stripMargin)),
 
+    // Theta-method forecast (the M3 winner, in its SES-with-halved-drift
+    // closed form, Hyndman & Billah 2003) per user at horizon 3: SES
+    // level fold + OLS window slope from single-scalar list folds
+    // (dyadic alpha = 0.25), closed-form position sums. level/slope are
+    // emitted RAW (bit-identical folds; the dyadic level LANDS on 6-dp
+    // midpoints where engine rounding modes disagree — observed on this
+    // fixture); only the pow-bearing forecast rounds at 6 dp.
+    QueryDef("q_theta_forecast", (s, dir) =>
+      Temporal.thetaForecast(
+        Tables.load(s, dir, "events").filter(col("value").isNotNull),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        alpha = 0.25, window = 10, h = 3, tiebreak = Seq("event_id"),
+        idCols = Seq("event_id")),
+      Some("""WITH x AS (SELECT user_id, event_id,
+             |    list(CAST(value AS DOUBLE))
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+             |  FROM events WHERE value IS NOT NULL),
+             |f AS (SELECT user_id, event_id,
+             |    list_reduce(xs, (a, v) -> 0.25 * v + 0.75 * a) AS lv,
+             |    list_reduce(xs, (a, v) -> a + v) AS sx,
+             |    list_reduce(list_transform(range(1, len(xs) + 1),
+             |      i -> xs[i] * i), (a, v) -> a + v) AS sxy,
+             |    CAST(len(xs) AS DOUBLE) AS nd
+             |  FROM x),
+             |g AS (SELECT user_id, event_id, lv, nd, sx, sxy,
+             |    nd * (nd + 1.0) / 2.0 AS si,
+             |    nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0 AS sii
+             |  FROM f),
+             |bb AS (SELECT user_id, event_id, lv, nd,
+             |    CASE WHEN nd >= 2
+             |      THEN (nd * sxy - si * sx) / (nd * sii - si * si) END AS b
+             |  FROM g)
+             |SELECT user_id, event_id,
+             |  lv AS level, b AS slope,
+             |  ROUND(lv + COALESCE((b / 2.0) *
+             |    (2.0 + (1.0 - pow(0.75, nd)) / 0.25), 0.0), 6) AS forecast
+             |FROM bb""".stripMargin)),
+
     // Croston intermittent-demand forecast on per-user daily PURCHASE
     // counts over the January calendar grid (explicit zeros -- the
     // zeros ARE the signal): SES on nonzero sizes and on inter-demand

@@ -350,6 +350,62 @@ object Planners {
   }
 
   /**
+   * One-way ANOVA F-test across k groups — the k-sample generalization
+   * of [[welchT]] (classic equal-variance decomposition): "does ANY of
+   * these segments differ in mean", the screening question run before
+   * k·(k−1)/2 pairwise tests (whose raw p-values [[bhFdr]] would then
+   * correct). F = (SSB/(k−1)) / (SSW/(n−k)) from the between/within
+   * sum-of-squares decomposition, plus the effect size η² = SSB/SST.
+   * As with [[welchT]], dof + F is the portable result — the caller
+   * compares against their critical value.
+   *
+   * Exactness: values are taken in integer units (`valueCol` must be
+   * integral — pre-scale money to cents) so the per-group sufficient
+   * sums (n, Σx, Σx²) are exact; the quadratic forms run in double
+   * with both SS terms clamped at 0 (catastrophic cancellation on
+   * near-identical group means — the [[graft.ops.Experiment]]
+   * quadratic-form convention). Only the SCALE-FREE ratios are
+   * emitted: the raw sums-of-squares sit at (cents)²·n magnitude,
+   * where a k-term double-fold's order noise exceeds any decimal
+   * rounding grid (sub-ulp pinning is meaningless) — while F and η²
+   * carry that noise only RELATIVELY (~1e-16), far inside the 6-dp
+   * round. Output: one row (n, k, dof1, dof2, f_stat, eta_sq), 6 dp;
+   * null F when k < 2, n ≤ k, or SSW = 0 (a perfectly explained
+   * decomposition has no within-noise to test against).
+   *
+   * Scale shape: ONE hash aggregate to group grain (map-side combined),
+   * then one k-row aggregate and one-row arithmetic — no window, no
+   * sort, no join.
+   */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val g = df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      // Σx² can pass a long at corpus scale (1e12 rows × 1e9-squared
+      // cents) — cast to decimal BEFORE multiplying, exact like
+      // DuckDB's HUGEINT aggregate (the gini convention)
+      .agg(count(lit(1)).as("__ng"), sum(x).as("__sg"),
+        sum(x.cast("decimal(38,0)") * x).as("__ssg"))
+    val sgD = col("__sg").cast("double")
+    val a = g.agg(
+      coalesce(sum(col("__ng")), lit(0L)).as("n"),
+      count(lit(1)).as("k"),
+      sum(col("__sg")).as("__s"),
+      sum(col("__ssg").cast("double") - sgD * sgD / col("__ng")).as("__ssw"),
+      sum(sgD * sgD / col("__ng")).as("__sb0"))
+    val ssb = greatest(col("__sb0") -
+      col("__s").cast("double") * col("__s") / col("n"), lit(0.0))
+    val ssw = greatest(col("__ssw"), lit(0.0))
+    val ok = col("k") >= 2 && col("n") > col("k") && ssw > 0
+    val f = (ssb / (col("k") - lit(1L))) / (ssw / (col("n") - col("k")))
+    a.select(col("n"), col("k"),
+      (col("k") - 1L).as("dof1"),
+      (col("n") - col("k")).as("dof2"),
+      round(when(ok, f), 6).as("f_stat"),
+      round(when(ssb + ssw > 0, ssb / (ssb + ssw)), 6).as("eta_sq"))
+  }
+
+  /**
    * Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the `valueCol`
    * distributions of two groups — the nonparametric "did the change shift
    * the distribution" test: rank-based, so outlier-immune where [[welchT]]

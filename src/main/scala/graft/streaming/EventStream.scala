@@ -816,6 +816,91 @@ object EventStream {
       }
   }
 
+  final case class SrmSeqEv(key: String, ts_us: Long, event_id: Long,
+      hit: Boolean)
+  final case class SrmSeqState(n: Long, pos: Long, mx: Double,
+      decided: Boolean, nDec: Long, mxDec: Double)
+  final case class SrmSeqOut(arm: String, share: Double, n_total: Long,
+      n_decision: Long, log_lambda: Double, p_always_valid: Double,
+      decision: String)
+
+  /**
+   * Streaming sequential SRM — the live twin of
+   * [[graft.ops.Experiment.srmSequential]], watching the assignment
+   * ramp as exposures arrive: per DECLARED arm, the mSPRT fold over
+   * the indicator 1{arm = a} with μ0 = declared share, σ² = q(1−q).
+   * Each assignment row fans out to all |arms| monitors through a
+   * stream-static cross join with the tiny declared table; per-monitor
+   * state is the [[streamingMsprt]] three-scalar fold with S_n kept as
+   * the INTEGER hit count (S = pos − n·q computed fresh each step —
+   * count × literal, bit-identical to the batch window's running sum).
+   * Emissions at the final micro-batch equal the batch first-crossing
+   * rows bit-for-bit on any batch split (spec-checked).
+   */
+  def streamingSrmSequential(spark: SparkSession, events: DataFrame,
+      armCol: String, tsCol: String, idCol: String,
+      expected: Seq[(String, Double)], tau: Double, alpha: Double = 0.05,
+      stateTtl: Option[String] = None): Dataset[SrmSeqOut] = {
+    require(expected.size >= 2, "need >= 2 declared arms")
+    require(expected.forall(_._2 > 0), "shares must be positive")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "arm names must be distinct")
+    require(tau > 0 && alpha > 0 && alpha < 1, "tau > 0, alpha in (0,1)")
+    import spark.implicits._
+    val total = expected.map(_._2).sum
+    val shares = expected.map { case (a, w) => a -> (w / total) }.toMap
+    val t2 = tau * tau
+    val bound = math.log(1.0 / alpha)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val declared = expected.map(_._1).toDF("__mon")
+    events
+      .filter(col(tsCol).isNotNull &&
+        col(armCol).isin(expected.map(_._1): _*))
+      .select(col(armCol).cast("string").as("__obs"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"))
+      .crossJoin(broadcast(declared))
+      .select(col("__mon").as("key"), col("ts_us"), col("event_id"),
+        (col("__obs") === col("__mon")).as("hit"))
+      .as[SrmSeqEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SrmSeqState, SrmSeqOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[SrmSeqEv],
+            state: GroupState[SrmSeqState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val q = shares(key)
+            val s2 = q * (1.0 - q)
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val init = state.getOption
+              .getOrElse(SrmSeqState(0L, 0L, Double.NegativeInfinity,
+                false, 0L, 0.0))
+            val folded = sorted.foldLeft(init) { (st, e) =>
+              val n = st.n + 1
+              val pos = st.pos + (if (e.hit) 1L else 0L)
+              // batch op shapes: S = pos − i·q (int × literal), then
+              // the msprt mixture LLR with the per-arm σ²
+              val s = pos - n.toDouble * q
+              val denom = s2 + n.toDouble * t2
+              val ln = 0.5 * math.log(s2 / denom) +
+                (t2 * s * s) / (2.0 * s2 * denom)
+              val mx = math.max(st.mx, ln)
+              if (st.decided) st.copy(n = n, pos = pos, mx = mx)
+              else if (r6(mx) >= bound) SrmSeqState(n, pos, mx, true, n, mx)
+              else SrmSeqState(n, pos, mx, false, n, mx)
+            }
+            state.update(folded)
+            stateTtl.foreach(state.setTimeoutDuration)
+            val mxOut = if (folded.decided) folded.mxDec else folded.mx
+            Iterator.single(SrmSeqOut(key, r6(q), folded.n, folded.nDec,
+              r6(mxOut), r6(math.min(1.0, math.exp(-mxOut))),
+              if (folded.decided) "reject" else "continue"))
+          }
+      }
+  }
+
   final case class CpEv(key: String, ts_us: Long, event_id: Long, v: Double)
   final case class CpState(buf: Seq[(Long, Long, Double)],
       emittedTs: Long, emittedId: Long)

@@ -1525,6 +1525,56 @@ class StreamingSpec extends SparkSpec {
       s"batch crossing $b vs stream $one")
   }
 
+  test("streaming sequential SRM: split micro-batches equal the batch monitor bit-for-bit; alarm freezes at the ramp flip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40 alternating assignments (declared 50/50 holds), then 60 rows of
+    // pure 'a' — the ExperimentSpec srmSequential fixture, streamed
+    val evs = (1 to 100).map(i =>
+      ((if (i <= 40) (if (i % 2 == 0) "a" else "b") else "a"),
+        1700000000000000L + i * 1000000L, i.toLong))
+    def run(data: Seq[Seq[(String, Long, Long)]], name: String) = {
+      val mem = MemoryStream[(String, Long, Long)]
+      val df = mem.toDF().toDF("arm", "ts_us", "event_id")
+        .select(col("arm"), expr("timestamp_micros(ts_us)").as("ts"),
+          col("event_id"))
+      val q = EventStream.streamingSrmSequential(spark, df,
+          "arm", "ts", "event_id", Seq("a" -> 0.5, "b" -> 0.5), tau = 0.5)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        data.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT arm, share, n_total, n_decision, log_lambda, " +
+            s"p_always_valid, decision FROM $name")
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4), r.getDouble(5), r.getString(6)))
+          .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._3) }
+      } finally q.stop()
+    }
+    val one = run(Seq(evs), "srmseq_one")
+    val split = run(Seq(evs.take(13), evs.slice(13, 55), evs.drop(55)),
+      "srmseq_split")
+    assert(one == split, s"one-batch $one vs split $split")
+    val batch = graft.ops.Experiment.srmSequential(
+        evs.toDF("arm", "ts_us", "event_id")
+          .select(col("arm"), expr("timestamp_micros(ts_us)").as("ts"),
+            col("event_id")),
+        "arm", "ts", Seq("a" -> 0.5, "b" -> 0.5), tau = 0.5,
+        tiebreak = Seq("event_id")).collect()
+      .map(r => r.getString(0) -> ((r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getString(6)))).toMap
+    assert(one.keySet == batch.keySet && one.size == 2)
+    one.foreach { case (k, row) =>
+      assert(row == batch(k), s"arm $k: stream $row vs batch ${batch(k)}")
+    }
+    assert(one("a")._7 == "reject" && one("a")._4 > 40 && one("a")._4 < 100,
+      s"alarm must freeze mid-stream after the flip: ${one("a")}")
+  }
+
   test("streaming Page-Hinkley: split micro-batches equal the one-batch fold") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
