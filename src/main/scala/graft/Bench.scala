@@ -200,7 +200,11 @@ object Bench {
     // retrieval (inline + served from the saved index), Theta-method
     // forecast (SES + halved OLS drift window folds), one-way ANOVA F
     // (one conditional hash-aggregate pass)
-    "q_ql_search", "q_ql_prebuilt", "q_theta_forecast", "q_anova_f")
+    "q_ql_search", "q_ql_prebuilt", "q_theta_forecast", "q_anova_f",
+    // round-16 batch 3 (per-query only): DiD event study (one
+    // conditional hash-agg pass + one-row base broadcast), restricted
+    // mean survival time (the KM aggregate + a statistic-sized lag pass)
+    "q_did_event_study", "q_rmst")
 
   /**
    * Contamination self-healing (pure decision logic, spec-covered):
@@ -251,9 +255,10 @@ object Bench {
       "q_bm25_rm3_prebuilt", "q_ql_search", "q_ql_prebuilt"),
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
       "q_attribution", "q_page_hinkley", "q_croston_sba",
-      "q_theta_forecast"),
+      "q_theta_forecast", "q_rmst"),
     "experiment" -> Set("q_cuped", "q_shapley_sampled", "q_dr_replay",
-      "q_rdd", "q_ratio_delta", "q_msprt", "q_srm_sequential"),
+      "q_rdd", "q_ratio_delta", "q_msprt", "q_srm_sequential",
+      "q_did_event_study"),
     "mining" -> Set("q_item_cf", "q_item_cf_incremental",
       "q_winsorize_approx", "q_quantile_normalize_approx",
       "q_bootstrap_ci_fast", "q_eb_rate", "q_anova_f"),

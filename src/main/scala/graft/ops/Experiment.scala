@@ -433,6 +433,55 @@ object Experiment {
   }
 
   /**
+   * Difference-in-differences EVENT STUDY (the dynamic DiD of Angrist &
+   * Pischke's "leads and lags" regression, computed as per-period cell
+   * contrasts): one effect per period, each normalized against the
+   * declared `basePeriod` —
+   *
+   *   effect_p = (ȳ_T,p − ȳ_C,p) − (ȳ_T,base − ȳ_C,base)
+   *
+   * with the large-sample se over the four contributing cells. THE
+   * diagnostic a single [[diffInDiff]] number hides: pre-treatment
+   * periods should show effects ≈ 0 (the parallel-trends check made
+   * visible), and post-treatment periods trace the effect's dynamics
+   * (ramp, decay, novelty). The base period emits effect = 0 with null
+   * se/t — normalized by construction, not estimated.
+   *
+   * Output: one row per period — period, n_treat, n_ctrl, mean_treat,
+   * mean_ctrl, effect, se, t_stat (6 dp). Scale shape: ONE hash
+   * aggregate to period grain (conditional cells), the one-row base
+   * period broadcast back — the [[diffInDiff]] shape fanned across
+   * periods.
+   */
+  def didEventStudy(df: DataFrame, treatedCol: String, periodCol: String,
+      valueCol: String, basePeriod: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val t = col(treatedCol).cast("boolean")
+    val byPeriod = df.filter(v.isNotNull && col(periodCol).isNotNull)
+      .groupBy(col(periodCol).cast("string").as("period"))
+      .agg(
+        sum(when(t, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(!t, 1L).otherwise(0L)).as("n_ctrl"),
+        avg(when(t, v)).as("__mt"), avg(when(!t, v)).as("__mc"),
+        var_samp(when(t, v)).as("__vt"), var_samp(when(!t, v)).as("__vc"))
+    val base = byPeriod.filter(col("period") === basePeriod)
+      .select(col("__mt").as("__bmt"), col("__mc").as("__bmc"),
+        col("__vt").as("__bvt"), col("__vc").as("__bvc"),
+        col("n_treat").as("__bnt"), col("n_ctrl").as("__bnc"))
+    val isBase = col("period") === basePeriod
+    val eff = (col("__mt") - col("__mc")) - (col("__bmt") - col("__bmc"))
+    val se = sqrt(col("__vt") / col("n_treat") + col("__vc") / col("n_ctrl") +
+      col("__bvt") / col("__bnt") + col("__bvc") / col("__bnc"))
+    byPeriod.crossJoin(broadcast(base))
+      .select(col("period"), col("n_treat"), col("n_ctrl"),
+        round(col("__mt"), 6).as("mean_treat"),
+        round(col("__mc"), 6).as("mean_ctrl"),
+        when(isBase, lit(0.0)).otherwise(round(eff, 6)).as("effect"),
+        round(when(!isBase, se), 6).as("se"),
+        round(when(!isBase && se > 0, eff / se), 6).as("t_stat"))
+  }
+
+  /**
    * Propensity-stratified treatment-effect estimate (Rosenbaum & Rubin
    * 1983 subclassification; Cochran 1968 showed 5 strata remove ~90% of
    * the bias a scalar confounder carries): bucket units into `strata`

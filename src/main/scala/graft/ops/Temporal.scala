@@ -1634,6 +1634,47 @@ object Temporal {
   }
 
   /**
+   * Restricted mean survival time (Royston & Parmar 2013 made it the
+   * standard reporting companion; Irwin 1949 for the origin) — the
+   * AREA under the [[kaplanMeier]] curve up to a horizon τ: "expected
+   * days retained within the first τ days", the single-number summary
+   * of a survival curve that stays meaningful when hazards cross (a
+   * log-rank or hazard ratio does not) and the natural KPI form of a
+   * retention curve. Computed exactly on the step function: with
+   * distinct times t₁ < t₂ < … and the left-continuous KM convention
+   * (Ŝ = 1 on [0, t₁)), RMST(τ) = Σᵢ Ŝ(tᵢ₋₁)·(min(tᵢ,τ) − min(tᵢ₋₁,τ))
+   * + Ŝ(t_last)·(τ − min(t_last, τ)).
+   *
+   * Parity: integrates the 6-dp-ROUNDED survival values the
+   * [[kaplanMeier]] contract emits, so both engines integrate
+   * identical step heights; segment lengths are exact integer time
+   * differences. Output: one row per group — groupCols, `tau`,
+   * `n_subjects`, `rmst` (6 dp). Scale shape: [[kaplanMeier]]'s
+   * (aggregate to distinct-time grain) plus one lag window and one
+   * aggregate over that statistic-sized table.
+   */
+  def rmst(df: DataFrame, groupCols: Seq[String], durationCol: String,
+      eventCol: String, tau: Double): DataFrame = {
+    require(tau > 0, "tau must be > 0")
+    val km = kaplanMeier(df, groupCols, durationCol, eventCol)
+    val ord = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("t").asc)
+    val tD = col("t").cast("double")
+    val seg = km
+      .withColumn("__sp", coalesce(lag(col("survival"), 1).over(ord),
+        lit(1.0)))
+      .withColumn("__tp", coalesce(lag(tD, 1).over(ord), lit(0.0)))
+      .withColumn("__c",
+        col("__sp") * (least(tD, lit(tau)) - least(col("__tp"), lit(tau))))
+    seg.groupBy(groupCols.map(col): _*)
+      .agg(max(col("n_risk")).as("n_subjects"),
+        round(sum(col("__c")) + max_by(col("survival"), col("t")) *
+          (lit(tau) - least(max(tD), lit(tau))), 6).as("rmst"))
+      .select(groupCols.map(col) ++ Seq(lit(tau).as("tau"),
+        col("n_subjects"), col("rmst")): _*)
+  }
+
+  /**
    * Log-rank (Mantel–Cox) test between two right-censored survival
    * curves — "did cohort A churn differently from cohort B", the
    * significance test behind a [[kaplanMeier]] plot. At each distinct

@@ -808,6 +808,51 @@ object ExperimentQ extends QueryGroup {
               |${deltaSql("bc")}
               |$deltaOutSql""".stripMargin)),
 
+    // DiD EVENT STUDY: per-week treatment-vs-control contrasts
+    // normalized to week 0 — the parallel-trends diagnostic made
+    // visible (a hash-split "treatment" has no real effect, so every
+    // lead/lag effect should sit near 0 with honest SEs — the q_rdd
+    // null-fixture convention). Periods are calendar weeks of the
+    // 30-day window via floor((day-1)/7), matching DuckDB `//`.
+    QueryDef("q_did_event_study", (s, dir) =>
+      Experiment.didEventStudy(Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .withColumn("treated", md5Val16(col("user_id")) < 32768)
+          .withColumn("period", concat(lit("w"),
+            floor((dayofmonth(col("ts")) - 1) / 7.0).cast("long")
+              .cast("string"))),
+        "treated", "period", "value", basePeriod = "w0"),
+      Some(s"""WITH e AS (SELECT CAST(value AS DOUBLE) AS v,
+              |    (${md5Val16Sql("user_id")} < 32768) AS tr,
+              |    'w' || CAST((EXTRACT(DAY FROM ts) - 1) // 7 AS VARCHAR)
+              |      AS period
+              |  FROM events WHERE value IS NOT NULL),
+              |p AS (SELECT period,
+              |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_treat,
+              |    CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_ctrl,
+              |    AVG(CASE WHEN tr THEN v END) AS mt,
+              |    AVG(CASE WHEN NOT tr THEN v END) AS mc,
+              |    VAR_SAMP(CASE WHEN tr THEN v END) AS vt,
+              |    VAR_SAMP(CASE WHEN NOT tr THEN v END) AS vc
+              |  FROM e GROUP BY 1),
+              |b AS (SELECT mt AS bmt, mc AS bmc, vt AS bvt, vc AS bvc,
+              |    n_treat AS bnt, n_ctrl AS bnc FROM p WHERE period = 'w0')
+              |SELECT period, n_treat, n_ctrl,
+              |  ROUND(mt, 6) AS mean_treat, ROUND(mc, 6) AS mean_ctrl,
+              |  CASE WHEN period = 'w0' THEN 0.0
+              |       ELSE ROUND((mt - mc) - (bmt - bmc), 6) END AS effect,
+              |  ROUND(CASE WHEN period <> 'w0' THEN
+              |    sqrt(vt / n_treat + vc / n_ctrl + bvt / bnt + bvc / bnc)
+              |    END, 6) AS se,
+              |  ROUND(CASE WHEN period <> 'w0' AND
+              |    sqrt(vt / n_treat + vc / n_ctrl + bvt / bnt + bvc / bnc) > 0
+              |    THEN ((mt - mc) - (bmt - bmc)) /
+              |      sqrt(vt / n_treat + vc / n_ctrl + bvt / bnt + bvc / bnc)
+              |    END, 6) AS t_stat
+              |FROM p CROSS JOIN b""".stripMargin)),
+
     // Sharp regression discontinuity at an account-balance threshold:
     // local linear fits (closed-form OLS from the five sufficient sums
     // per side) within the bandwidth, effect = intercept jump at the

@@ -1046,6 +1046,61 @@ object TemporalQ extends QueryGroup {
              |  ROUND(list_reduce(fs, (a, b) -> a * b), 6) AS survival
              |FROM f""".stripMargin)),
 
+    // Restricted mean survival time at tau = 20 days over the same
+    // cohort curves: the area under the KM step function — "expected
+    // days retained in the first 20" — integrating the 6-dp-rounded
+    // survival heights both engines already agree on; segment lengths
+    // are exact integer day differences.
+    QueryDef("q_rmst",
+      (s, dir) => {
+        val subj = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("tmax"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+          .select((col("user_id") % 3).as("cohort"),
+            floor((unix_micros(coalesce(col("tp"), col("tmax"))) -
+              unix_micros(col("t0"))) / lit(86400000000L))
+              .cast("long").as("t"),
+            col("tp").isNotNull.as("ev"))
+        Temporal.rmst(subj, Seq("cohort"), "t", "ev", tau = 20.0)
+      },
+      Some("""WITH subj AS (SELECT user_id % 3 AS cohort,
+             |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+             |         THEN date_diff('microsecond', MIN(ts),
+             |              MIN(CASE WHEN event_type = 'purchase' THEN ts END)) // 86400000000
+             |         ELSE date_diff('microsecond', MIN(ts), MAX(ts)) // 86400000000 END AS t,
+             |    (MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL) AS ev
+             |  FROM events GROUP BY user_id),
+             |g AS (SELECT cohort, t,
+             |    CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+             |    CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+             |  FROM subj GROUP BY 1, 2),
+             |r AS (SELECT cohort, t, n_events, n_censored,
+             |    CAST(SUM(n_events + n_censored) OVER (PARTITION BY cohort)
+             |      - COALESCE(SUM(n_events + n_censored) OVER (PARTITION BY cohort
+             |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS n_risk
+             |  FROM g),
+             |f AS (SELECT cohort, t, n_risk,
+             |    list(1.0 - n_events * 1.0 / n_risk) OVER (PARTITION BY cohort
+             |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+             |  FROM r),
+             |km AS (SELECT cohort, t, n_risk,
+             |    ROUND(list_reduce(fs, (a, b) -> a * b), 6) AS survival
+             |  FROM f),
+             |seg AS (SELECT cohort, t, n_risk, survival,
+             |    COALESCE(LAG(survival) OVER (PARTITION BY cohort ORDER BY t),
+             |      1.0) AS sp,
+             |    COALESCE(LAG(CAST(t AS DOUBLE)) OVER (PARTITION BY cohort
+             |      ORDER BY t), 0.0) AS tp
+             |  FROM km)
+             |SELECT cohort, CAST(20.0 AS DOUBLE) AS tau,
+             |  CAST(MAX(n_risk) AS BIGINT) AS n_subjects,
+             |  ROUND(SUM(sp * (LEAST(CAST(t AS DOUBLE), 20.0) - LEAST(tp, 20.0)))
+             |    + max_by(survival, t) *
+             |      (20.0 - LEAST(MAX(CAST(t AS DOUBLE)), 20.0)), 6) AS rmst
+             |FROM seg GROUP BY cohort""".stripMargin)),
+
     // Log-rank test between the even/odd-user cohorts' time-to-first-
     // purchase curves: chi-squared(1) statistic from per-event-time
     // hypergeometric O-E/V sums — the significance test behind the

@@ -357,6 +357,29 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("didEventStudy: per-period contrasts normalize to the base; base emits 0 with null se") {
+    // cells (mean, var = 2 each, n = 2): T,w0 10; C,w0 5; T,w1 20; C,w1 7
+    // -> effect_w1 = (20-7) - (10-5) = 8; se = sqrt(4*2/2) = 2; t = 4
+    val rows = Seq(
+      (true, "w0", 9.0), (true, "w0", 11.0),
+      (false, "w0", 4.0), (false, "w0", 6.0),
+      (true, "w1", 19.0), (true, "w1", 21.0),
+      (false, "w1", 6.0), (false, "w1", 8.0))
+      .toDF("treated", "period", "y")
+    val out = Experiment.didEventStudy(rows, "treated", "period", "y", "w0")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    val b = out("w0")
+    assert(b.getAs[Double]("effect") == 0.0 &&
+      b.isNullAt(b.fieldIndex("se")) && b.isNullAt(b.fieldIndex("t_stat")),
+      s"base is normalized, not estimated: $b")
+    val w1 = out("w1")
+    assert(w1.getAs[Double]("effect") == 8.0 &&
+      w1.getAs[Double]("se") == 2.0 && w1.getAs[Double]("t_stat") == 4.0,
+      s"hand DiD cells: $w1")
+    assert(w1.getAs[Long]("n_treat") == 2 && w1.getAs[Long]("n_ctrl") == 2)
+  }
+
   test("deltaMethodRatio: hand-computed cluster variances; event-grain rows never count as units") {
     // treatment clusters: t1 sums (6, 2), t2 (2, 1) -> R_t = 8/3,
     // Var_t = (8 - 2·(8/3)·2 + (8/3)²·0.5) / (2·1.5²) = (8/9)/4.5;

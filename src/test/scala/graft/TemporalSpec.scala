@@ -519,6 +519,29 @@ class TemporalSpec extends SparkSpec {
     assert(p == Map(1L -> 0.75, 2L -> 0.5, 3L -> 0.25, 4L -> 0.0))
   }
 
+  test("rmst: exact area under the KM step function, truncated and extended horizons") {
+    import spark.implicits._
+    // durations 2e, 4c, 6e, 10c -> S: 0.75 at 2, 0.75 at 4 (censor),
+    // 0.375 at 6, 0.375 at 10. Integral pieces: [0,2)=2, [2,6)=3,
+    // [6,tau)=0.375 each
+    val subj = Seq((2L, true), (4L, false), (6L, true), (10L, false))
+      .toDF("t", "ev").withColumn("cohort", lit("all"))
+    val at8 = Temporal.rmst(subj, Seq("cohort"), "t", "ev", tau = 8.0)
+      .collect().head
+    assert(at8.getAs[Long]("n_subjects") == 4 &&
+      at8.getAs[Double]("tau") == 8.0)
+    assert(at8.getAs[Double]("rmst") == 5.75, s"tau inside the curve: $at8")
+    // horizon past the last observed time: the tail extends at S(t_last)
+    val at15 = Temporal.rmst(subj, Seq("cohort"), "t", "ev", tau = 15.0)
+      .collect().head
+    assert(at15.getAs[Double]("rmst") == 8.375, s"extended tail: $at15")
+    // no events at all: survival stays 1, rmst = tau
+    val none = Seq((3L, false), (9L, false))
+      .toDF("t", "ev").withColumn("cohort", lit("all"))
+    assert(Temporal.rmst(none, Seq("cohort"), "t", "ev", tau = 5.0)
+      .collect().head.getAs[Double]("rmst") == 5.0)
+  }
+
   test("logRank: hand-computed O/E/V; identical curves score ~0") {
     import spark.implicits._
     // A: events at 1, 2; B: event at 1, censored at 3
