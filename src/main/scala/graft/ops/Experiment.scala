@@ -448,10 +448,12 @@ object Experiment {
    * se/t — normalized by construction, not estimated.
    *
    * Output: one row per period — period, n_treat, n_ctrl, mean_treat,
-   * mean_ctrl, effect, se, t_stat (6 dp). Scale shape: ONE hash
-   * aggregate to period grain (conditional cells), the one-row base
-   * period broadcast back — the [[diffInDiff]] shape fanned across
-   * periods.
+   * mean_ctrl, effect, se, t_stat (6 dp). A `basePeriod` ABSENT from
+   * the data yields an EMPTY result (there is nothing to normalize
+   * against — surface the misconfiguration, don't invent a baseline).
+   * Scale shape: ONE hash aggregate to period grain (conditional
+   * cells), the one-row base period broadcast back — the
+   * [[diffInDiff]] shape fanned across periods.
    */
   def didEventStudy(df: DataFrame, treatedCol: String, periodCol: String,
       valueCol: String, basePeriod: String): DataFrame = {

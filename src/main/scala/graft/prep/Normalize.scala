@@ -145,6 +145,13 @@ object Normalize {
    * bit-equal to the exact twin. Keep the exact form as the oracle
    * fixture.
    */
+  def quantileNormalizeApprox(df: DataFrame, sourceCol: String,
+      valueCol: String, q: Int = 101, idCols: Seq[String] = Nil,
+      accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 100, "accuracy must be >= 100 (rank error 1/accuracy)")
+    quantileNormalizeImpl(df, sourceCol, valueCol, q, idCols, Some(accuracy))
+  }
+
   /**
    * Observed rank error of the [[quantileNormalizeApprox]] sketch grid
    * — the declared-accuracy contract emitted as DATA (one row), so the
@@ -192,13 +199,6 @@ object Normalize {
       .select(col("max_rank_err"),
         lit(1.0 / accuracy).as("declared_err"),
         (col("max_rank_err") <= 1.0 / accuracy).as("rank_err_ok"))
-  }
-
-  def quantileNormalizeApprox(df: DataFrame, sourceCol: String,
-      valueCol: String, q: Int = 101, idCols: Seq[String] = Nil,
-      accuracy: Int = 10000): DataFrame = {
-    require(accuracy >= 100, "accuracy must be >= 100 (rank error 1/accuracy)")
-    quantileNormalizeImpl(df, sourceCol, valueCol, q, idCols, Some(accuracy))
   }
 
   private def quantileNormalizeImpl(df: DataFrame, sourceCol: String,
