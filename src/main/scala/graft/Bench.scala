@@ -204,7 +204,10 @@ object Bench {
     // round-16 batch 3 (per-query only): DiD event study (one
     // conditional hash-agg pass + one-row base broadcast), restricted
     // mean survival time (the KM aggregate + a statistic-sized lag pass)
-    "q_did_event_study", "q_rmst")
+    "q_did_event_study", "q_rmst",
+    // round-16 batch 4 (per-query only): CMH stratified 2x2 test and
+    // Spiegelhalter's calibration z — both single-aggregate-pass shapes
+    "q_cmh", "q_spiegelhalter_z")
 
   /**
    * Contamination self-healing (pure decision logic, spec-covered):
@@ -258,10 +261,11 @@ object Bench {
       "q_theta_forecast", "q_rmst"),
     "experiment" -> Set("q_cuped", "q_shapley_sampled", "q_dr_replay",
       "q_rdd", "q_ratio_delta", "q_msprt", "q_srm_sequential",
-      "q_did_event_study"),
+      "q_did_event_study", "q_cmh"),
     "mining" -> Set("q_item_cf", "q_item_cf_incremental",
       "q_winsorize_approx", "q_quantile_normalize_approx",
-      "q_bootstrap_ci_fast", "q_eb_rate", "q_anova_f"),
+      "q_bootstrap_ci_fast", "q_eb_rate", "q_anova_f",
+      "q_spiegelhalter_z"),
     "graph" -> Set("q_hits", "q_adamic_adar"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",

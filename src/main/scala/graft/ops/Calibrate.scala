@@ -68,6 +68,39 @@ object Calibrate {
   }
 
   /**
+   * Spiegelhalter's calibration z-test (Spiegelhalter 1986, "Probabilistic
+   * prediction in patient management and clinical trials") — the
+   * SIGNIFICANCE test behind a calibration report: ECE/reliability bins
+   * say HOW miscalibrated a probability column looks; this says whether
+   * the miscalibration exceeds chance. Decomposes the Brier score's
+   * deviation from its perfect-calibration expectation:
+   *
+   *   z = Σ (yᵢ − pᵢ)(1 − 2pᵢ) / √( Σ (1 − 2pᵢ)²·pᵢ·(1 − pᵢ) )
+   *
+   * ~N(0,1) when the pᵢ are honest. |z| > 1.96 at 5% — the usual
+   * no-p-value-table reporting convention ([[graft.stats.Planners.welchT]]).
+   * Note p = 0.5 predictions carry zero weight (1 − 2p = 0): the test
+   * has no power exactly where miscalibration is invisible to Brier.
+   *
+   * Output: one row (n, z) — z null when the variance term is 0 (all
+   * predictions at 0, 0.5, or 1). Scale shape: ONE aggregate pass, two
+   * sums — no window, no join.
+   */
+  def spiegelhalterZ(df: DataFrame, probCol: String,
+      labelCol: String): DataFrame = {
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val w = lit(1.0) - lit(2.0) * p
+    df.filter(p.isNotNull && y.isNotNull && p >= 0 && p <= 1)
+      .agg(count(lit(1)).as("n"),
+        sum((y - p) * w).as("__num"),
+        sum(w * w * p * (lit(1.0) - p)).as("__den"))
+      .select(col("n"),
+        round(when(col("__den") > 0, col("__num") / sqrt(col("__den"))), 6)
+          .as("z"))
+  }
+
+  /**
    * Split-conformal prediction interval (Vovk et al. 2005; the split
    * form of Lei et al. 2018): from a CALIBRATION slice's absolute
    * residuals |y − ŷ|, the q̂ = ⌈(n+1)(1−α)⌉-th smallest residual is a

@@ -433,6 +433,62 @@ object Experiment {
   }
 
   /**
+   * Cochran–Mantel–Haenszel test (Cochran 1954; Mantel & Haenszel 1959)
+   * over stratified 2×2 tables — "does treatment shift a BINARY outcome
+   * after controlling for a stratifier": the categorical-outcome
+   * companion of [[attStrata]] (which contrasts MEANS within strata)
+   * and the stratified upgrade of a single 2×2 χ². Per stratum i with
+   * cells (a,b;c,d), margins n1/n0/m1/m0 and total T:
+   * E_i = n1·m1/T, V_i = n1·n0·m1·m0/(T²(T−1)), and
+   * χ²_CMH = (Σa − ΣE)²/ΣV (1 dof; no continuity correction — the
+   * large-stratum convention, documented). Also the Mantel–Haenszel
+   * common odds ratio OR_MH = Σ(aᵢdᵢ/Tᵢ)/Σ(bᵢcᵢ/Tᵢ) — valid even when
+   * per-stratum cells are too thin for their own OR.
+   *
+   * Single-subject strata contribute a − E = 0 identically and a null
+   * V (skipped by the sum) — included, harmless, the textbook
+   * treatment. Output: ONE row — n_strata, sum_a, sum_e, variance,
+   * chi2, or_mh (6 dp; chi2 null when ΣV = 0, or_mh null when the
+   * denominator is 0). Scale shape: ONE hash aggregate to stratum
+   * grain (four conditional cells), then strata-sized arithmetic —
+   * the [[srmCheck]] shape with a stratifier.
+   */
+  def cmhTest(df: DataFrame, stratumCol: String, treatedCol: String,
+      outcomeCol: String): DataFrame = {
+    val t = col(treatedCol).cast("boolean")
+    val y = col(outcomeCol).cast("boolean")
+    val cells = df
+      .filter(col(stratumCol).isNotNull && t.isNotNull && y.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(sum(when(t && y, 1L).otherwise(0L)).as("a"),
+        sum(when(t && !y, 1L).otherwise(0L)).as("b"),
+        sum(when(!t && y, 1L).otherwise(0L)).as("c"),
+        sum(when(!t && !y, 1L).otherwise(0L)).as("d"))
+      .withColumn("n1", col("a") + col("b"))
+      .withColumn("n0", col("c") + col("d"))
+      .withColumn("m1", col("a") + col("c"))
+      .withColumn("m0", col("b") + col("d"))
+      .withColumn("tt", col("n1") + col("n0"))
+    val ee = col("n1").cast("double") * col("m1") / col("tt")
+    val v = when(col("tt") >= 2,
+      col("n1").cast("double") * col("n0") * col("m1") * col("m0") /
+        (col("tt").cast("double") * col("tt") * (col("tt") - 1)))
+    val g = cells.agg(count(lit(1)).as("n_strata"),
+      coalesce(sum(col("a")), lit(0L)).as("sum_a"),
+      sum(ee).as("__se"), sum(v).as("__sv"),
+      sum(col("a").cast("double") * col("d") / col("tt")).as("__on"),
+      sum(col("b").cast("double") * col("c") / col("tt")).as("__od"))
+    g.select(col("n_strata"), col("sum_a"),
+      round(col("__se"), 6).as("sum_e"),
+      round(col("__sv"), 6).as("variance"),
+      round(when(col("__sv") > 0,
+        (col("sum_a") - col("__se")) * (col("sum_a") - col("__se")) /
+          col("__sv")), 6).as("chi2"),
+      round(when(col("__od") > 0, col("__on") / col("__od")), 6)
+        .as("or_mh"))
+  }
+
+  /**
    * Difference-in-differences EVENT STUDY (the dynamic DiD of Angrist &
    * Pischke's "leads and lags" regression, computed as per-period cell
    * contrasts): one effect per period, each normalized against the

@@ -471,6 +471,29 @@ object Analytics extends QueryGroup {
              |  ROUND(SUM(sqe) OVER () / tot, 6) AS brier
              |FROM t""".stripMargin)),
 
+    // Spiegelhalter's calibration z on the same (prob, label) fixture:
+    // the significance test behind the calibration report — is the
+    // observed miscalibration more than chance. One aggregate pass,
+    // two sums; the identical op shapes replay in SQL.
+    QueryDef("q_spiegelhalter_z",
+      (s, dir) => graft.ops.Calibrate.spiegelhalterZ(
+        Tables.load(s, dir, "customer")
+          .select(((col("c_custkey") % 100).cast("double") / 100.0 + 0.005).as("prob"),
+            (col("c_acctbal") > 5000).cast("long").as("label")),
+        "prob", "label"),
+      Some("""WITH src AS (SELECT
+             |    CAST(c_custkey % 100 AS DOUBLE) / 100.0 + 0.005 AS p,
+             |    CAST(CAST(c_acctbal > 5000 AS INT) AS DOUBLE) AS y
+             |  FROM customer),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM((y - p) * (1.0 - 2.0 * p)) AS num,
+             |    SUM((1.0 - 2.0 * p) * (1.0 - 2.0 * p) * p * (1.0 - p))
+             |      AS den
+             |  FROM src WHERE p >= 0 AND p <= 1)
+             |SELECT n,
+             |  ROUND(CASE WHEN den > 0 THEN num / sqrt(den) END, 6) AS z
+             |FROM a""".stripMargin)),
+
     // Two-sample KS statistic between click and view value distributions
     // — exact empirical-CDF sup-gap, running windows on both engines
     QueryDef("q_ks_test",

@@ -853,6 +853,54 @@ object ExperimentQ extends QueryGroup {
               |    END, 6) AS t_stat
               |FROM p CROSS JOIN b""".stripMargin)),
 
+    // Cochran-Mantel-Haenszel stratified 2x2 test: does the hash-split
+    // "treatment" shift the value > 100 outcome after controlling for
+    // event_type strata (expected null effect with real variance — the
+    // q_rdd fixture convention), plus the Mantel-Haenszel common odds
+    // ratio. One hash aggregate to stratum grain; margins stay exact
+    // integers and the quadratic forms multiply identical operands on
+    // both engines.
+    QueryDef("q_cmh", (s, dir) =>
+      Experiment.cmhTest(Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .withColumn("tr", md5Val16(col("user_id")) < 32768)
+          .withColumn("y", col("value") > 100.0),
+        "event_type", "tr", "y"),
+      Some(s"""WITH e AS (SELECT event_type AS s,
+              |    (${md5Val16Sql("user_id")} < 32768) AS tr,
+              |    (value > 100.0) AS y
+              |  FROM events WHERE value IS NOT NULL),
+              |p AS (SELECT s,
+              |    CAST(SUM(CASE WHEN tr AND y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS a,
+              |    CAST(SUM(CASE WHEN tr AND NOT y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS b,
+              |    CAST(SUM(CASE WHEN NOT tr AND y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS c,
+              |    CAST(SUM(CASE WHEN NOT tr AND NOT y THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS d
+              |  FROM e GROUP BY 1),
+              |q AS (SELECT a, b, c, d, a + b AS n1, c + d AS n0,
+              |    a + c AS m1, b + d AS m0, a + b + c + d AS tt FROM p),
+              |r AS (SELECT a,
+              |    CAST(n1 AS DOUBLE) * m1 / tt AS ee,
+              |    CASE WHEN tt >= 2 THEN
+              |      CAST(n1 AS DOUBLE) * n0 * m1 * m0 /
+              |        (CAST(tt AS DOUBLE) * tt * (tt - 1)) END AS v,
+              |    CAST(a AS DOUBLE) * d / tt AS orn,
+              |    CAST(b AS DOUBLE) * c / tt AS odn
+              |  FROM q)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+              |  CAST(COALESCE(SUM(a), 0) AS BIGINT) AS sum_a,
+              |  ROUND(SUM(ee), 6) AS sum_e,
+              |  ROUND(SUM(v), 6) AS variance,
+              |  ROUND(CASE WHEN SUM(v) > 0 THEN
+              |    (SUM(a) - SUM(ee)) * (SUM(a) - SUM(ee)) / SUM(v) END, 6)
+              |    AS chi2,
+              |  ROUND(CASE WHEN SUM(odn) > 0 THEN SUM(orn) / SUM(odn)
+              |    END, 6) AS or_mh
+              |FROM r""".stripMargin)),
+
     // Sharp regression discontinuity at an account-balance threshold:
     // local linear fits (closed-form OLS from the five sufficient sums
     // per side) within the bandwidth, effect = intercept jump at the

@@ -357,6 +357,31 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("cmhTest: hand-computed stratified 2x2; single-subject strata are harmless") {
+    // S1 cells (3,1;1,3): E = 2, V = 256/448, a−E = 1, OR terms 1.125/0.125
+    // S2 cells (2,2;2,2): E = 2, V = 256/448, a−E = 0, OR terms 0.5/0.5
+    // -> chi2 = 1 / (2·256/448) = 0.875; OR_MH = 1.625/0.625 = 2.6
+    def cell(s: String, tr: Boolean, y: Boolean, k: Int) =
+      Seq.fill(k)((s, tr, y))
+    val rows = (cell("s1", true, true, 3) ++ cell("s1", true, false, 1) ++
+      cell("s1", false, true, 1) ++ cell("s1", false, false, 3) ++
+      cell("s2", true, true, 2) ++ cell("s2", true, false, 2) ++
+      cell("s2", false, true, 2) ++ cell("s2", false, false, 2))
+      .toDF("s", "tr", "y")
+    val r = Experiment.cmhTest(rows, "s", "tr", "y").collect().head
+    assert(r.getAs[Long]("n_strata") == 2 && r.getAs[Long]("sum_a") == 5)
+    assert(r.getAs[Double]("sum_e") == 4.0)
+    assert(r.getAs[Double]("variance") == 1.142857)
+    assert(r.getAs[Double]("chi2") == 0.875, s"hand chi2: $r")
+    assert(r.getAs[Double]("or_mh") == 2.6, s"hand OR_MH: $r")
+    // a single-subject stratum contributes a − E = 0 and no variance
+    val plus = rows.unionByName(Seq(("s3", true, true)).toDF("s", "tr", "y"))
+    val r2 = Experiment.cmhTest(plus, "s", "tr", "y").collect().head
+    assert(r2.getAs[Long]("n_strata") == 3 && r2.getAs[Long]("sum_a") == 6)
+    assert(r2.getAs[Double]("sum_e") == 5.0 &&
+      r2.getAs[Double]("chi2") == 0.875, s"T=1 stratum must be inert: $r2")
+  }
+
   test("didEventStudy: per-period contrasts normalize to the base; base emits 0 with null se") {
     // cells (mean, var = 2 each, n = 2): T,w0 10; C,w0 5; T,w1 20; C,w1 7
     // -> effect_w1 = (20-7) - (10-5) = 8; se = sqrt(4*2/2) = 2; t = 4

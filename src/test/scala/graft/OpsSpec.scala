@@ -2203,6 +2203,24 @@ class OpsSpec extends SparkSpec {
     assert(mono.forall { case (raw, iso) => raw == iso })
   }
 
+  test("spiegelhalterZ: perfectly calibrated -> 0; hand z; half-predictions carry no weight; degenerate nulls") {
+    import graft.ops.Calibrate
+    // p = 0.25 with a 1/4 hit rate is perfectly calibrated: num = 0
+    val cal = Seq((0.25, 1L), (0.25, 0L), (0.25, 0L), (0.25, 0L))
+      .toDF("p", "y")
+    assert(Calibrate.spiegelhalterZ(cal, "p", "y").head().getDouble(1) == 0.0)
+    // one overconfident miss: (y−p)(1−2p) = 0.72, var = 0.0576 -> z = 3
+    val bad = Seq((0.1, 1L)).toDF("p", "y")
+    assert(Calibrate.spiegelhalterZ(bad, "p", "y").head().getDouble(1) == 3.0)
+    // p = 0.5 rows contribute zero weight to both sums
+    val padded = bad.unionByName(Seq((0.5, 1L), (0.5, 0L)).toDF("p", "y"))
+    val pr = Calibrate.spiegelhalterZ(padded, "p", "y").head()
+    assert(pr.getLong(0) == 3 && pr.getDouble(1) == 3.0)
+    // all-half predictions: variance term is 0 -> honest null, not NaN
+    val half = Seq((0.5, 1L), (0.5, 0L)).toDF("p", "y")
+    assert(Calibrate.spiegelhalterZ(half, "p", "y").head().isNullAt(1))
+  }
+
   test("spearman: monotone 1, reversed -1, average-rank ties, constant null") {
     import graft.stats.Planners
     // nonlinear but monotone: Pearson < 1, Spearman exactly 1
