@@ -207,7 +207,12 @@ object Bench {
     "q_did_event_study", "q_rmst",
     // round-16 batch 4 (per-query only): CMH stratified 2x2 test and
     // Spiegelhalter's calibration z — both single-aggregate-pass shapes
-    "q_cmh", "q_spiegelhalter_z")
+    "q_cmh", "q_spiegelhalter_z",
+    // round-16 batch 5 (per-query only): TextRank keywords — the word
+    // co-occurrence graph (shuffle-free sliced-array-zip edge build)
+    // through 5 PageRank iterations; filed under graph (the iterations
+    // dominate, the q_hits cost class)
+    "q_textrank")
 
   /**
    * Contamination self-healing (pure decision logic, spec-covered):
@@ -266,7 +271,7 @@ object Bench {
       "q_winsorize_approx", "q_quantile_normalize_approx",
       "q_bootstrap_ci_fast", "q_eb_rate", "q_anova_f",
       "q_spiegelhalter_z"),
-    "graph" -> Set("q_hits", "q_adamic_adar"),
+    "graph" -> Set("q_hits", "q_adamic_adar", "q_textrank"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",
       "q_text_keyword_tag", "q_text_fim", "q_text_wordpiece",

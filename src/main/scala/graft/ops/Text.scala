@@ -414,6 +414,59 @@ object Text {
   }
 
   /**
+   * TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) over the
+   * corpus: PageRank on the word CO-OCCURRENCE graph (an undirected
+   * edge between tokens at distance ≤ `window` within a document), top
+   * `topK` words by centrality — the unsupervised keyword ranking that
+   * beats raw frequency because a word matters when it co-occurs with
+   * OTHER important words (the [[tfidfKeywords]] per-doc scorer's
+   * corpus-level graph sibling). Composes two existing surfaces: the
+   * edge build here, the fixed-iteration [[graft.ops.Graph.pageRank]]
+   * for the centrality.
+   *
+   * Scale shape: the co-occurrence pairs come from SLICED-ARRAY ZIPS
+   * (for each offset k ≤ window, zip the token array against itself
+   * shifted by k) — a shuffle-free narrow projection with fanout ≤
+   * window per token, never a positional self-join (which would go
+   * quadratic per document before its distance filter). Edges then
+   * aggregate to the VOCABULARY-sized graph; PageRank's per-iteration
+   * cost is |edges|, corpus-size-independent after the one build pass.
+   * Distances are measured in non-empty-token space (the whitespace
+   * tokenizer's empty fragments are dropped first).
+   *
+   * Output: (word, rank, rk) for the top `topK` (rank 6 dp, ties by
+   * word asc).
+   */
+  def textrank(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 2, iterations: Int = 5, topK: Int = 20): DataFrame = {
+    require(window >= 1 && iterations >= 0 && topK >= 1,
+      "window, topK >= 1; iterations >= 0")
+    val ts = array_remove(tokens(col(textCol)), "")
+    // greatest(len − k, 0): a doc shorter than the window must yield an
+    // empty slice, not a negative-length error
+    val pairs = flatten(transform(sequence(lit(1), lit(window)), k =>
+      zip_with(
+        slice(col("__ts"), lit(1), greatest(size(col("__ts")) - k, lit(0))),
+        slice(col("__ts"), k + lit(1),
+          greatest(size(col("__ts")) - k, lit(0))),
+        (x, y) => struct(x.as("wa"), y.as("wb")))))
+    val co = df.filter(col(textCol).isNotNull)
+      .select(ts.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
+      .filter(col("wa") =!= col("wb"))
+    val edges = co.select(col("wa").as("src"), col("wb").as("dst"))
+      .unionByName(co.select(col("wb").as("src"), col("wa").as("dst")))
+    val pr = graft.ops.Graph.pageRank(edges, "src", "dst", iterations)
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc, col("v").asc)
+    pr.withColumn("rk", row_number().over(wv))
+      .filter(col("rk") <= topK)
+      .select(col("v").as("word"), col("rank"), col("rk"))
+  }
+
+  /**
    * Zipf-law fit over the corpus vocabulary: OLS of ln(freq) on
    * ln(rank) for the top `topN` terms (freq desc, term-asc tiebreak).
    * Natural-language corpora slope ≈ −1; a far-off slope is the cheap

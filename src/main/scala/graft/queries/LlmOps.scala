@@ -1962,6 +1962,54 @@ object LlmOps extends QueryGroup {
            |SELECT v AS doc_id, ROUND(rank, 6) AS rank FROM r5""".stripMargin
       }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph (distance <= 2 in cleaned-token
+    // space), top 20 by centrality. Edges come from sliced-array zips
+    // (shuffle-free, fanout <= window per token — never a positional
+    // self-join); the oracle zips aligned unnests per offset and
+    // unrolls the same 5 PR iterations as q_pagerank.
+    QueryDef("q_textrank",
+      (s, dir) => Text.textrank(Tables.load(s, dir, "documents"),
+        "text", "doc_id", window = 2, iterations = 5, topK = 20),
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (SELECT verts.v,
+             |    CAST(0.15 AS DOUBLE) / nn.n
+             |      + CAST(0.85 AS DOUBLE) * COALESCE(SUM(p.rank / p.odeg), 0.0) AS rank
+             |  FROM verts CROSS JOIN nn
+             |  LEFT JOIN (SELECT e.dst, r.rank, od.odeg
+             |             FROM e JOIN r${i - 1} r ON r.v = e.src
+             |             JOIN od ON od.src = e.src) p ON p.dst = verts.v
+             |  GROUP BY verts.v, nn.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH base AS (SELECT
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |      x -> x <> '') AS ts
+           |  FROM documents WHERE text IS NOT NULL),
+           |b2 AS (SELECT ts FROM base WHERE len(ts) >= 2),
+           |p1 AS (SELECT unnest(ts[1:len(ts)-1]) AS wa,
+           |    unnest(ts[2:len(ts)]) AS wb FROM b2),
+           |p2 AS (SELECT unnest(ts[1:len(ts)-2]) AS wa,
+           |    unnest(ts[3:len(ts)]) AS wb FROM b2 WHERE len(ts) >= 3),
+           |co AS (SELECT wa, wb FROM
+           |    (SELECT wa, wb FROM p1 UNION ALL SELECT wa, wb FROM p2)
+           |  WHERE wa <> wb),
+           |e AS (SELECT DISTINCT src, dst FROM
+           |    (SELECT wa AS src, wb AS dst FROM co
+           |     UNION ALL SELECT wb, wa FROM co)),
+           |verts AS (SELECT DISTINCT src AS v FROM e),
+           |nn AS (SELECT COUNT(*) AS n FROM verts),
+           |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY 1),
+           |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           |  FROM verts CROSS JOIN nn),
+           |$iters
+           |SELECT word, rank, CAST(rk AS INT) AS rk
+           |FROM (SELECT v AS word, ROUND(rank, 6) AS rank,
+           |    ROW_NUMBER() OVER (ORDER BY ROUND(rank, 6) DESC, v ASC)
+           |      AS rk FROM r5)
+           |WHERE rk <= 20""".stripMargin
+      }),
+
     // HITS hubs/authorities over the DIRECTED order->part bipartite
     // graph (namespaced vertex ids so key spaces can't collide): hubs =
     // orders touching many popular parts, authorities = parts cited by

@@ -2221,6 +2221,32 @@ class OpsSpec extends SparkSpec {
     assert(Calibrate.spiegelhalterZ(half, "p", "y").head().isNullAt(1))
   }
 
+  test("textrank: hub word out-ranks satellites; two-node graph splits evenly; short docs are inert") {
+    import graft.ops.Text
+    // star corpus: 'hub' co-occurs with every satellite, satellites only
+    // with hub -> hub must take rank 1
+    val star = Seq((1L, "hub red"), (2L, "hub green"), (3L, "hub blue"),
+      (4L, "hub amber"))
+      .toDF("doc_id", "text")
+    val top = Text.textrank(star, "text", "doc_id", window = 1,
+      iterations = 5, topK = 10).collect()
+    assert(top.head.getString(0) == "hub" && top.head.getInt(2) == 1)
+    assert(top.length == 5 && top.tail.map(_.getDouble(1)).distinct.length == 1,
+      "satellites are symmetric and tie")
+    // two symmetric nodes: PageRank splits 0.5/0.5 at every iteration
+    val duo = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val d = Text.textrank(duo, "text", "doc_id", window = 1,
+      iterations = 3, topK = 5).collect()
+    assert(d.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("x", 0.5), ("y", 0.5)))
+    // single-token and empty docs contribute no edges; a window longer
+    // than the doc must not error (negative-slice guard)
+    val shorts = Seq((1L, "solo"), (2L, ""), (3L, "p q")).toDF("doc_id", "text")
+    val s = Text.textrank(shorts, "text", "doc_id", window = 5,
+      iterations = 2, topK = 5).collect()
+    assert(s.map(_.getString(0)).toSet == Set("p", "q"))
+  }
+
   test("spearman: monotone 1, reversed -1, average-rank ties, constant null") {
     import graft.stats.Planners
     // nonlinear but monotone: Pearson < 1, Spearman exactly 1
