@@ -863,6 +863,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("textrank edge build: shuffle-free to the vocabulary grain; no positional self-join") {
+    // pageRank localCheckpoints per iteration (the final q_textrank
+    // plan starts from an ExistingRDD), so freeze the EDGE-BUILD plan
+    // at iterations = 0: the sliced-array-zip construction must reach
+    // the vertex distinct as a pure narrow projection — a positional
+    // self-join (quadratic per document before its distance filter)
+    // would surface as a join on the token stream
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    val p = try {
+      spark.conf.set(key, "false")
+      graft.ops.Text.textrank(
+        graft.core.Tables.load(spark, sf, "documents"), "text", "doc_id",
+        window = 2, iterations = 0, topK = 20)
+        .queryExecution.executedPlan
+    } finally spark.conf.set(key, prev)
+    assert(!p.toString.contains("CartesianProduct"),
+      s"edge build must never cartesian:\n$p")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty, s"expected the documents scan:\n$p")
+    // the ONLY joins are the 1-row broadcast of the vertex count —
+    // nothing joins the raw token stream
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(
+      _.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"only the 1-row n broadcast may join:\n$p")
+  }
+
   test("q_fs_score: deletion-key bucket cap is groupBy + broadcast anti-join, zero windows") {
     assertAntiCapNoWindow(plan("q_fs_score"), "fuzzyPairsDeletes maxBucket")
   }
