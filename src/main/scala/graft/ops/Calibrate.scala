@@ -101,6 +101,82 @@ object Calibrate {
   }
 
   /**
+   * Murphy decomposition of the Brier score (Murphy 1973) over
+   * fixed-width probability bins — the WHY behind [[spiegelhalterZ]]'s
+   * whether: Brier = reliability − resolution + uncertainty (+ the
+   * within-bin forecast-variance residual the binning introduces).
+   *   reliability = Σ nₖ(p̄ₖ − ōₖ)²/N   (miscalibration — lower better)
+   *   resolution  = Σ nₖ(ōₖ − ō)²/N    (sharpness that pays — higher)
+   *   uncertainty = ō(1 − ō)           (the no-skill floor)
+   *   within_var  = Σ (pᵢ − p̄ₖ)²/N    (within-bin forecast spread)
+   *   within_cov  = Σ (pᵢ − p̄ₖ)(yᵢ − ōₖ)/N  (within-bin association)
+   * With CONTINUOUS forecasts binned, the exact identity carries both
+   * within-bin terms (Stephenson, Coelho & Jolliffe 2008):
+   *   brier = reliability − resolution + uncertainty
+   *         + within_var − 2·within_cov
+   * (the textbook 3-term Murphy form is the p-constant-per-bin special
+   * case, where both extras vanish). A forecaster beats the
+   * climatology baseline iff resolution > reliability.
+   *
+   * Output: one row `(n, brier, reliability, resolution, uncertainty,
+   * within_var, within_cov)`, 6 dp — n = 0 with null terms on
+   * empty/all-invalid input.
+   *
+   * Scale shape: ONE hash aggregate to the ≤nBins bin grain (map-side
+   * combined), then one plain aggregate over the BIN table
+   * (statistic-sized) — no window, no sort, no join. Bins are
+   * fixed-width `floor(p·nBins)` (edge-clamped), NOT ntile — no global
+   * sort, and the decomposition is standard on equal-width bins.
+   * Resolution uses the expanded form Σnₖōₖ²/N − ō² (clamped at 0: an
+   * exact-grid fixture cancels to an ulp negative) so everything after
+   * the bin aggregate is bin-grain arithmetic.
+   */
+  def brierDecomposition(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val g = df.filter(p.isNotNull && y.isNotNull && p >= 0 && p <= 1)
+      .select(least(floor(p * nBins).cast("long"), lit(nBins - 1L))
+          .as("__bin"), p.as("__p"), y.as("__y"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nk"),
+        sum(col("__p")).as("__sp"), sum(col("__y")).as("__sy"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .as("__ssq"),
+        sum(col("__p") * col("__p")).as("__spp"),
+        sum(col("__p") * col("__y")).as("__spy"))
+    val pk = col("__sp") / col("__nk")
+    val ok = col("__sy") / col("__nk")
+    val a = g.agg(
+      coalesce(sum(col("__nk")), lit(0L)).as("n"),
+      sum(col("__sy")).as("__ty"),
+      sum(col("__ssq")).as("__tsq"),
+      sum(col("__nk") * (pk - ok) * (pk - ok)).as("__reln"),
+      sum(col("__nk") * ok * ok).as("__nko2"),
+      // Σ(p − p̄ₖ)² = Σp² − Σ nₖ·p̄ₖ² per bin, clamped after the sum
+      sum(col("__spp") - pk * col("__sp")).as("__wvn"),
+      // Σ(p − p̄ₖ)(y − ōₖ) = Σpy − nₖ·p̄ₖ·ōₖ per bin (any sign)
+      sum(col("__spy") - col("__sp") * col("__sy") / col("__nk"))
+        .as("__wcn"))
+    // null-safe N (the ivWald ANSI convention: obar is a subexpression
+    // of several branches and may be hoisted out of its CASE guard)
+    val nD = when(col("n") > 0, col("n").cast("double"))
+    val obar = col("__ty") / nD
+    val some = col("n") > 0
+    a.select(col("n"),
+      round(when(some, col("__tsq") / nD), 6).as("brier"),
+      round(when(some, col("__reln") / nD), 6).as("reliability"),
+      round(when(some,
+        greatest(col("__nko2") / nD - obar * obar, lit(0.0))), 6)
+        .as("resolution"),
+      round(when(some, obar * (lit(1.0) - obar)), 6).as("uncertainty"),
+      round(when(some, greatest(col("__wvn"), lit(0.0)) / nD), 6)
+        .as("within_var"),
+      round(when(some, col("__wcn") / nD), 6).as("within_cov"))
+  }
+
+  /**
    * Split-conformal prediction interval (Vovk et al. 2005; the split
    * form of Lei et al. 2018): from a CALIBRATION slice's absolute
    * residuals |y − ŷ|, the q̂ = ⌈(n+1)(1−α)⌉-th smallest residual is a

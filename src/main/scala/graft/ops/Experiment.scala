@@ -1098,4 +1098,69 @@ object Experiment {
         round(col("__vd"), 6).as("value_dr"),
         round(col("__sd") / sqrt(col("n_logged")), 6).as("se"))
   }
+
+  /**
+   * Instrumental-variable (Wald / just-identified 2SLS) estimator with
+   * a BINARY instrument (Angrist, Imbens & Rubin 1996) — the causal
+   * answer when treatment is self-selected but an ENCOURAGEMENT was
+   * randomized (the feature was offered, not forced): LATE =
+   * ITT_y / ITT_x, the outcome intent-to-treat effect scaled by the
+   * compliance lift. Complements [[ipwAte]]/[[aipwAte]] (which assume
+   * all confounders observed): IV needs only instrument validity.
+   *
+   * SE via the delta method on the ratio of mean differences:
+   *   var(LATE) = (varA + LATE²·varB − 2·LATE·covAB) / ITT_x²
+   * where varA/varB/covAB are the sampling (co)variances of the two
+   * ITTs (per-arm var_samp/covar_samp over n). The quadratic form is
+   * clamped at 0 before the sqrt (the [[deltaMethodRatio]] convention —
+   * perfect-correlation fixtures cancel an ulp negative).
+   *
+   * Output: one row `(n1, n0, itt_y, itt_x, late, se, z)`, 6 dp —
+   * n1/n0 encouraged/control counts (coalesced to 0 on empty input);
+   * late/se/z null when an arm is empty, compliance is zero (no first
+   * stage — the instrument moved nobody), or the variance degenerates.
+   *
+   * Scale shape: ONE hash-aggregate pass producing per-arm
+   * (n, mean, var, cov) — map-side combined, no window, no join (the
+   * [[graft.stats.Planners.welchT]] shape).
+   */
+  def ivWald(df: DataFrame, instrumentCol: String, treatCol: String,
+      outcomeCol: String): DataFrame = {
+    val z1 = col(instrumentCol).cast("boolean") === true
+    val x = col(treatCol).cast("double")
+    val y = col(outcomeCol).cast("double")
+    val a = df.filter(col(instrumentCol).isNotNull && x.isNotNull &&
+        y.isNotNull)
+      .agg(
+        coalesce(sum(when(z1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+        coalesce(sum(when(!z1, 1L).otherwise(0L)), lit(0L)).as("n0"),
+        avg(when(z1, y)).as("__my1"), avg(when(!z1, y)).as("__my0"),
+        avg(when(z1, x)).as("__mx1"), avg(when(!z1, x)).as("__mx0"),
+        var_samp(when(z1, y)).as("__vy1"), var_samp(when(!z1, y)).as("__vy0"),
+        var_samp(when(z1, x)).as("__vx1"), var_samp(when(!z1, x)).as("__vx0"),
+        covar_samp(when(z1, y), when(z1, x)).as("__c1"),
+        covar_samp(when(!z1, y), when(!z1, x)).as("__c0"))
+    val itty = col("__my1") - col("__my0")
+    val ittx = col("__mx1") - col("__mx0")
+    // null-safe denominators, NOT when-guarded divisions: ANSI mode +
+    // codegen subexpression elimination can hoist a shared division out
+    // of its CASE branch, so a zero divisor must become NULL before the
+    // divide (x / NULL is NULL, never an error)
+    val ittxSafe = when(ittx =!= 0, ittx)
+    val n1S = when(col("n1") > 0, col("n1"))
+    val n0S = when(col("n0") > 0, col("n0"))
+    val late = itty / ittxSafe
+    val varA = col("__vy1") / n1S + col("__vy0") / n0S
+    val varB = col("__vx1") / n1S + col("__vx0") / n0S
+    val covAB = col("__c1") / n1S + col("__c0") / n0S
+    val ok = col("n1") > 1 && col("n0") > 1
+    val se = sqrt(greatest(varA + late * late * varB
+      - lit(2.0) * late * covAB, lit(0.0))) / abs(ittxSafe)
+    val seSafe = when(se > 0, se)
+    a.select(col("n1"), col("n0"),
+      round(itty, 6).as("itt_y"), round(ittx, 6).as("itt_x"),
+      round(when(ok, late), 6).as("late"),
+      round(when(ok, se), 6).as("se"),
+      round(when(ok, late / seSafe), 6).as("z"))
+  }
 }

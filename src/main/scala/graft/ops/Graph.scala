@@ -312,6 +312,57 @@ object Graph {
   }
 
   /**
+   * Degree assortativity coefficient (Newman 2002, "Assortative mixing
+   * in networks") of an undirected graph: the Pearson correlation of
+   * endpoint degrees over all directed edge copies — positive when
+   * hubs attach to hubs (social networks), negative when hubs attach
+   * to leaves (the web, biology). The one-number structural summary
+   * next to [[triangleCounts]]' local density: same edge list, opposite
+   * altitude. (The textbook excess-degree form subtracts 1 from each
+   * endpoint degree; Pearson correlation is shift-invariant, so the
+   * coefficient is identical.)
+   *
+   * Exactness: endpoint-degree sums (Σd, Σd², Σdᵢdⱼ) accumulate as
+   * EXACT integers (decimal(38,0) / HUGEINT — degrees can square past
+   * a long on a 10⁹-vertex graph); because the directed copy list is
+   * symmetric, both marginals coincide and r reduces to
+   * `(2m·Σdᵢdⱼ − (Σd)²) / (2m·Σd² − (Σd)²)` — one double division
+   * over exact integers, no sqrt. Null when the denominator is 0
+   * (regular graph: every degree equal — correlation undefined).
+   *
+   * Scale shape: degree table via one hash aggregate, two key-grain
+   * joins to decorate edge endpoints, ONE aggregate — no window, no
+   * self-join of adjacency. Output: one row
+   * `(n_vertices, n_edges, assortativity)` (6 dp).
+   */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    // the adjacency is consumed THREE times (degree table + both
+    // endpoint joins): checkpoint once so an expensive upstream edge
+    // derivation doesn't replay per consumer (the hits/kcore
+    // convention; a cluster run checkpoints to a reliable dir)
+    val sym = symEdges(edges, srcCol, dstCol).localCheckpoint()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val dec = deg.select(col("src"), col("__d").cast("decimal(38,0)").as("__d"))
+    val pairs = sym
+      .join(dec.select(col("src"), col("__d").as("__dx")), Seq("src"))
+      .join(dec.select(col("src").as("dst"), col("__d").as("__dy")),
+        Seq("dst"))
+    val a = pairs.agg(
+      count(lit(1)).as("__m2"),
+      sum(col("__dx")).as("__sx"),
+      sum(col("__dx") * col("__dx")).as("__sxx"),
+      sum(col("__dx") * col("__dy")).as("__sxy"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_vertices")))
+    val m2 = col("__m2").cast("double")
+    val sx = col("__sx").cast("double")
+    val num = m2 * col("__sxy").cast("double") - sx * sx
+    val den = m2 * col("__sxx").cast("double") - sx * sx
+    a.select(col("n_vertices"), (col("__m2") / 2).cast("long").as("n_edges"),
+      round(when(den > 0, num / den), 6).as("assortativity"))
+  }
+
+  /**
    * Adamic–Adar link prediction (Adamic & Adar 2003) over an undirected
    * graph: for every vertex pair (a, b) at distance 2 with at least
    * `minCommon` common neighbors, score(a,b) = Σ_{v ∈ N(a)∩N(b)}

@@ -1584,6 +1584,54 @@ object Temporal {
   }
 
   /**
+   * Durbin–Watson statistic (Durbin & Watson 1950) per key:
+   * DW = Σ(eₜ − eₜ₋₁)² / Σeₜ² over the key's time-ordered series,
+   * with e the residuals from the intercept-only model (the demeaned
+   * values — run it on regression residuals for the textbook form).
+   * DW ≈ 2(1 − ρ₁): ≪ 2 flags positive serial correlation (the usual
+   * "iid assumption broke" smoking gun behind overconfident
+   * [[graft.stats.Planners.welchT]]-style inference on autocorrelated
+   * series), ≫ 2 negative. Complements [[mannKendall]] (monotone
+   * TREND) — DW sees oscillation and momentum trend alike.
+   *
+   * Exactness: `valueCol` must be integral (cents — the anovaF
+   * contract). Successive differences cancel the mean exactly, so the
+   * numerator Σ(Δx)² is an EXACT integer (HUGEINT); the denominator is
+   * the clamped ΣX² − S²/n quadratic form over exact sums — DW is
+   * scale-free, one double division per key.
+   *
+   * Scale shape: one shuffle on `keys` (the per-entity sequence window
+   * for lag-1, the C-family convention), then one hash aggregate to
+   * key grain — no global window, no join. Keys with fewer than
+   * `minN` observations or zero variance report null. Output: one row
+   * per key — keys, `n`, `dw` (6 dp).
+   */
+  def durbinWatson(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, tiebreak: Seq[String] = Nil,
+      minN: Int = 8): DataFrame = {
+    require(minN >= 2, "minN must be >= 2")
+    val x = col(valueCol).cast("long")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(Seq(col(tsCol)) ++ tiebreak.map(col): _*)
+    val lagged = df.filter(x.isNotNull)
+      .withColumn("__x", x)
+      .withColumn("__prev", lag(col("__x"), 1).over(ord))
+    val d = col("__x") - col("__prev")
+    val g = lagged.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__s"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__ss"),
+        sum(d.cast("decimal(38,0)") * d).as("__num"))
+    val nD = col("n").cast("double")
+    val sD = col("__s").cast("double")
+    val den = greatest(col("__ss").cast("double") - sD * sD / col("n"),
+      lit(0.0))
+    g.select(keys.map(col) ++ Seq(col("n"),
+      round(when(col("n") >= minN && den > 0,
+        col("__num").cast("double") / den), 6).as("dw")): _*)
+  }
+
+  /**
    * Kaplan–Meier survival estimator (Kaplan & Meier 1958) with right
    * censoring, per group: Ŝ(t) = Π_{tⱼ ≤ t} (1 − dⱼ/nⱼ) over the
    * group's distinct observed times, where dⱼ counts events at tⱼ and

@@ -494,6 +494,49 @@ object Analytics extends QueryGroup {
              |  ROUND(CASE WHEN den > 0 THEN num / sqrt(den) END, 6) AS z
              |FROM a""".stripMargin)),
 
+    // Murphy decomposition of the Brier score on the same probability
+    // fixture — reliability/resolution/uncertainty (+ the within-bin
+    // variance residual that closes the identity): WHY the score is
+    // what it is, next to spiegelhalter's whether-it's-chance. One
+    // aggregate to the 10-bin grain, window sums over the bin table.
+    QueryDef("q_brier_decomp",
+      (s, dir) => graft.ops.Calibrate.brierDecomposition(
+        Tables.load(s, dir, "customer")
+          .select(((col("c_custkey") % 100).cast("double") / 100.0 + 0.005).as("prob"),
+            (col("c_acctbal") > 5000).cast("long").as("label")),
+        "prob", "label", nBins = 10),
+      Some("""WITH src AS (SELECT
+             |    CAST(c_custkey % 100 AS DOUBLE) / 100.0 + 0.005 AS p,
+             |    CAST(CAST(c_acctbal > 5000 AS INT) AS DOUBLE) AS y
+             |  FROM customer),
+             |bb AS (SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin, p, y
+             |  FROM src WHERE p >= 0 AND p <= 1),
+             |g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+             |    SUM(p) AS sp, SUM(y) AS sy,
+             |    SUM((p - y) * (p - y)) AS ssq, SUM(p * p) AS spp,
+             |    SUM(p * y) AS spy
+             |  FROM bb GROUP BY 1),
+             |a AS (SELECT
+             |    CAST(COALESCE(SUM(nk), 0) AS BIGINT) AS n,
+             |    SUM(sy) AS ty, SUM(ssq) AS tsq,
+             |    SUM(nk * (sp / nk - sy / nk) * (sp / nk - sy / nk)) AS reln,
+             |    SUM(nk * (sy / nk) * (sy / nk)) AS nko2,
+             |    SUM(spp - sp / nk * sp) AS wvn,
+             |    SUM(spy - sp * sy / nk) AS wcn
+             |  FROM g)
+             |SELECT n,
+             |  ROUND(CASE WHEN n > 0 THEN tsq / n END, 6) AS brier,
+             |  ROUND(CASE WHEN n > 0 THEN reln / n END, 6) AS reliability,
+             |  ROUND(CASE WHEN n > 0 THEN
+             |    GREATEST(nko2 / n - (ty / n) * (ty / n), 0.0) END, 6)
+             |    AS resolution,
+             |  ROUND(CASE WHEN n > 0 THEN (ty / n) * (1.0 - ty / n) END, 6)
+             |    AS uncertainty,
+             |  ROUND(CASE WHEN n > 0 THEN GREATEST(wvn, 0.0) / n END, 6)
+             |    AS within_var,
+             |  ROUND(CASE WHEN n > 0 THEN wcn / n END, 6) AS within_cov
+             |FROM a""".stripMargin)),
+
     // Two-sample KS statistic between click and view value distributions
     // — exact empirical-CDF sup-gap, running windows on both engines
     QueryDef("q_ks_test",
@@ -595,6 +638,185 @@ object Analytics extends QueryGroup {
              |      ((n_a + n_b + 1) - ties / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z,
              |  ROUND((rs_a - n_a * (n_a + 1.0) / 2) * 2 / (CAST(n_a AS DOUBLE) * n_b) - 1, 6) AS r_rb
              |FROM a""".stripMargin)),
+
+    // Kruskal–Wallis H across ALL five event families — the k-sample
+    // rank test completing the anovaF/mannWhitney grid: doubled
+    // midranks are exact integers (HUGEINT rank-sums on both engines),
+    // only the scale-free H/epsilon² pass through doubles.
+    QueryDef("q_kruskal_wallis",
+      (s, dir) => Planners.kruskalWallis(Tables.load(s, dir, "events"),
+        "value", "event_type"),
+      Some("""WITH g AS (SELECT value AS v, event_type AS gr FROM events
+             |    WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT v, gr, COUNT(*) AS c FROM g GROUP BY 1, 2),
+             |vt AS (SELECT v, SUM(c) AS t FROM d GROUP BY 1),
+             |rk AS (SELECT v, t, COALESCE(SUM(t) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM vt),
+             |mm AS (SELECT d.gr, d.c, 2 * rk.prev + rk.t + 1 AS mr2
+             |  FROM d JOIN rk ON d.v = rk.v),
+             |pg AS (SELECT gr, CAST(SUM(c) AS BIGINT) AS ng,
+             |    SUM(CAST(c AS HUGEINT) * mr2) AS rs2 FROM mm GROUP BY 1),
+             |tw AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tt FROM rk),
+             |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n,
+             |    SUM(CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE) / ng) AS q4 FROM pg),
+             |hh AS (SELECT n, k,
+             |    CASE WHEN k >= 2 AND n > 1 AND
+             |        1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n) > 0
+             |      THEN (3.0 * q4 / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)) /
+             |           (1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))
+             |    END AS hval
+             |  FROM ag, tw)
+             |SELECT n, k, k - 1 AS dof, ROUND(hval, 6) AS h,
+             |  ROUND(CASE WHEN n > k THEN (hval - k + 1) / (n - k) END, 6) AS epsilon_sq
+             |FROM hh""".stripMargin)),
+
+    // Dunn's post-hoc pairwise z for the same five families — WHICH
+    // pairs differ after a significant Kruskal–Wallis; the 10 raw
+    // z-values are what bhFdr would correct. Self-join of the k-row
+    // group table only.
+    QueryDef("q_dunn_pairwise",
+      (s, dir) => Planners.dunnPairwise(Tables.load(s, dir, "events"),
+        "value", "event_type"),
+      Some("""WITH g AS (SELECT value AS v, event_type AS gr FROM events
+             |    WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |d AS (SELECT v, gr, COUNT(*) AS c FROM g GROUP BY 1, 2),
+             |vt AS (SELECT v, SUM(c) AS t FROM d GROUP BY 1),
+             |rk AS (SELECT v, t, COALESCE(SUM(t) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM vt),
+             |mm AS (SELECT d.gr, d.c, 2 * rk.prev + rk.t + 1 AS mr2
+             |  FROM d JOIN rk ON d.v = rk.v),
+             |pg AS (SELECT gr, CAST(SUM(c) AS BIGINT) AS ng,
+             |    SUM(CAST(c AS HUGEINT) * mr2) AS rs2 FROM mm GROUP BY 1),
+             |tw AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tt,
+             |    CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n FROM rk),
+             |gm AS (SELECT gr, ng, CAST(rs2 AS DOUBLE) / (2.0 * ng) AS mr FROM pg),
+             |vv AS (SELECT n,
+             |    (CAST(n AS DOUBLE) * (n + 1) - CAST(tt AS DOUBLE) / (n - 1)) / 12 AS v
+             |  FROM tw)
+             |SELECT l.gr AS group_a, r2.gr AS group_b,
+             |  l.ng AS n_a, r2.ng AS n_b,
+             |  ROUND(l.mr, 6) AS mean_rank_a, ROUND(r2.mr, 6) AS mean_rank_b,
+             |  ROUND(CASE WHEN n > 1 AND v > 0 THEN (l.mr - r2.mr) /
+             |    SQRT(v * (1.0 / l.ng + 1.0 / r2.ng)) END, 6) AS z
+             |FROM gm l JOIN gm r2 ON l.gr < r2.gr, vv""".stripMargin)),
+
+    // Brown–Forsythe spread-equality test across the five families —
+    // the variance-homogeneity check behind anovaF's pooling: ANOVA F
+    // on |2x − 2·median_g| (doubled so deviations stay exact longs;
+    // F is invariant under the common scaling).
+    QueryDef("q_brown_forsythe",
+      (s, dir) => Planners.brownForsythe(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "cents", "event_type"),
+      Some("""WITH g AS (SELECT event_type AS gr,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |md AS (SELECT gr, CAST(2 * median(x) AS BIGINT) AS med2
+             |  FROM g GROUP BY 1),
+             |z AS (SELECT g.gr, ABS(2 * g.x - md.med2) AS zz
+             |  FROM g JOIN md ON g.gr = md.gr),
+             |p AS (SELECT gr, COUNT(*) AS ng, CAST(SUM(zz) AS BIGINT) AS sg,
+             |    SUM(CAST(zz AS HUGEINT) * zz) AS ssg FROM z GROUP BY 1),
+             |a AS (SELECT CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(SUM(sg) AS BIGINT) AS s,
+             |    SUM(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / ng)
+             |      AS ssw0,
+             |    SUM(CAST(sg AS DOUBLE) * sg / ng) AS sb0
+             |  FROM p),
+             |b AS (SELECT n, k,
+             |    GREATEST(sb0 - CAST(s AS DOUBLE) * s / n, 0.0) AS ssb,
+             |    GREATEST(ssw0, 0.0) AS ssw
+             |  FROM a)
+             |SELECT n, k, k - 1 AS dof1, n - k AS dof2,
+             |  ROUND(CASE WHEN k >= 2 AND n > k AND ssw > 0
+             |    THEN (ssb / (k - 1)) / (ssw / (n - k)) END, 6) AS f_stat,
+             |  ROUND(CASE WHEN ssb + ssw > 0
+             |    THEN ssb / (ssb + ssw) END, 6) AS eta_sq
+             |FROM b""".stripMargin)),
+
+    // Cochran's Q across the five event families as MATCHED conditions
+    // per user (success = any event of that type above 300): the
+    // within-subject k-sample binary test — all-integer identity, one
+    // double division.
+    QueryDef("q_cochran_q",
+      (s, dir) => Planners.cochranQ(Tables.load(s, dir, "events")
+          .withColumn("hit", col("value") > 300),
+        "user_id", "event_type", "hit"),
+      Some("""WITH c AS (SELECT user_id AS i, event_type AS j,
+             |    MAX(CAST((value > 300) AS INT)) AS s
+             |  FROM events WHERE user_id IS NOT NULL
+             |    AND event_type IS NOT NULL AND (value > 300) IS NOT NULL
+             |  GROUP BY 1, 2),
+             |bc AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             |    CAST(COALESCE(SUM(g), 0) AS BIGINT) AS su,
+             |    COALESCE(SUM(CAST(g AS HUGEINT) * g), 0) AS gg
+             |  FROM (SELECT j, SUM(s) AS g FROM c GROUP BY 1)),
+             |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             |    COALESCE(SUM(CAST(l AS HUGEINT) * l), 0) AS ll
+             |  FROM (SELECT i, SUM(s) AS l FROM c GROUP BY 1))
+             |SELECT n_subjects, k, k - 1 AS dof,
+             |  ROUND(CASE WHEN k >= 2 AND
+             |      CAST(k AS DOUBLE) * su - CAST(ll AS DOUBLE) > 0
+             |    THEN (CAST(k AS DOUBLE) - 1) *
+             |      (CAST(k AS DOUBLE) * CAST(gg AS DOUBLE)
+             |        - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+             |      / (CAST(k AS DOUBLE) * su - CAST(ll AS DOUBLE)) END, 6)
+             |    AS q
+             |FROM bc, bs""".stripMargin)),
+
+    // First-order partial correlation on customer: is the acctbal->y
+    // association real once the synthetic z-driver is held fixed?
+    // Exact-integer sufficient sums; only scale-free ratios in double.
+    QueryDef("q_partial_corr",
+      (s, dir) => Planners.partialCorrelation(
+        Tables.load(s, dir, "customer")
+          .withColumn("x", round(col("c_acctbal") * 100).cast("long"))
+          .withColumn("zc", pmod(col("c_custkey"), lit(100)).cast("long"))
+          .withColumn("y", expr("x div 10") + lit(700L) * col("zc")),
+        "x", "y", "zc"),
+      Some("""WITH src AS (SELECT
+             |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x,
+             |    CAST(c_custkey % 100 AS BIGINT) AS z
+             |  FROM customer),
+             |s2 AS (SELECT x, x // 10 + 700 * z AS y, z FROM src),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             |    SUM(CAST(z AS HUGEINT)) AS sz,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+             |    SUM(CAST(z AS HUGEINT) * z) AS szz,
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |    SUM(CAST(x AS HUGEINT) * z) AS sxz,
+             |    SUM(CAST(y AS HUGEINT) * z) AS syz
+             |  FROM s2),
+             |b AS (SELECT n,
+             |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS nxy,
+             |    CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE) AS nxz,
+             |    CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE) AS nyz,
+             |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+             |    CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+             |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS vz
+             |  FROM a),
+             |r AS (SELECT n,
+             |    CASE WHEN vx > 0 AND vy > 0 THEN nxy / SQRT(vx * vy) END AS rxy,
+             |    CASE WHEN vx > 0 AND vz > 0 THEN nxz / SQRT(vx * vz) END AS rxz,
+             |    CASE WHEN vy > 0 AND vz > 0 THEN nyz / SQRT(vy * vz) END AS ryz
+             |  FROM b)
+             |SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+             |  ROUND(ryz, 6) AS r_yz,
+             |  ROUND(CASE WHEN 1.0 - rxz * rxz > 0 AND 1.0 - ryz * ryz > 0
+             |    THEN (rxy - rxz * ryz) /
+             |      SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6)
+             |    AS r_partial
+             |FROM r""".stripMargin)),
 
     // Two-proportion z between the same two families' conversion rates
     // (value > 500 as the success flag): pooled-variance z + lifts.

@@ -983,6 +983,59 @@ object ExperimentQ extends QueryGroup {
              |  ROUND(ilr, 6) AS int_right, ROUND(slr, 6) AS slope_right,
              |  ROUND(eff, 6) AS effect, ROUND(se, 6) AS se,
              |  ROUND(CASE WHEN se > 0 THEN eff / se END, 6) AS t_stat
-             |FROM fa""".stripMargin))
+             |FROM fa""".stripMargin)),
+
+    // Instrumental-variable Wald/LATE estimator — randomized
+    // ENCOURAGEMENT (event_id % 3 = 0) lowers the adoption threshold
+    // (value > 100 instead of > 200), outcome is the raw value: LATE =
+    // ITT_y / ITT_x with the delta-method SE on the ratio of mean
+    // differences (clamped quadratic form). One conditional-aggregate
+    // pass, welchT shape.
+    QueryDef("q_iv_wald", (s, dir) =>
+      Experiment.ivWald(
+        Tables.load(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("encour", pmod(col("event_id"), lit(3)) === 0)
+          .withColumn("took", (col("value") > 200) ||
+            (pmod(col("event_id"), lit(3)) === 0 && col("value") > 100)),
+        "encour", "took", "value"),
+      Some("""WITH g AS (SELECT
+             |    (event_id % 3 = 0) AS z,
+             |    CAST(CAST((value > 200 OR (event_id % 3 = 0 AND value > 100))
+             |      AS INT) AS DOUBLE) AS x,
+             |    value AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT
+             |    CAST(COALESCE(SUM(CASE WHEN z THEN 1 ELSE 0 END), 0)
+             |      AS BIGINT) AS n1,
+             |    CAST(COALESCE(SUM(CASE WHEN NOT z THEN 1 ELSE 0 END), 0)
+             |      AS BIGINT) AS n0,
+             |    AVG(CASE WHEN z THEN y END) AS my1,
+             |    AVG(CASE WHEN NOT z THEN y END) AS my0,
+             |    AVG(CASE WHEN z THEN x END) AS mx1,
+             |    AVG(CASE WHEN NOT z THEN x END) AS mx0,
+             |    VAR_SAMP(CASE WHEN z THEN y END) AS vy1,
+             |    VAR_SAMP(CASE WHEN NOT z THEN y END) AS vy0,
+             |    VAR_SAMP(CASE WHEN z THEN x END) AS vx1,
+             |    VAR_SAMP(CASE WHEN NOT z THEN x END) AS vx0,
+             |    COVAR_SAMP(CASE WHEN z THEN y END,
+             |      CASE WHEN z THEN x END) AS c1,
+             |    COVAR_SAMP(CASE WHEN NOT z THEN y END,
+             |      CASE WHEN NOT z THEN x END) AS c0
+             |  FROM g),
+             |b AS (SELECT *, my1 - my0 AS itty, mx1 - mx0 AS ittx,
+             |    (n1 > 1 AND n0 > 1 AND mx1 - mx0 <> 0) AS ok FROM a),
+             |c2 AS (SELECT *,
+             |    CASE WHEN ok THEN itty / ittx END AS late FROM b),
+             |d2 AS (SELECT *,
+             |    CASE WHEN ok THEN
+             |      SQRT(GREATEST(vy1 / n1 + vy0 / n0 +
+             |        late * late * (vx1 / n1 + vx0 / n0) -
+             |        2.0 * late * (c1 / n1 + c0 / n0), 0.0)) / ABS(ittx)
+             |    END AS se FROM c2)
+             |SELECT n1, n0,
+             |  ROUND(itty, 6) AS itt_y, ROUND(ittx, 6) AS itt_x,
+             |  ROUND(late, 6) AS late, ROUND(se, 6) AS se,
+             |  ROUND(CASE WHEN ok AND se > 0 THEN late / se END, 6) AS z
+             |FROM d2""".stripMargin))
   )
 }

@@ -656,6 +656,42 @@ object Relational extends QueryGroup {
              |  END AS clustering
              |FROM deg LEFT JOIN vt ON vt.v = deg.v""".stripMargin)),
 
+    // Degree assortativity over the same co-purchase graph — do
+    // well-connected parts pair with other hubs (r > 0) or with
+    // one-off accessories (r < 0)? Exact-integer degree sums, one
+    // double division, no sqrt (symmetric marginals).
+    QueryDef("q_assortativity",
+      (s, dir) => graft.ops.Graph.degreeAssortativity(
+        graft.ops.Basket.frequentPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+          .select("item_a", "item_b"),
+        "item_a", "item_b"),
+      Some("""WITH p0 AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+             |e AS (SELECT a.i AS a, b2.i AS b FROM p0 a
+             |  JOIN p0 b2 ON a.bk = b2.bk AND a.i < b2.i
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT a AS src, b AS dst FROM e
+             |  UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+             |  FROM sym GROUP BY 1),
+             |pr AS (SELECT dx.d AS dx, dy.d AS dy FROM sym
+             |  JOIN deg dx ON sym.src = dx.v JOIN deg dy ON sym.dst = dy.v),
+             |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             |    SUM(CAST(dx AS HUGEINT)) AS sx,
+             |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+             |    SUM(CAST(dx AS HUGEINT) * dy) AS sxy FROM pr),
+             |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg)
+             |SELECT n_vertices, CAST(m2 / 2 AS BIGINT) AS n_edges,
+             |  ROUND(CASE WHEN CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             |    THEN (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6)
+             |    AS assortativity
+             |FROM ag, vv""".stripMargin)),
+
     // Seasonal-baseline anomalies: each event z-scored against its own
     // hour-of-day bucket's mean/std (broadcast profile, no row shuffle).
     QueryDef("q_seasonal_anomalies",

@@ -765,6 +765,34 @@ object TemporalQ extends QueryGroup {
              |         ELSE (sl[m//2] + sl[m//2+1])/2.0 END END, 6) AS sen_slope
              |FROM f""".stripMargin)),
 
+    // Durbin–Watson serial-correlation statistic per user over the full
+    // cents series: successive differences cancel the mean exactly
+    // (integer numerator), denominator is the clamped quadratic form —
+    // one double division per key.
+    QueryDef("q_durbin_watson",
+      (s, dir) => Temporal.durbinWatson(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "cents",
+        tiebreak = Seq("event_id"), minN = 8),
+      Some("""WITH g AS (SELECT user_id,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS x,
+             |    LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS s,
+             |    SUM(CAST(x AS HUGEINT) * x) AS ss,
+             |    SUM(CAST(x - prev AS HUGEINT) * (x - prev)) AS num
+             |  FROM g GROUP BY 1),
+             |b AS (SELECT user_id, n, num,
+             |    GREATEST(CAST(ss AS DOUBLE)
+             |      - CAST(s AS DOUBLE) * s / n, 0.0) AS den
+             |  FROM a)
+             |SELECT user_id, n,
+             |  ROUND(CASE WHEN n >= 8 AND den > 0
+             |    THEN CAST(num AS DOUBLE) / den END, 6) AS dw
+             |FROM b""".stripMargin)),
+
     // Bounded-window EWMA per user (alpha and 1-alpha chosen dyadic so the
     // fold literals are bit-identical across engines).
     QueryDef("q_ewma",

@@ -461,6 +461,275 @@ object Planners {
   }
 
   /**
+   * Shared midrank machinery of the k-sample rank family
+   * ([[kruskalWallis]], [[dunnPairwise]]): collapse to (value, group)
+   * cell grain, compute DOUBLED midranks (2·midrank = 2·prev + t + 1 —
+   * an exact INTEGER, so every group rank-sum is exact where the
+   * double-midrank fold of a naive port would carry order noise), and
+   * return the group-grain table (g, ng, rs2 = 2·ranksum as
+   * decimal(38,0)) plus the value-grain tie table (v, t, prev).
+   *
+   * Same scale shape as [[mannWhitneyU]]: one hash aggregate to cell
+   * grain, one running-sum window over the |distinct values|-row table
+   * (statistic-sized — pre-quantize a continuous domain at 100 TB),
+   * one key-grain join back.
+   */
+  private def doubledMidranks(df: DataFrame, valueCol: String,
+      groupCol: String): (DataFrame, DataFrame) = {
+    val d = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        col(groupCol).as("__g"))
+      .groupBy(col("__v"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val vt = d.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val run = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vt.withColumn("__prev",
+      coalesce(sum(col("__t")).over(run), lit(0L)))
+    val perG = d
+      .join(ranked.select(col("__v"),
+        (lit(2) * col("__prev") + col("__t") + 1).as("__mr2")), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__ng"),
+        // exact doubled rank-sum: decimal(38,0), the anovaF HUGEINT
+        // convention (2·N² per group passes a long at corpus scale)
+        sum(col("__c").cast("decimal(38,0)") * col("__mr2")).as("__rs2"))
+    (perG, ranked)
+  }
+
+  /**
+   * Kruskal–Wallis H test (Kruskal & Wallis 1952) across k groups — the
+   * k-sample generalization of [[mannWhitneyU]] and the nonparametric
+   * twin of [[anovaF]]: "did ANY of these segments' value distributions
+   * shift", rank-based so outlier-immune. Midrank ties, with the
+   * standard tie correction C = 1 − Σ(t³−t)/(N³−N); reports the
+   * tie-corrected H (≈ χ²(k−1) under H₀ — dof + H is the portable
+   * result, the [[welchT]] convention) and the epsilon-squared effect
+   * size ε² = (H − k + 1)/(N − k) (Kelley 1935; 0..1).
+   *
+   * Exactness: doubled midranks are exact integers
+   * ([[doubledMidranks]]), so each group's rank-sum is EXACT on both
+   * engines; only the scale-free H (relative fold noise ~1e-16, the
+   * anovaF emit-the-ratio rule) passes through doubles. H is null when
+   * k < 2 or every pooled value ties (C = 0 — no rank variability to
+   * test); ε² additionally needs N > k.
+   *
+   * Scale shape: one cell-grain hash aggregate, one statistic-sized
+   * running window, one key join, then k-row arithmetic — no row-grain
+   * window, no sort of the corpus.
+   */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val (perG, ranked) = doubledMidranks(df, valueCol, groupCol)
+    val rs2d = col("__rs2").cast("double")
+    val a = perG.agg(count(lit(1)).as("k"),
+      coalesce(sum(col("__ng")), lit(0L)).as("n"),
+      // q4 = 4·Σ R_g²/n_g — each term an exact-integer square divided
+      // once; the k-term fold noise is RELATIVE (emit-ratio rule)
+      sum(rs2d * rs2d / col("__ng")).as("__q4"))
+    val ties = ranked.agg(
+      coalesce(sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")), lit(BigDecimal(0)).cast("decimal(38,0)")).as("__tt"))
+    val nD = col("n").cast("double")
+    // null-safe denominators (the ivWald ANSI convention: a zero
+    // divisor becomes NULL before the divide, never an error — n <= 1
+    // inputs would otherwise throw on the unconditional C term)
+    val nn1 = when(nD * (nD + 1) > 0, nD * (nD + 1))
+    val h0 = lit(3.0) * col("__q4") / nn1 - lit(3.0) * (nD + 1)
+    val cDen = nD * nD * nD - nD
+    val c = lit(1.0) - col("__tt").cast("double") / when(cDen > 0, cDen)
+    val ok = col("k") >= 2 && col("n") > 1 && c > 0
+    val h = when(ok, h0 / c)
+    a.crossJoin(ties).select(col("n"), col("k"),
+      (col("k") - 1L).as("dof"),
+      round(h, 6).as("h"),
+      round(when(ok && col("n") > col("k"),
+        (h - col("k") + 1) / (col("n") - col("k"))), 6).as("epsilon_sq"))
+  }
+
+  /**
+   * Dunn's post-hoc pairwise test (Dunn 1964) — the follow-up to a
+   * significant [[kruskalWallis]]: WHICH groups differ. For each group
+   * pair, z = (r̄ᵢ − r̄ⱼ) / √(V·(1/nᵢ + 1/nⱼ)) with the tie-corrected
+   * pooled rank variance V = (N(N+1) − Σ(t³−t)/(N−1))/12 — the raw
+   * per-pair z-values whose k(k−1)/2 p-values [[bhFdr]] would then
+   * correct (the anovaF screening → pairwise → FDR pipeline).
+   *
+   * Output: one row per pair (group_a < group_b lexically),
+   * `(group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z)`, 6 dp;
+   * z null when V ≤ 0 (all values tied). Mean ranks are exact-integer
+   * doubled rank-sums divided once ([[doubledMidranks]]).
+   *
+   * Scale shape: the same two aggregates as [[kruskalWallis]]; the
+   * pairwise step is a self-join of the K-ROW group table (aggregate
+   * grain, broadcast-nested-loop by construction — never the corpus).
+   */
+  def dunnPairwise(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val (perG, ranked) = doubledMidranks(df, valueCol, groupCol)
+    val ties = ranked.agg(
+      coalesce(sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")), lit(BigDecimal(0)).cast("decimal(38,0)")).as("__tt"),
+      coalesce(sum(col("__t")), lit(0L)).as("__n"))
+    val mr = col("__rs2").cast("double") / (lit(2.0) * col("__ng"))
+    val g = perG.select(col("__g"), col("__ng"), mr.as("__mr"))
+    val nD = col("__n").cast("double")
+    // null-safe tie denominator (the ivWald ANSI convention)
+    val v = (nD * (nD + 1) - col("__tt").cast("double") /
+      when(nD - 1 > 0, nD - 1)) / 12
+    g.alias("l").join(g.alias("r"), col("l.__g") < col("r.__g"))
+      .crossJoin(ties)
+      .select(col("l.__g").as("group_a"), col("r.__g").as("group_b"),
+        col("l.__ng").as("n_a"), col("r.__ng").as("n_b"),
+        round(col("l.__mr"), 6).as("mean_rank_a"),
+        round(col("r.__mr"), 6).as("mean_rank_b"),
+        round(when(col("__n") > 1 && v > 0,
+          (col("l.__mr") - col("r.__mr")) /
+            sqrt(v * (lit(1.0) / col("l.__ng") + lit(1.0) / col("r.__ng")))),
+          6).as("z"))
+  }
+
+  /**
+   * Brown–Forsythe test (Brown & Forsythe 1974) — equality of VARIANCES
+   * across k groups, the assumption check behind [[anovaF]]'s pooled
+   * within-variance: a one-way ANOVA F on the absolute deviations from
+   * each group's MEDIAN (the robust center — Levene 1960 used the mean;
+   * the median form is the standard robust default). A significant F
+   * says spreads differ, so pooled-variance tests overstate precision.
+   *
+   * Exactness: `valueCol` must be integral (pre-scale money to cents,
+   * the [[anovaF]] contract). Deviations are DOUBLED so they stay
+   * integral — each group median of integers is a half-integer
+   * ((a+b)/2, dyadic-exact on both engines), so |2x − 2·med| is an
+   * exact long and F is invariant under the common ×2 scaling. F/η²
+   * emitted via [[anovaF]] (same clamps, same emit-the-ratio rule).
+   *
+   * Scale shape: one per-group exact `percentile` pass (swap in
+   * `approx_percentile` at corpus scale — the [[sequenceLength]]
+   * trade), a k-row broadcast join, then the anovaF aggregate.
+   * Output: one row (n, k, dof1, dof2, f_stat, eta_sq).
+   */
+  def brownForsythe(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val base = df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val meds = base.groupBy(col("__g"))
+      .agg((expr("percentile(__x, 0.5)") * 2).cast("long").as("__med2"))
+    val dev = base.join(broadcast(meds), Seq("__g"))
+      .select(col("__g"), abs(lit(2) * col("__x") - col("__med2")).as("__z2"))
+    anovaF(dev, "__g", "__z2")
+  }
+
+  /**
+   * Cochran's Q test (Cochran 1950) — k MATCHED binary outcomes per
+   * subject: "does success rate differ across the k conditions when
+   * every subject experiences all of them" — the within-subject twin
+   * of [[chi2]] (which assumes independent groups), and the k-sample
+   * generalization of McNemar. Uses the all-integer identity
+   *   Q = (k−1)·(k·ΣGⱼ² − S²) / (k·S − ΣLᵢ²)
+   * with Gⱼ = per-condition success totals, Lᵢ = per-subject success
+   * totals, S = ΣG = ΣL — every term an exact integer (HUGEINT
+   * squares), so Q is ONE double division on both engines.
+   * Q ≈ χ²(k−1) under H₀ (dof + Q is the portable result, the
+   * [[welchT]] convention). Subjects missing a condition count as
+   * failure there (absent cells are zeros — they enter no sum, which
+   * is exactly the 0 contribution); all-zero and all-success subjects
+   * carry no discrimination and cancel in the denominator — Q is null
+   * when NO subject has a mixed outcome (denominator 0) or k < 2.
+   *
+   * Scale shape: one hash aggregate to (subject, condition) cell grain
+   * (success = MAX over duplicate observations), then two independent
+   * aggregates (condition grain / subject grain) combined at one row —
+   * no window, no join of row-grain tables.
+   * Output: one row `(n_subjects, k, dof, q)` (6 dp).
+   */
+  def cochranQ(df: DataFrame, subjectCol: String, conditionCol: String,
+      successCol: String): DataFrame = {
+    val s = (col(successCol).cast("boolean") === true).cast("long")
+    val cells = df
+      .filter(col(subjectCol).isNotNull && col(conditionCol).isNotNull &&
+        col(successCol).isNotNull)
+      .groupBy(col(subjectCol).as("__i"), col(conditionCol).as("__j"))
+      .agg(max(s).as("__s"))
+    val byCond = cells.groupBy(col("__j")).agg(sum(col("__s")).as("__g"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("__g")), lit(0L)).as("__sum"),
+        coalesce(sum(col("__g").cast("decimal(38,0)") * col("__g")),
+          lit(BigDecimal(0)).cast("decimal(38,0)")).as("__gg"))
+    val bySubj = cells.groupBy(col("__i")).agg(sum(col("__s")).as("__l"))
+      .agg(count(lit(1)).as("n_subjects"),
+        coalesce(sum(col("__l").cast("decimal(38,0)") * col("__l")),
+          lit(BigDecimal(0)).cast("decimal(38,0)")).as("__ll"))
+    val kD = col("k").cast("double")
+    val sD = col("__sum").cast("double")
+    val num = kD * col("__gg").cast("double") - sD * sD
+    val den = kD * sD - col("__ll").cast("double")
+    byCond.crossJoin(bySubj).select(col("n_subjects"), col("k"),
+      (col("k") - 1L).as("dof"),
+      round(when(col("k") >= 2 && den > 0, (kD - 1) * num / den), 6)
+        .as("q"))
+  }
+
+  /**
+   * First-order partial correlation — the [[spearman]]/Pearson family's
+   * confounder control: corr(x, y) with `z` held fixed,
+   *   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+   * — "is the x–y association real, or is z driving both". The raw
+   * Pearson correlations come from EXACT integer sufficient sums
+   * (`xCol`/`yCol`/`zCol` must be integral — pre-scale money to cents,
+   * the [[anovaF]] contract; squares in decimal(38,0)/HUGEINT), so
+   * each rᵢⱼ is a deterministic double on both engines and the partial
+   * form adds only scale-free arithmetic.
+   *
+   * Output: one row `(n, r_xy, r_xz, r_yz, r_partial)` (6 dp) — a raw
+   * correlation is null when its variance factor is 0 (constant
+   * column); r_partial additionally null when either control
+   * correlation is ±1 (z fully determines a variable — nothing left
+   * to partial out).
+   *
+   * Scale shape: ONE hash-aggregate pass (10 sums, map-side combined),
+   * then one-row arithmetic — no window, no join.
+   */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val xs = col(xCol).cast("long")
+    val ys = col(yCol).cast("long")
+    val zs = col(zCol).cast("long")
+    def dsq(c: Column) = c.cast("decimal(38,0)")
+    val a = df.filter(xs.isNotNull && ys.isNotNull && zs.isNotNull)
+      .select(xs.as("__x"), ys.as("__y"), zs.as("__z"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__z")).as("__sz"),
+        sum(dsq(col("__x")) * col("__x")).as("__sxx"),
+        sum(dsq(col("__y")) * col("__y")).as("__syy"),
+        sum(dsq(col("__z")) * col("__z")).as("__szz"),
+        sum(dsq(col("__x")) * col("__y")).as("__sxy"),
+        sum(dsq(col("__x")) * col("__z")).as("__sxz"),
+        sum(dsq(col("__y")) * col("__z")).as("__syz"))
+    val nD = col("n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String): Column = {
+      val num = nD * d(sab) - d(sa) * d(sb)
+      val va = nD * d(saa) - d(sa) * d(sa)
+      val vb = nD * d(sbb) - d(sb) * d(sb)
+      when(va > 0 && vb > 0, num / sqrt(va * vb))
+    }
+    val rxy = r("__sxy", "__sx", "__sy", "__sxx", "__syy")
+    val rxz = r("__sxz", "__sx", "__sz", "__sxx", "__szz")
+    val ryz = r("__syz", "__sy", "__sz", "__syy", "__szz")
+    val f1 = lit(1.0) - rxz * rxz
+    val f2 = lit(1.0) - ryz * ryz
+    a.select(col("n"),
+      round(rxy, 6).as("r_xy"), round(rxz, 6).as("r_xz"),
+      round(ryz, 6).as("r_yz"),
+      round(when(f1 > 0 && f2 > 0,
+        (rxy - rxz * ryz) / sqrt(f1 * f2)), 6).as("r_partial"))
+  }
+
+  /**
    * Two-proportion z-test between the success RATES of two groups — the
    * conversion-rate A/B read-out completing [[welchT]] (means) and
    * [[mannWhitneyU]] (distributions): pooled-variance z on binary

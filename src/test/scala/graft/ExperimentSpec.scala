@@ -508,4 +508,35 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(att - 2.5) < 1e-6)
     assert(out.forall(r => math.abs(r.getAs[Double]("att") - att) < 1e-12))
   }
+
+  test("ivWald: hand-computed LATE and delta-method SE; zero first stage nulls") {
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // z=1: (x,y) = (1,10),(1,12),(0,5),(0,7) -> mx1=.5, my1=8.5
+    // z=0: (1,9),(0,6),(0,4),(0,5)          -> mx0=.25, my0=6
+    // itt_y=2.5 itt_x=.25 late=10
+    val df = Seq(
+      (true, 1.0, 10.0), (true, 1.0, 12.0), (true, 0.0, 5.0),
+      (true, 0.0, 7.0),
+      (false, 1.0, 9.0), (false, 0.0, 6.0), (false, 0.0, 4.0),
+      (false, 0.0, 5.0)).toDF("z", "x", "y")
+    val r = Experiment.ivWald(df, "z", "x", "y").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 0.25)
+    assert(r.getDouble(4) == 10.0)
+    // per-arm sample (co)variances: vy1=29/3 vy0=14/3 vx1=1/3 vx0=1/4
+    // c1=5/3 c0=1; var(A)+late^2 var(B)-2 late cov(A,B), all over n=4
+    val varA = (29.0 / 3 + 14.0 / 3) / 4
+    val varB = (1.0 / 3 + 0.25) / 4
+    val covAB = (5.0 / 3 + 1.0) / 4
+    val se = math.sqrt(varA + 100 * varB - 20 * covAB) / 0.25
+    assert(r.getDouble(5) == r6(se))
+    assert(r.getDouble(6) == r6(10.0 / se))
+    // instrument that moves nobody (identical x distributions by arm):
+    // no first stage -> late/se/z null, ITTs still reported
+    val flat = Seq((true, 1.0, 10.0), (true, 0.0, 5.0),
+      (false, 1.0, 8.0), (false, 0.0, 3.0)).toDF("z", "x", "y")
+    val f = Experiment.ivWald(flat, "z", "x", "y").head()
+    assert(f.getDouble(3) == 0.0 && f.get(4) == null && f.get(6) == null)
+    assert(f.getDouble(2) == 2.0)
+  }
 }

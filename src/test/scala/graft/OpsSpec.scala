@@ -2221,6 +2221,42 @@ class OpsSpec extends SparkSpec {
     assert(Calibrate.spiegelhalterZ(half, "p", "y").head().isNullAt(1))
   }
 
+  test("brierDecomposition: hand-computed terms; 5-term identity closes; empty input reports n = 0") {
+    import graft.ops.Calibrate
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // nBins=2: bin0 {(.2,0),(.2,1)} pbar=.2 obar_k=.5
+    //          bin1 {(.8,1),(.8,1),(.9,0)} pbar=2.5/3 obar_k=2/3; obar=.6
+    val df = Seq((0.2, 0L), (0.2, 1L), (0.8, 1L), (0.8, 1L), (0.9, 0L))
+      .toDF("p", "y")
+    val r = Calibrate.brierDecomposition(df, "p", "y", nBins = 2).head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == r6(1.57 / 5))                    // brier
+    val rel = (2 * 0.09 + 3 * math.pow(2.5 / 3 - 2.0 / 3, 2)) / 5
+    val res = (2 * 0.01 + 3 * math.pow(2.0 / 3 - 0.6, 2)) / 5
+    assert(r.getDouble(2) == r6(rel))
+    assert(r.getDouble(3) == r6(res))
+    assert(r.getDouble(4) == 0.24)                            // obar(1-obar)
+    // both within-bin extras: spread and (negative here) association
+    val wv = (2 * math.pow(0.8 - 2.5 / 3, 2) + math.pow(0.9 - 2.5 / 3, 2)) / 5
+    assert(r.getDouble(5) == r6(wv))
+    // Stephenson 5-term identity closes at the rounding grid
+    val idy = r.getDouble(2) - r.getDouble(3) + r.getDouble(4) +
+      r.getDouble(5) - 2 * r.getDouble(6)
+    assert(math.abs(r.getDouble(1) - idy) < 5e-6, s"identity gap: $idy")
+    // constant forecasts per bin: both within-bin terms exactly 0 and
+    // the classic 3-term Murphy identity holds
+    val disc = Seq((0.25, 0L), (0.25, 1L), (0.75, 1L), (0.75, 1L))
+      .toDF("p", "y")
+    val d = Calibrate.brierDecomposition(disc, "p", "y", nBins = 2).head()
+    assert(d.getDouble(5) == 0.0 && d.getDouble(6) == 0.0)
+    assert(math.abs(d.getDouble(1) -
+      (d.getDouble(2) - d.getDouble(3) + d.getDouble(4))) < 5e-6)
+    // empty input: one row, n = 0, null terms
+    val e = Calibrate.brierDecomposition(
+      Seq.empty[(Double, Long)].toDF("p", "y"), "p", "y").head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(6))
+  }
+
   test("textrank: hub word out-ranks satellites; two-node graph splits evenly; short docs are inert") {
     import graft.ops.Text
     // star corpus: 'hub' co-occurs with every satellite, satellites only
@@ -2713,5 +2749,23 @@ class OpsSpec extends SparkSpec {
         maxDegree = 2, minCommon = 2)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(capped == Set(("c1", "c2")), s"capped got $capped")
+  }
+
+  test("degreeAssortativity: star is -1, regular graphs undefined, counts exact") {
+    // K_{1,3}: the hub only meets leaves -> perfectly disassortative
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val s = graft.ops.Graph.degreeAssortativity(star, "src", "dst").head()
+    assert(s.getLong(0) == 4L && s.getLong(1) == 3L)
+    assert(s.getDouble(2) == -1.0)
+    // C4 cycle: every degree 2 -> zero degree variance -> null
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val c = graft.ops.Graph.degreeAssortativity(cyc, "src", "dst").head()
+    assert(c.getLong(0) == 4L && c.getLong(1) == 4L && c.get(2) == null)
+    // direction/duplicates/self-loops are canonicalized away
+    val messy = Seq(("a", "h"), ("h", "a"), ("h", "b"), ("h", "c"),
+      ("b", "b")).toDF("src", "dst")
+    assert(graft.ops.Graph.degreeAssortativity(messy, "src", "dst")
+      .head().getDouble(2) == -1.0)
   }
 }

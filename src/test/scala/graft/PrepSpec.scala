@@ -288,4 +288,141 @@ class PrepSpec extends SparkSpec {
     assert(out(9L) == ((0.0, 1.0)) && out(10L) == ((0.0, 1.0)))
     assert(out(11L) == ((0.0, 1.0)))
   }
+
+  test("kruskalWallis: hand-computed tie-corrected H; degenerate inputs null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // a={1,2} b={2,3} c={5}: ranks 1,(2.5,2.5),4,5
+    // R_a=3.5 R_b=6.5 R_c=5; H = 0.4*(6.125+21.125+25) - 18 = 2.9
+    // ties: one block t=2 -> C = 1 - 6/120 = 0.95; h = 2.9/0.95
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"), (5.0, "c"))
+      .toDF("value", "grp")
+    val r = Planners.kruskalWallis(df, "value", "grp").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    val h = 2.9 / 0.95
+    assert(r.getDouble(3) == r6(h))
+    assert(r.getDouble(4) == r6((h - 3 + 1) / (5 - 3)))
+    // every value tied: C = 0, no rank variability -> h null
+    val tied = Seq((5.0, "a"), (5.0, "a"), (5.0, "b")).toDF("value", "grp")
+    assert(Planners.kruskalWallis(tied, "value", "grp").head().get(3) == null)
+    // single group: k < 2 -> null
+    val one = Seq((1.0, "a"), (2.0, "a")).toDF("value", "grp")
+    assert(Planners.kruskalWallis(one, "value", "grp").head().get(3) == null)
+  }
+
+  test("dunnPairwise: hand-computed tie-corrected z per pair, ordered pairs") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"), (5.0, "c"))
+      .toDF("value", "grp")
+    val rows = Planners.dunnPairwise(df, "value", "grp").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(rows.size == 3 && rows.keySet ==
+      Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // mean ranks 1.75, 3.25, 5; V = (30 - 6/4)/12 = 2.375
+    val v = 2.375
+    val (na, nb, mra, mrb, zab) = rows(("a", "b"))
+    assert(na == 2L && nb == 2L && mra == 1.75 && mrb == 3.25)
+    assert(zab == r6((1.75 - 3.25) / math.sqrt(v * (0.5 + 0.5))))
+    assert(rows(("a", "c"))._5 ==
+      r6((1.75 - 5.0) / math.sqrt(v * (0.5 + 1.0))))
+    assert(rows(("b", "c"))._5 ==
+      r6((3.25 - 5.0) / math.sqrt(v * (0.5 + 1.0))))
+    // all-tied input: V = 0 -> z null, mean ranks still reported
+    val tied = Seq((5.0, "a"), (5.0, "a"), (5.0, "b")).toDF("value", "grp")
+    val t = Planners.dunnPairwise(tied, "value", "grp").head()
+    assert(t.get(6) == null && t.getDouble(4) == 2.0)
+  }
+
+  test("brownForsythe: hand-computed F on |2x - 2 med|; identical spreads give F = 0") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // a={0,2,10} med 2 -> dev2 {4,0,16}; b={1,1,9} med 1 -> dev2 {0,0,16}
+    // SSB = 8/3, SSW = 928/3; F = (8/3)/((928/3)/4) = 8/232
+    val df = Seq((0L, "a"), (2L, "a"), (10L, "a"),
+      (1L, "b"), (1L, "b"), (9L, "b")).toDF("x", "grp")
+    val r = Planners.brownForsythe(df, "x", "grp").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 4L)
+    val ssb = 8.0 / 3
+    val ssw = 928.0 / 3
+    assert(r.getDouble(4) == r6((ssb / 1) / (ssw / 4)))
+    assert(r.getDouble(5) == r6(ssb / (ssb + ssw)))
+    // identical deviation patterns across groups -> SSB = 0 -> F = 0
+    val same = Seq((0L, "a"), (4L, "a"), (4L, "a"),
+      (10L, "b"), (14L, "b"), (14L, "b")).toDF("x", "grp")
+    assert(Planners.brownForsythe(same, "x", "grp").head().getDouble(4) == 0.0)
+    // zero within-spread everywhere (SSW = 0): F null, not a div-by-0
+    val flat = Seq((0L, "a"), (4L, "a"), (10L, "b"), (14L, "b"))
+      .toDF("x", "grp")
+    assert(Planners.brownForsythe(flat, "x", "grp").head().get(4) == null)
+  }
+
+  test("cochranQ: textbook 4x3 example gives Q = 3; degenerate patterns null; max collapses duplicates") {
+    import graft.stats.Planners
+    import spark.implicits._
+    // G = (3,2,1), S = 6, sumL2 = 14, sumG2 = 14
+    // Q = 2*(3*14 - 36)/(3*6 - 14) = 12/4 = 3
+    val rows = Seq(
+      (1L, "a", true), (1L, "b", true), (1L, "c", false),
+      (2L, "a", true), (2L, "b", false), (2L, "c", false),
+      (3L, "a", true), (3L, "b", true), (3L, "c", true),
+      (4L, "a", false), (4L, "b", false), (4L, "c", false))
+    val r = Planners.cochranQ(rows.toDF("subj", "cond", "ok"),
+      "subj", "cond", "ok").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 3.0)
+    // duplicate observations collapse with MAX (any success counts)
+    val dup = rows ++ Seq((1L, "a", false), (2L, "c", false))
+    val d = Planners.cochranQ(dup.toDF("subj", "cond", "ok"),
+      "subj", "cond", "ok").head()
+    assert(d.getDouble(3) == 3.0)
+    // a subject MISSING a condition is a failure there: dropping
+    // s2's explicit (c, false) row changes nothing
+    val miss = rows.filterNot(t => t._1 == 2L && t._2 == "c")
+    assert(Planners.cochranQ(miss.toDF("subj", "cond", "ok"),
+      "subj", "cond", "ok").head().getDouble(3) == 3.0)
+    // every subject all-success or all-failure: no discrimination -> null
+    val flat2 = Seq((1L, "a", true), (1L, "b", true),
+      (2L, "a", false), (2L, "b", false))
+    assert(Planners.cochranQ(flat2.toDF("subj", "cond", "ok"),
+      "subj", "cond", "ok").head().get(3) == null)
+  }
+
+  test("partialCorrelation: hand-computed first-order partial; confounder collapse") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // x = 1..4, z = (0,1,0,1), y = x + 2z with one perturbed point
+    val df = Seq((1L, 1L, 0L), (2L, 4L, 1L), (3L, 3L, 0L), (4L, 5L, 1L))
+      .toDF("x", "y", "z")
+    val r = Planners.partialCorrelation(df, "x", "y", "z").head()
+    assert(r.getLong(0) == 4L)
+    // mirror the op's exact arithmetic
+    val (nxy, vx, vy) = (22.0, 20.0, 35.0)
+    val (nxz, vz, nyz) = (4.0, 4.0, 10.0)
+    val rxy = nxy / math.sqrt(vx * vy)
+    val rxz = nxz / math.sqrt(vx * vz)
+    val ryz = nyz / math.sqrt(vy * vz)
+    assert(r.getDouble(1) == r6(rxy))
+    assert(r.getDouble(2) == r6(rxz))
+    assert(r.getDouble(3) == r6(ryz))
+    assert(r.getDouble(4) == r6((rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))))
+    // y perfectly determined by z: r_yz = 1 -> partial undefined (null)
+    val det = Seq((1L, 0L, 0L), (2L, 2L, 1L), (3L, 0L, 0L), (4L, 2L, 1L))
+      .toDF("x", "y", "z")
+    val dr = Planners.partialCorrelation(det, "x", "y", "z").head()
+    assert(dr.getDouble(3) == 1.0 && dr.get(4) == null)
+    // constant column: its raw correlations null, partial null
+    val const = Seq((1L, 1L, 5L), (2L, 2L, 5L), (3L, 3L, 5L))
+      .toDF("x", "y", "z")
+    val cr = Planners.partialCorrelation(const, "x", "y", "z").head()
+    assert(cr.get(2) == null && cr.get(4) == null)
+  }
 }

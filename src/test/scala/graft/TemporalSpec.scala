@@ -796,4 +796,33 @@ class TemporalSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("durbinWatson: hand-computed DW; short and constant series null") {
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")
+    // u1: 1,3,2,5,4,6,5,7 -> num = 24, den = 165 - 33^2/8 = 28.875
+    val u1 = Seq(1L, 3L, 2L, 5L, 4L, 6L, 5L, 7L).zipWithIndex
+      .map { case (v, i) => (1L, ts(i + 1), (i + 1).toLong, v) }
+    // u2: 7 points only -> below minN
+    val u2 = (1 to 7).map(i => (2L, ts(i), (100 + i).toLong, i.toLong))
+    // u3: constant 8 points -> zero variance
+    val u3 = (1 to 8).map(i => (3L, ts(i), (200 + i).toLong, 5L))
+    val df = (u1 ++ u2 ++ u3).toDF("user_id", "ts", "event_id", "cents")
+    val out = Temporal.durbinWatson(df, Seq("user_id"), "ts", "cents",
+        tiebreak = Seq("event_id"), minN = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.get(2)))).toMap
+    assert(out(1L)._1 == 8L)
+    assert(out(1L)._2 == r6(24.0 / 28.875))
+    assert(out(2L) == ((7L, null)))
+    assert(out(3L) == ((8L, null)))
+    // momentum series sits well below 2; a strict alternation sits above
+    assert(out(1L)._2.asInstanceOf[Double] < 2.0)
+    val alt = (1 to 8).map(i =>
+      (9L, ts(i), i.toLong, if (i % 2 == 0) 10L else 0L))
+      .toDF("user_id", "ts", "event_id", "cents")
+    val a = Temporal.durbinWatson(alt, Seq("user_id"), "ts", "cents",
+      tiebreak = Seq("event_id"), minN = 8).head()
+    assert(a.getDouble(2) > 2.0)
+  }
 }
