@@ -177,6 +177,55 @@ object Calibrate {
   }
 
   /**
+   * Hosmer–Lemeshow goodness-of-fit test (Hosmer & Lemeshow 1980) over
+   * fixed-width probability bins — the SIGNIFICANCE companion of the
+   * calibration report and [[brierDecomposition]]:
+   *   HL = Σ_k (O_k − E_k)² / (n_k·p̄_k·(1 − p̄_k))
+   * with O_k the observed positives, E_k = Σ pᵢ the expected, and
+   * p̄_k = E_k/n_k — ≈ χ²(g − 2) under a well-calibrated model. Bins
+   * are fixed-width `floor(p·nBins)` edge-clamped (the
+   * [[brierDecomposition]] choice; the textbook uses equal-COUNT
+   * deciles, which would need a global sort — at corpus scale the
+   * fixed grid is the honest scalable variant and the statistic's
+   * χ² approximation holds the same way).
+   *
+   * HL is null when ANY populated bin is degenerate (p̄_k ∈ {0, 1} —
+   * its variance term is 0 and the statistic is undefined; merge bins
+   * upstream if that fires). Output: one row (n, g, dof, hl), 6 dp —
+   * g = populated bins, dof = g − 2 (null when g < 3).
+   *
+   * Scale shape: one hash aggregate to the ≤nBins grain + one bin-table
+   * aggregate — no window, no sort, no join.
+   */
+  def hosmerLemeshow(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val g = df.filter(p.isNotNull && y.isNotNull && p >= 0 && p <= 1)
+      .select(least(floor(p * nBins).cast("long"), lit(nBins - 1L))
+          .as("__bin"), p.as("__p"), y.as("__y"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nk"), sum(col("__y")).as("__o"),
+        sum(col("__p")).as("__e"))
+    val pbar = col("__e") / col("__nk")
+    val den = col("__nk") * pbar * (lit(1.0) - pbar)
+    val term = (col("__o") - col("__e")) * (col("__o") - col("__e")) /
+      when(den > 0, den)
+    val a = g.agg(
+      coalesce(sum(col("__nk")), lit(0L)).as("n"),
+      count(lit(1)).as("g"),
+      sum(term).as("__hl"),
+      // SUM skips nulls, so a degenerate bin must be counted
+      // explicitly to null the statistic (honest "undefined", not a
+      // silently-shortened sum)
+      coalesce(sum(when(den > 0, 0L).otherwise(1L)), lit(0L)).as("__bad"))
+    a.select(col("n"), col("g"),
+      when(col("g") >= 3, col("g") - 2L).as("dof"),
+      round(when(col("__bad") === 0, col("__hl")), 6).as("hl"))
+  }
+
+  /**
    * Split-conformal prediction interval (Vovk et al. 2005; the split
    * form of Lei et al. 2018): from a CALIBRATION slice's absolute
    * residuals |y − ŷ|, the q̂ = ⌈(n+1)(1−α)⌉-th smallest residual is a

@@ -537,6 +537,37 @@ object Analytics extends QueryGroup {
              |  ROUND(CASE WHEN n > 0 THEN wcn / n END, 6) AS within_cov
              |FROM a""".stripMargin)),
 
+    // Hosmer–Lemeshow goodness-of-fit on the same probability fixture
+    // — the chi2-style significance readout next to the Brier/Murphy
+    // decomposition; fixed-width bins (the scalable variant of the
+    // textbook deciles), degenerate bins null the statistic honestly.
+    QueryDef("q_hosmer_lemeshow",
+      (s, dir) => graft.ops.Calibrate.hosmerLemeshow(
+        Tables.load(s, dir, "customer")
+          .select(((col("c_custkey") % 100).cast("double") / 100.0 + 0.005).as("prob"),
+            (col("c_acctbal") > 5000).cast("long").as("label")),
+        "prob", "label", nBins = 10),
+      Some("""WITH src AS (SELECT
+             |    CAST(c_custkey % 100 AS DOUBLE) / 100.0 + 0.005 AS p,
+             |    CAST(CAST(c_acctbal > 5000 AS INT) AS DOUBLE) AS y
+             |  FROM customer),
+             |bb AS (SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin, p, y
+             |  FROM src WHERE p >= 0 AND p <= 1),
+             |gb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+             |    SUM(y) AS o, SUM(p) AS e
+             |  FROM bb GROUP BY 1),
+             |t AS (SELECT nk, o, e,
+             |    nk * (e / nk) * (1.0 - e / nk) AS den FROM gb),
+             |a AS (SELECT CAST(COALESCE(SUM(nk), 0) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS g,
+             |    SUM(CASE WHEN den > 0 THEN (o - e) * (o - e) / den END) AS hl,
+             |    CAST(COALESCE(SUM(CASE WHEN den > 0 THEN 0 ELSE 1 END), 0)
+             |      AS BIGINT) AS bad
+             |  FROM t)
+             |SELECT n, g, CASE WHEN g >= 3 THEN g - 2 END AS dof,
+             |  ROUND(CASE WHEN bad = 0 THEN hl END, 6) AS hl
+             |FROM a""".stripMargin)),
+
     // Two-sample KS statistic between click and view value distributions
     // — exact empirical-CDF sup-gap, running windows on both engines
     QueryDef("q_ks_test",
@@ -735,6 +766,145 @@ object Analytics extends QueryGroup {
              |  ROUND(CASE WHEN ssb + ssw > 0
              |    THEN ssb / (ssb + ssw) END, 6) AS eta_sq
              |FROM b""".stripMargin)),
+
+    // Two-sample Cramér–von Mises between the same two families —
+    // the integrated-ECDF-gap companion of q_ks_test (sees distributed
+    // small shifts KS under-weights); exact-integer ECDF ratios.
+    QueryDef("q_cvm",
+      (s, dir) => Planners.cramerVonMises(Tables.load(s, dir, "events"),
+        "value", "event_type", "click", "view"),
+      Some("""WITH g AS (SELECT value AS v, event_type = 'click' AS isa
+             |  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+             |d AS (SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS cb FROM g GROUP BY 1),
+             |c AS (SELECT v, ca, cb,
+             |    SUM(ca) OVER (ORDER BY v) AS cuma,
+             |    SUM(cb) OVER (ORDER BY v) AS cumb,
+             |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM d),
+             |e AS (SELECT ca, cb, na, nb,
+             |    CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb AS dd
+             |  FROM c),
+             |a AS (SELECT CAST(COALESCE(MAX(na), 0) AS BIGINT) AS n_a,
+             |    CAST(COALESCE(MAX(nb), 0) AS BIGINT) AS n_b,
+             |    SUM((ca + cb) * dd * dd) AS s FROM e)
+             |SELECT n_a, n_b,
+             |  ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |    CAST(n_a AS DOUBLE) * n_b /
+             |    ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b)) * s
+             |  END, 6) AS t
+             |FROM a""".stripMargin)),
+
+    // AUC + DeLong SE over a deterministic overlapping-label fixture:
+    // placement mean at the distinct-score grain (exact ratios),
+    // variances via the clamped expanded form — is the ranker better
+    // than coin-flip, with a z to say so.
+    QueryDef("q_auc_delong",
+      (s, dir) => Planners.aucDeLong(
+        Tables.load(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("label",
+            pmod(col("event_id"), lit(3)) === 0 || col("value") > 700),
+        "value", "label"),
+      Some("""WITH g AS (SELECT value AS v,
+             |    (event_id % 3 = 0 OR value > 700) AS yy
+             |  FROM events WHERE value IS NOT NULL),
+             |d AS (SELECT v, SUM(CASE WHEN yy THEN 1 ELSE 0 END) AS a,
+             |    SUM(CASE WHEN NOT yy THEN 1 ELSE 0 END) AS b FROM g GROUP BY 1),
+             |w AS (SELECT a, b,
+             |    COALESCE(SUM(a) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pa,
+             |    COALESCE(SUM(b) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb,
+             |    SUM(a) OVER () AS n1, SUM(b) OVER () AS n0 FROM d),
+             |e AS (SELECT a, b, n1, n0,
+             |    (CAST(pb AS DOUBLE) + b / 2) / n0 AS v10,
+             |    (CAST(n1 - pa - a AS DOUBLE) + a / 2) / n1 AS v01 FROM w),
+             |ag AS (SELECT CAST(COALESCE(MAX(n1), 0) AS BIGINT) AS n_pos,
+             |    CAST(COALESCE(MAX(n0), 0) AS BIGINT) AS n_neg,
+             |    SUM(a * v10) AS sa1, SUM(a * v10 * v10) AS sa2,
+             |    SUM(b * v01) AS sb1, SUM(b * v01 * v01) AS sb2 FROM e),
+             |f AS (SELECT *,
+             |    CASE WHEN n_pos > 0 THEN sa1 / n_pos END AS auc,
+             |    CASE WHEN n_pos > 1 THEN
+             |      GREATEST(sa2 - sa1 * sa1 / n_pos, 0.0) / (n_pos - 1) END AS s10,
+             |    CASE WHEN n_neg > 1 THEN
+             |      GREATEST(sb2 - sb1 * sb1 / n_neg, 0.0) / (n_neg - 1) END AS s01
+             |  FROM ag),
+             |h AS (SELECT *, SQRT(s10 / n_pos + s01 / n_neg) AS se FROM f)
+             |SELECT n_pos, n_neg, ROUND(auc, 6) AS auc, ROUND(se, 6) AS se,
+             |  ROUND(CASE WHEN se > 0 THEN (auc - 0.5) / se END, 6) AS z
+             |FROM h""".stripMargin)),
+
+    // Friedman test — the five event families ranked WITHIN each user
+    // (cells = exact cent sums, only complete blocks enter): the
+    // repeated-measures Kruskal–Wallis, with Kendall's W agreement.
+    QueryDef("q_friedman",
+      (s, dir) => Planners.friedmanTest(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "user_id", "event_type", "cents"),
+      Some("""WITH cells AS (SELECT user_id AS i, event_type AS j,
+             |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+             |  FROM events WHERE user_id IS NOT NULL
+             |    AND event_type IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |kk AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS k FROM cells),
+             |comp AS (SELECT i FROM cells GROUP BY i
+             |  HAVING COUNT(*) = (SELECT k FROM kk)),
+             |cc AS (SELECT cells.* FROM cells JOIN comp ON cells.i = comp.i),
+             |vt AS (SELECT i, s, COUNT(*) AS t FROM cc GROUP BY 1, 2),
+             |rk AS (SELECT i, s, t, COALESCE(SUM(t) OVER (PARTITION BY i
+             |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS prev FROM vt),
+             |mm AS (SELECT cc.j, 2 * rk.prev + rk.t + 1 AS mr2
+             |  FROM cc JOIN rk ON cc.i = rk.i AND cc.s = rk.s),
+             |bc AS (SELECT j, SUM(CAST(mr2 AS HUGEINT)) AS r2 FROM mm GROUP BY 1),
+             |q AS (SELECT SUM(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)) AS q4 FROM bc),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM comp),
+             |tw AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0) AS tt FROM rk),
+             |f1 AS (SELECT n, k, q4, tt,
+             |    1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * k * (k * k - 1)) AS c
+             |  FROM q, nn, kk, tw),
+             |f2 AS (SELECT n, k,
+             |    CASE WHEN k >= 2 AND n > 0 AND c > 0 THEN
+             |      (3.0 * q4 / (CAST(n AS DOUBLE) * k * (k + 1))
+             |        - 3.0 * CAST(n AS DOUBLE) * (k + 1)) / c END AS chi
+             |  FROM f1)
+             |SELECT n, k, k - 1 AS dof, ROUND(chi, 6) AS chi2,
+             |  ROUND(chi / (CAST(n AS DOUBLE) * (k - 1)), 6) AS w
+             |FROM f2""".stripMargin)),
+
+    // Kendall's tau-b between hour-of-day and value bucket — pair
+    // concordance counted on the (x, y) CELL self-join (aggregate
+    // grain, never the n² row pairs); exact HUGEINT pair counts.
+    QueryDef("q_kendall_tau",
+      (s, dir) => Planners.kendallTauB(
+        Tables.load(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("xh", hour(col("ts")).cast("long"))
+          .withColumn("yb", expr("cast(round(value * 100) as bigint) div 10000")),
+        "xh", "yb"),
+      Some("""WITH g AS (SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+             |    CAST(ROUND(value * 100) AS BIGINT) // 10000 AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |d AS (SELECT x, y, COUNT(*) AS c FROM g GROUP BY 1, 2),
+             |cd AS (SELECT
+             |    COALESCE(SUM(CASE WHEN r.y > l.y
+             |      THEN CAST(l.c AS HUGEINT) * r.c END), 0) AS con,
+             |    COALESCE(SUM(CASE WHEN r.y < l.y
+             |      THEN CAST(l.c AS HUGEINT) * r.c END), 0) AS dis
+             |  FROM d l JOIN d r ON l.x < r.x),
+             |tx AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)), 0) AS tx2,
+             |    CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n
+             |  FROM (SELECT x, SUM(c) AS t FROM d GROUP BY 1)),
+             |ty AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)), 0) AS ty2
+             |  FROM (SELECT y, SUM(c) AS t FROM d GROUP BY 1)),
+             |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM d)
+             |SELECT n, n_cells,
+             |  ROUND(CASE WHEN CAST(n AS DOUBLE) * (n - 1) - CAST(tx2 AS DOUBLE) > 0
+             |      AND CAST(n AS DOUBLE) * (n - 1) - CAST(ty2 AS DOUBLE) > 0 THEN
+             |    2.0 * (CAST(con AS DOUBLE) - CAST(dis AS DOUBLE)) /
+             |    SQRT((CAST(n AS DOUBLE) * (n - 1) - CAST(tx2 AS DOUBLE)) *
+             |         (CAST(n AS DOUBLE) * (n - 1) - CAST(ty2 AS DOUBLE)))
+             |  END, 6) AS tau_b
+             |FROM cd, tx, ty, nc""".stripMargin)),
 
     // Cochran's Q across the five event families as MATCHED conditions
     // per user (success = any event of that type above 300): the

@@ -278,6 +278,248 @@ object Planners {
   }
 
   /**
+   * Two-sample Cramér–von Mises statistic (Anderson 1962) between the
+   * `valueCol` distributions of two groups — the INTEGRATED-gap
+   * companion of [[ksTest]]: T = (n_a·n_b/N²) · Σⱼ tⱼ·(F_a(vⱼ) −
+   * F_b(vⱼ))² over the pooled distinct values (tⱼ = pooled
+   * multiplicity — the standard discrete/tied form). Where KS reports
+   * only the WORST single gap, CvM accumulates every gap, so it sees
+   * distributed small shifts (e.g. a variance change) KS under-weights.
+   * Larger T ⇒ more evidence the distributions differ (compare against
+   * the caller's critical value — the [[welchT]] convention).
+   *
+   * Same scale shape as [[ksTest]]: aggregate to DISTINCT values, one
+   * running-sum window over the statistic-sized value table, one
+   * aggregate. The ECDF ratios are exact-integer divisions — identical
+   * doubles cross-engine. Output: one row (n_a, n_b, t) (6 dp); t null
+   * when either group is empty.
+   */
+  def cramerVonMises(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val g = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"),
+        (col(groupCol) === groupA).as("isa"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+    val run = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val w = g
+      .withColumn("cuma", sum(col("ca")).over(run))
+      .withColumn("cumb", sum(col("cb")).over(run))
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+    // null-safe group sizes (the ivWald ANSI convention)
+    val naS = when(col("na") > 0, col("na"))
+    val nbS = when(col("nb") > 0, col("nb"))
+    val dd = col("cuma").cast("double") / naS -
+      col("cumb").cast("double") / nbS
+    val a = w.agg(
+      coalesce(max(col("na")), lit(0L)).as("n_a"),
+      coalesce(max(col("nb")), lit(0L)).as("n_b"),
+      sum((col("ca") + col("cb")) * dd * dd).as("__s"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    a.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0,
+        naD * nbD / (nD * nD) * col("__s")), 6).as("t"))
+  }
+
+  /**
+   * AUC with DeLong confidence machinery (DeLong, DeLong &
+   * Clarke-Pearson 1988): the ROC area as the Mann–Whitney placement
+   * mean, PLUS its sampling SE from the placement variances — the
+   * "is this ranker actually better than coin-flip (or than last
+   * week's)" question a bare AUC point estimate can't answer.
+   *   AUC  = Σⱼ aⱼ·V₁₀(vⱼ) / n₁,  V₁₀(v) = (neg_below + ties/2)/n₀
+   *   var  = S₁₀/n₁ + S₀₁/n₀  (sample variances of the placements)
+   *   z    = (AUC − ½)/se
+   * Placements are EXACT-integer ratios at the distinct-score grain
+   * (ties get the standard ½ credit), so AUC is deterministic
+   * cross-engine; the variances use the expanded Σw·x² − (Σw·x)²/n
+   * form (clamped — the [[anovaF]] convention) so ONE aggregate pass
+   * over the value table suffices.
+   *
+   * Scale shape: [[mannWhitneyU]]'s — one hash aggregate to distinct
+   * scores, one statistic-sized running window, one aggregate.
+   * Output: one row (n_pos, n_neg, auc, se, z), 6 dp — auc null when
+   * a class is empty; se/z additionally need both classes ≥ 2 and
+   * positive variance.
+   */
+  def aucDeLong(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val g = df.filter(col(scoreCol).isNotNull && y.isNotNull)
+      .select(col(scoreCol).cast("double").as("v"), y.as("__y"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("b"))
+    val run = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    val w = g
+      .withColumn("pa", coalesce(sum(col("a")).over(run), lit(0L)))
+      .withColumn("pb", coalesce(sum(col("b")).over(run), lit(0L)))
+      .withColumn("n1", sum(col("a")).over(all))
+      .withColumn("n0", sum(col("b")).over(all))
+    val n1S = when(col("n1") > 0, col("n1"))
+    val n0S = when(col("n0") > 0, col("n0"))
+    // placement of a positive at v: negatives strictly below + half ties
+    val v10 = (col("pb").cast("double") + col("b") / 2) / n0S
+    // placement of a negative at v: positives strictly above + half ties
+    val v01 = ((col("n1") - col("pa") - col("a")).cast("double")
+      + col("a") / 2) / n1S
+    val agg = w.agg(
+      coalesce(max(col("n1")), lit(0L)).as("n_pos"),
+      coalesce(max(col("n0")), lit(0L)).as("n_neg"),
+      sum(col("a") * v10).as("__sa1"),
+      sum(col("a") * v10 * v10).as("__sa2"),
+      sum(col("b") * v01).as("__sb1"),
+      sum(col("b") * v01 * v01).as("__sb2"))
+    val n1D = when(col("n_pos") > 0, col("n_pos").cast("double"))
+    val n0D = when(col("n_neg") > 0, col("n_neg").cast("double"))
+    val auc = col("__sa1") / n1D
+    val s10 = greatest(col("__sa2") - col("__sa1") * col("__sa1") / n1D,
+      lit(0.0)) / when(col("n_pos") > 1, col("n_pos") - 1)
+    val s01 = greatest(col("__sb2") - col("__sb1") * col("__sb1") / n0D,
+      lit(0.0)) / when(col("n_neg") > 1, col("n_neg") - 1)
+    val se = sqrt(s10 / n1D + s01 / n0D)
+    val seS = when(se > 0, se)
+    agg.select(col("n_pos"), col("n_neg"),
+      round(auc, 6).as("auc"),
+      round(se, 6).as("se"),
+      round((auc - 0.5) / seS, 6).as("z"))
+  }
+
+  /**
+   * Friedman test (Friedman 1937) — k conditions ranked WITHIN each
+   * subject: the repeated-measures twin of [[kruskalWallis]] (which
+   * assumes independent groups) and the continuous-outcome upgrade of
+   * [[cochranQ]]. Duplicate observations per (subject, condition)
+   * collapse by exact integer SUM (`valueCol` must be integral — the
+   * [[anovaF]] cents contract); only COMPLETE subjects (all k
+   * conditions present) enter, the classic complete-block requirement.
+   * χ² = 12/(nk(k+1))·ΣRⱼ² − 3n(k+1), tie-corrected by
+   * C = 1 − Σ(t³−t)/(nk(k²−1)) over within-subject tie groups; also
+   * reports Kendall's W = χ²/(n(k−1)) (0..1 agreement).
+   *
+   * Exactness: within-subject doubled midranks are exact integers
+   * ([[doubledMidranks]]' identity per subject), so each condition's
+   * rank-sum is an exact decimal(38,0)/HUGEINT; only the scale-free
+   * χ²/W cross doubles. Output: one row (n, k, dof, chi2, w), 6 dp —
+   * null when k < 2, no complete subjects, or every subject ties all
+   * conditions (C = 0).
+   *
+   * Scale shape: one (subject, condition) cell aggregate, per-SUBJECT
+   * sequence windows for the midranks (key-partitioned, ≤ k rows per
+   * key — never a global sort), one condition-grain aggregate.
+   */
+  def friedmanTest(df: DataFrame, subjectCol: String, conditionCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val cells = df.filter(col(subjectCol).isNotNull &&
+        col(conditionCol).isNotNull && x.isNotNull)
+      .groupBy(col(subjectCol).as("__i"), col(conditionCol).as("__j"))
+      .agg(sum(x).as("__s"))
+    val kRow = cells.agg(countDistinct(col("__j")).as("__k"))
+    val complete = cells.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(kRow))
+      .filter(col("__c") === col("__k"))
+      .select(col("__i"))
+    val cc = cells.join(complete, Seq("__i"), "left_semi")
+    val vt = cc.groupBy(col("__i"), col("__s")).agg(count(lit(1)).as("__t"))
+    val runW = Window.partitionBy(col("__i")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vt.withColumn("__prev",
+      coalesce(sum(col("__t")).over(runW), lit(0L)))
+    val byCond = cc
+      .join(ranked.select(col("__i"), col("__s"),
+        (lit(2) * col("__prev") + col("__t") + 1).as("__mr2")),
+        Seq("__i", "__s"))
+      .groupBy(col("__j"))
+      .agg(sum(col("__mr2").cast("decimal(38,0)")).as("__r2"))
+    val r2d = col("__r2").cast("double")
+    val a = byCond.agg(
+      sum(r2d * r2d).as("__q4"))
+    val nRow = complete.agg(count(lit(1)).as("n"))
+    val ties = ranked.agg(
+      coalesce(sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")), lit(BigDecimal(0)).cast("decimal(38,0)")).as("__tt"))
+    val nD = col("n").cast("double")
+    val kD = col("__k").cast("double")
+    val den1 = nD * kD * (kD + 1)
+    val chi0 = lit(3.0) * col("__q4") / when(den1 > 0, den1) -
+      lit(3.0) * nD * (kD + 1)
+    val cDen = nD * kD * (kD * kD - 1)
+    val c = lit(1.0) - col("__tt").cast("double") / when(cDen > 0, cDen)
+    val ok = col("__k") >= 2 && col("n") > 0 && c > 0
+    val chi = when(ok, chi0 / when(c > 0, c))
+    a.crossJoin(nRow).crossJoin(broadcast(kRow)).crossJoin(ties)
+      .select(col("n"), col("__k").as("k"),
+        (col("__k") - 1L).as("dof"),
+        round(chi, 6).as("chi2"),
+        round(chi / when(nD * (kD - 1) > 0, nD * (kD - 1)), 6).as("w"))
+  }
+
+  /**
+   * Kendall's τ-b rank correlation (Kendall 1945, the tie-adjusted
+   * form) between two INTEGRAL columns — the concordance twin of
+   * [[spearman]]: driven entirely by pair ORDER agreement, so it is
+   * the standard choice for comparing two rankers/judges.
+   *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂))
+   * with C/D the concordant/discordant pair counts and n₁/n₂ the
+   * tied-pair counts per column.
+   *
+   * Scale shape: aggregate to the (x, y) CELL grain, then count
+   * concordance on the CELL-PAIR self-join — O(cells²) work on an
+   * aggregate-grain table, never the n² row pairs (pre-quantize a
+   * continuous domain, the [[mannWhitneyU]] advice — the fixture uses
+   * hour × value-bucket). Pair counts accumulate as exact
+   * decimal(38,0)/HUGEINT; τ is one double division. Output: one row
+   * (n, n_cells, tau_b), 6 dp — null when either column is constant
+   * (no untied pairs to order).
+   */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val xs = col(xCol).cast("long")
+    val ys = col(yCol).cast("long")
+    val cells = df.filter(xs.isNotNull && ys.isNotNull)
+      .groupBy(xs.as("__x"), ys.as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val pairs = cells.alias("l").join(cells.alias("r"),
+      col("l.__x") < col("r.__x"))
+    val cd = pairs.agg(
+      coalesce(sum(when(col("r.__y") > col("l.__y"),
+        col("l.__c").cast("decimal(38,0)") * col("r.__c"))),
+        lit(BigDecimal(0)).cast("decimal(38,0)")).as("__con"),
+      coalesce(sum(when(col("r.__y") < col("l.__y"),
+        col("l.__c").cast("decimal(38,0)") * col("r.__c"))),
+        lit(BigDecimal(0)).cast("decimal(38,0)")).as("__dis"))
+    val tx = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(col("__t").cast("decimal(38,0)") * (col("__t") - 1)),
+        lit(BigDecimal(0)).cast("decimal(38,0)")).as("__tx2"),
+        coalesce(sum(col("__t")), lit(0L)).as("n"),
+        count(lit(1)).as("__nx"))
+    val ty = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(col("__t").cast("decimal(38,0)") * (col("__t") - 1)),
+        lit(BigDecimal(0)).cast("decimal(38,0)")).as("__ty2"),
+        count(lit(1)).as("__ny"))
+    val nCells = cells.agg(count(lit(1)).as("n_cells"))
+    val nD = col("n").cast("double")
+    val n02 = nD * (nD - 1)                       // 2·n0
+    val d1 = n02 - col("__tx2").cast("double")    // 2·(n0 − n1)
+    val d2 = n02 - col("__ty2").cast("double")    // 2·(n0 − n2)
+    val num = lit(2.0) *
+      (col("__con").cast("double") - col("__dis").cast("double"))
+    cd.crossJoin(tx).crossJoin(ty).crossJoin(nCells)
+      .select(col("n"), col("n_cells"),
+        round(when(d1 > 0 && d2 > 0, num / sqrt(d1 * d2)), 6).as("tau_b"))
+  }
+
+  /**
    * Probability-calibration report (the ECE formulation of Guo et al.
    * 2017, "On Calibration of Modern Neural Networks"): fixed-width
    * confidence bins over [0, 1] with, per bin, the mean predicted

@@ -2257,6 +2257,33 @@ class OpsSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(6))
   }
 
+  test("hosmerLemeshow: hand-computed bins; degenerate bin nulls; dof needs 3 bins") {
+    import graft.ops.Calibrate
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // dyadic probs so bin sums are order-independent doubles
+    // bin0 {(.25,0),(.25,1)}: o=1 e=.5 den=2*.25*.75 -> term = 2/3
+    // bin1 {(.75,1),(.75,1),(.875,0)}: o=2 e=2.375
+    val df = Seq((0.25, 0L), (0.25, 1L), (0.75, 1L), (0.75, 1L),
+      (0.875, 0L)).toDF("p", "y")
+    val r = Calibrate.hosmerLemeshow(df, "p", "y", nBins = 2).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L)
+    assert(r.get(2) == null, "dof undefined below 3 bins")
+    val p1 = 2.375 / 3
+    val t1 = (2 - 2.375) * (2 - 2.375) / (3 * p1 * (1 - p1))
+    assert(r.getDouble(3) == r6(2.0 / 3 + t1))
+    // a zero-probability bin is degenerate: statistic null, not div0
+    val deg = Seq((0.0, 0L), (0.0, 0L), (0.875, 1L), (0.75, 0L))
+      .toDF("p", "y")
+    val d = Calibrate.hosmerLemeshow(deg, "p", "y", nBins = 2).head()
+    assert(d.get(3) == null)
+    // 10-bin grid on a spread fixture: dof = g - 2
+    val spread = (0 to 9).flatMap(i =>
+      Seq((i / 10.0 + 0.05, 0L), (i / 10.0 + 0.05, 1L)))
+      .toDF("p", "y")
+    val s = Calibrate.hosmerLemeshow(spread, "p", "y", nBins = 10).head()
+    assert(s.getLong(1) == 10L && s.getLong(2) == 8L)
+  }
+
   test("textrank: hub word out-ranks satellites; two-node graph splits evenly; short docs are inert") {
     import graft.ops.Text
     // star corpus: 'hub' co-occurs with every satellite, satellites only

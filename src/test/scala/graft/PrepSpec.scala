@@ -425,4 +425,97 @@ class PrepSpec extends SparkSpec {
     val cr = Planners.partialCorrelation(const, "x", "y", "z").head()
     assert(cr.get(2) == null && cr.get(4) == null)
   }
+
+  test("cramerVonMises: hand-computed discrete T; identical samples 0; empty group null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    // A={1,2} B={2,3}: gaps 0.5, 0.5, 0 with t = 1,2,1
+    // T = (4/16)*(0.25 + 0.5 + 0) = 0.1875
+    val df = Seq((1.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b"))
+      .toDF("value", "grp")
+    val r = Planners.cramerVonMises(df, "value", "grp", "a", "b").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.1875)
+    // identical samples: every gap 0
+    val same = Seq((1.0, "a"), (2.0, "a"), (1.0, "b"), (2.0, "b"))
+      .toDF("value", "grp")
+    assert(Planners.cramerVonMises(same, "value", "grp", "a", "b")
+      .head().getDouble(2) == 0.0)
+    // empty B: statistic undefined
+    val one = Seq((1.0, "a")).toDF("value", "grp")
+    assert(Planners.cramerVonMises(one, "value", "grp", "a", "b")
+      .head().get(2) == null)
+  }
+
+  test("aucDeLong: hand-computed placements, tie credit, degenerate cases") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // pos {3,5}, neg {1,3}: AUC = (1 + 0.5 + 1 + 1)/4 = 0.875
+    val df = Seq((3.0, true), (5.0, true), (1.0, false), (3.0, false))
+      .toDF("score", "y")
+    val r = Planners.aucDeLong(df, "score", "y").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.875)
+    // S10 = S01 = 2*(0.125)^2 = 0.03125; var = S10/2 + S01/2
+    val se = math.sqrt(0.03125)
+    assert(r.getDouble(3) == r6(se))
+    assert(r.getDouble(4) == r6((0.875 - 0.5) / se))
+    // perfect separation: AUC 1, zero placement variance -> se 0, z null
+    val perf = Seq((10.0, true), (11.0, true), (1.0, false), (2.0, false))
+      .toDF("score", "y")
+    val p = Planners.aucDeLong(perf, "score", "y").head()
+    assert(p.getDouble(2) == 1.0 && p.getDouble(3) == 0.0 && p.get(4) == null)
+    // single-class input: AUC undefined
+    val pos = Seq((1.0, true), (2.0, true)).toDF("score", "y")
+    val o = Planners.aucDeLong(pos, "score", "y").head()
+    assert(o.getLong(1) == 0L && o.get(2) == null)
+  }
+
+  test("friedmanTest: textbook 3x3 ranks; incomplete blocks drop; all-tied null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // ranks per subject: (1,2,3), (1,3,2), (2,1,3) -> R = 4,6,8
+    // chi2 = 12/(3*3*4)*116 - 36 = 8/3; W = (8/3)/(3*2) = 4/9
+    val rows = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "a", 10L), (2L, "b", 30L), (2L, "c", 20L),
+      (3L, "a", 20L), (3L, "b", 10L), (3L, "c", 30L))
+    val r = Planners.friedmanTest(rows.toDF("subj", "cond", "x"),
+      "subj", "cond", "x").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == r6(8.0 / 3))
+    assert(r.getDouble(4) == r6(4.0 / 9))
+    // a subject missing a condition is excluded entirely
+    val withIncomplete = rows ++ Seq((4L, "a", 99L), (4L, "b", 1L))
+    val ri = Planners.friedmanTest(withIncomplete.toDF("subj", "cond", "x"),
+      "subj", "cond", "x").head()
+    assert(ri.getLong(0) == 3L && ri.getDouble(3) == r6(8.0 / 3))
+    // every subject ties all conditions: C = 0 -> null
+    val tied = Seq((1L, "a", 5L), (1L, "b", 5L), (1L, "c", 5L),
+      (2L, "a", 7L), (2L, "b", 7L), (2L, "c", 7L))
+    assert(Planners.friedmanTest(tied.toDF("subj", "cond", "x"),
+      "subj", "cond", "x").head().get(3) == null)
+  }
+
+  test("kendallTauB: hand-computed concordance, tie correction, constant column null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // x=1..4, y=(1,3,2,4): C=5, D=1, no ties -> tau = 4/6
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)).toDF("x", "y")
+    val r = Planners.kendallTauB(df, "x", "y").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == r6(4.0 / 6))
+    // 2x2 grid of singletons: C = D = 1 -> tau exactly 0 (tie-adjusted)
+    val grid = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    assert(Planners.kendallTauB(grid, "x", "y").head().getDouble(2) == 0.0)
+    // constant x: no orderable pairs -> null
+    val const = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    assert(Planners.kendallTauB(const, "x", "y").head().get(2) == null)
+    // perfect monotone with duplicates: tau-b = 1 exactly
+    val mono = Seq((1L, 10L), (1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Planners.kendallTauB(mono, "x", "y").head().getDouble(2) == 1.0)
+  }
 }
