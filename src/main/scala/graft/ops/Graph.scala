@@ -40,7 +40,14 @@ object Graph {
       iterations: Int, damping: Double = 0.85,
       checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // edge list feeds every iteration's join (plus verts/outDeg):
+    // materialize once so an expensive upstream derivation (e.g. a
+    // near-dup pair generator) doesn't replay per iteration — the
+    // hits convention. At iterations = 0 nothing loops, so the plan
+    // stays declarative (plan-freeze specs inspect it there).
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val e = if (iterations > 0) e0.localCheckpoint() else e0
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     val nDf = verts.agg(count(lit(1)).as("n"))
@@ -63,6 +70,50 @@ object Graph {
         ranks = ranks.localCheckpoint()
     }
     ranks.select(col("v"), round(col("rank"), 6).as("rank"))
+  }
+
+  /**
+   * Katz centrality (Katz 1953) with a fixed iteration count:
+   * x⁰ = β,  xⁱ(v) = β + α·Σ_{u→v} xⁱ⁻¹(u) — credits EVERY walk into a
+   * vertex, geometrically damped by length. The un-normalized sibling
+   * of [[pageRank]]: no out-degree division, so a prolific source
+   * passes its FULL score along every edge — the influence measure
+   * when "being linked by a hub" should count fully (citation/mention
+   * graphs), where PageRank's vote-splitting is the wrong model.
+   * α below 1/λ_max converges; a fixed iteration count emits the
+   * length-truncated walk sum either way (the [[pageRank]] contract —
+   * iteration-for-iteration SQL-replayable).
+   *
+   * Same scale shape as [[pageRank]]: per iteration ONE equi-join of
+   * the edge list to the score vector + one hash aggregate (map-side
+   * combined), checkpointed per `checkpointEvery` (plan growth, not
+   * recompute, is the enemy). Output: (v, katz), 6 dp, all vertices.
+   */
+  def katz(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, alpha: Double = 0.1, beta: Double = 1.0,
+      checkpointEvery: Int = 1): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(alpha > 0, "alpha must be > 0")
+    // materialize the (possibly expensive) edge derivation once — the
+    // hits/pageRank convention (declarative at iterations = 0)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val e = if (iterations > 0) e0.localCheckpoint() else e0
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    var x = verts.select(col("v"), lit(beta).as("score"))
+    for (i <- 1 to iterations) {
+      val contribs = e
+        .join(x.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v")).agg(sum(col("score")).as("contrib"))
+      x = verts.join(contribs, Seq("v"), "left")
+        .select(col("v"),
+          (lit(beta) + lit(alpha) * coalesce(col("contrib"), lit(0.0)))
+            .as("score"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        x = x.localCheckpoint()
+    }
+    x.select(col("v"), round(col("score"), 6).as("katz"))
   }
 
   /**
@@ -446,7 +497,9 @@ object Graph {
       rounds: Int, checkpointEvery: Int = 1): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
-    val sym = symEdges(edges, srcCol, dstCol)
+    // materialized once: every peel round joins it twice — the
+    // hits/pageRank convention
+    val sym = symEdges(edges, srcCol, dstCol).localCheckpoint()
     var keep = sym.select(col("src").as("v")).distinct()
     def induced(surv: DataFrame): DataFrame = sym
       .join(surv.select(col("v").as("src")), Seq("src"), "left_semi")
@@ -483,7 +536,8 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val sym = symEdges(edges, srcCol, dstCol)
+    // materialized once per the hits/pageRank convention
+    val sym = symEdges(edges, srcCol, dstCol).localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"))
     for (i <- 1 to iterations) {
@@ -580,8 +634,16 @@ object Graph {
       dstCol: String, seeds: DataFrame, iterations: Int,
       damping: Double = 0.85, checkpointEvery: Int = 1): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val s = seeds.toDF("v").distinct()
+    // materialize the (possibly expensive) edge derivation once — the
+    // hits/pageRank convention (declarative at iterations = 0)
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val e = if (iterations > 0) e0.localCheckpoint() else e0
+    // seeds feed the teleport term of EVERY iteration (count + flag
+    // join) — materialize once too, or each iteration re-scans the
+    // seed source
+    val s0 = seeds.toDF("v").distinct()
+    val s = if (iterations > 0) s0.localCheckpoint() else s0
     // an empty seed set makes the teleport term 1/ns = 1/0 = null for
     // every vertex — fail fast instead of silently returning null ranks
     require(!s.isEmpty, "personalizedPageRank: seeds must be non-empty")
@@ -590,8 +652,10 @@ object Graph {
       .distinct()
     val nsDf = s.agg(count(lit(1)).as("ns"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val seeded = verts.join(s.withColumn("__seed", lit(true)), Seq("v"), "left")
+    val seeded0 = verts
+      .join(s.withColumn("__seed", lit(true)), Seq("v"), "left")
       .select(col("v"), coalesce(col("__seed"), lit(false)).as("__seed"))
+    val seeded = if (iterations > 0) seeded0.localCheckpoint() else seeded0
     def teleport(scale: Double) = when(col("__seed"),
       lit(scale) / col("ns")).otherwise(lit(0.0))
 

@@ -872,6 +872,148 @@ object Analytics extends QueryGroup {
              |  ROUND(chi / (CAST(n AS DOUBLE) * (k - 1)), 6) AS w
              |FROM f2""".stripMargin)),
 
+    // Page's trend test on the same complete blocks — the ORDERED
+    // alternative to Friedman (lexicographic condition order as the
+    // hypothesized trend): L is exact (doubled midranks), z uses the
+    // classical no-tie moments.
+    QueryDef("q_page_trend",
+      (s, dir) => Planners.pageTrend(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "user_id", "event_type", "cents"),
+      Some("""WITH cells AS (SELECT user_id AS i, event_type AS j,
+             |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+             |  FROM events WHERE user_id IS NOT NULL
+             |    AND event_type IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |kk AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS k FROM cells),
+             |comp AS (SELECT i FROM cells GROUP BY i
+             |  HAVING COUNT(*) = (SELECT k FROM kk)),
+             |cc AS (SELECT cells.* FROM cells JOIN comp ON cells.i = comp.i),
+             |vt AS (SELECT i, s, COUNT(*) AS t FROM cc GROUP BY 1, 2),
+             |rk AS (SELECT i, s, t, COALESCE(SUM(t) OVER (PARTITION BY i
+             |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS prev FROM vt),
+             |mm AS (SELECT cc.j, 2 * rk.prev + rk.t + 1 AS mr2
+             |  FROM cc JOIN rk ON cc.i = rk.i AND cc.s = rk.s),
+             |co AS (SELECT j, CAST(ROW_NUMBER() OVER (ORDER BY j) AS BIGINT) AS cv
+             |  FROM (SELECT DISTINCT j FROM mm)),
+             |l2 AS (SELECT COALESCE(SUM(CAST(cv AS HUGEINT) * mr2), 0) AS lv
+             |  FROM mm JOIN co ON mm.j = co.j),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM comp)
+             |SELECT n, k,
+             |  CASE WHEN n > 0 AND k >= 2 THEN CAST(lv AS DOUBLE) / 2 END AS l,
+             |  ROUND(CASE WHEN n > 0 AND k >= 2 AND
+             |      CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1) / 144 > 0
+             |    THEN (CAST(lv AS DOUBLE) / 2
+             |      - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 4) /
+             |      SQRT(CAST(n AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1) / 144)
+             |    END, 6) AS z
+             |FROM l2, nn, kk""".stripMargin)),
+
+    // ICC(2,1) absolute-agreement reliability over the same complete
+    // user x family blocks — the continuous-outcome companion of
+    // Cohen's kappa / Krippendorff; exact sufficient sums, only the
+    // scale-free ICC/F emitted.
+    QueryDef("q_icc",
+      (s, dir) => Planners.iccTwoWay(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "user_id", "event_type", "cents"),
+      Some("""WITH cells AS (SELECT user_id AS i, event_type AS j,
+             |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+             |  FROM events WHERE user_id IS NOT NULL
+             |    AND event_type IS NOT NULL AND value IS NOT NULL
+             |  GROUP BY 1, 2),
+             |kk AS (SELECT CAST(COUNT(DISTINCT j) AS BIGINT) AS k FROM cells),
+             |comp AS (SELECT i FROM cells GROUP BY i
+             |  HAVING COUNT(*) = (SELECT k FROM kk)),
+             |cc AS (SELECT cells.* FROM cells JOIN comp ON cells.i = comp.i),
+             |tot AS (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS t,
+             |    COALESCE(SUM(CAST(s AS HUGEINT) * s), 0) AS ss FROM cc),
+             |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    COALESCE(SUM(CAST(si AS HUGEINT) * si), 0) AS ssi
+             |  FROM (SELECT i, CAST(SUM(s) AS BIGINT) AS si FROM cc GROUP BY 1)),
+             |br AS (SELECT COALESCE(SUM(CAST(rj AS HUGEINT) * rj), 0) AS srj
+             |  FROM (SELECT j, CAST(SUM(s) AS BIGINT) AS rj FROM cc GROUP BY 1)),
+             |f1 AS (SELECT n, k, ss, ssi, srj,
+             |    CAST(t AS DOUBLE) * t / (CAST(n AS DOUBLE) * k) AS corr
+             |  FROM tot, bs, br, kk),
+             |f2 AS (SELECT n, k,
+             |    GREATEST(CAST(ss AS DOUBLE) - corr, 0.0) AS sstot,
+             |    GREATEST(CAST(ssi AS DOUBLE) / k - corr, 0.0) AS ssr,
+             |    GREATEST(CAST(srj AS DOUBLE) / n - corr, 0.0) AS ssc
+             |  FROM f1),
+             |f3 AS (SELECT n, k, ssr, ssc,
+             |    GREATEST(sstot - ssr - ssc, 0.0) AS sse FROM f2),
+             |f4 AS (SELECT n, k,
+             |    ssr / (n - 1) AS msr, ssc / (k - 1) AS msc,
+             |    sse / ((n - 1) * (k - 1)) AS mse FROM f3),
+             |f5 AS (SELECT n, k, msr, msc, mse,
+             |    msr + (k - 1) * mse + k * (msc - mse) / n AS den FROM f4)
+             |SELECT n, k,
+             |  ROUND(CASE WHEN n >= 2 AND k >= 2 AND den > 0
+             |    THEN (msr - mse) / den END, 6) AS icc21,
+             |  ROUND(CASE WHEN n >= 2 AND k >= 2 AND mse > 0
+             |    THEN msr / mse END, 6) AS f
+             |FROM f5""".stripMargin)),
+
+    // Average precision (right-step PR-AUC, tie-blocked) on the same
+    // score/label fixture as q_auc_delong — the rare-positive ranking
+    // readout; exact-integer block precisions.
+    QueryDef("q_avg_precision",
+      (s, dir) => Planners.averagePrecision(
+        Tables.load(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("label",
+            pmod(col("event_id"), lit(3)) === 0 || col("value") > 700),
+        "value", "label"),
+      Some("""WITH g AS (SELECT value AS v,
+             |    (event_id % 3 = 0 OR value > 700) AS yy
+             |  FROM events WHERE value IS NOT NULL),
+             |d AS (SELECT v, SUM(CASE WHEN yy THEN 1 ELSE 0 END) AS a,
+             |    SUM(CASE WHEN NOT yy THEN 1 ELSE 0 END) AS b FROM g GROUP BY 1),
+             |w AS (SELECT a, b,
+             |    SUM(a) OVER (ORDER BY v DESC) AS ca,
+             |    SUM(b) OVER (ORDER BY v DESC) AS cb,
+             |    SUM(a) OVER () AS n1 FROM d),
+             |ag AS (SELECT CAST(COALESCE(MAX(n1), 0) AS BIGINT) AS n_pos,
+             |    CAST(COALESCE(SUM(b), 0) AS BIGINT) AS n_neg,
+             |    SUM(a * (CAST(ca AS DOUBLE) / (ca + cb))) AS s FROM w)
+             |SELECT n_pos, n_neg,
+             |  ROUND(CASE WHEN n_pos > 0 THEN s / n_pos END, 6) AS ap
+             |FROM ag""".stripMargin)),
+
+    // Bland–Altman agreement between the raw cents and their
+    // 100-cent-quantized twin — bias, limits of agreement, realized
+    // coverage; exact integer differences.
+    QueryDef("q_bland_altman",
+      (s, dir) => Planners.blandAltman(
+        Tables.load(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("m1", round(col("value") * 100).cast("long"))
+          .withColumn("m2", expr("(m1 div 100) * 100")),
+        "m1", "m2"),
+      Some("""WITH g AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS m1
+             |  FROM events WHERE value IS NOT NULL),
+             |g2 AS (SELECT m1 - (m1 // 100) * 100 AS d FROM g),
+             |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COALESCE(SUM(d), 0) AS BIGINT) AS sd,
+             |    COALESCE(SUM(CAST(d AS HUGEINT) * d), 0) AS ssd FROM g2),
+             |st AS (SELECT n,
+             |    CASE WHEN n > 0 THEN CAST(sd AS DOUBLE) / n END AS bias,
+             |    CASE WHEN n > 1 THEN
+             |      SQRT(GREATEST(CAST(ssd AS DOUBLE)
+             |        - CAST(sd AS DOUBLE) * sd / n, 0.0) / (n - 1)) END AS sdd
+             |  FROM s1),
+             |st2 AS (SELECT *, bias - CAST(1.96 AS DOUBLE) * sdd AS lo,
+             |    bias + CAST(1.96 AS DOUBLE) * sdd AS hi FROM st),
+             |cv AS (SELECT CAST(COALESCE(SUM(CASE WHEN CAST(d AS DOUBLE) >= lo
+             |      AND CAST(d AS DOUBLE) <= hi THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |    AS nin
+             |  FROM g2, st2)
+             |SELECT n, ROUND(bias, 6) AS bias, ROUND(sdd, 6) AS sd_diff,
+             |  ROUND(lo, 6) AS loa_lo, ROUND(hi, 6) AS loa_hi,
+             |  ROUND(CASE WHEN sdd IS NOT NULL
+             |    THEN CAST(nin AS DOUBLE) / n END, 6) AS coverage
+             |FROM st2, cv""".stripMargin)),
+
     // Kendall's tau-b between hour-of-day and value bucket — pair
     // concordance counted on the (x, y) CELL self-join (aggregate
     // grain, never the n² row pairs); exact HUGEINT pair counts.

@@ -1962,6 +1962,43 @@ object LlmOps extends QueryGroup {
            |SELECT v AS doc_id, ROUND(rank, 6) AS rank FROM r5""".stripMargin
       }),
 
+    // Katz centrality over the same near-dup graph — the un-normalized
+    // walk-counting sibling of q_pagerank (hubs pass FULL score along
+    // every edge); 5 unrolled iterations, alpha 0.1.
+    QueryDef("q_katz",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "text", "doc_id", n = 3, tau = 0.4)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        Graph.katz(edges, "src", "dst", iterations = 5, alpha = 0.1)
+          .withColumnRenamed("v", "doc_id")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""k$i AS (SELECT verts.v,
+             |    1.0 + CAST(0.1 AS DOUBLE) * COALESCE(SUM(p.score), 0.0) AS score
+             |  FROM verts
+             |  LEFT JOIN (SELECT e.dst, r.score
+             |             FROM e JOIN k${i - 1} r ON r.v = e.src) p
+             |    ON p.dst = verts.v
+             |  GROUP BY verts.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $shinglesCte,
+           |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+           |  FROM sh x JOIN sh y USING(shingle) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+           |j AS (SELECT doc_a, doc_b,
+           |    ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+           |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b),
+           |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.4),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |verts AS (SELECT DISTINCT src AS v FROM e),
+           |k0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS score FROM verts),
+           |$iters
+           |SELECT v AS doc_id, ROUND(score, 6) AS katz FROM k5""".stripMargin
+      }),
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     // the word co-occurrence graph (distance <= 2 in cleaned-token
     // space), top 20 by centrality. Edges come from sliced-array zips

@@ -419,6 +419,43 @@ object Planners {
    */
   def friedmanTest(df: DataFrame, subjectCol: String, conditionCol: String,
       valueCol: String): DataFrame = {
+    val (mm, kRow, nRow, ties) =
+      completeBlockRanks(df, subjectCol, conditionCol, valueCol)
+    val byCond = mm
+      .groupBy(col("__j"))
+      .agg(sum(col("__mr2").cast("decimal(38,0)")).as("__r2"))
+    val r2d = col("__r2").cast("double")
+    val a = byCond.agg(
+      sum(r2d * r2d).as("__q4"))
+    val nD = col("n").cast("double")
+    val kD = col("__k").cast("double")
+    val den1 = nD * kD * (kD + 1)
+    val chi0 = lit(3.0) * col("__q4") / when(den1 > 0, den1) -
+      lit(3.0) * nD * (kD + 1)
+    val cDen = nD * kD * (kD * kD - 1)
+    val c = lit(1.0) - col("__tt").cast("double") / when(cDen > 0, cDen)
+    val ok = col("__k") >= 2 && col("n") > 0 && c > 0
+    val chi = when(ok, chi0 / when(c > 0, c))
+    a.crossJoin(nRow).crossJoin(broadcast(kRow)).crossJoin(ties)
+      .select(col("n"), col("__k").as("k"),
+        (col("__k") - 1L).as("dof"),
+        round(chi, 6).as("chi2"),
+        round(chi / when(nD * (kD - 1) > 0, nD * (kD - 1)), 6).as("w"))
+  }
+
+  /**
+   * Shared complete-block machinery of the within-subject family
+   * ([[friedmanTest]], [[pageTrend]]): collapse to (subject, condition)
+   * cells by exact integer SUM, keep only COMPLETE blocks (all k
+   * conditions present), and compute within-subject DOUBLED midranks
+   * (exact integers — the [[doubledMidranks]] identity per subject).
+   * Returns (cells (i, j, mr2), kRow (__k), nRow (n), tiesRow (__tt)).
+   * Scale shape: one cell aggregate, per-SUBJECT sequence windows
+   * (≤ k rows per key — never a global sort).
+   */
+  private def completeBlockRanks(df: DataFrame, subjectCol: String,
+      conditionCol: String, valueCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val x = col(valueCol).cast("long")
     val cells = df.filter(col(subjectCol).isNotNull &&
         col(conditionCol).isNotNull && x.isNotNull)
@@ -436,33 +473,226 @@ object Planners {
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = vt.withColumn("__prev",
       coalesce(sum(col("__t")).over(runW), lit(0L)))
-    val byCond = cc
+    val mm = cc
       .join(ranked.select(col("__i"), col("__s"),
         (lit(2) * col("__prev") + col("__t") + 1).as("__mr2")),
         Seq("__i", "__s"))
-      .groupBy(col("__j"))
-      .agg(sum(col("__mr2").cast("decimal(38,0)")).as("__r2"))
-    val r2d = col("__r2").cast("double")
-    val a = byCond.agg(
-      sum(r2d * r2d).as("__q4"))
+      .select(col("__i"), col("__j"), col("__mr2"))
     val nRow = complete.agg(count(lit(1)).as("n"))
     val ties = ranked.agg(
       coalesce(sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
         - col("__t")), lit(BigDecimal(0)).cast("decimal(38,0)")).as("__tt"))
+    (mm, kRow, nRow, ties)
+  }
+
+  /**
+   * Page's trend test (Page 1963) — the ORDERED alternative to
+   * [[friedmanTest]]: when the k conditions carry a hypothesized
+   * ordering (dose levels, time points — here the lexicographic
+   * condition order), L = Σⱼ cⱼ·Rⱼ weights each condition's rank-sum
+   * by its position, which is far more powerful against a monotone
+   * trend than Friedman's any-difference χ². z uses the classical
+   * no-tie moments E[L] = nk(k+1)²/4,
+   * Var[L] = nk²(k+1)²(k−1)/144 (the standard reporting convention —
+   * heavy ties inflate |z| slightly; [[friedmanTest]] carries the
+   * tie-corrected global test).
+   *
+   * L itself is EXACT (doubled midranks are integers, so 2L is an
+   * exact decimal — L lands on the ½ grid and ships raw, the dyadic
+   * no-round rule). Output: one row (n, k, l, z) — z 6 dp, null when
+   * k < 2, n = 0, or Var = 0.
+   *
+   * Scale shape: [[completeBlockRanks]] + one k-row condition-order
+   * window + one aggregate.
+   */
+  def pageTrend(df: DataFrame, subjectCol: String, conditionCol: String,
+      valueCol: String): DataFrame = {
+    val (mm, kRow, nRow, _) =
+      completeBlockRanks(df, subjectCol, conditionCol, valueCol)
+    val ordW = Window.orderBy(col("__j"))
+    val cOrder = mm.select(col("__j")).distinct()
+      .withColumn("__c", row_number().over(ordW).cast("long"))
+    val l2 = mm.join(cOrder, Seq("__j"))
+      .agg(coalesce(sum(col("__c").cast("decimal(38,0)") * col("__mr2")),
+        lit(BigDecimal(0)).cast("decimal(38,0)")).as("__l2"))
     val nD = col("n").cast("double")
     val kD = col("__k").cast("double")
-    val den1 = nD * kD * (kD + 1)
-    val chi0 = lit(3.0) * col("__q4") / when(den1 > 0, den1) -
-      lit(3.0) * nD * (kD + 1)
-    val cDen = nD * kD * (kD * kD - 1)
-    val c = lit(1.0) - col("__tt").cast("double") / when(cDen > 0, cDen)
-    val ok = col("__k") >= 2 && col("n") > 0 && c > 0
-    val chi = when(ok, chi0 / when(c > 0, c))
-    a.crossJoin(nRow).crossJoin(broadcast(kRow)).crossJoin(ties)
+    val lVal = col("__l2").cast("double") / 2
+    val eL = nD * kD * (kD + 1) * (kD + 1) / 4
+    val varL = nD * kD * kD * (kD + 1) * (kD + 1) * (kD - 1) / 144
+    l2.crossJoin(nRow).crossJoin(broadcast(kRow))
       .select(col("n"), col("__k").as("k"),
-        (col("__k") - 1L).as("dof"),
-        round(chi, 6).as("chi2"),
-        round(chi / when(nD * (kD - 1) > 0, nD * (kD - 1)), 6).as("w"))
+        when(col("n") > 0 && col("__k") >= 2, lVal).as("l"),
+        round(when(col("n") > 0 && col("__k") >= 2 && varL > 0,
+          (lVal - eL) / sqrt(varL)), 6).as("z"))
+  }
+
+  /**
+   * Two-way random-effects intraclass correlation ICC(2,1) (Shrout &
+   * Fleiss 1979) — absolute-agreement reliability of single ratings
+   * when every rater scores every subject: the CONTINUOUS-outcome
+   * reliability standard next to [[cohenKappa]] (categorical) and
+   * Krippendorff's α. From the two-way ANOVA decomposition over
+   * complete subject×rater blocks:
+   *   ICC(2,1) = (MSR − MSE) / (MSR + (k−1)·MSE + k·(MSC − MSE)/n)
+   * plus the subject-discrimination F = MSR/MSE. Duplicate
+   * observations per cell collapse by exact integer SUM (`valueCol`
+   * integral — the [[anovaF]] cents contract).
+   *
+   * Exactness: all sufficient sums (T, ΣX², ΣSᵢ², ΣRⱼ²) are exact
+   * integers (decimal(38,0)/HUGEINT); the SS terms are clamped
+   * quadratic forms and only the SCALE-FREE ICC/F are emitted (the
+   * anovaF emit-the-ratio rule — raw mean squares sit at cents²·n
+   * magnitude where fold noise beats any rounding grid).
+   *
+   * Output: one row (n, k, icc21, f), 6 dp — both null when n < 2 or
+   * k < 2; F additionally null when MSE = 0 (a perfectly additive
+   * table has no disagreement left to scale by), icc21 when its
+   * denominator degenerates.
+   *
+   * Scale shape: one cell aggregate, two key-grain aggregates
+   * (subject/rater sums), one-row arithmetic — no window, no
+   * row-grain join.
+   */
+  def iccTwoWay(df: DataFrame, subjectCol: String, raterCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val cells = df.filter(col(subjectCol).isNotNull &&
+        col(raterCol).isNotNull && x.isNotNull)
+      .groupBy(col(subjectCol).as("__i"), col(raterCol).as("__j"))
+      .agg(sum(x).as("__s"))
+    val kRow = cells.agg(countDistinct(col("__j")).as("__k"))
+    val complete = cells.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(kRow))
+      .filter(col("__c") === col("__k"))
+      .select(col("__i"))
+    val cc = cells.join(complete, Seq("__i"), "left_semi")
+    val tot = cc.agg(
+      coalesce(sum(col("__s")), lit(0L)).as("__t"),
+      coalesce(sum(col("__s").cast("decimal(38,0)") * col("__s")),
+        lit(BigDecimal(0)).cast("decimal(38,0)")).as("__ss"))
+    val bySubj = cc.groupBy(col("__i")).agg(sum(col("__s")).as("__si"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__si").cast("decimal(38,0)") * col("__si")),
+          lit(BigDecimal(0)).cast("decimal(38,0)")).as("__ssi"))
+    val byRater = cc.groupBy(col("__j")).agg(sum(col("__s")).as("__rj"))
+      .agg(coalesce(sum(col("__rj").cast("decimal(38,0)") * col("__rj")),
+        lit(BigDecimal(0)).cast("decimal(38,0)")).as("__srj"))
+    val nD = col("n").cast("double")
+    val kD = col("__k").cast("double")
+    val tD = col("__t").cast("double")
+    val nk = when(nD * kD > 0, nD * kD)
+    val corr = tD * tD / nk
+    val ssTot = greatest(col("__ss").cast("double") - corr, lit(0.0))
+    val ssR = greatest(col("__ssi").cast("double") / when(kD > 0, kD) - corr,
+      lit(0.0))
+    val ssC = greatest(col("__srj").cast("double") / when(nD > 0, nD) - corr,
+      lit(0.0))
+    val ssE = greatest(ssTot - ssR - ssC, lit(0.0))
+    val msr = ssR / when(nD - 1 > 0, nD - 1)
+    val msc = ssC / when(kD - 1 > 0, kD - 1)
+    val mse = ssE / when((nD - 1) * (kD - 1) > 0, (nD - 1) * (kD - 1))
+    val den = msr + (kD - 1) * mse + kD * (msc - mse) / when(nD > 0, nD)
+    val ok = col("n") >= 2 && col("__k") >= 2
+    bySubj.crossJoin(tot).crossJoin(broadcast(kRow)).crossJoin(byRater)
+      .select(col("n"), col("__k").as("k"),
+        round(when(ok && den > 0, (msr - mse) / when(den > 0, den)), 6)
+          .as("icc21"),
+        round(when(ok, msr / when(mse > 0, mse)), 6).as("f"))
+  }
+
+  /**
+   * Average precision (the ranking-eval AP / area under the PR curve
+   * in its right-step form — the convention sklearn's
+   * average_precision_score documents): walking thresholds DOWN the
+   * score axis, AP = Σ ΔRecall·Precision, with tied scores processed
+   * as one block (each block contributes its positives' recall mass at
+   * the block's inclusive precision). The rare-positive companion of
+   * [[aucDeLong]]: AUC rewards ranking negatives below positives
+   * anywhere; AP concentrates on the top of the list.
+   *
+   * Same scale shape as [[aucDeLong]]: distinct-score cells, one
+   * DESCENDING running window over the statistic-sized table, one
+   * aggregate — precisions are exact-integer ratios. Output: one row
+   * (n_pos, n_neg, ap), 6 dp — null when no positives.
+   */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val g = df.filter(col(scoreCol).isNotNull && y.isNotNull)
+      .select(col(scoreCol).cast("double").as("v"), y.as("__y"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("b"))
+    val run = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val w = g
+      .withColumn("ca", sum(col("a")).over(run))
+      .withColumn("cb", sum(col("b")).over(run))
+      .withColumn("n1", sum(col("a")).over(all))
+    // block precision at the inclusive cut — (ca + cb) ≥ 1 by
+    // construction, no zero divisor
+    val prec = col("ca").cast("double") / (col("ca") + col("cb"))
+    val agg = w.agg(
+      coalesce(max(col("n1")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("b")), lit(0L)).as("n_neg"),
+      sum(col("a") * prec).as("__s"))
+    agg.select(col("n_pos"), col("n_neg"),
+      round(col("__s") / when(col("n_pos") > 0, col("n_pos")), 6).as("ap"))
+  }
+
+  /**
+   * Bland–Altman agreement analysis (Bland & Altman 1986) between two
+   * paired measurements of the same quantity — the method-comparison
+   * standard that a correlation coefficient famously gets wrong
+   * (perfectly correlated methods can still disagree by a constant or
+   * proportional amount): bias = mean difference, limits of agreement
+   * = bias ± 1.96·sd(diff), plus the realized fraction of differences
+   * inside the limits (≈ 0.95 under normality — a cheap normality
+   * smell test). Both columns integral (cents — the [[anovaF]]
+   * contract), so differences and their squares are exact integers and
+   * bias/sd are deterministic doubles.
+   *
+   * Output: one row `(n, bias, sd_diff, loa_lo, loa_hi, coverage)`
+   * (6 dp) — sd/limits/coverage null when n < 2; zero spread collapses
+   * the limits onto the bias with coverage 1 (every difference equal).
+   *
+   * Scale shape: one exact-sums aggregate, then ONE more scan
+   * comparing each difference against the broadcast one-row limits —
+   * no window, no sort.
+   */
+  def blandAltman(df: DataFrame, m1Col: String,
+      m2Col: String): DataFrame = {
+    val d = col(m1Col).cast("long") - col(m2Col).cast("long")
+    val base = df.filter(col(m1Col).isNotNull && col(m2Col).isNotNull)
+      .select(d.as("__d"))
+    val s1 = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__d")), lit(0L)).as("__sd"),
+      coalesce(sum(col("__d").cast("decimal(38,0)") * col("__d")),
+        lit(BigDecimal(0)).cast("decimal(38,0)")).as("__ssd"))
+    val nD = when(col("n") > 0, col("n").cast("double"))
+    val sdD = col("__sd").cast("double")
+    val bias = sdD / nD
+    val varD = greatest(col("__ssd").cast("double") - sdD * sdD / nD,
+      lit(0.0)) / when(col("n") > 1, col("n") - 1)
+    val stats = s1.select(col("n"), bias.as("__bias"),
+      sqrt(varD).as("__sdd"))
+      .withColumn("__lo", col("__bias") - lit(1.96) * col("__sdd"))
+      .withColumn("__hi", col("__bias") + lit(1.96) * col("__sdd"))
+    val cov = base.crossJoin(broadcast(stats))
+      .agg(coalesce(sum(when(col("__d").cast("double") >= col("__lo") &&
+        col("__d").cast("double") <= col("__hi"), 1L).otherwise(0L)),
+        lit(0L)).as("__in"))
+    stats.crossJoin(cov).select(col("n"),
+      round(col("__bias"), 6).as("bias"),
+      round(col("__sdd"), 6).as("sd_diff"),
+      round(col("__lo"), 6).as("loa_lo"),
+      round(col("__hi"), 6).as("loa_hi"),
+      round(when(col("__sdd").isNotNull,
+        col("__in").cast("double") / when(col("n") > 0, col("n"))), 6)
+        .as("coverage"))
   }
 
   /**

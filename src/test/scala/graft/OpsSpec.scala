@@ -2795,4 +2795,26 @@ class OpsSpec extends SparkSpec {
     assert(graft.ops.Graph.degreeAssortativity(messy, "src", "dst")
       .head().getDouble(2) == -1.0)
   }
+
+  test("katz: hand-unrolled path walk counts; in-star hub; no outdeg splitting") {
+    // a -> b -> c, 2 iterations, alpha 0.1:
+    // x1 = (1, 1.1, 1.1); x2 = (1, 1.1, 1.11)
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = graft.ops.Graph.katz(path, "src", "dst", iterations = 2,
+        alpha = 0.1).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("a" -> 1.0, "b" -> 1.1, "c" -> 1.11))
+    // three leaves pointing at a hub: the hub gets the FULL score of
+    // each source (no PageRank vote-splitting): 1 + 0.1*3
+    val star = Seq(("l1", "h"), ("l2", "h"), ("l3", "h"))
+      .toDF("src", "dst")
+    val s = graft.ops.Graph.katz(star, "src", "dst", iterations = 1,
+        alpha = 0.1).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(s("h") == 1.3 && s("l1") == 1.0)
+    // zero iterations: everyone at beta
+    val z = graft.ops.Graph.katz(path, "src", "dst", iterations = 0)
+      .collect().map(_.getDouble(1)).toSet
+    assert(z == Set(1.0))
+  }
 }

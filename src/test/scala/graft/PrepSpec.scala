@@ -518,4 +518,97 @@ class PrepSpec extends SparkSpec {
     val mono = Seq((1L, 10L), (1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
     assert(Planners.kendallTauB(mono, "x", "y").head().getDouble(2) == 1.0)
   }
+
+  test("pageTrend: perfect order hits max L with z = 2; reversal flips the sign") {
+    import graft.stats.Planners
+    import spark.implicits._
+    // two subjects, both ranking a < b < c: L = 28 (the max),
+    // E = 24, Var = 4 -> z = 2
+    val up = Seq((1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "a", 1L), (2L, "b", 2L), (2L, "c", 3L))
+    val r = Planners.pageTrend(up.toDF("subj", "cond", "x"),
+      "subj", "cond", "x").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 28.0 && r.getDouble(3) == 2.0)
+    // reversed: L = 20 -> z = -2
+    val down = up.map { case (s, c, v) => (s, c, -v) }
+    val d = Planners.pageTrend(down.toDF("subj", "cond", "x"),
+      "subj", "cond", "x").head()
+    assert(d.getDouble(2) == 20.0 && d.getDouble(3) == -2.0)
+    // single condition: no ordering to test
+    val one = Seq((1L, "a", 1L), (2L, "a", 2L)).toDF("subj", "cond", "x")
+    assert(Planners.pageTrend(one, "subj", "cond", "x").head().get(3) == null)
+  }
+
+  test("iccTwoWay: hand-computed two-way decomposition; additive table has F null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    // s3 rater B perturbed: SSR=61/3 SSC=8/3 SSE=1/3
+    // -> MSR=61/6 MSE=1/6 den=12, icc = 10/12, F = 61
+    val rows = Seq((1L, "A", 1L), (1L, "B", 2L), (2L, "A", 3L),
+      (2L, "B", 4L), (3L, "A", 5L), (3L, "B", 7L))
+    val r = Planners.iccTwoWay(rows.toDF("subj", "rater", "x"),
+      "subj", "rater", "x").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 5.0 / 6) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 61.0) < 1e-4)
+    // perfectly additive (constant rater offset): MSE = 0 -> F null,
+    // ICC still defined (8/9)
+    val add = Seq((1L, "A", 1L), (1L, "B", 2L), (2L, "A", 3L),
+      (2L, "B", 4L), (3L, "A", 5L), (3L, "B", 6L))
+    val a = Planners.iccTwoWay(add.toDF("subj", "rater", "x"),
+      "subj", "rater", "x").head()
+    assert(a.get(3) == null)
+    assert(math.abs(a.getDouble(2) - 8.0 / 9) < 1e-6)
+    // incomplete subject drops: adding a half-rated subject 4 changes
+    // nothing
+    val inc = rows ++ Seq((4L, "A", 99L))
+    val i = Planners.iccTwoWay(inc.toDF("subj", "rater", "x"),
+      "subj", "rater", "x").head()
+    assert(i.getLong(0) == 3L && math.abs(i.getDouble(2) - 5.0 / 6) < 1e-6)
+  }
+
+  test("averagePrecision: right-step blocks, tie handling, no-positive null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // desc blocks: pos@5 (P=1), neg@4, pos@3 (P=2/3) -> AP = 5/6
+    val df = Seq((5.0, true), (4.0, false), (3.0, true)).toDF("s", "y")
+    val r = Planners.averagePrecision(df, "s", "y").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == r6(5.0 / 6))
+    // tied block: two positives and a negative at one score -> the
+    // block's inclusive precision 2/3 applies to both positives
+    val tied = Seq((2.0, true), (2.0, true), (2.0, false)).toDF("s", "y")
+    assert(Planners.averagePrecision(tied, "s", "y").head().getDouble(2) ==
+      r6(2.0 / 3))
+    // no positives: AP undefined
+    val neg = Seq((1.0, false), (2.0, false)).toDF("s", "y")
+    assert(Planners.averagePrecision(neg, "s", "y").head().get(2) == null)
+  }
+
+  test("blandAltman: hand bias/limits, full coverage, small-n nulls") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // d = (-2, 2, -2, 2): bias 0, var 16/3
+    val df = Seq((10L, 12L), (20L, 18L), (30L, 32L), (40L, 38L))
+      .toDF("m1", "m2")
+    val r = Planners.blandAltman(df, "m1", "m2").head()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.0)
+    val sd = math.sqrt(16.0 / 3)
+    assert(r.getDouble(2) == r6(sd))
+    assert(r.getDouble(3) == r6(0.0 - 1.96 * sd))
+    assert(r.getDouble(4) == r6(0.0 + 1.96 * sd))
+    assert(r.getDouble(5) == 1.0)
+    // an outlier difference falls outside the limits
+    val out = Seq.fill(20)((100L, 99L)) ++ Seq.fill(20)((100L, 101L)) ++
+      Seq((100L, 150L))
+    val o = Planners.blandAltman(out.toDF("m1", "m2"), "m1", "m2").head()
+    assert(o.getDouble(5) < 1.0)
+    // single pair: no spread to estimate
+    val one = Seq((10L, 12L)).toDF("m1", "m2")
+    val s1 = Planners.blandAltman(one, "m1", "m2").head()
+    assert(s1.getDouble(1) == -2.0 && s1.get(2) == null && s1.get(5) == null)
+  }
 }
