@@ -1061,6 +1061,99 @@ object Temporal {
   }
 
   /**
+   * Ljung–Box portmanteau test (Ljung & Box 1978) per key:
+   * Q = n(n+2)·Σ_{k=1..L} ρ̂ₖ²/(n−k) over the key's first L
+   * autocorrelations — "is this series white noise", the joint test a
+   * per-lag [[autocorrelation]] eyeball misses (many small ρ̂'s that
+   * are jointly damning). Q ≈ χ²(L) under independence; the standard
+   * residual-diagnostic after any [[ewma]]/[[holtSmooth]]/Theta fit.
+   *
+   * Rides directly on [[autocorrelation]]'s output — including its
+   * 6-dp-rounded ρ̂ₖ (reproducibility-first: the statistic is exactly
+   * replayable from the published ACFs; the rounding perturbs Q by
+   * ~1e-5·n, far inside any decision margin). Q is null when ANY of
+   * the L lags is undefined (zero-variance series) or unpopulated
+   * (series shorter than L+1) — counted explicitly, since SUM would
+   * silently skip the null terms.
+   *
+   * Output: one row per key — keys, `n` (series length), `lags`, `q`
+   * (6 dp). Scale shape: the autocorrelation shuffle + one key-grain
+   * aggregate.
+   */
+  def ljungBox(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, maxLag: Int,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val ac = autocorrelation(df, keys, tsCol, valueCol, maxLag, tiebreak)
+    val npS = when(col("n_pairs") > 0, col("n_pairs"))
+    val term = col("acf") * col("acf") / npS
+    val bad = when(col("acf").isNull || col("n_pairs") <= 0, 1L)
+      .otherwise(0L)
+    val g = ac.groupBy(keys.map(col): _*)
+      .agg(max(col("n_pairs") + col("lag")).as("n"),
+        count(lit(1)).as("lags"),
+        sum(term).as("__s"),
+        coalesce(sum(bad), lit(0L)).as("__bad"))
+    val nD = col("n").cast("double")
+    g.select(keys.map(col) ++ Seq(col("n"), col("lags"),
+      round(when(col("__bad") === 0 && col("n") > 0,
+        nD * (nD + 2) * col("__s")), 6).as("q")): _*)
+  }
+
+  /**
+   * Wald–Wolfowitz runs test per key: is the sequence of
+   * above/below-median signs RANDOM, or does it clump (momentum,
+   * regime persistence) or alternate (negative feedback, over-
+   * correction)? Counts the sign runs R over the key's time-ordered
+   * series (values AT the median drop — the standard dichotomization),
+   * then z-scores against the exact run-count moments
+   *   E[R] = 1 + 2·n₁n₀/n,  Var[R] = 2n₁n₀(2n₁n₀ − n)/(n²(n − 1)).
+   * The distribution-FREE cousin of [[durbinWatson]] (which measures
+   * linear lag-1 correlation; runs see any sign-pattern deviation).
+   *
+   * The per-key median is the exact `percentile` (dyadic half-integer
+   * on integral input — `valueCol` must be cents, the anovaF
+   * contract), so the above/below split is deterministic cross-engine.
+   * Output: one row per key — keys, `n_above`, `n_below`, `runs`, `z`
+   * (6 dp) — z null when either side is empty or Var ≤ 0.
+   *
+   * Scale shape: one key-grain median aggregate joined back (key
+   * grain), one per-key lag window, one aggregate — all on the same
+   * key partitioning.
+   */
+  def runsTest(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, tiebreak: Seq[String] = Nil): DataFrame = {
+    val kc = keys.map(col)
+    val x = col(valueCol).cast("long")
+    val base = df.filter(x.isNotNull).withColumn("__x", x)
+    val meds = base.groupBy(kc: _*)
+      .agg(expr(s"percentile(__x, 0.5)").as("__med"))
+    val ord = Window.partitionBy(kc: _*)
+      .orderBy(Seq(col(tsCol)) ++ tiebreak.map(col): _*)
+    val signed = base.join(meds, keys)
+      .filter(col("__x").cast("double") =!= col("__med"))
+      .withColumn("__up", col("__x").cast("double") > col("__med"))
+      .withColumn("__flip",
+        when(lag(col("__up"), 1).over(ord).isNull ||
+          lag(col("__up"), 1).over(ord) =!= col("__up"), 1L).otherwise(0L))
+    val g = signed.groupBy(kc: _*)
+      .agg(coalesce(sum(when(col("__up"), 1L).otherwise(0L)), lit(0L))
+          .as("n_above"),
+        coalesce(sum(when(!col("__up"), 1L).otherwise(0L)), lit(0L))
+          .as("n_below"),
+        coalesce(sum(col("__flip")), lit(0L)).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n0 = col("n_below").cast("double")
+    val n = n1 + n0
+    val nS = when(n > 0, n)
+    val e = lit(1.0) + lit(2.0) * n1 * n0 / nS
+    val varR = lit(2.0) * n1 * n0 * (lit(2.0) * n1 * n0 - n) /
+      (n * n * when(n - 1 > 0, n - 1))
+    g.select(kc ++ Seq(col("n_above"), col("n_below"), col("runs"),
+      round(when(col("n_above") > 0 && col("n_below") > 0 && varR > 0,
+        (col("runs") - e) / sqrt(varR)), 6).as("z")): _*)
+  }
+
+  /**
    * Mean-shift changepoint scan: at each boundary, compare the `w`
    * points immediately before against the `w` starting at the point;
    * score = |Δmean| / pooled sample std. Only boundaries with BOTH

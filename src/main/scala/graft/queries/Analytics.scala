@@ -767,6 +767,114 @@ object Analytics extends QueryGroup {
              |    THEN ssb / (ssb + ssw) END, 6) AS eta_sq
              |FROM b""".stripMargin)),
 
+    // Mood's median test across all five families — the robust
+    // k-sample location screen (above/below the grand median, exact
+    // percentile, at-median rows drop).
+    QueryDef("q_mood_median",
+      (s, dir) => Planners.moodMedianTest(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "cents", "event_type"),
+      Some("""WITH b AS (SELECT event_type AS gr,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |md AS (SELECT median(x) AS med FROM b),
+             |g AS (SELECT gr,
+             |    CAST(SUM(CASE WHEN CAST(x AS DOUBLE) > med THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS av,
+             |    CAST(SUM(CASE WHEN CAST(x AS DOUBLE) < med THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS bv
+             |  FROM b, md WHERE CAST(x AS DOUBLE) <> med GROUP BY 1),
+             |w AS (SELECT gr, av, bv,
+             |    SUM(av) OVER () AS ta, SUM(bv) OVER () AS tb FROM g),
+             |c AS (SELECT gr, av, bv, ta, tb,
+             |    CAST(ta + tb AS BIGINT) AS n,
+             |    CAST(av + bv AS DOUBLE) * ta / CAST(ta + tb AS DOUBLE) AS ea,
+             |    CAST(av + bv AS DOUBLE) * tb / CAST(ta + tb AS DOUBLE) AS eb
+             |  FROM w),
+             |c2 AS (SELECT gr, ta, tb, n,
+             |    (av - ea) * (av - ea) / ea + (bv - eb) * (bv - eb) / eb
+             |      AS contrib
+             |  FROM c)
+             |SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n,
+             |  CAST(COUNT(*) AS BIGINT) AS k,
+             |  CASE WHEN COUNT(*) >= 2 THEN CAST(COUNT(*) - 1 AS BIGINT) END
+             |    AS dof,
+             |  ROUND(CASE WHEN COUNT(*) >= 2 AND MAX(ta) > 0 AND MAX(tb) > 0
+             |    THEN SUM(contrib) END, 6) AS chi2
+             |FROM c2""".stripMargin)),
+
+    // Two-sample energy distance between click and view cents — the
+    // omnibus alternative-anything test next to KS/CvM; exact integer
+    // pair-sums via the sorted-grid prefix identity, never an n² join.
+    QueryDef("q_energy_distance",
+      (s, dir) => Planners.energyDistance(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "cents", "event_type", "click", "view"),
+      Some("""WITH g0 AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS v,
+             |    event_type = 'click' AS isa
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |    AND value IS NOT NULL),
+             |d AS (SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS cb
+             |  FROM g0 GROUP BY 1),
+             |w AS (SELECT v, ca, cb,
+             |    COALESCE(SUM(ca) OVER pre, 0) AS pca,
+             |    COALESCE(SUM(cb) OVER pre, 0) AS pcb,
+             |    COALESCE(SUM(CAST(v AS HUGEINT) * ca) OVER pre, 0) AS psa,
+             |    COALESCE(SUM(CAST(v AS HUGEINT) * cb) OVER pre, 0) AS psb
+             |  FROM d WINDOW pre AS (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |a AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+             |    CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b,
+             |    COALESCE(SUM(CAST(ca AS HUGEINT) *
+             |      (CAST(v AS HUGEINT) * pca - psa)), 0) AS sxx,
+             |    COALESCE(SUM(CAST(cb AS HUGEINT) *
+             |      (CAST(v AS HUGEINT) * pcb - psb)), 0) AS syy,
+             |    COALESCE(SUM(CAST(ca AS HUGEINT) *
+             |        (CAST(v AS HUGEINT) * pcb - psb)
+             |      + CAST(cb AS HUGEINT) *
+             |        (CAST(v AS HUGEINT) * pca - psa)), 0) AS sxy
+             |  FROM w),
+             |f AS (SELECT n_a, n_b,
+             |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+             |      CAST(sxy AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) END AS exy,
+             |    CASE WHEN n_a > 0 THEN
+             |      2.0 * CAST(sxx AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a) END AS exx,
+             |    CASE WHEN n_b > 0 THEN
+             |      2.0 * CAST(syy AS DOUBLE) / (CAST(n_b AS DOUBLE) * n_b) END AS eyy
+             |  FROM a)
+             |SELECT n_a, n_b, ROUND(exy, 6) AS e_xy, ROUND(exx, 6) AS e_xx,
+             |  ROUND(eyy, 6) AS e_yy,
+             |  ROUND(2.0 * exy - exx - eyy, 6) AS dist,
+             |  ROUND(CAST(n_a AS DOUBLE) * n_b / (CAST(n_a AS DOUBLE) + n_b)
+             |    * (2.0 * exy - exx - eyy), 6) AS t
+             |FROM f""".stripMargin)),
+
+    // Grubbs' most-extreme-point statistic over all event cents — one
+    // aggregate pass (max|x - mean| = max(max-mean, mean-min)).
+    QueryDef("q_grubbs",
+      (s, dir) => Planners.grubbs(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        "cents"),
+      Some("""WITH b AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(COALESCE(SUM(x), 0) AS BIGINT) AS s,
+             |    COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS ss,
+             |    MAX(x) AS mx, MIN(x) AS mn FROM b),
+             |f AS (SELECT n, mx, mn,
+             |    CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / n END AS mean,
+             |    CASE WHEN n > 1 THEN
+             |      SQRT(GREATEST(CAST(ss AS DOUBLE)
+             |        - CAST(s AS DOUBLE) * s / n, 0.0) / (n - 1)) END AS sd
+             |  FROM a)
+             |SELECT n, ROUND(mean, 6) AS mean, ROUND(sd, 6) AS sd,
+             |  ROUND(CASE WHEN n >= 3 AND sd > 0
+             |    THEN GREATEST(mx - mean, mean - mn) / sd END, 6) AS g,
+             |  CASE WHEN mx - mean >= mean - mn THEN mx ELSE mn END
+             |    AS extreme_value
+             |FROM f""".stripMargin)),
+
     // Two-sample Cramér–von Mises between the same two families —
     // the integrated-ECDF-gap companion of q_ks_test (sees distributed
     // small shifts KS under-weights); exact-integer ECDF ratios.

@@ -765,6 +765,85 @@ object TemporalQ extends QueryGroup {
              |         ELSE (sl[m//2] + sl[m//2+1])/2.0 END END, 6) AS sen_slope
              |FROM f""".stripMargin)),
 
+    // Ljung–Box portmanteau per user over the first 3 ACFs — "is this
+    // series white noise" as ONE χ²-style number; replayable from the
+    // published 6-dp ACFs by construction.
+    QueryDef("q_ljung_box",
+      (s, dir) => Temporal.ljungBox(
+        Tables.load(s, dir, "events").filter(col("value").isNotNull),
+        Seq("user_id"), "ts", "value", maxLag = 3,
+        tiebreak = Seq("event_id")),
+      Some("""WITH e0 AS (SELECT user_id, ts, event_id, value
+             |  FROM events WHERE value IS NOT NULL),
+             |d AS (SELECT user_id, ts, event_id,
+             |    value - AVG(value) OVER (PARTITION BY user_id) AS dv
+             |  FROM e0),
+             |l AS (SELECT user_id, dv,
+             |    LEAD(dv, 1) OVER w AS l1, LEAD(dv, 2) OVER w AS l2,
+             |    LEAD(dv, 3) OVER w AS l3
+             |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |a AS (SELECT user_id, SUM(dv*dv) AS ss,
+             |    SUM(dv*l1) AS s1, COUNT(l1) AS p1,
+             |    SUM(dv*l2) AS s2, COUNT(l2) AS p2,
+             |    SUM(dv*l3) AS s3, COUNT(l3) AS p3
+             |  FROM l GROUP BY 1),
+             |r AS (SELECT user_id, CAST(1 AS BIGINT) AS lag,
+             |    CAST(p1 AS BIGINT) AS n_pairs,
+             |    CASE WHEN ss > 0 THEN ROUND(s1/ss, 6) END AS acf FROM a
+             |  UNION ALL SELECT user_id, 2, p2,
+             |    CASE WHEN ss > 0 THEN ROUND(s2/ss, 6) END FROM a
+             |  UNION ALL SELECT user_id, 3, p3,
+             |    CASE WHEN ss > 0 THEN ROUND(s3/ss, 6) END FROM a),
+             |g AS (SELECT user_id,
+             |    CAST(MAX(n_pairs + lag) AS BIGINT) AS n,
+             |    CAST(COUNT(*) AS BIGINT) AS lags,
+             |    SUM(CASE WHEN acf IS NOT NULL AND n_pairs > 0
+             |      THEN acf * acf / n_pairs END) AS s,
+             |    CAST(COALESCE(SUM(CASE WHEN acf IS NULL OR n_pairs <= 0
+             |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad
+             |  FROM r GROUP BY 1)
+             |SELECT user_id, n, lags,
+             |  ROUND(CASE WHEN bad = 0 AND n > 0
+             |    THEN CAST(n AS DOUBLE) * (n + 2) * s END, 6) AS q
+             |FROM g""".stripMargin)),
+
+    // Wald–Wolfowitz runs test per user: does the above/below-median
+    // sign sequence clump or alternate beyond chance; exact per-key
+    // median split, run-count z from the classical moments.
+    QueryDef("q_runs_test",
+      (s, dir) => Temporal.runsTest(Tables.load(s, dir, "events")
+          .withColumn("cents", round(col("value") * 100).cast("long")),
+        Seq("user_id"), "ts", "cents", tiebreak = Seq("event_id")),
+      Some("""WITH b AS (SELECT user_id, ts, event_id,
+             |    CAST(ROUND(value * 100) AS BIGINT) AS x
+             |  FROM events WHERE value IS NOT NULL),
+             |md AS (SELECT user_id, median(x) AS med FROM b GROUP BY 1),
+             |s AS (SELECT b.user_id, b.ts, b.event_id,
+             |    (CAST(x AS DOUBLE) > med) AS up
+             |  FROM b JOIN md ON b.user_id = md.user_id
+             |  WHERE CAST(x AS DOUBLE) <> med),
+             |f AS (SELECT user_id, up,
+             |    CASE WHEN LAG(up) OVER w IS NULL OR LAG(up) OVER w <> up
+             |      THEN 1 ELSE 0 END AS flip
+             |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (SELECT user_id,
+             |    CAST(COALESCE(SUM(CASE WHEN up THEN 1 ELSE 0 END), 0)
+             |      AS BIGINT) AS n_above,
+             |    CAST(COALESCE(SUM(CASE WHEN NOT up THEN 1 ELSE 0 END), 0)
+             |      AS BIGINT) AS n_below,
+             |    CAST(COALESCE(SUM(flip), 0) AS BIGINT) AS runs
+             |  FROM f GROUP BY 1),
+             |h AS (SELECT user_id, n_above, n_below, runs,
+             |    CAST(n_above AS DOUBLE) + n_below AS nd FROM g),
+             |h2 AS (SELECT *,
+             |    2.0 * n_above * n_below * (2.0 * n_above * n_below - nd) /
+             |      (nd * nd * (nd - 1)) AS vr FROM h)
+             |SELECT user_id, n_above, n_below, runs,
+             |  ROUND(CASE WHEN n_above > 0 AND n_below > 0 AND vr > 0
+             |    THEN (runs - (1.0 + 2.0 * n_above * n_below / nd)) / SQRT(vr)
+             |  END, 6) AS z
+             |FROM h2""".stripMargin)),
+
     // Durbin–Watson serial-correlation statistic per user over the full
     // cents series: successive differences cancel the mean exactly
     // (integer numerator), denominator is the clamped quadratic form —

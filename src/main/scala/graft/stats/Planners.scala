@@ -696,6 +696,160 @@ object Planners {
   }
 
   /**
+   * Mood's median test (Mood 1950) across k groups — "do the groups
+   * share a common median": counts above/below the GRAND median per
+   * group and chi-squares the k×2 contingency. The crude-but-robust
+   * k-sample location screen next to [[kruskalWallis]] (which uses
+   * full rank information — Mood survives arbitrary outliers and
+   * ordinal data where even ranks are shaky). Values AT the grand
+   * median drop (the standard dichotomization); `valueCol` must be
+   * integral (cents — the [[anovaF]] contract) so the exact-percentile
+   * median and the above/below split are deterministic cross-engine.
+   *
+   * Output: one row (n, k, dof, chi2), 6 dp — n = rows surviving the
+   * median drop, k = groups with survivors, dof = k−1; chi2 null when
+   * k < 2 or either margin is empty (no contrast to test).
+   *
+   * Scale shape: one global exact-percentile aggregate (broadcast
+   * one-row), one group-grain conditional aggregate, k-row arithmetic.
+   */
+  def moodMedianTest(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val base = df.filter(x.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+    val med = base.agg(expr("percentile(__x, 0.5)").as("__med"))
+    val g = base.crossJoin(broadcast(med))
+      .filter(col("__x").cast("double") =!= col("__med"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__x").cast("double") > col("__med"), 1L)
+          .otherwise(0L)).as("__a"),
+        sum(when(col("__x").cast("double") < col("__med"), 1L)
+          .otherwise(0L)).as("__b"))
+    val all = Window.partitionBy(lit(1))
+    val ta = sum(col("__a")).over(all)
+    val tb = sum(col("__b")).over(all)
+    val n = ta + tb
+    val rowT = col("__a") + col("__b")
+    val nS = when(n > 0, n.cast("double"))
+    val ea = rowT.cast("double") * ta / nS
+    val eb = rowT.cast("double") * tb / nS
+    val eaS = when(ea > 0, ea)
+    val ebS = when(eb > 0, eb)
+    val contrib = (col("__a") - ea) * (col("__a") - ea) / eaS +
+      (col("__b") - eb) * (col("__b") - eb) / ebS
+    val w = g.select(col("__g"), contrib.as("__c"), ta.as("__ta"),
+      tb.as("__tb"), n.as("__n"))
+    w.agg(
+      coalesce(max(col("__n")), lit(0L)).as("n"),
+      count(lit(1)).as("k"),
+      when(count(lit(1)) >= 2, count(lit(1)) - 1L).as("dof"),
+      round(when(count(lit(1)) >= 2 && max(col("__ta")) > 0 &&
+        max(col("__tb")) > 0, sum(col("__c"))), 6).as("chi2"))
+  }
+
+  /**
+   * Two-sample energy distance (Székely & Rizzo 2004) between the
+   * `valueCol` distributions of two groups:
+   *   D = 2·E|X−Y| − E|X−X'| − E|Y−Y'|  (≥ 0, = 0 iff same
+   * distribution), plus the test statistic T = (nm/(n+m))·D. The
+   * OMNIBUS two-sample test completing the family: [[ksTest]] sees the
+   * worst CDF gap, [[cramerVonMises]] integrates the gaps, energy
+   * distance is consistent against EVERY alternative (location, scale,
+   * shape, tails) with a single number in the data's units.
+   *
+   * Exactness: `valueCol` must be integral (cents); each expected
+   * absolute difference is an EXACT integer pair-sum (the sorted-grid
+   * identity Σᵢ<ⱼ(vⱼ−vᵢ)cᵢcⱼ = Σⱼ cⱼ(vⱼ·C₍<ⱼ₎ − S₍<ⱼ₎) over running
+   * count/sum prefixes, accumulated in decimal(38,0)/HUGEINT) divided
+   * once — so D is deterministic cross-engine, no n² pair join ever
+   * materializes.
+   *
+   * Output: one row (n_a, n_b, e_xy, e_xx, e_yy, dist, t), 6 dp, in
+   * `valueCol` units — null when either group is empty. Scale shape:
+   * the [[ksTest]] scan — distinct-value cells, ONE ordered running
+   * window over the statistic-sized table, one aggregate.
+   */
+  def energyDistance(df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val g = df.filter(col(groupCol).isin(groupA, groupB) && x.isNotNull)
+      .select(x.as("v"), (col(groupCol) === groupA).as("isa"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+    val run = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val zero = lit(BigDecimal(0)).cast("decimal(38,0)")
+    val w = g
+      .withColumn("pca", coalesce(sum(col("ca")).over(run), lit(0L)))
+      .withColumn("pcb", coalesce(sum(col("cb")).over(run), lit(0L)))
+      .withColumn("psa",
+        coalesce(sum(dec(col("v")) * col("ca")).over(run), zero))
+      .withColumn("psb",
+        coalesce(sum(dec(col("v")) * col("cb")).over(run), zero))
+    val sxx = sum(dec(col("ca")) * (dec(col("v")) * col("pca") - col("psa")))
+    val syy = sum(dec(col("cb")) * (dec(col("v")) * col("pcb") - col("psb")))
+    val sxy = sum(dec(col("ca")) * (dec(col("v")) * col("pcb") - col("psb"))
+      + dec(col("cb")) * (dec(col("v")) * col("pca") - col("psa")))
+    val a = w.agg(
+      coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb")), lit(0L)).as("n_b"),
+      coalesce(sxx, zero).as("__sxx"),
+      coalesce(syy, zero).as("__syy"),
+      coalesce(sxy, zero).as("__sxy"))
+    val naD = when(col("n_a") > 0, col("n_a").cast("double"))
+    val nbD = when(col("n_b") > 0, col("n_b").cast("double"))
+    val exy = col("__sxy").cast("double") / (naD * nbD)
+    val exx = lit(2.0) * col("__sxx").cast("double") / (naD * naD)
+    val eyy = lit(2.0) * col("__syy").cast("double") / (nbD * nbD)
+    val dist = lit(2.0) * exy - exx - eyy
+    a.select(col("n_a"), col("n_b"),
+      round(exy, 6).as("e_xy"), round(exx, 6).as("e_xx"),
+      round(eyy, 6).as("e_yy"), round(dist, 6).as("dist"),
+      round(naD * nbD / (naD + nbD) * dist, 6).as("t"))
+  }
+
+  /**
+   * Grubbs' outlier statistic (Grubbs 1950): G = max|xᵢ − x̄|/s, with
+   * the extreme value that produced it — "is the single most extreme
+   * point consistent with the rest", the formal cousin of the B5
+   * outlier CLIP (which removes by a fixed σ-multiple; Grubbs grades
+   * the worst point against the caller's critical value, the
+   * [[welchT]] convention). max|x − x̄| = max(max−x̄, x̄−min), so ONE
+   * aggregate pass suffices — no second scan, no sort. `valueCol`
+   * integral (cents): sums exact, G scale-free.
+   *
+   * Output: one row (n, mean, sd, g, extreme_value), mean/sd/g 6 dp —
+   * g null when n < 3 (Grubbs is undefined) or sd = 0.
+   */
+  def grubbs(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val a = df.filter(x.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(x), lit(0L)).as("__s"),
+        coalesce(sum(x.cast("decimal(38,0)") * x),
+          lit(BigDecimal(0)).cast("decimal(38,0)")).as("__ss"),
+        max(x).as("__mx"), min(x).as("__mn"))
+    val nD = when(col("n") > 0, col("n").cast("double"))
+    val sD = col("__s").cast("double")
+    val mean = sD / nD
+    val varS = greatest(col("__ss").cast("double") - sD * sD / nD,
+      lit(0.0)) / when(col("n") > 1, col("n") - 1)
+    val sd = sqrt(varS)
+    val devHi = col("__mx") - mean
+    val devLo = mean - col("__mn")
+    val ok = col("n") >= 3 && sd > 0
+    a.select(col("n"),
+      round(mean, 6).as("mean"), round(sd, 6).as("sd"),
+      round(when(ok, greatest(devHi, devLo) / when(sd > 0, sd)), 6)
+        .as("g"),
+      when(devHi >= devLo, col("__mx")).otherwise(col("__mn"))
+        .as("extreme_value"))
+  }
+
+  /**
    * Kendall's τ-b rank correlation (Kendall 1945, the tie-adjusted
    * form) between two INTEGRAL columns — the concordance twin of
    * [[spearman]]: driven entirely by pair ORDER agreement, so it is

@@ -611,4 +611,65 @@ class PrepSpec extends SparkSpec {
     val s1 = Planners.blandAltman(one, "m1", "m2").head()
     assert(s1.getDouble(1) == -2.0 && s1.get(2) == null && s1.get(5) == null)
   }
+
+  test("moodMedianTest: perfect separation gives chi2 = n; identical groups 0; k < 2 null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    // a strictly below the grand median, b strictly above -> chi2 = n
+    val sep = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (7L, "b"), (8L, "b"), (9L, "b")).toDF("x", "grp")
+    val r = Planners.moodMedianTest(sep, "x", "grp").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 6.0)
+    // identical groups: every expected cell met exactly
+    val same = Seq((1L, "a"), (9L, "a"), (1L, "b"), (9L, "b"))
+      .toDF("x", "grp")
+    assert(Planners.moodMedianTest(same, "x", "grp").head().getDouble(3) == 0.0)
+    // one group: nothing to contrast
+    val one = Seq((1L, "a"), (2L, "a"), (9L, "a")).toDF("x", "grp")
+    assert(Planners.moodMedianTest(one, "x", "grp").head().get(3) == null)
+  }
+
+  test("energyDistance: hand pair-sums; identical samples 0; empty side null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    // X = {0,2}, Y = {1,3}: E|XY| = 1.5, E|XX| = E|YY| = 1 -> D = 1
+    val df = Seq((0L, "a"), (2L, "a"), (1L, "b"), (3L, "b"))
+      .toDF("x", "grp")
+    val r = Planners.energyDistance(df, "x", "grp", "a", "b").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0)
+    // same distribution (with ties): D exactly 0
+    val same = Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b"))
+      .toDF("x", "grp")
+    assert(Planners.energyDistance(same, "x", "grp", "a", "b")
+      .head().getDouble(5) == 0.0)
+    // empty B: undefined
+    val one = Seq((1L, "a")).toDF("x", "grp")
+    assert(Planners.energyDistance(one, "x", "grp", "a", "b")
+      .head().get(5) == null)
+  }
+
+  test("grubbs: max-deviation side, hand G, short input null") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // {10,12,14,30}: mean 16.5, var 251/3, extreme = 30 (13.5 above)
+    val df = Seq(10L, 12L, 14L, 30L).map(Tuple1(_)).toDF("x")
+    val r = Planners.grubbs(df, "x").head()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 16.5)
+    val sd = math.sqrt(251.0 / 3)
+    assert(r.getDouble(2) == r6(sd))
+    assert(r.getDouble(3) == r6(13.5 / sd))
+    assert(r.getLong(4) == 30L)
+    // low-side extreme wins when it deviates more
+    val lo = Planners.grubbs(Seq(1L, 20L, 21L, 22L).map(Tuple1(_)).toDF("x"),
+      "x").head()
+    assert(lo.getLong(4) == 1L)
+    // n < 3: statistic undefined
+    assert(Planners.grubbs(Seq(1L, 2L).map(Tuple1(_)).toDF("x"), "x")
+      .head().get(3) == null)
+  }
 }

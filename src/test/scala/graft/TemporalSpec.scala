@@ -825,4 +825,62 @@ class TemporalSpec extends SparkSpec {
       tiebreak = Seq("event_id"), minN = 8).head()
     assert(a.getDouble(2) > 2.0)
   }
+
+  test("ljungBox: equals the fold over published ACFs; momentum beats noise; degenerate nulls") {
+    import spark.implicits._
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")
+    val trend = (1 to 12).map(i => (1L, ts(i), i.toLong, i * 10.0))
+    val zig = (1 to 12).map(i =>
+      (2L, ts(i), (100 + i).toLong, if (i % 2 == 0) 10.0 else 20.0))
+    val const = (1 to 12).map(i => (3L, ts(i), (200 + i).toLong, 5.0))
+    val short = (1 to 3).map(i => (4L, ts(i), (300 + i).toLong, i * 1.0))
+    val df = (trend ++ zig ++ const ++ short)
+      .toDF("user_id", "ts", "event_id", "value")
+    val lb = Temporal.ljungBox(df, Seq("user_id"), "ts", "value",
+        maxLag = 3, tiebreak = Seq("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.get(3)))).toMap
+    // consistency: Q re-folds from the autocorrelation op's own rows
+    val ac = Temporal.autocorrelation(df.filter(col("user_id") === 1L),
+        Seq("user_id"), "ts", "value", maxLag = 3,
+        tiebreak = Seq("event_id")).collect()
+    val n = ac.map(r => r.getLong(2) + r.getLong(1)).max.toDouble
+    val s = ac.map(r => r.getDouble(3) * r.getDouble(3) / r.getLong(2)).sum
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    assert(lb(1L)._1 == 12L && lb(1L)._2 == 3L)
+    assert(lb(1L)._3 == r6(n * (n + 2) * s))
+    // a monotone trend is far less white than an alternation of equal
+    // magnitude is... both reject, but trend's lag-2/3 ACFs keep it high
+    assert(lb(1L)._3.asInstanceOf[Double] > 0)
+    assert(lb(2L)._3.asInstanceOf[Double] > 0)
+    // constant series: undefined ACFs -> null
+    assert(lb(3L)._3 == null)
+    // series shorter than maxLag + 1: an unpopulated lag -> null
+    assert(lb(4L)._3 == null)
+  }
+
+  test("runsTest: alternation and clumping z-scores; at-median drop; degenerate keys absent") {
+    import spark.implicits._
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // u1 alternates around the median: runs = 6, E = 4, Var = 1.2
+    val u1 = Seq(1L, 9L, 2L, 8L, 3L, 7L).zipWithIndex
+      .map { case (v, i) => (1L, ts(i + 1), (i + 1).toLong, v) }
+    // u2 clumps (all below, then all above) with an at-median 5 kept
+    // out of the sequence: runs = 2
+    val u2 = Seq(1L, 2L, 3L, 5L, 7L, 8L, 9L).zipWithIndex
+      .map { case (v, i) => (2L, ts(i + 1), (100 + i).toLong, v) }
+    // u3 constant: every value at the median -> no surviving rows
+    val u3 = (1 to 5).map(i => (3L, ts(i), (200 + i).toLong, 4L))
+    val df = (u1 ++ u2 ++ u3).toDF("user_id", "ts", "event_id", "cents")
+    val out = Temporal.runsTest(df, Seq("user_id"), "ts", "cents",
+        tiebreak = Seq("event_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.get(4)))).toMap
+    val z0 = 2.0 / math.sqrt(1.2)
+    assert(out(1L)._1 == 3L && out(1L)._2 == 3L && out(1L)._3 == 6L)
+    assert(out(1L)._4 == r6(z0))
+    assert(out(2L)._3 == 2L && out(2L)._4 == r6(-z0))
+    assert(!out.contains(3L), "all-at-median key has no sequence to test")
+  }
 }
