@@ -767,6 +767,127 @@ object Analytics extends QueryGroup {
              |    THEN ssb / (ssb + ssw) END, 6) AS eta_sq
              |FROM b""".stripMargin)),
 
+    // Two-sample Poisson rate-ratio z between even/odd user cohorts:
+    // high-value events per event of exposure — the unbounded-count
+    // companion of q_proportion_z.
+    QueryDef("q_poisson_rate",
+      (s, dir) => Planners.poissonRateTest(
+        Tables.load(s, dir, "events").filter(col("value").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("value") > 500, 1L).otherwise(0L)).as("ev"),
+            count(lit(1)).as("ex"))
+          .withColumn("grp", when(pmod(col("user_id"), lit(2)) === 0, "a")
+            .otherwise("b")),
+        "ev", "ex", "grp", "a", "b"),
+      Some("""WITH u AS (SELECT user_id,
+             |    SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END) AS ev,
+             |    COUNT(*) AS ex,
+             |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |a AS (SELECT
+             |    CAST(COALESCE(SUM(CASE WHEN grp = 'a' THEN ev ELSE 0 END), 0)
+             |      AS BIGINT) AS events_a,
+             |    CAST(COALESCE(SUM(CASE WHEN grp <> 'a' THEN ev ELSE 0 END), 0)
+             |      AS BIGINT) AS events_b,
+             |    CAST(COALESCE(SUM(CASE WHEN grp = 'a' THEN ex ELSE 0 END), 0)
+             |      AS BIGINT) AS exposure_a,
+             |    CAST(COALESCE(SUM(CASE WHEN grp <> 'a' THEN ex ELSE 0 END), 0)
+             |      AS BIGINT) AS exposure_b
+             |  FROM u),
+             |f AS (SELECT *,
+             |    CASE WHEN exposure_a > 0
+             |      THEN CAST(events_a AS DOUBLE) / exposure_a END AS r1,
+             |    CASE WHEN exposure_b > 0
+             |      THEN CAST(events_b AS DOUBLE) / exposure_b END AS r2
+             |  FROM a),
+             |f2 AS (SELECT *,
+             |    CASE WHEN events_a > 0 AND events_b > 0 AND r2 > 0
+             |      THEN r1 / r2 END AS ratio FROM f)
+             |SELECT events_a, events_b, exposure_a, exposure_b,
+             |  ROUND(r1, 6) AS rate_a, ROUND(r2, 6) AS rate_b,
+             |  ROUND(ratio, 6) AS ratio,
+             |  ROUND(LN(ratio) / SQRT(1.0 / events_a + 1.0 / events_b), 6)
+             |    AS z
+             |FROM f2""".stripMargin)),
+
+    // Fleiss' kappa over each user's first four events as four
+    // "ratings" of the event-type category — the multi-rater agreement
+    // readout next to cohen_kappa/krippendorff; exact HUGEINT squares.
+    QueryDef("q_fleiss_kappa",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Planners.fleissKappa(
+          Tables.load(s, dir, "events")
+            .filter(col("event_type").isNotNull)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 4)
+            .select(col("user_id"), col("event_type")),
+          "user_id", "event_type", ratersPerSubject = 4)
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events WHERE event_type IS NOT NULL),
+             |rt AS (SELECT user_id, event_type FROM r WHERE rn <= 4),
+             |cells AS (SELECT user_id AS i, event_type AS j, COUNT(*) AS c
+             |  FROM rt GROUP BY 1, 2),
+             |ps AS (SELECT i, SUM(c) AS tot,
+             |    SUM(CAST(c AS HUGEINT) * c) AS c2 FROM cells GROUP BY 1),
+             |keep AS (SELECT i, c2 FROM ps WHERE tot = 4),
+             |bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             |    COALESCE(SUM(c2), 0) AS sc2 FROM keep),
+             |bc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+             |    COALESCE(SUM(CAST(cj AS HUGEINT) * cj), 0) AS scj2
+             |  FROM (SELECT cells.j, SUM(cells.c) AS cj FROM cells
+             |    JOIN keep ON cells.i = keep.i GROUP BY 1)),
+             |f AS (SELECT n_subjects, n_categories,
+             |    (CAST(sc2 AS DOUBLE) - CAST(n_subjects AS DOUBLE) * 4.0) /
+             |      (CAST(n_subjects AS DOUBLE) * 4.0 * (4.0 - 1)) AS p_bar,
+             |    CAST(scj2 AS DOUBLE) /
+             |      (CAST(n_subjects AS DOUBLE) * 4.0 *
+             |       (CAST(n_subjects AS DOUBLE) * 4.0)) AS p_e
+             |  FROM bs, bc)
+             |SELECT n_subjects, n_categories,
+             |  ROUND(p_bar, 6) AS p_bar, ROUND(p_e, 6) AS p_e,
+             |  ROUND(CASE WHEN 1.0 - p_e > 0
+             |    THEN (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
+             |FROM f""".stripMargin)),
+
+    // Chapman capture–recapture over two deterministic document
+    // samples (doc_id % 2 vs % 3): how big is the hidden population
+    // given two independent partial passes — the dedup-coverage
+    // estimator.
+    QueryDef("q_chapman",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Planners.chapmanEstimate(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id"),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"))
+      },
+      Some("""WITH s1 AS (SELECT DISTINCT doc_id AS id FROM documents
+             |  WHERE doc_id % 2 = 0 AND doc_id IS NOT NULL),
+             |s2 AS (SELECT DISTINCT doc_id AS id FROM documents
+             |  WHERE doc_id % 3 = 0 AND doc_id IS NOT NULL),
+             |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_1 FROM s1),
+             |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_2 FROM s2),
+             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS overlap
+             |  FROM s1 WHERE id IN (SELECT id FROM s2)),
+             |f AS (SELECT n_1, n_2, overlap,
+             |    (CAST(n_1 AS DOUBLE) + 1) * (CAST(n_2 AS DOUBLE) + 1) /
+             |      (CAST(overlap AS DOUBLE) + 1) - 1 AS n_hat,
+             |    (CAST(n_1 AS DOUBLE) + 1) * (CAST(n_2 AS DOUBLE) + 1) *
+             |      (CAST(n_1 AS DOUBLE) - overlap) *
+             |      (CAST(n_2 AS DOUBLE) - overlap) /
+             |      ((CAST(overlap AS DOUBLE) + 1) * (CAST(overlap AS DOUBLE) + 1)
+             |       * (CAST(overlap AS DOUBLE) + 2)) AS var_n
+             |  FROM a, b, m)
+             |SELECT n_1, n_2, overlap, ROUND(n_hat, 6) AS n_hat,
+             |  ROUND(CASE WHEN overlap > 0
+             |    THEN SQRT(GREATEST(var_n, 0.0)) END, 6) AS se
+             |FROM f""".stripMargin)),
+
     // Mood's median test across all five families — the robust
     // k-sample location screen (above/below the grand median, exact
     // percentile, at-median rows drop).

@@ -696,6 +696,144 @@ object Planners {
   }
 
   /**
+   * Two-sample Poisson rate-ratio test: event COUNTS per exposure
+   * (user-days, requests, page-views) in two groups — "did the
+   * incident/defect/purchase RATE change", where [[proportionZTest]]
+   * needs a bounded per-unit outcome and Poisson counts have none.
+   * z tests ln(rate ratio) with the standard log-linear variance
+   * √(1/c₁ + 1/c₂) (exposure-adjusted; exact conditional test's
+   * normal form). Output: one row
+   * (events_a, events_b, exposure_a, exposure_b, rate_a, rate_b,
+   * ratio, z), 6 dp — rates null on zero exposure; ratio/z null when
+   * either count is 0 (the log form degenerates — add-½ upstream if
+   * zero counts are expected).
+   *
+   * Scale shape: ONE conditional-aggregate pass ([[welchT]] shape) —
+   * `eventsCol` counts and `exposureCol` exposure per row, both
+   * summed as exact longs.
+   */
+  def poissonRateTest(df: DataFrame, eventsCol: String, exposureCol: String,
+      groupCol: String, groupA: String, groupB: String): DataFrame = {
+    val ev = col(eventsCol).cast("long")
+    val ex = col(exposureCol).cast("long")
+    val isa = col(groupCol) === groupA
+    val a = df.filter(col(groupCol).isin(groupA, groupB) &&
+        ev.isNotNull && ex.isNotNull)
+      .agg(
+        coalesce(sum(when(isa, ev).otherwise(0L)), lit(0L)).as("events_a"),
+        coalesce(sum(when(!isa, ev).otherwise(0L)), lit(0L)).as("events_b"),
+        coalesce(sum(when(isa, ex).otherwise(0L)), lit(0L)).as("exposure_a"),
+        coalesce(sum(when(!isa, ex).otherwise(0L)), lit(0L)).as("exposure_b"))
+    val c1 = col("events_a").cast("double")
+    val c2 = col("events_b").cast("double")
+    val e1 = when(col("exposure_a") > 0, col("exposure_a").cast("double"))
+    val e2 = when(col("exposure_b") > 0, col("exposure_b").cast("double"))
+    val r1 = c1 / e1
+    val r2 = c2 / e2
+    val ok = col("events_a") > 0 && col("events_b") > 0
+    val ratio = when(ok, r1 / when(r2 > 0, r2))
+    a.select(col("events_a"), col("events_b"),
+      col("exposure_a"), col("exposure_b"),
+      round(r1, 6).as("rate_a"), round(r2, 6).as("rate_b"),
+      round(ratio, 6).as("ratio"),
+      round(log(ratio) / sqrt(lit(1.0) / when(c1 > 0, c1)
+        + lit(1.0) / when(c2 > 0, c2)), 6).as("z"))
+  }
+
+  /**
+   * Fleiss' kappa (Fleiss 1971) — chance-corrected agreement when a
+   * FIXED number of raters (`ratersPerSubject`) classify each subject
+   * into categories: the multi-rater generalization of [[cohenKappa]]
+   * (two raters) for label-quality audits over crowd annotations.
+   * κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) with Pᵢ = (Σⱼcᵢⱼ² − n)/(n(n−1)) and
+   * P̄ₑ = Σⱼpⱼ². Input is ONE ROW PER RATING (subject, category);
+   * subjects whose rating count ≠ `ratersPerSubject` are excluded
+   * (the design requirement — partial subjects would bias P̄).
+   *
+   * Exactness: Σc² per subject and all totals are exact integers
+   * (HUGEINT squares); κ is scale-free arithmetic over them. Output:
+   * one row (n_subjects, n_categories, p_bar, p_e, kappa), 6 dp —
+   * null when no complete subjects, n < 2 raters, or P̄ₑ = 1 (every
+   * rating in one category: agreement is vacuous).
+   *
+   * Scale shape: one (subject, category) cell aggregate, one subject
+   * aggregate, one category aggregate, one-row arithmetic.
+   */
+  def fleissKappa(df: DataFrame, subjectCol: String, categoryCol: String,
+      ratersPerSubject: Int): DataFrame = {
+    require(ratersPerSubject >= 2, "ratersPerSubject must be >= 2")
+    val n = ratersPerSubject
+    val cells = df.filter(col(subjectCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .groupBy(col(subjectCol).as("__i"), col(categoryCol).as("__j"))
+      .agg(count(lit(1)).as("__c"))
+    val perSubj = cells.groupBy(col("__i"))
+      .agg(sum(col("__c")).as("__tot"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__c2"))
+      .filter(col("__tot") === n)
+    val bySubj = perSubj.agg(count(lit(1)).as("n_subjects"),
+      coalesce(sum(col("__c2")), lit(BigDecimal(0)).cast("decimal(38,0)"))
+        .as("__sc2"))
+    val complete = perSubj.select(col("__i"))
+    val byCat = cells.join(complete, Seq("__i"), "left_semi")
+      .groupBy(col("__j")).agg(sum(col("__c")).as("__cj"))
+      .agg(count(lit(1)).as("n_categories"),
+        coalesce(sum(col("__cj").cast("decimal(38,0)") * col("__cj")),
+          lit(BigDecimal(0)).cast("decimal(38,0)")).as("__scj2"))
+    val nsD = when(col("n_subjects") > 0, col("n_subjects").cast("double"))
+    val nD = lit(n.toDouble)
+    // P̄ = (Σᵢ Σⱼcᵢⱼ² − N·n) / (N·n·(n−1))
+    val pBar = (col("__sc2").cast("double") - nsD * nD) /
+      (nsD * nD * (nD - 1))
+    // P̄ₑ = Σⱼ (Σᵢcᵢⱼ / (N·n))² = Σⱼ(cⱼ)² / (N·n)²
+    val pE = col("__scj2").cast("double") / (nsD * nD * (nsD * nD))
+    val den = when(lit(1.0) - pE > 0, lit(1.0) - pE)
+    bySubj.crossJoin(byCat).select(col("n_subjects"), col("n_categories"),
+      round(pBar, 6).as("p_bar"), round(pE, 6).as("p_e"),
+      round((pBar - pE) / den, 6).as("kappa"))
+  }
+
+  /**
+   * Chapman capture–recapture estimator (Chapman 1951, the
+   * bias-corrected Lincoln–Petersen): two INDEPENDENT partial samples
+   * of the same hidden population — how big is the whole?
+   *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1,  m = |overlap|
+   * with the standard variance for a Wald CI. The coverage-estimation
+   * primitive: two independent dedup passes / crawlers / labelers each
+   * find SOME of the duplicates — the overlap tells you how many you
+   * have not found yet (the "how much is left" question a single pass
+   * cannot answer).
+   *
+   * Input: two one-column id DataFrames (dedup'd internally). Exact
+   * integer counts; N̂ and SE are one-row arithmetic. Output: one row
+   * (n_1, n_2, overlap, n_hat, se) 6 dp — se null when m = 0 (the
+   * variance formula degenerates; N̂ itself is still reported as the
+   * Chapman value).
+   *
+   * Scale shape: two distinct-aggregates + one semi-join count — no
+   * window, nothing row-grain crosses the driver.
+   */
+  def chapmanEstimate(sample1: DataFrame, sample2: DataFrame): DataFrame = {
+    val s1 = sample1.toDF("id").filter(col("id").isNotNull).distinct()
+    val s2 = sample2.toDF("id").filter(col("id").isNotNull).distinct()
+    val n1 = s1.agg(count(lit(1)).as("n_1"))
+    val n2 = s2.agg(count(lit(1)).as("n_2"))
+    val m = s1.join(s2, Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("overlap"))
+    val n1D = col("n_1").cast("double")
+    val n2D = col("n_2").cast("double")
+    val mD = col("overlap").cast("double")
+    val nHat = (n1D + 1) * (n2D + 1) / (mD + 1) - 1
+    val varN = (n1D + 1) * (n2D + 1) * (n1D - mD) * (n2D - mD) /
+      ((mD + 1) * (mD + 1) * (mD + 2))
+    n1.crossJoin(n2).crossJoin(m)
+      .select(col("n_1"), col("n_2"), col("overlap"),
+        round(nHat, 6).as("n_hat"),
+        round(when(col("overlap") > 0, sqrt(greatest(varN, lit(0.0)))), 6)
+          .as("se"))
+  }
+
+  /**
    * Mood's median test (Mood 1950) across k groups — "do the groups
    * share a common median": counts above/below the GRAND median per
    * group and chi-squares the k×2 contingency. The crude-but-robust

@@ -672,4 +672,67 @@ class PrepSpec extends SparkSpec {
     assert(Planners.grubbs(Seq(1L, 2L).map(Tuple1(_)).toDF("x"), "x")
       .head().get(3) == null)
   }
+
+  test("poissonRateTest: hand rate ratio and log-linear z; zero count nulls") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    // a: 10 events / 100 exposure; b: 5 / 100 -> ratio 2
+    val df = Seq((10L, 100L, "a"), (5L, 100L, "b")).toDF("ev", "ex", "grp")
+    val r = Planners.poissonRateTest(df, "ev", "ex", "grp", "a", "b").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 5L)
+    assert(r.getDouble(4) == 0.1 && r.getDouble(5) == 0.05)
+    assert(r.getDouble(6) == 2.0)
+    assert(r.getDouble(7) == r6(math.log(2.0) / math.sqrt(0.1 + 0.2)))
+    // zero events on one side: the log form degenerates
+    val z = Seq((0L, 100L, "a"), (5L, 100L, "b")).toDF("ev", "ex", "grp")
+    val rz = Planners.poissonRateTest(z, "ev", "ex", "grp", "a", "b").head()
+    assert(rz.getDouble(4) == 0.0 && rz.get(6) == null && rz.get(7) == null)
+  }
+
+  test("fleissKappa: perfect agreement 1, perfect disagreement -1, partial subjects drop") {
+    import graft.stats.Planners
+    import spark.implicits._
+    // 3 subjects x 2 raters, unanimous per subject -> kappa = 1
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"),
+      (3L, "A"), (3L, "A"))
+    val p = Planners.fleissKappa(perfect.toDF("subj", "cat"),
+      "subj", "cat", ratersPerSubject = 2).head()
+    assert(p.getLong(0) == 3L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 1.0 && p.getDouble(4) == 1.0)
+    // every subject split: P-bar 0 -> kappa = -P_e/(1-P_e) = -1 at p=1/2
+    val split = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"))
+    val s = Planners.fleissKappa(split.toDF("subj", "cat"),
+      "subj", "cat", ratersPerSubject = 2).head()
+    assert(s.getDouble(2) == 0.0 && s.getDouble(4) == -1.0)
+    // a subject with the wrong rating count is excluded
+    val withPartial = perfect ++ Seq((4L, "A"))
+    val w = Planners.fleissKappa(withPartial.toDF("subj", "cat"),
+      "subj", "cat", ratersPerSubject = 2).head()
+    assert(w.getLong(0) == 3L && w.getDouble(4) == 1.0)
+    // single category: chance agreement is total -> kappa null
+    val mono = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A"))
+    assert(Planners.fleissKappa(mono.toDF("subj", "cat"),
+      "subj", "cat", ratersPerSubject = 2).head().get(4) == null)
+  }
+
+  test("chapmanEstimate: hand N-hat and SE; disjoint samples keep the estimate, null the SE") {
+    import graft.stats.Planners
+    import spark.implicits._
+    val r6 = (x: Double) => math.round(x * 1e6) / 1e6
+    val s1 = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val s2 = Seq(3L, 4L, 5L, 6L, 7L, 8L).toDF("id")
+    val r = Planners.chapmanEstimate(s1, s2).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == r6(5.0 * 7 / 3 - 1))
+    assert(r.getDouble(4) == r6(math.sqrt(5.0 * 7 * 2 * 4 / (3.0 * 3 * 4))))
+    // duplicates inside a sample don't inflate the counts
+    val dup = Planners.chapmanEstimate(
+      Seq(1L, 1L, 2L, 3L, 4L).toDF("id"), s2).head()
+    assert(dup.getLong(0) == 4L && dup.getDouble(3) == r.getDouble(3))
+    // disjoint: estimate still defined, variance not
+    val d = Planners.chapmanEstimate(Seq(1L, 2L).toDF("id"),
+      Seq(9L, 10L).toDF("id")).head()
+    assert(d.getDouble(3) == 3.0 * 3 - 1 && d.get(4) == null)
+  }
 }
