@@ -607,6 +607,77 @@ object EventStream {
       }
   }
 
+  final case class DwEv(key: String, ts_us: Long, event_id: Long, x: Long)
+  final case class DwState(n: Long, s: Long, ss: Long, num: Long,
+      last: Long, hasLast: Boolean)
+  final case class DwOut(key: String, n_events: Long, dw: Option[Double])
+
+  /**
+   * Streaming Durbin–Watson monitor per key — the live twin of
+   * [[graft.ops.Temporal.durbinWatson]], completing the
+   * serial-correlation corner of the monitor family
+   * ([[streamingCusum]] tracks level vs a target,
+   * [[streamingPageHinkley]] drift vs the running mean; DW watches the
+   * SIGN PATTERN — momentum or over-correction — of the residuals).
+   * State per key is five integers: n, Σx, Σx², Σ(Δx)² and the last
+   * value (`valueCol` integral — the batch op's cents contract), so
+   * the fold is EXACT and the emitted statistic reproduces the batch
+   * operator's double arithmetic operation-for-operation: parity is
+   * bit-for-bit, not tolerance (spec-checked). Same ordering contract
+   * as [[streamingCusum]]: in-batch events sorted, across batches the
+   * source must be time-ordered per key. Keys below `minN` or with
+   * zero variance emit a null statistic, like the batch op.
+   *
+   * (Long Σx² bounds the per-key stream at ~10⁸ events of 10⁵-cent
+   * values — beyond that, re-baseline the key or scale the units; the
+   * batch op's decimal(38,0) has no such bound.)
+   */
+  def streamingDurbinWatson(spark: SparkSession, events: DataFrame,
+      keyCol: String, tsCol: String, valueCol: String, idCol: String,
+      minN: Int = 8, stateTtl: Option[String] = None): Dataset[DwOut] = {
+    import spark.implicits._
+    require(minN >= 2, "minN must be >= 2")
+    // the batch op rounds via Spark's decimal HALF_UP — mirror it
+    // exactly (the streamingPageHinkley bit-parity convention)
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("event_id"),
+        col(valueCol).cast("long").as("x"))
+      .as[DwEv]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DwState, DwOut](
+        OutputMode.Update, ttlConf(stateTtl)) {
+        (key: String, evs: Iterator[DwEv], state: GroupState[DwState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val init = state.getOption
+              .getOrElse(DwState(0L, 0L, 0L, 0L, 0L, hasLast = false))
+            val folded = sorted.foldLeft(init) { (st, e) =>
+              val d = e.x - st.last
+              DwState(st.n + 1, st.s + e.x, st.ss + e.x * e.x,
+                if (st.hasLast) st.num + d * d else st.num,
+                e.x, hasLast = true)
+            }
+            state.update(folded)
+            stateTtl.foreach(state.setTimeoutDuration)
+            // mirror the batch op's exact double chain:
+            // den = max(ssD − sD·sD/n, 0); dw = numD/den
+            val sD = folded.s.toDouble
+            val den = math.max(folded.ss.toDouble - sD * sD / folded.n, 0.0)
+            val dw =
+              if (folded.n >= minN && den > 0)
+                Some(round6(folded.num.toDouble / den))
+              else None
+            Iterator.single(DwOut(key, folded.n, dw))
+          }
+      }
+  }
+
   final case class PhEv(key: String, ts_us: Long, event_id: Long, v: Double)
   final case class PhState(n: Long, sV: Double, sA: Double, sB: Double,
       minM: Double)

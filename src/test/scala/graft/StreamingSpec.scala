@@ -1378,6 +1378,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Durbin-Watson final state equals the batch statistic bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.streamingDurbinWatson(spark,
+      EventStream.readEvents(spark, streamDir)
+        .withColumn("cents", round(col("value") * 100).cast("long")),
+      "user_id", "ts", "cents", "event_id", minN = 8)
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("dw_stream").start()
+    try {
+      q.processAllAvailable()
+      val fin = spark.sql("SELECT key, n_events, dw FROM dw_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      val batch = graft.ops.Temporal.durbinWatson(
+          graft.core.Tables.load(spark, sf, "events")
+            .withColumn("cents", round(col("value") * 100).cast("long")),
+          Seq("user_id"), "ts", "cents", tiebreak = Seq("event_id"),
+          minN = 8)
+        .collect().map(r => r.getLong(0).toString ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      assert(fin.keySet == batch.keySet && fin.nonEmpty)
+      // integer state + the identical double chain: EXACT equality,
+      // no tolerance
+      fin.foreach { case (k, (_, n, dw)) =>
+        val (bn, bdw) = batch(k)
+        assert(n == bn && dw == bdw,
+          s"key $k: stream ($n,$dw) vs batch ($bn,$bdw)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming nearest-centroid serve equals the batch classifier row for row") {
     import org.apache.spark.sql.functions._
     import graft.ops.Vectors
