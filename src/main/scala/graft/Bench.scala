@@ -212,7 +212,18 @@ object Bench {
     // co-occurrence graph (shuffle-free sliced-array-zip edge build)
     // through 5 PageRank iterations; filed under graph (the iterations
     // dominate, the q_hits cost class)
-    "q_textrank")
+    "q_textrank",
+    // round-16 continuation batches (per-query only, one representative
+    // per shape): k-sample doubled-midrank scan (KW), welchT-shaped IV
+    // estimator, two value-grain eval scans (DeLong AUC, energy
+    // distance), the per-key lag family (DW), the bin-grain Murphy
+    // decomposition, and the two new graph shapes (degree-join
+    // assortativity, Katz walk iterations — the family whose
+    // edge-checkpoint fix this round is priced BY these entries).
+    // The other 14 continuation queries are BenchOne-probed in
+    // COVERAGE.md and share these plans' shapes.
+    "q_kruskal_wallis", "q_iv_wald", "q_auc_delong", "q_energy_distance",
+    "q_durbin_watson", "q_brier_decomp", "q_assortativity", "q_katz")
 
   /**
    * Contamination self-healing (pure decision logic, spec-covered):
@@ -263,15 +274,17 @@ object Bench {
       "q_bm25_rm3_prebuilt", "q_ql_search", "q_ql_prebuilt"),
     "temporal" -> Set("q_asof_join", "q_sessionize", "q_ewma", "q_cdc_apply",
       "q_attribution", "q_page_hinkley", "q_croston_sba",
-      "q_theta_forecast", "q_rmst"),
+      "q_theta_forecast", "q_rmst", "q_durbin_watson"),
     "experiment" -> Set("q_cuped", "q_shapley_sampled", "q_dr_replay",
       "q_rdd", "q_ratio_delta", "q_msprt", "q_srm_sequential",
-      "q_did_event_study", "q_cmh"),
+      "q_did_event_study", "q_cmh", "q_iv_wald"),
     "mining" -> Set("q_item_cf", "q_item_cf_incremental",
       "q_winsorize_approx", "q_quantile_normalize_approx",
       "q_bootstrap_ci_fast", "q_eb_rate", "q_anova_f",
-      "q_spiegelhalter_z"),
-    "graph" -> Set("q_hits", "q_adamic_adar", "q_textrank"),
+      "q_spiegelhalter_z", "q_kruskal_wallis", "q_auc_delong",
+      "q_energy_distance", "q_brier_decomp"),
+    "graph" -> Set("q_hits", "q_adamic_adar", "q_textrank",
+      "q_assortativity", "q_katz"),
     "web" -> Set("q_warc_roundtrip", "q_web_ingest_e2e", "q_curation_e2e",
       "q_web_repetition_e2e", "q_text_repetition_gopher", "q_text_quality",
       "q_text_keyword_tag", "q_text_fim", "q_text_wordpiece",
