@@ -849,7 +849,10 @@ object Planners {
    * k < 2 or either margin is empty (no contrast to test).
    *
    * Scale shape: one global exact-percentile aggregate (broadcast
-   * one-row), one group-grain conditional aggregate, k-row arithmetic.
+   * one-row; swap in `approx_percentile` for a genuinely continuous
+   * corpus-scale domain — the [[sequenceLength]] trade; a cents grid
+   * keeps the exact multiset bounded), one group-grain conditional
+   * aggregate, k-row arithmetic.
    */
   def moodMedianTest(df: DataFrame, valueCol: String,
       groupCol: String): DataFrame = {
