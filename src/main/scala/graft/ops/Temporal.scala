@@ -1076,8 +1076,11 @@ object Temporal {
    * (series shorter than L+1) — counted explicitly, since SUM would
    * silently skip the null terms.
    *
-   * Output: one row per key — keys, `n` (series length), `lags`, `q`
-   * (6 dp). Scale shape: the autocorrelation shuffle + one key-grain
+   * Output: one row per key — keys, `n`, `lags`, `q` (6 dp). `n` is
+   * max(n_pairs + lag) — exactly the series length whenever every lag
+   * is populated (the only case where q is non-null); on a shorter
+   * series it is an upper bound and q is null anyway.
+   * Scale shape: the autocorrelation shuffle + one key-grain
    * aggregate.
    */
   def ljungBox(df: DataFrame, keys: Seq[String], tsCol: String,
