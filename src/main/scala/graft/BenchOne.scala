@@ -3,22 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Micro-bench one catalog query under the exact Bench session config:
-  * `runMain graft.BenchOne <query> [sfDir] [passes]`. Prints per-pass and
-  * best seconds — the tool for A/B-ing one operator's plan without paying
-  * for the whole headline suite. */
+  * `runMain graft.BenchOne <query> [sfDir] [passes] [k=v ...]`. Prints
+  * per-pass and best seconds — the tool for A/B-ing one operator's plan
+  * (or a session config, via trailing k=v overrides) without paying for
+  * the whole headline suite. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = graft.core.SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false"))
+    args.drop(3).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      println(s"conf override: $k=$v")
+      builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def once(): Double = {
       val t0 = System.nanoTime()

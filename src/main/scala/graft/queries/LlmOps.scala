@@ -2053,12 +2053,27 @@ object LlmOps extends QueryGroup {
     // strong hubs. 3 fixed iterations, L2-normalized after each half
     // update; the oracle unrolls them as chained CTEs.
     QueryDef("q_hits",
-      (s, dir) => Graph.hits(
-        Tables.load(s, dir, "lineitem").select(
-          concat(lit("o"), col("l_orderkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst")),
-        "src", "dst", iterations = 3)
-        .withColumnRenamed("v", "node_id"),
+      (s, dir) => {
+        // Narrow-type vertex encoding (optimization guide §2.3): the
+        // namespaced id is carried through 6 half-iterations of joins,
+        // aggregates and checkpoints, so run the WHOLE iteration on a
+        // reversible LONG key (orderkey*2 / partkey*2+1 — the spaces
+        // are disjoint by parity) and decode to the contract's 'o…'/'p…'
+        // string only in the final projection. Halves the iteration
+        // state and replaces UTF8 hash/equality with long ops in every
+        // shuffle, join probe and hash aggregate; identity-only use of
+        // the key inside hits (no ordering), so results are unchanged
+        // (oracle hash-checked).
+        Graph.hits(
+          Tables.load(s, dir, "lineitem").select(
+            (col("l_orderkey").cast("long") * 2).as("src"),
+            (col("l_partkey").cast("long") * 2 + 1).as("dst")),
+          "src", "dst", iterations = 3)
+          .select(
+            concat(when(col("v") % 2 === 0, lit("o")).otherwise(lit("p")),
+              shiftright(col("v"), 1).cast("string")).as("node_id"),
+            col("hub"), col("auth"))
+      },
       Some {
         val iters = (1 to 3).map { i =>
           s"""a${i}r AS (SELECT verts.v, COALESCE(SUM(h.hub), 0.0) AS s
@@ -2090,12 +2105,27 @@ object LlmOps extends QueryGroup {
     // shared neighbors dominate. maxDegree 40 caps the wedge fan-out
     // (the df-cap family); the oracle replays the same cap.
     QueryDef("q_adamic_adar",
-      (s, dir) => Graph.adamicAdar(
-        Tables.load(s, dir, "lineitem")
-          .filter(col("l_orderkey") % 4 === 0)
-          .select(concat(lit("o"), col("l_orderkey")).as("src"),
-            concat(lit("p"), col("l_partkey")).as("dst")),
-        "src", "dst", maxDegree = 40, minCommon = 2),
+      (s, dir) => {
+        // Same narrow-type encoding as q_hits (guide §2.3): the wedge
+        // self-join and its pair aggregate run on LONG keys; the id is
+        // identity-only inside the operator except for the canonical
+        // pair ORIENTATION, which any total order serves equally for
+        // grouping — the contract's string orientation is re-derived in
+        // the final projection via least/greatest on the decoded ids,
+        // so the output rows are unchanged (oracle hash-checked).
+        val r = Graph.adamicAdar(
+          Tables.load(s, dir, "lineitem")
+            .filter(col("l_orderkey") % 4 === 0)
+            .select((col("l_orderkey").cast("long") * 2).as("src"),
+              (col("l_partkey").cast("long") * 2 + 1).as("dst")),
+          "src", "dst", maxDegree = 40, minCommon = 2)
+        def dec(c: org.apache.spark.sql.Column) =
+          concat(when(c % 2 === 0, lit("o")).otherwise(lit("p")),
+            shiftright(c, 1).cast("string"))
+        r.select(least(dec(col("v_a")), dec(col("v_b"))).as("v_a"),
+          greatest(dec(col("v_a")), dec(col("v_b"))).as("v_b"),
+          col("common_neighbors"), col("score"))
+      },
       Some("""WITH e0 AS (SELECT DISTINCT
              |    least('o' || l_orderkey, 'p' || l_partkey) AS a,
              |    greatest('o' || l_orderkey, 'p' || l_partkey) AS b
