@@ -239,7 +239,13 @@ object Search {
     val cand = src.byTerms(qset)
     // exact collection frequency of matched terms (prune keeps all their
     // postings); an OOV query term has no postings row and drops out here
+    // cf_t is term-grain (≤ query vocabulary — tiny at any corpus scale)
+    // but feeds TWO broadcast consumers (m_q and the per-posting score
+    // join); un-materialized, each broadcast re-runs the matched-postings
+    // scan that builds it (the rm3 pass1 finding). One localCheckpoint =
+    // one build.
     val cfT = cand.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
+      .localCheckpoint()
     val mq = qtf.join(cfT, Seq("term"))
       .groupBy(col("query_id")).agg(sum(col("qtf")).as("m_q"))
     val matchTerm = col("qtf") * log(lit(1.0) +
@@ -312,8 +318,18 @@ object Search {
     val qterms = queryDf.select(col("query_id"),
       explode(array_distinct(array_remove(split(lower(col("qtext")), "\\s+"), "")))
         .as("term"))
+    // pass-1 results and the expanded query are O(queries·f) / O(queries·
+    // (|q|+e)) rows — tiny at ANY corpus scale — but each feeds SEVERAL
+    // broadcast consumers below (the feedback doc-set prune, the RM1
+    // fan-out, the term-set prune, the weighted rescore), and broadcast
+    // subtrees only share when their plans are identical, so an
+    // un-materialized pass-1 re-runs the whole first BM25 pass once per
+    // consumer (profiled: the pass-1 ranking window appeared 4× in the
+    // executed plan). localCheckpoint each once: the first pass runs
+    // exactly once, every consumer reads the materialized rows.
     val pass1 = bm25Core(src, queryDf, f, k1, b)
       .select(col("query_id"), col("doc_id"), col("score"))
+      .localCheckpoint()
     // RM1 weights need tf over ALL terms of the feedback docs — prune by
     // DOC instead of term, then fan out per (query, doc) via the tiny
     // broadcast pass-1 table
@@ -332,6 +348,7 @@ object Search {
         (lit(1.0 - lambda) * col("__w") / sum(col("__w")).over(wsum)).as("qw"))
     val wq = qterms.select(col("query_id"), col("term"), lit(lambda).as("qw"))
       .unionByName(expW)
+      .localCheckpoint() // see pass1: consumed by two distinct broadcasts
     val cand = src.byTerms(wq.select(col("term")).distinct())
     val dfT = cand.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     val idf = log(lit(1.0) +

@@ -438,7 +438,15 @@ object Text {
    * word asc).
    */
   def textrank(df: DataFrame, textCol: String, idCol: String,
-      window: Int = 2, iterations: Int = 5, topK: Int = 20): DataFrame = {
+      window: Int = 2, iterations: Int = 5, topK: Int = 20,
+      checkpointEvery: Int = 0): DataFrame = {
+    // checkpointEvery default 0: pageRank's score lineage is LINEAR (each
+    // rankᵢ referenced once by rankᵢ₊₁), so a fixed small iteration count
+    // unrolls into one declarative plan over the one checkpointed edge
+    // table — no per-iteration driver materialization round-trips; shuffle
+    // files already persist each iteration's stage output. Pass >= 1 to
+    // restore per-iteration score checkpoints for very deep runs where
+    // plan size itself becomes the cost.
     require(window >= 1 && iterations >= 0 && topK >= 1,
       "window, topK >= 1; iterations >= 0")
     val ts = array_remove(tokens(col(textCol)), "")
@@ -458,7 +466,8 @@ object Text {
       .filter(col("wa") =!= col("wb"))
     val edges = co.select(col("wa").as("src"), col("wb").as("dst"))
       .unionByName(co.select(col("wb").as("src"), col("wa").as("dst")))
-    val pr = graft.ops.Graph.pageRank(edges, "src", "dst", iterations)
+    val pr = graft.ops.Graph.pageRank(edges, "src", "dst", iterations,
+      checkpointEvery = checkpointEvery)
     val wv = org.apache.spark.sql.expressions.Window
       .orderBy(col("rank").desc, col("v").asc)
     pr.withColumn("rk", row_number().over(wv))

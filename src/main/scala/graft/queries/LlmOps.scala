@@ -1931,7 +1931,9 @@ object LlmOps extends QueryGroup {
           "text", "doc_id", n = 3, tau = 0.4)
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        Graph.pageRank(edges, "src", "dst", iterations = 5)
+        // checkpointEvery = 0: linear rank lineage (see q_katz) — one
+        // declarative 5-iteration plan over the one checkpointed edge table
+        Graph.pageRank(edges, "src", "dst", iterations = 5, checkpointEvery = 0)
           .withColumnRenamed("v", "doc_id")
       },
       Some {
@@ -1971,7 +1973,16 @@ object LlmOps extends QueryGroup {
           "text", "doc_id", n = 3, tau = 0.4)
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        Graph.katz(edges, "src", "dst", iterations = 5, alpha = 0.1)
+        // checkpointEvery = 0: katz's score lineage is LINEAR (each xᵢ is
+        // referenced exactly once by xᵢ₊₁ — unlike hits' norm, which
+        // doubles the subtree per half), so 5 unrolled iterations stay a
+        // 5-deep plan over the ONE checkpointed edge table. One action
+        // instead of 5 driver materialization round-trips; shuffle files
+        // already persist each iteration's stage output, so nothing is
+        // recomputed (guide §2.4 — remove materialization that buys no
+        // shuffle removal). Values unchanged (oracle hash-checked).
+        Graph.katz(edges, "src", "dst", iterations = 5, alpha = 0.1,
+          checkpointEvery = 0)
           .withColumnRenamed("v", "doc_id")
       },
       Some {
@@ -2266,9 +2277,11 @@ object LlmOps extends QueryGroup {
           n = 3, tau = 0.4)
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        // checkpointEvery = 0: linear rank lineage (see q_katz) — the
+        // seed/vertex tables stay checkpointed once inside the operator
         Graph.personalizedPageRank(edges, "src", "dst",
           docs.filter(col("source") === "src0").select(col("doc_id")),
-          iterations = 5)
+          iterations = 5, checkpointEvery = 0)
           .withColumnRenamed("v", "doc_id")
       },
       Some {
