@@ -429,7 +429,14 @@ object Dedup {
     * fusion. */
   private def cappedShingleIntersections(df: DataFrame, textCol: String,
       idCol: String, n: Int, maxShingleDf: Int): DataFrame = {
-    val all = shingles(df, textCol, idCol, n)
+    // Spread a narrower-than-the-machine input across the cores before
+    // the shingle explode (identity at corpus scale, where the scan
+    // already has >= cores partitions — see [[graft.core.Spread]]): the
+    // shingling + both downstream partial aggregates of this family are
+    // CPU-bound codegen passes that otherwise run on however few row
+    // groups the input happened to have (measured q_dedup_jaccard
+    // 3.4 -> 1.5 s at sf0.1, where every table is ONE row group).
+    val all = shingles(graft.core.Spread.toCores(df), textCol, idCol, n)
     val overCap = all.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df_n"))
       .filter(col("df_n") > maxShingleDf)
@@ -898,7 +905,12 @@ object Dedup {
     // split's token count equals WordShingles' (same \s+ regex, limit -1;
     // lowercasing changes no boundaries), so the predicates agree exactly;
     // null text yields a null count and is dropped, matching nullSafeEval.
-    df.filter(size(split(col(textCol), "\\s+")) >= n)
+    // core-spread before the k-hash register loop (identity at corpus
+    // scale — see [[graft.core.Spread]]): the signature pass is the CPU
+    // floor of the LSH/admission family and otherwise inherits the
+    // input's (possibly single-row-group) partition count
+    graft.core.Spread.toCores(
+        df.filter(size(split(col(textCol), "\\s+")) >= n))
       .select(col(idCol), mh.as("__mh"))
       .select(col(idCol) +: (1 to k).map(i =>
         element_at(col("__mh"), i).as(s"mh_$i")): _*)

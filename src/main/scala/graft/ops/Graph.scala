@@ -190,9 +190,15 @@ object Graph {
         e.join(auths.withColumnRenamed("v", "dst"), "dst")
           .groupBy(col("src").as("v")).agg(sum(col("auth")).as("hub")), "hub")
     }
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
-    verts.join(hubs, Seq("v"), "left").join(auths, Seq("v"), "left")
+    // Vertex padding without re-deriving src∪dst from the (wide) edge
+    // checkpoint: after iteration 1 the sparse states are COMPLETE on
+    // their side — every src has ≥ 1 out-edge so hubs covers all
+    // sources, every dst has ≥ 1 in-edge so auths covers all sinks —
+    // and src∪dst = hubs.v ∪ auths.v exactly. One full-outer join of
+    // two vertex-grain tables replaces union+distinct over 2 full edge
+    // scans plus two left joins (identical rows; iterations >= 1 is
+    // already required).
+    hubs.join(auths, Seq("v"), "full_outer")
       .select(col("v"), round(coalesce(col("hub"), lit(0.0)), 6).as("hub"),
         round(coalesce(col("auth"), lit(0.0)), 6).as("auth"))
   }

@@ -36,7 +36,12 @@ object Search {
   /** (doc_id, dl, term) token rows — the narrow explode every index shape
     * aggregates from. */
   private def tokenRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"),
+    // spread a narrower-than-the-machine corpus across the cores before
+    // the regex tokenize + explode (identity at corpus scale — see
+    // [[graft.core.Spread]]); the tokenize is the CPU floor of every
+    // inline retrieval pass
+    graft.core.Spread.toCores(df)
+      .select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"),
       explode(toks(textCol)).as("term"))
 
   /**
@@ -82,7 +87,8 @@ object Search {
     // a cache written once and read once only adds traffic. (The 100 TB
     // repeated-workload answer remains the prebuilt SearchIndex.)
     private lazy val tokDocs = graft.core.CacheScope.autoUnpersist(
-      docs.select(col(idCol).as("doc_id"), toks(textCol).as("__toks")))
+      graft.core.Spread.toCores(docs)
+        .select(col(idCol).as("doc_id"), toks(textCol).as("__toks")))
     private def tok: DataFrame =
       if (share) tokDocs.select(col("doc_id"),
         size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
@@ -552,7 +558,8 @@ object SearchIndex {
 
   /** One-row corpus stats over ALL docs (incl. empty ones): n_docs, avgdl. */
   private[ops] def statsOf(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(size(Search.toks(textCol)).as("dl0"))
+    graft.core.Spread.toCores(docs) // full-width regex pass (see Spread)
+      .select(size(Search.toks(textCol)).as("dl0"))
       .agg(count(lit(1)).as("n_docs"), avg(col("dl0")).as("avgdl"))
 
   /** One pass over the corpus for the postings aggregate + one skinny

@@ -362,10 +362,12 @@ object Text {
    * Same md5-nibble arithmetic, so it replays in SQL and hash-matches.
    */
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    // one shuffle-free narrow projection — the exploded 64-vote aggregate
-    // this replaces shuffled 64 partial sums per document (see
-    // graft.functions.SimHash64; bit-identical, oracle-pinned)
-    df.filter(col(textCol).isNotNull)
+    // one narrow projection — the exploded 64-vote aggregate this
+    // replaces shuffled 64 partial sums per document (see
+    // graft.functions.SimHash64; bit-identical, oracle-pinned); the
+    // input is core-spread first (identity at corpus scale) so the
+    // per-doc hash loop uses the whole machine on small inputs
+    graft.core.Spread.toCores(df.filter(col(textCol).isNotNull))
       .select(col(idCol),
         graft.functions.SimHash64.simhash64(tokens(col(textCol))).as("pcode"))
 
@@ -458,7 +460,7 @@ object Text {
         slice(col("__ts"), k + lit(1),
           greatest(size(col("__ts")) - k, lit(0))),
         (x, y) => struct(x.as("wa"), y.as("wb")))))
-    val co = df.filter(col(textCol).isNotNull)
+    val co = graft.core.Spread.toCores(df.filter(col(textCol).isNotNull))
       .select(ts.as("__ts"))
       .filter(size(col("__ts")) >= 2)
       .select(explode(pairs).as("__p"))
@@ -1583,9 +1585,10 @@ object Text {
    * 16 bit-sums are map-side partial aggregates).
    */
   def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    // shuffle-free narrow projection (see graft.functions.SimHash16 —
-    // bit-identical to the exploded 16-vote aggregate, oracle-pinned)
-    df.filter(col(textCol).isNotNull)
+    // narrow projection (see graft.functions.SimHash16 — bit-identical
+    // to the exploded 16-vote aggregate, oracle-pinned), core-spread
+    // first like [[simhash64]]
+    graft.core.Spread.toCores(df.filter(col(textCol).isNotNull))
       .select(col(idCol),
         graft.functions.SimHash16.simhash16(tokens(col(textCol))).as("simhash"))
 

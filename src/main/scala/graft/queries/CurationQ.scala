@@ -358,7 +358,14 @@ object CurationQ extends QueryGroup {
     // (and the same oracle fragment) already pinned individually.
     QueryDef("q_curation_e2e",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        // Core-spread the composed pipeline's INPUT (identity at corpus
+        // scale — graft.core.Spread): the strip/scrub/normalize/gate
+        // regex chain fuses into one narrow stage by design, which also
+        // means it inherits the scan's partition count — on a
+        // single-row-group input that is ONE task for the whole chain.
+        // The spread lives in the composed query, not the operators, so
+        // each gate stays a shuffle-free projection (plan-frozen).
+        val docs = graft.core.Spread.toCores(Tables.load(s, dir, "documents"))
           .withColumn("text",
             when(col("doc_id") % 10 === 9, lit(BoilerDoc)).otherwise(col("text")))
           .withColumn("html", concat(lit(MarkupPre), col("text"), lit(MarkupPost)))

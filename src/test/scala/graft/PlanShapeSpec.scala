@@ -384,11 +384,20 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_curation_e2e: strip/scrub/normalize/gate fuse into one narrow stage; only the dedup exchanges on the content hash") {
     val p = plan("q_curation_e2e")
-    val bulk = shuffles(p).filterNot(underBroadcast(p))
     // markup strip -> PII scrub -> NFC normalize -> quality gate are ONE
     // codegen'd projection chain (no joins between stages after the carry
-    // refactor); the only exchanges left are the exact-dedup group-by and
-    // its join, both keyed on the 16-byte content hash — never on the id
+    // refactor); the only HASH exchanges left are the exact-dedup group-by
+    // and its join, both keyed on the 16-byte content hash — never on the
+    // id. One ROUND-ROBIN exchange is permitted BELOW the chain: the
+    // r16 input spread (graft.core.Spread — identity at corpus scale,
+    // where the scan already has >= cores partitions; sub-scale it fans
+    // the fused regex chain across the machine instead of the input's
+    // row-group count).
+    val (spread, bulk) = shuffles(p).filterNot(underBroadcast(p)).partition(
+      _.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+    assert(spread.size <= 1,
+      s"at most the one deliberate input spread:\n${spread.mkString("\n")}")
     assert(bulk.forall(keyedOn(_, "content_hash")),
       s"all bulk exchanges must key on content_hash:\n${bulk.mkString("\n")}")
     assert(bulk.size <= 3, s"dedup needs at most 3 hash exchanges, got ${bulk.size}")
