@@ -246,13 +246,15 @@ object Search {
     // exact collection frequency of matched terms (prune keeps all their
     // postings); an OOV query term has no postings row and drops out here
     // cf_t is term-grain (≤ query vocabulary — tiny at any corpus scale)
-    // but feeds TWO broadcast consumers (m_q and the per-posting score
-    // join); un-materialized, each broadcast re-runs the matched-postings
-    // scan that builds it (the rm3 pass1 finding). One localCheckpoint =
-    // one build.
+    // and feeds TWO consumers (m_q and the per-posting score join). Both
+    // consume it through an EXPLICIT broadcast below: identical broadcast
+    // subtrees share one BroadcastExchange at runtime, so the
+    // matched-postings scan that builds cf_t runs once — without the
+    // localCheckpoint alternative, which severs AQE's runtime statistics
+    // (measured: the checkpointed variant regressed q_ql_search ~1.3 s
+    // in-bench by degrading downstream join planning).
     val cfT = cand.groupBy(col("term")).agg(sum(col("tf")).as("cf_t"))
-      .localCheckpoint()
-    val mq = qtf.join(cfT, Seq("term"))
+    val mq = qtf.join(broadcast(cfT), Seq("term"))
       .groupBy(col("query_id")).agg(sum(col("qtf")).as("m_q"))
     val matchTerm = col("qtf") * log(lit(1.0) +
       col("tf") * (col("n_docs") * col("avgdl")) / (lit(mu) * col("cf_t")))
