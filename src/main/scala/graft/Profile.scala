@@ -41,9 +41,10 @@ object Profile {
           val scopes = si.rddInfos.flatMap(_.scope)
             .map(_.name).distinct.mkString("|")
           println(f"    stage ${si.stageId}%3d [${si.numTasks}%3d tasks] " +
-            f"$dur%7.3f s  srd=${m.shuffleReadMetrics.totalBytesRead / 1024}%8d KiB " +
+            f"$dur%7.3f s  gc=${m.jvmGCTime / 1000.0}%5.2f s " +
+            f"srd=${m.shuffleReadMetrics.totalBytesRead / 1024}%8d KiB " +
             f"swr=${m.shuffleWriteMetrics.bytesWritten / 1024}%8d KiB " +
-            f"in=${m.inputMetrics.bytesRead / 1024}%8d KiB  ${scopes.take(150)}")
+            f"in=${m.inputMetrics.bytesRead / 1024}%8d KiB  ${scopes.take(140)}")
         }
     }
     spark.sparkContext.addSparkListener(listener)
