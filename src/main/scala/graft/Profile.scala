@@ -14,13 +14,18 @@ object Profile {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.SessionTuning(SparkSession.builder()
+    val builder = graft.core.SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    args.drop(3).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      println(s"conf override: $k=$v")
+      builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()

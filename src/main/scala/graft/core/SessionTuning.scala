@@ -9,31 +9,37 @@ import org.apache.spark.sql.SparkSession
  * guide §2.2/§6), applied identically to the bench and the correctness
  * harness so the timed configuration is exactly the verified one.
  *
- *  - `spark.sql.files.openCostInBytes` (default 4 MiB): the packing
- *    charge per file floors every scan split at ~4 MiB, so a small
- *    parquet input (one file per table here) fans out to only
- *    size/4MiB tasks no matter how many cores are idle — e.g. the
- *    0.6 MiB documents table tokenized on ONE task while 31 cores
- *    wait. 128 KiB keeps the anti-tiny-split guard (thousands of tiny
- *    files still coalesce) while letting scan parallelism follow
- *    `defaultParallelism` for small inputs. At 100 TB splits are
- *    `maxPartitionBytes`-capped long before the open cost matters, so
- *    the setting is scale-neutral: it only stops SMALL inputs from
- *    under-using the machine — measured q_bm25_search 2.61 → 2.27 s,
- *    q_dedup_jaccard 2.93 → 2.33 s (with the AQE floor below) at sf0.1.
+ *  - `spark.sql.files.openCostInBytes` 4 MiB -> 512 KiB: the packing
+ *    charge per file floors every scan split at ~4 MiB. 512 KiB keeps
+ *    the anti-tiny-split guard (thousands of tiny files still
+ *    coalesce) while letting SPLITTABLE small inputs fan out — the
+ *    carrier is the line-based text scans (q_web_ingest_e2e's WARC
+ *    re-read halves: 0.56 vs 1.12 s best-of-5 interleaved in one JVM;
+ *    q_warc_roundtrip 0.33 vs 0.38). On the single-row-group parquet
+ *    test tables the extra splits are EMPTY tasks (parquet can't split
+ *    inside a row group) — measured cost <= 0.06 s/query on the core
+ *    family, which the text wins outweigh suite-wide. At 100 TB splits
+ *    are `maxPartitionBytes`-capped long before the open cost matters,
+ *    so the setting is scale-neutral. (A first attempt at 128 KiB
+ *    measured well on scan-bound queries but regressed multi-stage
+ *    pipelines — q_bm25_rm3 5.6 -> 7.0 s — and was rejected; r16
+ *    shipped 512 KiB.)
  *
- *  - `spark.sql.adaptive.coalescePartitions.minPartitionSize` (default
- *    1 MiB): AQE's coalesced-partition floor. With parallelismFirst
- *    (default true) AQE sizes post-shuffle partitions at this floor, so
- *    a CPU-heavy but byte-light stage — string-keyed join probes, hash
- *    aggregates over exploded tokens, NN batch scoring — collapses to
- *    bytes/1MiB tasks (measured: the q_hits half-iteration join+agg ran
- *    as ONE task at sf0.1). 64 KiB keeps the floor (no task handles
- *    less than 64 KiB) but lets small-byte/heavy-CPU stages use the
- *    cores. At cluster scale real partitions sit far above BOTH floors
- *    (advisory 64 MiB), so this only affects the small-input regime —
- *    measured q_bm25_search 2.61 → 1.71 s alone, and it composes with
- *    the open-cost fix (q_dedup_jaccard 3.20 → 2.33 s best-of-4).
+ *  - `spark.sql.adaptive.coalescePartitions.minPartitionSize`
+ *    1 MiB -> 256 KiB: AQE's coalesced-partition floor. With
+ *    parallelismFirst (default true) AQE sizes post-shuffle partitions
+ *    at this floor, so a CPU-heavy but byte-light stage — string-keyed
+ *    join probes, hash aggregates over exploded tokens, NN batch
+ *    scoring — collapses to bytes/1MiB tasks (measured in r16: the
+ *    q_hits half-iteration join+agg ran as ONE task at sf0.1). 256 KiB
+ *    keeps a floor but lets small-byte/heavy-CPU stages use the cores.
+ *    At cluster scale real partitions sit far above BOTH floors
+ *    (advisory 64 MiB), so this only affects the small-input regime.
+ *    (The rejected 64 KiB first attempt over-fanned tiny stages; an
+ *    r17 interleaved A/B of 256 KiB vs the 1 MiB default measured FLAT
+ *    at 32 cores across the core/dedup/retrieval battery — the value
+ *    is kept for the byte-light CPU-heavy stages above, bounded by
+ *    `spark.sql.shuffle.partitions` = cores.)
  */
 object SessionTuning {
   val configs: Seq[(String, String)] = Seq(

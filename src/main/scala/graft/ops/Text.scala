@@ -441,13 +441,16 @@ object Text {
    */
   def textrank(df: DataFrame, textCol: String, idCol: String,
       window: Int = 2, iterations: Int = 5, topK: Int = 20,
-      checkpointEvery: Int = 0): DataFrame = {
-    // checkpointEvery default 0: pageRank's score lineage is LINEAR (each
-    // rankᵢ referenced once by rankᵢ₊₁), so a fixed small iteration count
-    // unrolls into one declarative plan over the one checkpointed edge
-    // table — no per-iteration driver materialization round-trips; shuffle
-    // files already persist each iteration's stage output. Pass >= 1 to
-    // restore per-iteration score checkpoints for very deep runs where
+      checkpointEvery: Int = 1): DataFrame = {
+    // checkpointEvery defaults to 1 like the rest of the iterative family
+    // (Graph.scala: "checkpoints EVERY iteration by default — default-off
+    // proved a footgun"): a caller raising `iterations` must not get
+    // unbounded plan depth silently. Fixed-small-iteration callers pass 0
+    // explicitly: pageRank's score lineage is LINEAR (each rankᵢ referenced
+    // once by rankᵢ₊₁), so a small fixed count unrolls into one declarative
+    // plan over the one checkpointed edge table — no per-iteration driver
+    // materialization round-trips; shuffle files already persist each
+    // iteration's stage output. Pass >= 1 for very deep runs where
     // plan size itself becomes the cost.
     require(window >= 1 && iterations >= 0 && topK >= 1,
       "window, topK >= 1; iterations >= 0")

@@ -2018,7 +2018,11 @@ object LlmOps extends QueryGroup {
     // unrolls the same 5 PR iterations as q_pagerank.
     QueryDef("q_textrank",
       (s, dir) => Text.textrank(Tables.load(s, dir, "documents"),
-        "text", "doc_id", window = 2, iterations = 5, topK = 20),
+        "text", "doc_id", window = 2, iterations = 5, topK = 20,
+        // fixed 5 iterations: linear lineage unrolls into one plan (the
+        // r16 PR-family finding); the public default stays 1 so deep
+        // runs keep bounded plans
+        checkpointEvery = 0),
       Some {
         val iters = (1 to 5).map { i =>
           s"""r$i AS (SELECT verts.v,
