@@ -85,10 +85,17 @@ object Basket {
       .groupBy(col("__i").as("item")).agg(count(lit(1)).as("__s"))
     val nBaskets = distinctPairs(df, basketCol, itemCol)
       .agg(countDistinct(col("__b")).as("__n"))
-    val both = pairs.select(col("item_a").as("antecedent"),
-        col("item_b").as("consequent"), col("support"))
-      .unionByName(pairs.select(col("item_b").as("antecedent"),
-        col("item_a").as("consequent"), col("support")))
+    // both rule directions via ONE explode, not a self-union: the union's
+    // branches would inline (and execute — swapped projections defeat
+    // exchange reuse, the Graph.symEdges finding) the whole frequent-pair
+    // derivation twice
+    val both = pairs.select(explode(array(
+        struct(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+          col("support")),
+        struct(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+          col("support")))).as("__r"))
+      .select(col("__r.antecedent").as("antecedent"),
+        col("__r.consequent").as("consequent"), col("__r.support").as("support"))
     both
       .join(items.select(col("item").as("antecedent"), col("__s").as("__sa")),
         Seq("antecedent"))

@@ -104,6 +104,27 @@ object Cf {
   final case class CfState(ratings: DataFrame, pairs: DataFrame,
       items: DataFrame)
 
+  /** Persist a [[CfState]] as parquet — the production maintenance shape
+    * this operator family exists for: co-occurrence counts are ADDITIVE,
+    * so the state lives in storage between deltas and the full self-join
+    * never re-runs. A merge planned from the saved tables also plans
+    * better than one composed over the in-plan fit lineage: the scans
+    * carry real size statistics (r16 measured the in-plan alternatives
+    * on q_item_cf_incremental — localCheckpoint +50%, SQL-cache 4x — both
+    * because they sever/replace AQE's runtime stats; parquet-backed state
+    * is the shape that keeps them). */
+  def saveState(state: CfState, dir: String): Unit = {
+    state.ratings.write.mode("overwrite").parquet(s"$dir/ratings")
+    state.pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    state.items.write.mode("overwrite").parquet(s"$dir/items")
+  }
+
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): CfState =
+    CfState(spark.read.parquet(s"$dir/ratings"),
+      spark.read.parquet(s"$dir/pairs"),
+      spark.read.parquet(s"$dir/items"))
+
   private def distinctRatings(df: DataFrame, userCol: String,
       itemCol: String): DataFrame = df
     .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
@@ -244,10 +265,18 @@ object Cf {
       .join(state.items.select(col("__i").as("__ib"),
         col("__n").as("__nb")), "__ib")
       .withColumn("__cos", col("n_common") / sqrt(col("__na") * col("__nb")))
-    val sym = scored.select(col("__ia").as("item"),
-        col("__ib").as("neighbor"), col("n_common"), col("__cos"))
-      .unionByName(scored.select(col("__ib").as("item"),
-        col("__ia").as("neighbor"), col("n_common"), col("__cos")))
+    // both directions via ONE explode, not a self-union: the union's two
+    // branches inline the whole scored subtree — for the incremental
+    // queries that is the entire merge lineage — twice, and the swapped
+    // projections defeat exchange reuse, so it EXECUTED twice (the
+    // Graph.symEdges finding; q_item_cf ran the capped self-join twice)
+    val sym = scored.select(explode(array(
+        struct(col("__ia").as("item"), col("__ib").as("neighbor"),
+          col("n_common"), col("__cos")),
+        struct(col("__ib").as("item"), col("__ia").as("neighbor"),
+          col("n_common"), col("__cos")))).as("__s"))
+      .select(col("__s.item").as("item"), col("__s.neighbor").as("neighbor"),
+        col("__s.n_common").as("n_common"), col("__s.__cos").as("__cos"))
     val focused = onlyItems match {
       case Some(keep) => sym.join(
         broadcast(keep.select(col("item")).distinct()), Seq("item"))

@@ -480,12 +480,19 @@ object Dedup {
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, tau: Double, maxShingleDf: Int = 10000): DataFrame = {
     val scored = cappedShingleIntersections(df, textCol, idCol, n, maxShingleDf)
+    // both directions via ONE explode, not a self-union: the union's
+    // branches would inline (and execute — swapped projections defeat
+    // exchange reuse, the Graph.symEdges finding) the whole shingle
+    // intersection pipeline twice
     scored
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("sz_a"), 6).as("containment"))
-      .unionByName(scored.select(col("doc_b").as("doc_a"),
-        col("doc_a").as("doc_b"),
-        round(col("inter").cast("double") / col("sz_b"), 6).as("containment")))
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") / col("sz_a"), 6).as("containment")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          round(col("inter").cast("double") / col("sz_b"), 6).as("containment"))))
+        .as("__c"))
+      .select(col("__c.doc_a").as("doc_a"), col("__c.doc_b").as("doc_b"),
+        col("__c.containment").as("containment"))
       .filter(col("containment") >= tau)
   }
 

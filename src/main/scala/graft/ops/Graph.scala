@@ -273,8 +273,10 @@ object Graph {
       val smaller = large.select(col("v").as("n"), col("u").as("nb"))
       val minsS = smaller.groupBy(col("n")).agg(min(col("nb")).as("m"))
       val withM = smaller.join(minsS, "n")
-      val next = withM.select(col("m").as("u"), col("nb").as("v"))
-        .union(withM.select(col("m").as("u"), col("n").as("v")))
+      // one explode over withM, not a self-union that would run the
+      // small-star join twice per round (the symEdges finding)
+      val next = withM.select(col("m").as("u"),
+          explode(array(col("nb"), col("n"))).as("v"))
         .filter(col("u") =!= col("v")).distinct().localCheckpoint()
       val nextSig = sig(next)
       e = next // the previous round's checkpoint blocks are GC-reclaimed
@@ -338,7 +340,11 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+    // one explode, not a self-union: the canonical-edge subtree (which
+    // may embed an expensive derivation — q_triangle_counts feeds
+    // frequentPairs in) must execute once, and the swapped projections
+    // of a union defeat exchange reuse (the symEdges finding)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("degree"))
     // orient low-degree -> high-degree (ties by id: a < b already canon)
     val oriented = e
@@ -473,8 +479,16 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    // both directions via ONE explode, not a self-union: a union's two
+    // branches inline the (possibly expensive — q_assortativity feeds
+    // frequentPairs in here) canonical-edge subtree twice, and the
+    // swapped projections defeat exchange reuse, so the derivation
+    // EXECUTED twice. The explode is a narrow codegen'd Generate over a
+    // single execution of the subtree; rows are identical.
+    e.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
   }
 
   /**
@@ -598,8 +612,12 @@ object Graph {
       .join(lab.select(col("__v").as("b"), col("__l").as("lb")), Seq("b"))
     val m = labeled.agg(count(lit(1)).as("m"),
       sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("e_in"))
-    val deg = labeled.select(col("a").as("__v"), col("la").as("__l"))
-      .unionAll(labeled.select(col("b").as("__v"), col("lb").as("__l")))
+    // one explode, not a self-union of the labeled-edge join (symEdges
+    // finding: the union branches would execute the two label joins twice)
+    val deg = labeled.select(explode(array(
+        struct(col("a").as("__v"), col("la").as("__l")),
+        struct(col("b").as("__v"), col("lb").as("__l")))).as("__x"))
+      .select(col("__x.__v").as("__v"), col("__x.__l").as("__l"))
       .groupBy(col("__v"), col("__l")).agg(count(lit(1)).as("d"))
     // dc² terms and 4·m·e_in exceed a long beyond ~1.5e9 edges (a crawl
     // graph is bigger): aggregate and combine in decimal(38,0) — exact

@@ -51,8 +51,14 @@ object Rank {
       .select(least(col("w"), col("l")).as("a"),
         greatest(col("w"), col("l")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
-    val sym = pairs.select(col("a").as("i"), col("b").as("j"), col("n"))
-      .unionAll(pairs.select(col("b").as("i"), col("a").as("j"), col("n")))
+    // both directions via ONE explode, not a self-union (the
+    // Graph.symEdges finding: union branches execute the pair-count
+    // aggregate twice) — sym is referenced by `games` AND every
+    // iteration's denominator, so the saving compounds per iteration
+    val sym = pairs.select(explode(array(
+        struct(col("a").as("i"), col("b").as("j"), col("n")),
+        struct(col("b").as("i"), col("a").as("j"), col("n")))).as("__s"))
+      .select(col("__s.i").as("i"), col("__s.j").as("j"), col("__s.n").as("n"))
     val games = sym.groupBy(col("i").as("id")).agg(sum(col("n")).as("games"))
 
     var th = ents.select(col("id"), lit(1.0).as("theta"))

@@ -469,8 +469,14 @@ object Text {
       .select(explode(pairs).as("__p"))
       .select(col("__p.wa").as("wa"), col("__p.wb").as("wb"))
       .filter(col("wa") =!= col("wb"))
-    val edges = co.select(col("wa").as("src"), col("wb").as("dst"))
-      .unionByName(co.select(col("wb").as("src"), col("wa").as("dst")))
+    // both directions via ONE explode, not a self-union: the union's
+    // branches would inline (and EXECUTE — swapped projections defeat
+    // exchange reuse, the Graph.symEdges finding) the whole spread +
+    // tokenize + sliced-zip chain twice
+    val edges = co.select(explode(array(
+        struct(col("wa").as("src"), col("wb").as("dst")),
+        struct(col("wb").as("src"), col("wa").as("dst")))).as("__d"))
+      .select(col("__d.src").as("src"), col("__d.dst").as("dst"))
     val pr = graft.ops.Graph.pageRank(edges, "src", "dst", iterations,
       checkpointEvery = checkpointEvery)
     val wv = org.apache.spark.sql.expressions.Window
