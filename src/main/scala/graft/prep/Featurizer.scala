@@ -43,7 +43,18 @@ final case class FeaturizerConfig(
 final case class CasprFeaturizerModel(
     cfg: FeaturizerConfig,
     encodings: Map[String, CategoricalEncoding],
-    summary: NormalizationSummary) {
+    summary: NormalizationSummary,
+    // exact capped cardinalities captured by fit's single aggregate pass
+    // (== encodings(c).mapping.count(), without the per-column count job);
+    // empty for models loaded from disk, where the fallback below applies
+    cardinalities: Map[String, Long] = Map.empty) {
+
+  /** Vocab row count for categorical column `c` — identical to
+    * `encodings(c).mapping.count()` (the cap is applied in both places)
+    * but free when fit captured it; models deserialized without the
+    * field fall back to the counting job. */
+  def cardinality(c: String): Long =
+    cardinalities.getOrElse(c, encodings(c).mapping.count())
 
   import cfg._
   private def r = roles
@@ -128,7 +139,14 @@ object CasprFeaturizer {
     }
     val contFeats = cfg.roles.seqCols.filter(cfg.roles.contCols.contains) ++
       cfg.roles.seqCols.filter(cfg.roles.dateCols.contains).map(cfg.dateFeature)
-    val summary = Normalize.fit(dated, contFeats)
-    CasprFeaturizerModel(cfg, encodings, summary)
+    // ONE aggregate pass carries the normalization stats AND the cat
+    // cardinalities: the vocab-size probe (min(distinct, cap), what
+    // mapping.count() returns) otherwise costs one count job per cat col
+    val (summary, rawCards) = Normalize.fitWithCardinalities(
+      dated, contFeats, cfg.roles.seqCat)
+    val cards = rawCards.map { case (c, n) =>
+      c -> math.min(n, cfg.maxCardinality.toLong)
+    }
+    CasprFeaturizerModel(cfg, encodings, summary, cards)
   }
 }

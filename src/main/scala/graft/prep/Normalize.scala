@@ -72,20 +72,34 @@ object Normalize {
 
   /** Fit min/max/mean/stddev for all columns in a single aggregation pass.
     * Zero columns (cat-only role sets) is a valid configuration. */
-  def fit(df: DataFrame, cols: Seq[String]): NormalizationSummary = {
-    if (cols.isEmpty) return NormalizationSummary(Map.empty)
+  def fit(df: DataFrame, cols: Seq[String]): NormalizationSummary =
+    fitWithCardinalities(df, cols, Nil)._1
+
+  /** [[fit]] plus exact non-null distinct counts for `catCols`, all in the
+    * SAME single aggregation pass — the featurizer's vocab-size probe
+    * otherwise costs one count job (scan + distinct shuffle + driver
+    * round-trip) per categorical column on top of the summary pass
+    * (optimization guide §1.2/§5: don't re-scan for what one pass can
+    * carry). Zero columns of either kind is valid. */
+  def fitWithCardinalities(df: DataFrame, cols: Seq[String],
+      catCols: Seq[String]): (NormalizationSummary, Map[String, Long]) = {
+    if (cols.isEmpty && catCols.isEmpty)
+      return (NormalizationSummary(Map.empty), Map.empty)
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"),
           avg(col(c)).as(s"${c}__mean"),
           stddev_samp(col(c)).as(s"${c}__std"))
-    }
+    } ++ catCols.map(c => countDistinct(col(c)).as(s"${c}__card"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = cols.zipWithIndex.map { case (c, i) =>
       def d(j: Int): Double = if (row.isNullAt(i * 4 + j)) Double.NaN else row.getDouble(i * 4 + j)
       c -> ColumnSummary(d(0), d(1), d(2), d(3))
     }.toMap
-    NormalizationSummary(stats)
+    val cards = catCols.zipWithIndex.map { case (c, i) =>
+      c -> row.getLong(cols.size * 4 + i)
+    }.toMap
+    (NormalizationSummary(stats), cards)
   }
 
   /** Apply one scaling mode to many columns in a single projection. */

@@ -76,18 +76,25 @@ object MlOps extends QueryGroup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastWide.set(wide)
     val segEnc = Encoding.fit(wide, "c_mktsegment")
-    val mm = wide.agg(min("c_acctbal").as("__mn"), max("c_acctbal").as("__mx"))
+    // ONE eager aggregate over the cached wide carries the scaler stats
+    // AND the segment cardinality (was: a lazy min/max broadcast + a
+    // separate mapping.count() job); it is also the action that
+    // materializes the cache, so every later consumer reads memory.
+    // c_acctbal is double, so folding min/max in as literals is
+    // bit-identical to the broadcast-column arithmetic it replaces.
+    val mmRow = wide.agg(min("c_acctbal").as("__mn"),
+      max("c_acctbal").as("__mx"),
+      countDistinct(col("c_mktsegment")).as("__card")).head()
+    val (mn, mx) = (mmRow.getDouble(0), mmRow.getDouble(1))
     val wideEnc = Encoding.apply(wide, segEnc)
-      .crossJoin(broadcast(mm))
       // constant-column guard (mirrors NormalizationSummary.minMaxOf):
       // max==min would divide to NaN and read as a silent 0-fill downstream
       .withColumn("c_acctbal",
-        when(col("__mx") === col("__mn"), lit(0.0))
-          .otherwise((col("c_acctbal") - col("__mn")) / (col("__mx") - col("__mn"))))
-      .drop("__mn", "__mx")
+        if (mx == mn) lit(0.0)
+        else (col("c_acctbal") - lit(mn)) / lit(mx - mn))
     val vocab = Map(
-      "event_type" -> (model.encodings("event_type").mapping.count() + 1),
-      "c_mktsegment" -> (segEnc.mapping.count() + 1))
+      "event_type" -> (model.cardinality("event_type") + 1),
+      "c_mktsegment" -> (mmRow.getLong(2) + 1))
     (wideEnc, vocab)
   }
 
@@ -148,7 +155,7 @@ object MlOps extends QueryGroup {
     QueryDef("q_score_embeddings_pretrained",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
-        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val vocab = (model.cardinality("event_type") + 1).toInt
         val base = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
         // deterministic stand-in for externally trained vectors (e.g. a
@@ -202,7 +209,7 @@ object MlOps extends QueryGroup {
     QueryDef("q_train_transformer",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
-        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val vocab = (model.cardinality("event_type") + 1).toInt
         val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2,
           decoderLayers = 1) // teacher-forced seq2seq pretraining (I7/I9)
@@ -227,7 +234,7 @@ object MlOps extends QueryGroup {
     QueryDef("q_train_lstm_ae",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
-        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val vocab = (model.cardinality("event_type") + 1).toInt
         val cfg = graft.nn.LstmAeConfig(hidden = 12, outDim = 12,
           attnDim = 0, // reference-faithful Bahdanau widths (round 8 default)
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2, decoder = "teacher")
@@ -284,7 +291,7 @@ object MlOps extends QueryGroup {
     QueryDef("q_explain_deeplift",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
-        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val vocab = (model.cardinality("event_type") + 1).toInt
         val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
         val attrs = graft.analyze.Explainer.deepLift(wide, cfg,
@@ -302,7 +309,7 @@ object MlOps extends QueryGroup {
     QueryDef("q_explain_deepliftshap",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
-        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val vocab = (model.cardinality("event_type") + 1).toInt
         val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
         val seqCat = Seq((1 to seqLen).map(t => s"event_type_$t"))
@@ -325,7 +332,7 @@ object MlOps extends QueryGroup {
     QueryDef("q_explain_summary",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
-        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val vocab = (model.cardinality("event_type") + 1).toInt
         val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
         val attrs = graft.analyze.Explainer.deepLift(wide, cfg,
@@ -345,7 +352,7 @@ object MlOps extends QueryGroup {
     QueryDef("q_explain_ig",
       (s, dir) => {
         val (model, wide) = featurized(s, dir)
-        val vocab = (model.encodings("event_type").mapping.count() + 1).toInt
+        val vocab = (model.cardinality("event_type") + 1).toInt
         val cfg = graft.nn.AeConfig(dModel = 8, heads = 2, layers = 1, pf = 8,
           seqLen = seqLen, vocabSizes = Seq(vocab), nCont = 2)
         val attrs = graft.analyze.Explainer.integratedGradients(wide, cfg,
