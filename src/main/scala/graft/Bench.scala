@@ -320,11 +320,46 @@ object Bench {
 
     val qs = headline.filter(SparkEntry.queries.contains)
 
+    // Scale-evidence listener (r16 verdict item: at sf0.1 wall-clock
+    // cannot evidence scale-safety, so emit the fan-out itself): for
+    // every headline query, record the LARGEST stage (task count)
+    // observed across its runs. The listener only observes the
+    // scheduler bus — zero extra jobs, no timing-methodology change.
+    // Reported as "fanout": {q: maxStageTasks} so the driver can assert
+    // that heavy queries fan out across the cores without timing
+    // anything (max is pass-count-invariant; plans are identical across
+    // passes).
+    val fanMax = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        // stage -> query via the job description (events are async, so a
+        // thread-local "current query" would misattribute boundary stages;
+        // the description rides the job properties instead)
+        private val stageQ = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          d.filter(SparkEntry.queries.contains).foreach { q =>
+            js.stageIds.foreach(sid => stageQ.put(sid, q))
+          }
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val q = stageQ.remove(sc.stageInfo.stageId)
+          if (q != null)
+            fanMax.merge(q, sc.stageInfo.numTasks, (a, b) => math.max(a, b))
+        }
+      })
+
     def runOnce(name: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(name) // guide §1.5 + fan-out key
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.sparkContext.setJobDescription(null)
     }
 
     val failed = scala.collection.mutable.LinkedHashSet[String]()
@@ -462,7 +497,11 @@ object Bench {
       }
       s""""$n":$t"""
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","gate16_total":$gate16Total,"family_totals":$famJson,"queries":$qJson,"failed":$failedJson,"spot_check":$spotJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"sf":"$sfDir"}"""
+    // scale evidence: the max stage task count each query reached (see
+    // the listener above) — additive field, no existing key touched
+    val fanJson = qs.filterNot(failed).flatMap(n => Option(fanMax.get(n))
+      .map(v => s""""$n":$v""")).mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","gate16_total":$gate16Total,"family_totals":$famJson,"queries":$qJson,"failed":$failedJson,"spot_check":$spotJson,"query_ab":$qAbJson,"contaminated":${contaminatedQs.nonEmpty},"contaminated_queries":$contamJson,"sentinel_sec":{$sentJson},"baseline_ab":${r3(ab)},"fanout":$fanJson,"sf":"$sfDir"}"""
     // belt-and-braces vs the driver's finite tail capture: the artifact
     // also lands in the repo, so the verdict never depends on the capture
     // window catching the whole stdout line

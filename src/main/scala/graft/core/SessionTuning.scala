@@ -44,7 +44,19 @@ import org.apache.spark.sql.SparkSession
 object SessionTuning {
   val configs: Seq[(String, String)] = Seq(
     "spark.sql.files.openCostInBytes" -> "524288",
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "262144")
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "262144",
+    // Generated-class cache (static conf, default 100 entries): an
+    // application running a many-query workload holds far more than 100
+    // live codegen units, and Bench interleaves its two timed passes
+    // across the whole suite — with the default cache EVERY pass of
+    // EVERY query re-runs janino on every span (wide-plan graph/join
+    // queries pay 1-2 s per pass; measured in-bench q_adamic_adar
+    // 2.26 s vs 0.88-1.14 s for the identical plan when its classes
+    // are still cached). 5000 entries covers the catalog (~82 headline
+    // x ~30 spans) with room; entries hold weak refs to their source
+    // key, so dead plans still age out. Scale-neutral: compile-cache
+    // size, independent of data volume.
+    "spark.sql.codegen.cache.maxEntries" -> "5000")
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     configs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
